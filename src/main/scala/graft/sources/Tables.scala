@@ -1,0 +1,39 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver's TPC-H-ish parquet tables (see
+  * /root/repo/TESTDATA.md). One function per table so every query goes
+  * through a single scan definition — filters/projections placed on top of
+  * these are pushed into the parquet reader by Catalyst (verify with
+  * `.explain`: PushedFilters / ReadSchema).
+  */
+object Tables {
+  private def p(dir: String, name: String) = s"$dir/$name.parquet"
+
+  def region(spark: SparkSession, dir: String): DataFrame = spark.read.parquet(p(dir, "region"))
+  def nation(spark: SparkSession, dir: String): DataFrame = spark.read.parquet(p(dir, "nation"))
+  def customer(spark: SparkSession, dir: String): DataFrame = spark.read.parquet(p(dir, "customer"))
+  def supplier(spark: SparkSession, dir: String): DataFrame = spark.read.parquet(p(dir, "supplier"))
+  def part(spark: SparkSession, dir: String): DataFrame = spark.read.parquet(p(dir, "part"))
+  def orders(spark: SparkSession, dir: String): DataFrame = spark.read.parquet(p(dir, "orders"))
+  def lineitem(spark: SparkSession, dir: String): DataFrame = spark.read.parquet(p(dir, "lineitem"))
+  def documents(spark: SparkSession, dir: String): DataFrame = spark.read.parquet(p(dir, "documents"))
+  def embeddings(spark: SparkSession, dir: String): DataFrame = spark.read.parquet(p(dir, "embeddings"))
+
+  /** events.parquet stores `ts` as parquet TIMESTAMP(NANOS), which Spark's
+    * TimestampType (microseconds) cannot hold; with
+    * `spark.sql.legacy.parquet.nanosAsLong=true` it surfaces as a raw
+    * nanosecond long. Convert to a microsecond timestamp here (floor
+    * division — matches DuckDB's ns→us truncation) so downstream operators
+    * see a proper TimestampType column.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw = spark.read.parquet(p(dir, "events"))
+    raw.schema("ts").dataType.typeName match {
+      case "long" => raw.withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast("long")))
+      case _      => raw
+    }
+  }
+}

@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.operators.{OrderPipeline, RefOrders}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -28,6 +29,27 @@ object SparkEntry {
   private def pct(c: Column): Column = c.cast("decimal(4,2)")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- Reference-parity pipeline (SURVEY §2 D1,T1-T3,V1-V4,E1-E2,P1,R1,K1)
+    // Narrow map over loose records — no shuffle, single codegen stage.
+    "ref_pipeline" -> { (s, dir) =>
+      OrderPipeline.processOrders(RefOrders.rawOrders(s, dir))
+    },
+    // R1 valid branch + P1 projection — the enriched_orders topic payload.
+    "ref_enriched" -> { (s, dir) =>
+      val (valid, _) = OrderPipeline.route(OrderPipeline.processOrders(RefOrders.rawOrders(s, dir)))
+      OrderPipeline.projectEnriched(valid)
+    },
+    // R1 invalid branch + K1 key — the invalid_orders topic payload.
+    "ref_invalid" -> { (s, dir) =>
+      val (_, invalid) = OrderPipeline.route(OrderPipeline.processOrders(RefOrders.rawOrders(s, dir)))
+      OrderPipeline.withKafkaKey(invalid).select(col("order_id"), col("key"), col("error_message"))
+    },
+    // E1 envelope + K1 key — exact Kafka Connect JSON message bytes.
+    "ref_envelope" -> { (s, dir) =>
+      val (valid, _) = OrderPipeline.route(OrderPipeline.processOrders(RefOrders.rawOrders(s, dir)))
+      OrderPipeline.toConnectEnvelope(OrderPipeline.withKafkaKey(valid))
+        .select(col("key"), col("value"))
+    },
     // ---- Relational core -------------------------------------------------
     // TPC-H Q1-style grouped aggregation: partial (map-side) aggregation +
     // single shuffle on the 2 grouping keys; scan prunes to 7 columns.
@@ -50,6 +72,36 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] = Map(
+    "ref_pipeline" ->
+      s"""${RefOrders.processedSql}
+         |SELECT * FROM processed""".stripMargin,
+    "ref_enriched" ->
+      s"""${RefOrders.processedSql}
+         |SELECT order_id, product_name, quantity, price, order_date, total_price
+         |FROM processed WHERE is_valid""".stripMargin,
+    "ref_invalid" ->
+      s"""${RefOrders.processedSql}
+         |SELECT order_id, coalesce(order_id, 'unknown') AS key, error_message
+         |FROM processed WHERE NOT is_valid""".stripMargin,
+    "ref_envelope" ->
+      s"""${RefOrders.processedSql}
+         |SELECT coalesce(order_id, 'unknown') AS key,
+         |  to_json(struct_pack(
+         |    schema := struct_pack(
+         |      "type" := 'struct',
+         |      fields := [
+         |        struct_pack("type" := 'string', optional := true, field := 'order_id'),
+         |        struct_pack("type" := 'string', optional := true, field := 'product_name'),
+         |        struct_pack("type" := 'double', optional := true, field := 'quantity'),
+         |        struct_pack("type" := 'double', optional := true, field := 'price'),
+         |        struct_pack("type" := 'string', optional := true, field := 'order_date'),
+         |        struct_pack("type" := 'double', optional := true, field := 'total_price')],
+         |      optional := false, name := 'enriched_order'),
+         |    payload := struct_pack(
+         |      order_id := order_id, product_name := product_name,
+         |      quantity := quantity, price := price,
+         |      order_date := order_date, total_price := total_price))) AS value
+         |FROM processed WHERE is_valid""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,

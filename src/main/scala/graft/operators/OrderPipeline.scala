@@ -1,0 +1,178 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+import graft.model.OrderModel._
+
+/** The reference's validate-and-enrich pipeline (ref:
+  * src/app/order_validator.py:165-221,225-239,241-300) re-expressed as
+  * pure, composable column transforms. Every op is `DataFrame =>
+  * DataFrame`, built only from codegen'd `functions._` — no UDFs — so the
+  * whole pipeline stays inside one WholeStageCodegen span and runs
+  * embarrassingly parallel at any scale (it is a narrow map: no shuffle).
+  *
+  * Documented intended divergences from the reference (SURVEY.md §7.3):
+  *  - the reference's price error message prints the *quantity* value
+  *    (bug at ref: src/app/order_validator.py:193); we print the price.
+  *  - a record with a null `order_date` wedges the reference forever
+  *    (KeyError before commit, ref: src/app/order_validator.py:259); our
+  *    date normalization is null-safe and such rows flow on.
+  *  - unparsable numeric strings are nulled in the typed output columns
+  *    (single-typed columns); the original text survives in the error
+  *    message, and such rows are invalid and routed accordingly.
+  */
+object OrderPipeline {
+
+  /** D1 — safe JSON deserialize: bytes/string → struct, null struct on
+    * corrupt input (ref: src/app/order_validator.py:57-69). PERMISSIVE
+    * `from_json` gives exactly the reference's null-on-corrupt semantics.
+    * Corrupt rows are kept (parse_ok=false) so callers can route them.
+    */
+  def parseOrders(raw: DataFrame, valueCol: String = "value"): DataFrame = {
+    // PERMISSIVE from_json yields an all-null struct on malformed input;
+    // route the corrupt text into a dedicated column to keep D1's
+    // "corrupt vs merely-empty" distinction observable.
+    val schemaWithCorrupt = rawOrderSchema.add("_corrupt_record", "string")
+    raw
+      .withColumn(
+        "order",
+        from_json(col(valueCol).cast("string"), schemaWithCorrupt,
+          Map("columnNameOfCorruptRecord" -> "_corrupt_record"))
+      )
+      .withColumn("parse_ok", col("order").isNotNull && col("order._corrupt_record").isNull)
+      .select(col("parse_ok") +: RequiredFields.map(f => col(s"order.$f").as(f)): _*)
+  }
+
+  // ---- validation ---------------------------------------------------------
+
+  private def missingList: Column = {
+    // V1: required-field presence, reference declaration order.
+    val missing = RequiredFields.map(f => when(col(f).isNull, lit(f)))
+    array_compact(array(missing: _*))
+  }
+
+  // ANSI-safe cast-to-null-on-failure (Python float()-attempt semantics,
+  // ref: src/app/order_validator.py:146-163). Spark 4 runs ANSI mode by
+  // default, where a plain cast on "abc" throws; try_cast restores the
+  // reference's parse-or-null behavior.
+  private def tryDouble(c: Column): Column = c.try_cast(DoubleType)
+
+  private def numErr(field: String): Column = {
+    val d = tryDouble(col(field))
+    when(d.isNull, concat(lit(s"Field '$field' should be a number, but is of value: "), col(field)))
+      .when(d < 0, lit(s"Field '$field' should be non-negative"))
+  }
+
+  /** V1–V4 — validation. Adds:
+    *  - `quantity_d`, `price_d`: double coercions (null if unparsable),
+    *  - `is_valid`,
+    *  - `error_message`: null when valid; "Missing required fields: a, b"
+    *    (short-circuits all other checks, ref: :186-188) or the '; '-joined
+    *    price-then-quantity errors (ref: :191-212).
+    */
+  def validateOrders(df: DataFrame): DataFrame = {
+    val missing = missingList
+    val errs = array_compact(array(numErr("price"), numErr("quantity")))
+    df.withColumn("quantity_d", tryDouble(col("quantity")))
+      .withColumn("price_d", tryDouble(col("price")))
+      .withColumn(
+        "error_message",
+        when(size(missing) > 0, concat(lit("Missing required fields: "), array_join(missing, ", ")))
+          .when(size(errs) > 0, array_join(errs, "; "))
+      )
+      .withColumn("is_valid", col("error_message").isNull)
+  }
+
+  /** E2 — enrichment: total_price = round(quantity*price, 2) with Python
+    * `round` semantics, i.e. banker's rounding — Spark `bround` is
+    * HALF_EVEN and matches; plain `round` (HALF_UP) does not (ref:
+    * src/app/order_validator.py:215). Valid rows only.
+    */
+  def enrichOrders(df: DataFrame): DataFrame =
+    df.withColumn(
+      "total_price",
+      when(col("is_valid"), bround(col("quantity_d") * col("price_d"), 2))
+    )
+
+  /** T3 — date normalization: all-digit `order_date` is days-since-epoch →
+    * "yyyy-MM-dd"; anything else (ISO strings, negatives, null) passes
+    * through (ref: src/app/order_validator.py:225-239,259-260 — but
+    * null-safe, unlike the reference's poison-pill KeyError).
+    */
+  def normalizeOrderDate(df: DataFrame): DataFrame =
+    df.withColumn(
+      "order_date",
+      when(
+        col("order_date").rlike("^[0-9]+$"),
+        date_format(date_add(to_date(lit("1970-01-01")), col("order_date").try_cast("int")), "yyyy-MM-dd")
+      ).otherwise(col("order_date"))
+    )
+
+  /** Full pipeline on loose (string-typed) order records: validate →
+    * enrich → normalize date → typed output columns + routing flags.
+    */
+  def processOrders(df: DataFrame): DataFrame = {
+    val out = normalizeOrderDate(enrichOrders(validateOrders(df)))
+    out.select(
+      col("order_id").cast("string").as("order_id"),
+      col("product_name"),
+      col("quantity_d").as("quantity"),
+      col("price_d").as("price"),
+      col("order_date"),
+      col("total_price"),
+      col("is_valid"),
+      col("error_message")
+    )
+  }
+
+  /** P1 — the envelope's explicit 6-field projection (ref:
+    * src/app/order_validator.py:111-118).
+    */
+  def projectEnriched(df: DataFrame): DataFrame =
+    df.select(EnrichedFields.map(col): _*)
+
+  /** R1 — validity routing: (valid, invalid) split off one lineage (ref:
+    * src/app/order_validator.py:263-264). In streaming, write both via a
+    * single foreachBatch over a persisted batch (read-once, like the
+    * reference's single consumer loop).
+    */
+  def route(df: DataFrame): (DataFrame, DataFrame) =
+    (df.filter(col("is_valid")), df.filter(!col("is_valid")))
+
+  /** K1 — Kafka message key: order_id as string, "unknown" when missing
+    * (ref: src/app/order_validator.py:267-269). Equal keys hash to the
+    * same partition — the reference's per-order ordering guarantee.
+    */
+  def withKafkaKey(df: DataFrame): DataFrame =
+    df.withColumn("key", coalesce(col("order_id").cast("string"), lit("unknown")))
+
+  /** E1 — Kafka Connect schema envelope: {"schema": <constant struct
+    * decl>, "payload": {...}} (ref: src/app/order_validator.py:95-123).
+    * The schema half is a constant literal struct — Catalyst constant-folds
+    * it, unlike the reference, which rebuilds it per message.
+    */
+  def toConnectEnvelope(df: DataFrame): DataFrame = {
+    val fieldDecl: Seq[(String, String)] = Seq(
+      "order_id" -> "string", "product_name" -> "string", "quantity" -> "double",
+      "price" -> "double", "order_date" -> "string", "total_price" -> "double"
+    )
+    val schemaStruct = struct(
+      lit("struct").as("type"),
+      array(fieldDecl.map { case (f, t) =>
+        struct(lit(t).as("type"), lit(true).as("optional"), lit(f).as("field"))
+      }: _*).as("fields"),
+      lit(false).as("optional"),
+      lit("enriched_order").as("name")
+    )
+    val payload = struct(EnrichedFields.map(col): _*)
+    df.withColumn(
+      "value",
+      to_json(
+        struct(schemaStruct.as("schema"), payload.as("payload")),
+        Map("ignoreNullFields" -> "false")
+      )
+    )
+  }
+}

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.operators.{OrderPipeline, RefOrders}
@@ -65,6 +66,180 @@ object SparkEntry {
           sum(dec2($"l_extendedprice") * (lit(1) - pct($"l_discount")) * (lit(1) + pct($"l_tax"))).cast("double").as("sum_charge"),
           count(lit(1)).as("count_order")
         )
+    },
+
+    // TPC-H Q3-style: 3-way join + grouped agg + deterministic top-10.
+    // The filtered customer side is small → broadcast hint removes one
+    // shuffle; the orders⋈lineitem join shuffles on the join key only.
+    "q3_topk" -> { (s, dir) =>
+      import s.implicits._
+      val c = Tables.customer(s, dir).filter($"c_mktsegment" === "BUILDING")
+      val o = Tables.orders(s, dir).filter($"o_orderdate" < lit("1999-01-01").cast("timestamp"))
+      val l = Tables.lineitem(s, dir).filter($"l_shipdate" > lit("1999-01-01").cast("timestamp"))
+      l.join(o, $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(c), $"o_custkey" === $"c_custkey")
+        .groupBy($"l_orderkey", $"o_orderdate")
+        .agg(sum(dec2($"l_extendedprice") * (lit(1) - pct($"l_discount"))).cast("double").as("revenue"))
+        .select($"l_orderkey", date_format($"o_orderdate", "yyyy-MM-dd").as("o_orderdate"), $"revenue")
+        .orderBy($"revenue".desc, $"l_orderkey")
+        .limit(10)
+    },
+
+    // TPC-H Q5-style: 6-table join. region/nation/supplier are dimension
+    // tables → broadcast; the fact-side joins shuffle on their keys.
+    "q5_join" -> { (s, dir) =>
+      import s.implicits._
+      val r = Tables.region(s, dir).filter($"r_name" === "EUROPE")
+      val n = Tables.nation(s, dir)
+      val sup = Tables.supplier(s, dir)
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+        .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+          $"o_orderdate" < lit("1999-01-01").cast("timestamp"))
+      val l = Tables.lineitem(s, dir)
+      l.join(o, $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(sup), $"l_suppkey" === $"s_suppkey")
+        .join(c, $"o_custkey" === $"c_custkey" && $"c_nationkey" === $"s_nationkey")
+        .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
+        .groupBy($"n_name")
+        .agg(sum(dec2($"l_extendedprice") * (lit(1) - pct($"l_discount"))).cast("double").as("revenue"))
+    },
+
+    // Semi join (EXISTS): orders with any heavy lineitem → never duplicates
+    // the probe side, ships only the join key of the build side.
+    "q_semi" -> { (s, dir) =>
+      import s.implicits._
+      val heavy = Tables.lineitem(s, dir).filter($"l_quantity" > 45).select($"l_orderkey")
+      Tables.orders(s, dir)
+        .join(heavy, $"o_orderkey" === $"l_orderkey", "left_semi")
+        .groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("n"))
+    },
+
+    // Anti join (NOT EXISTS): customers with no big-ticket order.
+    "q_anti" -> { (s, dir) =>
+      import s.implicits._
+      Tables.customer(s, dir)
+        .join(
+          Tables.orders(s, dir).filter($"o_totalprice" > 300000).select($"o_custkey"),
+          $"c_custkey" === $"o_custkey", "left_anti")
+        .select($"c_custkey", $"c_name")
+    },
+
+    // Ranking window: top-3 orders per customer. The partition key drives
+    // the one shuffle; no global sort.
+    "q_window_rank" -> { (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey")
+      Tables.orders(s, dir)
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter($"rn" <= 3)
+        .select($"o_custkey", $"o_orderkey", $"o_totalprice", $"rn")
+    },
+
+    // Analytic window: per-supplier running total + lag, over a unique
+    // total order (date, orderkey, linenumber) so the frame is
+    // deterministic. Exact decimal accumulation → engine-independent.
+    "q_window_running" -> { (s, dir) =>
+      import s.implicits._
+      val ord = Window.partitionBy($"l_suppkey")
+        .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber")
+      val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.lineitem(s, dir).select(
+        $"l_suppkey", $"l_orderkey", $"l_linenumber",
+        sum(dec2($"l_quantity")).over(run).cast("double").as("running_qty"),
+        lag($"l_quantity", 1).over(ord).as("prev_qty")
+      )
+    },
+
+    // ROLLUP: hierarchical subtotals in one pass (partial agg per grouping
+    // set, single shuffle).
+    "q_rollup" -> { (s, dir) =>
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .rollup($"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("n"), sum(dec2($"l_quantity")).cast("double").as("sum_qty"))
+    },
+
+    // GROUPING SETS: two independent dimensions + grand total in one scan.
+    "q_groupsets" -> { (s, dir) =>
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .groupingSets(
+          Seq(Seq($"l_returnflag"), Seq($"l_linestatus"), Seq()),
+          $"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("n"))
+    },
+
+    // Set operations: UNION / INTERSECT / EXCEPT (all distinct semantics).
+    "q_setops" -> { (s, dir) =>
+      import s.implicits._
+      val o = Tables.orders(s, dir)
+      val f = o.filter($"o_orderstatus" === "F").select($"o_custkey")
+      val p = o.filter($"o_orderstatus" === "P").select($"o_custkey")
+      val active = Tables.customer(s, dir).filter($"c_acctbal" > 0)
+        .select($"c_custkey".as("o_custkey"))
+      val big = o.filter($"o_totalprice" > 400000).select($"o_custkey")
+      f.union(p).distinct().intersect(active).except(big)
+    },
+
+    // DISTINCT: dedup via hash aggregate (no global sort).
+    "q_distinct" -> { (s, dir) =>
+      import s.implicits._
+      Tables.lineitem(s, dir).select($"l_returnflag", $"l_linestatus").distinct()
+    },
+
+    // Global top-k: orderBy+limit plans as TakeOrderedAndProject — per
+    // partition heap + driver merge, never a full sort at scale.
+    "q_topk" -> { (s, dir) =>
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .select($"l_orderkey", $"l_linenumber", $"l_extendedprice")
+        .orderBy($"l_extendedprice".desc, $"l_orderkey", $"l_linenumber")
+        .limit(20)
+    },
+
+    // Scalar function sampler (string/math): all codegen'd built-ins.
+    "q_scalar" -> { (s, dir) =>
+      import s.implicits._
+      Tables.part(s, dir).select(
+        $"p_partkey",
+        upper($"p_name").as("uname"),
+        length($"p_name").cast("long").as("name_len"),
+        substring($"p_name", 1, 5).as("name_pfx"),
+        regexp_extract($"p_brand", "#(\\d+)", 1).cast("long").as("brand_num"),
+        concat_ws("/", $"p_type", $"p_brand").as("type_brand"),
+        abs($"p_size" - 25).cast("long").as("abs_off"),
+        floor($"p_retailprice").cast("long").as("floor_price"),
+        ceil($"p_retailprice").cast("long").as("ceil_price"),
+        ($"p_size" % 5).cast("long").as("size_mod")
+      )
+    },
+
+    // Date/time function sampler over orders.
+    "q_dates" -> { (s, dir) =>
+      import s.implicits._
+      Tables.orders(s, dir).select(
+        $"o_orderkey",
+        year($"o_orderdate").cast("long").as("y"),
+        month($"o_orderdate").cast("long").as("m"),
+        dayofmonth($"o_orderdate").cast("long").as("d"),
+        date_format($"o_orderdate", "yyyy-MM").as("ym"),
+        datediff($"o_orderdate".cast("date"), lit("1995-01-01").cast("date")).cast("long").as("days_since"),
+        date_format(add_months($"o_orderdate".cast("date"), 3), "yyyy-MM-dd").as("plus3m")
+      )
+    },
+
+    // Conditional aggregation ("manual pivot"): one scan, no shuffle per
+    // pivot value.
+    "q_case_pivot" -> { (s, dir) =>
+      import s.implicits._
+      Tables.lineitem(s, dir).groupBy($"l_returnflag").agg(
+        count(when($"l_linestatus" === "O", 1)).as("n_open"),
+        count(when($"l_linestatus" === "F", 1)).as("n_finished"),
+        sum(when($"l_discount" > 0.05, dec2($"l_extendedprice"))).cast("double").as("high_disc_price")
+      )
     }
   )
 
@@ -111,6 +286,99 @@ object SparkEntry {
         | COUNT(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate < TIMESTAMP '2001-09-01'
-        |GROUP BY l_returnflag, l_linestatus""".stripMargin
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_topk" ->
+      """SELECT l_orderkey,
+        |  strftime(o_orderdate::DATE, '%Y-%m-%d') AS o_orderdate,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1999-01-01'
+        |  AND l_shipdate > TIMESTAMP '1999-01-01'
+        |GROUP BY l_orderkey, orders.o_orderdate
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
+    "q5_join" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'EUROPE'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1999-01-01'
+        |GROUP BY n_name""".stripMargin,
+    "q_semi" ->
+      """SELECT o_orderstatus, COUNT(*) AS n FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+        |GROUP BY o_orderstatus""".stripMargin,
+    "q_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000)""".stripMargin,
+    "q_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3""".stripMargin,
+    "q_window_running" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) OVER (
+        |    PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty,
+        |  LAG(l_quantity, 1) OVER (
+        |    PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber) AS prev_qty
+        |FROM lineitem""".stripMargin,
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "q_groupsets" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+        |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin,
+    "q_setops" ->
+      """((SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |  UNION
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')
+        | INTERSECT
+        | SELECT c_custkey AS o_custkey FROM customer WHERE c_acctbal > 0)
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_totalprice > 400000""".stripMargin,
+    "q_distinct" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    "q_topk" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 20""".stripMargin,
+    "q_scalar" ->
+      """SELECT p_partkey,
+        |  upper(p_name) AS uname,
+        |  CAST(length(p_name) AS BIGINT) AS name_len,
+        |  substr(p_name, 1, 5) AS name_pfx,
+        |  CAST(regexp_extract(p_brand, '#(\d+)', 1) AS BIGINT) AS brand_num,
+        |  concat_ws('/', p_type, p_brand) AS type_brand,
+        |  CAST(abs(p_size - 25) AS BIGINT) AS abs_off,
+        |  CAST(floor(p_retailprice) AS BIGINT) AS floor_price,
+        |  CAST(ceil(p_retailprice) AS BIGINT) AS ceil_price,
+        |  CAST(p_size % 5 AS BIGINT) AS size_mod
+        |FROM part""".stripMargin,
+    "q_dates" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS BIGINT) AS y,
+        |  CAST(month(o_orderdate) AS BIGINT) AS m,
+        |  CAST(day(o_orderdate) AS BIGINT) AS d,
+        |  strftime(o_orderdate::DATE, '%Y-%m') AS ym,
+        |  CAST(datediff('day', DATE '1995-01-01', o_orderdate::DATE) AS BIGINT) AS days_since,
+        |  strftime((o_orderdate::DATE + INTERVAL 3 MONTH)::DATE, '%Y-%m-%d') AS plus3m
+        |FROM orders""".stripMargin,
+    "q_case_pivot" ->
+      """SELECT l_returnflag,
+        |  COUNT(CASE WHEN l_linestatus = 'O' THEN 1 END) AS n_open,
+        |  COUNT(CASE WHEN l_linestatus = 'F' THEN 1 END) AS n_finished,
+        |  CAST(SUM(CASE WHEN l_discount > 0.05 THEN CAST(l_extendedprice AS DECIMAL(12,2)) END) AS DOUBLE) AS high_disc_price
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin
   )
 }

@@ -28,6 +28,9 @@ object SparkEntry {
   // Exact-decimal casts for money-like doubles (see scaladoc above).
   private def dec2(c: Column): Column = c.cast("decimal(12,2)")
   private def pct(c: Column): Column = c.cast("decimal(4,2)")
+  // Microsecond-string timestamp rendering (representation-independent
+  // comparison; DuckDB mirror: strftime(ts, '%Y-%m-%d %H:%M:%S.%f')).
+  private def fmtTs(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- Reference-parity pipeline (SURVEY §2 D1,T1-T3,V1-V4,E1-E2,P1,R1,K1)
@@ -231,6 +234,66 @@ object SparkEntry {
       )
     },
 
+    // ---- Event-time operators (events table; SURVEY §2 extension ops) ---
+    // Outputs format timestamps as microsecond strings so the comparison
+    // is representation-independent.
+
+    // Tumbling 1-hour windows: the batch shape of the streaming windowed
+    // agg (watermark + window in streaming/EventStream).
+    "q_ev_tumbling" -> { (s, dir) =>
+      import s.implicits._
+      Tables.events(s, dir)
+        .groupBy(window($"ts", "1 hour"), $"event_type")
+        .agg(count(lit(1)).as("n"), sum(dec2($"value")).cast("double").as("sum_value"))
+        .select(fmtTs(col("window.start")).as("w_start"), $"event_type", $"n", $"sum_value")
+    },
+
+    // Sliding windows (1 h window, 30 min slide): each event lands in 2
+    // windows; Spark expands then aggregates — one shuffle on (window,type).
+    "q_ev_sliding" -> { (s, dir) =>
+      import s.implicits._
+      Tables.events(s, dir)
+        .groupBy(window($"ts", "1 hour", "30 minutes"), $"event_type")
+        .agg(count(lit(1)).as("n"))
+        .select(fmtTs(col("window.start")).as("w_start"), $"event_type", $"n")
+    },
+
+    // Session windows: 4-hour-gap sessions per user (streaming analogue:
+    // session_window + watermark). DuckDB oracle replicates via
+    // gaps-and-islands.
+    "q_ev_session" -> { (s, dir) =>
+      import s.implicits._
+      Tables.events(s, dir)
+        .groupBy(session_window($"ts", "4 hours"), $"user_id")
+        .agg(count(lit(1)).as("n"), sum(dec2($"value")).cast("double").as("sum_value"))
+        .select(
+          fmtTs(col("session_window.start")).as("s_start"),
+          fmtTs(col("session_window.end")).as("s_end"),
+          $"user_id", $"n", $"sum_value")
+    },
+
+    // Exact dedup, deterministic survivor: earliest (ts, event_id) row per
+    // (user_id, event_type) — the batch shape of
+    // dropDuplicatesWithinWatermark (which keeps an arbitrary first-seen
+    // row; we pin the survivor so the oracle can agree).
+    "q_ev_dedup" -> { (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"user_id", $"event_type").orderBy($"ts", $"event_id")
+      Tables.events(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"user_id", $"event_type", $"event_id", fmtTs($"ts").as("first_ts"))
+    },
+
+    // Semi-structured extraction: JSON props column → typed field → agg.
+    "q_ev_json" -> { (s, dir) =>
+      import s.implicits._
+      Tables.events(s, dir)
+        .withColumn("k", get_json_object($"props", "$.k").cast("long"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), sum($"k").as("sum_k"), max($"k").as("max_k"))
+    },
+
     // Conditional aggregation ("manual pivot"): one scan, no shuffle per
     // pivot value.
     "q_case_pivot" -> { (s, dir) =>
@@ -374,6 +437,51 @@ object SparkEntry {
         |  CAST(datediff('day', DATE '1995-01-01', o_orderdate::DATE) AS BIGINT) AS days_since,
         |  strftime((o_orderdate::DATE + INTERVAL 3 MONTH)::DATE, '%Y-%m-%d') AS plus3m
         |FROM orders""".stripMargin,
+    "q_ev_tumbling" ->
+      """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ets, event_type, value FROM events)
+        |SELECT strftime(to_timestamp(CAST(floor(epoch(ets)/3600) AS BIGINT)*3600), '%Y-%m-%d %H:%M:%S.%f') AS w_start,
+        |  event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM e GROUP BY 1, 2""".stripMargin,
+    "q_ev_sliding" ->
+      """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ets, event_type FROM events),
+        |x AS (
+        |  SELECT to_timestamp((CAST(floor(epoch(ets)/1800) AS BIGINT) - n) * 1800) AS w_start, event_type
+        |  FROM e, UNNEST([0, 1]) AS t(n)
+        |)
+        |SELECT strftime(w_start, '%Y-%m-%d %H:%M:%S.%f') AS w_start, event_type, COUNT(*) AS n
+        |FROM x GROUP BY 1, 2""".stripMargin,
+    "q_ev_session" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ets, value FROM events),
+        |s AS (
+        |  SELECT user_id, ets, value,
+        |    CASE WHEN lag(ets) OVER (PARTITION BY user_id ORDER BY ets) IS NULL
+        |           OR ets - lag(ets) OVER (PARTITION BY user_id ORDER BY ets) >= INTERVAL 4 HOUR
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM e
+        |),
+        |g AS (
+        |  SELECT user_id, ets, value,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ets ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM s
+        |)
+        |SELECT strftime(MIN(ets), '%Y-%m-%d %H:%M:%S.%f') AS s_start,
+        |  strftime(MAX(ets) + INTERVAL 4 HOUR, '%Y-%m-%d %H:%M:%S.%f') AS s_end,
+        |  user_id, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM g GROUP BY user_id, sid""".stripMargin,
+    "q_ev_dedup" ->
+      """SELECT user_id, event_type, event_id,
+        |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS first_ts
+        |FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+        |  FROM events) t
+        |WHERE rn = 1""".stripMargin,
+    "q_ev_json" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type""".stripMargin,
     "q_case_pivot" ->
       """SELECT l_returnflag,
         |  COUNT(CASE WHEN l_linestatus = 'O' THEN 1 END) AS n_open,

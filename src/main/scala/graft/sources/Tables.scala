@@ -32,7 +32,9 @@ object Tables {
   def events(spark: SparkSession, dir: String): DataFrame = {
     val raw = spark.read.parquet(p(dir, "events"))
     raw.schema("ts").dataType.typeName match {
-      case "long" => raw.withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast("long")))
+      // integer division — `/` on longs promotes to double and loses
+      // precision at nanosecond magnitudes (~1.7e18 > 2^53)
+      case "long" => raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
       case _      => raw
     }
   }

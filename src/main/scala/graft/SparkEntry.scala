@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{OrderPipeline, RefOrders}
+import graft.operators.{OrderPipeline, RefOrders, TextAnalysis}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -234,6 +234,11 @@ object SparkEntry {
       )
     },
 
+    // ---- Text analysis (documents table; SURVEY §2 extension ops) -------
+    "q_doc_stats" -> { (s, dir) => TextAnalysis.stats(Tables.documents(s, dir)) },
+    "q_doc_quality" -> { (s, dir) => TextAnalysis.quality(Tables.documents(s, dir)) },
+    "q_doc_langid" -> { (s, dir) => TextAnalysis.langId(Tables.documents(s, dir)) },
+
     // ---- Event-time operators (events table; SURVEY §2 extension ops) ---
     // Outputs format timestamps as microsecond strings so the comparison
     // is representation-independent.
@@ -437,6 +442,56 @@ object SparkEntry {
         |  CAST(datediff('day', DATE '1995-01-01', o_orderdate::DATE) AS BIGINT) AS days_since,
         |  strftime((o_orderdate::DATE + INTERVAL 3 MONTH)::DATE, '%Y-%m-%d') AS plus3m
         |FROM orders""".stripMargin,
+    "q_doc_stats" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> length(x) > 0) AS toks
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(list_reduce(list_prepend(0, list_transform(toks, x -> length(x))), (a, b) -> a + b) AS DOUBLE)
+        |    / CAST(len(toks) AS DOUBLE) AS avg_tok_len,
+        |  list_reduce(list_prepend(CAST(7 AS BIGINT), list_transform(string_split(text, ''), c -> ascii(c))),
+        |    (a, b) -> (a*31 + b) % 1000000007) AS fp
+        |FROM t""".stripMargin,
+    "q_doc_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> length(x) > 0) AS toks
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(toks, x -> x='the' OR x='a' OR x='and' OR x='of' OR x='to' OR x='in' OR x='is')) AS DOUBLE)
+        |      / CAST(len(toks) AS DOUBLE) AS stop_ratio,
+        |    CAST(len(list_filter(toks, x -> length(x) <= 3)) AS DOUBLE)
+        |      / CAST(len(toks) AS DOUBLE) AS short_ratio
+        |  FROM t)
+        |SELECT doc_id, stop_ratio, short_ratio,
+        |  1.0 - stop_ratio * 0.5 - short_ratio * 0.3 AS quality
+        |FROM r""".stripMargin,
+    "q_doc_langid" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> length(x) > 0) AS toks
+        |  FROM documents),
+        |sc AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(list_filter(toks, x -> x='the' OR x='a' OR x='of')) AS BIGINT) AS s_en,
+        |    CAST(len(list_filter(toks, x -> x='der' OR x='die' OR x='und')) AS BIGINT) AS s_de,
+        |    CAST(len(list_filter(toks, x -> x='le' OR x='la' OR x='et')) AS BIGINT) AS s_fr,
+        |    CAST(len(list_filter(toks, x -> x='el' OR x='los' OR x='y')) AS BIGINT) AS s_es
+        |  FROM t)
+        |SELECT doc_id, s_en, s_de, s_fr, s_es,
+        |  CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+        |       WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+        |       WHEN s_fr >= s_es THEN 'fr'
+        |       ELSE 'es' END AS pred_lang,
+        |  (CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+        |        WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+        |        WHEN s_fr >= s_es THEN 'fr'
+        |        ELSE 'es' END) = lang AS matches_label
+        |FROM sc""".stripMargin,
     "q_ev_tumbling" ->
       """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ets, event_type, value FROM events)
         |SELECT strftime(to_timestamp(CAST(floor(epoch(ets)/3600) AS BIGINT)*3600), '%Y-%m-%d %H:%M:%S.%f') AS w_start,

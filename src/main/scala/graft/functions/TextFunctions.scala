@@ -1,0 +1,50 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic text primitives for the LLM-data-pipeline operators
+  * (tokenization, hashing, fingerprinting, MinHash permutations).
+  *
+  * Everything here is built from codegen'd built-ins and higher-order
+  * functions — no UDFs — and is arithmetic-stable across engines: the
+  * DuckDB oracles reproduce each function with list_reduce/list_transform
+  * using the same integer arithmetic mod [[P]].
+  */
+object TextFunctions {
+
+  /** Modulus for all polynomial hashing (large prime < 2^30, so
+    * acc*31 + char stays well inside Long).
+    */
+  val P = 1000000007L
+
+  /** Lowercased whitespace tokens, empties dropped.
+    * DuckDB mirror: list_filter(regexp_split_to_array(trim(lower(t)),
+    * '\s+'), x -> length(x) > 0).
+    */
+  def tokens(text: Column): Column =
+    filter(split(trim(lower(text)), "\\s+"), t => length(t) > 0)
+
+  /** Polynomial rolling hash over a string's characters:
+    * h = fold(7, h*31 + codepoint) mod P. Used both as a per-word hash
+    * and as a whole-document fingerprint.
+    * DuckDB mirror: list_reduce(list_prepend(7, list_transform(
+    * string_split(s, ''), c -> ascii(c))), (a, b) -> (a*31 + b) % P).
+    */
+  def stringHash(s: Column): Column =
+    aggregate(split(s, ""), lit(7L), (acc, ch) => (acc * lit(31L) + ascii(ch)) % lit(P))
+
+  /** MinHash permutation family: h_i(x) = ((2i+1)·x + (7919i+13)) mod P.
+    * Odd multipliers keep the map injective mod 2^k; constants are small
+    * enough that (2i+1)·x < 2^63 for x < P.
+    */
+  def minhashPerm(i: Int, h: Column): Column =
+    (lit(2L * i + 1) * h + lit(7919L * i + 13)) % lit(P)
+
+  /** Count of tokens belonging to a small fixed vocabulary. Used for
+    * stopword ratios and the language-ID heuristic. The word list is
+    * inlined as explicit equality ORs so the DuckDB mirror is identical.
+    */
+  def vocabCount(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => words.map(w => t === lit(w)).reduce(_ || _))).cast("long")
+}

@@ -1,0 +1,45 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector primitives over ArrayType(Float/Double) embedding columns.
+  *
+  * All folds are strictly sequential (left-to-right) so results are
+  * bit-reproducible and match the DuckDB oracle's list_reduce, which
+  * folds in the same order. Plain `sum()` over exploded elements would
+  * NOT be — aggregation order varies with partitioning.
+  */
+object VectorFunctions {
+
+  /** Cast array<float> → array<double> (exact). */
+  def asDouble(v: Column): Column = v.cast("array<double>")
+
+  /** Sequential left fold sum of an array<double>. */
+  def seqSum(v: Column): Column =
+    aggregate(v, lit(0.0d), (acc, x) => acc + x)
+
+  /** Dot product, sequential accumulation. */
+  def dot(a: Column, b: Column): Column =
+    seqSum(zip_with(a, b, (x, y) => x * y))
+
+  /** L2 norm. */
+  def l2norm(v: Column): Column = sqrt(dot(v, v))
+
+  /** Cosine similarity from precomputed norms (precompute norms BEFORE a
+    * pairwise join — O(n) instead of O(n²) norm work).
+    */
+  def cosineWithNorms(dotAB: Column, normA: Column, normB: Column): Column =
+    dotAB / (normA * normB)
+
+  /** Fixed-point quantization for order-independent exact sums: float →
+    * round(x·2^24) as long. Sums of these are integer-exact and therefore
+    * independent of aggregation order — use for centroids / elementwise
+    * means where the sum crosses partitions.
+    */
+  val QuantScale = 16777216L // 2^24
+  def quantize(x: Column): Column =
+    round(x * lit(QuantScale.toDouble)).cast("long")
+  def dequantize(sum: Column, n: Column): Column =
+    sum.cast("double") / (n.cast("double") * lit(QuantScale.toDouble))
+}

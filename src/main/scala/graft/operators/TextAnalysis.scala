@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** Text-analysis operators over the documents table: token statistics,
+  * quality scoring, language identification, document fingerprinting.
+  * All narrow (per-row) transforms — no shuffle; they pipeline into one
+  * codegen stage over the scan, which is the shape you want when the
+  * documents table is 100 TB: pure map, embarrassingly parallel.
+  */
+object TextAnalysis {
+
+  /** Stopword list used by quality scoring (inlined identically in the
+    * DuckDB oracle).
+    */
+  val Stopwords: Seq[String] = Seq("the", "a", "and", "of", "to", "in", "is")
+
+  /** Marker vocabularies for the n-gram/stopword language-ID heuristic.
+    * Scores are marker-token counts; arg-max with a fixed precedence
+    * chain (en > de > fr > es) keeps ties deterministic.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of"),
+    "de" -> Seq("der", "die", "und"),
+    "fr" -> Seq("le", "la", "et"),
+    "es" -> Seq("el", "los", "y")
+  )
+
+  private def withToks(docs: DataFrame): DataFrame =
+    docs.withColumn("toks", tokens(col("text")))
+
+  /** Token counting + whole-document fingerprint (rolling hash). */
+  def stats(docs: DataFrame): DataFrame =
+    withToks(docs).select(
+      col("doc_id"),
+      size(col("toks")).cast("long").as("n_tokens"),
+      length(col("text")).cast("long").as("n_chars"),
+      aggregate(transform(col("toks"), t => length(t).cast("long")), lit(0L), (a, b) => a + b)
+        .cast("double") / size(col("toks")).cast("double") as "avg_tok_len",
+      stringHash(col("text")).as("fp")
+    )
+
+  /** Quality scoring: stopword ratio, short-token ratio, and a simple
+    * deterministic composite in [0,1].
+    */
+  def quality(docs: DataFrame): DataFrame = {
+    val n = size(col("toks")).cast("double")
+    val stopRatio = vocabCount(col("toks"), Stopwords).cast("double") / n
+    val shortRatio = size(filter(col("toks"), t => length(t) <= 3)).cast("double") / n
+    withToks(docs).select(
+      col("doc_id"),
+      stopRatio.as("stop_ratio"),
+      shortRatio.as("short_ratio"),
+      (lit(1.0) - stopRatio * lit(0.5) - shortRatio * lit(0.3)).as("quality")
+    )
+  }
+
+  /** Language-ID heuristic: marker-vocabulary counts, fixed-precedence
+    * arg-max. (On the driver's synthetic corpus this exercises the
+    * operator shape; the heuristic itself is standard stopword LID.)
+    */
+  def langId(docs: DataFrame): DataFrame = {
+    val scores: Seq[(String, Column)] =
+      LangMarkers.map { case (l, words) => l -> vocabCount(col("toks"), words) }
+    val Seq(en, de, fr, es) = scores.map(_._2)
+    val pred = when(en >= de && en >= fr && en >= es, "en")
+      .when(de >= fr && de >= es, "de")
+      .when(fr >= es, "fr")
+      .otherwise("es")
+    withToks(docs).select(
+      col("doc_id"),
+      en.as("s_en"), de.as("s_de"), fr.as("s_fr"), es.as("s_es"),
+      pred.as("pred_lang"),
+      (pred === col("lang")).as("matches_label")
+    )
+  }
+}

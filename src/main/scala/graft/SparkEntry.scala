@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{OrderPipeline, RefOrders, TextAnalysis}
+import graft.operators.{Dedup, OrderPipeline, RefOrders, TextAnalysis}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -239,6 +239,23 @@ object SparkEntry {
     "q_doc_quality" -> { (s, dir) => TextAnalysis.quality(Tables.documents(s, dir)) },
     "q_doc_langid" -> { (s, dir) => TextAnalysis.langId(Tables.documents(s, dir)) },
 
+    // ---- Deduplication (documents + planted dups; SURVEY §2 extensions) -
+    "q_dedup_exact" -> { (s, dir) =>
+      Dedup.exactDuplicates(Dedup.corpus(Tables.documents(s, dir)))
+    },
+    "q_dedup_minhash" -> { (s, dir) =>
+      Dedup.minhashCandidates(Dedup.corpus(Tables.documents(s, dir)))
+    },
+    "q_doc_simhash" -> { (s, dir) =>
+      Dedup.simhash(Dedup.corpus(Tables.documents(s, dir)))
+    },
+    "q_dedup_simhash" -> { (s, dir) =>
+      Dedup.simhashPairs(Dedup.corpus(Tables.documents(s, dir)))
+    },
+    "q_dedup_jaccard" -> { (s, dir) =>
+      Dedup.ngramJaccardPairs(Dedup.corpus(Tables.documents(s, dir)))
+    },
+
     // ---- Event-time operators (events table; SURVEY §2 extension ops) ---
     // Outputs format timestamps as microsecond strings so the comparison
     // is representation-independent.
@@ -442,6 +459,44 @@ object SparkEntry {
         |  CAST(datediff('day', DATE '1995-01-01', o_orderdate::DATE) AS BIGINT) AS days_since,
         |  strftime((o_orderdate::DATE + INTERVAL 3 MONTH)::DATE, '%Y-%m-%d') AS plus3m
         |FROM orders""".stripMargin,
+    "q_dedup_exact" ->
+      s"""WITH ${Dedup.corpusSql}
+         |SELECT md5(text) AS text_md5, COUNT(*) AS n_dups, MIN(doc_id) AS keeper
+         |FROM corpus GROUP BY 1 HAVING COUNT(*) > 1""".stripMargin,
+    "q_dedup_minhash" ->
+      s"""WITH ${Dedup.corpusSql},
+         |${Dedup.tokSql},
+         |${Dedup.sigSql},
+         |${Dedup.bandsSql}
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id""".stripMargin,
+    "q_doc_simhash" ->
+      s"""WITH ${Dedup.corpusSql},
+         |${Dedup.simhashSql}
+         |SELECT doc_id, simhash FROM sims""".stripMargin,
+    "q_dedup_simhash" ->
+      s"""WITH ${Dedup.corpusSql},
+         |${Dedup.simhashSql},
+         |sl AS (SELECT sims.doc_id, simhash, lang FROM sims JOIN corpus USING (doc_id))
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |FROM sl a JOIN sl b ON a.lang = b.lang AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 8""".stripMargin,
+    "q_dedup_jaccard" ->
+      s"""WITH ${Dedup.corpusSql},
+         |${Dedup.triSql},
+         |sizes AS (SELECT doc_id, COUNT(*) AS nt FROM tri GROUP BY 1),
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS ni
+         |  FROM tri a JOIN tri b ON a.blk = b.blk AND a.h = b.h AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b,
+         |  CAST(ni AS DOUBLE) / CAST(sa.nt + sb.nt - ni AS DOUBLE) AS jaccard
+         |FROM inter
+         |JOIN sizes sa ON doc_a = sa.doc_id
+         |JOIN sizes sb ON doc_b = sb.doc_id
+         |WHERE CAST(ni AS DOUBLE) / CAST(sa.nt + sb.nt - ni AS DOUBLE) >= 0.5""".stripMargin,
     "q_doc_stats" ->
       """WITH t AS (
         |  SELECT doc_id, text,

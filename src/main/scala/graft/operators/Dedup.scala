@@ -1,0 +1,247 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** Deduplication operators for a large-scale text corpus: exact
+  * (hash-groupBy), MinHash+LSH banding, SimHash, and n-gram Jaccard
+  * verification.
+  *
+  * Scale design (the 100 TB story):
+  *  - Exact dedup is a single shuffle on md5(text) — the canonical
+  *    map-side-combinable group-by.
+  *  - MinHash candidates come from an equi-join on (band, bandHash) —
+  *    never an O(n²) cross join; the shuffle key is the LSH bucket.
+  *  - Jaccard verification only runs inside small blocks (first-token
+  *    blocking here; any cheap blocking key works), so the pair
+  *    enumeration is bounded per block.
+  *  - SimHash pairs are blocked the same way (language here).
+  *
+  * Because the driver's corpus has no natural duplicates, [[corpus]]
+  * plants them deterministically (exact copies and near-copies with a
+  * 4-token tail), mirroring the reference's hand-planted invalid fixture
+  * rows (ref: src/data/raw_orders.json:53-55).
+  */
+object Dedup {
+
+  val NearDupTail = " graft near dup tail"
+
+  /** documents ∪ exact copies (doc_id%20==0 → +2_000_000) ∪ near copies
+    * (doc_id%10==0 → +1_000_000, tail appended).
+    */
+  def corpus(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), col("lang"), col("text"))
+    val exact = docs.filter(col("doc_id") % 20 === 0)
+      .select((col("doc_id") + 2000000L).as("doc_id"), col("lang"), col("text"))
+    val near = docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("lang"),
+        concat(col("text"), lit(NearDupTail)).as("text"))
+    base.union(exact).union(near)
+  }
+
+  /** Exact dedup via content hash: groups with >1 member, deterministic
+    * keeper = min doc_id.
+    */
+  def exactDuplicates(c: DataFrame): DataFrame =
+    c.groupBy(md5(col("text")).as("text_md5"))
+      .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("keeper"))
+      .filter(col("n_dups") > 1)
+
+  /** Word-trigram shingle hashes per doc (non-distinct). Single-word
+    * shingles are useless on a small shared vocabulary — every doc looks
+    * like every other; 3-word shingles are position-sensitive and make
+    * random-pair Jaccard ≈ 0 while near-dups stay ≈ 0.9.
+    */
+  def shingles(c: DataFrame): DataFrame = {
+    val t = c.withColumn("toks", tokens(col("text")))
+      .withColumn("tri",
+        when(size(col("toks")) >= 3,
+          transform(sequence(lit(1), size(col("toks")) - 2), i =>
+            stringHash(concat_ws(" ",
+              element_at(col("toks"), i),
+              element_at(col("toks"), i + 1),
+              element_at(col("toks"), i + 2)))))
+          .otherwise(array().cast("array<bigint>")))
+    t.select(col("doc_id"), explode(col("tri")).as("h"))
+  }
+
+  /** Distinct (doc_id, shingleHash) pairs — the MinHash input set. */
+  def tokenHashes(c: DataFrame): DataFrame = shingles(c).distinct()
+
+  val NumHashes = 16
+  val BandSize = 4 // → 4 bands of 4 rows
+
+  /** 16-permutation MinHash signature, one row per doc (m0..m15). */
+  def minhashSignatures(c: DataFrame): DataFrame = {
+    val th = tokenHashes(c)
+    val aggs = (0 until NumHashes).map(i => min(minhashPerm(i, col("h"))).as(s"m$i"))
+    th.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH bands: polynomial-combine each 4-row slice of the signature into
+    * one bucket hash → (doc_id, band, bh).
+    */
+  def lshBands(sig: DataFrame): DataFrame = {
+    def combine(cols: Seq[Column]): Column =
+      cols.reduce((acc, m) => (acc * lit(31L) + m) % lit(P))
+    val bands = (0 until NumHashes / BandSize).map { b =>
+      val bh = combine((0 until BandSize).map(i => col(s"m${b * BandSize + i}")))
+      struct(lit(b.toLong).as("band"), bh.as("bh"))
+    }
+    sig.select(col("doc_id"), explode(array(bands: _*)).as("x"))
+      .select(col("doc_id"), col("x.band").as("band"), col("x.bh").as("bh"))
+  }
+
+  /** Candidate near-dup pairs: equi-join on the LSH bucket. */
+  def minhashCandidates(c: DataFrame): DataFrame = {
+    val bands = lshBands(minhashSignatures(c))
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** 32-bit SimHash per document (trigram-shingle counts as weights). */
+  def simhash(c: DataFrame): DataFrame = {
+    val tokCnt = shingles(c)
+      .groupBy(col("doc_id"), col("h"))
+      .agg(count(lit(1)).as("cnt"))
+    tokCnt
+      .withColumn("b", explode(sequence(lit(0), lit(31))))
+      .withColumn("contrib",
+        when(expr("shiftright(h, b) & 1") === 1, col("cnt")).otherwise(-col("cnt")))
+      .groupBy(col("doc_id"), col("b"))
+      .agg(sum(col("contrib")).as("s"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("s") > 0, expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(lit(0L))).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: hamming distance ≤ maxDist, blocked by lang. */
+  // Threshold 8 of ~30 effective bits (hashes are mod P < 2^30): planted
+  // near-dups (4-token tail ≈ 6 changed shingles) land ≤ 8; random pairs
+  // centre near 15.
+  def simhashPairs(c: DataFrame, maxDist: Int = 8): DataFrame = {
+    val s = simhash(c).join(c.select(col("doc_id"), col("lang")), Seq("doc_id"))
+    s.as("a").join(s.as("b"),
+        col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxDist)
+  }
+
+  /** Distinct word-trigram hashes per doc + first-token blocking key. */
+  def trigramHashes(c: DataFrame): DataFrame = {
+    val t = c.withColumn("toks", tokens(col("text")))
+      .withColumn("blk", element_at(col("toks"), 1))
+      .withColumn("tri",
+        when(size(col("toks")) >= 3,
+          transform(sequence(lit(1), size(col("toks")) - 2), i =>
+            stringHash(concat_ws(" ",
+              element_at(col("toks"), i),
+              element_at(col("toks"), i + 1),
+              element_at(col("toks"), i + 2)))))
+          .otherwise(array().cast("array<bigint>")))
+    t.select(col("doc_id"), col("blk"), explode(col("tri")).as("h")).distinct()
+  }
+
+  /** n-gram Jaccard similarity ≥ minJaccard for pairs sharing a block. */
+  def ngramJaccardPairs(c: DataFrame, minJaccard: Double = 0.5): DataFrame = {
+    val tri = trigramHashes(c)
+    val sizes = tri.groupBy(col("doc_id")).agg(count(lit(1)).as("nt"))
+    val inter = tri.as("a").join(tri.as("b"),
+        col("a.blk") === col("b.blk") && col("a.h") === col("b.h") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("ni"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("nt", "na"), Seq("doc_a"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("nt", "nb"), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("ni").cast("double") / (col("na") + col("nb") - col("ni")).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
+  // ---- DuckDB oracle mirrors ---------------------------------------------
+
+  val corpusSql: String =
+    """corpus AS (
+      |  SELECT doc_id, lang, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 2000000 AS doc_id, lang, text FROM documents WHERE doc_id % 20 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, lang, text || ' graft near dup tail' AS text
+      |  FROM documents WHERE doc_id % 10 = 0
+      |)""".stripMargin
+
+  /** Inline word hash over SQL expression `w`. */
+  def hashSql(w: String): String =
+    s"list_reduce(list_prepend(CAST(7 AS BIGINT), list_transform(string_split($w, ''), c -> ascii(c))), (a, b) -> (a*31 + b) % 1000000007)"
+
+  val toksSql: String =
+    """list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> length(x) > 0)"""
+
+  /** Non-distinct trigram-shingle hashes (mirror of [[shingles]]). */
+  val shingleSql: String =
+    s"""sh AS (
+       |  SELECT doc_id,
+       |    unnest(list_transform(range(1, len(toks) - 1), i ->
+       |      ${hashSql("toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]")})) AS h
+       |  FROM (SELECT doc_id, $toksSql AS toks FROM corpus)
+       |)""".stripMargin
+
+  val tokSql: String =
+    s"""$shingleSql,
+       |tok AS (SELECT DISTINCT doc_id, h FROM sh)""".stripMargin
+
+  private def combineSql(cols: Seq[String]): String =
+    cols.reduce((a, m) => s"(($a*31 + $m) % 1000000007)")
+
+  val sigSql: String = {
+    val mins = (0 until NumHashes)
+      .map(i => s"MIN((${2 * i + 1}*h + ${7919L * i + 13}) % 1000000007) AS m$i")
+      .mkString(",\n    ")
+    s"""sig AS (
+       |  SELECT doc_id,
+       |    $mins
+       |  FROM tok GROUP BY doc_id
+       |)""".stripMargin
+  }
+
+  val bandsSql: String = {
+    val rows = (0 until NumHashes / BandSize).map { b =>
+      val bh = combineSql((0 until BandSize).map(i => s"m${b * BandSize + i}"))
+      s"SELECT doc_id, CAST($b AS BIGINT) AS band, $bh AS bh FROM sig"
+    }
+    s"bands AS (\n  ${rows.mkString("\n  UNION ALL\n  ")}\n)"
+  }
+
+  val simhashSql: String =
+    s"""$shingleSql,
+       |tokcnt AS (
+       |  SELECT doc_id, h, COUNT(*) AS cnt FROM sh GROUP BY 1, 2
+       |),
+       |bits AS (
+       |  SELECT doc_id, b, SUM(CASE WHEN (h >> b) & 1 = 1 THEN cnt ELSE -cnt END) AS s
+       |  FROM tokcnt, UNNEST(range(0, 32)) AS t(b)
+       |  GROUP BY 1, 2
+       |),
+       |sims AS (
+       |  SELECT doc_id,
+       |    CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+       |  FROM bits GROUP BY 1
+       |)""".stripMargin
+
+  val triSql: String =
+    s"""tri AS (
+       |  SELECT DISTINCT doc_id, blk, h FROM (
+       |    SELECT doc_id, toks[1] AS blk,
+       |      unnest(list_transform(range(1, len(toks) - 1), i ->
+       |        ${hashSql("toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]")})) AS h
+       |    FROM (SELECT doc_id, $toksSql AS toks FROM corpus)
+       |  )
+       |)""".stripMargin
+}

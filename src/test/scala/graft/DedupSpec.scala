@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+import graft.sources.Tables
+
+/** Recall checks for the dedup suite: every planted duplicate pair must be
+  * found by each method (precision is allowed to vary — LSH candidates may
+  * include extra genuinely-similar pairs).
+  */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, Sf)
+  private lazy val corpus = Dedup.corpus(docs).cache()
+  private lazy val plantedExact: Set[(Long, Long)] =
+    docs.filter($"doc_id" % 20 === 0).select($"doc_id").as[Long].collect()
+      .map(d => (d, d + 2000000L)).toSet
+  private lazy val plantedNear: Set[(Long, Long)] =
+    docs.filter($"doc_id" % 10 === 0).select($"doc_id").as[Long].collect()
+      .map(d => (d, d + 1000000L)).toSet
+
+  test("exact dedup finds exactly the planted exact-copy groups") {
+    val groups = Dedup.exactDuplicates(corpus)
+    assert(groups.count() === plantedExact.size)
+    assert(groups.filter($"n_dups" =!= 2).count() === 0)
+  }
+
+  test("minhash LSH recalls all planted near and exact pairs") {
+    val cands = Dedup.minhashCandidates(corpus)
+      .as[(Long, Long)].collect().toSet
+    val missing = (plantedExact ++ plantedNear) -- cands
+    assert(missing.isEmpty, s"LSH missed planted pairs: $missing")
+  }
+
+  test("ngram jaccard >= 0.5 recalls planted pairs with high similarity") {
+    val pairs = Dedup.ngramJaccardPairs(corpus)
+      .select($"doc_a", $"doc_b", $"jaccard").as[(Long, Long, Double)].collect()
+    val pairSet = pairs.map(p => (p._1, p._2)).toSet
+    val missing = (plantedExact ++ plantedNear) -- pairSet
+    assert(missing.isEmpty, s"jaccard missed planted pairs: $missing")
+    // exact copies must score jaccard == 1.0
+    val exacts = pairs.filter(p => plantedExact.contains((p._1, p._2)))
+    assert(exacts.nonEmpty && exacts.forall(_._3 === 1.0))
+  }
+
+  test("simhash pairs recall planted pairs on non-tiny docs (hamming <= 8)") {
+    // SimHash's known weakness: on very short docs the appended tail
+    // rewrites a large fraction of the shingle set, so recall is only
+    // guaranteed where the tail is a small perturbation (>= 15 tokens).
+    val longDocs = docs.filter(size(split(trim($"text"), "\\s+")) >= 15)
+      .select($"doc_id").as[Long].collect().toSet
+    val expected = (plantedExact ++ plantedNear).filter(p => longDocs.contains(p._1))
+    val pairs = Dedup.simhashPairs(corpus).select($"doc_a", $"doc_b")
+      .as[(Long, Long)].collect().toSet
+    val missing = expected -- pairs
+    assert(missing.isEmpty, s"simhash missed planted pairs: $missing")
+  }
+}

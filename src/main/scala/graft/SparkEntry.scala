@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, OrderPipeline, RefOrders, TextAnalysis}
+import graft.operators.{Dedup, OrderPipeline, RefOrders, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -239,6 +239,14 @@ object SparkEntry {
     "q_doc_quality" -> { (s, dir) => TextAnalysis.quality(Tables.documents(s, dir)) },
     "q_doc_langid" -> { (s, dir) => TextAnalysis.langId(Tables.documents(s, dir)) },
 
+    // ---- Similarity search (embeddings; SURVEY §2 extensions) -----------
+    "q_emb_knn" -> { (s, dir) => Similarity.knnBrute(Tables.embeddings(s, dir)) },
+    "q_emb_buckets" -> { (s, dir) =>
+      Similarity.lshBuckets(Tables.embeddings(s, dir)).select(col("vec_id"), col("bucket"))
+    },
+    "q_emb_ann" -> { (s, dir) => Similarity.knnLsh(Tables.embeddings(s, dir)) },
+    "q_emb_centroid" -> { (s, dir) => Similarity.centroids(Tables.embeddings(s, dir)) },
+
     // ---- Deduplication (documents + planted dups; SURVEY §2 extensions) -
     "q_dedup_exact" -> { (s, dir) =>
       Dedup.exactDuplicates(Dedup.corpus(Tables.documents(s, dir)))
@@ -459,6 +467,43 @@ object SparkEntry {
         |  CAST(datediff('day', DATE '1995-01-01', o_orderdate::DATE) AS BIGINT) AS days_since,
         |  strftime((o_orderdate::DATE + INTERVAL 3 MONTH)::DATE, '%Y-%m-%d') AS plus3m
         |FROM orders""".stripMargin,
+    "q_emb_knn" ->
+      s"""WITH ${Similarity.baseSql},
+         |q AS (SELECT vec_id AS qid, emb AS qemb, nrm AS qnrm FROM base WHERE vec_id % 50 = 0),
+         |pairs AS (
+         |  SELECT qid, vec_id,
+         |    ${Similarity.dotSql("qemb", "emb")} / (qnrm * nrm) AS cos
+         |  FROM q JOIN base ON vec_id <> qid)
+         |SELECT qid, vec_id, cos, rn FROM (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS BIGINT) AS rn
+         |  FROM pairs) t
+         |WHERE rn <= 5""".stripMargin,
+    "q_emb_buckets" ->
+      s"""WITH b AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+         |  FROM embeddings)
+         |SELECT vec_id, ${Similarity.bucketSql} AS bucket FROM b""".stripMargin,
+    "q_emb_ann" ->
+      s"""WITH ${Similarity.baseSql},
+         |bk AS (SELECT vec_id, emb, nrm, ${Similarity.bucketSql} AS bucket FROM base),
+         |q AS (SELECT vec_id AS qid, emb AS qemb, nrm AS qnrm, bucket AS qbucket
+         |      FROM bk WHERE vec_id % 50 = 0),
+         |pairs AS (
+         |  SELECT qid, vec_id,
+         |    ${Similarity.dotSql("qemb", "emb")} / (qnrm * nrm) AS cos
+         |  FROM q JOIN bk ON bucket = qbucket AND vec_id <> qid)
+         |SELECT qid, vec_id, cos, rn FROM (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS BIGINT) AS rn
+         |  FROM pairs) t
+         |WHERE rn <= 3""".stripMargin,
+    "q_emb_centroid" ->
+      """SELECT label, dim, COUNT(*) AS n,
+        |  CAST(SUM(CAST(ROUND(CAST(v AS DOUBLE) * 16777216.0) AS BIGINT)) AS DOUBLE)
+        |    / (CAST(COUNT(*) AS DOUBLE) * 16777216.0) AS centroid
+        |FROM (SELECT label, unnest(embedding) AS v,
+        |        CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim
+        |      FROM embeddings) t
+        |GROUP BY label, dim""".stripMargin,
     "q_dedup_exact" ->
       s"""WITH ${Dedup.corpusSql}
          |SELECT md5(text) AS text_md5, COUNT(*) AS n_dups, MIN(doc_id) AS keeper

@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+
+/** Similarity search over ArrayType(Float) embedding columns.
+  *
+  * Scale design:
+  *  - Brute-force kNN is the baseline: it joins a SMALL query set against
+  *    the corpus (never corpus × corpus) with norms precomputed per side,
+  *    so the pairwise work is one fused dot product per pair.
+  *  - The LSH path buckets vectors by random-hyperplane sign bits; the
+  *    candidate join is an equi-join on the bucket id — the shuffle key —
+  *    which is how ANN survives a 100 TB corpus (bucket count scales with
+  *    2^planes; per-bucket candidate lists stay bounded).
+  *  - Centroids quantize float components to fixed-point longs before the
+  *    cross-partition sum, making the result independent of aggregation
+  *    order (see VectorFunctions.quantize).
+  *
+  * Hyperplane coefficients are a deterministic LCG in both engines:
+  * c(j,d) = ((1103515245·(j·D+d) + 12345) mod 2^31)/2^31 − 0.5 — exact
+  * double arithmetic (the divisor is a power of two), so Spark and DuckDB
+  * agree bit-for-bit.
+  */
+object Similarity {
+
+  val NumPlanes = 8
+
+  private def withEmb(e: DataFrame): DataFrame =
+    e.withColumn("emb", asDouble(col("embedding")))
+
+  /** Deterministic pseudo-random hyperplane coefficient for (plane j, dim d). */
+  private def planeCoef(j: Column, d: Column): Column =
+    ((lit(1103515245L) * (j * 64 + d) + lit(12345L)) % lit(2147483648L)).cast("double") /
+      lit(2147483648.0) - lit(0.5)
+
+  /** Brute-force top-k cosine neighbours for the query subset
+    * vec_id % queryMod == 0 (self excluded).
+    */
+  def knnBrute(e: DataFrame, queryMod: Int = 50, k: Int = 5): DataFrame = {
+    val base = withEmb(e).select(col("vec_id"), col("emb"), l2norm(col("emb")).as("nrm"))
+    val q = base.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("qid"), col("emb").as("qemb"), col("nrm").as("qnrm"))
+    val pairs = q.join(base, col("vec_id") =!= col("qid"))
+      .withColumn("cos", cosineWithNorms(dot(col("qemb"), col("emb")), col("qnrm"), col("nrm")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    pairs
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("vec_id"), col("cos"), col("rn"))
+  }
+
+  /** Random-hyperplane LSH bucket id (NumPlanes sign bits) per vector. */
+  def lshBuckets(e: DataFrame): DataFrame = {
+    val bucket = aggregate(
+      transform(sequence(lit(0), lit(NumPlanes - 1)), j => {
+        val d0 = sequence(lit(0), size(col("emb")) - 1)
+        val planeDot = aggregate(d0, lit(0.0d),
+          (acc, d) => acc + element_at(col("emb"), d + 1) * planeCoef(j, d))
+        // 2^j as long (exact for j < 53); shiftleft needs a literal shift
+        when(planeDot > 0, pow(lit(2.0), j).cast("long")).otherwise(lit(0L))
+      }),
+      lit(0L), (acc, x) => acc + x
+    )
+    withEmb(e).select(col("vec_id"), col("label"), col("emb"), bucket.as("bucket"))
+  }
+
+  /** ANN via LSH: neighbours searched only inside the query's bucket. */
+  def knnLsh(e: DataFrame, queryMod: Int = 50, k: Int = 3): DataFrame = {
+    val b = lshBuckets(e).withColumn("nrm", l2norm(col("emb")))
+    val q = b.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("qid"), col("emb").as("qemb"), col("nrm").as("qnrm"),
+        col("bucket").as("qbucket"))
+    val pairs = q.join(b, col("bucket") === col("qbucket") && col("vec_id") =!= col("qid"))
+      .withColumn("cos", cosineWithNorms(dot(col("qemb"), col("emb")), col("qnrm"), col("nrm")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    pairs
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("vec_id"), col("cos"), col("rn"))
+  }
+
+  /** Per-label elementwise centroid via fixed-point quantization. */
+  def centroids(e: DataFrame): DataFrame =
+    withEmb(e)
+      .select(col("label"), posexplode(col("emb")).as(Seq("dim", "v")))
+      .groupBy(col("label"), col("dim").cast("long").as("dim"))
+      .agg(count(lit(1)).as("n"), sum(quantize(col("v"))).as("qsum"))
+      .select(col("label"), col("dim"), col("n"), dequantize(col("qsum"), col("n")).as("centroid"))
+
+  // ---- DuckDB oracle mirrors ---------------------------------------------
+
+  /** emb as double list + norm, per vector. */
+  val baseSql: String =
+    """base AS (
+      |  SELECT vec_id, label,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
+      |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |      list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+      |      (a, b) -> a + b)) AS nrm
+      |  FROM embeddings
+      |)""".stripMargin
+
+  /** Sequential-fold dot product between list expressions `a` and `b`. */
+  def dotSql(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (x, y) -> x + y)"
+
+  val bucketSql: String =
+    """CAST(list_sum(list_transform(range(0, 8), j ->
+      |  CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |         list_transform(range(0, len(emb)), d ->
+      |           emb[d+1] * (CAST((1103515245*(j*64+d) + 12345) % 2147483648 AS DOUBLE)/2147483648.0 - 0.5))),
+      |         (a, b) -> a + b) > 0
+      |       THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)) AS BIGINT)""".stripMargin
+}

@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+import graft.sources.Tables
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = Tables.embeddings(spark, Sf)
+
+  test("brute-force kNN: k results per query, cosine within [-1, 1]") {
+    val knn = Similarity.knnBrute(emb).cache()
+    val perQ = knn.groupBy($"qid").count().select($"count").as[Long].collect()
+    assert(perQ.forall(_ === 5))
+    assert(knn.filter(abs($"cos") > 1.0000001).count() === 0)
+  }
+
+  test("ANN results agree with brute-force cosine for the same pairs") {
+    val brute = Similarity.knnBrute(emb, k = 1000000).select($"qid", $"vec_id", $"cos".as("bcos"))
+    val ann = Similarity.knnLsh(emb).join(brute, Seq("qid", "vec_id"))
+    assert(ann.filter($"cos" =!= $"bcos").count() === 0)
+  }
+
+  test("LSH buckets are stable and bounded") {
+    val b = Similarity.lshBuckets(emb).select($"bucket").as[Long].collect()
+    assert(b.forall(x => x >= 0 && x < 256))
+  }
+
+  test("centroids: one row per (label, dim); zero-vector mean magnitude sane") {
+    val c = Similarity.centroids(emb).cache()
+    val dims = emb.select(size($"embedding")).as[Int].head()
+    val labels = emb.select($"label").distinct().count()
+    assert(c.count() === labels * dims)
+    // mean of many ~N(0, 0.1) components should be small
+    assert(c.filter(abs($"centroid") > 0.5).count() === 0)
+  }
+}

@@ -1,0 +1,50 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming analytics over an event stream — the stateful-operator layer
+  * the reference lacks entirely (SURVEY §2 "operators the reference does
+  * NOT have"), built the Structured Streaming way: event-time watermarks
+  * bound all state.
+  *
+  * Each transform takes a streaming DataFrame with (ts: timestamp,
+  * user_id, event_type, value) — the batch equivalents are the q_ev_*
+  * queries in SparkEntry, which the DuckDB oracle checks; these streaming
+  * shapes are exercised in StreamingSpec via MemoryStream.
+  */
+object EventStream {
+
+  /** Tumbling 1-hour aggregation with a 2-hour watermark: state for a
+    * window is dropped once the watermark passes its end — bounded memory
+    * at any scale. Late events beyond the watermark are dropped (counted
+    * by the driver's StreamingQueryListener if observability is wired).
+    */
+  def tumblingCounts(events: DataFrame,
+      window_ : String = "1 hour", watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("w_start"), col("event_type"), col("n"), col("sum_value"))
+
+  /** Session windows (gap-merged) per user, watermark-bounded. */
+  def sessions(events: DataFrame,
+      gap: String = "4 hours", watermark: String = "8 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"), col("user_id"), col("n"))
+
+  /** Streaming exact dedup with bounded state: duplicates of (user_id,
+    * event_type, event_id) arriving within the watermark are dropped;
+    * state older than the watermark is purged. The unbounded
+    * `dropDuplicates` would grow state forever (SURVEY §7.3).
+    */
+  def dedupWithinWatermark(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("user_id", "event_type", "event_id")
+}

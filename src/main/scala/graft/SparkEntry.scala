@@ -338,6 +338,40 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum($"k").as("sum_k"), max($"k").as("max_k"))
     },
 
+    // Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
+    // quantile_cont) + distinct counting.
+    "q_percentile" -> { (s, dir) =>
+      import s.implicits._
+      Tables.orders(s, dir).groupBy($"o_orderstatus").agg(
+        percentile($"o_totalprice", lit(0.5)).as("p50"),
+        percentile($"o_totalprice", lit(0.9)).as("p90"),
+        count_distinct($"o_custkey").as("n_cust"))
+    },
+
+    // More analytic window functions: dense_rank / percent_rank / ntile.
+    "q_window_rank2" -> { (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"o_orderstatus").orderBy($"o_totalprice".desc, $"o_orderkey")
+      Tables.orders(s, dir)
+        .select($"o_orderkey", $"o_orderstatus",
+          dense_rank().over(w).cast("long").as("drk"),
+          percent_rank().over(w).as("prk"),
+          ntile(4).over(w).cast("long").as("quartile"))
+    },
+
+    // String function sampler #2: edit distance + padding/translation.
+    "q_scalar2" -> { (s, dir) =>
+      import s.implicits._
+      Tables.part(s, dir).select(
+        $"p_partkey",
+        levenshtein($"p_name", lit("cold widget")).cast("long").as("lev"),
+        reverse($"p_name").as("rname"),
+        lpad($"p_brand", 12, "*").as("padded"),
+        translate($"p_type", "AEO", "aeo").as("xlated"),
+        instr($"p_name", "widget").cast("long").as("pos_widget"),
+        repeat($"p_brand", 2).as("brand2"))
+    },
+
     // Conditional aggregation ("manual pivot"): one scan, no shuffle per
     // pivot value.
     "q_case_pivot" -> { (s, dir) =>
@@ -680,6 +714,28 @@ object SparkEntry {
         |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY event_type""".stripMargin,
+    "q_percentile" ->
+      """SELECT o_orderstatus,
+        |  quantile_cont(o_totalprice, 0.5) AS p50,
+        |  quantile_cont(o_totalprice, 0.9) AS p90,
+        |  COUNT(DISTINCT o_custkey) AS n_cust
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    "q_window_rank2" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  CAST(DENSE_RANK() OVER w AS BIGINT) AS drk,
+        |  PERCENT_RANK() OVER w AS prk,
+        |  CAST(NTILE(4) OVER w AS BIGINT) AS quartile
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey)""".stripMargin,
+    "q_scalar2" ->
+      """SELECT p_partkey,
+        |  CAST(levenshtein(p_name, 'cold widget') AS BIGINT) AS lev,
+        |  reverse(p_name) AS rname,
+        |  lpad(p_brand, 12, '*') AS padded,
+        |  translate(p_type, 'AEO', 'aeo') AS xlated,
+        |  CAST(strpos(p_name, 'widget') AS BIGINT) AS pos_widget,
+        |  repeat(p_brand, 2) AS brand2
+        |FROM part""".stripMargin,
     "q_case_pivot" ->
       """SELECT l_returnflag,
         |  COUNT(CASE WHEN l_linestatus = 'O' THEN 1 END) AS n_open,

@@ -54,6 +54,14 @@ object SparkEntry {
       OrderPipeline.toConnectEnvelope(OrderPipeline.withKafkaKey(valid))
         .select(col("key"), col("value"))
     },
+    // Q1 — the reference's serving-side SQL scan (`SELECT * FROM
+    // enriched_orders`, ref: README.md:157) through Spark's SQL front end
+    // over a registered view.
+    "ref_sql" -> { (s, dir) =>
+      val (valid, _) = OrderPipeline.route(OrderPipeline.processOrders(RefOrders.rawOrders(s, dir)))
+      OrderPipeline.projectEnriched(valid).createOrReplaceTempView("enriched_orders")
+      s.sql("SELECT * FROM enriched_orders WHERE total_price > 1000000 ORDER BY order_id")
+    },
     // ---- Relational core -------------------------------------------------
     // TPC-H Q1-style grouped aggregation: partial (map-side) aggregation +
     // single shuffle on the 2 grouping keys; scan prunes to 7 columns.
@@ -399,6 +407,11 @@ object SparkEntry {
       s"""${RefOrders.processedSql}
          |SELECT order_id, coalesce(order_id, 'unknown') AS key, error_message
          |FROM processed WHERE NOT is_valid""".stripMargin,
+    "ref_sql" ->
+      s"""${RefOrders.processedSql}
+         |SELECT order_id, product_name, quantity, price, order_date, total_price
+         |FROM processed WHERE is_valid AND total_price > 1000000
+         |ORDER BY order_id""".stripMargin,
     "ref_envelope" ->
       s"""${RefOrders.processedSql}
          |SELECT coalesce(order_id, 'unknown') AS key,

@@ -106,6 +106,18 @@ object OrderStream {
       .trigger(Trigger.ProcessingTime("5 seconds"))
       .start()
 
+  /** M1 — the reference's running valid/invalid counters (ref:
+    * src/app/order_validator.py:332-335,363-372), done the Spark way:
+    * `observe` attaches metric expressions to the streaming plan; every
+    * micro-batch's QueryProgress reports them (observedMetrics) with zero
+    * extra passes over the data.
+    */
+  def observed(processed: DataFrame): DataFrame =
+    processed.observe("order_metrics",
+      count(lit(1)).as("messages_processed"),
+      count(when(col("is_valid"), 1)).as("messages_valid"),
+      count(when(!col("is_valid"), 1)).as("messages_invalid"))
+
   /** S3 — idempotent JDBC upsert of one (micro-)batch into Postgres.
     * INSERT … ON CONFLICT (pk) DO UPDATE makes at-least-once redelivery
     * harmless (the reference's insert-mode sink would violate the PK).

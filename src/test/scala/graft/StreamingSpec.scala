@@ -122,6 +122,33 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("dedup").count() === 2)
   }
 
+  test("observe() reports the reference's valid/invalid counters per batch (M1)") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[String]
+    @volatile var metrics: Option[Row] = None
+    val q = OrderStream.observed(OrderStream.process(input.toDF()))
+      .writeStream.format("noop").start()
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = {
+        val m = e.progress.observedMetrics.get("order_metrics")
+        if (m != null && m.getLong(0) > 0) metrics = Some(m)
+      }
+    }
+    spark.streams.addListener(listener)
+    try {
+      input.addData(fixtureJson)
+      q.processAllAvailable()
+      // listener events are async — wait briefly for delivery
+      val deadline = System.currentTimeMillis() + 10000
+      while (metrics.isEmpty && System.currentTimeMillis() < deadline) Thread.sleep(50)
+      q.stop()
+      val m = metrics.getOrElse(fail("no observed metrics delivered"))
+      assert(m.getLong(0) === 100 && m.getLong(1) === 97 && m.getLong(2) === 3)
+    } finally spark.streams.removeListener(listener)
+  }
+
   test("JDBC upsert statement is PK-idempotent") {
     val sql = OrderStream.upsertSql("enriched_orders",
       Seq("order_id", "product_name", "total_price"), "order_id")

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Multimodal, OrderPipeline, RefOrders, Similarity, TextAnalysis}
+import graft.operators.{AsOfJoin, Dedup, Multimodal, OrderPipeline, RefOrders, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -246,6 +246,20 @@ object SparkEntry {
     "q_doc_stats" -> { (s, dir) => TextAnalysis.stats(Tables.documents(s, dir)) },
     "q_doc_quality" -> { (s, dir) => TextAnalysis.quality(Tables.documents(s, dir)) },
     "q_doc_langid" -> { (s, dir) => TextAnalysis.langId(Tables.documents(s, dir)) },
+
+    // As-of join: each click joined to the user's latest prior-or-equal
+    // purchase (union+window composition — one shuffle, no range
+    // explosion; see operators/AsOfJoin). Oracle: DuckDB's native ASOF.
+    "q_asof" -> { (s, dir) =>
+      import s.implicits._
+      val e = Tables.events(s, dir)
+      val clicks = e.filter($"event_type" === "click")
+        .select($"event_id", $"user_id", $"ts", $"value")
+      val purchases = e.filter($"event_type" === "purchase")
+        .select($"user_id", $"ts", $"value".as("purchase_value"))
+      AsOfJoin.asof(clicks, purchases, "user_id", "ts", "ts", Seq("purchase_value"))
+        .select($"event_id", $"user_id", fmtTs($"ts").as("ts"), $"purchase_value")
+    },
 
     // ---- Multimodal binary columns (SURVEY §2 extensions; decode stubbed)
     "q_mm_meta" -> { (s, dir) =>
@@ -528,6 +542,14 @@ object SparkEntry {
         |  CAST(datediff('day', DATE '1995-01-01', o_orderdate::DATE) AS BIGINT) AS days_since,
         |  strftime((o_orderdate::DATE + INTERVAL 3 MONTH)::DATE, '%Y-%m-%d') AS plus3m
         |FROM orders""".stripMargin,
+    "q_asof" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ets, value, event_type FROM events),
+        |c AS (SELECT event_id, user_id, ets, value FROM e WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ets, value AS purchase_value FROM e WHERE event_type = 'purchase')
+        |SELECT c.event_id, c.user_id,
+        |  strftime(c.ets, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+        |  p.purchase_value
+        |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ets >= p.ets""".stripMargin,
     "q_mm_meta" ->
       """SELECT doc_id,
         |  ['image','audio','video'][CAST(doc_id % 3 + 1 AS INTEGER)] AS media_type,

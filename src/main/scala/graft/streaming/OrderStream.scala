@@ -125,9 +125,10 @@ object OrderStream {
     * never materializes the batch.
     */
   def jdbcUpsertBatch(batch: DataFrame, url: String, table: String,
-      props: java.util.Properties, pk: String = "order_id"): Unit = {
+      props: java.util.Properties, pk: String = "order_id",
+      sqlBuilder: (String, Seq[String], String) => String = upsertSql): Unit = {
     val cols = batch.schema.fieldNames.toSeq
-    val sql = upsertSql(table, cols, pk)
+    val sql = sqlBuilder(table, cols, pk)
     batch.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
       val conn = java.sql.DriverManager.getConnection(url, props)
       try {
@@ -146,10 +147,48 @@ object OrderStream {
     }
   }
 
-  /** The upsert statement (exposed for tests). */
+  /** Postgres upsert statement (the reference's sink DB). */
   def upsertSql(table: String, cols: Seq[String], pk: String): String = {
     val updates = cols.filterNot(_ == pk).map(c => s"$c = EXCLUDED.$c").mkString(", ")
     s"INSERT INTO $table (${cols.mkString(", ")}) VALUES (${cols.map(_ => "?").mkString(", ")}) " +
       s"ON CONFLICT ($pk) DO UPDATE SET $updates"
+  }
+
+  /** ANSI MERGE from a staging table (source must be a base table in
+    * Derby; also the standard Postgres-at-scale pattern: parallel bulk
+    * load into staging, one set-based merge into the target).
+    */
+  def mergeFromStagingSql(table: String, staging: String, cols: Seq[String], pk: String): String = {
+    // Spark's jdbc writer creates the staging table with QUOTED (exact-case)
+    // identifiers; the target keeps its DDL's canonical case → quote only
+    // the staging side.
+    def v(c: String) = s"""v."$c""""
+    val updates = cols.filterNot(_ == pk).map(c => s"$c = ${v(c)}").mkString(", ")
+    s"MERGE INTO $table t USING $staging v ON t.$pk = ${v(pk)} " +
+      s"WHEN MATCHED THEN UPDATE SET $updates " +
+      s"WHEN NOT MATCHED THEN INSERT (${cols.mkString(", ")}) VALUES (${cols.map(v).mkString(", ")})"
+  }
+
+  /** S3 alternative path — portable staging-table upsert: executors bulk-
+    * write the batch into `<table>_stage` in parallel (plain JDBC insert),
+    * then one set-based MERGE folds it into the target. Scales with
+    * executor count; the merge is a single server-side statement.
+    */
+  def jdbcUpsertViaStaging(batch: DataFrame, url: String, table: String,
+      props: java.util.Properties, pk: String = "order_id"): Unit = {
+    val staging = s"${table}_stage"
+    val cols = batch.schema.fieldNames.toSeq
+    // string columns as VARCHAR, not the dialect's LOB default — LOBs are
+    // not comparable in the merge's ON clause (Derby) and index poorly
+    val varcharOverrides = batch.schema.fields
+      .filter(_.dataType == org.apache.spark.sql.types.StringType)
+      .map(f => s"${f.name} VARCHAR(255)").mkString(", ")
+    val writer = batch.write.mode("overwrite")
+    (if (varcharOverrides.nonEmpty)
+       writer.option("createTableColumnTypes", varcharOverrides)
+     else writer).jdbc(url, staging, props)
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try conn.createStatement().execute(mergeFromStagingSql(table, staging, cols, pk))
+    finally conn.close()
   }
 }

@@ -1,0 +1,90 @@
+package graft
+
+import java.sql.DriverManager
+import java.util.Properties
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.operators.OrderPipeline
+import graft.streaming.OrderStream
+
+/** End-to-end JDBC sink test against an embedded Derby database — the S3
+  * path with a real SQL engine: executors write per-partition batches via
+  * the MERGE upsert, and redelivering the same micro-batch must be
+  * idempotent (the at-least-once guarantee the reference's insert-mode
+  * sink lacks, SURVEY §7.3).
+  */
+class JdbcUpsertSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val url = "jdbc:derby:memory:graftdb;create=true"
+
+  private def withTable[T](f: => T): T = {
+    val conn = DriverManager.getConnection(url)
+    try {
+      try conn.createStatement().execute("DROP TABLE enriched_orders")
+      catch { case _: java.sql.SQLException => () }
+      conn.createStatement().execute(
+        """CREATE TABLE enriched_orders (
+          |  order_id VARCHAR(255) PRIMARY KEY, product_name VARCHAR(255),
+          |  quantity DOUBLE, price DOUBLE, order_date VARCHAR(50),
+          |  total_price DOUBLE)""".stripMargin)
+    } finally conn.close()
+    f
+  }
+
+  private def readAll(): Map[String, Double] = {
+    val conn = DriverManager.getConnection(url)
+    try {
+      val rs = conn.createStatement().executeQuery(
+        "SELECT order_id, total_price FROM enriched_orders")
+      val b = Map.newBuilder[String, Double]
+      while (rs.next()) b += rs.getString(1) -> rs.getDouble(2)
+      b.result()
+    } finally conn.close()
+  }
+
+  private def upsert(df: org.apache.spark.sql.DataFrame): Unit =
+    OrderStream.jdbcUpsertViaStaging(df, url, "enriched_orders", new Properties(), "order_id")
+
+  test("redelivered micro-batch is idempotent; changed rows update in place") {
+    withTable {
+      val batch = Seq(
+        ("1", "Lamp", 2.0, 3.5, "2020-01-01", 7.0),
+        ("2", "Hat", 1.0, 10.0, "2020-01-02", 10.0)
+      ).toDF("order_id", "product_name", "quantity", "price", "order_date", "total_price")
+      upsert(batch)
+      assert(readAll() === Map("1" -> 7.0, "2" -> 10.0))
+      upsert(batch) // at-least-once redelivery — must not fail or duplicate
+      assert(readAll() === Map("1" -> 7.0, "2" -> 10.0))
+      val changed = Seq(("2", "Hat", 2.0, 10.0, "2020-01-02", 20.0))
+        .toDF("order_id", "product_name", "quantity", "price", "order_date", "total_price")
+      upsert(changed)
+      assert(readAll() === Map("1" -> 7.0, "2" -> 20.0))
+    }
+  }
+
+  test("streaming foreachBatch → JDBC: the full S3 path") {
+    withTable {
+      implicit val ctx = spark.sqlContext
+      val input = MemoryStream[String]
+      val q = OrderStream.process(input.toDF())
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          val (valid, _) = OrderPipeline.route(b)
+          upsert(OrderPipeline.projectEnriched(valid))
+        }
+        .start()
+      input.addData(Seq(
+        """{"order_id":10,"product_name":"a","quantity":2,"price":5,"order_date":"2020-01-01"}""",
+        """{"order_id":11,"product_name":"b","quantity":-1,"price":5,"order_date":"2020-01-01"}"""))
+      q.processAllAvailable()
+      // redeliver the valid record (duplicate message on the topic)
+      input.addData(Seq(
+        """{"order_id":10,"product_name":"a","quantity":2,"price":5,"order_date":"2020-01-01"}"""))
+      q.processAllAvailable(); q.stop()
+      assert(readAll() === Map("10" -> 10.0)) // invalid row absent, dup harmless
+    }
+  }
+}

@@ -1,0 +1,56 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Custom keyed state via flatMapGroupsWithState — the extension point for
+  * stream logic that windows/dedup can't express (per-key running
+  * aggregates, custom session semantics, CEP-ish detectors).
+  *
+  * State is explicitly bounded: event-time timeout tied to the watermark
+  * purges idle users' state, so the state store scales with ACTIVE keys,
+  * not with all keys ever seen — mandatory at 100 TB stream volumes.
+  */
+object StatefulOps {
+
+  case class Event(ts: Timestamp, user_id: Long, event_type: String, value: Double)
+  case class UserState(n: Long, sum: Double, max: Double)
+  case class UserUpdate(user_id: Long, n: Long, sum: Double, max: Double, flagged: Boolean)
+
+  /** Per-user running (count, sum, max) with an anomaly flag when a single
+    * event exceeds `flagFactor` × the user's running mean. Emits one update
+    * per input event; a key's state expires once the watermark passes
+    * `ttlMs` beyond the key's own latest event (NOT watermark-relative —
+    * the watermark starts at epoch 0 and would expire everything on its
+    * first jump).
+    */
+  def runningUserStats(spark: SparkSession, events: Dataset[Event],
+      flagFactor: Double = 10.0, watermarkDelay: String = "1 hour",
+      ttlMs: Long = 3600000L): Dataset[UserUpdate] = {
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, batch: Iterator[Event], state: GroupState[UserState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var s = state.getOption.getOrElse(UserState(0L, 0.0, Double.MinValue))
+            val evs = batch.toSeq.sortBy(_.ts.getTime)
+            val out = evs.map { e =>
+              val mean = if (s.n > 0) s.sum / s.n else e.value
+              val flagged = s.n > 0 && e.value > flagFactor * mean
+              s = UserState(s.n + 1, s.sum + e.value, math.max(s.max, e.value))
+              UserUpdate(user, s.n, s.sum, s.max, flagged)
+            }
+            state.update(s)
+            state.setTimeoutTimestamp(evs.map(_.ts.getTime).max + ttlMs)
+            out.iterator
+          }
+      }
+  }
+}

@@ -248,6 +248,10 @@ object SparkEntry {
     "q_doc_stats" -> { (s, dir) => TextAnalysis.stats(Tables.documents(s, dir)) },
     "q_doc_quality" -> { (s, dir) => TextAnalysis.quality(Tables.documents(s, dir)) },
     "q_doc_langid" -> { (s, dir) => TextAnalysis.langId(Tables.documents(s, dir)) },
+    "q_doc_tfidf" -> { (s, dir) => TextAnalysis.tfidfTop(Tables.documents(s, dir)) },
+
+    // IVF-style ANN: probe the 2 nearest centroid cells, search only them.
+    "q_emb_ivf" -> { (s, dir) => Similarity.knnIvf(Tables.embeddings(s, dir)) },
 
     // As-of join: each click joined to the user's latest prior-or-equal
     // purchase (union+window composition — one shuffle, no range
@@ -580,6 +584,57 @@ object SparkEntry {
          |  unnest(list_transform(range(0, least(n_frames, 4)),
          |    i -> (i * n_frames) // least(n_frames, 4))) AS frame_idx
          |FROM m WHERE media_type = 'video'""".stripMargin,
+    "q_doc_tfidf" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_prepend(CAST(7 AS BIGINT), list_transform(string_split(w, ''), c -> ascii(c))),
+        |      (a, b) -> (a*31 + b) % 1000000007) AS h
+        |  FROM (SELECT doc_id,
+        |          unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> length(x) > 0)) AS w
+        |        FROM documents)),
+        |tf AS (SELECT doc_id, h, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT h, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, h FROM tok) GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents)
+        |SELECT doc_id, h AS top_term_hash, tf, df, tfidf FROM (
+        |  SELECT tf.doc_id, tf.h, tf.tf, df.df,
+        |    CAST(tf.tf * n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE) AS tfidf,
+        |    ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY CAST(tf.tf * n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE) DESC, tf.h) AS rn
+        |  FROM tf JOIN df USING (h) CROSS JOIN n) t
+        |WHERE rn = 1""".stripMargin,
+    "q_emb_ivf" ->
+      s"""WITH ${Similarity.baseSql},
+         |cen AS (
+         |  SELECT label AS cell, dim,
+         |    CAST(SUM(CAST(ROUND(CAST(v AS DOUBLE) * 16777216.0) AS BIGINT)) AS DOUBLE)
+         |      / (CAST(COUNT(*) AS DOUBLE) * 16777216.0) AS centroid
+         |  FROM (SELECT label, unnest(embedding) AS v,
+         |          CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim
+         |        FROM embeddings) t
+         |  GROUP BY label, dim),
+         |cemb AS (
+         |  SELECT cell, list(centroid ORDER BY dim) AS cemb FROM cen GROUP BY cell),
+         |cemb2 AS (
+         |  SELECT cell, cemb,
+         |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list_transform(cemb, x -> x * x)), (a, b) -> a + b)) AS cnrm
+         |  FROM cemb),
+         |q AS (SELECT vec_id AS qid, emb AS qemb, nrm AS qnrm FROM base WHERE vec_id % 50 = 0),
+         |probes AS (
+         |  SELECT qid, qemb, qnrm, cell FROM (
+         |    SELECT q.qid, q.qemb, q.qnrm, c.cell,
+         |      ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+         |        ${Similarity.dotSql("q.qemb", "c.cemb")} / (q.qnrm * c.cnrm) DESC, c.cell) AS prn
+         |    FROM q CROSS JOIN cemb2 c) t
+         |  WHERE prn <= 2),
+         |pairs AS (
+         |  SELECT qid, vec_id,
+         |    ${Similarity.dotSql("qemb", "emb")} / (qnrm * nrm) AS cos
+         |  FROM probes JOIN base ON base.label = probes.cell AND base.vec_id <> probes.qid)
+         |SELECT qid, vec_id, cos, rn FROM (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS BIGINT) AS rn
+         |  FROM pairs) t
+         |WHERE rn <= 3""".stripMargin,
     "q_emb_knn" ->
       s"""WITH ${Similarity.baseSql},
          |q AS (SELECT vec_id AS qid, emb AS qemb, nrm AS qnrm FROM base WHERE vec_id % 50 = 0),

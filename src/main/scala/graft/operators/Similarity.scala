@@ -83,6 +83,38 @@ object Similarity {
       .select(col("qid"), col("vec_id"), col("cos"), col("rn"))
   }
 
+  /** IVF-style ANN: coarse quantization into cells (here: the per-label
+    * centroids — a k-means assignment with pre-trained centroids), then
+    * probe the `nprobe` nearest cells and search only their members.
+    * The candidate join is an equi-join on cell id — the IVF scale story:
+    * cells shard the corpus, probes bound the work per query.
+    */
+  def knnIvf(e: DataFrame, queryMod: Int = 50, k: Int = 3, nprobe: Int = 2): DataFrame = {
+    val base = withEmb(e).select(col("vec_id"), col("label"), col("emb"), l2norm(col("emb")).as("nrm"))
+    // cell centroids: quantized elementwise means per label (deterministic)
+    val cent = centroids(e)
+      .groupBy(col("label").as("cell"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("centroid")))).as("pairs"))
+      .select(col("cell"), transform(col("pairs"), p => p.getField("centroid")).as("cemb"))
+      .withColumn("cnrm", l2norm(col("cemb")))
+    // probe: nprobe nearest cells per query vector
+    val q = base.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("qid"), col("emb").as("qemb"), col("nrm").as("qnrm"))
+    val probeW = Window.partitionBy(col("qid")).orderBy(col("ccos").desc, col("cell"))
+    val probes = q.crossJoin(cent)
+      .withColumn("ccos", cosineWithNorms(dot(col("qemb"), col("cemb")), col("qnrm"), col("cnrm")))
+      .withColumn("prn", row_number().over(probeW))
+      .filter(col("prn") <= nprobe)
+      .select(col("qid"), col("qemb"), col("qnrm"), col("cell"))
+    // search only the probed cells
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    probes.join(base, col("label") === col("cell") && col("vec_id") =!= col("qid"))
+      .withColumn("cos", cosineWithNorms(dot(col("qemb"), col("emb")), col("qnrm"), col("nrm")))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("vec_id"), col("cos"), col("rn"))
+  }
+
   /** Per-label elementwise centroid via fixed-point quantization. */
   def centroids(e: DataFrame): DataFrame =
     withEmb(e)

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
@@ -56,6 +57,29 @@ object TextAnalysis {
       shortRatio.as("short_ratio"),
       (lit(1.0) - stopRatio * lit(0.5) - shortRatio * lit(0.3)).as("quality")
     )
+  }
+
+  /** TF-IDF, rational form: tfidf = tf · N / df (no ln — transcendental
+    * functions aren't guaranteed bit-identical across engines; the rational
+    * form ranks identically for a fixed N). Emits each doc's top-scoring
+    * term hash. Two shuffles: (doc,term) term-frequency agg + term
+    * document-frequency agg; the corpus-size scalar joins in as a 1-row
+    * broadcast, never a driver-side action.
+    */
+  def tfidfTop(docs: DataFrame): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .select(col("doc_id"), stringHash(col("w")).as("h"))
+    val tf = tok.groupBy(col("doc_id"), col("h")).agg(count(lit(1)).as("tf"))
+    val df_ = tok.distinct().groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("h"))
+    tf.join(df_, "h")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf", (col("tf") * col("n_docs")).cast("double") / col("df").cast("double"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("h").as("top_term_hash"), col("tf"), col("df"), col("tfidf"))
   }
 
   /** Language-ID heuristic: marker-vocabulary counts, fixed-precedence

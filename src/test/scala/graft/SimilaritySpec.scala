@@ -22,6 +22,13 @@ class SimilaritySpec extends SparkSpec {
     assert(ann.filter($"cos" =!= $"bcos").count() === 0)
   }
 
+  test("IVF ANN cosines agree with brute-force for the same pairs") {
+    val brute = Similarity.knnBrute(emb, k = 1000000).select($"qid", $"vec_id", $"cos".as("bcos"))
+    val ivf = Similarity.knnIvf(emb).join(brute, Seq("qid", "vec_id"))
+    assert(ivf.count() > 0)
+    assert(ivf.filter($"cos" =!= $"bcos").count() === 0)
+  }
+
   test("LSH buckets are stable and bounded") {
     val b = Similarity.lshBuckets(emb).select($"bucket").as[Long].collect()
     assert(b.forall(x => x >= 0 && x < 256))

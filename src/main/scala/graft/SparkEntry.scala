@@ -253,6 +253,9 @@ object SparkEntry {
     // IVF-style ANN: probe the 2 nearest centroid cells, search only them.
     "q_emb_ivf" -> { (s, dir) => Similarity.knnIvf(Tables.embeddings(s, dir)) },
 
+    // Embedding-cosine near-dup pairs (planted scaled copies → cos = 1.0).
+    "q_dedup_embed" -> { (s, dir) => Similarity.embNearDupPairs(Tables.embeddings(s, dir)) },
+
     // As-of join: each click joined to the user's latest prior-or-equal
     // purchase (union+window composition — one shuffle, no range
     // explosion; see operators/AsOfJoin). Oracle: DuckDB's native ASOF.
@@ -635,6 +638,25 @@ object SparkEntry {
          |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS BIGINT) AS rn
          |  FROM pairs) t
          |WHERE rn <= 3""".stripMargin,
+    "q_dedup_embed" ->
+      s"""WITH ecorpus AS (
+         |  SELECT vec_id, label, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 1000000 AS vec_id, label,
+         |    list_transform(embedding, x -> x * CAST(1.5 AS FLOAT)) AS embedding
+         |  FROM embeddings WHERE vec_id % 25 = 0),
+         |eb AS (
+         |  SELECT vec_id, label,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
+         |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+         |      (a, b) -> a + b)) AS nrm
+         |  FROM ecorpus)
+         |SELECT vec_a, vec_b, cos FROM (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |    ${Similarity.dotSql("a.emb", "b.emb")} / (a.nrm * b.nrm) AS cos
+         |  FROM eb a JOIN eb b ON a.label = b.label AND a.vec_id < b.vec_id) t
+         |WHERE cos >= 0.99""".stripMargin,
     "q_emb_knn" ->
       s"""WITH ${Similarity.baseSql},
          |q AS (SELECT vec_id AS qid, emb AS qemb, nrm AS qnrm FROM base WHERE vec_id % 50 = 0),

@@ -115,6 +115,30 @@ object Similarity {
       .select(col("qid"), col("vec_id"), col("cos"), col("rn"))
   }
 
+  /** Embedding corpus with planted near-duplicates (vec_id%25==0 → a
+    * scaled copy at +1_000_000; cosine is scale-invariant so the pair
+    * scores exactly 1.0) — same planted-fixture trick as Dedup.corpus.
+    */
+  def embCorpus(e: DataFrame): DataFrame = {
+    val dup = e.filter(col("vec_id") % 25 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("label"),
+        transform(col("embedding"), x => x * lit(1.5f)).as("embedding"))
+    e.select(col("vec_id"), col("label"), col("embedding")).union(dup)
+  }
+
+  /** Embedding-cosine near-dup pairs: blocked by label (any cheap coarse
+    * key works — at scale this would be the IVF cell), cosine ≥ minCos.
+    */
+  def embNearDupPairs(e: DataFrame, minCos: Double = 0.99): DataFrame = {
+    val c = embCorpus(e)
+    val base = withEmb(c).select(col("vec_id"), col("label"), col("emb"), l2norm(col("emb")).as("nrm"))
+    base.as("a").join(base.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        cosineWithNorms(dot(col("a.emb"), col("b.emb")), col("a.nrm"), col("b.nrm")).as("cos"))
+      .filter(col("cos") >= minCos)
+  }
+
   /** Per-label elementwise centroid via fixed-point quantization. */
   def centroids(e: DataFrame): DataFrame =
     withEmb(e)

@@ -369,6 +369,20 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum($"k").as("sum_k"), max($"k").as("max_k"))
     },
 
+    // Range (interval) join via bucketed equi-join — the O(L+R) shape
+    // instead of a nested-loop theta join (operators/RangeJoin).
+    "q_rangejoin" -> { (s, dir) =>
+      import s.implicits._
+      val tiers = s.range(12).select(
+        $"id".as("tier"),
+        ($"id" * $"id" * lit(2.0)).as("lo"),
+        (($"id" + 1) * ($"id" + 1) * lit(2.0)).as("hi"))
+      val ev = Tables.events(s, dir).select($"event_id", $"value")
+      graft.operators.RangeJoin.bucketedRangeJoin(ev, "value", tiers, "lo", "hi", 10.0)
+        .groupBy($"tier")
+        .agg(count(lit(1)).as("n"), sum(dec2($"value")).cast("double").as("sum_value"))
+    },
+
     // Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
     // quantile_cont) + distinct counting.
     "q_percentile" -> { (s, dir) =>
@@ -827,6 +841,13 @@ object SparkEntry {
         |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY event_type""".stripMargin,
+    "q_rangejoin" ->
+      """WITH tiers AS (
+        |  SELECT i AS tier, i*i*2.0 AS lo, (i+1)*(i+1)*2.0 AS hi FROM range(0, 12) t(i))
+        |SELECT tier, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM events JOIN tiers ON value >= lo AND value < hi
+        |GROUP BY tier""".stripMargin,
     "q_percentile" ->
       """SELECT o_orderstatus,
         |  quantile_cont(o_totalprice, 0.5) AS p50,

@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.functions._
+
+import graft.operators.RangeJoin
+import graft.sources.Tables
+
+class RangeJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bucketed range join ≡ theta join, across bucket widths") {
+    val tiers = spark.range(12).select(
+      $"id".as("tier"), ($"id" * $"id" * lit(2.0)).as("lo"),
+      (($"id" + 1) * ($"id" + 1) * lit(2.0)).as("hi"))
+    val ev = Tables.events(spark, Sf).select($"event_id", $"value")
+    val theta = ev.join(tiers, $"value" >= $"lo" && $"value" < $"hi")
+      .select($"event_id", $"tier")
+    for (w <- Seq(1.0, 10.0, 100.0)) {
+      val bucketed = RangeJoin.bucketedRangeJoin(ev, "value", tiers, "lo", "hi", w)
+        .select($"event_id", $"tier")
+      assert(bucketed.exceptAll(theta).count() === 0, s"width=$w extra rows")
+      assert(theta.exceptAll(bucketed).count() === 0, s"width=$w missing rows")
+    }
+  }
+
+  test("boundary values: hi is exclusive, lo inclusive") {
+    val pts = Seq((1L, 2.0), (2L, 7.9999), (3L, 8.0)).toDF("id", "value")
+    val iv = Seq((0L, 2.0, 8.0)).toDF("tier", "lo", "hi")
+    val out = RangeJoin.bucketedRangeJoin(pts, "value", iv, "lo", "hi", 4.0)
+      .select($"id").as[Long].collect().sorted
+    assert(out === Array(1L, 2L)) // 8.0 excluded, 2.0 included
+  }
+
+  test("GraftExtensions wires poly_hash into a SparkSessionExtensions instance") {
+    val ext = new SparkSessionExtensions
+    new GraftExtensions().apply(ext) // must register without error
+  }
+}

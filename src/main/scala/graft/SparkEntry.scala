@@ -253,6 +253,26 @@ object SparkEntry {
     // IVF-style ANN: probe the 2 nearest centroid cells, search only them.
     "q_emb_ivf" -> { (s, dir) => Similarity.knnIvf(Tables.embeddings(s, dir)) },
 
+    // Array function sampler over the embedding lists (slice/sort/minmax/
+    // contains/position — all codegen'd built-ins).
+    "q_array_funcs" -> { (s, dir) =>
+      import s.implicits._
+      val emb = $"embedding".cast("array<double>")
+      Tables.embeddings(s, dir).select(
+        $"vec_id",
+        size($"embedding").cast("long").as("dims"),
+        element_at(emb, 1).as("first"),
+        element_at(emb, -1).as("last"),
+        array_max(emb).as("mx"),
+        array_min(emb).as("mn"),
+        element_at(array_sort(emb), 32).as("median_lo"),
+        array_position(emb, array_max(emb)).cast("long").as("argmax1"),
+        array_contains(emb, lit(0.0d)).as("has_zero"),
+        element_at(slice(emb, 1, 4), 2).as("slice2"),
+        element_at(reverse(emb), 1).as("rev_first")
+      )
+    },
+
     // Embedding-cosine near-dup pairs (planted scaled copies → cos = 1.0).
     "q_dedup_embed" -> { (s, dir) => Similarity.embNearDupPairs(Tables.embeddings(s, dir)) },
 
@@ -652,6 +672,20 @@ object SparkEntry {
          |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS BIGINT) AS rn
          |  FROM pairs) t
          |WHERE rn <= 3""".stripMargin,
+    "q_array_funcs" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings)
+        |SELECT vec_id,
+        |  CAST(len(emb) AS BIGINT) AS dims,
+        |  emb[1] AS first,
+        |  emb[-1] AS last,
+        |  list_max(emb) AS mx,
+        |  list_min(emb) AS mn,
+        |  list_sort(emb)[32] AS median_lo,
+        |  CAST(list_position(emb, list_max(emb)) AS BIGINT) AS argmax1,
+        |  list_contains(emb, 0.0) AS has_zero,
+        |  emb[1:4][2] AS slice2,
+        |  list_reverse(emb)[1] AS rev_first
+        |FROM e""".stripMargin,
     "q_dedup_embed" ->
       s"""WITH ecorpus AS (
          |  SELECT vec_id, label, embedding FROM embeddings

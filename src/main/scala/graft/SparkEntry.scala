@@ -261,15 +261,17 @@ object SparkEntry {
       Tables.embeddings(s, dir).select(
         $"vec_id",
         size($"embedding").cast("long").as("dims"),
-        element_at(emb, 1).as("first"),
-        element_at(emb, -1).as("last"),
+        // try_element_at: out-of-range index → null, matching DuckDB's
+        // list[i]; plain element_at ABORTS under ANSI (Spark 4 default)
+        try_element_at(emb, lit(1)).as("first"),
+        try_element_at(emb, lit(-1)).as("last"),
         array_max(emb).as("mx"),
         array_min(emb).as("mn"),
-        element_at(array_sort(emb), 32).as("median_lo"),
+        try_element_at(array_sort(emb), lit(32)).as("median_lo"),
         array_position(emb, array_max(emb)).cast("long").as("argmax1"),
         array_contains(emb, lit(0.0d)).as("has_zero"),
-        element_at(slice(emb, 1, 4), 2).as("slice2"),
-        element_at(reverse(emb), 1).as("rev_first")
+        try_element_at(slice(emb, 1, 4), lit(2)).as("slice2"),
+        try_element_at(reverse(emb), lit(1)).as("rev_first")
       )
     },
 

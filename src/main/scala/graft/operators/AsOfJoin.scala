@@ -37,24 +37,27 @@ object AsOfJoin {
   def asof(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String, rightVals: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
-    // tag=0 sorts right rows first at ties → inclusive (right.ts <= left.ts)
+    // The whole right payload rides in ONE struct: a right row's struct is
+    // never null (even when its fields are), so `last(ignoreNulls)` can't
+    // skip a matched-but-null value, and all payload columns always come
+    // from the SAME right row (carrying columns independently could mix
+    // rows whenever any value is null).
+    val rStructType = org.apache.spark.sql.types.StructType(
+      rightVals.map(c => right.schema(c)))
     val r = right.select(
-      (col(key).as(key) +: col(rightTs).as("__ts") +: lit(0).as("__tag") +:
-        rightVals.map(c => col(c).as(s"__r_$c"))) ++
-        leftCols.filterNot(_ == key).map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+      (col(key) +: col(rightTs).as("__ts") +: lit(0).as("__tag") +:
+        struct(rightVals.map(col): _*).as("__r") +:
+        leftCols.filterNot(_ == key).map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
+    // tag=0 sorts right rows first at ties → inclusive (right.ts <= left.ts)
     val l = left.select(
-      (col(key).as(key) +: col(leftTs).cast(right.schema(rightTs).dataType).as("__ts") +:
-        lit(1).as("__tag") +:
-        rightVals.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c"))) ++
-        leftCols.filterNot(_ == key).map(col): _*)
+      (col(key) +: col(leftTs).cast(right.schema(rightTs).dataType).as("__ts") +:
+        lit(1).as("__tag") +: lit(null).cast(rStructType).as("__r") +:
+        leftCols.filterNot(_ == key).map(col)): _*)
     val w = Window.partitionBy(col(key)).orderBy(col("__ts"), col("__tag"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = r.unionByName(l)
-      .select(
-        (Seq(col(key), col("__ts"), col("__tag")) ++
-          leftCols.filterNot(_ == key).map(col) ++
-          rightVals.map(c => last(col(s"__r_$c"), ignoreNulls = true).over(w).as(c))): _*)
-    carried.filter(col("__tag") === 1)
-      .select(leftCols.map(col) ++ rightVals.map(col): _*)
+    r.unionByName(l)
+      .withColumn("__rc", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__tag") === 1)
+      .select(leftCols.map(col) ++ rightVals.map(c => col(s"__rc.$c").as(c)): _*)
   }
 }

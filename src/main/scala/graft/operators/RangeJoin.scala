@@ -26,11 +26,18 @@ object RangeJoin {
       right: DataFrame, loCol: String, hiCol: String,
       bucketWidth: Double): DataFrame = {
     val lb = left.withColumn("__bkt", floor(col(valueCol) / bucketWidth).cast("long"))
-    val rb = right.withColumn("__bkt",
-      explode(sequence(
-        floor(col(loCol) / bucketWidth).cast("long"),
-        // hi is exclusive: a hi exactly on a bucket edge doesn't reach that bucket
-        floor((col(hiCol) - lit(1e-9)) / bucketWidth).cast("long"))))
+    // Explode through floor(hi/width) inclusive: when hi sits exactly on a
+    // bucket edge this adds one spurious candidate bucket, which the
+    // residual v < hi filter discards — an epsilon-subtraction here would
+    // instead DROP matches whenever hi lands within the epsilon above an
+    // edge. Degenerate intervals (hi <= lo) are filtered out rather than
+    // letting sequence() descend.
+    val rb = right
+      .filter(col(loCol) < col(hiCol))
+      .withColumn("__bkt",
+        explode(sequence(
+          floor(col(loCol) / bucketWidth).cast("long"),
+          floor(col(hiCol) / bucketWidth).cast("long"))))
     lb.join(rb, Seq("__bkt"))
       .filter(col(valueCol) >= col(loCol) && col(valueCol) < col(hiCol))
       .drop("__bkt")

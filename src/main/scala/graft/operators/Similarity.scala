@@ -32,9 +32,13 @@ object Similarity {
   private def withEmb(e: DataFrame): DataFrame =
     e.withColumn("emb", asDouble(col("embedding")))
 
-  /** Deterministic pseudo-random hyperplane coefficient for (plane j, dim d). */
+  /** Deterministic pseudo-random hyperplane coefficient for (plane j, dim
+    * d). Stride 4096 ≫ any embedding dimension — with a stride smaller
+    * than the dimension, (j, d) and (j+1, d-stride) would collide and
+    * correlate consecutive hyperplanes (silent LSH recall loss).
+    */
   private def planeCoef(j: Column, d: Column): Column =
-    ((lit(1103515245L) * (j * 64 + d) + lit(12345L)) % lit(2147483648L)).cast("double") /
+    ((lit(1103515245L) * (j * 4096 + d) + lit(12345L)) % lit(2147483648L)).cast("double") /
       lit(2147483648.0) - lit(0.5)
 
   /** Brute-force top-k cosine neighbours for the query subset
@@ -168,7 +172,7 @@ object Similarity {
     """CAST(list_sum(list_transform(range(0, 8), j ->
       |  CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE),
       |         list_transform(range(0, len(emb)), d ->
-      |           emb[d+1] * (CAST((1103515245*(j*64+d) + 12345) % 2147483648 AS DOUBLE)/2147483648.0 - 0.5))),
+      |           emb[d+1] * (CAST((1103515245*(j*4096+d) + 12345) % 2147483648 AS DOUBLE)/2147483648.0 - 0.5))),
       |         (a, b) -> a + b) > 0
       |       THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)) AS BIGINT)""".stripMargin
 }

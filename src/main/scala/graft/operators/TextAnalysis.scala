@@ -33,14 +33,19 @@ object TextAnalysis {
   private def withToks(docs: DataFrame): DataFrame =
     docs.withColumn("toks", tokens(col("text")))
 
-  /** Token counting + whole-document fingerprint (rolling hash). */
+  /** Token counting + whole-document fingerprint (rolling hash).
+    * Ratio columns are guarded for empty/whitespace-only docs — ANSI mode
+    * (Spark 4 default) turns the 0-token division into a query-aborting
+    * DIVIDE_BY_ZERO otherwise.
+    */
   def stats(docs: DataFrame): DataFrame =
     withToks(docs).select(
       col("doc_id"),
       size(col("toks")).cast("long").as("n_tokens"),
       length(col("text")).cast("long").as("n_chars"),
-      aggregate(transform(col("toks"), t => length(t).cast("long")), lit(0L), (a, b) => a + b)
-        .cast("double") / size(col("toks")).cast("double") as "avg_tok_len",
+      when(size(col("toks")) > 0,
+        aggregate(transform(col("toks"), t => length(t).cast("long")), lit(0L), (a, b) => a + b)
+          .cast("double") / size(col("toks")).cast("double")).as("avg_tok_len"),
       stringHash(col("text")).as("fp")
     )
 
@@ -48,9 +53,11 @@ object TextAnalysis {
     * deterministic composite in [0,1].
     */
   def quality(docs: DataFrame): DataFrame = {
-    val n = size(col("toks")).cast("double")
-    val stopRatio = vocabCount(col("toks"), Stopwords).cast("double") / n
-    val shortRatio = size(filter(col("toks"), t => length(t) <= 3)).cast("double") / n
+    val nTok = size(col("toks"))
+    val n = nTok.cast("double")
+    // guarded: 0-token docs → null ratios, not an ANSI DIVIDE_BY_ZERO abort
+    val stopRatio = when(nTok > 0, vocabCount(col("toks"), Stopwords).cast("double") / n)
+    val shortRatio = when(nTok > 0, size(filter(col("toks"), t => length(t) <= 3)).cast("double") / n)
     withToks(docs).select(
       col("doc_id"),
       stopRatio.as("stop_ratio"),
@@ -59,12 +66,14 @@ object TextAnalysis {
     )
   }
 
-  /** TF-IDF, rational form: tfidf = tf · N / df (no ln — transcendental
-    * functions aren't guaranteed bit-identical across engines; the rational
-    * form ranks identically for a fixed N). Emits each doc's top-scoring
-    * term hash. Two shuffles: (doc,term) term-frequency agg + term
-    * document-frequency agg; the corpus-size scalar joins in as a 1-row
-    * broadcast, never a driver-side action.
+  /** Rational term weighting: score = tf · N / df — inverse-df weighting
+    * WITHOUT log damping. This is a deliberately distinct (deterministic,
+    * cross-engine-exact) ranking, not classic ln-based TF-IDF: with
+    * different (tf, df) pairs the two orders can disagree (no ln because
+    * transcendental functions aren't bit-identical across engines). Emits
+    * each doc's top-scoring term hash. Two shuffles: (doc,term)
+    * term-frequency agg + term document-frequency agg; the corpus-size
+    * scalar joins in as a 1-row broadcast, never a driver-side action.
     */
   def tfidfTop(docs: DataFrame): DataFrame = {
     val tok = docs

@@ -41,8 +41,12 @@ class JsonPollDataSource extends TableProvider {
     JsonPollDataSource.Schema
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
-    new JsonPollTable(properties.get("path"))
+      properties: util.Map[String, String]): Table = {
+    val path = properties.get("path")
+    require(path != null && path.nonEmpty,
+      "json-poll source requires .option(\"path\", <jsonl file>)")
+    new JsonPollTable(path)
+  }
 }
 
 object JsonPollDataSource {
@@ -117,6 +121,9 @@ case class JsonPollPartition(path: String, startIdx: Long, endIdx: Long) extends
 
 class JsonPollReader(p: JsonPollPartition) extends PartitionReader[InternalRow] {
   private val lines: Iterator[String] = {
+    // readAllLines is Int-bounded anyway; make the limit explicit instead
+    // of letting .toInt wrap offsets silently negative
+    require(p.endIdx <= Int.MaxValue, s"json-poll offset ${p.endIdx} exceeds file-source capacity")
     val all = Files.readAllLines(Paths.get(p.path), StandardCharsets.UTF_8)
       .asScala.filter(_.nonEmpty)
     all.slice(p.startIdx.toInt, p.endIdx.toInt).iterator

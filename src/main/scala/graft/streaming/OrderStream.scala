@@ -58,7 +58,7 @@ object OrderStream {
     * broker exists (tests, batch backfills).
     */
   def fromFiles(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream.text(dir).withColumnRenamed("value", "value")
+    spark.readStream.text(dir)
 
   /** D1→V→E→T — parse + validate + enrich, streaming-safe (pure column
     * transforms; no state).

@@ -28,6 +28,28 @@ class AsOfJoinSpec extends SparkSpec {
       4L -> Some(900.0), 5L -> None))
   }
 
+  test("asof: a matched right row with a NULL payload value yields NULL (not an older value)") {
+    val left = Seq((1L, 10L, ts("2024-01-01 02:00:00"))).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (10L, ts("2024-01-01 00:00:00"), Some(5.0)),
+      (10L, ts("2024-01-01 01:00:00"), None: Option[Double]) // the as-of match, value null
+    ).toDF("user_id", "ts", "v")
+    val out = AsOfJoin.asof(left, right, "user_id", "ts", "ts", Seq("v"))
+      .select($"v").as[Option[Double]].head()
+    assert(out === None) // DuckDB ASOF semantics: matched row's value, even if null
+  }
+
+  test("asof: multi-column payload always comes from the same right row") {
+    val left = Seq((1L, 10L, ts("2024-01-01 02:00:00"))).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (10L, ts("2024-01-01 00:00:00"), Some(5.0), Some("a")),
+      (10L, ts("2024-01-01 01:00:00"), None: Option[Double], Some("b"))
+    ).toDF("user_id", "ts", "v", "tag")
+    val out = AsOfJoin.asof(left, right, "user_id", "ts", "ts", Seq("v", "tag"))
+      .select($"v", $"tag").as[(Option[Double], Option[String])].head()
+    assert(out === ((None, Some("b")))) // not the mixed (5.0, "b")
+  }
+
   test("asof: left row count preserved (no duplication, no loss)") {
     val e = graft.sources.Tables.events(spark, Sf)
     val clicks = e.filter($"event_type" === "click").select($"event_id", $"user_id", $"ts", $"value")

@@ -32,6 +32,22 @@ class RangeJoinSpec extends SparkSpec {
     assert(out === Array(1L, 2L)) // 8.0 excluded, 2.0 included
   }
 
+  test("hi just above a bucket edge still matches points in the edge bucket") {
+    // regression: an epsilon-subtraction on hi dropped this match
+    val pts = Seq((1L, 2.0000000002)).toDF("id", "value")
+    val iv = Seq((0L, 0.5, 2.0000000005)).toDF("tier", "lo", "hi")
+    val out = RangeJoin.bucketedRangeJoin(pts, "value", iv, "lo", "hi", 1.0)
+    assert(out.count() === 1)
+  }
+
+  test("degenerate intervals (hi <= lo) are dropped, not exploded descending") {
+    val pts = Seq((1L, 5.0)).toDF("id", "value")
+    val iv = Seq((0L, 100.0, 0.0), (1L, 4.0, 6.0)).toDF("tier", "lo", "hi")
+    val out = RangeJoin.bucketedRangeJoin(pts, "value", iv, "lo", "hi", 1.0)
+      .select($"tier").as[Long].collect()
+    assert(out === Array(1L))
+  }
+
   test("GraftExtensions wires poly_hash into a SparkSessionExtensions instance") {
     val ext = new SparkSessionExtensions
     new GraftExtensions().apply(ext) // must register without error

@@ -47,12 +47,6 @@ object OrderPipeline {
 
   // ---- validation ---------------------------------------------------------
 
-  private def missingList: Column = {
-    // V1: required-field presence, reference declaration order.
-    val missing = RequiredFields.map(f => when(col(f).isNull, lit(f)))
-    array_compact(array(missing: _*))
-  }
-
   // ANSI-safe cast-to-null-on-failure (Python float()-attempt semantics,
   // ref: src/app/order_validator.py:146-163). Spark 4 runs ANSI mode by
   // default, where a plain cast on "abc" throws; try_cast restores the
@@ -71,16 +65,23 @@ object OrderPipeline {
     *  - `error_message`: null when valid; "Missing required fields: a, b"
     *    (short-circuits all other checks, ref: :186-188) or the '; '-joined
     *    price-then-quantity errors (ref: :191-212).
+    *
+    * Error lists are assembled with `concat_ws` (which skips nulls) rather
+    * than array + filter higher-order functions: HOF lambdas are
+    * CodegenFallback and break WholeStageCodegen for the entire hot
+    * projection; with concat_ws the whole validation compiles into one
+    * generated-code stage.
     */
   def validateOrders(df: DataFrame): DataFrame = {
-    val missing = missingList
-    val errs = array_compact(array(numErr("price"), numErr("quantity")))
+    // V1: required-field presence, reference declaration order.
+    val missing = concat_ws(", ", RequiredFields.map(f => when(col(f).isNull, lit(f))): _*)
+    val errs = concat_ws("; ", numErr("price"), numErr("quantity"))
     df.withColumn("quantity_d", tryDouble(col("quantity")))
       .withColumn("price_d", tryDouble(col("price")))
       .withColumn(
         "error_message",
-        when(size(missing) > 0, concat(lit("Missing required fields: "), array_join(missing, ", ")))
-          .when(size(errs) > 0, array_join(errs, "; "))
+        when(missing =!= "", concat(lit("Missing required fields: "), missing))
+          .when(errs =!= "", errs)
       )
       .withColumn("is_valid", col("error_message").isNull)
   }

@@ -405,6 +405,31 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum(dec2($"value")).cast("double").as("sum_value"))
     },
 
+    // Built-in pivot: one scan, fixed pivot values (no extra pass to
+    // discover them), plans as a single aggregate.
+    "q_pivot" -> { (s, dir) =>
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .groupBy($"l_returnflag")
+        .pivot("l_linestatus", Seq("O", "F"))
+        .agg(sum(dec2($"l_quantity")).cast("double"))
+        .withColumnRenamed("O", "qty_open")
+        .withColumnRenamed("F", "qty_finished")
+    },
+
+    // Correlated-aggregate pattern: orders above 1.5× their customer's
+    // average — window aggregate over the partition, no self-join, exact
+    // decimal mean so the comparison is engine-stable.
+    "q_above_avg" -> { (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey")
+      Tables.orders(s, dir)
+        .withColumn("cust_avg",
+          sum(dec2($"o_totalprice")).over(w).cast("double") / count(lit(1)).over(w).cast("double"))
+        .filter($"o_totalprice" > $"cust_avg" * 1.5)
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice", $"cust_avg")
+    },
+
     // Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
     // quantile_cont) + distinct counting.
     "q_percentile" -> { (s, dir) =>
@@ -884,6 +909,18 @@ object SparkEntry {
         |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
         |FROM events JOIN tiers ON value >= lo AND value < hi
         |GROUP BY tier""".stripMargin,
+    "q_pivot" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS qty_open,
+        |  CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS qty_finished
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q_above_avg" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, cust_avg FROM (
+        |  SELECT o_orderkey, o_custkey, o_totalprice,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (PARTITION BY o_custkey) AS DOUBLE)
+        |      / CAST(COUNT(*) OVER (PARTITION BY o_custkey) AS DOUBLE) AS cust_avg
+        |  FROM orders) t
+        |WHERE o_totalprice > cust_avg * 1.5""".stripMargin,
     "q_percentile" ->
       """SELECT o_orderstatus,
         |  quantile_cont(o_totalprice, 0.5) AS p50,

@@ -38,6 +38,28 @@ object EventStream {
       .select(col("session_window.start").as("s_start"),
         col("session_window.end").as("s_end"), col("user_id"), col("n"))
 
+  /** Stream-stream interval join: each click joined to the same user's
+    * purchases from the preceding `lookback`. Both sides are watermarked so
+    * the join state is bounded: a buffered purchase can be dropped once the
+    * click-side watermark passes purchase.ts + lookback — Spark derives
+    * that from the time-range predicate. Without the range condition the
+    * state would grow forever.
+    */
+  def clicksWithRecentPurchases(clicks: DataFrame, purchases: DataFrame,
+      lookback: String = "1 hour", watermark: String = "2 hours"): DataFrame = {
+    val c = clicks.withWatermark("ts", watermark)
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+    val p = purchases.withWatermark("ts", watermark)
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("value").as("purchase_value"))
+    c.join(p,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") <= col("click_ts") &&
+        col("purchase_ts") >= col("click_ts") - expr(s"INTERVAL $lookback"))
+      .select(col("click_id"), col("user_id"), col("click_ts"),
+        col("purchase_ts"), col("purchase_value"))
+  }
+
   /** Streaming exact dedup with bounded state: duplicates of (user_id,
     * event_type, event_id) arriving within the watermark are dropped;
     * state older than the watermark is purged. The unbounded

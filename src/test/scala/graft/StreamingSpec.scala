@@ -108,6 +108,27 @@ class StreamingSpec extends SparkSpec {
     assert(sessions(1) === (("2024-01-01 03:00:00", "2024-01-01 04:00:00", 1)))
   }
 
+  test("stream-stream interval join: clicks match same-user purchases within lookback") {
+    implicit val ctx = spark.sqlContext
+    val clicks = MemoryStream[(Timestamp, Long, String, Double)]
+    val purchases = MemoryStream[(Timestamp, Long, String, Double)]
+    def df(ms: MemoryStream[(Timestamp, Long, String, Double)]) =
+      ms.toDF().toDF("ts", "user_id", "event_type", "value")
+        .withColumn("event_id", unix_micros($"ts")) // deterministic streaming-safe id
+    val joined = EventStream.clicksWithRecentPurchases(df(clicks), df(purchases))
+    val q = joined.writeStream.format("memory").queryName("ssj").outputMode("append").start()
+    purchases.addData(Seq(
+      (Timestamp.valueOf("2024-01-01 00:10:00"), 1L, "purchase", 50.0),
+      (Timestamp.valueOf("2024-01-01 05:00:00"), 1L, "purchase", 99.0), // outside lookback of the click
+      (Timestamp.valueOf("2024-01-01 00:20:00"), 2L, "purchase", 70.0))) // other user
+    clicks.addData(Seq(
+      (Timestamp.valueOf("2024-01-01 00:40:00"), 1L, "click", 1.0)))
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("ssj")
+      .select($"user_id", $"purchase_value").as[(Long, Double)].collect()
+    assert(out.toSet === Set((1L, 50.0))) // only the in-window, same-user purchase
+  }
+
   test("dropDuplicatesWithinWatermark: bounded-state streaming dedup") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[(Timestamp, Long, String, Long)]

@@ -140,6 +140,29 @@ object SparkEntry {
         .select($"c_custkey", $"c_name")
     },
 
+    // Left outer join + aggregate: every customer, order stats nullable.
+    "q_left_outer" -> { (s, dir) =>
+      import s.implicits._
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir), $"c_custkey" === $"o_custkey", "left_outer")
+        .groupBy($"c_custkey")
+        .agg(
+          count($"o_orderkey").as("n_orders"), // counts non-null only
+          sum(dec2($"o_totalprice")).cast("double").as("spent"))
+    },
+
+    // Full outer join between two aggregates: nations with customers but
+    // no suppliers (and vice versa) surface as null sides.
+    "q_full_outer" -> { (s, dir) =>
+      import s.implicits._
+      val cn = Tables.customer(s, dir).groupBy($"c_nationkey".as("nationkey"))
+        .agg(count(lit(1)).as("n_cust"))
+      val sn = Tables.supplier(s, dir).groupBy($"s_nationkey".as("nationkey"))
+        .agg(count(lit(1)).as("n_supp"))
+      cn.join(sn, Seq("nationkey"), "full_outer")
+        .select(col("nationkey").cast("long").as("nationkey"), $"n_cust", $"n_supp")
+    },
+
     // Ranking window: top-3 orders per customer. The partition key drives
     // the one shuffle; no global sort.
     "q_window_rank" -> { (s, dir) =>
@@ -556,6 +579,17 @@ object SparkEntry {
     "q_anti" ->
       """SELECT c_custkey, c_name FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000)""".stripMargin,
+    "q_left_outer" ->
+      """SELECT c_custkey,
+        |  COUNT(o_orderkey) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS spent
+        |FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey""".stripMargin,
+    "q_full_outer" ->
+      """WITH cn AS (SELECT c_nationkey AS nationkey, COUNT(*) AS n_cust FROM customer GROUP BY 1),
+        |sn AS (SELECT s_nationkey AS nationkey, COUNT(*) AS n_supp FROM supplier GROUP BY 1)
+        |SELECT CAST(coalesce(cn.nationkey, sn.nationkey) AS BIGINT) AS nationkey, n_cust, n_supp
+        |FROM cn FULL OUTER JOIN sn ON cn.nationkey = sn.nationkey""".stripMargin,
     "q_window_rank" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,

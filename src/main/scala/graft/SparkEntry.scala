@@ -328,6 +328,15 @@ object SparkEntry {
       Multimodal.frameSample(
         Multimodal.decodedMetaCols(Multimodal.mediaTable(docs), docs.select(col("doc_id"), col("text"))))
     },
+    "q_mm_features" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      Multimodal.featureExtract(Multimodal.mediaTable(docs), docs.select(col("doc_id"), col("text")))
+    },
+    "q_mm_resize" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      Multimodal.resizePlan(
+        Multimodal.decodedMetaCols(Multimodal.mediaTable(docs), docs.select(col("doc_id"), col("text"))))
+    },
 
     // ---- Similarity search (embeddings; SURVEY §2 extensions) -----------
     "q_emb_knn" -> { (s, dir) => Similarity.knnBrute(Tables.embeddings(s, dir)) },
@@ -682,6 +691,27 @@ object SparkEntry {
          |  unnest(list_transform(range(0, least(n_frames, 4)),
          |    i -> (i * n_frames) // least(n_frames, 4))) AS frame_idx
          |FROM m WHERE media_type = 'video'""".stripMargin,
+    "q_mm_features" ->
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    ['image','audio','video'][CAST(doc_id % 3 + 1 AS INTEGER)] AS media_type,
+         |    ${Dedup.hashSql("text")} AS h
+         |  FROM documents)
+         |SELECT doc_id, media_type, k,
+         |  CAST(((k*2 + 1) * h + (k * 7919 + 13)) % 1000000007 AS DOUBLE) / 1000000007.0 AS feature
+         |FROM d, UNNEST(range(0, 8)) AS t(k)""".stripMargin,
+    "q_mm_resize" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, ${Dedup.hashSql("text")} AS h FROM documents),
+         |m AS (
+         |  SELECT doc_id,
+         |    CAST(64 + h % 512 AS BIGINT) AS width,
+         |    CAST(64 + (h // 512) % 512 AS BIGINT) AS height
+         |  FROM d)
+         |SELECT doc_id, width, height,
+         |  (width * 224) // greatest(width, height) AS new_w,
+         |  (height * 224) // greatest(width, height) AS new_h
+         |FROM m""".stripMargin,
     "q_doc_tfidf" ->
       """WITH tok AS (
         |  SELECT doc_id,

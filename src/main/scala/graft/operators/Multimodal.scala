@@ -103,6 +103,35 @@ object Multimodal {
         (lit(1) + col("h") % 16).cast("long").as("n_frames")
       )
 
+  /** Feature extraction stub: a fixed-length deterministic feature vector
+    * derived from the payload's content hash (a real extractor — CLIP,
+    * mel spectrogram… — plugs in at the same shape: one array<double>
+    * column of fixed length per asset). Exploded to (doc_id, k, feature)
+    * rows. Features land in [0, 1): perm_k(hash)/P.
+    */
+  def featureExtract(media: DataFrame, textCol: DataFrame, dims: Int = 8): DataFrame =
+    media.join(textCol, "doc_id")
+      .withColumn("h", stringHash(col("text")))
+      .select(col("doc_id"), col("media_type"),
+        posexplode(transform(sequence(lit(0), lit(dims - 1)), k =>
+          (((k * 2 + 1).cast("long") * col("h") + (k.cast("long") * 7919L + 13L)) % 1000000007L)
+            .cast("double") / lit(1.0e9 + 7))).as(Seq("k", "feature")))
+      .select(col("doc_id"), col("media_type"), col("k").cast("long").as("k"), col("feature"))
+
+  /** Resize planning: fit (width, height) into a target square box
+    * preserving aspect ratio — pure integer arithmetic on the decoded
+    * metadata (the pixel work would happen in the per-partition decoder;
+    * the engine's job is exactly this geometry + partitioning).
+    */
+  def resizePlan(decoded: DataFrame, box: Int = 224): DataFrame = {
+    val longest = greatest(col("width"), col("height"))
+    decoded.select(
+      col("doc_id"), col("width"), col("height"),
+      (col("width") * box / longest).cast("long").as("new_w"),
+      (col("height") * box / longest).cast("long").as("new_h")
+    )
+  }
+
   /** Frame sampling for video payloads: evenly-spaced frame indices,
     * exploded to rows (at most `maxSamples` per asset).
     */

@@ -32,7 +32,7 @@ object SparkEntry {
   // comparison; DuckDB mirror: strftime(ts, '%Y-%m-%d %H:%M:%S.%f')).
   private def fmtTs(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS")
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- Reference-parity pipeline (SURVEY §2 D1,T1-T3,V1-V4,E1-E2,P1,R1,K1)
     // Narrow map over loose records — no shuffle, single codegen stage.
     "ref_pipeline" -> { (s, dir) =>
@@ -511,7 +511,7 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
-  def oracleSql: Map[String, String] = Map(
+  lazy val oracleSql: Map[String, String] = Map(
     "ref_pipeline" ->
       s"""${RefOrders.processedSql}
          |SELECT * FROM processed""".stripMargin,
@@ -880,7 +880,7 @@ object SparkEntry {
         |  CAST(len(toks) AS BIGINT) AS n_tokens,
         |  CAST(length(text) AS BIGINT) AS n_chars,
         |  CAST(list_reduce(list_prepend(0, list_transform(toks, x -> length(x))), (a, b) -> a + b) AS DOUBLE)
-        |    / CAST(len(toks) AS DOUBLE) AS avg_tok_len,
+        |    / CAST(NULLIF(len(toks), 0) AS DOUBLE) AS avg_tok_len,
         |  list_reduce(list_prepend(CAST(7 AS BIGINT), list_transform(string_split(text, ''), c -> ascii(c))),
         |    (a, b) -> (a*31 + b) % 1000000007) AS fp
         |FROM t""".stripMargin,
@@ -892,9 +892,9 @@ object SparkEntry {
         |r AS (
         |  SELECT doc_id,
         |    CAST(len(list_filter(toks, x -> x='the' OR x='a' OR x='and' OR x='of' OR x='to' OR x='in' OR x='is')) AS DOUBLE)
-        |      / CAST(len(toks) AS DOUBLE) AS stop_ratio,
+        |      / CAST(NULLIF(len(toks), 0) AS DOUBLE) AS stop_ratio,
         |    CAST(len(list_filter(toks, x -> length(x) <= 3)) AS DOUBLE)
-        |      / CAST(len(toks) AS DOUBLE) AS short_ratio
+        |      / CAST(NULLIF(len(toks), 0) AS DOUBLE) AS short_ratio
         |  FROM t)
         |SELECT doc_id, stop_ratio, short_ratio,
         |  1.0 - stop_ratio * 0.5 - short_ratio * 0.3 AS quality

@@ -17,12 +17,21 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
+      // Drop any previous dump FIRST: a query that now fails must leave no
+      // stale (previously-passing) parquet behind for the driver's compare
+      // to silently validate.
+      val dest = new java.io.File(s"$outDir/$name")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      if (dest.exists()) rm(dest)
       // repartition(1), not coalesce(1): coalesce propagates up through
       // narrow plans and would run shuffle-free queries on a single core
       try fn(spark, sfDir).repartition(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        if (dest.exists()) rm(dest)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

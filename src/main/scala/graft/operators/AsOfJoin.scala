@@ -44,7 +44,11 @@ object AsOfJoin {
     // rows whenever any value is null).
     val rStructType = org.apache.spark.sql.types.StructType(
       rightVals.map(c => right.schema(c)))
-    val r = right.select(
+    // NULL keys never equi-match in as-of semantics (DuckDB ASOF ON l.k =
+    // r.k), but Window.partitionBy groups NULLs together — drop null-key
+    // right rows so null-key left rows fall through with a null payload.
+    val rightNonNull = right.filter(col(key).isNotNull)
+    val r = rightNonNull.select(
       (col(key) +: col(rightTs).as("__ts") +: lit(0).as("__tag") +:
         struct(rightVals.map(col): _*).as("__r") +:
         leftCols.filterNot(_ == key).map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)

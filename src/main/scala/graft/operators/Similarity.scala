@@ -41,6 +41,18 @@ object Similarity {
     ((lit(1103515245L) * (j * 4096 + d) + lit(12345L)) % lit(2147483648L)).cast("double") /
       lit(2147483648.0) - lit(0.5)
 
+  /** Shared top-k ranking: per query, k best candidates by (cos desc,
+    * vec_id) — the tie-break and the long-typed rn are oracle-matched
+    * details, kept in one place.
+    */
+  private def topK(pairs: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    pairs
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("vec_id"), col("cos"), col("rn"))
+  }
+
   /** Brute-force top-k cosine neighbours for the query subset
     * vec_id % queryMod == 0 (self excluded).
     */
@@ -48,13 +60,8 @@ object Similarity {
     val base = withEmb(e).select(col("vec_id"), col("emb"), l2norm(col("emb")).as("nrm"))
     val q = base.filter(col("vec_id") % queryMod === 0)
       .select(col("vec_id").as("qid"), col("emb").as("qemb"), col("nrm").as("qnrm"))
-    val pairs = q.join(base, col("vec_id") =!= col("qid"))
-      .withColumn("cos", cosineWithNorms(dot(col("qemb"), col("emb")), col("qnrm"), col("nrm")))
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
-    pairs
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= k)
-      .select(col("qid"), col("vec_id"), col("cos"), col("rn"))
+    topK(q.join(base, col("vec_id") =!= col("qid"))
+      .withColumn("cos", cosineWithNorms(dot(col("qemb"), col("emb")), col("qnrm"), col("nrm"))), k)
   }
 
   /** Random-hyperplane LSH bucket id (NumPlanes sign bits) per vector. */
@@ -78,13 +85,8 @@ object Similarity {
     val q = b.filter(col("vec_id") % queryMod === 0)
       .select(col("vec_id").as("qid"), col("emb").as("qemb"), col("nrm").as("qnrm"),
         col("bucket").as("qbucket"))
-    val pairs = q.join(b, col("bucket") === col("qbucket") && col("vec_id") =!= col("qid"))
-      .withColumn("cos", cosineWithNorms(dot(col("qemb"), col("emb")), col("qnrm"), col("nrm")))
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
-    pairs
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= k)
-      .select(col("qid"), col("vec_id"), col("cos"), col("rn"))
+    topK(q.join(b, col("bucket") === col("qbucket") && col("vec_id") =!= col("qid"))
+      .withColumn("cos", cosineWithNorms(dot(col("qemb"), col("emb")), col("qnrm"), col("nrm"))), k)
   }
 
   /** IVF-style ANN: coarse quantization into cells (here: the per-label
@@ -111,12 +113,8 @@ object Similarity {
       .filter(col("prn") <= nprobe)
       .select(col("qid"), col("qemb"), col("qnrm"), col("cell"))
     // search only the probed cells
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
-    probes.join(base, col("label") === col("cell") && col("vec_id") =!= col("qid"))
-      .withColumn("cos", cosineWithNorms(dot(col("qemb"), col("emb")), col("qnrm"), col("nrm")))
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= k)
-      .select(col("qid"), col("vec_id"), col("cos"), col("rn"))
+    topK(probes.join(base, col("label") === col("cell") && col("vec_id") =!= col("qid"))
+      .withColumn("cos", cosineWithNorms(dot(col("qemb"), col("emb")), col("qnrm"), col("nrm"))), k)
   }
 
   /** Embedding corpus with planted near-duplicates (vec_id%25==0 → a

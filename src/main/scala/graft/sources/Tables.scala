@@ -32,9 +32,13 @@ object Tables {
   def events(spark: SparkSession, dir: String): DataFrame = {
     val raw = spark.read.parquet(p(dir, "events"))
     raw.schema("ts").dataType.typeName match {
-      // integer division — `/` on longs promotes to double and loses
-      // precision at nanosecond magnitudes (~1.7e18 > 2^53)
-      case "long" => raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      // Integer FLOOR division: `/` on longs promotes to double and loses
+      // precision at nanosecond magnitudes (~1.7e18 > 2^53), and a plain
+      // `DIV` truncates toward zero — off by 1 µs for pre-epoch
+      // timestamps. pmod-floor matches DuckDB's ns→µs conversion for any
+      // sign.
+      case "long" =>
+        raw.withColumn("ts", timestamp_micros(expr("(ts - ((ts % 1000) + 1000) % 1000) DIV 1000")))
       case _      => raw
     }
   }

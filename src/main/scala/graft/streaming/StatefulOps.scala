@@ -16,7 +16,7 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object StatefulOps {
 
   case class Event(ts: Timestamp, user_id: Long, event_type: String, value: Double)
-  case class UserState(n: Long, sum: Double, max: Double)
+  case class UserState(n: Long, sum: Double, max: Double, maxTsMs: Long)
   case class UserUpdate(user_id: Long, n: Long, sum: Double, max: Double, flagged: Boolean)
 
   /** Per-user running (count, sum, max) with an anomaly flag when a single
@@ -39,16 +39,20 @@ object StatefulOps {
             state.remove()
             Iterator.empty
           } else {
-            var s = state.getOption.getOrElse(UserState(0L, 0.0, Double.MinValue))
+            var s = state.getOption.getOrElse(UserState(0L, 0.0, Double.MinValue, Long.MinValue))
             val evs = batch.toSeq.sortBy(_.ts.getTime)
             val out = evs.map { e =>
               val mean = if (s.n > 0) s.sum / s.n else e.value
               val flagged = s.n > 0 && e.value > flagFactor * mean
-              s = UserState(s.n + 1, s.sum + e.value, math.max(s.max, e.value))
+              s = UserState(s.n + 1, s.sum + e.value, math.max(s.max, e.value),
+                math.max(s.maxTsMs, e.ts.getTime))
               UserUpdate(user, s.n, s.sum, s.max, flagged)
             }
             state.update(s)
-            state.setTimeoutTimestamp(evs.map(_.ts.getTime).max + ttlMs)
+            // TTL from the key's max event time EVER SEEN (tracked in the
+            // state): using only this batch's max would let a late event
+            // move the expiry backward and purge live state early
+            state.setTimeoutTimestamp(s.maxTsMs + ttlMs)
             out.iterator
           }
       }

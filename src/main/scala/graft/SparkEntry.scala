@@ -189,6 +189,18 @@ object SparkEntry {
       )
     },
 
+    // Value-RANGE window frame: how many orders sit within 50k below each
+    // order's price (frame bounded by VALUE, not row position — no tie
+    // ambiguity since the frame is defined by the ordering value itself).
+    "q_window_rangeframe" -> { (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"o_orderstatus").orderBy($"o_totalprice")
+        .rangeBetween(-50000L, Window.currentRow)
+      Tables.orders(s, dir).select(
+        $"o_orderkey", $"o_orderstatus", $"o_totalprice",
+        count(lit(1)).over(w).as("n_within_50k"))
+    },
+
     // ROLLUP: hierarchical subtotals in one pass (partial agg per grouping
     // set, single shuffle).
     "q_rollup" -> { (s, dir) =>
@@ -613,6 +625,11 @@ object SparkEntry {
         |  LAG(l_quantity, 1) OVER (
         |    PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber) AS prev_qty
         |FROM lineitem""".stripMargin,
+    "q_window_rangeframe" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |  COUNT(*) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice
+        |    RANGE BETWEEN 50000 PRECEDING AND CURRENT ROW) AS n_within_50k
+        |FROM orders""".stripMargin,
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty

@@ -735,7 +735,7 @@ object SparkEntry {
         |    list_reduce(list_prepend(CAST(7 AS BIGINT), list_transform(string_split(w, ''), c -> ascii(c))),
         |      (a, b) -> (a*31 + b) % 1000000007) AS h
         |  FROM (SELECT doc_id,
-        |          unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> length(x) > 0)) AS w
+        |          unnest(list_filter(regexp_split_to_array(trim(lower(text)), '[ \t\n\f\r]+'), x -> length(x) > 0)) AS w
         |        FROM documents)),
         |tf AS (SELECT doc_id, h, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
         |df AS (SELECT h, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, h FROM tok) GROUP BY 1),
@@ -891,7 +891,7 @@ object SparkEntry {
     "q_doc_stats" ->
       """WITH t AS (
         |  SELECT doc_id, text,
-        |    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> length(x) > 0) AS toks
+        |    list_filter(regexp_split_to_array(trim(lower(text)), '[ \t\n\f\r]+'), x -> length(x) > 0) AS toks
         |  FROM documents)
         |SELECT doc_id,
         |  CAST(len(toks) AS BIGINT) AS n_tokens,
@@ -904,7 +904,7 @@ object SparkEntry {
     "q_doc_quality" ->
       """WITH t AS (
         |  SELECT doc_id,
-        |    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> length(x) > 0) AS toks
+        |    list_filter(regexp_split_to_array(trim(lower(text)), '[ \t\n\f\r]+'), x -> length(x) > 0) AS toks
         |  FROM documents),
         |r AS (
         |  SELECT doc_id,
@@ -919,7 +919,7 @@ object SparkEntry {
     "q_doc_langid" ->
       """WITH t AS (
         |  SELECT doc_id, lang,
-        |    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> length(x) > 0) AS toks
+        |    list_filter(regexp_split_to_array(trim(lower(text)), '[ \t\n\f\r]+'), x -> length(x) > 0) AS toks
         |  FROM documents),
         |sc AS (
         |  SELECT doc_id, lang,

@@ -36,9 +36,13 @@ case class PolyHash(child: Expression) extends UnaryExpression {
     else {
       var h = 7L
       var i = 0
+      // fold CODEPOINTS, not UTF-16 code units: split(s,"")+ascii() and
+      // DuckDB's string_split+ascii both see one value per codepoint, so
+      // surrogate pairs (non-BMP) must hash as a single number here too
       while (i < s.length) {
-        h = (h * 31L + s.charAt(i)) % 1000000007L
-        i += 1
+        val cp = s.codePointAt(i)
+        h = (h * 31L + cp) % 1000000007L
+        i += Character.charCount(cp)
       }
       h
     }
@@ -49,14 +53,18 @@ case class PolyHash(child: Expression) extends UnaryExpression {
       val s = ctx.freshName("s")
       val i = ctx.freshName("i")
       val h = ctx.freshName("h")
+      val cp = ctx.freshName("cp")
       s"""
          |String $s = $c.toString();
          |long $h = 7L;
          |if ($s.isEmpty()) {
          |  $h = 217L;
          |} else {
-         |  for (int $i = 0; $i < $s.length(); $i++) {
-         |    $h = ($h * 31L + $s.charAt($i)) % 1000000007L;
+         |  int $i = 0;
+         |  while ($i < $s.length()) {
+         |    int $cp = $s.codePointAt($i);
+         |    $h = ($h * 31L + $cp) % 1000000007L;
+         |    $i += Character.charCount($cp);
          |  }
          |}
          |${ev.value} = $h;

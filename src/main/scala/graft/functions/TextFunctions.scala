@@ -18,12 +18,15 @@ object TextFunctions {
     */
   val P = 1000000007L
 
-  /** Lowercased whitespace tokens, empties dropped.
+  /** Lowercased whitespace tokens, empties dropped. The whitespace class
+    * is EXPLICIT ([ \t\n\f\r]) because Java's `\s` includes vertical tab
+    * (\x0B) while DuckDB's RE2 `\s` does not — `\s+` on both sides would
+    * silently tokenize differently.
     * DuckDB mirror: list_filter(regexp_split_to_array(trim(lower(t)),
-    * '\s+'), x -> length(x) > 0).
+    * '[ \t\n\f\r]+'), x -> length(x) > 0).
     */
   def tokens(text: Column): Column =
-    filter(split(trim(lower(text)), "\\s+"), t => length(t) > 0)
+    filter(split(trim(lower(text)), "[ \\t\\n\\f\\r]+"), t => length(t) > 0)
 
   /** Polynomial rolling hash over a string's characters:
     * h = fold(7, h*31 + codepoint) mod P. Used both as a per-word hash

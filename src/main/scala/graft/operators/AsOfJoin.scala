@@ -47,7 +47,9 @@ object AsOfJoin {
     // NULL keys never equi-match in as-of semantics (DuckDB ASOF ON l.k =
     // r.k), but Window.partitionBy groups NULLs together — drop null-key
     // right rows so null-key left rows fall through with a null payload.
-    val rightNonNull = right.filter(col(key).isNotNull)
+    // A NULL right timestamp never satisfies l.ts >= r.ts either, yet
+    // would sort FIRST (asc_nulls_first) and get carried — drop those too.
+    val rightNonNull = right.filter(col(key).isNotNull && col(rightTs).isNotNull)
     val r = rightNonNull.select(
       (col(key) +: col(rightTs).as("__ts") +: lit(0).as("__tag") +:
         struct(rightVals.map(col): _*).as("__r") +:
@@ -57,7 +59,10 @@ object AsOfJoin {
       (col(key) +: col(leftTs).cast(right.schema(rightTs).dataType).as("__ts") +:
         lit(1).as("__tag") +: lit(null).cast(rStructType).as("__r") +:
         leftCols.filterNot(_ == key).map(col)): _*)
-    val w = Window.partitionBy(col(key)).orderBy(col("__ts"), col("__tag"))
+    // tertiary sort on the payload struct pins which right row wins a
+    // (key, ts) tie — without it the carried row depends on partition
+    // order (every other operator in this engine pins its tie-breaks)
+    val w = Window.partitionBy(col(key)).orderBy(col("__ts"), col("__tag"), col("__r"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     r.unionByName(l)
       .withColumn("__rc", last(col("__r"), ignoreNulls = true).over(w))

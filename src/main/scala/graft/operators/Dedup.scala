@@ -181,7 +181,7 @@ object Dedup {
     s"list_reduce(list_prepend(CAST(7 AS BIGINT), list_transform(string_split($w, ''), c -> ascii(c))), (a, b) -> (a*31 + b) % 1000000007)"
 
   val toksSql: String =
-    """list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> length(x) > 0)"""
+    """list_filter(regexp_split_to_array(trim(lower(text)), '[ \t\n\f\r]+'), x -> length(x) > 0)"""
 
   /** Non-distinct trigram-shingle hashes (mirror of [[shingles]]). */
   val shingleSql: String =

@@ -90,7 +90,9 @@ object RefOrders {
        |         THEN strftime(DATE '1970-01-01' + TRY_CAST(order_date AS INTEGER), '%Y-%m-%d')
        |         ELSE order_date END AS order_date,
        |    CASE WHEN missing IS NULL AND numerrs IS NULL
-       |         THEN ROUND(quantity_d * price_d, 2) END AS total_price,
+       |         -- round_even = banker's rounding, mirroring Spark bround;
+       |         -- plain ROUND is half-away and diverges on exact .xx5
+       |         THEN ROUND_EVEN(quantity_d * price_d, 2) END AS total_price,
        |    (missing IS NULL AND numerrs IS NULL) AS is_valid,
        |    CASE WHEN missing IS NOT NULL THEN 'Missing required fields: ' || missing
        |         ELSE numerrs END AS error_message

@@ -80,7 +80,9 @@ object TextAnalysis {
       .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
       .select(col("doc_id"), stringHash(col("w")).as("h"))
     val tf = tok.groupBy(col("doc_id"), col("h")).agg(count(lit(1)).as("tf"))
-    val df_ = tok.distinct().groupBy(col("h")).agg(count(lit(1)).as("df"))
+    // tf already holds exactly one row per (doc, term) — derive document
+    // frequency from it instead of re-tokenizing + distinct-shuffling
+    val df_ = tf.groupBy(col("h")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("h"))
     tf.join(df_, "h")

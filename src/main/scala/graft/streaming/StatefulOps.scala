@@ -51,8 +51,12 @@ object StatefulOps {
             state.update(s)
             // TTL from the key's max event time EVER SEEN (tracked in the
             // state): using only this batch's max would let a late event
-            // move the expiry backward and purge live state early
-            state.setTimeoutTimestamp(s.maxTsMs + ttlMs)
+            // move the expiry backward and purge live state early. Clamped
+            // to the watermark: Spark THROWS if the timeout is set below
+            // the eviction watermark (late events within the previous
+            // batch's watermark can otherwise produce exactly that).
+            state.setTimeoutTimestamp(
+              math.max(s.maxTsMs + ttlMs, state.getCurrentWatermarkMs() + 1))
             out.iterator
           }
       }

@@ -12,11 +12,18 @@ import graft.sources.Tables
 class PolyHashSpec extends SparkSpec {
   import spark.implicits._
 
-  test("native == HOF on edge strings") {
+  test("native == HOF on edge strings (incl. non-BMP codepoints)") {
     val df = Seq("", "a", "the fast key", "UPPER lower 123 !@#",
-      "trailing space ", " ", "\ttab\nnl").toDF("s")
+      "trailing space ", " ", "\ttab\nnl",
+      "unicode é ü 中文", "emoji 😀 surrogate pair").toDF("s")
     val bad = df.filter(TextFunctions.stringHash($"s") =!= TextFunctions.stringHashHof($"s"))
     assert(bad.count() === 0)
+  }
+
+  test("tokens: vertical tab is NOT a separator (explicit class matches RE2 semantics)") {
+    val toks = Seq("ab c").toDF("s")
+      .select(TextFunctions.tokens($"s")).as[Seq[String]].head()
+    assert(toks === Seq("ab", "c"))
   }
 
   test("native == HOF across the whole documents corpus") {

@@ -365,6 +365,10 @@ object SparkEntry {
     "q_dedup_minhash" -> { (s, dir) =>
       Dedup.minhashCandidates(Dedup.corpus(Tables.documents(s, dir)))
     },
+    // Pairs → connected components → deterministic keeper per cluster.
+    "q_dedup_clusters" -> { (s, dir) =>
+      Dedup.duplicateClusters(Dedup.minhashCandidates(Dedup.corpus(Tables.documents(s, dir))))
+    },
     "q_doc_simhash" -> { (s, dir) =>
       Dedup.simhash(Dedup.corpus(Tables.documents(s, dir)))
     },
@@ -862,6 +866,27 @@ object SparkEntry {
          |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |FROM bands a JOIN bands b
          |  ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id""".stripMargin,
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE ${Dedup.corpusSql},
+         |${Dedup.tokSql},
+         |${Dedup.sigSql},
+         |${Dedup.bandsSql},
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM cand
+         |  UNION
+         |  SELECT doc_b AS src, doc_a AS dst FROM cand),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |comp AS (
+         |  SELECT src AS id, LEAST(src, MIN(dst)) AS cluster
+         |  FROM reach GROUP BY src)
+         |SELECT id AS doc_id, cluster, (id = cluster) AS is_keeper FROM comp""".stripMargin,
     "q_doc_simhash" ->
       s"""WITH ${Dedup.corpusSql},
          |${Dedup.simhashSql}

@@ -164,6 +164,47 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** Duplicate-cluster resolution: connected components over the candidate
+    * pair graph via min-label propagation, then a deterministic keeper
+    * (the minimum doc_id) per component — the step that turns "similar
+    * pairs" into actual dedup decisions (a~b, b~c ⇒ one group even if
+    * (a,c) was never a candidate).
+    *
+    * Each iteration is one join+groupBy (shuffle on the node id); the
+    * iteration count is bounded by the component diameter — tiny for
+    * dedup graphs (clusters of copies), and the loop exits as soon as a
+    * fixpoint count shows no label changed. At extreme scale swap in a
+    * large-star/small-star formulation; the interface stays the same.
+    */
+  def duplicateClusters(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct().cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster", col("id")).cache()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 20) {
+      val nmin = edges
+        .join(labels.select(col("id").as("dst_id"), col("cluster").as("ncluster")),
+          col("dst") === col("dst_id"))
+        .groupBy(col("src")).agg(min(col("ncluster")).as("nmin"))
+      val updated = labels
+        .join(nmin, labels("id") === nmin("src"), "left")
+        .select(labels("id"),
+          least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
+        .cache()
+      changed = updated.select(col("id"), col("cluster").as("newc"))
+        .join(labels.select(col("id"), col("cluster").as("old")), "id")
+        .filter(col("newc") =!= col("old")).count()
+      labels.unpersist()
+      labels = updated
+      iter += 1
+    }
+    labels.select(col("id").as("doc_id"), col("cluster"),
+      (col("id") === col("cluster")).as("is_keeper"))
+  }
+
   // ---- DuckDB oracle mirrors ---------------------------------------------
 
   val corpusSql: String =

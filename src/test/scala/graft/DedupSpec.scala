@@ -44,6 +44,29 @@ class DedupSpec extends SparkSpec {
     assert(exacts.nonEmpty && exacts.forall(_._3 === 1.0))
   }
 
+  test("duplicate clusters: planted copy groups resolve to base doc as keeper") {
+    val cands = Dedup.minhashCandidates(corpus)
+    val clusters = Dedup.duplicateClusters(cands).cache()
+    // every planted copy must sit in its base doc's cluster... unless LSH
+    // merged two genuinely-similar base docs — then the cluster id is the
+    // component minimum, still <= the base id
+    val byDoc = clusters.select($"doc_id", $"cluster").as[(Long, Long)].collect().toMap
+    for ((base, copy) <- plantedExact ++ plantedNear) {
+      assert(byDoc.contains(copy), s"copy $copy not clustered")
+      assert(byDoc(copy) === byDoc(base), s"copy $copy not in base $base's cluster")
+      assert(byDoc(copy) <= base)
+    }
+    // exactly one keeper per cluster, and it is the minimum member
+    val bad = clusters.groupBy($"cluster")
+      .agg(count(when($"is_keeper", 1)).as("nk"), min($"doc_id").as("mn"))
+      .filter($"nk" =!= 1 || $"mn" =!= $"cluster")
+    assert(bad.count() === 0)
+    // candidate pairs always land in the same cluster (transitivity held)
+    val pairsSame = cands.as[(Long, Long)].collect()
+      .forall(p => byDoc(p._1) === byDoc(p._2))
+    assert(pairsSame)
+  }
+
   test("simhash pairs recall planted pairs on non-tiny docs (hamming <= 8)") {
     // SimHash's known weakness: on very short docs the appended tail
     // rewrites a large fraction of the shingle set, so recall is only

@@ -41,6 +41,10 @@ class OrderPropertySpec extends SparkSpec {
       r.copy(price = r.price.map("-" + _)),
       r.copy(quantity = Some("oops")),
       r.copy(price = Some("NaNish")),
+      r.copy(quantity = Some("1e2")),        // scientific notation parses
+      r.copy(price = Some(" 12.5 ")),        // whitespace-padded parses (both trim)
+      r.copy(quantity = Some("12,5")),       // comma decimal does NOT parse
+      r.copy(price = Some("1.7976931348623157E308")), // max double, valid
       r.copy(quantity = None),
       r.copy(order_id = None),
       r.copy(order_date = Some(epochDays)),
@@ -70,8 +74,10 @@ class OrderPropertySpec extends SparkSpec {
       }).flatten
     if (errs.nonEmpty) (false, Some(errs.mkString("; ")), None)
     else {
-      val t = BigDecimal(num(r.quantity.get).get * num(r.price.get).get)
-        .setScale(2, BigDecimal.RoundingMode.HALF_EVEN).toDouble
+      val prod = num(r.quantity.get).get * num(r.price.get).get
+      // bround passes non-finite values through; BigDecimal would throw
+      val t = if (prod.isInfinite || prod.isNaN) prod
+        else BigDecimal(prod).setScale(2, BigDecimal.RoundingMode.HALF_EVEN).toDouble
       (true, None, Some(t))
     }
   }

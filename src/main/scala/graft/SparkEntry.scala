@@ -811,11 +811,12 @@ object SparkEntry {
          |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
          |      list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
          |      (a, b) -> a + b)) AS nrm
-         |  FROM ecorpus)
+         |  FROM ecorpus),
+         |bk AS (SELECT vec_id, emb, nrm, ${Similarity.bucketSql} AS bucket FROM eb)
          |SELECT vec_a, vec_b, cos FROM (
          |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          |    ${Similarity.dotSql("a.emb", "b.emb")} / (a.nrm * b.nrm) AS cos
-         |  FROM eb a JOIN eb b ON a.label = b.label AND a.vec_id < b.vec_id) t
+         |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) t
          |WHERE cos >= 0.99""".stripMargin,
     "q_emb_knn" ->
       s"""WITH ${Similarity.baseSql},
@@ -901,11 +902,19 @@ object SparkEntry {
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 8""".stripMargin,
     "q_dedup_jaccard" ->
       s"""WITH ${Dedup.corpusSql},
-         |${Dedup.triSql},
-         |sizes AS (SELECT doc_id, COUNT(*) AS nt FROM tri GROUP BY 1),
+         |${Dedup.tokSql},
+         |${Dedup.sigSql},
+         |${Dedup.bandsSql},
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         |sizes AS (SELECT doc_id, COUNT(*) AS nt FROM tok GROUP BY 1),
          |inter AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS ni
-         |  FROM tri a JOIN tri b ON a.blk = b.blk AND a.h = b.h AND a.doc_id < b.doc_id
+         |  SELECT doc_a, doc_b, COUNT(*) AS ni
+         |  FROM cand
+         |  JOIN tok a ON a.doc_id = doc_a
+         |  JOIN tok b ON b.doc_id = doc_b AND b.h = a.h
          |  GROUP BY 1, 2)
          |SELECT doc_a, doc_b,
          |  CAST(ni AS DOUBLE) / CAST(sa.nt + sb.nt - ni AS DOUBLE) AS jaccard

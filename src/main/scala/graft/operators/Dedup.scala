@@ -14,10 +14,15 @@ import graft.functions.TextFunctions._
   *    map-side-combinable group-by.
   *  - MinHash candidates come from an equi-join on (band, bandHash) —
   *    never an O(n²) cross join; the shuffle key is the LSH bucket.
-  *  - Jaccard verification only runs inside small blocks (first-token
-  *    blocking here; any cheap blocking key works), so the pair
-  *    enumeration is bounded per block.
-  *  - SimHash pairs are blocked the same way (language here).
+  *  - Jaccard verification runs ONLY over the MinHash-LSH candidate
+  *    pairs, so pair enumeration is bounded by bucket contents, never a
+  *    block-local cross join.
+  *  - SimHash pairs use multi-index Hamming: the 32-bit fingerprint is
+  *    split into 4×8-bit band keys and one side probes every ≤2-bit
+  *    variant of each key. By pigeonhole, any pair within hamming 8 has
+  *    a band differing in ≤2 bits, so the banded equi-join has EXACT
+  *    recall for the hamming ≤ 8 predicate — same result set as an
+  *    all-pairs scan, at equi-join cost.
   *
   * Because the driver's corpus has no natural duplicates, [[corpus]]
   * plants them deterministically (exact copies and near-copies with a
@@ -49,11 +54,10 @@ object Dedup {
       .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("keeper"))
       .filter(col("n_dups") > 1)
 
-  /** Word-trigram shingle hashes per doc (non-distinct), with the doc's
-    * first token carried as a blocking key. Single-word shingles are
-    * useless on a small shared vocabulary — every doc looks like every
-    * other; 3-word shingles are position-sensitive and make random-pair
-    * Jaccard ≈ 0 while near-dups stay ≈ 0.9.
+  /** Word-trigram shingle hashes per doc (non-distinct). Single-word
+    * shingles are useless on a small shared vocabulary — every doc looks
+    * like every other; 3-word shingles are position-sensitive and make
+    * random-pair Jaccard ≈ 0 while near-dups stay ≈ 0.9.
     *
     * Shape note: built as posexplode + window `lead`, NOT as a
     * `transform(sequence, i => element_at(toks, i) …)` lambda — Catalyst's
@@ -70,10 +74,8 @@ object Dedup {
     tok
       .withColumn("w2", lead(col("w"), 1).over(w))
       .withColumn("w3", lead(col("w"), 2).over(w))
-      .withColumn("blk", first(col("w")).over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .filter(col("w3").isNotNull)
-      .select(col("doc_id"), col("blk"),
+      .select(col("doc_id"),
         stringHash(concat_ws(" ", col("w"), col("w2"), col("w3"))).as("h"))
   }
 
@@ -130,35 +132,71 @@ object Dedup {
       .agg(sum(when(col("s") > 0, expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(lit(0L))).as("simhash"))
   }
 
-  /** SimHash near-dup pairs: hamming distance ≤ maxDist, blocked by lang. */
-  // Threshold 8 of ~30 effective bits (hashes are mod P < 2^30): planted
-  // near-dups (4-token tail ≈ 6 changed shingles) land ≤ 8; random pairs
-  // centre near 15.
+  val NumBands = 4      // 8 simhash bits per band
+  val BandRadius = 2    // probe all ≤2-bit variants of each band key
+
+  /** All XOR masks with ≤ [[BandRadius]] bits set within an 8-bit band:
+    * 1 + 8 + C(8,2) = 37 masks.
+    */
+  private[operators] val BandMasks: Seq[Long] =
+    0L +: ((0 until 8).map(i => 1L << i) ++
+      (for { i <- 0 until 8; j <- i + 1 until 8 } yield (1L << i) | (1L << j)))
+
+  /** (doc_id, lang, simhash, band, bk): the 4 consecutive 8-bit slices of
+    * each doc's fingerprint — the multi-index Hamming index.
+    */
+  def simhashBands(c: DataFrame): DataFrame =
+    simhash(c).join(c.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("simhash"),
+        explode(sequence(lit(0), lit(NumBands - 1))).as("band"))
+      .withColumn("bk", expr("shiftright(simhash, band * 8) & 255"))
+
+  /** SimHash near-dup pairs: same-lang pairs at hamming ≤ maxDist, found
+    * via multi-index Hamming (Manku et al., WWW'07 shape): one side
+    * probes every ≤2-bit variant of each band key, the other keeps exact
+    * keys, and the join is an equi-join on (lang, band, key). Pigeonhole
+    * (⌊maxDist/4⌋ ≤ 2 for maxDist ≤ 11) makes recall EXACT — the result
+    * equals the all-pairs hamming scan, without enumerating any block².
+    *
+    * Threshold 8 of ~30 effective bits (hashes are mod P < 2^30): planted
+    * near-dups (4-token tail ≈ 6 changed shingles) land ≤ 8; random pairs
+    * centre near 15.
+    */
   def simhashPairs(c: DataFrame, maxDist: Int = 8): DataFrame = {
-    val s = simhash(c).join(c.select(col("doc_id"), col("lang")), Seq("doc_id"))
-    s.as("a").join(s.as("b"),
-        col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id"))
+    require(maxDist <= NumBands * (BandRadius + 1) - 1,
+      s"exact recall only up to hamming ${NumBands * (BandRadius + 1) - 1}")
+    val bands = simhashBands(c)
+    val probes = bands
+      .withColumn("mask", explode(typedLit(BandMasks)))
+      .withColumn("vk", col("bk").bitwiseXOR(col("mask")))
+    probes.as("a").join(bands.as("b"),
+        col("a.lang") === col("b.lang") && col("a.band") === col("b.band") &&
+          col("a.vk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
       .select(
         col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
       .filter(col("hamming") <= maxDist)
+      .distinct()
   }
 
-  /** Distinct word-trigram hashes per doc + first-token blocking key. */
-  def trigramHashes(c: DataFrame): DataFrame = shingles(c).distinct()
-
-  /** n-gram Jaccard similarity ≥ minJaccard for pairs sharing a block. */
+  /** n-gram Jaccard similarity ≥ minJaccard, verified ONLY over the
+    * MinHash-LSH candidate pairs — the standard LSH candidate→verify
+    * split. Pair enumeration is bounded by LSH bucket contents at any
+    * scale; no block-local cross join anywhere. (Candidates with zero
+    * shared shingles drop out of the intersection join, which is fine:
+    * their Jaccard is 0 < minJaccard.)
+    */
   def ngramJaccardPairs(c: DataFrame, minJaccard: Double = 0.5): DataFrame = {
-    val tri = trigramHashes(c)
-    val sizes = tri.groupBy(col("doc_id")).agg(count(lit(1)).as("nt"))
-    val inter = tri.as("a").join(tri.as("b"),
-        col("a.blk") === col("b.blk") && col("a.h") === col("b.h") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val tok = tokenHashes(c)
+    val sizes = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("nt"))
+    val inter = minhashCandidates(c)
+      .join(tok.select(col("doc_id").as("doc_a"), col("h")), Seq("doc_a"))
+      .join(tok.select(col("doc_id").as("doc_b"), col("h")), Seq("doc_b", "h"))
+      .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("ni"))
     inter
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("nt", "na"), Seq("doc_a"))
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("nt", "nb"), Seq("doc_b"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("nt").as("na")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("nt").as("nb")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         (col("ni").cast("double") / (col("na") + col("nb") - col("ni")).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
@@ -275,13 +313,4 @@ object Dedup {
        |  FROM bits GROUP BY 1
        |)""".stripMargin
 
-  val triSql: String =
-    s"""tri AS (
-       |  SELECT DISTINCT doc_id, blk, h FROM (
-       |    SELECT doc_id, toks[1] AS blk,
-       |      unnest(list_transform(range(1, len(toks) - 1), i ->
-       |        ${hashSql("toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]")})) AS h
-       |    FROM (SELECT doc_id, $toksSql AS toks FROM corpus)
-       |  )
-       |)""".stripMargin
 }

@@ -128,14 +128,18 @@ object Similarity {
     e.select(col("vec_id"), col("label"), col("embedding")).union(dup)
   }
 
-  /** Embedding-cosine near-dup pairs: blocked by label (any cheap coarse
-    * key works — at scale this would be the IVF cell), cosine ≥ minCos.
+  /** Embedding-cosine near-dup pairs: candidates come from the LSH bucket
+    * equi-join ([[lshBuckets]] — random-hyperplane sign bits, which are
+    * scale-invariant, so a scaled copy always lands in its original's
+    * bucket), then exact cosine ≥ minCos verification. The shuffle key is
+    * the bucket id; no label-block (or any block) cross join — bucket
+    * count grows with 2^planes, keeping per-bucket candidate lists
+    * bounded at corpus scale.
     */
   def embNearDupPairs(e: DataFrame, minCos: Double = 0.99): DataFrame = {
-    val c = embCorpus(e)
-    val base = withEmb(c).select(col("vec_id"), col("label"), col("emb"), l2norm(col("emb")).as("nrm"))
-    base.as("a").join(base.as("b"),
-        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+    val b = lshBuckets(embCorpus(e)).withColumn("nrm", l2norm(col("emb")))
+    b.as("a").join(b.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         cosineWithNorms(dot(col("a.emb"), col("b.emb")), col("a.nrm"), col("b.nrm")).as("cos"))
       .filter(col("cos") >= minCos)

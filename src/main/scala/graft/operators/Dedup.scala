@@ -31,6 +31,8 @@ import graft.functions.TextFunctions._
   */
 object Dedup {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   val NearDupTail = " graft near dup tail"
 
   /** documents ∪ exact copies (doc_id%20==0 → +2_000_000) ∪ near copies
@@ -208,12 +210,20 @@ object Dedup {
     * pairs" into actual dedup decisions (a~b, b~c ⇒ one group even if
     * (a,c) was never a candidate).
     *
-    * Each iteration is one join+groupBy (shuffle on the node id); the
-    * iteration count is bounded by the component diameter — tiny for
-    * dedup graphs (clusters of copies), and the loop exits as soon as a
-    * fixpoint count shows no label changed. At extreme scale swap in a
+    * Each iteration is ONE job: the convergence flag (`chg`) is computed
+    * inside the same projection that produces the new labels, so the
+    * single `agg(count(chg))` action both materializes the iteration's
+    * cache and decides termination — no second comparison join/count.
+    * Every 5th iteration goes through a lazy `localCheckpoint` to cut
+    * the growing lineage (the optimizer cost would otherwise compound).
+    * All intermediate caches (and `edges`) are unpersisted before
+    * returning; the small result is checkpointed so it survives them.
+    * The iteration count is bounded by the component diameter — tiny for
+    * dedup graphs (clusters of copies). At extreme scale swap in a
     * large-star/small-star formulation; the interface stays the same.
     */
+  val MaxClusterIters = 20
+
   def duplicateClusters(pairs: DataFrame): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
@@ -222,7 +232,7 @@ object Dedup {
       .withColumn("cluster", col("id")).cache()
     var changed = 1L
     var iter = 0
-    while (changed > 0 && iter < 20) {
+    while (changed > 0 && iter < MaxClusterIters) {
       val nmin = edges
         .join(labels.select(col("id").as("dst_id"), col("cluster").as("ncluster")),
           col("dst") === col("dst_id"))
@@ -230,17 +240,23 @@ object Dedup {
       val updated = labels
         .join(nmin, labels("id") === nmin("src"), "left")
         .select(labels("id"),
-          least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
-        .cache()
-      changed = updated.select(col("id"), col("cluster").as("newc"))
-        .join(labels.select(col("id"), col("cluster").as("old")), "id")
-        .filter(col("newc") =!= col("old")).count()
+          least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"),
+          coalesce(col("nmin") < col("cluster"), lit(false)).as("chg"))
+      // lazy checkpoint: materializes during the SAME convergence action
+      val mat = if (iter % 5 == 4) updated.localCheckpoint(false) else updated.cache()
+      changed = mat.agg(count(when(col("chg"), lit(1)))).first().getLong(0)
       labels.unpersist()
-      labels = updated
+      labels = mat
       iter += 1
     }
-    labels.select(col("id").as("doc_id"), col("cluster"),
-      (col("id") === col("cluster")).as("is_keeper"))
+    if (changed > 0)
+      log.warn(s"duplicateClusters: iteration cap $MaxClusterIters reached with " +
+        s"$changed labels still changing — emitted clusters may be unconverged")
+    val result = labels.select(col("id").as("doc_id"), col("cluster"),
+      (col("id") === col("cluster")).as("is_keeper")).localCheckpoint()
+    labels.unpersist()
+    edges.unpersist()
+    result
   }
 
   // ---- DuckDB oracle mirrors ---------------------------------------------

@@ -67,6 +67,16 @@ class DedupSpec extends SparkSpec {
     assert(pairsSame)
   }
 
+  test("duplicateClusters unpersists its intermediates") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    Dedup.duplicateClusters(Dedup.minhashCandidates(corpus)).count()
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    // the checkpointed RESULT may persist (1 RDD); every-5th-iteration
+    // lineage checkpoints are cleaned asynchronously, so allow one more —
+    // but the per-iteration label caches (one per iteration) must be gone
+    assert(leaked.size <= 2, s"leaked cached RDDs: $leaked")
+  }
+
   test("simhash pairs recall planted pairs on non-tiny docs (hamming <= 8)") {
     // SimHash's known weakness: on very short docs the appended tail
     // rewrites a large fraction of the shingle set, so recall is only

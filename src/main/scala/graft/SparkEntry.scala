@@ -189,15 +189,19 @@ object SparkEntry {
       )
     },
 
-    // Value-RANGE window frame: how many orders sit within 50k below each
-    // order's price (frame bounded by VALUE, not row position — no tie
-    // ambiguity since the frame is defined by the ordering value itself).
+    // Value-RANGE window frame: how many of the customer's orders sit
+    // within 50k below each order's price (frame bounded by VALUE, not row
+    // position — no tie ambiguity since the frame is defined by the
+    // ordering value itself). Partitioned by o_custkey: the key's
+    // cardinality grows with the data, so window parallelism scales with
+    // the cluster (a 3-value status key would cap it at 3 regardless of
+    // executors).
     "q_window_rangeframe" -> { (s, dir) =>
       import s.implicits._
-      val w = Window.partitionBy($"o_orderstatus").orderBy($"o_totalprice")
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice")
         .rangeBetween(-50000L, Window.currentRow)
       Tables.orders(s, dir).select(
-        $"o_orderkey", $"o_orderstatus", $"o_totalprice",
+        $"o_orderkey", $"o_custkey", $"o_totalprice",
         count(lit(1)).over(w).as("n_within_50k"))
     },
 
@@ -488,12 +492,13 @@ object SparkEntry {
         count_distinct($"o_custkey").as("n_cust"))
     },
 
-    // More analytic window functions: dense_rank / percent_rank / ntile.
+    // More analytic window functions: dense_rank / percent_rank / ntile,
+    // partitioned by the high-cardinality o_custkey (see q_window_rangeframe).
     "q_window_rank2" -> { (s, dir) =>
       import s.implicits._
-      val w = Window.partitionBy($"o_orderstatus").orderBy($"o_totalprice".desc, $"o_orderkey")
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey")
       Tables.orders(s, dir)
-        .select($"o_orderkey", $"o_orderstatus",
+        .select($"o_orderkey", $"o_custkey",
           dense_rank().over(w).cast("long").as("drk"),
           percent_rank().over(w).as("prk"),
           ntile(4).over(w).cast("long").as("quartile"))
@@ -630,8 +635,8 @@ object SparkEntry {
         |    PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber) AS prev_qty
         |FROM lineitem""".stripMargin,
     "q_window_rangeframe" ->
-      """SELECT o_orderkey, o_orderstatus, o_totalprice,
-        |  COUNT(*) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |  COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
         |    RANGE BETWEEN 50000 PRECEDING AND CURRENT ROW) AS n_within_50k
         |FROM orders""".stripMargin,
     "q_rollup" ->
@@ -1043,12 +1048,12 @@ object SparkEntry {
         |  COUNT(DISTINCT o_custkey) AS n_cust
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
     "q_window_rank2" ->
-      """SELECT o_orderkey, o_orderstatus,
+      """SELECT o_orderkey, o_custkey,
         |  CAST(DENSE_RANK() OVER w AS BIGINT) AS drk,
         |  PERCENT_RANK() OVER w AS prk,
         |  CAST(NTILE(4) OVER w AS BIGINT) AS quartile
         |FROM orders
-        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey)""".stripMargin,
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)""".stripMargin,
     "q_scalar2" ->
       """SELECT p_partkey,
         |  CAST(levenshtein(p_name, 'cold widget') AS BIGINT) AS lev,

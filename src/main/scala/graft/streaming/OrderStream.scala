@@ -24,7 +24,9 @@ import graft.operators.OrderPipeline
   *  - K1 key + E1 envelope applied on the way out.
   *  - S3 JDBC sink → [[jdbcUpsertBatch]]: idempotent ON CONFLICT upsert
   *    (deliberate improvement over the reference's insert-mode sink, which
-  *    fails on at-least-once redelivery; SURVEY §7.3).
+  *    fails on at-least-once redelivery; SURVEY §7.3), plus the reference
+  *    sink's `delete.enabled=true` tombstone semantics: all-null payload →
+  *    DELETE by PK, in both the row-wise and staging-MERGE paths.
   *
   * Scale: the pipeline itself is a narrow map (no shuffle); parallelism =
   * Kafka partition count, exactly the reference's scale-out story but
@@ -123,29 +125,56 @@ object OrderStream {
     * harmless (the reference's insert-mode sink would violate the PK).
     * Executed per partition — executors write in parallel, the driver
     * never materializes the batch.
+    *
+    * Tombstones (the reference sink runs `delete.enabled=true`, ref:
+    * docs/kafka-connector-configurations.md:65-88): a row whose payload
+    * columns are ALL null is a null-payload record → `DELETE … WHERE pk`.
+    * Rows are applied in partition order (the opposing statement's batch
+    * is flushed on every upsert↔delete switch), preserving the
+    * per-partition ordering guarantee (G2) across mixed batches; deleting
+    * an absent key affects 0 rows, so redelivered tombstones are no-ops.
     */
   def jdbcUpsertBatch(batch: DataFrame, url: String, table: String,
       props: java.util.Properties, pk: String = "order_id",
       sqlBuilder: (String, Seq[String], String) => String = upsertSql): Unit = {
     val cols = batch.schema.fieldNames.toSeq
     val sql = sqlBuilder(table, cols, pk)
+    val delSql = deleteSql(table, pk)
+    val pkIdx = cols.indexOf(pk)
+    val payloadIdx = cols.indices.filterNot(_ == pkIdx)
     batch.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
       val conn = java.sql.DriverManager.getConnection(url, props)
       try {
         conn.setAutoCommit(false)
-        val st = conn.prepareStatement(sql)
+        val up = conn.prepareStatement(sql)
+        val del = conn.prepareStatement(delSql)
+        var mode = 0 // 0 = none pending, 1 = upserts pending, 2 = deletes pending
         var n = 0
         rows.foreach { r =>
-          cols.indices.foreach(i => st.setObject(i + 1, r.get(i)))
-          st.addBatch()
+          val tombstone = payloadIdx.nonEmpty && payloadIdx.forall(r.isNullAt)
+          if (tombstone) {
+            if (mode == 1) up.executeBatch()
+            del.setObject(1, r.get(pkIdx))
+            del.addBatch()
+            mode = 2
+          } else {
+            if (mode == 2) del.executeBatch()
+            cols.indices.foreach(i => up.setObject(i + 1, r.get(i)))
+            up.addBatch()
+            mode = 1
+          }
           n += 1
-          if (n % 1000 == 0) st.executeBatch()
+          if (n % 1000 == 0) { if (mode == 1) up.executeBatch() else del.executeBatch() }
         }
-        st.executeBatch()
+        if (mode == 1) up.executeBatch() else if (mode == 2) del.executeBatch()
         conn.commit()
       } finally conn.close()
     }
   }
+
+  /** Tombstone branch of the sink: DELETE by primary key. */
+  def deleteSql(table: String, pk: String): String =
+    s"DELETE FROM $table WHERE $pk = ?"
 
   /** Postgres upsert statement (the reference's sink DB). */
   def upsertSql(table: String, cols: Seq[String], pk: String): String = {
@@ -163,10 +192,15 @@ object OrderStream {
     // identifiers; the target keeps its DDL's canonical case → quote only
     // the staging side.
     def v(c: String) = s"""v."$c""""
-    val updates = cols.filterNot(_ == pk).map(c => s"$c = ${v(c)}").mkString(", ")
+    val payload = cols.filterNot(_ == pk)
+    val updates = payload.map(c => s"$c = ${v(c)}").mkString(", ")
+    // all-null payload = tombstone → DELETE (matched) / skip (not matched)
+    val tomb = payload.map(c => s"${v(c)} IS NULL").mkString("(", " AND ", ")")
     s"MERGE INTO $table t USING $staging v ON t.$pk = ${v(pk)} " +
+      s"WHEN MATCHED AND $tomb THEN DELETE " +
       s"WHEN MATCHED THEN UPDATE SET $updates " +
-      s"WHEN NOT MATCHED THEN INSERT (${cols.mkString(", ")}) VALUES (${cols.map(v).mkString(", ")})"
+      s"WHEN NOT MATCHED AND NOT $tomb THEN INSERT (${cols.mkString(", ")}) " +
+      s"VALUES (${cols.map(v).mkString(", ")})"
   }
 
   /** S3 alternative path — portable staging-table upsert: executors bulk-

@@ -20,6 +20,12 @@ class JdbcUpsertSpec extends SparkSpec {
 
   private val url = "jdbc:derby:memory:graftdb;create=true"
 
+  // Spark's built-in Derby dialect maps StringType → CLOB, so its writer
+  // calls setNull(CLOB) for null strings — which embedded Derby rejects
+  // against the VARCHAR staging columns. Map strings to VARCHAR for the
+  // test database (Postgres, the production target, has no such split).
+  JdbcUpsertSpec.registerDerbyVarcharDialect()
+
   private def withTable[T](f: => T): T = {
     val conn = DriverManager.getConnection(url)
     try {
@@ -65,6 +71,48 @@ class JdbcUpsertSpec extends SparkSpec {
     }
   }
 
+  /** All-null payload row for `id` — the Kafka tombstone after projection. */
+  private def tombstones(ids: String*) =
+    ids.map(id => (id, Option.empty[String], Option.empty[Double], Option.empty[Double],
+      Option.empty[String], Option.empty[Double]))
+      .toDF("order_id", "product_name", "quantity", "price", "order_date", "total_price")
+
+  test("staging MERGE: tombstone deletes by PK; redelivered tombstone is a no-op") {
+    withTable {
+      upsert(Seq(
+        ("1", "Lamp", 2.0, 3.5, "2020-01-01", 7.0),
+        ("2", "Hat", 1.0, 10.0, "2020-01-02", 10.0)
+      ).toDF("order_id", "product_name", "quantity", "price", "order_date", "total_price"))
+      upsert(tombstones("1"))
+      assert(readAll() === Map("2" -> 10.0)) // row 1 deleted
+      upsert(tombstones("1")) // at-least-once redelivery → 0 rows affected
+      assert(readAll() === Map("2" -> 10.0))
+      // mixed batch: delete 2, insert 3, tombstone for an absent key 9
+      upsert(tombstones("2", "9").unionByName(
+        Seq(("3", "Mug", 1.0, 4.0, "2020-01-03", 4.0))
+          .toDF("order_id", "product_name", "quantity", "price", "order_date", "total_price")))
+      assert(readAll() === Map("3" -> 4.0))
+    }
+  }
+
+  test("row-wise sink applies mixed upserts and tombstones in partition order") {
+    withTable {
+      // single partition → deterministic row order; fresh keys → plain
+      // INSERT is a valid "upsert" builder on Derby for this sequence
+      val batch = Seq(
+        ("5", Some("Pen"), Some(1.0), Some(2.0), Some("2020-01-01"), Some(2.0)),
+        ("6", Some("Ink"), Some(2.0), Some(3.0), Some("2020-01-01"), Some(6.0)),
+        ("5", None, None, None, None, None), // tombstone AFTER the insert above
+        ("7", Some("Nib"), Some(1.0), Some(1.0), Some("2020-01-02"), Some(1.0))
+      ).toDF("order_id", "product_name", "quantity", "price", "order_date", "total_price")
+        .coalesce(1) // coalesce concatenates slices in order; repartition would not
+      OrderStream.jdbcUpsertBatch(batch, url, "enriched_orders", new Properties(), "order_id",
+        (t, cols, _) =>
+          s"INSERT INTO $t (${cols.mkString(", ")}) VALUES (${cols.map(_ => "?").mkString(", ")})")
+      assert(readAll() === Map("6" -> 6.0, "7" -> 1.0)) // 5 inserted then deleted
+    }
+  }
+
   test("streaming foreachBatch → JDBC: the full S3 path") {
     withTable {
       implicit val ctx = spark.sqlContext
@@ -87,4 +135,17 @@ class JdbcUpsertSpec extends SparkSpec {
       assert(readAll() === Map("10" -> 10.0)) // invalid row absent, dup harmless
     }
   }
+}
+
+object JdbcUpsertSpec {
+  private lazy val registered: Unit = org.apache.spark.sql.jdbc.JdbcDialects.registerDialect(
+    new org.apache.spark.sql.jdbc.JdbcDialect {
+      override def canHandle(u: String): Boolean = u.startsWith("jdbc:derby")
+      override def getJDBCType(dt: org.apache.spark.sql.types.DataType) = dt match {
+        case org.apache.spark.sql.types.StringType =>
+          Some(org.apache.spark.sql.jdbc.JdbcType("VARCHAR(255)", java.sql.Types.VARCHAR))
+        case _ => None
+      }
+    })
+  def registerDerbyVarcharDialect(): Unit = registered
 }

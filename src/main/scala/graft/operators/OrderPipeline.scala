@@ -42,7 +42,13 @@ object OrderPipeline {
           Map("columnNameOfCorruptRecord" -> "_corrupt_record"))
       )
       .withColumn("parse_ok", col("order").isNotNull && col("order._corrupt_record").isNull)
-      .select(col("parse_ok") +: RequiredFields.map(f => col(s"order.$f").as(f)): _*)
+      // top-level key set: lets V1 distinguish an ABSENT key from an
+      // explicit JSON null ({"price": null}), exactly like the reference's
+      // `field not in message` (ref: src/app/order_validator.py:186).
+      // null for corrupt input → every field counts as absent.
+      .withColumn("present_keys", json_object_keys(col(valueCol).cast("string")))
+      .select(col("parse_ok") +: col("present_keys") +:
+        RequiredFields.map(f => col(s"order.$f").as(f)): _*)
   }
 
   // ---- validation ---------------------------------------------------------
@@ -55,7 +61,11 @@ object OrderPipeline {
 
   private def numErr(field: String): Column = {
     val d = tryDouble(col(field))
-    when(d.isNull, concat(lit(s"Field '$field' should be a number, but is of value: "), col(field)))
+    // an explicit JSON null reaches this check (key present, value null —
+    // the reference feeds None to float() and fails the same way); print
+    // the JSON spelling of the value
+    when(d.isNull, concat(lit(s"Field '$field' should be a number, but is of value: "),
+        coalesce(col(field), lit("null"))))
       .when(d < 0, lit(s"Field '$field' should be non-negative"))
   }
 
@@ -66,6 +76,13 @@ object OrderPipeline {
     *    (short-circuits all other checks, ref: :186-188) or the '; '-joined
     *    price-then-quantity errors (ref: :191-212).
     *
+    * V1 presence matches the reference's `field not in message`: when the
+    * df carries the `present_keys` column (the JSON path, see
+    * [[parseOrders]]), a key that is PRESENT with a null value is NOT
+    * "missing" — it falls through to number validation, like the
+    * reference. Loose-column inputs (no `present_keys`) can't make that
+    * distinction, so null ≡ absent there.
+    *
     * Error lists are assembled with `concat_ws` (which skips nulls) rather
     * than array + filter higher-order functions: HOF lambdas are
     * CodegenFallback and break WholeStageCodegen for the entire hot
@@ -74,7 +91,11 @@ object OrderPipeline {
     */
   def validateOrders(df: DataFrame): DataFrame = {
     // V1: required-field presence, reference declaration order.
-    val missing = concat_ws(", ", RequiredFields.map(f => when(col(f).isNull, lit(f))): _*)
+    val hasKeys = df.columns.contains("present_keys")
+    def absent(f: String): Column =
+      if (hasKeys) !coalesce(array_contains(col("present_keys"), f), lit(false))
+      else col(f).isNull
+    val missing = concat_ws(", ", RequiredFields.map(f => when(absent(f), lit(f))): _*)
     val errs = concat_ws("; ", numErr("price"), numErr("quantity"))
     df.withColumn("quantity_d", tryDouble(col("quantity")))
       .withColumn("price_d", tryDouble(col("price")))

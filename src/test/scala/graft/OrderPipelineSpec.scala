@@ -114,6 +114,20 @@ class OrderPipelineSpec extends SparkSpec {
     assert(out.filter(!$"parse_ok").select($"order_id").head().isNullAt(0))
   }
 
+  test("V1 distinguishes explicit JSON null from an absent key (JSON path)") {
+    val df = Seq(
+      // price key present with null value → reference runs float(None) →
+      // number-validation error, NOT "missing"
+      """{"order_id":1,"product_name":"a","quantity":2,"price":null,"order_date":"2020-01-01"}""",
+      // price key absent → missing-fields short-circuit
+      """{"order_id":2,"product_name":"a","quantity":2,"order_date":"2020-01-01"}"""
+    ).toDF("value")
+    val out = processOrders(parseOrders(df))
+      .select($"order_id", $"error_message").as[(String, String)].collect().toMap
+    assert(out("1") === "Field 'price' should be a number, but is of value: null")
+    assert(out("2") === "Missing required fields: price")
+  }
+
   test("kafka key: order_id as string, 'unknown' fallback (K1)") {
     val df = Seq(("7", "x", "1", "1", "2020-01-01"), (null, "x", "1", "1", "2020-01-01"))
       .toDF("order_id", "product_name", "quantity", "price", "order_date")

@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DoubleType
 
 import graft.model.OrderModel._
 
@@ -53,11 +52,13 @@ object OrderPipeline {
 
   // ---- validation ---------------------------------------------------------
 
-  // ANSI-safe cast-to-null-on-failure (Python float()-attempt semantics,
-  // ref: src/app/order_validator.py:146-163). Spark 4 runs ANSI mode by
-  // default, where a plain cast on "abc" throws; try_cast restores the
-  // reference's parse-or-null behavior.
-  private def tryDouble(c: Column): Column = c.try_cast(DoubleType)
+  // Bit-exact CPython float() parse-or-null (ref:
+  // src/app/order_validator.py:146-163): accepts inf/infinity/nan (any
+  // case, signed), PEP 515 underscores, Python's whitespace set; rejects
+  // the Java-isms ("1d", hex) that try_cast tolerates. A native codegen'd
+  // Expression — see graft.expressions.PyFloat — so it stays inside the
+  // pipeline's WholeStageCodegen span like try_cast did.
+  private def tryDouble(c: Column): Column = graft.expressions.PyFloat.py_float(c)
 
   private def numErr(field: String): Column = {
     val d = tryDouble(col(field))

@@ -64,9 +64,21 @@ object Similarity {
       .withColumn("cos", cosineWithNorms(dot(col("qemb"), col("emb")), col("qnrm"), col("nrm"))), k)
   }
 
-  /** Random-hyperplane LSH bucket id (NumPlanes sign bits) per vector. */
-  def lshBuckets(e: DataFrame): DataFrame = {
-    val bucket = aggregate(
+  /** Random-hyperplane LSH bucket id (NumPlanes sign bits) per vector —
+    * the native codegen'd expression (one generated loop per row; see
+    * expressions/RandomHyperplaneBits).
+    */
+  def lshBuckets(e: DataFrame): DataFrame =
+    withEmb(e).select(col("vec_id"), col("label"), col("emb"),
+      graft.expressions.RandomHyperplaneBits.hyperplane_bits(col("emb"), NumPlanes).as("bucket"))
+
+  /** The higher-order-function formulation of [[lshBuckets]]'s bucket id —
+    * kept as the cross-check for the native expression (nested
+    * aggregate/transform lambdas are CodegenFallback: correct, but
+    * interpreted per row).
+    */
+  def lshBucketHof: Column =
+    aggregate(
       transform(sequence(lit(0), lit(NumPlanes - 1)), j => {
         val d0 = sequence(lit(0), size(col("emb")) - 1)
         val planeDot = aggregate(d0, lit(0.0d),
@@ -76,8 +88,6 @@ object Similarity {
       }),
       lit(0L), (acc, x) => acc + x
     )
-    withEmb(e).select(col("vec_id"), col("label"), col("emb"), bucket.as("bucket"))
-  }
 
   /** ANN via LSH: neighbours searched only inside the query's bucket. */
   def knnLsh(e: DataFrame, queryMod: Int = 50, k: Int = 3): DataFrame = {

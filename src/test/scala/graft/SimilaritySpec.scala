@@ -34,6 +34,13 @@ class SimilaritySpec extends SparkSpec {
     assert(b.forall(x => x >= 0 && x < 256))
   }
 
+  test("native hyperplane-bits expression == HOF formulation on the whole corpus") {
+    val bad = Similarity.lshBuckets(Similarity.embCorpus(emb))
+      .withColumn("hof", Similarity.lshBucketHof)
+      .filter($"bucket" =!= $"hof")
+    assert(bad.count() === 0)
+  }
+
   test("centroids: one row per (label, dim); zero-vector mean magnitude sane") {
     val c = Similarity.centroids(emb).cache()
     val dims = emb.select(size($"embedding")).as[Int].head()

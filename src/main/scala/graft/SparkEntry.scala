@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsOfJoin, Dedup, Multimodal, OrderPipeline, RefOrders, Similarity, TextAnalysis}
+import graft.operators.{AsOfJoin, Curation, Dedup, Multimodal, OrderPipeline, RefOrders, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -288,6 +288,14 @@ object SparkEntry {
     "q_doc_quality" -> { (s, dir) => TextAnalysis.quality(Tables.documents(s, dir)) },
     "q_doc_langid" -> { (s, dir) => TextAnalysis.langId(Tables.documents(s, dir)) },
     "q_doc_tfidf" -> { (s, dir) => TextAnalysis.tfidfTop(Tables.documents(s, dir)) },
+
+    // ---- Training-data curation (sampling / packing / quality gating) ---
+    // Deterministic content-hash stratified sampling — narrow map, no RNG.
+    "q_doc_sample" -> { (s, dir) => Curation.sampleStratified(Tables.documents(s, dir)) },
+    // Concat-and-cut sequence packing: one window per lang shard.
+    "q_doc_pack" -> { (s, dir) => Curation.packSequences(Tables.documents(s, dir)) },
+    // Per-lang quantile quality gate (drop the worst decile).
+    "q_doc_qfilter" -> { (s, dir) => Curation.qualityFilter(Tables.documents(s, dir)) },
 
     // IVF-style ANN: probe the 2 nearest centroid cells, search only them.
     "q_emb_ivf" -> { (s, dir) => Similarity.knnIvf(Tables.embeddings(s, dir)) },
@@ -955,6 +963,46 @@ object SparkEntry {
         |SELECT doc_id, stop_ratio, short_ratio,
         |  1.0 - stop_ratio * 0.5 - short_ratio * 0.3 AS quality
         |FROM r""".stripMargin,
+    "q_doc_sample" ->
+      s"""SELECT doc_id, lang, bucket FROM (
+         |  SELECT doc_id, lang, (${Dedup.hashSql("text")}) % 1000 AS bucket
+         |  FROM documents) t
+         |WHERE bucket < ${Curation.keepSql}""".stripMargin,
+    "q_doc_pack" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, CAST(len(${Dedup.toksSql}) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, lang, n_tokens,
+         |    SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS cum_excl
+         |  FROM t)
+         |SELECT doc_id, lang, n_tokens,
+         |  CAST(cum_excl // 2048 AS BIGINT) AS pack_id,
+         |  CAST(cum_excl % 2048 AS BIGINT) AS pack_offset
+         |FROM c""".stripMargin,
+    "q_doc_qfilter" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(lower(text)), '[ \t\n\f\r]+'), x -> length(x) > 0) AS toks
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(toks, x -> x='the' OR x='a' OR x='and' OR x='of' OR x='to' OR x='in' OR x='is')) AS DOUBLE)
+        |      / CAST(NULLIF(len(toks), 0) AS DOUBLE) AS stop_ratio,
+        |    CAST(len(list_filter(toks, x -> length(x) <= 3)) AS DOUBLE)
+        |      / CAST(NULLIF(len(toks), 0) AS DOUBLE) AS short_ratio
+        |  FROM t),
+        |q AS (
+        |  SELECT r.doc_id, d.lang,
+        |    1.0 - stop_ratio * 0.5 - short_ratio * 0.3 AS quality
+        |  FROM r JOIN documents d ON r.doc_id = d.doc_id
+        |  WHERE 1.0 - stop_ratio * 0.5 - short_ratio * 0.3 IS NOT NULL)
+        |SELECT doc_id, lang, quality, q_rank FROM (
+        |  SELECT doc_id, lang, quality,
+        |    PERCENT_RANK() OVER (PARTITION BY lang ORDER BY quality) AS q_rank
+        |  FROM q) z
+        |WHERE q_rank >= 0.1""".stripMargin,
     "q_doc_langid" ->
       """WITH t AS (
         |  SELECT doc_id, lang,

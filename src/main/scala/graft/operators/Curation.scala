@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** Training-data curation operators: the selection/layout steps between a
+  * raw deduplicated corpus and a tokenizer-ready training set.
+  *
+  * Scale design:
+  *  - Sampling is a pure narrow map — keep/drop is a deterministic
+  *    function of the row's own content hash, so it needs no shuffle, no
+  *    RNG state, and produces identical samples on every rerun/cluster
+  *    size (a seeded `rand()` does NOT: row order varies with splits).
+  *    Duplicate texts sample identically by construction, which keeps the
+  *    decision consistent with dedup.
+  *  - Packing and quantile filtering are one window each over a
+  *    high-cardinality shard key (lang here; at 100 TB any shard key with
+  *    cardinality ≫ executor count) — sort-within-partition, no global
+  *    sort, no driver state.
+  */
+object Curation {
+
+  /** Per-language keep-permille for [[sampleStratified]]: downsample the
+    * dominant language, keep the tails — the standard corpus-balancing
+    * move. (Inlined identically in the DuckDB oracle.)
+    */
+  val SampleKeepPermille: Seq[(String, Int)] = Seq("en" -> 500, "de" -> 300)
+  val DefaultKeepPermille = 100
+
+  /** Deterministic content-hash bucket in [0, 1000). */
+  def sampleBucket(text: Column): Column = stringHash(text) % 1000
+
+  /** Deterministic stratified sampling: keep a row iff its content-hash
+    * bucket falls below its language's keep-permille. Emits the bucket so
+    * downstream audits can verify the rate.
+    */
+  def sampleStratified(docs: DataFrame): DataFrame = {
+    val keep = SampleKeepPermille.foldRight(lit(DefaultKeepPermille)) {
+      case ((l, p), acc) => when(col("lang") === l, lit(p)).otherwise(acc)
+    }
+    docs
+      .withColumn("bucket", sampleBucket(col("text")))
+      .filter(col("bucket") < keep)
+      .select(col("doc_id"), col("lang"), col("bucket"))
+  }
+
+  /** Sequence packing (concat-and-cut): documents are laid out in a
+    * deterministic order (doc_id) within each lang shard, token counts are
+    * cumulatively summed, and each doc is assigned the pack its FIRST
+    * token lands in: pack_id = ⌊exclusive-cumsum / budget⌋, offset = the
+    * position within that pack. This is the standard LLM-pretraining
+    * layout where the token stream is cut every `budget` tokens (docs may
+    * straddle a boundary; the offset tells the writer where). One window
+    * per shard — no global sort.
+    */
+  def packSequences(docs: DataFrame, budget: Int = 2048): DataFrame = {
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col("doc_id"), col("lang"), size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("cum_excl", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        (col("cum_excl") / budget).cast("long").as("pack_id"),
+        (col("cum_excl") % budget).as("pack_offset"))
+  }
+
+  /** Quantile quality filter: keep documents at or above the per-language
+    * `minRank` quantile of the quality score (drop the worst tail). Uses
+    * percent_rank over (quality, doc_id-pinned ties are unnecessary:
+    * equal qualities share a rank, so the kept SET is deterministic).
+    */
+  def qualityFilter(docs: DataFrame, minRank: Double = 0.1): DataFrame = {
+    val w = Window.partitionBy(col("lang")).orderBy(col("quality"))
+    TextAnalysis.quality(docs)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      // empty/whitespace-only docs have null quality: drop them up front
+      // (they'd fail any quality bar, and Spark/DuckDB disagree on where
+      // nulls sort, so keeping them would make the rank engine-dependent)
+      .filter(col("quality").isNotNull)
+      .withColumn("q_rank", percent_rank().over(w))
+      .filter(col("q_rank") >= minRank)
+      .select(col("doc_id"), col("lang"), col("quality"), col("q_rank"))
+  }
+
+  // ---- DuckDB oracle mirrors ---------------------------------------------
+
+  /** CASE expression mirroring the keep-permille table. */
+  val keepSql: String =
+    SampleKeepPermille.map { case (l, p) => s"WHEN lang = '$l' THEN $p" }
+      .mkString("CASE ", " ", s" ELSE $DefaultKeepPermille END")
+}

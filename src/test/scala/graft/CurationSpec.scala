@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Curation, TextAnalysis}
+import graft.sources.Tables
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, Sf)
+
+  test("stratified sample: deterministic, and equal texts sample identically") {
+    val a = Curation.sampleStratified(docs).select($"doc_id").as[Long].collect().toSet
+    val b = Curation.sampleStratified(docs).select($"doc_id").as[Long].collect().toSet
+    assert(a === b) // no RNG anywhere
+    // a duplicated text must make the same keep/drop decision as its source
+    val dup = docs.withColumn("doc_id", $"doc_id" + 5000000L)
+    val kept2 = Curation.sampleStratified(docs.unionByName(dup))
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept2.filter(_ < 5000000L) === a)
+    assert(kept2.filter(_ >= 5000000L).map(_ - 5000000L) === a)
+  }
+
+  test("stratified sample: en is downsampled less aggressively than the tail") {
+    val rates = Curation.sampleStratified(docs).groupBy($"lang").count()
+      .join(docs.groupBy($"lang").count().withColumnRenamed("count", "total"), "lang")
+      .select($"lang", ($"count" / $"total").as("rate"))
+      .as[(String, Double)].collect().toMap
+    // hash buckets are uniform-ish; generous tolerance at corpus size
+    assert(rates("en") > 0.35 && rates("en") < 0.65)
+    for ((l, r) <- rates if l != "en" && l != "de") assert(r < 0.25, s"$l rate $r")
+  }
+
+  test("packing: offsets stay inside the budget and packs fill in doc order") {
+    val p = Curation.packSequences(docs, budget = 512).cache()
+    assert(p.filter($"pack_offset" < 0 || $"pack_offset" >= 512).count() === 0)
+    // cumulative reconstruction: pack_id*budget + offset == exclusive cumsum
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"lang").orderBy($"doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val bad = p
+      .withColumn("expect", coalesce(sum($"n_tokens").over(w), lit(0L)))
+      .filter($"pack_id" * 512 + $"pack_offset" =!= $"expect")
+    assert(bad.count() === 0)
+    // pack ids are dense per lang: every id up to the max appears
+    val ids = p.groupBy($"lang").agg(max($"pack_id").as("mx"), count_distinct($"pack_id").as("n"))
+      .filter($"n" =!= $"mx" + 1)
+    assert(ids.count() === 0)
+  }
+
+  test("quality gate keeps only the upper quantile, per language") {
+    val kept = Curation.qualityFilter(docs, minRank = 0.1).cache()
+    val all = TextAnalysis.quality(docs)
+      .join(docs.select($"doc_id", $"lang"), "doc_id")
+      .filter($"quality".isNotNull)
+    // every dropped doc's quality is <= every kept doc's quality (per lang)
+    val worstKept = kept.groupBy($"lang").agg(min($"quality").as("kmin"))
+    val dropped = all.join(kept.select($"doc_id"), Seq("doc_id"), "left_anti")
+    val bad = dropped.join(worstKept, "lang").filter($"quality" > $"kmin")
+    assert(bad.count() === 0)
+    // and it actually drops something but keeps ~90%
+    val (nAll, nKept) = (all.count(), kept.count())
+    assert(nKept < nAll && nKept >= (nAll * 0.85).toLong)
+  }
+}

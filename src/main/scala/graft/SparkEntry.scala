@@ -289,6 +289,16 @@ object SparkEntry {
     "q_doc_langid" -> { (s, dir) => TextAnalysis.langId(Tables.documents(s, dir)) },
     "q_doc_tfidf" -> { (s, dir) => TextAnalysis.tfidfTop(Tables.documents(s, dir)) },
 
+    // Exact per-customer top-3 order ids via a bounded-heap
+    // TypedImperativeAggregate: O(k) buffer per group, so map-side partial
+    // aggregation shrinks every partition to k rows per group BEFORE the
+    // shuffle (collect_list+sort would ship the whole table).
+    "q_topk_agg" -> { (s, dir) =>
+      Tables.orders(s, dir).groupBy(col("o_custkey"))
+        .agg(graft.expressions.TopKAgg.top_k_ids(col("o_totalprice"), col("o_orderkey"), 3)
+          .as("top_ids"))
+    },
+
     // ---- Training-data curation (sampling / packing / quality gating) ---
     // Deterministic content-hash stratified sampling — narrow map, no RNG.
     "q_doc_sample" -> { (s, dir) => Curation.sampleStratified(Tables.documents(s, dir)) },
@@ -963,6 +973,10 @@ object SparkEntry {
         |SELECT doc_id, stop_ratio, short_ratio,
         |  1.0 - stop_ratio * 0.5 - short_ratio * 0.3 AS quality
         |FROM r""".stripMargin,
+    "q_topk_agg" ->
+      """SELECT o_custkey,
+        |  (list(o_orderkey ORDER BY o_totalprice DESC, o_orderkey))[1:3] AS top_ids
+        |FROM orders GROUP BY o_custkey""".stripMargin,
     "q_doc_sample" ->
       s"""SELECT doc_id, lang, bucket FROM (
          |  SELECT doc_id, lang, (${Dedup.hashSql("text")}) % 1000 AS bucket

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.PolyHash
+import graft.expressions.{PolyHash, PyFloat, RandomHyperplaneBits}
 
 /** SparkSessionExtensions entry point for the graft engine — the
   * deployment-grade registration path for our native expressions:
@@ -16,7 +16,7 @@ import graft.expressions.PolyHash
   * }}}
   *
   * Inside an already-running session (tests, Verify), the equivalent is
-  * `PolyHash.register(spark)`.
+  * each expression object's `register(spark)`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
@@ -24,6 +24,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("poly_hash"),
       new ExpressionInfo(classOf[PolyHash].getName, "poly_hash"),
       (exprs: Seq[Expression]) => PolyHash(exprs.head)
+    ))
+    e.injectFunction((
+      FunctionIdentifier("py_float"),
+      new ExpressionInfo(classOf[PyFloat].getName, "py_float"),
+      (exprs: Seq[Expression]) => PyFloat(exprs.head)
+    ))
+    e.injectFunction((
+      FunctionIdentifier("hyperplane_bits"),
+      new ExpressionInfo(classOf[RandomHyperplaneBits].getName, "hyperplane_bits"),
+      (exprs: Seq[Expression]) => RandomHyperplaneBits(exprs.head, 8)
     ))
   }
 }

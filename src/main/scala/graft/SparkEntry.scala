@@ -306,6 +306,16 @@ object SparkEntry {
     "q_doc_pack" -> { (s, dir) => Curation.packSequences(Tables.documents(s, dir)) },
     // Per-lang quantile quality gate (drop the worst decile).
     "q_doc_qfilter" -> { (s, dir) => Curation.qualityFilter(Tables.documents(s, dir)) },
+    // Overlapping token-window chunking (RAG/pretraining layout).
+    "q_doc_chunks" -> { (s, dir) => Curation.chunk(Tables.documents(s, dir)) },
+    // PII scrubbing: email + long-digit-run redaction, counted.
+    "q_doc_redact" -> { (s, dir) => Curation.redact(Tables.documents(s, dir)) },
+    // End-to-end dedup: corpus minus non-keeper cluster members.
+    "q_dedup_clean" -> { (s, dir) =>
+      Dedup.dedupedCorpus(Dedup.corpus(Tables.documents(s, dir)))
+        .select(col("doc_id"), col("lang"),
+          graft.functions.TextFunctions.stringHash(col("text")).as("fp"))
+    },
 
     // IVF-style ANN: probe the 2 nearest centroid cells, search only them.
     "q_emb_ivf" -> { (s, dir) => Similarity.knnIvf(Tables.embeddings(s, dir)) },
@@ -995,6 +1005,48 @@ object SparkEntry {
          |  CAST(cum_excl // 2048 AS BIGINT) AS pack_id,
          |  CAST(cum_excl % 2048 AS BIGINT) AS pack_offset
          |FROM c""".stripMargin,
+    "q_doc_chunks" ->
+      s"""WITH t AS (SELECT doc_id, ${Dedup.toksSql} AS toks FROM documents),
+         |u AS (SELECT doc_id, toks, len(toks) AS nt FROM t WHERE len(toks) > 0),
+         |s AS (SELECT doc_id, toks, unnest(range(0, nt, 48)) AS start FROM u)
+         |SELECT doc_id,
+         |  CAST(start // 48 AS BIGINT) AS chunk_id,
+         |  CAST(start AS BIGINT) AS start,
+         |  CAST(len(toks[start+1 : start+64]) AS BIGINT) AS n_chunk_tokens,
+         |  ${Dedup.hashSql("array_to_string(toks[start+1 : start+64], ' ')")} AS chunk_fp
+         |FROM s""".stripMargin,
+    "q_doc_redact" ->
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '${Curation.EmailRe}')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(text, '${Curation.LongNumRe}')) AS BIGINT) AS n_longnums,
+         |  ${Dedup.hashSql(
+              s"regexp_replace(regexp_replace(text, '${Curation.EmailRe}', '<email>', 'g'), " +
+              s"'${Curation.LongNumRe}', '<num>', 'g')")} AS redacted_fp
+         |FROM documents""".stripMargin,
+    "q_dedup_clean" ->
+      s"""WITH RECURSIVE ${Dedup.corpusSql},
+         |${Dedup.tokSql},
+         |${Dedup.sigSql},
+         |${Dedup.bandsSql},
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM cand
+         |  UNION
+         |  SELECT doc_b AS src, doc_a AS dst FROM cand),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |comp AS (
+         |  SELECT src AS id, LEAST(src, MIN(dst)) AS cluster
+         |  FROM reach GROUP BY src)
+         |SELECT c.doc_id, c.lang, ${Dedup.hashSql("c.text")} AS fp
+         |FROM corpus c
+         |WHERE NOT EXISTS (
+         |  SELECT 1 FROM comp WHERE comp.id = c.doc_id AND comp.id <> comp.cluster)""".stripMargin,
     "q_doc_qfilter" ->
       """WITH t AS (
         |  SELECT doc_id,

@@ -85,6 +85,44 @@ object Curation {
       .select(col("doc_id"), col("lang"), col("quality"), col("q_rank"))
   }
 
+  /** Token-window chunking (size tokens per chunk, stride < size →
+    * overlap): the RAG/pretraining chunk layout. One narrow explode per
+    * doc — chunk starts are 0, stride, 2·stride … < n_tokens; each chunk
+    * is fingerprinted instead of dumped (compact, deterministic).
+    */
+  def chunk(docs: DataFrame, size: Int = 64, stride: Int = 48): DataFrame = {
+    val toks = tokens(col("text"))
+    docs
+      .select(col("doc_id"), toks.as("toks"), org.apache.spark.sql.functions.size(toks).as("nt"))
+      .filter(col("nt") > 0)
+      .withColumn("start", explode(sequence(lit(0), col("nt") - 1, lit(stride))))
+      .select(
+        col("doc_id"),
+        expr(s"start DIV $stride").as("chunk_id"),
+        col("start").cast("long").as("start"),
+        org.apache.spark.sql.functions.size(slice(col("toks"), col("start") + 1, lit(size)))
+          .cast("long").as("n_chunk_tokens"),
+        stringHash(concat_ws(" ", slice(col("toks"), col("start") + 1, lit(size)))).as("chunk_fp"))
+  }
+
+  /** PII scrubbing: redact emails and long digit runs (account/phone-ish)
+    * with typed placeholders. Conservative explicit-class regexes that
+    * mean the same thing in Java regex (Spark) and RE2 (DuckDB). Narrow
+    * map; emits redaction counts + the redacted-text fingerprint.
+    */
+  val EmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val LongNumRe = "[0-9]{6,}"
+
+  def redact(docs: DataFrame): DataFrame = {
+    val clean = regexp_replace(regexp_replace(col("text"), EmailRe, "<email>"),
+      LongNumRe, "<num>")
+    docs.select(
+      col("doc_id"),
+      regexp_count(col("text"), lit(EmailRe)).cast("long").as("n_emails"),
+      regexp_count(col("text"), lit(LongNumRe)).cast("long").as("n_longnums"),
+      stringHash(clean).as("redacted_fp"))
+  }
+
   // ---- DuckDB oracle mirrors ---------------------------------------------
 
   /** CASE expression mirroring the keep-permille table. */

@@ -259,6 +259,17 @@ object Dedup {
     result
   }
 
+  /** The end-to-end dedup output: the corpus minus every non-keeper
+    * cluster member (cluster keepers and never-candidate singletons
+    * survive) — [[minhashCandidates]] → [[duplicateClusters]] → anti-join,
+    * i.e. what a pipeline actually feeds the tokenizer.
+    */
+  def dedupedCorpus(c: DataFrame): DataFrame = {
+    val nonKeepers = duplicateClusters(minhashCandidates(c))
+      .filter(!col("is_keeper")).select(col("doc_id"))
+    c.join(nonKeepers, Seq("doc_id"), "left_anti")
+  }
+
   // ---- DuckDB oracle mirrors ---------------------------------------------
 
   val corpusSql: String =

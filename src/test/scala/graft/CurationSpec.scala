@@ -48,6 +48,36 @@ class CurationSpec extends SparkSpec {
     assert(ids.count() === 0)
   }
 
+  test("chunking: strided starts, bounded sizes, full coverage") {
+    val c = Curation.chunk(docs, size = 64, stride = 48).cache()
+    assert(c.filter($"n_chunk_tokens" < 1 || $"n_chunk_tokens" > 64).count() === 0)
+    assert(c.filter($"start" =!= $"chunk_id" * 48).count() === 0)
+    // chunk count per doc = ceil(nt / stride); with overlap every token is
+    // covered because size > stride
+    val stats = graft.operators.TextAnalysis.stats(docs).select($"doc_id", $"n_tokens")
+    val bad = c.groupBy($"doc_id").count().join(stats, "doc_id")
+      .filter($"count" =!= ceil($"n_tokens" / 48.0).cast("long"))
+    assert(bad.count() === 0)
+  }
+
+  test("redaction replaces emails and long digit runs, counts match") {
+    val df = Seq(
+      (1L, "en", "contact bob.smith+x@ex-ample.org or 1234567 now"),
+      (2L, "en", "clean text only"),
+      (3L, "en", "two mails a@b.co c@d.io and 99999 short")
+    ).toDF("doc_id", "lang", "text")
+    val out = Curation.redact(df).as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) === ((1L, 1L)))
+    assert(out(2L) === ((0L, 0L)))
+    assert(out(3L) === ((2L, 0L))) // 99999 is only 5 digits
+    // fingerprint of doc 2 equals the hash of its unchanged text
+    val fp = Curation.redact(df).filter($"doc_id" === 2L).select($"redacted_fp").as[Long].head()
+    val raw = df.filter($"doc_id" === 2L)
+      .select(graft.functions.TextFunctions.stringHash($"text")).as[Long].head()
+    assert(fp === raw)
+  }
+
   test("quality gate keeps only the upper quantile, per language") {
     val kept = Curation.qualityFilter(docs, minRank = 0.1).cache()
     val all = TextAnalysis.quality(docs)

@@ -67,6 +67,21 @@ class DedupSpec extends SparkSpec {
     assert(pairsSame)
   }
 
+  test("dedupedCorpus removes every planted copy and keeps every base doc") {
+    val kept = Dedup.dedupedCorpus(corpus).select($"doc_id").as[Long].collect().toSet
+    val copies = (plantedExact ++ plantedNear).map(_._2)
+    assert(copies.forall(!kept.contains(_)), "a planted copy survived dedup")
+    // only base ids survive (copies all have +1M/+2M offsets)...
+    val baseIds = docs.select($"doc_id").as[Long].collect().toSet
+    assert((kept -- baseIds).isEmpty, "a copy id leaked through")
+    // ...and the removed base docs are EXACTLY the cluster non-keepers
+    // (base docs can be non-keepers when LSH merges genuinely-similar
+    // docs — the smaller id wins)
+    val nonKeepers = Dedup.duplicateClusters(Dedup.minhashCandidates(corpus))
+      .filter(!$"is_keeper").select($"doc_id").as[Long].collect().toSet
+    assert((baseIds -- kept) === (nonKeepers & baseIds))
+  }
+
   test("duplicateClusters unpersists its intermediates") {
     val before = spark.sparkContext.getPersistentRDDs.keySet
     Dedup.duplicateClusters(Dedup.minhashCandidates(corpus)).count()

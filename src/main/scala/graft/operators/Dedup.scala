@@ -119,8 +119,19 @@ object Dedup {
       .distinct()
   }
 
-  /** 32-bit SimHash per document (trigram-shingle counts as weights). */
-  def simhash(c: DataFrame): DataFrame = {
+  /** 32-bit SimHash per document (trigram-shingle counts as weights),
+    * via the [[graft.expressions.SimHashAgg]] bounded-state aggregate:
+    * one shuffle on doc_id with a 32-counter buffer, instead of exploding
+    * 32 bit-rows per shingle across two shuffles. Bit-identical to that
+    * explode formulation (cross-checked in DedupSpec; the DuckDB oracle
+    * still uses the explode SQL).
+    */
+  def simhash(c: DataFrame): DataFrame =
+    shingles(c).groupBy(col("doc_id"))
+      .agg(graft.expressions.SimHashAgg.simhash_agg(col("h")).as("simhash"))
+
+  /** The explode formulation of [[simhash]] — kept as the cross-check. */
+  def simhashExplode(c: DataFrame): DataFrame = {
     val tokCnt = shingles(c)
       .groupBy(col("doc_id"), col("h"))
       .agg(count(lit(1)).as("cnt"))

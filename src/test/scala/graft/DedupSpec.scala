@@ -67,6 +67,15 @@ class DedupSpec extends SparkSpec {
     assert(pairsSame)
   }
 
+  test("SimHashAgg fingerprint == explode formulation on the whole corpus") {
+    val a = Dedup.simhash(corpus)
+    val b = Dedup.simhashExplode(corpus).withColumnRenamed("simhash", "expected")
+    val j = a.join(b, "doc_id").cache()
+    // same doc set (docs with <3 tokens have no shingles in either form)
+    assert(j.count() === a.count() && a.count() === b.count())
+    assert(j.filter($"simhash" =!= $"expected").count() === 0)
+  }
+
   test("dedupedCorpus removes every planted copy and keeps every base doc") {
     val kept = Dedup.dedupedCorpus(corpus).select($"doc_id").as[Long].collect().toSet
     val copies = (plantedExact ++ plantedNear).map(_._2)

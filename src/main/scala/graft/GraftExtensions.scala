@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{PolyHash, PyFloat, RandomHyperplaneBits}
+import graft.expressions.{NfcNormalize, PolyHash, PyFloat, RandomHyperplaneBits}
 
 /** SparkSessionExtensions entry point for the graft engine — the
   * deployment-grade registration path for our native expressions:
@@ -34,6 +34,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("hyperplane_bits"),
       new ExpressionInfo(classOf[RandomHyperplaneBits].getName, "hyperplane_bits"),
       (exprs: Seq[Expression]) => RandomHyperplaneBits(exprs.head, 8)
+    ))
+    e.injectFunction((
+      FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (exprs: Seq[Expression]) => NfcNormalize(exprs.head)
     ))
   }
 }

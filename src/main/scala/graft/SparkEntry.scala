@@ -310,6 +310,8 @@ object SparkEntry {
     "q_doc_chunks" -> { (s, dir) => Curation.chunk(Tables.documents(s, dir)) },
     // PII scrubbing: email + long-digit-run redaction, counted.
     "q_doc_redact" -> { (s, dir) => Curation.redact(Tables.documents(s, dir)) },
+    // Canonical normalization: NFC (native expr) + lower + ws collapse.
+    "q_doc_normalize" -> { (s, dir) => Curation.normalized(Tables.documents(s, dir)) },
     // End-to-end dedup: corpus minus non-keeper cluster members.
     "q_dedup_clean" -> { (s, dir) =>
       Dedup.dedupedCorpus(Dedup.corpus(Tables.documents(s, dir)))
@@ -1023,6 +1025,14 @@ object SparkEntry {
               s"regexp_replace(regexp_replace(text, '${Curation.EmailRe}', '<email>', 'g'), " +
               s"'${Curation.LongNumRe}', '<num>', 'g')")} AS redacted_fp
          |FROM documents""".stripMargin,
+    "q_doc_normalize" ->
+      s"""SELECT doc_id,
+         |  CAST(length(n) AS BIGINT) AS n_chars,
+         |  ${Dedup.hashSql("n")} AS norm_fp
+         |FROM (
+         |  SELECT doc_id,
+         |    trim(regexp_replace(lower(nfc_normalize(text)), '[ \\t\\n\\f\\r]+', ' ', 'g')) AS n
+         |  FROM documents) t""".stripMargin,
     "q_dedup_clean" ->
       s"""WITH RECURSIVE ${Dedup.corpusSql},
          |${Dedup.tokSql},

@@ -123,6 +123,23 @@ object Curation {
       stringHash(clean).as("redacted_fp"))
   }
 
+  /** Canonical text normalization: Unicode NFC (native expression), then
+    * lowercase, whitespace collapse, trim. Run BEFORE hashing/shingling so
+    * composed and decomposed spellings of the same text dedup together.
+    */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(lower(graft.expressions.NfcNormalize.nfc_normalize(text)),
+      "[ \\t\\n\\f\\r]+", " "))
+
+  /** Normalized fingerprint + length per doc ([[normalizeText]]). */
+  def normalized(docs: DataFrame): DataFrame = {
+    val n = normalizeText(col("text"))
+    docs.select(
+      col("doc_id"),
+      length(n).cast("long").as("n_chars"),
+      stringHash(n).as("norm_fp"))
+  }
+
   // ---- DuckDB oracle mirrors ---------------------------------------------
 
   /** CASE expression mirroring the keep-permille table. */

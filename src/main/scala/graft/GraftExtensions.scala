@@ -33,7 +33,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((
       FunctionIdentifier("hyperplane_bits"),
       new ExpressionInfo(classOf[RandomHyperplaneBits].getName, "hyperplane_bits"),
-      (exprs: Seq[Expression]) => RandomHyperplaneBits(exprs.head, 8)
+      (exprs: Seq[Expression]) =>
+        RandomHyperplaneBits(exprs.head, graft.operators.Similarity.NumPlanes)
     ))
     e.injectFunction((
       FunctionIdentifier("nfc_normalize"),

@@ -971,20 +971,10 @@ object SparkEntry {
         |    (a, b) -> (a*31 + b) % 1000000007) AS fp
         |FROM t""".stripMargin,
     "q_doc_quality" ->
-      """WITH t AS (
-        |  SELECT doc_id,
-        |    list_filter(regexp_split_to_array(trim(lower(text)), '[ \t\n\f\r]+'), x -> length(x) > 0) AS toks
-        |  FROM documents),
-        |r AS (
-        |  SELECT doc_id,
-        |    CAST(len(list_filter(toks, x -> x='the' OR x='a' OR x='and' OR x='of' OR x='to' OR x='in' OR x='is')) AS DOUBLE)
-        |      / CAST(NULLIF(len(toks), 0) AS DOUBLE) AS stop_ratio,
-        |    CAST(len(list_filter(toks, x -> length(x) <= 3)) AS DOUBLE)
-        |      / CAST(NULLIF(len(toks), 0) AS DOUBLE) AS short_ratio
-        |  FROM t)
-        |SELECT doc_id, stop_ratio, short_ratio,
-        |  1.0 - stop_ratio * 0.5 - short_ratio * 0.3 AS quality
-        |FROM r""".stripMargin,
+      s"""WITH ${TextAnalysis.qualityRatiosSql}
+         |SELECT doc_id, stop_ratio, short_ratio,
+         |  ${TextAnalysis.qualityScoreSql} AS quality
+         |FROM rq""".stripMargin,
     "q_topk_agg" ->
       """SELECT o_custkey,
         |  (list(o_orderkey ORDER BY o_totalprice DESC, o_orderkey))[1:3] AS top_ids
@@ -1058,27 +1048,17 @@ object SparkEntry {
          |WHERE NOT EXISTS (
          |  SELECT 1 FROM comp WHERE comp.id = c.doc_id AND comp.id <> comp.cluster)""".stripMargin,
     "q_doc_qfilter" ->
-      """WITH t AS (
-        |  SELECT doc_id,
-        |    list_filter(regexp_split_to_array(trim(lower(text)), '[ \t\n\f\r]+'), x -> length(x) > 0) AS toks
-        |  FROM documents),
-        |r AS (
-        |  SELECT doc_id,
-        |    CAST(len(list_filter(toks, x -> x='the' OR x='a' OR x='and' OR x='of' OR x='to' OR x='in' OR x='is')) AS DOUBLE)
-        |      / CAST(NULLIF(len(toks), 0) AS DOUBLE) AS stop_ratio,
-        |    CAST(len(list_filter(toks, x -> length(x) <= 3)) AS DOUBLE)
-        |      / CAST(NULLIF(len(toks), 0) AS DOUBLE) AS short_ratio
-        |  FROM t),
-        |q AS (
-        |  SELECT r.doc_id, d.lang,
-        |    1.0 - stop_ratio * 0.5 - short_ratio * 0.3 AS quality
-        |  FROM r JOIN documents d ON r.doc_id = d.doc_id
-        |  WHERE 1.0 - stop_ratio * 0.5 - short_ratio * 0.3 IS NOT NULL)
-        |SELECT doc_id, lang, quality, q_rank FROM (
-        |  SELECT doc_id, lang, quality,
-        |    PERCENT_RANK() OVER (PARTITION BY lang ORDER BY quality) AS q_rank
-        |  FROM q) z
-        |WHERE q_rank >= 0.1""".stripMargin,
+      s"""WITH ${TextAnalysis.qualityRatiosSql},
+         |q AS (
+         |  SELECT rq.doc_id, d.lang,
+         |    ${TextAnalysis.qualityScoreSql} AS quality
+         |  FROM rq JOIN documents d ON rq.doc_id = d.doc_id
+         |  WHERE ${TextAnalysis.qualityScoreSql} IS NOT NULL)
+         |SELECT doc_id, lang, quality, q_rank FROM (
+         |  SELECT doc_id, lang, quality,
+         |    PERCENT_RANK() OVER (PARTITION BY lang ORDER BY quality) AS q_rank
+         |  FROM q) z
+         |WHERE q_rank >= 0.1""".stripMargin,
     "q_doc_langid" ->
       """WITH t AS (
         |  SELECT doc_id, lang,

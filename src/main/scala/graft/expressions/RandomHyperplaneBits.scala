@@ -85,8 +85,10 @@ object RandomHyperplaneBits {
   def hyperplane_bits(c: Column, planes: Int): Column =
     column(RandomHyperplaneBits(expression(c), planes))
 
-  /** SQL registration (8 planes): SELECT hyperplane_bits(emb) FROM ... */
+  /** SQL registration (engine plane count): SELECT hyperplane_bits(emb). */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "hyperplane_bits", exprs => RandomHyperplaneBits(exprs.head, 8), "built-in")
+      "hyperplane_bits",
+      exprs => RandomHyperplaneBits(exprs.head, graft.operators.Similarity.NumPlanes),
+      "built-in")
 }

@@ -63,10 +63,10 @@ object OrderPipeline {
   private def numErr(field: String): Column = {
     val d = tryDouble(col(field))
     // an explicit JSON null reaches this check (key present, value null —
-    // the reference feeds None to float() and fails the same way); print
-    // the JSON spelling of the value
+    // the reference feeds None to float() and fails the same way, and its
+    // f-string renders the value as str(None) = "None"; match it exactly)
     when(d.isNull, concat(lit(s"Field '$field' should be a number, but is of value: "),
-        coalesce(col(field), lit("null"))))
+        coalesce(col(field), lit("None"))))
       .when(d < 0, lit(s"Field '$field' should be non-negative"))
   }
 

@@ -93,6 +93,27 @@ object TextAnalysis {
       .select(col("doc_id"), col("h").as("top_term_hash"), col("tf"), col("df"), col("tfidf"))
   }
 
+  // ---- DuckDB oracle mirrors ---------------------------------------------
+
+  /** DuckDB mirror of [[quality]]'s ratio computation over `documents`:
+    * CTEs `tq` (tokens, via the shared [[Dedup.toksSql]]) and `rq`
+    * (stop/short ratios). Spliced into the q_doc_quality and
+    * q_doc_qfilter oracles so tokenizer or formula changes can't drift
+    * between mirrors.
+    */
+  val qualityRatiosSql: String =
+    s"""tq AS (SELECT doc_id, ${Dedup.toksSql} AS toks FROM documents),
+       |rq AS (
+       |  SELECT doc_id,
+       |    CAST(len(list_filter(toks, x -> ${Stopwords.map(w => s"x='$w'").mkString(" OR ")})) AS DOUBLE)
+       |      / CAST(NULLIF(len(toks), 0) AS DOUBLE) AS stop_ratio,
+       |    CAST(len(list_filter(toks, x -> length(x) <= 3)) AS DOUBLE)
+       |      / CAST(NULLIF(len(toks), 0) AS DOUBLE) AS short_ratio
+       |  FROM tq)""".stripMargin
+
+  /** The composite score over `rq`'s columns — mirror of [[quality]]. */
+  val qualityScoreSql: String = "1.0 - stop_ratio * 0.5 - short_ratio * 0.3"
+
   /** Language-ID heuristic: marker-vocabulary counts, fixed-precedence
     * arg-max. (On the driver's synthetic corpus this exercises the
     * operator shape; the heuristic itself is standard stopword LID.)

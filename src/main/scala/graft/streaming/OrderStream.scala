@@ -207,9 +207,27 @@ object OrderStream {
     * write the batch into `<table>_stage` in parallel (plain JDBC insert),
     * then one set-based MERGE folds it into the target. Scales with
     * executor count; the merge is a single server-side statement.
+    *
+    * A MERGE source must be unique per key (two rows for one PK raise a
+    * cardinality violation — Derby SQLSTATE 21000, Postgres "cannot
+    * affect row a second time"). When a micro-batch can carry several
+    * records per key (e.g. upsert then tombstone of the same order), pass
+    * `orderCol` (the Kafka offset in foreachBatch) and only the LAST
+    * record per key is merged — set-based equivalent of the row-wise
+    * path's in-order application. Without `orderCol` the caller must
+    * guarantee at most one record per key per batch.
     */
-  def jdbcUpsertViaStaging(batch: DataFrame, url: String, table: String,
-      props: java.util.Properties, pk: String = "order_id"): Unit = {
+  def jdbcUpsertViaStaging(batch0: DataFrame, url: String, table: String,
+      props: java.util.Properties, pk: String = "order_id",
+      orderCol: Option[String] = None): Unit = {
+    val batch = orderCol match {
+      case Some(oc) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(pk)).orderBy(col(oc).desc)
+        batch0.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn", oc)
+      case None => batch0
+    }
     val staging = s"${table}_stage"
     val cols = batch.schema.fieldNames.toSeq
     // string columns as VARCHAR, not the dialect's LOB default — LOBs are

@@ -95,6 +95,25 @@ class JdbcUpsertSpec extends SparkSpec {
     }
   }
 
+  test("staging MERGE with orderCol: last record per key wins in a mixed batch") {
+    withTable {
+      upsert(Seq(("6", "Old", 1.0, 1.0, "2020-01-01", 1.0))
+        .toDF("order_id", "product_name", "quantity", "price", "order_date", "total_price"))
+      // several records per key in ONE batch — MERGE alone would raise a
+      // cardinality violation; orderCol (the Kafka offset) reduces to the
+      // last record per key first
+      val batch = Seq(
+        (1L, "5", Some("Pen"), Some(1.0), Some(2.0), Some("2020-01-01"), Some(2.0)),
+        (2L, "5", None, None, None, None, None), // tombstone after insert
+        (3L, "6", None, None, None, None, None), // tombstone…
+        (4L, "6", Some("New"), Some(2.0), Some(3.0), Some("2020-01-02"), Some(6.0)) // …recreate
+      ).toDF("off", "order_id", "product_name", "quantity", "price", "order_date", "total_price")
+      OrderStream.jdbcUpsertViaStaging(batch, url, "enriched_orders", new Properties(),
+        "order_id", Some("off"))
+      assert(readAll() === Map("6" -> 6.0)) // 5 never lands, 6 re-created
+    }
+  }
+
   test("row-wise sink applies mixed upserts and tombstones in partition order") {
     withTable {
       // single partition → deterministic row order; fresh keys → plain

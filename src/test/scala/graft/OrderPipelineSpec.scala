@@ -124,7 +124,8 @@ class OrderPipelineSpec extends SparkSpec {
     ).toDF("value")
     val out = processOrders(parseOrders(df))
       .select($"order_id", $"error_message").as[(String, String)].collect().toMap
-    assert(out("1") === "Field 'price' should be a number, but is of value: null")
+    // "None" = str(None), exactly what the reference's f-string prints
+    assert(out("1") === "Field 'price' should be a number, but is of value: None")
     assert(out("2") === "Missing required fields: price")
   }
 

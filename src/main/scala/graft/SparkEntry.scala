@@ -318,6 +318,19 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"),
           graft.functions.TextFunctions.stringHash(col("text")).as("fp"))
     },
+    // The whole training-data pipeline in one plan: planted corpus →
+    // near-dup removal (MinHash-LSH + connected components) → per-lang
+    // quality gate → deterministic stratified sample → sequence packing.
+    // Every stage is the already-oracle-checked operator; this query
+    // checks their COMPOSITION end to end.
+    "q_pipeline_e2e" -> { (s, dir) =>
+      val clean = Dedup.dedupedCorpus(Dedup.corpus(Tables.documents(s, dir)))
+      val kept = clean.join(
+        Curation.qualityFilter(clean).select(col("doc_id")), Seq("doc_id"))
+      val sampled = kept.join(
+        Curation.sampleStratified(kept).select(col("doc_id")), Seq("doc_id"))
+      Curation.packSequences(sampled)
+    },
 
     // IVF-style ANN: probe the 2 nearest centroid cells, search only them.
     "q_emb_ivf" -> { (s, dir) => Similarity.knnIvf(Tables.embeddings(s, dir)) },
@@ -971,7 +984,7 @@ object SparkEntry {
         |    (a, b) -> (a*31 + b) % 1000000007) AS fp
         |FROM t""".stripMargin,
     "q_doc_quality" ->
-      s"""WITH ${TextAnalysis.qualityRatiosSql}
+      s"""WITH ${TextAnalysis.qualityRatiosSql()}
          |SELECT doc_id, stop_ratio, short_ratio,
          |  ${TextAnalysis.qualityScoreSql} AS quality
          |FROM rq""".stripMargin,
@@ -1047,8 +1060,57 @@ object SparkEntry {
          |FROM corpus c
          |WHERE NOT EXISTS (
          |  SELECT 1 FROM comp WHERE comp.id = c.doc_id AND comp.id <> comp.cluster)""".stripMargin,
+    "q_pipeline_e2e" ->
+      s"""WITH RECURSIVE ${Dedup.corpusSql},
+         |${Dedup.tokSql},
+         |${Dedup.sigSql},
+         |${Dedup.bandsSql},
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM cand
+         |  UNION
+         |  SELECT doc_b AS src, doc_a AS dst FROM cand),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |comp AS (
+         |  SELECT src AS id, LEAST(src, MIN(dst)) AS cluster
+         |  FROM reach GROUP BY src),
+         |clean AS (
+         |  SELECT c.doc_id, c.lang, c.text FROM corpus c
+         |  WHERE NOT EXISTS (
+         |    SELECT 1 FROM comp WHERE comp.id = c.doc_id AND comp.id <> comp.cluster)),
+         |${TextAnalysis.qualityRatiosSql("clean")},
+         |gated AS (
+         |  SELECT doc_id FROM (
+         |    SELECT rq.doc_id,
+         |      PERCENT_RANK() OVER (PARTITION BY d.lang
+         |        ORDER BY ${TextAnalysis.qualityScoreSql}) AS q_rank
+         |    FROM rq JOIN clean d ON rq.doc_id = d.doc_id
+         |    WHERE ${TextAnalysis.qualityScoreSql} IS NOT NULL) z
+         |  WHERE q_rank >= 0.1),
+         |sampled AS (
+         |  SELECT c.doc_id, c.lang, c.text
+         |  FROM clean c JOIN gated g ON c.doc_id = g.doc_id
+         |  WHERE (${Dedup.hashSql("c.text")}) % 1000 < ${Curation.keepSql}),
+         |toked AS (
+         |  SELECT doc_id, lang, CAST(len(${Dedup.toksSql}) AS BIGINT) AS n_tokens
+         |  FROM sampled),
+         |cum AS (
+         |  SELECT doc_id, lang, n_tokens,
+         |    SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS cum_excl
+         |  FROM toked)
+         |SELECT doc_id, lang, n_tokens,
+         |  CAST(cum_excl // 2048 AS BIGINT) AS pack_id,
+         |  CAST(cum_excl % 2048 AS BIGINT) AS pack_offset
+         |FROM cum""".stripMargin,
     "q_doc_qfilter" ->
-      s"""WITH ${TextAnalysis.qualityRatiosSql},
+      s"""WITH ${TextAnalysis.qualityRatiosSql()},
          |q AS (
          |  SELECT rq.doc_id, d.lang,
          |    ${TextAnalysis.qualityScoreSql} AS quality

@@ -95,14 +95,14 @@ object TextAnalysis {
 
   // ---- DuckDB oracle mirrors ---------------------------------------------
 
-  /** DuckDB mirror of [[quality]]'s ratio computation over `documents`:
+  /** DuckDB mirror of [[quality]]'s ratio computation over `source`:
     * CTEs `tq` (tokens, via the shared [[Dedup.toksSql]]) and `rq`
-    * (stop/short ratios). Spliced into the q_doc_quality and
-    * q_doc_qfilter oracles so tokenizer or formula changes can't drift
-    * between mirrors.
+    * (stop/short ratios). Spliced into the q_doc_quality, q_doc_qfilter
+    * and q_pipeline_e2e oracles so tokenizer or formula changes can't
+    * drift between mirrors.
     */
-  val qualityRatiosSql: String =
-    s"""tq AS (SELECT doc_id, ${Dedup.toksSql} AS toks FROM documents),
+  def qualityRatiosSql(source: String = "documents"): String =
+    s"""tq AS (SELECT doc_id, ${Dedup.toksSql} AS toks FROM $source),
        |rq AS (
        |  SELECT doc_id,
        |    CAST(len(list_filter(toks, x -> ${Stopwords.map(w => s"x='$w'").mkString(" OR ")})) AS DOUBLE)

@@ -174,13 +174,17 @@ object SparkEntry {
         .select($"o_custkey", $"o_orderkey", $"o_totalprice", $"rn")
     },
 
-    // Analytic window: per-supplier running total + lag, over a unique
-    // total order (date, orderkey, linenumber) so the frame is
-    // deterministic. Exact decimal accumulation → engine-independent.
+    // Analytic window: per-supplier running total + lag. The driver's
+    // lineitem is TPC-H-ISH: (l_orderkey, l_linenumber) is NOT unique, and
+    // even (shipdate, orderkey, linenumber) has tied rows — so l_quantity
+    // joins the sort key. Remaining ties are rows identical in EVERY
+    // column the window reads, which are interchangeable: the output
+    // multiset is deterministic and engine-independent. Exact decimal
+    // accumulation for the running sum.
     "q_window_running" -> { (s, dir) =>
       import s.implicits._
       val ord = Window.partitionBy($"l_suppkey")
-        .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber")
+        .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber", $"l_quantity")
       val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables.lineitem(s, dir).select(
         $"l_suppkey", $"l_orderkey", $"l_linenumber",
@@ -672,10 +676,12 @@ object SparkEntry {
     "q_window_running" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) OVER (
-        |    PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty,
         |  LAG(l_quantity, 1) OVER (
-        |    PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber) AS prev_qty
+        |    PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity) AS prev_qty
         |FROM lineitem""".stripMargin,
     "q_window_rangeframe" ->
       """SELECT o_orderkey, o_custkey, o_totalprice,

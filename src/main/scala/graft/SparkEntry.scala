@@ -328,9 +328,15 @@ object SparkEntry {
     // Every stage is the already-oracle-checked operator; this query
     // checks their COMPOSITION end to end.
     "q_pipeline_e2e" -> { (s, dir) =>
+      // clean and kept each feed TWO branches of the next stage's join;
+      // checkpoint them (small surviving-doc sets; same pattern as
+      // duplicateClusters' result) so the corpus scan + dedup anti-join
+      // run once, not once per duplicated subtree
       val clean = Dedup.dedupedCorpus(Dedup.corpus(Tables.documents(s, dir)))
+        .localCheckpoint()
       val kept = clean.join(
         Curation.qualityFilter(clean).select(col("doc_id")), Seq("doc_id"))
+        .localCheckpoint()
       val sampled = kept.join(
         Curation.sampleStratified(kept).select(col("doc_id")), Seq("doc_id"))
       Curation.packSequences(sampled)
@@ -926,21 +932,7 @@ object SparkEntry {
          |${Dedup.tokSql},
          |${Dedup.sigSql},
          |${Dedup.bandsSql},
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
-         |edges AS (
-         |  SELECT doc_a AS src, doc_b AS dst FROM cand
-         |  UNION
-         |  SELECT doc_b AS src, doc_a AS dst FROM cand),
-         |reach(src, dst) AS (
-         |  SELECT src, dst FROM edges
-         |  UNION
-         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
-         |comp AS (
-         |  SELECT src AS id, LEAST(src, MIN(dst)) AS cluster
-         |  FROM reach GROUP BY src)
+         |${Dedup.closureSql}
          |SELECT id AS doc_id, cluster, (id = cluster) AS is_keeper FROM comp""".stripMargin,
     "q_doc_simhash" ->
       s"""WITH ${Dedup.corpusSql},
@@ -1047,49 +1039,16 @@ object SparkEntry {
          |${Dedup.tokSql},
          |${Dedup.sigSql},
          |${Dedup.bandsSql},
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
-         |edges AS (
-         |  SELECT doc_a AS src, doc_b AS dst FROM cand
-         |  UNION
-         |  SELECT doc_b AS src, doc_a AS dst FROM cand),
-         |reach(src, dst) AS (
-         |  SELECT src, dst FROM edges
-         |  UNION
-         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
-         |comp AS (
-         |  SELECT src AS id, LEAST(src, MIN(dst)) AS cluster
-         |  FROM reach GROUP BY src)
-         |SELECT c.doc_id, c.lang, ${Dedup.hashSql("c.text")} AS fp
-         |FROM corpus c
-         |WHERE NOT EXISTS (
-         |  SELECT 1 FROM comp WHERE comp.id = c.doc_id AND comp.id <> comp.cluster)""".stripMargin,
+         |${Dedup.closureSql},
+         |${Dedup.cleanSql}
+         |SELECT doc_id, lang, ${Dedup.hashSql("text")} AS fp FROM clean""".stripMargin,
     "q_pipeline_e2e" ->
       s"""WITH RECURSIVE ${Dedup.corpusSql},
          |${Dedup.tokSql},
          |${Dedup.sigSql},
          |${Dedup.bandsSql},
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
-         |edges AS (
-         |  SELECT doc_a AS src, doc_b AS dst FROM cand
-         |  UNION
-         |  SELECT doc_b AS src, doc_a AS dst FROM cand),
-         |reach(src, dst) AS (
-         |  SELECT src, dst FROM edges
-         |  UNION
-         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
-         |comp AS (
-         |  SELECT src AS id, LEAST(src, MIN(dst)) AS cluster
-         |  FROM reach GROUP BY src),
-         |clean AS (
-         |  SELECT c.doc_id, c.lang, c.text FROM corpus c
-         |  WHERE NOT EXISTS (
-         |    SELECT 1 FROM comp WHERE comp.id = c.doc_id AND comp.id <> comp.cluster)),
+         |${Dedup.closureSql},
+         |${Dedup.cleanSql},
          |${TextAnalysis.qualityRatiosSql("clean")},
          |gated AS (
          |  SELECT doc_id FROM (

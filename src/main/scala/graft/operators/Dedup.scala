@@ -316,6 +316,38 @@ object Dedup {
   private def combineSql(cols: Seq[String]): String =
     cols.reduce((a, m) => s"(($a*31 + $m) % 1000000007)")
 
+  /** MinHash-LSH candidate pairs + transitive closure → components: CTEs
+    * `cand`, `edges`, `reach`, `comp` (requires `WITH RECURSIVE` and the
+    * [[bandsSql]] chain above it). Shared by the q_dedup_clusters,
+    * q_dedup_clean and q_pipeline_e2e oracles so the closure logic cannot
+    * drift between mirrors.
+    */
+  val closureSql: String =
+    """cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bands a JOIN bands b
+      |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+      |edges AS (
+      |  SELECT doc_a AS src, doc_b AS dst FROM cand
+      |  UNION
+      |  SELECT doc_b AS src, doc_a AS dst FROM cand),
+      |reach(src, dst) AS (
+      |  SELECT src, dst FROM edges
+      |  UNION
+      |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+      |comp AS (
+      |  SELECT src AS id, LEAST(src, MIN(dst)) AS cluster
+      |  FROM reach GROUP BY src)""".stripMargin
+
+  /** `clean` CTE: the corpus minus non-keeper component members — the
+    * oracle mirror of [[dedupedCorpus]] (follows [[closureSql]]).
+    */
+  val cleanSql: String =
+    """clean AS (
+      |  SELECT c.doc_id, c.lang, c.text FROM corpus c
+      |  WHERE NOT EXISTS (
+      |    SELECT 1 FROM comp WHERE comp.id = c.doc_id AND comp.id <> comp.cluster))""".stripMargin
+
   val sigSql: String = {
     val mins = (0 until NumHashes)
       .map(i => s"MIN((${2 * i + 1}*h + ${7919L * i + 13}) % 1000000007) AS m$i")

@@ -212,22 +212,26 @@ object OrderStream {
     * cardinality violation — Derby SQLSTATE 21000, Postgres "cannot
     * affect row a second time"). When a micro-batch can carry several
     * records per key (e.g. upsert then tombstone of the same order), pass
-    * `orderCol` (the Kafka offset in foreachBatch) and only the LAST
-    * record per key is merged — set-based equivalent of the row-wise
-    * path's in-order application. Without `orderCol` the caller must
-    * guarantee at most one record per key per batch.
+    * `orderCols` and only the LAST record per key (descending
+    * lexicographic over the columns) is merged — set-based equivalent of
+    * the row-wise path's in-order application. For a topic keyed by the
+    * PK (the reference's setup) the Kafka offset alone is a total order
+    * per key; for unkeyed topics pass (partition, offset) — Kafka defines
+    * no cross-partition order, but a unique column pair makes the pick
+    * deterministic, so redelivery stays idempotent. Without `orderCols`
+    * the caller must guarantee at most one record per key per batch.
     */
   def jdbcUpsertViaStaging(batch0: DataFrame, url: String, table: String,
       props: java.util.Properties, pk: String = "order_id",
-      orderCol: Option[String] = None): Unit = {
-    val batch = orderCol match {
-      case Some(oc) =>
+      orderCols: Seq[String] = Nil): Unit = {
+    val batch =
+      if (orderCols.isEmpty) batch0
+      else {
         val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col(pk)).orderBy(col(oc).desc)
+          .partitionBy(col(pk)).orderBy(orderCols.map(col(_).desc): _*)
         batch0.withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") === 1).drop("__rn", oc)
-      case None => batch0
-    }
+          .filter(col("__rn") === 1).drop("__rn" +: orderCols: _*)
+      }
     val staging = s"${table}_stage"
     val cols = batch.schema.fieldNames.toSeq
     // string columns as VARCHAR, not the dialect's LOB default — LOBs are

@@ -109,7 +109,7 @@ class JdbcUpsertSpec extends SparkSpec {
         (4L, "6", Some("New"), Some(2.0), Some(3.0), Some("2020-01-02"), Some(6.0)) // …recreate
       ).toDF("off", "order_id", "product_name", "quantity", "price", "order_date", "total_price")
       OrderStream.jdbcUpsertViaStaging(batch, url, "enriched_orders", new Properties(),
-        "order_id", Some("off"))
+        "order_id", Seq("off"))
       assert(readAll() === Map("6" -> 6.0)) // 5 never lands, 6 re-created
     }
   }

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Physical-plan regression tests: the scale-critical plan properties
+  * (filter pushdown, column pruning, broadcast joins, map-side partial
+  * aggregation, index-keyed candidate joins, shuffle-free narrow
+  * pipelines) are asserted on the ACTUAL plans so a future change that
+  * silently degrades one of them fails CI, not a manual Explain audit.
+  */
+class PlanQualitySpec extends SparkSpec {
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, Sf)
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+  }
+
+  test("q1_agg: shipdate filter pushed to parquet, 7-column pruned scan, partial agg") {
+    val p = plan("q1_agg")
+    assert(p.contains("PushedFilters:") && p.contains("LessThan(l_shipdate"))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema:")).get
+    assert(readSchema.count(_ == ',') == 6, s"expected 7 columns: $readSchema")
+    assert("HashAggregate".r.findAllIn(p).size >= 2) // partial + final
+  }
+
+  test("q3_topk: dimension broadcast + TakeOrderedAndProject (no global sort)") {
+    val p = plan("q3_topk")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("GlobalSort"))
+  }
+
+  test("ref_pipeline: pure narrow map — zero shuffles, no UDF fallback") {
+    val p = plan("ref_pipeline")
+    assert(!p.contains("Exchange"), "the validate/enrich pipeline must not shuffle")
+    // formatted mode marks whole-stage-codegen operators with a "* " prefix
+    assert(p.linesIterator.exists(_.trim.startsWith("* Project")), "pipeline left codegen")
+    assert(!p.contains("BatchEvalPython"))
+  }
+
+  test("q_dedup_simhash: pair generation is an equi-join on (lang, band, key)") {
+    val p = plan("q_dedup_simhash")
+    val keyLine = p.linesIterator.filter(_.contains("Left keys"))
+      .find(l => l.contains("band") && l.contains("vk"))
+    assert(keyLine.isDefined, "expected a join keyed on the simhash band variant key")
+    assert(keyLine.get.contains("lang"))
+  }
+
+  test("q_dedup_minhash: candidates come from an equi-join on (band, bh)") {
+    val p = plan("q_dedup_minhash")
+    assert(p.linesIterator.exists(l =>
+      l.contains("Left keys") && l.contains("band") && l.contains("bh")))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q_topk_agg: map-side partial aggregation of the bounded heap") {
+    val p = plan("q_topk_agg")
+    assert(p.contains("partial_topkbyvalue"))
+    assert(p.contains("ObjectHashAggregate"))
+  }
+
+  test("q_doc_simhash: one shuffle total (SimHashAgg, no bit-explode)") {
+    val p = plan("q_doc_simhash")
+    assert("Exchange".r.findAllIn(p).size <= 2, // plan node + its detail line
+      "simhash fingerprint should need a single shuffle")
+    assert(p.contains("partial_simhashagg"))
+  }
+
+  test("q_window_rangeframe / q_window_rank2: high-cardinality partition key") {
+    assert(plan("q_window_rangeframe").contains("o_custkey"))
+    assert(plan("q_window_rank2").contains("o_custkey"))
+  }
+
+  test("no interpreted python / cartesian anywhere in the oracle-checked plans") {
+    for (name <- Seq("q5_join", "q_asof", "q_rangejoin", "q_dedup_embed", "q_emb_ann")) {
+      val p = plan(name)
+      assert(!p.contains("BatchEvalPython"), name)
+      assert(!p.contains("CartesianProduct"), s"$name must not plan a cartesian product")
+    }
+  }
+}

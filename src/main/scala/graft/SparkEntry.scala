@@ -303,6 +303,19 @@ object SparkEntry {
           .as("top_ids"))
     },
 
+    // Benchmark decontamination: train docs (doc_id%50≠0) sharing any
+    // trigram shingle with the held-out eval split (doc_id%50=0).
+    "q_doc_decontam" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      TextAnalysis.contaminated(
+        docs.filter($"doc_id" % 50 =!= 0), docs.filter($"doc_id" % 50 === 0))
+    },
+    // Intra-doc repeated-shingle ratio (repetition quality signal).
+    "q_doc_repetition" -> { (s, dir) =>
+      TextAnalysis.repetition(Tables.documents(s, dir))
+    },
+
     // ---- Training-data curation (sampling / packing / quality gating) ---
     // Deterministic content-hash stratified sampling — narrow map, no RNG.
     "q_doc_sample" -> { (s, dir) => Curation.sampleStratified(Tables.documents(s, dir)) },
@@ -1008,6 +1021,27 @@ object SparkEntry {
          |  CAST(cum_excl // 2048 AS BIGINT) AS pack_id,
          |  CAST(cum_excl % 2048 AS BIGINT) AS pack_offset
          |FROM c""".stripMargin,
+    "q_doc_decontam" ->
+      s"""WITH ttok AS (
+         |  SELECT DISTINCT doc_id, h FROM (
+         |    SELECT doc_id, ${Dedup.shingleUnnestSql} AS h
+         |    FROM (SELECT doc_id, ${Dedup.toksSql} AS toks
+         |          FROM documents WHERE doc_id % 50 <> 0))),
+         |etok AS (
+         |  SELECT DISTINCT h FROM (
+         |    SELECT ${Dedup.shingleUnnestSql} AS h
+         |    FROM (SELECT ${Dedup.toksSql} AS toks
+         |          FROM documents WHERE doc_id % 50 = 0)))
+         |SELECT DISTINCT doc_id FROM ttok JOIN etok USING (h)""".stripMargin,
+    "q_doc_repetition" ->
+      s"""SELECT doc_id,
+         |  COUNT(*) AS n_shingles,
+         |  COUNT(DISTINCT h) AS n_distinct,
+         |  1.0 - CAST(COUNT(DISTINCT h) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS rep_ratio
+         |FROM (
+         |  SELECT doc_id, ${Dedup.shingleUnnestSql} AS h
+         |  FROM (SELECT doc_id, ${Dedup.toksSql} AS toks FROM documents))
+         |GROUP BY doc_id""".stripMargin,
     "q_doc_chunks" ->
       s"""WITH t AS (SELECT doc_id, ${Dedup.toksSql} AS toks FROM documents),
          |u AS (SELECT doc_id, toks, len(toks) AS nt FROM t WHERE len(toks) > 0),

@@ -300,12 +300,19 @@ object Dedup {
   val toksSql: String =
     """list_filter(regexp_split_to_array(trim(lower(text)), '[ \t\n\f\r]+'), x -> length(x) > 0)"""
 
+  /** Trigram-shingle hash stream over a `toks` list column — the single
+    * shared spelling of the shingle expression (used by [[shingleSql]]
+    * and the decontamination/repetition oracles).
+    */
+  val shingleUnnestSql: String =
+    s"""unnest(list_transform(range(1, len(toks) - 1), i ->
+       |      ${hashSql("toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]")}))""".stripMargin
+
   /** Non-distinct trigram-shingle hashes (mirror of [[shingles]]). */
   val shingleSql: String =
     s"""sh AS (
        |  SELECT doc_id,
-       |    unnest(list_transform(range(1, len(toks) - 1), i ->
-       |      ${hashSql("toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]")})) AS h
+       |    $shingleUnnestSql AS h
        |  FROM (SELECT doc_id, $toksSql AS toks FROM corpus)
        |)""".stripMargin
 

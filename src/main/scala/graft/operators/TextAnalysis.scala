@@ -93,6 +93,32 @@ object TextAnalysis {
       .select(col("doc_id"), col("h").as("top_term_hash"), col("tf"), col("df"), col("tfidf"))
   }
 
+  /** Benchmark decontamination: training docs that share ANY word-trigram
+    * shingle with the held-out eval set (the GPT-3-style n-gram collision
+    * check). The eval shingle set is distinct-projected and the flagging
+    * join is a semi-join on the shingle hash — the shuffle key — so the
+    * work is |shingles|, never |train|×|eval|.
+    */
+  def contaminated(train: DataFrame, evalSet: DataFrame): DataFrame = {
+    val evalShingles = Dedup.tokenHashes(evalSet).select(col("h")).distinct()
+    Dedup.tokenHashes(train)
+      .join(evalShingles, Seq("h"), "left_semi")
+      .select(col("doc_id")).distinct()
+  }
+
+  /** Intra-document repetition (Gopher-style quality signal): the
+    * fraction of word-trigram occurrences that are repeats of an earlier
+    * shingle in the same doc. One grouped aggregation over the shingle
+    * stream; docs with fewer than 3 tokens have no shingles and no row.
+    */
+  def repetition(docs: DataFrame): DataFrame =
+    Dedup.shingles(docs).groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_shingles"),
+      count_distinct(col("h")).as("n_distinct"))
+      .select(col("doc_id"), col("n_shingles"), col("n_distinct"),
+        (lit(1.0) - col("n_distinct").cast("double") / col("n_shingles").cast("double"))
+          .as("rep_ratio"))
+
   // ---- DuckDB oracle mirrors ---------------------------------------------
 
   /** DuckDB mirror of [[quality]]'s ratio computation over `source`:

@@ -78,6 +78,28 @@ class CurationSpec extends SparkSpec {
     assert(fp === raw)
   }
 
+  test("decontamination flags docs overlapping the eval set; disjoint docs pass") {
+    val train = Seq(
+      (1L, "en", "alpha beta gamma delta epsilon"), // shares 'alpha beta gamma' with eval
+      (2L, "en", "one two three four five")         // disjoint
+    ).toDF("doc_id", "lang", "text")
+    val eval_ = Seq((100L, "en", "alpha beta gamma zeta")).toDF("doc_id", "lang", "text")
+    val flagged = graft.operators.TextAnalysis.contaminated(train, eval_)
+      .as[Long].collect().toSet
+    assert(flagged === Set(1L))
+  }
+
+  test("repetition ratio: repeated trigrams score > 0, unique docs score 0") {
+    val df = Seq(
+      (1L, "en", "a b c a b c a b c"), // trigram 'a b c' repeats
+      (2L, "en", "p q r s t u v w")    // all trigrams distinct
+    ).toDF("doc_id", "lang", "text")
+    val r = graft.operators.TextAnalysis.repetition(df)
+      .select($"doc_id", $"rep_ratio").as[(Long, Double)].collect().toMap
+    assert(r(1L) > 0.2)
+    assert(r(2L) === 0.0)
+  }
+
   test("quality gate keeps only the upper quantile, per language") {
     val kept = Curation.qualityFilter(docs, minRank = 0.1).cache()
     val all = TextAnalysis.quality(docs)

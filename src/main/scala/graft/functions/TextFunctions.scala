@@ -22,10 +22,22 @@ object TextFunctions {
     * is EXPLICIT ([ \t\n\f\r]) because Java's `\s` includes vertical tab
     * (\x0B) while DuckDB's RE2 `\s` does not — `\s+` on both sides would
     * silently tokenize differently.
+    *
+    * Empties are dropped with `array_remove(_, "")`, not a `filter` HOF:
+    * the `[…]+` split can only produce empty strings at the array's edges
+    * (leading/trailing separators survive `trim`, which strips spaces
+    * only), so removing `""` is exactly the HOF's semantics — and
+    * array_remove is codegen'd while lambda HOFs are CodegenFallback,
+    * which would interpret-per-row every text operator in the engine.
+    * ([[tokensHof]] keeps the HOF formulation as the cross-check.)
     * DuckDB mirror: list_filter(regexp_split_to_array(trim(lower(t)),
     * '[ \t\n\f\r]+'), x -> length(x) > 0).
     */
   def tokens(text: Column): Column =
+    array_remove(split(trim(lower(text)), "[ \\t\\n\\f\\r]+"), "")
+
+  /** HOF formulation of [[tokens]] — semantic cross-check only. */
+  def tokensHof(text: Column): Column =
     filter(split(trim(lower(text)), "[ \\t\\n\\f\\r]+"), t => length(t) > 0)
 
   /** Polynomial rolling hash over a string's characters:

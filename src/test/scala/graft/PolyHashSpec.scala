@@ -26,6 +26,17 @@ class PolyHashSpec extends SparkSpec {
     assert(toks === Seq("ab", "c"))
   }
 
+  test("tokens (array_remove) == tokens (filter HOF) on edge strings and the corpus") {
+    val edges = Seq("", " ", "\t", "a", " a ", "\ta b\n", "a  b", "\n\n", "x\ty\fz\r",
+      "  leading", "trailing  ", "\t\n\f\r mixed \t")
+    val df = edges.toDF("s")
+    val bad = df.filter(TextFunctions.tokens($"s") =!= TextFunctions.tokensHof($"s"))
+    assert(bad.count() === 0)
+    val corpusBad = Tables.documents(spark, Sf)
+      .filter(TextFunctions.tokens($"text") =!= TextFunctions.tokensHof($"text"))
+    assert(corpusBad.count() === 0)
+  }
+
   test("native == HOF across the whole documents corpus") {
     val docs = Tables.documents(spark, Sf)
     val bad = docs.filter(

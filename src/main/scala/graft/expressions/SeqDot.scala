@@ -1,0 +1,75 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Strictly sequential dot product over two `array<double>` columns —
+  * the inner loop of every similarity pair (kNN, ANN verify, near-dup
+  * cosine). Accumulates left-to-right in index order, so the result is
+  * bit-identical to the `aggregate(zip_with(a,b,_*_), 0.0, _+_)` HOF
+  * formulation (kept as VectorFunctions.dotHof) and to the DuckDB
+  * oracle's `list_reduce(list_prepend(0.0, …))` — but runs as one
+  * generated loop instead of interpreted lambdas materializing a zipped
+  * array per pair.
+  *
+  * Mismatched lengths yield null (zip_with pads with null, nulling the
+  * HOF's fold). Array ELEMENTS must be non-null (dense vectors).
+  */
+case class SeqDot(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) null
+    else {
+      var acc = 0.0d
+      var d = 0
+      while (d < n) { acc += x.getDouble(d) * y.getDouble(d); d += 1 }
+      acc
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val leftGen = left.genCode(ctx)
+    val rightGen = right.genCode(ctx)
+    val n = ctx.freshName("n")
+    val d = ctx.freshName("d")
+    val acc = ctx.freshName("acc")
+    ev.copy(code =
+      code"""
+         |${leftGen.code}
+         |${rightGen.code}
+         |boolean ${ev.isNull} = true;
+         |double ${ev.value} = 0.0;
+         |if (!${leftGen.isNull} && !${rightGen.isNull}) {
+         |  int $n = ${leftGen.value}.numElements();
+         |  if ($n == ${rightGen.value}.numElements()) {
+         |    double $acc = 0.0d;
+         |    for (int $d = 0; $d < $n; $d++) {
+         |      $acc += ${leftGen.value}.getDouble($d) * ${rightGen.value}.getDouble($d);
+         |    }
+         |    ${ev.isNull} = false;
+         |    ${ev.value} = $acc;
+         |  }
+         |}
+       """.stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SeqDot =
+    copy(left = newLeft, right = newRight)
+}
+
+object SeqDot {
+  import org.apache.spark.sql.graft.bridge.{column, expression}
+
+  /** Column API. */
+  def seq_dot(a: Column, b: Column): Column = column(SeqDot(expression(a), expression(b)))
+}

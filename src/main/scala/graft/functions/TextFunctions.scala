@@ -67,9 +67,22 @@ object TextFunctions {
     (lit(2L * i + 1) * h + lit(7919L * i + 13)) % lit(P)
 
   /** Count of tokens belonging to a small fixed vocabulary. Used for
-    * stopword ratios and the language-ID heuristic. The word list is
-    * inlined as explicit equality ORs so the DuckDB mirror is identical.
+    * stopword ratios and the language-ID heuristic.
+    *
+    * Occurrences of word w = size(toks) − size(array_remove(toks, w));
+    * summed over the (distinct) vocabulary this equals the filter-HOF
+    * count, but array_remove is codegen'd while the lambda filter is
+    * CodegenFallback — and this runs several times per row in quality
+    * scoring and language-ID. DuckDB mirror stays the list_filter
+    * with equality ORs (same counts).
     */
-  def vocabCount(toks: Column, words: Seq[String]): Column =
+  def vocabCount(toks: Column, words: Seq[String]): Column = {
+    require(words.distinct == words, "vocabulary must be duplicate-free")
+    words.map(w => size(toks) - size(array_remove(toks, w)))
+      .reduce(_ + _).cast("long")
+  }
+
+  /** HOF formulation of [[vocabCount]] — semantic cross-check only. */
+  def vocabCountHof(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => words.map(w => t === lit(w)).reduce(_ || _))).cast("long")
 }

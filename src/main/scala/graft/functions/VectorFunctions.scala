@@ -19,8 +19,14 @@ object VectorFunctions {
   def seqSum(v: Column): Column =
     aggregate(v, lit(0.0d), (acc, x) => acc + x)
 
-  /** Dot product, sequential accumulation. */
-  def dot(a: Column, b: Column): Column =
+  /** Dot product, sequential accumulation — the native codegen'd
+    * expression (see expressions/SeqDot); [[dotHof]] keeps the
+    * built-ins-only formulation as the cross-check.
+    */
+  def dot(a: Column, b: Column): Column = graft.expressions.SeqDot.seq_dot(a, b)
+
+  /** HOF formulation of [[dot]] (interpreted lambdas). */
+  def dotHof(a: Column, b: Column): Column =
     seqSum(zip_with(a, b, (x, y) => x * y))
 
   /** L2 norm. */

@@ -43,9 +43,11 @@ object TextAnalysis {
       col("doc_id"),
       size(col("toks")).cast("long").as("n_tokens"),
       length(col("text")).cast("long").as("n_chars"),
+      // Σ token lengths = length of the separator-less join — pure
+      // codegen, vs the aggregate(transform(…)) lambda (CodegenFallback)
       when(size(col("toks")) > 0,
-        aggregate(transform(col("toks"), t => length(t).cast("long")), lit(0L), (a, b) => a + b)
-          .cast("double") / size(col("toks")).cast("double")).as("avg_tok_len"),
+        length(array_join(col("toks"), "")).cast("double")
+          / size(col("toks")).cast("double")).as("avg_tok_len"),
       stringHash(col("text")).as("fp")
     )
 

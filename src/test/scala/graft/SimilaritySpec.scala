@@ -34,6 +34,19 @@ class SimilaritySpec extends SparkSpec {
     assert(b.forall(x => x >= 0 && x < 256))
   }
 
+  test("native SeqDot == HOF fold, bit-for-bit, across the corpus") {
+    import graft.functions.VectorFunctions
+    val df = emb.select(VectorFunctions.asDouble($"embedding").as("emb"))
+      .withColumn("emb2", reverse($"emb"))
+    val bad = df.filter(
+      VectorFunctions.dot($"emb", $"emb2") =!= VectorFunctions.dotHof($"emb", $"emb2") ||
+      VectorFunctions.dot($"emb", $"emb") =!= VectorFunctions.dotHof($"emb", $"emb"))
+    assert(bad.count() === 0)
+    // mismatched lengths → null, matching zip_with's null padding
+    val r = df.limit(1).select(VectorFunctions.dot($"emb", slice($"emb", 1, 3))).collect()
+    assert(r(0).isNullAt(0))
+  }
+
   test("native hyperplane-bits expression == HOF formulation on the whole corpus") {
     val bad = Similarity.lshBuckets(Similarity.embCorpus(emb))
       .withColumn("hof", Similarity.lshBucketHof)

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{NfcNormalize, PolyHash, PyFloat, RandomHyperplaneBits}
+import graft.expressions.{NfcNormalize, PolyHash, PyFloat, RandomHyperplaneBits, SeqDot}
 
 /** SparkSessionExtensions entry point for the graft engine — the
   * deployment-grade registration path for our native expressions:
@@ -40,6 +40,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("nfc_normalize"),
       new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
       (exprs: Seq[Expression]) => NfcNormalize(exprs.head)
+    ))
+    e.injectFunction((
+      FunctionIdentifier("seq_dot"),
+      new ExpressionInfo(classOf[SeqDot].getName, "seq_dot"),
+      (exprs: Seq[Expression]) => SeqDot(exprs(0), exprs(1))
     ))
   }
 }

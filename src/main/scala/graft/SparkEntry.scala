@@ -342,14 +342,15 @@ object SparkEntry {
     // checks their COMPOSITION end to end.
     "q_pipeline_e2e" -> { (s, dir) =>
       // clean and kept each feed TWO branches of the next stage's join;
-      // checkpoint them (small surviving-doc sets; same pattern as
-      // duplicateClusters' result) so the corpus scan + dedup anti-join
-      // run once, not once per duplicated subtree
+      // LAZY localCheckpoints (materialized by the query's own first
+      // action, so building/Explaining the plan stays free) make the
+      // corpus scan + dedup anti-join run once, not once per duplicated
+      // subtree
       val clean = Dedup.dedupedCorpus(Dedup.corpus(Tables.documents(s, dir)))
-        .localCheckpoint()
+        .localCheckpoint(false)
       val kept = clean.join(
         Curation.qualityFilter(clean).select(col("doc_id")), Seq("doc_id"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       val sampled = kept.join(
         Curation.sampleStratified(kept).select(col("doc_id")), Seq("doc_id"))
       Curation.packSequences(sampled)

@@ -19,7 +19,12 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * Mismatched lengths yield null (zip_with pads with null, nulling the
   * HOF's fold). Array ELEMENTS must be non-null (dense vectors).
   */
-case class SeqDot(left: Expression, right: Expression) extends BinaryExpression {
+case class SeqDot(left: Expression, right: Expression)
+  extends BinaryExpression
+  with org.apache.spark.sql.graft.ArrayDoubleBinaryInputTypes {
+  // input types declared via the bridge mixin: array<double> with
+  // implicit casting, so a raw array<float> embedding column is cast by
+  // analysis instead of getDouble() misreading 4-byte slots
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
 

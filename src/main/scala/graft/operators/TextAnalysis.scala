@@ -102,8 +102,12 @@ object TextAnalysis {
     * work is |shingles|, never |train|×|eval|.
     */
   def contaminated(train: DataFrame, evalSet: DataFrame): DataFrame = {
-    val evalShingles = Dedup.tokenHashes(evalSet).select(col("h")).distinct()
-    Dedup.tokenHashes(train)
+    // raw shingle streams, not tokenHashes: the per-(doc,h) distinct
+    // would add a full extra shuffle per side for nothing — the semi-join
+    // tolerates duplicate hashes and the doc set is distinct'd once at
+    // the end
+    val evalShingles = Dedup.shingles(evalSet).select(col("h")).distinct()
+    Dedup.shingles(train)
       .join(evalShingles, Seq("h"), "left_semi")
       .select(col("doc_id")).distinct()
   }

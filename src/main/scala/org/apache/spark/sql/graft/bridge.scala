@@ -14,3 +14,17 @@ object bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 }
+
+/** Declares `(array<double>, array<double>)` input types with implicit
+  * casting (so raw `array<float>` embedding columns are cast, not
+  * misread). Lives here because `AbstractDataType` — the `inputTypes`
+  * signature — is `private[sql]` on Spark 4, so the override cannot be
+  * written in an external package.
+  */
+trait ArrayDoubleBinaryInputTypes
+  extends org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  self: org.apache.spark.sql.catalyst.expressions.BinaryExpression =>
+  override def inputTypes: Seq[org.apache.spark.sql.types.AbstractDataType] =
+    Seq(org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType))
+}

@@ -18,8 +18,10 @@ class PlanQualitySpec extends SparkSpec {
   test("q1_agg: shipdate filter pushed to parquet, 7-column pruned scan, partial agg") {
     val p = plan("q1_agg")
     assert(p.contains("PushedFilters:") && p.contains("LessThan(l_shipdate"))
+    // one ':' per struct field (+1 for the "ReadSchema:" prefix) — robust
+    // to parameterized types like decimal(12,2), unlike comma counting
     val readSchema = p.linesIterator.find(_.contains("ReadSchema:")).get
-    assert(readSchema.count(_ == ',') == 6, s"expected 7 columns: $readSchema")
+    assert(readSchema.count(_ == ':') == 8, s"expected 7 columns: $readSchema")
     assert("HashAggregate".r.findAllIn(p).size >= 2) // partial + final
   }
 

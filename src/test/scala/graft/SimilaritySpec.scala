@@ -38,13 +38,23 @@ class SimilaritySpec extends SparkSpec {
     import graft.functions.VectorFunctions
     val df = emb.select(VectorFunctions.asDouble($"embedding").as("emb"))
       .withColumn("emb2", reverse($"emb"))
+    // <=> (null-safe): a regression making SeqDot return null must FAIL
+    // this test, which a plain =!= would silently drop
     val bad = df.filter(
-      VectorFunctions.dot($"emb", $"emb2") =!= VectorFunctions.dotHof($"emb", $"emb2") ||
-      VectorFunctions.dot($"emb", $"emb") =!= VectorFunctions.dotHof($"emb", $"emb"))
+      !(VectorFunctions.dot($"emb", $"emb2") <=> VectorFunctions.dotHof($"emb", $"emb2")) ||
+      !(VectorFunctions.dot($"emb", $"emb") <=> VectorFunctions.dotHof($"emb", $"emb")))
     assert(bad.count() === 0)
     // mismatched lengths → null, matching zip_with's null padding
     val r = df.limit(1).select(VectorFunctions.dot($"emb", slice($"emb", 1, 3))).collect()
     assert(r(0).isNullAt(0))
+    // raw array<float> input is implicitly cast to array<double>, not
+    // misread as 8-byte slots
+    val rawBad = emb.select(
+        VectorFunctions.dot($"embedding", $"embedding").as("a"),
+        VectorFunctions.dot(VectorFunctions.asDouble($"embedding"),
+          VectorFunctions.asDouble($"embedding")).as("b"))
+      .filter(!($"a" <=> $"b"))
+    assert(rawBad.count() === 0)
   }
 
   test("native hyperplane-bits expression == HOF formulation on the whole corpus") {

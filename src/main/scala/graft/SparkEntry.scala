@@ -329,6 +329,8 @@ object SparkEntry {
     "q_doc_redact" -> { (s, dir) => Curation.redact(Tables.documents(s, dir)) },
     // Canonical normalization: NFC (native expr) + lower + ws collapse.
     "q_doc_normalize" -> { (s, dir) => Curation.normalized(Tables.documents(s, dir)) },
+    // Uniform per-lang k-sample via bottom-k content hashes (KMV trick).
+    "q_doc_groupsample" -> { (s, dir) => Curation.groupSample(Tables.documents(s, dir)) },
     // End-to-end dedup: corpus minus non-keeper cluster members.
     "q_dedup_clean" -> { (s, dir) =>
       Dedup.dedupedCorpus(Dedup.corpus(Tables.documents(s, dir)))
@@ -1069,6 +1071,11 @@ object SparkEntry {
          |  SELECT doc_id,
          |    trim(regexp_replace(lower(nfc_normalize(text)), '[ \\t\\n\\f\\r]+', ' ', 'g')) AS n
          |  FROM documents) t""".stripMargin,
+    "q_doc_groupsample" ->
+      s"""SELECT lang,
+         |  (list(doc_id ORDER BY h ASC, doc_id ASC))[1:4] AS sample_ids
+         |FROM (SELECT lang, doc_id, ${Dedup.hashSql("text")} AS h FROM documents) t
+         |GROUP BY lang""".stripMargin,
     "q_dedup_clean" ->
       s"""WITH RECURSIVE ${Dedup.corpusSql},
          |${Dedup.tokSql},

@@ -85,6 +85,17 @@ object Curation {
       .select(col("doc_id"), col("lang"), col("quality"), col("q_rank"))
   }
 
+  /** Deterministic uniform k-sample per group (bottom-k by content hash —
+    * the KMV/bottom-k sketch trick): the k smallest hashes are a uniform
+    * sample of the group, reproducible across reruns and cluster sizes,
+    * with O(k) aggregation state per group (reuses the bounded-heap
+    * [[graft.expressions.TopKAgg]]; hashes < 2^30 are exact in double).
+    */
+  def groupSample(docs: DataFrame, k: Int = 4): DataFrame =
+    docs.groupBy(col("lang")).agg(
+      graft.expressions.TopKAgg.top_k_ids(
+        -stringHash(col("text")).cast("double"), col("doc_id"), k).as("sample_ids"))
+
   /** Token-window chunking (size tokens per chunk, stride < size →
     * overlap): the RAG/pretraining chunk layout. One narrow explode per
     * doc — chunk starts are 0, stride, 2·stride … < n_tokens; each chunk

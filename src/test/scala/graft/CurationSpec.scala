@@ -78,6 +78,18 @@ class CurationSpec extends SparkSpec {
     assert(fp === raw)
   }
 
+  test("bottom-k group sample: deterministic, k per group, ids from the group") {
+    val a = Curation.groupSample(docs, k = 4).as[(String, Seq[Long])].collect().toMap
+    val b = Curation.groupSample(docs, k = 4).as[(String, Seq[Long])].collect().toMap
+    assert(a === b)
+    val byLang = docs.select($"lang", $"doc_id").as[(String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    for ((lang, ids) <- a) {
+      assert(ids.size === math.min(4, byLang(lang).size))
+      assert(ids.forall(byLang(lang).contains))
+    }
+  }
+
   test("decontamination flags docs overlapping the eval set; disjoint docs pass") {
     val train = Seq(
       (1L, "en", "alpha beta gamma delta epsilon"), // shares 'alpha beta gamma' with eval

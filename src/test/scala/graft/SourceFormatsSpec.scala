@@ -41,4 +41,19 @@ class SourceFormatsSpec extends SparkSpec {
     assert(plan.contains("PushedFilters") && plan.contains("l_quantity"), plan.take(800))
     assert(q.count() === sample.filter($"l_quantity" > 45).count())
   }
+
+  test("parquet schema evolution: mergeSchema unions v1 and v2 file schemas") {
+    val d = Files.createTempDirectory("graft-evo").toString
+    // v1 writer: two columns; v2 adds a column (additive evolution)
+    sample.select($"l_orderkey", $"l_quantity")
+      .write.mode("overwrite").parquet(d + "/batch=1")
+    sample.select($"l_orderkey", $"l_quantity", $"l_returnflag")
+      .write.mode("overwrite").parquet(d + "/batch=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(d)
+    assert(merged.columns.toSet === Set("l_orderkey", "l_quantity", "l_returnflag", "batch"))
+    assert(merged.count() === sample.count() * 2)
+    // old files read the new column as null; new files carry values
+    assert(merged.filter($"batch" === 1 && $"l_returnflag".isNotNull).count() === 0)
+    assert(merged.filter($"batch" === 2 && $"l_returnflag".isNull).count() === 0)
+  }
 }

@@ -430,6 +430,8 @@ object SparkEntry {
     },
     "q_emb_ann" -> { (s, dir) => Similarity.knnLsh(Tables.embeddings(s, dir)) },
     "q_emb_centroid" -> { (s, dir) => Similarity.centroids(Tables.embeddings(s, dir)) },
+    // Embedding-store ingest: near-dup removal → IVF cell assignment.
+    "q_emb_e2e" -> { (s, dir) => Similarity.embIngest(Tables.embeddings(s, dir)) },
 
     // ---- Deduplication (documents + planted dups; SURVEY §2 extensions) -
     "q_dedup_exact" -> { (s, dir) =>
@@ -923,6 +925,50 @@ object SparkEntry {
          |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS BIGINT) AS rn
          |  FROM pairs) t
          |WHERE rn <= 3""".stripMargin,
+    "q_emb_e2e" ->
+      s"""WITH ecorpus AS (
+         |  SELECT vec_id, label, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 1000000 AS vec_id, label,
+         |    list_transform(embedding, x -> x * CAST(1.5 AS FLOAT)) AS embedding
+         |  FROM embeddings WHERE vec_id % 25 = 0),
+         |eb AS (
+         |  SELECT vec_id, label,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
+         |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+         |      (a, b) -> a + b)) AS nrm
+         |  FROM ecorpus),
+         |bk AS (SELECT vec_id, emb, nrm, ${Similarity.bucketSql} AS bucket FROM eb),
+         |dups AS (
+         |  SELECT DISTINCT b.vec_id
+         |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |  WHERE ${Similarity.dotSql("a.emb", "b.emb")} / (a.nrm * b.nrm) >= 0.99),
+         |surv AS (
+         |  SELECT vec_id, emb, nrm FROM eb
+         |  WHERE vec_id NOT IN (SELECT vec_id FROM dups)),
+         |centd AS (
+         |  SELECT label, dim,
+         |    CAST(SUM(CAST(ROUND(CAST(v AS DOUBLE) * 16777216.0) AS BIGINT)) AS DOUBLE)
+         |      / (CAST(COUNT(*) AS DOUBLE) * 16777216.0) AS centroid
+         |  FROM (SELECT label, unnest(embedding) AS v,
+         |          CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim
+         |        FROM embeddings) t
+         |  GROUP BY label, dim),
+         |centn AS (
+         |  SELECT cell, cemb,
+         |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list_transform(cemb, x -> x * x)), (a, b) -> a + b)) AS cnrm
+         |  FROM (SELECT label AS cell, list(centroid ORDER BY dim) AS cemb
+         |        FROM centd GROUP BY label) c),
+         |scored AS (
+         |  SELECT s.vec_id, c.cell,
+         |    ${Similarity.dotSql("s.emb", "c.cemb")} / (s.nrm * c.cnrm) AS cos
+         |  FROM surv s CROSS JOIN centn c)
+         |SELECT vec_id, cell, cos FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell) AS rn
+         |  FROM scored) t
+         |WHERE rn = 1""".stripMargin,
     "q_emb_centroid" ->
       """SELECT label, dim, COUNT(*) AS n,
         |  CAST(SUM(CAST(ROUND(CAST(v AS DOUBLE) * 16777216.0) AS BIGINT)) AS DOUBLE)

@@ -105,14 +105,19 @@ object Similarity {
     * The candidate join is an equi-join on cell id — the IVF scale story:
     * cells shard the corpus, probes bound the work per query.
     */
-  def knnIvf(e: DataFrame, queryMod: Int = 50, k: Int = 3, nprobe: Int = 2): DataFrame = {
-    val base = withEmb(e).select(col("vec_id"), col("label"), col("emb"), l2norm(col("emb")).as("nrm"))
-    // cell centroids: quantized elementwise means per label (deterministic)
-    val cent = centroids(e)
+  /** IVF cell table: per-label centroid vectors (quantized elementwise
+    * means, assembled in dim order — deterministic) with norms.
+    */
+  def cellCentroids(e: DataFrame): DataFrame =
+    centroids(e)
       .groupBy(col("label").as("cell"))
       .agg(array_sort(collect_list(struct(col("dim"), col("centroid")))).as("pairs"))
       .select(col("cell"), transform(col("pairs"), p => p.getField("centroid")).as("cemb"))
       .withColumn("cnrm", l2norm(col("cemb")))
+
+  def knnIvf(e: DataFrame, queryMod: Int = 50, k: Int = 3, nprobe: Int = 2): DataFrame = {
+    val base = withEmb(e).select(col("vec_id"), col("label"), col("emb"), l2norm(col("emb")).as("nrm"))
+    val cent = cellCentroids(e)
     // probe: nprobe nearest cells per query vector
     val q = base.filter(col("vec_id") % queryMod === 0)
       .select(col("vec_id").as("qid"), col("emb").as("qemb"), col("nrm").as("qnrm"))
@@ -153,6 +158,25 @@ object Similarity {
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         cosineWithNorms(dot(col("a.emb"), col("b.emb")), col("a.nrm"), col("b.nrm")).as("cos"))
       .filter(col("cos") >= minCos)
+  }
+
+  /** Embeddings pipeline end to end: planted corpus → near-dup removal
+    * (drop the larger id of every LSH-bucketed cosine ≥ minCos pair) →
+    * IVF coarse assignment of each survivor to its nearest centroid cell.
+    * The composition of [[embNearDupPairs]] and the [[cellCentroids]]
+    * assignment — what an embedding store actually runs at ingest.
+    */
+  def embIngest(e: DataFrame, minCos: Double = 0.99): DataFrame = {
+    val dups = embNearDupPairs(e, minCos).select(col("vec_b").as("vec_id")).distinct()
+    val survivors = withEmb(embCorpus(e))
+      .join(dups, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("emb"), l2norm(col("emb")).as("nrm"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("cell"))
+    survivors.crossJoin(cellCentroids(e))
+      .withColumn("cos", cosineWithNorms(dot(col("emb"), col("cemb")), col("nrm"), col("cnrm")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cell"), col("cos"))
   }
 
   /** Per-label elementwise centroid via fixed-point quantization. */

@@ -89,8 +89,15 @@ object Dedup {
   val BandSize = 4 // → 4 bands of 4 rows
 
   /** 16-permutation MinHash signature, one row per doc (m0..m15). */
-  def minhashSignatures(c: DataFrame): DataFrame = {
-    val th = tokenHashes(c)
+  def minhashSignatures(c: DataFrame): DataFrame =
+    signaturesFromTok(tokenHashes(c))
+
+  /** Signature aggregation over a precomputed (doc_id, h) set — split out
+    * so callers that need the token set anyway ([[ngramJaccardPairs]])
+    * can share one materialization instead of re-deriving the shingle
+    * pipeline per consumer.
+    */
+  def signaturesFromTok(th: DataFrame): DataFrame = {
     val aggs = (0 until NumHashes).map(i => min(minhashPerm(i, col("h"))).as(s"m$i"))
     th.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
@@ -109,9 +116,17 @@ object Dedup {
       .select(col("doc_id"), col("x.band").as("band"), col("x.bh").as("bh"))
   }
 
-  /** Candidate near-dup pairs: equi-join on the LSH bucket. */
-  def minhashCandidates(c: DataFrame): DataFrame = {
-    val bands = lshBands(minhashSignatures(c))
+  /** Candidate near-dup pairs: equi-join on the LSH bucket. The band
+    * table feeds BOTH sides of the self-join; a lazy checkpoint
+    * (materialized by the query's first action) runs the shingle →
+    * signature pipeline once instead of once per side.
+    */
+  def minhashCandidates(c: DataFrame): DataFrame =
+    candidatesFromSig(minhashSignatures(c))
+
+  /** Banded self-join over a precomputed signature table. */
+  def candidatesFromSig(sig: DataFrame): DataFrame = {
+    val bands = lshBands(sig).localCheckpoint(false)
     bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -178,7 +193,9 @@ object Dedup {
   def simhashPairs(c: DataFrame, maxDist: Int = 8): DataFrame = {
     require(maxDist <= NumBands * (BandRadius + 1) - 1,
       s"exact recall only up to hamming ${NumBands * (BandRadius + 1) - 1}")
-    val bands = simhashBands(c)
+    // both join sides read the band table: lazy-checkpoint it so the
+    // shingle → fingerprint pipeline runs once, not per side
+    val bands = simhashBands(c).localCheckpoint(false)
     val probes = bands
       .withColumn("mask", explode(typedLit(BandMasks)))
       .withColumn("vk", col("bk").bitwiseXOR(col("mask")))
@@ -200,9 +217,11 @@ object Dedup {
     * their Jaccard is 0 < minJaccard.)
     */
   def ngramJaccardPairs(c: DataFrame, minJaccard: Double = 0.5): DataFrame = {
-    val tok = tokenHashes(c)
+    // the token set feeds candidate generation, both intersection sides,
+    // and the size table — one lazy materialization for all four
+    val tok = tokenHashes(c).localCheckpoint(false)
     val sizes = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("nt"))
-    val inter = minhashCandidates(c)
+    val inter = candidatesFromSig(signaturesFromTok(tok))
       .join(tok.select(col("doc_id").as("doc_a"), col("h")), Seq("doc_a"))
       .join(tok.select(col("doc_id").as("doc_b"), col("h")), Seq("doc_b", "h"))
       .groupBy(col("doc_a"), col("doc_b"))

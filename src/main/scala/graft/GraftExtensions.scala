@@ -44,7 +44,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((
       FunctionIdentifier("seq_dot"),
       new ExpressionInfo(classOf[SeqDot].getName, "seq_dot"),
-      (exprs: Seq[Expression]) => SeqDot(exprs(0), exprs(1))
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(a, b) => SeqDot(a, b)
+        case _ => throw new IllegalArgumentException(
+          s"seq_dot requires exactly 2 arguments, got ${exprs.size}")
+      }
     ))
   }
 }

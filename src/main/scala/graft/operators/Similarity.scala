@@ -152,7 +152,12 @@ object Similarity {
     * bounded at corpus scale.
     */
   def embNearDupPairs(e: DataFrame, minCos: Double = 0.99): DataFrame = {
+    // both self-join sides read the bucket table: lazy-checkpoint so the
+    // scan + hyperplane-bits + norm pipeline runs once (the blocks live
+    // until the ContextCleaner collects them — per-query materializations
+    // under the one-query-per-run driver contract)
     val b = lshBuckets(embCorpus(e)).withColumn("nrm", l2norm(col("emb")))
+      .localCheckpoint(false)
     b.as("a").join(b.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),

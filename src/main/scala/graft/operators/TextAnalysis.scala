@@ -59,7 +59,8 @@ object TextAnalysis {
     val n = nTok.cast("double")
     // guarded: 0-token docs → null ratios, not an ANSI DIVIDE_BY_ZERO abort
     val stopRatio = when(nTok > 0, vocabCount(col("toks"), Stopwords).cast("double") / n)
-    val shortRatio = when(nTok > 0, size(filter(col("toks"), t => length(t) <= 3)).cast("double") / n)
+    val shortRatio = when(nTok > 0,
+      graft.expressions.ShortTokenCount.short_token_count(col("toks"), 3).cast("double") / n)
     withToks(docs).select(
       col("doc_id"),
       stopRatio.as("stop_ratio"),

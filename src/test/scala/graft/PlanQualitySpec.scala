@@ -28,8 +28,11 @@ class PlanQualitySpec extends SparkSpec {
   test("q3_topk: dimension broadcast + TakeOrderedAndProject (no global sort)") {
     val p = plan("q3_topk")
     assert(p.contains("BroadcastHashJoin"))
+    // TakeOrderedAndProject = per-partition heaps + driver merge; a
+    // regression would plan a global Sort node instead
     assert(p.contains("TakeOrderedAndProject"))
-    assert(!p.contains("GlobalSort"))
+    assert(!p.linesIterator.exists(_.trim.matches("""\**\s*\+?-?\s*Sort .*""")),
+      "top-k must not plan a Sort")
   }
 
   test("ref_pipeline: pure narrow map — zero shuffles, no UDF fallback") {

@@ -44,6 +44,17 @@ class PolyHashSpec extends SparkSpec {
     assert(bad.count() === 0)
   }
 
+  test("vocabCount and ShortTokenCount == HOF formulations across the corpus") {
+    val docs = Tables.documents(spark, Sf)
+    val toks = TextFunctions.tokens($"text")
+    val stop = graft.operators.TextAnalysis.Stopwords
+    val bad = docs.filter(
+      !(TextFunctions.vocabCount(toks, stop) <=> TextFunctions.vocabCountHof(toks, stop)) ||
+      !(graft.expressions.ShortTokenCount.short_token_count(toks, 3) <=>
+        size(filter(toks, t => length(t) <= 3)).cast("long")))
+    assert(bad.count() === 0)
+  }
+
   test("SQL registration works") {
     PolyHash.register(spark)
     val r = spark.sql("SELECT poly_hash('abc') AS h").as[Long].head()

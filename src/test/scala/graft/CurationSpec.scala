@@ -9,6 +9,25 @@ class CurationSpec extends SparkSpec {
 
   private lazy val docs = Tables.documents(spark, Sf)
 
+  test("narrow curation ops run unchanged on a stream (stateless, no window)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Long, String, String)]
+    val streamDocs = input.toDF().toDF("doc_id", "lang", "text")
+    // sampling + redaction + normalization are pure per-row transforms:
+    // the same operator objects compose into readStream pipelines
+    val out = Curation.redact(
+        Curation.sampleStratified(streamDocs)
+          .join(streamDocs, Seq("doc_id", "lang")))
+      .writeStream.format("memory").queryName("cur_stream").outputMode("append").start()
+    input.addData((1L, "en", "contact a@b.co now"), (2L, "de", "nichts"))
+    out.processAllAvailable(); out.stop()
+    val got = spark.table("cur_stream")
+    // every emitted row went through sample → redact with real values
+    assert(got.columns.contains("redacted_fp"))
+    assert(got.filter($"n_emails".isNull).count() === 0)
+  }
+
   test("stratified sample: deterministic, and equal texts sample identically") {
     val a = Curation.sampleStratified(docs).select($"doc_id").as[Long].collect().toSet
     val b = Curation.sampleStratified(docs).select($"doc_id").as[Long].collect().toSet

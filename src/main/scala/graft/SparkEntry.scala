@@ -553,6 +553,22 @@ object SparkEntry {
         .select($"o_orderkey", $"o_custkey", $"o_totalprice", $"cust_avg")
     },
 
+    // Correlated scalar subquery through the SQL front end: Catalyst
+    // DECORRELATES the per-customer average into a join + aggregate (no
+    // per-row re-execution — PlanQualitySpec pins the absence of any
+    // nested-loop shape). Exact-decimal averaging keeps both engines
+    // bit-identical.
+    "q_corr_subq" -> { (s, dir) =>
+      Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+      s.sql("""
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders_v o
+        WHERE o_totalprice > 1.5 * (
+          SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+          FROM orders_v o2 WHERE o2.o_custkey = o.o_custkey)
+      """)
+    },
+
     // Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
     // quantile_cont) + distinct counting.
     "q_percentile" -> { (s, dir) =>
@@ -1260,6 +1276,12 @@ object SparkEntry {
         |      / CAST(COUNT(*) OVER (PARTITION BY o_custkey) AS DOUBLE) AS cust_avg
         |  FROM orders) t
         |WHERE o_totalprice > cust_avg * 1.5""".stripMargin,
+    "q_corr_subq" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders o
+        |WHERE o_totalprice > 1.5 * (
+        |  SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+        |  FROM orders o2 WHERE o2.o_custkey = o.o_custkey)""".stripMargin,
     "q_percentile" ->
       """SELECT o_orderstatus,
         |  quantile_cont(o_totalprice, 0.5) AS p50,

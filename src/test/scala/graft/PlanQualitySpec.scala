@@ -76,6 +76,13 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan("q_window_rank2").contains("o_custkey"))
   }
 
+  test("q_corr_subq: correlated scalar subquery decorrelates to a join") {
+    val p = plan("q_corr_subq")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      "decorrelation must plan an equi-join on the correlation key")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
+
   test("no interpreted python / cartesian anywhere in the oracle-checked plans") {
     for (name <- Seq("q5_join", "q_asof", "q_rangejoin", "q_dedup_embed", "q_emb_ann")) {
       val p = plan(name)

@@ -90,4 +90,16 @@ class PlanQualitySpec extends SparkSpec {
       assert(!p.contains("CartesianProduct"), s"$name must not plan a cartesian product")
     }
   }
+
+  test("composition queries stay index-joined end to end") {
+    // building q_pipeline_e2e runs the eager duplicateClusters loop; the
+    // remaining plan must still be equi-joins only
+    val p = plan("q_pipeline_e2e")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // q_emb_e2e's ONLY product is the deliberate survivors × centroid-cells
+    // probe (cells are a handful of rows) — nothing else may plan nested
+    val e = plan("q_emb_e2e")
+    assert("BroadcastNestedLoopJoin|CartesianProduct".r.findAllIn(e).size <= 2,
+      "only the bounded centroid probe may be a product join")
+  }
 }

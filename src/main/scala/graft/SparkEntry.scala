@@ -301,6 +301,11 @@ object SparkEntry {
       Tables.orders(s, dir).groupBy(col("o_custkey"))
         .agg(graft.expressions.TopKAgg.top_k_ids(col("o_totalprice"), col("o_orderkey"), 3)
           .as("top_ids"))
+        // scalar rows (not array<long>) so any harness can sort the output;
+        // the bounded-heap partial aggregation is unchanged upstream
+        .select(col("o_custkey"), posexplode(col("top_ids")))
+        .select(col("o_custkey"), col("pos").cast("long").as("rank"),
+          col("col").as("orderkey"))
     },
 
     // Benchmark decontamination: train docs (doc_id%50≠0) sharing any
@@ -330,7 +335,12 @@ object SparkEntry {
     // Canonical normalization: NFC (native expr) + lower + ws collapse.
     "q_doc_normalize" -> { (s, dir) => Curation.normalized(Tables.documents(s, dir)) },
     // Uniform per-lang k-sample via bottom-k content hashes (KMV trick).
-    "q_doc_groupsample" -> { (s, dir) => Curation.groupSample(Tables.documents(s, dir)) },
+    "q_doc_groupsample" -> { (s, dir) =>
+      Curation.groupSample(Tables.documents(s, dir))
+        .select(col("lang"), posexplode(col("sample_ids")))
+        .select(col("lang"), col("pos").cast("long").as("rank"),
+          col("col").as("doc_id"))
+    },
     // End-to-end dedup: corpus minus non-keeper cluster members.
     "q_dedup_clean" -> { (s, dir) =>
       Dedup.dedupedCorpus(Dedup.corpus(Tables.documents(s, dir)))
@@ -1065,9 +1075,14 @@ object SparkEntry {
          |  ${TextAnalysis.qualityScoreSql} AS quality
          |FROM rq""".stripMargin,
     "q_topk_agg" ->
-      """SELECT o_custkey,
-        |  (list(o_orderkey ORDER BY o_totalprice DESC, o_orderkey))[1:3] AS top_ids
-        |FROM orders GROUP BY o_custkey""".stripMargin,
+      """WITH agg AS (
+        |  SELECT o_custkey,
+        |    (list(o_orderkey ORDER BY o_totalprice DESC, o_orderkey))[1:3] AS top_ids
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT o_custkey,
+        |  CAST(generate_subscripts(top_ids, 1) - 1 AS BIGINT) AS rank,
+        |  CAST(unnest(top_ids) AS BIGINT) AS orderkey
+        |FROM agg""".stripMargin,
     "q_doc_sample" ->
       s"""SELECT doc_id, lang, bucket FROM (
          |  SELECT doc_id, lang, (${Dedup.hashSql("text")}) % 1000 AS bucket
@@ -1134,10 +1149,15 @@ object SparkEntry {
          |    trim(regexp_replace(lower(nfc_normalize(text)), '[ \\t\\n\\f\\r]+', ' ', 'g')) AS n
          |  FROM documents) t""".stripMargin,
     "q_doc_groupsample" ->
-      s"""SELECT lang,
-         |  (list(doc_id ORDER BY h ASC, doc_id ASC))[1:4] AS sample_ids
-         |FROM (SELECT lang, doc_id, ${Dedup.hashSql("text")} AS h FROM documents) t
-         |GROUP BY lang""".stripMargin,
+      s"""WITH agg AS (
+         |  SELECT lang,
+         |    (list(doc_id ORDER BY h ASC, doc_id ASC))[1:4] AS sample_ids
+         |  FROM (SELECT lang, doc_id, ${Dedup.hashSql("text")} AS h FROM documents) t
+         |  GROUP BY lang)
+         |SELECT lang,
+         |  CAST(generate_subscripts(sample_ids, 1) - 1 AS BIGINT) AS rank,
+         |  CAST(unnest(sample_ids) AS BIGINT) AS doc_id
+         |FROM agg""".stripMargin,
     "q_dedup_clean" ->
       s"""WITH RECURSIVE ${Dedup.corpusSql},
          |${Dedup.tokSql},

@@ -15,7 +15,11 @@ object Bench {
     // the first measured query doesn't absorb one-time JIT cost.
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // optional args = query-name filter (dev profiling; the driver passes none)
+    val selected =
+      if (args.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.view.filterKeys(args.toSet).toMap
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink: forces every output column to be fully computed —
       // count() would let Catalyst prune the projection and under-measure

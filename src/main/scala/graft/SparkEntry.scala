@@ -59,9 +59,14 @@ object SparkEntry {
     // over a registered view.
     "ref_sql" -> { (s, dir) =>
       val (valid, _) = OrderPipeline.route(OrderPipeline.processOrders(RefOrders.rawOrders(s, dir)))
-      OrderPipeline.projectEnriched(valid).createOrReplaceTempView("enriched_orders")
-      // no ORDER BY: a global sort adds a range-sampling pass that runs the
-      // whole pipeline twice; result comparison is order-insensitive
+      // The reference's Q1 scans a MATERIALIZED serving table (Postgres,
+      // ref: README.md:146-158, DDL src/docker-compose.yaml:188-196) — so
+      // materialize the enriched frame before the SQL scan. Without this,
+      // predicate pushdown substitutes the whole enrichment tree into the
+      // Filter and every parse/CASE evaluates twice (no cross-operator CSE).
+      val serving = OrderPipeline.projectEnriched(valid).localCheckpoint()
+      serving.createOrReplaceTempView("enriched_orders")
+      // no ORDER BY: result comparison is order-insensitive
       s.sql("SELECT * FROM enriched_orders WHERE total_price > 1000000")
     },
     // ---- Relational core -------------------------------------------------

@@ -1179,14 +1179,17 @@ object SparkEntry {
          |${Dedup.closureSql},
          |${Dedup.cleanSql},
          |${TextAnalysis.qualityRatiosSql("clean")},
+         |qual AS (
+         |  SELECT rq.doc_id, d.lang,
+         |    ${TextAnalysis.qualityScoreSql} AS quality
+         |  FROM rq JOIN clean d ON rq.doc_id = d.doc_id
+         |  WHERE ${TextAnalysis.qualityScoreSql} IS NOT NULL),
+         |qth AS (
+         |  SELECT lang, quantile_cont(quality, 0.1) AS q_thresh
+         |  FROM qual GROUP BY lang),
          |gated AS (
-         |  SELECT doc_id FROM (
-         |    SELECT rq.doc_id,
-         |      PERCENT_RANK() OVER (PARTITION BY d.lang
-         |        ORDER BY ${TextAnalysis.qualityScoreSql}) AS q_rank
-         |    FROM rq JOIN clean d ON rq.doc_id = d.doc_id
-         |    WHERE ${TextAnalysis.qualityScoreSql} IS NOT NULL) z
-         |  WHERE q_rank >= 0.1),
+         |  SELECT qual.doc_id FROM qual JOIN qth ON qual.lang = qth.lang
+         |  WHERE qual.quality >= qth.q_thresh),
          |sampled AS (
          |  SELECT c.doc_id, c.lang, c.text
          |  FROM clean c JOIN gated g ON c.doc_id = g.doc_id
@@ -1209,12 +1212,13 @@ object SparkEntry {
          |  SELECT rq.doc_id, d.lang,
          |    ${TextAnalysis.qualityScoreSql} AS quality
          |  FROM rq JOIN documents d ON rq.doc_id = d.doc_id
-         |  WHERE ${TextAnalysis.qualityScoreSql} IS NOT NULL)
-         |SELECT doc_id, lang, quality, q_rank FROM (
-         |  SELECT doc_id, lang, quality,
-         |    PERCENT_RANK() OVER (PARTITION BY lang ORDER BY quality) AS q_rank
-         |  FROM q) z
-         |WHERE q_rank >= 0.1""".stripMargin,
+         |  WHERE ${TextAnalysis.qualityScoreSql} IS NOT NULL),
+         |th AS (
+         |  SELECT lang, quantile_cont(quality, 0.1) AS q_thresh
+         |  FROM q GROUP BY lang)
+         |SELECT q.doc_id, q.lang, q.quality, th.q_thresh
+         |FROM q JOIN th ON q.lang = th.lang
+         |WHERE q.quality >= th.q_thresh""".stripMargin,
     "q_doc_langid" ->
       """WITH t AS (
         |  SELECT doc_id, lang,

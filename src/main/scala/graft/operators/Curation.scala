@@ -68,21 +68,36 @@ object Curation {
   }
 
   /** Quantile quality filter: keep documents at or above the per-language
-    * `minRank` quantile of the quality score (drop the worst tail). Uses
-    * percent_rank over (quality, doc_id-pinned ties are unnecessary:
-    * equal qualities share a rank, so the kept SET is deterministic).
+    * `minRank` quantile of the quality score (drop the worst tail).
+    *
+    * Two-pass threshold plan, NOT a per-lang rank window: pass 1 computes
+    * each language's exact interpolated quantile (partial-aggregated
+    * shuffle down to |langs| rows), pass 2 broadcast-joins the thresholds
+    * back and filters. A `percent_rank` window partitioned by lang caps
+    * parallelism at lang cardinality (5 here) and fully sorts each
+    * language shard; the threshold plan has no sort at all and its
+    * parallelism follows the data. (At extreme scale, swap exact
+    * `percentile` — whose partial buffer is a value→count map — for
+    * `percentile_approx` with a fixed-size sketch; exact is kept here
+    * because it matches DuckDB `quantile_cont` bit-for-bit.)
     */
   def qualityFilter(docs: DataFrame, minRank: Double = 0.1): DataFrame = {
-    val w = Window.partitionBy(col("lang")).orderBy(col("quality"))
-    TextAnalysis.quality(docs)
+    val q = TextAnalysis.quality(docs)
       .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
       // empty/whitespace-only docs have null quality: drop them up front
       // (they'd fail any quality bar, and Spark/DuckDB disagree on where
-      // nulls sort, so keeping them would make the rank engine-dependent)
+      // nulls sort, so keeping them would make the gate engine-dependent)
       .filter(col("quality").isNotNull)
-      .withColumn("q_rank", percent_rank().over(w))
-      .filter(col("q_rank") >= minRank)
-      .select(col("doc_id"), col("lang"), col("quality"), col("q_rank"))
+      .select(col("doc_id"), col("lang"), col("quality"))
+      // both passes read this 3-column frame; a lazy checkpoint makes the
+      // expensive tokenize-and-score map run once (pass 1 materializes it,
+      // the filter pass scans the materialized copy)
+      .localCheckpoint(false)
+    val thresholds = q.groupBy(col("lang"))
+      .agg(percentile(col("quality"), lit(minRank)).as("q_thresh"))
+    q.join(broadcast(thresholds), Seq("lang"))
+      .filter(col("quality") >= col("q_thresh"))
+      .select(col("doc_id"), col("lang"), col("quality"), col("q_thresh"))
   }
 
   /** Deterministic uniform k-sample per group (bottom-k by content hash —

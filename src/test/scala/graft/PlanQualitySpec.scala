@@ -71,6 +71,15 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("partial_simhashagg"))
   }
 
+  test("q_doc_qfilter: two-pass threshold gate — no per-lang sort window") {
+    val p = plan("q_doc_qfilter")
+    // a percent_rank window partitioned by lang (cardinality 5) caps the
+    // stage at 5 tasks and fully sorts each shard; the gate must instead
+    // aggregate thresholds and broadcast them back
+    assert(!p.contains("Window"), "quality gate must not plan a Window")
+    assert(p.contains("BroadcastHashJoin"), "thresholds must broadcast")
+  }
+
   test("q_window_rangeframe / q_window_rank2: high-cardinality partition key") {
     assert(plan("q_window_rangeframe").contains("o_custkey"))
     assert(plan("q_window_rank2").contains("o_custkey"))

@@ -53,15 +53,34 @@ object Curation {
     * token lands in: pack_id = ⌊exclusive-cumsum / budget⌋, offset = the
     * position within that pack. This is the standard LLM-pretraining
     * layout where the token stream is cut every `budget` tokens (docs may
-    * straddle a boundary; the offset tells the writer where). One window
-    * per shard — no global sort.
+    * straddle a boundary; the offset tells the writer where).
+    *
+    * The prefix sum is HIERARCHICAL (two-level scan), not one window per
+    * lang: a single `lang`-partitioned window caps parallelism at lang
+    * cardinality (5 here) and sorts each whole shard. Instead, docs are
+    * blocked by `doc_id DIV block` (order-preserving): (1) per-(lang,
+    * block) token totals — a frame `block`× smaller than the input; (2)
+    * running block bases via a window over THAT tiny frame; (3) intra-
+    * block cumsums under a high-cardinality (lang, block) window, joined
+    * with the bases. The join shuffles on (lang, block), which is exactly
+    * the pass-3 window's partitioning — no extra exchange. Output is
+    * IDENTICAL to the flat cumsum (CurationSpec cross-checks), so the
+    * oracle keeps the plain window form.
     */
-  def packSequences(docs: DataFrame, budget: Int = 2048): DataFrame = {
-    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs
+  def packSequences(docs: DataFrame, budget: Int = 2048, block: Int = 4096): DataFrame = {
+    val t = docs
       .select(col("doc_id"), col("lang"), size(tokens(col("text"))).cast("long").as("n_tokens"))
-      .withColumn("cum_excl", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("blk", expr(s"doc_id DIV $block"))
+    val wb = Window.partitionBy(col("lang")).orderBy(col("blk"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val blkBase = t.groupBy(col("lang"), col("blk"))
+      .agg(sum(col("n_tokens")).as("blk_tokens"))
+      .withColumn("blk_base", sum(col("blk_tokens")).over(wb) - col("blk_tokens"))
+      .select(col("lang"), col("blk"), col("blk_base"))
+    val wi = Window.partitionBy(col("lang"), col("blk")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t.join(blkBase, Seq("lang", "blk"))
+      .withColumn("cum_excl", col("blk_base") + sum(col("n_tokens")).over(wi) - col("n_tokens"))
       .select(col("doc_id"), col("lang"), col("n_tokens"),
         (col("cum_excl") / budget).cast("long").as("pack_id"),
         (col("cum_excl") % budget).as("pack_offset"))

@@ -67,6 +67,21 @@ class CurationSpec extends SparkSpec {
     assert(ids.count() === 0)
   }
 
+  test("packing: hierarchical scan (small blocks) equals the flat cumsum") {
+    // block=8 forces many blocks per lang, exercising the block-base join;
+    // the flat single-window layout is the ground truth
+    val hier = Curation.packSequences(docs, budget = 512, block = 8)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"lang").orderBy($"doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val flat = hier.select($"doc_id", $"lang", $"n_tokens")
+      .withColumn("cum_excl", coalesce(sum($"n_tokens").over(w), lit(0L)))
+    val bad = hier.join(flat.select($"doc_id",
+        ($"cum_excl" / 512).cast("long").as("e_pack"), ($"cum_excl" % 512).as("e_off")), "doc_id")
+      .filter($"pack_id" =!= $"e_pack" || $"pack_offset" =!= $"e_off")
+    assert(bad.count() === 0)
+  }
+
   test("chunking: strided starts, bounded sizes, full coverage") {
     val c = Curation.chunk(docs, size = 64, stride = 48).cache()
     assert(c.filter($"n_chunk_tokens" < 1 || $"n_chunk_tokens" > 64).count() === 0)

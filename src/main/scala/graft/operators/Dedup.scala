@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
@@ -240,51 +241,107 @@ object Dedup {
     * pairs" into actual dedup decisions (a~b, b~c ⇒ one group even if
     * (a,c) was never a candidate).
     *
-    * Each iteration is ONE job: the convergence flag (`chg`) is computed
-    * inside the same projection that produces the new labels, so the
-    * single `agg(count(chg))` action both materializes the iteration's
-    * cache and decides termination — no second comparison join/count.
-    * Every 5th iteration goes through a lazy `localCheckpoint` to cut
-    * the growing lineage (the optimizer cost would otherwise compound).
-    * All intermediate caches (and `edges`) are unpersisted before
-    * returning; the small result is checkpointed so it survives them.
-    * The iteration count is bounded by the component diameter — tiny for
-    * dedup graphs (clusters of copies). At extreme scale swap in a
-    * large-star/small-star formulation; the interface stays the same.
+    * The loop is the alternating LARGE-STAR / SMALL-STAR formulation
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14): each round rewires strictly-larger neighbors (large-star)
+    * and then smaller neighbors (small-star) onto each node's
+    * neighborhood minimum, converging to per-component stars rooted at
+    * the component minimum in O(log n) rounds — independent of component
+    * DIAMETER, unlike plain min-label propagation (a length-d chain takes
+    * d propagation steps but only ~log₂ d star rounds). Each round is two
+    * distinct-aggregated shuffles on the edge endpoint; the edge set
+    * never grows past one canonical edge per (node, current-root).
+    *
+    * Convergence = the canonical edge SET reaches a fixpoint (equal count
+    * + empty anti-join, both exact on the distinct sets; the anti-join
+    * only runs when counts match). Every 4th round goes through a lazy
+    * `localCheckpoint` to cut the growing lineage. All per-round caches
+    * are unpersisted before returning; the small result is checkpointed
+    * so it survives them.
     */
   val MaxClusterIters = 20
 
+  /** Rounds the most recent [[duplicateClusters]] call took (one round =
+    * large-star + small-star); exposed for tests and telemetry.
+    */
+  @volatile var lastClusterRounds: Int = 0
+
+  /** Large-star: per node u over its full (undirected) neighborhood Γ(u),
+    * attach every neighbor v > u to m = min(Γ(u) ∪ {u}). Every dropped
+    * (u, w<u) edge re-emerges from w's own group, so connectivity is
+    * preserved. Input/output edges are canonical (u > v).
+    *
+    * Single windowed pass — a groupBy-min + self-join spelling evaluates
+    * the (uncached) round input once per join side, which compounds
+    * across the smallStar(largeStar(e)) composition into 4× work per
+    * round; the window needs one exchange and reads its input once.
+    */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val und = e.union(e.select(col("v").as("u"), col("u").as("v")))
+    val w = Window.partitionBy(col("u"))
+    und
+      .withColumn("m", least(min(col("v")).over(w), col("u")))
+      .filter(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+    // no distinct here: duplicates are bounded by |und| and the
+    // small-star that always follows ends in one — saves a shuffle/round
+  }
+
+  /** Small-star: per node u over its smaller neighbors Γ(u) (canonical
+    * edges point down), attach every v ∈ Γ(u) \ {m} and u itself to
+    * m = min(Γ(u)). Rows carrying v == m are rewritten to (u, m), so a
+    * single windowed pass emits both the re-attachments and the group's
+    * own root edge (no self-join, no union); duplicate input rows (the
+    * un-distinct'd large-star output) just produce duplicate emissions,
+    * merged by the closing distinct.
+    */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("u"))
+    e
+      .withColumn("m", min(col("v")).over(w))
+      .select(
+        when(col("v") === col("m"), col("u")).otherwise(col("v")).as("u"),
+        col("m").as("v"))
+      .distinct()
+  }
+
   def duplicateClusters(pairs: DataFrame): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    var edges = pairs
+      .select(greatest(col("doc_a"), col("doc_b")).as("u"),
+        least(col("doc_a"), col("doc_b")).as("v"))
+      .filter(col("u") =!= col("v"))
       .distinct().cache()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("cluster", col("id")).cache()
-    var changed = 1L
+    var cnt = edges.count()
+    var converged = cnt == 0
     var iter = 0
-    while (changed > 0 && iter < MaxClusterIters) {
-      val nmin = edges
-        .join(labels.select(col("id").as("dst_id"), col("cluster").as("ncluster")),
-          col("dst") === col("dst_id"))
-        .groupBy(col("src")).agg(min(col("ncluster")).as("nmin"))
-      val updated = labels
-        .join(nmin, labels("id") === nmin("src"), "left")
-        .select(labels("id"),
-          least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"),
-          coalesce(col("nmin") < col("cluster"), lit(false)).as("chg"))
-      // lazy checkpoint: materializes during the SAME convergence action
-      val mat = if (iter % 5 == 4) updated.localCheckpoint(false) else updated.cache()
-      changed = mat.agg(count(when(col("chg"), lit(1)))).first().getLong(0)
-      labels.unpersist()
-      labels = mat
+    while (!converged && iter < MaxClusterIters) {
+      val step = smallStar(largeStar(edges))
+      // lazy checkpoint: materializes during the SAME count action
+      val next = if (iter % 4 == 3) step.localCheckpoint(false) else step.cache()
+      val ncnt = next.count()
+      converged = ncnt == cnt &&
+        next.join(edges, Seq("u", "v"), "left_anti").isEmpty
+      edges.unpersist()
+      edges = next
+      cnt = ncnt
       iter += 1
     }
-    if (changed > 0)
-      log.warn(s"duplicateClusters: iteration cap $MaxClusterIters reached with " +
-        s"$changed labels still changing — emitted clusters may be unconverged")
-    val result = labels.select(col("id").as("doc_id"), col("cluster"),
-      (col("id") === col("cluster")).as("is_keeper")).localCheckpoint()
-    labels.unpersist()
+    lastClusterRounds = iter
+    if (!converged)
+      log.warn(s"duplicateClusters: round cap $MaxClusterIters reached before " +
+        "the star fixpoint — emitted clusters may be unconverged")
+    else
+      log.info(s"duplicateClusters: converged in $iter large/small-star rounds")
+    // at the star fixpoint every non-root has exactly ONE edge, to its
+    // component minimum; the groupBy-min is a no-op then (and a
+    // best-effort tiebreak if the round cap was ever hit)
+    val result = edges
+      .select(col("u").as("doc_id"), col("v").as("cluster"))
+      .union(edges.select(col("v").as("doc_id"), col("v").as("cluster")))
+      .groupBy(col("doc_id")).agg(min(col("cluster")).as("cluster"))
+      .select(col("doc_id"), col("cluster"),
+        (col("doc_id") === col("cluster")).as("is_keeper"))
+      .localCheckpoint()
     edges.unpersist()
     result
   }

@@ -91,6 +91,21 @@ class DedupSpec extends SparkSpec {
     assert((baseIds -- kept) === (nonKeepers & baseIds))
   }
 
+  test("large-star/small-star converges in O(log n) rounds on a 64-chain") {
+    // a path graph is the worst case for min-label propagation (needs
+    // n-1 = 63 propagation steps, past the round cap); star contraction
+    // must collapse it to one cluster in ~log2(n) rounds
+    val n = 64L
+    val chain = (0L until n - 1).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val c = Dedup.duplicateClusters(chain).cache()
+    assert(c.count() === n)
+    assert(c.filter($"cluster" =!= 0L).count() === 0, "chain must collapse to cluster 0")
+    assert(c.filter($"is_keeper").count() === 1)
+    val bound = (math.log(n.toDouble) / math.log(2)).ceil.toInt + 3
+    assert(Dedup.lastClusterRounds <= bound,
+      s"took ${Dedup.lastClusterRounds} rounds, bound $bound")
+  }
+
   test("duplicateClusters unpersists its intermediates") {
     val before = spark.sparkContext.getPersistentRDDs.keySet
     Dedup.duplicateClusters(Dedup.minhashCandidates(corpus)).count()

@@ -43,6 +43,19 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("BatchEvalPython"))
   }
 
+  test("ref_enriched/ref_invalid: route filter reads the computed flag") {
+    // PushDownPredicates substituting is_valid's validation tree into a
+    // Filter at the scan re-evaluates the whole pipeline per branch
+    // (~3x cost) — PushdownBarrier must keep the Filter above the
+    // projection, so no Filter condition may contain a pyfloat parse
+    for (name <- Seq("ref_enriched", "ref_invalid")) {
+      val conds = plan(name).linesIterator.filter(_.contains("Condition :")).toSeq
+      assert(conds.nonEmpty, s"$name: expected a Filter")
+      assert(conds.forall(!_.contains("pyfloat")),
+        s"$name: validation tree was pushed into the Filter")
+    }
+  }
+
   test("q_dedup_simhash: pair generation is an equi-join on (lang, band, key)") {
     val p = plan("q_dedup_simhash")
     val keyLine = p.linesIterator.filter(_.contains("Left keys"))

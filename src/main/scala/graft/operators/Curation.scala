@@ -101,8 +101,9 @@ object Curation {
     * because it matches DuckDB `quantile_cont` bit-for-bit.)
     */
   def qualityFilter(docs: DataFrame, minRank: Double = 0.1): DataFrame = {
-    val q = TextAnalysis.quality(docs)
-      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+    // lang rides through the score projection — no join back against the
+    // corpus for a column its scan already had
+    val q = TextAnalysis.quality(docs, passthrough = Seq("lang"))
       // empty/whitespace-only docs have null quality: drop them up front
       // (they'd fail any quality bar, and Spark/DuckDB disagree on where
       // nulls sort, so keeping them would make the gate engine-dependent)

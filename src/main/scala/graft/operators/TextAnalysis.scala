@@ -52,9 +52,12 @@ object TextAnalysis {
     )
 
   /** Quality scoring: stopword ratio, short-token ratio, and a simple
-    * deterministic composite in [0,1].
+    * deterministic composite in [0,1]. `passthrough` names input columns
+    * to carry into the output (e.g. `lang` for the quality gate) so
+    * callers don't have to join the score frame back against the corpus
+    * just to recover a column the scan already had.
     */
-  def quality(docs: DataFrame): DataFrame = {
+  def quality(docs: DataFrame, passthrough: Seq[String] = Nil): DataFrame = {
     val nTok = size(col("toks"))
     val n = nTok.cast("double")
     // guarded: 0-token docs → null ratios, not an ANSI DIVIDE_BY_ZERO abort
@@ -62,10 +65,10 @@ object TextAnalysis {
     val shortRatio = when(nTok > 0,
       graft.expressions.ShortTokenCount.short_token_count(col("toks"), 3).cast("double") / n)
     withToks(docs).select(
-      col("doc_id"),
-      stopRatio.as("stop_ratio"),
-      shortRatio.as("short_ratio"),
-      (lit(1.0) - stopRatio * lit(0.5) - shortRatio * lit(0.3)).as("quality")
+      col("doc_id") +: passthrough.map(col) :+
+        stopRatio.as("stop_ratio") :+
+        shortRatio.as("short_ratio") :+
+        (lit(1.0) - stopRatio * lit(0.5) - shortRatio * lit(0.3)).as("quality"): _*
     )
   }
 

@@ -101,18 +101,22 @@ object Curation {
     * because it matches DuckDB `quantile_cont` bit-for-bit.)
     */
   def qualityFilter(docs: DataFrame, minRank: Double = 0.1): DataFrame = {
+    import graft.expressions.PushdownBarrier.barrier
     // lang rides through the score projection — no join back against the
-    // corpus for a column its scan already had
+    // corpus for a column its scan already had. The barrier field keeps
+    // the null-guard filter ABOVE the scoring projection: pushed down, the
+    // substituted `quality IS NOT NULL` re-derives the tokenize once per
+    // stopword term (~16 sites, measured ~9 s vs ~1 s at sf0.1 — same
+    // PushDownPredicates failure mode as OrderPipeline.route, see
+    // PushdownBarrier's scaladoc). Both passes then recompute the narrow
+    // scoring map once each; no persistence barrier needed.
     val q = TextAnalysis.quality(docs, passthrough = Seq("lang"))
+      .withColumn("__gate_barrier", barrier(lit(true)))
       // empty/whitespace-only docs have null quality: drop them up front
       // (they'd fail any quality bar, and Spark/DuckDB disagree on where
       // nulls sort, so keeping them would make the gate engine-dependent)
-      .filter(col("quality").isNotNull)
+      .filter(col("__gate_barrier") && col("quality").isNotNull)
       .select(col("doc_id"), col("lang"), col("quality"))
-      // both passes read this 3-column frame; a lazy checkpoint makes the
-      // expensive tokenize-and-score map run once (pass 1 materializes it,
-      // the filter pass scans the materialized copy)
-      .localCheckpoint(false)
     val thresholds = q.groupBy(col("lang"))
       .agg(percentile(col("quality"), lit(minRank)).as("q_thresh"))
     q.join(broadcast(thresholds), Seq("lang"))

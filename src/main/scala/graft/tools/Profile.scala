@@ -53,6 +53,26 @@ object Profile {
       OrderPipeline.toConnectEnvelope(OrderPipeline.withKafkaKey(valid))
         .select(col("key"), col("value"))
     }
+
+    // curation breakdown (see ProfileGate for clean-process gate timings —
+    // cache()/persist() probes in a shared process contaminate later
+    // stages via CacheManager plan substitution)
+    import graft.operators.{Curation, Dedup, TextAnalysis}
+    def docs = Tables.documents(spark, sfDir)
+    time("doc quality score only")(TextAnalysis.quality(docs, Seq("lang")))
+    time("full qualityFilter")(Curation.qualityFilter(docs))
+
+    // pipeline-composition persistence comparison
+    def pipelineWith(persist: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame) = {
+      val clean = persist(Dedup.dedupedCorpus(Dedup.corpus(docs)))
+      val kept = persist(clean.join(
+        Curation.qualityFilter(clean).select(col("doc_id")), Seq("doc_id")))
+      val sampled = kept.join(
+        Curation.sampleStratified(kept).select(col("doc_id")), Seq("doc_id"))
+      Curation.packSequences(sampled)
+    }
+    time("pipeline, lazy ckpt")(pipelineWith(_.localCheckpoint(false)))
+    time("pipeline, no persist")(pipelineWith(identity))
     spark.stop()
   }
 }

@@ -57,4 +57,17 @@ object PushdownBarrier {
   def barrier(c: Column): Column =
     org.apache.spark.sql.graft.bridge.column(
       PushdownBarrier(org.apache.spark.sql.graft.bridge.expression(c)))
+
+  /** `df.filter(pred)` that CANNOT be pushed below df's projection: the
+    * barrier rides as a projection field referenced by the filter (see
+    * class scaladoc for why the field, not the predicate, must carry it),
+    * then is dropped. Use when `pred` references a column whose defining
+    * expression is expensive (a parse, a tokenize, a dot product) — the
+    * pushed-down substitution would re-evaluate that tree per reference.
+    */
+  def barrieredFilter(df: org.apache.spark.sql.DataFrame,
+      pred: Column): org.apache.spark.sql.DataFrame =
+    df.withColumn("__pushdown_barrier", barrier(org.apache.spark.sql.functions.lit(true)))
+      .filter(org.apache.spark.sql.functions.col("__pushdown_barrier") && pred)
+      .drop("__pushdown_barrier")
 }

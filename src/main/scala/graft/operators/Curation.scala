@@ -41,9 +41,11 @@ object Curation {
     val keep = SampleKeepPermille.foldRight(lit(DefaultKeepPermille)) {
       case ((l, p), acc) => when(col("lang") === l, lit(p)).otherwise(acc)
     }
-    docs
-      .withColumn("bucket", sampleBucket(col("text")))
-      .filter(col("bucket") < keep)
+    // barriered: a pushed-down `bucket < keep` re-hashes the text at the
+    // scan and again in the projection
+    graft.expressions.PushdownBarrier.barrieredFilter(
+        docs.withColumn("bucket", sampleBucket(col("text"))),
+        col("bucket") < keep)
       .select(col("doc_id"), col("lang"), col("bucket"))
   }
 
@@ -101,7 +103,6 @@ object Curation {
     * because it matches DuckDB `quantile_cont` bit-for-bit.)
     */
   def qualityFilter(docs: DataFrame, minRank: Double = 0.1): DataFrame = {
-    import graft.expressions.PushdownBarrier.barrier
     // lang rides through the score projection — no join back against the
     // corpus for a column its scan already had. The barrier field keeps
     // the null-guard filter ABOVE the scoring projection: pushed down, the
@@ -110,12 +111,12 @@ object Curation {
     // PushDownPredicates failure mode as OrderPipeline.route, see
     // PushdownBarrier's scaladoc). Both passes then recompute the narrow
     // scoring map once each; no persistence barrier needed.
-    val q = TextAnalysis.quality(docs, passthrough = Seq("lang"))
-      .withColumn("__gate_barrier", barrier(lit(true)))
-      // empty/whitespace-only docs have null quality: drop them up front
-      // (they'd fail any quality bar, and Spark/DuckDB disagree on where
-      // nulls sort, so keeping them would make the gate engine-dependent)
-      .filter(col("__gate_barrier") && col("quality").isNotNull)
+    // empty/whitespace-only docs have null quality: drop them up front
+    // (they'd fail any quality bar, and Spark/DuckDB disagree on where
+    // nulls sort, so keeping them would make the gate engine-dependent)
+    val q = graft.expressions.PushdownBarrier.barrieredFilter(
+        TextAnalysis.quality(docs, passthrough = Seq("lang")),
+        col("quality").isNotNull)
       .select(col("doc_id"), col("lang"), col("quality"))
     val thresholds = q.groupBy(col("lang"))
       .agg(percentile(col("quality"), lit(minRank)).as("q_thresh"))
@@ -142,9 +143,11 @@ object Curation {
     */
   def chunk(docs: DataFrame, size: Int = 64, stride: Int = 48): DataFrame = {
     val toks = tokens(col("text"))
-    docs
-      .select(col("doc_id"), toks.as("toks"), org.apache.spark.sql.functions.size(toks).as("nt"))
-      .filter(col("nt") > 0)
+    // barriered: a pushed-down `nt > 0` re-tokenizes at the scan
+    graft.expressions.PushdownBarrier.barrieredFilter(
+        docs.select(col("doc_id"), toks.as("toks"),
+          org.apache.spark.sql.functions.size(toks).as("nt")),
+        col("nt") > 0)
       .withColumn("start", explode(sequence(lit(0), col("nt") - 1, lit(stride))))
       .select(
         col("doc_id"),

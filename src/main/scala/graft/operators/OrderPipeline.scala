@@ -171,10 +171,8 @@ object OrderPipeline {
     * not the predicate — must carry the barrier.
     */
   def route(df: DataFrame): (DataFrame, DataFrame) = {
-    import graft.expressions.PushdownBarrier.barrier
-    val b = df.withColumn("__route_barrier", barrier(lit(true)))
-    (b.filter(col("__route_barrier") && col("is_valid")).drop("__route_barrier"),
-      b.filter(col("__route_barrier") && !col("is_valid")).drop("__route_barrier"))
+    import graft.expressions.PushdownBarrier.barrieredFilter
+    (barrieredFilter(df, col("is_valid")), barrieredFilter(df, !col("is_valid")))
   }
 
   /** K1 — Kafka message key: order_id as string, "unknown" when missing

@@ -158,11 +158,15 @@ object Similarity {
     // under the one-query-per-run driver contract)
     val b = lshBuckets(embCorpus(e)).withColumn("nrm", l2norm(col("emb")))
       .localCheckpoint(false)
-    b.as("a").join(b.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        cosineWithNorms(dot(col("a.emb"), col("b.emb")), col("a.nrm"), col("b.nrm")).as("cos"))
-      .filter(col("cos") >= minCos)
+    // barriered: a pushed-down `cos >= minCos` folds the dot product into
+    // the join condition AND keeps it in the projection — 2× SeqDot per
+    // candidate pair
+    graft.expressions.PushdownBarrier.barrieredFilter(
+      b.as("a").join(b.as("b"),
+          col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+          cosineWithNorms(dot(col("a.emb"), col("b.emb")), col("a.nrm"), col("b.nrm")).as("cos")),
+      col("cos") >= minCos)
   }
 
   /** Embeddings pipeline end to end: planted corpus → near-dup removal

@@ -91,6 +91,37 @@ class DedupSpec extends SparkSpec {
     assert((baseIds -- kept) === (nonKeepers & baseIds))
   }
 
+  test("star-contraction matches driver-side union-find on random graphs") {
+    // deterministic LCG so the spec is reproducible; shapes include
+    // singleton pairs, chains, merged blobs, and high-id-first edges
+    var seed = 0x5eed5eedL
+    def nextInt(bound: Int): Int = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      (((seed >>> 33) % bound) + bound).toInt % bound
+    }
+    for (trial <- 1 to 5) {
+      val n = 40 + nextInt(40)
+      val m = 30 + nextInt(60)
+      val edges = Seq.fill(m)((nextInt(n).toLong, nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      // union-find ground truth
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      for ((a, b) <- edges) {
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val truth = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(v => v -> {
+          // component label = min member = root under min-union
+          find(v.toInt).toLong
+        }).toMap
+      val got = Dedup.duplicateClusters(edges.toDF("doc_a", "doc_b"))
+        .select($"doc_id", $"cluster").as[(Long, Long)].collect().toMap
+      assert(got === truth, s"trial $trial (n=$n m=${edges.size}) mismatch")
+    }
+  }
+
   test("large-star/small-star converges in O(log n) rounds on a 64-chain") {
     // a path graph is the worst case for min-label propagation (needs
     // n-1 = 63 propagation steps, past the round cap); star contraction

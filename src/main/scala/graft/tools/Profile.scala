@@ -73,6 +73,14 @@ object Profile {
     }
     time("pipeline, lazy ckpt")(pipelineWith(_.localCheckpoint(false)))
     time("pipeline, no persist")(pipelineWith(identity))
+
+    // dedup breakdown: candidates vs the CC loop
+    time("minhash candidates")(Dedup.minhashCandidates(Dedup.corpus(docs)))
+    val t0 = System.nanoTime()
+    val clusters = Dedup.duplicateClusters(Dedup.minhashCandidates(Dedup.corpus(docs)))
+    println(f"[profile] clusters eager (cands+loop) ${(System.nanoTime() - t0) / 1e9}%8.3f s" +
+      s" (${Dedup.lastClusterRounds} rounds)")
+    time("clusters result scan")(clusters)
     spark.stop()
   }
 }

@@ -93,6 +93,13 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), "thresholds must broadcast")
   }
 
+  test("q_dedup_embed: one dot product per candidate pair") {
+    // without the barrier the pushed cos>=minCos folds SeqDot into the
+    // join condition AND keeps it in the projection — 2 evaluation sites
+    val n = "(?i)seqdot".r.findAllIn(plan("q_dedup_embed")).size
+    assert(n <= 1, s"expected a single SeqDot site in the plan, found $n")
+  }
+
   test("q_window_rangeframe / q_window_rank2: high-cardinality partition key") {
     assert(plan("q_window_rangeframe").contains("o_custkey"))
     assert(plan("q_window_rank2").contains("o_custkey"))

@@ -129,7 +129,8 @@ object OrderPipeline {
       "order_date",
       when(
         col("order_date").rlike("^[0-9]+$"),
-        date_format(date_add(to_date(lit("1970-01-01")), col("order_date").try_cast("int")), "yyyy-MM-dd")
+        // date→string cast renders "yyyy-MM-dd" directly (no formatter)
+        date_add(to_date(lit("1970-01-01")), col("order_date").try_cast("int")).cast("string")
       ).otherwise(col("order_date"))
     )
 

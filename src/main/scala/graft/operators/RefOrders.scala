@@ -34,8 +34,10 @@ object RefOrders {
       when(k % 23 === 0, concat(lit("-"), $"l_extendedprice".cast("string")))
         .when(k % 41 === 0, lit("abc"))
         .otherwise($"l_extendedprice".cast("string")).as("price"),
+      // date→string cast renders "yyyy-MM-dd" directly — same bytes as
+      // date_format but without the per-row DateTimeFormatter machinery
       when(k % 37 === 0, datediff($"l_shipdate".cast("date"), lit("1970-01-01").cast("date")).cast("string"))
-        .otherwise(date_format($"l_shipdate", "yyyy-MM-dd")).as("order_date")
+        .otherwise($"l_shipdate".cast("date").cast("string")).as("order_date")
     )
   }
 

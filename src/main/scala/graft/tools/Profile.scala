@@ -62,17 +62,17 @@ object Profile {
     time("doc quality score only")(TextAnalysis.quality(docs, Seq("lang")))
     time("full qualityFilter")(Curation.qualityFilter(docs))
 
-    // pipeline-composition persistence comparison
-    def pipelineWith(persist: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame) = {
-      val clean = persist(Dedup.dedupedCorpus(Dedup.corpus(docs)))
-      val kept = persist(clean.join(
-        Curation.qualityFilter(clean).select(col("doc_id")), Seq("doc_id")))
+    // pipeline composition: the real query (lazy-checkpointed subtrees)
+    // vs a no-persist rebuild of the same stages
+    time("pipeline (real query)")(graft.SparkEntry.queries("q_pipeline_e2e")(spark, sfDir))
+    time("pipeline, no persist") {
+      val clean = Dedup.dedupedCorpus(Dedup.corpus(docs))
+      val kept = clean.join(
+        Curation.qualityFilter(clean).select(col("doc_id")), Seq("doc_id"))
       val sampled = kept.join(
         Curation.sampleStratified(kept).select(col("doc_id")), Seq("doc_id"))
       Curation.packSequences(sampled)
     }
-    time("pipeline, lazy ckpt")(pipelineWith(_.localCheckpoint(false)))
-    time("pipeline, no persist")(pipelineWith(identity))
 
     // dedup breakdown: candidates vs the CC loop
     time("minhash candidates")(Dedup.minhashCandidates(Dedup.corpus(docs)))

@@ -23,17 +23,23 @@ object TextFunctions {
     * (\x0B) while DuckDB's RE2 `\s` does not — `\s+` on both sides would
     * silently tokenize differently.
     *
-    * Empties are dropped with `array_remove(_, "")`, not a `filter` HOF:
-    * the `[…]+` split can only produce empty strings at the array's edges
-    * (leading/trailing separators survive `trim`, which strips spaces
-    * only), so removing `""` is exactly the HOF's semantics — and
-    * array_remove is codegen'd while lambda HOFs are CodegenFallback,
-    * which would interpret-per-row every text operator in the engine.
-    * ([[tokensHof]] keeps the HOF formulation as the cross-check.)
+    * Backed by the native codegen'd [[graft.expressions.Tokenize]]: one
+    * lowercase + one byte scan per row, vs the built-ins spelling's four
+    * passes (lower, trim, regex split, array_remove). [[tokensBuiltin]]
+    * and [[tokensHof]] keep the built-ins formulations as semantic
+    * cross-checks (TokenizeSpec pins all three equal).
     * DuckDB mirror: list_filter(regexp_split_to_array(trim(lower(t)),
     * '[ \t\n\f\r]+'), x -> length(x) > 0).
     */
-  def tokens(text: Column): Column =
+  def tokens(text: Column): Column = graft.expressions.Tokenize.tokenize(text)
+
+  /** Built-ins formulation of [[tokens]] — semantic cross-check only.
+    * Empties are dropped with `array_remove(_, "")`: the `[…]+` split can
+    * only produce empty strings at the array's edges (leading/trailing
+    * separators survive `trim`, which strips spaces only), so removing
+    * `""` is exactly the HOF's semantics.
+    */
+  def tokensBuiltin(text: Column): Column =
     array_remove(split(trim(lower(text)), "[ \\t\\n\\f\\r]+"), "")
 
   /** HOF formulation of [[tokens]] — semantic cross-check only. */

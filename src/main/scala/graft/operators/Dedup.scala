@@ -62,15 +62,24 @@ object Dedup {
     * like every other; 3-word shingles are position-sensitive and make
     * random-pair Jaccard ≈ 0 while near-dups stay ≈ 0.9.
     *
-    * Shape note: built as posexplode + window `lead`, NOT as a
-    * `transform(sequence, i => element_at(toks, i) …)` lambda — Catalyst's
-    * projection collapse inlines the token-array expression into every
-    * `element_at`, re-splitting the text O(tokens²) per doc (measured 20+ s
-    * per dedup query at sf0.1; this shape is ~40× cheaper and fully
-    * codegen'd). The one shuffle (by doc_id) is the same partitioning every
-    * downstream grouping needs anyway.
+    * Shape note: a pure narrow map — the native fused
+    * [[graft.expressions.ShingleHashes]] emits each doc's trigram-hash
+    * array in one pass and `explode` streams it, with NO exploded token
+    * stream and NO per-doc window, so nothing shuffles before the
+    * downstream aggregation. (History: a `transform(sequence,
+    * element_at…)` lambda re-splits the text O(tokens²) per doc via
+    * projection collapse — 20+ s per dedup query at sf0.1; the earlier
+    * posexplode + window-`lead` shape fixed that but still shuffled the
+    * ~50×-corpus token stream to sort it per doc. ShingleSpec pins the
+    * fused expression equal to the posexplode+lead formulation,
+    * [[shinglesWindowed]].)
     */
-  def shingles(c: DataFrame): DataFrame = {
+  def shingles(c: DataFrame): DataFrame =
+    c.select(col("doc_id"),
+      explode(graft.expressions.ShingleHashes.shingle_hashes(col("text"))).as("h"))
+
+  /** posexplode + window-lead formulation — semantic cross-check only. */
+  def shinglesWindowed(c: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tok = c.select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "w")))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))

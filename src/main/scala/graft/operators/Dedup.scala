@@ -134,10 +134,15 @@ object Dedup {
   def minhashCandidates(c: DataFrame): DataFrame =
     candidatesFromSig(minhashSignatures(c))
 
-  /** Banded self-join over a precomputed signature table. */
+  /** Banded self-join over a precomputed signature table. SHUFFLE_HASH:
+    * the self-join's sides are both the whole corpus band table, so a
+    * stats-blind broadcast (post-checkpoint sizes are unknown) would ship
+    * the corpus to every executor — the shuffle-hash join partitions on
+    * (band, bh) instead, the only shape that survives corpus scale.
+    */
   def candidatesFromSig(sig: DataFrame): DataFrame = {
     val bands = lshBands(sig).localCheckpoint(false)
-    bands.as("a").join(bands.as("b"),
+    bands.as("a").hint("shuffle_hash").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -209,7 +214,12 @@ object Dedup {
     val probes = bands
       .withColumn("mask", explode(typedLit(BandMasks)))
       .withColumn("vk", col("bk").bitwiseXOR(col("mask")))
-    probes.as("a").join(bands.as("b"),
+    // SHUFFLE_HASH on the exact side: post-checkpoint stats are unknown,
+    // and left to itself Spark broadcast the 37×-exploded PROBE side
+    // (build = |corpus|×4×37 rows — a driver OOM at real scale). The
+    // shuffle-hash join shuffles both sides on (lang, band, key) and
+    // hash-builds the compact side — the only shape that survives 100 TB
+    probes.as("a").join(bands.as("b").hint("shuffle_hash"),
         col("a.lang") === col("b.lang") && col("a.band") === col("b.band") &&
           col("a.vk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
       .select(

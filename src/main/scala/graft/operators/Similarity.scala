@@ -161,8 +161,10 @@ object Similarity {
     // barriered: a pushed-down `cos >= minCos` folds the dot product into
     // the join condition AND keeps it in the projection — 2× SeqDot per
     // candidate pair
+    // SHUFFLE_HASH: both sides are the whole corpus bucket table — a
+    // stats-blind broadcast would ship the corpus to every executor
     graft.expressions.PushdownBarrier.barrieredFilter(
-      b.as("a").join(b.as("b"),
+      b.as("a").hint("shuffle_hash").join(b.as("b"),
           col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
           cosineWithNorms(dot(col("a.emb"), col("b.emb")), col("a.nrm"), col("b.nrm")).as("cos")),

@@ -93,6 +93,17 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), "thresholds must broadcast")
   }
 
+  test("candidate self-joins are shuffle-hash, never a corpus broadcast") {
+    // both sides of each candidate join are corpus-sized derived tables
+    // with unknown post-checkpoint stats; a broadcast would ship the
+    // corpus to every executor at scale
+    for (name <- Seq("q_dedup_minhash", "q_dedup_simhash", "q_dedup_embed")) {
+      val p = plan(name)
+      assert(p.contains("ShuffledHashJoin"), s"$name lost the shuffle-hash join")
+      assert(!p.contains("BroadcastHashJoin"), s"$name broadcasts a corpus-sized side")
+    }
+  }
+
   test("q_dedup_embed: one dot product per candidate pair") {
     // without the barrier the pushed cos>=minCos folds SeqDot into the
     // join condition AND keeps it in the projection — 2 evaluation sites

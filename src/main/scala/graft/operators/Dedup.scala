@@ -241,14 +241,19 @@ object Dedup {
     // and the size table — one lazy materialization for all four
     val tok = tokenHashes(c).localCheckpoint(false)
     val sizes = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("nt"))
+    // SHUFFLE_HASH on every tok/sizes side: they are corpus-sized with
+    // unknown post-checkpoint stats, and a stats-blind broadcast of the
+    // whole shingle set (or the per-doc size table) cannot survive scale;
+    // the shuffle-hash joins partition on the join key and build only a
+    // per-partition slice
     val inter = candidatesFromSig(signaturesFromTok(tok))
-      .join(tok.select(col("doc_id").as("doc_a"), col("h")), Seq("doc_a"))
-      .join(tok.select(col("doc_id").as("doc_b"), col("h")), Seq("doc_b", "h"))
+      .join(tok.select(col("doc_id").as("doc_a"), col("h")).hint("shuffle_hash"), Seq("doc_a"))
+      .join(tok.select(col("doc_id").as("doc_b"), col("h")).hint("shuffle_hash"), Seq("doc_b", "h"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("ni"))
     inter
-      .join(sizes.select(col("doc_id").as("doc_a"), col("nt").as("na")), Seq("doc_a"))
-      .join(sizes.select(col("doc_id").as("doc_b"), col("nt").as("nb")), Seq("doc_b"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("nt").as("na")).hint("shuffle_hash"), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("nt").as("nb")).hint("shuffle_hash"), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         (col("ni").cast("double") / (col("na") + col("nb") - col("ni")).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)

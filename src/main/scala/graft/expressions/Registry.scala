@@ -1,0 +1,56 @@
+package graft.expressions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.types.IntegerType
+
+/** One-call SQL registration for every graft native function and
+  * aggregate, so the SQL front end (Q1-style `spark.sql` queries) can
+  * reach the same operators the Column API uses:
+  *
+  * {{{
+  *   graft.expressions.Registry.registerAll(spark)
+  *   spark.sql("SELECT top_k_by_value(o_totalprice, o_orderkey, 3) FROM orders GROUP BY o_custkey")
+  * }}}
+  *
+  * Integer parameters (k, maxLen, planes) must be integer LITERALS — they
+  * shape the aggregation buffer / generated code and cannot vary per row.
+  * PushdownBarrier is also exposed (`pushdown_barrier(expr)`): SQL users
+  * filtering a view on an expensive computed column hit the same
+  * predicate-pushdown re-evaluation the Column API operators guard
+  * against.
+  */
+object Registry {
+
+  private def intLit(e: Expression, fn: String, arg: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other =>
+      throw new IllegalArgumentException(
+        s"$fn: $arg must be an integer literal, got $other")
+  }
+
+  def registerAll(spark: SparkSession): Unit = {
+    // scalar functions with their own register()
+    PolyHash.register(spark)
+    PyFloat.register(spark)
+    NfcNormalize.register(spark)
+    RandomHyperplaneBits.register(spark)
+
+    val r = spark.sessionState.functionRegistry
+    r.createOrReplaceTempFunction("tokenize",
+      es => Tokenize(es.head), "built-in")
+    r.createOrReplaceTempFunction("shingle_hashes",
+      es => ShingleHashes(es.head), "built-in")
+    r.createOrReplaceTempFunction("seq_dot",
+      es => SeqDot(es(0), es(1)), "built-in")
+    r.createOrReplaceTempFunction("short_token_count",
+      es => ShortTokenCount(es(0), intLit(es(1), "short_token_count", "maxLen")), "built-in")
+    r.createOrReplaceTempFunction("pushdown_barrier",
+      es => PushdownBarrier(es.head), "built-in")
+    // aggregates: the analyzer wraps AggregateFunctions in aggregate context
+    r.createOrReplaceTempFunction("top_k_by_value",
+      es => TopKByValue(es(0), es(1), intLit(es(2), "top_k_by_value", "k")), "built-in")
+    r.createOrReplaceTempFunction("simhash_agg",
+      es => SimHashAgg(es.head), "built-in")
+  }
+}

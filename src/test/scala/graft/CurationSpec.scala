@@ -67,6 +67,16 @@ class CurationSpec extends SparkSpec {
     assert(ids.count() === 0)
   }
 
+  test("approx quality gate tracks the exact gate within the sketch error band") {
+    val exact = Curation.qualityFilter(docs).select($"doc_id").as[Long].collect().toSet
+    val approx = Curation.qualityFilterApprox(docs).select($"doc_id").as[Long].collect().toSet
+    // the sketch may shift the threshold by its rank error; the symmetric
+    // difference must stay a small fraction of the corpus
+    val diff = (exact -- approx) ++ (approx -- exact)
+    assert(diff.size <= (exact.size * 0.02).ceil.toInt,
+      s"approx gate diverged on ${diff.size} of ${exact.size} docs")
+  }
+
   test("packing: hierarchical scan (small blocks) equals the flat cumsum") {
     // block=8 forces many blocks per lang, exercising the block-base join;
     // the flat single-window layout is the ground truth

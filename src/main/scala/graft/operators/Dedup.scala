@@ -276,12 +276,18 @@ object Dedup {
     * distinct-aggregated shuffles on the edge endpoint; the edge set
     * never grows past one canonical edge per (node, current-root).
     *
-    * Convergence = the canonical edge SET reaches a fixpoint (equal count
-    * + empty anti-join, both exact on the distinct sets; the anti-join
-    * only runs when counts match). Every 4th round goes through a lazy
-    * `localCheckpoint` to cut the growing lineage. All per-round caches
-    * are unpersisted before returning; the small result is checkpointed
-    * so it survives them.
+    * Convergence = the canonical edge SET reaches a fixpoint, tested with
+    * ONE action per round: a left join of the new set against the previous
+    * round's cached set aggregating (|next|, |next \ edges|) together —
+    * exact set equality (both sides are distinct) without a second job.
+    * The same action materializes `next`'s cache, and the join is
+    * exchange-free: both sides already carry hash(u, v) partitioning from
+    * their closing `distinct()`. (The prior spelling ran a count() PLUS a
+    * left-anti isEmpty per round — two scheduler round-trips whose fixed
+    * overhead dominated at local scale.) Every 4th round goes through a
+    * lazy `localCheckpoint` to cut the growing lineage. All per-round
+    * caches are unpersisted before returning; the small result is
+    * checkpointed so it survives them.
     */
   val MaxClusterIters = 20
 
@@ -340,11 +346,16 @@ object Dedup {
     var iter = 0
     while (!converged && iter < MaxClusterIters) {
       val step = smallStar(largeStar(edges))
-      // lazy checkpoint: materializes during the SAME count action
+      // lazy checkpoint: materializes during the SAME fixpoint action
       val next = if (iter % 4 == 3) step.localCheckpoint(false) else step.cache()
-      val ncnt = next.count()
-      converged = ncnt == cnt &&
-        next.join(edges, Seq("u", "v"), "left_anti").isEmpty
+      // single action per round: |next| and |next \ edges| in one pass
+      // (set equality needs both — equal counts alone could hide a swap)
+      val row = next
+        .join(edges.withColumn("_old", lit(1)), Seq("u", "v"), "left")
+        .agg(count(lit(1)), count(when(col("_old").isNull, 1)))
+        .head()
+      val (ncnt, fresh) = (row.getLong(0), row.getLong(1))
+      converged = ncnt == cnt && fresh == 0L
       edges.unpersist()
       edges = next
       cnt = ncnt

@@ -11,12 +11,15 @@ import graft.functions.TextFunctions.stringHash
   * are never interpreted by Catalyst; only decoded at the edge by a
   * per-partition decoder).
   *
-  * The decode step itself is STUBBED (this container has no codec
-  * libraries): [[MediaDecoder.Real]] is an explicit `???`; tests and the
-  * oracle use [[MediaDecoder.Fake]], a deterministic function of the
-  * payload bytes. What IS real and tested: the binary schema, the
-  * mapPartitions batch shape (iterator-lazy, no per-row JNI-style setup),
-  * and the expression-only metadata path used by the DuckDB oracle.
+  * Decoding: [[MediaDecoder.Real]] decodes IMAGE payloads for real via
+  * the JDK's `javax.imageio` (PNG/JPEG/BMP/GIF — header-only geometry
+  * reads, spec-tested against synthesized images); audio/video decode
+  * stays stubbed (this container has no audio/video codecs), so tests and
+  * the oracle drive the full media mix through [[MediaDecoder.Fake]], a
+  * deterministic function of the payload bytes. Also real and tested: the
+  * binary schema, the mapPartitions batch shape (iterator-lazy, no
+  * per-row JNI-style setup), and the expression-only metadata path used
+  * by the DuckDB oracle.
   */
 object Multimodal {
 
@@ -49,11 +52,39 @@ object Multimodal {
     def decode(payload: Array[Byte]): (Int, Int, Int) // (width, height, n_frames)
   }
   object MediaDecoder {
-    /** Real decode — requires image/audio codec libraries not present in
-      * this environment.
+    /** Real decode for IMAGE payloads via the JDK's built-in
+      * `javax.imageio` (PNG/JPEG/BMP/GIF readers ship with the JDK — no
+      * external codec needed). Header-only: `getWidth/getHeight(0)` read
+      * image metadata without decoding pixel data, so the per-row cost is
+      * a few header bytes even for large assets; n_frames counts the
+      * stream's images (1 for PNG/JPEG/BMP, >1 for animated GIF).
+      *
+      * Audio/video payloads remain genuinely undecodable here (the JDK
+      * ships no audio/video codecs and the container has no external
+      * libraries): bytes no `ImageReader` claims get a clear
+      * `IllegalArgumentException` rather than a silent guess — callers
+      * route non-image media to [[Fake]] or an external decoder.
       */
     object Real extends MediaDecoder {
-      def decode(payload: Array[Byte]): (Int, Int, Int) = ???
+      def decode(payload: Array[Byte]): (Int, Int, Int) = {
+        val in = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(in)
+          if (!readers.hasNext)
+            throw new IllegalArgumentException(
+              "MediaDecoder.Real: no JDK ImageReader recognizes this payload " +
+                "(audio/video need external codecs; use Fake or plug a real decoder)")
+          val r = readers.next()
+          try {
+            r.setInput(in)
+            val frames =
+              try r.getNumImages(true)
+              catch { case _: java.io.IOException => 1 }
+            (r.getWidth(0), r.getHeight(0), math.max(frames, 1))
+          } finally r.dispose()
+        } finally in.close()
+      }
     }
 
     /** Deterministic fake: geometry derived from a polynomial hash of the

@@ -26,10 +26,45 @@ class MultimodalSpec extends SparkSpec {
         $"width".cast("int"), $"height".cast("int"), $"n_frames".cast("int"))).count() === 0)
   }
 
-  test("real decoder is an explicit stub (documents the missing codec dep)") {
-    intercept[NotImplementedError] {
+  // ---- MediaDecoder.Real: JDK javax.imageio image path -------------------
+
+  private def imageBytes(w: Int, h: Int, format: String): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    // deterministic non-trivial pixels so encoders can't trivially elide
+    (0 until w).foreach(x => (0 until h).foreach(y =>
+      img.setRGB(x, y, (x * 31 + y * 7) & 0xffffff)))
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, format, out), s"no $format writer")
+    out.toByteArray
+  }
+
+  test("real decoder reads PNG/JPEG/BMP geometry via the JDK (no external codec)") {
+    for {
+      format <- Seq("png", "jpg", "bmp")
+      (w, h) <- Seq((1, 1), (64, 48), (320, 200))
+    } {
+      val (dw, dh, df) = Multimodal.MediaDecoder.Real.decode(imageBytes(w, h, format))
+      assert((dw, dh, df) === (w, h, 1), s"$format ${w}x$h")
+    }
+  }
+
+  test("real decoder drives the mapPartitions plumbing end to end") {
+    val rows = Seq(
+      (1L, "image", imageBytes(10, 20, "png")),
+      (2L, "image", imageBytes(300, 5, "jpg")),
+      (3L, "image", imageBytes(7, 7, "bmp")))
+    val df = rows.toDF("doc_id", "media_type", "payload")
+    val out = Multimodal.decodeMedia(spark, df, Multimodal.MediaDecoder.Real)
+      .collect().map(d => d.doc_id -> ((d.width, d.height, d.n_frames))).toMap
+    assert(out === Map(1L -> ((10, 20, 1)), 2L -> ((300, 5, 1)), 3L -> ((7, 7, 1))))
+  }
+
+  test("real decoder rejects payloads no JDK reader claims (audio/video stay stubbed)") {
+    val e = intercept[IllegalArgumentException] {
       Multimodal.MediaDecoder.Real.decode(Array[Byte](1, 2, 3))
     }
+    assert(e.getMessage.contains("no JDK ImageReader"))
   }
 
   test("frame sampling: at most 4 evenly-spaced, in-range indices per video") {

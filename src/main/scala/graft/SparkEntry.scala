@@ -529,6 +529,26 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum($"k").as("sum_k"), max($"k").as("max_k"))
     },
 
+    // Interval join, batch shape of EventStream.clicksWithRecentPurchases:
+    // each click matched to the same user's purchases from the trailing
+    // hour. Bucketed trailing-window join — a pure equi-join on
+    // (user_id, hour-bucket), never a theta join (operators/RangeJoin).
+    "q_ev_interval" -> { (s, dir) =>
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"event_id".as("click_id"), $"user_id", $"ts".as("click_ts"))
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"ts".as("purchase_ts"), $"value".as("purchase_value"))
+      graft.operators.RangeJoin
+        .trailingWindowJoin(clicks, "click_ts", purchases, "purchase_ts",
+          Seq("user_id"), 3600L)
+        .select($"click_id", $"user_id",
+          fmtTs($"click_ts").as("click_ts"),
+          fmtTs($"purchase_ts").as("purchase_ts"),
+          $"purchase_value")
+    },
+
     // Range (interval) join via bucketed equi-join — the O(L+R) shape
     // instead of a nested-loop theta join (operators/RangeJoin).
     "q_rangejoin" -> { (s, dir) =>
@@ -1286,6 +1306,20 @@ object SparkEntry {
         |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY event_type""".stripMargin,
+    "q_ev_interval" ->
+      """WITH c AS (
+        |  SELECT event_id AS click_id, user_id, CAST(ts AS TIMESTAMP) AS click_ts
+        |  FROM events WHERE event_type = 'click'),
+        |p AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS purchase_ts, value AS purchase_value
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT c.click_id, c.user_id,
+        |  strftime(c.click_ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+        |  strftime(p.purchase_ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+        |  p.purchase_value
+        |FROM c JOIN p ON c.user_id = p.user_id
+        |  AND p.purchase_ts <= c.click_ts
+        |  AND p.purchase_ts >= c.click_ts - INTERVAL 1 HOUR""".stripMargin,
     "q_rangejoin" ->
       """WITH tiers AS (
         |  SELECT i AS tier, i*i*2.0 AS lo, (i+1)*(i+1)*2.0 AS hi FROM range(0, 12) t(i))

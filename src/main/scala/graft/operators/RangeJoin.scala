@@ -42,4 +42,43 @@ object RangeJoin {
       .filter(col(valueCol) >= col(loCol) && col(valueCol) < col(hiCol))
       .drop("__bkt")
   }
+
+  /** Time-interval join: each left row matched to right rows sharing `keys`
+    * with `rightTs` in the inclusive window [`leftTs` - lookback, `leftTs`]
+    * — the batch shape of a stream-stream interval join (e.g.
+    * [[graft.streaming.EventStream.clicksWithRecentPurchases]]).
+    *
+    * Same bucketing trick as [[bucketedRangeJoin]], specialized to a
+    * trailing window: bucket width = the lookback itself, so each left row
+    * probes EXACTLY two buckets (its own and the previous — for any W,
+    * ts-W lands in floor(ts/W)-1 or floor(ts/W)) while right rows key by
+    * their own bucket once. The join is a pure equi-join on
+    * (keys…, bucket) with the residual time predicate filtering the ≤2W
+    * span of candidates — never a theta join, and the shuffle key includes
+    * the time bucket, so hot keys spread across time instead of landing on
+    * one reducer for the whole history.
+    *
+    * Bucket arithmetic runs on integer microseconds (`unix_micros`) —
+    * dividing through double would corrupt µs at 1.7e18 (> 2^53). `DIV`
+    * truncates toward zero rather than flooring, which only shifts bucket
+    * boundaries in the pre-epoch range, identically on both sides; the
+    * two-bucket probe still covers the window there (the truncation
+    * "wide bucket" around 0 is probed via the same arithmetic on both
+    * sides), and the residual predicate keeps semantics exact regardless.
+    */
+  def trailingWindowJoin(left: DataFrame, leftTs: String,
+      right: DataFrame, rightTs: String,
+      keys: Seq[String], lookbackSec: Long): DataFrame = {
+    require(lookbackSec > 0, "lookback must be positive")
+    val w = lookbackSec * 1000000L
+    val lb = left.withColumn("__bkt",
+      explode(array(
+        expr(s"unix_micros($leftTs) DIV $w - 1"),
+        expr(s"unix_micros($leftTs) DIV $w"))))
+    val rb = right.withColumn("__bkt", expr(s"unix_micros($rightTs) DIV $w"))
+    lb.join(rb, keys :+ "__bkt")
+      .filter(col(rightTs) <= col(leftTs) &&
+        col(rightTs) >= col(leftTs) - expr(s"INTERVAL $lookbackSec SECOND"))
+      .drop("__bkt")
+  }
 }

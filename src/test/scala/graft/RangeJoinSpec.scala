@@ -48,6 +48,43 @@ class RangeJoinSpec extends SparkSpec {
     assert(out === Array(1L))
   }
 
+  test("trailing-window join ≡ theta join on the events table, across lookbacks") {
+    val ev = Tables.events(spark, Sf)
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"event_id".as("click_id"), $"user_id", $"ts".as("click_ts"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts".as("purchase_ts"), $"value".as("purchase_value"))
+    for (lookback <- Seq(600L, 3600L, 86400L)) {
+      val theta = clicks.join(purchases, Seq("user_id"))
+        .filter($"purchase_ts" <= $"click_ts" &&
+          $"purchase_ts" >= $"click_ts" - expr(s"INTERVAL $lookback SECOND"))
+        .select($"click_id", $"purchase_ts")
+      val bucketed = RangeJoin
+        .trailingWindowJoin(clicks, "click_ts", purchases, "purchase_ts",
+          Seq("user_id"), lookback)
+        .select($"click_id", $"purchase_ts")
+      assert(bucketed.exceptAll(theta).count() === 0, s"lookback=$lookback extra rows")
+      assert(theta.exceptAll(bucketed).count() === 0, s"lookback=$lookback missing rows")
+    }
+  }
+
+  test("trailing-window join boundaries: window is inclusive on both ends") {
+    val t0 = java.sql.Timestamp.valueOf("2024-03-01 12:00:00")
+    def ts(offSec: Long) = new java.sql.Timestamp(t0.getTime + offSec * 1000L)
+    val left = Seq((1L, 7L, ts(0))).toDF("click_id", "user_id", "click_ts")
+    val right = Seq(
+      (7L, ts(-3600), 1.0),  // exactly lookback ago → included
+      (7L, ts(-3601), 2.0),  // just outside → excluded
+      (7L, ts(0), 3.0),      // same instant → included
+      (7L, ts(1), 4.0),      // future → excluded
+      (8L, ts(-10), 5.0))    // other key → excluded
+      .toDF("user_id", "purchase_ts", "purchase_value")
+    val out = RangeJoin.trailingWindowJoin(left, "click_ts", right, "purchase_ts",
+        Seq("user_id"), 3600L)
+      .select($"purchase_value").as[Double].collect().sorted
+    assert(out === Array(1.0, 3.0))
+  }
+
   test("GraftExtensions wires poly_hash into a SparkSessionExtensions instance") {
     val ext = new SparkSessionExtensions
     new GraftExtensions().apply(ext) // must register without error

@@ -15,10 +15,25 @@ import org.apache.spark.sql.types.IntegerType
   *
   * Integer parameters (k, maxLen, planes) must be integer LITERALS — they
   * shape the aggregation buffer / generated code and cannot vary per row.
-  * PushdownBarrier is also exposed (`pushdown_barrier(expr)`): SQL users
-  * filtering a view on an expensive computed column hit the same
-  * predicate-pushdown re-evaluation the Column API operators guard
-  * against.
+  *
+  * PushdownBarrier is also exposed (`pushdown_barrier(expr)`) for SQL
+  * users filtering a view on an expensive computed column — but note the
+  * usage pattern: wrapping the PREDICATE (`WHERE pushdown_barrier(pred)`)
+  * does NOT block pushdown, because `PushPredicateThroughNonJoin` guards
+  * on the PROJECT LIST's determinism, not the condition's (see
+  * [[PushdownBarrier]]'s scaladoc). The barrier must ride as a projection
+  * FIELD that the filter references as a conjunct — the SQL spelling of
+  * [[PushdownBarrier.barrieredFilter]]:
+  *
+  * {{{
+  *   -- v computes an expensive column `quality`
+  *   SELECT * FROM (SELECT *, pushdown_barrier(true) AS __b FROM v)
+  *   WHERE __b AND quality > 0.5
+  * }}}
+  *
+  * RegistrySpec pins both shapes against the optimized plan: the field
+  * pattern keeps the Filter above the Project; the naive predicate wrap
+  * demonstrably does not.
   */
 object Registry {
 

@@ -48,4 +48,43 @@ class RegistrySpec extends SparkSpec {
       "SELECT count(*) FROM reg_docs WHERE pushdown_barrier(length(text) > 100)").head().getLong(0)
     assert(barred === plain)
   }
+
+  test("SQL barrier pattern: projection FIELD blocks pushdown; predicate wrap does not") {
+    Registry.registerAll(spark)
+    Tables.documents(spark, Sf).createOrReplaceTempView("reg_docs2")
+    // a view with a derived column the filter will reference
+    spark.sql(
+      "CREATE OR REPLACE TEMP VIEW reg_v AS SELECT doc_id, length(text) * 2 AS d FROM reg_docs2")
+
+    def filterLine(sql: String): String = {
+      val plan = spark.sql(sql).queryExecution.optimizedPlan.toString
+      plan.linesIterator.find(_.contains("Filter")).getOrElse(
+        fail(s"no Filter in plan:\n$plan"))
+    }
+
+    // the documented pattern: barrier FIELD + conjunct — the Filter keeps
+    // referencing the derived attribute instead of a substituted
+    // (length(text) * 2) tree pushed beneath the projection
+    val good = filterLine(
+      """SELECT doc_id, d FROM
+        |  (SELECT *, pushdown_barrier(true) AS __b FROM reg_v)
+        |WHERE __b AND d > 100""".stripMargin)
+    assert(!good.contains("length("), s"field pattern failed to block pushdown: $good")
+
+    // the trap (kept as a pinned negative so the scaladoc claim stays
+    // honest): wrapping only the predicate still gets substituted below
+    // the projection — PushPredicateThroughNonJoin checks the project
+    // list's determinism, not the condition's
+    val naive = filterLine(
+      "SELECT doc_id, d FROM reg_v WHERE pushdown_barrier(d > 100)")
+    assert(naive.contains("length("),
+      s"optimizer behavior changed — revisit Registry scaladoc: $naive")
+
+    // and the rows agree between the two spellings
+    val a = spark.sql(
+      """SELECT doc_id FROM (SELECT *, pushdown_barrier(true) AS __b FROM reg_v)
+        |WHERE __b AND d > 100""".stripMargin).count()
+    val b = spark.sql("SELECT doc_id FROM reg_v WHERE d > 100").count()
+    assert(a === b)
+  }
 }

@@ -64,7 +64,11 @@ object SparkEntry {
       // materialize the enriched frame before the SQL scan. Without this,
       // predicate pushdown substitutes the whole enrichment tree into the
       // Filter and every parse/CASE evaluates twice (no cross-operator CSE).
-      val serving = OrderPipeline.projectEnriched(valid).localCheckpoint()
+      // LAZY checkpoint: the plan boundary (LogicalRDD) exists immediately
+      // — pushdown is blocked either way — but materialization happens in
+      // the query's own first action, so merely CONSTRUCTING this query
+      // (Explain tooling, plan dumps) no longer executes the pipeline.
+      val serving = OrderPipeline.projectEnriched(valid).localCheckpoint(false)
       serving.createOrReplaceTempView("enriched_orders")
       // no ORDER BY: result comparison is order-insensitive
       s.sql("SELECT * FROM enriched_orders WHERE total_price > 1000000")
@@ -333,6 +337,12 @@ object SparkEntry {
     "q_doc_pack" -> { (s, dir) => Curation.packSequences(Tables.documents(s, dir)) },
     // Per-lang quantile quality gate (drop the worst decile).
     "q_doc_qfilter" -> { (s, dir) => Curation.qualityFilter(Tables.documents(s, dir)) },
+
+    // The gate's pass 1 on its own: per-language exact quantile thresholds
+    // — oracle-checked so a Spark-percentile vs DuckDB-quantile_cont
+    // interpolation divergence shows up AT the threshold, not as an opaque
+    // hash mismatch on q_doc_qfilter's filtered rows.
+    "q_doc_qthresh" -> { (s, dir) => Curation.qualityThresholds(Tables.documents(s, dir)) },
     // Overlapping token-window chunking (RAG/pretraining layout).
     "q_doc_chunks" -> { (s, dir) => Curation.chunk(Tables.documents(s, dir)) },
     // PII scrubbing: email + long-digit-run redaction, counted.
@@ -1239,6 +1249,15 @@ object SparkEntry {
          |SELECT q.doc_id, q.lang, q.quality, th.q_thresh
          |FROM q JOIN th ON q.lang = th.lang
          |WHERE q.quality >= th.q_thresh""".stripMargin,
+    "q_doc_qthresh" ->
+      s"""WITH ${TextAnalysis.qualityRatiosSql()},
+         |q AS (
+         |  SELECT rq.doc_id, d.lang,
+         |    ${TextAnalysis.qualityScoreSql} AS quality
+         |  FROM rq JOIN documents d ON rq.doc_id = d.doc_id
+         |  WHERE ${TextAnalysis.qualityScoreSql} IS NOT NULL)
+         |SELECT lang, quantile_cont(quality, 0.1) AS q_thresh
+         |FROM q GROUP BY lang""".stripMargin,
     "q_doc_langid" ->
       """WITH t AS (
         |  SELECT doc_id, lang,

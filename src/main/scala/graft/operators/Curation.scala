@@ -91,6 +91,14 @@ object Curation {
   /** Quantile quality filter: keep documents at or above the per-language
     * `minRank` quantile of the quality score (drop the worst tail).
     *
+    * Tie semantics (deliberate, and different from a `percent_rank` gate):
+    * the kept set is every doc whose quality is at-or-above the
+    * interpolated quantile value, TIES INCLUSIVE — so the drop fraction is
+    * at most `minRank`, not exactly it. A language whose docs all share
+    * one quality value keeps 100% here (they all sit at the threshold),
+    * where a rank gate would keep 0% (percent_rank of a fully tied group
+    * is 0). Downstream consumers must not assume a fixed drop fraction.
+    *
     * Two-pass threshold plan, NOT a per-lang rank window: pass 1 computes
     * each language's exact interpolated quantile (partial-aggregated
     * shuffle down to |langs| rows), pass 2 broadcast-joins the thresholds
@@ -103,26 +111,45 @@ object Curation {
     * because it matches DuckDB `quantile_cont` bit-for-bit.)
     */
   def qualityFilter(docs: DataFrame, minRank: Double = 0.1): DataFrame = {
-    // lang rides through the score projection — no join back against the
-    // corpus for a column its scan already had. The barrier field keeps
-    // the null-guard filter ABOVE the scoring projection: pushed down, the
-    // substituted `quality IS NOT NULL` re-derives the tokenize once per
-    // stopword term (~16 sites, measured ~9 s vs ~1 s at sf0.1 — same
-    // PushDownPredicates failure mode as OrderPipeline.route, see
-    // PushdownBarrier's scaladoc). Both passes then recompute the narrow
-    // scoring map once each; no persistence barrier needed.
-    // empty/whitespace-only docs have null quality: drop them up front
-    // (they'd fail any quality bar, and Spark/DuckDB disagree on where
-    // nulls sort, so keeping them would make the gate engine-dependent)
-    val q = graft.expressions.PushdownBarrier.barrieredFilter(
+    val q = qualityScores(docs)
+    q.join(broadcast(qualityThresholds(q, minRank)), Seq("lang"))
+      .filter(col("quality") >= col("q_thresh"))
+      .select(col("doc_id"), col("lang"), col("quality"), col("q_thresh"))
+  }
+
+  /** (doc_id, lang, quality) with null-quality docs dropped — pass 2's
+    * probe side and pass 1's aggregation input.
+    *
+    * lang rides through the score projection — no join back against the
+    * corpus for a column its scan already had. The barrier field keeps
+    * the null-guard filter ABOVE the scoring projection: pushed down, the
+    * substituted `quality IS NOT NULL` re-derives the tokenize once per
+    * stopword term (~16 sites, measured ~9 s vs ~1 s at sf0.1 — same
+    * PushDownPredicates failure mode as OrderPipeline.route, see
+    * PushdownBarrier's scaladoc). Both passes then recompute the narrow
+    * scoring map once each; no persistence barrier needed.
+    * Empty/whitespace-only docs have null quality: drop them up front
+    * (they'd fail any quality bar, and Spark/DuckDB disagree on where
+    * nulls sort, so keeping them would make the gate engine-dependent).
+    */
+  private def qualityScores(docs: DataFrame): DataFrame =
+    graft.expressions.PushdownBarrier.barrieredFilter(
         TextAnalysis.quality(docs, passthrough = Seq("lang")),
         col("quality").isNotNull)
       .select(col("doc_id"), col("lang"), col("quality"))
-    val thresholds = q.groupBy(col("lang"))
+
+  /** Pass 1 of the gate, exposed on its own: each language's exact
+    * interpolated `minRank` quantile of quality — |langs| rows. Oracle-
+    * checked directly (q_doc_qthresh) so a cross-engine divergence at the
+    * gate boundary is diagnosed AT THE THRESHOLD (Spark `percentile` vs
+    * DuckDB `quantile_cont` interpolation) rather than as an opaque hash
+    * mismatch on the filtered rows. Accepts either the raw documents frame
+    * or a precomputed (doc_id, lang, quality) frame.
+    */
+  def qualityThresholds(docs: DataFrame, minRank: Double = 0.1): DataFrame = {
+    val q = if (docs.columns.contains("quality")) docs else qualityScores(docs)
+    q.groupBy(col("lang"))
       .agg(percentile(col("quality"), lit(minRank)).as("q_thresh"))
-    q.join(broadcast(thresholds), Seq("lang"))
-      .filter(col("quality") >= col("q_thresh"))
-      .select(col("doc_id"), col("lang"), col("quality"), col("q_thresh"))
   }
 
   /** The extreme-scale variant of [[qualityFilter]]: thresholds from
@@ -137,10 +164,7 @@ object Curation {
     */
   def qualityFilterApprox(docs: DataFrame, minRank: Double = 0.1,
       accuracy: Int = 10000): DataFrame = {
-    val q = graft.expressions.PushdownBarrier.barrieredFilter(
-        TextAnalysis.quality(docs, passthrough = Seq("lang")),
-        col("quality").isNotNull)
-      .select(col("doc_id"), col("lang"), col("quality"))
+    val q = qualityScores(docs)
     val thresholds = q.groupBy(col("lang"))
       .agg(percentile_approx(col("quality"), lit(minRank), lit(accuracy)).as("q_thresh"))
     q.join(broadcast(thresholds), Seq("lang"))

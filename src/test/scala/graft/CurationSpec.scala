@@ -77,6 +77,17 @@ class CurationSpec extends SparkSpec {
       s"approx gate diverged on ${diff.size} of ${exact.size} docs")
   }
 
+  test("approx quality gate holds the error band at bench scale (sf0.1)") {
+    // the scale the documented percentile→percentile_approx swap targets:
+    // 100× the suite SF, where the sketch actually summarizes
+    val big = Tables.documents(spark, "/root/testdata/sf0.1")
+    val exact = Curation.qualityFilter(big).select($"doc_id").as[Long].collect().toSet
+    val approx = Curation.qualityFilterApprox(big).select($"doc_id").as[Long].collect().toSet
+    val diff = (exact -- approx) ++ (approx -- exact)
+    assert(diff.size <= (exact.size * 0.02).ceil.toInt,
+      s"approx gate diverged on ${diff.size} of ${exact.size} docs at sf0.1")
+  }
+
   test("packing: hierarchical scan (small blocks) equals the flat cumsum") {
     // block=8 forces many blocks per lang, exercising the block-base join;
     // the flat single-window layout is the ground truth

@@ -356,6 +356,20 @@ object SparkEntry {
         .select(col("lang"), col("pos").cast("long").as("rank"),
           col("col").as("doc_id"))
     },
+    // Boilerplate fragment signal: per-doc fraction of shingles that
+    // appear in >= 3 distinct docs (C4-style frequent-fragment gate).
+    "q_doc_boiler" -> { (s, dir) =>
+      graft.operators.TextAnalysis.boilerplate(Tables.documents(s, dir))
+    },
+    // Source mixing table: per-source doc/token/char totals + corpus share.
+    "q_doc_sourcemix" -> { (s, dir) => Curation.sourceMix(Tables.documents(s, dir)) },
+    // Per-source document cap (domain balancing), deterministic bottom-k.
+    "q_doc_sourcecap" -> { (s, dir) =>
+      Curation.sourceCap(Tables.documents(s, dir))
+        .select(col("source"), posexplode(col("sample_ids")))
+        .select(col("source"), col("pos").cast("long").as("rank"),
+          col("col").as("doc_id"))
+    },
     // End-to-end dedup: corpus minus non-keeper cluster members.
     "q_dedup_clean" -> { (s, dir) =>
       Dedup.dedupedCorpus(Dedup.corpus(Tables.documents(s, dir)))
@@ -1190,6 +1204,38 @@ object SparkEntry {
          |  FROM (SELECT lang, doc_id, ${Dedup.hashSql("text")} AS h FROM documents) t
          |  GROUP BY lang)
          |SELECT lang,
+         |  CAST(generate_subscripts(sample_ids, 1) - 1 AS BIGINT) AS rank,
+         |  CAST(unnest(sample_ids) AS BIGINT) AS doc_id
+         |FROM agg""".stripMargin,
+    "q_doc_boiler" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, ${Dedup.shingleUnnestSql} AS h
+         |  FROM (SELECT doc_id, ${Dedup.toksSql} AS toks FROM documents)),
+         |boiler AS (
+         |  SELECT h FROM (SELECT h, COUNT(DISTINCT doc_id) AS df FROM sh GROUP BY h) t
+         |  WHERE df >= 3)
+         |SELECT sh.doc_id,
+         |  COUNT(*) AS n_shingles,
+         |  COUNT(b.h) AS n_boiler,
+         |  CAST(COUNT(b.h) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS boiler_ratio
+         |FROM sh LEFT JOIN boiler b ON sh.h = b.h
+         |GROUP BY sh.doc_id""".stripMargin,
+    "q_doc_sourcemix" ->
+      s"""WITH per AS (
+         |  SELECT source, COUNT(*) AS n_docs,
+         |    CAST(SUM(CAST(len(${Dedup.toksSql}) AS BIGINT)) AS BIGINT) AS n_tokens,
+         |    CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+         |  FROM documents GROUP BY source)
+         |SELECT source, n_docs, n_tokens, sum_chars,
+         |  CAST(n_docs AS DOUBLE) / CAST((SELECT SUM(n_docs) FROM per) AS DOUBLE) AS doc_share
+         |FROM per""".stripMargin,
+    "q_doc_sourcecap" ->
+      s"""WITH agg AS (
+         |  SELECT source,
+         |    (list(doc_id ORDER BY h ASC, doc_id ASC))[1:10] AS sample_ids
+         |  FROM (SELECT source, doc_id, ${Dedup.hashSql("text")} AS h FROM documents) t
+         |  GROUP BY source)
+         |SELECT source,
          |  CAST(generate_subscripts(sample_ids, 1) - 1 AS BIGINT) AS rank,
          |  CAST(unnest(sample_ids) AS BIGINT) AS doc_id
          |FROM agg""".stripMargin,

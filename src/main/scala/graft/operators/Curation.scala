@@ -178,10 +178,41 @@ object Curation {
     * with O(k) aggregation state per group (reuses the bounded-heap
     * [[graft.expressions.TopKAgg]]; hashes < 2^30 are exact in double).
     */
-  def groupSample(docs: DataFrame, k: Int = 4): DataFrame =
-    docs.groupBy(col("lang")).agg(
+  def groupSample(docs: DataFrame, k: Int = 4, key: String = "lang"): DataFrame =
+    docs.groupBy(col(key)).agg(
       graft.expressions.TopKAgg.top_k_ids(
         -stringHash(col("text")).cast("double"), col("doc_id"), k).as("sample_ids"))
+
+  /** Per-source mixing table (the Pile/Dolma-style source-weighting
+    * input): doc/token/char totals per source plus each source's share of
+    * the corpus. One grouped aggregation (partial/map-side combinable)
+    * plus a 1-row broadcast total — the same corpus-scalar shape as
+    * tfidf's N.
+    */
+  def sourceMix(docs: DataFrame): DataFrame = {
+    val per = docs
+      .select(col("source"), size(tokens(col("text"))).cast("long").as("nt"),
+        col("n_chars"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"),
+        sum(col("n_chars")).as("sum_chars"))
+    val total = per.agg(sum(col("n_docs")).as("total_docs"))
+    per.crossJoin(broadcast(total))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("sum_chars"),
+        (col("n_docs").cast("double") / col("total_docs").cast("double"))
+          .as("doc_share"))
+  }
+
+  /** Per-source document cap (domain balancing: no source may contribute
+    * more than `cap` docs): keep each source's `cap` docs with the
+    * smallest content hashes — a uniform, deterministic, rerun-stable
+    * choice (the same KMV/bottom-k trick as [[groupSample]], keyed by
+    * source), with O(cap) aggregation state per source instead of a
+    * source-partitioned sort. Ties (duplicate texts) break by smaller
+    * doc_id — a total order, so the kept set is exactly `cap` per source.
+    */
+  def sourceCap(docs: DataFrame, cap: Int = 10): DataFrame =
+    groupSample(docs, cap, key = "source")
 
   /** Token-window chunking (size tokens per chunk, stride < size →
     * overlap): the RAG/pretraining chunk layout. One narrow explode per

@@ -116,6 +116,34 @@ object TextAnalysis {
       .select(col("doc_id")).distinct()
   }
 
+  /** Boilerplate signal (C4-style frequent-fragment detection, shingle
+    * granularity since this corpus has no line structure): a word-trigram
+    * shingle is boilerplate when it appears in at least `minDocs` DISTINCT
+    * documents; each doc reports what fraction of its shingle stream is
+    * boilerplate — the gate input for "mostly navigation/template" docs.
+    *
+    * Scale shape: document frequency is one grouped count over the
+    * distinct (doc, shingle) set; the flagging join is an equi-join on
+    * the shingle hash (the shuffle key), SHUFFLE_HASH-hinted because the
+    * boilerplate set is corpus-derived with post-aggregation estimates
+    * Catalyst can guess small — a stats-blind broadcast of it would ship
+    * a corpus-scale build side. Per-doc roll-up is one more grouped agg.
+    * Never |docs|² anywhere.
+    */
+  def boilerplate(docs: DataFrame, minDocs: Int = 3): DataFrame = {
+    val boiler = Dedup.tokenHashes(docs)
+      .groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDocs)
+      .select(col("h"), lit(1).as("_b"))
+    Dedup.shingles(docs)
+      .join(boiler.hint("shuffle_hash"), Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"), count(col("_b")).as("n_boiler"))
+      .select(col("doc_id"), col("n_shingles"), col("n_boiler"),
+        (col("n_boiler").cast("double") / col("n_shingles").cast("double"))
+          .as("boiler_ratio"))
+  }
+
   /** Intra-document repetition (Gopher-style quality signal): the
     * fraction of word-trigram occurrences that are repeats of an earlier
     * shingle in the same doc. One grouped aggregation over the shingle

@@ -145,6 +145,44 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("boilerplate: shared fragments flagged at the minDocs bar, unique docs score 0") {
+    val df = Seq(
+      (1L, "en", "copyright acme corp all rights reserved alpha"),
+      (2L, "en", "copyright acme corp all rights reserved beta"),
+      (3L, "en", "copyright acme corp all rights reserved gamma"),
+      (4L, "en", "totally original content nothing shared here")
+    ).toDF("doc_id", "lang", "text")
+    val r = graft.operators.TextAnalysis.boilerplate(df, minDocs = 3)
+      .select($"doc_id", $"n_shingles", $"n_boiler").as[(Long, Long, Long)]
+      .collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    // 'copyright acme corp' … 'all rights reserved' = 4 trigrams in all 3 docs
+    for (id <- Seq(1L, 2L, 3L)) assert(r(id) === ((5L, 4L)), s"doc $id")
+    assert(r(4L)._2 === 0L)
+  }
+
+  test("source cap: deterministic, exactly cap per source, rerun-stable") {
+    val a = Curation.sourceCap(docs, cap = 5).as[(String, Seq[Long])].collect().toMap
+    val b = Curation.sourceCap(docs, cap = 5).as[(String, Seq[Long])].collect().toMap
+    assert(a === b)
+    val bySource = docs.select($"source", $"doc_id").as[(String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    for ((src, ids) <- a) {
+      assert(ids.size === math.min(5, bySource(src).size))
+      assert(ids.forall(bySource(src).contains))
+    }
+  }
+
+  test("source mix: shares sum to 1 and totals add up") {
+    val m = Curation.sourceMix(docs).cache()
+    val nDocs = docs.count()
+    assert(m.agg(sum($"n_docs")).as[Long].head() === nDocs)
+    val shareSum = m.agg(sum($"doc_share")).as[Double].head()
+    assert(math.abs(shareSum - 1.0) < 1e-9)
+    // chars roll up to the table's own n_chars sum
+    assert(m.agg(sum($"sum_chars")).as[Long].head() ===
+      docs.agg(sum($"n_chars")).as[Long].head())
+  }
+
   test("decontamination flags docs overlapping the eval set; disjoint docs pass") {
     val train = Seq(
       (1L, "en", "alpha beta gamma delta epsilon"), // shares 'alpha beta gamma' with eval

@@ -116,6 +116,44 @@ object TextAnalysis {
       .select(col("doc_id")).distinct()
   }
 
+  /** The broadcast-scale variant of [[contaminated]]: the eval set's
+    * shingle hashes are folded into a fixed-size Bloom filter (Spark's
+    * own `BloomFilterAggregate`, the sketch behind runtime filter
+    * injection), carried as a scalar subquery — the same
+    * `might_contain(ScalarSubquery(agg), h)` shape `InjectRuntimeFilter`
+    * builds; flagging the training corpus is then a pure NARROW
+    * map-and-filter per shingle — with no shuffle of the train
+    * shingle stream at all. The exact semi-join shuffles |train shingles|
+    * (~30× corpus rows) on h; at 100 TB that is the dominant cost, while
+    * a benchmark suite's shingle set fits a few-MB filter.
+    *
+    * Semantics: a STRICT SUPERSET of [[contaminated]] — Bloom filters
+    * have no false negatives, so nothing contaminated ever slips through;
+    * false positives over-flag at the filter's error rate (~1% at the
+    * default sizing; spec-bounded). The right gate direction for
+    * decontamination, where a missed leak costs more than an over-drop.
+    * Not oracle-checked (the sketch's bit layout is engine-specific) —
+    * the exact [[contaminated]] stays the default; this is the documented
+    * swap when the corpus outgrows the semi-join.
+    */
+  def contaminatedBloom(train: DataFrame, evalSet: DataFrame,
+      expectedItems: Long = 1L << 22): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graft.bridge
+    val evalShingles = Dedup.shingles(evalSet).select(col("h")).distinct()
+    val bloom = evalShingles.agg(
+      bridge.column(new BloomFilterAggregate(
+          bridge.expression(col("h")), Literal(expectedItems))
+        .toAggregateExpression()).as("bf"))
+    val mightContain = bridge.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        bridge.scalarSubquery(bloom), bridge.expression(col("h"))))
+    Dedup.shingles(train)
+      .filter(mightContain)
+      .select(col("doc_id")).distinct()
+  }
+
   /** Boilerplate signal (C4-style frequent-fragment detection, shingle
     * granularity since this corpus has no line structure): a word-trigram
     * shingle is boilerplate when it appears in at least `minDocs` DISTINCT

@@ -194,6 +194,25 @@ class CurationSpec extends SparkSpec {
     assert(flagged === Set(1L))
   }
 
+  test("bloom decontamination: superset of exact, bounded over-flagging (sf0.001 + sf0.1)") {
+    for (sf <- Seq(Sf, "/root/testdata/sf0.1")) {
+      val d = Tables.documents(spark, sf)
+      val train = d.filter($"doc_id" % 50 =!= 0)
+      val eval_ = d.filter($"doc_id" % 50 === 0)
+      val exact = graft.operators.TextAnalysis.contaminated(train, eval_)
+        .as[Long].collect().toSet
+      val bloom = graft.operators.TextAnalysis.contaminatedBloom(train, eval_)
+        .as[Long].collect().toSet
+      // no false negatives, ever — the property decontamination needs
+      assert(exact.subsetOf(bloom), s"$sf: bloom missed ${(exact -- bloom).size} contaminated docs")
+      // false positives bounded: a doc over-flags only if one of its ~30
+      // shingles collides, so give the per-item ~1% rate generous headroom
+      val nTrain = train.count()
+      assert((bloom -- exact).size <= math.max(5, nTrain / 10),
+        s"$sf: bloom over-flagged ${(bloom -- exact).size} of $nTrain docs")
+    }
+  }
+
   test("repetition ratio: repeated trigrams score > 0, unique docs score 0") {
     val df = Seq(
       (1L, "en", "a b c a b c a b c"), // trigram 'a b c' repeats

@@ -104,6 +104,38 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("q_ev_interval: trailing-window join is an equi-join on (user, bucket)") {
+    val p = plan("q_ev_interval")
+    assert(p.linesIterator.exists(l =>
+      l.contains("keys") && l.contains("user_id") && l.contains("__bkt")),
+      "expected join keys (user_id, __bkt)")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "interval join degenerated to a theta join")
+  }
+
+  test("q_doc_boiler: flagging join is shuffle-hash, never a boiler-set broadcast") {
+    val p = plan("q_doc_boiler")
+    assert(p.contains("ShuffledHashJoin"), "boiler join lost the shuffle-hash hint")
+    assert(!p.contains("BroadcastHashJoin"), "corpus-derived boiler set was broadcast")
+  }
+
+  test("q_doc_sourcecap: bounded-heap partial aggregation, no per-source sort") {
+    val p = plan("q_doc_sourcecap")
+    assert(p.contains("partial_topkbyvalue"))
+    assert(!p.contains("Window"), "source cap must not plan a rank window")
+  }
+
+  test("bloom decontamination plans no join at all on the train side") {
+    val df = graft.operators.TextAnalysis.contaminatedBloom(
+      graft.sources.Tables.documents(spark, Sf).filter("doc_id % 50 <> 0"),
+      graft.sources.Tables.documents(spark, Sf).filter("doc_id % 50 = 0"))
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("might_contain"), "bloom membership filter missing")
+    for (j <- Seq("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
+        "CartesianProduct", "BroadcastNestedLoopJoin"))
+      assert(!p.contains(j), s"bloom decontamination must not plan a $j")
+  }
+
   test("q_dedup_embed: one dot product per candidate pair") {
     // without the barrier the pushed cos>=minCos folds SeqDot into the
     // join condition AND keeps it in the projection — 2 evaluation sites

@@ -62,6 +62,25 @@ object Registry {
       es => ShortTokenCount(es(0), intLit(es(1), "short_token_count", "maxLen")), "built-in")
     r.createOrReplaceTempFunction("pushdown_barrier",
       es => PushdownBarrier(es.head), "built-in")
+    // Spark ships BloomFilterAggregate/BloomFilterMightContain (the
+    // runtime-filter sketch) but registers NEITHER for SQL in this build,
+    // so the Bloom-decontamination pattern can't be written in pure SQL
+    // out of the box. Expose both; the probe's filter side must be a
+    // constant or scalar subquery:
+    //   WHERE might_contain((SELECT bloom_filter_agg(h) FROM eval_sh), h)
+    r.createOrReplaceTempFunction("bloom_filter_agg",
+      es => {
+        import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+        es.length match {
+          case 1 => new BloomFilterAggregate(es.head,
+            Literal(1000000L, org.apache.spark.sql.types.LongType))
+          case 2 => new BloomFilterAggregate(es(0), es(1))
+          case _ => new BloomFilterAggregate(es(0), es(1), es(2))
+        }
+      }, "built-in")
+    r.createOrReplaceTempFunction("might_contain",
+      es => org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        es(0), es(1)), "built-in")
     // aggregates: the analyzer wraps AggregateFunctions in aggregate context
     r.createOrReplaceTempFunction("top_k_by_value",
       es => TopKByValue(es(0), es(1), intLit(es(2), "top_k_by_value", "k")), "built-in")

@@ -49,6 +49,24 @@ class RegistrySpec extends SparkSpec {
     assert(barred === plain)
   }
 
+  test("pure-SQL bloom decontamination: bloom_filter_agg + might_contain") {
+    Registry.registerAll(spark)
+    val docs = Tables.documents(spark, Sf)
+    graft.operators.Dedup.shingles(docs.filter("doc_id % 50 <> 0"))
+      .createOrReplaceTempView("train_sh")
+    graft.operators.Dedup.shingles(docs.filter("doc_id % 50 = 0"))
+      .createOrReplaceTempView("eval_sh")
+    val bloomFlagged = spark.sql(
+      """SELECT DISTINCT doc_id FROM train_sh
+        |WHERE might_contain((SELECT bloom_filter_agg(h) FROM eval_sh), h)""".stripMargin)
+      .as[Long].collect().toSet
+    val exact = spark.sql(
+      """SELECT DISTINCT doc_id FROM train_sh
+        |WHERE h IN (SELECT h FROM eval_sh)""".stripMargin)
+      .as[Long].collect().toSet
+    assert(exact.subsetOf(bloomFlagged), "bloom missed contaminated docs")
+  }
+
   test("SQL barrier pattern: projection FIELD blocks pushdown; predicate wrap does not") {
     Registry.registerAll(spark)
     Tables.documents(spark, Sf).createOrReplaceTempView("reg_docs2")

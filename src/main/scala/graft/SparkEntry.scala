@@ -298,6 +298,9 @@ object SparkEntry {
 
     // ---- Text analysis (documents table; SURVEY §2 extension ops) -------
     "q_doc_stats" -> { (s, dir) => TextAnalysis.stats(Tables.documents(s, dir)) },
+    // Token counting both ways: whitespace words + BPE-ish pretokens
+    // (portable GPT-2-style regex) and the expansion factor between them.
+    "q_doc_tokens" -> { (s, dir) => TextAnalysis.tokenCounts(Tables.documents(s, dir)) },
     "q_doc_quality" -> { (s, dir) => TextAnalysis.quality(Tables.documents(s, dir)) },
     "q_doc_langid" -> { (s, dir) => TextAnalysis.langId(Tables.documents(s, dir)) },
     "q_doc_tfidf" -> { (s, dir) => TextAnalysis.tfidfTop(Tables.documents(s, dir)) },
@@ -1132,6 +1135,14 @@ object SparkEntry {
         |  CAST(generate_subscripts(top_ids, 1) - 1 AS BIGINT) AS rank,
         |  CAST(unnest(top_ids) AS BIGINT) AS orderkey
         |FROM agg""".stripMargin,
+    "q_doc_tokens" ->
+      s"""SELECT doc_id,
+         |  CAST(len(${Dedup.toksSql}) AS BIGINT) AS n_ws_tokens,
+         |  CAST(len(regexp_extract_all(text, '${TextAnalysis.BpeTokenRe}')) AS BIGINT) AS n_bpe_tokens,
+         |  CASE WHEN len(${Dedup.toksSql}) > 0
+         |       THEN CAST(len(regexp_extract_all(text, '${TextAnalysis.BpeTokenRe}')) AS DOUBLE)
+         |            / CAST(len(${Dedup.toksSql}) AS DOUBLE) END AS bpe_per_word
+         |FROM documents""".stripMargin,
     "q_doc_sample" ->
       s"""SELECT doc_id, lang, bucket FROM (
          |  SELECT doc_id, lang, (${Dedup.hashSql("text")}) % 1000 AS bucket

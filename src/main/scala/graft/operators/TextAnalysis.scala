@@ -51,6 +51,29 @@ object TextAnalysis {
       stringHash(col("text")).as("fp")
     )
 
+  /** GPT-2-style pretokenizer regex, restricted to the Java-regex ∩ RE2
+    * portable subset: no lookahead (RE2 has none), explicit whitespace
+    * class (Java `\s` includes \x0B, RE2's doesn't). Each match is one
+    * pretoken: an optionally space-prefixed letter run, digit run, or
+    * punctuation run — the unit a BPE tokenizer's merges start from.
+    */
+  val BpeTokenRe = " ?\\p{L}+| ?\\p{N}+| ?[^\\p{L}\\p{N} \\t\\n\\f\\r]+"
+
+  /** Token counting both ways a data pipeline needs it: whitespace words
+    * (the quality-signal denominator) and BPE-ish pretokens (the
+    * token-budget estimate — punctuation and digit runs split off, as a
+    * subword tokenizer would). `bpe_per_word` is the expansion factor a
+    * packing budget planner multiplies by. Pure narrow map.
+    */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    withToks(docs).select(
+      col("doc_id"),
+      size(col("toks")).cast("long").as("n_ws_tokens"),
+      regexp_count(col("text"), lit(BpeTokenRe)).cast("long").as("n_bpe_tokens"))
+      .withColumn("bpe_per_word",
+        when(col("n_ws_tokens") > 0,
+          col("n_bpe_tokens").cast("double") / col("n_ws_tokens").cast("double")))
+
   /** Quality scoring: stopword ratio, short-token ratio, and a simple
     * deterministic composite in [0,1]. `passthrough` names input columns
     * to carry into the output (e.g. `lang` for the quality gate) so

@@ -213,6 +213,15 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("token counting: BPE-ish pretokens split punctuation/digit runs off words") {
+    val df = Seq((1L, "en", "key agg row scan 42 don't stop-word x9y"))
+      .toDF("doc_id", "lang", "text")
+    val r = graft.operators.TextAnalysis.tokenCounts(df)
+      .select($"n_ws_tokens", $"n_bpe_tokens").as[(Long, Long)].head()
+    // 8 whitespace words; pretokens: key/agg/row/scan/42/don/'/t/stop/-/word/x/9/y
+    assert(r === ((8L, 14L)))
+  }
+
   test("repetition ratio: repeated trigrams score > 0, unique docs score 0") {
     val df = Seq(
       (1L, "en", "a b c a b c a b c"), // trigram 'a b c' repeats

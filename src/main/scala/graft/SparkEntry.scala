@@ -301,6 +301,17 @@ object SparkEntry {
     // Token counting both ways: whitespace words + BPE-ish pretokens
     // (portable GPT-2-style regex) and the expansion factor between them.
     "q_doc_tokens" -> { (s, dir) => TextAnalysis.tokenCounts(Tables.documents(s, dir)) },
+    // Corpus vocabulary heavy hitters: exact top-20 tokens by frequency.
+    // Map-side combinable count + TakeOrderedAndProject (per-partition
+    // heaps, no global sort); deterministic (n DESC, word ASC) tie-break.
+    "q_doc_vocab" -> { (s, dir) =>
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select(explode(graft.functions.TextFunctions.tokens($"text")).as("w"))
+        .groupBy($"w").agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"w")
+        .limit(20)
+    },
     "q_doc_quality" -> { (s, dir) => TextAnalysis.quality(Tables.documents(s, dir)) },
     "q_doc_langid" -> { (s, dir) => TextAnalysis.langId(Tables.documents(s, dir)) },
     "q_doc_tfidf" -> { (s, dir) => TextAnalysis.tfidfTop(Tables.documents(s, dir)) },
@@ -378,6 +389,15 @@ object SparkEntry {
       Dedup.dedupedCorpus(Dedup.corpus(Tables.documents(s, dir)))
         .select(col("doc_id"), col("lang"),
           graft.functions.TextFunctions.stringHash(col("text")).as("fp"))
+    },
+    // Incremental (cross-corpus) dedup: the planted copies as the
+    // "incoming" increment, the raw documents table as the reference —
+    // LSH candidates incoming × reference, Jaccard-verified.
+    "q_dedup_cross" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      Dedup.crossCorpusDuplicates(
+        Dedup.corpus(docs).filter(col("doc_id") >= 1000000L),
+        docs.select(col("doc_id"), col("lang"), col("text")))
     },
     // The whole training-data pipeline in one plan: planted corpus →
     // near-dup removal (MinHash-LSH + connected components) → per-lang
@@ -1143,6 +1163,12 @@ object SparkEntry {
          |       THEN CAST(len(regexp_extract_all(text, '${TextAnalysis.BpeTokenRe}')) AS DOUBLE)
          |            / CAST(len(${Dedup.toksSql}) AS DOUBLE) END AS bpe_per_word
          |FROM documents""".stripMargin,
+    "q_doc_vocab" ->
+      s"""SELECT w, COUNT(*) AS n
+         |FROM (SELECT unnest(${Dedup.toksSql}) AS w FROM documents) t
+         |GROUP BY w
+         |ORDER BY n DESC, w
+         |LIMIT 20""".stripMargin,
     "q_doc_sample" ->
       s"""SELECT doc_id, lang, bucket FROM (
          |  SELECT doc_id, lang, (${Dedup.hashSql("text")}) % 1000 AS bucket
@@ -1258,6 +1284,32 @@ object SparkEntry {
          |${Dedup.closureSql},
          |${Dedup.cleanSql}
          |SELECT doc_id, lang, ${Dedup.hashSql("text")} AS fp FROM clean""".stripMargin,
+    "q_dedup_cross" ->
+      s"""WITH ${Dedup.corpusSql},
+         |newdocs AS (SELECT doc_id, lang, text FROM corpus WHERE doc_id >= 1000000),
+         |${Dedup.tokSqlFor("newdocs", "tokn")},
+         |${Dedup.tokSqlFor("documents", "tokr")},
+         |${Dedup.sigSqlFor("tokn", "sign")},
+         |${Dedup.sigSqlFor("tokr", "sigr")},
+         |${Dedup.bandsSqlFor("sign", "bandsn")},
+         |${Dedup.bandsSqlFor("sigr", "bandsr")},
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_new, b.doc_id AS doc_ref
+         |  FROM bandsn a JOIN bandsr b ON a.band = b.band AND a.bh = b.bh),
+         |inter AS (
+         |  SELECT c.doc_new, c.doc_ref, COUNT(*) AS ni
+         |  FROM cand c
+         |  JOIN tokn tn ON tn.doc_id = c.doc_new
+         |  JOIN tokr tr ON tr.doc_id = c.doc_ref AND tr.h = tn.h
+         |  GROUP BY 1, 2),
+         |szn AS (SELECT doc_id, COUNT(*) AS na FROM tokn GROUP BY doc_id),
+         |szr AS (SELECT doc_id, COUNT(*) AS nb FROM tokr GROUP BY doc_id)
+         |SELECT i.doc_new, i.doc_ref,
+         |  CAST(i.ni AS DOUBLE) / CAST(n.na + r.nb - i.ni AS DOUBLE) AS jaccard
+         |FROM inter i
+         |JOIN szn n ON n.doc_id = i.doc_new
+         |JOIN szr r ON r.doc_id = i.doc_ref
+         |WHERE CAST(i.ni AS DOUBLE) / CAST(n.na + r.nb - i.ni AS DOUBLE) >= 0.5""".stripMargin,
     "q_pipeline_e2e" ->
       s"""WITH RECURSIVE ${Dedup.corpusSql},
          |${Dedup.tokSql},

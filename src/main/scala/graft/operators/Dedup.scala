@@ -259,6 +259,47 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** Cross-corpus near-dedup (the INCREMENTAL dedup a growing corpus
+    * needs: flag incoming docs that near-duplicate something already in
+    * the reference corpus, without re-deduping the reference against
+    * itself). Same MinHash-LSH candidate → n-gram-Jaccard verify split as
+    * [[ngramJaccardPairs]], but the banded join is incoming × reference —
+    * work scales with the INCREMENT's bucket collisions, not the full
+    * corpus pair count, and the reference side's signatures/token sets
+    * are exactly the artifacts a production pipeline would have
+    * precomputed and stored.
+    *
+    * Output: (doc_new, doc_ref, jaccard) for every verified pair at or
+    * above `minJaccard`. All corpus-sized joins are shuffle-hash on the
+    * join key (checkpoint-derived sides have unknown stats; a blind
+    * broadcast would ship a corpus).
+    */
+  def crossCorpusDuplicates(incoming: DataFrame, ref: DataFrame,
+      minJaccard: Double = 0.5): DataFrame = {
+    val tokN = tokenHashes(incoming).localCheckpoint(false)
+    val tokR = tokenHashes(ref).localCheckpoint(false)
+    val bandsN = lshBands(signaturesFromTok(tokN))
+    val bandsR = lshBands(signaturesFromTok(tokR))
+    val cand = bandsN.as("a").hint("shuffle_hash")
+      .join(bandsR.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh"))
+      .select(col("a.doc_id").as("doc_new"), col("b.doc_id").as("doc_ref"))
+      .distinct()
+    val inter = cand
+      .join(tokN.select(col("doc_id").as("doc_new"), col("h")).hint("shuffle_hash"), Seq("doc_new"))
+      .join(tokR.select(col("doc_id").as("doc_ref"), col("h")).hint("shuffle_hash"), Seq("doc_ref", "h"))
+      .groupBy(col("doc_new"), col("doc_ref"))
+      .agg(count(lit(1)).as("ni"))
+    inter
+      .join(tokN.groupBy(col("doc_id")).agg(count(lit(1)).as("na"))
+        .withColumnRenamed("doc_id", "doc_new").hint("shuffle_hash"), Seq("doc_new"))
+      .join(tokR.groupBy(col("doc_id")).agg(count(lit(1)).as("nb"))
+        .withColumnRenamed("doc_id", "doc_ref").hint("shuffle_hash"), Seq("doc_ref"))
+      .select(col("doc_new"), col("doc_ref"),
+        (col("ni").cast("double") / (col("na") + col("nb") - col("ni")).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
   /** Duplicate-cluster resolution: connected components over the candidate
     * pair graph via min-label propagation, then a deterministic keeper
     * (the minimum doc_id) per component — the step that turns "similar
@@ -419,13 +460,23 @@ object Dedup {
     s"""unnest(list_transform(range(1, len(toks) - 1), i ->
        |      ${hashSql("toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]")}))""".stripMargin
 
-  /** Non-distinct trigram-shingle hashes (mirror of [[shingles]]). */
-  val shingleSql: String =
-    s"""sh AS (
+  /** Non-distinct trigram-shingle hash CTE over `src` (mirror of
+    * [[shingles]]); `out` names the CTE so the chain can be instantiated
+    * once per corpus side (cross-corpus dedup).
+    */
+  def shingleSqlFor(src: String, out: String): String =
+    s"""$out AS (
        |  SELECT doc_id,
        |    $shingleUnnestSql AS h
-       |  FROM (SELECT doc_id, $toksSql AS toks FROM corpus)
+       |  FROM (SELECT doc_id, $toksSql AS toks FROM $src)
        |)""".stripMargin
+
+  val shingleSql: String = shingleSqlFor("corpus", "sh")
+
+  /** Distinct (doc, h) chain over `src`: `<out>_sh` + `<out>`. */
+  def tokSqlFor(src: String, out: String): String =
+    s"""${shingleSqlFor(src, out + "_sh")},
+       |$out AS (SELECT DISTINCT doc_id, h FROM ${out}_sh)""".stripMargin
 
   val tokSql: String =
     s"""$shingleSql,
@@ -466,24 +517,30 @@ object Dedup {
       |  WHERE NOT EXISTS (
       |    SELECT 1 FROM comp WHERE comp.id = c.doc_id AND comp.id <> comp.cluster))""".stripMargin
 
-  val sigSql: String = {
+  /** MinHash signature CTE over a distinct (doc, h) CTE named `tok`. */
+  def sigSqlFor(tok: String, out: String): String = {
     val mins = (0 until NumHashes)
       .map(i => s"MIN((${2 * i + 1}*h + ${7919L * i + 13}) % 1000000007) AS m$i")
       .mkString(",\n    ")
-    s"""sig AS (
+    s"""$out AS (
        |  SELECT doc_id,
        |    $mins
-       |  FROM tok GROUP BY doc_id
+       |  FROM $tok GROUP BY doc_id
        |)""".stripMargin
   }
 
-  val bandsSql: String = {
+  val sigSql: String = sigSqlFor("tok", "sig")
+
+  /** LSH band CTE over a signature CTE named `sig`. */
+  def bandsSqlFor(sig: String, out: String): String = {
     val rows = (0 until NumHashes / BandSize).map { b =>
       val bh = combineSql((0 until BandSize).map(i => s"m${b * BandSize + i}"))
-      s"SELECT doc_id, CAST($b AS BIGINT) AS band, $bh AS bh FROM sig"
+      s"SELECT doc_id, CAST($b AS BIGINT) AS band, $bh AS bh FROM $sig"
     }
-    s"bands AS (\n  ${rows.mkString("\n  UNION ALL\n  ")}\n)"
+    s"$out AS (\n  ${rows.mkString("\n  UNION ALL\n  ")}\n)"
   }
+
+  val bandsSql: String = bandsSqlFor("sig", "bands")
 
   val simhashSql: String =
     s"""$shingleSql,

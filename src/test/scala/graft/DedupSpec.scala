@@ -44,6 +44,18 @@ class DedupSpec extends SparkSpec {
     assert(exacts.nonEmpty && exacts.forall(_._3 === 1.0))
   }
 
+  test("cross-corpus dedup: every planted copy is flagged against its original") {
+    val incoming = corpus.filter($"doc_id" >= 1000000L)
+    val pairs = Dedup.crossCorpusDuplicates(incoming, docs.select($"doc_id", $"lang", $"text"))
+      .select($"doc_new", $"doc_ref", $"jaccard").as[(Long, Long, Double)].collect()
+    val found = pairs.map(p => (p._2, p._1)).toSet
+    val missing = (plantedExact ++ plantedNear) -- found
+    assert(missing.isEmpty, s"cross-corpus dedup missed planted pairs: $missing")
+    // exact copies score 1.0 against their originals
+    val exacts = pairs.filter(p => plantedExact.contains((p._2, p._1)))
+    assert(exacts.nonEmpty && exacts.forall(_._3 === 1.0))
+  }
+
   test("duplicate clusters: planted copy groups resolve to base doc as keeper") {
     val cands = Dedup.minhashCandidates(corpus)
     val clusters = Dedup.duplicateClusters(cands).cache()

@@ -339,6 +339,13 @@ object SparkEntry {
       TextAnalysis.contaminated(
         docs.filter($"doc_id" % 50 =!= 0), docs.filter($"doc_id" % 50 === 0))
     },
+    // Graded companion: per-doc eval-overlap fraction + flagged verdict.
+    "q_doc_contamfrac" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      TextAnalysis.contaminationFraction(
+        docs.filter($"doc_id" % 50 =!= 0), docs.filter($"doc_id" % 50 === 0))
+    },
     // Intra-doc repeated-shingle ratio (repetition quality signal).
     "q_doc_repetition" -> { (s, dir) =>
       TextAnalysis.repetition(Tables.documents(s, dir))
@@ -447,6 +454,10 @@ object SparkEntry {
 
     // Embedding-cosine near-dup pairs (planted scaled copies → cos = 1.0).
     "q_dedup_embed" -> { (s, dir) => Similarity.embNearDupPairs(Tables.embeddings(s, dir)) },
+
+    // SemDeDup-style semantic dedup: nearest-centroid cell assignment,
+    // then within-cell cosine ≥ τ drops the higher id; output = kept set.
+    "q_dedup_semantic" -> { (s, dir) => Similarity.semanticDedup(Tables.embeddings(s, dir)) },
 
     // As-of join: each click joined to the user's latest prior-or-equal
     // purchase (union+window composition — one shuffle, no range
@@ -994,6 +1005,47 @@ object SparkEntry {
          |    ${Similarity.dotSql("a.emb", "b.emb")} / (a.nrm * b.nrm) AS cos
          |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) t
          |WHERE cos >= 0.99""".stripMargin,
+    "q_dedup_semantic" ->
+      s"""WITH ecorpus AS (
+         |  SELECT vec_id, label, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 1000000 AS vec_id, label,
+         |    list_transform(embedding, x -> x * CAST(1.5 AS FLOAT)) AS embedding
+         |  FROM embeddings WHERE vec_id % 25 = 0),
+         |eb AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
+         |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+         |      (a, b) -> a + b)) AS nrm
+         |  FROM ecorpus),
+         |cen AS (
+         |  SELECT label AS cell, dim,
+         |    CAST(SUM(CAST(ROUND(CAST(v AS DOUBLE) * 16777216.0) AS BIGINT)) AS DOUBLE)
+         |      / (CAST(COUNT(*) AS DOUBLE) * 16777216.0) AS centroid
+         |  FROM (SELECT label, unnest(embedding) AS v,
+         |          CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim
+         |        FROM embeddings) t
+         |  GROUP BY label, dim),
+         |cl AS (SELECT cell, list(centroid ORDER BY dim) AS cemb FROM cen GROUP BY cell),
+         |cl2 AS (
+         |  SELECT cell, cemb,
+         |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list_transform(cemb, x -> x * x)), (a, b) -> a + b)) AS cnrm
+         |  FROM cl),
+         |asg AS (
+         |  SELECT vec_id, cell, emb, nrm FROM (
+         |    SELECT e.vec_id, c.cell, e.emb, e.nrm,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+         |        ${Similarity.dotSql("e.emb", "c.cemb")} / (e.nrm * c.cnrm) DESC, c.cell) AS rn
+         |    FROM eb e CROSS JOIN cl2 c) t
+         |  WHERE rn = 1),
+         |drp AS (
+         |  SELECT DISTINCT b.vec_id
+         |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE ${Similarity.dotSql("a.emb", "b.emb")} / (a.nrm * b.nrm) >= 0.95)
+         |SELECT s.vec_id, s.cell FROM asg s
+         |LEFT JOIN drp d ON s.vec_id = d.vec_id WHERE d.vec_id IS NULL""".stripMargin,
     "q_emb_knn" ->
       s"""WITH ${Similarity.baseSql},
          |q AS (SELECT vec_id AS qid, emb AS qemb, nrm AS qnrm FROM base WHERE vec_id % 50 = 0),
@@ -1199,6 +1251,22 @@ object SparkEntry {
          |    FROM (SELECT ${Dedup.toksSql} AS toks
          |          FROM documents WHERE doc_id % 50 = 0)))
          |SELECT DISTINCT doc_id FROM ttok JOIN etok USING (h)""".stripMargin,
+    "q_doc_contamfrac" ->
+      s"""WITH ttok AS (
+         |  SELECT DISTINCT doc_id, h FROM (
+         |    SELECT doc_id, ${Dedup.shingleUnnestSql} AS h
+         |    FROM (SELECT doc_id, ${Dedup.toksSql} AS toks
+         |          FROM documents WHERE doc_id % 50 <> 0))),
+         |etok AS (
+         |  SELECT DISTINCT h FROM (
+         |    SELECT ${Dedup.shingleUnnestSql} AS h
+         |    FROM (SELECT ${Dedup.toksSql} AS toks
+         |          FROM documents WHERE doc_id % 50 = 0)))
+         |SELECT t.doc_id, COUNT(*) AS n_shingles, COUNT(e.h) AS n_hit,
+         |  CAST(COUNT(e.h) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS contam_frac,
+         |  CAST(COUNT(e.h) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) >= 0.5 AS flagged
+         |FROM ttok t LEFT JOIN etok e ON t.h = e.h
+         |GROUP BY t.doc_id""".stripMargin,
     "q_doc_repetition" ->
       s"""SELECT doc_id,
          |  COUNT(*) AS n_shingles,

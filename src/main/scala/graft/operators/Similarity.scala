@@ -190,6 +190,48 @@ object Similarity {
       .select(col("vec_id"), col("cell"), col("cos"))
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * assign every corpus vector to its nearest coarse-centroid cell, then
+    * WITHIN each cell drop every vector whose cosine to a lower-id
+    * cell-mate is ≥ tau. Output = the kept set (vec_id, cell).
+    *
+    * Scale design: the pairwise compare never crosses cells — the cell id
+    * is the shuffle key, and at 100 TB the cell count is chosen ∝ corpus
+    * size (SemDeDup uses k ≈ √N..N/10k), keeping per-cell member lists
+    * bounded, so the within-cell self-join is O(Σ|cell|²) with small
+    * |cell|, never corpus². Both self-join sides are the corpus-sized
+    * assignment table → shuffle-hash, never broadcast (same reasoning as
+    * [[embNearDupPairs]]); the assignment table is lazy-checkpointed so
+    * the scan + centroid-probe pipeline runs once for both sides.
+    *
+    * τ defaults to 0.95 — lower than [[embNearDupPairs]]'s 0.99 on
+    * purpose: semantic dedup targets paraphrase-level redundancy, not
+    * just near-exact copies.
+    */
+  def semanticDedup(e: DataFrame, tau: Double = 0.95): DataFrame = {
+    val base = withEmb(embCorpus(e))
+      .select(col("vec_id"), col("emb"), l2norm(col("emb")).as("nrm"))
+    // nearest cell per vector (centroid table is tiny: one row per cell)
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cell"))
+    val assigned = base.crossJoin(cellCentroids(e))
+      .withColumn("ccos", cosineWithNorms(dot(col("emb"), col("cemb")), col("nrm"), col("cnrm")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cell"), col("emb"), col("nrm"))
+      .localCheckpoint(false)
+    // barriered cos filter: one SeqDot per candidate pair (see
+    // embNearDupPairs for why pushdown would double-evaluate it)
+    val dropped = graft.expressions.PushdownBarrier.barrieredFilter(
+      assigned.as("a").hint("shuffle_hash").join(assigned.as("b"),
+          col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("b.vec_id").as("vec_id"),
+          cosineWithNorms(dot(col("a.emb"), col("b.emb")), col("a.nrm"), col("b.nrm")).as("cos")),
+      col("cos") >= tau)
+      .select(col("vec_id")).distinct()
+    assigned.join(dropped, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cell"))
+  }
+
   /** Per-label elementwise centroid via fixed-point quantization. */
   def centroids(e: DataFrame): DataFrame =
     withEmb(e)

@@ -177,6 +177,37 @@ object TextAnalysis {
       .select(col("doc_id")).distinct()
   }
 
+  /** Per-doc contamination REPORT — the graded companion to the binary
+    * [[contaminated]] flag: for each training doc, the fraction of its
+    * DISTINCT word-trigram shingles that also occur in the held-out eval
+    * set, plus a `flagged` verdict at `minFrac`. This is what an eval-
+    * decontamination audit actually publishes (PaLM/Llama-style n-gram
+    * overlap tables): "doc X overlaps the benchmark on 37% of its
+    * trigrams", not just "doc X touched it once".
+    *
+    * Scale shape: distinct (doc, shingle) projection (one shuffle), then
+    * an equi-join on the shingle hash against the distinct eval shingle
+    * set — the shuffle key — and one grouped roll-up per doc. The join is
+    * SHUFFLE_HASH-hinted: the eval side is usually small but is
+    * post-aggregation (stats-blind), and a wrong broadcast choice on a
+    * corpus-scale eval set would OOM the driver; the fraction arithmetic
+    * is a narrow map. Docs with < 3 tokens have no shingles and no row
+    * (same domain as [[contaminated]]).
+    */
+  def contaminationFraction(train: DataFrame, evalSet: DataFrame,
+      minFrac: Double = 0.5): DataFrame = {
+    val evalShingles = Dedup.tokenHashes(evalSet)
+      .select(col("h")).distinct().select(col("h"), lit(1).as("_hit"))
+    Dedup.tokenHashes(train)
+      .join(evalShingles.hint("shuffle_hash"), Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"), count(col("_hit")).as("n_hit"))
+      .select(col("doc_id"), col("n_shingles"), col("n_hit"),
+        (col("n_hit").cast("double") / col("n_shingles").cast("double")).as("contam_frac"),
+        (col("n_hit").cast("double") / col("n_shingles").cast("double") >= minFrac)
+          .as("flagged"))
+  }
+
   /** Boilerplate signal (C4-style frequent-fragment detection, shingle
     * granularity since this corpus has no line structure): a word-trigram
     * shingle is boilerplate when it appears in at least `minDocs` DISTINCT

@@ -194,6 +194,30 @@ class CurationSpec extends SparkSpec {
     assert(flagged === Set(1L))
   }
 
+  test("contamination fraction: exact per-doc overlap ratio, flag at minFrac") {
+    val train = Seq(
+      (1L, "en", "alpha beta gamma delta epsilon"), // 2 of 3 shingles hit
+      (2L, "en", "one two three four five"),        // disjoint → 0.0
+      (3L, "en", "alpha beta gamma zeta")           // 1 of 2 shingles hit
+    ).toDF("doc_id", "lang", "text")
+    val eval_ = Seq((100L, "en", "alpha beta gamma delta kappa")).toDF("doc_id", "lang", "text")
+    val r = graft.operators.TextAnalysis.contaminationFraction(train, eval_, minFrac = 0.5)
+      .select($"doc_id", $"n_shingles", $"n_hit", $"contam_frac", $"flagged")
+      .as[(Long, Long, Long, Double, Boolean)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4, t._5))).toMap
+    assert(r(1L) === ((3L, 2L, 2.0 / 3.0, true)))
+    assert(r(2L) === ((3L, 0L, 0.0, false)))
+    assert(r(3L) === ((2L, 1L, 0.5, true)))
+    // consistency with the binary flag: n_hit > 0 ⟺ contaminated
+    val docs = Tables.documents(spark, Sf)
+    val tr = docs.filter($"doc_id" % 50 =!= 0)
+    val ev = docs.filter($"doc_id" % 50 === 0)
+    val binary = graft.operators.TextAnalysis.contaminated(tr, ev).as[Long].collect().toSet
+    val graded = graft.operators.TextAnalysis.contaminationFraction(tr, ev)
+      .filter($"n_hit" > 0).select($"doc_id").as[Long].collect().toSet
+    assert(graded === binary)
+  }
+
   test("bloom decontamination: superset of exact, bounded over-flagging (sf0.001 + sf0.1)") {
     for (sf <- Seq(Sf, "/root/testdata/sf0.1")) {
       val d = Tables.documents(spark, sf)

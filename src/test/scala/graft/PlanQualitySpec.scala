@@ -113,6 +113,21 @@ class PlanQualitySpec extends SparkSpec {
       "interval join degenerated to a theta join")
   }
 
+  test("q_dedup_semantic: within-cell self-join shuffle-hash; only the centroid probe is a product") {
+    val p = plan("q_dedup_semantic")
+    assert(p.contains("ShuffledHashJoin"), "within-cell pair join lost the shuffle-hash hint")
+    // the ONLY allowed product is the bounded vectors × centroid-cells
+    // probe (one row per cell) — same budget as q_emb_e2e
+    assert("BroadcastNestedLoopJoin|CartesianProduct".r.findAllIn(p).size <= 1,
+      "only the bounded centroid probe may be a product join")
+  }
+
+  test("q_doc_contamfrac: flagging join is shuffle-hash on the shingle hash") {
+    val p = plan("q_doc_contamfrac")
+    assert(p.contains("ShuffledHashJoin"), "eval-overlap join lost the shuffle-hash hint")
+    assert(!p.contains("BroadcastHashJoin"), "stats-blind broadcast of the eval shingle set")
+  }
+
   test("q_doc_boiler: flagging join is shuffle-hash, never a boiler-set broadcast") {
     val p = plan("q_doc_boiler")
     assert(p.contains("ShuffledHashJoin"), "boiler join lost the shuffle-hash hint")

@@ -64,6 +64,20 @@ class SimilaritySpec extends SparkSpec {
     assert(bad.count() === 0)
   }
 
+  test("semantic dedup: planted scaled copies dropped, originals kept, assignment unique") {
+    val kept = Similarity.semanticDedup(emb).cache()
+    // every planted copy (id ≥ 1e6, cos = 1.0 to its original) is dropped
+    assert(kept.filter($"vec_id" >= 1000000L).count() === 0)
+    // each kept vector appears exactly once (nearest-cell is a function)
+    assert(kept.count() === kept.select($"vec_id").distinct().count())
+    // survivors ∪ dropped = planted corpus
+    val corpusN = Similarity.embCorpus(emb).count()
+    val keptN = kept.count()
+    assert(keptN > 0 && keptN < corpusN)
+    // τ = 1.1 → nothing can be dropped: kept set is the whole corpus
+    assert(Similarity.semanticDedup(emb, tau = 1.1).count() === corpusN)
+  }
+
   test("centroids: one row per (label, dim); zero-vector mean magnitude sane") {
     val c = Similarity.centroids(emb).cache()
     val dims = emb.select(size($"embedding")).as[Int].head()

@@ -541,6 +541,22 @@ object SparkEntry {
         .select(fmtTs(col("window.start")).as("w_start"), $"event_type", $"n", $"sum_value")
     },
 
+    // Windowed top-k: top-3 users by spend per tumbling hour — the
+    // bounded-heap TopKByValue aggregate composed UNDER an event-time
+    // window (leaderboard shape). Two grouped aggs; the second shuffles
+    // only (window, k-heap) partials, never per-user rows.
+    "q_ev_topusers" -> { (s, dir) =>
+      import s.implicits._
+      Tables.events(s, dir)
+        .groupBy(window($"ts", "1 hour"), $"user_id")
+        // exact DECIMAL sum, then double for the heap (ranking key only)
+        .agg(sum(dec2($"value")).cast("double").as("uval"))
+        .groupBy($"window")
+        .agg(graft.expressions.TopKAgg.top_k_ids($"uval", $"user_id", 3).as("top"))
+        .select(fmtTs(col("window.start")).as("w_start"), posexplode($"top"))
+        .select($"w_start", $"pos".cast("long").as("rank"), $"col".as("user_id"))
+    },
+
     // Sliding windows (1 h window, 30 min slide): each event lands in 2
     // windows; Spark expands then aggregates — one shuffle on (window,type).
     "q_ev_sliding" -> { (s, dir) =>
@@ -1463,6 +1479,20 @@ object SparkEntry {
         |  event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
         |FROM e GROUP BY 1, 2""".stripMargin,
+    "q_ev_topusers" ->
+      """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ets, user_id, value FROM events),
+        |per AS (
+        |  SELECT to_timestamp(CAST(floor(epoch(ets)/3600) AS BIGINT)*3600) AS w_start,
+        |    user_id,
+        |    CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS uval
+        |  FROM e GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT w_start, (list(user_id ORDER BY uval DESC, user_id))[1:3] AS top
+        |  FROM per GROUP BY w_start)
+        |SELECT strftime(w_start, '%Y-%m-%d %H:%M:%S.%f') AS w_start,
+        |  CAST(generate_subscripts(top, 1) - 1 AS BIGINT) AS rank,
+        |  CAST(unnest(top) AS BIGINT) AS user_id
+        |FROM agg""".stripMargin,
     "q_ev_sliding" ->
       """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ets, event_type FROM events),
         |x AS (

@@ -60,6 +60,24 @@ object EventStream {
         col("purchase_ts"), col("purchase_value"))
   }
 
+  /** Streaming leaderboard: top-k users by spend per tumbling window,
+    * the bounded-heap `TopKByValue` aggregate running INSIDE a
+    * watermarked streaming aggregation (TypedImperativeAggregate state
+    * serializes into the state store like any agg buffer). Per-window
+    * state is one O(k) heap + the per-(window,user) sums, all dropped
+    * once the watermark passes the window end. Batch equivalent:
+    * SparkEntry `q_ev_topusers` (DuckDB-checked).
+    */
+  def windowTopSpenders(events: DataFrame, k: Int = 3,
+      window_ : String = "1 hour", watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("user_id"))
+      .agg(sum(col("value").cast("decimal(12,2)")).cast("double").as("uval"))
+      .groupBy(col("window"))
+      .agg(graft.expressions.TopKAgg.top_k_ids(col("uval"), col("user_id"), k).as("top"))
+      .select(col("window.start").as("w_start"), col("top"))
+
   /** Streaming exact dedup with bounded state: duplicates of (user_id,
     * event_type, event_id) arriving within the watermark are dropped;
     * state older than the watermark is purged. The unbounded

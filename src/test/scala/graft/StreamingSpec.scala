@@ -89,6 +89,26 @@ class StreamingSpec extends SparkSpec {
     assert(out("2024-01-01 00:00:00") === 2) // late event NOT counted
   }
 
+  test("streaming leaderboard: chained windowed aggs, bounded top-k heap, append-finalized") {
+    implicit val ctx = spark.sqlContext
+    val (ms, df) = eventsStream(
+      ("2024-01-01 00:05:00", 1L, "click", 1.0),
+      ("2024-01-01 00:10:00", 2L, "click", 5.0),
+      ("2024-01-01 00:15:00", 3L, "click", 3.0),
+      ("2024-01-01 00:20:00", 4L, "click", 2.0),
+      ("2024-01-01 00:25:00", 2L, "click", 1.0)) // user 2 total = 6
+    val q = EventStream.windowTopSpenders(df, k = 3, "1 hour", "30 minutes")
+      .writeStream.format("memory").queryName("lead").outputMode("append").start()
+    q.processAllAvailable()
+    // advance the watermark past the window end to finalize it
+    ms.addData(Seq((Timestamp.valueOf("2024-01-01 02:00:00"), 9L, "click", 0.5)))
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("lead")
+      .select($"w_start".cast("string"), $"top").as[(String, Seq[Long])].collect().toMap
+    // spend order: user2=6.0, user3=3.0, user4=2.0 (user1=1.0 off the heap)
+    assert(out("2024-01-01 00:00:00") === Seq(2L, 3L, 4L))
+  }
+
   test("session windows merge events within gap") {
     implicit val ctx = spark.sqlContext
     val (ms, df) = eventsStream(

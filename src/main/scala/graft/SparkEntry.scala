@@ -430,6 +430,10 @@ object SparkEntry {
     // IVF-style ANN: probe the 2 nearest centroid cells, search only them.
     "q_emb_ivf" -> { (s, dir) => Similarity.knnIvf(Tables.embeddings(s, dir)) },
 
+    // Product-quantization ANN: m-byte codes + ADC table lookups — the
+    // vector-COMPRESSION scale path (IVF shards, PQ shrinks).
+    "q_emb_pq" -> { (s, dir) => Similarity.knnPq(Tables.embeddings(s, dir)) },
+
     // Array function sampler over the embedding lists (slice/sort/minmax/
     // contains/position — all codegen'd built-ins).
     "q_array_funcs" -> { (s, dir) =>
@@ -987,6 +991,45 @@ object SparkEntry {
          |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS BIGINT) AS rn
          |  FROM pairs) t
          |WHERE rn <= 3""".stripMargin,
+    "q_emb_pq" ->
+      s"""WITH ${Similarity.baseSql},
+         |lab AS (
+         |  SELECT label, CAST(ROW_NUMBER() OVER (ORDER BY label) AS INT) - 1 AS li
+         |  FROM (SELECT DISTINCT label FROM embeddings)),
+         |cen AS (
+         |  SELECT label, dim,
+         |    CAST(SUM(CAST(ROUND(CAST(v AS DOUBLE) * 16777216.0) AS BIGINT)) AS DOUBLE)
+         |      / (CAST(COUNT(*) AS DOUBLE) * 16777216.0) AS centroid
+         |  FROM (SELECT label, unnest(embedding) AS v,
+         |          CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim
+         |        FROM embeddings) t
+         |  GROUP BY label, dim),
+         |cb AS (
+         |  SELECT li, CAST(dim // 8 AS INT) AS s, list(centroid ORDER BY dim) AS cvec
+         |  FROM cen JOIN lab USING (label) GROUP BY li, CAST(dim // 8 AS INT)),
+         |sv AS (
+         |  SELECT vec_id, s, emb[s*8+1 : s*8+8] AS subvec
+         |  FROM base, (SELECT unnest(range(0, 8)) AS s)),
+         |enc0 AS (
+         |  SELECT vec_id, s, li,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id, s
+         |      ORDER BY ${Similarity.l2sqSql("subvec", "cvec")}, li) AS rn
+         |  FROM sv JOIN cb USING (s)),
+         |enc AS (SELECT vec_id, list(li ORDER BY s) AS codes FROM enc0 WHERE rn = 1 GROUP BY vec_id),
+         |qd0 AS (
+         |  SELECT vec_id AS qid, s, li, ${Similarity.l2sqSql("subvec", "cvec")} AS d2
+         |  FROM sv JOIN cb USING (s) WHERE vec_id % 50 = 0),
+         |qdt AS (SELECT qid, list(d2 ORDER BY s, li) AS qd FROM qd0 GROUP BY qid),
+         |pairs AS (
+         |  SELECT qid, vec_id,
+         |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list_transform(range(0, 8), s -> qd[s * (len(qd)//8) + codes[s+1] + 1])),
+         |      (x, y) -> x + y) AS adc
+         |  FROM enc, qdt WHERE vec_id <> qid)
+         |SELECT qid, CAST(rn - 1 AS BIGINT) AS rank, vec_id FROM (
+         |  SELECT qid, vec_id, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc, vec_id) AS rn
+         |  FROM pairs) t
+         |WHERE rn <= 5""".stripMargin,
     "q_array_funcs" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings)
         |SELECT vec_id,

@@ -38,6 +38,14 @@ object VectorFunctions {
   def cosineWithNorms(dotAB: Column, normA: Column, normB: Column): Column =
     dotAB / (normA * normB)
 
+  /** Squared L2 distance, one fused sequential fold over the pair stream
+    * (mirrors the DuckDB oracle's list_reduce exactly — same per-element
+    * `(x−y)·(x−y)` and same left-to-right accumulation, so results are
+    * bit-identical across engines).
+    */
+  def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0d), (acc, x) => acc + x)
+
   /** Fixed-point quantization for order-independent exact sums: float →
     * round(x·2^24) as long. Sums of these are integer-exact and therefore
     * independent of aggregation order — use for centroids / elementwise

@@ -232,6 +232,97 @@ object Similarity {
       .select(col("vec_id"), col("cell"))
   }
 
+  // ---- Product quantization (Jégou et al., TPAMI 2011) -------------------
+
+  /** Default subspace count (64-dim vectors → 8 subvectors of 8 dims);
+    * callers with other dimensionalities pass m = dims / 8.
+    */
+  val PqSubspaces = 8
+  private val PqSubDim = 8
+
+  /** Dense 0-based index per label — PQ code ids must be array indices,
+    * so the (arbitrary-typed) cell labels get ranked once. The distinct
+    * label set is tiny (one row per cell); the global window runs on it,
+    * never on the corpus.
+    */
+  def labelIndex(e: DataFrame): DataFrame =
+    e.select(col("label")).distinct()
+      .withColumn("li", row_number().over(Window.orderBy(col("label"))).cast("int") - 1)
+
+  /** PQ codebook: per (subspace s, code li) the per-label centroid
+    * restricted to dims [s·8, s·8+8) — a coarse but deterministic
+    * codebook (the label clusters double as the k-means result, exactly
+    * like [[cellCentroids]] does for IVF). One row per (code, subspace):
+    * cells × PqSubspaces rows total — broadcast-sized by construction.
+    */
+  def pqCodebook(e: DataFrame): DataFrame =
+    centroids(e)
+      .join(labelIndex(e), "label")
+      .groupBy(col("li"), (col("dim") / PqSubDim).cast("int").as("s"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("centroid")))).as("pairs"))
+      .select(col("li"), col("s"),
+        transform(col("pairs"), p => p.getField("centroid")).as("cvec"))
+
+  /** (vec_id, s, subvec) stream: each vector split into its PqSubspaces
+    * slices — a pure narrow map (explode over a constant-range sequence).
+    */
+  private def subvectors(v: DataFrame, idCol: String, m: Int): DataFrame =
+    v.select(col(idCol), explode(sequence(lit(0), lit(m - 1))).as("s"), col("emb"))
+      .select(col(idCol), col("s"), slice(col("emb"), col("s") * PqSubDim + 1, lit(PqSubDim)).as("subvec"))
+
+  /** PQ-encode the corpus: per (vector, subspace) the nearest code id
+    * (squared-L2 argmin, ties → smaller id), assembled into an m-byte
+    * code array per vector. THE compression step: at 100 TB each 256-byte
+    * float vector becomes PqSubspaces small ints — the ANN scan then
+    * reads codes, not floats. The codebook join is an explicit tiny-side
+    * broadcast; the argmin is `min(struct(d2, li))` — an ordinary
+    * partial-aggregable min, no window over the corpus.
+    */
+  def pqEncode(e: DataFrame, m: Int = PqSubspaces): DataFrame = {
+    val base = withEmb(e)
+    subvectors(base, "vec_id", m)
+      .join(broadcast(pqCodebook(e)), "s")
+      .withColumn("d2", l2sq(col("subvec"), col("cvec")))
+      .groupBy(col("vec_id"), col("s"))
+      .agg(min(struct(col("d2"), col("li"))).as("m"))
+      .groupBy(col("vec_id"))
+      .agg(array_sort(collect_list(struct(col("s"), col("m").getField("li").as("li")))).as("sc"))
+      .select(col("vec_id"), transform(col("sc"), p => p.getField("li")).as("codes"))
+  }
+
+  /** PQ ANN via asymmetric distance computation: each query precomputes
+    * its distance table (d² to every code of every subspace, flattened in
+    * (s, li) order); a candidate's approximate distance is then
+    * PqSubspaces array LOOKUPS — `Σ_s qd[s·C + codes[s]]` — instead of a
+    * full-dimension dot product. Scale shape: the corpus side carries
+    * only the m-byte codes; the query distance tables (|Q|·m·C doubles)
+    * broadcast; scoring is a narrow compute-bound scan; and the
+    * bounded-heap TopKByValue shrinks every partition to k rows per query
+    * BEFORE the only shuffle — k·|Q| rows cross the wire, never the
+    * |corpus|·|Q| pair stream.
+    */
+  def knnPq(e: DataFrame, queryMod: Int = 50, k: Int = 5, m: Int = PqSubspaces): DataFrame = {
+    val enc = pqEncode(e, m)
+    val qd = subvectors(withEmb(e).filter(col("vec_id") % queryMod === 0)
+        .withColumnRenamed("vec_id", "qid"), "qid", m)
+      .join(broadcast(pqCodebook(e)), "s")
+      .withColumn("d2", l2sq(col("subvec"), col("cvec")))
+      .groupBy(col("qid"))
+      .agg(array_sort(collect_list(struct(col("s"), col("li"), col("d2")))).as("t"))
+      .select(col("qid"), transform(col("t"), p => p.getField("d2")).as("qd"))
+    // C (codes per subspace) falls out of the table shape — no extra join
+    val c = (size(col("qd")) / m).cast("int")
+    val adc = aggregate(sequence(lit(0), lit(m - 1)), lit(0.0d),
+      (acc, s) => acc + element_at(col("qd"), s * c + element_at(col("codes"), s + 1) + 1))
+    enc.join(broadcast(qd), col("vec_id") =!= col("qid"))
+      .withColumn("adc", adc)
+      .groupBy(col("qid"))
+      // min-distance top-k = max of the negated distance; ties → smaller id
+      .agg(graft.expressions.TopKAgg.top_k_ids(-col("adc"), col("vec_id"), k).as("ids"))
+      .select(col("qid"), posexplode(col("ids")))
+      .select(col("qid"), col("pos").cast("long").as("rank"), col("col").as("vec_id"))
+  }
+
   /** Per-label elementwise centroid via fixed-point quantization. */
   def centroids(e: DataFrame): DataFrame =
     withEmb(e)
@@ -256,6 +347,12 @@ object Similarity {
   /** Sequential-fold dot product between list expressions `a` and `b`. */
   def dotSql(a: String, b: String): String =
     s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (x, y) -> x + y)"
+
+  /** Sequential-fold squared L2 between list expressions `a` and `b` —
+    * mirrors [[graft.functions.VectorFunctions.l2sq]] op-for-op.
+    */
+  def l2sqSql(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(list_zip($a, $b), p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))), (x, y) -> x + y)"
 
   val bucketSql: String =
     """CAST(list_sum(list_transform(range(0, 8), j ->

@@ -122,6 +122,17 @@ class PlanQualitySpec extends SparkSpec {
       "only the bounded centroid probe may be a product join")
   }
 
+  test("q_emb_pq: codebook+queries broadcast, heap partials, no pair-stream shuffle") {
+    val p = plan("q_emb_pq")
+    // the ADC scan must shrink to k rows per (query, partition) BEFORE
+    // its only shuffle — the bounded-heap partial aggregation
+    assert(p.contains("partial_topkbyvalue"), "ADC top-k lost the map-side heap")
+    // tiny sides (codebook, query distance tables) broadcast; the
+    // |corpus|·|Q| pair stream itself must never be exchange-shuffled
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "PQ scoring must not shuffle the corpus for a join")
+  }
+
   test("q_doc_contamfrac: flagging join is shuffle-hash on the shingle hash") {
     val p = plan("q_doc_contamfrac")
     assert(p.contains("ShuffledHashJoin"), "eval-overlap join lost the shuffle-hash hint")

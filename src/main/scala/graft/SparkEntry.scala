@@ -382,6 +382,15 @@ object SparkEntry {
     "q_doc_boiler" -> { (s, dir) =>
       graft.operators.TextAnalysis.boilerplate(Tables.documents(s, dir))
     },
+    // Gopher-style heuristic rule gate: per-doc signals, per-rule flags,
+    // conjunction verdict — pure narrow map (operators/TextAnalysis).
+    "q_doc_gopher" -> { (s, dir) => TextAnalysis.gopherRules(Tables.documents(s, dir)) },
+    // Out-of-vocabulary rate vs the exact top-20 corpus vocabulary: the
+    // one provably-safe broadcast join in the text stack (k = constant).
+    "q_doc_oov" -> { (s, dir) => TextAnalysis.oovRate(Tables.documents(s, dir)) },
+    // Token-budget training mix: best-quality docs per source until the
+    // source's token budget fills (straddler kept, like packing).
+    "q_doc_budget" -> { (s, dir) => Curation.budgetSelect(Tables.documents(s, dir)) },
     // Source mixing table: per-source doc/token/char totals + corpus share.
     "q_doc_sourcemix" -> { (s, dir) => Curation.sourceMix(Tables.documents(s, dir)) },
     // Per-source document cap (domain balancing), deterministic bottom-k.
@@ -596,6 +605,24 @@ object SparkEntry {
         .withColumn("rn", row_number().over(w))
         .filter($"rn" === 1)
         .select($"user_id", $"event_type", $"event_id", fmtTs($"ts").as("first_ts"))
+    },
+
+    // Latest-event-per-user materialization (the CDC upsert-view batch
+    // shape): max_by with a composite (ts, event_id) ordering key — ONE
+    // partial-combinable aggregation with O(1) state per key. Contrast
+    // q_ev_dedup's row_number window, which sorts every user shard; at
+    // 100 TB the agg form shrinks each map partition to |users| rows
+    // before the only shuffle. event_id is unique → total order → the
+    // survivor is deterministic.
+    "q_ev_latest" -> { (s, dir) =>
+      import s.implicits._
+      Tables.events(s, dir)
+        .groupBy($"user_id")
+        .agg(max_by(struct($"ts", $"event_id", $"event_type", $"value"),
+          struct($"ts", $"event_id")).as("last"))
+        .select($"user_id", fmtTs($"last.ts").as("last_ts"),
+          $"last.event_id".as("event_id"), $"last.event_type".as("event_type"),
+          $"last.value".as("value"))
     },
 
     // Semi-structured extraction: JSON props column → typed field → agg.
@@ -1384,6 +1411,53 @@ object SparkEntry {
          |  CAST(COUNT(b.h) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS boiler_ratio
          |FROM sh LEFT JOIN boiler b ON sh.h = b.h
          |GROUP BY sh.doc_id""".stripMargin,
+    "q_doc_gopher" ->
+      s"""WITH tq AS (SELECT doc_id, ${Dedup.toksSql} AS toks FROM documents),
+         |g AS (
+         |  SELECT doc_id,
+         |    CAST(len(toks) AS BIGINT) AS n_tokens,
+         |    CASE WHEN len(toks) > 0 THEN
+         |      CAST(list_reduce(list_prepend(0, list_transform(toks, x -> length(x))), (a, b) -> a + b) AS DOUBLE)
+         |        / CAST(len(toks) AS DOUBLE) END AS avg_tok_len,
+         |    CASE WHEN len(toks) > 0 THEN
+         |      CAST(len(list_filter(toks, x -> regexp_matches(x, '\\p{L}'))) AS DOUBLE)
+         |        / CAST(len(toks) AS DOUBLE) END AS alpha_frac,
+         |    CAST(${TextAnalysis.Stopwords.map(w => s"CAST(list_contains(toks, '$w') AS INT)").mkString(" + ")} AS BIGINT) AS stop_hits
+         |  FROM tq)
+         |SELECT doc_id, n_tokens, avg_tok_len, alpha_frac, stop_hits,
+         |  (n_tokens >= 10 AND n_tokens <= 100000) AS r_len,
+         |  coalesce(avg_tok_len >= 3.0 AND avg_tok_len <= 10.0, false) AS r_avglen,
+         |  coalesce(alpha_frac >= 0.8, false) AS r_alpha,
+         |  (stop_hits >= 2) AS r_stop,
+         |  ((n_tokens >= 10 AND n_tokens <= 100000)
+         |    AND coalesce(avg_tok_len >= 3.0 AND avg_tok_len <= 10.0, false)
+         |    AND coalesce(alpha_frac >= 0.8, false)
+         |    AND stop_hits >= 2) AS pass
+         |FROM g""".stripMargin,
+    "q_doc_oov" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(${Dedup.toksSql}) AS w FROM documents),
+         |v AS (SELECT w FROM (
+         |  SELECT w, COUNT(*) AS n FROM tok GROUP BY w
+         |  ORDER BY n DESC, w LIMIT 20) t)
+         |SELECT tok.doc_id, COUNT(*) AS n_tokens, COUNT(v.w) AS n_invocab,
+         |  1.0 - CAST(COUNT(v.w) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS oov_rate
+         |FROM tok LEFT JOIN v ON tok.w = v.w
+         |GROUP BY tok.doc_id""".stripMargin,
+    "q_doc_budget" ->
+      s"""WITH ${TextAnalysis.qualityRatiosSql()},
+         |q AS (
+         |  SELECT rq.doc_id, d.source, ${TextAnalysis.qualityScoreSql} AS quality,
+         |    CAST(len(tq.toks) AS BIGINT) AS n_tokens
+         |  FROM rq JOIN documents d ON rq.doc_id = d.doc_id
+         |       JOIN tq ON tq.doc_id = rq.doc_id
+         |  WHERE ${TextAnalysis.qualityScoreSql} IS NOT NULL),
+         |c AS (
+         |  SELECT doc_id, source, quality, n_tokens,
+         |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY quality DESC, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS cum_excl
+         |  FROM q)
+         |SELECT doc_id, source, quality, n_tokens, CAST(cum_excl AS BIGINT) AS cum_excl
+         |FROM c WHERE cum_excl < 800""".stripMargin,
     "q_doc_sourcemix" ->
       s"""WITH per AS (
          |  SELECT source, COUNT(*) AS n_docs,
@@ -1570,6 +1644,17 @@ object SparkEntry {
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
         |  FROM events) t
         |WHERE rn = 1""".stripMargin,
+    "q_ev_latest" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ets, event_id, event_type, value
+        |  FROM events),
+        |r AS (
+        |  SELECT user_id, ets, event_id, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ets DESC, event_id DESC) AS rn
+        |  FROM e)
+        |SELECT user_id, strftime(ets, '%Y-%m-%d %H:%M:%S.%f') AS last_ts,
+        |  event_id, event_type, value
+        |FROM r WHERE rn = 1""".stripMargin,
     "q_ev_json" ->
       """SELECT event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,

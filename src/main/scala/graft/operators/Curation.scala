@@ -214,6 +214,37 @@ object Curation {
   def sourceCap(docs: DataFrame, cap: Int = 10): DataFrame =
     groupSample(docs, cap, key = "source")
 
+  /** Token-budget training-mix selection: within each source, admit docs
+    * in quality order (best first, doc_id tie-break) until the source's
+    * token budget is exhausted — how a training mix is actually filled
+    * ("up to N tokens per domain, best documents first"). A doc whose
+    * FIRST token lands under the budget is kept (cum_excl < budget), the
+    * same straddle rule as [[packSequences]]; null-quality (empty) docs
+    * are dropped up front.
+    *
+    * Scale shape: one window per source shard — ordering by quality means
+    * the block trick packSequences uses (order-preserving doc_id blocks)
+    * doesn't apply, so this IS a sort-within-source; parallelism follows
+    * source cardinality (thousands of domains at corpus scale, 20 here).
+    * For a single mega-source, swap to the two-pass threshold analog of
+    * [[qualityFilter]]: find the quality cutoff where the per-source token
+    * cumsum crosses the budget (a weighted quantile), then broadcast-
+    * filter — no sort. Kept as the window form here because the exact
+    * boundary-doc semantics are what the oracle checks.
+    */
+  def budgetSelect(docs: DataFrame, budget: Long = 800L): DataFrame = {
+    val q = graft.expressions.PushdownBarrier.barrieredFilter(
+      TextAnalysis.quality(docs, passthrough = Seq("source"), emitTokens = true),
+      col("quality").isNotNull)
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("quality").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    q.withColumn("cum_excl", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .filter(col("cum_excl") < budget)
+      .select(col("doc_id"), col("source"), col("quality"), col("n_tokens"),
+        col("cum_excl"))
+  }
+
   /** Token-window chunking (size tokens per chunk, stride < size →
     * overlap): the RAG/pretraining chunk layout. One narrow explode per
     * doc — chunk starts are 0, stride, 2·stride … < n_tokens; each chunk

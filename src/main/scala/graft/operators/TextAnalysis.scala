@@ -80,19 +80,91 @@ object TextAnalysis {
     * callers don't have to join the score frame back against the corpus
     * just to recover a column the scan already had.
     */
-  def quality(docs: DataFrame, passthrough: Seq[String] = Nil): DataFrame = {
+  def quality(docs: DataFrame, passthrough: Seq[String] = Nil,
+      emitTokens: Boolean = false): DataFrame = {
     val nTok = size(col("toks"))
     val n = nTok.cast("double")
     // guarded: 0-token docs → null ratios, not an ANSI DIVIDE_BY_ZERO abort
     val stopRatio = when(nTok > 0, vocabCount(col("toks"), Stopwords).cast("double") / n)
     val shortRatio = when(nTok > 0,
       graft.expressions.ShortTokenCount.short_token_count(col("toks"), 3).cast("double") / n)
+    val base = col("doc_id") +: passthrough.map(col) :+
+      stopRatio.as("stop_ratio") :+
+      shortRatio.as("short_ratio") :+
+      (lit(1.0) - stopRatio * lit(0.5) - shortRatio * lit(0.3)).as("quality")
     withToks(docs).select(
-      col("doc_id") +: passthrough.map(col) :+
-        stopRatio.as("stop_ratio") :+
-        shortRatio.as("short_ratio") :+
-        (lit(1.0) - stopRatio * lit(0.5) - shortRatio * lit(0.3)).as("quality"): _*
+      (if (emitTokens) base :+ nTok.cast("long").as("n_tokens") else base): _*
     )
+  }
+
+  /** Gopher-style heuristic quality rules (Rae et al. 2021 §A1.1 shape,
+    * constants adapted to this corpus): per-doc measurements plus one
+    * boolean per rule and the conjunction verdict —
+    *  - token count within [minTokens, maxTokens],
+    *  - mean token length within [minAvgLen, maxAvgLen],
+    *  - fraction of tokens containing a letter ≥ minAlphaFrac,
+    *  - at least minStopHits DISTINCT stopwords present.
+    * Emitting the raw signals (not just the verdict) is deliberate: a
+    * curation audit tunes thresholds from the distributions.
+    *
+    * Pure narrow map — one tokenize per row, everything else arithmetic
+    * over the token array; pipelines into the scan's codegen stage, so at
+    * 100 TB this is embarrassingly parallel with zero shuffle.
+    */
+  def gopherRules(docs: DataFrame,
+      minTokens: Int = 10, maxTokens: Int = 100000,
+      minAvgLen: Double = 3.0, maxAvgLen: Double = 10.0,
+      minAlphaFrac: Double = 0.8, minStopHits: Int = 2): DataFrame = {
+    val nTok = size(col("toks"))
+    val n = nTok.cast("double")
+    val avgLen = when(nTok > 0, length(array_join(col("toks"), "")).cast("double") / n)
+    val alphaFrac = when(nTok > 0,
+      size(filter(col("toks"), t => t.rlike("\\p{L}"))).cast("double") / n)
+    // distinct-stopword presence count: Σ array_contains — k fixed terms,
+    // no set materialization
+    val stopHits = Stopwords.map(w => array_contains(col("toks"), w).cast("int"))
+      .reduce(_ + _)
+    withToks(docs).select(
+      col("doc_id"),
+      nTok.cast("long").as("n_tokens"),
+      avgLen.as("avg_tok_len"),
+      alphaFrac.as("alpha_frac"),
+      stopHits.cast("long").as("stop_hits"),
+      (nTok >= minTokens && nTok <= maxTokens).as("r_len"),
+      coalesce(avgLen >= minAvgLen && avgLen <= maxAvgLen, lit(false)).as("r_avglen"),
+      coalesce(alphaFrac >= minAlphaFrac, lit(false)).as("r_alpha"),
+      (stopHits >= minStopHits).as("r_stop"),
+      (nTok >= minTokens && nTok <= maxTokens &&
+        coalesce(avgLen >= minAvgLen && avgLen <= maxAvgLen, lit(false)) &&
+        coalesce(alphaFrac >= minAlphaFrac, lit(false)) &&
+        stopHits >= minStopHits).as("pass"))
+  }
+
+  /** Per-doc out-of-vocabulary rate against the corpus's exact top-`k`
+    * vocabulary (the [[SparkEntry]] q_doc_vocab heavy hitters): fraction
+    * of a doc's token OCCURRENCES not covered by the top-k list — the
+    * signal a tokenizer-budget or vocab-truncation decision reads.
+    *
+    * Scale shape: the vocabulary is a grouped count (map-side combinable)
+    * followed by TakeOrderedAndProject (per-partition heaps, no global
+    * sort) down to k rows — then BROADCAST by construction (k is a
+    * constant, never corpus-scale, so this is the one join in the text
+    * stack where broadcast is provably safe). Flagging is a narrow
+    * broadcast-hash probe per token; the only shuffle is the per-doc
+    * roll-up. The token stream is scanned twice (vocab build + probe) —
+    * two narrow passes beat materializing a ~30×-corpus exploded stream.
+    */
+  def oovRate(docs: DataFrame, k: Int = 20): DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+    val vocab = tok.groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w")).limit(k)
+      .select(col("w"), lit(1).as("_v"))
+    tok.join(broadcast(vocab), Seq("w"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), count(col("_v")).as("n_invocab"))
+      .select(col("doc_id"), col("n_tokens"), col("n_invocab"),
+        (lit(1.0) - col("n_invocab").cast("double") / col("n_tokens").cast("double"))
+          .as("oov_rate"))
   }
 
   /** Rational term weighting: score = tf · N / df — inverse-df weighting

@@ -246,6 +246,66 @@ class CurationSpec extends SparkSpec {
     assert(r === ((8L, 14L)))
   }
 
+  test("gopher rules: each rule fires on its designed violation") {
+    val good = (1 to 20).map(_ => "window").mkString("the of ", " ", "") // 22 toks, stops, alpha
+    val df = Seq(
+      (1L, "en", good),                               // passes everything
+      (2L, "en", "the of tiny"),                      // r_len: 3 < 10 tokens
+      (3L, "en", (1 to 20).map(_ => "scan").mkString(" ")), // r_stop: 0 stopwords
+      (4L, "en", "the of " + (1 to 20).map(_ => "12345678901").mkString(" ")), // r_alpha + r_avglen
+      (5L, "en", "   ")                               // empty: null ratios → fail
+    ).toDF("doc_id", "lang", "text")
+    val r = TextAnalysis.gopherRules(df)
+      .select($"doc_id", $"r_len", $"r_avglen", $"r_alpha", $"r_stop", $"pass")
+      .as[(Long, Boolean, Boolean, Boolean, Boolean, Boolean)]
+      .collect().map(t => t._1 -> t).toMap
+    assert(r(1L)._6, "good doc must pass")
+    assert(!r(2L)._2 && !r(2L)._6, "short doc fails r_len")
+    assert(!r(3L)._5 && !r(3L)._6, "stopword-free doc fails r_stop")
+    assert(!r(4L)._4 && !r(4L)._3 && !r(4L)._6, "digit-run doc fails r_alpha and r_avglen")
+    assert(!r(5L)._6, "empty doc fails")
+  }
+
+  test("oov rate: tokens outside the top-k vocabulary are counted, in-vocab docs score 0") {
+    val df = Seq(
+      (1L, "en", "scan scan scan join join"),  // all in a k=2 vocab {scan, join}
+      (2L, "en", "scan join rare1 rare2"),     // 2 of 4 OOV
+      (3L, "en", "rare3 rare4")                // all OOV
+    ).toDF("doc_id", "lang", "text")
+    val r = TextAnalysis.oovRate(df, k = 2)
+      .select($"doc_id", $"oov_rate").as[(Long, Double)].collect().toMap
+    assert(r(1L) === 0.0)
+    assert(r(2L) === 0.5)
+    assert(r(3L) === 1.0)
+  }
+
+  test("budget select: per-source quality-ordered prefix, straddler kept, rerun-stable") {
+    val budget = 800L
+    val got = Curation.budgetSelect(docs, budget)
+      .select($"doc_id", $"source", $"cum_excl").as[(Long, String, Long)]
+      .collect()
+    assert(got.nonEmpty && got.forall(_._3 < budget))
+    // simulate the selection from the quality frame and require exact match
+    val q = TextAnalysis.quality(docs, passthrough = Seq("source"), emitTokens = true)
+      .filter($"quality".isNotNull)
+      .select($"doc_id", $"source", $"quality", $"n_tokens")
+      .as[(Long, String, Double, Long)].collect()
+    val expect = q.groupBy(_._2).flatMap { case (_, rows) =>
+      val ordered = rows.sortBy(r => (-r._3, r._1))
+      val cums = ordered.scanLeft(0L)(_ + _._4)
+      ordered.zip(cums).takeWhile(_._2 < budget).map(_._1._1).toSeq
+    }.toSet
+    assert(got.map(_._1).toSet === expect)
+    // selection is a quality-ordered PREFIX: nothing kept ranks below a drop
+    val gotSet = got.map(_._1).toSet
+    for ((src, rows) <- q.groupBy(_._2)) {
+      val ordered = rows.sortBy(r => (-r._3, r._1)).map(_._1)
+      val keptIdx = ordered.zipWithIndex.filter(p => gotSet(p._1)).map(_._2)
+      if (keptIdx.nonEmpty)
+        assert(keptIdx.max === keptIdx.size - 1, s"non-prefix selection in $src")
+    }
+  }
+
   test("repetition ratio: repeated trigrams score > 0, unique docs score 0") {
     val df = Seq(
       (1L, "en", "a b c a b c a b c"), // trigram 'a b c' repeats

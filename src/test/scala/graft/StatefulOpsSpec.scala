@@ -33,4 +33,20 @@ class StatefulOpsSpec extends SparkSpec {
     assert(u1.last.sum === 533.0 && u1.last.max === 500.0)
     assert(rows.count(_.user_id == 2L) === 1)
   }
+
+  test("latest-per-key: max_by composite-key agg ≡ row_number window") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val ev = graft.sources.Tables.events(spark, Sf)
+    // the q_ev_latest shape: one partial-combinable agg, O(1) state per key
+    val viaAgg = ev.groupBy($"user_id")
+      .agg(max_by(struct($"ts", $"event_id"), struct($"ts", $"event_id")).as("l"))
+      .select($"user_id", $"l.ts".as("ts"), $"l.event_id".as("event_id"))
+    // the sort-shard formulation it must agree with (event_id unique →
+    // the composite key is a total order, so the survivor is identical)
+    val w = Window.partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
+    val viaWindow = ev.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .select($"user_id", $"ts", $"event_id")
+    assert(viaAgg.exceptAll(viaWindow).isEmpty && viaWindow.exceptAll(viaAgg).isEmpty)
+  }
 }

@@ -610,10 +610,12 @@ object SparkEntry {
     // Latest-event-per-user materialization (the CDC upsert-view batch
     // shape): max_by with a composite (ts, event_id) ordering key — ONE
     // partial-combinable aggregation with O(1) state per key. Contrast
-    // q_ev_dedup's row_number window, which sorts every user shard; at
-    // 100 TB the agg form shrinks each map partition to |users| rows
-    // before the only shuffle. event_id is unique → total order → the
-    // survivor is deterministic.
+    // q_ev_dedup's row_number window, which ships EVERY event through the
+    // shuffle; here each map partition shrinks to |its users| partials
+    // first. (Struct buffers force SortAggregate, but its sort key is just
+    // user_id — shuffle volume is the scale lever, pinned in
+    // PlanQualitySpec.) event_id is unique → total order → deterministic
+    // survivor.
     "q_ev_latest" -> { (s, dir) =>
       import s.implicits._
       Tables.events(s, dir)

@@ -189,6 +189,41 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("q_doc_oov: vocab side broadcast, probe stays narrow until the doc roll-up") {
+    val p = plan("q_doc_oov")
+    // the k-row vocabulary must build a BroadcastHashJoin (it is constant-
+    // size by construction); a shuffle-hash regression would shuffle the
+    // ~30×-corpus token stream on the WORD instead of the doc roll-up key
+    assert(p.contains("BroadcastHashJoin"))
+    assert(p.contains("TakeOrderedAndProject"), "vocab must use per-partition heaps")
+    assert("HashAggregate".r.findAllIn(p).size >= 4) // partial+final × (vocab, rollup)
+  }
+
+  test("q_ev_latest: map-side max_by partials, one shuffle, no window") {
+    val p = plan("q_ev_latest")
+    assert(!p.contains("Window"), "latest-per-key must not plan a window")
+    // partial_max_by BEFORE the exchange = each map partition shrinks to
+    // |its users| rows pre-shuffle; the row_number-window form ships every
+    // event. (The agg is a SortAggregate — struct buffers aren't hash-
+    // aggregable — but its sort key is just user_id, and shuffle VOLUME is
+    // the property that matters at scale.)
+    assert(p.contains("partial_max_by"), "map-side combine lost")
+    // formatted mode prints each node twice (tree + "(n) Node" details) —
+    // count the numbered detail headers
+    assert("""\(\d+\) Exchange""".r.findAllIn(p).size == 1,
+      "exactly one shuffle (on user_id)")
+  }
+
+  test("q_doc_budget: quality guard stays above the scoring projection") {
+    // same PushDownPredicates trap as the quality gate: a pushed-down
+    // `quality IS NOT NULL` re-derives the tokenize per stopword term
+    val conds = plan("q_doc_budget").linesIterator
+      .filter(_.contains("Condition :")).toSeq
+    assert(conds.nonEmpty)
+    assert(conds.forall(!_.contains("tokenize")),
+      "scoring tree was pushed into a Filter")
+  }
+
   test("composition queries stay index-joined end to end") {
     // building q_pipeline_e2e runs the eager duplicateClusters loop; the
     // remaining plan must still be equi-joins only

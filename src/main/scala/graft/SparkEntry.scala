@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsOfJoin, Curation, Dedup, Multimodal, OrderPipeline, RefOrders, Similarity, TextAnalysis}
+import graft.operators.{AsOfJoin, Curation, Dedup, Maintenance, Multimodal, OrderPipeline, RefOrders, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -668,6 +668,21 @@ object SparkEntry {
       graft.operators.RangeJoin.bucketedRangeJoin(ev, "value", tiers, "lo", "hi", 10.0)
         .groupBy($"tier")
         .agg(count(lit(1)).as("n"), sum(dec2($"value")).cast("double").as("sum_value"))
+    },
+
+    // Z-order (Morton) clustering key: the multi-dimension data-skipping
+    // layout — bit-interleave of two bucketized dimensions, so range-
+    // sorting by z makes every output file a hyper-rectangle in (bx, by)
+    // and filters on EITHER dimension prune files (operators/Maintenance;
+    // compaction behavior measured in MaintenanceSpec). Narrow map.
+    "q_zorder" -> { (s, dir) =>
+      import s.implicits._
+      val bx = pmod($"p_partkey", lit(256)).cast("long")
+      val by = pmod($"p_size", lit(256)).cast("long")
+      Tables.part(s, dir).select(
+        $"p_partkey",
+        bx.as("bx"), by.as("by"),
+        Maintenance.zValue(8, bx, by).as("z"))
     },
 
     // Built-in pivot: one scan, fixed pivot values (no extra pass to
@@ -1683,6 +1698,12 @@ object SparkEntry {
         |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
         |FROM events JOIN tiers ON value >= lo AND value < hi
         |GROUP BY tier""".stripMargin,
+    "q_zorder" ->
+      s"""SELECT p_partkey,
+         |  CAST(p_partkey % 256 AS BIGINT) AS bx,
+         |  CAST(p_size % 256 AS BIGINT) AS by,
+         |  ${Maintenance.zValueSql(8, Seq("(p_partkey % 256)", "(p_size % 256)"))} AS z
+         |FROM part""".stripMargin,
     "q_pivot" ->
       """SELECT l_returnflag,
         |  CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS qty_open,

@@ -443,6 +443,11 @@ object SparkEntry {
     // vector-COMPRESSION scale path (IVF shards, PQ shrinks).
     "q_emb_pq" -> { (s, dir) => Similarity.knnPq(Tables.embeddings(s, dir)) },
 
+    // Scalar-quantization ANN (int8 SQ8): per-dim uniform codes within
+    // corpus min/max bounds, bin-midpoint reconstruction distance — the
+    // 4×-compression point between raw floats and PQ's 32×.
+    "q_emb_sq" -> { (s, dir) => Similarity.knnSq(Tables.embeddings(s, dir)) },
+
     // Array function sampler over the embedding lists (slice/sort/minmax/
     // contains/position — all codegen'd built-ins).
     "q_array_funcs" -> { (s, dir) =>
@@ -1072,6 +1077,35 @@ object SparkEntry {
          |  FROM enc, qdt WHERE vec_id <> qid)
          |SELECT qid, CAST(rn - 1 AS BIGINT) AS rank, vec_id FROM (
          |  SELECT qid, vec_id, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc, vec_id) AS rn
+         |  FROM pairs) t
+         |WHERE rn <= 5""".stripMargin,
+    "q_emb_sq" ->
+      s"""WITH base AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+         |  FROM embeddings),
+         |mm AS (
+         |  SELECT d, min(v) AS mn, max(v) AS mx FROM (
+         |    SELECT unnest(emb) AS v,
+         |      CAST(generate_subscripts(emb, 1) - 1 AS BIGINT) AS d
+         |    FROM base) t
+         |  GROUP BY d),
+         |params AS (SELECT list(mn ORDER BY d) AS minv, list(mx ORDER BY d) AS maxv FROM mm),
+         |enc AS (
+         |  SELECT vec_id,
+         |    list_transform(range(0, len(emb)), i -> CASE WHEN maxv[i+1] > minv[i+1]
+         |      THEN CAST(least(floor((emb[i+1] - minv[i+1]) * 256.0 / (maxv[i+1] - minv[i+1])), 255.0) AS INT)
+         |      ELSE 0 END) AS codes
+         |  FROM base, params),
+         |q AS (SELECT vec_id AS qid, emb AS qemb FROM base WHERE vec_id % 50 = 0),
+         |pairs AS (
+         |  SELECT qid, vec_id,
+         |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(0, len(codes)), i ->
+         |      (qemb[i+1] - (minv[i+1] + (CAST(codes[i+1] AS DOUBLE) + 0.5) * (maxv[i+1] - minv[i+1]) / 256.0))
+         |      * (qemb[i+1] - (minv[i+1] + (CAST(codes[i+1] AS DOUBLE) + 0.5) * (maxv[i+1] - minv[i+1]) / 256.0)))),
+         |      (a, b) -> a + b) AS d2
+         |  FROM enc, params, q WHERE vec_id <> qid)
+         |SELECT qid, CAST(rn - 1 AS BIGINT) AS rank, vec_id FROM (
+         |  SELECT qid, vec_id, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2, vec_id) AS rn
          |  FROM pairs) t
          |WHERE rn <= 5""".stripMargin,
     "q_array_funcs" ->

@@ -323,6 +323,75 @@ object Similarity {
       .select(col("qid"), col("pos").cast("long").as("rank"), col("col").as("vec_id"))
   }
 
+  // ---- Scalar quantization (int8 SQ — the FAISS SQ8 shape) ---------------
+
+  /** Per-dimension quantization bounds over the corpus: ONE row holding
+    * minv/maxv double arrays. min/max aggregates are exact and order-
+    * independent (unlike sums, no fixed-point step needed), and the
+    * result is broadcast-sized by construction (2·dims doubles).
+    */
+  def sqParams(e: DataFrame): DataFrame =
+    withEmb(e)
+      .select(posexplode(col("emb")).as(Seq("dim", "v")))
+      .groupBy(col("dim"))
+      .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+      .groupBy()
+      .agg(array_sort(collect_list(struct(col("dim"), col("mn"), col("mx")))).as("t"))
+      .select(
+        transform(col("t"), p => p.getField("mn")).as("minv"),
+        transform(col("t"), p => p.getField("mx")).as("maxv"))
+
+  /** SQ-encode: each dimension quantized to one of 256 uniform bins over
+    * its corpus [min, max] — code = ⌊(x−mn)·256/(mx−mn)⌋ clamped to 255
+    * (only x = mx hits the clamp), so every bin has width (mx−mn)/256 and
+    * the midpoint reconstruction is within half a bin of the original.
+    * 64 floats become 64 small ints (the byte layout at rest). Narrow map
+    * over the scan after the 1-row bounds broadcast; degenerate dims
+    * (mx == mn) encode as 0.
+    */
+  def sqEncode(e: DataFrame): DataFrame =
+    withEmb(e).crossJoin(broadcast(sqParams(e)))
+      .select(col("vec_id"),
+        transform(sequence(lit(0), size(col("emb")) - 1), i => {
+          val x = element_at(col("emb"), i + 1)
+          val mn = element_at(col("minv"), i + 1)
+          val mx = element_at(col("maxv"), i + 1)
+          when(mx > mn,
+            least(floor((x - mn) * lit(256.0) / (mx - mn)), lit(255.0)).cast("int"))
+            .otherwise(lit(0))
+        }).as("codes"))
+
+  /** SQ ANN via asymmetric distance: queries keep float vectors,
+    * candidates are reconstructed per dim at their code's bin midpoint —
+    * d² = Σ (q_d − recon_d)². Complements [[knnPq]] on the compression
+    * spectrum: SQ8 is 4× (per-dim codes, cheap encode, distances off by
+    * at most half a bin), PQ is 32× (per-subspace codes, coarser). Scale
+    * shape is knnPq's: the corpus side of the join carries ONLY the code
+    * arrays, queries + bounds broadcast, scoring is a narrow scan, and
+    * the bounded-heap TopKByValue shrinks every partition to k rows per
+    * query BEFORE the only shuffle.
+    */
+  def knnSq(e: DataFrame, queryMod: Int = 50, k: Int = 5): DataFrame = {
+    val q = withEmb(e).filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("qid"), col("emb").as("qemb"))
+    def recon(i: Column): Column =
+      element_at(col("minv"), i + 1) +
+        (element_at(col("codes"), i + 1).cast("double") + lit(0.5)) *
+          (element_at(col("maxv"), i + 1) - element_at(col("minv"), i + 1)) / lit(256.0)
+    val d2 = aggregate(sequence(lit(0), size(col("codes")) - 1), lit(0.0d),
+      (acc, i) => acc + (element_at(col("qemb"), i + 1) - recon(i)) *
+        (element_at(col("qemb"), i + 1) - recon(i)))
+    sqEncode(e)
+      .crossJoin(broadcast(sqParams(e)))
+      .join(broadcast(q), col("vec_id") =!= col("qid"))
+      .withColumn("d2", d2)
+      .groupBy(col("qid"))
+      // min-distance top-k = max of negated distance; ties → smaller id
+      .agg(graft.expressions.TopKAgg.top_k_ids(-col("d2"), col("vec_id"), k).as("ids"))
+      .select(col("qid"), posexplode(col("ids")))
+      .select(col("qid"), col("pos").cast("long").as("rank"), col("col").as("vec_id"))
+  }
+
   /** Per-label elementwise centroid via fixed-point quantization. */
   def centroids(e: DataFrame): DataFrame =
     withEmb(e)

@@ -139,6 +139,36 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > 0.03, s"PQ recall@5 $recall not above noise")
   }
 
+  test("SQ: codes in [0,255]; reconstruction within half a bin; near-exact recall") {
+    val codes = Similarity.sqEncode(emb).cache()
+    assert(codes.filter(exists($"codes", c => c < 0 || c > 255)).count() === 0)
+    // reconstruction error per dim is ≤ (mx-mn)/512 + an ulp: the bin
+    // midpoint is at most half a bin from any value that maps to it
+    val p = Similarity.sqParams(emb)
+    val base = emb.select($"vec_id", $"embedding".cast("array<double>").as("e"))
+    val err = codes.join(base, "vec_id").crossJoin(broadcast(p))
+      .select($"vec_id",
+        aggregate(sequence(lit(0), size($"codes") - 1), lit(0.0d), (acc, i) => {
+          val mn = element_at($"minv", i + 1); val mx = element_at($"maxv", i + 1)
+          val rec = mn + (element_at($"codes", i + 1).cast("double") + lit(0.5)) * (mx - mn) / lit(256.0)
+          val bin = (mx - mn) / lit(256.0)
+          greatest(acc, abs(element_at($"e", i + 1) - rec) - bin * lit(0.5) - bin * lit(1e-9))
+        }).as("excess"))
+    assert(err.filter($"excess" > 1e-12).count() === 0,
+      "a dimension reconstructed outside half a bin width")
+    // SQ8 distances are near-exact → recall@5 vs exact L2 should be high
+    import graft.functions.VectorFunctions.l2sq
+    val q = base.filter($"vec_id" % 50 === 0).select($"vec_id".as("qid"), $"e".as("qe"))
+    val exact = q.join(base, $"vec_id" =!= $"qid")
+      .select($"qid", $"vec_id", l2sq($"qe", $"e").as("d"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"qid").orderBy($"d", $"vec_id")))
+      .filter($"rn" <= 5).select($"qid", $"vec_id")
+    val hits = Similarity.knnSq(emb).select($"qid", $"vec_id").intersect(exact).count()
+    val recall = hits.toDouble / exact.count()
+    assert(recall > 0.8, s"SQ8 recall@5 $recall — should be near-exact")
+  }
+
   test("centroids: one row per (label, dim); zero-vector mean magnitude sane") {
     val c = Similarity.centroids(emb).cache()
     val dims = emb.select(size($"embedding")).as[Int].head()

@@ -364,6 +364,9 @@ object SparkEntry {
     // interpolation divergence shows up AT the threshold, not as an opaque
     // hash mismatch on q_doc_qfilter's filtered rows.
     "q_doc_qthresh" -> { (s, dir) => Curation.qualityThresholds(Tables.documents(s, dir)) },
+    // Per-lang quality histogram: constant-bounded output (|langs|·bins),
+    // the cheap first look before picking gate thresholds.
+    "q_doc_qhist" -> { (s, dir) => Curation.qualityHistogram(Tables.documents(s, dir)) },
     // Overlapping token-window chunking (RAG/pretraining layout).
     "q_doc_chunks" -> { (s, dir) => Curation.chunk(Tables.documents(s, dir)) },
     // PII scrubbing: email + long-digit-run redaction, counted.
@@ -1619,6 +1622,17 @@ object SparkEntry {
          |  WHERE ${TextAnalysis.qualityScoreSql} IS NOT NULL)
          |SELECT lang, quantile_cont(quality, 0.1) AS q_thresh
          |FROM q GROUP BY lang""".stripMargin,
+    "q_doc_qhist" ->
+      s"""WITH ${TextAnalysis.qualityRatiosSql()},
+         |q AS (
+         |  SELECT rq.doc_id, d.lang,
+         |    ${TextAnalysis.qualityScoreSql} AS quality
+         |  FROM rq JOIN documents d ON rq.doc_id = d.doc_id
+         |  WHERE ${TextAnalysis.qualityScoreSql} IS NOT NULL)
+         |SELECT lang,
+         |  CAST(greatest(least(floor(quality * 20), 19.0), 0.0) AS BIGINT) AS bin,
+         |  COUNT(*) AS n, min(quality) AS q_min, max(quality) AS q_max
+         |FROM q GROUP BY 1, 2""".stripMargin,
     "q_doc_langid" ->
       """WITH t AS (
         |  SELECT doc_id, lang,

@@ -245,6 +245,45 @@ object Curation {
         col("cum_excl"))
   }
 
+  /** Per-language quality histogram (fixed-width bins over [0,1]): the
+    * distribution a curation audit reads before choosing gate thresholds.
+    * bin = ⌊quality·nBins⌋ clamped into [0, nBins-1] (quality = 1.0 lands
+    * in the top bin; sub-zero composites clamp to 0). One partial-
+    * aggregated shuffle down to |langs|·nBins rows — at any corpus size
+    * the output is constant-bounded, which is what makes it the cheap
+    * first look at 100 TB.
+    */
+  def qualityHistogram(docs: DataFrame, nBins: Int = 20): DataFrame = {
+    val q = qualityScores(docs)
+    q.withColumn("bin",
+        greatest(least(floor(col("quality") * nBins), lit(nBins - 1).cast("double")), lit(0.0))
+          .cast("long"))
+      .groupBy(col("lang"), col("bin"))
+      .agg(count(lit(1)).as("n"),
+        min(col("quality")).as("q_min"), max(col("quality")).as("q_max"))
+  }
+
+  /** Merge two per-source mixing tables ([[sourceMix]] outputs) WITHOUT
+    * re-scanning either corpus — the incremental pattern for a corpus
+    * that grows by daily increments: keep each increment's per-source
+    * totals (a few rows), merge by re-aggregating the sums, recompute the
+    * shares from the merged totals. Union + one grouped agg over
+    * |sources| rows — driver-free, exact (counts/sums are associative;
+    * only the non-mergeable `doc_share` ratio is recomputed at the end).
+    * CurationSpec pins merge(sourceMix(a), sourceMix(b)) ≡ sourceMix(a∪b).
+    */
+  def sourceMixMerge(a: DataFrame, b: DataFrame): DataFrame = {
+    val per = a.unionByName(b)
+      .groupBy(col("source"))
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+        sum(col("sum_chars")).as("sum_chars"))
+    val total = per.agg(sum(col("n_docs")).as("total_docs"))
+    per.crossJoin(broadcast(total))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("sum_chars"),
+        (col("n_docs").cast("double") / col("total_docs").cast("double"))
+          .as("doc_share"))
+  }
+
   /** Token-window chunking (size tokens per chunk, stride < size →
     * overlap): the RAG/pretraining chunk layout. One narrow explode per
     * doc — chunk starts are 0, stride, 2·stride … < n_tokens; each chunk

@@ -26,6 +26,12 @@ class CurationSpec extends SparkSpec {
     // every emitted row went through sample → redact with real values
     assert(got.columns.contains("redacted_fp"))
     assert(got.filter($"n_emails".isNull).count() === 0)
+    // the gopher rule gate is a narrow map too: same stream, per-rule flags
+    val g = TextAnalysis.gopherRules(streamDocs)
+      .writeStream.format("memory").queryName("gopher_stream").outputMode("append").start()
+    input.addData((3L, "en", "the of " + (1 to 20).map(_ => "window").mkString(" ")))
+    g.processAllAvailable(); g.stop()
+    assert(spark.table("gopher_stream").filter($"doc_id" === 3L && $"pass").count() === 1)
   }
 
   test("stratified sample: deterministic, and equal texts sample identically") {
@@ -170,6 +176,31 @@ class CurationSpec extends SparkSpec {
       assert(ids.size === math.min(5, bySource(src).size))
       assert(ids.forall(bySource(src).contains))
     }
+  }
+
+  test("source mix merge: incremental snapshots merge exactly to the full-corpus table") {
+    // split the corpus into two "increments", mix each, merge the SMALL
+    // per-source tables — must equal re-scanning everything at once
+    val a = docs.filter($"doc_id" % 2 === 0)
+    val b = docs.filter($"doc_id" % 2 =!= 0)
+    val merged = Curation.sourceMixMerge(Curation.sourceMix(a), Curation.sourceMix(b))
+    val full = Curation.sourceMix(docs)
+    assert(merged.exceptAll(full).isEmpty && full.exceptAll(merged).isEmpty)
+  }
+
+  test("quality histogram: bins partition the corpus, ranges nested in bins") {
+    val h = Curation.qualityHistogram(docs).cache()
+    // every scored doc lands in exactly one bin
+    val scored = TextAnalysis.quality(docs).filter($"quality".isNotNull).count()
+    assert(h.agg(sum($"n")).as[Long].head() === scored)
+    // min/max of each bin stay inside the bin's value range (clamped ends
+    // open; ±1 ulp slack — q*20 can round across a boundary computed as
+    // bin/20, which is why the BIN, not this recomputation, is canonical)
+    val eps = 1e-12
+    val bad = h.filter($"bin" > 0 && $"bin" < 19 &&
+      ($"q_min" < $"bin".cast("double") / 20.0 - eps ||
+        $"q_max" >= ($"bin" + 1).cast("double") / 20.0 + eps))
+    assert(bad.count() === 0)
   }
 
   test("source mix: shares sum to 1 and totals add up") {

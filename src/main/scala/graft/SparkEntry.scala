@@ -1099,14 +1099,19 @@ object SparkEntry {
          |      THEN CAST(least(floor((emb[i+1] - minv[i+1]) * 256.0 / (maxv[i+1] - minv[i+1])), 255.0) AS INT)
          |      ELSE 0 END) AS codes
          |  FROM base, params),
-         |q AS (SELECT vec_id AS qid, emb AS qemb FROM base WHERE vec_id % 50 = 0),
+         |rec AS (
+         |  SELECT vec_id,
+         |    list_transform(range(0, len(codes)), i ->
+         |      minv[i+1] + (CAST(codes[i+1] AS DOUBLE) + 0.5) * (maxv[i+1] - minv[i+1]) / 256.0) AS rvec
+         |  FROM enc, params),
+         |rnorm AS (SELECT vec_id, rvec, ${Similarity.dotSql("rvec", "rvec")} AS rr FROM rec),
+         |q AS (
+         |  SELECT vec_id AS qid, emb AS qemb, ${Similarity.dotSql("emb", "emb")} AS qq
+         |  FROM base WHERE vec_id % 50 = 0),
          |pairs AS (
          |  SELECT qid, vec_id,
-         |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(0, len(codes)), i ->
-         |      (qemb[i+1] - (minv[i+1] + (CAST(codes[i+1] AS DOUBLE) + 0.5) * (maxv[i+1] - minv[i+1]) / 256.0))
-         |      * (qemb[i+1] - (minv[i+1] + (CAST(codes[i+1] AS DOUBLE) + 0.5) * (maxv[i+1] - minv[i+1]) / 256.0)))),
-         |      (a, b) -> a + b) AS d2
-         |  FROM enc, params, q WHERE vec_id <> qid)
+         |    qq - 2.0 * ${Similarity.dotSql("qemb", "rvec")} + rr AS d2
+         |  FROM rnorm, q WHERE vec_id <> qid)
          |SELECT qid, CAST(rn - 1 AS BIGINT) AS rank, vec_id FROM (
          |  SELECT qid, vec_id, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2, vec_id) AS rn
          |  FROM pairs) t

@@ -409,6 +409,15 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"),
           graft.functions.TextFunctions.stringHash(col("text")).as("fp"))
     },
+    // Quality-aware dedup: each cluster keeps its best-quality member
+    // (ties → smaller id) instead of the minimum id — exact copies still
+    // resolve to the original, near-dups to the cleanest variant.
+    "q_dedup_best" -> { (s, dir) =>
+      Dedup.dedupedCorpusBest(Dedup.corpus(Tables.documents(s, dir)))
+        .select(col("doc_id"), col("lang"),
+          graft.functions.TextFunctions.stringHash(col("text")).as("fp"))
+    },
+
     // Incremental (cross-corpus) dedup: the planted copies as the
     // "incoming" increment, the raw documents table as the reference —
     // LSH candidates incoming × reference, Jaccard-verified.
@@ -1544,6 +1553,24 @@ object SparkEntry {
          |${Dedup.closureSql},
          |${Dedup.cleanSql}
          |SELECT doc_id, lang, ${Dedup.hashSql("text")} AS fp FROM clean""".stripMargin,
+    "q_dedup_best" ->
+      s"""WITH RECURSIVE ${Dedup.corpusSql},
+         |${Dedup.tokSql},
+         |${Dedup.sigSql},
+         |${Dedup.bandsSql},
+         |${Dedup.closureSql},
+         |${TextAnalysis.qualityRatiosSql("corpus")},
+         |qs AS (
+         |  SELECT doc_id,
+         |    coalesce(${TextAnalysis.qualityScoreSql}, -1000000000.0) AS q
+         |  FROM rq),
+         |ranked AS (
+         |  SELECT comp.id, comp.cluster,
+         |    ROW_NUMBER() OVER (PARTITION BY comp.cluster ORDER BY qs.q DESC, comp.id) AS rn
+         |  FROM comp JOIN qs ON qs.doc_id = comp.id),
+         |drops AS (SELECT id FROM ranked WHERE rn > 1)
+         |SELECT c.doc_id, c.lang, ${Dedup.hashSql("text")} AS fp FROM corpus c
+         |WHERE NOT EXISTS (SELECT 1 FROM drops WHERE drops.id = c.doc_id)""".stripMargin,
     "q_dedup_cross" ->
       s"""WITH ${Dedup.corpusSql},
          |newdocs AS (SELECT doc_id, lang, text FROM corpus WHERE doc_id >= 1000000),

@@ -433,6 +433,33 @@ object Dedup {
     c.join(nonKeepers, Seq("doc_id"), "left_anti")
   }
 
+  /** Quality-aware dedup: keep each duplicate cluster's BEST member by
+    * quality score (ties → smaller doc_id) instead of [[dedupedCorpus]]'s
+    * minimum-id keeper — what a curation pipeline actually wants when one
+    * copy of a near-dup group is cleaner than the others (exact copies
+    * score identically, so the original still survives by the id
+    * tie-break).
+    *
+    * Scale shape: the cluster table is bounded by candidate-pair members
+    * (never the corpus); the representative choice is one `max_by`
+    * aggregation over it — O(1) state per cluster, no per-cluster sort —
+    * and the final anti-join is the same equi-join as dedupedCorpus.
+    * Null-quality members rank below every scored one (coalesce to -1e9).
+    */
+  def dedupedCorpusBest(c: DataFrame): DataFrame = {
+    val clusters = duplicateClusters(minhashCandidates(c))
+      .select(col("doc_id"), col("cluster"))
+    val q = TextAnalysis.quality(c)
+      .select(col("doc_id"), coalesce(col("quality"), lit(-1e9)).as("q"))
+    val best = clusters.join(q, "doc_id")
+      .groupBy(col("cluster"))
+      .agg(max_by(col("doc_id"), struct(col("q"), -col("doc_id"))).as("keep_id"))
+    val drops = clusters.join(best, "cluster")
+      .filter(col("doc_id") =!= col("keep_id"))
+      .select(col("doc_id"))
+    c.join(drops, Seq("doc_id"), "left_anti")
+  }
+
   // ---- DuckDB oracle mirrors ---------------------------------------------
 
   val corpusSql: String =

@@ -103,6 +103,27 @@ class DedupSpec extends SparkSpec {
     assert((baseIds -- kept) === (nonKeepers & baseIds))
   }
 
+  test("quality-aware dedup keeps one best member per cluster, originals beat exact copies") {
+    val best = Dedup.dedupedCorpusBest(corpus).select($"doc_id").as[Long].collect().toSet
+    val clean = Dedup.dedupedCorpus(corpus).select($"doc_id").as[Long].collect().toSet
+    // one survivor per cluster either way — only WHICH member differs
+    assert(best.size === clean.size)
+    // exact copies score identically → the id tie-break keeps the original
+    assert(best.forall(_ < 2000000L), "an exact copy out-ranked its original")
+    // the survivor is the argmax-(quality, -id) of its cluster, recomputed
+    // against the operator's own cluster + quality frames
+    val cl = Dedup.duplicateClusters(Dedup.minhashCandidates(corpus))
+      .select($"doc_id", $"cluster").as[(Long, Long)].collect()
+    val q = graft.operators.TextAnalysis.quality(corpus)
+      .select($"doc_id", coalesce($"quality", lit(-1e9)).as("q"))
+      .as[(Long, Double)].collect().toMap
+    for ((clu, members) <- cl.groupBy(_._2)) {
+      val expectKeep = members.map(_._1).maxBy(id => (q(id), -id))
+      val survivors = members.map(_._1).filter(best)
+      assert(survivors.toSeq === Seq(expectKeep), s"cluster $clu kept $survivors")
+    }
+  }
+
   test("star-contraction matches driver-side union-find on random graphs") {
     // deterministic LCG so the spec is reproducible; shapes include
     // singleton pairs, chains, merged blobs, and high-id-first edges

@@ -163,6 +163,42 @@ object Multimodal {
     )
   }
 
+  case class Resized(doc_id: Long, new_w: Int, new_h: Int, out_bytes: Array[Byte])
+
+  /** Real pixel resize for IMAGE payloads, JDK-only (`javax.imageio` +
+    * `java.awt.image` ship with the JDK; fully headless): decode, scale
+    * into the target box preserving aspect ratio — the SAME integer
+    * geometry as [[resizePlan]] — re-encode as PNG. Runs in the
+    * [[decodeMedia]] mapPartitions shape: per-partition batch, lazy
+    * iterator, bytes in → bytes out, which is exactly how a GPU/codec
+    * resize stage slots into the same plan. Audio/video rows must be
+    * routed elsewhere (ImageIO.read returns null → clear error).
+    */
+  def resizeImages(spark: SparkSession, media: DataFrame, box: Int = 224): Dataset[Resized] = {
+    import spark.implicits._
+    media.filter(col("media_type") === "image")
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+          require(img != null,
+            s"resizeImages: payload of doc $id is not a decodable image")
+          val (w, h) = (img.getWidth, img.getHeight)
+          val longest = math.max(w, h)
+          val nw = math.max(1, w * box / longest)
+          val nh = math.max(1, h * box / longest)
+          val out = new java.awt.image.BufferedImage(
+            nw, nh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = out.createGraphics()
+          try g.drawImage(img, 0, 0, nw, nh, null) finally g.dispose()
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", bos)
+          Resized(id, nw, nh, bos.toByteArray)
+        }
+      }
+  }
+
   /** Frame sampling for video payloads: evenly-spaced frame indices,
     * exploded to rows (at most `maxSamples` per asset).
     */

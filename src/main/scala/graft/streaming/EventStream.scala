@@ -78,6 +78,25 @@ object EventStream {
       .agg(graft.expressions.TopKAgg.top_k_ids(col("uval"), col("user_id"), k).as("top"))
       .select(col("window.start").as("w_start"), col("top"))
 
+  /** Streaming latest-per-user materialization — the live twin of the
+    * batch q_ev_latest CDC view: max_by with the composite (ts, event_id)
+    * ordering key as an UPDATE-mode aggregation, so each micro-batch
+    * emits only the users whose latest row changed (what a foreachBatch
+    * JDBC upsert sink consumes). State = one (ts, event_id, payload)
+    * tuple per user — O(|users|), no per-event retention; unbounded on
+    * purpose (an upsert view never expires keys), which is why this runs
+    * in update mode rather than behind a watermark.
+    */
+  def latestPerUser(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id"))
+      .agg(max_by(
+        struct(col("ts"), col("event_id"), col("event_type"), col("value")),
+        struct(col("ts"), col("event_id"))).as("last"))
+      .select(col("user_id"), col("last.ts").as("ts"),
+        col("last.event_id").as("event_id"),
+        col("last.event_type").as("event_type"), col("last.value").as("value"))
+
   /** Streaming exact dedup with bounded state: duplicates of (user_id,
     * event_type, event_id) arriving within the watermark are dropped;
     * state older than the watermark is purged. The unbounded

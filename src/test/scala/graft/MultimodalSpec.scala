@@ -67,6 +67,33 @@ class MultimodalSpec extends SparkSpec {
     assert(e.getMessage.contains("no JDK ImageReader"))
   }
 
+  test("real resize: output geometry matches resizePlan and re-decodes at target size") {
+    val rows = Seq(
+      (1L, "image", imageBytes(100, 50, "png")),   // wide → 224×112
+      (2L, "image", imageBytes(30, 90, "jpg")),    // tall → 74×224
+      (3L, "image", imageBytes(224, 224, "bmp")),  // exact → 224×224
+      (4L, "audio", Array[Byte](1, 2, 3)))         // non-image: filtered out
+    val df = rows.toDF("doc_id", "media_type", "payload")
+    val out = Multimodal.resizeImages(spark, df, box = 224).collect()
+      .map(r => r.doc_id -> r).toMap
+    assert(out.keySet === Set(1L, 2L, 3L))
+    assert((out(1L).new_w, out(1L).new_h) === ((224, 112)))
+    assert((out(2L).new_w, out(2L).new_h) === ((74, 224)))
+    assert((out(3L).new_w, out(3L).new_h) === ((224, 224)))
+    // the emitted bytes are a real PNG of exactly the target geometry —
+    // decode them back through the Real decoder
+    for ((_, r) <- out) {
+      val (dw, dh, df_) = Multimodal.MediaDecoder.Real.decode(r.out_bytes)
+      assert((dw, dh, df_) === ((r.new_w, r.new_h, 1)))
+    }
+    // geometry agrees with the pure-plan operator on the same metadata
+    val plan = Multimodal.resizePlan(
+      Seq((1L, 100, 50), (2L, 30, 90), (3L, 224, 224)).toDF("doc_id", "width", "height"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4)))).toMap
+    for ((id, r) <- out)
+      assert(plan(id) === ((r.new_w.toLong, r.new_h.toLong)), s"doc $id plan mismatch")
+  }
+
   test("frame sampling: at most 4 evenly-spaced, in-range indices per video") {
     val d = Multimodal.decodedMetaCols(media, docs.select($"doc_id", $"text"))
     val f = Multimodal.frameSample(d).cache()

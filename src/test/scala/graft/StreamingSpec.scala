@@ -163,6 +163,32 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("dedup").count() === 2)
   }
 
+  test("latest-per-user upsert view: update mode emits only changed keys, survivor deterministic") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Timestamp, Long, Long, String, Double)]
+    val df = ms.toDF().toDF("ts", "user_id", "event_id", "event_type", "value")
+    val q = EventStream.latestPerUser(df)
+      .writeStream.format("memory").queryName("latest").outputMode("update").start()
+    ms.addData(Seq(
+      (Timestamp.valueOf("2024-01-01 00:00:00"), 1L, 10L, "click", 1.0),
+      (Timestamp.valueOf("2024-01-01 00:30:00"), 2L, 11L, "view", 2.0)))
+    q.processAllAvailable()
+    // batch 2: user 1 advances; user 2 gets an OLDER event (no change) and
+    // a same-ts event with higher event_id (tie-break advances)
+    ms.addData(Seq(
+      (Timestamp.valueOf("2024-01-01 01:00:00"), 1L, 12L, "buy", 3.0),
+      (Timestamp.valueOf("2023-12-31 23:00:00"), 2L, 9L, "click", 4.0),
+      (Timestamp.valueOf("2024-01-01 00:30:00"), 2L, 13L, "view", 5.0)))
+    q.processAllAvailable(); q.stop()
+    // final state per user = the (ts, event_id)-max row across all batches
+    val last = spark.table("latest").collect()
+      .groupBy(_.getLong(0))
+      .map { case (u, rows) => u -> rows.map(r =>
+        (r.getTimestamp(1), r.getLong(2), r.getString(3))).maxBy(t => (t._1.getTime, t._2)) }
+    assert(last(1L)._2 === 12L && last(1L)._3 === "buy")
+    assert(last(2L)._2 === 13L, "same-ts higher event_id must win the tie-break")
+  }
+
   test("observe() reports the reference's valid/invalid counters per batch (M1)") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[String]

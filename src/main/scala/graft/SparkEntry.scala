@@ -409,6 +409,12 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"),
           graft.functions.TextFunctions.stringHash(col("text")).as("fp"))
     },
+    // LSH bucket-size histogram per band — the tuning audit that exposes
+    // fat buckets (quadratic candidate cost) before the self-join pays it.
+    "q_dedup_lshstats" -> { (s, dir) =>
+      Dedup.lshBucketStats(Dedup.corpus(Tables.documents(s, dir)))
+    },
+
     // Quality-aware dedup: each cluster keeps its best-quality member
     // (ties → smaller id) instead of the minimum id — exact copies still
     // resolve to the original, near-dups to the cleanest variant.
@@ -569,6 +575,40 @@ object SparkEntry {
         .groupBy(window($"ts", "1 hour"), $"event_type")
         .agg(count(lit(1)).as("n"), sum(dec2($"value")).cast("double").as("sum_value"))
         .select(fmtTs(col("window.start")).as("w_start"), $"event_type", $"n", $"sum_value")
+    },
+
+    // Distinct-aggregation under an event-time window: exact uniques per
+    // (hour, type). Spark plans the distinct as a two-phase expand+agg —
+    // partial per (window, type, user), then the roll-up; swap in
+    // approx_count_distinct (HLL, no expand) when exactness can yield.
+    "q_ev_uniques" -> { (s, dir) =>
+      import s.implicits._
+      Tables.events(s, dir)
+        .groupBy(window($"ts", "1 hour"), $"event_type")
+        .agg(count(lit(1)).as("n"), count_distinct($"user_id").as("n_users"))
+        .select(fmtTs(col("window.start")).as("w_start"), $"event_type", $"n", $"n_users")
+    },
+
+    // Ordered funnel per user: first view → first click AFTER that view →
+    // first purchase AFTER that click. Three conditional-min aggregations
+    // chained by equi-joins on user_id (each stage's frame is ≤ |users|
+    // rows) — never a per-user event sort, never a self-join on events.
+    "q_ev_funnel" -> { (s, dir) =>
+      import s.implicits._
+      val ev = Tables.events(s, dir).select($"user_id", $"ts", $"event_type")
+      val v = ev.filter($"event_type" === "view")
+        .groupBy($"user_id").agg(min($"ts").as("first_view"))
+      val c = ev.filter($"event_type" === "click").join(v, "user_id")
+        .filter($"ts" > $"first_view")
+        .groupBy($"user_id").agg(min($"ts").as("first_click"))
+      val p = ev.filter($"event_type" === "purchase").join(c, "user_id")
+        .filter($"ts" > $"first_click")
+        .groupBy($"user_id").agg(min($"ts").as("first_purchase"))
+      v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+        .select($"user_id", fmtTs($"first_view").as("first_view"),
+          fmtTs($"first_click").as("first_click"),
+          fmtTs($"first_purchase").as("first_purchase"),
+          $"first_purchase".isNotNull.as("converted"))
     },
 
     // Windowed top-k: top-3 users by spend per tumbling hour — the
@@ -1553,6 +1593,14 @@ object SparkEntry {
          |${Dedup.closureSql},
          |${Dedup.cleanSql}
          |SELECT doc_id, lang, ${Dedup.hashSql("text")} AS fp FROM clean""".stripMargin,
+    "q_dedup_lshstats" ->
+      s"""WITH ${Dedup.corpusSql},
+         |${Dedup.tokSql},
+         |${Dedup.sigSql},
+         |${Dedup.bandsSql},
+         |sz AS (SELECT band, bh, COUNT(*) AS bucket_size FROM bands GROUP BY band, bh)
+         |SELECT band, bucket_size, COUNT(*) AS n_buckets
+         |FROM sz GROUP BY band, bucket_size""".stripMargin,
     "q_dedup_best" ->
       s"""WITH RECURSIVE ${Dedup.corpusSql},
          |${Dedup.tokSql},
@@ -1741,6 +1789,26 @@ object SparkEntry {
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
         |  FROM events) t
         |WHERE rn = 1""".stripMargin,
+    "q_ev_uniques" ->
+      """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ets, event_type, user_id FROM events)
+        |SELECT strftime(to_timestamp(CAST(floor(epoch(ets)/3600) AS BIGINT)*3600), '%Y-%m-%d %H:%M:%S.%f') AS w_start,
+        |  event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
+        |FROM e GROUP BY 1, 2""".stripMargin,
+    "q_ev_funnel" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ets, event_type FROM events),
+        |v AS (SELECT user_id, min(ets) AS fv FROM e WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (
+        |  SELECT e.user_id, min(ets) AS fc FROM e JOIN v ON e.user_id = v.user_id AND e.ets > v.fv
+        |  WHERE event_type = 'click' GROUP BY e.user_id),
+        |p AS (
+        |  SELECT e.user_id, min(ets) AS fp FROM e JOIN c ON e.user_id = c.user_id AND e.ets > c.fc
+        |  WHERE event_type = 'purchase' GROUP BY e.user_id)
+        |SELECT v.user_id,
+        |  strftime(fv, '%Y-%m-%d %H:%M:%S.%f') AS first_view,
+        |  strftime(fc, '%Y-%m-%d %H:%M:%S.%f') AS first_click,
+        |  strftime(fp, '%Y-%m-%d %H:%M:%S.%f') AS first_purchase,
+        |  fp IS NOT NULL AS converted
+        |FROM v LEFT JOIN c ON v.user_id = c.user_id LEFT JOIN p ON v.user_id = p.user_id""".stripMargin,
     "q_ev_latest" ->
       """WITH e AS (
         |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ets, event_id, event_type, value

@@ -126,6 +126,21 @@ object Dedup {
       .select(col("doc_id"), col("x.band").as("band"), col("x.bh").as("bh"))
   }
 
+  /** LSH bucket-health audit: per band, the distribution of bucket sizes —
+    * (band, bucket_size, n_buckets). THE tuning read-out for banded LSH at
+    * scale: candidate-pair cost is Σ size² per bucket, so a fat bucket
+    * (stopword-like shingle collisions, bad hash mixing) shows up here
+    * BEFORE the self-join runs it quadratically. Two grouped counts over
+    * the band stream — output is bounded by the distinct sizes, constant
+    * for practical purposes.
+    */
+  def lshBucketStats(c: DataFrame): DataFrame =
+    lshBands(minhashSignatures(c))
+      .groupBy(col("band"), col("bh"))
+      .agg(count(lit(1)).as("bucket_size"))
+      .groupBy(col("band"), col("bucket_size"))
+      .agg(count(lit(1)).as("n_buckets"))
+
   /** Candidate near-dup pairs: equi-join on the LSH bucket. The band
     * table feeds BOTH sides of the self-join; a lazy checkpoint
     * (materialized by the query's first action) runs the shingle →

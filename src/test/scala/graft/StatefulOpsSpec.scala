@@ -34,6 +34,36 @@ class StatefulOpsSpec extends SparkSpec {
     assert(rows.count(_.user_id == 2L) === 1)
   }
 
+  test("funnel: stage order enforced — pre-view clicks and pre-click purchases don't count") {
+    import org.apache.spark.sql.functions._
+    val ev = Seq(
+      // user 1: full ordered funnel
+      (1L, ts("2024-01-01 00:00:00"), "view"),
+      (1L, ts("2024-01-01 00:10:00"), "click"),
+      (1L, ts("2024-01-01 00:20:00"), "purchase"),
+      // user 2: click BEFORE first view → not funnel-eligible; later no click
+      (2L, ts("2024-01-01 00:05:00"), "click"),
+      (2L, ts("2024-01-01 00:30:00"), "view"),
+      (2L, ts("2024-01-01 00:01:00"), "purchase"),
+      // user 3: view then click, purchase BEFORE the click → not converted
+      (3L, ts("2024-01-01 00:00:00"), "view"),
+      (3L, ts("2024-01-01 00:40:00"), "click"),
+      (3L, ts("2024-01-01 00:20:00"), "purchase")
+    ).toDF("user_id", "ts", "event_type")
+    // run the same three-stage plan as q_ev_funnel
+    val v = ev.filter($"event_type" === "view").groupBy($"user_id").agg(min($"ts").as("fv"))
+    val c = ev.filter($"event_type" === "click").join(v, "user_id")
+      .filter($"ts" > $"fv").groupBy($"user_id").agg(min($"ts").as("fc"))
+    val p = ev.filter($"event_type" === "purchase").join(c, "user_id")
+      .filter($"ts" > $"fc").groupBy($"user_id").agg(min($"ts").as("fp"))
+    val out = v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+      .select($"user_id", $"fc".isNotNull.as("clicked"), $"fp".isNotNull.as("converted"))
+      .as[(Long, Boolean, Boolean)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(out(1L) === ((true, true)))
+    assert(out(2L) === ((false, false)), "pre-view click must not advance the funnel")
+    assert(out(3L) === ((true, false)), "pre-click purchase must not convert")
+  }
+
   test("latest-per-key: max_by composite-key agg ≡ row_number window") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._

@@ -611,6 +611,23 @@ object SparkEntry {
           $"first_purchase".isNotNull.as("converted"))
     },
 
+    // Cohort retention: users grouped by signup day, distinct activity
+    // counted per (cohort, weeks-since) — integer day/week arithmetic so
+    // both engines bucket identically. Cohort frame ≤ |users| rows; the
+    // activity join is an equi-join on user_id; one distinct-agg roll-up.
+    "q_ev_cohort" -> { (s, dir) =>
+      import s.implicits._
+      val ev = Tables.events(s, dir).select($"user_id", $"ts", $"event_type")
+        .withColumn("day", expr("CAST(ts AS LONG) DIV 86400"))
+      val cohort = ev.filter($"event_type" === "signup")
+        .groupBy($"user_id").agg(min($"day").as("cohort_day"))
+      ev.join(cohort, "user_id")
+        .filter($"day" >= $"cohort_day")
+        .select($"cohort_day", expr("(day - cohort_day) DIV 7").as("week_n"), $"user_id")
+        .groupBy($"cohort_day", $"week_n")
+        .agg(count_distinct($"user_id").as("n_users"))
+    },
+
     // Windowed top-k: top-3 users by spend per tumbling hour — the
     // bounded-heap TopKByValue aggregate composed UNDER an event-time
     // window (leaderboard shape). Two grouped aggs; the second shuffles
@@ -1789,6 +1806,16 @@ object SparkEntry {
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
         |  FROM events) t
         |WHERE rn = 1""".stripMargin,
+    "q_ev_cohort" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type,
+        |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) // 86400 AS day
+        |  FROM events),
+        |c AS (SELECT user_id, min(day) AS cohort_day FROM e WHERE event_type = 'signup' GROUP BY user_id)
+        |SELECT cohort_day, (day - cohort_day) // 7 AS week_n, COUNT(DISTINCT e.user_id) AS n_users
+        |FROM e JOIN c ON e.user_id = c.user_id
+        |WHERE day >= cohort_day
+        |GROUP BY 1, 2""".stripMargin,
     "q_ev_uniques" ->
       """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ets, event_type, user_id FROM events)
         |SELECT strftime(to_timestamp(CAST(floor(epoch(ets)/3600) AS BIGINT)*3600), '%Y-%m-%d %H:%M:%S.%f') AS w_start,

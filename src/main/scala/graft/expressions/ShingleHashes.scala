@@ -54,10 +54,13 @@ object ShingleHashes {
 
   /** Static scanner shared by eval and generated code. */
   def shingleHashes(s: UTF8String): ArrayData = {
-    // lowercase with the same Unicode mapping as the lower() built-in,
-    // then walk CODEPOINTS (PolyHash's fold unit — surrogate pairs hash
-    // as one value)
-    val str = s.toLowerCase.toString
+    // lowercase through the same entry point as the lower() built-in —
+    // CollationAwareUTF8String (ICU tables), NOT UTF8String.toLowerCase
+    // (JDK tables; diverges on recent case pairs, see Tokenize) — then
+    // walk CODEPOINTS (PolyHash's fold unit — surrogate pairs hash as
+    // one value)
+    val str = org.apache.spark.sql.catalyst.util.CollationAwareUTF8String
+      .toLowerCase(s).toString
     val toks = new ArrayBuffer[Array[Int]](16)
     var cur = new ArrayBuffer[Int](16)
     var i = 0

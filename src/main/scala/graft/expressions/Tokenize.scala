@@ -20,9 +20,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * ID), and the built-ins spelling makes four passes with three
   * intermediate copies per row — lower (copy), trim (copy), regex split
   * (regex engine + array), array_remove (array scan + rebuild). This is
-  * one lowercase (the same `UTF8String.toLowerCase` the `lower` built-in
-  * uses, so Unicode case mapping is identical) followed by one byte scan
-  * collecting non-empty runs. The five separator bytes are ASCII, and
+  * one lowercase followed by one byte scan collecting non-empty runs.
+  * The lowercase is `CollationAwareUTF8String.toLowerCase` — the SAME
+  * entry point the `lower` built-in uses under Spark 4's default ICU
+  * case mapping (ASCII fast path, ICU tables otherwise). It is NOT
+  * `UTF8String.toLowerCase`: that one falls back to JDK
+  * `String.toLowerCase`, whose older Unicode tables diverge from ICU on
+  * recent case pairs (e.g. U+1C89 CYRILLIC CAPITAL TJE → U+1C8A, a
+  * Unicode 16 mapping the JDK lacks — caught by TextPropertySpec's
+  * random-codepoint property). The five separator bytes are ASCII, and
   * UTF-8 continuation/lead bytes are all ≥ 0x80, so the byte scan can
   * never split inside a multi-byte code point.
   *
@@ -51,7 +57,8 @@ object Tokenize {
 
   /** Static scanner shared by eval and generated code. */
   def tokenize(s: UTF8String): ArrayData = {
-    val bytes = s.toLowerCase.getBytes
+    val bytes = org.apache.spark.sql.catalyst.util.CollationAwareUTF8String
+      .toLowerCase(s).getBytes
     val n = bytes.length
     val out = new ArrayBuffer[Any](8)
     var i = 0

@@ -1,0 +1,76 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Property-based cross-checks for the native text expressions: on
+  * adversarial random strings (mixed scripts, every whitespace variant
+  * including the vertical tab that distinguishes Java `\s` from RE2,
+  * combining marks, non-BMP codepoints), the codegen'd natives must agree
+  * exactly with their built-ins/HOF formulations. The corpus-wide
+  * equality specs (TokenizeSpec, PolyHashSpec, ShingleSpec) cover real
+  * data; this covers the strings real data doesn't contain.
+  */
+class TextPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val genPiece: Gen[String] = Gen.frequency(
+    5 -> Gen.alphaNumChar.map(_.toString),
+    2 -> Gen.oneOf(" ", "\t", "\n", "\f", "\r", "", " ", "  "),
+    2 -> Gen.oneOf(".", ",", "!", "-", "_", "@", "#", "$", "'", "\""),
+    1 -> Gen.oneOf("ä", "ß", "é", "Ω", "中", "文", "х", "𝕏", "𐍈", "🙂", "́", "Å", "Å"),
+    1 -> Gen.choose(0x20, 0x2fff).map(_.toChar.toString)
+  )
+  private val genText: Gen[String] =
+    Gen.chooseNum(0, 60).flatMap(n => Gen.listOfN(n, genPiece).map(_.mkString))
+
+  /** Deterministic sample: fixed seeds so a failure reproduces. */
+  private def sample(n: Int): Seq[String] = {
+    val params = Gen.Parameters.default
+    (0 until n).flatMap(i => genText.apply(params, Seed(i.toLong)))
+  }
+
+  private lazy val strings = {
+    val s = sample(500)
+    assert(s.size > 450, "generator should rarely discard")
+    s.toDF("text").cache()
+  }
+
+  test("tokenize: native == built-ins == HOF on random adversarial strings") {
+    val bad = strings.select(
+        TextFunctions.tokens($"text").as("nat"),
+        TextFunctions.tokensBuiltin($"text").as("bi"),
+        TextFunctions.tokensHof($"text").as("hof"))
+      .filter(!($"nat" <=> $"bi") || !($"nat" <=> $"hof"))
+    assert(bad.count() === 0)
+  }
+
+  test("poly hash: native == HOF on random adversarial strings") {
+    val bad = strings.select(
+        TextFunctions.stringHash($"text").as("nat"),
+        TextFunctions.stringHashHof($"text").as("hof"))
+      .filter(!($"nat" <=> $"hof"))
+    assert(bad.count() === 0)
+  }
+
+  test("fused shingle hashes == tokenize-then-window formulation on random strings") {
+    // the fused native must equal hashing the joined trigrams of the
+    // (already cross-checked) token stream
+    val toks = TextFunctions.tokens($"text")
+    val viaToks = filter(
+      transform(sequence(lit(0), greatest(size(toks) - 3, lit(0))), i =>
+        when(i + 2 < size(toks),
+          TextFunctions.stringHash(concat_ws(" ",
+            element_at(toks, i + 1), element_at(toks, i + 2), element_at(toks, i + 3))))),
+      h => h.isNotNull)
+    val bad = strings.select(
+        graft.expressions.ShingleHashes.shingle_hashes($"text").as("nat"),
+        viaToks.as("ref"))
+      .filter(!($"nat" <=> $"ref"))
+    assert(bad.count() === 0)
+  }
+}

@@ -21,6 +21,12 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * per-row, O(planes·dims) allocations; this is one generated loop with
   * zero allocation (extension path (b), the PolyHash pattern).
   *
+  * NaN dots SET the bit: both Spark SQL and DuckDB order NaN greater
+  * than every value, so the `acc > 0` in those engines is true for NaN —
+  * raw Java `>` says false, which made the native diverge from the HOF
+  * on NaN-poisoned vectors (caught by VectorPropertySpec); the explicit
+  * isNaN keeps all three formulations identical.
+  *
   * Array elements must be non-null (embeddings are dense vectors).
   */
 case class RandomHyperplaneBits(child: Expression, planes: Int) extends UnaryExpression {
@@ -43,7 +49,8 @@ case class RandomHyperplaneBits(child: Expression, planes: Int) extends UnaryExp
         acc += arr.getDouble(d) * coef
         d += 1
       }
-      if (acc > 0) bucket += 1L << j
+      // Spark/DuckDB comparison semantics: NaN > 0 is TRUE (NaN greatest)
+      if (acc > 0 || java.lang.Double.isNaN(acc)) bucket += 1L << j
       j += 1
     }
     bucket
@@ -68,7 +75,7 @@ case class RandomHyperplaneBits(child: Expression, planes: Int) extends UnaryExp
          |        / 2147483648.0d - 0.5d;
          |    $acc += $c.getDouble($d) * $coef;
          |  }
-         |  if ($acc > 0) $b += 1L << $j;
+         |  if ($acc > 0 || Double.isNaN($acc)) $b += 1L << $j;
          |}
          |${ev.value} = $b;
        """.stripMargin

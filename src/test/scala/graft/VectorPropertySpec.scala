@@ -1,0 +1,58 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+import graft.operators.Similarity
+
+/** Property-based cross-checks for the native vector expressions on
+  * adversarial float data — signed zeros, denormals, magnitude extremes,
+  * infinities and NaN — where IEEE edge semantics could diverge between
+  * the generated loop and the HOF fold. The corpus-wide equality specs
+  * (SimilaritySpec) cover realistic embeddings; this covers the values
+  * embeddings don't contain.
+  */
+class VectorPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val genVal: Gen[Double] = Gen.frequency(
+    6 -> Gen.choose(-10.0, 10.0),
+    2 -> Gen.choose(-1e300, 1e300),
+    1 -> Gen.oneOf(0.0, -0.0, 1e-320, -1e-320, 4.9e-324),
+    1 -> Gen.oneOf(Double.PositiveInfinity, Double.NegativeInfinity, Double.NaN)
+  )
+  // non-empty: sequence(0, size-1) in the HOF mirrors assumes ≥1 dim
+  private val genVec: Gen[Seq[Double]] =
+    Gen.chooseNum(1, 16).flatMap(n => Gen.listOfN(n, genVal))
+
+  private def sample(n: Int): Seq[Seq[Double]] = {
+    val params = Gen.Parameters.default
+    (0 until n).flatMap(i => genVec.apply(params, Seed(i.toLong)))
+  }
+
+  private lazy val vecs = {
+    val s = sample(400)
+    assert(s.size > 350)
+    s.map(v => (v, v.reverse)).toDF("emb", "emb2").cache()
+  }
+
+  test("SeqDot native == HOF fold on adversarial IEEE values (NaN/Inf/denormals)") {
+    // <=> with Spark's NaN-equals-NaN semantics: NaN results must MATCH,
+    // not be silently dropped
+    val bad = vecs.filter(
+      !(VectorFunctions.dot($"emb", $"emb2") <=> VectorFunctions.dotHof($"emb", $"emb2")) ||
+        !(VectorFunctions.dot($"emb", $"emb") <=> VectorFunctions.dotHof($"emb", $"emb")))
+    assert(bad.count() === 0)
+  }
+
+  test("RandomHyperplaneBits native == HOF on adversarial IEEE values") {
+    val bad = vecs.select($"emb").withColumn("bucket",
+        graft.expressions.RandomHyperplaneBits.hyperplane_bits($"emb", Similarity.NumPlanes))
+      .withColumn("hof", Similarity.lshBucketHof)
+      .filter(!($"bucket" <=> $"hof"))
+    assert(bad.count() === 0)
+  }
+}

@@ -109,6 +109,13 @@ object TopKAgg {
 
   /** Heap order: head = the WORST kept entry (smallest value; on ties the
     * larger id, since smaller ids win tie-breaks).
+    *
+    * `Double.compare` matches Spark/DuckDB's NaN-greatest ordering (a NaN
+    * ranking key outranks every finite value in all three). One pedantic
+    * divergence: it also orders -0.0 < +0.0 where SQL treats them equal
+    * (id tie-break would apply) — unreachable from this engine's ranking
+    * keys (decimal sums and quality arithmetic can't produce -0.0), noted
+    * in case a future caller ranks by raw float data containing both.
     */
   val WorstFirst: java.util.Comparator[Entry] = new java.util.Comparator[Entry] {
     override def compare(a: Entry, b: Entry): Int = {

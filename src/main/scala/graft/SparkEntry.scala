@@ -409,6 +409,13 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"),
           graft.functions.TextFunctions.stringHash(col("text")).as("fp"))
     },
+    // MinHash Jaccard estimate per candidate pair — the verify stage that
+    // costs one row per pair (no shingle re-join) when exactness can
+    // yield; exact copies estimate 1.0 by construction.
+    "q_dedup_minsim" -> { (s, dir) =>
+      Dedup.minhashSimilarity(Dedup.corpus(Tables.documents(s, dir)))
+    },
+
     // LSH bucket-size histogram per band — the tuning audit that exposes
     // fat buckets (quadratic candidate cost) before the self-join pays it.
     "q_dedup_lshstats" -> { (s, dir) =>
@@ -551,7 +558,7 @@ object SparkEntry {
     },
     // Pairs → connected components → deterministic keeper per cluster.
     "q_dedup_clusters" -> { (s, dir) =>
-      Dedup.duplicateClusters(Dedup.minhashCandidates(Dedup.corpus(Tables.documents(s, dir))))
+      Dedup.duplicateClusters(Dedup.verifiedPairs(Dedup.corpus(Tables.documents(s, dir))))
     },
     "q_doc_simhash" -> { (s, dir) =>
       Dedup.simhash(Dedup.corpus(Tables.documents(s, dir)))
@@ -1610,6 +1617,19 @@ object SparkEntry {
          |${Dedup.closureSql},
          |${Dedup.cleanSql}
          |SELECT doc_id, lang, ${Dedup.hashSql("text")} AS fp FROM clean""".stripMargin,
+    "q_dedup_minsim" ->
+      s"""WITH ${Dedup.corpusSql},
+         |${Dedup.tokSql},
+         |${Dedup.sigSql},
+         |${Dedup.bandsSql},
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b,
+         |  CAST(${(0 until Dedup.NumHashes).map(i => s"(CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END)").mkString(" + ")} AS DOUBLE)
+         |    / CAST(${Dedup.NumHashes} AS DOUBLE) AS est_jaccard
+         |FROM cand JOIN sig a ON doc_a = a.doc_id JOIN sig b ON doc_b = b.doc_id""".stripMargin,
     "q_dedup_lshstats" ->
       s"""WITH ${Dedup.corpusSql},
          |${Dedup.tokSql},

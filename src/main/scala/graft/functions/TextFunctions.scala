@@ -65,12 +65,36 @@ object TextFunctions {
   def stringHashHof(s: Column): Column =
     aggregate(split(s, ""), lit(7L), (acc, ch) => (acc * lit(31L) + ascii(ch)) % lit(P))
 
-  /** MinHash permutation family: h_i(x) = ((2i+1)·x + (7919i+13)) mod P.
-    * Odd multipliers keep the map injective mod 2^k; constants are small
-    * enough that (2i+1)·x < 2^63 for x < P.
+  /** MinHash permutation multiplier for permutation `i`: an INDEPENDENT
+    * pseudo-random constant per permutation, a_i = splitmix64(i) reduced
+    * into [1, P) — inlined as plain literals into the DuckDB mirror, so
+    * both engines share the exact family.
+    *
+    * Why independence matters (caught by DedupSpec's estimator-error
+    * bound, twice): with the naive family a_i = 1, 3, 5, …, a shingle
+    * whose hash is small has a_i·h small for EVERY permutation — it wins
+    * every min, so two docs sharing ONE such shingle get identical
+    * signatures (observed: est = 1.0 at true J = 0.008), collide in
+    * every LSH band, and get glued into one duplicate cluster. The first
+    * fix, a_i = (2i+1)·K mod P, is STILL a linear family: when K·h mod P
+    * lands small, (2i+1)·(K·h mod P) is again minimal for all i
+    * (observed: 12/16 agreement at J = 0.014). Only mutually independent
+    * multipliers make each permutation rank shingles independently,
+    * restoring E[match fraction] = J(A,B).
+    */
+  def minhashMult(i: Int): Long = {
+    var z = i + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z = z ^ (z >>> 31)
+    java.lang.Long.remainderUnsigned(z, P - 1) + 1
+  }
+
+  /** MinHash permutation family: h_i(x) = (a_i·x + (7919i+13)) mod P with
+    * [[minhashMult]] multipliers; a_i < P < 2^30 keeps a_i·x < 2^60.
     */
   def minhashPerm(i: Int, h: Column): Column =
-    (lit(2L * i + 1) * h + lit(7919L * i + 13)) % lit(P)
+    (lit(minhashMult(i)) * h + lit(7919L * i + 13)) % lit(P)
 
   /** Count of tokens belonging to a small fixed vocabulary. Used for
     * stopword ratios and the language-ID heuristic.

@@ -96,7 +96,15 @@ object Dedup {
     shingles(c).select(col("doc_id"), col("h")).distinct()
 
   val NumHashes = 16
-  val BandSize = 4 // → 4 bands of 4 rows
+  // 8 bands of 2 rows: with honest (scattered-multiplier) permutations,
+  // recall at the near-dup similarity this engine targets (J ≈ 0.8) is
+  // 1 − (1 − J²)^8 ≈ 0.9999, where 4×4 banding only reaches ~0.96 (two
+  // planted pairs were missed the moment the small-multiplier signature
+  // bias was fixed — that bias had been inflating collision rates).
+  // Narrower bands admit more false candidates, but at the corpus's
+  // unrelated-pair similarity (J ≈ 0.005) the per-band collision rate is
+  // J² ≈ 2.5e-5 — and every candidate is verified downstream anyway.
+  val BandSize = 2 // → 8 bands of 2 rows
 
   /** 16-permutation MinHash signature, one row per doc (m0..m15). */
   def minhashSignatures(c: DataFrame): DataFrame =
@@ -162,6 +170,31 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+  }
+
+  /** MinHash Jaccard ESTIMATE for the LSH candidate pairs: the fraction
+    * of the NumHashes signature components that agree — the classic
+    * estimator (E[match fraction] = J(A,B), Broder 1997). At extreme
+    * scale this replaces [[ngramJaccardPairs]]' exact verify: it reads
+    * the already-materialized 16-long signatures instead of
+    * re-intersecting token sets, so the verify stage costs one row per
+    * candidate pair with NO shingle-stream join at all. DedupSpec bounds
+    * the estimator against the exact Jaccard on the planted pairs; exact
+    * copies estimate 1.0 by construction (identical signatures).
+    * Signature table checkpointed once and joined to both pair sides
+    * (shuffle-hash — post-checkpoint stats are unknown, same reasoning
+    * as [[candidatesFromSig]]).
+    */
+  def minhashSimilarity(c: DataFrame): DataFrame = {
+    val sig = minhashSignatures(c).localCheckpoint(false)
+    val matches = (0 until NumHashes)
+      .map(i => when(col(s"a.m$i") === col(s"b.m$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    candidatesFromSig(sig)
+      .join(sig.as("a").hint("shuffle_hash"), col("doc_a") === col("a.doc_id"))
+      .join(sig.as("b").hint("shuffle_hash"), col("doc_b") === col("b.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        (matches.cast("double") / lit(NumHashes.toDouble)).as("est_jaccard"))
   }
 
   /** 32-bit SimHash per document (trigram-shingle counts as weights),
@@ -437,13 +470,24 @@ object Dedup {
     result
   }
 
+  /** VERIFIED duplicate pairs: LSH candidates that pass the exact n-gram
+    * Jaccard bar — the edge set clustering must run on. Raw band
+    * collisions are NOT duplicates: at honest permutation quality the
+    * per-band false-positive rate is J²_background per band, which over
+    * |corpus|² pairs yields thousands of spurious edges at sf0.1 alone
+    * (millions at 100 TB) — clustering those glues unrelated docs into
+    * components and silently drops them from the corpus.
+    */
+  def verifiedPairs(c: DataFrame): DataFrame =
+    ngramJaccardPairs(c).select(col("doc_a"), col("doc_b"))
+
   /** The end-to-end dedup output: the corpus minus every non-keeper
     * cluster member (cluster keepers and never-candidate singletons
-    * survive) — [[minhashCandidates]] → [[duplicateClusters]] → anti-join,
+    * survive) — [[verifiedPairs]] → [[duplicateClusters]] → anti-join,
     * i.e. what a pipeline actually feeds the tokenizer.
     */
   def dedupedCorpus(c: DataFrame): DataFrame = {
-    val nonKeepers = duplicateClusters(minhashCandidates(c))
+    val nonKeepers = duplicateClusters(verifiedPairs(c))
       .filter(!col("is_keeper")).select(col("doc_id"))
     c.join(nonKeepers, Seq("doc_id"), "left_anti")
   }
@@ -462,7 +506,7 @@ object Dedup {
     * Null-quality members rank below every scored one (coalesce to -1e9).
     */
   def dedupedCorpusBest(c: DataFrame): DataFrame = {
-    val clusters = duplicateClusters(minhashCandidates(c))
+    val clusters = duplicateClusters(verifiedPairs(c))
       .select(col("doc_id"), col("cluster"))
     val q = TextAnalysis.quality(c)
       .select(col("doc_id"), coalesce(col("quality"), lit(-1e9)).as("q"))
@@ -538,10 +582,22 @@ object Dedup {
       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       |  FROM bands a JOIN bands b
       |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+      |vsizes AS (SELECT doc_id, COUNT(*) AS nt FROM tok GROUP BY 1),
+      |vinter AS (
+      |  SELECT doc_a, doc_b, COUNT(*) AS ni
+      |  FROM cand
+      |  JOIN tok a ON a.doc_id = doc_a
+      |  JOIN tok b ON b.doc_id = doc_b AND b.h = a.h
+      |  GROUP BY 1, 2),
+      |vpairs AS (
+      |  SELECT doc_a, doc_b FROM vinter
+      |  JOIN vsizes sa ON doc_a = sa.doc_id
+      |  JOIN vsizes sb ON doc_b = sb.doc_id
+      |  WHERE CAST(ni AS DOUBLE) / CAST(sa.nt + sb.nt - ni AS DOUBLE) >= 0.5),
       |edges AS (
-      |  SELECT doc_a AS src, doc_b AS dst FROM cand
+      |  SELECT doc_a AS src, doc_b AS dst FROM vpairs
       |  UNION
-      |  SELECT doc_b AS src, doc_a AS dst FROM cand),
+      |  SELECT doc_b AS src, doc_a AS dst FROM vpairs),
       |reach(src, dst) AS (
       |  SELECT src, dst FROM edges
       |  UNION
@@ -562,7 +618,7 @@ object Dedup {
   /** MinHash signature CTE over a distinct (doc, h) CTE named `tok`. */
   def sigSqlFor(tok: String, out: String): String = {
     val mins = (0 until NumHashes)
-      .map(i => s"MIN((${2 * i + 1}*h + ${7919L * i + 13}) % 1000000007) AS m$i")
+      .map(i => s"MIN((${graft.functions.TextFunctions.minhashMult(i)}*h + ${7919L * i + 13}) % 1000000007) AS m$i")
       .mkString(",\n    ")
     s"""$out AS (
        |  SELECT doc_id,

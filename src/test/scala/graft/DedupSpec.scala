@@ -57,10 +57,12 @@ class DedupSpec extends SparkSpec {
   }
 
   test("duplicate clusters: planted copy groups resolve to base doc as keeper") {
-    val cands = Dedup.minhashCandidates(corpus)
+    // clustering runs on VERIFIED pairs (jaccard >= 0.5), never raw band
+    // collisions — a band false positive must not glue unrelated docs
+    val cands = Dedup.verifiedPairs(corpus)
     val clusters = Dedup.duplicateClusters(cands).cache()
-    // every planted copy must sit in its base doc's cluster... unless LSH
-    // merged two genuinely-similar base docs — then the cluster id is the
+    // every planted copy must sit in its base doc's cluster... unless two
+    // base docs are genuinely near-identical — then the cluster id is the
     // component minimum, still <= the base id
     val byDoc = clusters.select($"doc_id", $"cluster").as[(Long, Long)].collect().toMap
     for ((base, copy) <- plantedExact ++ plantedNear) {
@@ -98,9 +100,26 @@ class DedupSpec extends SparkSpec {
     // ...and the removed base docs are EXACTLY the cluster non-keepers
     // (base docs can be non-keepers when LSH merges genuinely-similar
     // docs — the smaller id wins)
-    val nonKeepers = Dedup.duplicateClusters(Dedup.minhashCandidates(corpus))
+    val nonKeepers = Dedup.duplicateClusters(Dedup.verifiedPairs(corpus))
       .filter(!$"is_keeper").select($"doc_id").as[Long].collect().toSet
     assert((baseIds -- kept) === (nonKeepers & baseIds))
+  }
+
+  test("minhash similarity estimator: exact copies at 1.0, bounded error vs exact Jaccard") {
+    val est = Dedup.minhashSimilarity(corpus)
+      .select($"doc_a", $"doc_b", $"est_jaccard").as[(Long, Long, Double)]
+      .collect().map(t => (t._1, t._2) -> t._3).toMap
+    // identical signatures → the estimate is exactly 1.0 on exact copies
+    for (p <- plantedExact) assert(est.get(p).contains(1.0), s"pair $p")
+    // against exact n-gram Jaccard (threshold off to keep every pair):
+    // 16 components → stderr = sqrt(J(1-J)/16) ≤ 0.125; allow 4σ per pair
+    val exact = Dedup.ngramJaccardPairs(corpus, minJaccard = 0.0)
+      .select($"doc_a", $"doc_b", $"jaccard").as[(Long, Long, Double)]
+      .collect().map(t => (t._1, t._2) -> t._3).toMap
+    val diffs = est.collect { case (k, e) if exact.contains(k) => math.abs(e - exact(k)) }
+    assert(diffs.nonEmpty)
+    assert(diffs.forall(_ <= 0.51), s"worst estimator error ${diffs.max}")
+    assert(diffs.sum / diffs.size <= 0.15, s"mean estimator error ${diffs.sum / diffs.size}")
   }
 
   test("quality-aware dedup keeps one best member per cluster, originals beat exact copies") {
@@ -112,7 +131,7 @@ class DedupSpec extends SparkSpec {
     assert(best.forall(_ < 2000000L), "an exact copy out-ranked its original")
     // the survivor is the argmax-(quality, -id) of its cluster, recomputed
     // against the operator's own cluster + quality frames
-    val cl = Dedup.duplicateClusters(Dedup.minhashCandidates(corpus))
+    val cl = Dedup.duplicateClusters(Dedup.verifiedPairs(corpus))
       .select($"doc_id", $"cluster").as[(Long, Long)].collect()
     val q = graft.operators.TextAnalysis.quality(corpus)
       .select($"doc_id", coalesce($"quality", lit(-1e9)).as("q"))
@@ -171,8 +190,13 @@ class DedupSpec extends SparkSpec {
   }
 
   test("duplicateClusters unpersists its intermediates") {
+    // materialize the INPUT pipeline first: verifiedPairs carries its own
+    // lazy checkpoints (token set, band table), which persist by design —
+    // this test isolates the cluster loop's per-iteration caches
+    val pairs = Dedup.verifiedPairs(corpus)
+    pairs.count()
     val before = spark.sparkContext.getPersistentRDDs.keySet
-    Dedup.duplicateClusters(Dedup.minhashCandidates(corpus)).count()
+    Dedup.duplicateClusters(pairs).count()
     val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
     // the checkpointed RESULT may persist (1 RDD); every-5th-iteration
     // lineage checkpoints are cleaned asynchronously, so allow one more —

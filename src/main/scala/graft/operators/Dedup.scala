@@ -477,6 +477,13 @@ object Dedup {
     * |corpus|² pairs yields thousands of spurious edges at sf0.1 alone
     * (millions at 100 TB) — clustering those glues unrelated docs into
     * components and silently drops them from the corpus.
+    *
+    * Cost: the exact verify joins the shingle stream per candidate side
+    * (~+4 s on the sf0.1 cluster queries). The extreme-scale swap is
+    * [[minhashSimilarity]] with an `est_jaccard >= τ` filter — one row
+    * per pair off the already-materialized signatures, NO shingle join —
+    * trading the exact bar for the 16-component estimate (±0.125 stderr;
+    * not the default because exact is what the oracle can check).
     */
   def verifiedPairs(c: DataFrame): DataFrame =
     ngramJaccardPairs(c).select(col("doc_a"), col("doc_b"))

@@ -409,6 +409,11 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"),
           graft.functions.TextFunctions.stringHash(col("text")).as("fp"))
     },
+    // Per-lang dedup audit: docs total / clustered / dropped + drop rate.
+    "q_dedup_report" -> { (s, dir) =>
+      Dedup.dedupReport(Dedup.corpus(Tables.documents(s, dir)))
+    },
+
     // MinHash Jaccard estimate per candidate pair — the verify stage that
     // costs one row per pair (no shingle re-join) when exactness can
     // yield; exact copies estimate 1.0 by construction.
@@ -1617,6 +1622,18 @@ object SparkEntry {
          |${Dedup.closureSql},
          |${Dedup.cleanSql}
          |SELECT doc_id, lang, ${Dedup.hashSql("text")} AS fp FROM clean""".stripMargin,
+    "q_dedup_report" ->
+      s"""WITH RECURSIVE ${Dedup.corpusSql},
+         |${Dedup.tokSql},
+         |${Dedup.sigSql},
+         |${Dedup.bandsSql},
+         |${Dedup.closureSql}
+         |SELECT c.lang, COUNT(*) AS n_docs, COUNT(comp.id) AS n_clustered,
+         |  COUNT(CASE WHEN comp.id <> comp.cluster THEN 1 END) AS n_dropped,
+         |  CAST(COUNT(CASE WHEN comp.id <> comp.cluster THEN 1 END) AS DOUBLE)
+         |    / CAST(COUNT(*) AS DOUBLE) AS drop_rate
+         |FROM corpus c LEFT JOIN comp ON comp.id = c.doc_id
+         |GROUP BY c.lang""".stripMargin,
     "q_dedup_minsim" ->
       s"""WITH ${Dedup.corpusSql},
          |${Dedup.tokSql},

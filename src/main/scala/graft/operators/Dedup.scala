@@ -197,6 +197,26 @@ object Dedup {
         (matches.cast("double") / lit(NumHashes.toDouble)).as("est_jaccard"))
   }
 
+  /** Per-language dedup audit — the report a curation run publishes
+    * alongside the cleaned corpus: docs total, docs in any verified
+    * duplicate cluster, docs the cleaner drops (non-keepers), and the
+    * drop rate. One left join of the bounded cluster table against the
+    * corpus ids + one grouped roll-up; output is |langs| rows at any
+    * corpus size.
+    */
+  def dedupReport(c: DataFrame): DataFrame = {
+    val cl = duplicateClusters(verifiedPairs(c))
+      .select(col("doc_id"), col("is_keeper"), lit(1).as("_m"))
+    c.select(col("doc_id"), col("lang"))
+      .join(cl, Seq("doc_id"), "left")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(col("_m")).as("n_clustered"),
+        count(when(col("is_keeper") === false, 1)).as("n_dropped"))
+      .select(col("lang"), col("n_docs"), col("n_clustered"), col("n_dropped"),
+        (col("n_dropped").cast("double") / col("n_docs").cast("double")).as("drop_rate"))
+  }
+
   /** 32-bit SimHash per document (trigram-shingle counts as weights),
     * via the [[graft.expressions.SimHashAgg]] bounded-state aggregate:
     * one shuffle on doc_id with a 32-counter buffer, instead of exploding

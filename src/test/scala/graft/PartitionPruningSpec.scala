@@ -52,4 +52,36 @@ class PartitionPruningSpec extends SparkSpec {
       assert(joined.count() === expected && expected > 0)
     } finally spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", prev)
   }
+
+  test("parquet aggregate pushdown (v2 scan): MIN/MAX/COUNT answered from footer stats") {
+    // whole-table MIN/MAX/COUNT can be answered from parquet footers
+    // without touching row data — decisive for "how big is this 100 TB
+    // table" probes. Requires the DSv2 parquet path, which this engine
+    // does NOT enable globally: v2 reads drop bucketed-join support
+    // (SkewAndBucketingSpec's co-located joins), so the swap is scoped
+    // to stat-probe sessions. Both the plan shape and result parity with
+    // the default path are pinned.
+    val prevV1 = spark.conf.get("spark.sql.sources.useV1SourceList")
+    spark.conf.set("spark.sql.sources.useV1SourceList", "")
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    try {
+      // bigint column: parquet aggregate pushdown supports int/long/float/
+      // double/date min-max but bails on timestamps (conversion subtleties)
+      val agg = spark.read.parquet(s"$Sf/lineitem.parquet")
+        .agg(min($"l_orderkey").as("mn"), max($"l_orderkey").as("mx"),
+          count(lit(1)).as("n"))
+      val p = agg.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(p.contains("PushedAggregation"), s"no PushedAggregation:\n${p.take(1200)}")
+      val Array(row) = agg.collect()
+      spark.conf.set("spark.sql.sources.useV1SourceList", prevV1)
+      spark.conf.set("spark.sql.parquet.aggregatePushdown", "false")
+      val Array(expect) = Tables.lineitem(spark, Sf)
+        .agg(min($"l_orderkey"), max($"l_orderkey"), count(lit(1))).collect()
+      assert(row === expect)
+    } finally {
+      spark.conf.set("spark.sql.sources.useV1SourceList", prevV1)
+      spark.conf.set("spark.sql.parquet.aggregatePushdown", "false")
+    }
+  }
 }

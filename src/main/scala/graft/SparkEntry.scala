@@ -409,6 +409,12 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"),
           graft.functions.TextFunctions.stringHash(col("text")).as("fp"))
     },
+    // Character-level verify: Levenshtein over LSH candidates (the
+    // complement to token-level Jaccard for small in-word edits).
+    "q_dedup_edit" -> { (s, dir) =>
+      Dedup.editDistancePairs(Dedup.corpus(Tables.documents(s, dir)))
+    },
+
     // Per-lang dedup audit: docs total / clustered / dropped + drop rate.
     "q_dedup_report" -> { (s, dir) =>
       Dedup.dedupReport(Dedup.corpus(Tables.documents(s, dir)))
@@ -1622,6 +1628,20 @@ object SparkEntry {
          |${Dedup.closureSql},
          |${Dedup.cleanSql}
          |SELECT doc_id, lang, ${Dedup.hashSql("text")} AS fp FROM clean""".stripMargin,
+    "q_dedup_edit" ->
+      s"""WITH ${Dedup.corpusSql},
+         |${Dedup.tokSql},
+         |${Dedup.sigSql},
+         |${Dedup.bandsSql},
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS edit_dist
+         |FROM cand
+         |JOIN corpus ta ON ta.doc_id = doc_a
+         |JOIN corpus tb ON tb.doc_id = doc_b
+         |WHERE levenshtein(ta.text, tb.text) <= 64""".stripMargin,
     "q_dedup_report" ->
       s"""WITH RECURSIVE ${Dedup.corpusSql},
          |${Dedup.tokSql},

@@ -197,6 +197,26 @@ object Dedup {
         (matches.cast("double") / lit(NumHashes.toDouble)).as("est_jaccard"))
   }
 
+  /** Character-level (Levenshtein) verify over the LSH candidates — the
+    * complement to token-level Jaccard: word shingles overweight small
+    * in-word edits (one typo rewrites three shingles), while edit
+    * distance counts it as 1. Candidates only, never all-pairs; each
+    * pair costs O(len_a·len_b) characters, so at corpus scale this runs
+    * after the Jaccard bar or behind a document-length cap. Emits pairs
+    * within `maxDist` edits.
+    */
+  def editDistancePairs(c: DataFrame, maxDist: Int = 64): DataFrame = {
+    val texts = c.select(col("doc_id"), col("text"))
+    minhashCandidates(c)
+      .join(texts.select(col("doc_id").as("doc_a"), col("text").as("text_a"))
+        .hint("shuffle_hash"), Seq("doc_a"))
+      .join(texts.select(col("doc_id").as("doc_b"), col("text").as("text_b"))
+        .hint("shuffle_hash"), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("text_a"), col("text_b")).cast("long").as("edit_dist"))
+      .filter(col("edit_dist") <= maxDist)
+  }
+
   /** Per-language dedup audit — the report a curation run publishes
     * alongside the cleaned corpus: docs total, docs in any verified
     * duplicate cluster, docs the cleaner drops (non-keepers), and the

@@ -105,6 +105,15 @@ class DedupSpec extends SparkSpec {
     assert((baseIds -- kept) === (nonKeepers & baseIds))
   }
 
+  test("edit-distance verify: exact copies at 0, near copies at the appended tail length") {
+    val ed = Dedup.editDistancePairs(corpus)
+      .select($"doc_a", $"doc_b", $"edit_dist").as[(Long, Long, Long)]
+      .collect().map(t => (t._1, t._2) -> t._3).toMap
+    for (p <- plantedExact) assert(ed.get(p).contains(0L), s"pair $p")
+    // the planted near-dup is text + " graft near dup tail" → 20 insertions
+    for (p <- plantedNear) assert(ed.get(p).contains(20L), s"pair $p")
+  }
+
   test("minhash similarity estimator: exact copies at 1.0, bounded error vs exact Jaccard") {
     val est = Dedup.minhashSimilarity(corpus)
       .select($"doc_a", $"doc_b", $"est_jaccard").as[(Long, Long, Double)]

@@ -629,6 +629,43 @@ object SparkEntry {
           $"first_purchase".isNotNull.as("converted"))
     },
 
+    // Per-user anomaly flags — the batch twin of the streaming
+    // StatefulOps.runningUserStats: flag events > 2σ from the user's
+    // mean. Variance is spelled EXPLICITLY ((Σx² − (Σx)²/n)/(n−1) over
+    // exact DECIMAL sums cast to double) instead of stddev_samp — the
+    // built-in's Welford order differs between engines in the last ulp,
+    // the explicit form is bit-identical. One partial-agg shuffle for
+    // stats + a broadcast-back join; no window.
+    "q_ev_anomaly" -> { (s, dir) =>
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+        .select($"event_id", $"user_id", dec2($"value").as("v"))
+      val stats = ev.groupBy($"user_id").agg(
+        count(lit(1)).as("n"),
+        sum($"v").cast("double").as("s1"),
+        sum($"v" * $"v").cast("double").as("s2"))
+        .filter($"n" >= 2)
+        .select($"user_id", $"n",
+          ($"s1" / $"n".cast("double")).as("mean"),
+          sqrt(($"s2" - $"s1" * $"s1" / $"n".cast("double")) / ($"n" - 1).cast("double"))
+            .as("sd"))
+      ev.join(broadcast(stats), "user_id")
+        .select($"event_id", $"user_id", $"v".cast("double").as("value"),
+          $"mean", $"sd",
+          (abs($"v".cast("double") - $"mean") > $"sd" * 2.0).as("flagged"))
+    },
+
+    // Vocabulary frequency-of-frequencies (the Zipf/hapax audit): how
+    // many distinct words occur exactly f times. Two grouped counts;
+    // output bounded by distinct frequencies.
+    "q_doc_ffreq" -> { (s, dir) =>
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select(explode(graft.functions.TextFunctions.tokens($"text")).as("w"))
+        .groupBy($"w").agg(count(lit(1)).as("f"))
+        .groupBy($"f").agg(count(lit(1)).as("n_words"))
+    },
+
     // Cohort retention: users grouped by signup day, distinct activity
     // counted per (cohort, weeks-since) — integer day/week arithmetic so
     // both engines bucket identically. Cohort frame ≤ |users| rows; the
@@ -1863,6 +1900,26 @@ object SparkEntry {
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
         |  FROM events) t
         |WHERE rn = 1""".stripMargin,
+    "q_ev_anomaly" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, CAST(value AS DECIMAL(12,2)) AS v FROM events),
+        |st AS (
+        |  SELECT user_id, COUNT(*) AS n,
+        |    CAST(SUM(v) AS DOUBLE) AS s1,
+        |    CAST(SUM(v * v) AS DOUBLE) AS s2
+        |  FROM e GROUP BY user_id HAVING COUNT(*) >= 2),
+        |ms AS (
+        |  SELECT user_id, n,
+        |    s1 / CAST(n AS DOUBLE) AS mean,
+        |    sqrt((s2 - s1 * s1 / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE)) AS sd
+        |  FROM st)
+        |SELECT e.event_id, e.user_id, CAST(e.v AS DOUBLE) AS value, ms.mean, ms.sd,
+        |  (abs(CAST(e.v AS DOUBLE) - ms.mean) > ms.sd * 2.0) AS flagged
+        |FROM e JOIN ms ON e.user_id = ms.user_id""".stripMargin,
+    "q_doc_ffreq" ->
+      s"""WITH tok AS (SELECT unnest(${Dedup.toksSql}) AS w FROM documents),
+         |wf AS (SELECT w, COUNT(*) AS f FROM tok GROUP BY w)
+         |SELECT f, COUNT(*) AS n_words FROM wf GROUP BY f""".stripMargin,
     "q_ev_cohort" ->
       """WITH e AS (
         |  SELECT user_id, event_type,

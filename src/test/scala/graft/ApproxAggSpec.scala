@@ -29,4 +29,21 @@ class ApproxAggSpec extends SparkSpec {
       .as[(Double, Double)].head()
     assert(math.abs(approx - exact) / exact <= 0.02, s"exact=$exact approx=$approx")
   }
+
+  test("HLL sketches merge across increments: union of snapshots ≈ whole-corpus distinct") {
+    // the incremental distinct-count pattern (daily user counts at 100 TB):
+    // keep one serialized HLL sketch per increment — a few KB each — and
+    // answer "distinct overall" by unioning SKETCHES, never re-scanning
+    val ev = Tables.events(spark, Sf)
+    val a = ev.filter($"event_id" % 2 === 0)
+    val b = ev.filter($"event_id" % 2 =!= 0)
+    val snapshots = a.agg(hll_sketch_agg($"user_id").as("sk"))
+      .unionByName(b.agg(hll_sketch_agg($"user_id").as("sk")))
+    val merged = snapshots.agg(
+      hll_sketch_estimate(hll_union_agg($"sk")).as("est")).as[Long].head()
+    val exact = ev.select($"user_id").distinct().count()
+    // HLL++ at default lgConfigK=12: relative error ~1.6%; generous 5%
+    assert(math.abs(merged - exact).toDouble / exact <= 0.05,
+      s"merged=$merged exact=$exact")
+  }
 }

@@ -367,6 +367,10 @@ object SparkEntry {
     // Per-lang quality histogram: constant-bounded output (|langs|·bins),
     // the cheap first look before picking gate thresholds.
     "q_doc_qhist" -> { (s, dir) => Curation.qualityHistogram(Tables.documents(s, dir)) },
+    // Deterministic train/val/test split: content-hash permille buckets —
+    // rerun-stable, and duplicate texts land in the same split (no
+    // train/test leakage through copies). Narrow map.
+    "q_doc_split" -> { (s, dir) => Curation.assignSplit(Tables.documents(s, dir)) },
     // Overlapping token-window chunking (RAG/pretraining layout).
     "q_doc_chunks" -> { (s, dir) => Curation.chunk(Tables.documents(s, dir)) },
     // PII scrubbing: email + long-digit-run redaction, counted.
@@ -1813,6 +1817,13 @@ object SparkEntry {
          |  WHERE ${TextAnalysis.qualityScoreSql} IS NOT NULL)
          |SELECT lang, quantile_cont(quality, 0.1) AS q_thresh
          |FROM q GROUP BY lang""".stripMargin,
+    "q_doc_split" ->
+      s"""SELECT doc_id, lang, bucket,
+         |  CASE WHEN bucket < 980 THEN 'train'
+         |       WHEN bucket < 990 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM (SELECT doc_id, lang, (${Dedup.hashSql("text")}) % 1000 AS bucket
+         |      FROM documents) t""".stripMargin,
     "q_doc_qhist" ->
       s"""WITH ${TextAnalysis.qualityRatiosSql()},
          |q AS (

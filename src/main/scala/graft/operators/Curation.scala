@@ -245,6 +245,23 @@ object Curation {
         col("cum_excl"))
   }
 
+  /** Deterministic train/val/test assignment by content hash: permille
+    * bucket < trainPermille → train, < trainPermille+valPermille → val,
+    * else test. The split every data pipeline needs, with the properties
+    * RNG splits lack: rerun-stable, cluster-size-independent, and
+    * duplicate texts land in the SAME split (no train/test leakage
+    * through copies — the same consistency argument as
+    * [[sampleStratified]]). Pure narrow map.
+    */
+  def assignSplit(docs: DataFrame, trainPermille: Int = 980,
+      valPermille: Int = 10): DataFrame = {
+    val b = sampleBucket(col("text"))
+    docs.select(col("doc_id"), col("lang"), b.as("bucket"),
+      when(b < trainPermille, "train")
+        .when(b < trainPermille + valPermille, "val")
+        .otherwise("test").as("split"))
+  }
+
   /** Per-language quality histogram (fixed-width bins over [0,1]): the
     * distribution a curation audit reads before choosing gate thresholds.
     * bin = ⌊quality·nBins⌋ clamped into [0, nBins-1] (quality = 1.0 lands

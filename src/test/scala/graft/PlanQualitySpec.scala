@@ -224,6 +224,24 @@ class PlanQualitySpec extends SparkSpec {
       "scoring tree was pushed into a Filter")
   }
 
+  test("q_ev_anomaly: per-user stats broadcast back, no window") {
+    val p = plan("q_ev_anomaly")
+    assert(!p.contains("Window"), "anomaly flags must come from an agg, not a window")
+    assert(p.contains("BroadcastHashJoin"), "|users|-row stats side must broadcast")
+  }
+
+  test("q_dedup_minsim: estimator verify plans no shingle stream at all") {
+    // the whole point of the estimator: one row per candidate off the
+    // signatures — a shingle explode sneaking back in would re-add the
+    // ~30×-corpus stream the estimator exists to avoid. The signature
+    // pipeline itself tokenizes once per doc (scan side), so pin the
+    // GENERATOR count: exactly the corpus-side explodes, none pair-side
+    val p = plan("q_dedup_minsim")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("shufflehashjoin") || p.contains("ShuffledHashJoin"),
+      "candidate/signature joins must stay shuffle-hash")
+  }
+
   test("composition queries stay index-joined end to end") {
     // building q_pipeline_e2e runs the eager duplicateClusters loop; the
     // remaining plan must still be equi-joins only

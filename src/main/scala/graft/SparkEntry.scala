@@ -371,6 +371,16 @@ object SparkEntry {
     // rerun-stable, and duplicate texts land in the same split (no
     // train/test leakage through copies). Narrow map.
     "q_doc_split" -> { (s, dir) => Curation.assignSplit(Tables.documents(s, dir)) },
+    // Cross-split leakage audit — split + decontamination COMPOSED: train
+    // docs sharing any trigram with the test split. Exact copies can't
+    // leak (same hash → same split); this catches near-dup leakage.
+    "q_doc_leak" -> { (s, dir) =>
+      val sp = Curation.assignSplit(Tables.documents(s, dir))
+        .join(Tables.documents(s, dir), Seq("doc_id", "lang"))
+      TextAnalysis.contaminated(
+        sp.filter(col("split") === "train"),
+        sp.filter(col("split") === "test"))
+    },
     // Overlapping token-window chunking (RAG/pretraining layout).
     "q_doc_chunks" -> { (s, dir) => Curation.chunk(Tables.documents(s, dir)) },
     // PII scrubbing: email + long-digit-run redaction, counted.
@@ -1817,6 +1827,21 @@ object SparkEntry {
          |  WHERE ${TextAnalysis.qualityScoreSql} IS NOT NULL)
          |SELECT lang, quantile_cont(quality, 0.1) AS q_thresh
          |FROM q GROUP BY lang""".stripMargin,
+    "q_doc_leak" ->
+      s"""WITH sp AS (
+         |  SELECT doc_id, (${Dedup.hashSql("text")}) % 1000 AS bucket, text
+         |  FROM documents),
+         |ttok AS (
+         |  SELECT DISTINCT doc_id, h FROM (
+         |    SELECT doc_id, ${Dedup.shingleUnnestSql} AS h
+         |    FROM (SELECT doc_id, ${Dedup.toksSql} AS toks
+         |          FROM sp WHERE bucket < 980))),
+         |etok AS (
+         |  SELECT DISTINCT h FROM (
+         |    SELECT ${Dedup.shingleUnnestSql} AS h
+         |    FROM (SELECT ${Dedup.toksSql} AS toks
+         |          FROM sp WHERE bucket >= 990)))
+         |SELECT DISTINCT doc_id FROM ttok JOIN etok USING (h)""".stripMargin,
     "q_doc_split" ->
       s"""SELECT doc_id, lang, bucket,
          |  CASE WHEN bucket < 980 THEN 'train'

@@ -199,6 +199,52 @@ object Multimodal {
       }
   }
 
+  case class ImageHash(doc_id: Long, dhash: Long)
+
+  /** Perceptual difference-hash (dHash) for IMAGE payloads, JDK-only:
+    * decode, scale to 9×8 grayscale, emit 64 bits of "is pixel brighter
+    * than its right neighbour" — the standard cheap near-dup fingerprint
+    * for images (small recompressions/resizes keep most bits). Pairs
+    * within a small Hamming distance are near-dups; bucketing the hash's
+    * bytes gives the same multi-index candidate scheme as text SimHash
+    * (operators/Dedup.simhashPairs), so the text dedup machinery applies
+    * unchanged to image corpora. Same mapPartitions batch shape as the
+    * decoder; not oracle-able (no image codec in the oracle engine) — the
+    * contract is spec-pinned on synthesized images instead.
+    */
+  def dHash(spark: SparkSession, media: DataFrame): Dataset[ImageHash] = {
+    import spark.implicits._
+    media.filter(col("media_type") === "image")
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+          require(img != null, s"dHash: payload of doc $id is not a decodable image")
+          val small = new java.awt.image.BufferedImage(
+            9, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = small.createGraphics()
+          try g.drawImage(img, 0, 0, 9, 8, null) finally g.dispose()
+          var h = 0L
+          var bit = 0
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) {
+              def lum(px: Int): Int = {
+                val c = small.getRGB(px, y)
+                ((c >> 16 & 0xff) * 299 + (c >> 8 & 0xff) * 587 + (c & 0xff) * 114) / 1000
+              }
+              if (lum(x) > lum(x + 1)) h |= 1L << bit
+              bit += 1; x += 1
+            }
+            y += 1
+          }
+          ImageHash(id, h)
+        }
+      }
+  }
+
   /** Frame sampling for video payloads: evenly-spaced frame indices,
     * exploded to rows (at most `maxSamples` per asset).
     */

@@ -94,6 +94,42 @@ class MultimodalSpec extends SparkSpec {
       assert(plan(id) === ((r.new_w.toLong, r.new_h.toLong)), s"doc $id plan mismatch")
   }
 
+  test("dHash: identical images collide, re-encoded images stay close, distinct images differ") {
+    def noisyBytes(w: Int, h: Int, format: String, shift: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until w).foreach(x => (0 until h).foreach(y =>
+        // strong horizontal gradient + mild noise: dHash tracks the
+        // left-vs-right structure, which re-encoding preserves
+        img.setRGB(x, y, ((x * 255 / w + shift) & 0xff) * 0x010101)))
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, format, out)
+      out.toByteArray
+    }
+    val rows = Seq(
+      (1L, "image", noisyBytes(64, 64, "png", 0)),
+      (2L, "image", noisyBytes(64, 64, "png", 0)),    // exact copy
+      (3L, "image", noisyBytes(64, 64, "jpg", 2)),    // re-encoded, slightly shifted
+      (4L, "image", {                                  // reversed gradient: different
+        val img = new java.awt.image.BufferedImage(64, 64,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        (0 until 64).foreach(x => (0 until 64).foreach(y =>
+          img.setRGB(x, y, (255 - x * 255 / 64) * 0x010101)))
+        val out = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", out); out.toByteArray
+      }),
+      (5L, "audio", Array[Byte](9, 9))                 // filtered out
+    ).toDF("doc_id", "media_type", "payload")
+    val h = Multimodal.dHash(spark, rows).collect().map(r => r.doc_id -> r.dhash).toMap
+    assert(h.keySet === Set(1L, 2L, 3L, 4L))
+    assert(h(1L) === h(2L), "identical bytes must hash identically")
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(h(1L), h(3L)) <= 8,
+      s"re-encoded image drifted ${hamming(h(1L), h(3L))} bits")
+    assert(hamming(h(1L), h(4L)) >= 24,
+      s"reversed gradient too close: ${hamming(h(1L), h(4L))} bits")
+  }
+
   test("frame sampling: at most 4 evenly-spaced, in-range indices per video") {
     val d = Multimodal.decodedMetaCols(media, docs.select($"doc_id", $"text"))
     val f = Multimodal.frameSample(d).cache()

@@ -163,6 +163,26 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("dedup").count() === 2)
   }
 
+  test("stream-static join: each micro-batch enriches against the static dimension") {
+    implicit val ctx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val ms = MemoryStream[(Timestamp, Long, Double)]
+    val stream = ms.toDF().toDF("ts", "user_id", "value")
+    // left join: unknown users survive with a null tier (no row loss) —
+    // the standard enrichment shape; the static side re-plans per batch
+    val q = stream.join(dim, Seq("user_id"), "left")
+      .writeStream.format("memory").queryName("enriched_ss").outputMode("append").start()
+    ms.addData(Seq(
+      (Timestamp.valueOf("2024-01-01 00:00:00"), 1L, 5.0),
+      (Timestamp.valueOf("2024-01-01 00:01:00"), 3L, 7.0)))
+    q.processAllAvailable()
+    ms.addData(Seq((Timestamp.valueOf("2024-01-01 00:02:00"), 2L, 9.0)))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("enriched_ss")
+      .select($"user_id", $"tier").as[(Long, Option[String])].collect().toSet
+    assert(got === Set((1L, Some("gold")), (3L, None), (2L, Some("silver"))))
+  }
+
   test("latest-per-user upsert view: update mode emits only changed keys, survivor deterministic") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[(Timestamp, Long, Long, String, Double)]

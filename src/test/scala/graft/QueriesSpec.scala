@@ -11,6 +11,15 @@ class QueriesSpec extends SparkSpec {
     assert(dangling.isEmpty, s"oracleSql without queries: $dangling")
   }
 
+  test("every query has an oracle — no rows-only fallbacks") {
+    // 102/102 oracle coverage is a property of this engine (every
+    // operator is cross-engine checkable); a new query landing without
+    // its DuckDB mirror must fail here, not silently downgrade to the
+    // driver's weaker rows-only check
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(missing.isEmpty, s"queries without oracle: $missing")
+  }
+
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

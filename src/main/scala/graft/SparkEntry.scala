@@ -493,6 +493,10 @@ object SparkEntry {
     // vector-COMPRESSION scale path (IVF shards, PQ shrinks).
     "q_emb_pq" -> { (s, dir) => Similarity.knnPq(Tables.embeddings(s, dir)) },
 
+    // IVF-PQ: cells bound WHERE to search, codes bound candidate COST —
+    // the billion-scale index layout (composition of q_emb_ivf + q_emb_pq).
+    "q_emb_ivfpq" -> { (s, dir) => Similarity.knnIvfPq(Tables.embeddings(s, dir)) },
+
     // Scalar-quantization ANN (int8 SQ8): per-dim uniform codes within
     // corpus min/max bounds, bin-midpoint reconstruction distance — the
     // 4×-compression point between raw floats and PQ's 32×.
@@ -1217,6 +1221,62 @@ object SparkEntry {
          |  SELECT qid, vec_id, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc, vec_id) AS rn
          |  FROM pairs) t
          |WHERE rn <= 5""".stripMargin,
+    "q_emb_ivfpq" ->
+      s"""WITH ${Similarity.baseSql},
+         |lab AS (
+         |  SELECT label, CAST(ROW_NUMBER() OVER (ORDER BY label) AS INT) - 1 AS li
+         |  FROM (SELECT DISTINCT label FROM embeddings)),
+         |cen AS (
+         |  SELECT label, dim,
+         |    CAST(SUM(CAST(ROUND(CAST(v AS DOUBLE) * 16777216.0) AS BIGINT)) AS DOUBLE)
+         |      / (CAST(COUNT(*) AS DOUBLE) * 16777216.0) AS centroid
+         |  FROM (SELECT label, unnest(embedding) AS v,
+         |          CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim
+         |        FROM embeddings) t
+         |  GROUP BY label, dim),
+         |cb AS (
+         |  SELECT li, CAST(dim // 8 AS INT) AS s, list(centroid ORDER BY dim) AS cvec
+         |  FROM cen JOIN lab USING (label) GROUP BY li, CAST(dim // 8 AS INT)),
+         |cemb AS (SELECT label AS cell, list(centroid ORDER BY dim) AS cemb FROM cen GROUP BY label),
+         |cemb2 AS (
+         |  SELECT cell, cemb,
+         |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list_transform(cemb, x -> x * x)), (a, b) -> a + b)) AS cnrm
+         |  FROM cemb),
+         |sv AS (
+         |  SELECT vec_id, s, emb[s*8+1 : s*8+8] AS subvec
+         |  FROM base, (SELECT unnest(range(0, 8)) AS s)),
+         |enc0 AS (
+         |  SELECT vec_id, s, li,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id, s
+         |      ORDER BY ${Similarity.l2sqSql("subvec", "cvec")}, li) AS rn
+         |  FROM sv JOIN cb USING (s)),
+         |enc AS (SELECT vec_id, list(li ORDER BY s) AS codes FROM enc0 WHERE rn = 1 GROUP BY vec_id),
+         |qd0 AS (
+         |  SELECT vec_id AS qid, s, li, ${Similarity.l2sqSql("subvec", "cvec")} AS d2
+         |  FROM sv JOIN cb USING (s) WHERE vec_id % 50 = 0),
+         |qdt AS (SELECT qid, list(d2 ORDER BY s, li) AS qd FROM qd0 GROUP BY qid),
+         |q AS (SELECT vec_id AS qid, emb AS qemb, nrm AS qnrm FROM base WHERE vec_id % 50 = 0),
+         |probes AS (
+         |  SELECT qid, cell FROM (
+         |    SELECT q.qid, c.cell,
+         |      ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+         |        ${Similarity.dotSql("q.qemb", "c.cemb")} / (q.qnrm * c.cnrm) DESC, c.cell) AS prn
+         |    FROM q CROSS JOIN cemb2 c) t
+         |  WHERE prn <= 2),
+         |pairs AS (
+         |  SELECT p.qid, e.vec_id,
+         |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list_transform(range(0, 8), s -> qd[s * (len(qd)//8) + codes[s+1] + 1])),
+         |      (x, y) -> x + y) AS adc
+         |  FROM probes p
+         |  JOIN qdt ON qdt.qid = p.qid
+         |  JOIN enc e ON e.vec_id <> p.qid
+         |  JOIN base b ON b.vec_id = e.vec_id AND b.label = p.cell)
+         |SELECT qid, CAST(rn - 1 AS BIGINT) AS rank, vec_id FROM (
+         |  SELECT qid, vec_id, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc, vec_id) AS rn
+         |  FROM pairs) t
+         |WHERE rn <= 3""".stripMargin,
     "q_emb_sq" ->
       s"""WITH base AS (
          |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb

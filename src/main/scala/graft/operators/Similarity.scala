@@ -301,23 +301,67 @@ object Similarity {
     * BEFORE the only shuffle — k·|Q| rows cross the wire, never the
     * |corpus|·|Q| pair stream.
     */
-  def knnPq(e: DataFrame, queryMod: Int = 50, k: Int = 5, m: Int = PqSubspaces): DataFrame = {
-    val enc = pqEncode(e, m)
-    val qd = subvectors(withEmb(e).filter(col("vec_id") % queryMod === 0)
+  /** Per-query PQ distance tables: d² to every code of every subspace,
+    * flattened in (s, li) order — shared by [[knnPq]] and [[knnIvfPq]].
+    */
+  private def pqQueryTables(e: DataFrame, queryMod: Int, m: Int): DataFrame =
+    subvectors(withEmb(e).filter(col("vec_id") % queryMod === 0)
         .withColumnRenamed("vec_id", "qid"), "qid", m)
       .join(broadcast(pqCodebook(e)), "s")
       .withColumn("d2", l2sq(col("subvec"), col("cvec")))
       .groupBy(col("qid"))
       .agg(array_sort(collect_list(struct(col("s"), col("li"), col("d2")))).as("t"))
       .select(col("qid"), transform(col("t"), p => p.getField("d2")).as("qd"))
-    // C (codes per subspace) falls out of the table shape — no extra join
+
+  /** ADC score: Σ_s qd[s·C + codes[s]] — C (codes per subspace) falls out
+    * of the table shape, no extra join.
+    */
+  private def adcExpr(m: Int): Column = {
     val c = (size(col("qd")) / m).cast("int")
-    val adc = aggregate(sequence(lit(0), lit(m - 1)), lit(0.0d),
+    aggregate(sequence(lit(0), lit(m - 1)), lit(0.0d),
       (acc, s) => acc + element_at(col("qd"), s * c + element_at(col("codes"), s + 1) + 1))
-    enc.join(broadcast(qd), col("vec_id") =!= col("qid"))
-      .withColumn("adc", adc)
+  }
+
+  def knnPq(e: DataFrame, queryMod: Int = 50, k: Int = 5, m: Int = PqSubspaces): DataFrame = {
+    pqEncode(e, m)
+      .join(broadcast(pqQueryTables(e, queryMod, m)), col("vec_id") =!= col("qid"))
+      .withColumn("adc", adcExpr(m))
       .groupBy(col("qid"))
       // min-distance top-k = max of the negated distance; ties → smaller id
+      .agg(graft.expressions.TopKAgg.top_k_ids(-col("adc"), col("vec_id"), k).as("ids"))
+      .select(col("qid"), posexplode(col("ids")))
+      .select(col("qid"), col("pos").cast("long").as("rank"), col("col").as("vec_id"))
+  }
+
+  /** IVF-PQ — the standard billion-scale ANN layout (FAISS IndexIVFPQ):
+    * IVF cells bound WHERE a query searches (nprobe cells, an equi-join
+    * on the cell id), PQ codes bound what each candidate COSTS (m array
+    * lookups on an m-byte code). At 100 TB the corpus at rest is cells of
+    * compressed codes; a query reads nprobe shards of codes, never raw
+    * vectors. Composition of the two already-oracle-checked halves: the
+    * probe stage is [[knnIvf]]'s (cells are the label clusters, same as
+    * the PQ codebook's coarse structure), the scoring stage is
+    * [[knnPq]]'s ADC; the bounded-heap top-k shrinks every partition to
+    * k rows per query before the only wide shuffle.
+    */
+  def knnIvfPq(e: DataFrame, queryMod: Int = 50, k: Int = 3, nprobe: Int = 2,
+      m: Int = PqSubspaces): DataFrame = {
+    val base = withEmb(e).select(col("vec_id"), col("label"), col("emb"),
+      l2norm(col("emb")).as("nrm"))
+    val q = base.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("qid"), col("emb").as("qemb"), col("nrm").as("qnrm"))
+    val probeW = Window.partitionBy(col("qid")).orderBy(col("ccos").desc, col("cell"))
+    val probes = q.crossJoin(cellCentroids(e))
+      .withColumn("ccos", cosineWithNorms(dot(col("qemb"), col("cemb")), col("qnrm"), col("cnrm")))
+      .withColumn("prn", row_number().over(probeW))
+      .filter(col("prn") <= nprobe)
+      .select(col("qid"), col("cell"))
+    val enc = pqEncode(e, m).join(base.select(col("vec_id"), col("label")), "vec_id")
+    probes
+      .join(broadcast(pqQueryTables(e, queryMod, m)), "qid")
+      .join(enc, col("label") === col("cell") && col("vec_id") =!= col("qid"))
+      .withColumn("adc", adcExpr(m))
+      .groupBy(col("qid"))
       .agg(graft.expressions.TopKAgg.top_k_ids(-col("adc"), col("vec_id"), k).as("ids"))
       .select(col("qid"), posexplode(col("ids")))
       .select(col("qid"), col("pos").cast("long").as("rank"), col("col").as("vec_id"))

@@ -139,6 +139,29 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > 0.03, s"PQ recall@5 $recall not above noise")
   }
 
+  test("IVF-PQ: probed-cell members retrieved; same-cluster recall on separated clusters") {
+    // same clustered fixture as the PQ recall test: label = cluster, so
+    // cells are the clusters and the probe stage must steer each query
+    // to its own cluster before ADC ranks within it
+    val dim = 16
+    val rows = for {
+      c <- 0 until 4
+      i <- 0 until 25
+    } yield {
+      val base = Array.tabulate(dim)(d => if (d % 4 == c) 5.0f else 0.1f * ((c * 25 + i + d) % 7))
+      (c * 25L + i, base, s"c$c")
+    }
+    val df = rows.toSeq.toDF("vec_id", "embedding", "label")
+    val knn = Similarity.knnIvfPq(df, queryMod = 10, k = 5, nprobe = 1, m = dim / 8)
+    val cluster = udf((id: Long) => id / 25)
+    assert(knn.groupBy($"qid").count().filter($"count" =!= 5).count() === 0,
+      "every query must fill k results from its probed cell")
+    val sameCluster = knn.filter(cluster($"qid") === cluster($"vec_id")).count()
+    // nprobe=1 on cleanly separated clusters → all results same-cluster
+    assert(sameCluster === knn.count(),
+      s"IVF probe leaked across clusters: $sameCluster of ${knn.count()}")
+  }
+
   test("SQ: codes in [0,255]; reconstruction within half a bin; near-exact recall") {
     val codes = Similarity.sqEncode(emb).cache()
     assert(codes.filter(exists($"codes", c => c < 0 || c > 255)).count() === 0)

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsOfJoin, Curation, Dedup, Maintenance, Multimodal, OrderPipeline, RefOrders, Similarity, TextAnalysis}
+import graft.operators.{AsOfJoin, Curation, Dedup, EntityResolution, Maintenance, Multimodal, OrderPipeline, RefOrders, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -682,6 +682,21 @@ object SparkEntry {
         .select(explode(graft.functions.TextFunctions.tokens($"text")).as("w"))
         .groupBy($"w").agg(count(lit(1)).as("f"))
         .groupBy($"f").agg(count(lit(1)).as("n_words"))
+    },
+
+    // Winnowing (MOSS) fingerprints: windowed-min shingle selection with
+    // rightmost tie-break — fixed-density position-robust local sketch;
+    // one narrow shingle pass + one per-doc ROWS-frame window.
+    "q_doc_winnow" -> { (s, dir) =>
+      TextAnalysis.winnow(Tables.documents(s, dir))
+    },
+
+    // Entity resolution: best fuzzy match per part name — exact-twin
+    // groups resolve by aggregation alone, unique names verify over
+    // conjunctive-bigram blocks of the DISTINCT-name table, packed
+    // BIGINT argmin (no distinct over the pair stream).
+    "q_er_bestmatch" -> { (s, dir) =>
+      EntityResolution.bestMatch(Tables.part(s, dir))
     },
 
     // Cohort retention: users grouped by signup day, distinct activity
@@ -2016,6 +2031,48 @@ object SparkEntry {
       s"""WITH tok AS (SELECT unnest(${Dedup.toksSql}) AS w FROM documents),
          |wf AS (SELECT w, COUNT(*) AS f FROM tok GROUP BY w)
          |SELECT f, COUNT(*) AS n_words FROM wf GROUP BY f""".stripMargin,
+    "q_doc_winnow" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, len(toks) - 2 AS n,
+         |    unnest(list_transform(range(1, len(toks) - 1), i -> {'pos': i - 1,
+         |      'h': ${Dedup.hashSql("toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]")}}),
+         |      recursive := true)
+         |  FROM (SELECT doc_id, ${Dedup.toksSql} AS toks FROM documents)),
+         |keyed AS (
+         |  SELECT doc_id, n, pos, h * 2147483648 + (2147483647 - pos) AS key FROM sh),
+         |wins AS (
+         |  SELECT doc_id, n, pos,
+         |    min(key) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mk
+         |  FROM keyed),
+         |sel AS (
+         |  SELECT DISTINCT doc_id, mk FROM wins
+         |  WHERE pos <= n - 4 OR (n < 4 AND pos = 0))
+         |SELECT doc_id, mk // 2147483648 AS h,
+         |  2147483647 - (mk % 2147483648) AS pos
+         |FROM sel""".stripMargin,
+    "q_er_bestmatch" ->
+      """WITH rec AS (
+        |  SELECT CAST(p_partkey AS BIGINT) AS key, p_name AS name FROM part),
+        |b1 AS (
+        |  SELECT split_part(name, ' ', 1) AS w1, split_part(name, ' ', 2) AS w2,
+        |    key, name FROM rec
+        |  WHERE split_part(name, ' ', 1) <> '' AND split_part(name, ' ', 2) <> ''),
+        |b3 AS (
+        |  SELECT split_part(name, ' ', 3) AS w1, split_part(name, ' ', 4) AS w2,
+        |    key, name FROM rec
+        |  WHERE split_part(name, ' ', 3) <> '' AND split_part(name, ' ', 4) <> ''),
+        |cand AS (
+        |  SELECT a.key AS key_a,
+        |    CAST(levenshtein(a.name, b.name) AS BIGINT) * 8589934592 + b.key AS pk
+        |  FROM b1 a JOIN b1 b ON a.w1 = b.w1 AND a.w2 = b.w2 AND a.key <> b.key
+        |  UNION ALL
+        |  SELECT a.key AS key_a,
+        |    CAST(levenshtein(a.name, b.name) AS BIGINT) * 8589934592 + b.key AS pk
+        |  FROM b3 a JOIN b3 b ON a.w1 = b.w1 AND a.w2 = b.w2 AND a.key <> b.key)
+        |SELECT key_a AS p_partkey, min(pk) // 8589934592 AS best_dist,
+        |  min(pk) % 8589934592 AS best_key
+        |FROM cand GROUP BY key_a""".stripMargin,
     "q_ev_cohort" ->
       """WITH e AS (
         |  SELECT user_id, event_type,

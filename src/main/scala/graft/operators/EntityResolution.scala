@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Record linkage / entity resolution: find, for every record, its most
+  * similar OTHER record among blocking candidates — the core step of
+  * catalog reconciliation and fuzzy record dedup. Reference analogue:
+  * the reference validates and routes one record stream
+  * (`src/app/order_validator.py`); a production deployment of the same
+  * pipeline dedupes its dimension tables, which is this operator class.
+  *
+  * SEMANTICS (what the DuckDB oracle states declaratively): candidates
+  * are record pairs agreeing on EITHER conjunctive bigram key — words
+  * (1,2) or words (3,4) of the name, empty words never block — and each
+  * record resolves to argmin(levenshtein, tie → lowest key) over its
+  * candidates. Conjunctive keys keep a pigeonhole recall guarantee: a
+  * single-word edit anywhere leaves at least one of the two disjoint
+  * bigrams untouched, so any pair differing by one word always blocks.
+  *
+  * EXECUTION (why this survives 100 TB) — never the quadratic pair
+  * stream the semantics naively imply:
+  *   1. EXACT-TWIN STAGE — records sharing their exact name are each
+  *      other's distance-0 best match (lev = 0 ⟺ string equality, and 0
+  *      is minimal), so every duplicated name resolves with two grouped
+  *      aggregations (lowest + second-lowest key per name), O(1) state
+  *      per group, NO pairwise comparisons. This matters because real
+  *      catalogs (and this testdata: 64 distinct names over 2000+
+  *      parts) hold identical-name groups that grow linearly with the
+  *      corpus — any per-record blocking join would pay |group|² pairs
+  *      for an answer the group aggregate already knows.
+  *   2. FUZZY STAGE OVER DISTINCT NAMES — only unique-named records
+  *      need Levenshtein, and distance depends only on the strings, so
+  *      the blocking self-join runs on the DISTINCT NAME table (each
+  *      name carrying its lowest record key, which is exactly the
+  *      tie-break representative). Pair cost is Σ|block|² over distinct
+  *      names — bounded by the name space, not the record count.
+  *   3. RESOLVE — per-record argmin as a plain `min` over a packed
+  *      BIGINT (dist in the high bits, match key in the low 33); `min`
+  *      is idempotent, so pairs emitted by both blocking passes fold
+  *      without a distinct.
+  * Output is LINEAR in the record count (one best-match row per record
+  * with at least one candidate).
+  *
+  * All corpus-sized joins shuffle on their key with SHUFFLE_HASH hints
+  * (post-aggregate stats are unknown and a stats-blind broadcast would
+  * ship the corpus); a residual hot bigram block extends the same way —
+  * add a third word to the key — and AQE skew-split applies since every
+  * join is a plain equi-join.
+  */
+object EntityResolution {
+
+  /** Packed (dist, key): dist <= ~60 for these names, key < 2^33. */
+  private val KeyBits: Long = 8589934592L // 2^33
+
+  /** Best fuzzy match per part name; see the object scaladoc for the
+    * candidate semantics and the two-stage execution shape.
+    */
+  def bestMatch(parts: DataFrame): DataFrame = {
+    val rec = parts.select(col("p_partkey").cast("long").as("key"),
+      col("p_name").as("name"))
+
+    // one row per distinct name: lowest key + multiplicity
+    val names = rec.groupBy(col("name"))
+      .agg(min(col("key")).as("k1"), count(lit(1)).as("c"))
+
+    // ---- stage 1: duplicated names resolve by aggregation alone ----
+    // identical names block with each other iff the name has a valid
+    // first bigram (>= 2 words; a 1-word name has no blocking key)
+    val dupNames = names
+      .filter(col("c") >= 2 && split_part(col("name"), lit(" "), lit(2)) =!= lit(""))
+    // second-lowest key per duplicated name (for the k1 record itself)
+    val k2s = rec.join(dupNames.hint("shuffle_hash"), Seq("name"))
+      .filter(col("key") =!= col("k1"))
+      .groupBy(col("name")).agg(min(col("key")).as("k2"))
+    val twinBest = rec.join(
+        dupNames.join(k2s.hint("shuffle_hash"), Seq("name")).hint("shuffle_hash"), Seq("name"))
+      .select(col("key").as("p_partkey"), lit(0L).as("best_dist"),
+        when(col("key") === col("k1"), col("k2")).otherwise(col("k1")).as("best_key"))
+
+    // ---- stage 2: unique names verify over the distinct-name table ----
+    def pass(df: DataFrame, i: Int): DataFrame =
+      df.select(split_part(col("name"), lit(" "), lit(i)).as("w1"),
+          split_part(col("name"), lit(" "), lit(i + 1)).as("w2"),
+          col("name"), col("k1"))
+        .filter(col("w1") =!= lit("") && col("w2") =!= lit(""))
+    val singles = names.filter(col("c") === 1)
+    def candidates(i: Int): DataFrame =
+      pass(singles, i).as("a")
+        .join(pass(names, i).as("b").hint("shuffle_hash"), Seq("w1", "w2"))
+        .filter(col("a.name") =!= col("b.name"))
+        .select(col("a.k1").as("key_a"),
+          (levenshtein(col("a.name"), col("b.name")).cast("long") * KeyBits
+            + col("b.k1")).as("pk"))
+    val singleBest = candidates(1).unionAll(candidates(3))
+      .groupBy(col("key_a")).agg(min(col("pk")).as("mk"))
+      .select(col("key_a").as("p_partkey"),
+        shiftright(col("mk"), 33).as("best_dist"),
+        col("mk").bitwiseAND(lit(KeyBits - 1)).as("best_key"))
+
+    twinBest.unionAll(singleBest)
+  }
+}

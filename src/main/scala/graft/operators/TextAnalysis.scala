@@ -321,6 +321,50 @@ object TextAnalysis {
         (lit(1.0) - col("n_distinct").cast("double") / col("n_shingles").cast("double"))
           .as("rep_ratio"))
 
+  /** Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken,
+    * SIGMOD'03 — the MOSS algorithm): over each document's ordered
+    * trigram-shingle hash stream, slide a window of `w` consecutive
+    * hashes and select the minimum of each window, breaking ties by the
+    * RIGHTMOST position; the distinct selected (pos, hash) pairs are the
+    * document's fingerprints. Guarantees: any shared run of w+2 tokens
+    * between two documents yields at least one shared fingerprint, and
+    * expected density is 2/(w+1) — a fixed-rate, position-robust sketch
+    * (unlike MinHash, which is order-blind, and SimHash, which is
+    * global-per-doc).
+    *
+    * Implementation: (hash, position) is packed into one BIGINT key —
+    * hash < 2^30 (PolyHash mod 1e9+7) in the high bits, bit-flipped
+    * position in the low 31 bits — so the rightmost-tie-break argmin is
+    * a plain `min` over a ROWS window frame, identical in Spark and the
+    * DuckDB oracle. Valid window starts are `pos <= n-w` (full windows),
+    * plus `pos = 0` when the doc has fewer than w shingles (one
+    * truncated window = the whole doc, winnowing's short-doc rule).
+    *
+    * Scale shape: the shingle array is computed per doc in one narrow
+    * pass (fused [[graft.expressions.ShingleHashes]]), n comes from
+    * `size()` BEFORE the explode (no count-window), and the only shuffle
+    * is the per-doc sort feeding the ROWS-frame min — one window pass,
+    * output bounded at ~2n/(w+1) rows per doc.
+    */
+  def winnow(docs: DataFrame, w: Int = 4): DataFrame = {
+    val P: Long = 2147483648L // 2^31
+    val sh = docs
+      .select(col("doc_id"),
+        graft.expressions.ShingleHashes.shingle_hashes(col("text")).as("hs"))
+      .select(col("doc_id"), size(col("hs")).cast("long").as("n"),
+        posexplode(col("hs")).as(Seq("pos", "h")))
+    val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(0, w - 1)
+    sh.select(col("doc_id"), col("n"), col("pos"),
+        (col("h") * P + (lit(P - 1) - col("pos"))).as("key"))
+      .withColumn("mk", min(col("key")).over(win))
+      .filter(col("pos") <= col("n") - w || (col("n") < w && col("pos") === 0))
+      .select(col("doc_id"), col("mk")).distinct()
+      .select(col("doc_id"),
+        shiftright(col("mk"), 31).as("h"),
+        (lit(P - 1) - col("mk").bitwiseAND(lit(P - 1))).as("pos"))
+  }
+
   // ---- DuckDB oracle mirrors ---------------------------------------------
 
   /** DuckDB mirror of [[quality]]'s ratio computation over `source`:

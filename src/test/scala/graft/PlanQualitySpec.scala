@@ -104,6 +104,23 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("q_er_bestmatch: blocking self-joins shuffle-hash, never a record broadcast") {
+    // both blocking passes self-join the full record set; a broadcast
+    // would ship every record to every executor at 100 TB
+    val p = plan("q_er_bestmatch")
+    assert(p.contains("ShuffledHashJoin"), "blocking join lost the shuffle-hash hint")
+    assert(!p.contains("BroadcastHashJoin"), "record set must not be broadcast")
+  }
+
+  test("q_doc_winnow: join-free narrow shingle stream into a per-doc window") {
+    val p = plan("q_doc_winnow")
+    for (j <- Seq("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))
+      assert(!p.contains(j), s"winnowing must not join ($j)")
+    assert(p.contains("Window"), "windowed min missing")
+    assert(p.linesIterator.exists(l =>
+      l.contains("partitionBy") || l.contains("doc_id")), "window must partition by doc_id")
+  }
+
   test("q_ev_interval: trailing-window join is an equi-join on (user, bucket)") {
     val p = plan("q_ev_interval")
     assert(p.linesIterator.exists(l =>

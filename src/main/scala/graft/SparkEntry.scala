@@ -429,6 +429,13 @@ object SparkEntry {
       Dedup.editDistancePairs(Dedup.corpus(Tables.documents(s, dir)))
     },
 
+    // Winnowing-candidate near-dups: shared-fingerprint pairs — the
+    // local-overlap complement to whole-doc MinHash LSH; df-capped
+    // fingerprint equi-join, never all-pairs.
+    "q_dedup_winnow" -> { (s, dir) =>
+      Dedup.winnowPairs(Dedup.corpus(Tables.documents(s, dir)))
+    },
+
     // Per-lang dedup audit: docs total / clustered / dropped + drop rate.
     "q_dedup_report" -> { (s, dir) =>
       Dedup.dedupReport(Dedup.corpus(Tables.documents(s, dir)))
@@ -2032,25 +2039,20 @@ object SparkEntry {
          |wf AS (SELECT w, COUNT(*) AS f FROM tok GROUP BY w)
          |SELECT f, COUNT(*) AS n_words FROM wf GROUP BY f""".stripMargin,
     "q_doc_winnow" ->
-      s"""WITH sh AS (
-         |  SELECT doc_id, len(toks) - 2 AS n,
-         |    unnest(list_transform(range(1, len(toks) - 1), i -> {'pos': i - 1,
-         |      'h': ${Dedup.hashSql("toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]")}}),
-         |      recursive := true)
-         |  FROM (SELECT doc_id, ${Dedup.toksSql} AS toks FROM documents)),
-         |keyed AS (
-         |  SELECT doc_id, n, pos, h * 2147483648 + (2147483647 - pos) AS key FROM sh),
-         |wins AS (
-         |  SELECT doc_id, n, pos,
-         |    min(key) OVER (PARTITION BY doc_id ORDER BY pos
-         |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mk
-         |  FROM keyed),
-         |sel AS (
-         |  SELECT DISTINCT doc_id, mk FROM wins
-         |  WHERE pos <= n - 4 OR (n < 4 AND pos = 0))
+      s"""WITH ${TextAnalysis.winnowSqlChain("documents")}
          |SELECT doc_id, mk // 2147483648 AS h,
          |  2147483647 - (mk % 2147483648) AS pos
-         |FROM sel""".stripMargin,
+         |FROM wsel""".stripMargin,
+    "q_dedup_winnow" ->
+      s"""WITH ${Dedup.corpusSql},
+         |${TextAnalysis.winnowSqlChain("corpus")},
+         |fp AS (SELECT DISTINCT doc_id, mk // 2147483648 AS h FROM wsel),
+         |dfc AS (SELECT h FROM fp GROUP BY h HAVING COUNT(*) <= 20),
+         |kept AS (SELECT fp.doc_id, fp.h FROM fp JOIN dfc ON fp.h = dfc.h)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+         |FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2
+         |HAVING COUNT(*) >= 2""".stripMargin,
     "q_er_bestmatch" ->
       """WITH rec AS (
         |  SELECT CAST(p_partkey AS BIGINT) AS key, p_name AS name FROM part),

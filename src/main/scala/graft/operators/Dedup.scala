@@ -213,8 +213,40 @@ object Dedup {
       .join(texts.select(col("doc_id").as("doc_b"), col("text").as("text_b"))
         .hint("shuffle_hash"), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        levenshtein(col("text_a"), col("text_b")).cast("long").as("edit_dist"))
-      .filter(col("edit_dist") <= maxDist)
+        // 3-arg levenshtein runs the BANDED DP: O(len·maxDist) per pair
+        // instead of O(len²), exact for distances <= maxDist, -1 above
+        // the threshold (dropped by the filter, same rows as computing
+        // the full distance and filtering; equality pinned in DedupSpec)
+        levenshtein(col("text_a"), col("text_b"), maxDist).cast("long").as("edit_dist"))
+      .filter(col("edit_dist") >= 0)
+  }
+
+  /** Winnowing-candidate near-dup pairs: docs sharing at least
+    * `minShared` distinct winnow fingerprint HASHES (position-free —
+    * hash agreement is the MOSS overlap signal). The complement to
+    * MinHash-LSH candidates: winnowing guarantees any shared run of
+    * w+2 tokens leaves a shared fingerprint, so LOCAL overlap (a copied
+    * paragraph inside otherwise-different docs) surfaces even when
+    * whole-doc Jaccard is far below the LSH threshold.
+    *
+    * Scale shape: fingerprints are ~2/(w+1) of the shingle stream; the
+    * pair join is an equi-join on the fingerprint hash with a
+    * document-frequency cap first (`maxDf`, the boilerplate guard used
+    * by decontam/boiler) so a hot fingerprint bounds pair cost at
+    * maxDf² instead of going quadratic; both join sides are
+    * corpus-derived → shuffle-hash, never broadcast.
+    */
+  def winnowPairs(c: DataFrame, minShared: Int = 2, maxDf: Int = 20): DataFrame = {
+    val fp = TextAnalysis.winnow(c).select(col("doc_id"), col("h")).distinct()
+    val rare = fp.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select(col("h"))
+    val kept = fp.join(rare.hint("shuffle_hash"), Seq("h"))
+    kept.as("a").join(kept.as("b").hint("shuffle_hash"), Seq("h"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
   }
 
   /** Per-language dedup audit — the report a curation run publishes

@@ -367,6 +367,30 @@ object TextAnalysis {
 
   // ---- DuckDB oracle mirrors ---------------------------------------------
 
+  /** DuckDB mirror of [[winnow]] over `src` as a CTE chain ending in
+    * `wsel` (doc_id, mk) — `mk` is the packed (hash, ~pos) winner key;
+    * consumers unpack `mk // 2^31` (hash) and `2^31-1 - mk % 2^31`
+    * (position). Shared by the q_doc_winnow and q_dedup_winnow oracles
+    * so the selection logic cannot drift between mirrors.
+    */
+  def winnowSqlChain(src: String): String =
+    s"""wsh AS (
+       |  SELECT doc_id, len(toks) - 2 AS n,
+       |    unnest(list_transform(range(1, len(toks) - 1), i -> {'pos': i - 1,
+       |      'h': ${graft.operators.Dedup.hashSql("toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]")}}),
+       |      recursive := true)
+       |  FROM (SELECT doc_id, ${graft.operators.Dedup.toksSql} AS toks FROM $src)),
+       |wkeyed AS (
+       |  SELECT doc_id, n, pos, h * 2147483648 + (2147483647 - pos) AS key FROM wsh),
+       |wwins AS (
+       |  SELECT doc_id, n, pos,
+       |    min(key) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mk
+       |  FROM wkeyed),
+       |wsel AS (
+       |  SELECT DISTINCT doc_id, mk FROM wwins
+       |  WHERE pos <= n - 4 OR (n < 4 AND pos = 0))""".stripMargin
+
   /** DuckDB mirror of [[quality]]'s ratio computation over `source`:
     * CTEs `tq` (tokens, via the shared [[Dedup.toksSql]]) and `rq`
     * (stop/short ratios). Spliced into the q_doc_quality, q_doc_qfilter

@@ -114,6 +114,43 @@ class DedupSpec extends SparkSpec {
     for (p <- plantedNear) assert(ed.get(p).contains(20L), s"pair $p")
   }
 
+  test("winnow pairs recall planted dups; local paragraph overlap surfaces without LSH") {
+    // exact copies share ALL fingerprints (df cap permitting); near
+    // copies share the interior ones — every planted pair must appear
+    val pairs = Dedup.winnowPairs(corpus)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    val missing = (plantedExact ++ plantedNear) -- pairs
+    assert(missing.isEmpty, s"winnow candidates missed planted pairs: $missing")
+
+    // the differentiator vs whole-doc MinHash: a single copied
+    // paragraph inside otherwise-disjoint docs still shares a run of
+    // fingerprints (MOSS containment), even at tiny whole-doc Jaccard
+    val para = (1 to 24).map(i => s"shared$i").mkString(" ")
+    val fillerA = (1 to 200).map(i => s"alpha$i").mkString(" ")
+    val fillerB = (1 to 200).map(i => s"beta$i").mkString(" ")
+    val two = Seq(
+      (1L, "en", s"$fillerA $para ${fillerA.reverse}"),
+      (2L, "en", s"$fillerB $para ${fillerB.reverse}"))
+      .toDF("doc_id", "lang", "text")
+    val found = Dedup.winnowPairs(two)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(found === Set((1L, 2L)), "copied paragraph must surface as a candidate")
+  }
+
+  test("edit-distance verify: banded DP returns the same pairs+distances as the full DP") {
+    val banded = Dedup.editDistancePairs(corpus)
+      .select($"doc_a", $"doc_b", $"edit_dist").as[(Long, Long, Long)].collect().toSet
+    val texts = corpus.select($"doc_id", $"text")
+    val full = Dedup.minhashCandidates(corpus)
+      .join(texts.select($"doc_id".as("doc_a"), $"text".as("text_a")), Seq("doc_a"))
+      .join(texts.select($"doc_id".as("doc_b"), $"text".as("text_b")), Seq("doc_b"))
+      .select($"doc_a", $"doc_b",
+        levenshtein($"text_a", $"text_b").cast("long").as("edit_dist"))
+      .filter($"edit_dist" <= 64)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(banded === full)
+  }
+
   test("minhash similarity estimator: exact copies at 1.0, bounded error vs exact Jaccard") {
     val est = Dedup.minhashSimilarity(corpus)
       .select($"doc_a", $"doc_b", $"est_jaccard").as[(Long, Long, Double)]

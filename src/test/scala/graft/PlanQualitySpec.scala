@@ -97,7 +97,7 @@ class PlanQualitySpec extends SparkSpec {
     // both sides of each candidate join are corpus-sized derived tables
     // with unknown post-checkpoint stats; a broadcast would ship the
     // corpus to every executor at scale
-    for (name <- Seq("q_dedup_minhash", "q_dedup_simhash", "q_dedup_embed")) {
+    for (name <- Seq("q_dedup_minhash", "q_dedup_simhash", "q_dedup_embed", "q_dedup_winnow")) {
       val p = plan(name)
       assert(p.contains("ShuffledHashJoin"), s"$name lost the shuffle-hash join")
       assert(!p.contains("BroadcastHashJoin"), s"$name broadcasts a corpus-sized side")

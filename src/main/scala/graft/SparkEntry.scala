@@ -691,6 +691,13 @@ object SparkEntry {
         .groupBy($"f").agg(count(lit(1)).as("n_words"))
     },
 
+    // Bigram-surprisal quality score: the self-trained LM proxy of the
+    // CCNet perplexity gate — bit-length-quantized surprisal keeps the
+    // per-doc totals in exact integer arithmetic (engine-identical).
+    "q_doc_surprisal" -> { (s, dir) =>
+      TextAnalysis.surprisal(Tables.documents(s, dir))
+    },
+
     // Winnowing (MOSS) fingerprints: windowed-min shingle selection with
     // rightmost tie-break — fixed-density position-robust local sketch;
     // one narrow shingle pass + one per-doc ROWS-frame window.
@@ -2038,6 +2045,23 @@ object SparkEntry {
       s"""WITH tok AS (SELECT unnest(${Dedup.toksSql}) AS w FROM documents),
          |wf AS (SELECT w, COUNT(*) AS f FROM tok GROUP BY w)
          |SELECT f, COUNT(*) AS n_words FROM wf GROUP BY f""".stripMargin,
+    "q_doc_surprisal" ->
+      s"""WITH tk AS (SELECT doc_id, ${Dedup.toksSql} AS toks FROM documents),
+         |bgs AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(range(1, len(toks)), i ->
+         |      {'w': toks[i], 'bg': toks[i] || ' ' || toks[i+1]}), recursive := true)
+         |  FROM tk),
+         |uni AS (
+         |  SELECT w, COUNT(*) AS cw
+         |  FROM (SELECT unnest(toks) AS w FROM tk) GROUP BY w),
+         |bc AS (SELECT bg, COUNT(*) AS cb FROM bgs GROUP BY bg)
+         |SELECT doc_id, COUNT(*) AS n_bigrams,
+         |  CAST(SUM(length(bin(cw)) - length(bin(cb))) AS BIGINT) AS total_surprisal,
+         |  CAST(CAST(SUM(length(bin(cw)) - length(bin(cb))) AS BIGINT) AS DOUBLE)
+         |    / CAST(COUNT(*) AS DOUBLE) AS mean_surprisal
+         |FROM bgs JOIN bc USING (bg) JOIN uni USING (w)
+         |GROUP BY doc_id""".stripMargin,
     "q_doc_winnow" ->
       s"""WITH ${TextAnalysis.winnowSqlChain("documents")}
          |SELECT doc_id, mk // 2147483648 AS h,

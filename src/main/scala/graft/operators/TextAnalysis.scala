@@ -365,6 +365,49 @@ object TextAnalysis {
         (lit(P - 1) - col("mk").bitwiseAND(lit(P - 1))).as("pos"))
   }
 
+  /** Bigram-surprisal quality score — the self-trained language-model
+    * proxy of the CCNet perplexity filter: the corpus's own bigram and
+    * unigram counts stand in for the LM, and each doc is scored by the
+    * mean conditional surprisal of its bigram stream. Low scores ≈
+    * repetitive/templated text, high scores ≈ rare or garbled token
+    * transitions; the middle band is typical prose — the same filter
+    * shape as training perplexity gates, with no external model.
+    *
+    * Surprisal is QUANTIZED to bit lengths: s(t1 t2) = bitlen(c(t1)) −
+    * bitlen(c(t1 t2)) ≈ −log₂ P(t2|t1) rounded structurally. This is
+    * deliberate, not a shortcut: per-doc totals are then exact INTEGER
+    * sums — order-independent under Spark's unordered shuffle reduce
+    * and bit-identical to the DuckDB oracle (a float Σ log p would be
+    * neither), with one final exact division per doc for the mean.
+    * bitlen = length(bin(c)) — pure string ops, identical both engines.
+    *
+    * Scale shape: counts are two grouped aggs with map-side partials;
+    * the probe joins are equi-joins on the bigram/unigram string with
+    * shuffle-hash hints (count tables are corpus-derived — a
+    * stats-blind broadcast would ship the vocabulary); one roll-up
+    * shuffle per doc. Nothing is all-pairs, state is bounded by the
+    * vocabulary, not the corpus.
+    */
+  def surprisal(docs: DataFrame): DataFrame = {
+    val tk = docs.select(col("doc_id"), tokens(col("text")).as("tk"))
+    val pairs = tk.select(col("doc_id"), explode(expr(
+        "transform(slice(tk, 1, size(tk) - 1), (t, i) -> struct(t AS w, concat(t, ' ', tk[i + 1]) AS bg))")).as("p"))
+      .select(col("doc_id"), col("p.w").as("w"), col("p.bg").as("bg"))
+    val uni = tk.select(explode(col("tk")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cw"))
+    val big = pairs.groupBy(col("bg")).agg(count(lit(1)).as("cb"))
+    pairs
+      .join(big.hint("shuffle_hash"), Seq("bg"))
+      .join(uni.hint("shuffle_hash"), Seq("w"))
+      .select(col("doc_id"),
+        (length(bin(col("cw"))) - length(bin(col("cb")))).cast("long").as("s"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("s")).as("total_surprisal"))
+      .select(col("doc_id"), col("n_bigrams"), col("total_surprisal"),
+        (col("total_surprisal").cast("double") / col("n_bigrams").cast("double"))
+          .as("mean_surprisal"))
+  }
+
   // ---- DuckDB oracle mirrors ---------------------------------------------
 
   /** DuckDB mirror of [[winnow]] over `src` as a CTE chain ending in

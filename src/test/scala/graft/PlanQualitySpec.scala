@@ -104,6 +104,15 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("q_doc_surprisal: count-table probes shuffle-hash, never a vocab broadcast") {
+    // bigram/unigram count tables are corpus-derived (vocabulary-sized
+    // with unknown post-agg stats) — a stats-blind broadcast would ship
+    // the vocabulary to every executor
+    val p = plan("q_doc_surprisal")
+    assert(p.contains("ShuffledHashJoin"), "count probe lost the shuffle-hash hint")
+    assert(!p.contains("BroadcastHashJoin"), "vocabulary must not be broadcast")
+  }
+
   test("q_er_bestmatch: blocking self-joins shuffle-hash, never a record broadcast") {
     // both blocking passes self-join the full record set; a broadcast
     // would ship every record to every executor at 100 TB

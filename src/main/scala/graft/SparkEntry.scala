@@ -691,6 +691,13 @@ object SparkEntry {
         .groupBy($"f").agg(count(lit(1)).as("n_words"))
     },
 
+    // Per-source distribution drift: token-distribution total variation
+    // distance vs the rest of the corpus — exact cross-multiplied
+    // integer numerators, one float division per source.
+    "q_doc_drift" -> { (s, dir) =>
+      Curation.sourceDrift(Tables.documents(s, dir))
+    },
+
     // Bigram-surprisal quality score: the self-trained LM proxy of the
     // CCNet perplexity gate — bit-length-quantized surprisal keeps the
     // per-doc totals in exact integer arithmetic (engine-identical).
@@ -2045,6 +2052,28 @@ object SparkEntry {
       s"""WITH tok AS (SELECT unnest(${Dedup.toksSql}) AS w FROM documents),
          |wf AS (SELECT w, COUNT(*) AS f FROM tok GROUP BY w)
          |SELECT f, COUNT(*) AS n_words FROM wf GROUP BY f""".stripMargin,
+    "q_doc_drift" ->
+      s"""WITH tok AS (
+         |  SELECT source, unnest(${Dedup.toksSql}) AS w FROM documents),
+         |sw AS (SELECT source, w, COUNT(*) AS ca FROM tok GROUP BY 1, 2),
+         |tw AS (SELECT w, SUM(ca) AS ct FROM sw GROUP BY 1),
+         |ns AS (SELECT source, SUM(ca) AS na FROM sw GROUP BY 1),
+         |nt AS (SELECT SUM(na) AS ntot FROM ns),
+         |j AS (
+         |  SELECT sw.source, ns.na, nt.ntot - ns.na AS nb, sw.ca,
+         |    tw.ct - sw.ca AS cb
+         |  FROM sw JOIN tw USING (w) JOIN ns USING (source) CROSS JOIN nt),
+         |g AS (
+         |  SELECT source, na, nb,
+         |    SUM(abs(CAST(ca AS HUGEINT) * CAST(nb AS HUGEINT)
+         |      - CAST(cb AS HUGEINT) * CAST(na AS HUGEINT))) AS present_sum,
+         |    SUM(cb) AS cb_present
+         |  FROM j GROUP BY 1, 2, 3)
+         |SELECT source, CAST(na AS BIGINT) AS n_src, CAST(nb AS BIGINT) AS n_rest,
+         |  CAST(present_sum
+         |    + CAST(nb - cb_present AS HUGEINT) * CAST(na AS HUGEINT) AS DOUBLE)
+         |    / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) * 2.0) AS tvd
+         |FROM g""".stripMargin,
     "q_doc_surprisal" ->
       s"""WITH tk AS (SELECT doc_id, ${Dedup.toksSql} AS toks FROM documents),
          |bgs AS (

@@ -203,6 +203,49 @@ object Curation {
           .as("doc_share"))
   }
 
+  /** Per-source token-distribution drift: total variation distance
+    * between each source's unigram distribution and the REST of the
+    * corpus — the domain-shift audit run before reweighting a training
+    * mix (a source with tvd ≈ 0 is redundant with the mix; tvd ≈ 1 is
+    * out-of-distribution).
+    *
+    * TVD = ½ Σ_w |c_src(w)/n_src − c_rest(w)/n_rest| is computed with
+    * cross-multiplied integer numerators — Σ_w |c_src·n_rest −
+    * c_rest·n_src| over DECIMAL(38,0) products — so the aggregation is
+    * exact and order-independent (one float division per source at the
+    * end). Words absent from the source need no outer join: their
+    * contribution is n_src·(n_rest − Σ_{w∈src} c_rest(w)) by algebra.
+    *
+    * Scale shape: one narrow token explode, two grouped count aggs
+    * (map-side combinable, vocabulary-bounded state), shuffle-hash
+    * probe joins on the word / source keys, a 1-row broadcast corpus
+    * total, and a per-source roll-up. Nothing is all-pairs.
+    */
+  def sourceDrift(docs: DataFrame): DataFrame = {
+    val d19 = "decimal(19,0)"
+    val tok = docs.select(col("source"), explode(tokens(col("text"))).as("w"))
+    val sw = tok.groupBy(col("source"), col("w")).agg(count(lit(1)).as("ca"))
+    val tw = sw.groupBy(col("w")).agg(sum(col("ca")).as("ct"))
+    val ns = sw.groupBy(col("source")).agg(sum(col("ca")).as("na"))
+    val nt = ns.agg(sum(col("na")).as("ntot"))
+    sw.join(tw.hint("shuffle_hash"), Seq("w"))
+      .join(ns.hint("shuffle_hash"), Seq("source"))
+      .crossJoin(broadcast(nt))
+      .select(col("source"), col("na"), (col("ntot") - col("na")).as("nb"),
+        col("ca"), (col("ct") - col("ca")).as("cb"))
+      .select(col("source"), col("na"), col("nb"), col("cb"),
+        abs(col("ca").cast(d19) * col("nb").cast(d19)
+          - col("cb").cast(d19) * col("na").cast(d19)).as("term"))
+      .groupBy(col("source"), col("na"), col("nb"))
+      .agg(sum(col("term")).as("present_sum"), sum(col("cb")).as("cb_present"))
+      .select(col("source"), col("na").as("n_src"), col("nb").as("n_rest"),
+        ((col("present_sum")
+          + (col("nb") - col("cb_present")).cast(d19) * col("na").cast(d19))
+          .cast("double")
+          / (col("na").cast("double") * col("nb").cast("double") * lit(2.0)))
+          .as("tvd"))
+  }
+
   /** Per-source document cap (domain balancing: no source may contribute
     * more than `cap` docs): keep each source's `cap` docs with the
     * smallest content hashes — a uniform, deterministic, rerun-stable

@@ -362,4 +362,21 @@ class CurationSpec extends SparkSpec {
     val (nAll, nKept) = (all.count(), kept.count())
     assert(nKept < nAll && nKept >= (nAll * 0.85).toLong)
   }
+
+  test("source drift: hand-computed TVD; identical sources at 0, disjoint vocab at 1") {
+    import spark.implicits._
+    def drift(rows: (Long, String, String)*): Map[String, Double] =
+      Curation.sourceDrift(rows.toDF("doc_id", "source", "text"))
+        .select($"source", $"tvd").as[(String, Double)].collect().toMap
+    // A: "a a b" (2/3, 1/3) vs rest B: "a b b b" (1/4, 3/4)
+    // TVD = (|2/3-1/4| + |1/3-3/4|) / 2 = 5/12, symmetric with 2 sources
+    val two = drift((1L, "A", "a a b"), (2L, "B", "a b b b"))
+    assert(two("A") == 5.0 / 12.0 && two("B") == 5.0 / 12.0)
+    // identical distributions → 0 (also exercises multi-doc sources)
+    val same = drift((1L, "A", "p q"), (2L, "A", "q p"), (3L, "B", "q p p q"))
+    assert(same("A") == 0.0 && same("B") == 0.0)
+    // disjoint vocabularies → 1 (exercises the absent-word algebra)
+    val disj = drift((1L, "A", "x x"), (2L, "B", "y y"))
+    assert(disj("A") == 1.0 && disj("B") == 1.0)
+  }
 }

@@ -691,6 +691,25 @@ object SparkEntry {
         .groupBy($"f").agg(count(lit(1)).as("n_words"))
     },
 
+    // Per-lang top-k bigrams (vocab-induction audit): counts feed the
+    // native bounded-heap TopKByValue (map-side partials shrink to
+    // O(k·langs) pre-shuffle), ids are PolyHash keys joined back to the
+    // bigram strings shuffle-hash; ties break by hash both engines.
+    "q_doc_topngrams" -> { (s, dir) =>
+      import s.implicits._
+      val bgs = Tables.documents(s, dir)
+        .select($"lang", graft.functions.TextFunctions.tokens($"text").as("tk"))
+        .select($"lang", explode(expr(
+          "transform(slice(tk, 1, size(tk) - 1), (t, i) -> concat(t, ' ', tk[i + 1]))")).as("bg"))
+      val counts = bgs.groupBy($"lang", $"bg").agg(count(lit(1)).as("cnt"))
+        .withColumn("bh", graft.functions.TextFunctions.stringHash($"bg"))
+      counts.groupBy($"lang")
+        .agg(graft.expressions.TopKAgg.top_k_ids($"cnt".cast("double"), $"bh", 5).as("tids"))
+        .select($"lang", posexplode($"tids").as(Seq("rnk", "bh")))
+        .join(counts.hint("shuffle_hash"), Seq("lang", "bh"))
+        .select($"lang", $"rnk".cast("long").as("rnk"), $"bg".as("bigram"), $"cnt")
+    },
+
     // Per-source distribution drift: token-distribution total variation
     // distance vs the rest of the corpus — exact cross-multiplied
     // integer numerators, one float division per source.
@@ -718,6 +737,24 @@ object SparkEntry {
     // BIGINT argmin (no distinct over the pair stream).
     "q_er_bestmatch" -> { (s, dir) =>
       EntityResolution.bestMatch(Tables.part(s, dir))
+    },
+
+    // Behavioral transition matrix (Markov bigram over event streams):
+    // lead() under one window on high-cardinality user_id, roll-up
+    // bounded at |event_types|² rows; row-probabilities via an exact
+    // integer window sum over the TINY aggregated frame (one float
+    // division per cell).
+    "q_ev_transitions" -> { (s, dir) =>
+      import s.implicits._
+      val perUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val counts = Tables.events(s, dir)
+        .select($"user_id", $"ts", $"event_id", $"event_type")
+        .withColumn("next_type", lead($"event_type", 1).over(perUser))
+        .filter($"next_type".isNotNull)
+        .groupBy($"event_type".as("from_type"), $"next_type".as("to_type"))
+        .agg(count(lit(1)).as("n"))
+      counts.withColumn("p", $"n".cast("double")
+        / sum($"n").over(Window.partitionBy($"from_type")).cast("double"))
     },
 
     // Cohort retention: users grouped by signup day, distinct activity
@@ -2052,6 +2089,20 @@ object SparkEntry {
       s"""WITH tok AS (SELECT unnest(${Dedup.toksSql}) AS w FROM documents),
          |wf AS (SELECT w, COUNT(*) AS f FROM tok GROUP BY w)
          |SELECT f, COUNT(*) AS n_words FROM wf GROUP BY f""".stripMargin,
+    "q_doc_topngrams" ->
+      s"""WITH tk AS (SELECT lang, ${Dedup.toksSql} AS toks FROM documents),
+         |bgs AS (
+         |  SELECT lang, unnest(list_transform(range(1, len(toks)), i ->
+         |    toks[i] || ' ' || toks[i+1])) AS bg
+         |  FROM tk),
+         |c AS (
+         |  SELECT lang, bg, COUNT(*) AS cnt, ${Dedup.hashSql("bg")} AS bh
+         |  FROM bgs GROUP BY 1, 2),
+         |r AS (
+         |  SELECT lang, bg, cnt, bh,
+         |    row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, bh ASC) AS rn
+         |  FROM c)
+         |SELECT lang, rn - 1 AS rnk, bg AS bigram, cnt FROM r WHERE rn <= 5""".stripMargin,
     "q_doc_drift" ->
       s"""WITH tok AS (
          |  SELECT source, unnest(${Dedup.toksSql}) AS w FROM documents),
@@ -2128,6 +2179,20 @@ object SparkEntry {
         |SELECT key_a AS p_partkey, min(pk) // 8589934592 AS best_dist,
         |  min(pk) % 8589934592 AS best_key
         |FROM cand GROUP BY key_a""".stripMargin,
+    "q_ev_transitions" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ets, event_id, event_type
+        |  FROM events),
+        |t AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ets, event_id)
+        |      AS to_type
+        |  FROM e)
+        |SELECT from_type, to_type, COUNT(*) AS n,
+        |  CAST(COUNT(*) AS DOUBLE)
+        |    / CAST(SUM(COUNT(*)) OVER (PARTITION BY from_type) AS DOUBLE) AS p
+        |FROM t WHERE to_type IS NOT NULL
+        |GROUP BY 1, 2""".stripMargin,
     "q_ev_cohort" ->
       """WITH e AS (
         |  SELECT user_id, event_type,

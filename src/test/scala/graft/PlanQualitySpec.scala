@@ -104,6 +104,13 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("q_doc_topngrams: map-side heap partials; string join-back shuffle-hash") {
+    val p = plan("q_doc_topngrams")
+    assert(p.contains("partial_topkbyvalue"), "bounded heap lost its map-side partial")
+    assert(p.contains("ShuffledHashJoin") && !p.contains("BroadcastHashJoin"),
+      "bigram-count join-back must not broadcast the vocabulary")
+  }
+
   test("q_doc_surprisal: count-table probes shuffle-hash, never a vocab broadcast") {
     // bigram/unigram count tables are corpus-derived (vocabulary-sized
     // with unknown post-agg stats) — a stats-blind broadcast would ship

@@ -19,6 +19,54 @@ object StatefulOps {
   case class UserState(n: Long, sum: Double, max: Double, maxTsMs: Long)
   case class UserUpdate(user_id: Long, n: Long, sum: Double, max: Double, flagged: Boolean)
 
+  case class KeyedEvent(ts: Timestamp, event_id: Long, user_id: Long, event_type: String)
+  case class LastEvent(typ: String, tsMs: Long, eventId: Long)
+  case class Transition(user_id: Long, from_type: String, to_type: String)
+
+  /** Streaming twin of the batch q_ev_transitions Markov-bigram query:
+    * per-user last-event state (O(1) per ACTIVE user — a single
+    * (type, ts, id) triple, purged by the event-time TTL) emits one
+    * (from, to) transition per consecutive event pair, bridging
+    * micro-batch boundaries through the state; callers aggregate the
+    * emitted pairs downstream. Within a micro-batch events sort by
+    * (ts, event_id) — the batch query's exact window order — so an
+    * in-order (watermark-respecting) feed reproduces the batch
+    * transition multiset exactly (pinned in StatefulOpsSpec); an event
+    * arriving late AFTER a successor was already consumed transitions
+    * from the stored last event instead, the standard append-mode
+    * approximation.
+    */
+  def transitions(spark: SparkSession, events: Dataset[KeyedEvent],
+      watermarkDelay: String = "1 hour", ttlMs: Long = 3600000L): Dataset[Transition] = {
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, batch: Iterator[KeyedEvent], state: GroupState[LastEvent]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val evs = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var last = state.getOption
+            val out = Seq.newBuilder[Transition]
+            for (e <- evs) {
+              last.foreach(l => out += Transition(user, l.typ, e.event_type))
+              last = Some(LastEvent(e.event_type, e.ts.getTime, e.event_id))
+            }
+            last.foreach { l =>
+              state.update(l)
+              // same TTL discipline as runningUserStats: anchored to the
+              // key's own latest event, clamped above the watermark
+              state.setTimeoutTimestamp(
+                math.max(l.tsMs + ttlMs, state.getCurrentWatermarkMs() + 1))
+            }
+            out.result().iterator
+          }
+      }
+  }
+
   /** Per-user running (count, sum, max) with an anomaly flag when a single
     * event exceeds `flagFactor` × the user's running mean. Emits one update
     * per input event; a key's state expires once the watermark passes

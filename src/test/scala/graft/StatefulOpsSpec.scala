@@ -34,6 +34,36 @@ class StatefulOpsSpec extends SparkSpec {
     assert(rows.count(_.user_id == 2L) === 1)
   }
 
+  test("transitions: stream twin bridges micro-batches and matches the batch window") {
+    import StatefulOps.{KeyedEvent, Transition}
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[KeyedEvent]
+    val q = StatefulOps.transitions(spark, ms.toDS())
+      .writeStream.format("memory").queryName("trans").outputMode("append").start()
+    val batch1 = Seq(
+      KeyedEvent(ts("2024-01-01 00:00:00"), 1L, 1L, "view"),
+      KeyedEvent(ts("2024-01-01 00:01:00"), 2L, 1L, "click"),
+      // same-ts tie for user 2: event_id breaks the order, as in batch
+      KeyedEvent(ts("2024-01-01 00:00:30"), 4L, 2L, "click"),
+      KeyedEvent(ts("2024-01-01 00:00:30"), 3L, 2L, "view"))
+    val batch2 = Seq( // user 1's purchase must bridge from the stored "click"
+      KeyedEvent(ts("2024-01-01 00:02:00"), 5L, 1L, "purchase"))
+    ms.addData(batch1); q.processAllAvailable()
+    ms.addData(batch2); q.processAllAvailable(); q.stop()
+    val got = spark.table("trans").as[Transition].collect()
+      .map(t => (t.user_id, t.from_type, t.to_type)).sorted.toSeq
+    // batch reference: lead() over (ts, event_id) per user on the union
+    val perUser = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val want = (batch1 ++ batch2).toDF()
+      .withColumn("to_type", org.apache.spark.sql.functions.lead($"event_type", 1).over(perUser))
+      .filter($"to_type".isNotNull)
+      .select($"user_id", $"event_type", $"to_type").as[(Long, String, String)]
+      .collect().sorted.toSeq
+    assert(got === want)
+    assert(got.contains((1L, "click", "purchase")), "cross-batch transition must bridge state")
+  }
+
   test("funnel: stage order enforced — pre-view clicks and pre-click purchases don't count") {
     import org.apache.spark.sql.functions._
     val ev = Seq(

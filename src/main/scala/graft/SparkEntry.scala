@@ -463,6 +463,25 @@ object SparkEntry {
           graft.functions.TextFunctions.stringHash(col("text")).as("fp"))
     },
 
+    // Content-defined chunking: variable-size token-aligned chunks with
+    // md5-boundary tokens (native CdcChunks, pure narrow map) — chunk
+    // boundaries survive token insertions, unlike fixed-stride blocks.
+    "q_doc_cdc" -> { (s, dir) =>
+      Tables.documents(s, dir).select(col("doc_id"),
+          posexplode(graft.expressions.CdcChunks.cdc_chunks(col("text")))
+            .as(Seq("chunk_ord", "chunk")))
+        .select(col("doc_id"), col("chunk_ord").cast("long").as("chunk_ord"),
+          col("chunk"),
+          size(split(col("chunk"), " ", -1)).cast("long").as("n_tokens"))
+    },
+
+    // Sub-document dedup: every 20-token block keeps its first corpus-wide
+    // occurrence, docs reassemble from surviving blocks — exact copies
+    // vanish entirely, near-copies shrink to their novel tail.
+    "q_dedup_para" -> { (s, dir) =>
+      Dedup.paragraphDedup(Dedup.corpus(Tables.documents(s, dir)))
+    },
+
     // Incremental (cross-corpus) dedup: the planted copies as the
     // "incoming" increment, the raw documents table as the reference —
     // LSH candidates incoming × reference, Jaccard-verified.
@@ -1877,6 +1896,33 @@ object SparkEntry {
          |drops AS (SELECT id FROM ranked WHERE rn > 1)
          |SELECT c.doc_id, c.lang, ${Dedup.hashSql("text")} AS fp FROM corpus c
          |WHERE NOT EXISTS (SELECT 1 FROM drops WHERE drops.id = c.doc_id)""".stripMargin,
+    "q_doc_cdc" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, w, i,
+         |    CASE WHEN substr(md5(w), 1, 1) IN ('0', '1') THEN 1 ELSE 0 END AS b
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+         |               generate_subscripts(string_split(text, ' '), 1) AS i
+         |        FROM documents)),
+         |cid AS (
+         |  SELECT doc_id, w, i,
+         |    COALESCE(SUM(b) OVER (PARTITION BY doc_id ORDER BY i
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_ord
+         |  FROM tok)
+         |SELECT doc_id, CAST(chunk_ord AS BIGINT) AS chunk_ord,
+         |  string_agg(w, ' ' ORDER BY i) AS chunk,
+         |  COUNT(*) AS n_tokens
+         |FROM cid GROUP BY doc_id, chunk_ord""".stripMargin,
+    "q_dedup_para" ->
+      s"""WITH ${Dedup.corpusSql},
+         |${Dedup.paraSql},
+         |keep AS (
+         |  SELECT doc_id, ord, para FROM (
+         |    SELECT doc_id, ord, para,
+         |      ROW_NUMBER() OVER (PARTITION BY para ORDER BY doc_id, ord) AS rn
+         |    FROM para) WHERE rn = 1)
+         |SELECT doc_id, string_agg(para, ' ' ORDER BY ord) AS text_kept,
+         |  COUNT(*) AS n_paras
+         |FROM keep GROUP BY doc_id""".stripMargin,
     "q_dedup_cross" ->
       s"""WITH ${Dedup.corpusSql},
          |newdocs AS (SELECT doc_id, lang, text FROM corpus WHERE doc_id >= 1000000),

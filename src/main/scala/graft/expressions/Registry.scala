@@ -56,6 +56,8 @@ object Registry {
       es => Tokenize(es.head), "built-in")
     r.createOrReplaceTempFunction("shingle_hashes",
       es => ShingleHashes(es.head), "built-in")
+    r.createOrReplaceTempFunction("cdc_chunks",
+      es => CdcChunks(es.head), "built-in")
     r.createOrReplaceTempFunction("seq_dot",
       es => SeqDot(es(0), es(1)), "built-in")
     r.createOrReplaceTempFunction("short_token_count",

@@ -598,7 +598,85 @@ object Dedup {
     c.join(drops, Seq("doc_id"), "left_anti")
   }
 
+  // ---- Paragraph-level (sub-document) dedup ------------------------------
+
+  /** Tokens per pseudo-paragraph block. The synthetic corpus has no
+    * newlines, so "paragraphs" are fixed 20-token blocks — the unit real
+    * pipelines (C4, RefinedWeb) dedupe at when whole-doc dedup leaves
+    * boilerplate repeated ACROSS distinct documents.
+    */
+  val ParaTokens = 20
+
+  /** One row per (doc, block): fixed 20-token blocks split on single
+    * spaces (byte-exact with the DuckDB oracle's `string_split`, so the
+    * kept text reassembles to the original — no lowercase, no whitespace
+    * classes).
+    *
+    * Shape: a pure narrow map — the block array is built per doc with
+    * `transform(sequence…, slice…)` and exploded; no token stream ever
+    * exists, so nothing shuffles.
+    */
+  def paragraphs(c: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ", -1)
+    c.select(col("doc_id"),
+      posexplode(transform(
+        // Column `/` is double division — floor+cast makes the block count
+        sequence(lit(0), floor((size(toks) - 1) / lit(ParaTokens)).cast("int")),
+        i => array_join(slice(toks, i * lit(ParaTokens) + lit(1), lit(ParaTokens)), " ")))
+        .as(Seq("ord", "para")))
+  }
+
+  /** Global paragraph-level dedup with document reassembly: every block
+    * keeps only its FIRST occurrence corpus-wide (lexicographic
+    * (doc_id, ord)), and each doc is rebuilt from its surviving blocks in
+    * order. Docs whose every block is shadowed by an earlier doc (exact
+    * copies) drop out entirely; near-copies keep only their novel tail.
+    *
+    * Scale shape — two shuffles, both skew-proof:
+    *  1. groupBy(para) with a packed-long `min` — map-side combinable, so
+    *     a boilerplate block repeated across millions of docs reduces to
+    *     one row per partition before the exchange (a row_number window
+    *     over the block key would instead sort the full repeat group on
+    *     one reducer). The keeper identity (doc_id, ord) is packed as
+    *     `doc_id << 20 | ord` because lexicographic-min over that pair as
+    *     a STRUCT has a non-primitive aggregation buffer, which kicks the
+    *     whole stage from HashAggregate to sort-based aggregation — a
+    *     per-partition sort of every block by text. Packing keeps the
+    *     codegen'd hash path (pinned in PlanQualitySpec); ord < 2^20
+    *     bounds docs at ~20M tokens, far above any real document.
+    *  2. groupBy(doc_id) reassembly — bounded by each doc's own block
+    *     count, `array_sort(collect_list…)` on ≤ tokens/20 elements.
+    * No join anywhere: the keeper aggregation already carries the keeper
+    * identity AND the block text.
+    */
+  private val ParaOrdBits = 20
+
+  def paragraphDedup(c: DataFrame): DataFrame =
+    paragraphs(c)
+      .groupBy(col("para"))
+      .agg(min(shiftleft(col("doc_id"), ParaOrdBits) + col("ord")).as("k"))
+      .select(shiftright(col("k"), ParaOrdBits).as("doc_id"),
+        col("k").bitwiseAND(lit((1L << ParaOrdBits) - 1)).as("ord"), col("para"))
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("ord"), col("para"))).as("ps"))
+      .select(col("doc_id"),
+        array_join(transform(array_sort(col("ps")), _.getField("para")), " ")
+          .as("text_kept"),
+        size(col("ps")).cast("long").as("n_paras"))
+
   // ---- DuckDB oracle mirrors ---------------------------------------------
+
+  /** Mirror of [[paragraphs]] over the `corpus` CTE (1-based subscripts →
+    * `(i-1)//20`; `string_agg ORDER BY i` rebuilds the block).
+    */
+  val paraSql: String =
+    """para AS (
+      |  SELECT doc_id, (i - 1) // 20 AS ord, string_agg(w, ' ' ORDER BY i) AS para
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+      |               generate_subscripts(string_split(text, ' '), 1) AS i
+      |        FROM corpus)
+      |  GROUP BY doc_id, (i - 1) // 20
+      |)""".stripMargin
 
   val corpusSql: String =
     """corpus AS (

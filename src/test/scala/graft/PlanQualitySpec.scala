@@ -275,6 +275,27 @@ class PlanQualitySpec extends SparkSpec {
       "candidate/signature joins must stay shuffle-hash")
   }
 
+  test("q_doc_cdc: pure narrow map — zero shuffles, no UDF fallback") {
+    // the chunk stream is explode(cdc_chunks(text)): one generator over
+    // the scan; a token stream or per-doc window sneaking in would add
+    // an exchange before anything aggregates
+    val p = plan("q_doc_cdc")
+    assert(!p.contains("Exchange"), "CDC chunking must not shuffle")
+    assert(!p.contains("Window") && !p.contains("BatchEvalPython"))
+  }
+
+  test("q_dedup_para: keeper min stays on the codegen hash-agg path, no joins") {
+    // the packed-long keeper min exists precisely so this stage does NOT
+    // fall to sort-based aggregation (struct-min has a non-primitive
+    // buffer); the whole query is two aggs, no join, no window
+    val p = plan("q_dedup_para")
+    assert(!p.contains("SortAggregate"),
+      "keeper aggregation fell off the hash path")
+    assert(p.contains("HashAggregate") && p.contains("partial_min"),
+      "expected a map-side partial min per block")
+    assert(!p.contains("Join") && !p.contains("Window"))
+  }
+
   test("composition queries stay index-joined end to end") {
     // building q_pipeline_e2e runs the eager duplicateClusters loop; the
     // remaining plan must still be equi-joins only

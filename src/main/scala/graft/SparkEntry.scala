@@ -601,6 +601,11 @@ object SparkEntry {
     },
     "q_emb_ann" -> { (s, dir) => Similarity.knnLsh(Tables.embeddings(s, dir)) },
     "q_emb_centroid" -> { (s, dir) => Similarity.centroids(Tables.embeddings(s, dir)) },
+    // Lloyd's k-means (2 iterations, deterministic init): trains the
+    // coarse quantizer IVF/IVF-PQ assume — broadcast k-row centroids,
+    // narrow argmin assignment, one (cell, dim)-keyed shuffle per update,
+    // fixed-point sums so the result is aggregation-order-independent.
+    "q_emb_kmeans" -> { (s, dir) => Similarity.kmeans(Tables.embeddings(s, dir)) },
     // Embedding-store ingest: near-dup removal → IVF cell assignment.
     "q_emb_e2e" -> { (s, dir) => Similarity.embIngest(Tables.embeddings(s, dir)) },
 
@@ -741,6 +746,20 @@ object SparkEntry {
     // per-doc totals in exact integer arithmetic (engine-identical).
     "q_doc_surprisal" -> { (s, dir) =>
       TextAnalysis.surprisal(Tables.documents(s, dir))
+    },
+
+    // DSIR importance weights: per-doc log-ratio of target-domain vs
+    // whole-corpus unigram likelihood, bit-length-quantized so totals are
+    // exact integer sums — the importance-resampling curation score.
+    "q_doc_dsir" -> { (s, dir) =>
+      TextAnalysis.dsirWeights(Tables.documents(s, dir))
+    },
+
+    // Gopher top-2-gram repetition signal: share of each doc's bigram
+    // occurrences (and chars) covered by its most frequent bigram — two
+    // grouped aggs, no joins/windows, struct-max tie-break.
+    "q_doc_topfrac" -> { (s, dir) =>
+      TextAnalysis.topNgramFraction(Tables.documents(s, dir))
     },
 
     // Winnowing (MOSS) fingerprints: windowed-min shingle selection with
@@ -1559,6 +1578,7 @@ object SparkEntry {
         |        CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim
         |      FROM embeddings) t
         |GROUP BY label, dim""".stripMargin,
+    "q_emb_kmeans" -> Similarity.kmeansSql(),
     "q_dedup_exact" ->
       s"""WITH ${Dedup.corpusSql}
          |SELECT md5(text) AS text_md5, COUNT(*) AS n_dups, MIN(doc_id) AS keeper
@@ -2188,6 +2208,35 @@ object SparkEntry {
          |    / CAST(COUNT(*) AS DOUBLE) AS mean_surprisal
          |FROM bgs JOIN bc USING (bg) JOIN uni USING (w)
          |GROUP BY doc_id""".stripMargin,
+    "q_doc_dsir" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, lang, unnest(toks) AS w
+         |  FROM (SELECT doc_id, lang, ${Dedup.toksSql} AS toks FROM documents) t),
+         |alls AS (SELECT w, COUNT(*) AS ca FROM tok GROUP BY w),
+         |tgt AS (SELECT w, COUNT(*) AS ct FROM tok WHERE lang = 'en' GROUP BY w)
+         |SELECT doc_id, COUNT(*) AS n_tokens,
+         |  CAST(SUM(length(bin(COALESCE(ct, 0) + 1)) - length(bin(ca + 1))) AS BIGINT)
+         |    AS total_logratio,
+         |  CAST(CAST(SUM(length(bin(COALESCE(ct, 0) + 1)) - length(bin(ca + 1))) AS BIGINT) AS DOUBLE)
+         |    / CAST(COUNT(*) AS DOUBLE) AS mean_logratio
+         |FROM tok JOIN alls USING (w) LEFT JOIN tgt USING (w)
+         |GROUP BY doc_id""".stripMargin,
+    "q_doc_topfrac" ->
+      s"""WITH bgs AS (
+         |  SELECT doc_id, n_chars,
+         |    unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS bg
+         |  FROM (SELECT doc_id, n_chars, ${Dedup.toksSql} AS toks FROM documents) t),
+         |c AS (SELECT doc_id, n_chars, bg, COUNT(*) AS cnt FROM bgs GROUP BY 1, 2, 3),
+         |r AS (SELECT *,
+         |        ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cnt DESC, bg DESC) AS rn,
+         |        SUM(cnt) OVER (PARTITION BY doc_id) AS nb
+         |      FROM c)
+         |SELECT doc_id, CAST(nb AS BIGINT) AS n_bigrams, bg AS top_bigram,
+         |  cnt AS top_cnt,
+         |  CAST(cnt AS DOUBLE) / CAST(nb AS DOUBLE) AS top_frac,
+         |  CAST(cnt AS DOUBLE) * CAST(length(bg) AS DOUBLE) / CAST(n_chars AS DOUBLE)
+         |    AS top_char_frac
+         |FROM r WHERE rn = 1""".stripMargin,
     "q_doc_winnow" ->
       s"""WITH ${TextAnalysis.winnowSqlChain("documents")}
          |SELECT doc_id, mk // 2147483648 AS h,

@@ -442,6 +442,58 @@ object Similarity {
       .select(col("qid"), col("pos").cast("long").as("rank"), col("col").as("vec_id"))
   }
 
+  /** Lloyd's k-means over the embedding corpus — the canonical "train the
+    * coarse quantizer" step that IVF/IVF-PQ assume pre-trained centroids
+    * for (ref stores no index; this closes the loop so cells can be
+    * LEARNED from the data rather than borrowed from `label`).
+    *
+    * Deterministic by construction (no RNG, rerun-stable):
+    *  - init: the k smallest vec_ids' vectors, cell id = the init vec_id;
+    *  - assignment: argmin squared-L2 with ties to the smaller cell id;
+    *  - update: elementwise mean via fixed-point quantized sums
+    *    ([[graft.functions.VectorFunctions.quantize]]) — integer-exact,
+    *    so the result is independent of shuffle/aggregation order and
+    *    bit-identical to the DuckDB oracle. A float mean would be neither.
+    *
+    * Scale shape per iteration: the centroid table is k rows — broadcast
+    * by construction (the ONE case where broadcasting a derived table is
+    * always right); assignment is a narrow map (k fused l2sq folds per
+    * vector, no shuffle); the update is one shuffle keyed (cell, dim)
+    * with map-side partial sums. Each iteration's centroid table is tiny,
+    * so the growing plan stays cheap; `localCheckpoint(false)` after each
+    * update cuts the lineage anyway (iterative-plan hygiene, same as the
+    * CC loop). Empty cells simply drop out (both engines agree).
+    *
+    * Output: final assignment (vec_id, cell, d2) — d2 the exact
+    * sequential-fold squared distance, oracle-matched bit-for-bit.
+    */
+  def kmeans(e: DataFrame, k: Int = 8, iters: Int = 2): DataFrame = {
+    val base = withEmb(e).select(col("vec_id"), col("emb"))
+    def assign(cents: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cell"))
+      base.crossJoin(broadcast(cents))
+        .withColumn("d2", l2sq(col("emb"), col("cemb")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("emb"), col("cell"), col("d2"))
+    }
+    var cents = base.orderBy(col("vec_id")).limit(k)
+      .select(col("vec_id").as("cell"), col("emb").as("cemb"))
+    for (_ <- 1 to iters) {
+      cents = assign(cents)
+        .select(col("cell"), posexplode(col("emb")).as(Seq("dim", "v")))
+        .groupBy(col("cell"), col("dim"))
+        .agg(count(lit(1)).as("n"), sum(quantize(col("v"))).as("qsum"))
+        .select(col("cell"), col("dim"), dequantize(col("qsum"), col("n")).as("c"))
+        .groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("dim"), col("c")))).as("pairs"))
+        .select(col("cell"), transform(col("pairs"), p => p.getField("c")).as("cemb"))
+        .localCheckpoint(false)
+    }
+    // final assignment against the last updated centroids
+    assign(cents).select(col("vec_id"), col("cell"), col("d2"))
+  }
+
   /** Per-label elementwise centroid via fixed-point quantization. */
   def centroids(e: DataFrame): DataFrame =
     withEmb(e)
@@ -472,6 +524,45 @@ object Similarity {
     */
   def l2sqSql(a: String, b: String): String =
     s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(list_zip($a, $b), p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))), (x, y) -> x + y)"
+
+  /** DuckDB mirror of [[kmeans]]: iters unrolled assign→update rounds
+    * over `embeddings`, ending in a final assignment (vec_id, cell, d2).
+    * Mirrors op-for-op: k smallest vec_ids init, l2sq argmin with
+    * (d2, cell) ties, fixed-point quantized centroid means.
+    */
+  def kmeansSql(k: Int = 8, iters: Int = 2): String = {
+    def assignCte(out: String, cents: String, proj: String): String =
+      s"""$out AS (
+         |  SELECT ${proj} FROM (
+         |    SELECT b.vec_id, b.emb, c.cell,
+         |      ${l2sqSql("b.emb", "c.cemb")} AS d2,
+         |      ROW_NUMBER() OVER (PARTITION BY b.vec_id
+         |        ORDER BY ${l2sqSql("b.emb", "c.cemb")}, c.cell) AS rn
+         |    FROM kb b CROSS JOIN $cents c) t
+         |  WHERE rn = 1)""".stripMargin
+    def updateCte(out: String, asg: String): String =
+      s"""$out AS (
+         |  SELECT cell, list(c ORDER BY dim) AS cemb FROM (
+         |    SELECT cell, dim,
+         |      CAST(SUM(q) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * 16777216.0) AS c
+         |    FROM (SELECT cell,
+         |            CAST(generate_subscripts(emb, 1) - 1 AS BIGINT) AS dim,
+         |            CAST(ROUND(unnest(emb) * 16777216.0) AS BIGINT) AS q
+         |          FROM $asg) e
+         |    GROUP BY cell, dim) g
+         |  GROUP BY cell)""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      assignCte(s"a$i", s"c${i - 1}", "vec_id, emb, cell") + ",\n" +
+        updateCte(s"c$i", s"a$i")
+    }.mkString(",\n")
+    s"""WITH kb AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings),
+       |c0 AS (SELECT vec_id AS cell, emb AS cemb FROM kb ORDER BY vec_id LIMIT $k),
+       |$rounds,
+       |${assignCte("afin", s"c$iters", "vec_id, cell, d2")}
+       |SELECT vec_id, cell, d2 FROM afin""".stripMargin
+  }
 
   val bucketSql: String =
     """CAST(list_sum(list_transform(range(0, 8), j ->

@@ -408,6 +408,78 @@ object TextAnalysis {
           .as("mean_surprisal"))
   }
 
+  /** DSIR-style importance weight (Xie et al., NeurIPS'23 "Data Selection
+    * for Language Models via Importance Resampling"): score each doc by
+    * how much more likely its tokens are under the TARGET domain's
+    * unigram model than under the whole corpus's — here the target is a
+    * language slice, standing in for "high-quality domain". Docs scoring
+    * high are the ones importance resampling would keep when curating
+    * toward the target distribution.
+    *
+    * Same integer-quantization discipline as [[surprisal]]: the
+    * per-token log-ratio is bitlen(c_target(w)+1) − bitlen(c_all(w)+1)
+    * (+1 = add-one smoothing, so target-unseen words score strongly
+    * negative instead of crashing a log). Per-doc totals are exact
+    * integer sums — order-independent under shuffle reduce and
+    * bit-identical cross-engine; the normalization constant
+    * log(N_all/N_target) is a per-corpus shift that cancels in ranking.
+    *
+    * Scale shape: two grouped count aggs (map-side partials, state
+    * bounded by the vocabulary); probe joins are equi-joins on the word
+    * with shuffle-hash hints (count tables are corpus-derived — a
+    * stats-blind broadcast would ship the vocabulary); one per-doc
+    * roll-up shuffle. Never |docs|².
+    */
+  def dsirWeights(docs: DataFrame, targetLang: String = "en"): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("w"))
+    val all = toks.groupBy(col("w")).agg(count(lit(1)).as("ca"))
+    val tgt = toks.filter(col("lang") === targetLang)
+      .groupBy(col("w")).agg(count(lit(1)).as("ct"))
+    toks
+      .join(all.hint("shuffle_hash"), Seq("w"))
+      .join(tgt.hint("shuffle_hash"), Seq("w"), "left")
+      .select(col("doc_id"),
+        (length(bin(coalesce(col("ct"), lit(0L)) + 1)) - length(bin(col("ca") + 1)))
+          .cast("long").as("s"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("s")).as("total_logratio"))
+      .select(col("doc_id"), col("n_tokens"), col("total_logratio"),
+        (col("total_logratio").cast("double") / col("n_tokens").cast("double"))
+          .as("mean_logratio"))
+  }
+
+  /** Gopher's "fraction of the doc covered by its top n-gram" repetition
+    * signal (Rae et al. 2021, table A1 — top-2-gram char fraction):
+    * templated/spammy text concentrates its mass in one repeated bigram.
+    * Per doc: the most frequent word-bigram (ties → lexicographically
+    * larger, via struct-max — identical rule both engines), its share of
+    * all bigram occurrences, and the fraction of the doc's characters its
+    * occurrences cover.
+    *
+    * Scale shape: per-(doc, bigram) count then per-doc roll-up — two
+    * grouped aggs with map-side partials, no joins, no windows; the
+    * struct-max partial state is O(1) per group. Docs with <2 tokens
+    * have no bigrams and no row (same rule as [[repetition]]).
+    */
+  def topNgramFraction(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("n_chars"), tokens(col("text")).as("tk"))
+      .select(col("doc_id"), col("n_chars"), explode(expr(
+        "transform(slice(tk, 1, size(tk) - 1), (t, i) -> concat(t, ' ', tk[i + 1]))")).as("bg"))
+      .groupBy(col("doc_id"), col("n_chars"), col("bg"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_bigrams"),
+        max(struct(col("cnt"), col("bg"))).as("top"),
+        max(col("n_chars")).as("nc"))
+      .select(col("doc_id"), col("n_bigrams"),
+        col("top.bg").as("top_bigram"), col("top.cnt").as("top_cnt"),
+        (col("top.cnt").cast("double") / col("n_bigrams").cast("double"))
+          .as("top_frac"),
+        (col("top.cnt").cast("double") * length(col("top.bg")).cast("double") /
+          col("nc").cast("double")).as("top_char_frac"))
+
   // ---- DuckDB oracle mirrors ---------------------------------------------
 
   /** DuckDB mirror of [[winnow]] over `src` as a CTE chain ending in

@@ -1,0 +1,52 @@
+package graft
+
+import graft.operators.Similarity
+
+/** Lloyd's k-means: blob convergence, exact fixed-point centroid math,
+  * and the deterministic tie rule (equidistant → smaller cell id) whose
+  * effect is observable through the centroid update it feeds.
+  */
+class KMeansSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def emb(rows: Seq[(Long, Seq[Float])]) =
+    rows.map { case (id, v) => (id, v, 0) }
+      .toDF("vec_id", "embedding", "label")
+
+  test("separated blobs converge to one cell per blob in 2 iterations") {
+    // ids 0 and 1 (the k=2 init seeds) land one in each blob; the rest
+    // alternate so the initial assignment is NOT already the answer.
+    val blobA = Seq[(Long, Seq[Float])](
+      0L -> Seq(10f, 0f), 2L -> Seq(11f, 0f), 4L -> Seq(10f, 1f), 6L -> Seq(11f, 1f))
+    val blobB = Seq[(Long, Seq[Float])](
+      1L -> Seq(0f, 10f), 3L -> Seq(0f, 11f), 5L -> Seq(1f, 10f), 7L -> Seq(1f, 11f))
+    val got = Similarity.kmeans(emb(blobA ++ blobB), k = 2, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cellsA = blobA.map(p => got(p._1)).toSet
+    val cellsB = blobB.map(p => got(p._1)).toSet
+    assert(cellsA.size == 1 && cellsB.size == 1 && cellsA != cellsB,
+      s"each blob must share one cell: A=$cellsA B=$cellsB")
+    assert(got.keySet == (0L to 7L).toSet)
+  }
+
+  test("tie goes to the smaller cell id and the centroid update is exact") {
+    // init c0 = vec 0 (0,0) and vec 1 (2,0); vec 2 (1,0) is EXACTLY
+    // equidistant (d2 = 1 both sides) → must join cell 0. The update then
+    // moves cell 0 to (0.5, 0) — exact in 2^24 fixed point — so the final
+    // assignment distances are exact rationals we can assert with ==.
+    val got = Similarity.kmeans(
+      emb(Seq(0L -> Seq(0f, 0f), 1L -> Seq(2f, 0f), 2L -> Seq(1f, 0f))),
+      k = 2, iters = 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got(0L) == (0L, 0.25), "(0,0) vs centroid (0.5,0)")
+    assert(got(2L) == (0L, 0.25), "tie joined cell 0, then (1,0) vs (0.5,0)")
+    assert(got(1L) == (1L, 0.0), "cell 1 kept its lone member exactly")
+  }
+
+  test("fewer vectors than k degrades to one cell per vector") {
+    val got = Similarity.kmeans(
+      emb(Seq(0L -> Seq(1f, 1f), 1L -> Seq(5f, 5f))), k = 8, iters = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got == Map(0L -> (0L, 0.0), 1L -> (1L, 0.0)))
+  }
+}

@@ -120,6 +120,34 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("BroadcastHashJoin"), "vocabulary must not be broadcast")
   }
 
+  test("q_doc_dsir: count-table probes shuffle-hash, never a vocab broadcast") {
+    // same profile as q_doc_surprisal: the unigram count tables are
+    // vocabulary-sized with unknown post-agg stats
+    val p = plan("q_doc_dsir")
+    assert(p.contains("ShuffledHashJoin"), "count probe lost the shuffle-hash hint")
+    assert(!p.contains("BroadcastHashJoin"), "vocabulary must not be broadcast")
+  }
+
+  test("q_doc_topfrac: two grouped aggs with partials, no joins or windows") {
+    val p = plan("q_doc_topfrac")
+    assert(!p.contains("Join"), "top-bigram signal must not plan a join")
+    assert(!p.contains("Window"), "argmax must be struct-max, not a rank window")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "lost map-side partials")
+  }
+
+  test("q_emb_kmeans: k-row centroids broadcast, corpus never broadcast") {
+    // every assignment joins the corpus against a k-row centroid table:
+    // the centroid side MUST broadcast (never shuffle the corpus against
+    // 8 rows) and the corpus side must never be a build side
+    val p = plan("q_emb_kmeans")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "centroid table lost its broadcast")
+    assert(!p.contains("ShuffledHashJoin") && !p.contains("SortMergeJoin"),
+      "assignment must not shuffle the corpus against k rows")
+    // the update aggregations live behind the per-iteration lazy
+    // checkpoints, so the final plan shows only the assignment shape
+  }
+
   test("q_er_bestmatch: blocking self-joins shuffle-hash, never a record broadcast") {
     // both blocking passes self-join the full record set; a broadcast
     // would ship every record to every executor at 100 TB

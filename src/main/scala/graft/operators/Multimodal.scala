@@ -13,9 +13,11 @@ import graft.functions.TextFunctions.stringHash
   *
   * Decoding: [[MediaDecoder.Real]] decodes IMAGE payloads for real via
   * the JDK's `javax.imageio` (PNG/JPEG/BMP/GIF — header-only geometry
-  * reads, spec-tested against synthesized images); audio/video decode
-  * stays stubbed (this container has no audio/video codecs), so tests and
-  * the oracle drive the full media mix through [[MediaDecoder.Fake]], a
+  * reads, spec-tested against synthesized images), and [[audioMeta]]
+  * reads WAV/AIFF/AU headers for real via `javax.sound.sampled` (PCM
+  * containers need no codec). Compressed audio and video decode stay
+  * stubbed (this container genuinely has no codecs), so tests and the
+  * oracle drive the full media mix through [[MediaDecoder.Fake]], a
   * deterministic function of the payload bytes. Also real and tested: the
   * binary schema, the mapPartitions batch shape (iterator-lazy, no
   * per-row JNI-style setup), and the expression-only metadata path used
@@ -243,6 +245,74 @@ object Multimodal {
           ImageHash(id, h)
         }
       }
+  }
+
+  case class AudioMeta(doc_id: Long, sample_rate: Int, channels: Int,
+    bits: Int, n_samples: Long, duration_ms: Long)
+
+  /** REAL audio metadata for WAV/AIFF/AU payloads via the JDK's
+    * `javax.sound.sampled.AudioSystem` — these are uncompressed PCM
+    * container formats whose readers ship with every JDK (no external
+    * codec), the audio analogue of the `javax.imageio` image path.
+    * Header-only: `getAudioFileFormat` parses the RIFF/AIFF header
+    * without reading sample data. Compressed audio (MP3/AAC/Opus)
+    * genuinely needs external codecs absent from this container — those
+    * payloads get a clear error, same contract as [[MediaDecoder.Real]]
+    * for non-image bytes. Same mapPartitions batch shape as the decoder.
+    */
+  def audioMeta(spark: SparkSession, media: DataFrame): Dataset[AudioMeta] = {
+    import spark.implicits._
+    media.filter(col("media_type") === "audio")
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          val aff =
+            try javax.sound.sampled.AudioSystem.getAudioFileFormat(
+              new java.io.ByteArrayInputStream(payload))
+            catch {
+              case e: javax.sound.sampled.UnsupportedAudioFileException =>
+                throw new IllegalArgumentException(
+                  s"audioMeta: payload of doc $id is not WAV/AIFF/AU " +
+                    "(compressed audio needs external codecs)", e)
+            }
+          val f = aff.getFormat
+          val n = aff.getFrameLength.toLong
+          val rate = f.getSampleRate
+          AudioMeta(id, rate.toInt, f.getChannels, f.getSampleSizeInBits, n,
+            if (n >= 0 && rate > 0) (n * 1000L / rate.toLong) else -1L)
+        }
+      }
+  }
+
+  /** Image near-duplicates: [[dHash]] fingerprints bucketed by the SAME
+    * multi-index Hamming scheme as text SimHash (8×8-bit bands over the
+    * 64-bit hash; by pigeonhole, any pair within Hamming ≤ 7 shares at
+    * least one intact band — EXACT recall at the default threshold).
+    * Candidates come from an equi-join on (band, key) — the shuffle key,
+    * never all-pairs — then one `bit_count(xor)` verify per candidate.
+    * This is the text-dedup machinery applied unchanged to an image
+    * corpus; like [[dHash]], not oracle-able (no image codec in the
+    * oracle engine) — recall/precision are spec-pinned on synthesized
+    * near-dup images.
+    */
+  def imageNearDups(spark: SparkSession, media: DataFrame,
+      maxHamming: Int = 7): DataFrame = {
+    val hashes = dHash(spark, media).toDF()
+    val bands = hashes.select(col("doc_id"), col("dhash"),
+      posexplode(array((0 until 8).map(b =>
+        shiftright(col("dhash"), b * 8).bitwiseAND(lit(255L))): _*))
+        .as(Seq("band", "key")))
+    val a = bands.select(col("doc_id").as("doc_a"), col("dhash").as("ha"),
+      col("band"), col("key"))
+    val b = bands.select(col("doc_id").as("doc_b"), col("dhash").as("hb"),
+      col("band"), col("key"))
+    a.join(b.hint("shuffle_hash"), Seq("band", "key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Frame sampling for video payloads: evenly-spaced frame indices,

@@ -130,6 +130,75 @@ class MultimodalSpec extends SparkSpec {
       s"reversed gradient too close: ${hamming(h(1L), h(4L))} bits")
   }
 
+  // ---- audioMeta: JDK javax.sound.sampled WAV path ------------------------
+
+  private def wavBytes(rate: Float, channels: Int, nSamples: Int): Array[Byte] = {
+    import javax.sound.sampled._
+    val fmt = new AudioFormat(rate, 16, channels, true, false)
+    val pcm = new Array[Byte](nSamples * channels * 2)
+    pcm.indices.foreach(i => pcm(i) = ((i * 37) & 0xff).toByte)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  test("audioMeta reads real WAV headers via the JDK (no external codec)") {
+    val rows = Seq(
+      (1L, "audio", wavBytes(44100f, 2, 44100)), // 1 s stereo
+      (2L, "audio", wavBytes(16000f, 1, 8000)),  // 0.5 s mono
+      (3L, "image", imageBytes(4, 4, "png")))    // filtered out
+      .toDF("doc_id", "media_type", "payload")
+    val got = Multimodal.audioMeta(spark, rows).collect()
+      .map(a => a.doc_id -> a).toMap
+    assert(got.keySet === Set(1L, 2L))
+    assert((got(1L).sample_rate, got(1L).channels, got(1L).bits,
+      got(1L).n_samples, got(1L).duration_ms) === ((44100, 2, 16, 44100L, 1000L)))
+    assert((got(2L).sample_rate, got(2L).channels, got(2L).bits,
+      got(2L).n_samples, got(2L).duration_ms) === ((16000, 1, 16, 8000L, 500L)))
+  }
+
+  test("audioMeta rejects non-PCM payloads with a clear error") {
+    val rows = Seq((1L, "audio", Array[Byte](1, 2, 3, 4)))
+      .toDF("doc_id", "media_type", "payload")
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.audioMeta(spark, rows).collect()
+    }
+    assert(e.getCause match {
+      case c: IllegalArgumentException => c.getMessage.contains("not WAV/AIFF/AU")
+      case c => c.getMessage != null && c.getMessage.contains("not WAV/AIFF/AU")
+    }, s"unexpected cause: ${e.getCause}")
+  }
+
+  test("imageNearDups: planted near-dup found, reversed image rejected, exact recall by pigeonhole") {
+    def gradient(shift: Int, reversed: Boolean = false): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(64, 64,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until 64).foreach(x => (0 until 64).foreach { y =>
+        val v = if (reversed) 255 - x * 255 / 64 else (x * 255 / 64 + shift) & 0xff
+        img.setRGB(x, y, v * 0x010101)
+      })
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out); out.toByteArray
+    }
+    val rows = Seq(
+      (1L, "image", gradient(0)),
+      (2L, "image", gradient(0)),              // exact copy → hamming 0
+      (3L, "image", gradient(2)),              // near-dup re-shading
+      (4L, "image", gradient(0, reversed = true)), // structurally different
+      (5L, "audio", Array[Byte](1, 2)))        // filtered out
+      .toDF("doc_id", "media_type", "payload")
+    val pairs = Multimodal.imageNearDups(spark, rows)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.contains((1L, 2L)) && pairs((1L, 2L)) == 0L,
+      s"exact copy must pair at hamming 0: $pairs")
+    assert(!pairs.keySet.exists(p => p._1 == 4L || p._2 == 4L),
+      s"reversed gradient must not pair: $pairs")
+    // every reported pair is within the threshold (verify step works)
+    assert(pairs.values.forall(_ <= 7L), s"over-threshold pair leaked: $pairs")
+  }
+
   test("frame sampling: at most 4 evenly-spaced, in-range indices per video") {
     val d = Multimodal.decodedMetaCols(media, docs.select($"doc_id", $"text"))
     val f = Multimodal.frameSample(d).cache()

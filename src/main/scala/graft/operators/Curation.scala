@@ -323,6 +323,46 @@ object Curation {
         min(col("quality")).as("q_min"), max(col("quality")).as("q_max"))
   }
 
+  /** Per-source CDF normalization of the quality score — the calibration
+    * step before a single global quality bar is applied to a multi-source
+    * corpus: raw scores aren't comparable across sources (each source has
+    * its own score distribution, so one threshold over-prunes some
+    * sources and under-prunes others), but each doc's WITHIN-SOURCE
+    * percentile is. Emits `q_cdf` = the midrank CDF estimate
+    * (docs-in-lower-bins + half the doc's own bin) / source total, over a
+    * fixed `bins`-bin histogram of the score.
+    *
+    * The histogram is the scale move (same reasoning as the two-pass
+    * quantile gate, sharpened): an exact per-doc percent_rank would sort
+    * every source's docs under a window — and source cardinality is low
+    * (tens), so at 100 TB each window partition is corpus-scale. The
+    * histogram instead is one grouped agg into a BOUNDED table
+    * (|sources| × bins), a tiny cumulative window over that table, and a
+    * broadcast-by-construction join back — the per-doc path stays narrow.
+    * Binning costs resolution (all docs in a bin share a percentile),
+    * which is what calibration needs anyway; everything is integer counts
+    * and one float division, so the result is exact and engine-identical.
+    */
+  def qualityCdfNormalize(docs: DataFrame, bins: Int = 64): DataFrame = {
+    val q = graft.expressions.PushdownBarrier.barrieredFilter(
+        TextAnalysis.quality(docs, passthrough = Seq("source")),
+        col("quality").isNotNull)
+      .select(col("doc_id"), col("source"), col("quality"))
+    val binned = q.withColumn("bin",
+      greatest(least(floor(col("quality") * bins), lit(bins - 1).cast("double")), lit(0.0))
+        .cast("long"))
+    val hist = binned.groupBy(col("source"), col("bin")).agg(count(lit(1)).as("cnt"))
+    val below = Window.partitionBy(col("source")).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = hist
+      .withColumn("below", coalesce(sum(col("cnt")).over(below), lit(0L)))
+      .withColumn("n_src", sum(col("cnt")).over(Window.partitionBy(col("source"))))
+    binned.join(broadcast(cum), Seq("source", "bin"))
+      .select(col("doc_id"), col("source"), col("quality"),
+        ((col("below").cast("double") + lit(0.5) * col("cnt").cast("double"))
+          / col("n_src").cast("double")).as("q_cdf"))
+  }
+
   /** Merge two per-source mixing tables ([[sourceMix]] outputs) WITHOUT
     * re-scanning either corpus — the incremental pattern for a corpus
     * that grows by daily increments: keep each increment's per-source

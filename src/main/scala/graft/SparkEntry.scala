@@ -367,6 +367,9 @@ object SparkEntry {
     // Per-lang quality histogram: constant-bounded output (|langs|·bins),
     // the cheap first look before picking gate thresholds.
     "q_doc_qhist" -> { (s, dir) => Curation.qualityHistogram(Tables.documents(s, dir)) },
+    // Per-source CDF calibration of the quality score: histogram-midrank
+    // percentile, no per-doc window (the hist table is |sources|·bins).
+    "q_doc_qcdf" -> { (s, dir) => Curation.qualityCdfNormalize(Tables.documents(s, dir)) },
     // Deterministic train/val/test split: content-hash permille buckets —
     // rerun-stable, and duplicate texts land in the same split (no
     // train/test leakage through copies). Narrow map.
@@ -2059,6 +2062,28 @@ object SparkEntry {
          |  CAST(greatest(least(floor(quality * 20), 19.0), 0.0) AS BIGINT) AS bin,
          |  COUNT(*) AS n, min(quality) AS q_min, max(quality) AS q_max
          |FROM q GROUP BY 1, 2""".stripMargin,
+    "q_doc_qcdf" ->
+      s"""WITH ${TextAnalysis.qualityRatiosSql()},
+         |q AS (
+         |  SELECT rq.doc_id, d.source,
+         |    ${TextAnalysis.qualityScoreSql} AS quality
+         |  FROM rq JOIN documents d ON rq.doc_id = d.doc_id
+         |  WHERE ${TextAnalysis.qualityScoreSql} IS NOT NULL),
+         |b AS (
+         |  SELECT doc_id, source, quality,
+         |    CAST(greatest(least(floor(quality * 64), 63.0), 0.0) AS BIGINT) AS bin
+         |  FROM q),
+         |hist AS (SELECT source, bin, COUNT(*) AS cnt FROM b GROUP BY 1, 2),
+         |cum AS (
+         |  SELECT source, bin, cnt,
+         |    COALESCE(SUM(cnt) OVER (PARTITION BY source ORDER BY bin
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below,
+         |    SUM(cnt) OVER (PARTITION BY source) AS n_src
+         |  FROM hist)
+         |SELECT b.doc_id, b.source, b.quality,
+         |  (CAST(c.below AS DOUBLE) + 0.5 * CAST(c.cnt AS DOUBLE))
+         |    / CAST(c.n_src AS DOUBLE) AS q_cdf
+         |FROM b JOIN cum c ON b.source = c.source AND b.bin = c.bin""".stripMargin,
     "q_doc_langid" ->
       """WITH t AS (
         |  SELECT doc_id, lang,

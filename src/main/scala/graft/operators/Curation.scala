@@ -352,11 +352,15 @@ object Curation {
       greatest(least(floor(col("quality") * bins), lit(bins - 1).cast("double")), lit(0.0))
         .cast("long"))
     val hist = binned.groupBy(col("source"), col("bin")).agg(count(lit(1)).as("cnt"))
-    val below = Window.partitionBy(col("source")).orderBy(col("bin"))
-      .rowsBetween(Window.unboundedPreceding, -1)
+    // one ordered partition spec, two frames — planned as a SINGLE Window
+    // operator over the bounded hist table (pinned in PlanQualitySpec)
+    val w = Window.partitionBy(col("source")).orderBy(col("bin"))
     val cum = hist
-      .withColumn("below", coalesce(sum(col("cnt")).over(below), lit(0L)))
-      .withColumn("n_src", sum(col("cnt")).over(Window.partitionBy(col("source"))))
+      .withColumn("below", coalesce(
+        sum(col("cnt")).over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n_src",
+        sum(col("cnt")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
     binned.join(broadcast(cum), Seq("source", "bin"))
       .select(col("doc_id"), col("source"), col("quality"),
         ((col("below").cast("double") + lit(0.5) * col("cnt").cast("double"))

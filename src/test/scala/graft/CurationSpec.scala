@@ -203,6 +203,36 @@ class CurationSpec extends SparkSpec {
     assert(bad.count() === 0)
   }
 
+  test("quality CDF: matches a driver-side exact midrank over bins, covers all scored docs") {
+    val r = Curation.qualityCdfNormalize(docs).cache()
+    val scored = TextAnalysis.quality(docs).filter($"quality".isNotNull).count()
+    assert(r.count() === scored)
+    // q_cdf is a strict-interior probability (midrank can't hit 0 or 1)
+    assert(r.filter($"q_cdf" <= 0.0 || $"q_cdf" >= 1.0).count() === 0)
+    // recompute the midrank CDF naively on the driver (fine at test sf)
+    val got = r.select($"doc_id", $"source", $"quality", $"q_cdf")
+      .as[(Long, String, Double, Double)].collect()
+    val bins = got.map { case (id, src, q, cdf) =>
+      (id, src, math.max(0L, math.min(63L, math.floor(q * 64).toLong)), cdf)
+    }
+    for ((_, perSrc) <- bins.groupBy(_._2)) {
+      val histo = perSrc.groupBy(_._3).view.mapValues(_.length.toLong).toMap
+      val n = perSrc.length.toDouble
+      for ((id, _, bin, cdf) <- perSrc) {
+        val below = histo.filter(_._1 < bin).values.sum
+        val expect = (below + 0.5 * histo(bin)) / n
+        assert(math.abs(cdf - expect) < 1e-12, s"doc $id")
+      }
+    }
+    // within a source, the CDF is monotone in the bin (calibration property)
+    for ((_, perSrc) <- bins.groupBy(_._2);
+         pair <- perSrc.sortBy(x => (x._3, x._1)).sliding(2).map(_.toSeq)) pair match {
+      case Seq(a, b) if a._3 < b._3 => assert(a._4 < b._4)
+      case _ => ()
+    }
+    r.unpersist()
+  }
+
   test("source mix: shares sum to 1 and totals add up") {
     val m = Curation.sourceMix(docs).cache()
     val nDocs = docs.count()

@@ -93,6 +93,17 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), "thresholds must broadcast")
   }
 
+  test("q_doc_qcdf: CDF table broadcasts back; the only window is over the bounded hist") {
+    val p = plan("q_doc_qcdf")
+    // the per-doc path must stay narrow: the (|sources|·bins) cumulative
+    // table joins back by broadcast, never a corpus-sized shuffle join
+    assert(p.contains("BroadcastHashJoin"), "hist CDF must broadcast back")
+    // exactly one Window operator (the cumulative sum over the hist) —
+    // a second one would mean a per-doc rank crept back in
+    val windows = p.linesIterator.count(_.trim.matches("""\(\d+\) Window.*"""))
+    assert(windows == 1, s"expected exactly one bounded Window, got $windows")
+  }
+
   test("candidate self-joins are shuffle-hash, never a corpus broadcast") {
     // both sides of each candidate join are corpus-sized derived tables
     // with unknown post-checkpoint stats; a broadcast would ship the

@@ -413,6 +413,12 @@ object SparkEntry {
     "q_doc_budget" -> { (s, dir) => Curation.budgetSelect(Tables.documents(s, dir)) },
     // Source mixing table: per-source doc/token/char totals + corpus share.
     "q_doc_sourcemix" -> { (s, dir) => Curation.sourceMix(Tables.documents(s, dir)) },
+    // Temperature-scaled (α = 1/2) source sampling weights: integer-exact
+    // floor(sqrt) quantization, one grouped agg + 1-row broadcast total.
+    "q_doc_mixalpha" -> { (s, dir) => Curation.mixtureWeights(Tables.documents(s, dir)) },
+    // Pow-2 length-bucketed batching audit: integer bit-length buckets,
+    // pad-waste per (lang, bucket). Output bounded at |langs|·64 rows.
+    "q_doc_lenbuckets" -> { (s, dir) => Curation.lengthBuckets(Tables.documents(s, dir)) },
     // Per-source document cap (domain balancing), deterministic bottom-k.
     "q_doc_sourcecap" -> { (s, dir) =>
       Curation.sourceCap(Tables.documents(s, dir))
@@ -1836,6 +1842,36 @@ object SparkEntry {
          |SELECT source, n_docs, n_tokens, sum_chars,
          |  CAST(n_docs AS DOUBLE) / CAST((SELECT SUM(n_docs) FROM per) AS DOUBLE) AS doc_share
          |FROM per""".stripMargin,
+    "q_doc_mixalpha" ->
+      s"""WITH per AS (
+         |  SELECT source,
+         |    CAST(SUM(CAST(len(${Dedup.toksSql}) AS BIGINT)) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY source),
+         |w AS (
+         |  SELECT source, n_tokens,
+         |    CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS w_alpha
+         |  FROM per)
+         |SELECT source, n_tokens, w_alpha,
+         |  CAST(w_alpha AS DOUBLE)
+         |    / CAST((SELECT SUM(w_alpha) FROM w) AS DOUBLE) AS p_sample,
+         |  CAST(n_tokens AS DOUBLE)
+         |    / CAST((SELECT SUM(n_tokens) FROM w) AS DOUBLE) AS p_natural
+         |FROM w""".stripMargin,
+    "q_doc_lenbuckets" ->
+      s"""WITH nt AS (
+         |  SELECT lang, CAST(len(${Dedup.toksSql}) AS BIGINT) AS nt FROM documents),
+         |b AS (
+         |  SELECT lang, nt,
+         |    CASE WHEN nt <= 0 THEN CAST(0 AS BIGINT)
+         |         ELSE CAST(length(format('{:b}', nt)) - 1 AS BIGINT) END AS bucket
+         |  FROM nt)
+         |SELECT lang, bucket,
+         |  (CAST(1 AS BIGINT) << CAST(bucket + 1 AS INTEGER)) - 1 AS cap,
+         |  COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS sum_tokens,
+         |  MIN(nt) AS nt_min, MAX(nt) AS nt_max,
+         |  CAST(SUM((CAST(1 AS BIGINT) << CAST(bucket + 1 AS INTEGER)) - 1 - nt)
+         |    AS BIGINT) AS pad_waste
+         |FROM b GROUP BY 1, 2""".stripMargin,
     "q_doc_sourcecap" ->
       s"""WITH agg AS (
          |  SELECT source,

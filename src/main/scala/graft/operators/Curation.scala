@@ -203,6 +203,68 @@ object Curation {
           .as("doc_share"))
   }
 
+  /** Temperature-scaled source sampling weights — the multinomial-mix
+    * step of multi-source training (XLM-R / mT5-style α-smoothing): raw
+    * token shares over-sample giant sources, so the sampler draws with
+    * probability ∝ share^α, α < 1 flattening the mix. Emits per-source
+    * token totals, the α = 1/2 weight `w_alpha = floor(sqrt(n_tokens))`,
+    * the normalized sampling probability `p_sample = w/Σw`, and the
+    * natural share `p_natural` it replaces.
+    *
+    * Exactness (why α is pinned at 1/2 here): IEEE sqrt is correctly
+    * rounded in every engine, so `floor(sqrt(bigint))` is a bit-identical
+    * INTEGER cross-engine; Σw is then an integer sum (order-independent
+    * under shuffle reduce) and the one float division divides identical
+    * operands. The general-α spelling (`pow` + a float Σ) is neither —
+    * libm pow differs across engines in the last ulp and a float sum
+    * depends on reduce order. A sampler only sees the ratios, so the
+    * quantized weight loses nothing.
+    *
+    * Scale: one grouped agg (|sources| rows) + a 1-row broadcast total —
+    * the [[sourceMix]] shape.
+    */
+  def mixtureWeights(docs: DataFrame): DataFrame = {
+    val per = docs
+      .select(col("source"), size(tokens(col("text"))).cast("long").as("nt"))
+      .groupBy(col("source")).agg(sum(col("nt")).as("n_tokens"))
+      .withColumn("w_alpha", floor(sqrt(col("n_tokens").cast("double"))).cast("long"))
+    val tot = per.agg(sum(col("w_alpha")).as("w_total"),
+      sum(col("n_tokens")).as("tok_total"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_tokens"), col("w_alpha"),
+        (col("w_alpha").cast("double") / col("w_total").cast("double"))
+          .as("p_sample"),
+        (col("n_tokens").cast("double") / col("tok_total").cast("double"))
+          .as("p_natural"))
+  }
+
+  /** Power-of-two length-bucketed batching audit — the prep step for
+    * length-grouped batching (docs padded to their bucket's cap train
+    * together; mixing a 10-token doc into a 2048-token batch wastes the
+    * difference as pad). Bucket b holds token counts in [2^b, 2^(b+1))
+    * (nt = 0 joins bucket 0); emits per-(lang, bucket) doc/token totals,
+    * the bucket cap, and the total pad waste if every doc pads to cap.
+    *
+    * The bucket index is pure INTEGER bit arithmetic — the binary bit
+    * length of nt, never float log2 (whose rounding at exact powers of
+    * two differs across engines): Spark `length(bin(nt)) - 1` ≡ DuckDB
+    * `length(format('{:b}', nt)) - 1`. Everything downstream is integer
+    * sums. Scale: narrow token count + one grouped agg, output bounded
+    * by |langs| · 64 rows.
+    */
+  def lengthBuckets(docs: DataFrame): DataFrame = {
+    val nt = docs.select(col("lang"),
+      size(tokens(col("text"))).cast("long").as("nt"))
+    val b = nt.withColumn("bucket",
+      when(col("nt") <= 0L, lit(0L))
+        .otherwise((length(bin(col("nt"))) - 1).cast("long")))
+      .withColumn("cap", expr("shiftleft(cast(1 as bigint), cast(bucket as int) + 1) - 1"))
+    b.groupBy(col("lang"), col("bucket"), col("cap"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("sum_tokens"),
+        min(col("nt")).as("nt_min"), max(col("nt")).as("nt_max"),
+        sum(col("cap") - col("nt")).as("pad_waste"))
+  }
+
   /** Per-source token-distribution drift: total variation distance
     * between each source's unigram distribution and the REST of the
     * corpus — the domain-shift audit run before reweighting a training

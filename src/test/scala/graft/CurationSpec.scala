@@ -233,6 +233,40 @@ class CurationSpec extends SparkSpec {
     r.unpersist()
   }
 
+  test("mixture weights: exact integer sqrt, probabilities normalize, α flattens the mix") {
+    val m = Curation.mixtureWeights(docs).cache()
+    val rows = m.select($"source", $"n_tokens", $"w_alpha", $"p_sample", $"p_natural")
+      .as[(String, Long, Long, Double, Double)].collect()
+    for ((_, nt, w, _, _) <- rows)
+      assert(w === math.floor(math.sqrt(nt.toDouble)).toLong)
+    assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-9)
+    assert(math.abs(rows.map(_._5).sum - 1.0) < 1e-9)
+    // α < 1 flattens: the biggest source samples BELOW its natural share,
+    // the smallest above (only meaningful when sizes actually differ)
+    val big = rows.maxBy(_._2); val small = rows.minBy(_._2)
+    if (big._2 > small._2 * 11 / 10) {
+      assert(big._4 < big._5, s"big source not flattened: $big")
+      assert(small._4 > small._5, s"small source not lifted: $small")
+    }
+    m.unpersist()
+  }
+
+  test("length buckets: ranges nest in [2^b, 2^(b+1)), totals partition the corpus") {
+    val lb = Curation.lengthBuckets(docs).cache()
+    val rows = lb.select($"lang", $"bucket", $"cap", $"n_docs", $"sum_tokens",
+        $"nt_min", $"nt_max", $"pad_waste")
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.map(_._4).sum === docs.count())
+    for ((_, b, cap, n, st, lo, hi, waste) <- rows) {
+      assert(cap === (1L << (b + 1)) - 1)
+      if (b > 0) assert(lo >= (1L << b), s"bucket $b min $lo below range")
+      assert(hi <= cap, s"bucket $b max $hi above cap")
+      // pad accounting is exact: waste = n·cap − Σnt
+      assert(waste === n * cap - st)
+    }
+    lb.unpersist()
+  }
+
   test("source mix: shares sum to 1 and totals add up") {
     val m = Curation.sourceMix(docs).cache()
     val nDocs = docs.count()

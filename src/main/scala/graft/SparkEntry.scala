@@ -713,6 +713,30 @@ object SparkEntry {
           (abs($"v".cast("double") - $"mean") > $"sd" * 2.0).as("flagged"))
     },
 
+    // Recency-weighted user activity (half-life = 1 day) — the
+    // exponential-decay counter behind "active user" ranking. Weights are
+    // EXACT dyadic integers: an event Δ days before the corpus horizon
+    // weighs 2^(50−Δ) (truncating to 0 beyond 50 days, i.e. below the
+    // 2^-50 tail), summed in DECIMAL(38,0) — order-independent under
+    // shuffle reduce and bit-identical cross-engine, unlike a float
+    // Σ 0.5^Δ (a float sum depends on reduce order, and casting the
+    // >2^53 total to double rounds differently per engine). The float
+    // score is ewma_q50 / 2^50, left to the consumer. Scale: narrow date
+    // map + 1-row broadcast horizon + one grouped agg with O(1) state.
+    "q_ev_ewma" -> { (s, dir) =>
+      import s.implicits._
+      val e = Tables.events(s, dir).select($"user_id", to_date($"ts").as("d"))
+      val h = e.agg(max($"d").as("hd"))
+      e.crossJoin(broadcast(h))
+        .withColumn("dd", datediff($"hd", $"d"))
+        .withColumn("wt", when($"dd" <= 50,
+          expr("shiftleft(cast(1 as bigint), 50 - cast(dd as int))"))
+          .otherwise(lit(0L)))
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_events"), max($"d").as("last_day"),
+          sum($"wt".cast("decimal(38,0)")).as("ewma_q50"))
+    },
+
     // Vocabulary frequency-of-frequencies (the Zipf/hapax audit): how
     // many distinct words occur exactly f times. Two grouped counts;
     // output bounded by distinct frequencies.
@@ -2212,6 +2236,19 @@ object SparkEntry {
         |SELECT e.event_id, e.user_id, CAST(e.v AS DOUBLE) AS value, ms.mean, ms.sd,
         |  (abs(CAST(e.v AS DOUBLE) - ms.mean) > ms.sd * 2.0) AS flagged
         |FROM e JOIN ms ON e.user_id = ms.user_id""".stripMargin,
+    "q_ev_ewma" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+        |h AS (SELECT MAX(d) AS hd FROM e),
+        |w AS (
+        |  SELECT user_id, d,
+        |    CASE WHEN date_diff('day', d, (SELECT hd FROM h)) <= 50
+        |         THEN CAST(1 AS BIGINT)
+        |           << CAST(50 - date_diff('day', d, (SELECT hd FROM h)) AS INTEGER)
+        |         ELSE CAST(0 AS BIGINT) END AS wt
+        |  FROM e)
+        |SELECT user_id, COUNT(*) AS n_events, MAX(d) AS last_day,
+        |  CAST(SUM(CAST(wt AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS ewma_q50
+        |FROM w GROUP BY user_id""".stripMargin,
     "q_doc_ffreq" ->
       s"""WITH tok AS (SELECT unnest(${Dedup.toksSql}) AS w FROM documents),
          |wf AS (SELECT w, COUNT(*) AS f FROM tok GROUP BY w)

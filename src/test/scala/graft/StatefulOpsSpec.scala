@@ -94,6 +94,35 @@ class StatefulOpsSpec extends SparkSpec {
     assert(out(3L) === ((true, false)), "pre-click purchase must not convert")
   }
 
+  test("ewma activity: dyadic day weights hand-computed; stale events truncate to 0") {
+    import org.apache.spark.sql.functions._
+    val ev = Seq(
+      (1L, ts("2024-03-01 10:00:00")), // Δ0 → 2^50
+      (1L, ts("2024-02-29 23:00:00")), // Δ1 → 2^49
+      (1L, ts("2024-02-28 00:00:00")), // Δ2 → 2^48
+      (2L, ts("2024-03-01 00:00:00")), // Δ0 → 2^50
+      (3L, ts("2023-12-01 00:00:00"))  // Δ91 > 50 → 0
+    ).toDF("user_id", "ts")
+    // the q_ev_ewma plan shape: horizon broadcast + exact integer weights
+    val e = ev.select($"user_id", to_date($"ts").as("d"))
+    val h = e.agg(max($"d").as("hd"))
+    val got = e.crossJoin(broadcast(h))
+      .withColumn("dd", datediff($"hd", $"d"))
+      .withColumn("wt", when($"dd" <= 50,
+        expr("shiftleft(cast(1 as bigint), 50 - cast(dd as int))")).otherwise(lit(0L)))
+      .groupBy($"user_id")
+      .agg(sum($"wt".cast("decimal(38,0)")).as("ewma_q50"))
+      .as[(Long, java.math.BigDecimal)].collect()
+      .map(t => t._1 -> t._2.longValueExact()).toMap
+    assert(got(1L) === (1L << 50) + (1L << 49) + (1L << 48))
+    assert(got(2L) === (1L << 50))
+    assert(got(3L) === 0L, "beyond the 50-day tail the weight truncates to 0")
+    // recency dominates volume: user 1's three old-ish events can never
+    // outweigh a user with one strictly fresher event plus anything else —
+    // the half-life invariant Σ_{δ>0} 2^-δ < 2^0
+    assert(got(1L) < (1L << 50) * 2)
+  }
+
   test("latest-per-key: max_by composite-key agg ≡ row_number window") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._

@@ -1061,6 +1061,77 @@ object SparkEntry {
         count(when($"l_linestatus" === "F", 1)).as("n_finished"),
         sum(when($"l_discount" > 0.05, dec2($"l_extendedprice"))).cast("double").as("high_disc_price")
       )
+    },
+
+    // TPC-H Q13 shape: order-count distribution INCLUDING zero-order
+    // customers. Orders aggregate FIRST (map-side combinable, ≤|custkey|
+    // rows) and only the shrunken counts join customers — never the raw
+    // orders table; a left outer keeps the zero bucket. Both shuffles run
+    // on aggregated data.
+    "q_custdist" -> { (s, dir) =>
+      import s.implicits._
+      val perCust = Tables.orders(s, dir).groupBy($"o_custkey")
+        .agg(count(lit(1)).as("n_orders"))
+      Tables.customer(s, dir)
+        .join(perCust, $"c_custkey" === $"o_custkey", "left")
+        .select(coalesce($"n_orders", lit(0L)).as("c_count"))
+        .groupBy($"c_count").agg(count(lit(1)).as("custdist"))
+    },
+
+    // TPC-H Q19 shape: a disjunction of conjunctive brackets across a
+    // join. The part-only conjuncts must still reach the part scan as one
+    // OR filter (pinned in PlanQualitySpec), the join stays broadcast on
+    // p_partkey, and the mixed residual evaluates post-join.
+    "q_disj" -> { (s, dir) =>
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir)), $"l_partkey" === $"p_partkey")
+        .filter(
+          ($"p_brand" === "Brand#12" && $"p_size".between(1, 15) && $"l_quantity" <= 11) ||
+          ($"p_brand" === "Brand#13" && $"p_size".between(1, 25) && $"l_quantity".between(10, 20)) ||
+          ($"p_brand" === "Brand#15" && $"p_size".between(1, 35) && $"l_quantity" >= 20))
+        .agg(
+          sum(dec2($"l_extendedprice") * (lit(1) - pct($"l_discount")))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n"))
+    },
+
+    // TPC-H Q21 shape (adapted to this schema: returnflag = the fault
+    // signal): suppliers whose item came back in a multi-supplier order
+    // where NO other supplier's item did — one semi and one anti self-join
+    // on the same derived table, both keyed on l_orderkey (bounded
+    // per-order fan, never all-pairs), then a broadcast dim join.
+    "q_retonly" -> { (s, dir) =>
+      import s.implicits._
+      val l = Tables.lineitem(s, dir)
+      val ret = l.filter($"l_returnflag" === "R")
+        .select($"l_orderkey", $"l_suppkey").distinct()
+      val multi = ret.alias("r").join(l.alias("o"),
+        col("r.l_orderkey") === col("o.l_orderkey") &&
+          col("r.l_suppkey") =!= col("o.l_suppkey"), "left_semi")
+      val sole = multi.alias("m").join(ret.alias("r2"),
+        col("m.l_orderkey") === col("r2.l_orderkey") &&
+          col("m.l_suppkey") =!= col("r2.l_suppkey"), "left_anti")
+      sole.join(broadcast(Tables.supplier(s, dir)), $"l_suppkey" === $"s_suppkey")
+        .groupBy($"s_name").agg(count(lit(1)).as("numwait"))
+    },
+
+    // TPC-H Q14 shape: promo revenue share — conditional aggregation over
+    // a broadcast join, one scan, exact DECIMAL sums divided once.
+    "q_promoshare" -> { (s, dir) =>
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .filter($"l_shipdate" >= lit("1997-01-01").cast("timestamp") &&
+          $"l_shipdate" < lit("1998-01-01").cast("timestamp"))
+        .join(broadcast(Tables.part(s, dir)), $"l_partkey" === $"p_partkey")
+        .agg(
+          (lit(100.0) *
+            sum(when($"p_type" === "PROMO",
+              dec2($"l_extendedprice") * (lit(1) - pct($"l_discount"))))
+              .cast("double") /
+            sum(dec2($"l_extendedprice") * (lit(1) - pct($"l_discount")))
+              .cast("double")).as("promo_share"),
+          count(lit(1)).as("n"))
     }
   )
 
@@ -2504,6 +2575,37 @@ object SparkEntry {
         |  COUNT(CASE WHEN l_linestatus = 'O' THEN 1 END) AS n_open,
         |  COUNT(CASE WHEN l_linestatus = 'F' THEN 1 END) AS n_finished,
         |  CAST(SUM(CASE WHEN l_discount > 0.05 THEN CAST(l_extendedprice AS DECIMAL(12,2)) END) AS DOUBLE) AS high_disc_price
-        |FROM lineitem GROUP BY l_returnflag""".stripMargin
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q_custdist" ->
+      """WITH pc AS (SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey)
+        |SELECT coalesce(pc.n_orders, 0) AS c_count, COUNT(*) AS custdist
+        |FROM customer LEFT JOIN pc ON c_custkey = o_custkey
+        |GROUP BY 1""".stripMargin,
+    "q_disj" ->
+      """SELECT
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity <= 11)
+        |   OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 35 AND l_quantity >= 20)""".stripMargin,
+    "q_retonly" ->
+      """WITH ret AS (
+        |  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem WHERE l_returnflag = 'R')
+        |SELECT s_name, COUNT(*) AS numwait
+        |FROM ret r JOIN supplier ON r.l_suppkey = s_suppkey
+        |WHERE EXISTS (SELECT 1 FROM lineitem o
+        |              WHERE o.l_orderkey = r.l_orderkey AND o.l_suppkey <> r.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM ret r2
+        |                  WHERE r2.l_orderkey = r.l_orderkey AND r2.l_suppkey <> r.l_suppkey)
+        |GROUP BY s_name""".stripMargin,
+    "q_promoshare" ->
+      """SELECT
+        |  100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |        THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) END) AS DOUBLE)
+        |    / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS promo_share,
+        |  COUNT(*) AS n
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'""".stripMargin
   )
 }

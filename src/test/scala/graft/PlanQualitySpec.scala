@@ -104,6 +104,25 @@ class PlanQualitySpec extends SparkSpec {
     assert(windows == 1, s"expected exactly one bounded Window, got $windows")
   }
 
+  test("q_disj: per-side OR brackets extracted and pushed to BOTH scans; broadcast join") {
+    val p = plan("q_disj")
+    assert(p.contains("BroadcastHashJoin"))
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters:")).mkString("\n")
+    // the part-only disjunction (brand/size brackets) reaches the part scan…
+    assert(pushed.contains("EqualTo(p_brand,Brand#12)") && pushed.contains("Or("),
+      "part-side OR extraction must push to the part scan")
+    // …and the lineitem-only disjunction (quantity brackets) reaches lineitem
+    assert(pushed.contains("LessThanOrEqual(l_quantity,11.0)"),
+      "lineitem-side OR extraction must push to the lineitem scan")
+  }
+
+  test("q_custdist: both aggregations partial-combine; orders aggregate before the join") {
+    val p = plan("q_custdist")
+    // per-custkey count (partial+final) and the distribution count
+    // (partial+final) — 4 HashAggregates; the join reads aggregated rows
+    assert("HashAggregate".r.findAllIn(p).size >= 4, "agg-before-join shape lost")
+  }
+
   test("candidate self-joins are shuffle-hash, never a corpus broadcast") {
     // both sides of each candidate join are corpus-sized derived tables
     // with unknown post-checkpoint stats; a broadcast would ship the

@@ -315,6 +315,21 @@ object SparkEntry {
     "q_doc_quality" -> { (s, dir) => TextAnalysis.quality(Tables.documents(s, dir)) },
     "q_doc_langid" -> { (s, dir) => TextAnalysis.langId(Tables.documents(s, dir)) },
     "q_doc_tfidf" -> { (s, dir) => TextAnalysis.tfidfTop(Tables.documents(s, dir)) },
+    // Per-source n-gram diversity: distinct-trigram fraction — the
+    // templated-content audit (a source stamping one boilerplate pattern
+    // scores near 0, fresh prose near 1). Two grouped aggs over the fused
+    // shingle stream; output bounded at |sources| rows.
+    "q_doc_diversity" -> { (s, dir) =>
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select($"source",
+          explode(graft.expressions.ShingleHashes.shingle_hashes($"text")).as("h"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_shingles"),
+          countDistinct($"h").as("n_distinct"))
+        .withColumn("diversity",
+          $"n_distinct".cast("double") / $"n_shingles".cast("double"))
+    },
 
     // Exact per-customer top-3 order ids via a bounded-heap
     // TypedImperativeAggregate: O(k) buffer per group, so map-side partial
@@ -609,6 +624,23 @@ object SparkEntry {
       Similarity.lshBuckets(Tables.embeddings(s, dir)).select(col("vec_id"), col("bucket"))
     },
     "q_emb_ann" -> { (s, dir) => Similarity.knnLsh(Tables.embeddings(s, dir)) },
+    // ANN quality audit: recall@3 of the LSH index against brute-force
+    // ground truth, per query — the measurement that gates an index
+    // rollout. Both sides are existing operators; the join is
+    // (qid, vec_id)-keyed, output bounded by |queries|.
+    "q_emb_recall" -> { (s, dir) =>
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      val truth = Similarity.knnBrute(emb).filter($"rn" <= 3).select($"qid", $"vec_id")
+      val ann = Similarity.knnLsh(emb).select($"qid", $"vec_id")
+      val hit = truth.join(ann, Seq("qid", "vec_id"), "left_semi")
+        .groupBy($"qid").agg(count(lit(1)).as("n_hit"))
+      truth.groupBy($"qid").agg(count(lit(1)).as("n_truth"))
+        .join(hit, Seq("qid"), "left")
+        .select($"qid", $"n_truth", coalesce($"n_hit", lit(0L)).as("n_hit"),
+          (coalesce($"n_hit", lit(0L)).cast("double") / $"n_truth".cast("double"))
+            .as("recall"))
+    },
     "q_emb_centroid" -> { (s, dir) => Similarity.centroids(Tables.embeddings(s, dir)) },
     // Lloyd's k-means (2 iterations, deterministic init): trains the
     // coarse quantizer IVF/IVF-PQ assume — broadcast k-row centroids,
@@ -1630,6 +1662,33 @@ object SparkEntry {
          |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS BIGINT) AS rn
          |  FROM pairs) t
          |WHERE rn <= 3""".stripMargin,
+    "q_emb_recall" ->
+      s"""WITH ${Similarity.baseSql},
+         |q AS (SELECT vec_id AS qid, emb AS qemb, nrm AS qnrm FROM base WHERE vec_id % 50 = 0),
+         |kp AS (
+         |  SELECT qid, vec_id, ${Similarity.dotSql("qemb", "emb")} / (qnrm * nrm) AS cos
+         |  FROM q JOIN base ON vec_id <> qid),
+         |knn AS (SELECT qid, vec_id FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+         |    FROM kp) t
+         |  WHERE rn <= 3),
+         |bk AS (SELECT vec_id, emb, nrm, ${Similarity.bucketSql} AS bucket FROM base),
+         |q2 AS (SELECT vec_id AS qid, emb AS qemb, nrm AS qnrm, bucket AS qbucket
+         |       FROM bk WHERE vec_id % 50 = 0),
+         |ap AS (
+         |  SELECT qid, vec_id, ${Similarity.dotSql("qemb", "emb")} / (qnrm * nrm) AS cos
+         |  FROM q2 JOIN bk ON bucket = qbucket AND vec_id <> qid),
+         |ann AS (SELECT qid, vec_id FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+         |    FROM ap) t
+         |  WHERE rn <= 3),
+         |hit AS (SELECT k.qid, COUNT(*) AS n_hit
+         |        FROM knn k JOIN ann a ON a.qid = k.qid AND a.vec_id = k.vec_id
+         |        GROUP BY k.qid),
+         |tr AS (SELECT qid, COUNT(*) AS n_truth FROM knn GROUP BY qid)
+         |SELECT tr.qid, tr.n_truth, coalesce(h.n_hit, CAST(0 AS BIGINT)) AS n_hit,
+         |  CAST(coalesce(h.n_hit, 0) AS DOUBLE) / CAST(tr.n_truth AS DOUBLE) AS recall
+         |FROM tr LEFT JOIN hit h ON h.qid = tr.qid""".stripMargin,
     "q_emb_e2e" ->
       s"""WITH ecorpus AS (
          |  SELECT vec_id, label, embedding FROM embeddings
@@ -2193,6 +2252,13 @@ object SparkEntry {
          |  CAST(greatest(least(floor(quality * 20), 19.0), 0.0) AS BIGINT) AS bin,
          |  COUNT(*) AS n, min(quality) AS q_min, max(quality) AS q_max
          |FROM q GROUP BY 1, 2""".stripMargin,
+    "q_doc_diversity" ->
+      s"""WITH sh AS (
+         |  SELECT source, ${Dedup.shingleUnnestSql} AS h
+         |  FROM (SELECT source, ${Dedup.toksSql} AS toks FROM documents))
+         |SELECT source, COUNT(*) AS n_shingles, COUNT(DISTINCT h) AS n_distinct,
+         |  CAST(COUNT(DISTINCT h) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS diversity
+         |FROM sh GROUP BY source""".stripMargin,
     "q_doc_qcdf" ->
       s"""WITH ${TextAnalysis.qualityRatiosSql()},
          |q AS (

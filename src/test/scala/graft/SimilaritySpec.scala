@@ -22,6 +22,32 @@ class SimilaritySpec extends SparkSpec {
     assert(ann.filter($"cos" =!= $"bcos").count() === 0)
   }
 
+  test("recall audit: planted same-bucket twins score recall 1; recall stays in [0,1]") {
+    // two exact copies of each query vector share every hyperplane sign →
+    // same LSH bucket → the ANN must find them → recall@  truth-set = 1
+    val base = emb.filter($"vec_id" < 200)
+    val twins = base.filter($"vec_id" % 50 === 0)
+      .select(($"vec_id" + 1000000L).as("vec_id"), $"label", $"embedding")
+    val twins2 = base.filter($"vec_id" % 50 === 0)
+      .select(($"vec_id" + 2000000L).as("vec_id"), $"label", $"embedding")
+    val planted = base.unionByName(twins).unionByName(twins2)
+    val truth = Similarity.knnBrute(planted, k = 2).select($"qid", $"vec_id")
+    val ann = Similarity.knnLsh(planted, k = 2).select($"qid", $"vec_id")
+    val hit = truth.join(ann, Seq("qid", "vec_id"), "left_semi")
+      .groupBy($"qid").agg(count(lit(1)).as("n_hit"))
+    val rec = truth.groupBy($"qid").agg(count(lit(1)).as("n_truth"))
+      .join(hit, Seq("qid"), "left")
+      .select($"qid",
+        (coalesce($"n_hit", lit(0L)).cast("double") / $"n_truth".cast("double"))
+          .as("recall"))
+      .as[(Long, Double)].collect().toMap
+    assert(rec.nonEmpty)
+    // an exact copy has cosine exactly 1 (identical float ops), so the
+    // top-2 truth set is exactly the two twins, both in the query's bucket
+    assert(rec.values.forall(r => r >= 0.0 && r <= 1.0))
+    for ((q, r) <- rec) assert(r === 1.0, s"query $q missed a same-bucket twin")
+  }
+
   test("IVF ANN cosines agree with brute-force for the same pairs") {
     val brute = Similarity.knnBrute(emb, k = 1000000).select($"qid", $"vec_id", $"cos".as("bcos"))
     val ivf = Similarity.knnIvf(emb).join(brute, Seq("qid", "vec_id"))

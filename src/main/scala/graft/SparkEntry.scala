@@ -1164,6 +1164,118 @@ object SparkEntry {
             sum(dec2($"l_extendedprice") * (lit(1) - pct($"l_discount")))
               .cast("double")).as("promo_share"),
           count(lit(1)).as("n"))
+    },
+
+    // TPC-H Q15 shape: argmax over an aggregated view — revenue per
+    // supplier in a half-year window, keep the supplier(s) AT the max.
+    // Two-phase: one shuffle builds the per-supplier aggregate, a 1-row
+    // max broadcasts back (no Window over a single global partition, no
+    // second pass over lineitem). The equality test runs on the EXACT
+    // DECIMAL sums — comparing doubles at the max boundary could drop a
+    // tied supplier on one engine and keep it on the other.
+    "q_topsupplier" -> { (s, dir) =>
+      import s.implicits._
+      // LAZY checkpoint: the per-supplier aggregate feeds BOTH the 1-row
+      // max and the equality filter — without the boundary the optimizer
+      // inlines the subtree twice and lineitem is scanned+shuffled twice.
+      val rev = Tables.lineitem(s, dir)
+        .filter($"l_shipdate" >= lit("1998-01-01").cast("timestamp") &&
+          $"l_shipdate" < lit("1998-07-01").cast("timestamp"))
+        .groupBy($"l_suppkey")
+        .agg(sum(dec2($"l_extendedprice") * (lit(1) - pct($"l_discount"))).as("rev_d"))
+        .localCheckpoint(false)
+      val mx = rev.agg(max($"rev_d").as("mx"))
+      rev.join(broadcast(mx), $"rev_d" === $"mx")
+        .join(broadcast(Tables.supplier(s, dir)), $"l_suppkey" === $"s_suppkey")
+        .select($"s_suppkey", $"s_name", $"rev_d".cast("double").as("total_rev"))
+    },
+
+    // TPC-H Q18 shape: large-volume orders — aggregate lineitem FIRST
+    // (map-side combinable, shrinks to per-order rows), filter on the
+    // exact-decimal quantity sum, and only then join orders + customer.
+    // Both joins are key-equi shuffles; no broadcast hint — the filtered
+    // agg side's size is data-dependent, so AQE promotes it at runtime
+    // if it fits rather than the plan hard-coding a driver OOM at scale.
+    "q_bigorders" -> { (s, dir) =>
+      import s.implicits._
+      val big = Tables.lineitem(s, dir).groupBy($"l_orderkey")
+        .agg(sum(dec2($"l_quantity")).as("qty_d"))
+        .filter($"qty_d" > 250)
+      Tables.orders(s, dir).join(big, $"o_orderkey" === $"l_orderkey")
+        .join(Tables.customer(s, dir), $"o_custkey" === $"c_custkey")
+        .select($"c_name", $"c_custkey", $"o_orderkey",
+          date_format($"o_orderdate", "yyyy-MM-dd").as("o_orderdate"),
+          $"o_totalprice", $"qty_d".cast("double").as("total_qty"))
+    },
+
+    // TPC-H Q22 shape: rich-but-dormant customers — acctbal above the
+    // positive-balance mean AND no order since 1999, grouped by segment.
+    // The mean test is division-free: `bal * n > total` in exact DECIMAL,
+    // so neither engine's decimal-division rounding can flip a boundary
+    // customer. The 1-row stats aggregate broadcasts; the dormancy test
+    // is a left-anti join on the date-filtered orders projection.
+    "q_noorders" -> { (s, dir) =>
+      import s.implicits._
+      val c = Tables.customer(s, dir)
+      val stats = c.filter($"c_acctbal" > 0)
+        .agg(count(lit(1)).as("cnt"), sum(dec2($"c_acctbal")).as("tot"))
+      val recent = Tables.orders(s, dir)
+        .filter($"o_orderdate" >= lit("1999-01-01").cast("timestamp"))
+        .select($"o_custkey")
+      c.crossJoin(broadcast(stats))
+        .filter(dec2($"c_acctbal") * $"cnt" > $"tot")
+        .join(recent, $"c_custkey" === $"o_custkey", "left_anti")
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("numcust"),
+          sum(dec2($"c_acctbal")).cast("double").as("totacctbal"))
+    },
+
+    // TPC-H Q11 shape: groups whose share of the grand total exceeds a
+    // fraction — per-part value, then `value * 1800 > total` against the
+    // broadcast 1-row total. Division-free exact-DECIMAL threshold (same
+    // rationale as q_noorders); the grand total derives from the
+    // ALREADY-aggregated per-part rows, not a second lineitem scan.
+    "q_partshare" -> { (s, dir) =>
+      import s.implicits._
+      // Same shared-subtree checkpoint as q_topsupplier: one lineitem
+      // scan + one shuffle feed both the grand total and the filter.
+      val perPart = Tables.lineitem(s, dir).groupBy($"l_partkey")
+        .agg(sum(dec2($"l_extendedprice")).as("val_d"))
+        .localCheckpoint(false)
+      val tot = perPart.agg(sum($"val_d").as("tot"))
+      perPart.crossJoin(broadcast(tot))
+        .filter($"val_d" * lit(1800) > $"tot")
+        .select($"l_partkey", $"val_d".cast("double").as("part_value"))
+    },
+
+    // TPC-H Q8 shape: market share — of all revenue flowing to customers
+    // in EUROPE, the fraction supplied by NATION_8, per order year. One
+    // fact-fact shuffle join (lineitem ⋈ orders); every dimension hop
+    // (customer-nation-region gate, supplier-nation attribution) is a
+    // broadcast; numerator and denominator are exact-DECIMAL sums in ONE
+    // grouped aggregate, divided once as doubles.
+    "q_natshare" -> { (s, dir) =>
+      import s.implicits._
+      val euNations = Tables.nation(s, dir)
+        .join(broadcast(Tables.region(s, dir).filter($"r_name" === "EUROPE")),
+          $"n_regionkey" === $"r_regionkey")
+        .select($"n_nationkey")
+      val euCust = Tables.customer(s, dir)
+        .join(broadcast(euNations), $"c_nationkey" === $"n_nationkey")
+        .select($"c_custkey")
+      val suppNation = Tables.supplier(s, dir)
+        .join(broadcast(Tables.nation(s, dir)), $"s_nationkey" === $"n_nationkey")
+        .select($"s_suppkey", $"n_name".as("supp_nation"))
+      val vol = dec2($"l_extendedprice") * (lit(1) - pct($"l_discount"))
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), $"l_orderkey" === $"o_orderkey")
+        .join(euCust, $"o_custkey" === $"c_custkey", "left_semi")
+        .join(broadcast(suppNation), $"l_suppkey" === $"s_suppkey")
+        .groupBy(year($"o_orderdate").cast("long").as("o_year"))
+        .agg(
+          (sum(when($"supp_nation" === "NATION_8", vol)).cast("double") /
+            sum(vol).cast("double")).as("mkt_share"),
+          count(lit(1)).as("n"))
     }
   )
 
@@ -2672,6 +2784,59 @@ object SparkEntry {
         |    / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS promo_share,
         |  COUNT(*) AS n
         |FROM lineitem JOIN part ON l_partkey = p_partkey
-        |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'""".stripMargin
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'""".stripMargin,
+    "q_topsupplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS rev_d
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_shipdate < TIMESTAMP '1998-07-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, CAST(rev_d AS DOUBLE) AS total_rev
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE rev_d = (SELECT MAX(rev_d) FROM rev)""".stripMargin,
+    "q_bigorders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS qty_d
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 250)
+        |SELECT c_name, c_custkey, o_orderkey,
+        |  strftime(o_orderdate::DATE, '%Y-%m-%d') AS o_orderdate,
+        |  o_totalprice, CAST(qty_d AS DOUBLE) AS total_qty
+        |FROM big
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey""".stripMargin,
+    "q_noorders" ->
+      """WITH s AS (
+        |  SELECT COUNT(*) AS cnt, SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS tot
+        |  FROM customer WHERE c_acctbal > 0)
+        |SELECT c_mktsegment, COUNT(*) AS numcust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+        |FROM customer, s
+        |WHERE CAST(c_acctbal AS DECIMAL(12,2)) * cnt > tot
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderdate >= TIMESTAMP '1999-01-01')
+        |GROUP BY c_mktsegment""".stripMargin,
+    "q_partshare" ->
+      """WITH pp AS (
+        |  SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS val_d
+        |  FROM lineitem GROUP BY l_partkey)
+        |SELECT l_partkey, CAST(val_d AS DOUBLE) AS part_value
+        |FROM pp WHERE val_d * 1800 > (SELECT SUM(val_d) FROM pp)""".stripMargin,
+    "q_natshare" ->
+      """SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(SUM(CASE WHEN n2.n_name = 'NATION_8'
+        |        THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) END) AS DOUBLE)
+        |    / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS mkt_share,
+        |  COUNT(*) AS n
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |JOIN region ON n1.n_regionkey = r_regionkey AND r_name = 'EUROPE'
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |GROUP BY 1""".stripMargin
   )
 }

@@ -365,4 +365,46 @@ class PlanQualitySpec extends SparkSpec {
     assert("BroadcastNestedLoopJoin|CartesianProduct".r.findAllIn(e).size <= 2,
       "only the bounded centroid probe may be a product join")
   }
+
+  test("q_topsupplier: shared aggregate materialized once; 1-row max broadcasts back") {
+    val p = plan("q_topsupplier")
+    // the lazy checkpoint puts a LogicalRDD boundary under both consumers
+    // — no parquet rescan of lineitem may survive in the serving plan
+    // (the supplier dim scan is the ONLY parquet scan allowed)
+    assert(!p.linesIterator.exists(l => l.contains("ReadSchema:") && l.contains("l_")),
+      "per-supplier aggregate subtree was inlined twice (lineitem rescanned)")
+    assert(p.contains("BroadcastHashJoin"), "max row / supplier dim must broadcast")
+    assert(!p.contains("Window"), "argmax must not plan a single-partition global Window")
+  }
+
+  test("q_bigorders: lineitem aggregates to per-order rows BEFORE any join; 2-column scan") {
+    val p = plan("q_bigorders")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "qty sum lost its map-side partial")
+    val lineSchema = p.linesIterator.filter(_.contains("ReadSchema:"))
+      .find(_.contains("l_orderkey")).get
+    assert(lineSchema.count(_ == ':') == 3, // "ReadSchema:" + 2 fields
+      s"lineitem scan must prune to (l_orderkey, l_quantity): $lineSchema")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q_noorders: dormancy is a LeftAnti join; date filter pushed to the orders scan") {
+    val p = plan("q_noorders")
+    assert(p.contains("LeftAnti"), "NOT EXISTS must plan as an anti join")
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters:")).mkString("\n")
+    assert(pushed.contains("GreaterThanOrEqual(o_orderdate"),
+      "the 1999 cutoff must reach the orders parquet scan")
+  }
+
+  test("q_partshare: one shuffle feeds both total and filter; no second lineitem scan") {
+    val p = plan("q_partshare")
+    assert(!p.contains("Scan parquet"), "per-part aggregate subtree was inlined twice")
+    assert(!p.contains("Window"), "share-of-total must not plan a global Window")
+  }
+
+  test("q_natshare: EU gate is a semi join; dimension hops broadcast; no product joins") {
+    val p = plan("q_natshare")
+    assert(p.contains("LeftSemi"), "customer-region gate must be a semi join")
+    assert(p.contains("BroadcastHashJoin"), "nation/region/supplier hops must broadcast")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
 }

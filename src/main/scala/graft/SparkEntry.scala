@@ -31,6 +31,8 @@ object SparkEntry {
   // Microsecond-string timestamp rendering (representation-independent
   // comparison; DuckDB mirror: strftime(ts, '%Y-%m-%d %H:%M:%S.%f')).
   private def fmtTs(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS")
+  // Query terms for the conjunctive-search demo (shared with the oracle).
+  private val SearchTerms = Seq("scan", "merge", "sort")
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- Reference-parity pipeline (SURVEY §2 D1,T1-T3,V1-V4,E1-E2,P1,R1,K1)
@@ -315,6 +317,18 @@ object SparkEntry {
     "q_doc_quality" -> { (s, dir) => TextAnalysis.quality(Tables.documents(s, dir)) },
     "q_doc_langid" -> { (s, dir) => TextAnalysis.langId(Tables.documents(s, dir)) },
     "q_doc_tfidf" -> { (s, dir) => TextAnalysis.tfidfTop(Tables.documents(s, dir)) },
+    // Conjunctive term search (inverted-index probe): docs containing ALL
+    // three terms, scored by total term frequency. The term filter rides
+    // the exploded token stream — only query-term postings shuffle.
+    "q_doc_search" -> { (s, dir) =>
+      TextAnalysis.search(Tables.documents(s, dir), SearchTerms)
+    },
+    // Cross-source shingle containment matrix (mirror/syndication audit):
+    // |sources|² output, one checkpointed per-source shingle set feeding
+    // both self-join sides and the denominator.
+    "q_doc_overlap" -> { (s, dir) =>
+      TextAnalysis.sourceOverlap(Tables.documents(s, dir))
+    },
     // Per-source n-gram diversity: distinct-trigram fraction — the
     // templated-content audit (a source stamping one boilerplate pattern
     // scores near 0, fresh prose near 1). Two grouped aggs over the fused
@@ -1490,6 +1504,15 @@ object SparkEntry {
          |  (width * 224) // greatest(width, height) AS new_w,
          |  (height * 224) // greatest(width, height) AS new_h
          |FROM m""".stripMargin,
+    "q_doc_search" ->
+      s"""WITH tq AS (SELECT doc_id, ${Dedup.toksSql} AS toks FROM documents),
+         |tok AS (SELECT doc_id, unnest(toks) AS w FROM tq)
+         |SELECT doc_id, COUNT(*) AS score
+         |FROM tok
+         |WHERE w IN ('scan', 'merge', 'sort')
+         |GROUP BY doc_id
+         |HAVING COUNT(DISTINCT w) = 3""".stripMargin,
+    "q_doc_overlap" -> TextAnalysis.sourceOverlapSql(),
     "q_doc_tfidf" ->
       """WITH tok AS (
         |  SELECT doc_id,

@@ -194,6 +194,77 @@ object TextAnalysis {
       .select(col("doc_id"), col("h").as("top_term_hash"), col("tf"), col("df"), col("tfidf"))
   }
 
+  /** Conjunctive term search — the inverted-index probe shape. Returns
+    * the docs containing EVERY query term, scored by total query-term
+    * frequency (the ranking signal a posting-list engine accumulates).
+    *
+    * Scale: the term filter sits directly on the exploded token stream,
+    * so only postings for the |terms| query terms survive the narrow
+    * stage — the one shuffle (groupBy doc_id) moves ≤ |terms| · |docs|
+    * rows, never the ~corpus-sized token stream. The AND test is
+    * `count_distinct(tok) = |terms|` with ≤ |terms| distinct values per
+    * group — bounded aggregate state, map-side combinable. No join:
+    * a per-term semi-join chain would shuffle the corpus once per term.
+    */
+  def search(docs: DataFrame, terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "search needs at least one term")
+    val hits = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .filter(col("tok").isin(terms: _*))
+    hits.groupBy(col("doc_id"))
+      .agg(count_distinct(col("tok")).as("n_terms"),
+        count(lit(1)).as("score"))
+      .filter(col("n_terms") === terms.length)
+      .select(col("doc_id"), col("score"))
+  }
+
+  /** Cross-source shingle containment matrix — the corpus-audit view of
+    * "how much of source A's content also appears in source B" (scraped
+    * mirrors, syndicated feeds, and re-crawls show up as high off-diagonal
+    * containment BEFORE document-level dedup ever runs).
+    *
+    * containment(a→b) = |shingleSet(a) ∩ shingleSet(b)| / |shingleSet(a)|.
+    *
+    * Scale: the per-source shingle SET materializes once behind a lazy
+    * checkpoint (it feeds both self-join sides AND the denominator); the
+    * intersection is an equi-join on the shingle hash — the shuffle key —
+    * with SHUFFLE_HASH pinned (post-checkpoint stats are unknown; a
+    * broadcast would ship the corpus-sized set). Per-hash join fan is
+    * bounded by |sources|² after the distinct. Output ≤ |sources|² rows.
+    */
+  def sourceOverlap(docs: DataFrame): DataFrame = {
+    val sh = docs.select(col("source"),
+        explode(graft.expressions.ShingleHashes.shingle_hashes(col("text"))).as("h"))
+      .distinct()
+      .localCheckpoint(false)
+    val denom = sh.groupBy(col("source")).agg(count(lit(1)).as("n_shingles"))
+    sh.alias("a")
+      .join(sh.alias("b").hint("SHUFFLE_HASH"), col("a.h") === col("b.h"))
+      .filter(col("a.source") =!= col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(denom), col("src_a") === col("source"))
+      .select(col("src_a"), col("src_b"), col("n_shared"),
+        (col("n_shared").cast("double") / col("n_shingles").cast("double"))
+          .as("containment"))
+  }
+
+  /** DuckDB mirror of [[sourceOverlap]] over table `src`. */
+  def sourceOverlapSql(src: String = "documents"): String =
+    s"""WITH sh AS (
+       |  SELECT source,
+       |    ${Dedup.shingleUnnestSql} AS h
+       |  FROM (SELECT source, ${Dedup.toksSql} AS toks FROM $src)),
+       |ss AS (SELECT DISTINCT source, h FROM sh),
+       |denom AS (SELECT source, COUNT(*) AS n_shingles FROM ss GROUP BY source),
+       |pairs AS (
+       |  SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_shared
+       |  FROM ss a JOIN ss b ON a.h = b.h AND a.source <> b.source
+       |  GROUP BY 1, 2)
+       |SELECT src_a, src_b, n_shared,
+       |  CAST(n_shared AS DOUBLE) / CAST(n_shingles AS DOUBLE) AS containment
+       |FROM pairs JOIN denom ON src_a = denom.source""".stripMargin
+
   /** Benchmark decontamination: training docs that share ANY word-trigram
     * shingle with the held-out eval set (the GPT-3-style n-gram collision
     * check). The eval shingle set is distinct-projected and the flagging

@@ -401,6 +401,26 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("Window"), "share-of-total must not plan a global Window")
   }
 
+  test("q_doc_search: join-free posting probe — term filter below the one grouped agg") {
+    val p = plan("q_doc_search")
+    assert(!p.contains("Join"), "per-term semi-join chain crept in")
+    assert(p.linesIterator.exists(l => l.contains("Filter") || l.contains("Condition")),
+      "expected the query-term IN filter")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "bounded agg lost its partial")
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"))
+  }
+
+  test("q_doc_overlap: intersection is shuffle-hash on h; shingle set materialized once") {
+    val p = plan("q_doc_overlap")
+    assert(p.contains("ShuffledHashJoin"), "h-intersection lost the shuffle-hash join")
+    // the only broadcast is the ≤|sources|-row denominator
+    assert("BroadcastHashJoin".r.findAllIn(p).size <= 2,
+      "a corpus-sized shingle set is being broadcast")
+    // the lazy checkpoint feeds both sides + denominator — no text rescan
+    assert(!p.linesIterator.exists(l => l.contains("ReadSchema:") && l.contains("text")),
+      "shingle-set subtree inlined more than once (documents rescanned)")
+  }
+
   test("q_natshare: EU gate is a semi join; dimension hops broadcast; no product joins") {
     val p = plan("q_natshare")
     assert(p.contains("LeftSemi"), "customer-region gate must be a semi join")

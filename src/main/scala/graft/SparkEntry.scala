@@ -229,6 +229,43 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum(dec2($"l_quantity")).cast("double").as("sum_qty"))
     },
 
+    // CUBE: all 2^k grouping combinations in one Expand + one shuffle —
+    // the same single-pass plan as rollup, 4 grouping sets instead of 3.
+    "q_cube" -> { (s, dir) =>
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .cube($"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("n"), sum(dec2($"l_quantity")).cast("double").as("sum_qty"))
+    },
+
+    // UNPIVOT (stack): wide metrics → long (metric, value) rows. Pure
+    // narrow map — the Expand node emits 3 rows per input, no shuffle;
+    // the quantity filter pushes to the scan below the Expand.
+    "q_unpivot" -> { (s, dir) =>
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .filter($"l_quantity" > 45)
+        .selectExpr("l_orderkey", "l_linenumber",
+          """stack(3,
+            |  'quantity', l_quantity,
+            |  'extendedprice', l_extendedprice,
+            |  'discount', l_discount) AS (metric, value)""".stripMargin)
+        .select($"l_orderkey", $"l_linenumber", $"metric", $"value")
+    },
+
+    // Ordered string aggregation: the sorted-distinct-list rendering both
+    // engines can agree on byte-for-byte (collect_set is unordered by
+    // contract — array_sort makes the result deterministic under any
+    // partitioning; DuckDB mirrors with string_agg(DISTINCT … ORDER BY)).
+    "q_stragg" -> { (s, dir) =>
+      import s.implicits._
+      Tables.orders(s, dir)
+        .groupBy($"o_orderstatus")
+        .agg(
+          array_join(array_sort(collect_set($"o_orderpriority")), ",").as("priorities"),
+          count(lit(1)).as("n"))
+    },
+
     // GROUPING SETS: two independent dimensions + grand total in one scan.
     "q_groupsets" -> { (s, dir) =>
       import s.implicits._
@@ -1412,6 +1449,25 @@ object SparkEntry {
     "q_groupsets" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n
         |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin,
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+    "q_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, metric, value FROM (
+        |  SELECT l_orderkey, l_linenumber, 'quantity' AS metric, l_quantity AS value
+        |  FROM lineitem WHERE l_quantity > 45
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'extendedprice', l_extendedprice
+        |  FROM lineitem WHERE l_quantity > 45
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'discount', l_discount
+        |  FROM lineitem WHERE l_quantity > 45)""".stripMargin,
+    "q_stragg" ->
+      """SELECT o_orderstatus,
+        |  string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority) AS priorities,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
     "q_setops" ->
       """((SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
         |  UNION

@@ -1327,6 +1327,176 @@ object SparkEntry {
           (sum(when($"supp_nation" === "NATION_8", vol)).cast("double") /
             sum(vol).cast("double")).as("mkt_share"),
           count(lit(1)).as("n"))
+    },
+
+    // TPC-H Q6 shape: the pure pushdown aggregate — no join, no grouping,
+    // every predicate (date band, discount band, quantity cap) reaches the
+    // parquet scan as a PushedFilter and row groups outside the bands are
+    // skipped on statistics alone. At 100 TB this query's cost is the I/O
+    // the scan CANNOT skip; pinned in PlanQualitySpec.
+    "q_revband" -> { (s, dir) =>
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .filter($"l_shipdate" >= lit("1997-01-01").cast("timestamp") &&
+          $"l_shipdate" < lit("1998-01-01").cast("timestamp") &&
+          $"l_discount".between(0.05, 0.07) && $"l_quantity" < 24)
+        .agg(sum(dec2($"l_extendedprice") * pct($"l_discount"))
+          .cast("double").as("revenue"),
+          count(lit(1)).as("n"))
+    },
+
+    // TPC-H Q4 shape: EXISTS → left-semi join. The order-priority census
+    // of one quarter, counting only orders with at least one late line
+    // (shipped >60 days after the order date). The correlated condition
+    // becomes an equi-semi-join on l_orderkey with the date comparison as
+    // a residual — the semi-join emits each order ONCE no matter how many
+    // late lines it has, so no distinct and no fan-out reaches the agg.
+    "q_lateship" -> { (s, dir) =>
+      import s.implicits._
+      val o = Tables.orders(s, dir)
+        .filter($"o_orderdate" >= lit("1997-01-01").cast("timestamp") &&
+          $"o_orderdate" < lit("1997-04-01").cast("timestamp"))
+      o.join(Tables.lineitem(s, dir).select($"l_orderkey", $"l_shipdate"),
+          $"o_orderkey" === $"l_orderkey" &&
+            $"l_shipdate" > $"o_orderdate" + expr("INTERVAL 60 DAYS"),
+          "left_semi")
+        .groupBy($"o_orderpriority").agg(count(lit(1)).as("n"))
+    },
+
+    // TPC-H Q7 shape: bilateral trade volume between two nations per year.
+    // Both endpoint gates (supplier nation, customer nation) broadcast and
+    // shrink the fact sides BEFORE the one fact-fact shuffle join: only
+    // lineitems of NATION_1/2 suppliers and orders of NATION_1/2 customers
+    // enter the exchange; the pair-disjunction then evaluates post-join on
+    // the two attributed names.
+    "q_natvolume" -> { (s, dir) =>
+      import s.implicits._
+      val twoNations = Tables.nation(s, dir)
+        .filter($"n_name".isin("NATION_13", "NATION_19"))
+      val supp = Tables.supplier(s, dir)
+        .join(broadcast(twoNations), $"s_nationkey" === $"n_nationkey")
+        .select($"s_suppkey", $"n_name".as("supp_nation"))
+      val cust = Tables.customer(s, dir)
+        .join(broadcast(twoNations), $"c_nationkey" === $"n_nationkey")
+        .select($"c_custkey", $"n_name".as("cust_nation"))
+      Tables.lineitem(s, dir)
+        .join(broadcast(supp), $"l_suppkey" === $"s_suppkey")
+        .join(Tables.orders(s, dir).join(broadcast(cust), $"o_custkey" === $"c_custkey")
+            .select($"o_orderkey", $"cust_nation"),
+          $"l_orderkey" === $"o_orderkey")
+        .filter(($"supp_nation" === "NATION_13" && $"cust_nation" === "NATION_19") ||
+          ($"supp_nation" === "NATION_19" && $"cust_nation" === "NATION_13"))
+        .groupBy($"supp_nation", $"cust_nation",
+          year($"l_shipdate").cast("long").as("l_year"))
+        .agg(sum(dec2($"l_extendedprice") * (lit(1) - pct($"l_discount")))
+          .cast("double").as("volume"))
+    },
+
+    // TPC-H Q9 shape: margin by supplier nation and year over a part-name
+    // substring filter. Cost side proxied as a 5% holding charge on retail
+    // price (the schema has no partsupp/ps_supplycost); the whole amount
+    // expression stays in exact DECIMAL — a double subtraction of two
+    // near-equal products is exactly the last-ulp trap the dec2 convention
+    // exists for. Part (filtered, broadcast) and supplier-nation
+    // (broadcast) never shuffle; one exchange for the final group-by.
+    "q_profit" -> { (s, dir) =>
+      import s.implicits._
+      val redParts = Tables.part(s, dir).filter($"p_name".contains("red"))
+        .select($"p_partkey", $"p_retailprice")
+      val suppNation = Tables.supplier(s, dir)
+        .join(broadcast(Tables.nation(s, dir)), $"s_nationkey" === $"n_nationkey")
+        .select($"s_suppkey", $"n_name".as("nation"))
+      Tables.lineitem(s, dir)
+        .join(broadcast(redParts), $"l_partkey" === $"p_partkey")
+        .join(broadcast(suppNation), $"l_suppkey" === $"s_suppkey")
+        .groupBy($"nation", year($"l_shipdate").cast("long").as("o_year"))
+        .agg(sum(dec2($"l_extendedprice") * (lit(1) - pct($"l_discount")) -
+            dec2($"p_retailprice") * dec2($"l_quantity") * pct(lit(0.05)))
+          .cast("double").as("sum_profit"))
+    },
+
+    // TPC-H Q12 shape: late-shipment priority census — one fact-fact
+    // equi-join, then conditional counts split urgent vs. other priority
+    // classes per return flag. The CASE branches ride the single grouped
+    // aggregate; no per-class scan or join.
+    "q_prioline" -> { (s, dir) =>
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .filter($"l_shipdate" >= lit("1998-01-01").cast("timestamp") &&
+          $"l_shipdate" < lit("1999-01-01").cast("timestamp"))
+        .join(Tables.orders(s, dir), $"l_orderkey" === $"o_orderkey")
+        .groupBy($"l_returnflag")
+        .agg(
+          count(when($"o_orderpriority".isin("1-URGENT", "2-HIGH"), 1)).as("high_line_count"),
+          count(when(!$"o_orderpriority".isin("1-URGENT", "2-HIGH"), 1)).as("low_line_count"))
+    },
+
+    // TPC-H Q16 shape: supplier breadth per part segment, excluding a
+    // complaint list. Distinct (brand, size, suppkey) triples shrink
+    // map-side BEFORE the shuffle; the exclusion list (negative-balance
+    // suppliers — the schema's stand-in for the comment scan) is a
+    // broadcast anti-join; count_distinct runs on already-distinct rows.
+    "q_suppcnt" -> { (s, dir) =>
+      import s.implicits._
+      val badSupp = Tables.supplier(s, dir).filter($"s_acctbal" < 0)
+        .select($"s_suppkey")
+      Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir).filter($"p_size".isin(1, 4, 9))),
+          $"l_partkey" === $"p_partkey")
+        .select($"p_brand", $"p_size", $"l_suppkey").distinct()
+        .join(broadcast(badSupp), $"l_suppkey" === $"s_suppkey", "left_anti")
+        .groupBy($"p_brand", $"p_size")
+        .agg(count_distinct($"l_suppkey").as("supplier_cnt"))
+    },
+
+    // TPC-H Q17 shape: revenue locked in small-quantity lines — lines
+    // under 1/5 of their part's average quantity, parts of one brand.
+    // The correlated scalar subquery becomes a per-part aggregate joined
+    // back; the threshold test is division-free exact DECIMAL
+    // (5·qty·cnt < Σqty) so per-engine decimal-division rounding cannot
+    // flip a boundary line. The brand-reduced lineitem feeds BOTH the
+    // aggregate and the probe side through one lazy checkpoint — one scan,
+    // one narrow source for both join inputs.
+    "q_smallqty" -> { (s, dir) =>
+      import s.implicits._
+      val brandLines = Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir).filter($"p_brand" === "Brand#3")
+            .select($"p_partkey")),
+          $"l_partkey" === $"p_partkey")
+        .select($"l_partkey", $"l_quantity", $"l_extendedprice")
+        .localCheckpoint(false)
+      val perPart = brandLines.groupBy($"l_partkey".as("pk"))
+        .agg(sum(dec2($"l_quantity")).as("sum_qty_d"), count(lit(1)).as("cnt"))
+      brandLines.join(perPart, $"l_partkey" === $"pk")
+        .filter(dec2($"l_quantity") * lit(5) * $"cnt" < $"sum_qty_d")
+        .agg(sum(dec2($"l_extendedprice")).cast("double").as("small_rev"),
+          count(lit(1)).as("n"))
+    },
+
+    // TPC-H Q20 shape: qualified-volume suppliers — suppliers in one
+    // nation whose 1997 shipped quantity of red parts clears a floor.
+    // The qualification derives from an aggregate (per-supplier Σqty over
+    // the part-filtered, date-filtered lineitem), then flows as a
+    // LEFT-SEMI probe into the supplier dim: the fact table is aggregated
+    // before any row reaches the dimension, and the nation gate is a
+    // broadcast. Exact-decimal HAVING threshold.
+    "q_qualsupp" -> { (s, dir) =>
+      import s.implicits._
+      val qualified = Tables.lineitem(s, dir)
+        .filter($"l_shipdate" >= lit("1997-01-01").cast("timestamp") &&
+          $"l_shipdate" < lit("1998-01-01").cast("timestamp"))
+        .join(broadcast(Tables.part(s, dir).filter($"p_name".startsWith("red"))
+            .select($"p_partkey")),
+          $"l_partkey" === $"p_partkey")
+        .groupBy($"l_suppkey")
+        .agg(sum(dec2($"l_quantity")).as("qty_d"))
+        .filter($"qty_d" > 50)
+        .select($"l_suppkey")
+      Tables.supplier(s, dir)
+        .join(broadcast(Tables.nation(s, dir).filter($"n_name" === "NATION_3")),
+          $"s_nationkey" === $"n_nationkey")
+        .join(qualified, $"s_suppkey" === $"l_suppkey", "left_semi")
+        .select($"s_suppkey", $"s_name", $"s_acctbal")
     }
   )
 
@@ -2916,6 +3086,79 @@ object SparkEntry {
         |JOIN region ON n1.n_regionkey = r_regionkey AND r_name = 'EUROPE'
         |JOIN supplier ON l_suppkey = s_suppkey
         |JOIN nation n2 ON s_nationkey = n2.n_nationkey
-        |GROUP BY 1""".stripMargin
+        |GROUP BY 1""".stripMargin,
+    "q_revband" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+    "q_lateship" ->
+      """SELECT o_orderpriority, COUNT(*) AS n
+        |FROM orders o
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY 1""".stripMargin,
+    "q_natvolume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS volume
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE (n1.n_name = 'NATION_13' AND n2.n_name = 'NATION_19')
+        |   OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_13')
+        |GROUP BY 1, 2, 3""".stripMargin,
+    "q_profit" ->
+      """SELECT n_name AS nation, CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS o_year,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))
+        |         - CAST(p_retailprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2)) * CAST(0.05 AS DECIMAL(4,2))) AS DOUBLE) AS sum_profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey AND p_name LIKE '%red%'
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY 1, 2""".stripMargin,
+    "q_prioline" ->
+      """SELECT l_returnflag,
+        |  COUNT(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 END) AS high_line_count,
+        |  COUNT(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 END) AS low_line_count
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_shipdate < TIMESTAMP '1999-01-01'
+        |GROUP BY 1""".stripMargin,
+    "q_suppcnt" ->
+      """SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey AND p_size IN (1, 4, 9)
+        |WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2""".stripMargin,
+    "q_smallqty" ->
+      """WITH brand_lines AS (
+        |  SELECT l_partkey, l_quantity, l_extendedprice
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_brand = 'Brand#3'),
+        |per_part AS (
+        |  SELECT l_partkey AS pk,
+        |    SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty_d, COUNT(*) AS cnt
+        |  FROM brand_lines GROUP BY 1)
+        |SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS small_rev,
+        |  COUNT(*) AS n
+        |FROM brand_lines JOIN per_part ON l_partkey = pk
+        |WHERE CAST(l_quantity AS DECIMAL(12,2)) * 5 * cnt < sum_qty_d""".stripMargin,
+    "q_qualsupp" ->
+      """SELECT s_suppkey, s_name, s_acctbal
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_3'
+        |WHERE s_suppkey IN (
+        |  SELECT l_suppkey FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey AND p_name LIKE 'red%'
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  GROUP BY l_suppkey
+        |  HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 50)""".stripMargin
   )
 }

@@ -452,6 +452,43 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("q_revband: every predicate reaches the parquet scan; no join, two-phase agg") {
+    val p = plan("q_revband")
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters:")).mkString
+    for (f <- Seq("l_shipdate", "GreaterThanOrEqual(l_discount,0.05)",
+        "LessThanOrEqual(l_discount,0.07)", "LessThan(l_quantity,24.0)"))
+      assert(pushed.contains(f), s"predicate not pushed: $f\n$pushed")
+    assert(!p.contains("Join"))
+    assert("HashAggregate".r.findAllIn(p).size >= 2) // partial + final
+  }
+
+  test("q_lateship: EXISTS plans as a semi-join emitting each order once") {
+    val p = plan("q_lateship")
+    assert(p.contains("LeftSemi"), "EXISTS must plan as a left-semi join")
+    // the semi-join output feeds the agg directly — no distinct and no
+    // row-multiplying inner join on the many-lines-per-order side
+    assert(!p.contains("Inner"), "no fan-out inner join may reach the agg")
+  }
+
+  test("q_smallqty: the brand-reduced lineitem is scanned once (checkpoint shares it)") {
+    val p = plan("q_smallqty")
+    // both join inputs (per-part agg + probe side) must come from the
+    // SAME materialized subtree: exactly 0 or 1 parquet scans of lineitem
+    // in the optimized plan (1 pre-materialization, 0 after)
+    val scans = p.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("lineitem"))
+    assert(scans <= 1, s"brand-reduced lineitem must not be scanned per consumer:\n$p")
+  }
+
+  test("q_qualsupp: supplier dim is probed by the AGGREGATED qualification (semi)") {
+    val p = plan("q_qualsupp")
+    assert(p.contains("LeftSemi"), "qualification must flow in as a semi probe")
+    // qty aggregation happens BEFORE the semi-join: partial + final
+    // HashAggregate on the lineitem side of the probe
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "per-supplier quantity must aggregate map-side before the probe")
+  }
+
   test("q_doc_search: join-free posting probe — term filter below the one grouped agg") {
     val p = plan("q_doc_search")
     assert(!p.contains("Join"), "per-term semi-join chain crept in")

@@ -12,15 +12,36 @@ import org.apache.spark.sql.functions._
 object Tables {
   private def p(dir: String, name: String) = s"$dir/$name.parquet"
 
-  def region(spark: SparkSession, dir: String): DataFrame = spark.read.parquet(p(dir, "region"))
-  def nation(spark: SparkSession, dir: String): DataFrame = spark.read.parquet(p(dir, "nation"))
-  def customer(spark: SparkSession, dir: String): DataFrame = spark.read.parquet(p(dir, "customer"))
-  def supplier(spark: SparkSession, dir: String): DataFrame = spark.read.parquet(p(dir, "supplier"))
-  def part(spark: SparkSession, dir: String): DataFrame = spark.read.parquet(p(dir, "part"))
-  def orders(spark: SparkSession, dir: String): DataFrame = spark.read.parquet(p(dir, "orders"))
-  def lineitem(spark: SparkSession, dir: String): DataFrame = spark.read.parquet(p(dir, "lineitem"))
-  def documents(spark: SparkSession, dir: String): DataFrame = spark.read.parquet(p(dir, "documents"))
-  def embeddings(spark: SparkSession, dir: String): DataFrame = spark.read.parquet(p(dir, "embeddings"))
+  /** The driver regenerates the parquet tables between rounds and the
+    * timestamp physical annotation has varied (TIMESTAMP(MICROS) adjusted
+    * to UTC, TIMESTAMP(NANOS), and most recently TIMESTAMP(MICROS) with
+    * isAdjustedToUTC=false, which Spark 4 surfaces as TIMESTAMP_NTZ).
+    * Every operator in this library was written against TimestampType, so
+    * normalize NTZ columns to TimestampType here, at the single scan
+    * definition. All entry points pin `spark.sql.session.timeZone=UTC`, so
+    * the NTZ→LTZ cast reinterprets the same wall-clock value as the same
+    * UTC instant — epoch arithmetic (`unix_micros`, `cast(ts as bigint)`)
+    * and DuckDB's naive-timestamp reading agree exactly. The cast is a
+    * zero-cost metadata reinterpretation (both types are micros-since-epoch
+    * longs) and does NOT block parquet filter pushdown: comparisons against
+    * timestamp literals are rewritten onto the NTZ scan column by Catalyst.
+    */
+  private def ntzToUtc(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.TimestampNTZType
+    df.schema.fields.filter(_.dataType == TimestampNTZType).foldLeft(df) {
+      (d, f) => d.withColumn(f.name, d.col(f.name).cast("timestamp"))
+    }
+  }
+
+  def region(spark: SparkSession, dir: String): DataFrame = ntzToUtc(spark.read.parquet(p(dir, "region")))
+  def nation(spark: SparkSession, dir: String): DataFrame = ntzToUtc(spark.read.parquet(p(dir, "nation")))
+  def customer(spark: SparkSession, dir: String): DataFrame = ntzToUtc(spark.read.parquet(p(dir, "customer")))
+  def supplier(spark: SparkSession, dir: String): DataFrame = ntzToUtc(spark.read.parquet(p(dir, "supplier")))
+  def part(spark: SparkSession, dir: String): DataFrame = ntzToUtc(spark.read.parquet(p(dir, "part")))
+  def orders(spark: SparkSession, dir: String): DataFrame = ntzToUtc(spark.read.parquet(p(dir, "orders")))
+  def lineitem(spark: SparkSession, dir: String): DataFrame = ntzToUtc(spark.read.parquet(p(dir, "lineitem")))
+  def documents(spark: SparkSession, dir: String): DataFrame = ntzToUtc(spark.read.parquet(p(dir, "documents")))
+  def embeddings(spark: SparkSession, dir: String): DataFrame = ntzToUtc(spark.read.parquet(p(dir, "embeddings")))
 
   /** events.parquet stores `ts` as parquet TIMESTAMP(NANOS), which Spark's
     * TimestampType (microseconds) cannot hold; with
@@ -39,7 +60,7 @@ object Tables {
       // sign.
       case "long" =>
         raw.withColumn("ts", timestamp_micros(expr("(ts - ((ts % 1000) + 1000) % 1000) DIV 1000")))
-      case _      => raw
+      case _      => ntzToUtc(raw)
     }
   }
 }

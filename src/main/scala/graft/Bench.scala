@@ -46,6 +46,13 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Second SHORT summary line: the driver's capture window can truncate
+    // the single long per-query line (r4: parsed=null); a compact tail line
+    // keeps the round-over-round total machine-readable regardless.
+    val failed = results.count(_._2 < 0)
+    val slow = results.toSeq.filter(_._2 >= 0).sortBy(-_._2).take(10)
+      .map { case (k, v) => s"\"" + k + "\":" + f"$v%.2f" }.mkString("{", ",", "}")
+    println(s"""{"metric":"total_summary","value":${f"$total%.2f"},"unit":"sec","n_queries":${results.size},"n_failed":$failed,"slowest":$slow}""")
     spark.stop()
   }
 }

@@ -494,7 +494,8 @@ object SparkEntry {
     },
     // End-to-end dedup: corpus minus non-keeper cluster members.
     "q_dedup_clean" -> { (s, dir) =>
-      Dedup.dedupedCorpus(Dedup.corpus(Tables.documents(s, dir)))
+      val c = Dedup.corpus(Tables.documents(s, dir))
+      Dedup.dedupedCorpus(c, Dedup.clustersFor(c, dir))
         .select(col("doc_id"), col("lang"),
           graft.functions.TextFunctions.stringHash(col("text")).as("fp"))
     },
@@ -513,7 +514,8 @@ object SparkEntry {
 
     // Per-lang dedup audit: docs total / clustered / dropped + drop rate.
     "q_dedup_report" -> { (s, dir) =>
-      Dedup.dedupReport(Dedup.corpus(Tables.documents(s, dir)))
+      val c = Dedup.corpus(Tables.documents(s, dir))
+      Dedup.dedupReport(c, Dedup.clustersFor(c, dir))
     },
 
     // MinHash Jaccard estimate per candidate pair — the verify stage that
@@ -533,7 +535,8 @@ object SparkEntry {
     // (ties → smaller id) instead of the minimum id — exact copies still
     // resolve to the original, near-dups to the cleanest variant.
     "q_dedup_best" -> { (s, dir) =>
-      Dedup.dedupedCorpusBest(Dedup.corpus(Tables.documents(s, dir)))
+      val c = Dedup.corpus(Tables.documents(s, dir))
+      Dedup.dedupedCorpusBest(c, Dedup.clustersFor(c, dir))
         .select(col("doc_id"), col("lang"),
           graft.functions.TextFunctions.stringHash(col("text")).as("fp"))
     },
@@ -577,7 +580,8 @@ object SparkEntry {
       // action, so building/Explaining the plan stays free) make the
       // corpus scan + dedup anti-join run once, not once per duplicated
       // subtree
-      val clean = Dedup.dedupedCorpus(Dedup.corpus(Tables.documents(s, dir)))
+      val c = Dedup.corpus(Tables.documents(s, dir))
+      val clean = Dedup.dedupedCorpus(c, Dedup.clustersFor(c, dir))
         .localCheckpoint(false)
       val kept = clean.join(
         Curation.qualityFilter(clean).select(col("doc_id")), Seq("doc_id"))
@@ -710,7 +714,7 @@ object SparkEntry {
     },
     // Pairs → connected components → deterministic keeper per cluster.
     "q_dedup_clusters" -> { (s, dir) =>
-      Dedup.duplicateClusters(Dedup.verifiedPairs(Dedup.corpus(Tables.documents(s, dir))))
+      Dedup.clustersFor(Dedup.corpus(Tables.documents(s, dir)), dir)
     },
     "q_doc_simhash" -> { (s, dir) =>
       Dedup.simhash(Dedup.corpus(Tables.documents(s, dir)))
@@ -802,10 +806,17 @@ object SparkEntry {
     // weighs 2^(50−Δ) (truncating to 0 beyond 50 days, i.e. below the
     // 2^-50 tail), summed in DECIMAL(38,0) — order-independent under
     // shuffle reduce and bit-identical cross-engine, unlike a float
-    // Σ 0.5^Δ (a float sum depends on reduce order, and casting the
-    // >2^53 total to double rounds differently per engine). The float
-    // score is ewma_q50 / 2^50, left to the consumer. Scale: narrow date
-    // map + 1-row broadcast horizon + one grouped agg with O(1) state.
+    // Σ 0.5^Δ (a float sum depends on reduce order). The sum is kept
+    // DECIMAL internally (overflow would error, not wrap) and EMITTED as
+    // BIGINT: the driver's hasher compares rendered values, and DuckDB's
+    // pandas path renders DECIMAL(38,0) as float64 while Spark's parquet
+    // decimal stays exact — two renderings of identical values. Int64
+    // headroom: max per-user sum ≈ n_same_day_events · 2^50, so overflow
+    // needs > 2^63/2^50 = 8,192 same-day events for one user — far above
+    // any observed density; the internal DECIMAL sum errors first anyway.
+    // The float score is ewma_q50 / 2^50, left to the consumer. Scale:
+    // narrow date map + 1-row broadcast horizon + one grouped agg, O(1)
+    // state.
     "q_ev_ewma" -> { (s, dir) =>
       import s.implicits._
       val e = Tables.events(s, dir).select($"user_id", to_date($"ts").as("d"))
@@ -817,7 +828,7 @@ object SparkEntry {
           .otherwise(lit(0L)))
         .groupBy($"user_id")
         .agg(count(lit(1)).as("n_events"), max($"d").as("last_day"),
-          sum($"wt".cast("decimal(38,0)")).as("ewma_q50"))
+          sum($"wt".cast("decimal(38,0)")).cast("long").as("ewma_q50"))
     },
 
     // Vocabulary frequency-of-frequencies (the Zipf/hapax audit): how
@@ -2745,7 +2756,7 @@ object SparkEntry {
         |         ELSE CAST(0 AS BIGINT) END AS wt
         |  FROM e)
         |SELECT user_id, COUNT(*) AS n_events, MAX(d) AS last_day,
-        |  CAST(SUM(CAST(wt AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS ewma_q50
+        |  CAST(SUM(CAST(wt AS DECIMAL(38,0))) AS BIGINT) AS ewma_q50
         |FROM w GROUP BY user_id""".stripMargin,
     "q_doc_ffreq" ->
       s"""WITH tok AS (SELECT unnest(${Dedup.toksSql}) AS w FROM documents),

@@ -111,16 +111,19 @@ class StatefulOpsSpec extends SparkSpec {
       .withColumn("wt", when($"dd" <= 50,
         expr("shiftleft(cast(1 as bigint), 50 - cast(dd as int))")).otherwise(lit(0L)))
       .groupBy($"user_id")
-      .agg(sum($"wt".cast("decimal(38,0)")).as("ewma_q50"))
-      .as[(Long, java.math.BigDecimal)].collect()
-      .map(t => t._1 -> t._2.longValueExact()).toMap
-    assert(got(1L) === (1L << 50) + (1L << 49) + (1L << 48))
-    assert(got(2L) === (1L << 50))
-    assert(got(3L) === 0L, "beyond the 50-day tail the weight truncates to 0")
+      .agg(sum($"wt".cast("decimal(38,0)")).cast("long").as("ewma_q50"))
+    // pin the emitted type: BIGINT, not DECIMAL — the DECIMAL sum is
+    // internal only (overflow errors); the column the oracle hashes is long
+    assert(got.schema("ewma_q50").dataType ===
+      org.apache.spark.sql.types.LongType)
+    val gotMap = got.as[(Long, Long)].collect().toMap
+    assert(gotMap(1L) === (1L << 50) + (1L << 49) + (1L << 48))
+    assert(gotMap(2L) === (1L << 50))
+    assert(gotMap(3L) === 0L, "beyond the 50-day tail the weight truncates to 0")
     // recency dominates volume: user 1's three old-ish events can never
     // outweigh a user with one strictly fresher event plus anything else —
     // the half-life invariant Σ_{δ>0} 2^-δ < 2^0
-    assert(got(1L) < (1L << 50) * 2)
+    assert(gotMap(1L) < (1L << 50) * 2)
   }
 
   test("latest-per-key: max_by composite-key agg ≡ row_number window") {

@@ -67,6 +67,75 @@ object StatefulOps {
       }
   }
 
+  case class EwmaState(lastDay: Long, score: Long, n: Long, maxTsMs: Long)
+  case class EwmaUpdate(user_id: Long, last_day: Long, n_events: Long, ewma_q50: Long)
+
+  /** Streaming twin of the batch q_ev_ewma recency-weighted activity
+    * counter: per-user exponentially-decayed event count (half-life =
+    * 1 day) in the SAME dyadic fixed point — an event Δ whole UTC days
+    * before the user's latest event weighs 2^(50−Δ), truncating below
+    * the 2^-50 tail. State is TWO longs per active user (anchor day +
+    * score; the classic decayed counter S ← (S >> Δ) + 2^50), versus the
+    * batch query's corpus-wide horizon scan — O(1) state, O(1) per
+    * event, emitted per event in append mode.
+    *
+    * Semantics vs batch: the ANCHOR here is the user's own latest event
+    * day (a stream has no global horizon); rebasing the batch score is
+    * `score >> (globalHorizon − last_day)`. In-order feeds reproduce the
+    * batch per-event sum exactly while weights stay representable; the
+    * one divergence is carry truncation — ≥2^j same-day events whose
+    * decayed weights fall below one ulp can leave a carried bit the
+    * per-event rule drops (the standard decayed-counter approximation).
+    * Late events within the 50-day window fold in at their true decayed
+    * weight 2^(50−Δ) without moving the anchor.
+    *
+    * The TTL is lossless by construction: `ttlMs` defaults to 51 days,
+    * and after 50 idle days the score decays to exactly 0 — purged state
+    * is state that no longer contributes anything.
+    */
+  def ewmaActivity(spark: SparkSession, events: Dataset[KeyedEvent],
+      watermarkDelay: String = "1 hour",
+      ttlMs: Long = 51L * 86400000L): Dataset[EwmaUpdate] = {
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, batch: Iterator[KeyedEvent], state: GroupState[EwmaState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            // UTC day bucket, matching the batch query's to_date under the
+            // driver's UTC session timezone
+            def day(t: Timestamp): Long = Math.floorDiv(t.getTime, 86400000L)
+            val evs = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var s = state.getOption.getOrElse(EwmaState(Long.MinValue, 0L, 0L, Long.MinValue))
+            val out = evs.map { e =>
+              val d = day(e.ts)
+              s = if (s.n == 0L)
+                EwmaState(d, 1L << 50, 1L, e.ts.getTime)
+              else if (d >= s.lastDay) {
+                val shift = d - s.lastDay
+                val decayed = if (shift > 50) 0L else s.score >> shift
+                EwmaState(d, decayed + (1L << 50), s.n + 1,
+                  math.max(s.maxTsMs, e.ts.getTime))
+              } else { // late event: fold in decayed, anchor unmoved
+                val delta = s.lastDay - d
+                val w = if (delta > 50) 0L else 1L << (50 - delta)
+                EwmaState(s.lastDay, s.score + w, s.n + 1,
+                  math.max(s.maxTsMs, e.ts.getTime))
+              }
+              EwmaUpdate(user, s.lastDay, s.n, s.score)
+            }
+            state.update(s)
+            state.setTimeoutTimestamp(
+              math.max(s.maxTsMs + ttlMs, state.getCurrentWatermarkMs() + 1))
+            out.iterator
+          }
+      }
+  }
+
   /** Per-user running (count, sum, max) with an anomaly flag when a single
     * event exceeds `flagFactor` × the user's running mean. Emits one update
     * per input event; a key's state expires once the watermark passes

@@ -64,6 +64,51 @@ class StatefulOpsSpec extends SparkSpec {
     assert(got.contains((1L, "click", "purchase")), "cross-batch transition must bridge state")
   }
 
+  test("ewma stream twin: decays across micro-batches, folds late events, matches batch formula") {
+    import StatefulOps.{KeyedEvent, EwmaUpdate}
+    import org.apache.spark.sql.functions._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[KeyedEvent]
+    // wide watermark so batch 3's deliberately-late event isn't dropped
+    val q = StatefulOps.ewmaActivity(spark, ms.toDS(), watermarkDelay = "100 days")
+      .writeStream.format("memory").queryName("ewmas").outputMode("append").start()
+    val batch1 = Seq(
+      KeyedEvent(ts("2024-02-28 00:00:00"), 1L, 1L, "click"), // u1 Δ2 (from final anchor)
+      KeyedEvent(ts("2024-02-29 23:00:00"), 2L, 1L, "click"), // u1 Δ1
+      KeyedEvent(ts("2024-03-01 00:00:00"), 3L, 2L, "click")) // u2 Δ0
+    val batch2 = Seq( // u1's anchor moves a day: stored score must shift >> 1
+      KeyedEvent(ts("2024-03-01 10:00:00"), 4L, 1L, "click"),
+      KeyedEvent(ts("2024-03-01 00:00:00"), 5L, 3L, "click"))
+    val batch3 = Seq( // u3 late event 10 days BEFORE its anchor: +2^40, anchor unmoved
+      KeyedEvent(ts("2024-02-20 00:00:00"), 6L, 3L, "click"))
+    ms.addData(batch1); q.processAllAvailable()
+    ms.addData(batch2); q.processAllAvailable()
+    ms.addData(batch3); q.processAllAvailable(); q.stop()
+    val rows = spark.table("ewmas").as[EwmaUpdate].collect()
+    val fin = rows.groupBy(_.user_id).map { case (u, rs) => u -> rs.maxBy(_.n_events) }
+    assert(fin(1L).ewma_q50 === (1L << 50) + (1L << 49) + (1L << 48))
+    assert(fin(1L).n_events === 3L, "cross-batch state must bridge user 1's count")
+    assert(fin(2L).ewma_q50 === (1L << 50))
+    assert(fin(3L).ewma_q50 === (1L << 50) + (1L << 40),
+      "a late in-window event folds in at its true decayed weight")
+    assert(fin(3L).last_day === java.time.LocalDate.parse("2024-03-01").toEpochDay,
+      "a late event must not move the anchor backward")
+    // batch≡stream parity: the q_ev_ewma weight formula, anchored per user
+    // (a stream has no global horizon), over the SAME event union
+    val e = (batch1 ++ batch2 ++ batch3).toDF()
+      .select($"user_id", to_date($"ts").as("d"))
+    val want = e.join(e.groupBy($"user_id").agg(max($"d").as("hd")), "user_id")
+      .withColumn("dd", datediff($"hd", $"d"))
+      .withColumn("wt", when($"dd" <= 50,
+        expr("shiftleft(cast(1 as bigint), 50 - cast(dd as int))")).otherwise(lit(0L)))
+      .groupBy($"user_id")
+      .agg(sum($"wt").as("score"), count(lit(1)).as("n"))
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    fin.foreach { case (u, r) =>
+      assert((r.ewma_q50, r.n_events) === want(u), s"user $u diverges from batch formula")
+    }
+  }
+
   test("funnel: stage order enforced — pre-view clicks and pre-click purchases don't count") {
     import org.apache.spark.sql.functions._
     val ev = Seq(

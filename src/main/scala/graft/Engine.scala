@@ -42,6 +42,16 @@ object Engine {
     // events.parquet carries TIMESTAMP(NANOS) which Spark cannot represent;
     // read the raw int64 and convert explicitly in Tables.events.
     c.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Surface parquet isAdjustedToUTC=false TIMESTAMP(MICROS) as
+    // TimestampType directly AT THE SCAN instead of TIMESTAMP_NTZ (under
+    // the pinned UTC session zone the instant is identical). With NTZ
+    // inference on, Tables.ntzToUtc's post-scan cast kept the values right
+    // but COST PUSHDOWN: UnwrapCastInBinaryComparison does not unwrap
+    // NTZ→LTZ casts (timezone-dependent), so timestamp-literal predicates
+    // stopped reaching the parquet row-group pruner. Scan-native
+    // TimestampType keeps them pushable; ntzToUtc stays as a no-op safety
+    // net for any future physical annotation drift.
+    c.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark
   }
 }

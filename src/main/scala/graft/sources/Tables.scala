@@ -23,8 +23,16 @@ object Tables {
     * UTC instant — epoch arithmetic (`unix_micros`, `cast(ts as bigint)`)
     * and DuckDB's naive-timestamp reading agree exactly. The cast is a
     * zero-cost metadata reinterpretation (both types are micros-since-epoch
-    * longs) and does NOT block parquet filter pushdown: comparisons against
-    * timestamp literals are rewritten onto the NTZ scan column by Catalyst.
+    * longs) — but it is NOT pushdown-transparent: Catalyst's
+    * UnwrapCastInBinaryComparison refuses NTZ→LTZ (timezone-dependent), so
+    * a timestamp-literal filter above this cast would NOT reach the parquet
+    * row-group pruner. Engine.tune therefore disables NTZ inference
+    * (`spark.sql.parquet.inferTimestampNTZ.enabled=false`) so these columns
+    * surface as TimestampType AT THE SCAN and this function is a no-op
+    * safety net (it still fires if a session skipped Engine.tune).
+    * Limitation: only top-level columns are normalized — NTZ fields nested
+    * inside struct/array/map pass through (fine for the driver's flat
+    * TPC-H-ish schemas; recurse if nested timestamps ever appear).
     */
   private def ntzToUtc(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.TimestampNTZType
@@ -59,7 +67,12 @@ object Tables {
       // timestamps. pmod-floor matches DuckDB's ns→µs conversion for any
       // sign.
       case "long" =>
-        raw.withColumn("ts", timestamp_micros(expr("(ts - ((ts % 1000) + 1000) % 1000) DIV 1000")))
+        // ntzToUtc wraps this branch too: today ts is the only timestamp
+        // column, but a regenerated events.parquet carrying an additional
+        // NTZ column must not leak TIMESTAMP_NTZ past the one normalization
+        // point
+        ntzToUtc(raw.withColumn("ts",
+          timestamp_micros(expr("(ts - ((ts % 1000) + 1000) % 1000) DIV 1000"))))
       case _      => ntzToUtc(raw)
     }
   }

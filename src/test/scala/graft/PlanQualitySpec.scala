@@ -25,6 +25,23 @@ class PlanQualitySpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2) // partial + final
   }
 
+  test("q_prioline: timestamp-literal range predicates reach the parquet scan") {
+    // the driver's parquet stamps isAdjustedToUTC=false micros; with NTZ
+    // inference Spark scans TIMESTAMP_NTZ and the post-scan NTZ→LTZ cast
+    // BLOCKS pushdown (UnwrapCastInBinaryComparison refuses tz-dependent
+    // casts). Engine.tune pins inferTimestampNTZ.enabled=false so the scan
+    // is TimestampType and the shipdate range prunes row groups — this
+    // test fails if that setting regresses.
+    import org.apache.spark.sql.types.TimestampType
+    val p = plan("q_prioline")
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters:")).mkString("\n")
+    assert(pushed.contains("GreaterThanOrEqual(l_shipdate") &&
+      pushed.contains("LessThan(l_shipdate"),
+      s"shipdate range must be pushed to the scan: $pushed")
+    assert(graft.sources.Tables.lineitem(spark, Sf).schema("l_shipdate")
+      .dataType === TimestampType, "scan must surface TimestampType, not NTZ")
+  }
+
   test("q3_topk: dimension broadcast + TakeOrderedAndProject (no global sort)") {
     val p = plan("q3_topk")
     assert(p.contains("BroadcastHashJoin"))

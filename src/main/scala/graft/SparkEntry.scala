@@ -882,6 +882,14 @@ object SparkEntry {
       TextAnalysis.dsirWeights(Tables.documents(s, dir))
     },
 
+    // Stupid-Backoff bigram LM score (Brants'07): train on the even-id
+    // half, score every doc; unseen bigrams back off to 0.4·c(w2)/N.
+    // Bit-length-quantized — exact integer totals; backoff_frac is the
+    // held-out novelty signal.
+    "q_doc_sbackoff" -> { (s, dir) =>
+      TextAnalysis.stupidBackoff(Tables.documents(s, dir))
+    },
+
     // Gopher top-2-gram repetition signal: share of each doc's bigram
     // occurrences (and chars) covered by its most frequent bigram — two
     // grouped aggs, no joins/windows, struct-max tie-break.
@@ -2815,6 +2823,43 @@ object SparkEntry {
          |    / CAST(COUNT(*) AS DOUBLE) AS mean_surprisal
          |FROM bgs JOIN bc USING (bg) JOIN uni USING (w)
          |GROUP BY doc_id""".stripMargin,
+    "q_doc_sbackoff" ->
+      s"""WITH tk AS (SELECT doc_id, ${Dedup.toksSql} AS toks FROM documents),
+         |bgs AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(range(1, len(toks)), i ->
+         |      {'w1': toks[i], 'w2': toks[i+1], 'bg': toks[i] || ' ' || toks[i+1]}),
+         |      recursive := true)
+         |  FROM tk),
+         |tr AS (SELECT * FROM tk WHERE doc_id % 2 = 0),
+         |uni AS (
+         |  SELECT w, COUNT(*) AS cw
+         |  FROM (SELECT unnest(toks) AS w FROM tr) GROUP BY w),
+         |bc AS (
+         |  SELECT bg, COUNT(*) AS cb
+         |  FROM (SELECT unnest(list_transform(range(1, len(toks)), i ->
+         |          toks[i] || ' ' || toks[i+1])) AS bg FROM tr)
+         |  GROUP BY bg),
+         |nt AS (SELECT COUNT(*) AS n FROM (SELECT unnest(toks) FROM tr)),
+         |sc AS (
+         |  SELECT g.doc_id, bc.cb IS NULL AS backoff,
+         |    CASE WHEN bc.cb IS NOT NULL
+         |      THEN length(bin(bc.cb)) - length(bin(u1.cw))
+         |      ELSE length(bin(COALESCE(u2.cw, 1) * 2)) - length(bin(nt.n * 5))
+         |    END AS s
+         |  FROM bgs g
+         |  LEFT JOIN bc ON g.bg = bc.bg
+         |  LEFT JOIN uni u1 ON g.w1 = u1.w
+         |  LEFT JOIN uni u2 ON g.w2 = u2.w
+         |  CROSS JOIN nt)
+         |SELECT doc_id, COUNT(*) AS n_bigrams,
+         |  count(CASE WHEN backoff THEN 1 END) AS n_backoff,
+         |  CAST(SUM(s) AS BIGINT) AS total_sb,
+         |  CAST(count(CASE WHEN backoff THEN 1 END) AS DOUBLE)
+         |    / CAST(COUNT(*) AS DOUBLE) AS backoff_frac,
+         |  CAST(CAST(SUM(s) AS BIGINT) AS DOUBLE)
+         |    / CAST(COUNT(*) AS DOUBLE) AS mean_sb
+         |FROM sc GROUP BY doc_id""".stripMargin,
     "q_doc_dsir" ->
       s"""WITH tok AS (
          |  SELECT doc_id, lang, unnest(toks) AS w

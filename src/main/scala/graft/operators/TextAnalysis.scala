@@ -479,6 +479,68 @@ object TextAnalysis {
           .as("mean_surprisal"))
   }
 
+  /** Stupid-Backoff bigram LM score (Brants et al., EMNLP'07 "Large
+    * Language Models in Machine Translation" — the backoff score built FOR
+    * distributed count infrastructure: no discounting normalization, so
+    * every term is a pure count ratio). Unlike [[surprisal]] (self-trained,
+    * so every bigram is "seen"), the model here trains on the even-doc_id
+    * HALF of the corpus and scores every doc, so held-out docs genuinely
+    * hit the backoff path:
+    *   S(w2|w1) = cb(w1 w2) / c1(w1)            if the bigram was seen
+    *            = 0.4 · c1(w2) / N              otherwise (α=0.4=2/5)
+    * with an unseen-unigram floor c1(w2):=1. The per-doc backoff_frac is
+    * itself the novelty signal: how much of a doc the reference LM has
+    * never seen.
+    *
+    * Same integer-quantization discipline as [[surprisal]]: log₂ of each
+    * ratio is quantized to bit lengths — seen: bitlen(cb)−bitlen(c1(w1));
+    * backoff: bitlen(2·c1(w2))−bitlen(5·N) — so per-doc totals are exact
+    * INTEGER sums, order-independent under shuffle reduce and
+    * bit-identical cross-engine (a float Σ log would be neither).
+    *
+    * Scale shape: train-side counts are two grouped aggs (state bounded
+    * by the vocabulary); probes are equi-joins with shuffle-hash hints
+    * (count tables are corpus-derived — never broadcast the vocabulary);
+    * N is a 1-row broadcast; one per-doc roll-up shuffle. At 100 TB the
+    * count tables are exactly the sharded LM servers of the paper, here
+    * as shuffle partitions.
+    */
+  def stupidBackoff(docs: DataFrame): DataFrame = {
+    val tk = docs.select(col("doc_id"), tokens(col("text")).as("tk"))
+    def bigramsOf(d: DataFrame) = d.select(col("doc_id"), explode(expr(
+        "transform(slice(tk, 1, size(tk) - 1), (t, i) -> " +
+        "struct(t AS w1, tk[i + 1] AS w2, concat(t, ' ', tk[i + 1]) AS bg))")).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"),
+        col("p.bg").as("bg"))
+    val train = tk.filter(col("doc_id") % 2 === 0)
+    val uniT = train.select(explode(col("tk")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cw"))
+    val bigT = bigramsOf(train).groupBy(col("bg")).agg(count(lit(1)).as("cb"))
+    val nTot = train.select(explode(col("tk")).as("w")).agg(count(lit(1)).as("nt"))
+    val bitlen = (c: Column) => length(bin(c))
+    bigramsOf(tk)
+      .join(bigT.hint("shuffle_hash"), Seq("bg"), "left")
+      .join(uniT.hint("shuffle_hash").select(col("w").as("w1"), col("cw").as("cw1")),
+        Seq("w1"), "left")
+      .join(uniT.hint("shuffle_hash").select(col("w").as("w2"), col("cw").as("cw2")),
+        Seq("w2"), "left")
+      .crossJoin(broadcast(nTot))
+      .select(col("doc_id"), col("cb").isNull.as("backoff"),
+        // seen bigram ⇒ cw1 is present (the bigram's own occurrences count)
+        when(col("cb").isNotNull, bitlen(col("cb")) - bitlen(col("cw1")))
+          .otherwise(bitlen(coalesce(col("cw2"), lit(1L)) * 2) - bitlen(col("nt") * 5))
+          .cast("long").as("s"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        count(when(col("backoff"), 1)).as("n_backoff"),
+        sum(col("s")).as("total_sb"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_backoff"), col("total_sb"),
+        (col("n_backoff").cast("double") / col("n_bigrams").cast("double"))
+          .as("backoff_frac"),
+        (col("total_sb").cast("double") / col("n_bigrams").cast("double"))
+          .as("mean_sb"))
+  }
+
   /** DSIR-style importance weight (Xie et al., NeurIPS'23 "Data Selection
     * for Language Models via Importance Resampling"): score each doc by
     * how much more likely its tokens are under the TARGET domain's

@@ -518,6 +518,13 @@ object SparkEntry {
       Dedup.dedupReport(c, Dedup.clustersFor(c, dir))
     },
 
+    // Repeated-span removal audit (Lee'22 ExactSubstr at block
+    // granularity): per-doc shadowed-block and surviving-token accounting
+    // for the paragraph-dedup cut.
+    "q_dedup_spanrm" -> { (s, dir) =>
+      Dedup.spanRemovalReport(Dedup.corpus(Tables.documents(s, dir)))
+    },
+
     // MinHash Jaccard estimate per candidate pair — the verify stage that
     // costs one row per pair (no shingle re-join) when exactness can
     // yield; exact copies estimate 1.0 by construction.
@@ -2516,6 +2523,19 @@ object SparkEntry {
          |SELECT doc_id, string_agg(para, ' ' ORDER BY ord) AS text_kept,
          |  COUNT(*) AS n_paras
          |FROM keep GROUP BY doc_id""".stripMargin,
+    "q_dedup_spanrm" ->
+      s"""WITH ${Dedup.corpusSql},
+         |${Dedup.paraSql},
+         |keyed AS (
+         |  SELECT doc_id, ord, para, (doc_id << 20) + ord AS key FROM para),
+         |keep AS (SELECT para, MIN(key) AS k FROM keyed GROUP BY para)
+         |SELECT doc_id, COUNT(*) AS n_blocks,
+         |  count(CASE WHEN key <> k THEN 1 END) AS n_removed,
+         |  CAST(SUM(CASE WHEN key = k THEN len(string_split(para, ' ')) ELSE 0 END)
+         |    AS BIGINT) AS kept_tokens,
+         |  CAST(count(CASE WHEN key <> k THEN 1 END) AS DOUBLE)
+         |    / CAST(COUNT(*) AS DOUBLE) AS removed_frac
+         |FROM keyed JOIN keep USING (para) GROUP BY doc_id""".stripMargin,
     "q_dedup_cross" ->
       s"""WITH ${Dedup.corpusSql},
          |newdocs AS (SELECT doc_id, lang, text FROM corpus WHERE doc_id >= 1000000),

@@ -698,6 +698,40 @@ object Dedup {
           .as("text_kept"),
         size(col("ps")).cast("long").as("n_paras"))
 
+  /** Repeated-span removal accounting (Lee et al., ACL'22 "Deduplicating
+    * Training Data Makes Language Models Better" — their ExactSubstr cut,
+    * at this library's block granularity): for every doc, how many of its
+    * blocks are shadowed by an earlier first occurrence corpus-wide, and
+    * how many tokens survive the cut. [[paragraphDedup]] emits the
+    * cleaned text; this emits the per-doc audit a curation run publishes
+    * (exact copies → removed_frac 1, near copies → only the novel tail
+    * survives, originals → 0).
+    *
+    * Scale shape: the keeper table is the SAME packed-long map-side
+    * combinable min as paragraphDedup (one row per distinct block before
+    * the exchange — boilerplate repeated across millions of docs stays
+    * skew-proof); occurrences probe it with a shuffle-hash equi-join on
+    * the block text (block tables are corpus-derived — never broadcast);
+    * one per-doc roll-up. Kept tokens are counted from the kept blocks'
+    * own text, so `kept_tokens` sums exactly to paragraphDedup's
+    * reassembled corpus size.
+    */
+  def spanRemovalReport(c: DataFrame): DataFrame = {
+    val p = paragraphs(c)
+      .withColumn("key", shiftleft(col("doc_id"), ParaOrdBits) + col("ord"))
+    val keep = p.groupBy(col("para")).agg(min(col("key")).as("k"))
+    p.join(keep.hint("shuffle_hash"), Seq("para"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_blocks"),
+        count(when(col("key") =!= col("k"), 1)).as("n_removed"),
+        sum(when(col("key") === col("k"),
+          size(split(col("para"), " ", -1)).cast("long")).otherwise(lit(0L)))
+          .as("kept_tokens"))
+      .select(col("doc_id"), col("n_blocks"), col("n_removed"), col("kept_tokens"),
+        (col("n_removed").cast("double") / col("n_blocks").cast("double"))
+          .as("removed_frac"))
+  }
+
   // ---- DuckDB oracle mirrors ---------------------------------------------
 
   /** Mirror of [[paragraphs]] over the `corpus` CTE (1-based subscripts →

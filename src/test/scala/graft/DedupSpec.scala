@@ -105,6 +105,52 @@ class DedupSpec extends SparkSpec {
     assert((baseIds -- kept) === (nonKeepers & baseIds))
   }
 
+  test("span removal: exact copies fully shadowed, originals untouched, tokens conserved") {
+    val rep = Dedup.spanRemovalReport(corpus).cache()
+    val byId = rep.select($"doc_id", $"n_blocks", $"n_removed", $"kept_tokens")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // planted exact copies (base + 2M) lose EVERY block (base docs may
+    // themselves share boilerplate blocks with earlier docs — that's the
+    // operator working, not an error — but a copy can never keep one)
+    plantedExact.foreach { case (base, copy) =>
+      assert(byId(copy)._3 === byId(copy)._2, s"copy $copy must be fully shadowed")
+      assert(byId(copy)._4 === 0L)
+      assert(byId(base)._2 - byId(base)._3 > 0L,
+        s"base $base must keep at least one block (texts are distinct)")
+    }
+    // near copies (+1M, 4-token tail): all pre-tail blocks shadow against
+    // the base, so ≤2 blocks survive (2 = the 4 appended tokens overflow a
+    // block boundary; 0 is legitimate — a base length ≡ 0 mod 20 makes the
+    // tail block the literal 4 tail tokens, identical across every such
+    // copy, and only the smallest id keeps it)
+    plantedNear.foreach { case (_, copy) =>
+      val kept = byId(copy)._2 - byId(copy)._3
+      assert(kept <= 2L, s"near copy $copy kept $kept blocks, expected ≤ 2")
+    }
+    // full equivalence against an independent formulation: first-occurrence
+    // via row_number window over the block key (same semantics, different
+    // plan — sort-based instead of the packed-long min agg)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"para").orderBy($"doc_id", $"ord")
+    val ref = Dedup.paragraphs(corpus)
+      .withColumn("rn", row_number().over(w))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_blocks"),
+        count(when($"rn" > 1, 1)).as("n_removed"),
+        sum(when($"rn" === 1, size(split($"para", " ", -1)).cast("long"))
+          .otherwise(lit(0L))).as("kept_tokens"))
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(byId === ref, "agg-min and window formulations must agree on every doc")
+    // conservation: kept tokens across the report == tokens in the
+    // paragraph-dedup'd corpus (same cut, two formulations)
+    val keptViaReport = rep.agg(sum($"kept_tokens")).as[Long].head()
+    val keptViaDedup = Dedup.paragraphDedup(corpus)
+      .select(size(split($"text_kept", " ", -1)).cast("long").as("n"))
+      .agg(sum($"n")).as[Long].head()
+    assert(keptViaReport === keptViaDedup)
+    rep.unpersist()
+  }
+
   test("edit-distance verify: exact copies at 0, near copies at the appended tail length") {
     val ed = Dedup.editDistancePairs(corpus)
       .select($"doc_a", $"doc_b", $"edit_dist").as[(Long, Long, Long)]

@@ -371,6 +371,30 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("Join") && !p.contains("Window"))
   }
 
+  test("q_dedup_spanrm: hash-agg keeper min; occurrence probe shuffle-hash, never broadcast") {
+    // same packed-long discipline as q_dedup_para for the keeper table;
+    // the occurrence→keeper probe is a corpus-derived block table on both
+    // sides — a stats-blind broadcast would ship a corpus-sized table
+    val p = plan("q_dedup_spanrm")
+    assert(!p.contains("SortAggregate"), "keeper aggregation fell off the hash path")
+    assert(p.contains("partial_min"), "expected a map-side partial min per block")
+    assert(p.contains("ShuffledHashJoin"), "keeper probe lost the shuffle-hash hint")
+    assert(!p.contains("BroadcastHashJoin"), "block tables must not broadcast")
+    assert(!p.contains("Window"), "first-occurrence must be the min agg, not a rank window")
+  }
+
+  test("q_doc_sbackoff: count-table probes shuffle-hash; N is the only broadcast") {
+    // bigram/unigram count tables are vocabulary-sized with unknown
+    // post-agg stats (same profile as surprisal/dsir); the token total is
+    // a 1-row aggregate and MUST broadcast
+    val p = plan("q_doc_sbackoff")
+    assert("ShuffledHashJoin".r.findAllIn(p).size >= 3,
+      "all three count probes must stay shuffle-hash")
+    assert(!p.contains("BroadcastHashJoin"), "vocabulary must not be broadcast")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "the 1-row token total must join as a broadcast")
+  }
+
   test("composition queries stay index-joined end to end") {
     // building q_pipeline_e2e runs the eager duplicateClusters loop; the
     // remaining plan must still be equi-joins only

@@ -709,6 +709,13 @@ object SparkEntry {
     // narrow argmin assignment, one (cell, dim)-keyed shuffle per update,
     // fixed-point sums so the result is aggregation-order-independent.
     "q_emb_kmeans" -> { (s, dir) => Similarity.kmeans(Tables.embeddings(s, dir)) },
+
+    // Semantic topic profile: k-means cells joined back to documents —
+    // per-(cell, lang) doc counts, char volume, within-cell share; the
+    // topic-mix audit read before reweighting a training blend.
+    "q_emb_topics" -> { (s, dir) =>
+      Similarity.topicProfile(Tables.embeddings(s, dir), Tables.documents(s, dir))
+    },
     // Embedding-store ingest: near-dup removal → IVF cell assignment.
     "q_emb_e2e" -> { (s, dir) => Similarity.embIngest(Tables.embeddings(s, dir)) },
 
@@ -2129,6 +2136,19 @@ object SparkEntry {
         |      FROM embeddings) t
         |GROUP BY label, dim""".stripMargin,
     "q_emb_kmeans" -> Similarity.kmeansSql(),
+    "q_emb_topics" ->
+      s"""WITH ${Similarity.kmeansCtes()},
+         |j AS (
+         |  SELECT a.cell, d.lang, d.n_chars
+         |  FROM afin a JOIN documents d ON d.doc_id = a.vec_id),
+         |lc AS (
+         |  SELECT cell, lang, COUNT(*) AS n_docs,
+         |    CAST(SUM(n_chars) AS BIGINT) AS total_chars
+         |  FROM j GROUP BY cell, lang),
+         |ct AS (SELECT cell, SUM(n_docs) AS nt FROM lc GROUP BY cell)
+         |SELECT cell, lang, n_docs, total_chars,
+         |  CAST(n_docs AS DOUBLE) / CAST(nt AS DOUBLE) AS share
+         |FROM lc JOIN ct USING (cell)""".stripMargin,
     "q_dedup_exact" ->
       s"""WITH ${Dedup.corpusSql}
          |SELECT md5(text) AS text_md5, COUNT(*) AS n_dups, MIN(doc_id) AS keeper

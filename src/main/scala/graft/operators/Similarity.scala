@@ -494,6 +494,35 @@ object Similarity {
     assign(cents).select(col("vec_id"), col("cell"), col("d2"))
   }
 
+  /** Semantic topic profile — the cross-modal "what lives in each
+    * embedding cluster" audit a curation run reads before reweighting:
+    * [[kmeans]] cell assignments joined back to the documents table on
+    * vec_id = doc_id, rolled up to per-(cell, lang) document counts,
+    * character volume, and within-cell share. This is the composition
+    * that catches a skewed topic mix (one cell = one language = one
+    * crawl source) before it trains.
+    *
+    * Scale shape: the assignment is kmeans' narrow broadcast-centroid
+    * map; the doc join is a plain id equi-join (both sides corpus-sized,
+    * AQE picks the strategy); the profile is two grouped aggs with
+    * map-side partials, and the cell-total join back is a ≤ k·‖langs‖-row
+    * BROADCAST by construction — the one place a derived-table broadcast
+    * is provably safe. Output ≤ k·‖langs‖ rows at any corpus size.
+    */
+  def topicProfile(e: DataFrame, docs: DataFrame,
+      k: Int = 8, iters: Int = 2): DataFrame = {
+    val asg = kmeans(e, k, iters).select(col("vec_id"), col("cell"))
+    val j = asg.join(
+      docs.select(col("doc_id"), col("lang"), col("n_chars")),
+      asg("vec_id") === col("doc_id"))
+    val lc = j.groupBy(col("cell"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+    val ct = lc.groupBy(col("cell")).agg(sum(col("n_docs")).as("nt"))
+    lc.join(broadcast(ct), Seq("cell"))
+      .select(col("cell"), col("lang"), col("n_docs"), col("total_chars"),
+        (col("n_docs").cast("double") / col("nt").cast("double")).as("share"))
+  }
+
   /** Per-label elementwise centroid via fixed-point quantization. */
   def centroids(e: DataFrame): DataFrame =
     withEmb(e)
@@ -530,7 +559,13 @@ object Similarity {
     * Mirrors op-for-op: k smallest vec_ids init, l2sq argmin with
     * (d2, cell) ties, fixed-point quantized centroid means.
     */
-  def kmeansSql(k: Int = 8, iters: Int = 2): String = {
+  def kmeansSql(k: Int = 8, iters: Int = 2): String =
+    s"WITH ${kmeansCtes(k, iters)}\nSELECT vec_id, cell, d2 FROM afin"
+
+  /** The kmeans mirror's CTE chain alone (ending in `afin`), for queries
+    * that compose the assignment with further stages.
+    */
+  def kmeansCtes(k: Int = 8, iters: Int = 2): String = {
     def assignCte(out: String, cents: String, proj: String): String =
       s"""$out AS (
          |  SELECT ${proj} FROM (
@@ -555,13 +590,12 @@ object Similarity {
       assignCte(s"a$i", s"c${i - 1}", "vec_id, emb, cell") + ",\n" +
         updateCte(s"c$i", s"a$i")
     }.mkString(",\n")
-    s"""WITH kb AS (
+    s"""kb AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
        |  FROM embeddings),
        |c0 AS (SELECT vec_id AS cell, emb AS cemb FROM kb ORDER BY vec_id LIMIT $k),
        |$rounds,
-       |${assignCte("afin", s"c$iters", "vec_id, cell, d2")}
-       |SELECT vec_id, cell, d2 FROM afin""".stripMargin
+       |${assignCte("afin", s"c$iters", "vec_id, cell, d2")}""".stripMargin
   }
 
   val bucketSql: String =

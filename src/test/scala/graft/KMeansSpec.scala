@@ -43,6 +43,25 @@ class KMeansSpec extends SparkSpec {
     assert(got(1L) == (1L, 0.0), "cell 1 kept its lone member exactly")
   }
 
+  test("topic profile: shares partition each cell, counts partition the corpus") {
+    import org.apache.spark.sql.functions._
+    val e = graft.sources.Tables.embeddings(spark, Sf)
+    val d = graft.sources.Tables.documents(spark, Sf)
+    val prof = Similarity.topicProfile(e, d).cache()
+    val nDocs = d.count()
+    assert(prof.agg(sum($"n_docs")).as[Long].head() === nDocs,
+      "every doc must land in exactly one (cell, lang) row")
+    // within each cell the lang shares sum to exactly 1 (shares are
+    // n/total with a shared denominator — the sum telescopes)
+    val sums = prof.groupBy($"cell").agg(sum($"share").as("s"))
+      .select($"s").as[Double].collect()
+    assert(sums.forall(s => math.abs(s - 1.0) < 1e-12), sums.mkString(","))
+    // volume conservation: per-cell chars roll up to the corpus total
+    assert(prof.agg(sum($"total_chars")).as[Long].head() ===
+      d.agg(sum($"n_chars")).as[Long].head())
+    prof.unpersist()
+  }
+
   test("fewer vectors than k degrades to one cell per vector") {
     val got = Similarity.kmeans(
       emb(Seq(0L -> Seq(1f, 1f), 1L -> Seq(5f, 5f))), k = 8, iters = 2)

@@ -109,6 +109,37 @@ class StatefulOpsSpec extends SparkSpec {
     }
   }
 
+  test("streaming LSH near-dup: collisions bridge micro-batches and match batch candidates") {
+    import graft.streaming.DocStream
+    import DocStream.{StreamDoc, Collision}
+    implicit val ctx = spark.sqlContext
+    val tA = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val tB = "completely different content about distributed query engines and shuffle planning"
+    val ms = MemoryStream[StreamDoc]
+    val q = DocStream.lshCollisions(spark, ms.toDS())
+      .writeStream.format("memory").queryName("lshcol").outputMode("append").start()
+    ms.addData(Seq(
+      StreamDoc(ts("2024-01-01 00:00:00"), 1L, tA),
+      StreamDoc(ts("2024-01-01 00:00:10"), 2L, tB)))
+    q.processAllAvailable()
+    ms.addData(Seq( // exact copy of doc 1 arrives a batch later
+      StreamDoc(ts("2024-01-01 00:01:00"), 3L, tA)))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("lshcol").as[Collision].collect()
+    // identical text ⇒ identical signature ⇒ a collision on EVERY band,
+    // each pointing at the batch-1 occupant — state bridged the batches
+    val pairs = got.map(c => (c.first_doc_id, c.doc_id)).distinct.toSeq
+    assert(pairs === Seq((1L, 3L)), s"got $pairs")
+    assert(got.length === graft.operators.Dedup.NumHashes / graft.operators.Dedup.BandSize,
+      "an exact copy must collide on all 8 bands")
+    // batch parity: the distinct collision pairs == minhashCandidates on
+    // the same three docs (arrival order matches id order here)
+    val batchPairs = graft.operators.Dedup.minhashCandidates(
+        Seq((1L, tA), (2L, tB), (3L, tA)).toDF("doc_id", "text"))
+      .as[(Long, Long)].collect().toSeq.sorted
+    assert(pairs.sorted === batchPairs)
+  }
+
   test("funnel: stage order enforced — pre-view clicks and pre-click purchases don't count") {
     import org.apache.spark.sql.functions._
     val ev = Seq(

@@ -865,7 +865,7 @@ object SparkEntry {
       val bgs = Tables.documents(s, dir)
         .select($"lang", graft.functions.TextFunctions.tokens($"text").as("tk"))
         .select($"lang", explode(expr(
-          "transform(slice(tk, 1, size(tk) - 1), (t, i) -> concat(t, ' ', tk[i + 1]))")).as("bg"))
+          "transform(slice(tk, 1, greatest(size(tk) - 1, 0)), (t, i) -> concat(t, ' ', tk[i + 1]))")).as("bg"))
       val counts = bgs.groupBy($"lang", $"bg").agg(count(lit(1)).as("cnt"))
         .withColumn("bh", graft.functions.TextFunctions.stringHash($"bg"))
       counts.groupBy($"lang")

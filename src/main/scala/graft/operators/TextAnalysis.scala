@@ -462,7 +462,7 @@ object TextAnalysis {
   def surprisal(docs: DataFrame): DataFrame = {
     val tk = docs.select(col("doc_id"), tokens(col("text")).as("tk"))
     val pairs = tk.select(col("doc_id"), explode(expr(
-        "transform(slice(tk, 1, size(tk) - 1), (t, i) -> struct(t AS w, concat(t, ' ', tk[i + 1]) AS bg))")).as("p"))
+        "transform(slice(tk, 1, greatest(size(tk) - 1, 0)), (t, i) -> struct(t AS w, concat(t, ' ', tk[i + 1]) AS bg))")).as("p"))
       .select(col("doc_id"), col("p.w").as("w"), col("p.bg").as("bg"))
     val uni = tk.select(explode(col("tk")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("cw"))
@@ -508,7 +508,7 @@ object TextAnalysis {
   def stupidBackoff(docs: DataFrame): DataFrame = {
     val tk = docs.select(col("doc_id"), tokens(col("text")).as("tk"))
     def bigramsOf(d: DataFrame) = d.select(col("doc_id"), explode(expr(
-        "transform(slice(tk, 1, size(tk) - 1), (t, i) -> " +
+        "transform(slice(tk, 1, greatest(size(tk) - 1, 0)), (t, i) -> " +
         "struct(t AS w1, tk[i + 1] AS w2, concat(t, ' ', tk[i + 1]) AS bg))")).as("p"))
       .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"),
         col("p.bg").as("bg"))
@@ -599,7 +599,7 @@ object TextAnalysis {
     docs
       .select(col("doc_id"), col("n_chars"), tokens(col("text")).as("tk"))
       .select(col("doc_id"), col("n_chars"), explode(expr(
-        "transform(slice(tk, 1, size(tk) - 1), (t, i) -> concat(t, ' ', tk[i + 1]))")).as("bg"))
+        "transform(slice(tk, 1, greatest(size(tk) - 1, 0)), (t, i) -> concat(t, ' ', tk[i + 1]))")).as("bg"))
       .groupBy(col("doc_id"), col("n_chars"), col("bg"))
       .agg(count(lit(1)).as("cnt"))
       .groupBy(col("doc_id"))

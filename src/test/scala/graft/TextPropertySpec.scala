@@ -73,4 +73,18 @@ class TextPropertySpec extends SparkSpec {
       .filter(!($"nat" <=> $"ref"))
     assert(bad.count() === 0)
   }
+
+  test("stupid backoff: every quantized log score is <= 0 on random corpora") {
+    // s = bitlen(num) − bitlen(den) with num ≤ den on BOTH paths (a bigram
+    // count never exceeds its w1 unigram count; 2·c1(w2) ≤ 2N < 5N), and
+    // bitlen is monotone — so no doc may ever score positive. Random docs
+    // (including empty/whitespace/unicode) must uphold it.
+    val docs = strings.withColumn("doc_id", monotonically_increasing_id())
+      .select($"doc_id", $"text")
+    val sb = graft.operators.TextAnalysis.stupidBackoff(docs)
+    assert(sb.filter($"total_sb" > 0).count() === 0,
+      "a count ratio > 1 slipped through the quantization")
+    // and the backoff fraction is a true fraction
+    assert(sb.filter($"n_backoff" > $"n_bigrams").count() === 0)
+  }
 }

@@ -1,0 +1,53 @@
+package graft
+
+import java.nio.file.Files
+
+/** Robustness sweep #2: every document-family query must run to
+  * completion on DEGENERATE ROW VALUES — empty text, whitespace-only
+  * text, one- and two-token docs, and NULL text. At 100 TB every one of
+  * these exists somewhere in a crawl; an operator that throws on them
+  * takes the whole stage down (the empty-token bigram slice crash that
+  * motivated this suite was exactly such a latent bomb — real corpus
+  * rows never triggered it). "Does not throw" is the contract; row
+  * counts are not asserted.
+  */
+class DegenerateInputSpec extends SparkSpec {
+
+  private lazy val degDir: String = {
+    val d = Files.createTempDirectory("graft-degenerate").toString
+    val tables = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "embeddings")
+    tables.foreach { t =>
+      spark.read.parquet(s"$Sf/$t.parquet")
+        .write.mode("overwrite").parquet(s"$d/$t.parquet")
+    }
+    import spark.implicits._
+    Seq[(Long, String, String, String, java.lang.Long)](
+      (1L, "", "en", "s1", 0L),
+      (2L, "   ", "en", "s1", 3L),
+      (3L, "one", "de", "s2", 3L),
+      (4L, "two tokens", "fr", "s2", 10L),
+      (5L, "a b", "en", "s1", 3L),
+      (6L, null, "en", "s3", null),
+      // a handful of normal docs so grouped stages have real data (and
+      // one id divisible by 20 so Dedup.corpus still plants copies)
+      (20L, "the quick brown fox jumps over the lazy dog by the river", "en", "s1", 57L),
+      (21L, "der schnelle braune fuchs springt ueber den faulen hund heute", "de", "s2", 61L),
+      (30L, "completely different text about distributed query engines and shuffles", "en", "s3", 71L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    d
+  }
+
+  private val docFamily = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
+    n.startsWith("q_doc_") || n.startsWith("q_dedup_") ||
+      n.startsWith("q_pipeline") || n == "q_emb_topics"
+  }
+
+  for ((name, fn) <- docFamily) {
+    test(s"$name tolerates degenerate document rows") {
+      val n = fn(spark, degDir).count() // full execution, not just plan
+      assert(n >= 0)
+    }
+  }
+}

@@ -710,6 +710,14 @@ object SparkEntry {
     // fixed-point sums so the result is aggregation-order-independent.
     "q_emb_kmeans" -> { (s, dir) => Similarity.kmeans(Tables.embeddings(s, dir)) },
 
+    // Hard-negative mining: per query vector, the k most-similar vectors
+    // with a DIFFERENT label — the near-miss negatives contrastive
+    // training wants. Brute ground-truth baseline (IVF/PQ compose for
+    // the billion-scale path).
+    "q_emb_hardneg" -> { (s, dir) =>
+      Similarity.hardNegatives(Tables.embeddings(s, dir))
+    },
+
     // Semantic topic profile: k-means cells joined back to documents —
     // per-(cell, lang) doc counts, char volume, within-cell share; the
     // topic-mix audit read before reweighting a training blend.
@@ -2038,6 +2046,18 @@ object SparkEntry {
          |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS BIGINT) AS rn
          |  FROM pairs) t
          |WHERE rn <= 5""".stripMargin,
+    "q_emb_hardneg" ->
+      s"""WITH ${Similarity.baseSql},
+         |q AS (SELECT vec_id AS qid, label AS qlabel, emb AS qemb, nrm AS qnrm
+         |      FROM base WHERE vec_id % 50 = 0),
+         |pairs AS (
+         |  SELECT qid, qlabel, vec_id, label AS neg_label,
+         |    ${Similarity.dotSql("qemb", "emb")} / (qnrm * nrm) AS cos
+         |  FROM q JOIN base ON label <> qlabel)
+         |SELECT qid, qlabel, vec_id, neg_label, cos, rn FROM (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS BIGINT) AS rn
+         |  FROM pairs) t
+         |WHERE rn <= 3""".stripMargin,
     "q_emb_buckets" ->
       s"""WITH b AS (
          |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb

@@ -64,6 +64,38 @@ object Similarity {
       .withColumn("cos", cosineWithNorms(dot(col("qemb"), col("emb")), col("qnrm"), col("nrm"))), k)
   }
 
+  /** Hard-negative mining — the contrastive-training data op: for each
+    * query vector, the k most-similar vectors carrying a DIFFERENT label
+    * (the near-miss negatives a contrastive or metric-learning loss
+    * wants; easy random negatives teach nothing). Emits the query and
+    * negative labels alongside cos and rank so a sampler can stratify.
+    *
+    * This is the oracle-able brute baseline, same contract as
+    * [[knnBrute]]: the query side is bounded (vec_id % queryMod), norms
+    * precomputed before the pairwise join, deterministic (cos desc,
+    * vec_id) ranking. At billion scale the same mining composes with the
+    * IVF/PQ candidate stages instead ([[knnIvf]]/[[knnIvfPq]] with the
+    * label-inequality filter on the probe side — cells bound WHERE,
+    * labels filter WHAT); the brute pair enumeration here is the
+    * ground-truth variant those are audited against ([[knnRecall]]'s
+    * pattern).
+    */
+  def hardNegatives(e: DataFrame, queryMod: Int = 50, k: Int = 3): DataFrame = {
+    val base = withEmb(e).select(col("vec_id"), col("label"), col("emb"),
+      l2norm(col("emb")).as("nrm"))
+    val q = base.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+        col("emb").as("qemb"), col("nrm").as("qnrm"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    q.join(base, col("label") =!= col("qlabel"))
+      .withColumn("cos",
+        cosineWithNorms(dot(col("qemb"), col("emb")), col("qnrm"), col("nrm")))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("qlabel"), col("vec_id"),
+        col("label").as("neg_label"), col("cos"), col("rn"))
+  }
+
   /** Random-hyperplane LSH bucket id (NumPlanes sign bits) per vector —
     * the native codegen'd expression (one generated loop per row; see
     * expressions/RandomHyperplaneBits).

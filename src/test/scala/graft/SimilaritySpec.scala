@@ -16,6 +16,28 @@ class SimilaritySpec extends SparkSpec {
     assert(knn.filter(abs($"cos") > 1.0000001).count() === 0)
   }
 
+  test("hard negatives: labels always differ, and each IS the true cross-label top-k") {
+    val hn = Similarity.hardNegatives(emb).cache()
+    assert(hn.filter($"qlabel" === $"neg_label").count() === 0,
+      "a negative must never share the query's label")
+    val perQ = hn.groupBy($"qid").count().select($"count").as[Long].collect()
+    assert(perQ.forall(_ === 3))
+    // ground truth: the unrestricted brute ranking filtered to other
+    // labels, re-ranked — must agree exactly (pair AND rank)
+    val labels = emb.select($"vec_id", $"label")
+    val full = Similarity.knnBrute(emb, k = 1000000)
+      .join(labels.withColumnRenamed("vec_id", "qid").withColumnRenamed("label", "ql"), Seq("qid"))
+      .join(labels, Seq("vec_id"))
+      .filter($"label" =!= $"ql")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"qid").orderBy($"cos".desc, $"vec_id")
+    val want = full.withColumn("rn2", row_number().over(w).cast("long"))
+      .filter($"rn2" <= 3).select($"qid", $"vec_id", $"rn2".as("rn"))
+    val got = hn.select($"qid", $"vec_id", $"rn")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    hn.unpersist()
+  }
+
   test("ANN results agree with brute-force cosine for the same pairs") {
     val brute = Similarity.knnBrute(emb, k = 1000000).select($"qid", $"vec_id", $"cos".as("bcos"))
     val ann = Similarity.knnLsh(emb).join(brute, Seq("qid", "vec_id"))

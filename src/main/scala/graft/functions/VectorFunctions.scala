@@ -34,9 +34,17 @@ object VectorFunctions {
 
   /** Cosine similarity from precomputed norms (precompute norms BEFORE a
     * pairwise join — O(n) instead of O(n²) norm work).
+    *
+    * Zero-norm guarded: cosine is undefined for the zero vector and ANSI
+    * mode (Spark 4 default) turns the division into a query-aborting
+    * DIVIDE_BY_ZERO — one junk vector anywhere in 100 TB would kill the
+    * whole stage. Zero-norm pairs yield null (ranked last under the
+    * (cos DESC, id) windows). The corpus tables contain no zero vectors,
+    * so oracle rows are unchanged; DegenerateInputSpec pins the
+    * tolerance.
     */
   def cosineWithNorms(dotAB: Column, normA: Column, normB: Column): Column =
-    dotAB / (normA * normB)
+    when(normA * normB > 0, dotAB / (normA * normB))
 
   /** Squared L2 distance, one fused sequential fold over the pair stream
     * (mirrors the DuckDB oracle's list_reduce exactly — same per-element
@@ -50,10 +58,19 @@ object VectorFunctions {
     * round(x·2^24) as long. Sums of these are integer-exact and therefore
     * independent of aggregation order — use for centroids / elementwise
     * means where the sum crosses partitions.
+    *
+    * SATURATING at ±2^53 (the exact-integer double range): a junk vector
+    * with a 1e30 coordinate would otherwise turn the long cast into a
+    * query-aborting ANSI CAST_OVERFLOW mid-aggregation. Sane embeddings
+    * (‖x‖ ≲ 10³) sit 5+ orders of magnitude under the clamp, so oracle
+    * math is unchanged; corrupt rows contribute a saturated extreme
+    * instead of killing the stage (DegenerateInputSpec pins it).
     */
   val QuantScale = 16777216L // 2^24
+  private val QuantClamp = 9007199254740992.0d // 2^53
   def quantize(x: Column): Column =
-    round(x * lit(QuantScale.toDouble)).cast("long")
+    least(greatest(round(x * lit(QuantScale.toDouble)), lit(-QuantClamp)),
+      lit(QuantClamp)).cast("long")
   def dequantize(sum: Column, n: Column): Column =
     sum.cast("double") / (n.cast("double") * lit(QuantScale.toDouble))
 }

@@ -50,4 +50,45 @@ class DegenerateInputSpec extends SparkSpec {
       assert(n >= 0)
     }
   }
+
+  /** Degenerate embedding values: the zero vector (norm 0 → cosine
+    * divides 0/0), an extreme-magnitude vector, and exact duplicates.
+    * Dimension stays uniform (mixed dims are out of contract — zip_with
+    * would silently truncate). Doubles divide to NaN/Inf rather than
+    * throwing, but every query must still EXECUTE.
+    */
+  private lazy val degEmbDir: String = {
+    val d = Files.createTempDirectory("graft-degemb").toString
+    val tables = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents")
+    tables.foreach { t =>
+      spark.read.parquet(s"$Sf/$t.parquet")
+        .write.mode("overwrite").parquet(s"$d/$t.parquet")
+    }
+    import spark.implicits._
+    val dim = 64 // matches the real table: PQ's subspace layout is a dim contract
+    def vec(f: Int => Float): Seq[Float] = (0 until dim).map(f)
+    Seq[(Long, Seq[Float], Int)](
+      (0L, vec(_ => 0f), 0),                         // zero vector, query id (0 % 50 == 0)
+      (1L, vec(i => 1e30f * (i + 1)), 0),            // extreme magnitude
+      (2L, vec(i => (i + 1).toFloat), 1),
+      (3L, vec(i => (i + 1).toFloat), 1),            // exact duplicate of 2
+      (4L, vec(i => -(i + 1).toFloat), 2),
+      (50L, vec(i => (i % 2).toFloat), 2),           // second query point
+      (5L, vec(i => if (i == 0) 1f else 0f), 3),
+      (6L, vec(i => if (i == 1) 1f else 0f), 3))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    d
+  }
+
+  private val embFamily = SparkEntry.queries.toSeq.sortBy(_._1)
+    .filter { case (n, _) => n.startsWith("q_emb_") && n != "q_emb_topics" }
+
+  for ((name, fn) <- embFamily) {
+    test(s"$name tolerates degenerate embedding rows") {
+      val n = fn(spark, degEmbDir).count()
+      assert(n >= 0)
+    }
+  }
 }

@@ -710,6 +710,13 @@ object SparkEntry {
     // fixed-point sums so the result is aggregation-order-independent.
     "q_emb_kmeans" -> { (s, dir) => Similarity.kmeans(Tables.embeddings(s, dir)) },
 
+    // IVF index-staleness audit: centroids frozen on the even-id half,
+    // every vector assigned against them; per cell, how post-build
+    // vectors fit vs training ones — the retrain-decision read-out.
+    "q_emb_stale" -> { (s, dir) =>
+      Similarity.indexStaleness(Tables.embeddings(s, dir))
+    },
+
     // Hard-negative mining: per query vector, the k most-similar vectors
     // with a DIFFERENT label — the near-miss negatives contrastive
     // training wants. Brute ground-truth baseline (IVF/PQ compose for
@@ -2046,6 +2053,24 @@ object SparkEntry {
          |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS BIGINT) AS rn
          |  FROM pairs) t
          |WHERE rn <= 5""".stripMargin,
+    "q_emb_stale" ->
+      s"""WITH ${Similarity.kmeansCtes(trainWhere = "vec_id % 2 = 0")},
+         |lab AS (
+         |  SELECT cell, vec_id % 2 <> 0 AS is_new,
+         |    CAST(ROUND(d2 * 16777216.0) AS BIGINT) AS q
+         |  FROM afin)
+         |SELECT cell,
+         |  count(CASE WHEN NOT is_new THEN 1 END) AS n_train,
+         |  count(CASE WHEN is_new THEN 1 END) AS n_new,
+         |  CASE WHEN count(CASE WHEN NOT is_new THEN 1 END) > 0 THEN
+         |    CAST(SUM(CASE WHEN NOT is_new THEN q ELSE 0 END) AS DOUBLE)
+         |      / (CAST(count(CASE WHEN NOT is_new THEN 1 END) AS DOUBLE) * 16777216.0)
+         |  END AS mean_d2_train,
+         |  CASE WHEN count(CASE WHEN is_new THEN 1 END) > 0 THEN
+         |    CAST(SUM(CASE WHEN is_new THEN q ELSE 0 END) AS DOUBLE)
+         |      / (CAST(count(CASE WHEN is_new THEN 1 END) AS DOUBLE) * 16777216.0)
+         |  END AS mean_d2_new
+         |FROM lab GROUP BY cell""".stripMargin,
     "q_emb_hardneg" ->
       s"""WITH ${Similarity.baseSql},
          |q AS (SELECT vec_id AS qid, label AS qlabel, emb AS qemb, nrm AS qnrm

@@ -499,20 +499,31 @@ object Similarity {
     * Output: final assignment (vec_id, cell, d2) — d2 the exact
     * sequential-fold squared distance, oracle-matched bit-for-bit.
     */
-  def kmeans(e: DataFrame, k: Int = 8, iters: Int = 2): DataFrame = {
+  def kmeans(e: DataFrame, k: Int = 8, iters: Int = 2): DataFrame =
+    kmeansAssign(e, kmeansFit(e, k, iters))
+
+  /** Argmin cell assignment against a centroid table (broadcast by
+    * construction — k rows).
+    */
+  private def assignCells(base: DataFrame, cents: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cell"))
+    base.crossJoin(broadcast(cents))
+      .withColumn("d2", l2sq(col("emb"), col("cemb")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("emb"), col("cell"), col("d2"))
+  }
+
+  /** The Lloyd's training loop alone: returns the final (cell, cemb)
+    * centroid table, so callers can freeze an index snapshot and assign
+    * OTHER vectors against it ([[indexStaleness]]).
+    */
+  def kmeansFit(e: DataFrame, k: Int = 8, iters: Int = 2): DataFrame = {
     val base = withEmb(e).select(col("vec_id"), col("emb"))
-    def assign(cents: DataFrame): DataFrame = {
-      val w = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cell"))
-      base.crossJoin(broadcast(cents))
-        .withColumn("d2", l2sq(col("emb"), col("cemb")))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("emb"), col("cell"), col("d2"))
-    }
     var cents = base.orderBy(col("vec_id")).limit(k)
       .select(col("vec_id").as("cell"), col("emb").as("cemb"))
     for (_ <- 1 to iters) {
-      cents = assign(cents)
+      cents = assignCells(base, cents)
         .select(col("cell"), posexplode(col("emb")).as(Seq("dim", "v")))
         .groupBy(col("cell"), col("dim"))
         .agg(count(lit(1)).as("n"), sum(quantize(col("v"))).as("qsum"))
@@ -522,9 +533,13 @@ object Similarity {
         .select(col("cell"), transform(col("pairs"), p => p.getField("c")).as("cemb"))
         .localCheckpoint(false)
     }
-    // final assignment against the last updated centroids
-    assign(cents).select(col("vec_id"), col("cell"), col("d2"))
+    cents
   }
+
+  /** Assignment of a vector table against a trained centroid table. */
+  def kmeansAssign(e: DataFrame, cents: DataFrame): DataFrame =
+    assignCells(withEmb(e).select(col("vec_id"), col("emb")), cents)
+      .select(col("vec_id"), col("cell"), col("d2"))
 
   /** Semantic topic profile — the cross-modal "what lives in each
     * embedding cluster" audit a curation run reads before reweighting:
@@ -553,6 +568,41 @@ object Similarity {
     lc.join(broadcast(ct), Seq("cell"))
       .select(col("cell"), col("lang"), col("n_docs"), col("total_chars"),
         (col("n_docs").cast("double") / col("nt").cast("double")).as("share"))
+  }
+
+  /** IVF index-staleness audit — the maintenance read-out that decides
+    * when a frozen coarse quantizer needs retraining: centroids are
+    * trained on the even-id HALF of the corpus (the index-build
+    * snapshot), every vector is assigned against that frozen table, and
+    * each cell reports how the post-build vectors fit versus the
+    * training ones. A cell whose `mean_d2_new` runs away from
+    * `mean_d2_train` (or whose `n_new` balloons) is where the data
+    * drifted after the index shipped — exactly the signal FAISS-style
+    * deployments watch before a rebuild.
+    *
+    * Cross-engine exactness: per-cell mean d² goes through the same
+    * fixed-point quantized integer sums as the centroid update (a float
+    * Σ d² would be shuffle-order-dependent); one final exact division
+    * per cell. Scale shape: train = the kmeans loop (broadcast k-row
+    * centroids, one (cell, dim) shuffle per iteration); audit = one
+    * narrow assignment pass + ONE grouped agg with conditional
+    * counts/sums — output is k rows.
+    */
+  def indexStaleness(e: DataFrame, k: Int = 8, iters: Int = 2): DataFrame = {
+    val cents = kmeansFit(e.filter(col("vec_id") % 2 === 0), k, iters)
+    kmeansAssign(e, cents)
+      .withColumn("is_new", col("vec_id") % 2 =!= 0)
+      .groupBy(col("cell"))
+      .agg(
+        count(when(!col("is_new"), 1)).as("n_train"),
+        count(when(col("is_new"), 1)).as("n_new"),
+        sum(when(!col("is_new"), quantize(col("d2"))).otherwise(lit(0L))).as("qt"),
+        sum(when(col("is_new"), quantize(col("d2"))).otherwise(lit(0L))).as("qn"))
+      .select(col("cell"), col("n_train"), col("n_new"),
+        when(col("n_train") > 0, dequantize(col("qt"), col("n_train")))
+          .as("mean_d2_train"),
+        when(col("n_new") > 0, dequantize(col("qn"), col("n_new")))
+          .as("mean_d2_new"))
   }
 
   /** Per-label elementwise centroid via fixed-point quantization. */
@@ -595,17 +645,22 @@ object Similarity {
     s"WITH ${kmeansCtes(k, iters)}\nSELECT vec_id, cell, d2 FROM afin"
 
   /** The kmeans mirror's CTE chain alone (ending in `afin`), for queries
-    * that compose the assignment with further stages.
+    * that compose the assignment with further stages. `trainWhere`
+    * restricts the TRAINING vectors (init + update rounds) while the
+    * final `afin` assignment still covers every vector — the
+    * [[indexStaleness]] frozen-snapshot shape; the default trains on
+    * everything, which is [[kmeans]].
     */
-  def kmeansCtes(k: Int = 8, iters: Int = 2): String = {
-    def assignCte(out: String, cents: String, proj: String): String =
+  def kmeansCtes(k: Int = 8, iters: Int = 2, trainWhere: String = "TRUE"): String = {
+    def assignCte(out: String, cents: String, proj: String,
+        src: String = "kbt"): String =
       s"""$out AS (
          |  SELECT ${proj} FROM (
          |    SELECT b.vec_id, b.emb, c.cell,
          |      ${l2sqSql("b.emb", "c.cemb")} AS d2,
          |      ROW_NUMBER() OVER (PARTITION BY b.vec_id
          |        ORDER BY ${l2sqSql("b.emb", "c.cemb")}, c.cell) AS rn
-         |    FROM kb b CROSS JOIN $cents c) t
+         |    FROM $src b CROSS JOIN $cents c) t
          |  WHERE rn = 1)""".stripMargin
     def updateCte(out: String, asg: String): String =
       s"""$out AS (
@@ -625,9 +680,10 @@ object Similarity {
     s"""kb AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
        |  FROM embeddings),
-       |c0 AS (SELECT vec_id AS cell, emb AS cemb FROM kb ORDER BY vec_id LIMIT $k),
+       |kbt AS (SELECT * FROM kb WHERE $trainWhere),
+       |c0 AS (SELECT vec_id AS cell, emb AS cemb FROM kbt ORDER BY vec_id LIMIT $k),
        |$rounds,
-       |${assignCte("afin", s"c$iters", "vec_id, cell, d2")}""".stripMargin
+       |${assignCte("afin", s"c$iters", "vec_id, cell, d2", src = "kb")}""".stripMargin
   }
 
   val bucketSql: String =

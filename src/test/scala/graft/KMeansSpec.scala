@@ -62,6 +62,36 @@ class KMeansSpec extends SparkSpec {
     prof.unpersist()
   }
 
+  test("index staleness: drifted post-build vectors surface as runaway mean_d2_new") {
+    import org.apache.spark.sql.functions._
+    // train (even ids): two tight blobs; new (odd ids): 11/13 sit inside
+    // the blobs (healthy), 9/15 drifted far away — the audit must show the
+    // drifted cell's mean_d2_new far above its training fit
+    val rows = Seq[(Long, Seq[Float])](
+      0L -> Seq(10f, 0f), 2L -> Seq(11f, 0f), 4L -> Seq(10f, 1f),
+      6L -> Seq(0f, 10f), 8L -> Seq(0f, 11f), 10L -> Seq(1f, 10f),
+      11L -> Seq(10.5f, 0.5f), // healthy: inside blob A
+      13L -> Seq(0.5f, 10.5f), // healthy: inside blob B
+      9L -> Seq(100f, 100f),   // drifted
+      15L -> Seq(120f, 100f))  // drifted
+    val e = rows.map { case (id, v) => (id, v, 0) }.toDF("vec_id", "embedding", "label")
+    val st = Similarity.indexStaleness(e, k = 2, iters = 2).cache()
+    val got = st.collect().map(r => r.getLong(0) ->
+      ((r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double]),
+        Option(r.get(4)).map(_.asInstanceOf[Double])))).toMap
+    // conservation: every vector lands in exactly one cell
+    assert(got.values.map(v => v._1 + v._2).sum === rows.size)
+    assert(got.values.map(_._1).sum === 6L, "6 training vectors")
+    // some cell's new-data fit must run away from its training fit: the
+    // drifted points are >100x further than any training spread
+    val runaway = got.values.exists { case (nt, nn, t, n) =>
+      nt > 0 && nn > 0 && n.exists(nv => nv > t.getOrElse(0.0) * 100 + 1.0)
+    }
+    assert(runaway, s"drift must be visible: $got")
+    st.unpersist()
+  }
+
   test("fewer vectors than k degrades to one cell per vector") {
     val got = Similarity.kmeans(
       emb(Seq(0L -> Seq(1f, 1f), 1L -> Seq(5f, 5f))), k = 8, iters = 2)

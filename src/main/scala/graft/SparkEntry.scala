@@ -708,13 +708,18 @@ object SparkEntry {
     // coarse quantizer IVF/IVF-PQ assume — broadcast k-row centroids,
     // narrow argmin assignment, one (cell, dim)-keyed shuffle per update,
     // fixed-point sums so the result is aggregation-order-independent.
-    "q_emb_kmeans" -> { (s, dir) => Similarity.kmeans(Tables.embeddings(s, dir)) },
+    "q_emb_kmeans" -> { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+      Similarity.kmeansAssign(e, Similarity.kmeansFitMemo(e, dir + "|all"))
+    },
 
     // IVF index-staleness audit: centroids frozen on the even-id half,
     // every vector assigned against them; per cell, how post-build
     // vectors fit vs training ones — the retrain-decision read-out.
     "q_emb_stale" -> { (s, dir) =>
-      Similarity.indexStaleness(Tables.embeddings(s, dir))
+      val e = Tables.embeddings(s, dir)
+      Similarity.indexStaleness(e, Similarity.kmeansFitMemo(
+        e.filter(col("vec_id") % 2 === 0), dir + "|even"))
     },
 
     // Hard-negative mining: per query vector, the k most-similar vectors
@@ -729,7 +734,9 @@ object SparkEntry {
     // per-(cell, lang) doc counts, char volume, within-cell share; the
     // topic-mix audit read before reweighting a training blend.
     "q_emb_topics" -> { (s, dir) =>
-      Similarity.topicProfile(Tables.embeddings(s, dir), Tables.documents(s, dir))
+      val e = Tables.embeddings(s, dir)
+      Similarity.topicProfile(e, Tables.documents(s, dir),
+        Similarity.kmeansFitMemo(e, dir + "|all"))
     },
     // Embedding-store ingest: near-dup removal → IVF cell assignment.
     "q_emb_e2e" -> { (s, dir) => Similarity.embIngest(Tables.embeddings(s, dir)) },

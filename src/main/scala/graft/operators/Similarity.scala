@@ -541,6 +541,22 @@ object Similarity {
     assignCells(withEmb(e).select(col("vec_id"), col("emb")), cents)
       .select(col("vec_id"), col("cell"), col("d2"))
 
+  /** Memoized [[kmeansFit]] per (session, key) — same discipline as
+    * `Dedup.clustersFor`: three oracle queries (kmeans / topics / stale)
+    * each need a trained centroid table, and a real pipeline trains it
+    * ONCE and serves assignments from the frozen k-row table. The final
+    * centroids are eagerly checkpointed (k rows — trivial) so the
+    * memoized frame is a short plan safe to reuse across queries.
+    */
+  private val centsMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  def kmeansFitMemo(e: DataFrame, key: String,
+      k: Int = 8, iters: Int = 2): DataFrame =
+    centsMemo.computeIfAbsent(
+      System.identityHashCode(e.sparkSession) + "|" + key + s"|$k|$iters",
+      _ => kmeansFit(e, k, iters).localCheckpoint())
+
   /** Semantic topic profile — the cross-modal "what lives in each
     * embedding cluster" audit a curation run reads before reweighting:
     * [[kmeans]] cell assignments joined back to the documents table on
@@ -557,8 +573,12 @@ object Similarity {
     * is provably safe. Output ≤ k·‖langs‖ rows at any corpus size.
     */
   def topicProfile(e: DataFrame, docs: DataFrame,
-      k: Int = 8, iters: Int = 2): DataFrame = {
-    val asg = kmeans(e, k, iters).select(col("vec_id"), col("cell"))
+      k: Int = 8, iters: Int = 2): DataFrame =
+    topicProfile(e, docs, kmeansFit(e, k, iters))
+
+  /** As [[topicProfile]] with a pre-trained centroid table. */
+  def topicProfile(e: DataFrame, docs: DataFrame, cents: DataFrame): DataFrame = {
+    val asg = kmeansAssign(e, cents).select(col("vec_id"), col("cell"))
     val j = asg.join(
       docs.select(col("doc_id"), col("lang"), col("n_chars")),
       asg("vec_id") === col("doc_id"))
@@ -588,8 +608,11 @@ object Similarity {
     * narrow assignment pass + ONE grouped agg with conditional
     * counts/sums — output is k rows.
     */
-  def indexStaleness(e: DataFrame, k: Int = 8, iters: Int = 2): DataFrame = {
-    val cents = kmeansFit(e.filter(col("vec_id") % 2 === 0), k, iters)
+  def indexStaleness(e: DataFrame, k: Int = 8, iters: Int = 2): DataFrame =
+    indexStaleness(e, kmeansFit(e.filter(col("vec_id") % 2 === 0), k, iters))
+
+  /** As [[indexStaleness]] with a pre-trained (even-id-half) snapshot. */
+  def indexStaleness(e: DataFrame, cents: DataFrame): DataFrame = {
     kmeansAssign(e, cents)
       .withColumn("is_new", col("vec_id") % 2 =!= 0)
       .groupBy(col("cell"))

@@ -1056,6 +1056,33 @@ object SparkEntry {
           $"last.value".as("value"))
     },
 
+    // Per-user feature assembly — the feature-store materialization step
+    // a training pipeline runs before a ranking/propensity fit: one wide
+    // row per user with event counts by type, exact-DECIMAL value total,
+    // recency, and active-day breadth. ONE grouped agg, map-side
+    // combinable, O(1) state per user (the distinct-day count is bounded
+    // by the horizon) — the canonical scale shape for feature backfill.
+    "q_ev_features" -> { (s, dir) =>
+      import s.implicits._
+      Tables.events(s, dir)
+        .groupBy($"user_id")
+        .agg(
+          count(lit(1)).as("n_events"),
+          count(when($"event_type" === "view", 1)).as("n_view"),
+          count(when($"event_type" === "click", 1)).as("n_click"),
+          count(when($"event_type" === "purchase", 1)).as("n_purchase"),
+          count(when($"event_type" === "signup", 1)).as("n_signup"),
+          count(when($"event_type" === "error", 1)).as("n_error"),
+          sum(dec2($"value")).cast("double").as("total_value"),
+          max($"ts").as("mts"),
+          count_distinct(to_date($"ts")).as("days_active"))
+        .select($"user_id", $"n_events", $"n_view", $"n_click", $"n_purchase",
+          $"n_signup", $"n_error", $"total_value", fmtTs($"mts").as("last_ts"),
+          $"days_active",
+          ($"n_purchase".cast("double") / $"n_events".cast("double"))
+            .as("purchase_rate"))
+    },
+
     // Semi-structured extraction: JSON props column → typed field → agg.
     "q_ev_json" -> { (s, dir) =>
       import s.implicits._
@@ -3073,6 +3100,23 @@ object SparkEntry {
         |SELECT user_id, strftime(ets, '%Y-%m-%d %H:%M:%S.%f') AS last_ts,
         |  event_id, event_type, value
         |FROM r WHERE rn = 1""".stripMargin,
+    "q_ev_features" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, CAST(value AS DECIMAL(12,2)) AS v,
+        |    CAST(ts AS TIMESTAMP) AS ets, CAST(ts AS DATE) AS d
+        |  FROM events)
+        |SELECT user_id, COUNT(*) AS n_events,
+        |  count(CASE WHEN event_type = 'view' THEN 1 END) AS n_view,
+        |  count(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+        |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+        |  count(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signup,
+        |  count(CASE WHEN event_type = 'error' THEN 1 END) AS n_error,
+        |  CAST(SUM(v) AS DOUBLE) AS total_value,
+        |  strftime(MAX(ets), '%Y-%m-%d %H:%M:%S.%f') AS last_ts,
+        |  COUNT(DISTINCT d) AS days_active,
+        |  CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) AS purchase_rate
+        |FROM e GROUP BY user_id""".stripMargin,
     "q_ev_json" ->
       """SELECT event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,

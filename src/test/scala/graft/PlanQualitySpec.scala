@@ -395,6 +395,34 @@ class PlanQualitySpec extends SparkSpec {
       "the 1-row token total must join as a broadcast")
   }
 
+  test("q_ev_features: one grouped pass, no joins or windows") {
+    // the feature-store build must stay a single aggregation pipeline
+    // (the distinct-day count may add an Expand, never a join/window)
+    val p = plan("q_ev_features")
+    assert(!p.contains("Join"), "feature assembly must not plan a join")
+    assert(!p.contains("Window"), "feature assembly must not plan a window")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "lost map-side partials")
+  }
+
+  test("q_emb_hardneg: bounded query side broadcasts; corpus never a build side") {
+    // the label-inequality pair join is a theta join: the BOUNDED query
+    // subset must be the broadcast side (same contract as q_emb_knn);
+    // a shuffle or cartesian of the corpus against itself would be the
+    // scale-killer shape
+    val p = plan("q_emb_hardneg")
+    assert(p.contains("BroadcastNestedLoopJoin"), "query side lost its broadcast")
+    assert(!p.contains("CartesianProduct"), "must never plan a cartesian")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "pair enumeration must not shuffle the corpus")
+  }
+
+  test("q_emb_stale: frozen-centroid assignment is broadcast + one grouped agg") {
+    val p = plan("q_emb_stale")
+    assert(p.contains("BroadcastNestedLoopJoin"), "centroid table lost its broadcast")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "assignment must not shuffle the corpus against k rows")
+  }
+
   test("composition queries stay index-joined end to end") {
     // building q_pipeline_e2e runs the eager duplicateClusters loop; the
     // remaining plan must still be equi-joins only

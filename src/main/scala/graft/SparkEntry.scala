@@ -1056,6 +1056,30 @@ object SparkEntry {
           $"last.value".as("value"))
     },
 
+    // Point-in-time label construction — the leakage-safe training-example
+    // builder: each click labeled by whether the SAME user purchases
+    // within the next day, label window EXCLUSIVE of the click instant
+    // (outcomes strictly after the decision point). The forward interval
+    // join is a pure (user, time-bucket) equi-join (leadingWindowJoin);
+    // the exists-roll-up keys on click id; unmatched clicks come back via
+    // one left join — three keyed shuffles, nothing all-pairs.
+    "q_ev_label" -> { (s, dir) =>
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"event_id".as("click_id"), $"user_id", $"ts".as("click_ts"))
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"ts".as("pts"))
+      val conv = graft.operators.RangeJoin
+        .leadingWindowJoin(clicks, "click_ts", purchases, "pts",
+          Seq("user_id"), 86400L)
+        .groupBy($"click_id")
+        .agg(min(unix_micros($"pts") - unix_micros($"click_ts")).as("us_to_conv"))
+      clicks.join(conv, Seq("click_id"), "left")
+        .select($"click_id", $"user_id", fmtTs($"click_ts").as("click_ts"),
+          $"us_to_conv".isNotNull.as("converted"), $"us_to_conv")
+    },
+
     // Per-user feature assembly — the feature-store materialization step
     // a training pipeline runs before a ranking/propensity fit: one wide
     // row per user with event counts by type, exact-DECIMAL value total,
@@ -3100,6 +3124,23 @@ object SparkEntry {
         |SELECT user_id, strftime(ets, '%Y-%m-%d %H:%M:%S.%f') AS last_ts,
         |  event_id, event_type, value
         |FROM r WHERE rn = 1""".stripMargin,
+    "q_ev_label" ->
+      """WITH c AS (
+        |  SELECT event_id AS click_id, user_id, CAST(ts AS TIMESTAMP) AS cts
+        |  FROM events WHERE event_type = 'click'),
+        |p AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS pts
+        |  FROM events WHERE event_type = 'purchase'),
+        |conv AS (
+        |  SELECT click_id,
+        |    MIN(epoch_us(pts) - epoch_us(cts)) AS us_to_conv
+        |  FROM c JOIN p USING (user_id)
+        |  WHERE pts > cts AND pts <= cts + INTERVAL 86400 SECOND
+        |  GROUP BY click_id)
+        |SELECT click_id, user_id,
+        |  strftime(cts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+        |  us_to_conv IS NOT NULL AS converted, us_to_conv
+        |FROM c LEFT JOIN conv USING (click_id)""".stripMargin,
     "q_ev_features" ->
       """WITH e AS (
         |  SELECT user_id, event_type, CAST(value AS DECIMAL(12,2)) AS v,

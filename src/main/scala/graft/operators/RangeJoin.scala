@@ -66,6 +66,29 @@ object RangeJoin {
     * "wide bucket" around 0 is probed via the same arithmetic on both
     * sides), and the residual predicate keeps semantics exact regardless.
     */
+  /** Forward twin of [[trailingWindowJoin]]: right rows with `rightTs` in
+    * the EXCLUSIVE-start window (`leftTs`, `leftTs` + horizon] — the label
+    * window of a point-in-time-correct training-example builder (outcomes
+    * strictly AFTER the decision point; an inclusive start would leak the
+    * triggering event into its own label). Same two-bucket probe, mirrored
+    * forward: each left row probes its own and the NEXT bucket.
+    */
+  def leadingWindowJoin(left: DataFrame, leftTs: String,
+      right: DataFrame, rightTs: String,
+      keys: Seq[String], horizonSec: Long): DataFrame = {
+    require(horizonSec > 0, "horizon must be positive")
+    val w = horizonSec * 1000000L
+    val lb = left.withColumn("__bkt",
+      explode(array(
+        expr(s"unix_micros($leftTs) DIV $w"),
+        expr(s"unix_micros($leftTs) DIV $w + 1"))))
+    val rb = right.withColumn("__bkt", expr(s"unix_micros($rightTs) DIV $w"))
+    lb.join(rb, keys :+ "__bkt")
+      .filter(col(rightTs) > col(leftTs) &&
+        col(rightTs) <= col(leftTs) + expr(s"INTERVAL $horizonSec SECOND"))
+      .drop("__bkt")
+  }
+
   def trailingWindowJoin(left: DataFrame, leftTs: String,
       right: DataFrame, rightTs: String,
       keys: Seq[String], lookbackSec: Long): DataFrame = {

@@ -85,6 +85,44 @@ class RangeJoinSpec extends SparkSpec {
     assert(out === Array(1.0, 3.0))
   }
 
+  test("leading-window join ≡ theta join on the events table, across horizons") {
+    val ev = Tables.events(spark, Sf)
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"event_id".as("click_id"), $"user_id", $"ts".as("click_ts"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts".as("pts"))
+    for (horizon <- Seq(600L, 3600L, 86400L)) {
+      val theta = clicks.join(purchases, Seq("user_id"))
+        .filter($"pts" > $"click_ts" &&
+          $"pts" <= $"click_ts" + expr(s"INTERVAL $horizon SECOND"))
+        .select($"click_id", $"pts")
+      val bucketed = RangeJoin
+        .leadingWindowJoin(clicks, "click_ts", purchases, "pts",
+          Seq("user_id"), horizon)
+        .select($"click_id", $"pts")
+      assert(bucketed.exceptAll(theta).count() === 0, s"horizon=$horizon extra rows")
+      assert(theta.exceptAll(bucketed).count() === 0, s"horizon=$horizon missing rows")
+    }
+  }
+
+  test("leading-window join boundaries: start exclusive (no label leakage), end inclusive") {
+    val t0 = java.sql.Timestamp.valueOf("2024-03-01 12:00:00")
+    def ts(offSec: Long) = new java.sql.Timestamp(t0.getTime + offSec * 1000L)
+    val left = Seq((1L, 7L, ts(0))).toDF("click_id", "user_id", "click_ts")
+    val right = Seq(
+      (7L, ts(0), 1.0),     // same instant → EXCLUDED (would leak the trigger)
+      (7L, ts(1), 2.0),     // just after → included
+      (7L, ts(3600), 3.0),  // exactly horizon ahead → included
+      (7L, ts(3601), 4.0),  // just beyond → excluded
+      (7L, ts(-1), 5.0),    // past → excluded
+      (8L, ts(10), 6.0))    // other key → excluded
+      .toDF("user_id", "pts", "v")
+    val out = RangeJoin.leadingWindowJoin(left, "click_ts", right, "pts",
+        Seq("user_id"), 3600L)
+      .select($"v").as[Double].collect().sorted
+    assert(out === Array(2.0, 3.0))
+  }
+
   test("GraftExtensions wires poly_hash into a SparkSessionExtensions instance") {
     val ext = new SparkSessionExtensions
     new GraftExtensions().apply(ext) // must register without error

@@ -686,6 +686,11 @@ object SparkEntry {
       Similarity.lshBuckets(Tables.embeddings(s, dir)).select(col("vec_id"), col("bucket"))
     },
     "q_emb_ann" -> { (s, dir) => Similarity.knnLsh(Tables.embeddings(s, dir)) },
+
+    // Multi-probe LSH ANN: query probes its bucket + all 1-bit flips —
+    // the recall/probes trade that fixes single-table LSH's ceiling
+    // without more tables or an IVF retrain.
+    "q_emb_annmp" -> { (s, dir) => Similarity.knnLshMultiProbe(Tables.embeddings(s, dir)) },
     // ANN quality audit: recall@3 of the LSH index against brute-force
     // ground truth, per query — the measurement that gates an index
     // rollout. Both sides are existing operators; the join is
@@ -2151,6 +2156,23 @@ object SparkEntry {
          |bk AS (SELECT vec_id, emb, nrm, ${Similarity.bucketSql} AS bucket FROM base),
          |q AS (SELECT vec_id AS qid, emb AS qemb, nrm AS qnrm, bucket AS qbucket
          |      FROM bk WHERE vec_id % 50 = 0),
+         |pairs AS (
+         |  SELECT qid, vec_id,
+         |    ${Similarity.dotSql("qemb", "emb")} / (qnrm * nrm) AS cos
+         |  FROM q JOIN bk ON bucket = qbucket AND vec_id <> qid)
+         |SELECT qid, vec_id, cos, rn FROM (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS BIGINT) AS rn
+         |  FROM pairs) t
+         |WHERE rn <= 3""".stripMargin,
+    "q_emb_annmp" ->
+      s"""WITH ${Similarity.baseSql},
+         |bk AS (SELECT vec_id, emb, nrm, ${Similarity.bucketSql} AS bucket FROM base),
+         |q AS (
+         |  SELECT qid, qemb, qnrm, unnest(probes) AS qbucket FROM (
+         |    SELECT vec_id AS qid, emb AS qemb, nrm AS qnrm,
+         |      list_prepend(bucket, list_transform(range(0, 8), j ->
+         |        xor(bucket, CAST(1 AS BIGINT) << CAST(j AS INTEGER)))) AS probes
+         |    FROM bk WHERE vec_id % 50 = 0) t),
          |pairs AS (
          |  SELECT qid, vec_id,
          |    ${Similarity.dotSql("qemb", "emb")} / (qnrm * nrm) AS cos

@@ -131,6 +131,33 @@ object Similarity {
       .withColumn("cos", cosineWithNorms(dot(col("qemb"), col("emb")), col("qnrm"), col("nrm"))), k)
   }
 
+  /** Multi-probe LSH ANN (Lv et al., VLDB'07): the query probes its own
+    * bucket AND every 1-bit-flip neighbor — the standard fix for
+    * single-table LSH's recall ceiling (a near neighbor differing in one
+    * hyperplane sign lands one bit away; single-probe misses it, the
+    * recall audit q_emb_recall measures exactly that miss). Probing
+    * NumPlanes+1 buckets multiplies query cost by ~9 while the INDEX
+    * stays one table — the classic recall/probes trade, versus building
+    * more hash tables (more memory) or IVF (retrain).
+    *
+    * Scale shape: the probe set explodes on the QUERY side only
+    * (|Q|·(planes+1) rows — the corpus side still keys each vector by
+    * its one bucket), and the candidate join stays the same bucket
+    * equi-join as [[knnLsh]].
+    */
+  def knnLshMultiProbe(e: DataFrame, queryMod: Int = 50, k: Int = 3): DataFrame = {
+    val b = lshBuckets(e).withColumn("nrm", l2norm(col("emb")))
+    val probeSet = array(
+      col("bucket") +: (0 until NumPlanes).map(j =>
+        col("bucket").bitwiseXOR(lit(1L << j))): _*)
+    val q = b.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("qid"), col("emb").as("qemb"),
+        col("nrm").as("qnrm"), explode(probeSet).as("qbucket"))
+    topK(q.join(b, col("bucket") === col("qbucket") && col("vec_id") =!= col("qid"))
+      .withColumn("cos",
+        cosineWithNorms(dot(col("qemb"), col("emb")), col("qnrm"), col("nrm"))), k)
+  }
+
   /** IVF-style ANN: coarse quantization into cells (here: the per-label
     * centroids — a k-means assignment with pre-trained centroids), then
     * probe the `nprobe` nearest cells and search only their members.

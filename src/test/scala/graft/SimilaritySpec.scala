@@ -44,6 +44,34 @@ class SimilaritySpec extends SparkSpec {
     assert(ann.filter($"cos" =!= $"bcos").count() === 0)
   }
 
+  test("multi-probe LSH: strictly more candidates than single-probe, exact cosines") {
+    // every single-probe result pair must also be reachable multi-probe
+    // (the probe set contains the query's own bucket)...
+    val sp = Similarity.knnLsh(emb).select($"qid", $"vec_id").cache()
+    val mpPairs = Similarity.lshBuckets(emb).select($"vec_id", $"bucket")
+    val mp = Similarity.knnLshMultiProbe(emb).cache()
+    // ...but ranking can differ when new candidates displace old ones, so
+    // compare REACHABILITY per query: multi-probe's candidate count >=
+    // single-probe's k-truncated count for every query
+    val spCnt = sp.groupBy($"qid").count().withColumnRenamed("count", "nsp")
+    val mpCnt = mp.groupBy($"qid").count().withColumnRenamed("count", "nmp")
+    val joined = spCnt.join(mpCnt, Seq("qid"), "left")
+      .select($"qid", $"nsp", coalesce($"nmp", lit(0L)).as("nmp"))
+    assert(joined.filter($"nmp" < $"nsp").count() === 0,
+      "a query can never lose candidates by probing more buckets")
+    // sf0.001's single-probe index finds candidates for few queries; the
+    // 1-bit flips must strictly widen coverage (this is the whole point)
+    assert(mp.select($"qid").distinct().count() >
+      sp.select($"qid").distinct().count(),
+      "multi-probe must reach queries whose own bucket was empty")
+    // cosines are exact: agree with brute force on the same pairs
+    val brute = Similarity.knnBrute(emb, k = 1000000)
+      .select($"qid", $"vec_id", $"cos".as("bcos"))
+    assert(mp.join(brute, Seq("qid", "vec_id"))
+      .filter($"cos" =!= $"bcos").count() === 0)
+    sp.unpersist(); mp.unpersist()
+  }
+
   test("recall audit: planted same-bucket twins score recall 1; recall stays in [0,1]") {
     // two exact copies of each query vector share every hyperplane sign →
     // same LSH bucket → the ANN must find them → recall@  truth-set = 1

@@ -91,4 +91,42 @@ class DegenerateInputSpec extends SparkSpec {
       assert(n >= 0)
     }
   }
+
+  /** Degenerate event rows: nulls in every nullable column, a PRE-EPOCH
+    * timestamp (negative micros — exercises the DIV-truncation window
+    * paths), and a single surviving normal session. The events table on
+    * disk stores ts as TIMESTAMP(NANOS) → nanos-as-long, so the fixture
+    * writes raw nanosecond longs the same way.
+    */
+  private lazy val degEvDir: String = {
+    val d = Files.createTempDirectory("graft-degev").toString
+    val tables = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "documents", "embeddings")
+    tables.foreach { t =>
+      spark.read.parquet(s"$Sf/$t.parquet")
+        .write.mode("overwrite").parquet(s"$d/$t.parquet")
+    }
+    import spark.implicits._
+    def ns(s: String) = java.sql.Timestamp.valueOf(s).getTime * 1000000L
+    Seq[(java.lang.Long, java.lang.Long, java.lang.Long, String, java.lang.Double, String)](
+      (1L, ns("2024-01-01 00:00:00"), 1L, "click", 5.0, """{"k": 1}"""),
+      (2L, ns("2024-01-01 00:01:00"), 1L, "purchase", 9.0, """{"k": 2}"""),
+      (3L, ns("1969-06-01 00:00:00"), 2L, "view", 1.0, "{}"),    // pre-epoch
+      (4L, ns("2024-01-02 00:00:00"), null, "click", 2.0, null), // null user
+      (5L, ns("2024-01-02 00:00:01"), 3L, null, null, "not json"), // null type/value
+      (6L, ns("2024-01-02 00:00:02"), 3L, "error", Double.NaN, """{"k": null}"""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    d
+  }
+
+  private val evFamily = SparkEntry.queries.toSeq.sortBy(_._1)
+    .filter { case (n, _) => n.startsWith("q_ev_") }
+
+  for ((name, fn) <- evFamily) {
+    test(s"$name tolerates degenerate event rows") {
+      val n = fn(spark, degEvDir).count()
+      assert(n >= 0)
+    }
+  }
 }

@@ -923,6 +923,13 @@ object SparkEntry {
       TextAnalysis.dsirWeights(Tables.documents(s, dir))
     },
 
+    // PMI collocations: adjacent pairs ranked by N·c(ab)/(c(a)·c(b)) —
+    // log-free monotone PMI, exact integers into one correctly-rounded
+    // division; the BPE-merge-candidate / MWE-detection signal.
+    "q_doc_colloc" -> { (s, dir) =>
+      TextAnalysis.collocations(Tables.documents(s, dir))
+    },
+
     // Stupid-Backoff bigram LM score (Brants'07): train on the even-id
     // half, score every doc; unseen bigrams back off to 0.4·c(w2)/N.
     // Bit-length-quantized — exact integer totals; backoff_frac is the
@@ -2988,6 +2995,24 @@ object SparkEntry {
          |    / CAST(COUNT(*) AS DOUBLE) AS mean_surprisal
          |FROM bgs JOIN bc USING (bg) JOIN uni USING (w)
          |GROUP BY doc_id""".stripMargin,
+    "q_doc_colloc" ->
+      s"""WITH tk AS (SELECT doc_id, ${Dedup.toksSql} AS toks FROM documents),
+         |uni AS (
+         |  SELECT w, COUNT(*) AS c
+         |  FROM (SELECT unnest(toks) AS w FROM tk) GROUP BY w),
+         |nt AS (SELECT COUNT(*) AS n FROM (SELECT unnest(toks) FROM tk)),
+         |bg AS (
+         |  SELECT w1, w2, COUNT(*) AS cab FROM (
+         |    SELECT doc_id,
+         |      unnest(list_transform(range(1, len(toks)), i ->
+         |        {'w1': toks[i], 'w2': toks[i+1]}), recursive := true)
+         |    FROM tk)
+         |  GROUP BY w1, w2 HAVING COUNT(*) >= 5)
+         |SELECT w1, w2, cab,
+         |  CAST(nt.n * cab AS DOUBLE) / CAST(u1.c * u2.c AS DOUBLE) AS pmi_ratio
+         |FROM bg JOIN uni u1 ON bg.w1 = u1.w JOIN uni u2 ON bg.w2 = u2.w
+         |CROSS JOIN nt
+         |ORDER BY pmi_ratio DESC, w1, w2 LIMIT 25""".stripMargin,
     "q_doc_sbackoff" ->
       s"""WITH tk AS (SELECT doc_id, ${Dedup.toksSql} AS toks FROM documents),
          |bgs AS (

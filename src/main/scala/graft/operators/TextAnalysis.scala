@@ -479,6 +479,46 @@ object TextAnalysis {
           .as("mean_surprisal"))
   }
 
+  /** PMI collocation mining — the vocab-induction signal behind BPE merge
+    * candidates and multi-word-expression detection: adjacent token pairs
+    * ranked by pointwise mutual information, i.e. how much more often the
+    * pair co-occurs than its parts predict. The monotone integer-ratio
+    * core N·c(ab) / (c(a)·c(b)) replaces the log (ranking is unchanged;
+    * log is monotone): both products are exact integers < 2^53, so the
+    * one double division is correctly rounded and IDENTICAL cross-engine
+    * — no transcendental in sight. `minCount` suppresses the classic PMI
+    * rare-pair degeneracy (a hapax pair scores N/1).
+    *
+    * Scale shape: two grouped counts (map-side combinable, state bounded
+    * by vocabulary), shuffle-hash probes of the unigram table (never a
+    * vocab broadcast), 1-row N broadcast, TakeOrderedAndProject top-k
+    * (per-partition heaps — no global sort). At 100 TB promote the
+    * integer products to DECIMAL before the divide (N·c(ab) can pass
+    * 2^53 there); at these SFs longs are exact.
+    */
+  def collocations(docs: DataFrame, minCount: Long = 5, k: Int = 25): DataFrame = {
+    val tk = docs.select(col("doc_id"), tokens(col("text")).as("tk"))
+    val uni = tk.select(explode(col("tk")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val n = tk.select(explode(col("tk")).as("w")).agg(count(lit(1)).as("nt"))
+    tk.select(explode(expr(
+        "transform(slice(tk, 1, greatest(size(tk) - 1, 0)), (t, i) -> " +
+        "struct(t AS w1, tk[i + 1] AS w2))")).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cab"))
+      .filter(col("cab") >= minCount)
+      .join(uni.select(col("w").as("w1"), col("c").as("ca")).hint("shuffle_hash"),
+        Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c").as("cb")).hint("shuffle_hash"),
+        Seq("w2"))
+      .crossJoin(broadcast(n))
+      .withColumn("pmi_ratio",
+        (col("nt") * col("cab")).cast("double") / (col("ca") * col("cb")).cast("double"))
+      .orderBy(col("pmi_ratio").desc, col("w1"), col("w2"))
+      .limit(k)
+      .select(col("w1"), col("w2"), col("cab"), col("pmi_ratio"))
+  }
+
   /** Stupid-Backoff bigram LM score (Brants et al., EMNLP'07 "Large
     * Language Models in Machine Translation" — the backoff score built FOR
     * distributed count infrastructure: no discounting normalization, so

@@ -383,6 +383,15 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("Window"), "first-occurrence must be the min agg, not a rank window")
   }
 
+  test("q_doc_colloc: vocab probes shuffle-hash, heap top-k, no global sort") {
+    val p = plan("q_doc_colloc")
+    assert("ShuffledHashJoin".r.findAllIn(p).size >= 2,
+      "both unigram probes must stay shuffle-hash")
+    assert(!p.contains("BroadcastHashJoin"), "vocabulary must not be broadcast")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-k must be per-partition heaps, not a global Sort")
+  }
+
   test("q_doc_sbackoff: count-table probes shuffle-hash; N is the only broadcast") {
     // bigram/unigram count tables are vocabulary-sized with unknown
     // post-agg stats (same profile as surprisal/dsir); the token total is

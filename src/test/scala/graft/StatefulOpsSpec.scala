@@ -140,6 +140,42 @@ class StatefulOpsSpec extends SparkSpec {
     assert(pairs.sorted === batchPairs)
   }
 
+  test("streaming LSH TTL: an idle bucket forgets its occupant after the window") {
+    import graft.streaming.DocStream
+    import DocStream.{StreamDoc, Collision}
+    implicit val ctx = spark.sqlContext
+    val tA = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val tB = "completely different content about distributed query engines and shuffle planning"
+    val tC = "yet another unrelated document mentioning warehouses lakes and iceberg tables"
+    val ms = MemoryStream[StreamDoc]
+    // 1-hour TTL, tight watermark: state must die between day 1 and day 30
+    val q = DocStream.lshCollisions(spark, ms.toDS(),
+        watermarkDelay = "1 minute", ttlMs = 3600000L)
+      .writeStream.format("memory").queryName("lshttl").outputMode("append").start()
+    ms.addData(Seq(StreamDoc(ts("2024-01-01 00:00:00"), 1L, tA)))
+    q.processAllAvailable()
+    // advance the watermark far past doc 1's TTL…
+    ms.addData(Seq(StreamDoc(ts("2024-01-30 00:00:00"), 2L, tB)))
+    q.processAllAvailable()
+    // …then a batch where doc 1's buckets receive NO data: timeout fires,
+    // occupant state is removed (Spark only times out data-less keys)
+    ms.addData(Seq(StreamDoc(ts("2024-01-30 00:01:00"), 3L, tC)))
+    q.processAllAvailable()
+    // an exact copy of doc 1 arrives after the purge: no collision — the
+    // window forgot the original, and the copy claims the buckets anew
+    ms.addData(Seq(StreamDoc(ts("2024-01-30 00:02:00"), 4L, tA)))
+    q.processAllAvailable()
+    // control: a second copy right after MUST collide with doc 4
+    ms.addData(Seq(StreamDoc(ts("2024-01-30 00:03:00"), 5L, tA)))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("lshttl").as[Collision].collect()
+      .map(c => (c.first_doc_id, c.doc_id)).distinct.toSeq.sorted
+    assert(!got.contains((1L, 4L)),
+      "a TTL-purged occupant must not produce collisions")
+    assert(got.contains((4L, 5L)),
+      "the post-purge copy must become the new occupant")
+  }
+
   test("funnel: stage order enforced — pre-view clicks and pre-click purchases don't count") {
     import org.apache.spark.sql.functions._
     val ev = Seq(

@@ -12,7 +12,7 @@ class QueriesSpec extends SparkSpec {
   }
 
   test("every query has an oracle — no rows-only fallbacks") {
-    // 108/108 oracle coverage is a property of this engine (every
+    // full oracle coverage is a property of this engine (every
     // operator is cross-engine checkable); a new query landing without
     // its DuckDB mirror must fail here, not silently downgrade to the
     // driver's weaker rows-only check

@@ -1119,6 +1119,26 @@ object SparkEntry {
             .as("purchase_rate"))
     },
 
+    // Inter-event gap audit — the heartbeat/SLA monitor: per user, the
+    // largest silence between consecutive events and how many gaps
+    // exceed the 1-hour alarm threshold (a dead sensor or dropped
+    // pipeline shows up here before any dashboard). `lag` over the
+    // high-cardinality user key (ties by event_id — deterministic), one
+    // grouped roll-up; exact integer microsecond arithmetic.
+    "q_ev_gaps" -> { (s, dir) =>
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"ts", $"event_id")
+      Tables.events(s, dir)
+        .select($"user_id", $"ts", $"event_id")
+        .withColumn("gap_us",
+          unix_micros($"ts") - unix_micros(lag($"ts", 1).over(w)))
+        .groupBy($"user_id")
+        .agg(count($"gap_us").as("n_gaps"),
+          max($"gap_us").as("max_gap_us"),
+          count(when($"gap_us" > 3600L * 1000000L, 1)).as("n_gaps_over_1h"))
+    },
+
     // Semi-structured extraction: JSON props column → typed field → agg.
     "q_ev_json" -> { (s, dir) =>
       import s.implicits._
@@ -3205,6 +3225,18 @@ object SparkEntry {
         |  CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS DOUBLE)
         |    / CAST(COUNT(*) AS DOUBLE) AS purchase_rate
         |FROM e GROUP BY user_id""".stripMargin,
+    "q_ev_gaps" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ets, event_id FROM events),
+        |g AS (
+        |  SELECT user_id,
+        |    epoch_us(ets) - epoch_us(lag(ets, 1) OVER (
+        |      PARTITION BY user_id ORDER BY ets, event_id)) AS gap_us
+        |  FROM e)
+        |SELECT user_id, count(gap_us) AS n_gaps,
+        |  MAX(gap_us) AS max_gap_us,
+        |  count(CASE WHEN gap_us > 3600000000 THEN 1 END) AS n_gaps_over_1h
+        |FROM g GROUP BY user_id""".stripMargin,
     "q_ev_json" ->
       """SELECT event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,

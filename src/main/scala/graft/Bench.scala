@@ -31,16 +31,29 @@ object Bench {
     val selected =
       if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.view.filterKeys(args.toSet).toMap
+    // noop sink: forces every output column to be fully computed —
+    // count() would let Catalyst prune the projection and under-measure
+    // map-heavy queries. A failed query must not read as a fast success:
+    // mark it -1.
+    def timeOnce(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double =
+      try {
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name: ${e.getMessage}"); -1.0
+      }
+    // min of 2 runs: a shared driver machine inflated r5 readings 15-18×
+    // (q1_agg 25.94 s driver vs 1.40 s idle) — two timings make one noisy
+    // neighbor unable to paint a phantom hotspot, and the min is the
+    // honest estimate of the query's own cost. Skip the retry on failure:
+    // a deterministic error would just fail twice.
     val results = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // noop sink: forces every output column to be fully computed —
-      // count() would let Catalyst prune the projection and under-measure
-      // map-heavy queries.
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}"); false }
-      // a failed query must not read as a fast success: mark it -1
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val t1 = timeOnce(name, fn)
+      val t2 = if (t1 >= 0) timeOnce(name, fn) else t1
+      name -> (if (t1 >= 0 && t2 >= 0) math.min(t1, t2) else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

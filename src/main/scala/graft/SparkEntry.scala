@@ -715,7 +715,7 @@ object SparkEntry {
     // fixed-point sums so the result is aggregation-order-independent.
     "q_emb_kmeans" -> { (s, dir) =>
       val e = Tables.embeddings(s, dir)
-      Similarity.kmeansAssign(e, Similarity.kmeansFitMemo(e, dir + "|all"))
+      Similarity.kmeansAssign(e, Similarity.kmeansFitMemo(e, dir, "all"))
     },
 
     // IVF index-staleness audit: centroids frozen on the even-id half,
@@ -724,7 +724,7 @@ object SparkEntry {
     "q_emb_stale" -> { (s, dir) =>
       val e = Tables.embeddings(s, dir)
       Similarity.indexStaleness(e, Similarity.kmeansFitMemo(
-        e.filter(col("vec_id") % 2 === 0), dir + "|even"))
+        e.filter(col("vec_id") % 2 === 0), dir, "even"))
     },
 
     // Hard-negative mining: per query vector, the k most-similar vectors
@@ -741,7 +741,7 @@ object SparkEntry {
     "q_emb_topics" -> { (s, dir) =>
       val e = Tables.embeddings(s, dir)
       Similarity.topicProfile(e, Tables.documents(s, dir),
-        Similarity.kmeansFitMemo(e, dir + "|all"))
+        Similarity.kmeansFitMemo(e, dir, "all"))
     },
     // Embedding-store ingest: near-dup removal → IVF cell assignment.
     "q_emb_e2e" -> { (s, dir) => Similarity.embIngest(Tables.embeddings(s, dir)) },
@@ -2197,7 +2197,7 @@ object SparkEntry {
          |q AS (
          |  SELECT qid, qemb, qnrm, unnest(probes) AS qbucket FROM (
          |    SELECT vec_id AS qid, emb AS qemb, nrm AS qnrm,
-         |      list_prepend(bucket, list_transform(range(0, 8), j ->
+         |      list_prepend(bucket, list_transform(range(0, ${Similarity.NumPlanes}), j ->
          |        xor(bucket, CAST(1 AS BIGINT) << CAST(j AS INTEGER)))) AS probes
          |    FROM bk WHERE vec_id % 50 = 0) t),
          |pairs AS (

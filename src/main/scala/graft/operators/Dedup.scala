@@ -235,6 +235,10 @@ object Dedup {
         .hint("shuffle_hash"), Seq("doc_a"))
       .join(texts.select(col("doc_id").as("doc_b"), col("text").as("text_b"))
         .hint("shuffle_hash"), Seq("doc_b"))
+      // length gate: edit distance >= |len_a - len_b|, so length-divergent
+      // candidates can't pass the bar — a free compare that skips the whole
+      // O(len·maxDist) banded DP for them (result set provably unchanged)
+      .filter(abs(length(col("text_a")) - length(col("text_b"))) <= maxDist)
       .select(col("doc_a"), col("doc_b"),
         // 3-arg levenshtein runs the BANDED DP: O(len·maxDist) per pair
         // instead of O(len²), exact for distances <= maxDist, -1 above
@@ -531,16 +535,18 @@ object Dedup {
     * that table: the first caller pays the build (duplicateClusters ends
     * in an EAGER localCheckpoint, so the memoized frame is a short
     * checkpointed plan that survives the per-round cache unpersists),
-    * later callers reuse it. Keyed by session identity + caller key so
-    * test fixtures on other corpora and restarted sessions never collide;
-    * entries live for the session (bounded: one small table per sfDir).
+    * later callers reuse it. Keyed by [[graft.sources.Tables.dataKey]]
+    * (sessionUUID + dir + file-listing fingerprint) so test fixtures on
+    * other corpora, restarted sessions, AND a regenerated dir within one
+    * session never collide; entries live for the session (bounded: one
+    * small table per (session, dir, data generation)).
     */
   private val clusterMemo =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
-  def clustersFor(c: DataFrame, key: String): DataFrame =
+  def clustersFor(c: DataFrame, dir: String): DataFrame =
     clusterMemo.computeIfAbsent(
-      System.identityHashCode(c.sparkSession) + "|" + key,
+      graft.sources.Tables.dataKey(c.sparkSession, dir),
       _ => duplicateClusters(verifiedPairs(c)))
 
   def duplicateClusters(pairs: DataFrame): DataFrame = {

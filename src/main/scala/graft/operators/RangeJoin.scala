@@ -66,6 +66,22 @@ object RangeJoin {
     * "wide bucket" around 0 is probed via the same arithmetic on both
     * sides), and the residual predicate keeps semantics exact regardless.
     */
+  def trailingWindowJoin(left: DataFrame, leftTs: String,
+      right: DataFrame, rightTs: String,
+      keys: Seq[String], lookbackSec: Long): DataFrame = {
+    require(lookbackSec > 0, "lookback must be positive")
+    val w = lookbackSec * 1000000L
+    val lb = left.withColumn("__bkt",
+      explode(array(
+        expr(s"unix_micros($leftTs) DIV $w - 1"),
+        expr(s"unix_micros($leftTs) DIV $w"))))
+    val rb = right.withColumn("__bkt", expr(s"unix_micros($rightTs) DIV $w"))
+    lb.join(rb, keys :+ "__bkt")
+      .filter(col(rightTs) <= col(leftTs) &&
+        col(rightTs) >= col(leftTs) - expr(s"INTERVAL $lookbackSec SECOND"))
+      .drop("__bkt")
+  }
+
   /** Forward twin of [[trailingWindowJoin]]: right rows with `rightTs` in
     * the EXCLUSIVE-start window (`leftTs`, `leftTs` + horizon] — the label
     * window of a point-in-time-correct training-example builder (outcomes
@@ -86,22 +102,6 @@ object RangeJoin {
     lb.join(rb, keys :+ "__bkt")
       .filter(col(rightTs) > col(leftTs) &&
         col(rightTs) <= col(leftTs) + expr(s"INTERVAL $horizonSec SECOND"))
-      .drop("__bkt")
-  }
-
-  def trailingWindowJoin(left: DataFrame, leftTs: String,
-      right: DataFrame, rightTs: String,
-      keys: Seq[String], lookbackSec: Long): DataFrame = {
-    require(lookbackSec > 0, "lookback must be positive")
-    val w = lookbackSec * 1000000L
-    val lb = left.withColumn("__bkt",
-      explode(array(
-        expr(s"unix_micros($leftTs) DIV $w - 1"),
-        expr(s"unix_micros($leftTs) DIV $w"))))
-    val rb = right.withColumn("__bkt", expr(s"unix_micros($rightTs) DIV $w"))
-    lb.join(rb, keys :+ "__bkt")
-      .filter(col(rightTs) <= col(leftTs) &&
-        col(rightTs) >= col(leftTs) - expr(s"INTERVAL $lookbackSec SECOND"))
       .drop("__bkt")
   }
 }

@@ -578,10 +578,10 @@ object Similarity {
   private val centsMemo =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
-  def kmeansFitMemo(e: DataFrame, key: String,
+  def kmeansFitMemo(e: DataFrame, dir: String, variant: String,
       k: Int = 8, iters: Int = 2): DataFrame =
     centsMemo.computeIfAbsent(
-      System.identityHashCode(e.sparkSession) + "|" + key + s"|$k|$iters",
+      graft.sources.Tables.dataKey(e.sparkSession, dir, variant) + s"|$k|$iters",
       _ => kmeansFit(e, k, iters).localCheckpoint())
 
   /** Semantic topic profile — the cross-modal "what lives in each

@@ -2,6 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver's TPC-H-ish parquet tables (see
   * /root/repo/TESTDATA.md). One function per table so every query goes
@@ -11,6 +12,55 @@ import org.apache.spark.sql.functions._
   */
 object Tables {
   private def p(dir: String, name: String) = s"$dir/$name.parquet"
+
+  /** Session+data-scoped memoization key for stage memos
+    * ([[graft.operators.Dedup.clustersFor]],
+    * [[graft.operators.Similarity.kmeansFitMemo]]). Two requirements a
+    * plain `identityHashCode(session)+dir` key misses:
+    * (1) the driver regenerates the parquet tables between rounds — if a
+    * session ever spans a regeneration of the SAME dir, a dir-keyed memo
+    * silently serves stale clusters/centroids, so the key includes a
+    * fingerprint of the dir's file listing (path+size+mtime of every file,
+    * order-independent XOR so FS listing order can't flap the key);
+    * (2) `identityHashCode` can collide across GC'd sessions — `sessionUUID`
+    * is unique for the JVM's lifetime. Stale entries from a regenerated dir
+    * are abandoned, not evicted: each memo holds one small checkpointed
+    * table per (session, dir, variant), bounded for any realistic session.
+    */
+  def dataKey(spark: SparkSession, dir: String, variant: String = ""): String =
+    sessionId(spark) + "|" + dir + "|" + fingerprint(spark, dir) +
+      (if (variant.isEmpty) "" else "|" + variant)
+
+  // Session identity that, unlike identityHashCode, is never reused after
+  // a session is GC'd: each distinct live session gets the next counter
+  // value (SparkSession doesn't override equals, so WeakHashMap keys by
+  // identity; weak keys let stopped sessions unpin). sessionUUID would do
+  // the same job but is private[sql].
+  private val sessionIds = new java.util.WeakHashMap[SparkSession, String]()
+  private val sessionCounter = new java.util.concurrent.atomic.AtomicLong()
+  private def sessionId(spark: SparkSession): String = sessionIds.synchronized {
+    var id = sessionIds.get(spark)
+    if (id == null) {
+      id = "s" + sessionCounter.incrementAndGet()
+      sessionIds.put(spark, id)
+    }
+    id
+  }
+
+  private def fingerprint(spark: SparkSession, dir: String): String = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) return "absent"
+    var h = 0L
+    val it = fs.listFiles(path, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val entry = st.getPath.toUri.getPath + "|" + st.getLen + "|" +
+        st.getModificationTime
+      h ^= scala.util.hashing.MurmurHash3.stringHash(entry).toLong * 0x9E3779B97F4A7C15L
+    }
+    java.lang.Long.toHexString(h)
+  }
 
   /** The driver regenerates the parquet tables between rounds and the
     * timestamp physical annotation has varied (TIMESTAMP(MICROS) adjusted
@@ -30,15 +80,25 @@ object Tables {
     * (`spark.sql.parquet.inferTimestampNTZ.enabled=false`) so these columns
     * surface as TimestampType AT THE SCAN and this function is a no-op
     * safety net (it still fires if a session skipped Engine.tune).
-    * Limitation: only top-level columns are normalized — NTZ fields nested
-    * inside struct/array/map pass through (fine for the driver's flat
-    * TPC-H-ish schemas; recurse if nested timestamps ever appear).
+    * Normalization recurses into struct/array/map types: a nested NTZ
+    * field casts the containing column to the same shape with NTZ replaced
+    * by TimestampType (struct-to-struct cast, per-field NTZ→LTZ — still a
+    * metadata reinterpretation).
     */
-  private def ntzToUtc(df: DataFrame): DataFrame = {
-    import org.apache.spark.sql.types.TimestampNTZType
-    df.schema.fields.filter(_.dataType == TimestampNTZType).foldLeft(df) {
-      (d, f) => d.withColumn(f.name, d.col(f.name).cast("timestamp"))
+  private[graft] def ntzToUtc(df: DataFrame): DataFrame =
+    df.schema.fields.foldLeft(df) { (d, f) =>
+      val repl = replaceNtz(f.dataType)
+      if (repl == f.dataType) d else d.withColumn(f.name, d.col(f.name).cast(repl))
     }
+
+  private def replaceNtz(dt: DataType): DataType = dt match {
+    case TimestampNTZType => TimestampType
+    case s: StructType =>
+      StructType(s.fields.map(f => f.copy(dataType = replaceNtz(f.dataType))))
+    case a: ArrayType => a.copy(elementType = replaceNtz(a.elementType))
+    case m: MapType =>
+      m.copy(keyType = replaceNtz(m.keyType), valueType = replaceNtz(m.valueType))
+    case other => other
   }
 
   def region(spark: SparkSession, dir: String): DataFrame = ntzToUtc(spark.read.parquet(p(dir, "region")))

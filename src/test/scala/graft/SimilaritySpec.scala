@@ -48,7 +48,6 @@ class SimilaritySpec extends SparkSpec {
     // every single-probe result pair must also be reachable multi-probe
     // (the probe set contains the query's own bucket)...
     val sp = Similarity.knnLsh(emb).select($"qid", $"vec_id").cache()
-    val mpPairs = Similarity.lshBuckets(emb).select($"vec_id", $"bucket")
     val mp = Similarity.knnLshMultiProbe(emb).cache()
     // ...but ranking can differ when new candidates displace old ones, so
     // compare REACHABILITY per query: multi-probe's candidate count >=

@@ -16,30 +16,39 @@ import graft.operators.Dedup
   * Each incoming doc's 8 LSH band keys are computed in one narrow
   * projection ([[Dedup.bandKeysNarrow]] — per-row signature, no
   * aggregation, so it runs on an unbounded stream exactly as the batch
-  * math). Per (band, bh) bucket, keyed state holds ONLY the first
-  * occupant (doc_id, ts) — O(1) per ACTIVE bucket, purged by event-time
-  * TTL — and every later doc hitting the bucket emits a collision
-  * pointing at that occupant. A doc colliding on ≥1 band is exactly a
-  * batch LSH candidate against the already-seen prefix of the stream
-  * (candidates are verified downstream, same as batch).
+  * math). Per (band, bh) bucket, keyed state holds the first
+  * `maxOccupants` distinct occupants (doc_id, arrival ts) — O(cap) per
+  * ACTIVE bucket, purged by event-time TTL — and every doc hitting the
+  * bucket emits one collision per stored EARLIER occupant. Up to the
+  * cap, the bucket's candidate set is the full prefix CLIQUE: identical
+  * to the batch self-join restricted to the already-seen window, so a
+  * true near-dup pair is produced even when the bucket's first occupant
+  * was a false positive. Past the cap the bucket is a degenerate hot
+  * bucket (a boilerplate shingle row, the same pathology the batch side
+  * caps with `maxDf`): an overflow doc still emits collisions against
+  * all `maxOccupants` stored docs — so it joins the bucket's duplicate
+  * COMPONENT — but is not retained, so pairs between two overflow docs
+  * are not produced. That truncation is the price of bounded state.
   *
   * Semantics vs batch: the stream sees a PREFIX window — a doc pairs
   * with earlier docs only (the batch self-join's `doc_a < doc_b`
   * canonicalization, with arrival order standing in for id order), and a
-  * bucket idle past `ttlMs` forgets its occupant (the standard
+  * bucket idle past `ttlMs` forgets its occupants (the standard
   * streaming-dedup window trade; batch parity on an in-window in-order
-  * feed is pinned in StreamingSpec).
+  * feed is pinned in StatefulOpsSpec, including the three-copy clique).
   */
 object DocStream {
 
   case class StreamDoc(ts: Timestamp, doc_id: Long, text: String)
   case class BandHit(ts: Timestamp, doc_id: Long, band: Long, bh: Long)
-  case class Occupant(docId: Long, tsMs: Long, maxTsMs: Long)
-  case class Collision(doc_id: Long, band: Long, bh: Long, first_doc_id: Long)
+  case class OccEntry(docId: Long, tsMs: Long)
+  case class Occupants(docs: List[OccEntry], maxTsMs: Long)
+  case class Collision(doc_id: Long, band: Long, bh: Long, earlier_doc_id: Long)
 
   def lshCollisions(spark: SparkSession, docs: Dataset[StreamDoc],
       watermarkDelay: String = "1 hour",
-      ttlMs: Long = 24L * 3600000L): Dataset[Collision] = {
+      ttlMs: Long = 24L * 3600000L,
+      maxOccupants: Int = 8): Dataset[Collision] = {
     import spark.implicits._
     val hits = docs.toDF()
       .select(col("ts"), col("doc_id"),
@@ -52,34 +61,35 @@ object DocStream {
       .withWatermark("ts", watermarkDelay)
       .groupByKey(h => (h.band, h.bh))
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (key: (Long, Long), batch: Iterator[BandHit], state: GroupState[Occupant]) =>
+        (key: (Long, Long), batch: Iterator[BandHit], state: GroupState[Occupants]) =>
           if (state.hasTimedOut) {
             state.remove()
             Iterator.empty
           } else {
-            // within a batch the earliest (ts, doc_id) claims the bucket —
-            // the batch join's canonical ordering
+            // within a batch events process in (ts, doc_id) order — the
+            // batch join's canonical ordering, so same-batch pairs emit
+            // with the earlier-arriving doc as earlier_doc_id
             val evs = batch.toSeq.sortBy(e => (e.ts.getTime, e.doc_id))
-            var occ = state.getOption
+            var occ = state.getOption.getOrElse(Occupants(Nil, Long.MinValue))
             val out = Seq.newBuilder[Collision]
             for (e <- evs) {
-              occ match {
-                case Some(o) if o.docId != e.doc_id =>
-                  out += Collision(e.doc_id, key._1, key._2, o.docId)
-                  occ = Some(o.copy(maxTsMs = math.max(o.maxTsMs, e.ts.getTime)))
-                case Some(o) => // occupant re-seen (multi-band same doc dedups upstream)
-                  occ = Some(o.copy(maxTsMs = math.max(o.maxTsMs, e.ts.getTime)))
-                case None =>
-                  occ = Some(Occupant(e.doc_id, e.ts.getTime, e.ts.getTime))
-              }
+              if (!occ.docs.exists(_.docId == e.doc_id)) {
+                // one collision per stored earlier occupant: the full
+                // prefix clique up to the cap, not just the first occupant
+                occ.docs.foreach(o =>
+                  out += Collision(e.doc_id, key._1, key._2, o.docId))
+                if (occ.docs.size < maxOccupants)
+                  occ = occ.copy(docs = occ.docs :+ OccEntry(e.doc_id, e.ts.getTime))
+              } // else: doc re-seen — no self-pairs, no duplicate entry
+              occ = occ.copy(maxTsMs = math.max(occ.maxTsMs, e.ts.getTime))
             }
-            occ.foreach { o =>
-              state.update(o)
+            if (occ.docs.nonEmpty) {
+              state.update(occ)
               // TTL anchored to the bucket's own latest activity, clamped
               // above the watermark (Spark throws on a below-watermark
               // timeout; same discipline as StatefulOps)
               state.setTimeoutTimestamp(
-                math.max(o.maxTsMs + ttlMs, state.getCurrentWatermarkMs() + 1))
+                math.max(occ.maxTsMs + ttlMs, state.getCurrentWatermarkMs() + 1))
             }
             out.result().iterator
           }

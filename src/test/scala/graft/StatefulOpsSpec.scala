@@ -128,7 +128,7 @@ class StatefulOpsSpec extends SparkSpec {
     val got = spark.table("lshcol").as[Collision].collect()
     // identical text ⇒ identical signature ⇒ a collision on EVERY band,
     // each pointing at the batch-1 occupant — state bridged the batches
-    val pairs = got.map(c => (c.first_doc_id, c.doc_id)).distinct.toSeq
+    val pairs = got.map(c => (c.earlier_doc_id, c.doc_id)).distinct.toSeq
     assert(pairs === Seq((1L, 3L)), s"got $pairs")
     assert(got.length === graft.operators.Dedup.NumHashes / graft.operators.Dedup.BandSize,
       "an exact copy must collide on all 8 bands")
@@ -138,6 +138,54 @@ class StatefulOpsSpec extends SparkSpec {
         Seq((1L, tA), (2L, tB), (3L, tA)).toDF("doc_id", "text"))
       .as[(Long, Long)].collect().toSeq.sorted
     assert(pairs.sorted === batchPairs)
+  }
+
+  test("streaming LSH clique: later bucket-mates pair with each other, not just the first occupant") {
+    import graft.streaming.DocStream
+    import DocStream.{StreamDoc, Collision}
+    implicit val ctx = spark.sqlContext
+    val tA = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val ms = MemoryStream[StreamDoc]
+    val q = DocStream.lshCollisions(spark, ms.toDS())
+      .writeStream.format("memory").queryName("lshclique").outputMode("append").start()
+    // three copies across three batches: a star-shaped candidate set would
+    // emit only (1,2) and (1,3); full prefix parity requires (2,3) too —
+    // the pair that survives verification when doc 1 is a false positive
+    ms.addData(Seq(StreamDoc(ts("2024-01-01 00:00:00"), 1L, tA)))
+    q.processAllAvailable()
+    ms.addData(Seq(StreamDoc(ts("2024-01-01 00:01:00"), 2L, tA)))
+    q.processAllAvailable()
+    ms.addData(Seq(StreamDoc(ts("2024-01-01 00:02:00"), 3L, tA)))
+    q.processAllAvailable(); q.stop()
+    val pairs = spark.table("lshclique").as[Collision].collect()
+      .map(c => (c.earlier_doc_id, c.doc_id)).distinct.toSeq.sorted
+    assert(pairs === Seq((1L, 2L), (1L, 3L), (2L, 3L)), s"got $pairs")
+    // and it equals the batch candidate join on the same docs
+    val batchPairs = graft.operators.Dedup.minhashCandidates(
+        Seq((1L, tA), (2L, tA), (3L, tA)).toDF("doc_id", "text"))
+      .as[(Long, Long)].collect().toSeq.sorted
+    assert(pairs === batchPairs)
+  }
+
+  test("streaming LSH occupant cap: overflow docs pair with stored occupants but are not retained") {
+    import graft.streaming.DocStream
+    import DocStream.{StreamDoc, Collision}
+    implicit val ctx = spark.sqlContext
+    val tA = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val ms = MemoryStream[StreamDoc]
+    val q = DocStream.lshCollisions(spark, ms.toDS(), maxOccupants = 2)
+      .writeStream.format("memory").queryName("lshcap").outputMode("append").start()
+    (1 to 4).foreach { i =>
+      ms.addData(Seq(StreamDoc(ts(f"2024-01-01 00:0$i%d:00"), i.toLong, tA)))
+      q.processAllAvailable()
+    }
+    q.stop()
+    val pairs = spark.table("lshcap").as[Collision].collect()
+      .map(c => (c.earlier_doc_id, c.doc_id)).distinct.toSeq.sorted
+    // docs 1,2 stored (cap=2); docs 3,4 each collide with both stored
+    // occupants (joining the component) but never with each other
+    assert(pairs === Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L)),
+      s"got $pairs")
   }
 
   test("streaming LSH TTL: an idle bucket forgets its occupant after the window") {
@@ -169,7 +217,7 @@ class StatefulOpsSpec extends SparkSpec {
     ms.addData(Seq(StreamDoc(ts("2024-01-30 00:03:00"), 5L, tA)))
     q.processAllAvailable(); q.stop()
     val got = spark.table("lshttl").as[Collision].collect()
-      .map(c => (c.first_doc_id, c.doc_id)).distinct.toSeq.sorted
+      .map(c => (c.earlier_doc_id, c.doc_id)).distinct.toSeq.sorted
     assert(!got.contains((1L, 4L)),
       "a TTL-purged occupant must not produce collisions")
     assert(got.contains((4L, 5L)),

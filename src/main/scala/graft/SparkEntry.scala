@@ -360,6 +360,13 @@ object SparkEntry {
     "q_doc_search" -> { (s, dir) =>
       TextAnalysis.search(Tables.documents(s, dir), SearchTerms)
     },
+    // BM25 ranked retrieval (disjunctive): odds-form idf × Robertson
+    // saturation, per-term contributions floored to integer nano-units so
+    // the per-doc sum is order-free — the lexical side of a retrieval
+    // stack, next to the embedding kNN.
+    "q_doc_bm25" -> { (s, dir) =>
+      TextAnalysis.bm25Search(Tables.documents(s, dir), SearchTerms)
+    },
     // Cross-source shingle containment matrix (mirror/syndication audit):
     // |sources|² output, one checkpointed per-source shingle set feeding
     // both self-join sides and the denominator.
@@ -1876,6 +1883,7 @@ object SparkEntry {
          |WHERE w IN ('scan', 'merge', 'sort')
          |GROUP BY doc_id
          |HAVING COUNT(DISTINCT w) = 3""".stripMargin,
+    "q_doc_bm25" -> TextAnalysis.bm25SearchSql(SearchTerms),
     "q_doc_overlap" -> TextAnalysis.sourceOverlapSql(),
     "q_doc_tfidf" ->
       """WITH tok AS (

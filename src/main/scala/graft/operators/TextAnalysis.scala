@@ -218,6 +218,80 @@ object TextAnalysis {
       .select(col("doc_id"), col("score"))
   }
 
+  /** BM25-family ranked retrieval (disjunctive) — the lexical scorer a
+    * retrieval pipeline runs next to the embedding kNN: docs matching ≥1
+    * query term, scored by Σ_t idf(t) · tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl))
+    * (Robertson–Walker BM25 saturation, k1=1.2 b=0.75).
+    *
+    * Two deliberate exactness choices (house oracle discipline — see PMI /
+    * Stupid-Backoff): the idf keeps the ODDS form (N−df+0.5)/(df+0.5)
+    * rather than its log — `ln` is not bit-identical across engines, while
+    * +,−,×,÷ are IEEE-exact, so the odds-idf score is reproducible to the
+    * last bit anywhere (per-term it is a monotone transform of classic
+    * BM25 idf); and each term's contribution is floored to integer
+    * nano-units before the per-doc sum, so the sum is order-independent
+    * BIGINT arithmetic, immune to float summation order.
+    *
+    * Scale shape, same as [[search]]: the term filter rides the exploded
+    * token stream, so only postings for the |terms| query terms reach the
+    * one shuffle (groupBy doc_id,w); dl travels ON the posting rows (no
+    * corpus-side join); df and the corpus stats are ≤|terms|-row and 1-row
+    * broadcasts. Nothing corpus-sized moves except the narrow scan.
+    */
+  def bm25Search(docs: DataFrame, terms: Seq[String],
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one term")
+    val td = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"), col("toks"))
+    val stats = td.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sumdl"))
+    val post = td
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("w"))
+      .filter(col("w").isin(terms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("w"))
+      .agg(count(lit(1)).as("tf"))
+    // one row per (doc, term) → COUNT(*) is the document frequency
+    val dfx = post.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    post.join(broadcast(dfx), "w")
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl",
+        col("sumdl").cast("double") / col("n_docs").cast("double"))
+      // operand tree mirrored verbatim in the DuckDB oracle: every op is
+      // IEEE-deterministic, so equality is exact, not approximate
+      .withColumn("c_nanos", floor(
+        (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) *
+          (col("tf") * lit(k1 + 1) /
+            (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl")))) *
+          lit(1e9)).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("c_nanos")).as("score_odds_nanos"))
+  }
+
+  /** DuckDB mirror of [[bm25Search]] — same operand tree, constants
+    * interpolated from the SAME Scala doubles (shortest-round-trip repr,
+    * so the parsed literal is the identical bit pattern).
+    */
+  def bm25SearchSql(terms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+      src: String = "documents"): String = {
+    val inList = terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH tq AS (SELECT doc_id, ${Dedup.toksSql} AS toks FROM $src),
+       |td AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM tq),
+       |stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sumdl FROM td),
+       |post AS (
+       |  SELECT doc_id, dl, w, COUNT(*) AS tf FROM (
+       |    SELECT doc_id, dl, unnest(toks) AS w FROM td) t
+       |  WHERE w IN ($inList)
+       |  GROUP BY doc_id, dl, w),
+       |dfx AS (SELECT w, COUNT(*) AS df FROM post GROUP BY w)
+       |SELECT doc_id, COUNT(*) AS n_terms,
+       |  CAST(SUM(CAST(FLOOR(
+       |    (n_docs - df + 0.5) / (df + 0.5) *
+       |      (tf * ${k1 + 1} /
+       |        (tf + $k1 * (${1 - b} + $b * dl / (CAST(sumdl AS DOUBLE) / CAST(n_docs AS DOUBLE))))) *
+       |      1e9) AS BIGINT)) AS BIGINT) AS score_odds_nanos
+       |FROM post JOIN dfx USING (w) CROSS JOIN stats
+       |GROUP BY doc_id""".stripMargin
+  }
+
   /** Cross-source shingle containment matrix — the corpus-audit view of
     * "how much of source A's content also appears in source B" (scraped
     * mirrors, syndicated feeds, and re-crawls show up as high off-diagonal

@@ -1,0 +1,169 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{Engine, SparkEntry}
+
+/** Empirical scale probe for the heavy dedup/ANN family: measures the
+  * wall-clock growth of the five most expensive pipelines between an
+  * sf0.1-equivalent corpus and a ~10× corpus, both SYNTHESIZED by the
+  * same generator, and reports the per-query scaling exponent
+  * log10(t10x/t1x). The 100-TB story elsewhere in this library is argued
+  * from plan shape (index-keyed candidate joins, bounded state, log-round
+  * CC); this tool is the measurement that the argued shapes actually
+  * deliver ≈linear growth — a cliff (fat LSH bucket, CC round blow-up,
+  * spill storm) shows up as an exponent well above 1.
+  *
+  * Generator design — the probe is only as honest as the data family:
+  * - Both scales come from ONE generator (hash-PRNG token bags shaped
+  *   like the driver's documents table: same token-count range, lang
+  *   weights, source fan-out), so the ratio isolates the engine.
+  * - Vocabulary grows ~sqrt(corpus) (Heaps-ish): a real corpus grows its
+  *   vocabulary, which keeps RANDOM cross-doc shingle collisions at a
+  *   scale-invariant density. Freezing the toy 30-word vocab while
+  *   growing docs 10× would quadratically inflate accidental LSH
+  *   candidates — a data artifact the probe must not attribute to the
+  *   plans under test.
+  * - Planted duplicate structure is NOT synthesized here: Dedup.corpus
+  *   plants exact (+2e6 ids, doc_id%20) and near (+1e6 ids, doc_id%10)
+  *   copies on top of whatever base table it reads — identical density
+  *   at both scales, so cluster COUNT grows linearly while cluster SIZE
+  *   stays bounded, the web-corpus shape.
+  * - Embeddings: 10 label centers + per-vector noise at both scales, so
+  *   k-means geometry is scale-invariant and q_emb_stale measures the
+  *   fit/assign pipeline, not a drifting cluster structure.
+  *
+  * Memoization: each scale lives in its own dir, so Dedup.clustersFor /
+  * Similarity.kmeansFitMemo are COLD per scale (dataKey includes the
+  * dir fingerprint). Query order is fixed: q_dedup_clusters pays the
+  * one-time cluster build, q_pipeline_e2e rides the memo — the same
+  * accounting at both scales, mirroring Bench.
+  *
+  * Usage: dev/run.sh graft.tools.ScaleProbe [mult …]   (default: 1 10)
+  * Writes synthetic tables under /tmp/graft-scale/x<mult>/ (reused if
+  * present) and prints one JSON line per (query, scale) plus a summary
+  * with exponents and a pass/fail verdict at exponent <= 1.30.
+  */
+object ScaleProbe {
+
+  /** sf0.1-equivalent base sizes (driver's documents/embeddings rows). */
+  val BaseDocs  = 5000L
+  val BaseVecs  = 2000L
+  val EmbDim    = 64
+
+  val ProbeQueries = Seq(
+    "q_dedup_clusters", "q_dedup_edit", "q_dedup_jaccard",
+    "q_emb_stale", "q_pipeline_e2e")
+
+  /** Heaps-ish vocabulary size: 30 tokens at the 5k-doc base (the real
+    * table's vocabulary), growing with sqrt(n).
+    */
+  def vocabSize(nDocs: Long): Int =
+    math.max(30, math.round(30.0 * math.sqrt(nDocs.toDouble / BaseDocs)).toInt)
+
+  /** Token-bag documents in the driver table's shape: 8..100 tokens per
+    * doc, lang weights ~{en 40%, zh/es/fr/de 15%}, 20 sources. Pure
+    * column expressions over spark.range — no driver-side loop, scales
+    * to any n.
+    */
+  def synthDocuments(spark: SparkSession, n: Long): DataFrame = {
+    val v = vocabSize(n)
+    spark.range(n).toDF("doc_id")
+      .withColumn("len", lit(8) + pmod(xxhash64(col("doc_id"), lit("L")), lit(93)))
+      .withColumn("text", array_join(
+        transform(sequence(lit(0), col("len") - 1),
+          i => concat(lit("w"), pmod(xxhash64(col("doc_id"), i), lit(v)))),
+        " "))
+      .withColumn("r", pmod(xxhash64(col("doc_id"), lit("lang")), lit(20)))
+      .withColumn("lang",
+        when(col("r") < 8, "en").when(col("r") < 11, "zh")
+          .when(col("r") < 14, "es").when(col("r") < 17, "fr").otherwise("de"))
+      .withColumn("source",
+        concat(lit("src"), pmod(xxhash64(col("doc_id"), lit("src")), lit(20))))
+      .withColumn("n_chars", length(col("text")))
+      .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+  }
+
+  /** Embeddings with 10 hash-derived label centers + per-vector noise —
+    * the same cluster geometry at every scale.
+    */
+  def synthEmbeddings(spark: SparkSession, n: Long): DataFrame =
+    spark.range(n).toDF("vec_id")
+      .withColumn("label", pmod(xxhash64(col("vec_id"), lit("lab")), lit(10)).cast("int"))
+      .withColumn("embedding",
+        transform(sequence(lit(0), lit(EmbDim - 1)), j => (
+          (pmod(xxhash64(col("label"), j, lit("c")), lit(2001)) - 1000) / 1000.0 +
+          (pmod(xxhash64(col("vec_id"), j, lit("n")), lit(2001)) - 1000) / 2000.0
+        ).cast("float")))
+      .select(col("vec_id"), col("embedding"), col("label"))
+
+  def ensureData(spark: SparkSession, dir: String, mult: Int): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/documents.parquet"))) {
+      synthDocuments(spark, BaseDocs * mult)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      synthEmbeddings(spark, BaseVecs * mult)
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    }
+  }
+
+  private def timeQuery(spark: SparkSession, name: String, dir: String): Double = {
+    val t0 = System.nanoTime()
+    SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  def main(args: Array[String]): Unit = {
+    val mults = if (args.isEmpty) Seq(1, 10) else args.map(_.toInt).toSeq
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    Engine.tune(spark)
+    spark.sparkContext.setLogLevel("WARN")
+
+    // JIT warmup on the tiny real tables: distinct dir → distinct memo
+    // keys, so the timed runs below stay cold on their own data
+    ProbeQueries.foreach { q =>
+      try SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
+        .write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable => System.err.println(s"[warmup] $q: ${e.getMessage}") }
+    }
+
+    val times = mults.map { m =>
+      val dir = s"/tmp/graft-scale/x$m"
+      ensureData(spark, dir, m)
+      val ts = ProbeQueries.map { q =>
+        val s = timeQuery(spark, q, dir)
+        println(f"""{"probe":"$q","mult":$m,"sec":$s%.3f}""")
+        q -> s
+      }.toMap
+      m -> ts
+    }.toMap
+
+    // Per-query: times at every scale plus the MARGINAL exponent between
+    // consecutive scales — the top-end marginal is the scaling signal
+    // (the low end is fixed-overhead-dominated, which reads as a
+    // flattering sublinear exponent; a cliff shows up as the LAST
+    // marginal exponent jumping past ~1.3)
+    val sorted = mults.sorted
+    val summary = ProbeQueries.map { q =>
+      val marginals = sorted.sliding(2).map { case Seq(a, b) =>
+        math.log(times(b)(q) / times(a)(q)) / math.log(b.toDouble / a)
+      }.toSeq
+      (q, sorted.map(m => times(m)(q)), marginals)
+    }
+    val worst = summary.maxBy(_._3.last)
+    val qjson = summary.map { case (q, ts, es) =>
+      val tj = sorted.zip(ts).map { case (m, t) => f""""t_x$m":$t%.2f""" }.mkString(",")
+      val ej = es.map(e => f"$e%.2f").mkString("[", ",", "]")
+      s""""$q":{$tj,"marginal_exponents":$ej}"""
+    }.mkString("{", ",", "}")
+    println(f"""{"metric":"scale_probe","mults":${sorted.mkString("[", ",", "]")},"queries":$qjson,"worst_tail_exponent":${worst._3.last}%.2f,"worst_query":"${worst._1}","verdict":"${if (worst._3.last <= 1.30) "LINEAR" else "CLIFF"}"}""")
+    spark.stop()
+  }
+}

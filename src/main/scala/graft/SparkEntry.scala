@@ -1099,6 +1099,40 @@ object SparkEntry {
           $"us_to_conv".isNotNull.as("converted"), $"us_to_conv")
     },
 
+    // First/last-touch conversion attribution — the materialized
+    // attribution table a marketing/ranking pipeline writes: each
+    // purchase credited to the earliest (first-touch) and latest
+    // (last-touch) click-or-view of the SAME user in the trailing day,
+    // window EXCLUSIVE of the purchase instant (same leakage discipline
+    // as q_ev_label); no in-window touch → "direct". The interval join
+    // is trailingWindowJoin's (user, time-bucket) equi-join; both argmins
+    // ride ONE grouped agg with O(1) max_by/min_by state per purchase
+    // (tid tie-break — deterministic); one left join back. Nothing
+    // all-pairs, nothing windowed over the event stream.
+    "q_ev_attrib" -> { (s, dir) =>
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"event_id".as("purchase_id"), $"user_id",
+          $"ts".as("pts"), $"value")
+      val touches = ev.filter($"event_type".isin("click", "view"))
+        .select($"user_id", $"ts".as("tts"),
+          $"event_type".as("channel"), $"event_id".as("tid"))
+      val att = graft.operators.RangeJoin
+        .trailingWindowJoin(purchases, "pts", touches, "tts",
+          Seq("user_id"), 86400L)
+        .filter($"tts" < $"pts")
+        .groupBy($"purchase_id")
+        .agg(
+          max_by($"channel", struct($"tts", $"tid")).as("lc"),
+          min_by($"channel", struct($"tts", $"tid")).as("fc"))
+      purchases.join(att, Seq("purchase_id"), "left")
+        .select($"purchase_id", $"user_id", fmtTs($"pts").as("purchase_ts"),
+          $"value",
+          coalesce($"lc", lit("direct")).as("last_channel"),
+          coalesce($"fc", lit("direct")).as("first_channel"))
+    },
+
     // Per-user feature assembly — the feature-store materialization step
     // a training pipeline runs before a ranking/propensity fit: one wide
     // row per user with event counts by type, exact-DECIMAL value total,
@@ -3216,6 +3250,33 @@ object SparkEntry {
         |  strftime(cts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
         |  us_to_conv IS NOT NULL AS converted, us_to_conv
         |FROM c LEFT JOIN conv USING (click_id)""".stripMargin,
+    "q_ev_attrib" ->
+      """WITH p AS (
+        |  SELECT event_id AS purchase_id, user_id, CAST(ts AS TIMESTAMP) AS pts, value
+        |  FROM events WHERE event_type = 'purchase'),
+        |t AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS tts,
+        |    event_type AS channel, event_id AS tid
+        |  FROM events WHERE event_type IN ('click', 'view')),
+        |j AS (
+        |  SELECT purchase_id, tts, channel, tid
+        |  FROM p JOIN t USING (user_id)
+        |  WHERE tts < pts AND tts >= pts - INTERVAL 86400 SECOND),
+        |l AS (
+        |  SELECT purchase_id, channel AS lc FROM (
+        |    SELECT purchase_id, channel,
+        |      row_number() OVER (PARTITION BY purchase_id ORDER BY tts DESC, tid DESC) AS rn
+        |    FROM j) WHERE rn = 1),
+        |f AS (
+        |  SELECT purchase_id, channel AS fc FROM (
+        |    SELECT purchase_id, channel,
+        |      row_number() OVER (PARTITION BY purchase_id ORDER BY tts ASC, tid ASC) AS rn
+        |    FROM j) WHERE rn = 1)
+        |SELECT purchase_id, user_id,
+        |  strftime(pts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts, value,
+        |  COALESCE(lc, 'direct') AS last_channel,
+        |  COALESCE(fc, 'direct') AS first_channel
+        |FROM p LEFT JOIN l USING (purchase_id) LEFT JOIN f USING (purchase_id)""".stripMargin,
     "q_ev_features" ->
       """WITH e AS (
         |  SELECT user_id, event_type, CAST(value AS DECIMAL(12,2)) AS v,

@@ -201,6 +201,48 @@ object Multimodal {
       }
   }
 
+  case class DecodedSafe(doc_id: Long, media_type: String,
+    width: Option[Int], height: Option[Int], n_frames: Option[Int],
+    err: Option[String])
+
+  /** Bounded, class-prefixed error text for corrupt-payload rows (payload
+    * junk can leak into codec messages, so cap the length).
+    */
+  private def errMsg(e: Throwable): String = {
+    val m = Option(e.getMessage).getOrElse("")
+    val s = e.getClass.getSimpleName + (if (m.isEmpty) "" else ": " + m)
+    if (s.length > 200) s.substring(0, 200) else s
+  }
+
+  /** Corrupt-tolerant decode: same per-partition batch shape as
+    * [[decodeMedia]], but a payload the decoder rejects (truncated header,
+    * wrong magic bytes, 0-byte blob) becomes an ERROR ROW — null geometry
+    * plus a bounded message — instead of a stage failure. At 100 TB one
+    * corrupt blob per million rows is a certainty; a pipeline whose decode
+    * stage dies on the first one never finishes. This is the same
+    * null-on-corrupt discipline as the JSON deserializer (D1,
+    * ref `src/app/order_validator.py:71-89`): route errors, don't throw.
+    * Only non-fatal decode errors are absorbed — OOM and friends still
+    * propagate.
+    */
+  def decodeMediaSafe(spark: SparkSession, media: DataFrame,
+      decoder: MediaDecoder): Dataset[DecodedSafe] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("media_type"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, mt, payload) =>
+          try {
+            val (w, h, f) = decoder.decode(payload)
+            DecodedSafe(id, mt, Some(w), Some(h), Some(f), None)
+          } catch {
+            case scala.util.control.NonFatal(e) =>
+              DecodedSafe(id, mt, None, None, None, Some(errMsg(e)))
+          }
+        }
+      }
+  }
+
   case class ImageHash(doc_id: Long, dhash: Long)
 
   /** Perceptual difference-hash (dHash) for IMAGE payloads, JDK-only:
@@ -223,26 +265,57 @@ object Multimodal {
         rows.map { case (id, payload) =>
           val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
           require(img != null, s"dHash: payload of doc $id is not a decodable image")
-          val small = new java.awt.image.BufferedImage(
-            9, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
-          val g = small.createGraphics()
-          try g.drawImage(img, 0, 0, 9, 8, null) finally g.dispose()
-          var h = 0L
-          var bit = 0
-          var y = 0
-          while (y < 8) {
-            var x = 0
-            while (x < 8) {
-              def lum(px: Int): Int = {
-                val c = small.getRGB(px, y)
-                ((c >> 16 & 0xff) * 299 + (c >> 8 & 0xff) * 587 + (c & 0xff) * 114) / 1000
-              }
-              if (lum(x) > lum(x + 1)) h |= 1L << bit
-              bit += 1; x += 1
-            }
-            y += 1
+          ImageHash(id, dHashOf(img))
+        }
+      }
+  }
+
+  private def dHashOf(img: java.awt.image.BufferedImage): Long = {
+    val small = new java.awt.image.BufferedImage(
+      9, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = small.createGraphics()
+    try g.drawImage(img, 0, 0, 9, 8, null) finally g.dispose()
+    var h = 0L
+    var bit = 0
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        def lum(px: Int): Int = {
+          val c = small.getRGB(px, y)
+          ((c >> 16 & 0xff) * 299 + (c >> 8 & 0xff) * 587 + (c & 0xff) * 114) / 1000
+        }
+        if (lum(x) > lum(x + 1)) h |= 1L << bit
+        bit += 1; x += 1
+      }
+      y += 1
+    }
+    h
+  }
+
+  case class ImageHashSafe(doc_id: Long, dhash: Option[Long], err: Option[String])
+
+  /** Corrupt-tolerant [[dHash]]: undecodable image payloads (ImageIO.read
+    * returns null on wrong magic, throws on truncated streams) become
+    * error rows. [[imageNearDups]] rides this, so one corrupt blob no
+    * longer kills corpus-wide near-dup detection.
+    */
+  def dHashSafe(spark: SparkSession, media: DataFrame): Dataset[ImageHashSafe] = {
+    import spark.implicits._
+    media.filter(col("media_type") === "image")
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          try {
+            val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+            if (img == null)
+              ImageHashSafe(id, None, Some("not a decodable image (no JDK reader)"))
+            else ImageHashSafe(id, Some(dHashOf(img)), None)
+          } catch {
+            case scala.util.control.NonFatal(e) =>
+              ImageHashSafe(id, None, Some(errMsg(e)))
           }
-          ImageHash(id, h)
         }
       }
   }
@@ -285,6 +358,39 @@ object Multimodal {
       }
   }
 
+  case class AudioMetaSafe(doc_id: Long, sample_rate: Option[Int],
+    channels: Option[Int], bits: Option[Int], n_samples: Option[Long],
+    duration_ms: Option[Long], err: Option[String])
+
+  /** Corrupt-tolerant [[audioMeta]]: a payload `AudioSystem` rejects
+    * (truncated RIFF header, wrong magic, 0 bytes, compressed audio)
+    * becomes an error row instead of a stage failure — the same
+    * null-on-corrupt routing as [[decodeMediaSafe]].
+    */
+  def audioMetaSafe(spark: SparkSession, media: DataFrame): Dataset[AudioMetaSafe] = {
+    import spark.implicits._
+    media.filter(col("media_type") === "audio")
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          try {
+            val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+              new java.io.ByteArrayInputStream(payload))
+            val f = aff.getFormat
+            val n = aff.getFrameLength.toLong
+            val rate = f.getSampleRate
+            AudioMetaSafe(id, Some(rate.toInt), Some(f.getChannels),
+              Some(f.getSampleSizeInBits), Some(n),
+              Some(if (n >= 0 && rate > 0) n * 1000L / rate.toLong else -1L), None)
+          } catch {
+            case scala.util.control.NonFatal(e) =>
+              AudioMetaSafe(id, None, None, None, None, None, Some(errMsg(e)))
+          }
+        }
+      }
+  }
+
   /** Image near-duplicates: [[dHash]] fingerprints bucketed by the SAME
     * multi-index Hamming scheme as text SimHash (8×8-bit bands over the
     * 64-bit hash; by pigeonhole, any pair within Hamming ≤ 7 shares at
@@ -294,11 +400,15 @@ object Multimodal {
     * This is the text-dedup machinery applied unchanged to an image
     * corpus; like [[dHash]], not oracle-able (no image codec in the
     * oracle engine) — recall/precision are spec-pinned on synthesized
-    * near-dup images.
+    * near-dup images. Rides [[dHashSafe]]: undecodable payloads drop out
+    * of candidate generation (the corpus-correct semantic) instead of
+    * failing the stage.
     */
   def imageNearDups(spark: SparkSession, media: DataFrame,
       maxHamming: Int = 7): DataFrame = {
-    val hashes = dHash(spark, media).toDF()
+    val hashes = dHashSafe(spark, media).toDF()
+      .filter(col("dhash").isNotNull)
+      .select(col("doc_id"), col("dhash"))
     val bands = hashes.select(col("doc_id"), col("dhash"),
       posexplode(array((0 until 8).map(b =>
         shiftright(col("dhash"), b * 8).bitwiseAND(lit(255L))): _*))

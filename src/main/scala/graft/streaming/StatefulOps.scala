@@ -2,8 +2,8 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{Dataset, SparkSession}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Custom keyed state via flatMapGroupsWithState — the extension point for
   * stream logic that windows/dedup can't express (per-key running
@@ -93,6 +93,30 @@ object StatefulOps {
     * and after 50 idle days the score decays to exactly 0 — purged state
     * is state that no longer contributes anything.
     */
+  /** One event folded into the dyadic decayed-counter state — shared by the
+    * flatMapGroupsWithState and transformWithState twins so the math cannot
+    * drift between APIs. UTC day bucket matches the batch query's to_date
+    * under the driver's UTC session timezone.
+    */
+  private def ewmaFold(s: EwmaState, e: KeyedEvent): EwmaState = {
+    val d = Math.floorDiv(e.ts.getTime, 86400000L)
+    if (s.n == 0L)
+      EwmaState(d, 1L << 50, 1L, e.ts.getTime)
+    else if (d >= s.lastDay) {
+      val shift = d - s.lastDay
+      val decayed = if (shift > 50) 0L else s.score >> shift
+      EwmaState(d, decayed + (1L << 50), s.n + 1,
+        math.max(s.maxTsMs, e.ts.getTime))
+    } else { // late event: fold in decayed, anchor unmoved
+      val delta = s.lastDay - d
+      val w = if (delta > 50) 0L else 1L << (50 - delta)
+      EwmaState(s.lastDay, s.score + w, s.n + 1,
+        math.max(s.maxTsMs, e.ts.getTime))
+    }
+  }
+
+  private val EwmaZero = EwmaState(Long.MinValue, 0L, 0L, Long.MinValue)
+
   def ewmaActivity(spark: SparkSession, events: Dataset[KeyedEvent],
       watermarkDelay: String = "1 hour",
       ttlMs: Long = 51L * 86400000L): Dataset[EwmaUpdate] = {
@@ -106,26 +130,10 @@ object StatefulOps {
             state.remove()
             Iterator.empty
           } else {
-            // UTC day bucket, matching the batch query's to_date under the
-            // driver's UTC session timezone
-            def day(t: Timestamp): Long = Math.floorDiv(t.getTime, 86400000L)
             val evs = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-            var s = state.getOption.getOrElse(EwmaState(Long.MinValue, 0L, 0L, Long.MinValue))
+            var s = state.getOption.getOrElse(EwmaZero)
             val out = evs.map { e =>
-              val d = day(e.ts)
-              s = if (s.n == 0L)
-                EwmaState(d, 1L << 50, 1L, e.ts.getTime)
-              else if (d >= s.lastDay) {
-                val shift = d - s.lastDay
-                val decayed = if (shift > 50) 0L else s.score >> shift
-                EwmaState(d, decayed + (1L << 50), s.n + 1,
-                  math.max(s.maxTsMs, e.ts.getTime))
-              } else { // late event: fold in decayed, anchor unmoved
-                val delta = s.lastDay - d
-                val w = if (delta > 50) 0L else 1L << (50 - delta)
-                EwmaState(s.lastDay, s.score + w, s.n + 1,
-                  math.max(s.maxTsMs, e.ts.getTime))
-              }
+              s = ewmaFold(s, e)
               EwmaUpdate(user, s.lastDay, s.n, s.score)
             }
             state.update(s)
@@ -134,6 +142,79 @@ object StatefulOps {
             out.iterator
           }
       }
+  }
+
+  /** [[ewmaActivity]] on the Spark 4 `transformWithState` API — the
+    * successor to flatMapGroupsWithState (SPARK-46815): named state
+    * variables with per-variable encoders, explicit event-time TIMERS
+    * instead of the single implicit timeout slot, and the RocksDB
+    * state-v2 format (callers must run the query with
+    * `spark.sql.streaming.stateStore.providerClass =
+    * ...state.RocksDBStateStoreProvider` — transformWithState refuses
+    * the default HDFS-backed store).
+    *
+    * Identical semantics to [[ewmaActivity]] — both twins fold through
+    * the same [[ewmaFold]], and the spec pins their outputs equal on the
+    * same feed. The TTL discipline maps onto timers: each batch
+    * re-anchors one event-time timer to the key's own latest event
+    * (delete-old + register-new; the registered instant rides in a
+    * second state variable so a re-anchored timer's stale firing can be
+    * recognized and ignored), and the firing handler clears state —
+    * lossless by construction for ttl ≥ 51 days, exactly as before.
+    */
+  def ewmaActivityTws(spark: SparkSession, events: Dataset[KeyedEvent],
+      watermarkDelay: String = "1 hour",
+      ttlMs: Long = 51L * 86400000L): Dataset[EwmaUpdate] = {
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .transformWithState(new EwmaProcessor(ttlMs), TimeMode.EventTime, OutputMode.Append)
+  }
+
+  private class EwmaProcessor(ttlMs: Long)
+      extends StatefulProcessor[Long, KeyedEvent, EwmaUpdate] {
+    @transient private var state: ValueState[EwmaState] = _
+    @transient private var expiry: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      // TTL here is expressed with event-time timers (TTLConfig is
+      // processing-time-relative — the wrong clock for replayable feeds)
+      state = getHandle.getValueState[EwmaState](
+        "ewma", Encoders.product[EwmaState], TTLConfig.NONE)
+      expiry = getHandle.getValueState[Long](
+        "expiry", Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(user: Long, rows: Iterator[KeyedEvent],
+        tv: TimerValues): Iterator[EwmaUpdate] = {
+      val evs = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      var s = if (state.exists()) state.get() else EwmaZero
+      val out = evs.map { e =>
+        s = ewmaFold(s, e)
+        EwmaUpdate(user, s.lastDay, s.n, s.score)
+      }
+      state.update(s)
+      val newExpiry = math.max(s.maxTsMs + ttlMs, tv.getCurrentWatermarkInMs + 1)
+      if (expiry.exists()) {
+        val old = expiry.get()
+        if (old != newExpiry) getHandle.deleteTimer(old)
+      }
+      getHandle.registerTimer(newExpiry)
+      expiry.update(newExpiry)
+      out.iterator
+    }
+
+    override def handleExpiredTimer(user: Long, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[EwmaUpdate] = {
+      // only the CURRENT timer purges; a stale timer that survived a
+      // re-anchor (e.g. deleted-after-fire races) is ignored
+      if (expiry.exists() && expiry.get() == info.getExpiryTimeInMs) {
+        state.clear()
+        expiry.clear()
+      }
+      Iterator.empty
+    }
   }
 
   /** Per-user running (count, sum, max) with an anomaly flag when a single

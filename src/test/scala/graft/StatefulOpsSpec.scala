@@ -109,6 +109,88 @@ class StatefulOpsSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState ewma twin: identical output to the fMGWS twin on the same feed") {
+    import StatefulOps.{KeyedEvent, EwmaUpdate}
+    implicit val ctx = spark.sqlContext
+    // transformWithState requires the RocksDB state store (state-v2)
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val batches = Seq(
+        Seq(
+          KeyedEvent(ts("2024-02-28 00:00:00"), 1L, 1L, "click"),
+          KeyedEvent(ts("2024-02-29 23:00:00"), 2L, 1L, "click"),
+          KeyedEvent(ts("2024-03-01 00:00:00"), 3L, 2L, "click")),
+        Seq( // anchor moves a day: stored score must shift >> 1
+          KeyedEvent(ts("2024-03-01 10:00:00"), 4L, 1L, "click"),
+          KeyedEvent(ts("2024-03-01 00:00:00"), 5L, 3L, "click")),
+        Seq( // late event 10 days before u3's anchor: +2^40, anchor unmoved
+          KeyedEvent(ts("2024-02-20 00:00:00"), 6L, 3L, "click")))
+      val ms = MemoryStream[KeyedEvent]
+      val q = StatefulOps.ewmaActivityTws(spark, ms.toDS(), watermarkDelay = "100 days")
+        .writeStream.format("memory").queryName("ewmas_tws").outputMode("append").start()
+      batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+      q.stop()
+      val tws = spark.table("ewmas_tws").as[EwmaUpdate].collect()
+      val fin = tws.groupBy(_.user_id).map { case (u, rs) => u -> rs.maxBy(_.n_events) }
+      assert(fin(1L).ewma_q50 === (1L << 50) + (1L << 49) + (1L << 48))
+      assert(fin(1L).n_events === 3L, "cross-batch state must bridge user 1's count")
+      assert(fin(2L).ewma_q50 === (1L << 50))
+      assert(fin(3L).ewma_q50 === (1L << 50) + (1L << 40),
+        "a late in-window event folds in at its true decayed weight")
+      assert(fin(3L).last_day === java.time.LocalDate.parse("2024-03-01").toEpochDay)
+      // API parity: the fMGWS twin over the SAME batch sequence emits the
+      // SAME multiset of updates (both fold through StatefulOps.ewmaFold)
+      val ms2 = MemoryStream[KeyedEvent]
+      val q2 = StatefulOps.ewmaActivity(spark, ms2.toDS(), watermarkDelay = "100 days")
+        .writeStream.format("memory").queryName("ewmas_fmgws").outputMode("append").start()
+      batches.foreach { b => ms2.addData(b); q2.processAllAvailable() }
+      q2.stop()
+      val fmgws = spark.table("ewmas_fmgws").as[EwmaUpdate].collect()
+      assert(tws.sortBy(u => (u.user_id, u.n_events)).toSeq ===
+        fmgws.sortBy(u => (u.user_id, u.n_events)).toSeq,
+        "the two stateful APIs must emit identical update streams")
+    } finally {
+      old match { case Some(v) => spark.conf.set(key, v); case None => spark.conf.unset(key) }
+    }
+  }
+
+  test("transformWithState ewma twin: event-time timer purges idle state losslessly") {
+    import StatefulOps.{KeyedEvent, EwmaUpdate}
+    implicit val ctx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[KeyedEvent]
+      // tight ttl (2 days) + tight watermark so the timer actually fires
+      val q = StatefulOps.ewmaActivityTws(spark, ms.toDS(),
+          watermarkDelay = "1 hour", ttlMs = 2L * 86400000L)
+        .writeStream.format("memory").queryName("ewmas_ttl").outputMode("append").start()
+      ms.addData(Seq(KeyedEvent(ts("2024-01-01 00:00:00"), 1L, 1L, "click")))
+      q.processAllAvailable()
+      // 10 days later: u1's timer (expiry Jan 3) fires, state purged →
+      // u1's next event restarts from scratch (n resets to 1)
+      ms.addData(Seq(KeyedEvent(ts("2024-01-11 00:00:00"), 2L, 2L, "click")))
+      q.processAllAvailable()
+      ms.addData(Seq(KeyedEvent(ts("2024-01-11 01:00:00"), 3L, 1L, "click")))
+      q.processAllAvailable(); q.stop()
+      val rows = spark.table("ewmas_ttl").as[EwmaUpdate].collect()
+      val u1 = rows.filter(_.user_id == 1L).sortBy(_.last_day)
+      assert(u1.length === 2)
+      assert(u1.last.n_events === 1L,
+        s"purged state must not bridge: ${u1.toSeq}")
+      assert(u1.last.ewma_q50 === (1L << 50),
+        "restart after purge must carry no decayed residue — and with " +
+          "ttl ≥ 51 days that residue would have been exactly 0 anyway")
+    } finally {
+      old match { case Some(v) => spark.conf.set(key, v); case None => spark.conf.unset(key) }
+    }
+  }
+
   test("streaming LSH near-dup: collisions bridge micro-batches and match batch candidates") {
     import graft.streaming.DocStream
     import DocStream.{StreamDoc, Collision}

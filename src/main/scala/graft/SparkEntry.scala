@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsOfJoin, Curation, Dedup, EntityResolution, Maintenance, Multimodal, OrderPipeline, RefOrders, Similarity, TextAnalysis}
+import graft.operators.{AsOfJoin, Curation, Dedup, EntityResolution, Maintenance, Multimodal, OrderPipeline, RefOrders, Retrieval, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -366,6 +366,21 @@ object SparkEntry {
     // stack, next to the embedding kNN.
     "q_doc_bm25" -> { (s, dir) =>
       TextAnalysis.bm25Search(Tables.documents(s, dir), SearchTerms)
+    },
+    // Hybrid retrieval: Reciprocal-Rank Fusion of the lexical BM25 list
+    // and the per-query embedding-cosine list (exact integer nano-unit
+    // scores; fusion cost is per-query — ≤ 2·20 rows/qid — independent
+    // of corpus size).
+    "q_doc_rrf" -> { (s, dir) =>
+      val lex = Retrieval.topNRanked(
+        TextAnalysis.bm25Search(Tables.documents(s, dir), SearchTerms),
+        "score_odds_nanos", "doc_id", 20)
+      val qids = Tables.embeddings(s, dir)
+        .filter(col("vec_id") % 50 === 0).select(col("vec_id").as("qid"))
+      val lexPerQ = qids.crossJoin(broadcast(lex))
+      val vec = Similarity.knnBrute(Tables.embeddings(s, dir), queryMod = 50, k = 20)
+        .select(col("qid"), col("vec_id").as("doc_id"), col("rn").as("rank"))
+      Retrieval.rrfFuse(Seq(lexPerQ, vec), kRrf = 60, topK = 10)
     },
     // Cross-source shingle containment matrix (mirror/syndication audit):
     // |sources|² output, one checkpointed per-source shingle set feeding
@@ -1918,6 +1933,34 @@ object SparkEntry {
          |GROUP BY doc_id
          |HAVING COUNT(DISTINCT w) = 3""".stripMargin,
     "q_doc_bm25" -> TextAnalysis.bm25SearchSql(SearchTerms),
+    "q_doc_rrf" ->
+      s"""WITH ${Similarity.baseSql},
+         |bm AS (${TextAnalysis.bm25SearchSql(SearchTerms)}),
+         |lex AS (
+         |  SELECT doc_id, CAST(ROW_NUMBER() OVER (
+         |    ORDER BY score_odds_nanos DESC, doc_id) AS BIGINT) AS rank
+         |  FROM bm
+         |  QUALIFY rank <= 20),
+         |q AS (SELECT vec_id AS qid, emb AS qemb, nrm AS qnrm FROM base WHERE vec_id % 50 = 0),
+         |vec AS (
+         |  SELECT qid, vec_id AS doc_id, rn AS rank FROM (
+         |    SELECT qid, vec_id, CAST(ROW_NUMBER() OVER (PARTITION BY qid
+         |      ORDER BY ${Similarity.dotSql("qemb", "emb")} / (qnrm * nrm) DESC, vec_id) AS BIGINT) AS rn
+         |    FROM q JOIN base ON vec_id <> qid) t
+         |  WHERE rn <= 20),
+         |lists AS (
+         |  SELECT qid, doc_id, rank FROM q CROSS JOIN lex
+         |  UNION ALL SELECT qid, doc_id, rank FROM vec),
+         |sc AS (
+         |  SELECT qid, doc_id,
+         |    CAST(SUM(1000000000 // (60 + rank)) AS BIGINT) AS rrf_nanos,
+         |    COUNT(*) AS n_lists
+         |  FROM lists GROUP BY qid, doc_id)
+         |SELECT qid, doc_id, rrf_nanos, n_lists, rank FROM (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid
+         |    ORDER BY rrf_nanos DESC, doc_id) AS BIGINT) AS rank
+         |  FROM sc) t
+         |WHERE rank <= 10""".stripMargin,
     "q_doc_overlap" -> TextAnalysis.sourceOverlapSql(),
     "q_doc_tfidf" ->
       """WITH tok AS (

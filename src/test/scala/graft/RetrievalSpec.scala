@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Retrieval
+
+/** Reciprocal-Rank Fusion on hand-computed fixtures: exact integer
+  * nano-unit scores, consensus docs outrank single-list docs, the
+  * deterministic (score desc, doc_id) tie-break, and topNRanked's
+  * bounded TakeOrderedAndProject list building.
+  */
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("rrf: hand-computed scores, consensus beats single-list, ties break by doc_id") {
+    // query 1: listA ranks (10,11,12), listB ranks (12,10,13)
+    val a = Seq((1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L)).toDF("qid", "doc_id", "rank")
+    val b = Seq((1L, 12L, 1L), (1L, 10L, 2L), (1L, 13L, 3L)).toDF("qid", "doc_id", "rank")
+    val out = Retrieval.rrfFuse(Seq(a, b), kRrf = 60, topK = 10)
+      .collect().map(r => r.getLong(1) -> ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    def u(r: Long) = 1000000000L / (60L + r) // exact integer division
+    // doc 10: ranks 1+2 → u(1)+u(2); doc 12: ranks 3+1 → u(3)+u(1)
+    assert(out(10L) === ((u(1) + u(2), 2L, 1L)))
+    assert(out(12L) === ((u(3) + u(1), 2L, 2L)))
+    // single-list docs score below any two-list doc here
+    assert(out(11L)._1 === u(2) && out(11L)._2 === 1L)
+    assert(out(13L)._1 === u(3) && out(13L)._2 === 1L)
+    // 11 (u(2)=16129032) above 13 (u(3)=15873015); ranks 3,4
+    assert(out(11L)._3 === 3L && out(13L)._3 === 4L)
+  }
+
+  test("rrf: identical scores tie-break by doc_id; topK truncates per query") {
+    // both docs appear at the same rank in one list each → equal scores
+    val a = Seq((7L, 5L, 1L), (7L, 3L, 2L)).toDF("qid", "doc_id", "rank")
+    val b = Seq((7L, 4L, 1L), (7L, 9L, 2L)).toDF("qid", "doc_id", "rank")
+    val rows = Retrieval.rrfFuse(Seq(a, b), kRrf = 60, topK = 3)
+      .orderBy($"rank").collect()
+    assert(rows.length === 3, "topK must truncate")
+    // rank-1 docs 4 and 5 tie → doc_id ascending; then rank-2 doc 3
+    assert(rows.map(_.getLong(1)).toSeq === Seq(4L, 5L, 3L))
+  }
+
+  test("topNRanked: deterministic bounded list with 1-based dense ranks") {
+    val df = Seq((1L, 50L), (2L, 70L), (3L, 70L), (4L, 10L), (5L, 60L))
+      .toDF("doc_id", "score")
+    val got = Retrieval.topNRanked(df, "score", "doc_id", 3)
+      .orderBy($"rank").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // 70 ties: doc 2 before doc 3; then 60
+    assert(got === Seq((2L, 1L), (3L, 2L), (5L, 3L)))
+  }
+
+  test("rrf plan: fusion shuffles on (qid, doc_id) only — no corpus-sized side") {
+    // the q_doc_rrf instance's plan: the lexical list reaches the fusion
+    // as a broadcast (20-row side), never a shuffle of the corpus
+    val plan = SparkEntry.queries("q_doc_rrf")(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"lexical 20-row list must broadcast:\n$plan")
+  }
+}

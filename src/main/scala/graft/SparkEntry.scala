@@ -765,6 +765,12 @@ object SparkEntry {
       Similarity.topicProfile(e, Tables.documents(s, dir),
         Similarity.kmeansFitMemo(e, dir, "all"))
     },
+    // Embedding-corpus health audit: per-label non-finite / zero /
+    // extreme-norm counts, dim range, healthy-subset mean norm — the QA
+    // gate before any ANN index build. One narrow pass, O(1) agg state.
+    "q_emb_health" -> { (s, dir) =>
+      Similarity.embeddingHealth(Tables.embeddings(s, dir))
+    },
     // Embedding-store ingest: near-dup removal → IVF cell assignment.
     "q_emb_e2e" -> { (s, dir) => Similarity.embIngest(Tables.embeddings(s, dir)) },
 
@@ -2373,6 +2379,7 @@ object SparkEntry {
         |      FROM embeddings) t
         |GROUP BY label, dim""".stripMargin,
     "q_emb_kmeans" -> Similarity.kmeansSql(),
+    "q_emb_health" -> Similarity.embeddingHealthSql(),
     "q_emb_topics" ->
       s"""WITH ${Similarity.kmeansCtes()},
          |j AS (

@@ -663,6 +663,77 @@ object Similarity {
       .agg(count(lit(1)).as("n"), sum(quantize(col("v"))).as("qsum"))
       .select(col("label"), col("dim"), col("n"), dequantize(col("qsum"), col("n")).as("centroid"))
 
+  /** Embedding-corpus health audit — the QA gate a pipeline runs BEFORE
+    * building ANN indexes or training on similarity signals: per label,
+    * counts of non-finite vectors (any NaN/±Inf element), zero vectors
+    * (cosine-undefined), extreme-magnitude vectors (norm > `maxNorm` —
+    * un-normalized junk that poisons distance metrics), the dimension
+    * range (ragged dims break every zip_with silently), and the mean norm
+    * of the HEALTHY subset. One junk embedding per million vectors is a
+    * certainty at 100 TB; this is the audit that finds them.
+    *
+    * Exactness: the mean-norm sum goes through the house fixed-point
+    * quantization (round(x·2^24) as BIGINT — order-independent integer
+    * sums, engine-identical); non-finite and extreme norms are EXCLUDED
+    * before quantizing, which is also what makes the audit safe to run on
+    * the junk it hunts — quantize(1e31) would ANSI-CAST_OVERFLOW the
+    * stage (the degenerate-embedding sweep pins this).
+    *
+    * Scale: one narrow pass over the corpus, one grouped aggregation with
+    * O(1) state per label, output bounded by |labels|.
+    */
+  def embeddingHealth(e: DataFrame, maxNorm: Double = 1e8): DataFrame = {
+    val base = withEmb(e)
+      .select(col("label"), col("emb"),
+        size(col("emb")).cast("long").as("dims"),
+        exists(col("emb"), x =>
+          isnan(x) || abs(x) === lit(Double.PositiveInfinity)).as("bad"))
+      .withColumn("nrm", when(!col("bad"), l2norm(col("emb"))))
+      .withColumn("extreme", !col("bad") && col("nrm") > maxNorm)
+      .withColumn("healthy", !col("bad") && !col("extreme"))
+    base.groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        min(col("dims")).as("dims_min"),
+        max(col("dims")).as("dims_max"),
+        sum(when(col("bad"), 1L).otherwise(0L)).as("n_nonfinite"),
+        sum(when(col("extreme"), 1L).otherwise(0L)).as("n_extreme"),
+        sum(when(col("healthy") && col("nrm") === 0.0, 1L).otherwise(0L)).as("n_zero"),
+        sum(when(col("healthy"), quantize(col("nrm"))).otherwise(0L)).as("qsum"),
+        sum(when(col("healthy"), 1L).otherwise(0L)).as("n_healthy"))
+      .select(col("label"), col("n_vecs"), col("dims_min"), col("dims_max"),
+        col("n_nonfinite"), col("n_extreme"), col("n_zero"), col("n_healthy"),
+        when(col("n_healthy") > 0,
+          col("qsum").cast("double") / (col("n_healthy").cast("double") * 16777216.0))
+          .as("mean_norm"))
+  }
+
+  /** DuckDB mirror of [[embeddingHealth]]. */
+  def embeddingHealthSql(maxNorm: Double = 1e8): String =
+    s"""WITH $baseSql,
+       |h AS (
+       |  SELECT label, CAST(len(emb) AS BIGINT) AS dims,
+       |    len(list_filter(emb, x -> isnan(x) OR isinf(x))) > 0 AS bad,
+       |    nrm
+       |  FROM base),
+       |f AS (
+       |  SELECT label, dims, bad,
+       |    (NOT bad) AND nrm > $maxNorm AS extreme,
+       |    (NOT bad) AND nrm <= $maxNorm AS healthy,
+       |    nrm
+       |  FROM h)
+       |SELECT label, COUNT(*) AS n_vecs,
+       |  MIN(dims) AS dims_min, MAX(dims) AS dims_max,
+       |  CAST(SUM(CASE WHEN bad THEN 1 ELSE 0 END) AS BIGINT) AS n_nonfinite,
+       |  CAST(SUM(CASE WHEN extreme THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme,
+       |  CAST(SUM(CASE WHEN healthy AND nrm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+       |  CAST(SUM(CASE WHEN healthy THEN 1 ELSE 0 END) AS BIGINT) AS n_healthy,
+       |  CASE WHEN SUM(CASE WHEN healthy THEN 1 ELSE 0 END) > 0 THEN
+       |    CAST(SUM(CASE WHEN healthy THEN CAST(ROUND(nrm * 16777216.0) AS BIGINT) ELSE 0 END) AS DOUBLE)
+       |      / (CAST(SUM(CASE WHEN healthy THEN 1 ELSE 0 END) AS DOUBLE) * 16777216.0)
+       |  END AS mean_norm
+       |FROM f GROUP BY label""".stripMargin
+
   // ---- DuckDB oracle mirrors ---------------------------------------------
 
   /** emb as double list + norm, per vector. */

@@ -476,6 +476,10 @@ object SparkEntry {
     "q_doc_chunks" -> { (s, dir) => Curation.chunk(Tables.documents(s, dir)) },
     // PII scrubbing: email + long-digit-run redaction, counted.
     "q_doc_redact" -> { (s, dir) => Curation.redact(Tables.documents(s, dir)) },
+    // Per-source PII incidence audit (emails / long digit runs / IPv4):
+    // docs-with-hit and total-hit counts per class + hits-per-Mchar —
+    // the compliance read-out before shipping, one narrow regexp pass.
+    "q_doc_piirate" -> { (s, dir) => Curation.piiRate(Tables.documents(s, dir)) },
     // Canonical normalization: NFC (native expr) + lower + ws collapse.
     "q_doc_normalize" -> { (s, dir) => Curation.normalized(Tables.documents(s, dir)) },
     // Uniform per-lang k-sample via bottom-k content hashes (KMV trick).
@@ -2560,6 +2564,7 @@ object SparkEntry {
               s"regexp_replace(regexp_replace(text, '${Curation.EmailRe}', '<email>', 'g'), " +
               s"'${Curation.LongNumRe}', '<num>', 'g')")} AS redacted_fp
          |FROM documents""".stripMargin,
+    "q_doc_piirate" -> Curation.piiRateSql(),
     "q_doc_normalize" ->
       s"""SELECT doc_id,
          |  CAST(length(n) AS BIGINT) AS n_chars,

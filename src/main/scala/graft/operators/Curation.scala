@@ -490,6 +490,71 @@ object Curation {
       stringHash(clean).as("redacted_fp"))
   }
 
+  /** IPv4-looking token (word-bounded — RE2 and Java regex agree on
+    * ASCII `\b`); octets are ≤3 digits so [[LongNumRe]] never overlaps.
+    */
+  val Ipv4Re = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+
+  /** Per-source PII incidence audit — the compliance read-out a corpus
+    * owner checks BEFORE shipping (and after [[redact]], to confirm the
+    * scrub): for each source, how many documents carry each PII class
+    * (emails, long digit runs, IPv4s), total hits per class, and the
+    * normalized hits-per-million-chars rate that makes sources of
+    * different sizes comparable. Same conservative explicit-class
+    * regexes as [[redact]], same Java/RE2 parity argument.
+    *
+    * Exactness: all counts are integer sums; the rate is ONE division of
+    * exact integers at the end (IEEE-identical across engines). NULL
+    * text contributes nothing to any count.
+    *
+    * Scale: one narrow regexp pass over the corpus, one grouped
+    * aggregation with O(1) state per source, output ≤ |sources| rows.
+    */
+  def piiRate(docs: DataFrame): DataFrame = {
+    val scanned = docs.select(
+      col("source"),
+      length(col("text")).cast("long").as("nc"),
+      regexp_count(col("text"), lit(EmailRe)).cast("long").as("em"),
+      regexp_count(col("text"), lit(LongNumRe)).cast("long").as("nm"),
+      regexp_count(col("text"), lit(Ipv4Re)).cast("long").as("ip"))
+    scanned.groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("em") > 0, 1L).otherwise(0L)).as("n_email_docs"),
+        sum(col("em")).as("n_email_hits"),
+        sum(when(col("nm") > 0, 1L).otherwise(0L)).as("n_num_docs"),
+        sum(col("nm")).as("n_num_hits"),
+        sum(when(col("ip") > 0, 1L).otherwise(0L)).as("n_ip_docs"),
+        sum(col("ip")).as("n_ip_hits"),
+        sum(col("nc")).as("n_chars"))
+      .withColumn("pii_per_mchar",
+        when(col("n_chars") > 0,
+          (col("n_email_hits") + col("n_num_hits") + col("n_ip_hits")).cast("double")
+            * 1000000.0 / col("n_chars").cast("double")))
+  }
+
+  /** DuckDB mirror of [[piiRate]] over table `src`. */
+  def piiRateSql(src: String = "documents"): String =
+    s"""WITH s AS (
+       |  SELECT source, CAST(length(text) AS BIGINT) AS nc,
+       |    CAST(len(regexp_extract_all(text, '$EmailRe')) AS BIGINT) AS em,
+       |    CAST(len(regexp_extract_all(text, '$LongNumRe')) AS BIGINT) AS nm,
+       |    CAST(len(regexp_extract_all(text, '$Ipv4Re')) AS BIGINT) AS ip
+       |  FROM $src)
+       |SELECT source, COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN em > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_email_docs,
+       |  CAST(SUM(em) AS BIGINT) AS n_email_hits,
+       |  CAST(SUM(CASE WHEN nm > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_num_docs,
+       |  CAST(SUM(nm) AS BIGINT) AS n_num_hits,
+       |  CAST(SUM(CASE WHEN ip > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ip_docs,
+       |  CAST(SUM(ip) AS BIGINT) AS n_ip_hits,
+       |  CAST(SUM(nc) AS BIGINT) AS n_chars,
+       |  CASE WHEN SUM(nc) > 0 THEN
+       |    CAST(SUM(em) + SUM(nm) + SUM(ip) AS DOUBLE) * 1000000.0
+       |      / CAST(SUM(nc) AS DOUBLE)
+       |  END AS pii_per_mchar
+       |FROM s GROUP BY source""".stripMargin
+
   /** Canonical text normalization: Unicode NFC (native expression), then
     * lowercase, whitespace collapse, trim. Run BEFORE hashing/shingling so
     * composed and decomposed spellings of the same text dedup together.

@@ -217,6 +217,98 @@ object StatefulOps {
     }
   }
 
+  case class SessionState(startMs: Long, lastMs: Long, n: Long, sumCents: Long)
+  case class SessionOut(user_id: Long, s_start: Timestamp, s_end: Timestamp,
+    n: Long, sum_value: Double)
+
+  /** Streaming sessionization on `transformWithState` — the twin of the
+    * batch q_ev_session `session_window` query, and the op whose
+    * semantics genuinely NEED the API's event-time timers (the EWMA
+    * port's TTL merely purges; a session must EMIT when the watermark
+    * passes lastEvent+gap, which only a timer can do — the capability
+    * gap the README migration verdict names).
+    *
+    * Semantics: events merge into the open session while ts ≤ last+gap
+    * (batch-sorted by (ts, event_id)); a gap-exceeding event CLOSES the
+    * open session (emitting it) and opens a new one; the timer at
+    * last+gap closes an idle session once the watermark passes. Emitted
+    * windows are [start, last+gap) — exactly `session_window`'s frame,
+    * so closed sessions match the batch query row-for-row on an in-order
+    * feed (spec-pinned). An event arriving after its session closed
+    * starts a fresh session — the standard append-mode approximation.
+    * Values fold as exact integer cents (the batch side's DECIMAL(12,2)
+    * discipline), so sums are order-free.
+    *
+    * State is O(1) per ACTIVE user — one (start, last, n, cents) tuple
+    * + one registered-timer slot — and self-purging: every session
+    * either closes by gap or by timer, and closing clears it.
+    */
+  def sessionizeTws(spark: SparkSession, events: Dataset[Event],
+      gapMs: Long = 4L * 3600000L,
+      watermarkDelay: String = "1 hour"): Dataset[SessionOut] = {
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionProcessor(gapMs), TimeMode.EventTime, OutputMode.Append)
+  }
+
+  private class SessionProcessor(gapMs: Long)
+      extends StatefulProcessor[Long, Event, SessionOut] {
+    @transient private var state: ValueState[SessionState] = _
+    @transient private var expiry: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      state = getHandle.getValueState[SessionState](
+        "session", Encoders.product[SessionState], TTLConfig.NONE)
+      expiry = getHandle.getValueState[Long](
+        "expiry", Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    private def cents(v: Double): Long = Math.round(v * 100.0)
+
+    private def emit(user: Long, s: SessionState): SessionOut =
+      SessionOut(user, new Timestamp(s.startMs), new Timestamp(s.lastMs + gapMs),
+        s.n, s.sumCents / 100.0)
+
+    override def handleInputRows(user: Long, rows: Iterator[Event],
+        tv: TimerValues): Iterator[SessionOut] = {
+      val evs = rows.toSeq.sortBy(_.ts.getTime)
+      val closed = Seq.newBuilder[SessionOut]
+      var cur = if (state.exists()) Some(state.get()) else None
+      for (e <- evs) {
+        val t = e.ts.getTime
+        cur = cur match {
+          case None => Some(SessionState(t, t, 1L, cents(e.value)))
+          case Some(s) if t <= s.lastMs + gapMs =>
+            Some(SessionState(math.min(s.startMs, t), math.max(s.lastMs, t),
+              s.n + 1, s.sumCents + cents(e.value)))
+          case Some(s) => // gap exceeded: close, open fresh
+            closed += emit(user, s)
+            Some(SessionState(t, t, 1L, cents(e.value)))
+        }
+      }
+      cur.foreach { s =>
+        state.update(s)
+        val newExpiry = math.max(s.lastMs + gapMs, tv.getCurrentWatermarkInMs + 1)
+        if (expiry.exists() && expiry.get() != newExpiry)
+          getHandle.deleteTimer(expiry.get())
+        getHandle.registerTimer(newExpiry)
+        expiry.update(newExpiry)
+      }
+      closed.result().iterator
+    }
+
+    override def handleExpiredTimer(user: Long, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[SessionOut] = {
+      if (expiry.exists() && expiry.get() == info.getExpiryTimeInMs && state.exists()) {
+        val s = state.get()
+        state.clear(); expiry.clear()
+        Iterator.single(emit(user, s))
+      } else Iterator.empty
+    }
+  }
+
   /** Per-user running (count, sum, max) with an anomaly flag when a single
     * event exceeds `flagFactor` × the user's running mean. Emits one update
     * per input event; a key's state expires once the watermark passes

@@ -191,6 +191,57 @@ class StatefulOpsSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState sessionizer: gap-close, timer-close, batch session_window parity") {
+    import StatefulOps.{Event, SessionOut}
+    import org.apache.spark.sql.functions._
+    implicit val ctx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val gapMs = 4L * 3600000L
+      val b1 = Seq(
+        Event(ts("2024-01-01 10:00:00"), 1L, "click", 1.5),
+        Event(ts("2024-01-01 10:30:00"), 1L, "view", 2.25),
+        Event(ts("2024-01-01 09:00:00"), 2L, "click", 4.0))
+      val b2 = Seq( // 16:00 > 10:30+4h → closes u1's first session inline
+        Event(ts("2024-01-01 16:00:00"), 1L, "click", 3.0))
+      val b3 = Seq( // far-future sentinel advances the watermark past every
+        // open session's last+gap → timers close u1#2 and u2#1
+        Event(ts("2024-01-03 00:00:00"), 99L, "click", 0.0))
+      val b4 = Seq( // one more batch so b3's new watermark actually fires timers
+        Event(ts("2024-01-03 00:00:01"), 99L, "click", 0.0))
+      val ms = MemoryStream[Event]
+      val q = StatefulOps.sessionizeTws(spark, ms.toDS(),
+          gapMs = gapMs, watermarkDelay = "1 minute")
+        .writeStream.format("memory").queryName("sessions_tws").outputMode("append").start()
+      Seq(b1, b2, b3, b4).foreach { b => ms.addData(b); q.processAllAvailable() }
+      q.stop()
+      val got = spark.table("sessions_tws").as[SessionOut].collect()
+        .filter(_.user_id < 99L)
+        .map(s => (s.user_id, s.s_start.getTime, s.s_end.getTime, s.n, s.sum_value))
+        .sortBy(t => (t._1, t._2)).toSeq
+      // batch ground truth: session_window over the same (non-sentinel) events
+      val want = (b1 ++ b2).toDF()
+        .groupBy(session_window($"ts", "4 hours"), $"user_id")
+        .agg(count(lit(1)).as("n"),
+          sum($"value".cast("decimal(12,2)")).cast("double").as("sum_value"))
+        .select($"user_id", $"session_window.start", $"session_window.end",
+          $"n", $"sum_value")
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getTimestamp(2).getTime,
+          r.getLong(3), r.getDouble(4)))
+        .sortBy(t => (t._1, t._2)).toSeq
+      assert(got === want,
+        s"closed sessions must equal the batch session_window rows\n got=$got\nwant=$want")
+      // the inline gap-close and both timer-closes all happened
+      assert(got.count(_._1 == 1L) === 2 && got.count(_._1 == 2L) === 1)
+    } finally {
+      old match { case Some(v) => spark.conf.set(key, v); case None => spark.conf.unset(key) }
+    }
+  }
+
   test("streaming LSH near-dup: collisions bridge micro-batches and match batch candidates") {
     import graft.streaming.DocStream
     import DocStream.{StreamDoc, Collision}

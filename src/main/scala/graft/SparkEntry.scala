@@ -1134,6 +1134,29 @@ object SparkEntry {
     // ride ONE grouped agg with O(1) max_by/min_by state per purchase
     // (tid tie-break — deterministic); one left join back. Nothing
     // all-pairs, nothing windowed over the event stream.
+    // Event-type co-occurrence lift ("users who did X also did Y"): the
+    // association-mining read-out over per-user behavior. Presence sets
+    // (DISTINCT user,type) self-join on high-cardinality user_id with
+    // per-user fan bounded by |types|²; lift = N·n_ab/(n_a·n_b) — exact
+    // integer products, ONE double division (the PMI ranking discipline).
+    // Output ≤ |types|² rows; per-type counts and N are tiny broadcasts.
+    "q_ev_lift" -> { (s, dir) =>
+      import s.implicits._
+      val ut = Tables.events(s, dir)
+        .filter($"user_id".isNotNull && $"event_type".isNotNull)
+        .select($"user_id", $"event_type").distinct()
+      val nUsers = ut.agg(count_distinct($"user_id").as("n_users"))
+      val perType = ut.groupBy($"event_type").agg(count(lit(1)).as("n_t"))
+      val co = ut.as("a").join(ut.as("b"), "user_id")
+        .filter($"a.event_type" < $"b.event_type")
+        .groupBy($"a.event_type".as("type_a"), $"b.event_type".as("type_b"))
+        .agg(count(lit(1)).as("n_ab"))
+      co.join(broadcast(perType.select($"event_type".as("type_a"), $"n_t".as("n_a"))), "type_a")
+        .join(broadcast(perType.select($"event_type".as("type_b"), $"n_t".as("n_b"))), "type_b")
+        .crossJoin(broadcast(nUsers))
+        .select($"type_a", $"type_b", $"n_ab", $"n_a", $"n_b", $"n_users",
+          (($"n_users" * $"n_ab").cast("double") / ($"n_a" * $"n_b").cast("double")).as("lift"))
+    },
     "q_ev_attrib" -> { (s, dir) =>
       import s.implicits._
       val ev = Tables.events(s, dir)
@@ -3305,6 +3328,22 @@ object SparkEntry {
         |  strftime(cts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
         |  us_to_conv IS NOT NULL AS converted, us_to_conv
         |FROM c LEFT JOIN conv USING (click_id)""".stripMargin,
+    "q_ev_lift" ->
+      """WITH ut AS (
+        |  SELECT DISTINCT user_id, event_type FROM events
+        |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+        |n AS (SELECT COUNT(DISTINCT user_id) AS n_users FROM ut),
+        |c AS (SELECT event_type, COUNT(*) AS n_t FROM ut GROUP BY event_type),
+        |p AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS n_ab
+        |  FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT type_a, type_b, n_ab, ca.n_t AS n_a, cb.n_t AS n_b, n_users,
+        |  CAST(n_users * n_ab AS DOUBLE) / CAST(ca.n_t * cb.n_t AS DOUBLE) AS lift
+        |FROM p
+        |JOIN c ca ON type_a = ca.event_type
+        |JOIN c cb ON type_b = cb.event_type
+        |CROSS JOIN n""".stripMargin,
     "q_ev_attrib" ->
       """WITH p AS (
         |  SELECT event_id AS purchase_id, user_id, CAST(ts AS TIMESTAMP) AS pts, value

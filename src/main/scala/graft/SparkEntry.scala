@@ -769,6 +769,12 @@ object SparkEntry {
       Similarity.topicProfile(e, Tables.documents(s, dir),
         Similarity.kmeansFitMemo(e, dir, "all"))
     },
+    // Bitext mining: best pivot-language (en) neighbor per non-en query
+    // doc + ratio margin best/second — the parallel-corpus construction
+    // op with its quality filter signal (Artetxe–Schwenk margin family).
+    "q_emb_bitext" -> { (s, dir) =>
+      Similarity.bitextMine(Tables.embeddings(s, dir), Tables.documents(s, dir))
+    },
     // Embedding-corpus health audit: per-label non-finite / zero /
     // extreme-norm counts, dim range, healthy-subset mean norm — the QA
     // gate before any ANN index build. One narrow pass, O(1) agg state.
@@ -2407,6 +2413,7 @@ object SparkEntry {
         |GROUP BY label, dim""".stripMargin,
     "q_emb_kmeans" -> Similarity.kmeansSql(),
     "q_emb_health" -> Similarity.embeddingHealthSql(),
+    "q_emb_bitext" -> Similarity.bitextMineSql(),
     "q_emb_topics" ->
       s"""WITH ${Similarity.kmeansCtes()},
          |j AS (

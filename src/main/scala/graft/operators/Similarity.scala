@@ -708,6 +708,75 @@ object Similarity {
           .as("mean_norm"))
   }
 
+  /** Bitext mining — the parallel-corpus construction op: for each
+    * non-pivot-language query document, its best pivot-language neighbor
+    * by cosine plus the RATIO MARGIN best/second-best (Artetxe–Schwenk's
+    * margin family: a translation pair stands clearly above the next
+    * candidate; margin ≈ 1 means a crowded neighborhood and a dubious
+    * pair — the filter signal mined pairs are thresholded on).
+    *
+    * Exactness: the margin is one division of two IEEE doubles that are
+    * themselves exact fold products — engine-identical. Top-2 per query
+    * ranks by the house (cos desc, vec_id) tie-break; the two ranked
+    * rows fold to one output row via min-over-case (no second window).
+    *
+    * Scale: same contract as [[hardNegatives]] — query side bounded
+    * (vec_id % queryMod, lang ≠ pivot), pivot side filtered BEFORE the
+    * pairwise join, norms precomputed, lang rides the id equi-join with
+    * the corpus side SHUFFLE_HASH (never broadcast). At billion scale
+    * the same mining rides the IVF/PQ candidate stages with the lang
+    * filter on the probe side.
+    */
+  def bitextMine(e: DataFrame, docs: DataFrame, pivotLang: String = "en",
+      queryMod: Int = 50): DataFrame = {
+    val withLang = withEmb(e)
+      .join(docs.select(col("doc_id").as("vec_id"), col("lang")).hint("shuffle_hash"),
+        "vec_id")
+      .select(col("vec_id"), col("lang"), col("emb"), l2norm(col("emb")).as("nrm"))
+    val q = withLang
+      .filter(col("lang") =!= pivotLang && col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("qid"), col("lang").as("qlang"),
+        col("emb").as("qemb"), col("nrm").as("qnrm"))
+    val tgt = withLang.filter(col("lang") === pivotLang)
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    q.join(tgt)
+      .withColumn("cos", cosineWithNorms(dot(col("qemb"), col("emb")), col("qnrm"), col("nrm")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .groupBy(col("qid"), col("qlang"))
+      .agg(
+        min(when(col("rn") === 1, col("vec_id"))).as("best_id"),
+        min(when(col("rn") === 1, col("cos"))).as("best_cos"),
+        min(when(col("rn") === 2, col("cos"))).as("second_cos"))
+      .select(col("qid"), col("qlang"), col("best_id"), col("best_cos"),
+        when(col("second_cos") > 0, col("best_cos") / col("second_cos")).as("margin"))
+  }
+
+  /** DuckDB mirror of [[bitextMine]]. */
+  def bitextMineSql(pivotLang: String = "en", queryMod: Int = 50): String =
+    s"""WITH $baseSql,
+       |wl AS (
+       |  SELECT b.vec_id, d.lang, b.emb, b.nrm
+       |  FROM base b JOIN documents d ON d.doc_id = b.vec_id),
+       |q AS (
+       |  SELECT vec_id AS qid, lang AS qlang, emb AS qemb, nrm AS qnrm
+       |  FROM wl WHERE lang <> '$pivotLang' AND vec_id % $queryMod = 0),
+       |t AS (SELECT vec_id, emb, nrm FROM wl WHERE lang = '$pivotLang'),
+       |p AS (
+       |  SELECT qid, qlang, vec_id,
+       |    ${dotSql("qemb", "emb")} / (qnrm * nrm) AS cos,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY
+       |      ${dotSql("qemb", "emb")} / (qnrm * nrm) DESC, vec_id) AS rn
+       |  FROM q CROSS JOIN t)
+       |SELECT qid, qlang,
+       |  MIN(CASE WHEN rn = 1 THEN vec_id END) AS best_id,
+       |  MIN(CASE WHEN rn = 1 THEN cos END) AS best_cos,
+       |  CASE WHEN MIN(CASE WHEN rn = 2 THEN cos END) > 0 THEN
+       |    MIN(CASE WHEN rn = 1 THEN cos END) / MIN(CASE WHEN rn = 2 THEN cos END)
+       |  END AS margin
+       |FROM p WHERE rn <= 2
+       |GROUP BY qid, qlang""".stripMargin
+
   /** DuckDB mirror of [[embeddingHealth]]. */
   def embeddingHealthSql(maxNorm: Double = 1e8): String =
     s"""WITH $baseSql,

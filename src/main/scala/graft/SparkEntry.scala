@@ -462,6 +462,10 @@ object SparkEntry {
     // rerun-stable, and duplicate texts land in the same split (no
     // train/test leakage through copies). Narrow map.
     "q_doc_split" -> { (s, dir) => Curation.assignSplit(Tables.documents(s, dir)) },
+    // Split-balance audit: per (lang, split) observed-vs-expected
+    // permille in exact integers — the QA catching a low-volume language
+    // with a skewed or empty eval slice. Bounded output, broadcast totals.
+    "q_doc_splitbal" -> { (s, dir) => Curation.splitBalance(Tables.documents(s, dir)) },
     // Cross-split leakage audit — split + decontamination COMPOSED: train
     // docs sharing any trigram with the test split. Exact copies can't
     // leak (same hash → same split); this catches near-dup leakage.
@@ -2940,6 +2944,7 @@ object SparkEntry {
          |       ELSE 'test' END AS split
          |FROM (SELECT doc_id, lang, (${Dedup.hashSql("text")}) % 1000 AS bucket
          |      FROM documents) t""".stripMargin,
+    "q_doc_splitbal" -> Curation.splitBalanceSql(),
     "q_doc_qhist" ->
       s"""WITH ${TextAnalysis.qualityRatiosSql()},
          |q AS (

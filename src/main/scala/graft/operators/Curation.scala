@@ -367,6 +367,55 @@ object Curation {
         .otherwise("test").as("split"))
   }
 
+  /** Split-balance audit — the QA read-out AFTER [[assignSplit]]: a
+    * content-hash split is only asymptotically proportional, so a
+    * low-volume language can silently land a skewed (or empty) eval
+    * slice. Per (lang, split): doc count, the language total, observed
+    * permille (exact integer division — no float proportions), the
+    * expected permille from the split parameters, and the signed
+    * deviation. A |dev_permille| beyond a few permille on a big language
+    * — or a missing val/test row on a small one — is the alarm.
+    *
+    * Scale: rides the split's narrow map, ONE grouped count down to
+    * ≤ |langs|·3 rows; the per-lang totals re-aggregate those rows (no
+    * second corpus pass) and broadcast back.
+    */
+  def splitBalance(docs: DataFrame, trainPermille: Int = 980,
+      valPermille: Int = 10): DataFrame = {
+    val counts = assignSplit(docs, trainPermille, valPermille)
+      .groupBy(col("lang"), col("split")).agg(count(lit(1)).as("n_docs"))
+    val totals = counts.groupBy(col("lang")).agg(sum(col("n_docs")).as("lang_total"))
+    counts.join(broadcast(totals), "lang")
+      .select(col("lang"), col("split"), col("n_docs"), col("lang_total"),
+        expr("n_docs * 1000 div lang_total").as("obs_permille"),
+        when(col("split") === "train", trainPermille.toLong)
+          .when(col("split") === "val", valPermille.toLong)
+          .otherwise((1000 - trainPermille - valPermille).toLong).as("exp_permille"))
+      .withColumn("dev_permille", col("obs_permille") - col("exp_permille"))
+  }
+
+  /** DuckDB mirror of [[splitBalance]] over table `src`. */
+  def splitBalanceSql(trainPermille: Int = 980, valPermille: Int = 10,
+      src: String = "documents"): String =
+    s"""WITH sp AS (
+       |  SELECT lang,
+       |    CASE WHEN bucket < $trainPermille THEN 'train'
+       |         WHEN bucket < ${trainPermille + valPermille} THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM (SELECT lang, (${Dedup.hashSql("text")}) % 1000 AS bucket FROM $src) t),
+       |c AS (SELECT lang, split, COUNT(*) AS n_docs FROM sp GROUP BY lang, split),
+       |tot AS (SELECT lang, CAST(SUM(n_docs) AS BIGINT) AS lang_total FROM c GROUP BY lang)
+       |SELECT c.lang, split, n_docs, lang_total,
+       |  n_docs * 1000 // lang_total AS obs_permille,
+       |  CAST(CASE WHEN split = 'train' THEN $trainPermille
+       |       WHEN split = 'val' THEN $valPermille
+       |       ELSE ${1000 - trainPermille - valPermille} END AS BIGINT) AS exp_permille,
+       |  n_docs * 1000 // lang_total
+       |    - CASE WHEN split = 'train' THEN $trainPermille
+       |           WHEN split = 'val' THEN $valPermille
+       |           ELSE ${1000 - trainPermille - valPermille} END AS dev_permille
+       |FROM c JOIN tot ON c.lang = tot.lang""".stripMargin
+
   /** Per-language quality histogram (fixed-width bins over [0,1]): the
     * distribution a curation audit reads before choosing gate thresholds.
     * bin = ⌊quality·nBins⌋ clamped into [0, nBins-1] (quality = 1.0 lands

@@ -427,6 +427,29 @@ class CurationSpec extends SparkSpec {
     assert(nKept < nAll && nKept >= (nAll * 0.85).toLong)
   }
 
+  test("split balance: counts reconcile with assignSplit, permille arithmetic exact, rows bounded") {
+    val bal = Curation.splitBalance(docs).collect()
+    val splits = Curation.assignSplit(docs)
+      .groupBy($"lang", $"split").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(bal.nonEmpty && bal.length <= splits.keys.map(_._1).toSet.size * 3,
+      "output bounded by |langs|·3")
+    for (r <- bal) {
+      val (lang, split) = (r.getString(0), r.getString(1))
+      val (n, tot) = (r.getLong(2), r.getLong(3))
+      assert(n === splits((lang, split)), s"count drift for ($lang,$split)")
+      assert(r.getLong(4) === n * 1000L / tot, "observed permille must be exact integer div")
+      val exp = split match { case "train" => 980L; case "val" => 10L; case _ => 10L }
+      assert(r.getLong(5) === exp && r.getLong(6) === r.getLong(4) - exp)
+    }
+    // per-lang totals really are the lang's doc count
+    val langTotals = bal.groupBy(_.getString(0)).map { case (l, rs) =>
+      l -> rs.map(_.getLong(2)).sum
+    }
+    for (r <- bal)
+      assert(r.getLong(3) === langTotals(r.getString(0)), "lang_total must reconcile")
+  }
+
   test("source drift: hand-computed TVD; identical sources at 0, disjoint vocab at 1") {
     import spark.implicits._
     def drift(rows: (Long, String, String)*): Map[String, Double] =

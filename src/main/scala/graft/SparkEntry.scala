@@ -979,6 +979,12 @@ object SparkEntry {
     "q_doc_sbackoff" -> { (s, dir) =>
       TextAnalysis.stupidBackoff(Tables.documents(s, dir))
     },
+    // CCNet-style LM bucketing: held-out docs → head/middle/tail by
+    // per-lang terciles of the Stupid-Backoff score (two-pass exact
+    // percentile + broadcast thresholds — no corpus-scale lang window).
+    "q_doc_ppbucket" -> { (s, dir) =>
+      TextAnalysis.perplexityBuckets(Tables.documents(s, dir))
+    },
 
     // Gopher top-2-gram repetition signal: share of each doc's bigram
     // occurrences (and chars) covered by its most frequent bigram — two
@@ -1740,6 +1746,47 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
+  /** Shared DuckDB mirror of TextAnalysis.stupidBackoff - used verbatim
+    * by q_doc_sbackoff and as the scoring CTE of q_doc_ppbucket.
+    */
+  private lazy val SbackoffOracleSql: String =
+    s"""WITH tk AS (SELECT doc_id, ${Dedup.toksSql} AS toks FROM documents),
+         |bgs AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(range(1, len(toks)), i ->
+         |      {'w1': toks[i], 'w2': toks[i+1], 'bg': toks[i] || ' ' || toks[i+1]}),
+         |      recursive := true)
+         |  FROM tk),
+         |tr AS (SELECT * FROM tk WHERE doc_id % 2 = 0),
+         |uni AS (
+         |  SELECT w, COUNT(*) AS cw
+         |  FROM (SELECT unnest(toks) AS w FROM tr) GROUP BY w),
+         |bc AS (
+         |  SELECT bg, COUNT(*) AS cb
+         |  FROM (SELECT unnest(list_transform(range(1, len(toks)), i ->
+         |          toks[i] || ' ' || toks[i+1])) AS bg FROM tr)
+         |  GROUP BY bg),
+         |nt AS (SELECT COUNT(*) AS n FROM (SELECT unnest(toks) FROM tr)),
+         |sc AS (
+         |  SELECT g.doc_id, bc.cb IS NULL AS backoff,
+         |    CASE WHEN bc.cb IS NOT NULL
+         |      THEN length(bin(bc.cb)) - length(bin(u1.cw))
+         |      ELSE length(bin(COALESCE(u2.cw, 1) * 2)) - length(bin(nt.n * 5))
+         |    END AS s
+         |  FROM bgs g
+         |  LEFT JOIN bc ON g.bg = bc.bg
+         |  LEFT JOIN uni u1 ON g.w1 = u1.w
+         |  LEFT JOIN uni u2 ON g.w2 = u2.w
+         |  CROSS JOIN nt)
+         |SELECT doc_id, COUNT(*) AS n_bigrams,
+         |  count(CASE WHEN backoff THEN 1 END) AS n_backoff,
+         |  CAST(SUM(s) AS BIGINT) AS total_sb,
+         |  CAST(count(CASE WHEN backoff THEN 1 END) AS DOUBLE)
+         |    / CAST(COUNT(*) AS DOUBLE) AS backoff_frac,
+         |  CAST(CAST(SUM(s) AS BIGINT) AS DOUBLE)
+         |    / CAST(COUNT(*) AS DOUBLE) AS mean_sb
+         |FROM sc GROUP BY doc_id""".stripMargin
+
   lazy val oracleSql: Map[String, String] = Map(
     "ref_pipeline" ->
       s"""${RefOrders.processedSql}
@@ -3165,43 +3212,23 @@ object SparkEntry {
          |FROM bg JOIN uni u1 ON bg.w1 = u1.w JOIN uni u2 ON bg.w2 = u2.w
          |CROSS JOIN nt
          |ORDER BY pmi_ratio DESC, w1, w2 LIMIT 25""".stripMargin,
-    "q_doc_sbackoff" ->
-      s"""WITH tk AS (SELECT doc_id, ${Dedup.toksSql} AS toks FROM documents),
-         |bgs AS (
-         |  SELECT doc_id,
-         |    unnest(list_transform(range(1, len(toks)), i ->
-         |      {'w1': toks[i], 'w2': toks[i+1], 'bg': toks[i] || ' ' || toks[i+1]}),
-         |      recursive := true)
-         |  FROM tk),
-         |tr AS (SELECT * FROM tk WHERE doc_id % 2 = 0),
-         |uni AS (
-         |  SELECT w, COUNT(*) AS cw
-         |  FROM (SELECT unnest(toks) AS w FROM tr) GROUP BY w),
-         |bc AS (
-         |  SELECT bg, COUNT(*) AS cb
-         |  FROM (SELECT unnest(list_transform(range(1, len(toks)), i ->
-         |          toks[i] || ' ' || toks[i+1])) AS bg FROM tr)
-         |  GROUP BY bg),
-         |nt AS (SELECT COUNT(*) AS n FROM (SELECT unnest(toks) FROM tr)),
-         |sc AS (
-         |  SELECT g.doc_id, bc.cb IS NULL AS backoff,
-         |    CASE WHEN bc.cb IS NOT NULL
-         |      THEN length(bin(bc.cb)) - length(bin(u1.cw))
-         |      ELSE length(bin(COALESCE(u2.cw, 1) * 2)) - length(bin(nt.n * 5))
-         |    END AS s
-         |  FROM bgs g
-         |  LEFT JOIN bc ON g.bg = bc.bg
-         |  LEFT JOIN uni u1 ON g.w1 = u1.w
-         |  LEFT JOIN uni u2 ON g.w2 = u2.w
-         |  CROSS JOIN nt)
-         |SELECT doc_id, COUNT(*) AS n_bigrams,
-         |  count(CASE WHEN backoff THEN 1 END) AS n_backoff,
-         |  CAST(SUM(s) AS BIGINT) AS total_sb,
-         |  CAST(count(CASE WHEN backoff THEN 1 END) AS DOUBLE)
-         |    / CAST(COUNT(*) AS DOUBLE) AS backoff_frac,
-         |  CAST(CAST(SUM(s) AS BIGINT) AS DOUBLE)
-         |    / CAST(COUNT(*) AS DOUBLE) AS mean_sb
-         |FROM sc GROUP BY doc_id""".stripMargin,
+    "q_doc_sbackoff" -> SbackoffOracleSql,
+    "q_doc_ppbucket" ->
+      s"""WITH sb AS ($SbackoffOracleSql),
+         |ho AS (
+         |  SELECT sb.doc_id, d.lang, sb.mean_sb
+         |  FROM sb JOIN documents d ON sb.doc_id = d.doc_id
+         |  WHERE sb.doc_id % 2 = 1),
+         |th AS (
+         |  SELECT lang, quantile_cont(mean_sb, ${1.0 / 3}) AS t1,
+         |    quantile_cont(mean_sb, ${2.0 / 3}) AS t2
+         |  FROM ho GROUP BY lang)
+         |SELECT doc_id, ho.lang, mean_sb,
+         |  CASE WHEN mean_sb >= t2 THEN 'head'
+         |       WHEN mean_sb >= t1 THEN 'middle'
+         |       ELSE 'tail' END AS bucket,
+         |  t1, t2
+         |FROM ho JOIN th ON ho.lang = th.lang""".stripMargin,
     "q_doc_dsir" ->
       s"""WITH tok AS (
          |  SELECT doc_id, lang, unnest(toks) AS w

@@ -655,6 +655,35 @@ object TextAnalysis {
           .as("mean_sb"))
   }
 
+  /** CCNet-style LM bucketing (Wenzek et al., LREC'20): held-out docs
+    * split into head/middle/tail by per-language TERCILES of their
+    * [[stupidBackoff]] score — the standard perplexity-based curation
+    * move (train on head, sample middle, drop or inspect tail). Score is
+    * a mean log-prob, so HIGHER = more model-like = head; terciles are
+    * computed per language because LM scores aren't comparable across
+    * languages (the same argument as the quality CDF calibration).
+    *
+    * Two-pass gate shape, same as the quality filter: exact `percentile`
+    * per language (partial state = value→count map; swap in
+    * `percentile_approx` at extreme scale), thresholds broadcast back —
+    * no window over corpus-scale language partitions, which would be the
+    * skew bomb here. Lang rides a shuffle-hash id join (corpus side
+    * never broadcast).
+    */
+  def perplexityBuckets(docs: DataFrame): DataFrame = {
+    val heldOut = stupidBackoff(docs).filter(col("doc_id") % 2 === 1)
+      .join(docs.select(col("doc_id"), col("lang")).hint("shuffle_hash"), "doc_id")
+    val th = heldOut.groupBy(col("lang"))
+      .agg(percentile(col("mean_sb"), lit(1.0 / 3)).as("t1"),
+        percentile(col("mean_sb"), lit(2.0 / 3)).as("t2"))
+    heldOut.join(broadcast(th), "lang")
+      .select(col("doc_id"), col("lang"), col("mean_sb"),
+        when(col("mean_sb") >= col("t2"), "head")
+          .when(col("mean_sb") >= col("t1"), "middle")
+          .otherwise("tail").as("bucket"),
+        col("t1"), col("t2"))
+  }
+
   /** DSIR-style importance weight (Xie et al., NeurIPS'23 "Data Selection
     * for Language Models via Importance Resampling"): score each doc by
     * how much more likely its tokens are under the TARGET domain's

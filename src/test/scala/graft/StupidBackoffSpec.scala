@@ -37,6 +37,34 @@ class StupidBackoffSpec extends SparkSpec {
     assert(got(2L)._2 === 0L && got(4L)._2 === 0L)
   }
 
+  test("perplexity buckets: held-out only, tercile invariants hold, no lang window in the plan") {
+    import graft.operators.TextAnalysis
+    import graft.sources.Tables
+    val df = TextAnalysis.perplexityBuckets(Tables.documents(spark, Sf))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"terciles must be two-pass, not a lang window:\n$plan")
+    assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastHashJoin"),
+      "the |langs|-row threshold table must broadcast")
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.forall(_.getLong(0) % 2 == 1), "held-out docs only")
+    for (r <- rows) {
+      val (sb, bucket, t1, t2) = (r.getDouble(2), r.getString(3), r.getDouble(4), r.getDouble(5))
+      assert(t1 <= t2, s"tercile order: $r")
+      bucket match {
+        case "head"   => assert(sb >= t2)
+        case "middle" => assert(sb >= t1 && sb < t2)
+        case "tail"   => assert(sb < t1)
+      }
+    }
+    // every language with >= 3 held-out docs populates all three buckets
+    val byLang = rows.groupBy(_.getString(1))
+    for ((lang, rs) <- byLang if rs.length >= 3) {
+      val buckets = rs.map(_.getString(3)).toSet
+      assert(buckets === Set("head", "middle", "tail"),
+        s"$lang (${rs.length} docs) buckets: $buckets")
+    }
+  }
+
   test("backoff_frac separates held-out novelty from in-distribution text") {
     val train = (0 to 10).map(i => (i * 2).toLong -> "the cat sat on the mat")
     val inDist = 1L -> "the cat sat on the mat"

@@ -788,6 +788,17 @@ object SparkEntry {
     // Embedding-store ingest: near-dup removal → IVF cell assignment.
     "q_emb_e2e" -> { (s, dir) => Similarity.embIngest(Tables.embeddings(s, dir)) },
 
+    // Contrastive training-triple factory: dedup clusters supply
+    // (anchor=keeper, positive=member) pairs; hard negatives are the k
+    // nearest OTHER-cluster vectors — the anchor's whole cluster is
+    // excluded (a near-dup offered as a negative poisons the loss).
+    // Rides the memoized cluster stage shared with the dedup family.
+    "q_pipeline_pairs" -> { (s, dir) =>
+      Similarity.contrastiveTriples(
+        Dedup.clustersFor(Dedup.corpus(Tables.documents(s, dir)), dir),
+        Tables.embeddings(s, dir))
+    },
+
     // ---- Deduplication (documents + planted dups; SURVEY §2 extensions) -
     "q_dedup_exact" -> { (s, dir) =>
       Dedup.exactDuplicates(Dedup.corpus(Tables.documents(s, dir)))
@@ -2497,6 +2508,14 @@ object SparkEntry {
          |${Dedup.bandsSql},
          |${Dedup.closureSql}
          |SELECT id AS doc_id, cluster, (id = cluster) AS is_keeper FROM comp""".stripMargin,
+    "q_pipeline_pairs" ->
+      s"""WITH RECURSIVE ${Dedup.corpusSql},
+         |${Dedup.tokSql},
+         |${Dedup.sigSql},
+         |${Dedup.bandsSql},
+         |${Dedup.closureSql},
+         |${Similarity.baseSql},
+         |${Similarity.contrastiveTriplesSql()}""".stripMargin,
     "q_doc_simhash" ->
       s"""WITH ${Dedup.corpusSql},
          |${Dedup.simhashSql}

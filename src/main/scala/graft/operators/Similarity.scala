@@ -752,6 +752,73 @@ object Similarity {
         when(col("second_cos") > 0, col("best_cos") / col("second_cos")).as("margin"))
   }
 
+  /** Contrastive training-triple factory — the composition a
+    * metric-learning pipeline actually ships: (anchor, positive,
+    * negative) rows where anchors are near-dup CLUSTER KEEPERS,
+    * positives their cluster members (genuine same-content pairs, free
+    * labels from dedup), and negatives the k nearest OTHER-cluster
+    * vectors by cosine ([[hardNegatives]]' near-miss discipline).
+    *
+    * The load-bearing subtlety: negatives exclude the anchor's WHOLE
+    * cluster, not just the anchor — a near-duplicate of the anchor
+    * offered as a negative is a false negative that poisons the loss.
+    * Singleton docs (absent from the cluster table) count as their own
+    * cluster via coalesce.
+    *
+    * Scale: anchors are bounded by cluster count; the anchor table
+    * broadcasts over the corpus (explicit, k-row-ish side), cluster
+    * membership rides a shuffle-hash left join, ranking is the house
+    * (cos desc, vec_id) window on anchor_id. At billion scale the brute
+    * candidate enumeration swaps for the IVF/PQ candidate stages —
+    * same contract as [[knnBrute]] vs [[knnIvf]].
+    */
+  def contrastiveTriples(clusters: DataFrame, e: DataFrame, k: Int = 3): DataFrame = {
+    val base = withEmb(e).select(col("vec_id"), col("emb"), l2norm(col("emb")).as("nrm"))
+    val pos = clusters.filter(col("doc_id") =!= col("cluster"))
+      .select(col("cluster").as("anchor_id"), col("doc_id").as("pos_id"))
+    val q = pos.select(col("anchor_id")).distinct()
+      .join(base, col("vec_id") === col("anchor_id"))
+      .select(col("anchor_id"), col("emb").as("qemb"), col("nrm").as("qnrm"))
+    val clMap = clusters.select(col("doc_id").as("vec_id"), col("cluster"))
+    val w = Window.partitionBy(col("anchor_id")).orderBy(col("cos").desc, col("vec_id"))
+    val neg = base
+      .crossJoin(broadcast(q))
+      .join(clMap.hint("shuffle_hash"), Seq("vec_id"), "left")
+      .filter(coalesce(col("cluster"), col("vec_id")) =!= col("anchor_id"))
+      .withColumn("cos", cosineWithNorms(dot(col("qemb"), col("emb")), col("qnrm"), col("nrm")))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("anchor_id"), col("vec_id").as("neg_id"),
+        col("cos").as("neg_cos"), col("rn").as("neg_rank"))
+    pos.join(neg, "anchor_id")
+      .select(col("anchor_id"), col("pos_id"), col("neg_id"),
+        col("neg_cos"), col("neg_rank"))
+  }
+
+  /** DuckDB mirror of [[contrastiveTriples]] — expects the dedup
+    * closure CTEs (ending in `comp`) and [[baseSql]] in scope.
+    */
+  def contrastiveTriplesSql(k: Int = 3): String =
+    s"""pos AS (SELECT cluster AS anchor_id, id AS pos_id FROM comp WHERE id <> cluster),
+       |q AS (
+       |  SELECT anchor_id, emb AS qemb, nrm AS qnrm
+       |  FROM (SELECT DISTINCT anchor_id FROM pos) a
+       |  JOIN base ON vec_id = anchor_id),
+       |ncand AS (
+       |  SELECT q.anchor_id, b.vec_id,
+       |    ${dotSql("qemb", "b.emb")} / (qnrm * b.nrm) AS cos
+       |  FROM base b CROSS JOIN q
+       |  LEFT JOIN comp c2 ON c2.id = b.vec_id
+       |  WHERE COALESCE(c2.cluster, b.vec_id) <> q.anchor_id),
+       |neg AS (
+       |  SELECT anchor_id, vec_id AS neg_id, cos AS neg_cos, rn AS neg_rank FROM (
+       |    SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY anchor_id
+       |      ORDER BY cos DESC, vec_id) AS BIGINT) AS rn
+       |    FROM ncand) t
+       |  WHERE rn <= $k)
+       |SELECT anchor_id, pos_id, neg_id, neg_cos, neg_rank
+       |FROM pos JOIN neg USING (anchor_id)""".stripMargin
+
   /** DuckDB mirror of [[bitextMine]]. */
   def bitextMineSql(pivotLang: String = "en", queryMod: Int = 50): String =
     s"""WITH $baseSql,

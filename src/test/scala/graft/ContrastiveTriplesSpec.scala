@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+
+/** contrastiveTriples on a constructed cluster + embedding geometry: the
+  * anchor's whole cluster is excluded from negatives (the false-negative
+  * trap), singletons count as their own cluster, ranks are deterministic,
+  * and every (positive × negative) combination appears.
+  */
+class ContrastiveTriplesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("negatives exclude the anchor's whole cluster; triples are pos × neg") {
+    // cluster 1 = {1, 101, 102}; vectors: 2 is very close to anchor 1
+    // (the would-be false negative if only the anchor were excluded is
+    // 101/102 — but those have no vectors; doc 2's closeness makes it
+    // the top TRUE negative), 3 orthogonal-ish, 4 far
+    val clusters = Seq((1L, 1L, true), (101L, 1L, false), (102L, 1L, false))
+      .toDF("doc_id", "cluster", "is_keeper")
+    val emb = Seq(
+      (1L, Seq(1f, 0f), 0),
+      (2L, Seq(0.95f, 0.3f), 0),
+      (3L, Seq(0.1f, 1f), 0),
+      (4L, Seq(-1f, 0.1f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.contrastiveTriples(clusters, emb, k = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4)))
+    // anchors: cluster 1 only; positives 101, 102; negatives top-2 of
+    // {2, 3, 4} (anchor 1 itself excluded via its own cluster row)
+    assert(out.length === 4, s"2 positives x 2 negatives: ${out.toSeq}")
+    assert(out.forall(_._1 == 1L))
+    assert(out.map(_._2).toSet === Set(101L, 102L))
+    val negByRank = out.map(t => t._4 -> t._3).toMap
+    assert(negByRank === Map(1L -> 2L, 2L -> 3L),
+      s"rank 1 must be the nearest other-cluster vector: ${out.toSeq}")
+    assert(!out.exists(_._3 == 1L), "the anchor itself must never be a negative")
+  }
+
+  test("a cluster member WITH a vector is excluded from negatives") {
+    // doc 2 is in the anchor's cluster AND has the closest vector — it
+    // must not appear as a negative
+    val clusters = Seq((1L, 1L, true), (2L, 1L, false))
+      .toDF("doc_id", "cluster", "is_keeper")
+    val emb = Seq(
+      (1L, Seq(1f, 0f), 0),
+      (2L, Seq(0.99f, 0.1f), 0), // near-dup with a vector: the trap
+      (3L, Seq(0.2f, 1f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.contrastiveTriples(clusters, emb, k = 2).collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    assert(out.nonEmpty && out.forall(_._2 == 3L),
+      s"the in-cluster near-dup must never be a negative: ${out.toSeq}")
+  }
+
+  test("plan: anchor table broadcasts; cluster membership joins shuffle-hash") {
+    val plan = SparkEntry.queries("q_pipeline_pairs")(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"bounded anchor side must broadcast:\n$plan")
+  }
+}

@@ -779,6 +779,14 @@ object SparkEntry {
     "q_emb_bitext" -> { (s, dir) =>
       Similarity.bitextMine(Tables.embeddings(s, dir), Tables.documents(s, dir))
     },
+    // IVF cell-balance audit: per-cell count, exact permille share, and
+    // imbalance factor n·k/total — the index-health read-out (fat cells
+    // cost every probing query; empty cells waste probe slots). Rides
+    // the memoized centroid table shared with kmeans/topics/stale.
+    "q_emb_cellbal" -> { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+      Similarity.cellBalance(e, Similarity.kmeansFitMemo(e, dir, "all"))
+    },
     // Embedding-corpus health audit: per-label non-finite / zero /
     // extreme-norm counts, dim range, healthy-subset mean norm — the QA
     // gate before any ANN index build. One narrow pass, O(1) agg state.
@@ -989,6 +997,12 @@ object SparkEntry {
     // held-out novelty signal.
     "q_doc_sbackoff" -> { (s, dir) =>
       TextAnalysis.stupidBackoff(Tables.documents(s, dir))
+    },
+    // Vocabulary coverage curve: share of token mass covered by the
+    // top-k types, per k — the tokenizer-sizing read-out. Vocab-bounded
+    // counts, TakeOrderedAndProject top-k, |ks|-row output.
+    "q_doc_vocabcov" -> { (s, dir) =>
+      TextAnalysis.vocabCoverage(Tables.documents(s, dir))
     },
     // CCNet-style LM bucketing: held-out docs → head/middle/tail by
     // per-lang terciles of the Stupid-Backoff score (two-pass exact
@@ -2474,6 +2488,9 @@ object SparkEntry {
         |      FROM embeddings) t
         |GROUP BY label, dim""".stripMargin,
     "q_emb_kmeans" -> Similarity.kmeansSql(),
+    "q_emb_cellbal" ->
+      s"""WITH ${Similarity.kmeansCtes()},
+         |${Similarity.cellBalanceSql}""".stripMargin,
     "q_emb_health" -> Similarity.embeddingHealthSql(),
     "q_emb_bitext" -> Similarity.bitextMineSql(),
     "q_emb_topics" ->
@@ -3231,6 +3248,7 @@ object SparkEntry {
          |FROM bg JOIN uni u1 ON bg.w1 = u1.w JOIN uni u2 ON bg.w2 = u2.w
          |CROSS JOIN nt
          |ORDER BY pmi_ratio DESC, w1, w2 LIMIT 25""".stripMargin,
+    "q_doc_vocabcov" -> TextAnalysis.vocabCoverageSql(),
     "q_doc_sbackoff" -> SbackoffOracleSql,
     "q_doc_ppbucket" ->
       s"""WITH sb AS ($SbackoffOracleSql),

@@ -617,6 +617,41 @@ object Similarity {
         (col("n_docs").cast("double") / col("nt").cast("double")).as("share"))
   }
 
+  /** IVF cell-balance audit — the other index-health read-out next to
+    * [[indexStaleness]]: per cell, the vector count, its exact permille
+    * share, and the imbalance factor n·k/total (1.0 = perfectly
+    * balanced; FAISS folk wisdom flags cells past ~3–4×). A fat cell
+    * makes every query probing it pay that cell's scan cost — nprobe
+    * bounds WHERE a query looks, balance bounds what looking COSTS — and
+    * an empty cell wastes a probe slot. Both are invisible in recall
+    * numbers until the p99 latency shows them.
+    *
+    * Exactness: integer counts, permille by integer division, imbalance
+    * as one double division. Scale: rides the memoized centroid table's
+    * narrow broadcast assignment + ONE grouped count; totals are a 1-row
+    * broadcast. Output = k rows.
+    */
+  def cellBalance(e: DataFrame, cents: DataFrame): DataFrame = {
+    val asg = kmeansAssign(e, cents).select(col("cell"))
+    val counts = asg.groupBy(col("cell")).agg(count(lit(1)).as("n_vecs"))
+    val tot = counts.agg(sum(col("n_vecs")).as("total"),
+      count(lit(1)).cast("long").as("k_cells"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("cell"), col("n_vecs"),
+        expr("n_vecs * 1000 div total").as("share_permille"),
+        ((col("n_vecs") * col("k_cells")).cast("double") / col("total").cast("double"))
+          .as("imbalance"))
+  }
+
+  /** DuckDB mirror of [[cellBalance]] — expects [[kmeansCtes]]' `afin`. */
+  val cellBalanceSql: String =
+    """counts AS (SELECT cell, COUNT(*) AS n_vecs FROM afin GROUP BY cell),
+      |tot AS (SELECT CAST(SUM(n_vecs) AS BIGINT) AS total,
+      |  CAST(COUNT(*) AS BIGINT) AS k_cells FROM counts)
+      |SELECT cell, n_vecs, n_vecs * 1000 // total AS share_permille,
+      |  CAST(n_vecs * k_cells AS DOUBLE) / CAST(total AS DOUBLE) AS imbalance
+      |FROM counts CROSS JOIN tot""".stripMargin
+
   /** IVF index-staleness audit — the maintenance read-out that decides
     * when a frozen coarse quantizer needs retraining: centroids are
     * trained on the even-id HALF of the corpus (the index-build

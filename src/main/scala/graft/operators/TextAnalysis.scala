@@ -655,6 +655,58 @@ object TextAnalysis {
           .as("mean_sb"))
   }
 
+  /** Vocabulary coverage curve — the tokenizer-sizing read-out: what
+    * share of ALL token occurrences the top-k most frequent types cover,
+    * for each k. The curve's knee is where growing the vocabulary stops
+    * paying; the gap to 1.0 at the chosen k is the OOV mass a
+    * fixed-vocab tokenizer will shatter into fallback pieces.
+    *
+    * Exactness: covered/total are integer sums; coverage is one double
+    * division. Deterministic (count desc, token) ranking.
+    *
+    * Scale: token counts are a vocabulary-bounded grouped agg; the
+    * top-kmax table comes from orderBy+limit (TakeOrderedAndProject —
+    * per-partition heaps, no global sort of a web-scale vocabulary),
+    * the rank window then runs on ≤ kmax rows, and the k-thresholds
+    * join is a ≤ |ks|·kmax-row broadcast nested loop. Output = |ks| rows.
+    */
+  def vocabCoverage(docs: DataFrame, ks: Seq[Int] = Seq(10, 100, 1000)): DataFrame = {
+    require(ks.nonEmpty, "vocabCoverage needs at least one k")
+    val counts = docs.select(explode(tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("total_tokens"),
+      count(lit(1)).cast("long").as("n_vocab"))
+    val w = Window.orderBy(col("n").desc, col("w"))
+    val ranked = counts.orderBy(col("n").desc, col("w")).limit(ks.max)
+      .withColumn("rank", row_number().over(w).cast("long"))
+    val session = docs.sparkSession
+    import session.implicits._
+    val kTable = ks.map(_.toLong).toDF("k")
+    broadcast(kTable).join(ranked, col("rank") <= col("k"))
+      .groupBy(col("k")).agg(sum(col("n")).as("covered"))
+      .crossJoin(broadcast(total))
+      .select(col("k"), col("covered"), col("total_tokens"), col("n_vocab"),
+        (col("covered").cast("double") / col("total_tokens").cast("double")).as("coverage"))
+  }
+
+  /** DuckDB mirror of [[vocabCoverage]] over table `src`. */
+  def vocabCoverageSql(ks: Seq[Int] = Seq(10, 100, 1000),
+      src: String = "documents"): String =
+    s"""WITH counts AS (
+       |  SELECT w, COUNT(*) AS n
+       |  FROM (SELECT unnest(${Dedup.toksSql}) AS w FROM $src) t
+       |  GROUP BY w),
+       |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total_tokens,
+       |  CAST(COUNT(*) AS BIGINT) AS n_vocab FROM counts),
+       |ranked AS (
+       |  SELECT n, CAST(ROW_NUMBER() OVER (ORDER BY n DESC, w) AS BIGINT) AS rank
+       |  FROM counts QUALIFY rank <= ${ks.max}),
+       |ks AS (SELECT CAST(unnest([${ks.mkString(", ")}]) AS BIGINT) AS k)
+       |SELECT k, CAST(SUM(n) AS BIGINT) AS covered, total_tokens, n_vocab,
+       |  CAST(SUM(n) AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS coverage
+       |FROM ks JOIN ranked ON rank <= k CROSS JOIN tot
+       |GROUP BY k, total_tokens, n_vocab""".stripMargin
+
   /** CCNet-style LM bucketing (Wenzek et al., LREC'20): held-out docs
     * split into head/middle/tail by per-language TERCILES of their
     * [[stupidBackoff]] score — the standard perplexity-based curation

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Similarity, TextAnalysis}
+import graft.sources.Tables
+
+/** Invariants for the index/corpus audit read-outs: vocabulary coverage
+  * and IVF cell balance.
+  */
+class AuditOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("vocab coverage: hand-computed fixture, monotone in k, exact integers") {
+    // counts: a=4, b=3, c=2, d=1 → total 10
+    val docs = Seq(
+      (1L, "a a b c", "en", "s", 7L),
+      (2L, "a b c d", "en", "s", 7L),
+      (3L, "a b", "en", "s", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextAnalysis.vocabCoverage(docs, ks = Seq(1, 2, 3))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out(1L) === ((4L, 10L, 4L, 0.4)))
+    assert(out(2L) === ((7L, 10L, 4L, 0.7)))
+    assert(out(3L) === ((9L, 10L, 4L, 0.9)))
+  }
+
+  test("vocab coverage on the corpus: monotone, bounded by 1, vocab consistent") {
+    val rows = TextAnalysis.vocabCoverage(Tables.documents(spark, Sf))
+      .orderBy($"k").collect()
+    val covs = rows.map(_.getDouble(4))
+    assert(covs.zip(covs.tail).forall { case (a, b) => a <= b }, "monotone in k")
+    assert(covs.forall(c => c > 0 && c <= 1.0))
+    assert(rows.map(_.getLong(3)).distinct.length === 1, "one vocab size")
+  }
+
+  test("cell balance: shares reconcile, mean imbalance is exactly 1") {
+    val e = Tables.embeddings(spark, Sf)
+    val rows = Similarity.cellBalance(e, Similarity.kmeansFitMemo(e, Sf, "all"))
+      .collect()
+    val total = rows.map(_.getLong(1)).sum
+    assert(total === e.count(), "every vector lands in exactly one cell")
+    for (r <- rows) {
+      assert(r.getLong(2) === r.getLong(1) * 1000L / total, "exact permille")
+      assert(r.getDouble(3) === r.getLong(1).toDouble * rows.length / total)
+    }
+    val meanImb = rows.map(_.getDouble(3)).sum / rows.length
+    assert(math.abs(meanImb - 1.0) < 1e-9, s"mean imbalance must be 1: $meanImb")
+  }
+}

@@ -309,6 +309,86 @@ object StatefulOps {
     }
   }
 
+  case class FunnelState(viewMs: Long, clickMs: Long, done: Boolean, maxTsMs: Long)
+  case class Conversion(user_id: Long, first_view: Timestamp,
+    first_click: Timestamp, first_purchase: Timestamp)
+
+  /** Streaming conversion funnel — the CEP twin of the batch q_ev_funnel
+    * stage machine: a user CONVERTS at the first purchase strictly after
+    * their first qualifying click, which is the first click strictly
+    * after their first view. One Conversion row emits at the purchase
+    * instant — exactly the row the batch query shows with
+    * `converted = true`, timestamps identical on an in-order feed
+    * (spec-pinned). Pre-view clicks and pre-click purchases never count,
+    * and a user converts at most once.
+    *
+    * State is three longs + a flag per ACTIVE user, purged by the same
+    * re-anchored event-time timer as the EWMA port. Cross-batch late
+    * events fold at their true position WITHIN the current stage
+    * prefix (batch-sorted by (ts, event_id)); a late event that would
+    * retroactively re-qualify an earlier stage is the standard
+    * append-mode approximation (same contract as [[transitions]]).
+    */
+  def funnelConversions(spark: SparkSession, events: Dataset[KeyedEvent],
+      watermarkDelay: String = "1 hour",
+      ttlMs: Long = 7L * 86400000L): Dataset[Conversion] = {
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .transformWithState(new FunnelProcessor(ttlMs), TimeMode.EventTime, OutputMode.Append)
+  }
+
+  private class FunnelProcessor(ttlMs: Long)
+      extends StatefulProcessor[Long, KeyedEvent, Conversion] {
+    @transient private var state: ValueState[FunnelState] = _
+    @transient private var expiry: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      state = getHandle.getValueState[FunnelState](
+        "funnel", Encoders.product[FunnelState], TTLConfig.NONE)
+      expiry = getHandle.getValueState[Long](
+        "expiry", Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(user: Long, rows: Iterator[KeyedEvent],
+        tv: TimerValues): Iterator[Conversion] = {
+      val evs = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      var s = if (state.exists()) state.get()
+        else FunnelState(-1L, -1L, done = false, Long.MinValue)
+      val out = Seq.newBuilder[Conversion]
+      for (e <- evs) {
+        val t = e.ts.getTime
+        s = e.event_type match {
+          case "view" if s.viewMs < 0 =>
+            s.copy(viewMs = t, maxTsMs = math.max(s.maxTsMs, t))
+          case "click" if s.viewMs >= 0 && t > s.viewMs && s.clickMs < 0 =>
+            s.copy(clickMs = t, maxTsMs = math.max(s.maxTsMs, t))
+          case "purchase" if s.clickMs >= 0 && t > s.clickMs && !s.done =>
+            out += Conversion(user, new Timestamp(s.viewMs),
+              new Timestamp(s.clickMs), new Timestamp(t))
+            s.copy(done = true, maxTsMs = math.max(s.maxTsMs, t))
+          case _ => s.copy(maxTsMs = math.max(s.maxTsMs, t))
+        }
+      }
+      state.update(s)
+      val newExpiry = math.max(s.maxTsMs + ttlMs, tv.getCurrentWatermarkInMs + 1)
+      if (expiry.exists() && expiry.get() != newExpiry)
+        getHandle.deleteTimer(expiry.get())
+      getHandle.registerTimer(newExpiry)
+      expiry.update(newExpiry)
+      out.result().iterator
+    }
+
+    override def handleExpiredTimer(user: Long, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[Conversion] = {
+      if (expiry.exists() && expiry.get() == info.getExpiryTimeInMs) {
+        state.clear(); expiry.clear()
+      }
+      Iterator.empty
+    }
+  }
+
   /** Per-user running (count, sum, max) with an anomaly flag when a single
     * event exceeds `flagFactor` × the user's running mean. Emits one update
     * per input event; a key's state expires once the watermark passes

@@ -242,6 +242,67 @@ class StatefulOpsSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState funnel: cross-batch stages, batch parity, single conversion") {
+    import StatefulOps.{KeyedEvent, Conversion}
+    import org.apache.spark.sql.functions._
+    implicit val ctx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // u1 converts across three batches; u2's click PRECEDES its view
+      // (never converts); u3 purchases before any click (never converts);
+      // u4 converts twice-worth of events but emits ONCE
+      val batches = Seq(
+        Seq(
+          KeyedEvent(ts("2024-01-01 10:00:00"), 1L, 1L, "view"),
+          KeyedEvent(ts("2024-01-01 09:00:00"), 2L, 2L, "click"),
+          KeyedEvent(ts("2024-01-01 10:00:00"), 3L, 2L, "view"),
+          KeyedEvent(ts("2024-01-01 09:30:00"), 4L, 3L, "view"),
+          KeyedEvent(ts("2024-01-01 09:45:00"), 5L, 3L, "purchase")),
+        Seq(
+          KeyedEvent(ts("2024-01-01 11:00:00"), 6L, 1L, "click"),
+          KeyedEvent(ts("2024-01-01 08:00:00"), 7L, 4L, "view"),
+          KeyedEvent(ts("2024-01-01 08:30:00"), 8L, 4L, "click")),
+        Seq(
+          KeyedEvent(ts("2024-01-01 12:00:00"), 9L, 1L, "purchase"),
+          KeyedEvent(ts("2024-01-01 09:00:00"), 10L, 4L, "purchase"),
+          KeyedEvent(ts("2024-01-01 09:30:00"), 11L, 4L, "purchase"))) // second: ignored
+      val ms = MemoryStream[KeyedEvent]
+      val q = StatefulOps.funnelConversions(spark, ms.toDS(), watermarkDelay = "1 day")
+        .writeStream.format("memory").queryName("conv").outputMode("append").start()
+      batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+      q.stop()
+      val got = spark.table("conv").as[Conversion].collect()
+        .map(c => c.user_id -> ((c.first_view.getTime, c.first_click.getTime,
+          c.first_purchase.getTime))).toMap
+      assert(got.keySet === Set(1L, 4L),
+        s"only stage-ordered users convert, exactly once: $got")
+      assert(got(1L) === ((ts("2024-01-01 10:00:00").getTime,
+        ts("2024-01-01 11:00:00").getTime, ts("2024-01-01 12:00:00").getTime)))
+      assert(got(4L)._3 === ts("2024-01-01 09:00:00").getTime,
+        "first qualifying purchase wins; the second never re-emits")
+      assert(spark.table("conv").count() === 2, "exactly one row per converting user")
+      // batch parity: the q_ev_funnel stage machine over the same events
+      val ev = batches.flatten.toDF().select($"user_id", $"ts", $"event_type")
+      val v = ev.filter($"event_type" === "view").groupBy($"user_id")
+        .agg(min($"ts").as("fv"))
+      val c = ev.filter($"event_type" === "click").join(v, "user_id")
+        .filter($"ts" > $"fv").groupBy($"user_id").agg(min($"ts").as("fc"))
+      val p = ev.filter($"event_type" === "purchase")
+        .join(c.join(v, "user_id"), "user_id")
+        .filter($"ts" > $"fc").groupBy($"user_id")
+        .agg(min($"ts").as("fp"), first($"fv").as("fv"), first($"fc").as("fc"))
+      val want = p.collect().map(r => r.getLong(0) ->
+        ((r.getTimestamp(2).getTime, r.getTimestamp(3).getTime,
+          r.getTimestamp(1).getTime))).toMap
+      assert(got === want, s"stream conversions must equal the batch machine\n$got\n$want")
+    } finally {
+      old match { case Some(v) => spark.conf.set(key, v); case None => spark.conf.unset(key) }
+    }
+  }
+
   test("streaming LSH near-dup: collisions bridge micro-batches and match batch candidates") {
     import graft.streaming.DocStream
     import DocStream.{StreamDoc, Collision}

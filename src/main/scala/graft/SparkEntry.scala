@@ -353,6 +353,10 @@ object SparkEntry {
     },
     "q_doc_quality" -> { (s, dir) => TextAnalysis.quality(Tables.documents(s, dir)) },
     "q_doc_langid" -> { (s, dir) => TextAnalysis.langId(Tables.documents(s, dir)) },
+    // Language confusion matrix: per (declared, predicted) counts + exact
+    // per-row permille — the aggregate mislabeling signal the per-doc
+    // matches_label flag can't surface. ≤ |langs|² rows.
+    "q_doc_langconf" -> { (s, dir) => TextAnalysis.langConfusion(Tables.documents(s, dir)) },
     "q_doc_tfidf" -> { (s, dir) => TextAnalysis.tfidfTop(Tables.documents(s, dir)) },
     // Conjunctive term search (inverted-index probe): docs containing ALL
     // three terms, scored by total term frequency. The term filter rides
@@ -3090,6 +3094,30 @@ object SparkEntry {
         |        WHEN s_fr >= s_es THEN 'fr'
         |        ELSE 'es' END) = lang AS matches_label
         |FROM sc""".stripMargin,
+    "q_doc_langconf" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(regexp_split_to_array(trim(lower(text)), '[ \t\n\f\r]+'), x -> length(x) > 0) AS toks
+        |  FROM documents),
+        |sc AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(list_filter(toks, x -> x='the' OR x='a' OR x='of')) AS BIGINT) AS s_en,
+        |    CAST(len(list_filter(toks, x -> x='der' OR x='die' OR x='und')) AS BIGINT) AS s_de,
+        |    CAST(len(list_filter(toks, x -> x='le' OR x='la' OR x='et')) AS BIGINT) AS s_fr,
+        |    CAST(len(list_filter(toks, x -> x='el' OR x='los' OR x='y')) AS BIGINT) AS s_es
+        |  FROM t),
+        |pr AS (
+        |  SELECT lang,
+        |    CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+        |         WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+        |         WHEN s_fr >= s_es THEN 'fr'
+        |         ELSE 'es' END AS pred_lang
+        |  FROM sc),
+        |m AS (SELECT lang, pred_lang, COUNT(*) AS n_docs FROM pr GROUP BY lang, pred_lang),
+        |tot AS (SELECT lang, CAST(SUM(n_docs) AS BIGINT) AS lang_total FROM m GROUP BY lang)
+        |SELECT m.lang, pred_lang, n_docs, lang_total,
+        |  n_docs * 1000 // lang_total AS row_permille
+        |FROM m JOIN tot ON m.lang = tot.lang""".stripMargin,
     "q_ev_tumbling" ->
       """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ets, event_type, value FROM events)
         |SELECT strftime(to_timestamp(CAST(floor(epoch(ets)/3600) AS BIGINT)*3600), '%Y-%m-%d %H:%M:%S.%f') AS w_start,

@@ -857,6 +857,26 @@ object TextAnalysis {
     * arg-max. (On the driver's synthetic corpus this exercises the
     * operator shape; the heuristic itself is standard stopword LID.)
     */
+  /** Language confusion matrix — the label-QA composition over [[langId]]:
+    * per (declared, predicted) language, document counts and the exact
+    * per-declared-language permille. The off-diagonal rows ARE the
+    * mislabeled-corpus signal (a crawl whose 'de' slice predicts 'en' at
+    * 200‰ has a labeling problem the per-doc matches_label flag won't
+    * surface in aggregate). Output ≤ |langs|² rows; declared lang rides a
+    * shuffle-hash id join; row totals re-aggregate the bounded matrix and
+    * broadcast back.
+    */
+  def langConfusion(docs: DataFrame): DataFrame = {
+    val li = langId(docs).select(col("doc_id"), col("pred_lang"))
+    val m = li
+      .join(docs.select(col("doc_id"), col("lang")).hint("shuffle_hash"), "doc_id")
+      .groupBy(col("lang"), col("pred_lang")).agg(count(lit(1)).as("n_docs"))
+    val tot = m.groupBy(col("lang")).agg(sum(col("n_docs")).as("lang_total"))
+    m.join(broadcast(tot), "lang")
+      .select(col("lang"), col("pred_lang"), col("n_docs"), col("lang_total"),
+        expr("n_docs * 1000 div lang_total").as("row_permille"))
+  }
+
   def langId(docs: DataFrame): DataFrame = {
     val scores: Seq[(String, Column)] =
       LangMarkers.map { case (l, words) => l -> vocabCount(col("toks"), words) }

@@ -34,6 +34,32 @@ class AuditOpsSpec extends SparkSpec {
     assert(rows.map(_.getLong(3)).distinct.length === 1, "one vocab size")
   }
 
+  test("lang confusion: planted mislabels land off-diagonal with exact permille") {
+    val docs = Seq(
+      (1L, "the king of a castle", "en", "s", 20L),
+      (2L, "the queen of a palace", "en", "s", 21L),
+      (3L, "der hund und die katze", "en", "s", 22L), // mislabeled: German text
+      (4L, "der baum und die blume", "de", "s", 22L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextAnalysis.langConfusion(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(out(("en", "en")) === ((2L, 3L, 666L)))
+    assert(out(("en", "de")) === ((1L, 3L, 333L)), "the mislabel must land off-diagonal")
+    assert(out(("de", "de")) === ((1L, 1L, 1000L)))
+    assert(out.size === 3)
+  }
+
+  test("lang confusion reconciles with langId's matches_label on the corpus") {
+    val docs = Tables.documents(spark, Sf)
+    val diag = TextAnalysis.langConfusion(docs)
+      .filter($"lang" === $"pred_lang")
+      .agg(sum($"n_docs")).collect().head.getLong(0)
+    val matches = TextAnalysis.langId(docs)
+      .filter($"matches_label").count()
+    assert(diag === matches, "diagonal mass must equal the per-doc match count")
+  }
+
   test("cell balance: shares reconcile, mean imbalance is exactly 1") {
     val e = Tables.embeddings(spark, Sf)
     val rows = Similarity.cellBalance(e, Similarity.kmeansFitMemo(e, Sf, "all"))

@@ -470,6 +470,11 @@ object SparkEntry {
     // permille in exact integers — the QA catching a low-volume language
     // with a skewed or empty eval slice. Bounded output, broadcast totals.
     "q_doc_splitbal" -> { (s, dir) => Curation.splitBalance(Tables.documents(s, dir)) },
+    // Quality–length Pearson r per lang: exact integer sufficient
+    // statistics (quantized score), double combination with an identical
+    // operand tree both engines — the "is my quality score just length?"
+    // signal QA.
+    "q_doc_qcorr" -> { (s, dir) => Curation.qualityLengthCorr(Tables.documents(s, dir)) },
     // Cross-split leakage audit — split + decontamination COMPOSED: train
     // docs sharing any trigram with the test split. Exact copies can't
     // leak (same hash → same split); this catches near-dup leakage.
@@ -3032,6 +3037,7 @@ object SparkEntry {
          |FROM (SELECT doc_id, lang, (${Dedup.hashSql("text")}) % 1000 AS bucket
          |      FROM documents) t""".stripMargin,
     "q_doc_splitbal" -> Curation.splitBalanceSql(),
+    "q_doc_qcorr" -> Curation.qualityLengthCorrSql,
     "q_doc_qhist" ->
       s"""WITH ${TextAnalysis.qualityRatiosSql()},
          |q AS (

@@ -416,6 +416,70 @@ object Curation {
        |           ELSE ${1000 - trainPermille - valPermille} END AS dev_permille
        |FROM c JOIN tot ON c.lang = tot.lang""".stripMargin
 
+  /** Quality–length Pearson correlation per language — the signal-QA
+    * read-out before trusting a quality gate: a score that merely proxies
+    * document LENGTH (|r| near 1) would make every length-based stage
+    * downstream redundant and bias the kept set. CCNet/Gopher-style
+    * pipelines check exactly this before tuning thresholds.
+    *
+    * Cross-engine exactness without DECIMAL gymnastics: quality is
+    * quantized to fixed-point BIGINT (round(q·2^20) — r is
+    * scale-invariant, so r of the quantized variable is the reported
+    * statistic), all six sufficient statistics are EXACT integer sums
+    * (order-free under shuffle reduce), and the r formula then runs in
+    * doubles with the same operand tree both engines — integer→double
+    * casts and IEEE ops are deterministic and identical. At 100 TB,
+    * promote the sums to DECIMAL(38,0) (the collocations note).
+    * Zero-variance groups yield null, not a division error.
+    */
+  def qualityLengthCorr(docs: DataFrame): DataFrame = {
+    val q = graft.expressions.PushdownBarrier.barrieredFilter(
+      TextAnalysis.quality(docs, passthrough = Seq("lang", "n_chars")),
+      col("quality").isNotNull)
+    val v = q.select(col("lang"),
+      round(col("quality") * 1048576.0).cast("long").as("qx"),
+      col("n_chars").cast("long").as("y"))
+    val agg = v.groupBy(col("lang")).agg(
+      count(lit(1)).as("n"),
+      sum(col("qx")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("qx") * col("y")).as("sxy"),
+      sum(col("qx") * col("qx")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    val num = agg("n").cast("double") * agg("sxy").cast("double") -
+      agg("sx").cast("double") * agg("sy").cast("double")
+    val vx = agg("n").cast("double") * agg("sxx").cast("double") -
+      agg("sx").cast("double") * agg("sx").cast("double")
+    val vy = agg("n").cast("double") * agg("syy").cast("double") -
+      agg("sy").cast("double") * agg("sy").cast("double")
+    agg.select(col("lang"), col("n"),
+      when(vx > 0 && vy > 0, num / (sqrt(vx) * sqrt(vy))).as("r_quality_len"))
+  }
+
+  /** DuckDB mirror of [[qualityLengthCorr]]. */
+  def qualityLengthCorrSql: String =
+    s"""WITH ${TextAnalysis.qualityRatiosSql()},
+       |q AS (
+       |  SELECT d.lang, CAST(d.n_chars AS BIGINT) AS y,
+       |    ${TextAnalysis.qualityScoreSql} AS quality
+       |  FROM rq JOIN documents d ON rq.doc_id = d.doc_id
+       |  WHERE ${TextAnalysis.qualityScoreSql} IS NOT NULL),
+       |v AS (SELECT lang, CAST(ROUND(quality * 1048576.0) AS BIGINT) AS qx, y FROM q),
+       |s AS (
+       |  SELECT lang, COUNT(*) AS n,
+       |    CAST(SUM(qx) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+       |    CAST(SUM(qx * y) AS BIGINT) AS sxy,
+       |    CAST(SUM(qx * qx) AS BIGINT) AS sxx,
+       |    CAST(SUM(y * y) AS BIGINT) AS syy
+       |  FROM v GROUP BY lang)
+       |SELECT lang, n,
+       |  CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+       |        AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+       |  THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       |    / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+       |      * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+       |  END AS r_quality_len
+       |FROM s""".stripMargin
+
   /** Per-language quality histogram (fixed-width bins over [0,1]): the
     * distribution a curation audit reads before choosing gate thresholds.
     * bin = ⌊quality·nBins⌋ clamped into [0, nBins-1] (quality = 1.0 lands

@@ -60,6 +60,35 @@ class AuditOpsSpec extends SparkSpec {
     assert(diag === matches, "diagonal mass must equal the per-doc match count")
   }
 
+  test("quality-length correlation: planted perfect/anti/zero correlations recovered") {
+    import graft.operators.Curation
+    // lang p: quality rises with length (few stopwords in long docs);
+    // these docs are crafted so quality is monotone with n_chars
+    def doc(id: Long, lang: String, text: String, n: Long) = (id, text, lang, "s", n)
+    val docs = Seq(
+      // same text => same quality; vary n_chars only => r undefined in x? no:
+      // qx constant => zero variance => null
+      doc(1L, "z", "alpha beta gamma", 10L),
+      doc(2L, "z", "alpha beta gamma", 20L),
+      doc(3L, "z", "alpha beta gamma", 30L),
+      // lang c: constant length, varying quality => zero length variance => null
+      doc(4L, "c", "the the the the", 10L),
+      doc(5L, "c", "alpha beta gamma delta", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Curation.qualityLengthCorr(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("z").isNullAt(2), "constant quality must yield null r, not a crash")
+    assert(out("c").isNullAt(2), "constant length must yield null r, not a crash")
+    // a genuinely correlated pair: quality differs, length differs in step
+    val docs2 = Seq(
+      doc(1L, "p", "alpha beta gamma delta", 40L),  // high quality, long
+      doc(2L, "p", "the the of of", 10L),           // low quality (stopwords), short
+      doc(3L, "p", "alpha the gamma of", 25L))      // middle on both
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = Curation.qualityLengthCorr(docs2).collect().head.getDouble(2)
+    assert(r > 0.9, s"planted positive correlation must be recovered: $r")
+  }
+
   test("cell balance: shares reconcile, mean imbalance is exactly 1") {
     val e = Tables.embeddings(spark, Sf)
     val rows = Similarity.cellBalance(e, Similarity.kmeansFitMemo(e, Sf, "all"))

@@ -3,7 +3,7 @@ package graft.streaming
 import java.sql.Timestamp
 
 import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
-import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, MapState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Custom keyed state via flatMapGroupsWithState — the extension point for
   * stream logic that windows/dedup can't express (per-key running
@@ -306,6 +306,74 @@ object StatefulOps {
         state.clear(); expiry.clear()
         Iterator.single(emit(user, s))
       } else Iterator.empty
+    }
+  }
+
+  case class TypeCount(user_id: Long, event_type: String, n: Long)
+
+  /** Per-user event-type counters on `transformWithState` MAP STATE —
+    * the state-variable shape the other ports don't exercise, and the
+    * reason the README migration verdict says `lshCollisions` would
+    * eventually move: a point update touches ONE map entry
+    * (`updateValue(type, n+1)`) instead of rewriting a whole packed
+    * value, which is what makes high-fan-in per-key state cheap in the
+    * RocksDB store (each map entry is its own store key). Emits the
+    * updated (user, type, count) rows each batch — the streaming twin of
+    * q_ev_features' conditional counts, one row per touched type rather
+    * than one wide row per user.
+    *
+    * State is O(|types| seen) per active user, purged whole by the same
+    * re-anchored event-time timer as the other ports.
+    */
+  def typeCountsTws(spark: SparkSession, events: Dataset[KeyedEvent],
+      watermarkDelay: String = "1 hour",
+      ttlMs: Long = 7L * 86400000L): Dataset[TypeCount] = {
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .transformWithState(new TypeCountProcessor(ttlMs), TimeMode.EventTime, OutputMode.Append)
+  }
+
+  private class TypeCountProcessor(ttlMs: Long)
+      extends StatefulProcessor[Long, KeyedEvent, TypeCount] {
+    @transient private var counts: MapState[String, Long] = _
+    @transient private var meta: ValueState[Long] = _   // key's max event ts
+    @transient private var expiry: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      counts = getHandle.getMapState[String, Long](
+        "counts", Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+      meta = getHandle.getValueState[Long]("maxts", Encoders.scalaLong, TTLConfig.NONE)
+      expiry = getHandle.getValueState[Long]("expiry", Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(user: Long, rows: Iterator[KeyedEvent],
+        tv: TimerValues): Iterator[TypeCount] = {
+      var maxTs = if (meta.exists()) meta.get() else Long.MinValue
+      val touched = scala.collection.mutable.LinkedHashSet.empty[String]
+      for (e <- rows) {
+        val cur = if (counts.containsKey(e.event_type)) counts.getValue(e.event_type) else 0L
+        counts.updateValue(e.event_type, cur + 1L)   // ONE entry touched
+        touched += e.event_type
+        maxTs = math.max(maxTs, e.ts.getTime)
+      }
+      meta.update(maxTs)
+      val newExpiry = math.max(maxTs + ttlMs, tv.getCurrentWatermarkInMs + 1)
+      if (expiry.exists() && expiry.get() != newExpiry)
+        getHandle.deleteTimer(expiry.get())
+      getHandle.registerTimer(newExpiry)
+      expiry.update(newExpiry)
+      touched.iterator.map(t => TypeCount(user, t, counts.getValue(t)))
+        .toSeq.iterator
+    }
+
+    override def handleExpiredTimer(user: Long, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[TypeCount] = {
+      if (expiry.exists() && expiry.get() == info.getExpiryTimeInMs) {
+        counts.clear(); meta.clear(); expiry.clear()
+      }
+      Iterator.empty
     }
   }
 

@@ -303,6 +303,45 @@ class StatefulOpsSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState MapState: per-type counters accumulate across batches, purge whole") {
+    import StatefulOps.{KeyedEvent, TypeCount}
+    implicit val ctx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[KeyedEvent]
+      val q = StatefulOps.typeCountsTws(spark, ms.toDS(), watermarkDelay = "1 hour",
+          ttlMs = 86400000L)
+        .writeStream.format("memory").queryName("tcounts").outputMode("append").start()
+      ms.addData(Seq(
+        KeyedEvent(ts("2024-01-01 10:00:00"), 1L, 1L, "click"),
+        KeyedEvent(ts("2024-01-01 10:01:00"), 2L, 1L, "click"),
+        KeyedEvent(ts("2024-01-01 10:02:00"), 3L, 1L, "view")))
+      q.processAllAvailable()
+      ms.addData(Seq( // cross-batch: click count continues from map state
+        KeyedEvent(ts("2024-01-01 11:00:00"), 4L, 1L, "click")))
+      q.processAllAvailable()
+      // idle > ttl: timer purges the whole map; the next click restarts at 1
+      ms.addData(Seq(KeyedEvent(ts("2024-01-05 00:00:00"), 5L, 2L, "view")))
+      q.processAllAvailable()
+      ms.addData(Seq(KeyedEvent(ts("2024-01-05 01:00:00"), 6L, 1L, "click")))
+      q.processAllAvailable(); q.stop()
+      val rows = spark.table("tcounts").as[TypeCount].collect()
+      val u1clicks = rows.filter(r => r.user_id == 1L && r.event_type == "click")
+        .map(_.n).sorted.toSeq
+      assert(u1clicks === Seq(1L, 2L, 3L),
+        s"batch1 emits 2, batch2 emits 3, post-purge restarts at 1: $u1clicks")
+      assert(rows.exists(r => r.user_id == 1L && r.event_type == "view" && r.n == 1L))
+      // one row per TOUCHED type per batch, not per map entry: batch 2
+      // touched only click — no duplicate view row beyond batch 1's
+      assert(rows.count(r => r.user_id == 1L && r.event_type == "view") === 1)
+    } finally {
+      old match { case Some(v) => spark.conf.set(key, v); case None => spark.conf.unset(key) }
+    }
+  }
+
   test("streaming LSH near-dup: collisions bridge micro-batches and match batch candidates") {
     import graft.streaming.DocStream
     import DocStream.{StreamDoc, Collision}

@@ -774,7 +774,9 @@ object Similarity {
         col("emb").as("qemb"), col("nrm").as("qnrm"))
     val tgt = withLang.filter(col("lang") === pivotLang)
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
-    q.join(tgt)
+    // bounded query side broadcasts explicitly — without it the stats-blind
+    // pair join compiles to a non-broadcast CartesianProduct (PlanSweepSpec)
+    tgt.crossJoin(broadcast(q))
       .withColumn("cos", cosineWithNorms(dot(col("qemb"), col("emb")), col("qnrm"), col("nrm")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 2)

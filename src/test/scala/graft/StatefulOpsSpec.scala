@@ -342,6 +342,41 @@ class StatefulOpsSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState state survives a checkpointed query restart") {
+    import StatefulOps.{KeyedEvent, TypeCount}
+    implicit val ctx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-tws-ckpt").toString
+      val outDir = java.nio.file.Files.createTempDirectory("graft-tws-out").toString
+      val ms = MemoryStream[KeyedEvent]
+      // memory sink can't recover from a checkpoint — use the file sink
+      val build = () => StatefulOps.typeCountsTws(spark, ms.toDS(),
+          watermarkDelay = "1 hour")
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt)
+      val q1 = build().outputMode("append").start()
+      ms.addData(Seq(
+        KeyedEvent(ts("2024-01-01 10:00:00"), 1L, 1L, "click"),
+        KeyedEvent(ts("2024-01-01 10:01:00"), 2L, 1L, "click")))
+      q1.processAllAvailable(); q1.stop()
+      // restart from the checkpoint: the RocksDB state (click → 2) must
+      // be recovered, so the next click emits 3, not 1
+      val q2 = build().outputMode("append").start()
+      ms.addData(Seq(KeyedEvent(ts("2024-01-01 11:00:00"), 3L, 1L, "click")))
+      q2.processAllAvailable(); q2.stop()
+      val counts = spark.read.parquet(outDir).as[TypeCount].collect()
+        .filter(r => r.user_id == 1L && r.event_type == "click").map(_.n).sorted.toSeq
+      assert(counts === Seq(2L, 3L),
+        s"restarted query must continue from checkpointed state: $counts")
+    } finally {
+      old match { case Some(v) => spark.conf.set(key, v); case None => spark.conf.unset(key) }
+    }
+  }
+
   test("streaming LSH near-dup: collisions bridge micro-batches and match batch candidates") {
     import graft.streaming.DocStream
     import DocStream.{StreamDoc, Collision}

@@ -2499,7 +2499,7 @@ object SparkEntry {
     "q_emb_kmeans" -> Similarity.kmeansSql(),
     "q_emb_cellbal" ->
       s"""WITH ${Similarity.kmeansCtes()},
-         |${Similarity.cellBalanceSql}""".stripMargin,
+         |${Similarity.cellBalanceSql()}""".stripMargin,
     "q_emb_health" -> Similarity.embeddingHealthSql(),
     "q_emb_bitext" -> Similarity.bitextMineSql(),
     "q_emb_topics" ->

@@ -632,25 +632,38 @@ object Similarity {
     * broadcast. Output = k rows.
     */
   def cellBalance(e: DataFrame, cents: DataFrame): DataFrame = {
-    val asg = kmeansAssign(e, cents).select(col("cell"))
-    val counts = asg.groupBy(col("cell")).agg(count(lit(1)).as("n_vecs"))
-    val tot = counts.agg(sum(col("n_vecs")).as("total"),
+    val counts = kmeansAssign(e, cents).groupBy(col("cell")).agg(count(lit(1)).as("n"))
+    // LEFT join from the centroid table: a cell no vector lands in must
+    // still appear with n_vecs = 0 — the wasted-probe-slot signal is the
+    // point of the audit (both sides ≤ k rows)
+    val perCell = cents.select(col("cell"))
+      .join(broadcast(counts), Seq("cell"), "left")
+      .select(col("cell"), coalesce(col("n"), lit(0L)).as("n_vecs"))
+    val tot = perCell.agg(sum(col("n_vecs")).as("total"),
       count(lit(1)).cast("long").as("k_cells"))
-    counts.crossJoin(broadcast(tot))
+    perCell.crossJoin(broadcast(tot))
       .select(col("cell"), col("n_vecs"),
-        expr("n_vecs * 1000 div total").as("share_permille"),
-        ((col("n_vecs") * col("k_cells")).cast("double") / col("total").cast("double"))
+        when(col("total") > 0, expr("n_vecs * 1000 div total")).as("share_permille"),
+        when(col("total") > 0,
+          (col("n_vecs") * col("k_cells")).cast("double") / col("total").cast("double"))
           .as("imbalance"))
   }
 
-  /** DuckDB mirror of [[cellBalance]] — expects [[kmeansCtes]]' `afin`. */
-  val cellBalanceSql: String =
-    """counts AS (SELECT cell, COUNT(*) AS n_vecs FROM afin GROUP BY cell),
-      |tot AS (SELECT CAST(SUM(n_vecs) AS BIGINT) AS total,
-      |  CAST(COUNT(*) AS BIGINT) AS k_cells FROM counts)
-      |SELECT cell, n_vecs, n_vecs * 1000 // total AS share_permille,
-      |  CAST(n_vecs * k_cells AS DOUBLE) / CAST(total AS DOUBLE) AS imbalance
-      |FROM counts CROSS JOIN tot""".stripMargin
+  /** DuckDB mirror of [[cellBalance]] — expects [[kmeansCtes]]' `afin`
+    * plus its final centroid CTE (`c2` at the default two iterations).
+    */
+  def cellBalanceSql(centsCte: String = "c2"): String =
+    s"""counts AS (SELECT cell, COUNT(*) AS n FROM afin GROUP BY cell),
+       |pc AS (
+       |  SELECT c.cell, CAST(COALESCE(n, 0) AS BIGINT) AS n_vecs
+       |  FROM $centsCte c LEFT JOIN counts USING (cell)),
+       |tot AS (SELECT CAST(SUM(n_vecs) AS BIGINT) AS total,
+       |  CAST(COUNT(*) AS BIGINT) AS k_cells FROM pc)
+       |SELECT cell, n_vecs,
+       |  CASE WHEN total > 0 THEN n_vecs * 1000 // total END AS share_permille,
+       |  CASE WHEN total > 0 THEN
+       |    CAST(n_vecs * k_cells AS DOUBLE) / CAST(total AS DOUBLE) END AS imbalance
+       |FROM pc CROSS JOIN tot""".stripMargin
 
   /** IVF index-staleness audit — the maintenance read-out that decides
     * when a frozen coarse quantizer needs retraining: centroids are

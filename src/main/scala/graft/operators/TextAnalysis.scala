@@ -285,8 +285,8 @@ object TextAnalysis {
        |SELECT doc_id, COUNT(*) AS n_terms,
        |  CAST(SUM(CAST(FLOOR(
        |    (n_docs - df + 0.5) / (df + 0.5) *
-       |      (tf * ${k1 + 1} /
-       |        (tf + $k1 * (${1 - b} + $b * dl / (CAST(sumdl AS DOUBLE) / CAST(n_docs AS DOUBLE))))) *
+       |      (tf * CAST(${k1 + 1} AS DOUBLE) /
+       |        (tf + CAST($k1 AS DOUBLE) * (CAST(${1 - b} AS DOUBLE) + CAST($b AS DOUBLE) * dl / (CAST(sumdl AS DOUBLE) / CAST(n_docs AS DOUBLE))))) *
        |      1e9) AS BIGINT)) AS BIGINT) AS score_odds_nanos
        |FROM post JOIN dfx USING (w) CROSS JOIN stats
        |GROUP BY doc_id""".stripMargin

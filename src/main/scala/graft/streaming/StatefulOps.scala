@@ -228,14 +228,19 @@ object StatefulOps {
     * passes lastEvent+gap, which only a timer can do — the capability
     * gap the README migration verdict names).
     *
-    * Semantics: events merge into the open session while ts ≤ last+gap
-    * (batch-sorted by (ts, event_id)); a gap-exceeding event CLOSES the
-    * open session (emitting it) and opens a new one; the timer at
-    * last+gap closes an idle session once the watermark passes. Emitted
-    * windows are [start, last+gap) — exactly `session_window`'s frame,
-    * so closed sessions match the batch query row-for-row on an in-order
-    * feed (spec-pinned). An event arriving after its session closed
-    * starts a fresh session — the standard append-mode approximation.
+    * Semantics: an event merges into the open session iff its [t, t+gap)
+    * window OVERLAPS it — `session_window`'s rule, so a late event more
+    * than gap BEFORE the session start does NOT extend it backwards
+    * (batch would make it a separate session; it emits here as its own
+    * already-closed single-event session). A gap-exceeding future event
+    * CLOSES the open session (emitting it) and opens a new one; the
+    * timer at last+gap closes an idle session once the watermark passes.
+    * Emitted windows are [start, last+gap) — exactly `session_window`'s
+    * frame, so closed sessions match the batch query row-for-row on an
+    * in-order feed (spec-pinned). Residual approximations: an event
+    * arriving after its session closed starts fresh, and several
+    * too-old late events batch would merge into ONE earlier session
+    * emit separately.
     * Values fold as exact integer cents (the batch side's DECIMAL(12,2)
     * discipline), so sums are order-free.
     *
@@ -280,10 +285,22 @@ object StatefulOps {
         val t = e.ts.getTime
         cur = cur match {
           case None => Some(SessionState(t, t, 1L, cents(e.value)))
-          case Some(s) if t <= s.lastMs + gapMs =>
+          // merge iff the event's [t, t+gap) window OVERLAPS the open
+          // session — session_window's rule. The backward bound matters:
+          // a late event more than gap BEFORE the session start belongs
+          // to a SEPARATE earlier session, not this one
+          case Some(s) if t <= s.lastMs + gapMs && t + gapMs > s.startMs =>
             Some(SessionState(math.min(s.startMs, t), math.max(s.lastMs, t),
               s.n + 1, s.sumCents + cents(e.value)))
-          case Some(s) => // gap exceeded: close, open fresh
+          case Some(s) if t + gapMs <= s.startMs =>
+            // too-old late event: emit it as its own already-closed
+            // session [t, t+gap) — the batch answer when it stands alone
+            // (further late events near it would merge in batch; that
+            // residual is this op's documented append-mode approximation)
+            closed += SessionOut(user, new Timestamp(t),
+              new Timestamp(t + gapMs), 1L, cents(e.value) / 100.0)
+            cur
+          case Some(s) => // gap exceeded forward: close, open fresh
             closed += emit(user, s)
             Some(SessionState(t, t, 1L, cents(e.value)))
         }

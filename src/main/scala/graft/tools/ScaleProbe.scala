@@ -101,12 +101,16 @@ object ScaleProbe {
   def ensureData(spark: SparkSession, dir: String, mult: Int): Unit = {
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/documents.parquet"))) {
+    // check BOTH tables: a run killed between the two writes must not
+    // leave the dir permanently half-built
+    def missing(t: String) =
+      !fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$t.parquet/_SUCCESS"))
+    if (missing("documents"))
       synthDocuments(spark, BaseDocs * mult)
         .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    if (missing("embeddings"))
       synthEmbeddings(spark, BaseVecs * mult)
         .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
-    }
   }
 
   private def timeQuery(spark: SparkSession, name: String, dir: String): Double = {
@@ -150,9 +154,15 @@ object ScaleProbe {
     // (the low end is fixed-overhead-dominated, which reads as a
     // flattering sublinear exponent; a cliff shows up as the LAST
     // marginal exponent jumping past ~1.3)
-    val sorted = mults.sorted
+    val sorted = mults.sorted.distinct
+    if (sorted.size < 2) {
+      // single scale: raw timings only — no marginal exponents to compute
+      println(s"""{"metric":"scale_probe","mults":[${sorted.mkString(",")}],"verdict":"SINGLE_SCALE"}""")
+      spark.stop()
+      return
+    }
     val summary = ProbeQueries.map { q =>
-      val marginals = sorted.sliding(2).map { case Seq(a, b) =>
+      val marginals = sorted.sliding(2).collect { case Seq(a, b) =>
         math.log(times(b)(q) / times(a)(q)) / math.log(b.toDouble / a)
       }.toSeq
       (q, sorted.map(m => times(m)(q)), marginals)

@@ -89,6 +89,24 @@ class AuditOpsSpec extends SparkSpec {
     assert(r > 0.9, s"planted positive correlation must be recovered: $r")
   }
 
+  test("cell balance: a cell no vector lands in still appears with n_vecs = 0") {
+    val e = Seq(
+      (1L, Seq(1f, 0f), 0),
+      (2L, Seq(0.9f, 0.1f), 0))
+      .toDF("vec_id", "embedding", "label")
+    // centroid 7 is far from every vector → captures nothing, and the
+    // audit must SHOW that (the wasted probe slot), not drop the row
+    val cents = Seq(
+      (0L, Seq(1.0, 0.0)),
+      (7L, Seq(100.0, 100.0)))
+      .toDF("cell", "cemb")
+    val out = Similarity.cellBalance(e, cents).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out.keySet === Set(0L, 7L), s"empty cell must surface: $out")
+    assert(out(0L) === ((2L, 1000L, 2.0)))
+    assert(out(7L) === ((0L, 0L, 0.0)))
+  }
+
   test("cell balance: shares reconcile, mean imbalance is exactly 1") {
     val e = Tables.embeddings(spark, Sf)
     val rows = Similarity.cellBalance(e, Similarity.kmeansFitMemo(e, Sf, "all"))

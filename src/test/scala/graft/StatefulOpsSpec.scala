@@ -242,6 +242,43 @@ class StatefulOpsSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState sessionizer: a too-old late event never extends the session backwards") {
+    import StatefulOps.{Event, SessionOut}
+    implicit val ctx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[Event]
+      val q = StatefulOps.sessionizeTws(spark, ms.toDS(),
+          gapMs = 4L * 3600000L, watermarkDelay = "1 day")
+        .writeStream.format("memory").queryName("sessions_late").outputMode("append").start()
+      ms.addData(Seq(Event(ts("2024-01-01 12:00:00"), 1L, "click", 1.0)))
+      q.processAllAvailable()
+      // 07:00 is > 4h before the open session's 12:00 start — its window
+      // [07:00, 11:00) does not overlap; session_window would make it a
+      // separate session, and so do we: emitted closed immediately
+      ms.addData(Seq(Event(ts("2024-01-01 07:00:00"), 1L, "view", 2.0)))
+      q.processAllAvailable()
+      // close the open session via the far-future sentinel + extra batch
+      ms.addData(Seq(Event(ts("2024-01-03 00:00:00"), 99L, "click", 0.0)))
+      q.processAllAvailable()
+      ms.addData(Seq(Event(ts("2024-01-03 00:00:01"), 99L, "click", 0.0)))
+      q.processAllAvailable(); q.stop()
+      val got = spark.table("sessions_late").as[SessionOut].collect()
+        .filter(_.user_id == 1L)
+        .map(s => (s.s_start.getTime, s.s_end.getTime, s.n, s.sum_value))
+        .sortBy(_._1).toSeq
+      assert(got === Seq(
+        (ts("2024-01-01 07:00:00").getTime, ts("2024-01-01 11:00:00").getTime, 1L, 2.0),
+        (ts("2024-01-01 12:00:00").getTime, ts("2024-01-01 16:00:00").getTime, 1L, 1.0)),
+        s"batch session_window yields two separate sessions: $got")
+    } finally {
+      old match { case Some(v) => spark.conf.set(key, v); case None => spark.conf.unset(key) }
+    }
+  }
+
   test("transformWithState funnel: cross-batch stages, batch parity, single conversion") {
     import StatefulOps.{KeyedEvent, Conversion}
     import org.apache.spark.sql.functions._

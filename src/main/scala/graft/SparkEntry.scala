@@ -1184,6 +1184,35 @@ object SparkEntry {
     // ride ONE grouped agg with O(1) max_by/min_by state per purchase
     // (tid tie-break — deterministic); one left join back. Nothing
     // all-pairs, nothing windowed over the event stream.
+    // RFM customer segmentation: per customer, recency (days since last
+    // order vs the corpus horizon), frequency, exact-DECIMAL monetary
+    // total, and the 8-way R/F/M segment against per-dimension medians.
+    // ONE grouped agg + a 1-row horizon broadcast + a 1-row threshold
+    // broadcast (two-pass gate discipline — no corpus-wide window;
+    // exact `percentile` swaps for percentile_approx at extreme scale).
+    "q_rfm" -> { (s, dir) =>
+      import s.implicits._
+      val o = Tables.orders(s, dir)
+      val horizon = o.agg(max(to_date($"o_orderdate")).as("dmax"))
+      val per = o.groupBy($"o_custkey")
+        .agg(max(to_date($"o_orderdate")).as("last_order"),
+          count(lit(1)).as("n_orders"),
+          sum(dec2($"o_totalprice")).cast("double").as("spend"))
+        .crossJoin(broadcast(horizon))
+        .select($"o_custkey",
+          datediff($"dmax", $"last_order").cast("long").as("r_days"),
+          $"n_orders", $"spend")
+      val th = per.agg(
+        percentile($"r_days", lit(0.5)).as("r_med"),
+        percentile($"n_orders", lit(0.5)).as("f_med"),
+        percentile($"spend", lit(0.5)).as("m_med"))
+      per.crossJoin(broadcast(th))
+        .select($"o_custkey", $"r_days", $"n_orders", $"spend",
+          concat(
+            when($"r_days" <= $"r_med", "R").otherwise("r"),
+            when($"n_orders" >= $"f_med", "F").otherwise("f"),
+            when($"spend" >= $"m_med", "M").otherwise("m")).as("segment"))
+    },
     // Event-type co-occurrence lift ("users who did X also did Y"): the
     // association-mining read-out over per-user behavior. Presence sets
     // (DISTINCT user,type) self-join on high-cardinality user_id with
@@ -3438,6 +3467,27 @@ object SparkEntry {
         |  strftime(cts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
         |  us_to_conv IS NOT NULL AS converted, us_to_conv
         |FROM c LEFT JOIN conv USING (click_id)""".stripMargin,
+    "q_rfm" ->
+      """WITH per AS (
+        |  SELECT o_custkey, MAX(CAST(o_orderdate AS DATE)) AS last_order,
+        |    COUNT(*) AS n_orders,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS spend
+        |  FROM orders GROUP BY o_custkey),
+        |mx AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS dmax FROM orders),
+        |pr AS (
+        |  SELECT o_custkey, CAST(datediff('day', last_order, dmax) AS BIGINT) AS r_days,
+        |    n_orders, spend
+        |  FROM per CROSS JOIN mx),
+        |th AS (
+        |  SELECT quantile_cont(r_days, 0.5) AS r_med,
+        |    quantile_cont(n_orders, 0.5) AS f_med,
+        |    quantile_cont(spend, 0.5) AS m_med
+        |  FROM pr)
+        |SELECT o_custkey, r_days, n_orders, spend,
+        |  (CASE WHEN r_days <= r_med THEN 'R' ELSE 'r' END ||
+        |   CASE WHEN n_orders >= f_med THEN 'F' ELSE 'f' END ||
+        |   CASE WHEN spend >= m_med THEN 'M' ELSE 'm' END) AS segment
+        |FROM pr CROSS JOIN th""".stripMargin,
     "q_ev_lift" ->
       """WITH ut AS (
         |  SELECT DISTINCT user_id, event_type FROM events

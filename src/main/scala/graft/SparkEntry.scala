@@ -386,6 +386,24 @@ object SparkEntry {
         .select(col("qid"), col("vec_id").as("doc_id"), col("rn").as("rank"))
       Retrieval.rrfFuse(Seq(lexPerQ, vec), kRrf = 60, topK = 10)
     },
+    // Retrieval end-to-end: dedup-clean the corpus FIRST, then build both
+    // retrieval lists (BM25 lexical + cosine kNN) over the clean set and
+    // fuse — the operational rule "dedup before you index" (near-dup
+    // copies otherwise crowd out the top-k and the fused consensus
+    // double-counts them). Rides the memoized cluster stage; list
+    // building and fusion inherit q_doc_rrf's bounded shapes.
+    "q_retrieval_e2e" -> { (s, dir) =>
+      val c = Dedup.corpus(Tables.documents(s, dir))
+      val clean = Dedup.dedupedCorpus(c, Dedup.clustersFor(c, dir))
+      val lex = Retrieval.topNRanked(
+        TextAnalysis.bm25Search(clean, SearchTerms), "score_odds_nanos", "doc_id", 20)
+      val eClean = Tables.embeddings(s, dir)
+        .join(clean.select(col("doc_id").as("vec_id")).hint("shuffle_hash"), "vec_id")
+      val vec = Similarity.knnBrute(eClean, queryMod = 50, k = 20)
+        .select(col("qid"), col("vec_id").as("doc_id"), col("rn").as("rank"))
+      val qids = eClean.filter(col("vec_id") % 50 === 0).select(col("vec_id").as("qid"))
+      Retrieval.rrfFuse(Seq(qids.crossJoin(broadcast(lex)), vec), kRrf = 60, topK = 10)
+    },
     // Cross-source shingle containment matrix (mirror/syndication audit):
     // |sources|² output, one checkpointed per-source shingle set feeding
     // both self-join sides and the denominator.
@@ -2115,6 +2133,41 @@ object SparkEntry {
          |  FROM sc) t
          |WHERE rank <= 10""".stripMargin,
     "q_doc_overlap" -> TextAnalysis.sourceOverlapSql(),
+    "q_retrieval_e2e" ->
+      s"""WITH RECURSIVE ${Dedup.corpusSql},
+         |${Dedup.tokSql},
+         |${Dedup.sigSql},
+         |${Dedup.bandsSql},
+         |${Dedup.closureSql},
+         |${Dedup.cleanSql},
+         |${Similarity.baseSql},
+         |bm AS (${TextAnalysis.bm25SearchSql(SearchTerms, src = "clean")}),
+         |lex AS (
+         |  SELECT doc_id, CAST(ROW_NUMBER() OVER (
+         |    ORDER BY score_odds_nanos DESC, doc_id) AS BIGINT) AS rank
+         |  FROM bm
+         |  QUALIFY rank <= 20),
+         |eb AS (SELECT b.vec_id, b.emb, b.nrm FROM base b JOIN clean c ON c.doc_id = b.vec_id),
+         |q AS (SELECT vec_id AS qid, emb AS qemb, nrm AS qnrm FROM eb WHERE vec_id % 50 = 0),
+         |vec AS (
+         |  SELECT qid, vec_id AS doc_id, rn AS rank FROM (
+         |    SELECT qid, vec_id, CAST(ROW_NUMBER() OVER (PARTITION BY qid
+         |      ORDER BY ${Similarity.dotSql("qemb", "emb")} / (qnrm * nrm) DESC, vec_id) AS BIGINT) AS rn
+         |    FROM q JOIN eb ON vec_id <> qid) t
+         |  WHERE rn <= 20),
+         |lists AS (
+         |  SELECT qid, doc_id, rank FROM q CROSS JOIN lex
+         |  UNION ALL SELECT qid, doc_id, rank FROM vec),
+         |sc AS (
+         |  SELECT qid, doc_id,
+         |    CAST(SUM(1000000000 // (60 + rank)) AS BIGINT) AS rrf_nanos,
+         |    COUNT(*) AS n_lists
+         |  FROM lists GROUP BY qid, doc_id)
+         |SELECT qid, doc_id, rrf_nanos, n_lists, rank FROM (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid
+         |    ORDER BY rrf_nanos DESC, doc_id) AS BIGINT) AS rank
+         |  FROM sc) t
+         |WHERE rank <= 10""".stripMargin,
     "q_doc_tfidf" ->
       """WITH tok AS (
         |  SELECT doc_id,

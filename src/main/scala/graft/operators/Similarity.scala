@@ -60,7 +60,10 @@ object Similarity {
     val base = withEmb(e).select(col("vec_id"), col("emb"), l2norm(col("emb")).as("nrm"))
     val q = base.filter(col("vec_id") % queryMod === 0)
       .select(col("vec_id").as("qid"), col("emb").as("qemb"), col("nrm").as("qnrm"))
-    topK(q.join(base, col("vec_id") =!= col("qid"))
+    // the bounded query side broadcasts EXPLICITLY: on a derived input
+    // (e.g. a dedup-filtered corpus) stats are unknown and the theta
+    // join would otherwise plan a non-broadcast CartesianProduct
+    topK(broadcast(q).join(base, col("vec_id") =!= col("qid"))
       .withColumn("cos", cosineWithNorms(dot(col("qemb"), col("emb")), col("qnrm"), col("nrm"))), k)
   }
 
@@ -87,7 +90,7 @@ object Similarity {
       .select(col("vec_id").as("qid"), col("label").as("qlabel"),
         col("emb").as("qemb"), col("nrm").as("qnrm"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
-    q.join(base, col("label") =!= col("qlabel"))
+    broadcast(q).join(base, col("label") =!= col("qlabel"))
       .withColumn("cos",
         cosineWithNorms(dot(col("qemb"), col("emb")), col("qnrm"), col("nrm")))
       .withColumn("rn", row_number().over(w).cast("long"))

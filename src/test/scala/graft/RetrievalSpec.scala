@@ -48,6 +48,22 @@ class RetrievalSpec extends SparkSpec {
     assert(got === Seq((2L, 1L), (3L, 2L), (5L, 3L)))
   }
 
+  test("retrieval e2e: docs removed by dedup never appear in fused lists or as queries") {
+    import graft.operators.Dedup
+    import graft.sources.Tables
+    val c = Dedup.corpus(Tables.documents(spark, Sf))
+    val removed = Dedup.clustersFor(c, Sf)
+      .filter(!$"is_keeper").select($"doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(removed.nonEmpty, "fixture must actually remove documents")
+    val fused = SparkEntry.queries("q_retrieval_e2e")(spark, Sf).collect()
+    assert(fused.nonEmpty)
+    for (r <- fused) {
+      assert(!removed.contains(r.getLong(0)), s"deduped doc served as query: $r")
+      assert(!removed.contains(r.getLong(1)), s"deduped doc leaked into a list: $r")
+    }
+  }
+
   test("rrf plan: fusion shuffles on (qid, doc_id) only — no corpus-sized side") {
     // the q_doc_rrf instance's plan: the lexical list reaches the fusion
     // as a broadcast (20-row side), never a shuffle of the corpus

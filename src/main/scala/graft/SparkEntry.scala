@@ -657,6 +657,12 @@ object SparkEntry {
 
     // IVF-style ANN: probe the 2 nearest centroid cells, search only them.
     "q_emb_ivf" -> { (s, dir) => Similarity.knnIvf(Tables.embeddings(s, dir)) },
+    // IVF nprobe→recall tuning curve: recall@3 vs brute truth for probe
+    // budgets 1/2/4 from ONE candidate pass (probe ranks nest, so each
+    // budget re-ranks a prefix). |nprobes| output rows.
+    "q_emb_nprobe" -> { (s, dir) =>
+      Similarity.ivfRecallCurve(Tables.embeddings(s, dir))
+    },
 
     // Product-quantization ANN: m-byte codes + ADC table lookups — the
     // vector-COMPRESSION scale path (IVF shards, PQ shrinks).
@@ -825,11 +831,13 @@ object SparkEntry {
 
     // Contrastive training-triple factory: dedup clusters supply
     // (anchor=keeper, positive=member) pairs; hard negatives are the k
-    // nearest OTHER-cluster vectors — the anchor's whole cluster is
-    // excluded (a near-dup offered as a negative poisons the loss).
-    // Rides the memoized cluster stage shared with the dedup family.
+    // nearest OTHER-cluster vectors among the anchor's multi-probe LSH
+    // buckets (per-bucket occupant cap → per-anchor cost CONSTANT; the
+    // 30× scale probe measured the brute variant quadratic). The
+    // anchor's whole cluster is excluded (a near-dup offered as a
+    // negative poisons the loss). Rides the memoized cluster stage.
     "q_pipeline_pairs" -> { (s, dir) =>
-      Similarity.contrastiveTriples(
+      Similarity.contrastiveTriplesAnn(
         Dedup.clustersFor(Dedup.corpus(Tables.documents(s, dir)), dir),
         Tables.embeddings(s, dir))
     },
@@ -2219,6 +2227,58 @@ object SparkEntry {
          |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS BIGINT) AS rn
          |  FROM pairs) t
          |WHERE rn <= 3""".stripMargin,
+    "q_emb_nprobe" ->
+      s"""WITH ${Similarity.baseSql},
+         |cen AS (
+         |  SELECT label AS cell, dim,
+         |    CAST(SUM(CAST(ROUND(CAST(v AS DOUBLE) * 16777216.0) AS BIGINT)) AS DOUBLE)
+         |      / (CAST(COUNT(*) AS DOUBLE) * 16777216.0) AS centroid
+         |  FROM (SELECT label, unnest(embedding) AS v,
+         |          CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim
+         |        FROM embeddings) t
+         |  GROUP BY label, dim),
+         |cemb AS (
+         |  SELECT cell, list(centroid ORDER BY dim) AS cemb FROM cen GROUP BY cell),
+         |cemb2 AS (
+         |  SELECT cell, cemb,
+         |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list_transform(cemb, x -> x * x)), (a, b) -> a + b)) AS cnrm
+         |  FROM cemb),
+         |q AS (SELECT vec_id AS qid, emb AS qemb, nrm AS qnrm FROM base WHERE vec_id % 50 = 0),
+         |probes AS (
+         |  SELECT qid, qemb, qnrm, cell, prn FROM (
+         |    SELECT q.qid, q.qemb, q.qnrm, c.cell,
+         |      CAST(ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+         |        ${Similarity.dotSql("q.qemb", "c.cemb")} / (q.qnrm * c.cnrm) DESC, c.cell) AS BIGINT) AS prn
+         |    FROM q CROSS JOIN cemb2 c) t
+         |  WHERE prn <= 4),
+         |pairs AS (
+         |  SELECT qid, vec_id,
+         |    ${Similarity.dotSql("qemb", "emb")} / (qnrm * nrm) AS cos, prn
+         |  FROM probes JOIN base ON base.label = probes.cell AND base.vec_id <> probes.qid),
+         |np AS (SELECT CAST(unnest([1, 2, 4]) AS BIGINT) AS nprobe),
+         |annall AS (
+         |  SELECT nprobe, qid, vec_id FROM (
+         |    SELECT np.nprobe, p.qid, p.vec_id,
+         |      ROW_NUMBER() OVER (PARTITION BY np.nprobe, p.qid
+         |        ORDER BY p.cos DESC, p.vec_id) AS rn
+         |    FROM np JOIN pairs p ON p.prn <= np.nprobe) t
+         |  WHERE rn <= 3),
+         |truth AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT qid, vec_id, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY
+         |      ${Similarity.dotSql("qemb", "emb")} / (qnrm * nrm) DESC, vec_id) AS rn
+         |    FROM q JOIN base ON vec_id <> qid) t
+         |  WHERE rn <= 3),
+         |tt AS (SELECT COUNT(*) AS n_truth FROM truth),
+         |hits AS (
+         |  SELECT nprobe, COUNT(*) AS n_hit
+         |  FROM annall SEMI JOIN truth USING (qid, vec_id)
+         |  GROUP BY nprobe)
+         |SELECT np.nprobe, n_truth,
+         |  COALESCE(n_hit, CAST(0 AS BIGINT)) AS n_hit,
+         |  CAST(COALESCE(n_hit, 0) AS DOUBLE) / CAST(n_truth AS DOUBLE) AS recall
+         |FROM np LEFT JOIN hits ON np.nprobe = hits.nprobe CROSS JOIN tt""".stripMargin,
     "q_emb_pq" ->
       s"""WITH ${Similarity.baseSql},
          |lab AS (
@@ -2623,7 +2683,7 @@ object SparkEntry {
          |${Dedup.bandsSql},
          |${Dedup.closureSql},
          |${Similarity.baseSql},
-         |${Similarity.contrastiveTriplesSql()}""".stripMargin,
+         |${Similarity.contrastiveTriplesAnnSql()}""".stripMargin,
     "q_doc_simhash" ->
       s"""WITH ${Dedup.corpusSql},
          |${Dedup.simhashSql}

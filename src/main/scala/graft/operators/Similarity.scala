@@ -194,6 +194,56 @@ object Similarity {
       .withColumn("cos", cosineWithNorms(dot(col("qemb"), col("emb")), col("qnrm"), col("nrm"))), k)
   }
 
+  /** IVF nprobe→recall tuning curve — the read-out that picks nprobe:
+    * recall@k of the IVF ANN against brute-force ground truth, for each
+    * probe budget. The curve's knee is the serving configuration
+    * (FAISS-style deployments sweep exactly this before shipping);
+    * q_emb_recall measures ONE point, this measures the trade.
+    *
+    * One candidate pass serves every budget: probes keep their rank
+    * (prn ≤ max(nprobes)), each budget np re-ranks the candidates with
+    * prn ≤ np — no per-np re-probing, because a vector's cell membership
+    * is unique so candidate sets nest by construction. Counts are exact
+    * integers; recall is one division. Output = |nprobes| rows.
+    */
+  def ivfRecallCurve(e: DataFrame, queryMod: Int = 50, k: Int = 3,
+      nprobes: Seq[Int] = Seq(1, 2, 4)): DataFrame = {
+    require(nprobes.nonEmpty, "ivfRecallCurve needs at least one budget")
+    val base = withEmb(e).select(col("vec_id"), col("label"), col("emb"),
+      l2norm(col("emb")).as("nrm"))
+    val cent = cellCentroids(e)
+    val q = base.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("qid"), col("emb").as("qemb"), col("nrm").as("qnrm"))
+    val probeW = Window.partitionBy(col("qid")).orderBy(col("ccos").desc, col("cell"))
+    val probes = broadcast(q).crossJoin(cent)
+      .withColumn("ccos", cosineWithNorms(dot(col("qemb"), col("cemb")), col("qnrm"), col("cnrm")))
+      .withColumn("prn", row_number().over(probeW).cast("long"))
+      .filter(col("prn") <= nprobes.max)
+      .select(col("qid"), col("qemb"), col("qnrm"), col("cell"), col("prn"))
+    val pairs = probes.join(base, col("label") === col("cell") && col("vec_id") =!= col("qid"))
+      .withColumn("cos", cosineWithNorms(dot(col("qemb"), col("emb")), col("qnrm"), col("nrm")))
+      .select(col("qid"), col("vec_id"), col("cos"), col("prn"))
+    val session = e.sparkSession
+    import session.implicits._
+    val nps = nprobes.map(_.toLong).toDF("nprobe")
+    val annW = Window.partitionBy(col("nprobe"), col("qid"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    val annAll = broadcast(nps).join(pairs, col("prn") <= col("nprobe"))
+      .withColumn("rn", row_number().over(annW))
+      .filter(col("rn") <= k)
+      .select(col("nprobe"), col("qid"), col("vec_id"))
+    val truth = knnBrute(e, queryMod, k).select(col("qid"), col("vec_id"))
+    val totTruth = truth.agg(count(lit(1)).as("n_truth"))
+    val hits = annAll.join(truth, Seq("qid", "vec_id"), "left_semi")
+      .groupBy(col("nprobe")).agg(count(lit(1)).as("n_hit"))
+    broadcast(nps).join(hits, Seq("nprobe"), "left")
+      .crossJoin(broadcast(totTruth))
+      .select(col("nprobe"), col("n_truth"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_truth").cast("double"))
+          .as("recall"))
+  }
+
   /** Embedding corpus with planted near-duplicates (vec_id%25==0 → a
     * scaled copy at +1_000_000; cosine is scale-invariant so the pair
     * scores exactly 1.0) — same planted-fixture trick as Dedup.corpus.
@@ -847,6 +897,92 @@ object Similarity {
       .select(col("anchor_id"), col("pos_id"), col("neg_id"),
         col("neg_cos"), col("neg_rank"))
   }
+
+  /** The SCALABLE [[contrastiveTriples]]: negative candidates come from
+    * the anchor's multi-probe LSH buckets (own bucket + every 1-bit
+    * flip, the [[knnLshMultiProbe]] probe set) over a candidate pool
+    * CAPPED at `bucketCap` occupants per bucket (smallest vec_ids —
+    * deterministic, the bucket-shard bound real ANN serving applies).
+    * Per-anchor candidate work is ≤ (planes+1)·bucketCap — CONSTANT — so
+    * total cost is linear in the anchor count where the brute variant is
+    * anchors × corpus (the 30× scale probe measured that brute shape
+    * quadratic to the point of spill-storm; this variant replaces it in
+    * q_pipeline_pairs). Buckets stay bounded because 2^planes scales
+    * with the corpus (the standing LSH contract), which also keeps the
+    * cap window's per-bucket frames bounded.
+    *
+    * Same exclusion discipline as the brute variant: the anchor's WHOLE
+    * cluster never serves as a negative; singletons are their own
+    * cluster. Hamming-near vectors land in probed buckets (scaled
+    * copies land in the SAME bucket — sign bits are scale-invariant),
+    * so the near-miss negatives the loss wants are exactly the ones the
+    * probe set retains.
+    */
+  def contrastiveTriplesAnn(clusters: DataFrame, e: DataFrame, k: Int = 3,
+      bucketCap: Int = 64): DataFrame = {
+    val b = lshBuckets(e).withColumn("nrm", l2norm(col("emb")))
+    val capW = Window.partitionBy(col("bucket")).orderBy(col("vec_id"))
+    val pool = b.withColumn("brn", row_number().over(capW))
+      .filter(col("brn") <= bucketCap)
+      .select(col("vec_id"), col("emb"), col("nrm"), col("bucket"))
+    val pos = clusters.filter(col("doc_id") =!= col("cluster"))
+      .select(col("cluster").as("anchor_id"), col("doc_id").as("pos_id"))
+    val q = pos.select(col("anchor_id")).distinct()
+      .join(b, col("vec_id") === col("anchor_id"))
+      .select(col("anchor_id"), col("emb").as("qemb"), col("nrm").as("qnrm"),
+        col("bucket").as("qb"))
+    val probeSet = array(
+      col("qb") +: (0 until NumPlanes).map(j => col("qb").bitwiseXOR(lit(1L << j))): _*)
+    val probes = q.select(col("anchor_id"), col("qemb"), col("qnrm"),
+      explode(probeSet).as("bucket"))
+    val clMap = clusters.select(col("doc_id").as("vec_id"), col("cluster"))
+    val w = Window.partitionBy(col("anchor_id")).orderBy(col("cos").desc, col("vec_id"))
+    val neg = probes.join(pool.hint("shuffle_hash"), Seq("bucket"))
+      .join(clMap.hint("shuffle_hash"), Seq("vec_id"), "left")
+      .filter(coalesce(col("cluster"), col("vec_id")) =!= col("anchor_id"))
+      .withColumn("cos", cosineWithNorms(dot(col("qemb"), col("emb")), col("qnrm"), col("nrm")))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("anchor_id"), col("vec_id").as("neg_id"),
+        col("cos").as("neg_cos"), col("rn").as("neg_rank"))
+    pos.join(neg, "anchor_id")
+      .select(col("anchor_id"), col("pos_id"), col("neg_id"),
+        col("neg_cos"), col("neg_rank"))
+  }
+
+  /** DuckDB mirror of [[contrastiveTriplesAnn]] — expects the dedup
+    * closure CTEs (ending in `comp`) and [[baseSql]] in scope.
+    */
+  def contrastiveTriplesAnnSql(k: Int = 3, bucketCap: Int = 64): String =
+    s"""b2 AS (SELECT vec_id, emb, nrm, $bucketSql AS bucket FROM base),
+       |pool AS (
+       |  SELECT vec_id, emb, nrm, bucket FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY vec_id) AS brn
+       |    FROM b2) t
+       |  WHERE brn <= $bucketCap),
+       |pos AS (SELECT cluster AS anchor_id, id AS pos_id FROM comp WHERE id <> cluster),
+       |q AS (
+       |  SELECT anchor_id, emb AS qemb, nrm AS qnrm, bucket AS qb
+       |  FROM (SELECT DISTINCT anchor_id FROM pos) a
+       |  JOIN b2 ON vec_id = anchor_id),
+       |pr AS (
+       |  SELECT anchor_id, qemb, qnrm,
+       |    unnest([qb${(0 until 8).map(j => s", xor(qb, ${1L << j})").mkString}]) AS bucket
+       |  FROM q),
+       |ncand AS (
+       |  SELECT pr.anchor_id, p.vec_id,
+       |    ${dotSql("qemb", "p.emb")} / (qnrm * p.nrm) AS cos
+       |  FROM pr JOIN pool p USING (bucket)
+       |  LEFT JOIN comp c2 ON c2.id = p.vec_id
+       |  WHERE COALESCE(c2.cluster, p.vec_id) <> pr.anchor_id),
+       |neg AS (
+       |  SELECT anchor_id, vec_id AS neg_id, cos AS neg_cos, rn AS neg_rank FROM (
+       |    SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY anchor_id
+       |      ORDER BY cos DESC, vec_id) AS BIGINT) AS rn
+       |    FROM ncand) t
+       |  WHERE rn <= $k)
+       |SELECT anchor_id, pos_id, neg_id, neg_cos, neg_rank
+       |FROM pos JOIN neg USING (anchor_id)""".stripMargin
 
   /** DuckDB mirror of [[contrastiveTriples]] — expects the dedup
     * closure CTEs (ending in `comp`) and [[baseSql]] in scope.

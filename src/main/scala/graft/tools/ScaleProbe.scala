@@ -54,7 +54,11 @@ object ScaleProbe {
 
   val ProbeQueries = Seq(
     "q_dedup_clusters", "q_dedup_edit", "q_dedup_jaccard",
-    "q_emb_stale", "q_pipeline_e2e")
+    "q_emb_stale", "q_pipeline_e2e",
+    // round-6 compositions: the contrastive-triple factory and the
+    // dedup→index→fuse retrieval pipeline (both ride the memoized
+    // cluster stage — q_dedup_clusters pays the build first)
+    "q_pipeline_pairs", "q_retrieval_e2e")
 
   /** Heaps-ish vocabulary size: 30 tokens at the 5k-doc base (the real
     * table's vocabulary), growing with sqrt(n).

@@ -89,6 +89,23 @@ class AuditOpsSpec extends SparkSpec {
     assert(r > 0.9, s"planted positive correlation must be recovered: $r")
   }
 
+  test("nprobe recall curve: monotone in the budget, reconciles with knnIvf at nprobe=2") {
+    val e = Tables.embeddings(spark, Sf)
+    val curve = Similarity.ivfRecallCurve(e).orderBy($"nprobe").collect()
+    assert(curve.map(_.getLong(0)).toSeq === Seq(1L, 2L, 4L))
+    val recalls = curve.map(_.getDouble(3))
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => a <= b },
+      s"candidate sets nest, so recall must be monotone: ${recalls.toSeq}")
+    assert(recalls.forall(r => r >= 0 && r <= 1))
+    // the np=2 point must equal the recall computed from knnIvf(nprobe=2)
+    val truth = Similarity.knnBrute(e).filter($"rn" <= 3).select($"qid", $"vec_id")
+    val ann2 = Similarity.knnIvf(e, nprobe = 2).select($"qid", $"vec_id")
+    val hit2 = truth.join(ann2, Seq("qid", "vec_id"), "left_semi").count()
+    val at2 = curve.find(_.getLong(0) == 2L).get
+    assert(at2.getLong(2) === hit2 && at2.getLong(1) === truth.count(),
+      "curve point must reconcile with the single-budget operator")
+  }
+
   test("cell balance: a cell no vector lands in still appears with n_vecs = 0") {
     val e = Seq(
       (1L, Seq(1f, 0f), 0),

@@ -53,6 +53,45 @@ class ContrastiveTriplesSpec extends SparkSpec {
       s"the in-cluster near-dup must never be a negative: ${out.toSeq}")
   }
 
+  test("ANN variant: scaled-copy negative lands in the anchor's own bucket and ranks first") {
+    // sign-bit buckets are scale-invariant, so 1.5× the anchor vector
+    // shares its bucket exactly — the near-miss negative the probe set
+    // must retain; the in-cluster member is still excluded
+    val clusters = Seq((1L, 1L, true), (2L, 1L, false))
+      .toDF("doc_id", "cluster", "is_keeper")
+    val emb = Seq(
+      (1L, Seq(0.8f, 0.6f), 0),
+      (2L, Seq(0.79f, 0.61f), 0),          // in-cluster: excluded
+      (3L, Seq(1.2f, 0.9f), 1))            // 1.5× anchor: same bucket, cos 1.0
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.contrastiveTriplesAnn(clusters, emb, k = 2).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+    assert(out.nonEmpty, "the scaled copy must be probed and retained")
+    assert(out.forall(_._2 == 3L), s"only the other-cluster copy may serve: ${out.toSeq}")
+    assert(out.forall(t => math.abs(t._3 - 1.0) < 1e-12 && t._4 == 1L),
+      s"scale-invariant cosine 1.0 at rank 1: ${out.toSeq}")
+  }
+
+  test("ANN variant on the corpus: exclusion discipline and bounded negatives hold") {
+    import graft.operators.Dedup
+    import graft.sources.Tables
+    val c = Dedup.corpus(Tables.documents(spark, Sf))
+    val clusters = Dedup.clustersFor(c, Sf)
+    val removed = clusters.filter(!col("is_keeper"))
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    val out = Similarity.contrastiveTriplesAnn(clusters, Tables.embeddings(spark, Sf))
+      .collect()
+    assert(out.nonEmpty)
+    for (r <- out) {
+      assert(r.getLong(2) != r.getLong(0), "anchor never its own negative")
+      assert(!removed.contains(r.getLong(2)) || clusters
+        .filter($"doc_id" === r.getLong(2)).select($"cluster")
+        .head().getLong(0) != r.getLong(0),
+        s"in-cluster negative leaked: $r")
+      assert(r.getLong(4) >= 1L && r.getLong(4) <= 3L)
+    }
+  }
+
   test("plan: anchor table broadcasts; cluster membership joins shuffle-hash") {
     val plan = SparkEntry.queries("q_pipeline_pairs")(spark, Sf)
       .queryExecution.executedPlan.toString

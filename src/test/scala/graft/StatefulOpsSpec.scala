@@ -414,6 +414,59 @@ class StatefulOpsSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState sessionizer: CORPUS-level parity with batch session_window at sf0.001") {
+    import StatefulOps.{Event, SessionOut}
+    import org.apache.spark.sql.functions._
+    implicit val ctx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // the real event table, fed IN ORDER in 4 micro-batches + a
+      // far-future sentinel so every session timer fires
+      val evs = graft.sources.Tables.events(spark, Sf)
+        .select($"ts", $"user_id", $"event_type",
+          coalesce($"value", lit(0.0)).as("value"))
+        .as[Event].collect().sortBy(_.ts.getTime).toSeq
+      val sentinel = Event(
+        new java.sql.Timestamp(evs.last.ts.getTime + 90L * 86400000L),
+        999999L, "click", 0.0)
+      val ms = MemoryStream[Event]
+      val q = StatefulOps.sessionizeTws(spark, ms.toDS(),
+          gapMs = 4L * 3600000L, watermarkDelay = "1 minute")
+        .writeStream.format("memory").queryName("sessions_corpus")
+        .outputMode("append").start()
+      evs.grouped(math.max(evs.size / 4, 1)).foreach { b =>
+        ms.addData(b); q.processAllAvailable()
+      }
+      ms.addData(Seq(sentinel)); q.processAllAvailable()
+      ms.addData(Seq(sentinel.copy(ts = new java.sql.Timestamp(
+        sentinel.ts.getTime + 1000L)))); q.processAllAvailable()
+      q.stop()
+      val got = spark.table("sessions_corpus").as[SessionOut].collect()
+        .filter(_.user_id != 999999L)
+        .map(s => (s.user_id, s.s_start.getTime, s.s_end.getTime, s.n,
+          math.round(s.sum_value * 100)))
+        .sorted.toSeq
+      val want = evs.toDF()
+        .groupBy(session_window($"ts", "4 hours"), $"user_id")
+        .agg(count(lit(1)).as("n"),
+          sum($"value".cast("decimal(12,2)")).cast("double").as("sum_value"))
+        .select($"user_id", $"session_window.start", $"session_window.end",
+          $"n", $"sum_value")
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+          r.getTimestamp(2).getTime, r.getLong(3), math.round(r.getDouble(4) * 100)))
+        .sorted.toSeq
+      assert(got.size === want.size,
+        s"session count: stream ${got.size} vs batch ${want.size}")
+      assert(got === want, "every closed session must equal its batch row")
+    } finally {
+      old match { case Some(v) => spark.conf.set(key, v); case None => spark.conf.unset(key) }
+    }
+  }
+
   test("streaming LSH near-dup: collisions bridge micro-batches and match batch candidates") {
     import graft.streaming.DocStream
     import DocStream.{StreamDoc, Collision}

@@ -62,7 +62,10 @@ object Bench {
     val results = timed.map { case (k, (mn, _)) => k -> mn }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val firsts = timed.map { case (k, (_, t1)) => s"\"" + k + "\":" + f"$t1%.2f" }
+    // Locale.ROOT: a comma-decimal default JVM locale would corrupt the
+    // machine-parsed JSON with "1,40"-style numbers
+    def d2(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    val firsts = timed.map { case (k, (_, t1)) => s"\"" + k + "\":" + d2(t1) }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_first":$firsts,"sf":"$sfDir"}""")
@@ -71,8 +74,8 @@ object Bench {
     // keeps the round-over-round total machine-readable regardless.
     val failed = results.count(_._2 < 0)
     val slow = results.toSeq.filter(_._2 >= 0).sortBy(-_._2).take(10)
-      .map { case (k, v) => s"\"" + k + "\":" + f"$v%.2f" }.mkString("{", ",", "}")
-    println(s"""{"metric":"total_summary","value":${f"$total%.2f"},"unit":"sec","n_queries":${results.size},"n_failed":$failed,"slowest":$slow}""")
+      .map { case (k, v) => s"\"" + k + "\":" + d2(v) }.mkString("{", ",", "}")
+    println(s"""{"metric":"total_summary","value":${d2(total)},"unit":"sec","n_queries":${results.size},"n_failed":$failed,"slowest":$slow}""")
     spark.stop()
   }
 }

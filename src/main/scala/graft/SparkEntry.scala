@@ -1200,16 +1200,6 @@ object SparkEntry {
           $"us_to_conv".isNotNull.as("converted"), $"us_to_conv")
     },
 
-    // First/last-touch conversion attribution — the materialized
-    // attribution table a marketing/ranking pipeline writes: each
-    // purchase credited to the earliest (first-touch) and latest
-    // (last-touch) click-or-view of the SAME user in the trailing day,
-    // window EXCLUSIVE of the purchase instant (same leakage discipline
-    // as q_ev_label); no in-window touch → "direct". The interval join
-    // is trailingWindowJoin's (user, time-bucket) equi-join; both argmins
-    // ride ONE grouped agg with O(1) max_by/min_by state per purchase
-    // (tid tie-break — deterministic); one left join back. Nothing
-    // all-pairs, nothing windowed over the event stream.
     // RFM customer segmentation: per customer, recency (days since last
     // order vs the corpus horizon), frequency, exact-DECIMAL monetary
     // total, and the 8-way R/F/M segment against per-dimension medians.
@@ -1262,6 +1252,16 @@ object SparkEntry {
         .select($"type_a", $"type_b", $"n_ab", $"n_a", $"n_b", $"n_users",
           (($"n_users" * $"n_ab").cast("double") / ($"n_a" * $"n_b").cast("double")).as("lift"))
     },
+    // First/last-touch conversion attribution — the materialized
+    // attribution table a marketing/ranking pipeline writes: each
+    // purchase credited to the earliest (first-touch) and latest
+    // (last-touch) click-or-view of the SAME user in the trailing day,
+    // window EXCLUSIVE of the purchase instant (same leakage discipline
+    // as q_ev_label); no in-window touch → "direct". The interval join
+    // is trailingWindowJoin's (user, time-bucket) equi-join; both argmins
+    // ride ONE grouped agg with O(1) max_by/min_by state per purchase
+    // (tid tie-break — deterministic); one left join back. Nothing
+    // all-pairs, nothing windowed over the event stream.
     "q_ev_attrib" -> { (s, dir) =>
       import s.implicits._
       val ev = Tables.events(s, dir)
@@ -1835,6 +1835,39 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
+  /** Shared RRF oracle tail (lex ranking → per-query cosine list →
+    * fusion → top-10), parameterized by the vector CTE — ONE copy of the
+    * RRF constants and tie-breaks for q_doc_rrf (over `base`) and
+    * q_retrieval_e2e (over the dedup-cleaned `eb`). Expects a `bm` CTE
+    * (BM25 scores) in scope.
+    */
+  private def rrfTailSql(embCte: String): String =
+    s"""lex AS (
+       |  SELECT doc_id, CAST(ROW_NUMBER() OVER (
+       |    ORDER BY score_odds_nanos DESC, doc_id) AS BIGINT) AS rank
+       |  FROM bm
+       |  QUALIFY rank <= 20),
+       |q AS (SELECT vec_id AS qid, emb AS qemb, nrm AS qnrm FROM $embCte WHERE vec_id % 50 = 0),
+       |vec AS (
+       |  SELECT qid, vec_id AS doc_id, rn AS rank FROM (
+       |    SELECT qid, vec_id, CAST(ROW_NUMBER() OVER (PARTITION BY qid
+       |      ORDER BY ${Similarity.dotSql("qemb", "emb")} / (qnrm * nrm) DESC, vec_id) AS BIGINT) AS rn
+       |    FROM q JOIN $embCte ON vec_id <> qid) t
+       |  WHERE rn <= 20),
+       |lists AS (
+       |  SELECT qid, doc_id, rank FROM q CROSS JOIN lex
+       |  UNION ALL SELECT qid, doc_id, rank FROM vec),
+       |sc AS (
+       |  SELECT qid, doc_id,
+       |    CAST(SUM(1000000000 // (60 + rank)) AS BIGINT) AS rrf_nanos,
+       |    COUNT(*) AS n_lists
+       |  FROM lists GROUP BY qid, doc_id)
+       |SELECT qid, doc_id, rrf_nanos, n_lists, rank FROM (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid
+       |    ORDER BY rrf_nanos DESC, doc_id) AS BIGINT) AS rank
+       |  FROM sc) t
+       |WHERE rank <= 10""".stripMargin
+
   /** Shared DuckDB mirror of TextAnalysis.stupidBackoff - used verbatim
     * by q_doc_sbackoff and as the scoring CTE of q_doc_ppbucket.
     */
@@ -2115,31 +2148,7 @@ object SparkEntry {
     "q_doc_rrf" ->
       s"""WITH ${Similarity.baseSql},
          |bm AS (${TextAnalysis.bm25SearchSql(SearchTerms)}),
-         |lex AS (
-         |  SELECT doc_id, CAST(ROW_NUMBER() OVER (
-         |    ORDER BY score_odds_nanos DESC, doc_id) AS BIGINT) AS rank
-         |  FROM bm
-         |  QUALIFY rank <= 20),
-         |q AS (SELECT vec_id AS qid, emb AS qemb, nrm AS qnrm FROM base WHERE vec_id % 50 = 0),
-         |vec AS (
-         |  SELECT qid, vec_id AS doc_id, rn AS rank FROM (
-         |    SELECT qid, vec_id, CAST(ROW_NUMBER() OVER (PARTITION BY qid
-         |      ORDER BY ${Similarity.dotSql("qemb", "emb")} / (qnrm * nrm) DESC, vec_id) AS BIGINT) AS rn
-         |    FROM q JOIN base ON vec_id <> qid) t
-         |  WHERE rn <= 20),
-         |lists AS (
-         |  SELECT qid, doc_id, rank FROM q CROSS JOIN lex
-         |  UNION ALL SELECT qid, doc_id, rank FROM vec),
-         |sc AS (
-         |  SELECT qid, doc_id,
-         |    CAST(SUM(1000000000 // (60 + rank)) AS BIGINT) AS rrf_nanos,
-         |    COUNT(*) AS n_lists
-         |  FROM lists GROUP BY qid, doc_id)
-         |SELECT qid, doc_id, rrf_nanos, n_lists, rank FROM (
-         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid
-         |    ORDER BY rrf_nanos DESC, doc_id) AS BIGINT) AS rank
-         |  FROM sc) t
-         |WHERE rank <= 10""".stripMargin,
+         |${rrfTailSql("base")}""".stripMargin,
     "q_doc_overlap" -> TextAnalysis.sourceOverlapSql(),
     "q_retrieval_e2e" ->
       s"""WITH RECURSIVE ${Dedup.corpusSql},
@@ -2150,32 +2159,8 @@ object SparkEntry {
          |${Dedup.cleanSql},
          |${Similarity.baseSql},
          |bm AS (${TextAnalysis.bm25SearchSql(SearchTerms, src = "clean")}),
-         |lex AS (
-         |  SELECT doc_id, CAST(ROW_NUMBER() OVER (
-         |    ORDER BY score_odds_nanos DESC, doc_id) AS BIGINT) AS rank
-         |  FROM bm
-         |  QUALIFY rank <= 20),
          |eb AS (SELECT b.vec_id, b.emb, b.nrm FROM base b JOIN clean c ON c.doc_id = b.vec_id),
-         |q AS (SELECT vec_id AS qid, emb AS qemb, nrm AS qnrm FROM eb WHERE vec_id % 50 = 0),
-         |vec AS (
-         |  SELECT qid, vec_id AS doc_id, rn AS rank FROM (
-         |    SELECT qid, vec_id, CAST(ROW_NUMBER() OVER (PARTITION BY qid
-         |      ORDER BY ${Similarity.dotSql("qemb", "emb")} / (qnrm * nrm) DESC, vec_id) AS BIGINT) AS rn
-         |    FROM q JOIN eb ON vec_id <> qid) t
-         |  WHERE rn <= 20),
-         |lists AS (
-         |  SELECT qid, doc_id, rank FROM q CROSS JOIN lex
-         |  UNION ALL SELECT qid, doc_id, rank FROM vec),
-         |sc AS (
-         |  SELECT qid, doc_id,
-         |    CAST(SUM(1000000000 // (60 + rank)) AS BIGINT) AS rrf_nanos,
-         |    COUNT(*) AS n_lists
-         |  FROM lists GROUP BY qid, doc_id)
-         |SELECT qid, doc_id, rrf_nanos, n_lists, rank FROM (
-         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid
-         |    ORDER BY rrf_nanos DESC, doc_id) AS BIGINT) AS rank
-         |  FROM sc) t
-         |WHERE rank <= 10""".stripMargin,
+         |${rrfTailSql("eb")}""".stripMargin,
     "q_doc_tfidf" ->
       """WITH tok AS (
         |  SELECT doc_id,
@@ -2196,21 +2181,7 @@ object SparkEntry {
         |WHERE rn = 1""".stripMargin,
     "q_emb_ivf" ->
       s"""WITH ${Similarity.baseSql},
-         |cen AS (
-         |  SELECT label AS cell, dim,
-         |    CAST(SUM(CAST(ROUND(CAST(v AS DOUBLE) * 16777216.0) AS BIGINT)) AS DOUBLE)
-         |      / (CAST(COUNT(*) AS DOUBLE) * 16777216.0) AS centroid
-         |  FROM (SELECT label, unnest(embedding) AS v,
-         |          CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim
-         |        FROM embeddings) t
-         |  GROUP BY label, dim),
-         |cemb AS (
-         |  SELECT cell, list(centroid ORDER BY dim) AS cemb FROM cen GROUP BY cell),
-         |cemb2 AS (
-         |  SELECT cell, cemb,
-         |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
-         |      list_transform(cemb, x -> x * x)), (a, b) -> a + b)) AS cnrm
-         |  FROM cemb),
+         |${Similarity.centroidCtesSql},
          |q AS (SELECT vec_id AS qid, emb AS qemb, nrm AS qnrm FROM base WHERE vec_id % 50 = 0),
          |probes AS (
          |  SELECT qid, qemb, qnrm, cell FROM (
@@ -2229,21 +2200,7 @@ object SparkEntry {
          |WHERE rn <= 3""".stripMargin,
     "q_emb_nprobe" ->
       s"""WITH ${Similarity.baseSql},
-         |cen AS (
-         |  SELECT label AS cell, dim,
-         |    CAST(SUM(CAST(ROUND(CAST(v AS DOUBLE) * 16777216.0) AS BIGINT)) AS DOUBLE)
-         |      / (CAST(COUNT(*) AS DOUBLE) * 16777216.0) AS centroid
-         |  FROM (SELECT label, unnest(embedding) AS v,
-         |          CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim
-         |        FROM embeddings) t
-         |  GROUP BY label, dim),
-         |cemb AS (
-         |  SELECT cell, list(centroid ORDER BY dim) AS cemb FROM cen GROUP BY cell),
-         |cemb2 AS (
-         |  SELECT cell, cemb,
-         |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
-         |      list_transform(cemb, x -> x * x)), (a, b) -> a + b)) AS cnrm
-         |  FROM cemb),
+         |${Similarity.centroidCtesSql},
          |q AS (SELECT vec_id AS qid, emb AS qemb, nrm AS qnrm FROM base WHERE vec_id % 50 = 0),
          |probes AS (
          |  SELECT qid, qemb, qnrm, cell, prn FROM (

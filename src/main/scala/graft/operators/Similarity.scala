@@ -215,7 +215,9 @@ object Similarity {
     val q = base.filter(col("vec_id") % queryMod === 0)
       .select(col("vec_id").as("qid"), col("emb").as("qemb"), col("nrm").as("qnrm"))
     val probeW = Window.partitionBy(col("qid")).orderBy(col("ccos").desc, col("cell"))
-    val probes = broadcast(q).crossJoin(cent)
+    // broadcast the O(k)-row CENTROID side, not the corpus-growing query
+    // side — same CartesianProduct hardening at constant cost
+    val probes = q.crossJoin(broadcast(cent))
       .withColumn("ccos", cosineWithNorms(dot(col("qemb"), col("cemb")), col("qnrm"), col("cnrm")))
       .withColumn("prn", row_number().over(probeW).cast("long"))
       .filter(col("prn") <= nprobes.max)
@@ -917,6 +919,13 @@ object Similarity {
     * copies land in the SAME bucket — sign bits are scale-invariant),
     * so the near-miss negatives the loss wants are exactly the ones the
     * probe set retains.
+    *
+    * An anchor whose probe set yields NO eligible negative (every pool
+    * occupant in its buckets is its own cluster — the heavily-duplicated
+    * content case) keeps its (anchor, positive) pairs with NULL negative
+    * columns instead of silently losing them: the pairs a sampler most
+    * wants are exactly those, and downstream backfills negatives from a
+    * wider probe or random draw.
     */
   def contrastiveTriplesAnn(clusters: DataFrame, e: DataFrame, k: Int = 3,
       bucketCap: Int = 64): DataFrame = {
@@ -945,7 +954,7 @@ object Similarity {
       .filter(col("rn") <= k)
       .select(col("anchor_id"), col("vec_id").as("neg_id"),
         col("cos").as("neg_cos"), col("rn").as("neg_rank"))
-    pos.join(neg, "anchor_id")
+    pos.join(neg, Seq("anchor_id"), "left")
       .select(col("anchor_id"), col("pos_id"), col("neg_id"),
         col("neg_cos"), col("neg_rank"))
   }
@@ -967,7 +976,7 @@ object Similarity {
        |  JOIN b2 ON vec_id = anchor_id),
        |pr AS (
        |  SELECT anchor_id, qemb, qnrm,
-       |    unnest([qb${(0 until 8).map(j => s", xor(qb, ${1L << j})").mkString}]) AS bucket
+       |    unnest([qb${(0 until NumPlanes).map(j => s", xor(qb, ${1L << j})").mkString}]) AS bucket
        |  FROM q),
        |ncand AS (
        |  SELECT pr.anchor_id, p.vec_id,
@@ -982,7 +991,7 @@ object Similarity {
        |    FROM ncand) t
        |  WHERE rn <= $k)
        |SELECT anchor_id, pos_id, neg_id, neg_cos, neg_rank
-       |FROM pos JOIN neg USING (anchor_id)""".stripMargin
+       |FROM pos LEFT JOIN neg USING (anchor_id)""".stripMargin
 
   /** DuckDB mirror of [[contrastiveTriples]] — expects the dedup
     * closure CTEs (ending in `comp`) and [[baseSql]] in scope.
@@ -1071,6 +1080,28 @@ object Similarity {
       |      (a, b) -> a + b)) AS nrm
       |  FROM embeddings
       |)""".stripMargin
+
+  /** Label-centroid CTEs (`cen`→`cemb`→`cemb2`: per-cell centroid list +
+    * norm) shared by the q_emb_ivf and q_emb_nprobe mirrors — one copy so
+    * the nprobe=2 curve point keeps reconciling with q_emb_ivf by
+    * construction.
+    */
+  val centroidCtesSql: String =
+    """cen AS (
+      |  SELECT label AS cell, dim,
+      |    CAST(SUM(CAST(ROUND(CAST(v AS DOUBLE) * 16777216.0) AS BIGINT)) AS DOUBLE)
+      |      / (CAST(COUNT(*) AS DOUBLE) * 16777216.0) AS centroid
+      |  FROM (SELECT label, unnest(embedding) AS v,
+      |          CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim
+      |        FROM embeddings) t
+      |  GROUP BY label, dim),
+      |cemb AS (
+      |  SELECT cell, list(centroid ORDER BY dim) AS cemb FROM cen GROUP BY cell),
+      |cemb2 AS (
+      |  SELECT cell, cemb,
+      |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |      list_transform(cemb, x -> x * x)), (a, b) -> a + b)) AS cnrm
+      |  FROM cemb)""".stripMargin
 
   /** Sequential-fold dot product between list expressions `a` and `b`. */
   def dotSql(a: String, b: String): String =

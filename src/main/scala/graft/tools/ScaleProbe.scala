@@ -147,7 +147,7 @@ object ScaleProbe {
       ensureData(spark, dir, m)
       val ts = ProbeQueries.map { q =>
         val s = timeQuery(spark, q, dir)
-        println(f"""{"probe":"$q","mult":$m,"sec":$s%.3f}""")
+        println(s"""{"probe":"$q","mult":$m,"sec":${String.format(java.util.Locale.ROOT, "%.3f", Double.box(s))}}""")
         q -> s
       }.toMap
       m -> ts
@@ -173,11 +173,13 @@ object ScaleProbe {
     }
     val worst = summary.maxBy(_._3.last)
     val qjson = summary.map { case (q, ts, es) =>
-      val tj = sorted.zip(ts).map { case (m, t) => f""""t_x$m":$t%.2f""" }.mkString(",")
-      val ej = es.map(e => f"$e%.2f").mkString("[", ",", "]")
+      def d2(v: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+      val tj = sorted.zip(ts).map { case (m, t) => s""""t_x$m":${d2(t)}""" }.mkString(",")
+      val ej = es.map(d2).mkString("[", ",", "]")
       s""""$q":{$tj,"marginal_exponents":$ej}"""
     }.mkString("{", ",", "}")
-    println(f"""{"metric":"scale_probe","mults":${sorted.mkString("[", ",", "]")},"queries":$qjson,"worst_tail_exponent":${worst._3.last}%.2f,"worst_query":"${worst._1}","verdict":"${if (worst._3.last <= 1.30) "LINEAR" else "CLIFF"}"}""")
+    val wexp = String.format(java.util.Locale.ROOT, "%.2f", Double.box(worst._3.last))
+    println(s"""{"metric":"scale_probe","mults":${sorted.mkString("[", ",", "]")},"queries":$qjson,"worst_tail_exponent":$wexp,"worst_query":"${worst._1}","verdict":"${if (worst._3.last <= 1.30) "LINEAR" else "CLIFF"}"}""")
     spark.stop()
   }
 }

@@ -77,25 +77,44 @@ class ContrastiveTriplesSpec extends SparkSpec {
     import graft.sources.Tables
     val c = Dedup.corpus(Tables.documents(spark, Sf))
     val clusters = Dedup.clustersFor(c, Sf)
-    val removed = clusters.filter(!col("is_keeper"))
-      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    // one collect, O(1) membership checks in the loop
+    val clusterOf = clusters.select($"doc_id", $"cluster").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val out = Similarity.contrastiveTriplesAnn(clusters, Tables.embeddings(spark, Sf))
-      .collect()
+      .filter($"neg_id".isNotNull).collect()
     assert(out.nonEmpty)
     for (r <- out) {
       assert(r.getLong(2) != r.getLong(0), "anchor never its own negative")
-      assert(!removed.contains(r.getLong(2)) || clusters
-        .filter($"doc_id" === r.getLong(2)).select($"cluster")
-        .head().getLong(0) != r.getLong(0),
+      assert(clusterOf.getOrElse(r.getLong(2), r.getLong(2)) != r.getLong(0),
         s"in-cluster negative leaked: $r")
       assert(r.getLong(4) >= 1L && r.getLong(4) <= 3L)
     }
   }
 
-  test("plan: anchor table broadcasts; cluster membership joins shuffle-hash") {
+  test("ANN variant: an anchor with no eligible negative keeps its pairs with null negatives") {
+    // single bucket world: anchor and its only bucket-mates are all in
+    // the anchor's cluster → zero eligible negatives, but the
+    // (anchor, positive) pair must SURVIVE with null negative columns
+    val clusters = Seq((1L, 1L, true), (2L, 1L, false), (101L, 1L, false))
+      .toDF("doc_id", "cluster", "is_keeper")
+    val emb = Seq(
+      (1L, Seq(0.8f, 0.6f), 0),
+      (2L, Seq(0.81f, 0.59f), 0)) // same bucket, same cluster → excluded
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.contrastiveTriplesAnn(clusters, emb, k = 2).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      Set((1L, 2L), (1L, 101L)),
+      s"pairs must survive a negative-less anchor: ${out.toSeq}")
+    assert(out.forall(_.isNullAt(2)),
+      s"negative columns must be null, not fabricated: ${out.toSeq}")
+  }
+
+  test("plan: ANN candidate joins are shuffle-hash on bucket/id, never a cartesian") {
     val plan = SparkEntry.queries("q_pipeline_pairs")(spark, Sf)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
-      s"bounded anchor side must broadcast:\n$plan")
+    assert(plan.contains("ShuffledHashJoin"),
+      s"bucket/cluster joins must shuffle-hash:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"no all-pairs anywhere in the ANN factory:\n$plan")
   }
 }

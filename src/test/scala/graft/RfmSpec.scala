@@ -10,12 +10,8 @@ class RfmSpec extends SparkSpec {
   import spark.implicits._
 
   private lazy val dir: String = {
+    // q_rfm reads only the orders table — write nothing else
     val d = Files.createTempDirectory("graft-rfm").toString
-    Seq("region", "nation", "customer", "supplier", "part",
-      "lineitem", "documents", "embeddings", "events").foreach { t =>
-      spark.read.parquet(s"$Sf/$t.parquet")
-        .write.mode("overwrite").parquet(s"$d/$t.parquet")
-    }
     def ts(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
     // horizon = 2024-01-10. c1: recent+frequent+big (RFM); c2: one old
     // small order (rfm); c3: recent single mid order

@@ -1067,6 +1067,12 @@ object SparkEntry {
     "q_er_bestmatch" -> { (s, dir) =>
       EntityResolution.bestMatch(Tables.part(s, dir))
     },
+    // ER blocking-recall audit (the q_emb_recall analogue): exhaustive
+    // Levenshtein truth for a bounded broadcast sample vs what the
+    // bigram blocking found — the miss rate that decides a third pass.
+    "q_er_recall" -> { (s, dir) =>
+      EntityResolution.blockingRecall(Tables.part(s, dir))
+    },
 
     // Behavioral transition matrix (Markov bigram over event streams):
     // lead() under one window on high-cardinality user_id, roll-up
@@ -1867,6 +1873,32 @@ object SparkEntry {
        |    ORDER BY rrf_nanos DESC, doc_id) AS BIGINT) AS rank
        |  FROM sc) t
        |WHERE rank <= 10""".stripMargin
+
+  /** DuckDB mirror of EntityResolution.bestMatch - used verbatim by
+    * q_er_bestmatch and as the blocked-side CTE of q_er_recall.
+    */
+  private lazy val ErBestMatchOracleSql: String =
+    """WITH rec AS (
+        |  SELECT CAST(p_partkey AS BIGINT) AS key, p_name AS name FROM part),
+        |b1 AS (
+        |  SELECT split_part(name, ' ', 1) AS w1, split_part(name, ' ', 2) AS w2,
+        |    key, name FROM rec
+        |  WHERE split_part(name, ' ', 1) <> '' AND split_part(name, ' ', 2) <> ''),
+        |b3 AS (
+        |  SELECT split_part(name, ' ', 3) AS w1, split_part(name, ' ', 4) AS w2,
+        |    key, name FROM rec
+        |  WHERE split_part(name, ' ', 3) <> '' AND split_part(name, ' ', 4) <> ''),
+        |cand AS (
+        |  SELECT a.key AS key_a,
+        |    CAST(levenshtein(a.name, b.name) AS BIGINT) * 8589934592 + b.key AS pk
+        |  FROM b1 a JOIN b1 b ON a.w1 = b.w1 AND a.w2 = b.w2 AND a.key <> b.key
+        |  UNION ALL
+        |  SELECT a.key AS key_a,
+        |    CAST(levenshtein(a.name, b.name) AS BIGINT) * 8589934592 + b.key AS pk
+        |  FROM b3 a JOIN b3 b ON a.w1 = b.w1 AND a.w2 = b.w2 AND a.key <> b.key)
+        |SELECT key_a AS p_partkey, min(pk) // 8589934592 AS best_dist,
+        |  min(pk) % 8589934592 AS best_key
+        |FROM cand GROUP BY key_a""".stripMargin
 
   /** Shared DuckDB mirror of TextAnalysis.stupidBackoff - used verbatim
     * by q_doc_sbackoff and as the scoring CTE of q_doc_ppbucket.
@@ -3443,28 +3475,21 @@ object SparkEntry {
          |FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
          |GROUP BY 1, 2
          |HAVING COUNT(*) >= 2""".stripMargin,
-    "q_er_bestmatch" ->
-      """WITH rec AS (
-        |  SELECT CAST(p_partkey AS BIGINT) AS key, p_name AS name FROM part),
-        |b1 AS (
-        |  SELECT split_part(name, ' ', 1) AS w1, split_part(name, ' ', 2) AS w2,
-        |    key, name FROM rec
-        |  WHERE split_part(name, ' ', 1) <> '' AND split_part(name, ' ', 2) <> ''),
-        |b3 AS (
-        |  SELECT split_part(name, ' ', 3) AS w1, split_part(name, ' ', 4) AS w2,
-        |    key, name FROM rec
-        |  WHERE split_part(name, ' ', 3) <> '' AND split_part(name, ' ', 4) <> ''),
-        |cand AS (
-        |  SELECT a.key AS key_a,
-        |    CAST(levenshtein(a.name, b.name) AS BIGINT) * 8589934592 + b.key AS pk
-        |  FROM b1 a JOIN b1 b ON a.w1 = b.w1 AND a.w2 = b.w2 AND a.key <> b.key
-        |  UNION ALL
-        |  SELECT a.key AS key_a,
-        |    CAST(levenshtein(a.name, b.name) AS BIGINT) * 8589934592 + b.key AS pk
-        |  FROM b3 a JOIN b3 b ON a.w1 = b.w1 AND a.w2 = b.w2 AND a.key <> b.key)
-        |SELECT key_a AS p_partkey, min(pk) // 8589934592 AS best_dist,
-        |  min(pk) % 8589934592 AS best_key
-        |FROM cand GROUP BY key_a""".stripMargin,
+    "q_er_bestmatch" -> ErBestMatchOracleSql,
+    "q_er_recall" ->
+      s"""WITH rec AS (
+         |  SELECT CAST(p_partkey AS BIGINT) AS key, p_name AS name FROM part),
+         |sample AS (SELECT key AS key_a, name AS name_a FROM rec WHERE key % 100 = 0),
+         |tr AS (
+         |  SELECT key_a,
+         |    min(CAST(levenshtein(name_a, name) AS BIGINT) * 8589934592 + key) AS tm
+         |  FROM sample JOIN rec ON key <> key_a
+         |  GROUP BY key_a),
+         |tru AS (SELECT key_a, tm // 8589934592 AS true_dist FROM tr),
+         |bm AS ($ErBestMatchOracleSql)
+         |SELECT key_a AS p_partkey, true_dist, best_dist,
+         |  COALESCE(best_dist = true_dist, FALSE) AS dist_match
+         |FROM tru LEFT JOIN bm ON bm.p_partkey = tru.key_a""".stripMargin,
     "q_ev_transitions" ->
       """WITH e AS (
         |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ets, event_id, event_type

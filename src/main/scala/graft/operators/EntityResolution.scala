@@ -100,4 +100,36 @@ object EntityResolution {
 
     twinBest.unionAll(singleBest)
   }
+
+  /** Blocking-recall audit — the ER analogue of the ANN recall audit
+    * (q_emb_recall): for a bounded sample of records, the TRUE best
+    * match by exhaustive Levenshtein over every other record, compared
+    * against what the conjunctive-bigram blocking found. `dist_match`
+    * false marks a record whose true nearest neighbour the blocking
+    * missed (≥2-word edits can break both disjoint bigram keys — the
+    * pigeonhole guarantee covers only single-word edits) or found only
+    * at a worse distance. The measured miss rate is what decides
+    * whether to add a third blocking pass.
+    *
+    * Scale: the sample side is bounded (key % sampleMod) and broadcasts
+    * over the record table — the [[Similarity.knnBrute]] ground-truth
+    * contract; the blocked side joins back on the sample keys.
+    */
+  def blockingRecall(parts: DataFrame, sampleMod: Int = 100): DataFrame = {
+    val rec = parts.select(col("p_partkey").cast("long").as("key"),
+      col("p_name").as("name"))
+    val sample = rec.filter(col("key") % sampleMod === 0)
+      .select(col("key").as("key_a"), col("name").as("name_a"))
+    val truth = broadcast(sample).join(rec, col("key") =!= col("key_a"))
+      .select(col("key_a"),
+        (levenshtein(col("name_a"), col("name")).cast("long") * KeyBits
+          + col("key")).as("pk"))
+      .groupBy(col("key_a")).agg(min(col("pk")).as("tm"))
+      .select(col("key_a"), shiftright(col("tm"), 33).as("true_dist"))
+    val blocked = bestMatch(parts)
+      .select(col("p_partkey").as("key_a"), col("best_dist"))
+    truth.join(blocked.hint("shuffle_hash"), Seq("key_a"), "left")
+      .select(col("key_a").as("p_partkey"), col("true_dist"), col("best_dist"),
+        coalesce(col("best_dist") === col("true_dist"), lit(false)).as("dist_match"))
+  }
 }

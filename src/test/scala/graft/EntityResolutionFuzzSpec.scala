@@ -73,6 +73,32 @@ class EntityResolutionFuzzSpec extends SparkSpec {
     assert(clean === noisy, s"degenerate rows perturbed valid matches:\n$clean\n$noisy")
   }
 
+  test("blocking recall audit: single-word edits always recalled, double-bigram breaks surface as misses") {
+    val rows = Seq(
+      // sample key 100: single-word edit vs 1 → pigeonhole guarantees the block
+      (1L, "amber rose copper mist"),
+      (100L, "amber rose copper haze"),
+      // sample key 200: true nearest (201) differs in words 2 AND 4 —
+      // both bigram keys break, the blocking CANNOT see it
+      (200L, "violet storm silver peak"),
+      (201L, "violet cloud silver vale"),
+      // far-away fillers sharing 200's bigrams so the blocked side still
+      // resolves 200 to SOMETHING (just at a worse distance)
+      (300L, "violet storm thunder quake rumble"),
+      (301L, "unrelated words entirely different"))
+      .toDF("p_partkey", "p_name")
+    val out = EntityResolution.blockingRecall(rows, sampleMod = 100)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2), r.getBoolean(3)))).toMap
+    // key 100: true dist = lev(haze, mist)-ish single-word edit, recalled exactly
+    assert(out(100L)._3, s"single-word edit must be recalled: ${out(100L)}")
+    assert(out(100L)._1 === out(100L)._2)
+    // key 200: true nearest is 201 but both bigrams broke → blocked finds
+    // only the worse in-block 300 (or nothing) → a genuine measured miss
+    assert(!out(200L)._3, s"double-bigram break must surface as a miss: ${out(200L)}")
+    assert(out(200L)._2 > out(200L)._1 || out(200L)._2 == -1L)
+  }
+
   private def lev(a: String, b: String): Long = {
     val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (j == 0) i else if (i == 0) j else 0)
     for (i <- 1 to a.length; j <- 1 to b.length)

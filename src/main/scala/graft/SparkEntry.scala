@@ -372,9 +372,14 @@ object SparkEntry {
       TextAnalysis.bm25Search(Tables.documents(s, dir), SearchTerms)
     },
     // Hybrid retrieval: Reciprocal-Rank Fusion of the lexical BM25 list
-    // and the per-query embedding-cosine list (exact integer nano-unit
-    // scores; fusion cost is per-query — ≤ 2·20 rows/qid — independent
-    // of corpus size).
+    // and the per-query embedding list (exact integer nano-unit scores;
+    // fusion cost is per-query — ≤ 2·20 rows/qid — independent of corpus
+    // size). The vector list is the multi-probe LSH ANN builder, NOT
+    // brute kNN: the scale probe measured the brute list at a 1.10 tail
+    // exponent (query count grows with the corpus, so brute pair work is
+    // ~quadratic); the multi-probe candidate join stays bucket-keyed —
+    // per-query cost bounded by bucket occupancy. Brute survives only as
+    // q_emb_recall's ground truth (constant-capped query set there).
     "q_doc_rrf" -> { (s, dir) =>
       val lex = Retrieval.topNRanked(
         TextAnalysis.bm25Search(Tables.documents(s, dir), SearchTerms),
@@ -382,16 +387,20 @@ object SparkEntry {
       val qids = Tables.embeddings(s, dir)
         .filter(col("vec_id") % 50 === 0).select(col("vec_id").as("qid"))
       val lexPerQ = qids.crossJoin(broadcast(lex))
-      val vec = Similarity.knnBrute(Tables.embeddings(s, dir), queryMod = 50, k = 20)
+      val vec = Similarity.knnLshMultiProbe(Tables.embeddings(s, dir), queryMod = 50, k = 20)
         .select(col("qid"), col("vec_id").as("doc_id"), col("rn").as("rank"))
       Retrieval.rrfFuse(Seq(lexPerQ, vec), kRrf = 60, topK = 10)
     },
     // Retrieval end-to-end: dedup-clean the corpus FIRST, then build both
-    // retrieval lists (BM25 lexical + cosine kNN) over the clean set and
-    // fuse — the operational rule "dedup before you index" (near-dup
-    // copies otherwise crowd out the top-k and the fused consensus
-    // double-counts them). Rides the memoized cluster stage; list
-    // building and fusion inherit q_doc_rrf's bounded shapes.
+    // retrieval lists (BM25 lexical + multi-probe LSH ANN) over the clean
+    // set and fuse — the operational rule "dedup before you index"
+    // (near-dup copies otherwise crowd out the top-k and the fused
+    // consensus double-counts them). Rides the memoized cluster stage;
+    // list building and fusion inherit q_doc_rrf's bounded shapes. The
+    // ANN list replaced the probe-measured-superlinear brute builder
+    // (SCALEPROBE.md: 1.10 tail exponent) — the candidate join is a
+    // bucket equi-join, so per-query work is bounded by bucket occupancy
+    // at any corpus size.
     "q_retrieval_e2e" -> { (s, dir) =>
       val c = Dedup.corpus(Tables.documents(s, dir))
       val clean = Dedup.dedupedCorpus(c, Dedup.clustersFor(c, dir))
@@ -399,7 +408,7 @@ object SparkEntry {
         TextAnalysis.bm25Search(clean, SearchTerms), "score_odds_nanos", "doc_id", 20)
       val eClean = Tables.embeddings(s, dir)
         .join(clean.select(col("doc_id").as("vec_id")).hint("shuffle_hash"), "vec_id")
-      val vec = Similarity.knnBrute(eClean, queryMod = 50, k = 20)
+      val vec = Similarity.knnLshMultiProbe(eClean, queryMod = 50, k = 20)
         .select(col("qid"), col("vec_id").as("doc_id"), col("rn").as("rank"))
       val qids = eClean.filter(col("vec_id") % 50 === 0).select(col("vec_id").as("qid"))
       Retrieval.rrfFuse(Seq(qids.crossJoin(broadcast(lex)), vec), kRrf = 60, topK = 10)
@@ -757,12 +766,16 @@ object SparkEntry {
     // ANN quality audit: recall@3 of the LSH index against brute-force
     // ground truth, per query — the measurement that gates an index
     // rollout. Both sides are existing operators; the join is
-    // (qid, vec_id)-keyed, output bounded by |queries|.
+    // (qid, vec_id)-keyed, output bounded by |queries|. The query set is
+    // capped at a CONSTANT 64 ids (smallest mod-50 vec_ids): the brute
+    // truth stage is then O(64·n) — an uncapped mod filter is a corpus
+    // fraction and the truth work would grow O(n²/50).
     "q_emb_recall" -> { (s, dir) =>
       import s.implicits._
       val emb = Tables.embeddings(s, dir)
-      val truth = Similarity.knnBrute(emb).filter($"rn" <= 3).select($"qid", $"vec_id")
-      val ann = Similarity.knnLsh(emb).select($"qid", $"vec_id")
+      val truth = Similarity.knnBrute(emb, queryCap = 64)
+        .filter($"rn" <= 3).select($"qid", $"vec_id")
+      val ann = Similarity.knnLsh(emb, queryCap = 64).select($"qid", $"vec_id")
       val hit = truth.join(ann, Seq("qid", "vec_id"), "left_semi")
         .groupBy($"qid").agg(count(lit(1)).as("n_hit"))
       truth.groupBy($"qid").agg(count(lit(1)).as("n_truth"))
@@ -1841,11 +1854,14 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
-  /** Shared RRF oracle tail (lex ranking → per-query cosine list →
-    * fusion → top-10), parameterized by the vector CTE — ONE copy of the
-    * RRF constants and tie-breaks for q_doc_rrf (over `base`) and
+  /** Shared RRF oracle tail (lex ranking → per-query multi-probe-LSH ANN
+    * list → fusion → top-10), parameterized by the vector CTE — ONE copy
+    * of the RRF constants and tie-breaks for q_doc_rrf (over `base`) and
     * q_retrieval_e2e (over the dedup-cleaned `eb`). Expects a `bm` CTE
-    * (BM25 scores) in scope.
+    * (BM25 scores) in scope. The vector list mirrors
+    * Similarity.knnLshMultiProbe (the q_emb_annmp oracle's bucket + 1-bit
+    * probe-set formulation), matching the engine's swap away from the
+    * probe-measured-superlinear brute list.
     */
   private def rrfTailSql(embCte: String): String =
     s"""lex AS (
@@ -1853,12 +1869,19 @@ object SparkEntry {
        |    ORDER BY score_odds_nanos DESC, doc_id) AS BIGINT) AS rank
        |  FROM bm
        |  QUALIFY rank <= 20),
+       |rbk AS (SELECT vec_id, emb, nrm, ${Similarity.bucketSql} AS bucket FROM $embCte),
        |q AS (SELECT vec_id AS qid, emb AS qemb, nrm AS qnrm FROM $embCte WHERE vec_id % 50 = 0),
+       |qpr AS (
+       |  SELECT qid, qemb, qnrm, unnest(probes) AS qbucket FROM (
+       |    SELECT vec_id AS qid, emb AS qemb, nrm AS qnrm,
+       |      list_prepend(bucket, list_transform(range(0, ${Similarity.NumPlanes}), j ->
+       |        xor(bucket, CAST(1 AS BIGINT) << CAST(j AS INTEGER)))) AS probes
+       |    FROM rbk WHERE vec_id % 50 = 0) t),
        |vec AS (
        |  SELECT qid, vec_id AS doc_id, rn AS rank FROM (
        |    SELECT qid, vec_id, CAST(ROW_NUMBER() OVER (PARTITION BY qid
        |      ORDER BY ${Similarity.dotSql("qemb", "emb")} / (qnrm * nrm) DESC, vec_id) AS BIGINT) AS rn
-       |    FROM q JOIN $embCte ON vec_id <> qid) t
+       |    FROM qpr JOIN rbk ON bucket = qbucket AND vec_id <> qid) t
        |  WHERE rn <= 20),
        |lists AS (
        |  SELECT qid, doc_id, rank FROM q CROSS JOIN lex
@@ -2233,7 +2256,8 @@ object SparkEntry {
     "q_emb_nprobe" ->
       s"""WITH ${Similarity.baseSql},
          |${Similarity.centroidCtesSql},
-         |q AS (SELECT vec_id AS qid, emb AS qemb, nrm AS qnrm FROM base WHERE vec_id % 50 = 0),
+         |q AS (SELECT vec_id AS qid, emb AS qemb, nrm AS qnrm FROM base
+         |      WHERE vec_id % 50 = 0 ORDER BY vec_id LIMIT 64),
          |probes AS (
          |  SELECT qid, qemb, qnrm, cell, prn FROM (
          |    SELECT q.qid, q.qemb, q.qnrm, c.cell,
@@ -2550,7 +2574,8 @@ object SparkEntry {
          |WHERE rn <= 3""".stripMargin,
     "q_emb_recall" ->
       s"""WITH ${Similarity.baseSql},
-         |q AS (SELECT vec_id AS qid, emb AS qemb, nrm AS qnrm FROM base WHERE vec_id % 50 = 0),
+         |q AS (SELECT vec_id AS qid, emb AS qemb, nrm AS qnrm FROM base
+         |      WHERE vec_id % 50 = 0 ORDER BY vec_id LIMIT 64),
          |kp AS (
          |  SELECT qid, vec_id, ${Similarity.dotSql("qemb", "emb")} / (qnrm * nrm) AS cos
          |  FROM q JOIN base ON vec_id <> qid),
@@ -2560,7 +2585,7 @@ object SparkEntry {
          |  WHERE rn <= 3),
          |bk AS (SELECT vec_id, emb, nrm, ${Similarity.bucketSql} AS bucket FROM base),
          |q2 AS (SELECT vec_id AS qid, emb AS qemb, nrm AS qnrm, bucket AS qbucket
-         |       FROM bk WHERE vec_id % 50 = 0),
+         |       FROM bk WHERE vec_id % 50 = 0 ORDER BY vec_id LIMIT 64),
          |ap AS (
          |  SELECT qid, vec_id, ${Similarity.dotSql("qemb", "emb")} / (qnrm * nrm) AS cos
          |  FROM q2 JOIN bk ON bucket = qbucket AND vec_id <> qid),
@@ -3479,7 +3504,8 @@ object SparkEntry {
     "q_er_recall" ->
       s"""WITH rec AS (
          |  SELECT CAST(p_partkey AS BIGINT) AS key, p_name AS name FROM part),
-         |sample AS (SELECT key AS key_a, name AS name_a FROM rec WHERE key % 100 = 0),
+         |sample AS (SELECT key AS key_a, name AS name_a FROM rec
+         |          WHERE key % 100 = 0 ORDER BY key LIMIT 100),
          |tr AS (
          |  SELECT key_a,
          |    min(CAST(levenshtein(name_a, name) AS BIGINT) * 8589934592 + key) AS tm

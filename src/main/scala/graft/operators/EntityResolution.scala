@@ -111,14 +111,25 @@ object EntityResolution {
     * at a worse distance. The measured miss rate is what decides
     * whether to add a third blocking pass.
     *
-    * Scale: the sample side is bounded (key % sampleMod) and broadcasts
-    * over the record table — the [[Similarity.knnBrute]] ground-truth
-    * contract; the blocked side joins back on the sample keys.
+    * Scale: the truth sample is a CONSTANT-size set — the `sampleCap`
+    * smallest keys among key % sampleMod == 0 (orderBy+limit compiles to
+    * TakeOrderedAndProject: per-partition top-k, one tiny driver merge) —
+    * NOT a corpus fraction. A fractional sample makes the truth stage
+    * O(n²/sampleMod): at 100× data that is 10,000× Levenshtein work, the
+    * corpus-derived-driver-set trap the scale probe caught in the brute
+    * contrastive-triple factory. The audit's statistical power needs a
+    * fixed n, not a fixed fraction, so the cap loses nothing; with a
+    * constant sample the exhaustive stage is O(sampleCap · n) — linear.
+    * The sample broadcasts over the record table (the
+    * [[Similarity.knnBrute]] ground-truth contract); the blocked side
+    * joins back on the sample keys.
     */
-  def blockingRecall(parts: DataFrame, sampleMod: Int = 100): DataFrame = {
+  def blockingRecall(parts: DataFrame, sampleMod: Int = 100,
+      sampleCap: Int = 100): DataFrame = {
     val rec = parts.select(col("p_partkey").cast("long").as("key"),
       col("p_name").as("name"))
     val sample = rec.filter(col("key") % sampleMod === 0)
+      .orderBy(col("key")).limit(sampleCap)
       .select(col("key").as("key_a"), col("name").as("name_a"))
     val truth = broadcast(sample).join(rec, col("key") =!= col("key_a"))
       .select(col("key_a"),

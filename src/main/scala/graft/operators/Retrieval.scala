@@ -9,9 +9,10 @@ import org.apache.spark.sql.functions._
   * the standard serving-side composition of the engine's two retrieval
   * stacks ([[TextAnalysis.bm25Search]] and [[Similarity.knnBrute]]/IVF).
   * Reference analogue: the reference serves one SQL-queryable view of its
-  * pipeline output (`src/app/consumer.py:24-52` reads the validated
-  * stream back for queries); a retrieval deployment of the same data
-  * fuses its rankers before serving, which is this operator.
+  * validated pipeline output (`src/app/order_validator.py:71-142` routes
+  * the enriched stream to the serving table that Q1 scans); a retrieval
+  * deployment of the same data fuses its rankers before serving, which is
+  * this operator.
   */
 object Retrieval {
 

@@ -53,12 +53,29 @@ object Similarity {
       .select(col("qid"), col("vec_id"), col("cos"), col("rn"))
   }
 
-  /** Brute-force top-k cosine neighbours for the query subset
-    * vec_id % queryMod == 0 (self excluded).
+  /** The query subset: vec_id % queryMod == 0, optionally capped to the
+    * `queryCap` SMALLEST such ids (orderBy+limit = TakeOrderedAndProject —
+    * per-partition top-k, no full sort). The cap exists for the AUDIT
+    * callers (recall curves, ground-truth sweeps): a mod filter alone is a
+    * corpus FRACTION, so any brute truth stage built on it is O(n²/mod) —
+    * the corpus-derived-driver-set trap the scale probe caught in the
+    * brute triple factory. An audit's statistical power needs a constant
+    * query count, not a constant fraction; production kNN callers keep
+    * the uncapped set (their per-query cost is already index-bounded).
     */
-  def knnBrute(e: DataFrame, queryMod: Int = 50, k: Int = 5): DataFrame = {
-    val base = withEmb(e).select(col("vec_id"), col("emb"), l2norm(col("emb")).as("nrm"))
+  private def querySet(base: DataFrame, queryMod: Int, queryCap: Int): DataFrame = {
     val q = base.filter(col("vec_id") % queryMod === 0)
+    if (queryCap == Int.MaxValue) q else q.orderBy(col("vec_id")).limit(queryCap)
+  }
+
+  /** Brute-force top-k cosine neighbours for the query subset
+    * vec_id % queryMod == 0 (self excluded), optionally capped to a
+    * constant query count (see [[querySet]]).
+    */
+  def knnBrute(e: DataFrame, queryMod: Int = 50, k: Int = 5,
+      queryCap: Int = Int.MaxValue): DataFrame = {
+    val base = withEmb(e).select(col("vec_id"), col("emb"), l2norm(col("emb")).as("nrm"))
+    val q = querySet(base, queryMod, queryCap)
       .select(col("vec_id").as("qid"), col("emb").as("qemb"), col("nrm").as("qnrm"))
     // the bounded query side broadcasts EXPLICITLY: on a derived input
     // (e.g. a dedup-filtered corpus) stats are unknown and the theta
@@ -125,9 +142,10 @@ object Similarity {
     )
 
   /** ANN via LSH: neighbours searched only inside the query's bucket. */
-  def knnLsh(e: DataFrame, queryMod: Int = 50, k: Int = 3): DataFrame = {
+  def knnLsh(e: DataFrame, queryMod: Int = 50, k: Int = 3,
+      queryCap: Int = Int.MaxValue): DataFrame = {
     val b = lshBuckets(e).withColumn("nrm", l2norm(col("emb")))
-    val q = b.filter(col("vec_id") % queryMod === 0)
+    val q = querySet(b, queryMod, queryCap)
       .select(col("vec_id").as("qid"), col("emb").as("qemb"), col("nrm").as("qnrm"),
         col("bucket").as("qbucket"))
     topK(q.join(b, col("bucket") === col("qbucket") && col("vec_id") =!= col("qid"))
@@ -205,14 +223,18 @@ object Similarity {
     * prn ≤ np — no per-np re-probing, because a vector's cell membership
     * is unique so candidate sets nest by construction. Counts are exact
     * integers; recall is one division. Output = |nprobes| rows.
+    *
+    * Audit contract: the query set is capped at a CONSTANT count
+    * (default 64 — see [[querySet]]) so the brute ground-truth stage is
+    * O(queryCap · n), linear in the corpus, not O(n²/queryMod).
     */
   def ivfRecallCurve(e: DataFrame, queryMod: Int = 50, k: Int = 3,
-      nprobes: Seq[Int] = Seq(1, 2, 4)): DataFrame = {
+      nprobes: Seq[Int] = Seq(1, 2, 4), queryCap: Int = 64): DataFrame = {
     require(nprobes.nonEmpty, "ivfRecallCurve needs at least one budget")
     val base = withEmb(e).select(col("vec_id"), col("label"), col("emb"),
       l2norm(col("emb")).as("nrm"))
     val cent = cellCentroids(e)
-    val q = base.filter(col("vec_id") % queryMod === 0)
+    val q = querySet(base, queryMod, queryCap)
       .select(col("vec_id").as("qid"), col("emb").as("qemb"), col("nrm").as("qnrm"))
     val probeW = Window.partitionBy(col("qid")).orderBy(col("ccos").desc, col("cell"))
     // broadcast the O(k)-row CENTROID side, not the corpus-growing query
@@ -234,7 +256,7 @@ object Similarity {
       .withColumn("rn", row_number().over(annW))
       .filter(col("rn") <= k)
       .select(col("nprobe"), col("qid"), col("vec_id"))
-    val truth = knnBrute(e, queryMod, k).select(col("qid"), col("vec_id"))
+    val truth = knnBrute(e, queryMod, k, queryCap).select(col("qid"), col("vec_id"))
     val totTruth = truth.agg(count(lit(1)).as("n_truth"))
     val hits = annAll.join(truth, Seq("qid", "vec_id"), "left_semi")
       .groupBy(col("nprobe")).agg(count(lit(1)).as("n_hit"))

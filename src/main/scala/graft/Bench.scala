@@ -68,14 +68,24 @@ object Bench {
     val firsts = timed.map { case (k, (_, t1)) => s"\"" + k + "\":" + d2(t1) }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_first":$firsts,"sf":"$sfDir"}""")
-    // Second SHORT summary line: the driver's capture window can truncate
-    // the single long per-query line (r4: parsed=null); a compact tail line
-    // keeps the round-over-round total machine-readable regardless.
+    val fullJson =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_first":$firsts,"sf":"$sfDir"}"""
+    println(fullJson)
+    // The driver's stdout capture truncates the single long per-query line
+    // (r4 and r6: parsed=null) — persist the FULL per-query + cold maps to
+    // a file so round-over-round per-query diffs never depend on capture-
+    // window luck. The path is advertised on the compact summary line.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_FULL.json")
+    try {
+      val w = new java.io.PrintWriter(outPath, "UTF-8")
+      try w.println(fullJson) finally w.close()
+    } catch { case e: Throwable => System.err.println(s"[bench] write $outPath: ${e.getMessage}") }
+    // Second SHORT summary line: the compact tail keeps the round-over-round
+    // total machine-readable even if the long line above is clipped.
     val failed = results.count(_._2 < 0)
     val slow = results.toSeq.filter(_._2 >= 0).sortBy(-_._2).take(10)
       .map { case (k, v) => s"\"" + k + "\":" + d2(v) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total_summary","value":${d2(total)},"unit":"sec","n_queries":${results.size},"n_failed":$failed,"slowest":$slow}""")
+    println(s"""{"metric":"total_summary","value":${d2(total)},"unit":"sec","n_queries":${results.size},"n_failed":$failed,"full_json_file":"$outPath","slowest":$slow}""")
     spark.stop()
   }
 }

@@ -2,9 +2,9 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, MapState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 import graft.operators.Dedup
 
@@ -94,5 +94,104 @@ object DocStream {
             out.result().iterator
           }
       }
+  }
+
+  /** [[lshCollisions]] on the Spark 4 `transformWithState` API — the
+    * migration the README verdict earmarked once `typeCountsTws` had
+    * proven the MapState mechanics. The bucket's occupant list becomes a
+    * MapState(docId → arrivalMs): admitting an occupant writes ONE map
+    * entry (its own RocksDB store key) instead of re-serializing the
+    * whole packed list — the very reason to migrate a high-fan-in bucket
+    * state — and membership checks are point lookups. The TTL maps onto
+    * an explicit event-time timer re-anchored to the bucket's latest
+    * activity (delete-old + register-new, stale firings recognized via
+    * the stored expiry instant — the house timer discipline), replacing
+    * fMGWS's single implicit timeout slot. Requires the RocksDB state
+    * store provider (state-v2 format); semantics are batch-for-batch
+    * identical to [[lshCollisions]] — prefix-clique emission up to
+    * `maxOccupants`, no self-pairs, idle buckets forgotten past `ttlMs`
+    * — and the parity/cap/TTL suite runs both twins.
+    *
+    * fMGWS form retained: it runs on the default HDFS-backed store
+    * (no provider opt-in), which keeps the operator usable on clusters
+    * that have not enabled RocksDB; this twin is the forward path.
+    */
+  def lshCollisionsTws(spark: SparkSession, docs: Dataset[StreamDoc],
+      watermarkDelay: String = "1 hour",
+      ttlMs: Long = 24L * 3600000L,
+      maxOccupants: Int = 8): Dataset[Collision] = {
+    import spark.implicits._
+    val hits = docs.toDF()
+      .select(col("ts"), col("doc_id"),
+        explode(Dedup.bandKeysNarrow(col("text"))).as("k"))
+      .filter(col("k.bh").isNotNull)
+      .select(col("ts"), col("doc_id"), col("k.band").as("band"),
+        col("k.bh").as("bh"))
+      .as[BandHit]
+    hits
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(h => (h.band, h.bh))
+      .transformWithState(new LshBucketProcessor(ttlMs, maxOccupants),
+        TimeMode.EventTime, OutputMode.Append)
+  }
+
+  private class LshBucketProcessor(ttlMs: Long, maxOccupants: Int)
+      extends StatefulProcessor[(Long, Long), BandHit, Collision] {
+    @transient private var occupants: MapState[Long, Long] = _ // docId → tsMs
+    @transient private var nOcc: ValueState[Int] = _    // occupant count (≤ cap)
+    @transient private var maxTs: ValueState[Long] = _  // bucket's latest activity
+    @transient private var expiry: ValueState[Long] = _ // registered timer instant
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      // timers, not TTLConfig: the config clock is processing-time-relative,
+      // the wrong clock for replayable feeds (same choice as EwmaProcessor)
+      occupants = getHandle.getMapState[Long, Long](
+        "occupants", Encoders.scalaLong, Encoders.scalaLong, TTLConfig.NONE)
+      nOcc = getHandle.getValueState[Int]("nocc", Encoders.scalaInt, TTLConfig.NONE)
+      maxTs = getHandle.getValueState[Long]("maxts", Encoders.scalaLong, TTLConfig.NONE)
+      expiry = getHandle.getValueState[Long]("expiry", Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: (Long, Long), rows: Iterator[BandHit],
+        tv: TimerValues): Iterator[Collision] = {
+      // same in-batch canonical order as the fMGWS twin: earlier (ts, id)
+      // plays the batch join's earlier_doc_id role for same-batch pairs
+      val evs = rows.toSeq.sortBy(e => (e.ts.getTime, e.doc_id))
+      var n = if (nOcc.exists()) nOcc.get() else 0
+      var mts = if (maxTs.exists()) maxTs.get() else Long.MinValue
+      val out = Seq.newBuilder[Collision]
+      for (e <- evs) {
+        if (!occupants.containsKey(e.doc_id)) {
+          // full prefix clique up to the cap: one collision per STORED
+          // occupant (map iteration order is irrelevant — pair SET parity)
+          occupants.iterator().foreach { p =>
+            out += Collision(e.doc_id, key._1, key._2, p._1)
+          }
+          if (n < maxOccupants) {
+            occupants.updateValue(e.doc_id, e.ts.getTime) // ONE entry written
+            n += 1
+          }
+        } // else: doc re-seen — no self-pairs, no duplicate entry
+        mts = math.max(mts, e.ts.getTime)
+      }
+      if (n > 0) {
+        nOcc.update(n)
+        maxTs.update(mts)
+        val newExpiry = math.max(mts + ttlMs, tv.getCurrentWatermarkInMs + 1)
+        if (expiry.exists() && expiry.get() != newExpiry)
+          getHandle.deleteTimer(expiry.get())
+        getHandle.registerTimer(newExpiry)
+        expiry.update(newExpiry)
+      }
+      out.result().iterator
+    }
+
+    override def handleExpiredTimer(key: (Long, Long), tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[Collision] = {
+      if (expiry.exists() && expiry.get() == info.getExpiryTimeInMs) {
+        occupants.clear(); nOcc.clear(); maxTs.clear(); expiry.clear()
+      }
+      Iterator.empty
+    }
   }
 }

@@ -582,6 +582,121 @@ class StatefulOpsSpec extends SparkSpec {
       "the post-purge copy must become the new occupant")
   }
 
+  test("transformWithState LSH twin: clique + cross-batch parity with the fMGWS twin") {
+    import graft.streaming.DocStream
+    import DocStream.{StreamDoc, Collision}
+    implicit val ctx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val tA = "the quick brown fox jumps over the lazy dog near the river bank today"
+      val tB = "completely different content about distributed query engines and shuffle planning"
+      // three copies of tA across batches (the clique case) + one unrelated
+      val batches = Seq(
+        Seq(StreamDoc(ts("2024-01-01 00:00:00"), 1L, tA),
+          StreamDoc(ts("2024-01-01 00:00:10"), 2L, tB)),
+        Seq(StreamDoc(ts("2024-01-01 00:01:00"), 3L, tA)),
+        Seq(StreamDoc(ts("2024-01-01 00:02:00"), 4L, tA)))
+      val ms = MemoryStream[StreamDoc]
+      val q = DocStream.lshCollisionsTws(spark, ms.toDS())
+        .writeStream.format("memory").queryName("lshtws").outputMode("append").start()
+      batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+      q.stop()
+      val tws = spark.table("lshtws").as[Collision].collect()
+      val pairs = tws.map(c => (c.earlier_doc_id, c.doc_id)).distinct.toSeq.sorted
+      // full prefix clique, bridged across micro-batches
+      assert(pairs === Seq((1L, 3L), (1L, 4L), (3L, 4L)), s"got $pairs")
+      // an exact copy collides on every band
+      assert(tws.count(c => c.doc_id == 3L) ===
+        graft.operators.Dedup.NumHashes / graft.operators.Dedup.BandSize,
+        "an exact copy must collide on all 8 bands")
+      // API parity: the fMGWS twin on the SAME feed emits the SAME
+      // (band, bh, pair) multiset
+      val ms2 = MemoryStream[StreamDoc]
+      val q2 = DocStream.lshCollisions(spark, ms2.toDS())
+        .writeStream.format("memory").queryName("lshtws_f").outputMode("append").start()
+      batches.foreach { b => ms2.addData(b); q2.processAllAvailable() }
+      q2.stop()
+      val fmgws = spark.table("lshtws_f").as[Collision].collect()
+      def norm(cs: Array[Collision]) =
+        cs.map(c => (c.band, c.bh, c.earlier_doc_id, c.doc_id)).toSeq.sorted
+      assert(norm(tws) === norm(fmgws),
+        "the two stateful APIs must emit identical collision streams")
+    } finally {
+      old match { case Some(v) => spark.conf.set(key, v); case None => spark.conf.unset(key) }
+    }
+  }
+
+  test("transformWithState LSH twin: occupant cap — overflow docs pair but are not retained") {
+    import graft.streaming.DocStream
+    import DocStream.{StreamDoc, Collision}
+    implicit val ctx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val tA = "the quick brown fox jumps over the lazy dog near the river bank today"
+      val ms = MemoryStream[StreamDoc]
+      val q = DocStream.lshCollisionsTws(spark, ms.toDS(), maxOccupants = 2)
+        .writeStream.format("memory").queryName("lshtws_cap").outputMode("append").start()
+      (1 to 4).foreach { i =>
+        ms.addData(Seq(StreamDoc(ts(f"2024-01-01 00:0$i%d:00"), i.toLong, tA)))
+        q.processAllAvailable()
+      }
+      q.stop()
+      val pairs = spark.table("lshtws_cap").as[Collision].collect()
+        .map(c => (c.earlier_doc_id, c.doc_id)).distinct.toSeq.sorted
+      // docs 1,2 stored (cap=2, nOcc persisted across batches); docs 3,4
+      // each collide with both stored occupants but never with each other
+      assert(pairs === Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L)),
+        s"got $pairs")
+    } finally {
+      old match { case Some(v) => spark.conf.set(key, v); case None => spark.conf.unset(key) }
+    }
+  }
+
+  test("transformWithState LSH twin: timer purges an idle bucket after the TTL window") {
+    import graft.streaming.DocStream
+    import DocStream.{StreamDoc, Collision}
+    implicit val ctx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val tA = "the quick brown fox jumps over the lazy dog near the river bank today"
+      val tB = "completely different content about distributed query engines and shuffle planning"
+      val tC = "yet another unrelated document mentioning warehouses lakes and iceberg tables"
+      val ms = MemoryStream[StreamDoc]
+      val q = DocStream.lshCollisionsTws(spark, ms.toDS(),
+          watermarkDelay = "1 minute", ttlMs = 3600000L)
+        .writeStream.format("memory").queryName("lshtws_ttl").outputMode("append").start()
+      ms.addData(Seq(StreamDoc(ts("2024-01-01 00:00:00"), 1L, tA)))
+      q.processAllAvailable()
+      // advance the watermark far past doc 1's TTL, then let the timer
+      // fire in a batch where doc 1's buckets receive no data
+      ms.addData(Seq(StreamDoc(ts("2024-01-30 00:00:00"), 2L, tB)))
+      q.processAllAvailable()
+      ms.addData(Seq(StreamDoc(ts("2024-01-30 00:01:00"), 3L, tC)))
+      q.processAllAvailable()
+      ms.addData(Seq(StreamDoc(ts("2024-01-30 00:02:00"), 4L, tA)))
+      q.processAllAvailable()
+      ms.addData(Seq(StreamDoc(ts("2024-01-30 00:03:00"), 5L, tA)))
+      q.processAllAvailable(); q.stop()
+      val got = spark.table("lshtws_ttl").as[Collision].collect()
+        .map(c => (c.earlier_doc_id, c.doc_id)).distinct.toSeq.sorted
+      assert(!got.contains((1L, 4L)),
+        "a timer-purged occupant must not produce collisions")
+      assert(got.contains((4L, 5L)),
+        "the post-purge copy must become the new occupant")
+    } finally {
+      old match { case Some(v) => spark.conf.set(key, v); case None => spark.conf.unset(key) }
+    }
+  }
+
   test("funnel: stage order enforced — pre-view clicks and pre-click purchases don't count") {
     import org.apache.spark.sql.functions._
     val ev = Seq(

@@ -616,6 +616,14 @@ object Curation {
     * different sizes comparable. Same conservative explicit-class
     * regexes as [[redact]], same Java/RE2 parity argument.
     *
+    * The classes are DISJOINT: digit runs are counted on text with
+    * emails already replaced (mirroring [[redact]]'s sequential
+    * replacement order), so a 6+-digit run inside an email's local part
+    * counts once as an email — not once per class, which would inflate
+    * the summed pii_per_mchar rate for sources whose emails carry long
+    * numeric local parts. IPv4 octets are ≤3 digits, so that class never
+    * overlapped [[LongNumRe]] to begin with.
+    *
     * Exactness: all counts are integer sums; the rate is ONE division of
     * exact integers at the end (IEEE-identical across engines). NULL
     * text contributes nothing to any count.
@@ -628,7 +636,8 @@ object Curation {
       col("source"),
       length(col("text")).cast("long").as("nc"),
       regexp_count(col("text"), lit(EmailRe)).cast("long").as("em"),
-      regexp_count(col("text"), lit(LongNumRe)).cast("long").as("nm"),
+      regexp_count(regexp_replace(col("text"), EmailRe, "<email>"),
+        lit(LongNumRe)).cast("long").as("nm"),
       regexp_count(col("text"), lit(Ipv4Re)).cast("long").as("ip"))
     scanned.groupBy(col("source"))
       .agg(
@@ -651,7 +660,8 @@ object Curation {
     s"""WITH s AS (
        |  SELECT source, CAST(length(text) AS BIGINT) AS nc,
        |    CAST(len(regexp_extract_all(text, '$EmailRe')) AS BIGINT) AS em,
-       |    CAST(len(regexp_extract_all(text, '$LongNumRe')) AS BIGINT) AS nm,
+       |    CAST(len(regexp_extract_all(
+       |      regexp_replace(text, '$EmailRe', '<email>', 'g'), '$LongNumRe')) AS BIGINT) AS nm,
        |    CAST(len(regexp_extract_all(text, '$Ipv4Re')) AS BIGINT) AS ip
        |  FROM $src)
        |SELECT source, COUNT(*) AS n_docs,

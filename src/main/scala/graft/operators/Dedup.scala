@@ -538,16 +538,27 @@ object Dedup {
     * later callers reuse it. Keyed by [[graft.sources.Tables.dataKey]]
     * (sessionUUID + dir + file-listing fingerprint) so test fixtures on
     * other corpora, restarted sessions, AND a regenerated dir within one
-    * session never collide; entries live for the session (bounded: one
-    * small table per (session, dir, data generation)).
+    * session never collide. The map is a size-bounded LRU
+    * ([[graft.sources.StageMemo]]): a session that re-fingerprints a
+    * regenerated dir mints a fresh key per generation, and without
+    * eviction each generation's checkpointed table would pin its blocks
+    * for the session's lifetime. [[clearMemos]] releases everything
+    * explicitly (e.g. between corpus generations in a long-lived
+    * service).
     */
-  private val clusterMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private val clusterMemo = new graft.sources.StageMemo[DataFrame](16)
 
   def clustersFor(c: DataFrame, dir: String): DataFrame =
-    clusterMemo.computeIfAbsent(
-      graft.sources.Tables.dataKey(c.sparkSession, dir),
-      _ => duplicateClusters(verifiedPairs(c)))
+    clusterMemo.getOrCompute(
+      graft.sources.Tables.dataKey(c.sparkSession, dir))(
+      duplicateClusters(verifiedPairs(c)))
+
+  /** Drop every memoized cluster table; their checkpoint blocks become
+    * collectable. For long-lived sessions that regenerate corpora.
+    */
+  def clearMemos(): Unit = clusterMemo.clear()
+
+  private[graft] def memoSize: Int = clusterMemo.size
 
   def duplicateClusters(pairs: DataFrame): DataFrame = {
     var edges = pairs

@@ -652,14 +652,20 @@ object Similarity {
     * centroids are eagerly checkpointed (k rows — trivial) so the
     * memoized frame is a short plan safe to reuse across queries.
     */
-  private val centsMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private val centsMemo = new graft.sources.StageMemo[DataFrame](16)
 
   def kmeansFitMemo(e: DataFrame, dir: String, variant: String,
       k: Int = 8, iters: Int = 2): DataFrame =
-    centsMemo.computeIfAbsent(
-      graft.sources.Tables.dataKey(e.sparkSession, dir, variant) + s"|$k|$iters",
-      _ => kmeansFit(e, k, iters).localCheckpoint())
+    centsMemo.getOrCompute(
+      graft.sources.Tables.dataKey(e.sparkSession, dir, variant) + s"|$k|$iters")(
+      kmeansFit(e, k, iters).localCheckpoint())
+
+  /** Drop every memoized centroid table (same lifecycle contract as
+    * [[Dedup.clearMemos]]).
+    */
+  def clearMemos(): Unit = centsMemo.clear()
+
+  private[graft] def memoSize: Int = centsMemo.size
 
   /** Semantic topic profile — the cross-modal "what lives in each
     * embedding cluster" audit a curation run reads before reweighting:

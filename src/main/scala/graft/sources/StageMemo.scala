@@ -1,0 +1,43 @@
+package graft.sources
+
+/** Size-bounded access-order (LRU) memo for checkpointed stage tables
+  * ([[graft.operators.Dedup.clustersFor]],
+  * [[graft.operators.Similarity.kmeansFitMemo]]).
+  *
+  * Why bounded: memo keys include the data-dir FINGERPRINT
+  * ([[Tables.dataKey]]), so a long-lived session that repeatedly
+  * regenerates a dir mints a fresh key per generation — an unbounded map
+  * would accumulate one checkpointed table per generation forever.
+  * Eviction drops the eldest-by-access entry past `maxEntries`; the
+  * evicted DataFrame's checkpoint blocks are reclaimed by Spark's
+  * ContextCleaner once the frame is unreachable (the same lifecycle the
+  * previous abandon-on-regenerate behavior relied on, now with a hard
+  * bound instead of "bounded for any realistic session").
+  *
+  * Concurrency: one lock around lookup+build. A concurrent builder of a
+  * DIFFERENT key waits — acceptable here because the driver contract
+  * runs queries sequentially and a memoized stage build is seconds; the
+  * lock buys the important guarantee that one key never builds twice.
+  */
+final class StageMemo[V](maxEntries: Int = 16) {
+  private val map = new java.util.LinkedHashMap[String, V](16, 0.75f, true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[String, V]): Boolean =
+      size() > maxEntries
+  }
+
+  def getOrCompute(key: String)(build: => V): V = map.synchronized {
+    val cur = map.get(key)
+    if (cur != null) cur
+    else {
+      val v = build
+      map.put(key, v)
+      v
+    }
+  }
+
+  def size: Int = map.synchronized(map.size())
+
+  def contains(key: String): Boolean = map.synchronized(map.containsKey(key))
+
+  def clear(): Unit = map.synchronized(map.clear())
+}

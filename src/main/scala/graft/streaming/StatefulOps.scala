@@ -229,8 +229,11 @@ object StatefulOps {
     * gap the README migration verdict names).
     *
     * Semantics: an event merges into the open session iff its [t, t+gap)
-    * window OVERLAPS it — `session_window`'s rule, so a late event more
-    * than gap BEFORE the session start does NOT extend it backwards
+    * window touches or overlaps it — `session_window`'s rule, inclusive
+    * at BOTH boundaries (batch merges touching half-open windows: two
+    * events exactly gap apart form ONE session, verified empirically, so
+    * the backward guard is `t + gap >= start`). A late event STRICTLY
+    * more than gap before the session start does NOT extend it backwards
     * (batch would make it a separate session; it emits here as its own
     * already-closed single-event session). A gap-exceeding future event
     * CLOSES the open session (emitting it) and opens a new one; the
@@ -285,14 +288,17 @@ object StatefulOps {
         val t = e.ts.getTime
         cur = cur match {
           case None => Some(SessionState(t, t, 1L, cents(e.value)))
-          // merge iff the event's [t, t+gap) window OVERLAPS the open
-          // session — session_window's rule. The backward bound matters:
-          // a late event more than gap BEFORE the session start belongs
-          // to a SEPARATE earlier session, not this one
-          case Some(s) if t <= s.lastMs + gapMs && t + gapMs > s.startMs =>
+          // merge iff the event's [t, t+gap) window TOUCHES-OR-OVERLAPS
+          // the open session — session_window's rule merges touching
+          // half-open windows on BOTH sides (two events exactly gap
+          // apart form ONE batch session), so both bounds are inclusive:
+          // forward t <= last+gap, backward t+gap >= start. A late event
+          // STRICTLY more than gap before the session start belongs to a
+          // separate earlier session
+          case Some(s) if t <= s.lastMs + gapMs && t + gapMs >= s.startMs =>
             Some(SessionState(math.min(s.startMs, t), math.max(s.lastMs, t),
               s.n + 1, s.sumCents + cents(e.value)))
-          case Some(s) if t + gapMs <= s.startMs =>
+          case Some(s) if t + gapMs < s.startMs =>
             // too-old late event: emit it as its own already-closed
             // session [t, t+gap) — the batch answer when it stands alone
             // (further late events near it would merge in batch; that

@@ -47,9 +47,10 @@ import graft.{Engine, SparkEntry}
   */
 object ScaleProbe {
 
-  /** sf0.1-equivalent base sizes (driver's documents/embeddings rows). */
+  /** sf0.1-equivalent base sizes (driver's documents/embeddings/part rows). */
   val BaseDocs  = 5000L
   val BaseVecs  = 2000L
+  val BaseParts = 5000L
   val EmbDim    = 64
 
   val ProbeQueries = Seq(
@@ -58,7 +59,12 @@ object ScaleProbe {
     // round-6 compositions: the contrastive-triple factory and the
     // dedup→index→fuse retrieval pipeline (both ride the memoized
     // cluster stage — q_dedup_clusters pays the build first)
-    "q_pipeline_pairs", "q_retrieval_e2e")
+    "q_pipeline_pairs", "q_retrieval_e2e",
+    // round-7 additions: the two constant-capped ground-truth audits
+    // (whose uncapped forms are O(n²/mod) by construction — the probe
+    // verifies the caps actually hold the tails down) and the two
+    // never-probed retrieval/text compositions
+    "q_er_recall", "q_emb_recall", "q_doc_rrf", "q_doc_sbackoff")
 
   /** Heaps-ish vocabulary size: 30 tokens at the 5k-doc base (the real
     * table's vocabulary), growing with sqrt(n).
@@ -89,6 +95,29 @@ object ScaleProbe {
       .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
   }
 
+  /** Part-like records for the ER queries: 5-word names drawn from a
+    * Heaps-growing vocabulary (same [[vocabSize]] law as documents), so
+    * conjunctive-bigram BLOCK sizes stay scale-invariant (~n/v² per
+    * (w1,w2) key — v² grows linearly with n) — the growing-catalog
+    * shape, not the frozen-vocab artifact that would quadratically
+    * inflate blocks. One row in five reuses the previous group's name
+    * seed (id%5==4 copies id−4): a fixed planted density of exact-twin
+    * names, so both bestMatch stages (twin aggregation + fuzzy blocking)
+    * carry probe load at every scale.
+    */
+  def synthParts(spark: SparkSession, n: Long): DataFrame = {
+    val v = vocabSize(n)
+    spark.range(n).toDF("p_partkey")
+      .withColumn("seed",
+        when(col("p_partkey") % 5 === 4, col("p_partkey") - 4)
+          .otherwise(col("p_partkey")))
+      .withColumn("p_name", array_join(
+        transform(sequence(lit(0), lit(4)),
+          i => concat(lit("c"), pmod(xxhash64(col("seed"), i, lit("pn")), lit(v)))),
+        " "))
+      .select(col("p_partkey"), col("p_name"))
+  }
+
   /** Embeddings with 10 hash-derived label centers + per-vector noise —
     * the same cluster geometry at every scale.
     */
@@ -115,6 +144,9 @@ object ScaleProbe {
     if (missing("embeddings"))
       synthEmbeddings(spark, BaseVecs * mult)
         .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    if (missing("part"))
+      synthParts(spark, BaseParts * mult)
+        .write.mode("overwrite").parquet(s"$dir/part.parquet")
   }
 
   private def timeQuery(spark: SparkSession, name: String, dir: String): Double = {

@@ -34,6 +34,21 @@ class PiiRateSpec extends SparkSpec {
     assert(s2.getAs[Long]("n_num_hits") === 0L, "a 5-digit run is not a long number")
   }
 
+  test("a long digit run inside an email counts once, as an email") {
+    // the classes are disjoint: digit runs are counted on text with
+    // emails already replaced (redact's sequential order), so a numeric
+    // local part is email-only — the summed rate must not double-count
+    val rows = Seq(
+      (1L, "mail 123456789@example.com and account 987654321", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    val r = Curation.piiRate(rows).collect().head
+    assert(r.getAs[Long]("n_email_hits") === 1L)
+    assert(r.getAs[Long]("n_num_hits") === 1L,
+      "only the bare digit run counts — the email's local part is stripped first")
+    val nChars = r.getAs[Long]("n_chars")
+    assert(r.getAs[Double]("pii_per_mchar") === 2.0 * 1000000.0 / nChars.toDouble)
+  }
+
   test("IPv4 octets never double-count as long digit runs") {
     val rows = Seq((1L, "ip 255.255.255.255 here", "en", "s"))
       .toDF("doc_id", "text", "lang", "source")

@@ -57,6 +57,26 @@ class ScaleProbeSpec extends SparkSpec {
       s"label centers look collapsed on dim 0: $m0")
   }
 
+  test("synthParts: 5-word Heaps-vocab names with fixed exact-twin density") {
+    val p = ScaleProbe.synthParts(spark, 500).cache()
+    assert(p.columns.toSeq === Seq("p_partkey", "p_name"))
+    assert(p.count() === 500)
+    // every name is exactly 5 words (both blocking bigrams always valid)
+    assert(p.filter(size(split(col("p_name"), " ")) =!= 5).count() === 0)
+    // planted twins: id%5==4 copies id-4's name → exactly n/5 duplicated
+    // rows, so distinct names = n - n/5
+    assert(p.select("p_name").distinct().count() === 400)
+    val twin = p.filter(col("p_partkey") % 5 === 4)
+      .select(col("p_partkey").as("k2"), col("p_name").as("n2"))
+    val joined = p.join(twin, col("p_partkey") === col("k2") - 4)
+    assert(joined.filter(col("p_name") =!= col("n2")).count() === 0,
+      "id%5==4 must carry an exact copy of id-4's name")
+    // name vocabulary follows the same Heaps law as documents
+    val words = p.select(explode(split(col("p_name"), " ")).as("w")).distinct().count()
+    assert(words === ScaleProbe.vocabSize(500),
+      s"part-name vocab $words != declared ${ScaleProbe.vocabSize(500)}")
+  }
+
   test("planted-dup density is scale-invariant through Dedup.corpus") {
     // the probe relies on Dedup.corpus planting dups at fixed doc_id-modulo
     // density: corpus(n docs) = n + n/10 near + n/20 exact rows

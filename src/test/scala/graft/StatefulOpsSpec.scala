@@ -279,6 +279,47 @@ class StatefulOpsSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState sessionizer: a late event at EXACTLY start-gap merges (touching windows)") {
+    import StatefulOps.{Event, SessionOut}
+    import org.apache.spark.sql.functions._
+    implicit val ctx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val evs = Seq(Event(ts("2024-01-01 12:00:00"), 1L, "click", 1.0),
+        Event(ts("2024-01-01 08:00:00"), 1L, "view", 2.0)) // exactly gap before
+      val ms = MemoryStream[Event]
+      val q = StatefulOps.sessionizeTws(spark, ms.toDS(),
+          gapMs = 4L * 3600000L, watermarkDelay = "1 day")
+        .writeStream.format("memory").queryName("sessions_touch").outputMode("append").start()
+      // 12:00 first, then the late 08:00 whose [08:00, 12:00) window
+      // TOUCHES the open session's start — batch session_window merges
+      // touching half-open windows, so the twin must too
+      evs.foreach { e => ms.addData(Seq(e)); q.processAllAvailable() }
+      ms.addData(Seq(Event(ts("2024-01-03 00:00:00"), 99L, "click", 0.0)))
+      q.processAllAvailable()
+      ms.addData(Seq(Event(ts("2024-01-03 00:00:01"), 99L, "click", 0.0)))
+      q.processAllAvailable(); q.stop()
+      val got = spark.table("sessions_touch").as[SessionOut].collect()
+        .filter(_.user_id == 1L)
+        .map(s => (s.s_start.getTime, s.s_end.getTime, s.n, s.sum_value)).toSeq
+      // ground truth from batch session_window on the same two events
+      val want = evs.toDF()
+        .groupBy(session_window($"ts", "4 hours"), $"user_id")
+        .agg(count(lit(1)).as("n"), sum($"value").as("sum_value"))
+        .select($"session_window.start", $"session_window.end", $"n", $"sum_value")
+        .collect()
+        .map(r => (r.getTimestamp(0).getTime, r.getTimestamp(1).getTime,
+          r.getLong(2), r.getDouble(3))).toSeq
+      assert(want.size === 1, s"batch merges touching windows into one session: $want")
+      assert(got === want, s"stream $got must equal batch $want at the exact boundary")
+    } finally {
+      old match { case Some(v) => spark.conf.set(key, v); case None => spark.conf.unset(key) }
+    }
+  }
+
   test("transformWithState funnel: cross-batch stages, batch parity, single conversion") {
     import StatefulOps.{KeyedEvent, Conversion}
     import org.apache.spark.sql.functions._

@@ -10,6 +10,7 @@ import graft.sources.Tables
   * fingerprint) and the recursive NTZ normalization.
   */
 class TablesSpec extends SparkSpec {
+  import spark.implicits._
 
   test("dataKey is stable for an unchanged dir and distinct across dirs/variants") {
     val k1 = Tables.dataKey(spark, Sf)
@@ -41,6 +42,60 @@ class TablesSpec extends SparkSpec {
   test("dataKey on a missing dir does not throw (marks it absent)") {
     val k = Tables.dataKey(spark, "/tmp/graft-no-such-dir-xyz")
     assert(k.contains("absent"))
+  }
+
+  test("StageMemo: LRU-bounded under repeated key regeneration; clear() empties") {
+    val memo = new graft.sources.StageMemo[String](4)
+    var builds = 0
+    def get(k: String) = memo.getOrCompute(k) { builds += 1; "v" + k }
+    // memo hit: second lookup of a live key does not rebuild
+    get("g1"); get("g1")
+    assert(builds === 1)
+    // a regenerating dir mints a fresh key per generation — the map must
+    // stay bounded however many generations pass
+    (2 to 20).foreach(i => get("g" + i))
+    assert(memo.size === 4, s"memo grew past its bound: ${memo.size}")
+    // eldest-by-access evicted, most recent retained
+    assert(!memo.contains("g1"))
+    assert(memo.contains("g20"))
+    // access refreshes recency: touching g17 then inserting one more
+    // evicts g18 (the eldest), not g17
+    get("g17")
+    get("g21")
+    assert(memo.contains("g17") && !memo.contains("g18"))
+    memo.clear()
+    assert(memo.size === 0)
+    // rebuilt after clear (fresh entry, not a stale survivor)
+    val b0 = builds
+    get("g21")
+    assert(builds === b0 + 1)
+  }
+
+  test("Dedup/Similarity memos: clearMemos releases entries; next call rebuilds") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+    val c = graft.operators.Dedup.corpus(docs)
+    val dir = "/tmp/graft-memo-spec-dir" // key only; fingerprint = absent
+    val first = graft.operators.Dedup.clustersFor(c, dir)
+    assert(graft.operators.Dedup.memoSize >= 1)
+    // memo hit returns the SAME frame instance
+    assert(graft.operators.Dedup.clustersFor(c, dir) eq first)
+    graft.operators.Dedup.clearMemos()
+    assert(graft.operators.Dedup.memoSize === 0)
+    assert(!(graft.operators.Dedup.clustersFor(c, dir) eq first),
+      "after clearMemos a fresh stage table must be built")
+    graft.operators.Dedup.clearMemos()
+    val e = Seq((0L, Array.fill(4)(0.1f), 0), (1L, Array.fill(4)(0.9f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val cents = graft.operators.Similarity.kmeansFitMemo(e, dir, "spec", k = 2, iters = 1)
+    assert(graft.operators.Similarity.memoSize >= 1)
+    assert(graft.operators.Similarity.kmeansFitMemo(e, dir, "spec", k = 2, iters = 1) eq cents)
+    graft.operators.Similarity.clearMemos()
+    assert(graft.operators.Similarity.memoSize === 0)
   }
 
   test("NTZ normalization recurses into struct, array, and map types") {

@@ -591,6 +591,14 @@ object SparkEntry {
       Dedup.spanRemovalReport(Dedup.corpus(Tables.documents(s, dir)))
     },
 
+    // ExactSubstr-style maximal repeated token spans (seed-and-merge):
+    // 5-gram seeds repeated ≥2× anywhere in the corpus, merged per doc
+    // via gaps-and-islands — the substring-level signal doc-level
+    // MinHash misses; one hash-keyed shuffle, never an all-pairs join.
+    "q_dedup_rspans" -> { (s, dir) =>
+      Dedup.repeatedSpans(Dedup.corpus(Tables.documents(s, dir)))
+    },
+
     // MinHash Jaccard estimate per candidate pair — the verify stage that
     // costs one row per pair (no shingle re-join) when exactness can
     // yield; exact copies estimate 1.0 by construction.
@@ -832,6 +840,14 @@ object SparkEntry {
     "q_emb_cellbal" -> { (s, dir) =>
       val e = Tables.embeddings(s, dir)
       Similarity.cellBalance(e, Similarity.kmeansFitMemo(e, dir, "all"))
+    },
+    // Simplified-silhouette cluster-quality audit: per cell, the mean of
+    // (1 − a/b) over members (a = own-centroid distance, b =
+    // second-nearest) — the k-picker / degenerate-quantizer gate. Rides
+    // the memoized centroid table; quantized order-free sums; k rows out.
+    "q_emb_silhouette" -> { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+      Similarity.silhouette(e, Similarity.kmeansFitMemo(e, dir, "all"))
     },
     // Embedding-corpus health audit: per-label non-finite / zero /
     // extreme-norm counts, dim range, healthy-subset mean norm — the QA
@@ -2656,6 +2672,9 @@ object SparkEntry {
     "q_emb_cellbal" ->
       s"""WITH ${Similarity.kmeansCtes()},
          |${Similarity.cellBalanceSql()}""".stripMargin,
+    "q_emb_silhouette" ->
+      s"""WITH ${Similarity.kmeansCtes()},
+         |${Similarity.silhouetteTailSql()}""".stripMargin,
     "q_emb_health" -> Similarity.embeddingHealthSql(),
     "q_emb_bitext" -> Similarity.bitextMineSql(),
     "q_emb_topics" ->
@@ -3087,6 +3106,9 @@ object SparkEntry {
          |  CAST(count(CASE WHEN key <> k THEN 1 END) AS DOUBLE)
          |    / CAST(COUNT(*) AS DOUBLE) AS removed_frac
          |FROM keyed JOIN keep USING (para) GROUP BY doc_id""".stripMargin,
+    "q_dedup_rspans" ->
+      s"""WITH ${Dedup.corpusSql},
+         |${Dedup.repeatedSpansSql}""".stripMargin,
     "q_dedup_cross" ->
       s"""WITH ${Dedup.corpusSql},
          |newdocs AS (SELECT doc_id, lang, text FROM corpus WHERE doc_id >= 1000000),

@@ -772,6 +772,77 @@ object Dedup {
           .as("removed_frac"))
   }
 
+  /** ExactSubstr-style repeated-span sweep (Lee et al. 2021,
+    * "Deduplicating Training Data Makes Language Models Better",
+    * arXiv:2107.06499 — the seed-and-merge approximation): every
+    * position whose `SpanSeedLen`-token window occurs ≥ 2 times ANYWHERE
+    * in the corpus (other docs or the same doc — boilerplate repeats
+    * in-document) is a seed; per doc, consecutive seed positions merge
+    * into MAXIMAL repeated spans via gaps-and-islands (pos − row_number
+    * grouping). Output: one row per maximal span with its token extent —
+    * the substring-level dedup signal that doc-level MinHash misses
+    * (a long quote inside an otherwise-novel doc) and that
+    * [[spanRemovalReport]]'s fixed paragraph blocks only approximate at
+    * 20-token granularity.
+    *
+    * Semantics note: two overlapping seeds may repeat AT DIFFERENT
+    * far-side locations; the merged span is then "every position here is
+    * part of SOME repeat", not "this exact span repeats verbatim" — the
+    * standard seed-merge over-approximation (the paper's suffix-array
+    * form is exact but inherently sequential; the seed form is what
+    * shards).
+    *
+    * Scale: the seed stream is one narrow pass (n_tokens rows); the one
+    * corpus-sized shuffle is the seed-hash groupBy (map-side
+    * combinable); the repeated-hash table joins back SHUFFLE_HASH on the
+    * hash (corpus-derived — never broadcast); the island merge windows
+    * on high-cardinality doc_id. Nothing all-pairs: a span is found
+    * WITHOUT ever joining the two repeating docs against each other.
+    */
+  val SpanSeedLen = 5
+
+  def repeatedSpans(c: DataFrame): DataFrame = {
+    val l = SpanSeedLen
+    val tk = c.select(col("doc_id"), tokens(col("text")).as("toks"))
+    // per-position l-gram polynomial hash; sequence() needs size >= l
+    // (Spark's sequence DECREASES for stop < start — filter, don't clamp)
+    val sh = tk.filter(size(col("toks")) >= l)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(1), size(col("toks")) - (l - 1)),
+          i => stringHash(concat_ws(" ", slice(col("toks"), i, lit(l))))))
+          .as(Seq("pos", "h")))
+    val rep = sh.groupBy(col("h")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select(col("h"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    sh.join(rep.hint("shuffle_hash"), Seq("h"))
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) + lit(l - 1)).cast("long").as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("n_tokens"))
+  }
+
+  /** DuckDB mirror of [[repeatedSpans]] over the `corpus` CTE. */
+  def repeatedSpansSql: String = {
+    val l = SpanSeedLen
+    val gram = (0 until l).map(j => s"toks[i+$j]").mkString(" || ' ' || ")
+    s"""rsh AS (
+       |  SELECT doc_id,
+       |    unnest(list_transform(range(1, len(toks) - ${l - 2}), i -> {'pos': i - 1,
+       |      'h': ${hashSql(gram)}}), recursive := true)
+       |  FROM (SELECT doc_id, $toksSql AS toks FROM corpus)),
+       |rrep AS (SELECT h FROM rsh GROUP BY h HAVING COUNT(*) >= 2),
+       |risl AS (
+       |  SELECT doc_id, pos,
+       |    pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+       |  FROM rsh JOIN rrep USING (h))
+       |SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+       |  CAST(MAX(pos) + ${l - 1} AS BIGINT) AS span_end,
+       |  CAST(MAX(pos) + ${l - 1} - MIN(pos) + 1 AS BIGINT) AS n_tokens
+       |FROM risl GROUP BY doc_id, grp""".stripMargin
+  }
+
   // ---- DuckDB oracle mirrors ---------------------------------------------
 
   /** Mirror of [[paragraphs]] over the `corpus` CTE (1-based subscripts →

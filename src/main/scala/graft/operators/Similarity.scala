@@ -1141,6 +1141,71 @@ object Similarity {
   def l2sqSql(a: String, b: String): String =
     s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(list_zip($a, $b), p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))), (x, y) -> x + y)"
 
+  /** Simplified-silhouette cluster-quality audit — the read-out that
+    * picks k and catches a degenerate quantizer BEFORE the IVF index
+    * ships (a cell whose members sit nearly as close to a neighboring
+    * centroid scores ≈ 0 and will thrash under nprobe=1). Per vector,
+    * s = (b − a)/max(a, b) with a = distance to its OWN (nearest)
+    * centroid and b = distance to the second-nearest — the
+    * centroid-based simplification of the classic silhouette (Rousseeuw
+    * 1987): the full form needs all pairwise intra-cluster distances,
+    * O(n²) per cell; the simplified form is the standard at-scale
+    * substitute and needs only the k-row centroid table. Since a ≤ b by
+    * construction, s = 1 − a/b (0 when both are 0).
+    *
+    * Exactness: per-vector s is quantized to the house 2^24 fixed point
+    * before the cross-partition sum (order-free integer arithmetic, one
+    * final division — the centroid-mean discipline). Scale: ONE narrow
+    * pass over the corpus against the BROADCAST k-row centroid table
+    * (the provably-safe broadcast), one rn ≤ 2 window per vector, one
+    * grouped roll-up; output = k rows.
+    */
+  def silhouette(e: DataFrame, cents: DataFrame): DataFrame = {
+    val base = withEmb(e).select(col("vec_id"), col("emb"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cell"))
+    val two = base.crossJoin(broadcast(cents))
+      .withColumn("d2", l2sq(col("emb"), col("cemb")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+    val per = two.groupBy(col("vec_id")).agg(
+      max(when(col("rn") === 1, col("cell"))).as("cell"),
+      max(when(col("rn") === 1, col("d2"))).as("a2"),
+      max(when(col("rn") === 2, col("d2"))).as("b2"))
+    val s = when(col("b2").isNull || col("b2") === 0.0, lit(0.0))
+      .otherwise(lit(1.0) - sqrt(col("a2")) / sqrt(col("b2")))
+    per.select(col("cell"), quantize(s).as("sq"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("sq")).as("ssum"))
+      .select(col("cell"), col("n_vecs"),
+        dequantize(col("ssum"), col("n_vecs")).as("mean_sil"))
+  }
+
+  /** DuckDB mirror of [[silhouette]]'s tail over [[kmeansCtes]]' `kb` +
+    * final centroid table `c<iters>`.
+    */
+  def silhouetteTailSql(iters: Int = 2): String =
+    s"""sil2 AS (
+       |  SELECT vec_id, cell, d2, rn FROM (
+       |    SELECT b.vec_id, c.cell, ${l2sqSql("b.emb", "c.cemb")} AS d2,
+       |      ROW_NUMBER() OVER (PARTITION BY b.vec_id
+       |        ORDER BY ${l2sqSql("b.emb", "c.cemb")}, c.cell) AS rn
+       |    FROM kb b CROSS JOIN c$iters c) t
+       |  WHERE rn <= 2),
+       |silper AS (
+       |  SELECT vec_id,
+       |    MAX(CASE WHEN rn = 1 THEN cell END) AS cell,
+       |    MAX(CASE WHEN rn = 1 THEN d2 END) AS a2,
+       |    MAX(CASE WHEN rn = 2 THEN d2 END) AS b2
+       |  FROM sil2 GROUP BY vec_id),
+       |silq AS (
+       |  SELECT cell,
+       |    CAST(ROUND((CASE WHEN b2 IS NULL OR b2 = 0 THEN 0.0
+       |      ELSE 1.0 - sqrt(a2) / sqrt(b2) END) * 16777216.0) AS BIGINT) AS sq
+       |  FROM silper)
+       |SELECT cell, COUNT(*) AS n_vecs,
+       |  CAST(SUM(sq) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * 16777216.0) AS mean_sil
+       |FROM silq GROUP BY cell""".stripMargin
+
   /** DuckDB mirror of [[kmeans]]: iters unrolled assign→update rounds
     * over `embeddings`, ending in a final assignment (vec_id, cell, d2).
     * Mirrors op-for-op: k smallest vec_ids init, l2sq argmin with

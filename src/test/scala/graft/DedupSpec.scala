@@ -319,4 +319,34 @@ class DedupSpec extends SparkSpec {
     val missing = expected -- pairs
     assert(missing.isEmpty, s"simhash missed planted pairs: $missing")
   }
+
+  test("repeatedSpans: seed-merge finds maximal cross-doc and intra-doc repeats") {
+    val fixture = Seq(
+      (1L, "a b c d e f g h"),                  // shares c..h with doc 2
+      (2L, "x y c d e f g h z"),
+      (3L, "p q r s t u p q r s t u"),          // intra-doc repeat
+      (4L, "one lone document with fresh words entirely"), // no repeats
+      (5L, "too short")                          // < 5 tokens: no seeds
+    ).toDF("doc_id", "text")
+    val got = Dedup.repeatedSpans(fixture)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    // docs 1/2: shared 6-token run "c d e f g h" → 5-gram seeds at the
+    // run's two start positions merge into ONE maximal 6-token span.
+    // doc 3: "p q r s t u" repeats at 0 and 6 → seeds {0,1} and {6,7}
+    // merge into two 6-token spans covering each occurrence.
+    assert(got === Seq(
+      (1L, 2L, 7L, 6L),
+      (2L, 2L, 7L, 6L),
+      (3L, 0L, 5L, 6L),
+      (3L, 6L, 11L, 6L)), s"got $got")
+  }
+
+  test("repeatedSpans: a seed repeated ONLY once (unique 5-gram) emits nothing") {
+    val fixture = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "uno dos tres cuatro cinco seis")).toDF("doc_id", "text")
+    assert(Dedup.repeatedSpans(fixture).count() === 0)
+  }
 }

@@ -98,4 +98,34 @@ class KMeansSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
     assert(got == Map(0L -> (0L, 0.0), 1L -> (1L, 0.0)))
   }
+
+  test("silhouette: hand-computed means against an explicit centroid table") {
+    import org.apache.spark.sql.functions._
+    // centroids at (0,0) and (10,10); four vectors with known a/b
+    val cents = Seq((0L, Seq(0.0, 0.0)), (1L, Seq(10.0, 10.0)))
+      .toDF("cell", "cemb")
+    val e = emb(Seq(
+      0L -> Seq(1f, 0f),   // cell 0: a=1,        b=sqrt(181)
+      1L -> Seq(0f, 0f),   // cell 0: a=0,        b=sqrt(200) → s=1
+      2L -> Seq(10f, 10f), // cell 1: a=0,        b=sqrt(200) → s=1
+      3L -> Seq(6f, 5f)))  // cell 1: a=sqrt(41), b=sqrt(61)
+    val got = Similarity.silhouette(e, cents).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    def q(s: Double): Long = math.round(s * 16777216.0)
+    def mean(ss: Double*): Double = ss.map(q).sum.toDouble / (ss.size * 16777216.0)
+    val s0 = 1.0 - 1.0 / math.sqrt(181.0)
+    val s3 = 1.0 - math.sqrt(41.0) / math.sqrt(61.0)
+    assert(got(0L)._1 === 2L && got(1L)._1 === 2L)
+    assert(got(0L)._2 === mean(s0, 1.0), s"cell 0 mean: ${got(0L)._2}")
+    assert(got(1L)._2 === mean(1.0, s3), s"cell 1 mean: ${got(1L)._2}")
+  }
+
+  test("silhouette: duplicate centroids score 0 (degenerate quantizer flagged)") {
+    import org.apache.spark.sql.functions._
+    val cents = Seq((0L, Seq(1.0, 1.0)), (1L, Seq(1.0, 1.0))).toDF("cell", "cemb")
+    val e = emb(Seq(0L -> Seq(3f, 4f), 1L -> Seq(-2f, 0.5f)))
+    val rows = Similarity.silhouette(e, cents).collect()
+    assert(rows.forall(_.getDouble(2) === 0.0),
+      "a==b for every vector when centroids coincide → silhouette 0")
+  }
 }

@@ -857,6 +857,14 @@ object SparkEntry {
     },
     // Embedding-store ingest: near-dup removal → IVF cell assignment.
     "q_emb_e2e" -> { (s, dir) => Similarity.embIngest(Tables.embeddings(s, dir)) },
+    // Known-item retrieval audit: MRR@10 + found-rate of each planted
+    // original's scaled copy in the multi-probe ANN list — rank-position
+    // quality with NO brute stage (the plant IS the ground truth), so the
+    // audit stays index-priced at any corpus size. Integer nano-unit
+    // reciprocal ranks; ≤ |labels| rows.
+    "q_emb_mrr" -> { (s, dir) =>
+      Similarity.knownItemMrr(Tables.embeddings(s, dir))
+    },
 
     // Contrastive training-triple factory: dedup clusters supply
     // (anchor=keeper, positive=member) pairs; hard negatives are the k
@@ -2616,20 +2624,11 @@ object SparkEntry {
          |SELECT tr.qid, tr.n_truth, coalesce(h.n_hit, CAST(0 AS BIGINT)) AS n_hit,
          |  CAST(coalesce(h.n_hit, 0) AS DOUBLE) / CAST(tr.n_truth AS DOUBLE) AS recall
          |FROM tr LEFT JOIN hit h ON h.qid = tr.qid""".stripMargin,
+    "q_emb_mrr" ->
+      s"""WITH ${Similarity.ecorpusCtesSql},
+         |${Similarity.knownItemMrrSql()}""".stripMargin,
     "q_emb_e2e" ->
-      s"""WITH ecorpus AS (
-         |  SELECT vec_id, label, embedding FROM embeddings
-         |  UNION ALL
-         |  SELECT vec_id + 1000000 AS vec_id, label,
-         |    list_transform(embedding, x -> x * CAST(1.5 AS FLOAT)) AS embedding
-         |  FROM embeddings WHERE vec_id % 25 = 0),
-         |eb AS (
-         |  SELECT vec_id, label,
-         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
-         |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
-         |      list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
-         |      (a, b) -> a + b)) AS nrm
-         |  FROM ecorpus),
+      s"""WITH ${Similarity.ecorpusCtesSql},
          |bk AS (SELECT vec_id, emb, nrm, ${Similarity.bucketSql} AS bucket FROM eb),
          |dups AS (
          |  SELECT DISTINCT b.vec_id

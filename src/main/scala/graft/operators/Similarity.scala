@@ -1141,6 +1141,85 @@ object Similarity {
   def l2sqSql(a: String, b: String): String =
     s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(list_zip($a, $b), p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))), (x, y) -> x + y)"
 
+  /** Known-item retrieval audit (MRR@k): for every planted original in
+    * [[embCorpus]] (vec_id % 25 == 0, whose ×1.5-scaled copy lives at
+    * +1,000,000 — same direction, cosine 1), where does the ANN index
+    * rank the copy? The known-item-search evaluation a vector store runs
+    * before rollout: found-rate says whether the index can surface an
+    * exact near-duplicate at all, MRR says how high. Complements
+    * [[ivfRecallCurve]] (set overlap vs brute truth) with a
+    * rank-position metric that needs NO brute stage — the ground truth
+    * is the plant itself, so the audit stays index-priced at any corpus
+    * size.
+    *
+    * Exactness: reciprocal ranks in integer nano-units (`1e9 div rank`,
+    * the RRF discipline) — order-free BIGINT sums, one final division.
+    * Scale: rides the multi-probe LSH candidate join (bucket-keyed);
+    * the hit probe is an equi-join on qid; output ≤ |labels| rows.
+    */
+  def knownItemMrr(e: DataFrame, k: Int = 10): DataFrame = {
+    val corpus = embCorpus(e)
+    val hits = knnLshMultiProbe(corpus, queryMod = 25, k = k)
+      .filter(col("qid") < 1000000L && col("vec_id") === col("qid") + 1000000L)
+      .select(col("qid"), col("rn").as("hit_rank"))
+    val queries = corpus
+      .filter(col("vec_id") % 25 === 0 && col("vec_id") < 1000000L)
+      .select(col("vec_id").as("qid"), col("label"))
+    queries.join(hits.hint("shuffle_hash"), Seq("qid"), "left")
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_queries"),
+        count(col("hit_rank")).as("n_found"),
+        sum(coalesce(expr("1000000000 div hit_rank"), lit(0L))).as("rr_nanos"))
+      .select(col("label"), col("n_queries"), col("n_found"),
+        (col("rr_nanos").cast("double")
+          / (col("n_queries").cast("double") * lit(1.0e9))).as("mrr"))
+  }
+
+  /** Shared mirror of [[embCorpus]] (+ double-cast/norm `eb`) — spliced
+    * into the q_emb_e2e and q_emb_mrr oracles so the planted-copy rule
+    * cannot drift between them.
+    */
+  val ecorpusCtesSql: String =
+    """ecorpus AS (
+      |  SELECT vec_id, label, embedding FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 1000000 AS vec_id, label,
+      |    list_transform(embedding, x -> x * CAST(1.5 AS FLOAT)) AS embedding
+      |  FROM embeddings WHERE vec_id % 25 = 0),
+      |eb AS (
+      |  SELECT vec_id, label,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
+      |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |      list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+      |      (a, b) -> a + b)) AS nrm
+      |  FROM ecorpus)""".stripMargin
+
+  /** DuckDB mirror of [[knownItemMrr]]'s tail over [[ecorpusCtesSql]]. */
+  def knownItemMrrSql(k: Int = 10): String =
+    s"""mbk AS (SELECT vec_id, emb, nrm, $bucketSql AS bucket FROM eb),
+       |mqp AS (
+       |  SELECT qid, qemb, qnrm, unnest(probes) AS qbucket FROM (
+       |    SELECT vec_id AS qid, emb AS qemb, nrm AS qnrm,
+       |      list_prepend(bucket, list_transform(range(0, $NumPlanes), j ->
+       |        xor(bucket, CAST(1 AS BIGINT) << CAST(j AS INTEGER)))) AS probes
+       |    FROM mbk WHERE vec_id % 25 = 0) t),
+       |mann AS (
+       |  SELECT qid, vec_id, rn FROM (
+       |    SELECT qid, vec_id, CAST(ROW_NUMBER() OVER (PARTITION BY qid
+       |      ORDER BY ${dotSql("qemb", "emb")} / (qnrm * nrm) DESC, vec_id) AS BIGINT) AS rn
+       |    FROM mqp JOIN mbk ON bucket = qbucket AND vec_id <> qid) t
+       |  WHERE rn <= $k),
+       |mhits AS (
+       |  SELECT qid, rn AS hit_rank FROM mann
+       |  WHERE qid < 1000000 AND vec_id = qid + 1000000),
+       |mq AS (SELECT vec_id AS qid, label FROM ecorpus
+       |       WHERE vec_id % 25 = 0 AND vec_id < 1000000)
+       |SELECT label, COUNT(*) AS n_queries,
+       |  COUNT(hit_rank) AS n_found,
+       |  CAST(SUM(COALESCE(1000000000 // hit_rank, 0)) AS DOUBLE)
+       |    / (CAST(COUNT(*) AS DOUBLE) * 1e9) AS mrr
+       |FROM mq LEFT JOIN mhits USING (qid) GROUP BY label""".stripMargin
+
   /** Simplified-silhouette cluster-quality audit — the read-out that
     * picks k and catches a degenerate quantizer BEFORE the IVF index
     * ships (a cell whose members sit nearly as close to a neighboring

@@ -275,4 +275,24 @@ class SimilaritySpec extends SparkSpec {
     // mean of many ~N(0, 0.1) components should be small
     assert(c.filter(abs($"centroid") > 0.5).count() === 0)
   }
+
+  test("knownItemMrr: hand-computed ranks — a parallel decoy pushes the plant to rank 2") {
+    // ids 0 and 25 get ×1.5 copies at +1e6 (cosine exactly 1). id 3 is a
+    // PARALLEL decoy for query 0 with the same cosine 1.0 — the (cos,
+    // vec_id) tie-break ranks it FIRST (3 < 1000000), so q=0's plant
+    // lands at rank 2 (rr = 0.5) while q=25's plant is clean rank 1.
+    val rows = Seq(
+      (0L, Seq(1f, 0f), 0),
+      (3L, Seq(2f, 0f), 0),   // parallel decoy, smaller id than the plant
+      (1L, Seq(0f, 1f), 0),
+      (25L, Seq(0.6f, 0.8f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.knownItemMrr(rows).collect()
+    assert(got.length === 1)
+    val r = got.head
+    assert(r.getAs[Long]("n_queries") === 2L)
+    assert(r.getAs[Long]("n_found") === 2L, "scaling preserves hyperplane signs — the plant always buckets with its original")
+    // rr(q=0) = 1e9 div 2, rr(q=25) = 1e9 div 1 → mrr = 1.5e9 / (2 * 1e9)
+    assert(r.getAs[Double]("mrr") === 0.75, s"mrr ${r.getAs[Double]("mrr")}")
+  }
 }

@@ -62,9 +62,11 @@ object ScaleProbe {
     "q_pipeline_pairs", "q_retrieval_e2e",
     // round-7 additions: the two constant-capped ground-truth audits
     // (whose uncapped forms are O(n²/mod) by construction — the probe
-    // verifies the caps actually hold the tails down) and the two
-    // never-probed retrieval/text compositions
-    "q_er_recall", "q_emb_recall", "q_doc_rrf", "q_doc_sbackoff")
+    // verifies the caps actually hold the tails down), the two
+    // never-probed retrieval/text compositions, and the new
+    // corpus-shuffle-heavy repeated-span sweep
+    "q_er_recall", "q_emb_recall", "q_doc_rrf", "q_doc_sbackoff",
+    "q_dedup_rspans")
 
   /** Heaps-ish vocabulary size: 30 tokens at the 5k-doc base (the real
     * table's vocabulary), growing with sqrt(n).

@@ -349,4 +349,48 @@ class DedupSpec extends SparkSpec {
       (2L, "uno dos tres cuatro cinco seis")).toDF("doc_id", "text")
     assert(Dedup.repeatedSpans(fixture).count() === 0)
   }
+
+  test("repeatedSpans: agrees with a brute-force reference on seeded random corpora") {
+    // brute reference: same tokenizer rule, same 31/1e9+7 polynomial gram
+    // hash, same >= 2 total-occurrence seed rule, same island merge
+    def bruteSpans(docs: Seq[(Long, String)]): Set[(Long, Long, Long, Long)] = {
+      val l = Dedup.SpanSeedLen
+      def toks(t: String) = t.trim.toLowerCase.split("[ \t\n\f\r]+").filter(_.nonEmpty).toSeq
+      def h(s: String): Long = s.foldLeft(7L)((a, c) => (a * 31 + c.toInt) % 1000000007L)
+      val seeds = docs.flatMap { case (id, t) =>
+        val tk = toks(t)
+        if (tk.size < l) Nil
+        else (0 to tk.size - l).map(p => (id, p, h(tk.slice(p, p + l).mkString(" "))))
+      }
+      val counts = seeds.groupBy(_._3).view.mapValues(_.size).toMap
+      seeds.filter(s => counts(s._3) >= 2).groupBy(_._1).flatMap { case (id, ss) =>
+        val ps = ss.map(_._2).distinct.sorted
+        val groups = ps.foldLeft(List.empty[List[Int]]) {
+          case (Nil, p)                              => List(List(p))
+          case (cur :: rest, p) if p == cur.head + 1 => (p :: cur) :: rest
+          case (acc, p)                              => List(p) :: acc
+        }
+        groups.map { g =>
+          val start = g.min.toLong; val end = g.max.toLong + l - 1
+          (id, start, end, end - start + 1)
+        }
+      }.toSet
+    }
+    for (seed <- Seq(1, 2, 3)) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = Seq("ab", "cd", "ef", "gh", "ij", "kl", "mn", "op", "qr", "st")
+      val base = (0 until 25).map { i =>
+        (i.toLong, Seq.fill(rnd.nextInt(22))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      // plant cross-doc repeats: a handful of docs copy another's text
+      val planted = (0 until 5).map { j =>
+        (100L + j, base(rnd.nextInt(base.size))._2)
+      }
+      val docs = base ++ planted
+      val got = Dedup.repeatedSpans(docs.toDF("doc_id", "text"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got === bruteSpans(docs), s"seed $seed diverges from the brute reference")
+    }
+  }
 }

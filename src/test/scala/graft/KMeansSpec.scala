@@ -120,6 +120,39 @@ class KMeansSpec extends SparkSpec {
     assert(got(1L)._2 === mean(1.0, s3), s"cell 1 mean: ${got(1L)._2}")
   }
 
+  test("silhouette: agrees with a brute-force reference on seeded random inputs") {
+    import org.apache.spark.sql.functions._
+    // brute reference: same sequential-fold l2sq (left fold == Scala sum
+    // order), same (d2, cell) tie-break, same 2^24 quantized means
+    def brute(vecs: Seq[(Long, Seq[Float])], cents: Seq[(Long, Seq[Double])])
+        : Map[Long, (Long, Double)] = {
+      def d2(a: Seq[Double], b: Seq[Double]): Double =
+        a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + (x - y) * (x - y) }
+      val per = vecs.map { case (_, vf) =>
+        val v = vf.map(_.toDouble)
+        val ds = cents.map { case (c, ce) => (d2(v, ce), c) }.sorted
+        val (a2, cell) = ds.head
+        val b2 = ds(1)._1
+        val s = if (b2 == 0.0) 0.0 else 1.0 - math.sqrt(a2) / math.sqrt(b2)
+        (cell, math.round(s * 16777216.0))
+      }
+      per.groupBy(_._1).map { case (c, xs) =>
+        c -> ((xs.size.toLong, xs.map(_._2).sum.toDouble / (xs.size * 16777216.0)))
+      }
+    }
+    for (seed <- Seq(7, 8, 9)) {
+      val rnd = new scala.util.Random(seed)
+      def grid(): Float = (rnd.nextInt(17) - 8) / 2.0f // exact halves in [-4, 4]
+      val vecs = (0 until 30).map(i => (i.toLong, Seq.fill(4)(grid())))
+      val cents = (0 until 3).map(c => (c.toLong, Seq.fill(4)(grid().toDouble)))
+      val got = Similarity.silhouette(
+          vecs.toDF("vec_id", "embedding"), cents.toDF("cell", "cemb"))
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      assert(got === brute(vecs, cents), s"seed $seed diverges from the brute reference")
+    }
+  }
+
   test("silhouette: duplicate centroids score 0 (degenerate quantizer flagged)") {
     import org.apache.spark.sql.functions._
     val cents = Seq((0L, Seq(1.0, 1.0)), (1L, Seq(1.0, 1.0))).toDF("cell", "cemb")

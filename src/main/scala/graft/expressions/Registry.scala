@@ -64,6 +64,9 @@ object Registry {
       es => ShortTokenCount(es(0), intLit(es(1), "short_token_count", "maxLen")), "built-in")
     r.createOrReplaceTempFunction("pushdown_barrier",
       es => PushdownBarrier(es.head), "built-in")
+    r.createOrReplaceTempFunction("trimmed_levenshtein",
+      es => TrimmedLevenshtein(es(0), es(1),
+        intLit(es(2), "trimmed_levenshtein", "maxDist")), "built-in")
     // Spark ships BloomFilterAggregate/BloomFilterMightContain (the
     // runtime-filter sketch) but registers NEITHER for SQL in this build,
     // so the Bloom-decontamination pattern can't be written in pure SQL

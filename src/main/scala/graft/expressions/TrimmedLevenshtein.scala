@@ -1,0 +1,108 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, IntegerType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Banded Levenshtein with common-prefix/suffix stripping — a drop-in
+  * for the built-in 3-arg `levenshtein(a, b, k)` that pays only for the
+  * DIFFERING middle of the two strings.
+  *
+  * Why: an optimal alignment can always be taken to match a shared
+  * prefix and a shared suffix position-for-position, so stripping both
+  * preserves the distance EXACTLY (the standard reduction in
+  * python-Levenshtein / commons-text). The near-dup verify feeds this
+  * expression pairs that are near-copies BY CONSTRUCTION (they passed
+  * LSH banding), typically differing only in a short tail or a few
+  * in-place edits — the O(len·k) banded DP over the full ~n-char texts
+  * then does >90% of its work re-matching identical characters. After
+  * the trim, the DP runs over just the differing middle: an
+  * appended-tail near-dup costs O(tail²) instead of O(len·k).
+  *
+  * Exactness: the residual distance is computed by Spark's own
+  * `UTF8String.levenshteinDistance(other, k)` — the same kernel the
+  * built-in uses — so results are identical by the trim-preservation
+  * property plus same-kernel arithmetic: d ≤ k returns d, d > k returns
+  * −1 (the length gate |len_a − len_b| > k short-circuits to −1 before
+  * any allocation, subsuming the DataFrame-level gate). Equality with
+  * the built-in is pinned corpus-wide and on adversarial strings
+  * (surrogate pairs ride codepoint-boundary trimming — a shared HIGH
+  * surrogate inside differing non-BMP codepoints must NOT be split).
+  *
+  * Extension path (b): custom Expression, stays inside
+  * WholeStageCodegen via a static helper call (the PyFloat pattern).
+  */
+case class TrimmedLevenshtein(left: Expression, right: Expression, threshold: Int)
+    extends BinaryExpression {
+  require(threshold >= 0, "threshold must be non-negative")
+
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "trimmed_levenshtein"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    TrimmedLevenshtein.compute(
+      a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String], threshold)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.expressions.TrimmedLevenshtein.compute($a, $b, $threshold);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): TrimmedLevenshtein =
+    copy(left = newLeft, right = newRight)
+}
+
+object TrimmedLevenshtein {
+  import org.apache.spark.sql.graft.bridge.{column, expression}
+
+  /** Called from generated code — keep static (companion forwarder). */
+  def compute(ua: UTF8String, ub: UTF8String, maxDist: Int): Int = {
+    // length gate first: distance >= |numChars delta|, no allocation needed
+    val delta = ua.numChars() - ub.numChars()
+    if (delta > maxDist || delta < -maxDist) return -1
+    val sa = ua.toString
+    val sb = ub.toString
+    // common-prefix trim on CODEPOINTS: advancing by Character.charCount
+    // of the shared codepoint keeps both cursors on codepoint boundaries,
+    // so a shared high surrogate inside two DIFFERENT non-BMP codepoints
+    // is never split off as a "common" prefix
+    var lo = 0
+    var scan = true
+    while (scan && lo < sa.length && lo < sb.length) {
+      val ca = sa.codePointAt(lo)
+      if (sb.codePointAt(lo) == ca) lo += Character.charCount(ca)
+      else scan = false
+    }
+    // common-suffix trim, same discipline from the right
+    var ea = sa.length
+    var eb = sb.length
+    scan = true
+    while (scan && ea > lo && eb > lo) {
+      val ca = sa.codePointBefore(ea)
+      if (sb.codePointBefore(eb) == ca) {
+        val w = Character.charCount(ca)
+        ea -= w; eb -= w
+      } else scan = false
+    }
+    if (ea == lo && eb == lo) return 0 // identical strings
+    // residual distance through Spark's own banded kernel — identical
+    // arithmetic to the built-in levenshtein(a, b, k)
+    UTF8String.fromString(sa.substring(lo, ea))
+      .levenshteinDistance(UTF8String.fromString(sb.substring(lo, eb)), maxDist)
+  }
+
+  /** Column API. */
+  def trimmed_levenshtein(a: Column, b: Column, maxDist: Int): Column =
+    column(TrimmedLevenshtein(expression(a), expression(b), maxDist))
+
+  /** SQL registration: SELECT trimmed_levenshtein(a, b, 64) FROM ... */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "trimmed_levenshtein",
+      exprs => TrimmedLevenshtein(exprs(0), exprs(1),
+        exprs(2).eval().asInstanceOf[Int]), "built-in")
+}

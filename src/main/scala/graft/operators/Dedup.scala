@@ -240,11 +240,16 @@ object Dedup {
       // O(len·maxDist) banded DP for them (result set provably unchanged)
       .filter(abs(length(col("text_a")) - length(col("text_b"))) <= maxDist)
       .select(col("doc_a"), col("doc_b"),
-        // 3-arg levenshtein runs the BANDED DP: O(len·maxDist) per pair
-        // instead of O(len²), exact for distances <= maxDist, -1 above
-        // the threshold (dropped by the filter, same rows as computing
-        // the full distance and filtering; equality pinned in DedupSpec)
-        levenshtein(col("text_a"), col("text_b"), maxDist).cast("long").as("edit_dist"))
+        // trimmed+banded DP: strip the common prefix/suffix (distance-
+        // preserving), then Spark's own O(len·maxDist) banded kernel on
+        // the differing middle — LSH candidates are near-copies by
+        // construction, so the trim removes most of the DP work (an
+        // appended-tail dup costs O(tail²)). Exact for distances <=
+        // maxDist, -1 above (dropped by the filter); equality with the
+        // built-in 3-arg levenshtein pinned in DedupSpec +
+        // TextPropertySpec
+        graft.expressions.TrimmedLevenshtein.trimmed_levenshtein(
+          col("text_a"), col("text_b"), maxDist).cast("long").as("edit_dist"))
       .filter(col("edit_dist") >= 0)
   }
 

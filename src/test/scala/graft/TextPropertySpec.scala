@@ -74,6 +74,26 @@ class TextPropertySpec extends SparkSpec {
     assert(bad.count() === 0)
   }
 
+  test("trimmed_levenshtein: native == built-in 3-arg levenshtein on adversarial pairs") {
+    // pair shapes that stress the trim: unrelated pairs, identical pairs,
+    // appended tails, prepended heads — over strings carrying combining
+    // marks, lone-surrogate-adjacent non-BMP chars, and every whitespace
+    val ss = sample(200)
+    val pairs = (ss.zip(ss.drop(1)) ++
+      ss.map(s => (s, s)) ++
+      ss.map(s => (s, s + " tail xyz")) ++
+      ss.map(s => ("head 𝕏 " + s, s)) ++
+      ss.zip(ss.drop(7)).map { case (a, b) => (a + b, b + a) })
+      .toDF("a", "b").cache()
+    for (k <- Seq(0, 1, 3, 64)) {
+      val bad = pairs.select(
+          graft.expressions.TrimmedLevenshtein.trimmed_levenshtein($"a", $"b", k).as("nat"),
+          levenshtein($"a", $"b", k).as("bi"))
+        .filter(!($"nat" <=> $"bi"))
+      assert(bad.count() === 0, s"trimmed != builtin at threshold $k")
+    }
+  }
+
   test("stupid backoff: every quantized log score is <= 0 on random corpora") {
     // s = bitlen(num) − bitlen(den) with num ≤ den on BOTH paths (a bigram
     // count never exceeds its w1 unigram count; 2·c1(w2) ≤ 2N < 5N), and

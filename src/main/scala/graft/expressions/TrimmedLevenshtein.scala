@@ -37,7 +37,10 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 case class TrimmedLevenshtein(left: Expression, right: Expression, threshold: Int)
     extends BinaryExpression {
-  require(threshold >= 0, "threshold must be non-negative")
+  // threshold < 0 = UNBOUNDED: exact distance through the non-banded
+  // kernel — for argmin searches (ER best-match) where no bar exists
+  // but the trim still pays (blocked candidates share their blocking
+  // words as a common prefix)
 
   override def dataType: DataType = IntegerType
   override def nullIntolerant: Boolean = true
@@ -61,9 +64,10 @@ object TrimmedLevenshtein {
 
   /** Called from generated code — keep static (companion forwarder). */
   def compute(ua: UTF8String, ub: UTF8String, maxDist: Int): Int = {
-    // length gate first: distance >= |numChars delta|, no allocation needed
+    // length gate first: distance >= |numChars delta|, no allocation
+    // needed (bounded mode only — unbounded mode always computes)
     val delta = ua.numChars() - ub.numChars()
-    if (delta > maxDist || delta < -maxDist) return -1
+    if (maxDist >= 0 && (delta > maxDist || delta < -maxDist)) return -1
     val sa = ua.toString
     val sb = ub.toString
     // common-prefix trim on CODEPOINTS: advancing by Character.charCount
@@ -89,15 +93,21 @@ object TrimmedLevenshtein {
       } else scan = false
     }
     if (ea == lo && eb == lo) return 0 // identical strings
-    // residual distance through Spark's own banded kernel — identical
-    // arithmetic to the built-in levenshtein(a, b, k)
-    UTF8String.fromString(sa.substring(lo, ea))
-      .levenshteinDistance(UTF8String.fromString(sb.substring(lo, eb)), maxDist)
+    // residual distance through Spark's own kernels — identical
+    // arithmetic to the built-in levenshtein(a, b[, k])
+    val ta = UTF8String.fromString(sa.substring(lo, ea))
+    val tb = UTF8String.fromString(sb.substring(lo, eb))
+    if (maxDist < 0) ta.levenshteinDistance(tb)
+    else ta.levenshteinDistance(tb, maxDist)
   }
 
-  /** Column API. */
+  /** Column API; negative maxDist = unbounded exact distance. */
   def trimmed_levenshtein(a: Column, b: Column, maxDist: Int): Column =
     column(TrimmedLevenshtein(expression(a), expression(b), maxDist))
+
+  /** Unbounded exact distance (the 2-arg `levenshtein` drop-in). */
+  def trimmed_levenshtein(a: Column, b: Column): Column =
+    trimmed_levenshtein(a, b, -1)
 
   /** SQL registration: SELECT trimmed_levenshtein(a, b, 64) FROM ... */
   def register(spark: SparkSession): Unit =

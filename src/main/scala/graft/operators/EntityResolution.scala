@@ -90,7 +90,12 @@ object EntityResolution {
         .join(pass(names, i).as("b").hint("shuffle_hash"), Seq("w1", "w2"))
         .filter(col("a.name") =!= col("b.name"))
         .select(col("a.k1").as("key_a"),
-          (levenshtein(col("a.name"), col("b.name")).cast("long") * KeyBits
+          // trimmed native (unbounded): blocked candidates share their
+          // two blocking words as a literal common prefix (pass 1) or a
+          // long interior run (pass 3) — the strip removes most of the
+          // DP, distance unchanged (oracle keeps plain levenshtein)
+          (graft.expressions.TrimmedLevenshtein.trimmed_levenshtein(
+            col("a.name"), col("b.name")).cast("long") * KeyBits
             + col("b.k1")).as("pk"))
     val singleBest = candidates(1).unionAll(candidates(3))
       .groupBy(col("key_a")).agg(min(col("pk")).as("mk"))
@@ -131,8 +136,25 @@ object EntityResolution {
     val sample = rec.filter(col("key") % sampleMod === 0)
       .orderBy(col("key")).limit(sampleCap)
       .select(col("key").as("key_a"), col("name").as("name_a"))
-    val truth = broadcast(sample).join(rec, col("key") =!= col("key_a"))
+    // the exhaustive sweep is COMPUTE-bound (|sample| Levenshteins per
+    // record), and a broadcast-NL join inherits the stream side's
+    // partitioning — a compact scan (one small parquet file) runs the
+    // whole sweep on ONE task, and AQE's coalescer happily folds a
+    // byte-tiny column-repartition back to 1 partition (measured: the
+    // 2M-pair sweep serialized at 2 s). An EXPLICITLY-NUMBERED
+    // repartition is exempt from AQE coalescing — spread to the
+    // configured shuffle width: the tiny hash exchange is noise next to
+    // the O(sampleCap · n) DP it parallelizes
+    val width = rec.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val spread = rec.repartition(width, col("key"))
+    val truth = broadcast(sample).join(spread, col("key") =!= col("key_a"))
       .select(col("key_a"),
+        // plain builtin here, NOT TrimmedLevenshtein: truth pairs are
+        // (random sample row × every record) — unlike bestMatch's
+        // blocked candidates they share no systematic affix, and on
+        // ~30-char names the trim's String conversions cost more than
+        // the cells they save (measured: 0.63 s trimmed vs 0.40 s
+        // builtin for the sweep)
         (levenshtein(col("name_a"), col("name")).cast("long") * KeyBits
           + col("key")).as("pk"))
       .groupBy(col("key_a")).agg(min(col("pk")).as("tm"))

@@ -92,6 +92,12 @@ class TextPropertySpec extends SparkSpec {
         .filter(!($"nat" <=> $"bi"))
       assert(bad.count() === 0, s"trimmed != builtin at threshold $k")
     }
+    // unbounded mode (negative threshold) == the 2-arg builtin
+    val badU = pairs.select(
+        graft.expressions.TrimmedLevenshtein.trimmed_levenshtein($"a", $"b").as("nat"),
+        levenshtein($"a", $"b").as("bi"))
+      .filter(!($"nat" <=> $"bi"))
+    assert(badU.count() === 0, "unbounded trimmed != 2-arg builtin")
   }
 
   test("stupid backoff: every quantized log score is <= 0 on random corpora") {

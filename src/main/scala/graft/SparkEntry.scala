@@ -493,6 +493,14 @@ object SparkEntry {
     // rerun-stable, and duplicate texts land in the same split (no
     // train/test leakage through copies). Narrow map.
     "q_doc_split" -> { (s, dir) => Curation.assignSplit(Tables.documents(s, dir)) },
+    // Leakage-safe split: every verified duplicate CLUSTER inherits its
+    // root's content-hash bucket, so near-dup copies can never straddle
+    // train/eval — the fix for what q_doc_leak measures. Rides the
+    // memoized cluster stage; two shuffle-hash equi-joins.
+    "q_doc_splitsafe" -> { (s, dir) =>
+      val c = Dedup.corpus(Tables.documents(s, dir))
+      Curation.leakSafeSplit(c, Dedup.clustersFor(c, dir))
+    },
     // Split-balance audit: per (lang, split) observed-vs-expected
     // permille in exact integers — the QA catching a low-volume language
     // with a skewed or empty eval slice. Bounded output, broadcast totals.
@@ -3213,6 +3221,22 @@ object SparkEntry {
          |       ELSE 'test' END AS split
          |FROM (SELECT doc_id, lang, (${Dedup.hashSql("text")}) % 1000 AS bucket
          |      FROM documents) t""".stripMargin,
+    "q_doc_splitsafe" ->
+      s"""WITH RECURSIVE ${Dedup.corpusSql},
+         |${Dedup.tokSql},
+         |${Dedup.sigSql},
+         |${Dedup.bandsSql},
+         |${Dedup.closureSql},
+         |anch AS (
+         |  SELECT c.doc_id, c.lang, COALESCE(comp.cluster, c.doc_id) AS anchor
+         |  FROM corpus c LEFT JOIN comp ON comp.id = c.doc_id)
+         |SELECT a.doc_id, a.lang, a.anchor, bucket,
+         |  CASE WHEN bucket < 980 THEN 'train'
+         |       WHEN bucket < 990 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM (SELECT a.doc_id, a.lang, a.anchor,
+         |        (${Dedup.hashSql("t.text")}) % 1000 AS bucket
+         |      FROM anch a JOIN corpus t ON t.doc_id = a.anchor) a""".stripMargin,
     "q_doc_splitbal" -> Curation.splitBalanceSql(),
     "q_doc_qcorr" -> Curation.qualityLengthCorrSql,
     "q_doc_qhist" ->

@@ -367,6 +367,40 @@ object Curation {
         .otherwise("test").as("split"))
   }
 
+  /** Leakage-safe train/val/test split — the FIX for what the q_doc_leak
+    * audit measures: a per-doc content-hash split sends near-duplicate
+    * copies to DIFFERENT splits about (1 − Σp²) of the time (exact
+    * copies hash together, near-copies don't), quietly leaking train
+    * content into eval. Here every member of a verified duplicate
+    * CLUSTER inherits its cluster root's split: the bucket is the
+    * content hash of the ROOT's text, so the whole cluster lands in one
+    * split by construction, singletons behave exactly like
+    * [[assignSplit]], and the assignment stays content-keyed (stable
+    * under doc-id regeneration). Split-before-dedup workflows get a
+    * consistent rule too: dedup THEN split ≡ split members by root.
+    *
+    * Scale: rides the memoized cluster stage (bounded by candidate-pair
+    * members, never corpus-sized); two shuffle-hash equi-joins (cluster
+    * map on doc_id, root text on anchor — both corpus-derived, never
+    * broadcast); the hash/split itself is the same narrow map as
+    * assignSplit.
+    */
+  def leakSafeSplit(c: DataFrame, clusters: DataFrame,
+      trainPermille: Int = 980, valPermille: Int = 10): DataFrame = {
+    val anchored = c.select(col("doc_id"), col("lang"))
+      .join(clusters.select(col("doc_id"), col("cluster")).hint("shuffle_hash"),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("cluster"), col("doc_id")).as("anchor"))
+    val anchorText = c.select(col("doc_id").as("anchor"), col("text").as("anchor_text"))
+    val b = sampleBucket(col("anchor_text"))
+    anchored.join(anchorText.hint("shuffle_hash"), Seq("anchor"))
+      .select(col("doc_id"), col("lang"), col("anchor"), b.as("bucket"),
+        when(b < trainPermille, "train")
+          .when(b < trainPermille + valPermille, "val")
+          .otherwise("test").as("split"))
+  }
+
   /** Split-balance audit — the QA read-out AFTER [[assignSplit]]: a
     * content-hash split is only asymptotically proportional, so a
     * low-volume language can silently land a skewed (or empty) eval

@@ -9,6 +9,37 @@ class CurationSpec extends SparkSpec {
 
   private lazy val docs = Tables.documents(spark, Sf)
 
+  test("leakSafeSplit: no duplicate cluster straddles a split; singletons match assignSplit") {
+    import graft.operators.Dedup
+    val c = Dedup.corpus(docs)
+    val clusters = Dedup.duplicateClusters(Dedup.verifiedPairs(c))
+    val safe = Curation.leakSafeSplit(c, clusters).cache()
+    // every cluster member shares its root's split — the planted exact
+    // (+2e6) and near (+1e6) copies must land WITH their originals
+    val byAnchor = safe.join(clusters.select($"doc_id", $"cluster"), Seq("doc_id"))
+      .groupBy($"cluster").agg(countDistinct($"split").as("nsplits"))
+    assert(byAnchor.filter($"nsplits" > 1).count() === 0,
+      "a duplicate cluster straddled train/val/test")
+    // the planted pairs specifically (near-dups differ in text, so the
+    // naive per-doc hash would split ~2% of them at these permilles —
+    // this is the leak the operator closes)
+    val planted = safe.as("a").join(safe.as("b"),
+        col("b.doc_id") === col("a.doc_id") + 1000000L)
+      .select(col("a.split"), col("b.split"))
+    assert(planted.filter(col("a.split") =!= col("b.split")).count() === 0)
+    // docs in NO cluster keep assignSplit's exact assignment
+    val member = clusters.select($"doc_id")
+    val naive = Curation.assignSplit(c).select($"doc_id", $"split".as("naive_split"))
+    val solo = safe.join(member, Seq("doc_id"), "left_anti")
+      .join(naive, Seq("doc_id"))
+    assert(solo.filter($"split" =!= $"naive_split").count() === 0,
+      "singleton docs must split exactly as assignSplit")
+    // anchors are cluster roots: member rows carry anchor == cluster
+    val wrongAnchor = safe.join(clusters, Seq("doc_id"))
+      .filter($"anchor" =!= $"cluster")
+    assert(wrongAnchor.count() === 0)
+  }
+
   test("narrow curation ops run unchanged on a stream (stateless, no window)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val ctx = spark.sqlContext

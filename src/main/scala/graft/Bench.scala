@@ -75,7 +75,9 @@ object Bench {
     // (r4 and r6: parsed=null) — persist the FULL per-query + cold maps to
     // a file so round-over-round per-query diffs never depend on capture-
     // window luck. The path is advertised on the compact summary line.
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_FULL.json")
+    // cwd-relative default (works on any checkout); BENCH_FULL.json is
+    // gitignored so a later `git add -A` can't commit a benchmark dump
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
     try {
       val w = new java.io.PrintWriter(outPath, "UTF-8")
       try w.println(fullJson) finally w.close()

@@ -1,7 +1,6 @@
 package graft.expressions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, IntegerType}
@@ -109,10 +108,6 @@ object TrimmedLevenshtein {
   def trimmed_levenshtein(a: Column, b: Column): Column =
     trimmed_levenshtein(a, b, -1)
 
-  /** SQL registration: SELECT trimmed_levenshtein(a, b, 64) FROM ... */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "trimmed_levenshtein",
-      exprs => TrimmedLevenshtein(exprs(0), exprs(1),
-        exprs(2).eval().asInstanceOf[Int]), "built-in")
+  // SQL registration lives in expressions.Registry (the single
+  // registration site, with validated integer-literal extraction)
 }

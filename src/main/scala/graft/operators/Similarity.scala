@@ -166,12 +166,16 @@ object Similarity {
     * its one bucket), and the candidate join stays the same bucket
     * equi-join as [[knnLsh]].
     */
-  def knnLshMultiProbe(e: DataFrame, queryMod: Int = 50, k: Int = 3): DataFrame = {
+  def knnLshMultiProbe(e: DataFrame, queryMod: Int = 50, k: Int = 3,
+      queryPred: Column = lit(true)): DataFrame = {
     val b = lshBuckets(e).withColumn("nrm", l2norm(col("emb")))
     val probeSet = array(
       col("bucket") +: (0 until NumPlanes).map(j =>
         col("bucket").bitwiseXOR(lit(1L << j))): _*)
-    val q = b.filter(col("vec_id") % queryMod === 0)
+    // queryPred narrows the QUERY side only (candidates unaffected) —
+    // callers whose query set is a subset of the mod class (knownItemMrr:
+    // originals, not plants) skip the probe fan-out for discarded rows
+    val q = b.filter(col("vec_id") % queryMod === 0 && queryPred)
       .select(col("vec_id").as("qid"), col("emb").as("qemb"),
         col("nrm").as("qnrm"), explode(probeSet).as("qbucket"))
     topK(q.join(b, col("bucket") === col("qbucket") && col("vec_id") =!= col("qid"))
@@ -1159,8 +1163,12 @@ object Similarity {
     */
   def knownItemMrr(e: DataFrame, k: Int = 10): DataFrame = {
     val corpus = embCorpus(e)
-    val hits = knnLshMultiProbe(corpus, queryMod = 25, k = k)
-      .filter(col("qid") < 1000000L && col("vec_id") === col("qid") + 1000000L)
+    // query side = ORIGINALS only (plants stay candidates): without the
+    // predicate the plants are queries too (plant ids ≡ 0 mod 25) and
+    // the audit pays ~2× the ANN work just to discard their lists
+    val hits = knnLshMultiProbe(corpus, queryMod = 25, k = k,
+        queryPred = col("vec_id") < 1000000L)
+      .filter(col("vec_id") === col("qid") + 1000000L)
       .select(col("qid"), col("rn").as("hit_rank"))
     val queries = corpus
       .filter(col("vec_id") % 25 === 0 && col("vec_id") < 1000000L)
@@ -1202,7 +1210,7 @@ object Similarity {
        |    SELECT vec_id AS qid, emb AS qemb, nrm AS qnrm,
        |      list_prepend(bucket, list_transform(range(0, $NumPlanes), j ->
        |        xor(bucket, CAST(1 AS BIGINT) << CAST(j AS INTEGER)))) AS probes
-       |    FROM mbk WHERE vec_id % 25 = 0) t),
+       |    FROM mbk WHERE vec_id % 25 = 0 AND vec_id < 1000000) t),
        |mann AS (
        |  SELECT qid, vec_id, rn FROM (
        |    SELECT qid, vec_id, CAST(ROW_NUMBER() OVER (PARTITION BY qid
@@ -1211,7 +1219,7 @@ object Similarity {
        |  WHERE rn <= $k),
        |mhits AS (
        |  SELECT qid, rn AS hit_rank FROM mann
-       |  WHERE qid < 1000000 AND vec_id = qid + 1000000),
+       |  WHERE vec_id = qid + 1000000),
        |mq AS (SELECT vec_id AS qid, label FROM ecorpus
        |       WHERE vec_id % 25 = 0 AND vec_id < 1000000)
        |SELECT label, COUNT(*) AS n_queries,

@@ -670,6 +670,37 @@ class StatefulOpsSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState LSH twin: SAME-batch collisions see uncommitted MapState writes") {
+    import graft.streaming.DocStream
+    import DocStream.{StreamDoc, Collision}
+    implicit val ctx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val tA = "the quick brown fox jumps over the lazy dog near the river bank today"
+      // both copies arrive in ONE micro-batch: doc 2 must see doc 1
+      // through the MapState's in-batch (uncommitted) write — the path
+      // the cross-batch tests never exercise
+      val ms = MemoryStream[StreamDoc]
+      val q = DocStream.lshCollisionsTws(spark, ms.toDS())
+        .writeStream.format("memory").queryName("lshtws_same").outputMode("append").start()
+      ms.addData(Seq(
+        StreamDoc(ts("2024-01-01 00:00:00"), 1L, tA),
+        StreamDoc(ts("2024-01-01 00:00:10"), 2L, tA)))
+      q.processAllAvailable(); q.stop()
+      val got = spark.table("lshtws_same").as[Collision].collect()
+      val pairs = got.map(c => (c.earlier_doc_id, c.doc_id)).distinct.toSeq
+      assert(pairs === Seq((1L, 2L)), s"got $pairs")
+      // exactly once per band — neither dropped (stale read) nor doubled
+      assert(got.length === graft.operators.Dedup.NumHashes / graft.operators.Dedup.BandSize,
+        s"an exact same-batch copy must collide on all 8 bands exactly once, got ${got.length}")
+    } finally {
+      old match { case Some(v) => spark.conf.set(key, v); case None => spark.conf.unset(key) }
+    }
+  }
+
   test("transformWithState LSH twin: occupant cap — overflow docs pair but are not retained") {
     import graft.streaming.DocStream
     import DocStream.{StreamDoc, Collision}

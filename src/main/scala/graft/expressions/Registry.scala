@@ -60,6 +60,8 @@ object Registry {
       es => CdcChunks(es.head), "built-in")
     r.createOrReplaceTempFunction("seq_dot",
       es => SeqDot(es(0), es(1)), "built-in")
+    r.createOrReplaceTempFunction("seq_l2sq",
+      es => SeqL2Sq(es(0), es(1)), "built-in")
     r.createOrReplaceTempFunction("short_token_count",
       es => ShortTokenCount(es(0), intLit(es(1), "short_token_count", "maxLen")), "built-in")
     r.createOrReplaceTempFunction("pushdown_barrier",

@@ -46,12 +46,19 @@ object VectorFunctions {
   def cosineWithNorms(dotAB: Column, normA: Column, normB: Column): Column =
     when(normA * normB > 0, dotAB / (normA * normB))
 
-  /** Squared L2 distance, one fused sequential fold over the pair stream
-    * (mirrors the DuckDB oracle's list_reduce exactly — same per-element
-    * `(x−y)·(x−y)` and same left-to-right accumulation, so results are
-    * bit-identical across engines).
+  /** Squared L2 distance — the native codegen'd expression (see
+    * expressions/SeqL2Sq): one generated loop per pair, left-to-right
+    * accumulation, bit-identical to [[l2sqHof]] and to the DuckDB
+    * oracle's list_reduce. This is the k-means/IVF family's inner loop
+    * (every vector × k centroids per assignment pass), where the
+    * interpreted HOF was the hot-path CodegenFallback.
     */
-  def l2sq(a: Column, b: Column): Column =
+  def l2sq(a: Column, b: Column): Column = graft.expressions.SeqL2Sq.seq_l2sq(a, b)
+
+  /** HOF formulation of [[l2sq]] (interpreted lambdas) — the built-ins
+    * cross-check, same per-element `(x−y)·(x−y)` and fold order.
+    */
+  def l2sqHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0d), (acc, x) => acc + x)
 
   /** Fixed-point quantization for order-independent exact sums: float →

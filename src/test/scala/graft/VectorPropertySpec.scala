@@ -48,6 +48,22 @@ class VectorPropertySpec extends SparkSpec {
     assert(bad.count() === 0)
   }
 
+  test("SeqL2Sq native == HOF fold on adversarial IEEE values (NaN/Inf/denormals)") {
+    // includes self-distance (exact 0 per element — signed-zero diffs)
+    // and mismatched-length null propagation
+    val bad = vecs.filter(
+      !(VectorFunctions.l2sq($"emb", $"emb2") <=> VectorFunctions.l2sqHof($"emb", $"emb2")) ||
+        !(VectorFunctions.l2sq($"emb", $"emb") <=> VectorFunctions.l2sqHof($"emb", $"emb")))
+    assert(bad.count() === 0)
+    // length mismatch → null on both paths
+    val mm = vecs.select($"emb", slice($"emb2", 1, 1).as("short"))
+      .filter(size($"emb") > 1)
+      .filter(!(VectorFunctions.l2sq($"emb", $"short") <=>
+        VectorFunctions.l2sqHof($"emb", $"short")) ||
+        VectorFunctions.l2sq($"emb", $"short").isNotNull)
+    assert(mm.count() === 0, "mismatched lengths must yield null on both paths")
+  }
+
   test("RandomHyperplaneBits native == HOF on adversarial IEEE values") {
     val bad = vecs.select($"emb").withColumn("bucket",
         graft.expressions.RandomHyperplaneBits.hyperplane_bits($"emb", Similarity.NumPlanes))

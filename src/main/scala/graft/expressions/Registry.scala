@@ -56,6 +56,8 @@ object Registry {
       es => Tokenize(es.head), "built-in")
     r.createOrReplaceTempFunction("shingle_hashes",
       es => ShingleHashes(es.head), "built-in")
+    r.createOrReplaceTempFunction("gram_hashes",
+      es => GramHashes(es(0), intLit(es(1), "gram_hashes", "width")), "built-in")
     r.createOrReplaceTempFunction("cdc_chunks",
       es => CdcChunks(es.head), "built-in")
     r.createOrReplaceTempFunction("seq_dot",

@@ -44,6 +44,37 @@ case class ShingleHashes(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** [[ShingleHashes]] at an arbitrary gram width — the same fused
+  * lowercase→tokenize→window-hash pass with `width`-token windows.
+  * Byte-exact with `stringHash(concat_ws(" ", slice(tokens(text), i,
+  * width)))` per start position (the repeatedSpans seed rule); fewer
+  * than `width` tokens → empty array. Used where the trigram default
+  * doesn't fit (ExactSubstr seeds use 5-grams to keep accidental
+  * vocabulary collisions negligible).
+  */
+case class GramHashes(child: Expression, width: Int) extends UnaryExpression {
+  require(width >= 1, "gram width must be >= 1")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "gram_hashes"
+
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleHashes.gramHashes(input.asInstanceOf[UTF8String], width)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.ShingleHashes.gramHashes($c, $width)")
+
+  override protected def withNewChildInternal(newChild: Expression): GramHashes =
+    copy(child = newChild)
+}
+
+object GramHashes {
+  /** Column API. */
+  def gram_hashes(c: Column, width: Int): Column =
+    org.apache.spark.sql.graft.bridge.column(
+      GramHashes(org.apache.spark.sql.graft.bridge.expression(c), width))
+}
+
 object ShingleHashes {
 
   val P = 1000000007L
@@ -52,8 +83,11 @@ object ShingleHashes {
   @inline private def isWs(cp: Int): Boolean =
     cp == ' ' || cp == '\t' || cp == '\n' || cp == '\f' || cp == '\r'
 
-  /** Static scanner shared by eval and generated code. */
-  def shingleHashes(s: UTF8String): ArrayData = {
+  /** Static scanner shared by eval and generated code (trigram form). */
+  def shingleHashes(s: UTF8String): ArrayData = gramHashes(s, N)
+
+  /** Width-parameterized scanner (see [[GramHashes]]). */
+  def gramHashes(s: UTF8String, width: Int): ArrayData = {
     // lowercase through the same entry point as the lower() built-in —
     // CollationAwareUTF8String (ICU tables), NOT UTF8String.toLowerCase
     // (JDK tables; diverges on recent case pairs, see Tokenize) — then
@@ -72,14 +106,14 @@ object ShingleHashes {
       i += Character.charCount(cp)
     }
     if (cur.nonEmpty) toks += cur.toArray
-    val m = toks.length - N + 1
+    val m = toks.length - width + 1
     if (m <= 0) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
     val out = new Array[Long](m)
     var k = 0
     while (k < m) {
       var h = 7L
       var t = 0
-      while (t < N) {
+      while (t < width) {
         if (t > 0) h = (h * 31L + ' ') % P
         val cps = toks(k + t)
         var j = 0

@@ -808,14 +808,13 @@ object Dedup {
 
   def repeatedSpans(c: DataFrame): DataFrame = {
     val l = SpanSeedLen
-    val tk = c.select(col("doc_id"), tokens(col("text")).as("toks"))
-    // per-position l-gram polynomial hash; sequence() needs size >= l
-    // (Spark's sequence DECREASES for stop < start — filter, don't clamp)
-    val sh = tk.filter(size(col("toks")) >= l)
-      .select(col("doc_id"),
-        posexplode(transform(sequence(lit(1), size(col("toks")) - (l - 1)),
-          i => stringHash(concat_ws(" ", slice(col("toks"), i, lit(l))))))
-          .as(Seq("pos", "h")))
+    // fused native seed pass (GramHashes: one generated scan per doc —
+    // no exploded token stream, no per-position slice/concat/hash lambda
+    // chain); byte-exact with stringHash(concat_ws(" ", slice(toks, i,
+    // l))) per start position, empty array under l tokens
+    val sh = c.select(col("doc_id"),
+      posexplode(graft.expressions.GramHashes.gram_hashes(col("text"), l))
+        .as(Seq("pos", "h")))
     val rep = sh.groupBy(col("h")).agg(count(lit(1)).as("c"))
       .filter(col("c") >= 2).select(col("h"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))

@@ -74,6 +74,23 @@ class TextPropertySpec extends SparkSpec {
     assert(bad.count() === 0)
   }
 
+  test("gram_hashes: fused native == composed slice/concat/stringHash on adversarial strings") {
+    for (w <- Seq(1, 2, 5)) {
+      val toks = TextFunctions.tokens($"text")
+      // composed reference: per start position i (1-based), hash of the
+      // space-joined w-token slice; empty below w tokens
+      val ref = when(size(toks) >= w,
+        transform(sequence(lit(1), size(toks) - (w - 1)),
+          i => TextFunctions.stringHash(concat_ws(" ", slice(toks, i, lit(w))))))
+        .otherwise(array().cast("array<long>"))
+      val bad = strings.select(
+          graft.expressions.GramHashes.gram_hashes($"text", w).as("nat"),
+          ref.as("ref"))
+        .filter(!($"nat" <=> $"ref"))
+      assert(bad.count() === 0, s"gram_hashes width $w diverges from the composed form")
+    }
+  }
+
   test("trimmed_levenshtein: native == built-in 3-arg levenshtein on adversarial pairs") {
     // pair shapes that stress the trim: unrelated pairs, identical pairs,
     // appended tails, prepended heads — over strings carrying combining

@@ -44,6 +44,14 @@ object Registry {
         s"$fn: $arg must be an integer literal, got $other")
   }
 
+  /** Usable arity error instead of a bare IndexOutOfBoundsException. */
+  private def arity(es: Seq[Expression], n: Int, fn: String, sig: String): Seq[Expression] = {
+    if (es.length != n)
+      throw new IllegalArgumentException(
+        s"$fn expects $n arguments ($sig), got ${es.length}")
+    es
+  }
+
   def registerAll(spark: SparkSession): Unit = {
     // scalar functions with their own register()
     PolyHash.register(spark)
@@ -57,20 +65,22 @@ object Registry {
     r.createOrReplaceTempFunction("shingle_hashes",
       es => ShingleHashes(es.head), "built-in")
     r.createOrReplaceTempFunction("gram_hashes",
-      es => GramHashes(es(0), intLit(es(1), "gram_hashes", "width")), "built-in")
+      es => { arity(es, 2, "gram_hashes", "text, width")
+        GramHashes(es(0), intLit(es(1), "gram_hashes", "width")) }, "built-in")
     r.createOrReplaceTempFunction("cdc_chunks",
       es => CdcChunks(es.head), "built-in")
     r.createOrReplaceTempFunction("seq_dot",
-      es => SeqDot(es(0), es(1)), "built-in")
+      es => { arity(es, 2, "seq_dot", "a, b"); SeqDot(es(0), es(1)) }, "built-in")
     r.createOrReplaceTempFunction("seq_l2sq",
-      es => SeqL2Sq(es(0), es(1)), "built-in")
+      es => { arity(es, 2, "seq_l2sq", "a, b"); SeqL2Sq(es(0), es(1)) }, "built-in")
     r.createOrReplaceTempFunction("short_token_count",
       es => ShortTokenCount(es(0), intLit(es(1), "short_token_count", "maxLen")), "built-in")
     r.createOrReplaceTempFunction("pushdown_barrier",
       es => PushdownBarrier(es.head), "built-in")
     r.createOrReplaceTempFunction("trimmed_levenshtein",
-      es => TrimmedLevenshtein(es(0), es(1),
-        intLit(es(2), "trimmed_levenshtein", "maxDist")), "built-in")
+      es => { arity(es, 3, "trimmed_levenshtein", "a, b, maxDist")
+        TrimmedLevenshtein(es(0), es(1),
+          intLit(es(2), "trimmed_levenshtein", "maxDist")) }, "built-in")
     // Spark ships BloomFilterAggregate/BloomFilterMightContain (the
     // runtime-filter sketch) but registers NEITHER for SQL in this build,
     // so the Bloom-decontamination pattern can't be written in pure SQL

@@ -16,8 +16,10 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * generated loop instead of interpreted lambdas materializing a zipped
   * array per pair.
   *
-  * Mismatched lengths yield null (zip_with pads with null, nulling the
-  * HOF's fold). Array ELEMENTS must be non-null (dense vectors).
+  * Mismatched lengths AND null elements yield null — exactly the HOF's
+  * semantics (zip_with pads with null and a null element nulls the
+  * fold): a sparse/corrupt vector falls out of similarity rankings
+  * instead of contributing a silently-wrong finite score.
   */
 case class SeqDot(left: Expression, right: Expression)
   extends BinaryExpression
@@ -36,7 +38,11 @@ case class SeqDot(left: Expression, right: Expression)
     else {
       var acc = 0.0d
       var d = 0
-      while (d < n) { acc += x.getDouble(d) * y.getDouble(d); d += 1 }
+      while (d < n) {
+        if (x.isNullAt(d) || y.isNullAt(d)) return null
+        acc += x.getDouble(d) * y.getDouble(d)
+        d += 1
+      }
       acc
     }
   }
@@ -47,6 +53,7 @@ case class SeqDot(left: Expression, right: Expression)
     val n = ctx.freshName("n")
     val d = ctx.freshName("d")
     val acc = ctx.freshName("acc")
+    val ok = ctx.freshName("ok")
     ev.copy(code =
       code"""
          |${leftGen.code}
@@ -57,11 +64,14 @@ case class SeqDot(left: Expression, right: Expression)
          |  int $n = ${leftGen.value}.numElements();
          |  if ($n == ${rightGen.value}.numElements()) {
          |    double $acc = 0.0d;
+         |    boolean $ok = true;
          |    for (int $d = 0; $d < $n; $d++) {
+         |      if (${leftGen.value}.isNullAt($d) || ${rightGen.value}.isNullAt($d)) {
+         |        $ok = false; break;
+         |      }
          |      $acc += ${leftGen.value}.getDouble($d) * ${rightGen.value}.getDouble($d);
          |    }
-         |    ${ev.isNull} = false;
-         |    ${ev.value} = $acc;
+         |    if ($ok) { ${ev.isNull} = false; ${ev.value} = $acc; }
          |  }
          |}
        """.stripMargin)

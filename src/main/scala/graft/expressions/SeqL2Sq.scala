@@ -19,8 +19,11 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * but one generated loop per pair instead of interpreted lambdas
   * materializing a zipped array.
   *
-  * Mismatched lengths yield null (zip_with pads with null, nulling the
-  * HOF's fold). Array ELEMENTS must be non-null (dense vectors).
+  * Mismatched lengths AND null elements yield null — exactly the HOF's
+  * semantics (zip_with pads with null and a null element nulls the
+  * fold), so swapping a call site between the two forms can never
+  * change null behavior: a sparse/corrupt vector falls out of distance
+  * rankings instead of contributing a silently-wrong finite distance.
   */
 case class SeqL2Sq(left: Expression, right: Expression)
   extends BinaryExpression
@@ -38,6 +41,7 @@ case class SeqL2Sq(left: Expression, right: Expression)
       var acc = 0.0d
       var d = 0
       while (d < n) {
+        if (x.isNullAt(d) || y.isNullAt(d)) return null
         val diff = x.getDouble(d) - y.getDouble(d)
         acc += diff * diff
         d += 1
@@ -53,6 +57,7 @@ case class SeqL2Sq(left: Expression, right: Expression)
     val d = ctx.freshName("d")
     val acc = ctx.freshName("acc")
     val diff = ctx.freshName("diff")
+    val ok = ctx.freshName("ok")
     ev.copy(code =
       code"""
          |${leftGen.code}
@@ -63,12 +68,15 @@ case class SeqL2Sq(left: Expression, right: Expression)
          |  int $n = ${leftGen.value}.numElements();
          |  if ($n == ${rightGen.value}.numElements()) {
          |    double $acc = 0.0d;
+         |    boolean $ok = true;
          |    for (int $d = 0; $d < $n; $d++) {
+         |      if (${leftGen.value}.isNullAt($d) || ${rightGen.value}.isNullAt($d)) {
+         |        $ok = false; break;
+         |      }
          |      double $diff = ${leftGen.value}.getDouble($d) - ${rightGen.value}.getDouble($d);
          |      $acc += $diff * $diff;
          |    }
-         |    ${ev.isNull} = false;
-         |    ${ev.value} = $acc;
+         |    if ($ok) { ${ev.isNull} = false; ${ev.value} = $acc; }
          |  }
          |}
        """.stripMargin)

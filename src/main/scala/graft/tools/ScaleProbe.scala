@@ -180,13 +180,15 @@ object ScaleProbe {
       val dir = s"/tmp/graft-scale/x$m"
       ensureData(spark, dir, m)
       // shuffle width scales with the corpus past the x30 reference
-      // point (x1/x10/x30 keep the bench's 32 so published exponents
-      // stay comparable run-to-run). This is the knob a real deployment
-      // ties to data volume: pinning 32 partitions at x100 makes every
+      // point (x1/x10/x30 keep the session's configured width so
+      // published exponents stay comparable run-to-run at the same
+      // SPARK_GRAFT_CPUS). This is the knob a real deployment ties to
+      // data volume: pinning the base width at x100 makes every
       // SHUFFLE_HASH build map grow linearly with scale and OOM an 8g
       // local heap — a configuration artifact, not an operator property
       // (per-partition state is scale-invariant once width ∝ corpus).
-      val width = math.max(32, math.ceil(32.0 * m / 30.0).toInt)
+      val base = cpus.toInt
+      val width = math.max(base, math.ceil(base.toDouble * m / 30.0).toInt)
       spark.conf.set("spark.sql.shuffle.partitions", width.toString)
       val ts = ProbeQueries.map { q =>
         val s = timeQuery(spark, q, dir)

@@ -75,15 +75,19 @@ class TextPropertySpec extends SparkSpec {
   }
 
   test("gram_hashes: fused native == composed slice/concat/stringHash on adversarial strings") {
+    // include NULL text: both paths must propagate null (the composed
+    // reference guards on isNotNull so it doesn't wrongly map null → [])
+    val withNull = strings.unionAll(Seq(Option.empty[String]).toDF("text"))
     for (w <- Seq(1, 2, 5)) {
       val toks = TextFunctions.tokens($"text")
       // composed reference: per start position i (1-based), hash of the
-      // space-joined w-token slice; empty below w tokens
-      val ref = when(size(toks) >= w,
-        transform(sequence(lit(1), size(toks) - (w - 1)),
-          i => TextFunctions.stringHash(concat_ws(" ", slice(toks, i, lit(w))))))
-        .otherwise(array().cast("array<long>"))
-      val bad = strings.select(
+      // space-joined w-token slice; empty below w tokens; null for null
+      val ref = when($"text".isNotNull,
+        when(size(toks) >= w,
+          transform(sequence(lit(1), size(toks) - (w - 1)),
+            i => TextFunctions.stringHash(concat_ws(" ", slice(toks, i, lit(w))))))
+          .otherwise(array().cast("array<long>")))
+      val bad = withNull.select(
           graft.expressions.GramHashes.gram_hashes($"text", w).as("nat"),
           ref.as("ref"))
         .filter(!($"nat" <=> $"ref"))

@@ -64,6 +64,24 @@ class VectorPropertySpec extends SparkSpec {
     assert(mm.count() === 0, "mismatched lengths must yield null on both paths")
   }
 
+  test("SeqDot/SeqL2Sq: a null ELEMENT nulls the result on both paths (sparse-vector guard)") {
+    // a corrupt row with one null slot must fall out of rankings, not
+    // contribute a silently-finite score — same-length arrays, one null
+    val holed = vecs.select($"emb",
+      concat(slice($"emb", lit(1), size($"emb") - 1),
+        array(lit(null).cast("double"))).as("hole"))
+      .filter(size($"emb") > 0)
+    def bothNullAndAgree(nat: org.apache.spark.sql.Column,
+        hof: org.apache.spark.sql.Column) =
+      holed.filter(!(nat <=> hof) || nat.isNotNull)
+    assert(bothNullAndAgree(
+      VectorFunctions.dot($"emb", $"hole"), VectorFunctions.dotHof($"emb", $"hole"))
+      .count() === 0, "dot: null element must null the native AND match the HOF")
+    assert(bothNullAndAgree(
+      VectorFunctions.l2sq($"emb", $"hole"), VectorFunctions.l2sqHof($"emb", $"hole"))
+      .count() === 0, "l2sq: null element must null the native AND match the HOF")
+  }
+
   test("RandomHyperplaneBits native == HOF on adversarial IEEE values") {
     val bad = vecs.select($"emb").withColumn("bucket",
         graft.expressions.RandomHyperplaneBits.hyperplane_bits($"emb", Similarity.NumPlanes))

@@ -586,6 +586,15 @@ object SparkEntry {
       Dedup.winnowPairs(Dedup.corpus(Tables.documents(s, dir)))
     },
 
+    // Asymmetric shingle containment over winnow candidates: the
+    // doc-IN-doc detector (|A∩B|/|A| ≈ 1 at Jaccard ≈ 0.04 for a
+    // fragment quoted inside a big page) — winnow fingerprints supply
+    // the local-overlap recall MinHash banding lacks; exact integer
+    // intersection counts, one division per direction.
+    "q_dedup_contain" -> { (s, dir) =>
+      Dedup.containmentPairs(Dedup.corpus(Tables.documents(s, dir)))
+    },
+
     // Per-lang dedup audit: docs total / clustered / dropped + drop rate.
     "q_dedup_report" -> { (s, dir) =>
       val c = Dedup.corpus(Tables.documents(s, dir))
@@ -825,6 +834,13 @@ object SparkEntry {
     // the billion-scale path).
     "q_emb_hardneg" -> { (s, dir) =>
       Similarity.hardNegatives(Tables.embeddings(s, dir))
+    },
+    // Hard-POSITIVE mining: per query vector, the k LEAST-similar
+    // SAME-label vectors — the label-noise / incoherent-class audit
+    // (cleanlab-style) a curation pass runs before contrastive training
+    // trusts the labels as positives.
+    "q_emb_hardpos" -> { (s, dir) =>
+      Similarity.hardPositives(Tables.embeddings(s, dir))
     },
 
     // Semantic topic profile: k-means cells joined back to documents —
@@ -2569,6 +2585,18 @@ object SparkEntry {
          |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS BIGINT) AS rn
          |  FROM pairs) t
          |WHERE rn <= 3""".stripMargin,
+    "q_emb_hardpos" ->
+      s"""WITH ${Similarity.baseSql},
+         |q AS (SELECT vec_id AS qid, label AS qlabel, emb AS qemb, nrm AS qnrm
+         |      FROM base WHERE vec_id % 50 = 0),
+         |pairs AS (
+         |  SELECT qid, qlabel, vec_id,
+         |    ${Similarity.dotSql("qemb", "emb")} / (qnrm * nrm) AS cos
+         |  FROM q JOIN base ON label = qlabel AND vec_id <> qid)
+         |SELECT qid, qlabel, vec_id, cos, rn FROM (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos ASC, vec_id) AS BIGINT) AS rn
+         |  FROM pairs) t
+         |WHERE rn <= 3""".stripMargin,
     "q_emb_buckets" ->
       s"""WITH b AS (
          |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
@@ -3545,6 +3573,34 @@ object SparkEntry {
          |FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
          |GROUP BY 1, 2
          |HAVING COUNT(*) >= 2""".stripMargin,
+    "q_dedup_contain" ->
+      s"""WITH ${Dedup.corpusSql},
+         |${TextAnalysis.winnowSqlChain("corpus")},
+         |fp AS (SELECT DISTINCT doc_id, mk // 2147483648 AS h FROM wsel),
+         |dfc AS (SELECT h FROM fp GROUP BY h HAVING COUNT(*) <= 20),
+         |kept AS (SELECT fp.doc_id, fp.h FROM fp JOIN dfc ON fp.h = dfc.h),
+         |wpair AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |  HAVING COUNT(*) >= 2),
+         |${Dedup.tokSql},
+         |csizes AS (SELECT doc_id, COUNT(*) AS nt FROM tok GROUP BY 1),
+         |cinter AS (
+         |  SELECT doc_a, doc_b, COUNT(*) AS n_inter
+         |  FROM wpair
+         |  JOIN tok ta ON ta.doc_id = doc_a
+         |  JOIN tok tb ON tb.doc_id = doc_b AND tb.h = ta.h
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, n_inter,
+         |  CAST(n_inter AS DOUBLE) / CAST(sa.nt AS DOUBLE) AS contain_a,
+         |  CAST(n_inter AS DOUBLE) / CAST(sb.nt AS DOUBLE) AS contain_b
+         |FROM cinter
+         |JOIN csizes sa ON doc_a = sa.doc_id
+         |JOIN csizes sb ON doc_b = sb.doc_id
+         |WHERE greatest(CAST(n_inter AS DOUBLE) / CAST(sa.nt AS DOUBLE),
+         |               CAST(n_inter AS DOUBLE) / CAST(sb.nt AS DOUBLE))
+         |      >= CAST(0.8 AS DOUBLE)""".stripMargin,
     "q_er_bestmatch" -> ErBestMatchOracleSql,
     "q_er_recall" ->
       s"""WITH rec AS (

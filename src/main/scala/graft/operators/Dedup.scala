@@ -281,6 +281,47 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Asymmetric shingle-containment verify — the doc-IN-doc detector
+    * (Broder's containment, next to his resemblance/Jaccard): for
+    * candidate pairs, |A∩B|/|A| and |A∩B|/|B| over distinct trigram
+    * sets. A 200-token article quoted whole inside a 5000-token page
+    * scores containment ≈ 1 while Jaccard ≈ 0.04 — invisible to the
+    * whole-doc near-dup verifies, yet exactly the duplication a training
+    * corpus pays for twice. Candidates come from the WINNOW fingerprint
+    * pairs, not MinHash banding: winnowing guarantees any shared w+2
+    * token run leaves shared fingerprints (local-overlap recall — the
+    * property containment needs), while MinHash banding targets high
+    * whole-doc similarity and would miss small-in-big inclusions by
+    * construction.
+    *
+    * Emits pairs whose LARGER directional containment clears
+    * `minContain`, with the exact shared-shingle count and both
+    * directions (the asymmetry TELLS you which doc is the fragment).
+    *
+    * Scale: winnow candidates are df-capped (≤ maxDf² pairs per
+    * fingerprint); the verify joins ride the (doc, h) shingle stream
+    * with shuffle-hash hints (corpus-derived sides, never broadcast);
+    * counts are exact integers, one division per direction at the end.
+    */
+  def containmentPairs(c: DataFrame, minContain: Double = 0.8,
+      minShared: Int = 2, maxDf: Int = 20): DataFrame = {
+    val tok = tokenHashes(c).localCheckpoint(false)
+    val sizes = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("nt"))
+    val inter = winnowPairs(c, minShared, maxDf)
+      .select(col("doc_a"), col("doc_b"))
+      .join(tok.select(col("doc_id").as("doc_a"), col("h")).hint("shuffle_hash"), Seq("doc_a"))
+      .join(tok.select(col("doc_id").as("doc_b"), col("h")).hint("shuffle_hash"), Seq("doc_b", "h"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("nt").as("na")).hint("shuffle_hash"), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("nt").as("nb")).hint("shuffle_hash"), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_inter"),
+        (col("n_inter").cast("double") / col("na").cast("double")).as("contain_a"),
+        (col("n_inter").cast("double") / col("nb").cast("double")).as("contain_b"))
+      .filter(greatest(col("contain_a"), col("contain_b")) >= minContain)
+  }
+
   /** Per-language dedup audit — the report a curation run publishes
     * alongside the cleaned corpus: docs total, docs in any verified
     * duplicate cluster, docs the cleaner drops (non-keepers), and the

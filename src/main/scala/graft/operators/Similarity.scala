@@ -116,6 +116,33 @@ object Similarity {
         col("label").as("neg_label"), col("cos"), col("rn"))
   }
 
+  /** Hard-POSITIVE mining — the label-noise audit (the complement of
+    * [[hardNegatives]], the confident-learning/cleanlab signal): for
+    * each query vector, the k LEAST-similar vectors carrying the SAME
+    * label. A same-label pair at cosine ≈ 0 is either a mislabeled row
+    * or a label whose class is semantically incoherent — exactly the
+    * rows a curation pass re-annotates before contrastive training
+    * treats them as positives. Same oracle-able brute contract as
+    * [[hardNegatives]]: bounded query side, precomputed norms,
+    * deterministic (cos ASC, vec_id) ranking; at billion scale the same
+    * mining composes with the IVF candidate stages.
+    */
+  def hardPositives(e: DataFrame, queryMod: Int = 50, k: Int = 3): DataFrame = {
+    val base = withEmb(e).select(col("vec_id"), col("label"), col("emb"),
+      l2norm(col("emb")).as("nrm"))
+    val q = base.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+        col("emb").as("qemb"), col("nrm").as("qnrm"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").asc, col("vec_id"))
+    broadcast(q).join(base,
+        col("label") === col("qlabel") && col("vec_id") =!= col("qid"))
+      .withColumn("cos",
+        cosineWithNorms(dot(col("qemb"), col("emb")), col("qnrm"), col("nrm")))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("qlabel"), col("vec_id"), col("cos"), col("rn"))
+  }
+
   /** Random-hyperplane LSH bucket id (NumPlanes sign bits) per vector —
     * the native codegen'd expression (one generated loop per row; see
     * expressions/RandomHyperplaneBits).

@@ -320,6 +320,31 @@ class DedupSpec extends SparkSpec {
     assert(missing.isEmpty, s"simhash missed planted pairs: $missing")
   }
 
+  test("containmentPairs: a fragment quoted inside a big page surfaces at Jaccard near 0") {
+    // 24-token fragment (doc 1) quoted whole inside a 400+-token page
+    // (doc 2) built from disjoint filler — whole-doc Jaccard ~ 24/430,
+    // far under any resemblance bar, but containment of 1 in 2 is ~1
+    val para = (1 to 24).map(i => s"shared$i").mkString(" ")
+    val fillerA = (1 to 200).map(i => s"alpha$i").mkString(" ")
+    val fillerB = (1 to 200).map(i => s"beta$i").mkString(" ")
+    val docs = Seq(
+      (1L, "en", para),
+      (2L, "en", s"$fillerA $para $fillerB"),
+      (3L, "en", (1 to 100).map(i => s"gamma$i").mkString(" ")))
+      .toDF("doc_id", "lang", "text")
+    val got = Dedup.containmentPairs(docs)
+      .select($"doc_a", $"doc_b", $"contain_a", $"contain_b")
+      .collect()
+    assert(got.length === 1)
+    val r = got.head
+    assert((r.getLong(0), r.getLong(1)) === ((1L, 2L)))
+    assert(r.getDouble(2) === 1.0, "every fragment shingle is in the page")
+    assert(r.getDouble(3) < 0.1, "the page is NOT contained in the fragment")
+    // the differentiator: the resemblance verify at its 0.5 bar misses it
+    assert(Dedup.ngramJaccardPairs(docs).filter($"doc_a" === 1L && $"doc_b" === 2L)
+      .count() === 0, "whole-doc Jaccard must NOT surface the inclusion")
+  }
+
   test("repeatedSpans: seed-merge finds maximal cross-doc and intra-doc repeats") {
     val fixture = Seq(
       (1L, "a b c d e f g h"),                  // shares c..h with doc 2

@@ -276,6 +276,24 @@ class SimilaritySpec extends SparkSpec {
     assert(c.filter(abs($"centroid") > 0.5).count() === 0)
   }
 
+  test("hardPositives: the mislabeled far vector ranks FIRST among same-label rows") {
+    // label 0: a coherent neighbor (cos ~ 0.99) and a mislabeled
+    // opposite vector (cos = -1) — the audit must surface the outlier
+    // at rank 1 (cos ASC) and never cross labels
+    val rows = Seq(
+      (0L, Seq(1f, 0f), 0),      // query (0 % 50 == 0)
+      (1L, Seq(0.9f, 0.1f), 0),  // coherent same-label
+      (2L, Seq(-1f, 0f), 0),     // mislabeled: same label, opposite direction
+      (3L, Seq(-1f, -1f), 1))    // different label: excluded
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.hardPositives(rows, queryMod = 50, k = 2)
+      .orderBy($"rn").collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("rn"), r.getAs[Double]("cos")))
+    assert(got.map(t => (t._1, t._2)).toSeq === Seq((2L, 1L), (1L, 2L)),
+      s"got ${got.toSeq}")
+    assert(got.head._3 === -1.0, "the mislabeled row sits at cosine -1")
+  }
+
   test("knownItemMrr: hand-computed ranks — a parallel decoy pushes the plant to rank 2") {
     // ids 0 and 25 get ×1.5 copies at +1e6 (cosine exactly 1). id 3 is a
     // PARALLEL decoy for query 0 with the same cosine 1.0 — the (cos,

@@ -413,6 +413,14 @@ object SparkEntry {
       val qids = eClean.filter(col("vec_id") % 50 === 0).select(col("vec_id").as("qid"))
       Retrieval.rrfFuse(Seq(qids.crossJoin(broadcast(lex)), vec), kRrf = 60, topK = 10)
     },
+    // Character-class audit: per-doc explicit-Unicode-range counts +
+    // permille (Latin/digit/CJK/Cyrillic/Arabic), mojibake marker and
+    // U+FFFD counts, fixed-precedence dominant class — the SCRIPT-level
+    // complement of the vocabulary LID; one narrow regexp pass.
+    "q_doc_charclass" -> { (s, dir) =>
+      TextAnalysis.charClassAudit(Tables.documents(s, dir))
+    },
+
     // Cross-source shingle containment matrix (mirror/syndication audit):
     // |sources|² output, one checkpointed per-source shingle set feeding
     // both self-join sides and the denominator.
@@ -2253,6 +2261,7 @@ object SparkEntry {
          |bm AS (${TextAnalysis.bm25SearchSql(SearchTerms)}),
          |${rrfTailSql("base")}""".stripMargin,
     "q_doc_overlap" -> TextAnalysis.sourceOverlapSql(),
+    "q_doc_charclass" -> TextAnalysis.charClassAuditSql(),
     "q_retrieval_e2e" ->
       s"""WITH RECURSIVE ${Dedup.corpusSql},
          |${Dedup.tokSql},

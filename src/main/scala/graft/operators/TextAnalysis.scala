@@ -892,4 +892,88 @@ object TextAnalysis {
       (pred === col("lang")).as("matches_label")
     )
   }
+
+  /** Character-class regexes shared with the SQL mirror: EXPLICIT code
+    * ranges only — `\x{…}` is the one spelling Java regex (Spark) and
+    * RE2 (DuckDB) both accept with identical semantics, whereas named
+    * script properties (`\p{IsHan}` vs `\p{Han}`) differ in syntax AND
+    * can differ across the engines' Unicode table versions.
+    */
+  val CharClasses: Seq[(String, String)] = Seq(
+    "latin" -> "[A-Za-z]",
+    "digit" -> "[0-9]",
+    "cjk" -> "[\\x{4E00}-\\x{9FFF}]",
+    "cyrillic" -> "[\\x{0400}-\\x{04FF}]",
+    "arabic" -> "[\\x{0600}-\\x{06FF}]")
+
+  /** Mojibake marker: 'Ã' followed by a C1/Latin-1-supplement byte-ish
+    * char — the signature of UTF-8 read as Latin-1 ("é" → "Ã©"); plus
+    * the replacement char count below for decoder-damage.
+    */
+  val MojibakeRe = "\\x{00C3}[\\x{0080}-\\x{00BF}]"
+
+  /** Character-class audit — the SCRIPT-level complement of the
+    * token-vocabulary [[langId]]: per doc, counts and exact permille of
+    * explicit Unicode ranges (Latin, digits, CJK, Cyrillic, Arabic),
+    * the UTF-8-as-Latin-1 mojibake marker count, and U+FFFD replacement
+    * chars (decoder damage). Catches what a vocabulary LID cannot: a
+    * doc whose label says `en` but whose CHARACTERS are CJK, or a crawl
+    * slice whose text was double-decoded — both invisible to token
+    * matching against Latin marker words. `dominant_class` is the fixed-
+    * precedence argmax over the class counts (ties resolve in
+    * declaration order, both engines run the identical CASE chain).
+    *
+    * Exactness: integer counts, permille by exact integer division.
+    * Scale: ONE narrow regexp pass, no joins, no aggregation — a pure
+    * per-row map that streams unchanged.
+    */
+  def charClassAudit(docs: DataFrame): DataFrame = {
+    val Seq(lat, dig, cjk, cyr, ara) = CharClasses.map { case (_, re) =>
+      regexp_count(col("text"), lit(re)).cast("long")
+    }
+    val n = length(col("text")).cast("long")
+    // null-text guard OUTSIDE the argmax chain: with all-null counts the
+    // when-conditions are null and control would fall through to the
+    // otherwise branch — classing a null doc 'arabic' in both engines
+    val dom = when(col("text").isNotNull,
+      when(lat >= dig && lat >= cjk && lat >= cyr && lat >= ara, "latin")
+        .when(dig >= cjk && dig >= cyr && dig >= ara, "digit")
+        .when(cjk >= cyr && cjk >= ara, "cjk")
+        .when(cyr >= ara, "cyrillic")
+        .otherwise("arabic"))
+    docs.select(
+        col("doc_id"), n.as("n_chars"),
+        lat.as("n_latin"), dig.as("n_digit"), cjk.as("n_cjk"),
+        cyr.as("n_cyrillic"), ara.as("n_arabic"),
+        regexp_count(col("text"), lit(MojibakeRe)).cast("long").as("n_mojibake"),
+        regexp_count(col("text"), lit("\\x{FFFD}")).cast("long").as("n_replacement"),
+        dom.as("dominant_class"))
+      // exact integer division (`div`), not `/` — Column `/` on longs
+      // promotes to double and the permille would stop being exact
+      .withColumn("latin_permille",
+        when(col("n_chars") > 0, expr("n_latin * 1000 div n_chars")))
+      .withColumn("cjk_permille",
+        when(col("n_chars") > 0, expr("n_cjk * 1000 div n_chars")))
+  }
+
+  /** DuckDB mirror of [[charClassAudit]] over table `src`. */
+  def charClassAuditSql(src: String = "documents"): String = {
+    def cnt(re: String) = s"CAST(len(regexp_extract_all(text, '$re')) AS BIGINT)"
+    val Seq(lat, dig, cjk, cyr, ara) = CharClasses.map { case (_, re) => cnt(re) }
+    s"""SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+       |  $lat AS n_latin, $dig AS n_digit, $cjk AS n_cjk,
+       |  $cyr AS n_cyrillic, $ara AS n_arabic,
+       |  CASE WHEN length(text) > 0 THEN $lat * 1000 // length(text) END AS latin_permille,
+       |  CASE WHEN length(text) > 0 THEN $cjk * 1000 // length(text) END AS cjk_permille,
+       |  ${cnt(MojibakeRe)} AS n_mojibake,
+       |  ${cnt("\\x{FFFD}")} AS n_replacement,
+       |  CASE WHEN text IS NULL THEN NULL
+       |    WHEN $lat >= $dig AND $lat >= $cjk AND $lat >= $cyr AND $lat >= $ara THEN 'latin'
+       |    WHEN $dig >= $cjk AND $dig >= $cyr AND $dig >= $ara THEN 'digit'
+       |    WHEN $cjk >= $cyr AND $cjk >= $ara THEN 'cjk'
+       |    WHEN $cyr >= $ara THEN 'cyrillic'
+       |    ELSE 'arabic'
+       |  END AS dominant_class
+       |FROM $src""".stripMargin
+  }
 }

@@ -3574,25 +3574,11 @@ object SparkEntry {
          |FROM wsel""".stripMargin,
     "q_dedup_winnow" ->
       s"""WITH ${Dedup.corpusSql},
-         |${TextAnalysis.winnowSqlChain("corpus")},
-         |fp AS (SELECT DISTINCT doc_id, mk // 2147483648 AS h FROM wsel),
-         |dfc AS (SELECT h FROM fp GROUP BY h HAVING COUNT(*) <= 20),
-         |kept AS (SELECT fp.doc_id, fp.h FROM fp JOIN dfc ON fp.h = dfc.h)
-         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
-         |FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
-         |GROUP BY 1, 2
-         |HAVING COUNT(*) >= 2""".stripMargin,
+         |${TextAnalysis.winnowPairSqlChain("corpus")}
+         |SELECT doc_a, doc_b, n_shared FROM wpair""".stripMargin,
     "q_dedup_contain" ->
       s"""WITH ${Dedup.corpusSql},
-         |${TextAnalysis.winnowSqlChain("corpus")},
-         |fp AS (SELECT DISTINCT doc_id, mk // 2147483648 AS h FROM wsel),
-         |dfc AS (SELECT h FROM fp GROUP BY h HAVING COUNT(*) <= 20),
-         |kept AS (SELECT fp.doc_id, fp.h FROM fp JOIN dfc ON fp.h = dfc.h),
-         |wpair AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2
-         |  HAVING COUNT(*) >= 2),
+         |${TextAnalysis.winnowPairSqlChain("corpus")},
          |${Dedup.tokSql},
          |csizes AS (SELECT doc_id, COUNT(*) AS nt FROM tok GROUP BY 1),
          |cinter AS (

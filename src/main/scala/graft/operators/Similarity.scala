@@ -133,7 +133,13 @@ object Similarity {
     val q = base.filter(col("vec_id") % queryMod === 0)
       .select(col("vec_id").as("qid"), col("label").as("qlabel"),
         col("emb").as("qemb"), col("nrm").as("qnrm"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos").asc, col("vec_id"))
+    // asc_NULLS_LAST: a zero-norm junk vector has null cos, and Spark's
+    // ASC default (nulls first) would rank it ABOVE every genuine
+    // mislabel — inverting the audit — while the DuckDB mirror's 0/0 =
+    // NaN sorts last under ASC. Explicit nulls-last aligns both engines
+    // and keeps cosineWithNorms' ranked-last invariant
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").asc_nulls_last, col("vec_id"))
     broadcast(q).join(base,
         col("label") === col("qlabel") && col("vec_id") =!= col("qid"))
       .withColumn("cos",

@@ -834,6 +834,23 @@ object TextAnalysis {
        |  SELECT DISTINCT doc_id, mk FROM wwins
        |  WHERE pos <= n - 4 OR (n < 4 AND pos = 0))""".stripMargin
 
+  /** Shared winnow-CANDIDATE-pair chain (→ `wpair(doc_a, doc_b,
+    * n_shared)`): [[winnowSqlChain]] + distinct fingerprints + df cap +
+    * pair join — ONE copy of [[graft.operators.Dedup.winnowPairs]]'
+    * selection rule for the q_dedup_winnow and q_dedup_contain oracles,
+    * so the candidate set cannot drift between mirrors.
+    */
+  def winnowPairSqlChain(src: String, minShared: Int = 2, maxDf: Int = 20): String =
+    s"""${winnowSqlChain(src)},
+       |fp AS (SELECT DISTINCT doc_id, mk // 2147483648 AS h FROM wsel),
+       |dfc AS (SELECT h FROM fp GROUP BY h HAVING COUNT(*) <= $maxDf),
+       |kept AS (SELECT fp.doc_id, fp.h FROM fp JOIN dfc ON fp.h = dfc.h),
+       |wpair AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+       |  FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |  HAVING COUNT(*) >= $minShared)""".stripMargin
+
   /** DuckDB mirror of [[quality]]'s ratio computation over `source`:
     * CTEs `tq` (tokens, via the shared [[Dedup.toksSql]]) and `rq`
     * (stop/short ratios). Spliced into the q_doc_quality, q_doc_qfilter
@@ -932,10 +949,12 @@ object TextAnalysis {
       regexp_count(col("text"), lit(re)).cast("long")
     }
     val n = length(col("text")).cast("long")
-    // null-text guard OUTSIDE the argmax chain: with all-null counts the
-    // when-conditions are null and control would fall through to the
-    // otherwise branch — classing a null doc 'arabic' in both engines
-    val dom = when(col("text").isNotNull,
+    // guards OUTSIDE the argmax chain: null text would fall through the
+    // null when-conditions to 'arabic', and ALL-ZERO counts (empty or
+    // symbol/emoji-only text) would satisfy the first 0 >= 0 branch and
+    // inflate the Latin share — both class as null instead
+    val dom = when(col("text").isNotNull
+        && greatest(lat, dig, cjk, cyr, ara) > 0,
       when(lat >= dig && lat >= cjk && lat >= cyr && lat >= ara, "latin")
         .when(dig >= cjk && dig >= cyr && dig >= ara, "digit")
         .when(cjk >= cyr && cjk >= ara, "cjk")
@@ -968,6 +987,7 @@ object TextAnalysis {
        |  ${cnt(MojibakeRe)} AS n_mojibake,
        |  ${cnt("\\x{FFFD}")} AS n_replacement,
        |  CASE WHEN text IS NULL THEN NULL
+       |    WHEN greatest($lat, $dig, $cjk, $cyr, $ara) = 0 THEN NULL
        |    WHEN $lat >= $dig AND $lat >= $cjk AND $lat >= $cyr AND $lat >= $ara THEN 'latin'
        |    WHEN $dig >= $cjk AND $dig >= $cyr AND $dig >= $ara THEN 'digit'
        |    WHEN $cjk >= $cyr AND $cjk >= $ara THEN 'cjk'

@@ -48,13 +48,17 @@ class CharClassSpec extends SparkSpec {
     assert(got(3L).getAs[Long]("n_replacement") === 2L)
   }
 
-  test("degenerate rows: empty text has null permille, null text nulls the class") {
-    val rows = Seq[(Long, String)]((1L, ""), (2L, null))
+  test("degenerate rows: empty/symbol-only/null text never classes as a script") {
+    val rows = Seq[(Long, String)]((1L, ""), (2L, null), (3L, "!!! ??? ..."))
     val got = audit(rows)
     assert(got(1L).getAs[Long]("n_chars") === 0L)
     assert(got(1L).isNullAt(got(1L).fieldIndex("latin_permille")),
       "empty text must not divide by zero")
+    assert(got(1L).isNullAt(got(1L).fieldIndex("dominant_class")),
+      "empty text must not class as latin via the 0 >= 0 branch")
     assert(got(2L).isNullAt(got(2L).fieldIndex("dominant_class")),
       "null text must not class as anything")
+    assert(got(3L).isNullAt(got(3L).fieldIndex("dominant_class")),
+      "symbol-only text (all counts 0) must not inflate the latin share")
   }
 }

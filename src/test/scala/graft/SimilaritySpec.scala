@@ -276,6 +276,22 @@ class SimilaritySpec extends SparkSpec {
     assert(c.filter(abs($"centroid") > 0.5).count() === 0)
   }
 
+  test("hardPositives: a zero-norm junk vector ranks LAST, never displacing real mislabels") {
+    // zero-norm → null cos: under plain ASC Spark puts nulls FIRST,
+    // which would crown the junk vector every query's top mislabel and
+    // diverge from the oracle's NaN-sorts-last; asc_nulls_last pins it
+    val rows = Seq(
+      (0L, Seq(1f, 0f), 0),
+      (1L, Seq(0f, 0f), 0),      // zero-norm junk, same label
+      (2L, Seq(-1f, 0f), 0),     // the real mislabel signal
+      (3L, Seq(0.9f, 0.1f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.hardPositives(rows, queryMod = 50, k = 2)
+      .orderBy($"rn").collect().map(r => r.getAs[Long]("vec_id")).toSeq
+    assert(got === Seq(2L, 3L),
+      s"junk must sort below every finite cosine, got $got")
+  }
+
   test("hardPositives: the mislabeled far vector ranks FIRST among same-label rows") {
     // label 0: a coherent neighbor (cos ~ 0.99) and a mislabeled
     // opposite vector (cos = -1) — the audit must surface the outlier

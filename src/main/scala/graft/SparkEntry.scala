@@ -589,9 +589,10 @@ object SparkEntry {
 
     // Winnowing-candidate near-dups: shared-fingerprint pairs — the
     // local-overlap complement to whole-doc MinHash LSH; df-capped
-    // fingerprint equi-join, never all-pairs.
+    // fingerprint equi-join, never all-pairs. Memoized: q_dedup_contain
+    // verifies over the SAME candidate table.
     "q_dedup_winnow" -> { (s, dir) =>
-      Dedup.winnowPairs(Dedup.corpus(Tables.documents(s, dir)))
+      Dedup.winnowPairsFor(Dedup.corpus(Tables.documents(s, dir)), dir)
     },
 
     // Asymmetric shingle containment over winnow candidates: the
@@ -600,7 +601,8 @@ object SparkEntry {
     // the local-overlap recall MinHash banding lacks; exact integer
     // intersection counts, one division per direction.
     "q_dedup_contain" -> { (s, dir) =>
-      Dedup.containmentPairs(Dedup.corpus(Tables.documents(s, dir)))
+      val c = Dedup.corpus(Tables.documents(s, dir))
+      Dedup.containmentPairs(c, Dedup.winnowPairsFor(c, dir), minContain = 0.8)
     },
 
     // Per-lang dedup audit: docs total / clustered / dropped + drop rate.

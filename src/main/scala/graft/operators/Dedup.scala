@@ -281,6 +281,22 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Memoized [[winnowPairs]] per (session, corpus key) — the
+    * [[clustersFor]] discipline: q_dedup_winnow and q_dedup_contain
+    * share the winnow fingerprint → df-cap → pair stage (the expensive
+    * per-doc windowed-min pass); a real pipeline materializes the
+    * candidate table once and both the report and the containment
+    * verify read it. First caller pays the build (eager checkpoint of
+    * the few-K-row pair table); later callers ride it. Bounded by the
+    * same [[graft.sources.StageMemo]] LRU as the other stage memos.
+    */
+  private val winnowMemo = new graft.sources.StageMemo[DataFrame](16)
+
+  def winnowPairsFor(c: DataFrame, dir: String): DataFrame =
+    winnowMemo.getOrCompute(
+      graft.sources.Tables.dataKey(c.sparkSession, dir) + "|winnow")(
+      winnowPairs(c).localCheckpoint())
+
   /** Asymmetric shingle-containment verify — the doc-IN-doc detector
     * (Broder's containment, next to his resemblance/Jaccard): for
     * candidate pairs, |A∩B|/|A| and |A∩B|/|B| over distinct trigram
@@ -304,10 +320,17 @@ object Dedup {
     * counts are exact integers, one division per direction at the end.
     */
   def containmentPairs(c: DataFrame, minContain: Double = 0.8,
-      minShared: Int = 2, maxDf: Int = 20): DataFrame = {
+      minShared: Int = 2, maxDf: Int = 20): DataFrame =
+    containmentPairs(c, winnowPairs(c, minShared, maxDf), minContain)
+
+  /** As [[containmentPairs]] with a precomputed candidate-pair table
+    * (from [[winnowPairsFor]]) — the shared-stage entry point.
+    */
+  def containmentPairs(c: DataFrame, candidates: DataFrame,
+      minContain: Double): DataFrame = {
     val tok = tokenHashes(c).localCheckpoint(false)
     val sizes = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("nt"))
-    val inter = winnowPairs(c, minShared, maxDf)
+    val inter = candidates
       .select(col("doc_a"), col("doc_b"))
       .join(tok.select(col("doc_id").as("doc_a"), col("h")).hint("shuffle_hash"), Seq("doc_a"))
       .join(tok.select(col("doc_id").as("doc_b"), col("h")).hint("shuffle_hash"), Seq("doc_b", "h"))
@@ -599,10 +622,11 @@ object Dedup {
       graft.sources.Tables.dataKey(c.sparkSession, dir))(
       duplicateClusters(verifiedPairs(c)))
 
-  /** Drop every memoized cluster table; their checkpoint blocks become
-    * collectable. For long-lived sessions that regenerate corpora.
+  /** Drop every memoized stage table (clusters + winnow pairs); their
+    * checkpoint blocks become collectable. For long-lived sessions that
+    * regenerate corpora.
     */
-  def clearMemos(): Unit = clusterMemo.clear()
+  def clearMemos(): Unit = { clusterMemo.clear(); winnowMemo.clear() }
 
   private[graft] def memoSize: Int = clusterMemo.size
 

@@ -66,7 +66,11 @@ object ScaleProbe {
     // never-probed retrieval/text compositions, and the new
     // corpus-shuffle-heavy repeated-span sweep
     "q_er_recall", "q_emb_recall", "q_doc_rrf", "q_doc_sbackoff",
-    "q_dedup_rspans")
+    "q_dedup_rspans",
+    // the winnow family (per-doc windowed-min fingerprints → df-capped
+    // pair join → containment verify): the one heavy shuffle shape the
+    // probe didn't cover; contain pays the memoized winnow build too
+    "q_dedup_contain")
 
   /** Heaps-ish vocabulary size: 30 tokens at the 5k-doc base (the real
     * table's vocabulary), growing with sqrt(n).

@@ -144,11 +144,20 @@ class PlanQualitySpec extends SparkSpec {
     // both sides of each candidate join are corpus-sized derived tables
     // with unknown post-checkpoint stats; a broadcast would ship the
     // corpus to every executor at scale
-    for (name <- Seq("q_dedup_minhash", "q_dedup_simhash", "q_dedup_embed", "q_dedup_winnow")) {
+    for (name <- Seq("q_dedup_minhash", "q_dedup_simhash", "q_dedup_embed")) {
       val p = plan(name)
       assert(p.contains("ShuffledHashJoin"), s"$name lost the shuffle-hash join")
       assert(!p.contains("BroadcastHashJoin"), s"$name broadcasts a corpus-sized side")
     }
+    // q_dedup_winnow serves the MEMOIZED checkpoint (its plan is a scan)
+    // — pin the BUILDER's plan, which is what executes on a cold memo
+    val builder = graft.operators.Dedup.winnowPairs(
+      graft.operators.Dedup.corpus(graft.sources.Tables.documents(spark, Sf)))
+      .queryExecution.executedPlan.toString
+    assert(builder.contains("ShuffledHashJoin"),
+      "winnowPairs builder lost the shuffle-hash join")
+    assert(!builder.contains("BroadcastHashJoin"),
+      "winnowPairs builder broadcasts a corpus-sized side")
   }
 
   test("q_doc_topngrams: map-side heap partials; string join-back shuffle-hash") {

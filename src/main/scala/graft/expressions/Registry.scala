@@ -1,7 +1,7 @@
 package graft.expressions
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal, UnaryMinus}
 import org.apache.spark.sql.types.IntegerType
 
 /** One-call SQL registration for every graft native function and
@@ -39,6 +39,11 @@ object Registry {
 
   private def intLit(e: Expression, fn: String, arg: String): Int = e match {
     case Literal(v: Int, IntegerType) => v
+    // the parser spells a negative literal as UnaryMinus(Literal): without
+    // this case `trimmed_levenshtein(a, b, -1)` would be rejected here
+    // BEFORE constant folding ever runs, making the documented unbounded
+    // mode (negative maxDist) unreachable from SQL
+    case UnaryMinus(Literal(v: Int, IntegerType), _) => -v
     case other =>
       throw new IllegalArgumentException(
         s"$fn: $arg must be an integer literal, got $other")

@@ -49,6 +49,17 @@ class RegistrySpec extends SparkSpec {
     assert(barred === plain)
   }
 
+  test("trimmed_levenshtein SQL: negative maxDist literal reaches unbounded mode") {
+    Registry.registerAll(spark)
+    // the parser spells -1 as UnaryMinus(Literal(1)) — intLit must fold it
+    // BEFORE rejecting, or the documented unbounded mode is Column-API-only
+    val row = spark.sql(
+      """SELECT trimmed_levenshtein('kitten', 'sitting', -1) AS unb,
+        |       trimmed_levenshtein('kitten', 'sitting', 1) AS capped""".stripMargin).head()
+    assert(row.getAs[Int]("unb") === 3)
+    assert(row.getAs[Int]("capped") === -1) // distance 3 exceeds the cap
+  }
+
   test("pure-SQL bloom decontamination: bloom_filter_agg + might_contain") {
     Registry.registerAll(spark)
     val docs = Tables.documents(spark, Sf)

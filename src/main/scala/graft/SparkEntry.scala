@@ -841,16 +841,17 @@ object SparkEntry {
     // Hard-negative mining: per query vector, the k most-similar vectors
     // with a DIFFERENT label — the near-miss negatives contrastive
     // training wants. Brute ground-truth baseline (IVF/PQ compose for
-    // the billion-scale path).
+    // the billion-scale path); query side constant-capped (64 smallest
+    // mod-50 ids) so the brute join is O(cap·n), not O(n²/50).
     "q_emb_hardneg" -> { (s, dir) =>
-      Similarity.hardNegatives(Tables.embeddings(s, dir))
+      Similarity.hardNegatives(Tables.embeddings(s, dir), queryCap = 64)
     },
     // Hard-POSITIVE mining: per query vector, the k LEAST-similar
     // SAME-label vectors — the label-noise / incoherent-class audit
     // (cleanlab-style) a curation pass runs before contrastive training
-    // trusts the labels as positives.
+    // trusts the labels as positives. Same constant cap as hardneg.
     "q_emb_hardpos" -> { (s, dir) =>
-      Similarity.hardPositives(Tables.embeddings(s, dir))
+      Similarity.hardPositives(Tables.embeddings(s, dir), queryCap = 64)
     },
 
     // Semantic topic profile: k-means cells joined back to documents —
@@ -2587,7 +2588,7 @@ object SparkEntry {
     "q_emb_hardneg" ->
       s"""WITH ${Similarity.baseSql},
          |q AS (SELECT vec_id AS qid, label AS qlabel, emb AS qemb, nrm AS qnrm
-         |      FROM base WHERE vec_id % 50 = 0),
+         |      FROM base WHERE vec_id % 50 = 0 ORDER BY vec_id LIMIT 64),
          |pairs AS (
          |  SELECT qid, qlabel, vec_id, label AS neg_label,
          |    ${Similarity.dotSql("qemb", "emb")} / (qnrm * nrm) AS cos
@@ -2599,7 +2600,7 @@ object SparkEntry {
     "q_emb_hardpos" ->
       s"""WITH ${Similarity.baseSql},
          |q AS (SELECT vec_id AS qid, label AS qlabel, emb AS qemb, nrm AS qnrm
-         |      FROM base WHERE vec_id % 50 = 0),
+         |      FROM base WHERE vec_id % 50 = 0 ORDER BY vec_id LIMIT 64),
          |pairs AS (
          |  SELECT qid, qlabel, vec_id,
          |    ${Similarity.dotSql("qemb", "emb")} / (qnrm * nrm) AS cos

@@ -100,10 +100,15 @@ object Similarity {
     * ground-truth variant those are audited against ([[knnRecall]]'s
     * pattern).
     */
-  def hardNegatives(e: DataFrame, queryMod: Int = 50, k: Int = 3): DataFrame = {
+  def hardNegatives(e: DataFrame, queryMod: Int = 50, k: Int = 3,
+      queryCap: Int = Int.MaxValue): DataFrame = {
     val base = withEmb(e).select(col("vec_id"), col("label"), col("emb"),
       l2norm(col("emb")).as("nrm"))
-    val q = base.filter(col("vec_id") % queryMod === 0)
+    // querySet, not a bare mod filter: the mod class is a corpus FRACTION,
+    // so the brute label-inequality join is O(n²·(1−1/|labels|)/mod)
+    // without the constant cap — the corpus-derived-driver-set trap the
+    // recall audits fixed (same reasoning as knnBrute/blockingRecall)
+    val q = querySet(base, queryMod, queryCap)
       .select(col("vec_id").as("qid"), col("label").as("qlabel"),
         col("emb").as("qemb"), col("nrm").as("qnrm"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
@@ -127,10 +132,14 @@ object Similarity {
     * deterministic (cos ASC, vec_id) ranking; at billion scale the same
     * mining composes with the IVF candidate stages.
     */
-  def hardPositives(e: DataFrame, queryMod: Int = 50, k: Int = 3): DataFrame = {
+  def hardPositives(e: DataFrame, queryMod: Int = 50, k: Int = 3,
+      queryCap: Int = Int.MaxValue): DataFrame = {
     val base = withEmb(e).select(col("vec_id"), col("label"), col("emb"),
       l2norm(col("emb")).as("nrm"))
-    val q = base.filter(col("vec_id") % queryMod === 0)
+    // constant-capped query side ([[querySet]]): an uncapped mod class is
+    // a corpus fraction and the same-label join goes O(n²/(mod·|labels|))
+    // — the audit's statistical power needs a constant query count
+    val q = querySet(base, queryMod, queryCap)
       .select(col("vec_id").as("qid"), col("label").as("qlabel"),
         col("emb").as("qemb"), col("nrm").as("qnrm"))
     // asc_NULLS_LAST: a zero-norm junk vector has null cos, and Spark's

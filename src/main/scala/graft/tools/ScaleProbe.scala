@@ -70,7 +70,11 @@ object ScaleProbe {
     // the winnow family (per-doc windowed-min fingerprints → df-capped
     // pair join → containment verify): the one heavy shuffle shape the
     // probe didn't cover; contain pays the memoized winnow build too
-    "q_dedup_contain")
+    "q_dedup_contain",
+    // round-8: the constant-capped brute mining audits — the cap is the
+    // scale property under test (uncapped, the label-filtered pair join
+    // is O(n²/mod) by construction)
+    "q_emb_hardpos")
 
   /** Heaps-ish vocabulary size: 30 tokens at the 5k-doc base (the real
     * table's vocabulary), growing with sqrt(n).

@@ -847,9 +847,13 @@ object Dedup {
     * arXiv:2107.06499 — the seed-and-merge approximation): every
     * position whose `SpanSeedLen`-token window occurs ≥ 2 times ANYWHERE
     * in the corpus (other docs or the same doc — boilerplate repeats
-    * in-document) is a seed; per doc, consecutive seed positions merge
-    * into MAXIMAL repeated spans via gaps-and-islands (pos − row_number
-    * grouping). Output: one row per maximal span with its token extent —
+    * in-document) is a seed; per doc, seed positions whose `SpanSeedLen`
+    * windows overlap as TOKEN INTERVALS (position gap < SpanSeedLen)
+    * merge into MAXIMAL repeated spans — an interval merge, not a
+    * consecutive-positions-only islanding, so two seeds 2–4 positions
+    * apart yield ONE span and output spans never intersect (`n_tokens`
+    * is additive over a doc). Output: one row per maximal span with its
+    * token extent —
     * the substring-level dedup signal that doc-level MinHash misses
     * (a long quote inside an otherwise-novel doc) and that
     * [[spanRemovalReport]]'s fixed paragraph blocks only approximate at
@@ -883,8 +887,15 @@ object Dedup {
     val rep = sh.groupBy(col("h")).agg(count(lit(1)).as("c"))
       .filter(col("c") >= 2).select(col("h"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    // interval merge: a new span starts where the gap to the previous
+    // seed is >= l (token windows disjoint); running sum of the breaks
+    // numbers the islands. Both windows share one partitioning+sort.
+    // (A pos − row_number islanding merges only gap-1 seeds: seeds 2–4
+    // apart then emit two OVERLAPPING spans and Σ n_tokens over-counts.)
     sh.join(rep.hint("shuffle_hash"), Seq("h"))
-      .withColumn("grp", col("pos") - row_number().over(w))
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(w) < l, 0).otherwise(1))
+      .withColumn("grp", sum(col("brk")).over(w))
       .groupBy(col("doc_id"), col("grp"))
       .agg(min(col("pos")).cast("long").as("span_start"),
         (max(col("pos")) + lit(l - 1)).cast("long").as("span_end"))
@@ -902,10 +913,16 @@ object Dedup {
        |      'h': ${hashSql(gram)}}), recursive := true)
        |  FROM (SELECT doc_id, $toksSql AS toks FROM corpus)),
        |rrep AS (SELECT h FROM rsh GROUP BY h HAVING COUNT(*) >= 2),
+       |rbrk AS (
+       |  SELECT doc_id, pos,
+       |    CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+       |           < $l THEN 0 ELSE 1 END AS brk
+       |  FROM rsh JOIN rrep USING (h)),
        |risl AS (
        |  SELECT doc_id, pos,
-       |    pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
-       |  FROM rsh JOIN rrep USING (h))
+       |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS UNBOUNDED PRECEDING) AS grp
+       |  FROM rbrk)
        |SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
        |  CAST(MAX(pos) + ${l - 1} AS BIGINT) AS span_end,
        |  CAST(MAX(pos) + ${l - 1} - MIN(pos) + 1 AS BIGINT) AS n_tokens

@@ -368,6 +368,30 @@ class DedupSpec extends SparkSpec {
       (3L, 6L, 11L, 6L)), s"got $got")
   }
 
+  test("repeatedSpans: overlapping seeds (gap 2-4) merge into ONE disjoint span") {
+    // doc 1's seeds sit at pos 0 ("a b c d e", repeated in doc 2) and pos
+    // 3 ("d e f g h", repeated in doc 3) — gap 3 < SpanSeedLen, so their
+    // token windows [0,4] and [3,7] intersect. The interval merge must
+    // emit ONE 8-token span; a consecutive-only islanding would emit two
+    // overlapping 5-token spans and Σ n_tokens would over-count (10 > 8).
+    val fixture = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "m n a b c d e o p"),
+      (3L, "q r d e f g h s t")
+    ).toDF("doc_id", "text")
+    val got = Dedup.repeatedSpans(fixture)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(got === Seq(
+      (1L, 0L, 7L, 8L),
+      (2L, 2L, 6L, 5L),
+      (3L, 2L, 6L, 5L)), s"got $got")
+    // additivity invariant: per-doc spans are disjoint, so Σ n_tokens
+    // never exceeds the doc's token count
+    assert(got.filter(_._1 == 1L).map(_._4).sum <= 8)
+  }
+
   test("repeatedSpans: a seed repeated ONLY once (unique 5-gram) emits nothing") {
     val fixture = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),
@@ -377,7 +401,8 @@ class DedupSpec extends SparkSpec {
 
   test("repeatedSpans: agrees with a brute-force reference on seeded random corpora") {
     // brute reference: same tokenizer rule, same 31/1e9+7 polynomial gram
-    // hash, same >= 2 total-occurrence seed rule, same island merge
+    // hash, same >= 2 total-occurrence seed rule, same INTERVAL merge
+    // (seeds whose l-token windows overlap — gap < l — share a span)
     def bruteSpans(docs: Seq[(Long, String)]): Set[(Long, Long, Long, Long)] = {
       val l = Dedup.SpanSeedLen
       def toks(t: String) = t.trim.toLowerCase.split("[ \t\n\f\r]+").filter(_.nonEmpty).toSeq
@@ -391,9 +416,9 @@ class DedupSpec extends SparkSpec {
       seeds.filter(s => counts(s._3) >= 2).groupBy(_._1).flatMap { case (id, ss) =>
         val ps = ss.map(_._2).distinct.sorted
         val groups = ps.foldLeft(List.empty[List[Int]]) {
-          case (Nil, p)                              => List(List(p))
-          case (cur :: rest, p) if p == cur.head + 1 => (p :: cur) :: rest
-          case (acc, p)                              => List(p) :: acc
+          case (Nil, p)                               => List(List(p))
+          case (cur :: rest, p) if p - cur.head < l   => (p :: cur) :: rest
+          case (acc, p)                               => List(p) :: acc
         }
         groups.map { g =>
           val start = g.min.toLong; val end = g.max.toLong + l - 1

@@ -328,10 +328,21 @@ object Dedup {
     */
   def containmentPairs(c: DataFrame, candidates: DataFrame,
       minContain: Double): DataFrame = {
-    val tok = tokenHashes(c).localCheckpoint(false)
+    val cand = candidates.select(col("doc_a"), col("doc_b"))
+      .localCheckpoint(false)
+    // bound the verify to CANDIDATE docs first: one semi-join reduces the
+    // corpus token stream to candidate members, so the pair joins and the
+    // size agg below cost O(candidate tokens), not O(corpus tokens) per
+    // side — verify cost tracks candidates, not the corpus. The candidate
+    // id set is corpus-derived (pair count grows with the corpus), so
+    // shuffle-hash, never a stats-blind broadcast.
+    val ids = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+    val tok = tokenHashes(c)
+      .join(ids.hint("shuffle_hash"), Seq("doc_id"), "left_semi")
+      .localCheckpoint(false)
     val sizes = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("nt"))
-    val inter = candidates
-      .select(col("doc_a"), col("doc_b"))
+    val inter = cand
       .join(tok.select(col("doc_id").as("doc_a"), col("h")).hint("shuffle_hash"), Seq("doc_a"))
       .join(tok.select(col("doc_id").as("doc_b"), col("h")).hint("shuffle_hash"), Seq("doc_b", "h"))
       .groupBy(col("doc_a"), col("doc_b"))

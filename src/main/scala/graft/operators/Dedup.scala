@@ -295,7 +295,7 @@ object Dedup {
   def winnowPairsFor(c: DataFrame, dir: String): DataFrame =
     winnowMemo.getOrCompute(
       graft.sources.Tables.dataKey(c.sparkSession, dir) + "|winnow")(
-      winnowPairs(c).localCheckpoint())
+      graft.sources.StageMemo.reliableStage(winnowPairs(c)))
 
   /** Asymmetric shingle-containment verify — the doc-IN-doc detector
     * (Broder's containment, next to his resemblance/Jaccard): for
@@ -612,9 +612,10 @@ object Dedup {
     * and the e2e pipeline share this exact stage; under the driver's
     * one-query-one-function contract each used to rebuild it (~4 s × 4 at
     * sf0.1). A real pipeline materializes the cluster table ONCE — this is
-    * that table: the first caller pays the build (duplicateClusters ends
-    * in an EAGER localCheckpoint, so the memoized frame is a short
-    * checkpointed plan that survives the per-round cache unpersists),
+    * that table: the first caller pays the build (the memoized frame is
+    * a RELIABLE checkpoint — [[graft.sources.StageMemo.reliableStage]] —
+    * so later reads are file scans that survive block-manager eviction,
+    * not local-checkpoint blocks competing with execution memory),
     * later callers reuse it. Keyed by [[graft.sources.Tables.dataKey]]
     * (sessionUUID + dir + file-listing fingerprint) so test fixtures on
     * other corpora, restarted sessions, AND a regenerated dir within one
@@ -631,7 +632,12 @@ object Dedup {
   def clustersFor(c: DataFrame, dir: String): DataFrame =
     clusterMemo.getOrCompute(
       graft.sources.Tables.dataKey(c.sparkSession, dir))(
-      duplicateClusters(verifiedPairs(c)))
+      // reliable checkpoint on top of the build's own eager localCheckpoint:
+      // the extra pass costs one scan of the small cluster table; in return
+      // the MEMOIZED frame reads files, immune to block-manager eviction
+      // (the 25↔68 s x100 swing SCALEPROBE.md measured)
+      graft.sources.StageMemo.reliableStage(
+        duplicateClusters(verifiedPairs(c))))
 
   /** Drop every memoized stage table (clusters + winnow pairs); their
     * checkpoint blocks become collectable. For long-lived sessions that

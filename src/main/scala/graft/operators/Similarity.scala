@@ -704,7 +704,7 @@ object Similarity {
       k: Int = 8, iters: Int = 2): DataFrame =
     centsMemo.getOrCompute(
       graft.sources.Tables.dataKey(e.sparkSession, dir, variant) + s"|$k|$iters")(
-      kmeansFit(e, k, iters).localCheckpoint())
+      graft.sources.StageMemo.reliableStage(kmeansFit(e, k, iters)))
 
   /** Drop every memoized centroid table (same lifecycle contract as
     * [[Dedup.clearMemos]]).

@@ -19,6 +19,36 @@ package graft.sources
   * runs queries sequentially and a memoized stage build is seconds; the
   * lock buys the important guarantee that one key never builds twice.
   */
+object StageMemo {
+
+  /** Materialize a shared stage table through a RELIABLE checkpoint (a
+    * file in the SparkContext's checkpoint dir), not `localCheckpoint`.
+    *
+    * Why: localCheckpoint blocks live in the block manager's
+    * MEMORY_AND_DISK pool and COMPETE with execution memory — the 100×
+    * scale probe measured memo-riding queries swinging 25 ↔ 68 s
+    * run-to-run as the memoized cluster table's blocks were evicted and
+    * recomputed under shuffle pressure. A memoized stage is by definition
+    * read by several later queries; the at-scale posture is the same one
+    * a cluster job uses for a shared intermediate: write it out once,
+    * re-read it from storage, immune to executor memory pressure and (on
+    * a real cluster) to executor loss. StageMemoSpec pins survival: the
+    * memoized frame still evaluates after every cached/persisted block
+    * is forcibly dropped.
+    *
+    * The checkpoint dir defaults to a per-session tmp path on first use;
+    * a cluster deployment calls `sparkContext.setCheckpointDir` with a
+    * durable location (HDFS/object store) before the first stage builds.
+    */
+  def reliableStage(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val sc = df.sparkSession.sparkContext
+    if (sc.getCheckpointDir.isEmpty)
+      sc.setCheckpointDir(
+        s"${System.getProperty("java.io.tmpdir")}/graft-ckpt/${sc.applicationId}")
+    df.checkpoint() // eager + reliable: one write, every later read is a file scan
+  }
+}
+
 final class StageMemo[V](maxEntries: Int = 16) {
   private val map = new java.util.LinkedHashMap[String, V](16, 0.75f, true) {
     override def removeEldestEntry(e: java.util.Map.Entry[String, V]): Boolean =

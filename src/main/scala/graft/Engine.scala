@@ -13,6 +13,23 @@ import org.apache.spark.sql.SparkSession
 object Engine {
   val ShufflePartitions: Int = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
 
+  /** AQE's coalesce starting width: 16× the base parallelism. The
+    * big-cluster posture is "start wide, let AQE coalesce down by bytes":
+    * a corpus 30× the reference size then simply FILLS more of the
+    * initial partitions instead of needing a manual
+    * `spark.sql.shuffle.partitions` bump (the override the scale probe
+    * used to carry past x30 — a SHUFFLE_HASH build map at fixed width
+    * grows linearly with the corpus and OOMs; at initial width ∝ high
+    * constant, per-partition state stays bounded through the probed
+    * range and a real deployment ties this knob to data volume).
+    * Byte-based coalescing still folds tiny-but-compute-bound shuffles
+    * to few tasks, so those paths keep their explicitly NUMBERED
+    * repartitions, which AQE does not coalesce (the q_er_recall lesson).
+    */
+  val InitialPartitions: Int =
+    sys.env.getOrElse("SPARK_GRAFT_INITIAL_PARTITIONS",
+      (ShufflePartitions * 16).toString).toInt
+
   def session(appName: String = "graft", master: String = s"local[$ShufflePartitions]"): SparkSession = {
     val spark = SparkSession
       .builder()
@@ -37,6 +54,18 @@ object Engine {
     val c = spark.conf
     c.set("spark.sql.adaptive.enabled", "true")
     c.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    // scale-adaptive shuffle width: start at InitialPartitions and let
+    // AQE coalesce down (parallelismFirst keeps small-partition merging
+    // bounded at minPartitionSize, preserving parallelism). shuffle
+    // .partitions stays at the base width for the non-AQE paths
+    // (streaming state stores key their layout off it).
+    c.set("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+      InitialPartitions.toString)
+    // without this, CACHED plans keep AQE but skip the coalesce step
+    // (their output partitioning is frozen) — the iterative CC loop
+    // caches every round, and at a wide initial width each round would
+    // run hundreds of near-empty tasks per shuffle
+    c.set("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
     c.set("spark.sql.adaptive.skewJoin.enabled", "true")
     c.set("spark.sql.session.timeZone", "UTC")
     // events.parquet carries TIMESTAMP(NANOS) which Spark cannot represent;

@@ -187,17 +187,13 @@ object ScaleProbe {
     val times = mults.map { m =>
       val dir = s"/tmp/graft-scale/x$m"
       ensureData(spark, dir, m)
-      // shuffle width scales with the corpus past the x30 reference
-      // point (x1/x10/x30 keep the session's configured width so
-      // published exponents stay comparable run-to-run at the same
-      // SPARK_GRAFT_CPUS). This is the knob a real deployment ties to
-      // data volume: pinning the base width at x100 makes every
-      // SHUFFLE_HASH build map grow linearly with scale and OOM an 8g
-      // local heap — a configuration artifact, not an operator property
-      // (per-partition state is scale-invariant once width ∝ corpus).
-      val base = cpus.toInt
-      val width = math.max(base, math.ceil(base.toDouble * m / 30.0).toInt)
-      spark.conf.set("spark.sql.shuffle.partitions", width.toString)
+      // no per-scale width override: Engine.tune's scale-adaptive AQE
+      // posture (initialPartitionNum = 16× base, coalesce down by bytes)
+      // is what absorbs the x30→x100 growth — a SHUFFLE_HASH build map
+      // at a FIXED final width grows linearly with the corpus and OOMs,
+      // but at 16× initial width per-partition state stays bounded
+      // through the probed range. The probe runs the same defaults every
+      // deployment gets.
       val ts = ProbeQueries.map { q =>
         val s = timeQuery(spark, q, dir)
         println(s"""{"probe":"$q","mult":$m,"sec":${String.format(java.util.Locale.ROOT, "%.3f", Double.box(s))}}""")

@@ -500,6 +500,34 @@ class PlanQualitySpec extends SparkSpec {
       "the quantity filter must reach the parquet scan below the Expand")
   }
 
+  test("scale-adaptive shuffle width: AQE starts wide, coalesces down; numbered repartition exempt") {
+    val c = spark.conf
+    // the big-cluster posture: initial shuffle width well ABOVE the base
+    // parallelism, byte-based coalescing shrinks it per query — a larger
+    // corpus fills more of the initial partitions instead of needing a
+    // manual spark.sql.shuffle.partitions bump (SHUFFLE_HASH build maps
+    // at fixed width grow linearly with the corpus and OOM)
+    assert(c.get("spark.sql.adaptive.enabled") == "true")
+    assert(c.get("spark.sql.adaptive.coalescePartitions.enabled") == "true")
+    val initial = c.get("spark.sql.adaptive.coalescePartitions.initialPartitionNum").toInt
+    assert(initial === Engine.InitialPartitions)
+    assert(initial > c.get("spark.sql.shuffle.partitions").toInt,
+      "initial width must exceed the base width or AQE has nothing to coalesce")
+    import org.apache.spark.sql.functions.col
+    // behavioral: a small grouped agg coalesces far below the initial width
+    val agg = spark.range(100000).toDF("x")
+      .withColumn("k", col("x") % 97).groupBy("k").count()
+    val parts = agg.rdd.getNumPartitions
+    assert(parts < initial, s"AQE did not coalesce: $parts partitions")
+    // the exemption that keeps compute-bound tiny shuffles parallel: an
+    // explicitly NUMBERED repartition is not coalesced (the audit-sweep
+    // spread relies on this — byte-based coalescing would fold a
+    // tiny-but-CPU-heavy stage to one task)
+    val fixed = spark.range(1000).toDF("x").repartition(7, col("x"))
+    assert(fixed.rdd.getNumPartitions === 7,
+      "numbered repartition must keep its width under AQE")
+  }
+
   test("runtime bloom filter: selective dim predicate injects might_contain on the fact side") {
     // At 100 TB a shuffle join against a selectively-filtered dimension
     // moves the whole fact table through the exchange; Spark's

@@ -1097,6 +1097,14 @@ object SparkEntry {
     "q_doc_colloc" -> { (s, dir) =>
       TextAnalysis.collocations(Tables.documents(s, dir))
     },
+    // BPE merge training (Sennrich'16): 8 rounds of most-frequent-
+    // adjacent-pair merge over the word-frequency dictionary — the
+    // tokenizer-induction step the PMI signal feeds and vocabCoverage
+    // sizes. Corpus touched once; each round is a vocab-bounded grouped
+    // agg + 1-row broadcast argmax + narrow re-tokenize.
+    "q_doc_bpe" -> { (s, dir) =>
+      TextAnalysis.bpeMerges(Tables.documents(s, dir))
+    },
 
     // Stupid-Backoff bigram LM score (Brants'07): train on the even-id
     // half, score every doc; unseen bigrams back off to 0.4·c(w2)/N.
@@ -3523,6 +3531,7 @@ object SparkEntry {
          |FROM bg JOIN uni u1 ON bg.w1 = u1.w JOIN uni u2 ON bg.w2 = u2.w
          |CROSS JOIN nt
          |ORDER BY pmi_ratio DESC, w1, w2 LIMIT 25""".stripMargin,
+    "q_doc_bpe" -> TextAnalysis.bpeSql(),
     "q_doc_vocabcov" -> TextAnalysis.vocabCoverageSql(),
     "q_doc_sbackoff" -> SbackoffOracleSql,
     "q_doc_ppbucket" ->

@@ -808,7 +808,121 @@ object TextAnalysis {
         (col("top.cnt").cast("double") * length(col("top.bg")).cast("double") /
           col("nc").cast("double")).as("top_char_frac"))
 
+  /** End-of-word marker symbol for [[bpeMerges]] (Sennrich'16's `</w>`):
+    * distinguishes "est" word-internally from "est" at a word boundary,
+    * so merges learn suffixes as their own symbols.
+    */
+  val BpeEndMark = "</w>"
+
+  /** BPE merge training (Sennrich, Haddow & Birch, ACL'16, "Neural
+    * Machine Translation of Rare Words with Subword Units") — the
+    * tokenizer-induction step between the merge-candidate signal
+    * ([[collocations]]' PMI) and the sizing read-out ([[vocabCoverage]]):
+    * k rounds of most-frequent-adjacent-pair merge over the corpus's
+    * word-frequency dictionary. Output: the learned merge table
+    * (merge_round, lhs, rhs, pair_count, new_sym) — the artifact a
+    * subword tokenizer ships.
+    *
+    * Exactly the reference algorithm, in its distributed form:
+    *  - words start as character sequences + [[BpeEndMark]];
+    *  - pair counts weight every ADJACENT symbol pair by word frequency
+    *    (overlapping adjacencies counted, as in the paper's `get_stats`);
+    *  - the argmax pair merges greedily left-to-right, non-overlapping
+    *    (the paper's regex-replace semantics), spelled as a sequential
+    *    fold over the symbol list — identical lambda in the DuckDB
+    *    mirror's `list_reduce`;
+    *  - ties break (count desc, lhs asc, rhs asc) — binary string order
+    *    in both engines, so the merge SEQUENCE is deterministic.
+    *
+    * Scale shape: the corpus is touched ONCE (the word-count pass —
+    * explode + one grouped count with map-side partials); the dictionary
+    * is vocabulary-bounded and further capped to the `maxWords` most
+    * frequent words via TakeOrderedAndProject (per-partition heaps, the
+    * standard BPE practice of training on a frequency-truncated dict).
+    * Each round is then one grouped agg over the ≤ maxWords dictionary,
+    * a ONE-row broadcast of the argmax pair, and a narrow re-tokenize —
+    * k rounds cost k tiny shuffles, independent of corpus size.
+    */
+  def bpeMerges(docs: DataFrame, merges: Int = 8,
+      maxWords: Int = 50000): DataFrame = {
+    val wf = docs.select(explode(tokens(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("word")).limit(maxWords)
+    var words = wf.select(col("word"), col("freq"),
+        concat(split(col("word"), ""), array(lit(BpeEndMark))).as("syms"))
+      .localCheckpoint(false)
+    val rounds = (1 to merges).map { i =>
+      val pairs = words
+        .select(col("freq"), explode(expr(
+          "transform(slice(syms, 1, size(syms)-1), (s, i) -> struct(s AS l, syms[i+1] AS r))"))
+          .as("p"))
+        .groupBy(col("p.l").as("lhs"), col("p.r").as("rhs"))
+        .agg(sum(col("freq")).as("pair_count"))
+      // deterministic argmax: TakeOrderedAndProject, then a 1-row
+      // broadcast — the one derived-table broadcast that is always safe
+      val best = pairs
+        .orderBy(col("pair_count").desc, col("lhs"), col("rhs")).limit(1)
+        .localCheckpoint(false)
+      // greedy left-to-right non-overlapping merge: fold the symbol list
+      // into a space-joined string; gluing happens by appending rhs
+      // WITHOUT the separator when the accumulated last symbol is lhs.
+      // A just-merged symbol can never re-match as lhs (lhs+rhs != lhs),
+      // which is exactly the non-overlap rule.
+      words = words.crossJoin(broadcast(best))
+        .select(col("word"), col("freq"),
+          split(aggregate(
+            expr("slice(syms, 2, size(syms)-1)"),
+            element_at(col("syms"), 1),
+            (acc, s) => when(s === col("rhs") &&
+                (acc === col("lhs") ||
+                  acc.endsWith(concat(lit(" "), col("lhs")))),
+              concat(acc, s)).otherwise(concat(acc, lit(" "), s))),
+            " ").as("syms"))
+        .localCheckpoint(false)
+      best.select(lit(i.toLong).as("merge_round"), col("lhs"), col("rhs"),
+        col("pair_count"), concat(col("lhs"), col("rhs")).as("new_sym"))
+    }
+    rounds.reduce(_.union(_))
+  }
+
   // ---- DuckDB oracle mirrors ---------------------------------------------
+
+  /** DuckDB mirror of [[bpeMerges]]: k unrolled count→argmax→re-tokenize
+    * rounds over `src`, `list_reduce` spelling the same greedy fold.
+    */
+  def bpeSql(merges: Int = 8, maxWords: Int = 50000,
+      src: String = "documents"): String = {
+    val rounds = (1 to merges).map { i =>
+      s"""p$i AS (
+         |  SELECT l, r, CAST(SUM(freq) AS BIGINT) AS pair_count FROM (
+         |    SELECT freq, unnest(list_transform(range(1, len(syms)),
+         |      x -> {'l': syms[x], 'r': syms[x+1]}), recursive := true)
+         |    FROM w${i - 1})
+         |  GROUP BY l, r),
+         |b$i AS (SELECT l, r, pair_count FROM p$i
+         |        ORDER BY pair_count DESC, l, r LIMIT 1),
+         |w$i AS (
+         |  SELECT word, freq,
+         |    string_split(list_reduce(syms, (acc, s) -> CASE
+         |      WHEN s = r AND (acc = l OR ends_with(acc, ' ' || l))
+         |      THEN acc || s ELSE acc || ' ' || s END), ' ') AS syms
+         |  FROM w${i - 1} CROSS JOIN b$i)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to merges).map(i =>
+      s"""SELECT CAST($i AS BIGINT) AS merge_round, l AS lhs, r AS rhs,
+         |    pair_count, l || r AS new_sym FROM b$i""".stripMargin)
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH wf AS (
+       |  SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest(${Dedup.toksSql}) AS w FROM $src)
+       |  GROUP BY w ORDER BY freq DESC, w LIMIT $maxWords),
+       |w0 AS (SELECT word, freq,
+       |       list_append(string_split(word, ''), '$BpeEndMark') AS syms
+       |       FROM wf),
+       |$rounds
+       |$out""".stripMargin
+  }
+
 
   /** DuckDB mirror of [[winnow]] over `src` as a CTE chain ending in
     * `wsel` (doc_id, mk) — `mk` is the packed (hash, ~pos) winner key;

@@ -1,0 +1,61 @@
+package graft
+
+import graft.operators.TextAnalysis
+
+/** BPE merge training (Sennrich'16) — hand-computed merge sequences pin
+  * the pair counting (overlapping adjacencies), the greedy non-overlap
+  * merge, and the deterministic (count desc, lhs, rhs) tie-break.
+  */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bpeMerges reproduces the hand-computed Sennrich'16 merge sequence") {
+    // word freqs {low:5, lower:2, newest:6, widest:3} — the paper's
+    // worked example. Hand-derived with the </w> marker:
+    //  round 1: (e,s)/(s,t)/(t,</w>) all count 9 → lhs tie-break → (e,s)
+    //  round 2: (es,t) and (t,</w>) at 9 → "es" < "t" → (es,t)
+    //  round 3: (est,</w>) alone at 9
+    val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeMerges(docs, merges = 3)
+      .orderBy("merge_round")
+      .as[(Long, String, String, Long, String)].collect().toSeq
+    assert(got === Seq(
+      (1L, "e", "s", 9L, "es"),
+      (2L, "es", "t", 9L, "est"),
+      (3L, "est", "</w>", 9L, "est</w>")))
+  }
+
+  test("bpeMerges counts overlapping adjacencies, merges non-overlapping greedily") {
+    // "aaaa" has THREE adjacent (a,a) positions — the paper's get_stats
+    // counts every adjacency — but the greedy left-to-right merge yields
+    // [aa, aa], not [aa, a, a]; round 2 must see the merged symbols.
+    val docs = Seq((1L, "aaaa aaaa")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeMerges(docs, merges = 2)
+      .orderBy("merge_round")
+      .as[(Long, String, String, Long, String)].collect().toSeq
+    assert(got.head === ((1L, "a", "a", 6L, "aa")))
+    // after the merge "aaaa" → [aa, aa, </w>]: (aa,aa)=2 ties (aa,</w>)=2
+    // and "</w>" sorts below "aa" in binary order → rhs tie-break
+    assert(got(1) === ((2L, "aa", "</w>", 2L, "aa</w>")))
+  }
+
+  test("bpeMerges: a capped dictionary trains on the most frequent words only") {
+    // maxWords=1 keeps just "zz" (freq 3 beats "ab" 2): the merge table
+    // can only contain zz-derived symbols. (z,z) and (z,</w>) tie at 3;
+    // "</w>" < "z" in binary order so the rhs tie-break picks (z,</w>).
+    val docs = Seq((1L, "zz zz zz ab ab")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeMerges(docs, merges = 1, maxWords = 1)
+      .as[(Long, String, String, Long, String)].collect().toSeq
+    assert(got === Seq((1L, "z", "</w>", 3L, "z</w>")))
+  }
+
+  test("bpeMerges: empty corpus yields zero merges with the contract schema") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val out = TextAnalysis.bpeMerges(empty, merges = 2)
+    assert(out.columns.toSeq ===
+      Seq("merge_round", "lhs", "rhs", "pair_count", "new_sym"))
+    assert(out.count() === 0)
+  }
+}

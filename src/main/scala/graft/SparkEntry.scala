@@ -837,6 +837,15 @@ object SparkEntry {
       Similarity.indexStaleness(e, Similarity.kmeansFitMemo(
         e.filter(col("vec_id") % 2 === 0), dir, "even"))
     },
+    // IVF maintenance: reassign-drifted-cells — the step the staleness
+    // audit points at: re-train centroids for flagged cells only (k' ≪ k
+    // rows), reassign their members; healthy cells byte-identical. Rides
+    // the same frozen even-half snapshot memo as q_emb_stale.
+    "q_emb_reassign" -> { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+      Similarity.reassignDrifted(e, Similarity.kmeansFitMemo(
+        e.filter(col("vec_id") % 2 === 0), dir, "even"))
+    },
 
     // Hard-negative mining: per query vector, the k most-similar vectors
     // with a DIFFERENT label — the near-miss negatives contrastive
@@ -2593,6 +2602,7 @@ object SparkEntry {
          |      / (CAST(count(CASE WHEN is_new THEN 1 END) AS DOUBLE) * 16777216.0)
          |  END AS mean_d2_new
          |FROM lab GROUP BY cell""".stripMargin,
+    "q_emb_reassign" -> Similarity.reassignSql(),
     "q_emb_hardneg" ->
       s"""WITH ${Similarity.baseSql},
          |q AS (SELECT vec_id AS qid, label AS qlabel, emb AS qemb, nrm AS qnrm

@@ -832,6 +832,113 @@ object Similarity {
           .as("mean_d2_new"))
   }
 
+  /** IVF maintenance: reassign-drifted-cells — the operational step
+    * [[indexStaleness]]'s read-out points at. The audit NAMES runaway
+    * cells (post-build vectors fitting much worse than training ones);
+    * this op ACTS on them: re-train centroids for the flagged cells ONLY
+    * (one Lloyd update over each flagged cell's current members — k' ≪ k
+    * rows of new centroids) and reassign those cells' members against
+    * the updated table, leaving every healthy cell's assignments
+    * byte-identical (they are never touched). The FAISS-deployment
+    * middle ground between "serve a stale index" and "full retrain".
+    *
+    * Flag rule (deterministic, engine-identical): a cell drifts when it
+    * has post-build members and either no training members at all or
+    * `mean_d2_new > driftFactor · mean_d2_train` — both means are exact
+    * divisions of fixed-point integer sums, so the comparison cannot
+    * diverge between engines.
+    *
+    * Scale shape: ONE narrow assignment pass against the broadcast k-row
+    * snapshot (shared with the staleness audit), one k-row grouped
+    * roll-up, the flagged-cell set (≤ k rows) broadcast to select
+    * members, one (cell, dim)-keyed shuffle over ONLY the flagged
+    * members for the centroid update, and one narrow reassignment pass
+    * over those members against the updated broadcast table. Healthy
+    * members never shuffle. Output: (vec_id, cell, d2, reassigned).
+    */
+  def reassignDrifted(e: DataFrame, cents: DataFrame,
+      driftFactor: Double = 1.5): DataFrame = {
+    val base = withEmb(e).select(col("vec_id"), col("emb"))
+    val asg = assignCells(base, cents) // vec_id, emb, cell, d2
+    val stale = asg.withColumn("is_new", col("vec_id") % 2 =!= 0)
+      .groupBy(col("cell"))
+      .agg(
+        count(when(!col("is_new"), 1)).as("n_train"),
+        count(when(col("is_new"), 1)).as("n_new"),
+        sum(when(!col("is_new"), quantize(col("d2"))).otherwise(lit(0L))).as("qt"),
+        sum(when(col("is_new"), quantize(col("d2"))).otherwise(lit(0L))).as("qn"))
+    val flagged = stale.filter(col("n_new") > 0 &&
+        (col("n_train") === 0 ||
+          dequantize(col("qn"), col("n_new")) >
+            lit(driftFactor) * dequantize(col("qt"), col("n_train"))))
+      .select(col("cell"))
+    // flagged is ≤ k rows by construction — the always-safe broadcast
+    val members = asg.join(broadcast(flagged), Seq("cell"))
+    val newCents = members
+      .select(col("cell"), posexplode(col("emb")).as(Seq("dim", "v")))
+      .groupBy(col("cell"), col("dim"))
+      .agg(count(lit(1)).as("n"), sum(quantize(col("v"))).as("qsum"))
+      .select(col("cell"), col("dim"), dequantize(col("qsum"), col("n")).as("c"))
+      .groupBy(col("cell"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("c")))).as("pairs"))
+      .select(col("cell"), transform(col("pairs"), p => p.getField("c")).as("nc"))
+    val updated = cents.join(broadcast(newCents), Seq("cell"), "left")
+      .select(col("cell"), coalesce(col("nc"), col("cemb")).as("cemb"))
+    val rea = assignCells(members.select(col("vec_id"), col("emb")), updated)
+      .select(col("vec_id"), col("cell"), col("d2"), lit(true).as("reassigned"))
+    val keep = asg.join(broadcast(flagged), Seq("cell"), "left_anti")
+      .select(col("vec_id"), col("cell"), col("d2"), lit(false).as("reassigned"))
+    rea.union(keep)
+  }
+
+  /** DuckDB mirror of [[reassignDrifted]] over [[kmeansCtes]]'
+    * even-id-trained chain (`kb` / `afin` / final centroids `c<iters>`).
+    */
+  def reassignSql(driftFactor: Double = 1.5, iters: Int = 2): String =
+    s"""WITH ${kmeansCtes(trainWhere = "vec_id % 2 = 0")},
+       |lab AS (SELECT cell, vec_id % 2 <> 0 AS is_new,
+       |        CAST(ROUND(d2 * 16777216.0) AS BIGINT) AS q FROM afin),
+       |st AS (
+       |  SELECT cell,
+       |    count(CASE WHEN NOT is_new THEN 1 END) AS n_train,
+       |    count(CASE WHEN is_new THEN 1 END) AS n_new,
+       |    SUM(CASE WHEN NOT is_new THEN q ELSE 0 END) AS qt,
+       |    SUM(CASE WHEN is_new THEN q ELSE 0 END) AS qn
+       |  FROM lab GROUP BY cell),
+       |flagged AS (
+       |  SELECT cell FROM st
+       |  WHERE n_new > 0 AND (n_train = 0 OR
+       |    CAST(qn AS DOUBLE) / (CAST(n_new AS DOUBLE) * 16777216.0) >
+       |    CAST('$driftFactor' AS DOUBLE) *
+       |      (CAST(qt AS DOUBLE) / (CAST(n_train AS DOUBLE) * 16777216.0)))),
+       |mem AS (
+       |  SELECT a.vec_id, a.cell, kb.emb
+       |  FROM afin a JOIN kb USING (vec_id) JOIN flagged USING (cell)),
+       |nc AS (
+       |  SELECT cell, list(c ORDER BY dim) AS cemb FROM (
+       |    SELECT cell, dim,
+       |      CAST(SUM(q) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * 16777216.0) AS c
+       |    FROM (SELECT cell,
+       |            CAST(generate_subscripts(emb, 1) - 1 AS BIGINT) AS dim,
+       |            CAST(ROUND(unnest(emb) * 16777216.0) AS BIGINT) AS q
+       |          FROM mem) e
+       |    GROUP BY cell, dim) g
+       |  GROUP BY cell),
+       |upd AS (
+       |  SELECT c.cell, COALESCE(nc.cemb, c.cemb) AS cemb
+       |  FROM c$iters c LEFT JOIN nc USING (cell)),
+       |rea AS (
+       |  SELECT vec_id, cell, d2, TRUE AS reassigned FROM (
+       |    SELECT m.vec_id, u.cell, ${l2sqSql("m.emb", "u.cemb")} AS d2,
+       |      ROW_NUMBER() OVER (PARTITION BY m.vec_id
+       |        ORDER BY ${l2sqSql("m.emb", "u.cemb")}, u.cell) AS rn
+       |    FROM mem m CROSS JOIN upd u) t
+       |  WHERE rn = 1),
+       |keep AS (
+       |  SELECT vec_id, cell, d2, FALSE AS reassigned FROM afin
+       |  WHERE cell NOT IN (SELECT cell FROM flagged))
+       |SELECT * FROM rea UNION ALL SELECT * FROM keep""".stripMargin
+
   /** Per-label elementwise centroid via fixed-point quantization. */
   def centroids(e: DataFrame): DataFrame =
     withEmb(e)

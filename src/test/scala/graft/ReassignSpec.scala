@@ -1,0 +1,72 @@
+package graft
+
+import graft.operators.Similarity
+
+/** IVF maintenance (reassign-drifted-cells): planted-drift fixtures pin
+  * the flag rule, the flagged-only retrain, the convergence of drifted
+  * members, and byte-identical healthy-cell assignments.
+  */
+class ReassignSpec extends SparkSpec {
+  import spark.implicits._
+
+  // frozen snapshot: cell 0 at (0,0), cell 100 at (10,10)
+  private def cents = Seq(
+    (0L, Seq(0.0, 0.0)),
+    (100L, Seq(10.0, 10.0))).toDF("cell", "cemb")
+
+  test("drifted cell is retrained and its members converge; healthy cell untouched") {
+    // cell 0 healthy: train (even ids) and new (odd ids) fit alike.
+    // cell 100 drifted: its post-build vectors (ids 5, 7) sit at (13,13),
+    // d2 = 18 vs the training member's 0 — flagged by any driftFactor.
+    val e = Seq(
+      (0L, Array(0.0f, 0.0f), 0L),
+      (2L, Array(0.2f, 0.0f), 0L),
+      (1L, Array(0.1f, 0.0f), 0L),
+      (4L, Array(10.0f, 10.0f), 1L),
+      (5L, Array(13.0f, 13.0f), 1L),
+      (7L, Array(13.0f, 13.0f), 1L)).toDF("vec_id", "embedding", "label")
+    val out = Similarity.reassignDrifted(e, cents)
+      .as[(Long, Long, Double, Boolean)].collect().toSeq.sortBy(_._1)
+
+    val (moved, kept) = out.partition(_._4)
+    assert(moved.map(_._1) === Seq(4L, 5L, 7L),
+      "exactly the drifted cell's members are reassigned")
+    // retrained centroid = quantized-exact mean of (10,10),(13,13),(13,13)
+    // = (12,12): member d2 falls 0/18/18 → 4+4=8 and (13-12)²·2 = 2
+    assert(moved.map(_._3) === Seq(8.0, 2.0, 2.0))
+    assert(moved.map(_._2).forall(_ == 100L), "members stay in the retrained cell")
+    assert(moved.map(_._3).sum < 36.0, "drifted members converge (Σd2 improves)")
+
+    // healthy cell: byte-identical to the pre-maintenance assignment
+    val baseline = Similarity.kmeansAssign(e, cents)
+      .as[(Long, Long, Double)].collect().toSeq.sortBy(_._1)
+      .filter(r => Seq(0L, 1L, 2L).contains(r._1))
+    assert(kept.map(r => (r._1, r._2, r._3)) === baseline)
+  }
+
+  test("no post-build vectors → nothing flagged, output equals the plain assignment") {
+    val e = Seq( // even ids only: n_new = 0 in every cell
+      (0L, Array(0.0f, 0.1f), 0L),
+      (2L, Array(0.3f, 0.0f), 0L),
+      (4L, Array(9.0f, 10.0f), 1L)).toDF("vec_id", "embedding", "label")
+    val out = Similarity.reassignDrifted(e, cents)
+      .as[(Long, Long, Double, Boolean)].collect().toSeq.sortBy(_._1)
+    assert(out.forall(!_._4), "no cell may be flagged without post-build members")
+    val baseline = Similarity.kmeansAssign(e, cents)
+      .as[(Long, Long, Double)].collect().toSeq.sortBy(_._1)
+    assert(out.map(r => (r._1, r._2, r._3)) === baseline)
+  }
+
+  test("driftFactor gates flagging when the cell has training members") {
+    // cell 0: train d2 mean 0.25, new d2 0.25 — ratio 1.0
+    val e = Seq(
+      (0L, Array(0.5f, 0.0f), 0L),
+      (1L, Array(0.0f, 0.5f), 0L)).toDF("vec_id", "embedding", "label")
+    val strict = Similarity.reassignDrifted(e, cents.filter($"cell" === 0L),
+      driftFactor = 0.5) // 0.25 > 0.5·0.25 → flagged
+    assert(strict.filter("reassigned").count() === 2)
+    val lax = Similarity.reassignDrifted(e, cents.filter($"cell" === 0L),
+      driftFactor = 1.5) // 0.25 ≤ 1.5·0.25 → healthy
+    assert(lax.filter("reassigned").count() === 0)
+  }
+}

@@ -510,6 +510,36 @@ object TextAnalysis {
         (lit(P - 1) - col("mk").bitwiseAND(lit(P - 1))).as("pos"))
   }
 
+  /** Per-ROW winnow fingerprint hashes — the streaming-safe formulation
+    * of [[winnow]]'s distinct-hash set (the `fp` input of
+    * [[graft.operators.Dedup.winnowPairs]]): the whole windowed-min
+    * selection runs inside one narrow projection over the fused shingle
+    * array (no per-doc window, no aggregation), so it evaluates on an
+    * unbounded stream exactly as written — the same role
+    * [[graft.operators.Dedup.bandKeysNarrow]] plays for the MinHash
+    * bands. Identical to the batch path by construction: same packed
+    * (hash, ~pos) keys, same full-window starts (`pos ≤ n−w`), same
+    * short-doc rule (one truncated window when n < w), then
+    * `array_distinct` over the winning hashes (position-free — hash
+    * agreement is the candidate signal). Docs too short to shingle
+    * yield an empty array. Equality with `winnow().groupBy(doc_id)`
+    * is pinned in WinnowSpec.
+    *
+    * Cost note: O(n·w) lambda work per doc versus the batch window's
+    * O(n) — the per-row price of streaming-safety; w = 4.
+    */
+  def winnowFingerprintsNarrow(text: Column, w: Int = 4): Column = {
+    val P = 2147483648L // 2^31
+    val hs = graft.expressions.ShingleHashes.shingle_hashes(text)
+    val keys = transform(hs, (h, i) => h * lit(P) + (lit(P - 1) - i))
+    val n = size(hs)
+    val starts = when(n >= w, sequence(lit(0), n - lit(w)))
+      .when(n > 0, array(lit(0)))
+      .otherwise(array().cast("array<int>"))
+    val mins = transform(starts, s => array_min(slice(keys, s + 1, lit(w))))
+    array_distinct(transform(mins, k => shiftright(k, 31)))
+  }
+
   /** Bigram-surprisal quality score — the self-trained language-model
     * proxy of the CCNet perplexity filter: the corpus's own bigram and
     * unigram counts stand in for the LM, and each doc is scored by the

@@ -135,8 +135,19 @@ object DocStream {
         TimeMode.EventTime, OutputMode.Append)
   }
 
-  private class LshBucketProcessor(ttlMs: Long, maxOccupants: Int)
-      extends StatefulProcessor[(Long, Long), BandHit, Collision] {
+  /** Shared bucket-clique mechanics for the transformWithState twins:
+    * MapState(docId → arrivalMs) per bucket key, prefix-clique emission
+    * up to `maxOccupants`, re-anchored event-time timer TTL. Subclasses
+    * supply the input accessors and the output row — the state layout
+    * and emission rule are ONE implementation, so the LSH-band and
+    * winnow-fingerprint twins cannot drift.
+    */
+  private abstract class CliqueProcessor[K, I, O](ttlMs: Long, maxOccupants: Int)
+      extends StatefulProcessor[K, I, O] {
+    protected def docIdOf(i: I): Long
+    protected def tsMsOf(i: I): Long
+    protected def emit(key: K, doc: Long, earlier: Long): O
+
     @transient private var occupants: MapState[Long, Long] = _ // docId → tsMs
     @transient private var nOcc: ValueState[Int] = _    // occupant count (≤ cap)
     @transient private var maxTs: ValueState[Long] = _  // bucket's latest activity
@@ -152,27 +163,28 @@ object DocStream {
       expiry = getHandle.getValueState[Long]("expiry", Encoders.scalaLong, TTLConfig.NONE)
     }
 
-    override def handleInputRows(key: (Long, Long), rows: Iterator[BandHit],
-        tv: TimerValues): Iterator[Collision] = {
+    override def handleInputRows(key: K, rows: Iterator[I],
+        tv: TimerValues): Iterator[O] = {
       // same in-batch canonical order as the fMGWS twin: earlier (ts, id)
       // plays the batch join's earlier_doc_id role for same-batch pairs
-      val evs = rows.toSeq.sortBy(e => (e.ts.getTime, e.doc_id))
+      val evs = rows.toSeq.sortBy(e => (tsMsOf(e), docIdOf(e)))
       var n = if (nOcc.exists()) nOcc.get() else 0
       var mts = if (maxTs.exists()) maxTs.get() else Long.MinValue
-      val out = Seq.newBuilder[Collision]
+      val out = Seq.newBuilder[O]
       for (e <- evs) {
-        if (!occupants.containsKey(e.doc_id)) {
+        val id = docIdOf(e)
+        if (!occupants.containsKey(id)) {
           // full prefix clique up to the cap: one collision per STORED
           // occupant (map iteration order is irrelevant — pair SET parity)
           occupants.iterator().foreach { p =>
-            out += Collision(e.doc_id, key._1, key._2, p._1)
+            out += emit(key, id, p._1)
           }
           if (n < maxOccupants) {
-            occupants.updateValue(e.doc_id, e.ts.getTime) // ONE entry written
+            occupants.updateValue(id, tsMsOf(e)) // ONE entry written
             n += 1
           }
         } // else: doc re-seen — no self-pairs, no duplicate entry
-        mts = math.max(mts, e.ts.getTime)
+        mts = math.max(mts, tsMsOf(e))
       }
       if (n > 0) {
         nOcc.update(n)
@@ -186,12 +198,72 @@ object DocStream {
       out.result().iterator
     }
 
-    override def handleExpiredTimer(key: (Long, Long), tv: TimerValues,
-        info: ExpiredTimerInfo): Iterator[Collision] = {
+    override def handleExpiredTimer(key: K, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[O] = {
       if (expiry.exists() && expiry.get() == info.getExpiryTimeInMs) {
         occupants.clear(); nOcc.clear(); maxTs.clear(); expiry.clear()
       }
       Iterator.empty
     }
+  }
+
+  private class LshBucketProcessor(ttlMs: Long, maxOccupants: Int)
+      extends CliqueProcessor[(Long, Long), BandHit, Collision](ttlMs, maxOccupants) {
+    override protected def docIdOf(i: BandHit): Long = i.doc_id
+    override protected def tsMsOf(i: BandHit): Long = i.ts.getTime
+    override protected def emit(key: (Long, Long), doc: Long, earlier: Long): Collision =
+      Collision(doc, key._1, key._2, earlier)
+  }
+
+  case class FpHit(ts: Timestamp, doc_id: Long, h: Long)
+  case class WinnowCand(doc_id: Long, h: Long, earlier_doc_id: Long)
+
+  /** Streaming winnow/containment CANDIDATE stage — the stream twin of
+    * [[Dedup.winnowPairs]]' fingerprint equi-join, the last batch-only
+    * dedup family member. Each doc's winnow fingerprints are computed in
+    * one narrow projection ([[graft.operators.TextAnalysis
+    * .winnowFingerprintsNarrow]] — per-row windowed-min over the fused
+    * shingle array, no aggregation, so it runs on an unbounded stream);
+    * per fingerprint-hash bucket, the shared [[CliqueProcessor]]
+    * mechanics hold the first `maxOccupants` occupants with event-time
+    * TTL and emit one candidate per stored earlier occupant.
+    *
+    * Semantics vs batch, same contract as [[lshCollisions]]: prefix
+    * window (a doc pairs with EARLIER docs only), distinct (doc_a,
+    * doc_b) pairs equal the batch `winnowPairs(minShared = 1)` pair set
+    * on an in-window in-order feed whose fingerprint document
+    * frequencies stay within both caps (batch `maxDf` drops hot
+    * fingerprints ENTIRELY; the stream instead truncates a hot bucket at
+    * `maxOccupants` — overflow docs still pair with the stored prefix,
+    * joining the bucket's component, but are not retained, so
+    * overflow×overflow pairs are not produced: bounded state's price,
+    * identical to the LSH twin's cap rule). Downstream, a `minShared ≥
+    * 2` consumer aggregates candidate counts per pair exactly as the
+    * batch `groupBy(doc_a, doc_b)` does. Requires the RocksDB state
+    * store (state-v2), like every tws twin.
+    */
+  def winnowCandidatesTws(spark: SparkSession, docs: Dataset[StreamDoc],
+      watermarkDelay: String = "1 hour",
+      ttlMs: Long = 24L * 3600000L,
+      maxOccupants: Int = 8): Dataset[WinnowCand] = {
+    import spark.implicits._
+    val hits = docs.toDF()
+      .select(col("ts"), col("doc_id"),
+        explode(graft.operators.TextAnalysis
+          .winnowFingerprintsNarrow(col("text"))).as("h"))
+      .as[FpHit]
+    hits
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.h)
+      .transformWithState(new WinnowBucketProcessor(ttlMs, maxOccupants),
+        TimeMode.EventTime, OutputMode.Append)
+  }
+
+  private class WinnowBucketProcessor(ttlMs: Long, maxOccupants: Int)
+      extends CliqueProcessor[Long, FpHit, WinnowCand](ttlMs, maxOccupants) {
+    override protected def docIdOf(i: FpHit): Long = i.doc_id
+    override protected def tsMsOf(i: FpHit): Long = i.ts.getTime
+    override protected def emit(key: Long, doc: Long, earlier: Long): WinnowCand =
+      WinnowCand(doc, key, earlier)
   }
 }

@@ -330,17 +330,7 @@ object Dedup {
       minContain: Double): DataFrame = {
     val cand = candidates.select(col("doc_a"), col("doc_b"))
       .localCheckpoint(false)
-    // bound the verify to CANDIDATE docs first: one semi-join reduces the
-    // corpus token stream to candidate members, so the pair joins and the
-    // size agg below cost O(candidate tokens), not O(corpus tokens) per
-    // side — verify cost tracks candidates, not the corpus. The candidate
-    // id set is corpus-derived (pair count grows with the corpus), so
-    // shuffle-hash, never a stats-blind broadcast.
-    val ids = cand.select(col("doc_a").as("doc_id"))
-      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
-    val tok = tokenHashes(c)
-      .join(ids.hint("shuffle_hash"), Seq("doc_id"), "left_semi")
-      .localCheckpoint(false)
+    val tok = containmentVerifyTok(c, cand).localCheckpoint(false)
     val sizes = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("nt"))
     val inter = cand
       .join(tok.select(col("doc_id").as("doc_a"), col("h")).hint("shuffle_hash"), Seq("doc_a"))
@@ -354,6 +344,22 @@ object Dedup {
         (col("n_inter").cast("double") / col("na").cast("double")).as("contain_a"),
         (col("n_inter").cast("double") / col("nb").cast("double")).as("contain_b"))
       .filter(greatest(col("contain_a"), col("contain_b")) >= minContain)
+  }
+
+  /** The containment verify's CANDIDATE-BOUNDED token stream: one
+    * semi-join reduces the corpus token stream to candidate members, so
+    * the pair joins and the size agg cost O(candidate tokens), not
+    * O(corpus tokens) per side — verify cost tracks candidates, not the
+    * corpus. The candidate id set is corpus-derived (pair count grows
+    * with the corpus), so shuffle-hash, never a stats-blind broadcast.
+    * Factored out (pre-checkpoint) so PlanQualitySpec can pin the
+    * LeftSemi shape — [[containmentPairs]] checkpoints it for its three
+    * consumers.
+    */
+  private[graft] def containmentVerifyTok(c: DataFrame, cand: DataFrame): DataFrame = {
+    val ids = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+    tokenHashes(c).join(ids.hint("shuffle_hash"), Seq("doc_id"), "left_semi")
   }
 
   /** Per-language dedup audit — the report a curation run publishes

@@ -500,6 +500,22 @@ class PlanQualitySpec extends SparkSpec {
       "the quantity filter must reach the parquet scan below the Expand")
   }
 
+  test("q_dedup_contain: the verify token stream is candidate-bounded (semi-join before the pair joins)") {
+    // the containment verify must reduce the corpus token stream to
+    // candidate docs FIRST — without the semi-join, both pair-join sides
+    // and the size agg walk the full corpus token stream per query and
+    // verify cost scales with the corpus instead of the candidate set.
+    // (Pinned on the pre-checkpoint stage: q_dedup_contain's own plan
+    // hides it behind the localCheckpoint boundary.)
+    import spark.implicits._
+    val c = Seq((1L, "a b c d"), (2L, "a b c e")).toDF("doc_id", "text")
+    val cand = Seq((1L, 2L)).toDF("doc_a", "doc_b")
+    val p = graft.operators.Dedup.containmentVerifyTok(c, cand)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("LeftSemi"),
+      s"containment verify must semi-join the token stream on candidate ids:\n$p")
+  }
+
   test("scale-adaptive shuffle width: AQE starts wide, coalesces down; numbered repartition exempt") {
     val c = spark.conf
     // the big-cluster posture: initial shuffle width well ABOVE the base

@@ -1114,6 +1114,13 @@ object SparkEntry {
     "q_doc_bpe" -> { (s, dir) =>
       TextAnalysis.bpeMerges(Tables.documents(s, dir))
     },
+    // BPE apply + fertility: per-doc word/subword counts and
+    // subwords-per-word under the trained merge table — the
+    // tokenizer-quality read-out (which languages a vocab shortchanges).
+    // One corpus token pass joined to the vocab-bounded dictionary.
+    "q_doc_bpe_encode" -> { (s, dir) =>
+      TextAnalysis.bpeSegment(Tables.documents(s, dir))
+    },
 
     // Stupid-Backoff bigram LM score (Brants'07): train on the even-id
     // half, score every doc; unseen bigrams back off to 0.4·c(w2)/N.
@@ -3542,6 +3549,7 @@ object SparkEntry {
          |CROSS JOIN nt
          |ORDER BY pmi_ratio DESC, w1, w2 LIMIT 25""".stripMargin,
     "q_doc_bpe" -> TextAnalysis.bpeSql(),
+    "q_doc_bpe_encode" -> TextAnalysis.bpeSegmentSql(),
     "q_doc_vocabcov" -> TextAnalysis.vocabCoverageSql(),
     "q_doc_sbackoff" -> SbackoffOracleSql,
     "q_doc_ppbucket" ->

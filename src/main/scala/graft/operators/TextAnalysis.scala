@@ -874,7 +874,15 @@ object TextAnalysis {
     * k rounds cost k tiny shuffles, independent of corpus size.
     */
   def bpeMerges(docs: DataFrame, merges: Int = 8,
-      maxWords: Int = 50000): DataFrame = {
+      maxWords: Int = 50000): DataFrame =
+    bpeTrain(docs, merges, maxWords)._1.reduce(_.union(_))
+
+  /** The shared training loop: returns (per-round merge rows, FINAL
+    * symbol dictionary (word, freq, syms)) so [[bpeMerges]] and
+    * [[bpeSegment]] run one loop, not two.
+    */
+  private def bpeTrain(docs: DataFrame, merges: Int,
+      maxWords: Int): (Seq[DataFrame], DataFrame) = {
     val wf = docs.select(explode(tokens(col("text"))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
       .orderBy(col("freq").desc, col("word")).limit(maxWords)
@@ -912,15 +920,47 @@ object TextAnalysis {
       best.select(lit(i.toLong).as("merge_round"), col("lhs"), col("rhs"),
         col("pair_count"), concat(col("lhs"), col("rhs")).as("new_sym"))
     }
-    rounds.reduce(_.union(_))
+    (rounds, words)
+  }
+
+  /** BPE APPLY + fertility audit — the read-out side of [[bpeMerges]]:
+    * segment every document under the trained merge table and report,
+    * per doc, word count, subword count, and fertility (subwords/word —
+    * THE tokenizer-quality number; multilingual-tokenizer papers report
+    * exactly this to show which languages a vocab shortchanges). A word
+    * in the trained dictionary costs its final symbol count; a word
+    * outside it (possible only under the `maxWords` cap) falls back to
+    * characters + end-marker (`length+1`) — the conservative no-merge
+    * segmentation, spec-pinned.
+    *
+    * Scale shape: the training loop's cost story ([[bpeMerges]]); the
+    * apply is ONE corpus token pass joined to the ≤ maxWords dictionary
+    * (shuffle-hash — the dictionary is corpus-derived) and one per-doc
+    * grouped agg with map-side partials. Output: one row per non-empty
+    * doc.
+    */
+  def bpeSegment(docs: DataFrame, merges: Int = 8,
+      maxWords: Int = 50000): DataFrame = {
+    val dict = bpeTrain(docs, merges, maxWords)._2
+      .select(col("word"), size(col("syms")).as("n_sub"))
+    docs.select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+      .join(dict.hint("shuffle_hash"), Seq("word"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(coalesce(col("n_sub"), length(col("word")) + lit(1)))
+          .cast("long").as("n_subwords"))
+      .select(col("doc_id"), col("n_words"), col("n_subwords"),
+        (col("n_subwords").cast("double") / col("n_words").cast("double"))
+          .as("fertility"))
   }
 
   // ---- DuckDB oracle mirrors ---------------------------------------------
 
-  /** DuckDB mirror of [[bpeMerges]]: k unrolled count→argmax→re-tokenize
-    * rounds over `src`, `list_reduce` spelling the same greedy fold.
+  /** The [[bpeMerges]] mirror's CTE chain alone (wf, w0..w<merges> with
+    * per-round b<i> argmax tables), shared by the q_doc_bpe and
+    * q_doc_bpe_encode oracles so the trained chain cannot drift.
     */
-  def bpeSql(merges: Int = 8, maxWords: Int = 50000,
+  def bpeCtes(merges: Int = 8, maxWords: Int = 50000,
       src: String = "documents"): String = {
     val rounds = (1 to merges).map { i =>
       s"""p$i AS (
@@ -938,20 +978,43 @@ object TextAnalysis {
          |      THEN acc || s ELSE acc || ' ' || s END), ' ') AS syms
          |  FROM w${i - 1} CROSS JOIN b$i)""".stripMargin
     }.mkString(",\n")
-    val out = (1 to merges).map(i =>
-      s"""SELECT CAST($i AS BIGINT) AS merge_round, l AS lhs, r AS rhs,
-         |    pair_count, l || r AS new_sym FROM b$i""".stripMargin)
-      .mkString("\n  UNION ALL\n  ")
-    s"""WITH wf AS (
+    s"""wf AS (
        |  SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS freq
        |  FROM (SELECT unnest(${Dedup.toksSql}) AS w FROM $src)
        |  GROUP BY w ORDER BY freq DESC, w LIMIT $maxWords),
        |w0 AS (SELECT word, freq,
        |       list_append(string_split(word, ''), '$BpeEndMark') AS syms
        |       FROM wf),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  /** DuckDB mirror of [[bpeMerges]]: k unrolled count→argmax→re-tokenize
+    * rounds over `src`, `list_reduce` spelling the same greedy fold.
+    */
+  def bpeSql(merges: Int = 8, maxWords: Int = 50000,
+      src: String = "documents"): String = {
+    val out = (1 to merges).map(i =>
+      s"""SELECT CAST($i AS BIGINT) AS merge_round, l AS lhs, r AS rhs,
+         |    pair_count, l || r AS new_sym FROM b$i""".stripMargin)
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH ${bpeCtes(merges, maxWords, src)}
        |$out""".stripMargin
   }
+
+  /** DuckDB mirror of [[bpeSegment]] over the shared [[bpeCtes]] chain. */
+  def bpeSegmentSql(merges: Int = 8, maxWords: Int = 50000,
+      src: String = "documents"): String =
+    s"""WITH ${bpeCtes(merges, maxWords, src)},
+       |dict AS (SELECT word, len(syms) AS n_sub FROM w$merges),
+       |btk AS (
+       |  SELECT doc_id, unnest(toks) AS word
+       |  FROM (SELECT doc_id, ${Dedup.toksSql} AS toks FROM $src))
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |  CAST(SUM(COALESCE(n_sub, length(word) + 1)) AS BIGINT) AS n_subwords,
+       |  CAST(SUM(COALESCE(n_sub, length(word) + 1)) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE) AS fertility
+       |FROM btk LEFT JOIN dict USING (word)
+       |GROUP BY doc_id""".stripMargin
 
 
   /** DuckDB mirror of [[winnow]] over `src` as a CTE chain ending in

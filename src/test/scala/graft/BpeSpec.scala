@@ -51,6 +51,30 @@ class BpeSpec extends SparkSpec {
     assert(got === Seq((1L, "z", "</w>", 3L, "z</w>")))
   }
 
+  test("bpeSegment: hand-computed fertility under the trained merges") {
+    // after the 3 Sennrich merges (es, est, est</w>):
+    //   low → l o w </w> (4)        lower → l o w e r </w> (6)
+    //   newest → n e w est</w>?  no: est</w> only fires round 3 →
+    //   newest → n e w est</w> = [n, e, w, est</w>] (4)
+    //   widest → [w, i, d, est</w>] (4)
+    // n_words = 16, n_subwords = 5·4 + 2·6 + 6·4 + 3·4 = 68
+    val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeSegment(docs, merges = 3)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got === Seq((1L, 16L, 68L, 68.0 / 16.0)))
+  }
+
+  test("bpeSegment: OOV words (capped dictionary) fall back to chars + marker") {
+    // maxWords=1 trains on "zz" only ([z, z</w>] after the (z,</w>)
+    // merge = 2 subwords); OOV "ab" costs length+1 = 3
+    val docs = Seq((1L, "zz zz zz ab ab")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeSegment(docs, merges = 1, maxWords = 1)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got === Seq((1L, 5L, 3L * 2L + 2L * 3L, 12.0 / 5.0)))
+  }
+
   test("bpeMerges: empty corpus yields zero merges with the contract schema") {
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
     val out = TextAnalysis.bpeMerges(empty, merges = 2)

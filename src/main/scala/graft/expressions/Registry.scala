@@ -74,6 +74,9 @@ object Registry {
         GramHashes(es(0), intLit(es(1), "gram_hashes", "width")) }, "built-in")
     r.createOrReplaceTempFunction("cdc_chunks",
       es => CdcChunks(es.head), "built-in")
+    r.createOrReplaceTempFunction("winnow_keys",
+      es => { arity(es, 2, "winnow_keys", "text, window")
+        WinnowKeys(es(0), intLit(es(1), "winnow_keys", "window")) }, "built-in")
     r.createOrReplaceTempFunction("seq_dot",
       es => { arity(es, 2, "seq_dot", "a, b"); SeqDot(es(0), es(1)) }, "built-in")
     r.createOrReplaceTempFunction("seq_l2sq",

@@ -480,18 +480,41 @@ object TextAnalysis {
     * Implementation: (hash, position) is packed into one BIGINT key —
     * hash < 2^30 (PolyHash mod 1e9+7) in the high bits, bit-flipped
     * position in the low 31 bits — so the rightmost-tie-break argmin is
-    * a plain `min` over a ROWS window frame, identical in Spark and the
-    * DuckDB oracle. Valid window starts are `pos <= n-w` (full windows),
-    * plus `pos = 0` when the doc has fewer than w shingles (one
-    * truncated window = the whole doc, winnowing's short-doc rule).
+    * a plain `min` per window, identical in Spark and the DuckDB
+    * oracle. Valid window starts are `pos <= n-w` (full windows), plus
+    * `pos = 0` when the doc has fewer than w shingles (one truncated
+    * window = the whole doc, winnowing's short-doc rule).
     *
-    * Scale shape: the shingle array is computed per doc in one narrow
-    * pass (fused [[graft.expressions.ShingleHashes]]), n comes from
-    * `size()` BEFORE the explode (no count-window), and the only shuffle
-    * is the per-doc sort feeding the ROWS-frame min — one window pass,
-    * output bounded at ~2n/(w+1) rows per doc.
+    * Scale shape: the ENTIRE selection runs inside one narrow per-row
+    * projection ([[winnowKeysNarrow]] over the fused
+    * [[graft.expressions.ShingleHashes]] array) — no exploded shingle
+    * stream, no per-doc window sort, NO SHUFFLE AT ALL; output bounded
+    * at ~2n/(w+1) rows per doc. (The previous ROWS-frame window
+    * spelling, kept as [[winnowWindowed]], did O(n) work per doc but
+    * shuffled the whole corpus shingle stream to sort it per doc — at
+    * corpus scale that exchange dominates the narrow form's O(n·w)
+    * lambda work; the streaming twin needs the narrow form anyway, and
+    * one selection implementation serves both.)
     */
   def winnow(docs: DataFrame, w: Int = 4): DataFrame = {
+    val P: Long = 2147483648L // 2^31
+    docs.select(col("doc_id"),
+        explode(winnowKeysNarrow(col("text"), w)).as("mk"))
+      .select(col("doc_id"),
+        shiftright(col("mk"), 31).as("h"),
+        (lit(P - 1) - col("mk").bitwiseAND(lit(P - 1))).as("pos"))
+  }
+
+  /** The per-ROW windowed formulation kept as the semantic cross-check
+    * for [[winnowKeysNarrow]] (the [[graft.operators.Dedup
+    * .shinglesWindowed]] pattern): one per-doc ROWS-frame window over
+    * the exploded shingle stream. This was the production spelling until
+    * round 8 — it is O(n) per doc where the narrow form is O(n·w), but
+    * it SHUFFLES the whole corpus shingle stream to sort it per doc,
+    * and at corpus scale the exchange dominates the w-fold lambda work.
+    * WinnowSpec pins row equality between the two.
+    */
+  def winnowWindowed(docs: DataFrame, w: Int = 4): DataFrame = {
     val P: Long = 2147483648L // 2^31
     val sh = docs
       .select(col("doc_id"),
@@ -508,6 +531,39 @@ object TextAnalysis {
       .select(col("doc_id"),
         shiftright(col("mk"), 31).as("h"),
         (lit(P - 1) - col("mk").bitwiseAND(lit(P - 1))).as("pos"))
+  }
+
+  /** Per-ROW winnow SELECTION: the distinct packed (hash, ~pos) winner
+    * keys of every valid window, computed inside one narrow projection
+    * (no explode, no per-doc window sort — the corpus-scale exchange the
+    * windowed form pays is gone entirely; this is what makes both the
+    * batch [[winnow]] and the streaming twin shuffle-free before their
+    * first aggregation). The native fused
+    * [[graft.expressions.WinnowKeys]] — O(n) monotonic-deque sliding
+    * min, codegen'd — replaces the nested-HOF spelling, which is kept
+    * below as [[winnowKeysHof]] (interpreted O(n·w) — measured 10×
+    * slower at sf0.1; the native matches the windowed form's wall-clock
+    * WITHOUT its corpus-shingle-stream shuffle).
+    */
+  def winnowKeysNarrow(text: Column, w: Int = 4): Column =
+    graft.expressions.WinnowKeys.winnow_keys(text, w)
+
+  /** Higher-order-function cross-check of [[winnowKeysNarrow]] (the
+    * [[graft.operators.Similarity.lshBucketHof]] pattern): nested
+    * transform/slice/array_min lambdas are CodegenFallback — correct,
+    * interpreted per row. Element-wise equality with the native is
+    * pinned in WinnowSpec (array_distinct's first-occurrence order
+    * equals the native's reign-collapse order).
+    */
+  def winnowKeysHof(text: Column, w: Int = 4): Column = {
+    val P = 2147483648L // 2^31
+    val hs = graft.expressions.ShingleHashes.shingle_hashes(text)
+    val keys = transform(hs, (h, i) => h * lit(P) + (lit(P - 1) - i))
+    val n = size(hs)
+    val starts = when(n >= w, sequence(lit(0), n - lit(w)))
+      .when(n > 0, array(lit(0)))
+      .otherwise(array().cast("array<int>"))
+    array_distinct(transform(starts, s => array_min(slice(keys, s + 1, lit(w)))))
   }
 
   /** Per-ROW winnow fingerprint hashes — the streaming-safe formulation
@@ -528,17 +584,8 @@ object TextAnalysis {
     * Cost note: O(n·w) lambda work per doc versus the batch window's
     * O(n) — the per-row price of streaming-safety; w = 4.
     */
-  def winnowFingerprintsNarrow(text: Column, w: Int = 4): Column = {
-    val P = 2147483648L // 2^31
-    val hs = graft.expressions.ShingleHashes.shingle_hashes(text)
-    val keys = transform(hs, (h, i) => h * lit(P) + (lit(P - 1) - i))
-    val n = size(hs)
-    val starts = when(n >= w, sequence(lit(0), n - lit(w)))
-      .when(n > 0, array(lit(0)))
-      .otherwise(array().cast("array<int>"))
-    val mins = transform(starts, s => array_min(slice(keys, s + 1, lit(w))))
-    array_distinct(transform(mins, k => shiftright(k, 31)))
-  }
+  def winnowFingerprintsNarrow(text: Column, w: Int = 4): Column =
+    array_distinct(transform(winnowKeysNarrow(text, w), k => shiftright(k, 31)))
 
   /** Bigram-surprisal quality score — the self-trained language-model
     * proxy of the CCNet perplexity filter: the corpus's own bigram and

@@ -22,7 +22,8 @@ class RegistrySpec extends SparkSpec {
         |  size(tokenize('  A b\tC ')) AS ntok,
         |  size(shingle_hashes('a b c d')) AS nsh,
         |  seq_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dot,
-        |  short_token_count(array('a', 'ab', 'abcd'), 3) AS stc
+        |  short_token_count(array('a', 'ab', 'abcd'), 3) AS stc,
+        |  size(winnow_keys('a b c d e', 4)) AS nwk
         |""".stripMargin).head()
     assert(row.getAs[Long]("ph") ===
       Seq("abc").toDF("s").select(TextFunctions.stringHash($"s")).as[Long].head())
@@ -32,6 +33,8 @@ class RegistrySpec extends SparkSpec {
     assert(row.getAs[Int]("nsh") === 2)
     assert(row.getAs[Double]("dot") === 11.0)
     assert(row.getAs[Long]("stc") === 2L)
+    // 3 shingles < window 4 → one truncated window → one winner key
+    assert(row.getAs[Int]("nwk") === 1)
 
     // aggregates through SQL ≡ Column API
     val viaSql = spark.sql(

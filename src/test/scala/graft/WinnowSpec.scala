@@ -16,6 +16,35 @@ class WinnowSpec extends SparkSpec {
   private val W = 4
   private val P = 2147483648L // 2^31
 
+  test("winnow (native narrow) equals the windowed cross-check formulation row-for-row") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (2L, "a b"),
+      (3L, "one two three"),
+      (4L, Seq.tabulate(40)(i => s"t${i % 7}").mkString(" "))
+    ).toDF("doc_id", "text")
+    val narrow = TextAnalysis.winnow(docs)
+      .as[(Long, Long, Long)].collect().toSet
+    val windowed = TextAnalysis.winnowWindowed(docs)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(narrow === windowed)
+  }
+
+  test("native winnow_keys equals the HOF cross-check element-for-element") {
+    // array_distinct's first-occurrence order must equal the native's
+    // consecutive-reign collapse — exact array equality, both eval paths
+    val docs = (1L to 50L).map { i =>
+      val rnd = new scala.util.Random(i)
+      val vocab = Seq("ab", "cd", "ef", "gh", "ij", "kl")
+      (i, Seq.fill(rnd.nextInt(30))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val rows = docs.select(
+        TextAnalysis.winnowKeysNarrow($"text").as("nat"),
+        TextAnalysis.winnowKeysHof($"text").as("hof"))
+      .as[(Seq[Long], Seq[Long])].collect()
+    rows.foreach { case (nat, hof) => assert(nat === hof) }
+  }
+
   test("winnowFingerprintsNarrow equals the batch winnow's distinct hash set") {
     // the streaming-safe per-row formulation must select the SAME
     // position-free fingerprint hashes as the batch windowed pass, for

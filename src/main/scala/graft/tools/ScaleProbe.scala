@@ -74,7 +74,12 @@ object ScaleProbe {
     // round-8: the constant-capped brute mining audits — the cap is the
     // scale property under test (uncapped, the label-filtered pair join
     // is O(n²/mod) by construction)
-    "q_emb_hardpos")
+    "q_emb_hardpos",
+    // round-8 additions: IVF maintenance (flagged-cell retrain +
+    // member-only reassign over the frozen-snapshot kmeans) and the BPE
+    // train+apply pipeline (corpus-pass + vocab-bounded rounds — the
+    // profile should stay near-flat past the token-count pass)
+    "q_emb_reassign", "q_doc_bpe_encode")
 
   /** Heaps-ish vocabulary size: 30 tokens at the 5k-doc base (the real
     * table's vocabulary), growing with sqrt(n).

@@ -212,13 +212,17 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("BroadcastHashJoin"), "record set must not be broadcast")
   }
 
-  test("q_doc_winnow: join-free narrow shingle stream into a per-doc window") {
+  test("q_doc_winnow: one fused narrow pass — no join, no window, no exchange") {
+    // the whole winnow selection lives inside the native WinnowKeys
+    // expression: scan → generate(explode) → project. Any Window or
+    // Exchange here means the selection fell back to the shuffled
+    // per-doc-sort spelling (kept only as the winnowWindowed cross-check)
     val p = plan("q_doc_winnow")
     for (j <- Seq("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))
       assert(!p.contains(j), s"winnowing must not join ($j)")
-    assert(p.contains("Window"), "windowed min missing")
-    assert(p.linesIterator.exists(l =>
-      l.contains("partitionBy") || l.contains("doc_id")), "window must partition by doc_id")
+    assert(!p.contains("Window"), "selection must be fused, not a window")
+    assert(!p.contains("Exchange"), "winnowing must not shuffle at all")
+    assert(p.contains("winnow_keys"), "the native WinnowKeys must drive the plan")
   }
 
   test("q_ev_interval: trailing-window join is an equi-join on (user, bucket)") {

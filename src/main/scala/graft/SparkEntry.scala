@@ -899,6 +899,14 @@ object SparkEntry {
     "q_emb_health" -> { (s, dir) =>
       Similarity.embeddingHealth(Tables.embeddings(s, dir))
     },
+    // JL sign-projection distortion audit: per-vector squared norm
+    // before/after the deterministic ±1 projection to 16 dims + ratio —
+    // the read-out before an ANN index trades 64-wide vectors for
+    // 16-wide ones. One narrow fully-codegen'd pass (native SignProject
+    // + SeqDot); no join, no shuffle.
+    "q_emb_jlproj" -> { (s, dir) =>
+      Similarity.jlProject(Tables.embeddings(s, dir))
+    },
     // Embedding-store ingest: near-dup removal → IVF cell assignment.
     "q_emb_e2e" -> { (s, dir) => Similarity.embIngest(Tables.embeddings(s, dir)) },
     // Known-item retrieval audit: MRR@10 + found-rate of each planted
@@ -2748,6 +2756,7 @@ object SparkEntry {
       s"""WITH ${Similarity.kmeansCtes()},
          |${Similarity.silhouetteTailSql()}""".stripMargin,
     "q_emb_health" -> Similarity.embeddingHealthSql(),
+    "q_emb_jlproj" -> Similarity.jlProjectSql(),
     "q_emb_bitext" -> Similarity.bitextMineSql(),
     "q_emb_topics" ->
       s"""WITH ${Similarity.kmeansCtes()},

@@ -63,6 +63,7 @@ object Registry {
     PyFloat.register(spark)
     NfcNormalize.register(spark)
     RandomHyperplaneBits.register(spark)
+    SignProject.register(spark)
 
     val r = spark.sessionState.functionRegistry
     r.createOrReplaceTempFunction("tokenize",

@@ -29,6 +29,9 @@ object Similarity {
 
   val NumPlanes = 8
 
+  /** Output dimensionality of the JL sign projection ([[jlProject]]). */
+  val JlDims = 16
+
   private def withEmb(e: DataFrame): DataFrame =
     e.withColumn("emb", asDouble(col("embedding")))
 
@@ -991,6 +994,55 @@ object Similarity {
           col("qsum").cast("double") / (col("n_healthy").cast("double") * 16777216.0))
           .as("mean_norm"))
   }
+
+  /** Johnson–Lindenstrauss sign-projection distortion audit: project
+    * every embedding from its native dimension down to [[JlDims]] with
+    * the deterministic ±1 matrix ([[graft.expressions.SignProject]],
+    * Achlioptas'01) and report, per vector, the squared norm before and
+    * after plus their ratio — the empirical distortion JL bounds promise
+    * stays near 1, and the go/no-go read-out before an index build swaps
+    * full-width vectors for projected ones (at 100 TB the projection is
+    * the difference between shuffling 64 doubles per vector and 16
+    * through every ANN stage).
+    *
+    * Scale: ONE narrow pass — no join, no shuffle, no window; the
+    * projection and both norms are native codegen'd expressions
+    * ([[graft.expressions.SignProject]], [[graft.expressions.SeqDot]]),
+    * so the whole audit is a single WholeStageCodegen span over the
+    * scan (PlanQualitySpec pins exchange-freedom). Grouping the ratios
+    * into a summary is the caller's one extra agg; the per-vector frame
+    * is the audit artifact itself.
+    *
+    * Exactness: n2_orig/n2_proj are the house sequential folds, the
+    * ratio one correctly-rounded division; zero vectors yield a null
+    * ratio (the [[graft.functions.VectorFunctions.cosineWithNorms]]
+    * ANSI-safety posture — one junk vector must not abort the stage).
+    */
+  def jlProject(e: DataFrame, outDims: Int = JlDims): DataFrame = {
+    val base = withEmb(e)
+    base
+      .withColumn("proj", graft.expressions.SignProject.sign_project(col("emb"), outDims))
+      .withColumn("n2_orig", dot(col("emb"), col("emb")))
+      .withColumn("n2_proj", dot(col("proj"), col("proj")))
+      .select(col("vec_id"), col("label"), col("n2_orig"), col("n2_proj"),
+        when(col("n2_orig") > 0, col("n2_proj") / col("n2_orig")).as("ratio"))
+  }
+
+  /** DuckDB mirror of [[jlProject]]. */
+  def jlProjectSql(outDims: Int = JlDims): String =
+    s"""WITH $baseSql,
+       |pr AS (
+       |  SELECT vec_id, label, emb,
+       |    ${graft.expressions.SignProject.projectSql("emb", outDims)} AS proj
+       |  FROM base),
+       |nn AS (
+       |  SELECT vec_id, label,
+       |    ${dotSql("emb", "emb")} AS n2_orig,
+       |    ${dotSql("proj", "proj")} AS n2_proj
+       |  FROM pr)
+       |SELECT vec_id, label, n2_orig, n2_proj,
+       |  CASE WHEN n2_orig > 0 THEN n2_proj / n2_orig END AS ratio
+       |FROM nn""".stripMargin
 
   /** Bitext mining — the parallel-corpus construction op: for each
     * non-pivot-language query document, its best pivot-language neighbor

@@ -38,3 +38,13 @@ trait ArrayDoubleBinaryInputTypes
     Seq(org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType),
       org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType))
 }
+
+/** Unary sibling of [[ArrayDoubleBinaryInputTypes]]: one `array<double>`
+  * input with implicit casting, same `private[sql]` placement reason.
+  */
+trait ArrayDoubleUnaryInputTypes
+  extends org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  self: org.apache.spark.sql.catalyst.expressions.UnaryExpression =>
+  override def inputTypes: Seq[org.apache.spark.sql.types.AbstractDataType] =
+    Seq(org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType))
+}

@@ -225,6 +225,15 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("winnow_keys"), "the native WinnowKeys must drive the plan")
   }
 
+  test("q_emb_jlproj: one fused narrow pass — no join, no shuffle, native projection") {
+    // projection + both norms are codegen'd expressions over the scan;
+    // an Exchange here means the audit stopped being a map-only pass
+    val p = plan("q_emb_jlproj")
+    assert(!p.contains("Exchange"), "JL audit must not shuffle")
+    assert(!p.contains("Join"), "JL audit must not join")
+    assert(p.contains("sign_project"), "native SignProject must drive the plan")
+  }
+
   test("q_ev_interval: trailing-window join is an equi-join on (user, bucket)") {
     val p = plan("q_ev_interval")
     assert(p.linesIterator.exists(l =>

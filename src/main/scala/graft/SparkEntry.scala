@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsOfJoin, Curation, Dedup, EntityResolution, Maintenance, Multimodal, OrderPipeline, RefOrders, Retrieval, Similarity, TextAnalysis}
+import graft.operators.{AsOfJoin, Classifier, Curation, Dedup, EntityResolution, Maintenance, Multimodal, OrderPipeline, RefOrders, Retrieval, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -1106,6 +1106,22 @@ object SparkEntry {
     // exact integer sums — the importance-resampling curation score.
     "q_doc_dsir" -> { (s, dir) =>
       TextAnalysis.dsirWeights(Tables.documents(s, dir))
+    },
+
+    // Hashed linear quality/language classifier, TRAIN step (CCNet /
+    // fastText shape): TF over 32 hashed token buckets + bias, 4
+    // full-batch gradient rounds — fixed-point weights, quantized
+    // order-free gradient sums, rational fast sigmoid (exp() isn't
+    // correctly rounded; division is). One 1-row agg job per round over
+    // the reliable-checkpoint feature stage shared with the score query.
+    "q_doc_qclf" -> { (s, dir) =>
+      Classifier.fit(Tables.documents(s, dir), dir)
+    },
+    // Classifier APPLY step: per-doc quantized decision score + hard
+    // prediction next to the true label — the confusion-matrix /
+    // threshold-picking read-out. Narrow pass over the shared features.
+    "q_doc_qclf_score" -> { (s, dir) =>
+      Classifier.score(Tables.documents(s, dir), dir)
     },
 
     // PMI collocations: adjacent pairs ranked by N·c(ab)/(c(a)·c(b)) —
@@ -3558,6 +3574,8 @@ object SparkEntry {
          |CROSS JOIN nt
          |ORDER BY pmi_ratio DESC, w1, w2 LIMIT 25""".stripMargin,
     "q_doc_bpe" -> TextAnalysis.bpeSql(),
+    "q_doc_qclf" -> Classifier.fitSql(),
+    "q_doc_qclf_score" -> Classifier.scoreSql(),
     "q_doc_bpe_encode" -> TextAnalysis.bpeSegmentSql(),
     "q_doc_vocabcov" -> TextAnalysis.vocabCoverageSql(),
     "q_doc_sbackoff" -> SbackoffOracleSql,

@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Classifier, TextAnalysis}
+
+/** Hashed quality-classifier distillation ([[Classifier]]): the full
+  * quantized training loop is cross-checked against an independent
+  * plain-Scala reimplementation (own tokenizer, hash, label, sigmoid,
+  * rounding), learning is asserted on both a separable toy corpus and
+  * the real corpus (accuracy must clearly beat the majority class), and
+  * the degenerate/empty edges are pinned.
+  */
+class ClassifierSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ------------------------------------------------ independent reference
+
+  private def refHash(w: String): Long = {
+    if (w.isEmpty) 217L
+    else {
+      var h = 7L; var i = 0
+      while (i < w.length) {
+        val cp = w.codePointAt(i)
+        h = (h * 31L + cp) % 1000000007L
+        i += Character.charCount(cp)
+      }
+      h
+    }
+  }
+
+  private def refToks(text: String): Seq[String] =
+    text.trim.toLowerCase.split("[ \t\n\f\r]+").toSeq.filter(_.nonEmpty)
+
+  private def refLabel(toks: Seq[String]): Double = {
+    val n = toks.size.toDouble
+    val stop = toks.count(TextAnalysis.Stopwords.contains(_)) / n
+    val short = toks.count(_.length <= 3) / n
+    if (1.0 - stop * 0.5 - short * 0.3 >= Classifier.QualityThreshold) 1.0 else 0.0
+  }
+
+  private def refFeatures(text: String): Array[Double] = {
+    val toks = refToks(text)
+    val n = toks.size.toDouble
+    val counts = Array.fill(Classifier.NumBuckets)(0L)
+    toks.foreach(w => counts((refHash(w) % Classifier.NumBuckets).toInt) += 1)
+    counts.map(c => c / n * Classifier.FeatScale) :+ 1.0
+  }
+
+  private def refRound(v: Double): Long =
+    new java.math.BigDecimal(v).setScale(0, java.math.RoundingMode.HALF_UP).longValue
+
+  private def refFit(texts: Seq[String], iters: Int): Array[Long] = {
+    val rows = texts.filter(refToks(_).nonEmpty)
+      .map(t => (refFeatures(t), refLabel(refToks(t))))
+    val wq = Array.fill(Classifier.Dims)(0L)
+    for (_ <- 1 to iters) {
+      val sums = Array.fill(Classifier.Dims)(0L)
+      rows.foreach { case (x, y) =>
+        val z = (0 until Classifier.Dims).foldLeft(0.0)((acc, j) =>
+          acc + (wq(j) / Classifier.Q) * x(j))
+        val p = 0.5 + z / (2.0 * (1.0 + math.abs(z)))
+        for (j <- 0 until Classifier.Dims)
+          sums(j) += refRound((p - y) * x(j) * Classifier.Q)
+      }
+      for (j <- 0 until Classifier.Dims)
+        wq(j) -= refRound(Classifier.Lr * sums(j) / rows.size)
+    }
+    wq
+  }
+
+  private def docsDf(texts: Seq[String]) =
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+
+  private val toyTexts = Seq(
+    "the and of to in is the a and of",                      // all stop+short → low quality
+    "wonderful excellent magnificent extraordinary results", // long tokens → high quality
+    "a is to of the and in a is to of the",
+    "distributed aggregation pipelines converge gracefully today",
+    "the of is and a to in the of is",
+    "quantized gradient descent separates quality classes cleanly",
+    "in a the of to is and in a the",
+    "spark catalyst generates wholestage compiled iterators")
+
+  // ------------------------------------------------------------- tests
+
+  test("quantized training loop matches the independent reference bit-for-bit") {
+    for (iters <- Seq(1, 3)) {
+      val engine = Classifier.fitQuantized(
+        Classifier.features(docsDf(toyTexts)), iters = iters)
+      assert(engine.toSeq === refFit(toyTexts, iters).toSeq, s"iters=$iters")
+    }
+  }
+
+  test("separable toy corpus trains to perfect accuracy") {
+    val feat = Classifier.features(docsDf(toyTexts))
+    val wq = Classifier.fitQuantized(feat)
+    val w = array(wq.map(q => lit(q / Classifier.Q)): _*)
+    val scored = feat
+      .withColumn("z", graft.functions.VectorFunctions.dot(w, col("x")))
+      .select(col("y"), (col("z") > 0).cast("double").as("pred"))
+    val acc = scored.filter(col("y") === col("pred")).count().toDouble / scored.count()
+    assert(acc === 1.0, s"toy corpus must separate, got $acc")
+  }
+
+  test("real corpus: distilled student clearly beats the majority class") {
+    val docs = graft.sources.Tables.documents(spark, Sf)
+    val scored = Classifier.score(docs, Sf)
+    val n = scored.count().toDouble
+    val acc = scored.filter(col("label_true") === col("pred")).count() / n
+    val pos = scored.filter(col("label_true") === 1L).count() / n
+    val majority = math.max(pos, 1 - pos)
+    assert(acc > majority + 0.1,
+      s"student acc $acc must beat majority $majority by a clear margin")
+  }
+
+  test("weights are shared between train and score (memo) and deterministic") {
+    val docs = graft.sources.Tables.documents(spark, Sf)
+    val a = Classifier.fitMemo(docs, Sf)
+    val b = Classifier.fitMemo(docs, Sf)
+    assert(a eq b, "second fit must hit the weight memo")
+    Classifier.clearMemos()
+    val c = Classifier.fitMemo(docs, Sf)
+    assert(a.toSeq === c.toSeq, "refit after memo clear must reproduce the weights")
+  }
+
+  test("zero-token documents are excluded; an all-empty corpus yields zero weights") {
+    val mixed = docsDf(toyTexts :+ "   " :+ "")
+    assert(Classifier.features(mixed).count() === toyTexts.size)
+    val empty = Classifier.features(docsDf(Seq("", "  \t ")))
+    assert(empty.count() === 0)
+    // n = 0 guard: no update rounds apply, weights stay at init
+    assert(Classifier.fitQuantized(empty).forall(_ == 0L))
+  }
+}

@@ -234,6 +234,17 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("sign_project"), "native SignProject must drive the plan")
   }
 
+  test("q_doc_qclf_score: scoring is a narrow pass over the checkpointed feature stage") {
+    // train and score share one materialized feature table; scoring must
+    // not re-tokenize (no Generate) and must not shuffle — it is a dot
+    // product against a literal weight array over the checkpoint scan
+    val p = plan("q_doc_qclf_score")
+    assert(!p.contains("Generate"), "scoring must ride the feature stage, not re-explode tokens")
+    assert(!p.contains("Exchange"), "scoring must not shuffle")
+    assert(p.contains("ExistingRDD") || p.contains("Scan rdd"),
+      s"scoring must read the checkpointed feature stage: ${p.linesIterator.take(12).mkString("\n")}")
+  }
+
   test("q_ev_interval: trailing-window join is an equi-join on (user, bucket)") {
     val p = plan("q_ev_interval")
     assert(p.linesIterator.exists(l =>

@@ -899,6 +899,13 @@ object SparkEntry {
     "q_emb_health" -> { (s, dir) =>
       Similarity.embeddingHealth(Tables.embeddings(s, dir))
     },
+    // JL ranking-preservation audit: brute top-k in the 16-dim PROJECTED
+    // space vs brute top-k in the original space (constant-capped query
+    // set, both sides audit-priced) — what the distortion ratio buys at
+    // ranking granularity before an index build commits to narrow vectors.
+    "q_emb_jlrecall" -> { (s, dir) =>
+      Similarity.jlRecall(Tables.embeddings(s, dir))
+    },
     // JL sign-projection distortion audit: per-vector squared norm
     // before/after the deterministic ±1 projection to 16 dims + ratio —
     // the read-out before an ANN index trades 64-wide vectors for
@@ -2773,6 +2780,7 @@ object SparkEntry {
          |${Similarity.silhouetteTailSql()}""".stripMargin,
     "q_emb_health" -> Similarity.embeddingHealthSql(),
     "q_emb_jlproj" -> Similarity.jlProjectSql(),
+    "q_emb_jlrecall" -> Similarity.jlRecallSql(),
     "q_emb_bitext" -> Similarity.bitextMineSql(),
     "q_emb_topics" ->
       s"""WITH ${Similarity.kmeansCtes()},

@@ -1028,6 +1028,102 @@ object Similarity {
         when(col("n2_orig") > 0, col("n2_proj") / col("n2_orig")).as("ratio"))
   }
 
+  /** JL ranking-preservation audit — the measured answer to "can the
+    * ANN stack run on [[JlDims]]-wide vectors": per capped query, how
+    * much of the original-space brute top-k survives in the projected
+    * space, at TWO granularities from one projected ranking — strict
+    * top-k overlap (`recall`) and the production question, does a
+    * size-`shortlist` projected candidate list contain the true top-k
+    * (`shortlist_recall`, the project → shortlist → exact-rerank
+    * pipeline's operating point). Both can honestly read ~0: on this
+    * corpus the true neighbors sit ~3σ above an isotropic bulk and a 4×
+    * compression buries that margin — which is exactly the no-go the
+    * audit exists to catch before an index build commits to the narrow
+    * vectors (the distortion audit [[jlProject]] alone cannot say this:
+    * norms concentrate fine while rankings die).
+    *
+    * Scale contract: identical to the recall audit's — both sides are
+    * audit-priced (O(cap·n) with a CONSTANT query cap, explicit
+    * broadcast of the bounded query side), the projection itself is the
+    * narrow native pass, and at billion scale the projected side rides
+    * the IVF/PQ candidate stages instead of the brute enumeration.
+    */
+  def jlRecall(e: DataFrame, outDims: Int = JlDims, queryMod: Int = 50,
+      k: Int = 3, shortlist: Int = 64, queryCap: Int = 64): DataFrame = {
+    val truth = knnBrute(e, queryMod, k, queryCap).select(col("qid"), col("vec_id"))
+    val pbase = withEmb(e)
+      .withColumn("pemb", graft.expressions.SignProject.sign_project(col("emb"), outDims))
+      .select(col("vec_id"), col("pemb").as("emb"), l2norm(col("pemb")).as("nrm"))
+    val q = querySet(pbase, queryMod, queryCap)
+      .select(col("vec_id").as("qid"), col("emb").as("qemb"), col("nrm").as("qnrm"))
+    // ONE projected ranking serves both granularities: strict top-k
+    // overlap (rn ≤ k) and the shortlist-then-rerank containment
+    // (rn ≤ shortlist)
+    val proj = topK(broadcast(q).join(pbase, col("vec_id") =!= col("qid"))
+      .withColumn("cos",
+        cosineWithNorms(dot(col("qemb"), col("emb")), col("qnrm"), col("nrm"))), shortlist)
+      .select(col("qid"), col("vec_id"), col("rn"))
+    val hit = truth.join(proj.filter(col("rn") <= k).drop("rn"),
+        Seq("qid", "vec_id"), "left_semi")
+      .groupBy(col("qid")).agg(count(lit(1)).as("n_hit"))
+    val shortHit = truth.join(proj.drop("rn"), Seq("qid", "vec_id"), "left_semi")
+      .groupBy(col("qid")).agg(count(lit(1)).as("n_short"))
+    truth.groupBy(col("qid")).agg(count(lit(1)).as("n_truth"))
+      .join(hit, Seq("qid"), "left")
+      .join(shortHit, Seq("qid"), "left")
+      .select(col("qid"), col("n_truth"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        coalesce(col("n_short"), lit(0L)).as("n_short"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_truth").cast("double"))
+          .as("recall"),
+        (coalesce(col("n_short"), lit(0L)).cast("double") / col("n_truth").cast("double"))
+          .as("shortlist_recall"))
+  }
+
+  /** DuckDB mirror of [[jlRecall]]. */
+  def jlRecallSql(outDims: Int = JlDims, k: Int = 3, shortlist: Int = 64): String =
+    s"""WITH $baseSql,
+       |pb AS (
+       |  SELECT vec_id,
+       |    ${graft.expressions.SignProject.projectSql("emb", outDims)} AS pemb
+       |  FROM base),
+       |pb2 AS (
+       |  SELECT vec_id, pemb,
+       |    sqrt(${dotSql("pemb", "pemb")}) AS pnrm
+       |  FROM pb),
+       |q AS (SELECT vec_id AS qid, emb AS qemb, nrm AS qnrm FROM base
+       |      WHERE vec_id % 50 = 0 ORDER BY vec_id LIMIT 64),
+       |kp AS (
+       |  SELECT qid, vec_id, ${dotSql("qemb", "emb")} / (qnrm * nrm) AS cos
+       |  FROM q JOIN base ON vec_id <> qid),
+       |knn AS (SELECT qid, vec_id FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+       |    FROM kp) t
+       |  WHERE rn <= $k),
+       |pq AS (SELECT vec_id AS qid, pemb AS qpemb, pnrm AS qpnrm FROM pb2
+       |       WHERE vec_id % 50 = 0 ORDER BY vec_id LIMIT 64),
+       |pp AS (
+       |  SELECT qid, vec_id, ${dotSql("qpemb", "pemb")} / (qpnrm * pnrm) AS cos
+       |  FROM pq JOIN pb2 ON vec_id <> qid),
+       |pknn AS (SELECT qid, vec_id, rn FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+       |    FROM pp) t
+       |  WHERE rn <= $shortlist),
+       |hit AS (SELECT kn.qid, COUNT(*) AS n_hit
+       |        FROM knn kn JOIN pknn p ON p.qid = kn.qid AND p.vec_id = kn.vec_id
+       |        WHERE p.rn <= $k
+       |        GROUP BY kn.qid),
+       |shit AS (SELECT kn.qid, COUNT(*) AS n_short
+       |        FROM knn kn JOIN pknn p ON p.qid = kn.qid AND p.vec_id = kn.vec_id
+       |        GROUP BY kn.qid),
+       |tr AS (SELECT qid, COUNT(*) AS n_truth FROM knn GROUP BY qid)
+       |SELECT tr.qid, tr.n_truth, coalesce(h.n_hit, CAST(0 AS BIGINT)) AS n_hit,
+       |  coalesce(s.n_short, CAST(0 AS BIGINT)) AS n_short,
+       |  CAST(coalesce(h.n_hit, 0) AS DOUBLE) / CAST(tr.n_truth AS DOUBLE) AS recall,
+       |  CAST(coalesce(s.n_short, 0) AS DOUBLE) / CAST(tr.n_truth AS DOUBLE) AS shortlist_recall
+       |FROM tr LEFT JOIN hit h ON h.qid = tr.qid
+       |LEFT JOIN shit s ON s.qid = tr.qid""".stripMargin
+
   /** DuckDB mirror of [[jlProject]]. */
   def jlProjectSql(outDims: Int = JlDims): String =
     s"""WITH $baseSql,

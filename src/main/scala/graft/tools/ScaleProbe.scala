@@ -79,7 +79,12 @@ object ScaleProbe {
     // member-only reassign over the frozen-snapshot kmeans) and the BPE
     // train+apply pipeline (corpus-pass + vocab-bounded rounds — the
     // profile should stay near-flat past the token-count pass)
-    "q_emb_reassign", "q_doc_bpe_encode")
+    "q_emb_reassign", "q_doc_bpe_encode",
+    // round-8 late additions: classifier distillation (feature-stage
+    // build + 16 one-row-gradient rounds — the rounds must stay
+    // corpus-size-independent once the stage is built, so the profile
+    // should track the featurize pass alone) and its scoring twin
+    "q_doc_qclf_score")
 
   /** Heaps-ish vocabulary size: 30 tokens at the 5k-doc base (the real
     * table's vocabulary), growing with sqrt(n).

@@ -93,6 +93,27 @@ class JlProjectSpec extends SparkSpec {
     assert(out(2).isNullAt(out(2).fieldIndex("n2_orig")), "null array propagates")
   }
 
+  test("jlRecall: a planted near-exact copy survives projection; count invariants hold") {
+    // the projection is linear, so a scaled copy keeps cosine ≈ 1 in the
+    // projected space and must be found at strict rank 1; random
+    // neighbors may scramble, but the count invariants cannot
+    val rnd = new scala.util.Random(7)
+    val base = (0 until 40).map(i =>
+      (i.toLong * 7 + 1, Seq.fill(64)(rnd.nextGaussian()), 0))
+    val query = (0L, Seq.fill(64)(rnd.nextGaussian()), 0)      // 0 % 50 == 0 → query
+    val copy = (1000000L, query._2.map(_ * 1.5), 0)
+    val df = (base :+ query :+ copy)
+      .toDF("vec_id", "embedding", "label")
+    val out = graft.operators.Similarity.jlRecall(df).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (nt, nh, ns) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nh <= ns && ns <= nt, s"invariant n_hit <= n_short <= n_truth broken: $r")
+    }
+    val qRow = out.find(_.getLong(0) == 0L).get
+    assert(qRow.getLong(2) >= 1, s"scaled copy must survive projection at top-k: $qRow")
+  }
+
   test("projection shares no LCG state with the LSH hyperplanes (plane offset)") {
     // the sign matrix starts at plane 64; RandomHyperplaneBits caps at 62
     assert(graft.expressions.SignProject.PlaneOffset > 62)

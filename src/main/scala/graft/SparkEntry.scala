@@ -1131,6 +1131,16 @@ object SparkEntry {
       Classifier.score(Tables.documents(s, dir), dir)
     },
 
+    // Exact heavy hitters with bounded per-partition state: Misra–Gries
+    // candidates (narrow, no shuffle; pigeonhole superset guarantee) →
+    // broadcast-gated exact count pass → division-free integer
+    // threshold cnt·k ≥ N. The approximate-sketch-with-exact-result
+    // pattern a 100 TB token stream needs instead of a full-vocabulary
+    // GROUP BY.
+    "q_doc_heavy" -> { (s, dir) =>
+      TextAnalysis.heavyHitters(Tables.documents(s, dir))
+    },
+
     // PMI collocations: adjacent pairs ranked by N·c(ab)/(c(a)·c(b)) —
     // log-free monotone PMI, exact integers into one correctly-rounded
     // division; the BPE-merge-candidate / MWE-detection signal.
@@ -3582,6 +3592,7 @@ object SparkEntry {
          |CROSS JOIN nt
          |ORDER BY pmi_ratio DESC, w1, w2 LIMIT 25""".stripMargin,
     "q_doc_bpe" -> TextAnalysis.bpeSql(),
+    "q_doc_heavy" -> TextAnalysis.heavyHittersSql(),
     "q_doc_qclf" -> Classifier.fitSql(),
     "q_doc_qclf_score" -> Classifier.scoreSql(),
     "q_doc_bpe_encode" -> TextAnalysis.bpeSegmentSql(),

@@ -1250,4 +1250,88 @@ object TextAnalysis {
        |  END AS dominant_class
        |FROM $src""".stripMargin
   }
+
+  /** Exact corpus heavy hitters with bounded per-partition state — the
+    * approximate-algorithm-with-exact-guarantee pattern a 100 TB token
+    * stream needs: a full `GROUP BY word` materializes the whole
+    * vocabulary through a shuffle, but anything with global share
+    * ≥ 1/k can be found with k counters per partition.
+    *
+    * Pass 1 (narrow, NO shuffle): Misra–Gries with capacity k per input
+    * partition. Guarantee chain making pass 2 EXACT, not approximate:
+    * a word with global count ≥ N/k has, by pigeonhole, count_p ≥ N_p/k
+    * in at least one partition; MG(k) decrements any counter at most
+    * N_p/(k+1) times, and N_p/k > N_p/(k+1), so the word SURVIVES that
+    * partition's sketch. The union of per-partition survivors (≤ k ×
+    * partitions rows — broadcastable at any corpus size) is therefore a
+    * SUPERSET of every true heavy hitter; false candidates are killed by
+    * pass 2. Result is deterministic and partitioning-independent even
+    * though the sketch internals are not (spec-pinned under
+    * repartition(1) vs repartition(13)).
+    *
+    * Pass 2: exact counts of candidate words only (broadcast semi-ish
+    * inner join gates the grouped agg), one narrow total-token agg
+    * (no explode shuffle — Σ size(toks)), integer threshold cnt·k ≥ N
+    * (division-free), exact integer permille.
+    *
+    * Cf. Misra–Gries '82; the same two-pass shape MapReduce heavy-hitter
+    * pipelines use. Output: (w, cnt, n_tokens, permille), one row per
+    * word with share ≥ 1/k.
+    */
+  def heavyHitters(docs: DataFrame, k: Int = 32): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val tok = withToks(docs).select(explode(col("toks")).as("w"))
+    val cands = tok.as[String]
+      .mapPartitions(it => misraGries(it, k))
+      .toDF("w").distinct()
+    val totals = withToks(docs)
+      .agg(coalesce(sum(size(col("toks")).cast("long")), lit(0L)).as("n"))
+    tok.join(broadcast(cands), "w")
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(totals))
+      .filter(col("cnt") * k >= col("n"))
+      .select(col("w"), col("cnt"), col("n").as("n_tokens"),
+        expr("cnt * 1000 DIV n").as("permille"))
+  }
+
+  /** Misra–Gries streaming summary with `k` counters: emits the words
+    * whose counters survive the stream (count-decrement semantics; each
+    * surviving word's stored count underestimates truth by at most
+    * N/(k+1)). O(k) space; the decrement-all step amortizes against the
+    * k inserts that preceded it.
+    */
+  def misraGries(it: Iterator[String], k: Int): Iterator[String] = {
+    val m = scala.collection.mutable.HashMap.empty[String, Long]
+    while (it.hasNext) {
+      val w = it.next()
+      m.get(w) match {
+        case Some(c) => m.update(w, c + 1)
+        case None if m.size < k => m.update(w, 1L)
+        case None =>
+          val keys = m.keysIterator.toArray
+          var i = 0
+          while (i < keys.length) {
+            val c = m(keys(i))
+            if (c == 1L) m.remove(keys(i)) else m.update(keys(i), c - 1)
+            i += 1
+          }
+      }
+    }
+    m.keysIterator.toArray.iterator
+  }
+
+  /** DuckDB mirror of [[heavyHitters]] — the sketch has no mirror to
+    * need: the OUTPUT is defined purely by the exact threshold.
+    */
+  def heavyHittersSql(k: Int = 32): String =
+    s"""WITH htok AS (
+       |  SELECT unnest(toks) AS w
+       |  FROM (SELECT ${graft.operators.Dedup.toksSql} AS toks FROM documents) t),
+       |htot AS (SELECT COUNT(*) AS n FROM htok),
+       |hc AS (SELECT w, COUNT(*) AS cnt FROM htok GROUP BY w)
+       |SELECT w, cnt, n AS n_tokens, (cnt * 1000) // n AS permille
+       |FROM hc CROSS JOIN htot
+       |WHERE cnt * $k >= n""".stripMargin
+
 }

@@ -234,6 +234,18 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("sign_project"), "native SignProject must drive the plan")
   }
 
+  test("q_doc_heavy: candidate set broadcasts; no corpus-wide sort/shuffle join") {
+    // pass 1 is a narrow MapPartitions sketch; pass 2 gates the grouped
+    // count behind a BROADCAST of the ≤ k·partitions candidate union —
+    // a sort-merge or shuffled-hash join here means the bounded side
+    // stopped being treated as bounded
+    val p = plan("q_doc_heavy")
+    assert(p.contains("BroadcastHashJoin"), "candidate gate must broadcast")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "no corpus-wide join allowed")
+    assert(p.contains("MapPartitions"), "the MG sketch pass must be a narrow MapPartitions")
+  }
+
   test("q_doc_qclf_score: scoring is a narrow pass over the checkpointed feature stage") {
     // train and score share one materialized feature table; scoring must
     // not re-tokenize (no Generate) and must not shuffle — it is a dot

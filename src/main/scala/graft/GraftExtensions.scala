@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{NfcNormalize, PolyHash, PyFloat, RandomHyperplaneBits, SeqDot, SignProject}
+import graft.expressions.{HashedTf, NfcNormalize, PolyHash, PyFloat, RandomHyperplaneBits, SeqDot, SignProject}
 
 /** SparkSessionExtensions entry point for the graft engine — the
   * deployment-grade registration path for our native expressions:
@@ -40,6 +40,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("nfc_normalize"),
       new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
       (exprs: Seq[Expression]) => NfcNormalize(exprs.head)
+    ))
+    e.injectFunction((
+      FunctionIdentifier("hashed_tf"),
+      new ExpressionInfo(classOf[HashedTf].getName, "hashed_tf"),
+      (exprs: Seq[Expression]) => HashedTf(exprs.head,
+        graft.operators.Classifier.NumBuckets,
+        graft.operators.Classifier.FeatScale)
     ))
     e.injectFunction((
       FunctionIdentifier("sign_project"),

@@ -64,6 +64,7 @@ object Registry {
     NfcNormalize.register(spark)
     RandomHyperplaneBits.register(spark)
     SignProject.register(spark)
+    HashedTf.register(spark)
 
     val r = spark.sessionState.functionRegistry
     r.createOrReplaceTempFunction("tokenize",

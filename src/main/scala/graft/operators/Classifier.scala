@@ -23,9 +23,11 @@ import graft.functions.{TextFunctions, VectorFunctions}
   * at 16 scaled rounds vs 0.58 at 64 unscaled, majority 0.51).
   *
   * Distributed shape (the Sennrich-BPE / k-means house pattern for
-  * iterative fitting): the feature table is built ONCE — one
-  * map-side-combinable (doc, bucket) count shuffle plus one per-doc
-  * roll-up, both keyed on high-cardinality ids — and materialized as a
+  * iterative fitting): the feature table is built ONCE — a single fused
+  * narrow pass (the native [[graft.expressions.HashedTf]]; the feature
+  * vector is a pure per-row function of the token array, so the
+  * explode → count → roll-up spelling's two shuffles vanish and the
+  * scan IS the feature table) — and materialized as a
   * reliable-checkpoint stage shared by the train and score queries. Each
   * training round is then ONE aggregation job over that table producing
   * a single 33-slot gradient row (partial aggregation does the map-side
@@ -72,6 +74,15 @@ object Classifier {
     * over hashed buckets ++ bias 1.0. Zero-token documents are excluded
     * (no TF or quality is defined for them — mirrored by construction
     * in SQL, where they produce no token rows).
+    *
+    * ONE fused narrow pass: the feature vector is a pure per-row
+    * function of the token array, computed by the native
+    * [[graft.expressions.HashedTf]] — no explode, no (doc, bucket)
+    * count shuffle, no per-doc roll-up (the composable two-shuffle
+    * spelling is kept as ClassifierSpec's `featuresShuffled` reference
+    * and pinned bit-equal). Stateless-narrow is also what makes the
+    * scoring side stream-safe with zero state
+    * ([[graft.streaming.DocStream]]'s scoring twin).
     */
   def features(docs: DataFrame): DataFrame = {
     val nTok = size(col("toks")).cast("double")
@@ -82,27 +93,12 @@ object Classifier {
     // the TEACHER: the exact quality composite q_doc_quality publishes
     // (same association order — parity is already hash-pinned there)
     val quality = lit(1.0d) - stopRatio * lit(0.5d) - shortRatio * lit(0.3d)
-    val toks = docs
+    docs
       .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
       .filter(size(col("toks")) > 0)
       .select(col("doc_id"),
         (quality >= lit(QualityThreshold)).cast("double").as("y"),
-        col("toks"))
-    val tb = toks
-      .select(col("doc_id"), col("y"), explode(col("toks")).as("w"))
-      .select(col("doc_id"), col("y"),
-        (graft.expressions.PolyHash.poly_hash(col("w")) % NumBuckets).as("b"))
-    tb.groupBy(col("doc_id"), col("b"))
-      .agg(min(col("y")).as("y"), count(lit(1)).as("c"))
-      .groupBy(col("doc_id"))
-      .agg(min(col("y")).as("y"), sum(col("c")).as("n"),
-        map_from_entries(collect_list(struct(col("b"), col("c")))).as("m"))
-      .select(col("doc_id"), col("y"),
-        concat(
-          transform(sequence(lit(0), lit(NumBuckets - 1)), j =>
-            coalesce(element_at(col("m"), j.cast("long")), lit(0L)).cast("double") /
-              col("n").cast("double") * lit(FeatScale)),
-          array(lit(1.0d))).as("x"))
+        graft.expressions.HashedTf.hashed_tf(col("toks"), NumBuckets, FeatScale).as("x"))
   }
 
   /** DuckDB ROUND semantics (half away from zero) on the driver —

@@ -266,4 +266,30 @@ object DocStream {
     override protected def emit(key: Long, doc: Long, earlier: Long): WinnowCand =
       WinnowCand(doc, key, earlier)
   }
+
+  /** Streaming twin of [[graft.operators.Classifier.score]]: apply a
+    * FROZEN trained weight vector (from a batch fit — the standard
+    * train-offline / score-online split) to a document stream. Because
+    * featurization is the fused per-row [[graft.expressions.HashedTf]]
+    * (no explode, no per-doc aggregation), scoring is a stateless
+    * narrow projection: it runs on an unbounded append stream with ZERO
+    * state, no watermark, and batch-identical arithmetic — the twin is
+    * the same physical expression tree, not a reimplementation
+    * (batch ≡ stream parity pinned in ClassifierStreamSpec).
+    */
+  def scoreDocs(docs: org.apache.spark.sql.DataFrame,
+      wq: Array[Long]): org.apache.spark.sql.DataFrame = {
+    import graft.operators.Classifier
+    val w = array(wq.map(q => lit(q / Classifier.Q)): _*)
+    docs
+      .select(col("doc_id"), graft.functions.TextFunctions.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .withColumn("x", graft.expressions.HashedTf.hashed_tf(
+        col("toks"), Classifier.NumBuckets, Classifier.FeatScale))
+      .withColumn("z", graft.functions.VectorFunctions.dot(w, col("x")))
+      .select(col("doc_id"),
+        round(col("z") * Classifier.Q).cast("long").as("score_q"),
+        when(col("z") > 0, 1L).otherwise(0L).as("pred"))
+  }
+
 }

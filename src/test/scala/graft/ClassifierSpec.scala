@@ -84,6 +84,32 @@ class ClassifierSpec extends SparkSpec {
 
   // ------------------------------------------------------------- tests
 
+  test("fused HashedTf features == the composable two-shuffle spelling bit-for-bit") {
+    // the explode → (doc,bucket) count → per-doc roll-up spelling the
+    // native expression replaced — kept here as the cross-check
+    val docs = graft.sources.Tables.documents(spark, Sf)
+    val toks = docs
+      .select(col("doc_id"), graft.functions.TextFunctions.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+    val shuffled = toks
+      .select(col("doc_id"), explode(col("toks")).as("w"))
+      .select(col("doc_id"),
+        (graft.expressions.PolyHash.poly_hash(col("w")) % Classifier.NumBuckets).as("b"))
+      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n"),
+        map_from_entries(collect_list(struct(col("b"), col("c")))).as("m"))
+      .select(col("doc_id"),
+        concat(
+          transform(sequence(lit(0), lit(Classifier.NumBuckets - 1)), j =>
+            coalesce(element_at(col("m"), j.cast("long")), lit(0L)).cast("double") /
+              col("n").cast("double") * lit(Classifier.FeatScale)),
+          array(lit(1.0d))).as("x_ref"))
+    val bad = Classifier.features(docs).join(shuffled, "doc_id")
+      .filter(!(col("x") <=> col("x_ref")))
+    assert(bad.count() === 0)
+  }
+
   test("quantized training loop matches the independent reference bit-for-bit") {
     for (iters <- Seq(1, 3)) {
       val engine = Classifier.fitQuantized(

@@ -899,6 +899,14 @@ object SparkEntry {
     "q_emb_health" -> { (s, dir) =>
       Similarity.embeddingHealth(Tables.embeddings(s, dir))
     },
+    // Top principal direction + eigenvalue by power iteration — the
+    // anisotropy audit (dominant-direction pathology vs isotropy; the
+    // measured explanation for the JL audit's verdict) and the first
+    // step of a PCA/whitening pass. Each round = ONE 64-slot quantized
+    // aggregation row to the driver (the k-means/classifier pattern).
+    "q_emb_pc1" -> { (s, dir) =>
+      Similarity.powerIteration(Tables.embeddings(s, dir))
+    },
     // JL ranking-preservation audit: brute top-k in the 16-dim PROJECTED
     // space vs brute top-k in the original space (constant-capped query
     // set, both sides audit-priced) — what the distortion ratio buys at
@@ -2791,6 +2799,8 @@ object SparkEntry {
     "q_emb_health" -> Similarity.embeddingHealthSql(),
     "q_emb_jlproj" -> Similarity.jlProjectSql(),
     "q_emb_jlrecall" -> Similarity.jlRecallSql(),
+    "q_emb_pc1" ->
+      s"""WITH ${Similarity.powerIterationSql()}""".stripMargin,
     "q_emb_bitext" -> Similarity.bitextMineSql(),
     "q_emb_topics" ->
       s"""WITH ${Similarity.kmeansCtes()},

@@ -1140,6 +1140,115 @@ object Similarity {
        |  CASE WHEN n2_orig > 0 THEN n2_proj / n2_orig END AS ratio
        |FROM nn""".stripMargin
 
+  /** Top principal direction of the embedding cloud by full-batch power
+    * iteration — the ANISOTROPY audit: `lam` (the top eigenvalue of the
+    * centered covariance) against the per-dimension variance floor tells
+    * you whether the corpus has a dominant direction (common-component
+    * pathology that inflates every cosine, the thing mean-ablation
+    * fixes) or is isotropic (in which case aggressive dimension
+    * reduction WILL bury neighbor margins — the measured cause of
+    * [[jlRecall]]'s no-go on this corpus). Also the first step of any
+    * PCA/whitening pass over an embedding table.
+    *
+    * Distributed shape (the [[Classifier]] / k-means bounded-collect
+    * pattern): the mean and each matvec round are ONE aggregation job
+    * producing a single `dims`-slot row (map-side partials; only that
+    * row reaches the driver), and the normalized iterate re-broadcasts
+    * as a literal array. No shuffle wider than the scan at any corpus
+    * size; rounds add no exchanges.
+    *
+    * Exactness: per-vector contributions quantize to 2^24 integers
+    * before the order-free cross-partition sums (mean AND matvec); the
+    * centered matvec uses the LINEAR form z = x·w − μ·w (one shared
+    * scalar c = μ·w folded on the driver) so engine and mirror round
+    * identically; normalization is one correctly-rounded sqrt + one
+    * division per slot. w0 = 1/sqrt(dims) exactly in both engines.
+    */
+  def powerIteration(e: DataFrame, dims: Int = 64, iters: Int = 4): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val Q = 16777216.0
+    val base = withEmb(e).select(col("emb"))
+    val muAggs = (0 until dims).map(d =>
+      sum(round(element_at(col("emb"), d + 1) * Q).cast("long")).as(s"m$d"))
+    val muRow = base.agg(muAggs.head, (muAggs.drop(1) :+ count(lit(1)).as("n")): _*).head()
+    val n = muRow.getLong(dims)
+    // empty table: no direction is defined — an empty frame, not a throw
+    // (EmptyInputSpec's contract; the oracle is only exercised on the
+    // non-empty gate corpora)
+    if (n == 0)
+      return Seq.empty[(Long, Double, Double)].toDF("dim", "comp", "lam")
+    val mu = Array.tabulate(dims)(d => muRow.getLong(d).toDouble / (n.toDouble * Q))
+    var w = Array.fill(dims)(1.0 / math.sqrt(dims.toDouble))
+    var lam = 0.0
+    for (_ <- 1 to iters) {
+      var c = 0.0
+      var d = 0
+      while (d < dims) { c += mu(d) * w(d); d += 1 }
+      val wCol = array(w.map(lit(_)): _*)
+      val z = dot(col("emb"), wCol) - lit(c)
+      val sAggs = (0 until dims).map(d =>
+        sum(round(z * (element_at(col("emb"), d + 1) - lit(mu(d))) * Q).cast("long")).as(s"s$d"))
+      val sRow = base.agg(sAggs.head, sAggs.drop(1): _*).head()
+      val s = Array.tabulate(dims)(sRow.getLong(_).toDouble)
+      var sq = 0.0
+      d = 0
+      while (d < dims) { sq += s(d) * s(d); d += 1 }
+      val norm = math.sqrt(sq)
+      w = s.map(_ / norm)
+      lam = norm / Q / n.toDouble
+    }
+    w.toSeq.zipWithIndex.map { case (v, d) => (d.toLong, v, lam) }
+      .toDF("dim", "comp", "lam")
+  }
+
+  /** DuckDB mirror of [[powerIteration]] — unrolled rounds, every
+    * reused CTE MATERIALIZED (w appears twice per round; default
+    * inlining would expand the tree 2^iters times — the Classifier
+    * oracle's lesson).
+    */
+  def powerIterationSql(dims: Int = 64, iters: Int = 4): String = {
+    val Q = "CAST(16777216.0 AS DOUBLE)"
+    def foldSq(l: String) =
+      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform($l, v -> v * v)), (a, b) -> a + b)"
+    val rounds = (1 to iters).map { i =>
+      s"""pc$i AS MATERIALIZED (
+         |  SELECT ${dotSql("mu", "w")} AS c FROM pmu CROSS JOIN pw${i - 1}),
+         |ps$i AS MATERIALIZED (
+         |  SELECT r.d AS dim,
+         |    SUM(CAST(ROUND((${dotSql("emb", "w")} - c) * (emb[r.d+1] - mu[r.d+1]) * $Q) AS BIGINT)) AS s
+         |  FROM pbase CROSS JOIN pw${i - 1} CROSS JOIN pc$i CROSS JOIN pmu
+         |  CROSS JOIN range(0, $dims) r(d)
+         |  GROUP BY r.d),
+         |psl$i AS MATERIALIZED (
+         |  SELECT list(CAST(s AS DOUBLE) ORDER BY dim) AS sl FROM ps$i),
+         |pw$i AS MATERIALIZED (
+         |  SELECT list_transform(sl, v -> v / sqrt(${foldSq("sl")})) AS w FROM psl$i)""".stripMargin
+    }.mkString(",\n")
+    s"""pbase AS MATERIALIZED (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings),
+       |pn AS MATERIALIZED (SELECT COUNT(*) AS n FROM pbase),
+       |pmu AS MATERIALIZED (
+       |  SELECT list(m ORDER BY dim) AS mu FROM (
+       |    SELECT dim,
+       |      CAST(SUM(CAST(ROUND(v * $Q) AS BIGINT)) AS DOUBLE)
+       |        / (CAST(COUNT(*) AS DOUBLE) * $Q) AS m
+       |    FROM (SELECT unnest(emb) AS v,
+       |            CAST(generate_subscripts(emb, 1) - 1 AS BIGINT) AS dim
+       |          FROM pbase) e
+       |    GROUP BY dim) t),
+       |pw0 AS MATERIALIZED (
+       |  SELECT list_transform(range(0, $dims), d ->
+       |    CAST(1.0 AS DOUBLE) / sqrt(CAST($dims AS DOUBLE))) AS w),
+       |$rounds,
+       |plam AS (
+       |  SELECT sqrt(${foldSq("sl")}) / $Q / CAST(n AS DOUBLE) AS lam
+       |  FROM psl$iters CROSS JOIN pn)
+       |SELECT CAST(r.d AS BIGINT) AS dim, w[r.d+1] AS comp, lam
+       |FROM pw$iters CROSS JOIN plam CROSS JOIN range(0, $dims) r(d)""".stripMargin
+  }
+
   /** Bitext mining — the parallel-corpus construction op: for each
     * non-pivot-language query document, its best pivot-language neighbor
     * by cosine plus the RATIO MARGIN best/second-best (Artetxe–Schwenk's

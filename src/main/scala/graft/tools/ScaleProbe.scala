@@ -80,11 +80,13 @@ object ScaleProbe {
     // train+apply pipeline (corpus-pass + vocab-bounded rounds — the
     // profile should stay near-flat past the token-count pass)
     "q_emb_reassign", "q_doc_bpe_encode",
-    // round-8 late additions: classifier distillation (feature-stage
-    // build + 16 one-row-gradient rounds — the rounds must stay
-    // corpus-size-independent once the stage is built, so the profile
-    // should track the featurize pass alone) and its scoring twin
-    "q_doc_qclf_score")
+    // round-8 late additions: classifier distillation (fused-narrow
+    // feature-stage build + 16 one-row-gradient rounds — the rounds must
+    // stay corpus-size-independent once the stage is built, so the
+    // profile should track the featurize pass alone) scored end-to-end,
+    // and the Misra–Gries two-pass heavy hitters (narrow sketch +
+    // broadcast-gated exact count — should track the two token passes)
+    "q_doc_qclf_score", "q_doc_heavy")
 
   /** Heaps-ish vocabulary size: 30 tokens at the 5k-doc base (the real
     * table's vocabulary), growing with sqrt(n).

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+/** Power-iteration anisotropy audit ([[Similarity.powerIteration]]):
+  * bit-level cross-check against an independent plain-Scala
+  * reimplementation of the quantized iteration, recovery of a planted
+  * dominant direction, and output invariants (unit norm, positive
+  * eigenvalue, isotropic-vs-spiked ordering).
+  */
+class PowerIterationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def refRound(v: Double): Long =
+    new java.math.BigDecimal(v).setScale(0, java.math.RoundingMode.HALF_UP).longValue
+
+  /** Independent reference: same quantization discipline, plain Scala. */
+  private def refPowerIteration(vecs: Seq[Seq[Double]], dims: Int, iters: Int)
+      : (Array[Double], Double) = {
+    val Q = 16777216.0
+    val n = vecs.size
+    val mu = Array.tabulate(dims)(d =>
+      vecs.map(v => refRound(v(d) * Q)).sum.toDouble / (n.toDouble * Q))
+    var w = Array.fill(dims)(1.0 / math.sqrt(dims.toDouble))
+    var lam = 0.0
+    for (_ <- 1 to iters) {
+      val c = (0 until dims).foldLeft(0.0)((a, d) => a + mu(d) * w(d))
+      val s = Array.tabulate(dims) { d =>
+        vecs.map { v =>
+          val z = (0 until dims).foldLeft(0.0)((a, j) => a + v(j) * w(j)) - c
+          refRound(z * (v(d) - mu(d)) * Q)
+        }.sum.toDouble
+      }
+      val norm = math.sqrt((0 until dims).foldLeft(0.0)((a, d) => a + s(d) * s(d)))
+      w = s.map(_ / norm)
+      lam = norm / Q / n.toDouble
+    }
+    (w, lam)
+  }
+
+  private def df(vecs: Seq[Seq[Double]]) =
+    vecs.zipWithIndex.map { case (v, i) => (i.toLong, v, 0) }
+      .toDF("vec_id", "embedding", "label")
+
+  test("engine matches the independent quantized reference bit-for-bit") {
+    val rnd = new scala.util.Random(3)
+    val vecs = Seq.fill(50)(Seq.fill(8)(rnd.nextGaussian()))
+    val got = Similarity.powerIteration(df(vecs), dims = 8, iters = 3)
+      .orderBy($"dim").as[(Long, Double, Double)].collect()
+    val (w, lam) = refPowerIteration(vecs, 8, 3)
+    got.foreach { case (d, comp, l) =>
+      assert(comp === w(d.toInt), s"dim $d")
+      assert(l === lam)
+    }
+  }
+
+  test("recovers a planted dominant direction; spiked lam dominates isotropic lam") {
+    val rnd = new scala.util.Random(5)
+    val u = {
+      val raw = Array.fill(16)(rnd.nextGaussian())
+      val n = math.sqrt(raw.map(x => x * x).sum)
+      raw.map(_ / n)
+    }
+    val spiked = Seq.fill(300) {
+      val a = rnd.nextGaussian() * 3.0
+      val noise = Array.fill(16)(rnd.nextGaussian() * 0.1)
+      (0 until 16).map(d => a * u(d) + noise(d))
+    }
+    val iso = Seq.fill(300)(Seq.fill(16)(rnd.nextGaussian()))
+    val sp = Similarity.powerIteration(df(spiked), dims = 16, iters = 6)
+      .orderBy($"dim").as[(Long, Double, Double)].collect()
+    val comp = sp.map(_._2)
+    val cos = math.abs((0 until 16).map(d => comp(d) * u(d)).sum)
+    assert(cos > 0.95, s"planted direction not recovered: |cos| = $cos")
+    val norm2 = comp.map(x => x * x).sum
+    assert(math.abs(norm2 - 1.0) < 1e-9, s"component not unit-norm: $norm2")
+    val lamSpiked = sp.head._3
+    val lamIso = Similarity.powerIteration(df(iso), dims = 16, iters = 6)
+      .select($"lam").as[Double].head()
+    assert(lamSpiked > 0 && lamIso > 0)
+    assert(lamSpiked > 2 * lamIso,
+      s"spiked eigenvalue $lamSpiked must dominate isotropic $lamIso")
+  }
+
+  test("real corpus: positive eigenvalue, unit component, stable across repartitioning") {
+    val e = graft.sources.Tables.embeddings(spark, Sf)
+    val a = Similarity.powerIteration(e).orderBy($"dim")
+      .as[(Long, Double, Double)].collect().toSeq
+    val b = Similarity.powerIteration(e.repartition(7)).orderBy($"dim")
+      .as[(Long, Double, Double)].collect().toSeq
+    assert(a === b, "quantized sums must make the result partitioning-independent")
+    assert(a.head._3 > 0)
+    assert(math.abs(a.map(_._2).map(x => x * x).sum - 1.0) < 1e-9)
+  }
+}

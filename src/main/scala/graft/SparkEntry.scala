@@ -905,7 +905,15 @@ object SparkEntry {
     // step of a PCA/whitening pass. Each round = ONE 64-slot quantized
     // aggregation row to the driver (the k-means/classifier pattern).
     "q_emb_pc1" -> { (s, dir) =>
-      Similarity.powerIteration(Tables.embeddings(s, dir))
+      Similarity.powerIterationAudit(Tables.embeddings(s, dir), dir)
+    },
+    // Mean + top-component ablation (all-but-the-top, Mu-Viswanath'18):
+    // per vector, the coefficient along the fitted top direction and
+    // the centered energy surviving its removal — the FIX the
+    // anisotropy audit points at. One narrow pass against the
+    // broadcast-literal fit; rides the memoized pc1 stage.
+    "q_emb_ablate" -> { (s, dir) =>
+      Similarity.meanAblate(Tables.embeddings(s, dir), dir)
     },
     // JL ranking-preservation audit: brute top-k in the 16-dim PROJECTED
     // space vs brute top-k in the original space (constant-capped query
@@ -2801,6 +2809,8 @@ object SparkEntry {
     "q_emb_jlrecall" -> Similarity.jlRecallSql(),
     "q_emb_pc1" ->
       s"""WITH ${Similarity.powerIterationSql()}""".stripMargin,
+    "q_emb_ablate" ->
+      s"""WITH ${Similarity.meanAblateSql()}""".stripMargin,
     "q_emb_bitext" -> Similarity.bitextMineSql(),
     "q_emb_topics" ->
       s"""WITH ${Similarity.kmeansCtes()},

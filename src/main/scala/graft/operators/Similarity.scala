@@ -709,10 +709,10 @@ object Similarity {
       graft.sources.Tables.dataKey(e.sparkSession, dir, variant) + s"|$k|$iters")(
       graft.sources.StageMemo.reliableStage(kmeansFit(e, k, iters)))
 
-  /** Drop every memoized centroid table (same lifecycle contract as
-    * [[Dedup.clearMemos]]).
+  /** Drop every memoized centroid table and power-iteration fit (same
+    * lifecycle contract as [[Dedup.clearMemos]]).
     */
-  def clearMemos(): Unit = centsMemo.clear()
+  def clearMemos(): Unit = { centsMemo.clear(); pcMemo.clear() }
 
   private[graft] def memoSize: Int = centsMemo.size
 
@@ -1164,20 +1164,23 @@ object Similarity {
     * identically; normalization is one correctly-rounded sqrt + one
     * division per slot. w0 = 1/sqrt(dims) exactly in both engines.
     */
-  def powerIteration(e: DataFrame, dims: Int = 64, iters: Int = 4): DataFrame = {
-    val spark = e.sparkSession
-    import spark.implicits._
+  /** The fitted (mean, component, eigenvalue) triple — see
+    * [[powerIteration]] for the algorithm and exactness contract.
+    * `None` on an empty table (no direction is defined).
+    */
+  def powerIterationFit(e: DataFrame, dims: Int = 64,
+      iters: Int = 4): Option[(Array[Double], Array[Double], Double)] = {
     val Q = 16777216.0
     val base = withEmb(e).select(col("emb"))
+    // quantize (not a raw round+cast): the 2^53 clamp keeps one corrupt
+    // 1e30-coordinate row from aborting the whole aggregation with an
+    // ANSI CAST_OVERFLOW; sane data sits 5+ orders under the clamp so
+    // the oracle math is unchanged (DegenerateInputSpec pins it)
     val muAggs = (0 until dims).map(d =>
-      sum(round(element_at(col("emb"), d + 1) * Q).cast("long")).as(s"m$d"))
+      sum(quantize(element_at(col("emb"), d + 1))).as(s"m$d"))
     val muRow = base.agg(muAggs.head, (muAggs.drop(1) :+ count(lit(1)).as("n")): _*).head()
     val n = muRow.getLong(dims)
-    // empty table: no direction is defined — an empty frame, not a throw
-    // (EmptyInputSpec's contract; the oracle is only exercised on the
-    // non-empty gate corpora)
-    if (n == 0)
-      return Seq.empty[(Long, Double, Double)].toDF("dim", "comp", "lam")
+    if (n == 0) return None
     val mu = Array.tabulate(dims)(d => muRow.getLong(d).toDouble / (n.toDouble * Q))
     var w = Array.fill(dims)(1.0 / math.sqrt(dims.toDouble))
     var lam = 0.0
@@ -1188,7 +1191,7 @@ object Similarity {
       val wCol = array(w.map(lit(_)): _*)
       val z = dot(col("emb"), wCol) - lit(c)
       val sAggs = (0 until dims).map(d =>
-        sum(round(z * (element_at(col("emb"), d + 1) - lit(mu(d))) * Q).cast("long")).as(s"s$d"))
+        sum(quantize(z * (element_at(col("emb"), d + 1) - lit(mu(d))))).as(s"s$d"))
       val sRow = base.agg(sAggs.head, sAggs.drop(1): _*).head()
       val s = Array.tabulate(dims)(sRow.getLong(_).toDouble)
       var sq = 0.0
@@ -1198,16 +1201,120 @@ object Similarity {
       w = s.map(_ / norm)
       lam = norm / Q / n.toDouble
     }
-    w.toSeq.zipWithIndex.map { case (v, d) => (d.toLong, v, lam) }
-      .toDF("dim", "comp", "lam")
+    Some((mu, w, lam))
   }
 
-  /** DuckDB mirror of [[powerIteration]] — unrolled rounds, every
+  // The fit is shared by the pc1 audit and the ablation pass — same
+  // memo discipline as kmeansFitMemo (bounded driver-side arrays).
+  private val pcMemo =
+    new graft.sources.StageMemo[Option[(Array[Double], Array[Double], Double)]](8)
+
+  def powerIterationMemo(e: DataFrame, dir: String, dims: Int = 64,
+      iters: Int = 4): Option[(Array[Double], Array[Double], Double)] =
+    pcMemo.getOrCompute(
+      graft.sources.Tables.dataKey(e.sparkSession, dir, s"pc1|$dims|$iters"))(
+      powerIterationFit(e, dims, iters))
+
+  private def pc1Df(spark: org.apache.spark.sql.SparkSession,
+      fit: Option[(Array[Double], Array[Double], Double)]): DataFrame = {
+    import spark.implicits._
+    fit match {
+      // empty table: an empty frame, not a throw (EmptyInputSpec's
+      // contract; the oracle is only exercised on the non-empty gate
+      // corpora)
+      case None => Seq.empty[(Long, Double, Double)].toDF("dim", "comp", "lam")
+      case Some((_, w, lam)) =>
+        w.toSeq.zipWithIndex.map { case (v, d) => (d.toLong, v, lam) }
+          .toDF("dim", "comp", "lam")
+    }
+  }
+
+  def powerIteration(e: DataFrame, dims: Int = 64, iters: Int = 4): DataFrame =
+    pc1Df(e.sparkSession, powerIterationFit(e, dims, iters))
+
+  /** [[powerIteration]] riding the memoized fit shared with
+    * [[meanAblate]].
+    */
+  def powerIterationAudit(e: DataFrame, dir: String): DataFrame =
+    pc1Df(e.sparkSession, powerIterationMemo(e, dir))
+
+  /** Mean + top-component ablation audit (all-but-the-top, Mu &
+    * Viswanath ICLR'18) — the FIX the anisotropy audit points at: per
+    * vector, the coefficient z along the fitted top direction and how
+    * much centered energy survives its removal
+    * (`n2_resid = |x−μ|² − z²`, `resid_frac` = the kept fraction). A
+    * corpus whose resid_frac is small is one dominant direction wearing
+    * a trench coat — ablate before trusting any cosine; resid_frac ≈ 1
+    * means the direction carries little energy and ablation is a no-op.
+    *
+    * Scale: ONE narrow pass over the scan against the broadcast-literal
+    * (μ, w) fit (native [[graft.expressions.SeqDot]]/SeqL2Sq kernels);
+    * the fit itself rides the memoized [[powerIterationMemo]] stage
+    * shared with q_emb_pc1. Exactness: z is the same linear form the
+    * fit used (x·w − μ·w, shared folded scalar), n2_center is the
+    * sequential centered-L2 fold, and the subtraction/division are
+    * single correctly-rounded ops — mirrored shape-for-shape.
+    */
+  def meanAblate(e: DataFrame, dir: String, dims: Int = 64,
+      iters: Int = 4): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    powerIterationMemo(e, dir, dims, iters) match {
+      case None =>
+        Seq.empty[(Long, Double, Double, Double, Option[Double])]
+          .toDF("vec_id", "z", "n2_center", "n2_resid", "resid_frac")
+      case Some((mu, w, _)) =>
+        var c = 0.0
+        var d = 0
+        while (d < dims) { c += mu(d) * w(d); d += 1 }
+        val wCol = array(w.map(lit(_)): _*)
+        val muCol = array(mu.map(lit(_)): _*)
+        withEmb(e)
+          .withColumn("z", dot(col("emb"), wCol) - lit(c))
+          .withColumn("n2_center", l2sq(col("emb"), muCol))
+          .withColumn("n2_resid", col("n2_center") - col("z") * col("z"))
+          .select(col("vec_id"), col("z"), col("n2_center"), col("n2_resid"),
+            when(col("n2_center") > 0, col("n2_resid") / col("n2_center"))
+              .as("resid_frac"))
+    }
+  }
+
+  /** DuckDB mirror of [[powerIteration]]. */
+  def powerIterationSql(dims: Int = 64, iters: Int = 4): String =
+    s"""${powerIterationCtes(dims, iters)},
+       |plam AS (
+       |  SELECT sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(sl, v -> v * v)), (a, b) -> a + b))
+       |    / CAST(16777216.0 AS DOUBLE) / CAST(n AS DOUBLE) AS lam
+       |  FROM psl$iters CROSS JOIN pn)
+       |SELECT CAST(r.d AS BIGINT) AS dim, w[r.d+1] AS comp, lam
+       |FROM pw$iters CROSS JOIN plam CROSS JOIN range(0, $dims) r(d)""".stripMargin
+
+  /** DuckDB mirror of [[meanAblate]] over [[powerIterationCtes]]'
+    * fitted `pmu`/`pw<iters>` tables.
+    */
+  def meanAblateSql(dims: Int = 64, iters: Int = 4): String =
+    s"""${powerIterationCtes(dims, iters)},
+       |pcf AS MATERIALIZED (
+       |  SELECT ${dotSql("mu", "w")} AS c FROM pmu CROSS JOIN pw$iters),
+       |pza AS (
+       |  SELECT vec_id,
+       |    ${dotSql("emb", "w")} - c AS z,
+       |    ${l2sqSql("emb", "mu")} AS n2_center
+       |  FROM pbase CROSS JOIN pmu CROSS JOIN pw$iters CROSS JOIN pcf)
+       |SELECT vec_id, z, n2_center,
+       |  n2_center - z * z AS n2_resid,
+       |  CASE WHEN n2_center > 0
+       |       THEN (n2_center - z * z) / n2_center END AS resid_frac
+       |FROM pza""".stripMargin
+
+  /** The power-iteration CTE chain alone (ending at `pw<iters>`, with
+    * `pbase`/`pn`/`pmu`/`psl<iters>` available) — unrolled rounds, every
     * reused CTE MATERIALIZED (w appears twice per round; default
     * inlining would expand the tree 2^iters times — the Classifier
     * oracle's lesson).
     */
-  def powerIterationSql(dims: Int = 64, iters: Int = 4): String = {
+  def powerIterationCtes(dims: Int = 64, iters: Int = 4): String = {
     val Q = "CAST(16777216.0 AS DOUBLE)"
     def foldSq(l: String) =
       s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform($l, v -> v * v)), (a, b) -> a + b)"
@@ -1241,12 +1348,7 @@ object Similarity {
        |pw0 AS MATERIALIZED (
        |  SELECT list_transform(range(0, $dims), d ->
        |    CAST(1.0 AS DOUBLE) / sqrt(CAST($dims AS DOUBLE))) AS w),
-       |$rounds,
-       |plam AS (
-       |  SELECT sqrt(${foldSq("sl")}) / $Q / CAST(n AS DOUBLE) AS lam
-       |  FROM psl$iters CROSS JOIN pn)
-       |SELECT CAST(r.d AS BIGINT) AS dim, w[r.d+1] AS comp, lam
-       |FROM pw$iters CROSS JOIN plam CROSS JOIN range(0, $dims) r(d)""".stripMargin
+       |$rounds""".stripMargin
   }
 
   /** Bitext mining — the parallel-corpus construction op: for each

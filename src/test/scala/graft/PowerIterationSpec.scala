@@ -84,6 +84,45 @@ class PowerIterationSpec extends SparkSpec {
       s"spiked eigenvalue $lamSpiked must dominate isotropic $lamIso")
   }
 
+  test("meanAblate: spiked corpus loses its energy to the top PC; isotropic keeps it") {
+    val rnd = new scala.util.Random(9)
+    val u = {
+      val raw = Array.fill(16)(rnd.nextGaussian())
+      val n = math.sqrt(raw.map(x => x * x).sum)
+      raw.map(_ / n)
+    }
+    val spiked = Seq.fill(300) {
+      val a = rnd.nextGaussian() * 3.0
+      (0 until 16).map(d => a * u(d) + rnd.nextGaussian() * 0.1)
+    }
+    val iso = Seq.fill(300)(Seq.fill(16)(rnd.nextGaussian()))
+    graft.operators.Similarity.clearMemos()
+    def fracs(vecs: Seq[Seq[Double]], dir: String) =
+      graft.operators.Similarity.meanAblate(df(vecs), dir, dims = 16, iters = 6)
+        .select($"n2_center", $"n2_resid", $"resid_frac")
+        .as[(Double, Double, Option[Double])].collect()
+    val sp = fracs(spiked, "/tmp/pc-spec-spiked")
+    val is = fracs(iso, "/tmp/pc-spec-iso")
+    // residual energy is a projection remainder: non-negative up to
+    // float slack, and never exceeds the centered energy
+    (sp ++ is).foreach { case (n2c, n2r, f) =>
+      assert(n2r >= -1e-9 * math.max(n2c, 1.0), s"negative residual: $n2r vs $n2c")
+      f.foreach(x => assert(x >= -1e-12 && x <= 1.0 + 1e-12))
+    }
+    val spMean = sp.flatMap(_._3).sum / sp.length
+    val isMean = is.flatMap(_._3).sum / is.length
+    assert(spMean < 0.2, s"spiked corpus must lose its energy to the top PC: $spMean")
+    assert(isMean > 0.8, s"isotropic corpus must keep its energy: $isMean")
+  }
+
+  test("pc1 and ablate share the memoized fit") {
+    graft.operators.Similarity.clearMemos()
+    val e = graft.sources.Tables.embeddings(spark, Sf)
+    val a = graft.operators.Similarity.powerIterationMemo(e, Sf)
+    val b = graft.operators.Similarity.powerIterationMemo(e, Sf)
+    assert(a.get._2 eq b.get._2, "second fit must hit the memo")
+  }
+
   test("real corpus: positive eigenvalue, unit component, stable across repartitioning") {
     val e = graft.sources.Tables.embeddings(spark, Sf)
     val a = Similarity.powerIteration(e).orderBy($"dim")

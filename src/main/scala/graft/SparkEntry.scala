@@ -974,6 +974,13 @@ object SparkEntry {
     "q_dedup_jaccard" -> { (s, dir) =>
       Dedup.ngramJaccardPairs(Dedup.corpus(Tables.documents(s, dir)))
     },
+    // Source-pair duplicate matrix: verified near-dup pairs rolled up
+    // to (source, source) counts + order-free fixed-point mean Jaccard
+    // — the provenance read-out (which sources copy which) a curation
+    // run reads before dropping a SOURCE rather than documents.
+    "q_dedup_srcmatrix" -> { (s, dir) =>
+      Dedup.sourcePairMatrix(Tables.documents(s, dir))
+    },
 
     // ---- Event-time operators (events table; SURVEY §2 extension ops) ---
     // Outputs format timestamps as microsecond strings so the comparison
@@ -2869,23 +2876,28 @@ object SparkEntry {
          |${Dedup.tokSql},
          |${Dedup.sigSql},
          |${Dedup.bandsSql},
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
-         |sizes AS (SELECT doc_id, COUNT(*) AS nt FROM tok GROUP BY 1),
-         |inter AS (
-         |  SELECT doc_a, doc_b, COUNT(*) AS ni
-         |  FROM cand
-         |  JOIN tok a ON a.doc_id = doc_a
-         |  JOIN tok b ON b.doc_id = doc_b AND b.h = a.h
-         |  GROUP BY 1, 2)
-         |SELECT doc_a, doc_b,
-         |  CAST(ni AS DOUBLE) / CAST(sa.nt + sb.nt - ni AS DOUBLE) AS jaccard
-         |FROM inter
-         |JOIN sizes sa ON doc_a = sa.doc_id
-         |JOIN sizes sb ON doc_b = sb.doc_id
-         |WHERE CAST(ni AS DOUBLE) / CAST(sa.nt + sb.nt - ni AS DOUBLE) >= 0.5""".stripMargin,
+         |${Dedup.jaccardPairSqlChain()}
+         |SELECT doc_a, doc_b, jaccard FROM jpairs""".stripMargin,
+    "q_dedup_srcmatrix" ->
+      s"""WITH ${Dedup.corpusSql},
+         |${Dedup.tokSql},
+         |${Dedup.sigSql},
+         |${Dedup.bandsSql},
+         |${Dedup.jaccardPairSqlChain()},
+         |m AS (
+         |  SELECT doc_a % 1000000 AS ida, doc_b % 1000000 AS idb, jaccard
+         |  FROM jpairs),
+         |js AS (
+         |  SELECT least(da.source, db.source) AS src_a,
+         |         greatest(da.source, db.source) AS src_b,
+         |         CAST(ROUND(jaccard * CAST(16777216.0 AS DOUBLE)) AS BIGINT) AS jq
+         |  FROM m
+         |  JOIN documents da ON da.doc_id = ida
+         |  JOIN documents db ON db.doc_id = idb)
+         |SELECT src_a, src_b, COUNT(*) AS n_pairs,
+         |  CAST(SUM(jq) AS DOUBLE)
+         |    / (CAST(COUNT(*) AS DOUBLE) * CAST(16777216.0 AS DOUBLE)) AS mean_jaccard
+         |FROM js GROUP BY 1, 2""".stripMargin,
     "q_doc_stats" ->
       """WITH t AS (
         |  SELECT doc_id, text,

@@ -1101,4 +1101,69 @@ object Dedup {
        |  FROM bits GROUP BY 1
        |)""".stripMargin
 
+
+  /** Shared DuckDB chain for the banded-candidate → Jaccard-verified
+    * pair stage (ends in `jpairs(doc_a, doc_b, jaccard)`); expects
+    * [[tokSql]]/[[sigSql]]/[[bandsSql]] upstream. One spelling so the
+    * q_dedup_jaccard oracle and every matrix/rollup built on the pairs
+    * cannot drift.
+    */
+  def jaccardPairSqlChain(minJaccard: Double = 0.5): String =
+    s"""cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+       |sizes AS (SELECT doc_id, COUNT(*) AS nt FROM tok GROUP BY 1),
+       |inter AS (
+       |  SELECT doc_a, doc_b, COUNT(*) AS ni
+       |  FROM cand
+       |  JOIN tok a ON a.doc_id = doc_a
+       |  JOIN tok b ON b.doc_id = doc_b AND b.h = a.h
+       |  GROUP BY 1, 2),
+       |jpairs AS (
+       |  SELECT doc_a, doc_b,
+       |    CAST(ni AS DOUBLE) / CAST(sa.nt + sb.nt - ni AS DOUBLE) AS jaccard
+       |  FROM inter
+       |  JOIN sizes sa ON doc_a = sa.doc_id
+       |  JOIN sizes sb ON doc_b = sb.doc_id
+       |  WHERE CAST(ni AS DOUBLE) / CAST(sa.nt + sb.nt - ni AS DOUBLE) >= $minJaccard)"""
+      .stripMargin
+
+  /** Source-pair duplicate matrix — the provenance read-out over the
+    * verified near-dup pairs: which sources copy which (mirror sites,
+    * aggregator re-hosting, template families), as (src_a ≤ src_b) pair
+    * counts plus a fixed-point order-free mean Jaccard. The audit a
+    * curation run reads before deciding which source to DROP (the one
+    * whose content survives elsewhere) rather than which documents.
+    *
+    * Scale: rides [[ngramJaccardPairs]]' banded/verified pair stage
+    * (never all-pairs); source attribution is two shuffle-hash id
+    * equi-joins against the (doc_id, source) projection; planted-copy
+    * ids (+1e6, see [[corpus]]) attribute to their original's source;
+    * output ≤ \|sources\|² rows. Mean Jaccard quantizes per pair to
+    * 2^24 before the integer sum — partitioning-independent.
+    */
+  def sourcePairMatrix(docs: DataFrame, minJaccard: Double = 0.5): DataFrame = {
+    import graft.functions.VectorFunctions.{dequantize, quantize}
+    val pairs = ngramJaccardPairs(corpus(docs), minJaccard)
+    val src = docs.select(col("doc_id"), col("source"))
+    // both planted tiers (+1e6 near-dups, +2e6 exact copies — see
+    // [[corpus]]) attribute to their original's source
+    def orig(c: Column): Column = c % 1000000L
+    pairs
+      .select(orig(col("doc_a")).as("ida"), orig(col("doc_b")).as("idb"),
+        col("jaccard"))
+      .join(src.select(col("doc_id").as("ida"), col("source").as("sa"))
+        .hint("shuffle_hash"), Seq("ida"))
+      .join(src.select(col("doc_id").as("idb"), col("source").as("sb"))
+        .hint("shuffle_hash"), Seq("idb"))
+      .select(least(col("sa"), col("sb")).as("src_a"),
+        greatest(col("sa"), col("sb")).as("src_b"),
+        quantize(col("jaccard")).as("jq"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("jq")).as("qsum"))
+      .select(col("src_a"), col("src_b"), col("n_pairs"),
+        dequantize(col("qsum"), col("n_pairs")).as("mean_jaccard"))
+  }
+
 }

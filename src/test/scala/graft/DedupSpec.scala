@@ -443,4 +443,25 @@ class DedupSpec extends SparkSpec {
       assert(got === bruteSpans(docs), s"seed $seed diverges from the brute reference")
     }
   }
+
+  test("sourcePairMatrix reconciles with the verified pair stage; planted copies hit the diagonal") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables.documents(spark, Sf)
+    val m = graft.operators.Dedup.sourcePairMatrix(docs).collect()
+    assert(m.nonEmpty)
+    // canonical ordering and score bounds
+    m.foreach { r =>
+      assert(r.getString(0) <= r.getString(1), s"pair not canonicalized: $r")
+      val mj = r.getDouble(3)
+      assert(mj >= 0.5 && mj <= 1.0 + 1e-9, s"mean jaccard out of band: $mj")
+    }
+    // every verified pair is attributed exactly once
+    val nPairs = graft.operators.Dedup
+      .ngramJaccardPairs(graft.operators.Dedup.corpus(docs)).count()
+    assert(m.map(_.getLong(2)).sum === nPairs)
+    // corpus() plants same-source near-dup copies → the diagonal exists
+    assert(m.exists(r => r.getString(0) == r.getString(1)),
+      "planted same-source copies must produce diagonal entries")
+  }
+
 }

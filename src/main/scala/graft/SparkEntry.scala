@@ -1147,6 +1147,13 @@ object SparkEntry {
     "q_doc_qclf" -> { (s, dir) =>
       Classifier.fit(Tables.documents(s, dir), dir)
     },
+    // Classifier THRESHOLD sweep: per fixed score band, kept volume +
+    // precision/recall against the teacher from exact integer counts —
+    // the gate-tuning artifact. Bounded ≤16-row histogram (no
+    // corpus-wide sort); rides the shared scored frame.
+    "q_doc_qclf_pr" -> { (s, dir) =>
+      Classifier.prCurve(Tables.documents(s, dir), dir)
+    },
     // Classifier APPLY step: per-doc quantized decision score + hard
     // prediction next to the true label — the confusion-matrix /
     // threshold-picking read-out. Narrow pass over the shared features.
@@ -3627,6 +3634,7 @@ object SparkEntry {
     "q_doc_heavy" -> TextAnalysis.heavyHittersSql(),
     "q_doc_qclf" -> Classifier.fitSql(),
     "q_doc_qclf_score" -> Classifier.scoreSql(),
+    "q_doc_qclf_pr" -> Classifier.prCurveSql(),
     "q_doc_bpe_encode" -> TextAnalysis.bpeSegmentSql(),
     "q_doc_vocabcov" -> TextAnalysis.vocabCoverageSql(),
     "q_doc_sbackoff" -> SbackoffOracleSql,

@@ -184,6 +184,38 @@ object Classifier {
         when(col("z") > 0, 1L).otherwise(0L).as("pred"))
   }
 
+  /** Threshold sweep (PR read-out) over FIXED score bands: the
+    * gate-tuning artifact — for each candidate cut "keep everything
+    * scoring ≥ band", the kept volume, precision and recall against the
+    * teacher label, from exact integer counts.
+    *
+    * Scale: banding is a narrow map over the shared scored frame into a
+    * BOUNDED histogram (≤ 16 bands at any corpus size — fixed bands, not
+    * rank deciles, precisely so there is NO corpus-wide sort/window);
+    * the cumulative window runs over that ≤ 16-row table (the one place
+    * a partition-less window is provably safe), and the positives total
+    * is a broadcast 1-row join. Band = clamp(floor(2·z), −8, 7) on the
+    * quantized score — identical integers in both engines.
+    */
+  def prCurve(docs: DataFrame, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val banded = score(docs, dir).select(
+      least(greatest(floor(col("score_q").cast("double") / Q * 2.0), lit(-8L)), lit(7L))
+        .as("band"),
+      col("label_true"))
+    val perBand = banded.groupBy(col("band"))
+      .agg(count(lit(1)).as("n"), sum(col("label_true")).as("n_pos"))
+    val w = Window.orderBy(col("band").desc)
+    perBand
+      .withColumn("cum_n", sum(col("n")).over(w))
+      .withColumn("cum_tp", sum(col("n_pos")).over(w))
+      .crossJoin(broadcast(perBand.agg(sum(col("n_pos")).as("total_pos"))))
+      .select(col("band"), col("n"), col("n_pos"), col("cum_n"), col("cum_tp"),
+        (col("cum_tp").cast("double") / col("cum_n").cast("double")).as("precision"),
+        when(col("total_pos") > 0,
+          col("cum_tp").cast("double") / col("total_pos").cast("double")).as("recall"))
+  }
+
   // ---------------------------------------------------------------- SQL
 
   /** Feature CTE chain (ends in `feat`): mirrors [[features]] —
@@ -260,9 +292,32 @@ object Classifier {
        |SELECT CAST(r.j AS BIGINT) AS dim, CAST(wq[r.j+1] AS DOUBLE) / $QSql AS w
        |FROM w$iters CROSS JOIN range(0, $Dims) r(j)""".stripMargin
 
-  /** DuckDB mirror of [[score]]. */
-  def scoreSql(iters: Int = Iters): String =
-    s"""WITH ${featSqlCtes()},
+  /** DuckDB mirror of [[prCurve]] over [[scoreSql]]'s scored frame. */
+  def prCurveSql(iters: Int = Iters): String =
+    s"""WITH ${scoreCtes(iters)},
+       |sb AS (
+       |  SELECT CAST(least(greatest(floor(CAST(score_q AS DOUBLE) / $QSql * CAST(2.0 AS DOUBLE)),
+       |                             CAST(-8.0 AS DOUBLE)), CAST(7.0 AS DOUBLE)) AS BIGINT) AS band,
+       |         label_true
+       |  FROM scored),
+       |pb AS (SELECT band, COUNT(*) AS n,
+       |         CAST(SUM(label_true) AS BIGINT) AS n_pos FROM sb GROUP BY band),
+       |tot AS (SELECT CAST(SUM(n_pos) AS BIGINT) AS total_pos FROM pb)
+       |SELECT band, n, n_pos,
+       |  CAST(SUM(n) OVER (ORDER BY band DESC) AS BIGINT) AS cum_n,
+       |  CAST(SUM(n_pos) OVER (ORDER BY band DESC) AS BIGINT) AS cum_tp,
+       |  CAST(SUM(n_pos) OVER (ORDER BY band DESC) AS DOUBLE)
+       |    / CAST(SUM(n) OVER (ORDER BY band DESC) AS DOUBLE) AS precision,
+       |  CASE WHEN total_pos > 0
+       |       THEN CAST(SUM(n_pos) OVER (ORDER BY band DESC) AS DOUBLE)
+       |              / CAST(total_pos AS DOUBLE) END AS recall
+       |FROM pb CROSS JOIN tot""".stripMargin
+
+  /** [[scoreSql]]'s CTE chain ending in `scored` (shared with the PR
+    * mirror).
+    */
+  def scoreCtes(iters: Int = Iters): String =
+    s"""${featSqlCtes()},
        |${fitSqlCtes(iters)},
        |sz AS (
        |  SELECT doc_id, y,
@@ -270,9 +325,15 @@ object Classifier {
        |      list_transform(range(0, $Dims), j ->
        |        (CAST(wq[j+1] AS DOUBLE) / $QSql) * x[j+1])),
        |      (a, b) -> a + b) AS z
-       |  FROM feat CROSS JOIN w$iters)
-       |SELECT doc_id, CAST(y AS BIGINT) AS label_true,
-       |  CAST(ROUND(z * $QSql) AS BIGINT) AS score_q,
-       |  CASE WHEN z > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS pred
-       |FROM sz""".stripMargin
+       |  FROM feat CROSS JOIN w$iters),
+       |scored AS (
+       |  SELECT doc_id, CAST(y AS BIGINT) AS label_true,
+       |    CAST(ROUND(z * $QSql) AS BIGINT) AS score_q,
+       |    CASE WHEN z > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS pred
+       |  FROM sz)""".stripMargin
+
+  /** DuckDB mirror of [[score]]. */
+  def scoreSql(iters: Int = Iters): String =
+    s"""WITH ${scoreCtes(iters)}
+       |SELECT doc_id, label_true, score_q, pred FROM scored""".stripMargin
 }

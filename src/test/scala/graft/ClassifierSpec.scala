@@ -150,6 +150,27 @@ class ClassifierSpec extends SparkSpec {
     assert(a.toSeq === c.toSeq, "refit after memo clear must reproduce the weights")
   }
 
+  test("PR curve invariants: cumulative counts monotone, recall ends at 1, precision bounded") {
+    val docs = graft.sources.Tables.documents(spark, Sf)
+    val pr = Classifier.prCurve(docs, Sf).orderBy(col("band").desc).collect()
+    assert(pr.nonEmpty)
+    var lastCumN = 0L
+    var lastCumTp = 0L
+    pr.foreach { r =>
+      val (n, cumN, cumTp) = (r.getLong(1), r.getLong(3), r.getLong(4))
+      assert(cumN === lastCumN + n, "cum_n must accumulate band sizes top-down")
+      assert(cumTp >= lastCumTp, "cum_tp must be nondecreasing")
+      val p = r.getDouble(5)
+      assert(p >= 0.0 && p <= 1.0)
+      lastCumN = cumN; lastCumTp = cumTp
+    }
+    val last = pr.last
+    assert(last.getDouble(6) === 1.0, "lowest threshold must reach full recall")
+    val scored = Classifier.score(docs, Sf)
+    assert(lastCumN === scored.count(), "bands must account for every scored doc")
+    assert(lastCumTp === scored.filter(col("label_true") === 1L).count())
+  }
+
   test("zero-token documents are excluded; an all-empty corpus yields zero weights") {
     val mixed = docsDf(toyTexts :+ "   " :+ "")
     assert(Classifier.features(mixed).count() === toyTexts.size)

@@ -972,14 +972,14 @@ object SparkEntry {
       Dedup.simhashPairs(Dedup.corpus(Tables.documents(s, dir)))
     },
     "q_dedup_jaccard" -> { (s, dir) =>
-      Dedup.ngramJaccardPairs(Dedup.corpus(Tables.documents(s, dir)))
+      Dedup.jaccardPairsFor(Dedup.corpus(Tables.documents(s, dir)), dir)
     },
     // Source-pair duplicate matrix: verified near-dup pairs rolled up
     // to (source, source) counts + order-free fixed-point mean Jaccard
     // — the provenance read-out (which sources copy which) a curation
     // run reads before dropping a SOURCE rather than documents.
     "q_dedup_srcmatrix" -> { (s, dir) =>
-      Dedup.sourcePairMatrix(Tables.documents(s, dir))
+      Dedup.sourcePairMatrix(Tables.documents(s, dir), dir)
     },
 
     // ---- Event-time operators (events table; SURVEY §2 extension ops) ---

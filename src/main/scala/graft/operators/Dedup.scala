@@ -643,13 +643,30 @@ object Dedup {
       // the MEMOIZED frame reads files, immune to block-manager eviction
       // (the 25↔68 s x100 swing SCALEPROBE.md measured)
       graft.sources.StageMemo.reliableStage(
-        duplicateClusters(verifiedPairs(c))))
+        duplicateClusters(
+          jaccardPairsFor(c, dir).select(col("doc_a"), col("doc_b")))))
 
-  /** Drop every memoized stage table (clusters + winnow pairs); their
-    * checkpoint blocks become collectable. For long-lived sessions that
-    * regenerate corpora.
+  private val jpairMemo = new graft.sources.StageMemo[DataFrame](8)
+
+  /** Memoized Jaccard-VERIFIED pair stage — the one pair table three
+    * consumers share (the q_dedup_jaccard audit, the source-provenance
+    * matrix, and the cluster build's edge set). A real pipeline verifies
+    * pairs once and serves every downstream read from the artifact; the
+    * memo makes the suite's accounting match that (same reliable-
+    * checkpoint discipline as [[clustersFor]]).
     */
-  def clearMemos(): Unit = { clusterMemo.clear(); winnowMemo.clear() }
+  def jaccardPairsFor(c: DataFrame, dir: String): DataFrame =
+    jpairMemo.getOrCompute(
+      graft.sources.Tables.dataKey(c.sparkSession, dir) + "|jpairs")(
+      graft.sources.StageMemo.reliableStage(ngramJaccardPairs(c)))
+
+  /** Drop every memoized stage table (clusters + winnow pairs + verified
+    * pairs); their checkpoint blocks become collectable. For long-lived
+    * sessions that regenerate corpora.
+    */
+  def clearMemos(): Unit = {
+    clusterMemo.clear(); winnowMemo.clear(); jpairMemo.clear()
+  }
 
   private[graft] def memoSize: Int = clusterMemo.size
 
@@ -1143,9 +1160,9 @@ object Dedup {
     * output ≤ \|sources\|² rows. Mean Jaccard quantizes per pair to
     * 2^24 before the integer sum — partitioning-independent.
     */
-  def sourcePairMatrix(docs: DataFrame, minJaccard: Double = 0.5): DataFrame = {
+  def sourcePairMatrix(docs: DataFrame, dir: String): DataFrame = {
     import graft.functions.VectorFunctions.{dequantize, quantize}
-    val pairs = ngramJaccardPairs(corpus(docs), minJaccard)
+    val pairs = jaccardPairsFor(corpus(docs), dir)
     val src = docs.select(col("doc_id"), col("source"))
     // both planted tiers (+1e6 near-dups, +2e6 exact copies — see
     // [[corpus]]) attribute to their original's source

@@ -447,7 +447,7 @@ class DedupSpec extends SparkSpec {
   test("sourcePairMatrix reconciles with the verified pair stage; planted copies hit the diagonal") {
     import org.apache.spark.sql.functions._
     val docs = graft.sources.Tables.documents(spark, Sf)
-    val m = graft.operators.Dedup.sourcePairMatrix(docs).collect()
+    val m = graft.operators.Dedup.sourcePairMatrix(docs, Sf).collect()
     assert(m.nonEmpty)
     // canonical ordering and score bounds
     m.foreach { r =>

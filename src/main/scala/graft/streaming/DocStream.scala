@@ -292,4 +292,77 @@ object DocStream {
         when(col("z") > 0, 1L).otherwise(0L).as("pred"))
   }
 
+
+  case class TokRow(cls: Long, w: String)
+  case class HeavyCand(cls: Long, w: String, cnt_lb: Long)
+
+  /** Streaming twin of the heavy-hitter CANDIDATE stage
+    * ([[graft.operators.TextAnalysis.heavyHitters]]'s pass 1): tokens
+    * route to one of `classes` hash classes (the streaming stand-in for
+    * batch partitions — PolyHash mod, so a word's class is stable), and
+    * each class folds its token stream through a Misra–Gries summary
+    * with `k` counters held in keyed state. State is O(classes·k)
+    * CONSTANT — no watermark, no TTL, no growth with stream length —
+    * which is the whole point: the exact streaming word count this
+    * replaces needs state linear in the vocabulary.
+    *
+    * Each micro-batch emits the CURRENT survivor set (word,
+    * lower-bound count) for every class that received input — a
+    * refreshed candidate feed, superset of every word whose true count
+    * in that class reaches N_cls/k (the batch op's pigeonhole chain,
+    * unchanged: MG across micro-batches IS MG over the concatenated
+    * stream). Like the batch op, candidates are order-dependent
+    * internally but the GUARANTEE is order-free; the downstream exact
+    * count pass (batch side) restores full determinism.
+    */
+  def heavyCandidates(spark: SparkSession, docs: Dataset[StreamDoc],
+      k: Int = 64, classes: Int = 32): Dataset[HeavyCand] = {
+    import spark.implicits._
+    docs.toDF()
+      .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("w"))
+      .select((graft.expressions.PolyHash.poly_hash(col("w")) % classes).as("cls"),
+        col("w"))
+      .as[TokRow]
+      .groupByKey(_.cls)
+      .transformWithState(new MgProcessor(k), TimeMode.None(), OutputMode.Append())
+  }
+
+  private class MgProcessor(k: Int)
+      extends StatefulProcessor[Long, TokRow, HeavyCand] {
+    @transient private var counters: MapState[String, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      counters = getHandle.getMapState[String, Long](
+        "mg", Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[TokRow],
+        tv: TimerValues): Iterator[HeavyCand] = {
+      // state is ≤ k entries: load once, fold the batch in memory, write
+      // back the ≤ k survivors — point updates would cost O(k) RocksDB
+      // writes per overflow token
+      val m = scala.collection.mutable.HashMap.empty[String, Long]
+      counters.iterator().foreach { case (w, c) => m.update(w, c) }
+      rows.foreach { r =>
+        m.get(r.w) match {
+          case Some(c) => m.update(r.w, c + 1)
+          case None if m.size < k => m.update(r.w, 1L)
+          case None =>
+            val keys = m.keysIterator.toArray
+            var i = 0
+            while (i < keys.length) {
+              val c = m(keys(i))
+              if (c == 1L) m.remove(keys(i)) else m.update(keys(i), c - 1)
+              i += 1
+            }
+        }
+      }
+      counters.clear()
+      m.foreach { case (w, c) => counters.updateValue(w, c) }
+      m.iterator.map { case (w, c) => HeavyCand(key, w, c) }.toSeq.iterator
+    }
+
+    override def handleExpiredTimer(key: Long, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[HeavyCand] = Iterator.empty
+  }
+
 }

@@ -899,6 +899,12 @@ object SparkEntry {
     "q_emb_health" -> { (s, dir) =>
       Similarity.embeddingHealth(Tables.embeddings(s, dir))
     },
+    // Per-dimension moment audit: mean/variance/std + variance share —
+    // the diagonal-whitening read-out next to pc1's rotational one.
+    // One map-side-combinable grouped agg to 64 rows; integer share.
+    "q_emb_dimstats" -> { (s, dir) =>
+      Similarity.dimStats(Tables.embeddings(s, dir))
+    },
     // Top principal direction + eigenvalue by power iteration — the
     // anisotropy audit (dominant-direction pathology vs isotropy; the
     // measured explanation for the JL audit's verdict) and the first
@@ -2825,6 +2831,7 @@ object SparkEntry {
       s"""WITH ${Similarity.powerIterationSql()}""".stripMargin,
     "q_emb_ablate" ->
       s"""WITH ${Similarity.meanAblateSql()}""".stripMargin,
+    "q_emb_dimstats" -> Similarity.dimStatsSql,
     "q_emb_bitext" -> Similarity.bitextMineSql(),
     "q_emb_topics" ->
       s"""WITH ${Similarity.kmeansCtes()},

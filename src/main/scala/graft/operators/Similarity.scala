@@ -1215,6 +1215,67 @@ object Similarity {
       graft.sources.Tables.dataKey(e.sparkSession, dir, s"pc1|$dims|$iters"))(
       powerIterationFit(e, dims, iters))
 
+  /** Per-dimension moment audit: mean, variance, std and each
+    * dimension's share of total variance — the diagonal-whitening /
+    * feature-scaling read-out next to [[powerIteration]]'s rotational
+    * one (a few dims hoarding the variance means per-dim scaling alone
+    * fixes it; a dominant ROTATED direction needs the PC ablation).
+    *
+    * Scale: the (dim, value) explode feeds ONE map-side-combinable
+    * grouped agg to exactly `dims` rows (the centroid pattern); the
+    * share denominator is an integer sum over that bounded frame,
+    * broadcast back. Exactness: 2^24-quantized order-free sums for both
+    * moments; variance re-quantizes before the cross-dim total so the
+    * share is a ratio of exact integers.
+    */
+  def dimStats(e: DataFrame): DataFrame = {
+    val per = withEmb(e)
+      .select(posexplode(col("emb")).as(Seq("dim", "v")))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(quantize(col("v"))).as("qs"),
+        sum(quantize(col("v") * col("v"))).as("qs2"))
+      .select(col("dim").cast("long").as("dim"),
+        dequantize(col("qs"), col("n")).as("mu"),
+        (dequantize(col("qs2"), col("n")) -
+          dequantize(col("qs"), col("n")) * dequantize(col("qs"), col("n"))).as("vr"))
+      .select(col("dim"), col("mu"), col("vr"),
+        sqrt(greatest(col("vr"), lit(0.0d))).as("std"),
+        quantize(col("vr")).as("vq"))
+    per
+      .crossJoin(broadcast(per.agg(sum(col("vq")).as("tvq"))))
+      .select(col("dim"), col("mu"), col("vr").as("variance"), col("std"),
+        when(col("tvq") > 0,
+          col("vq").cast("double") / col("tvq").cast("double")).as("var_share"))
+  }
+
+  /** DuckDB mirror of [[dimStats]]. */
+  val dimStatsSql: String =
+    s"""WITH dexp AS (
+       |  SELECT CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+       |    CAST(unnest(embedding) AS DOUBLE) AS v
+       |  FROM embeddings),
+       |dmom AS (
+       |  SELECT dim, COUNT(*) AS n,
+       |    CAST(SUM(CAST(ROUND(v * CAST(16777216.0 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS qs,
+       |    CAST(SUM(CAST(ROUND(v * v * CAST(16777216.0 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS qs2
+       |  FROM dexp GROUP BY dim),
+       |dv AS (
+       |  SELECT dim,
+       |    CAST(qs AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(16777216.0 AS DOUBLE)) AS mu,
+       |    CAST(qs2 AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(16777216.0 AS DOUBLE))
+       |      - (CAST(qs AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(16777216.0 AS DOUBLE)))
+       |        * (CAST(qs AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(16777216.0 AS DOUBLE))) AS vr
+       |  FROM dmom),
+       |dq AS (
+       |  SELECT dim, mu, vr, sqrt(greatest(vr, CAST(0.0 AS DOUBLE))) AS std,
+       |    CAST(ROUND(vr * CAST(16777216.0 AS DOUBLE)) AS BIGINT) AS vq
+       |  FROM dv),
+       |dt AS (SELECT CAST(SUM(vq) AS BIGINT) AS tvq FROM dq)
+       |SELECT dim, mu, vr AS variance, std,
+       |  CASE WHEN tvq > 0 THEN CAST(vq AS DOUBLE) / CAST(tvq AS DOUBLE) END AS var_share
+       |FROM dq CROSS JOIN dt""".stripMargin
+
   private def pc1Df(spark: org.apache.spark.sql.SparkSession,
       fit: Option[(Array[Double], Array[Double], Double)]): DataFrame = {
     import spark.implicits._

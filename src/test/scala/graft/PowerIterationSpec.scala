@@ -115,6 +115,25 @@ class PowerIterationSpec extends SparkSpec {
     assert(isMean > 0.8, s"isotropic corpus must keep its energy: $isMean")
   }
 
+  test("dimStats: hand-computable moments, shares sum to 1, matches the corpus isotropy") {
+    // dim 0: values {1, 3} → mu 2, var 1; dim 1: constant 5 → var 0
+    val tiny = graft.operators.Similarity.dimStats(
+      df(Seq(Seq(1.0, 5.0), Seq(3.0, 5.0)))).orderBy($"dim")
+      .as[(Long, Double, Double, Double, Option[Double])].collect()
+    assert(tiny(0)._2 === 2.0 && tiny(0)._3 === 1.0 && tiny(0)._4 === 1.0)
+    assert(tiny(1)._2 === 5.0 && tiny(1)._3 === 0.0)
+    assert(tiny(0)._5.get === 1.0, "all variance lives in dim 0")
+    val real = graft.operators.Similarity.dimStats(
+      graft.sources.Tables.embeddings(spark, Sf))
+      .as[(Long, Double, Double, Double, Option[Double])].collect()
+    assert(real.length === 64)
+    val shares = real.flatMap(_._5)
+    assert(math.abs(shares.sum - 1.0) < 1e-6, s"shares must sum to 1: ${shares.sum}")
+    // the isotropy the pc1/jlRecall verdicts rest on, read the cheap way:
+    // no dimension hoards variance
+    assert(shares.max < 5.0 / 64, s"corpus should be near-isotropic: max share ${shares.max}")
+  }
+
   test("pc1 and ablate share the memoized fit") {
     graft.operators.Similarity.clearMemos()
     val e = graft.sources.Tables.embeddings(spark, Sf)

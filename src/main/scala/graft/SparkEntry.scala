@@ -899,6 +899,13 @@ object SparkEntry {
     "q_emb_health" -> { (s, dir) =>
       Similarity.embeddingHealth(Tables.embeddings(s, dir))
     },
+    // Semantic eval-set decontamination: per eval item, vector-store
+    // hits with cosine ≥ 0.95 via the multi-probe buckets — the
+    // embedding-level complement of the n-gram decontam pass
+    // (paraphrased/re-embedded leakage). Index-priced, never brute.
+    "q_emb_decontam" -> { (s, dir) =>
+      Similarity.semanticDecontam(Similarity.embCorpus(Tables.embeddings(s, dir)))
+    },
     // Per-dimension moment audit: mean/variance/std + variance share —
     // the diagonal-whitening read-out next to pc1's rotational one.
     // One map-side-combinable grouped agg to 64 rows; integer share.
@@ -2832,6 +2839,7 @@ object SparkEntry {
     "q_emb_ablate" ->
       s"""WITH ${Similarity.meanAblateSql()}""".stripMargin,
     "q_emb_dimstats" -> Similarity.dimStatsSql,
+    "q_emb_decontam" -> Similarity.semanticDecontamSql(),
     "q_emb_bitext" -> Similarity.bitextMineSql(),
     "q_emb_topics" ->
       s"""WITH ${Similarity.kmeansCtes()},

@@ -328,6 +328,59 @@ object Similarity {
     e.select(col("vec_id"), col("label"), col("embedding")).union(dup)
   }
 
+  /** Semantic eval-set decontamination — the embedding-level complement
+    * of the n-gram decontamination pass (q_doc_decontam): for each eval
+    * item (the capped mod query set), every vector store entry whose
+    * cosine clears `minCos` via the multi-probe LSH candidate buckets —
+    * paraphrased or re-embedded eval leakage that exact n-gram overlap
+    * misses, the contamination check model-eval reports run at the
+    * semantic level. Output: per contaminated eval item, the hit count
+    * and the worst (max) cosine; clean items produce no row.
+    *
+    * Scale: INDEX-priced, not brute — the eval side explodes to its
+    * 1+planes probe buckets and equi-joins the store on the bucket id
+    * (the shuffle key), so per-eval cost is bounded by bucket occupancy
+    * at any store size; norms precomputed; max/count are O(1) agg
+    * state. A pair can match under only ONE probe value (the candidate
+    * bucket is fixed; probes are distinct), so no dedup stage is
+    * needed.
+    */
+  def semanticDecontam(e: DataFrame, queryMod: Int = 50,
+      minCos: Double = 0.95): DataFrame = {
+    val b = lshBuckets(e).withColumn("nrm", l2norm(col("emb")))
+    val probeSet = array(
+      col("bucket") +: (0 until NumPlanes).map(j =>
+        col("bucket").bitwiseXOR(lit(1L << j))): _*)
+    val q = b.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("qid"), col("emb").as("qemb"),
+        col("nrm").as("qnrm"), explode(probeSet).as("qbucket"))
+    q.join(b, col("bucket") === col("qbucket") && col("vec_id") =!= col("qid"))
+      .withColumn("cos",
+        cosineWithNorms(dot(col("qemb"), col("emb")), col("qnrm"), col("nrm")))
+      .filter(col("cos") >= minCos)
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_contaminated"), max(col("cos")).as("max_cos"))
+  }
+
+  /** DuckDB mirror of [[semanticDecontam]] over [[ecorpusCtesSql]]'s
+    * planted corpus.
+    */
+  def semanticDecontamSql(minCos: String = "0.95"): String =
+    s"""WITH $ecorpusCtesSql,
+       |dbk AS (SELECT vec_id, emb, nrm, $bucketSql AS bucket FROM eb),
+       |dq AS (
+       |  SELECT qid, qemb, qnrm, unnest(probes) AS qbucket FROM (
+       |    SELECT vec_id AS qid, emb AS qemb, nrm AS qnrm,
+       |      list_prepend(bucket, list_transform(range(0, $NumPlanes), j ->
+       |        xor(bucket, CAST(1 AS BIGINT) << CAST(j AS INTEGER)))) AS probes
+       |    FROM dbk WHERE vec_id % 50 = 0) t),
+       |dh AS (
+       |  SELECT qid, vec_id, ${dotSql("qemb", "emb")} / (qnrm * nrm) AS cos
+       |  FROM dq JOIN dbk ON bucket = qbucket AND vec_id <> qid)
+       |SELECT qid, COUNT(*) AS n_contaminated, MAX(cos) AS max_cos
+       |FROM dh WHERE cos >= CAST($minCos AS DOUBLE)
+       |GROUP BY qid""".stripMargin
+
   /** Embedding-cosine near-dup pairs: candidates come from the LSH bucket
     * equi-join ([[lshBuckets]] — random-hyperplane sign bits, which are
     * scale-invariant, so a scaled copy always lands in its original's

@@ -329,4 +329,25 @@ class SimilaritySpec extends SparkSpec {
     // rr(q=0) = 1e9 div 2, rr(q=25) = 1e9 div 1 → mrr = 1.5e9 / (2 * 1e9)
     assert(r.getAs[Double]("mrr") === 0.75, s"mrr ${r.getAs[Double]("mrr")}")
   }
+
+  test("semanticDecontam: every planted eval leak is flagged near cosine 1; a clean store flags nothing") {
+    import org.apache.spark.sql.functions._
+    val e = graft.sources.Tables.embeddings(spark, Sf)
+    val flagged: Map[Long, (Long, Double)] = graft.operators.Similarity
+      .semanticDecontam(graft.operators.Similarity.embCorpus(e))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // every original eval item (mod 50 ⊂ mod 25) has its ×1.5 copy in the
+    // store: scale-invariant buckets guarantee the candidate join sees it
+    val evalIds = e.select($"vec_id").as[Long].collect().filter(_ % 50 == 0)
+    assert(evalIds.nonEmpty)
+    evalIds.foreach { q =>
+      val (n, c) = flagged.getOrElse(q, fail(s"eval item $q not flagged"))
+      assert(n >= 1L)
+      assert(c > 0.999, s"planted copy of $q must score ~1: $c")
+    }
+    // without plants the corpus has no ≥0.95 pair — zero false flags
+    assert(graft.operators.Similarity.semanticDecontam(e).count() === 0,
+      "clean store must produce no contamination rows")
+  }
+
 }

@@ -354,7 +354,11 @@ object Similarity {
     val q = b.filter(col("vec_id") % queryMod === 0)
       .select(col("vec_id").as("qid"), col("emb").as("qemb"),
         col("nrm").as("qnrm"), explode(probeSet).as("qbucket"))
-    q.join(b, col("bucket") === col("qbucket") && col("vec_id") =!= col("qid"))
+    // the STORE side is hinted shuffle-hash: at test scale the planner
+    // would happily broadcast it, but a vector store is corpus-sized —
+    // the bucket id must stay the shuffle key (plan-pinned)
+    q.join(b.hint("shuffle_hash"),
+        col("bucket") === col("qbucket") && col("vec_id") =!= col("qid"))
       .withColumn("cos",
         cosineWithNorms(dot(col("qemb"), col("emb")), col("qnrm"), col("nrm")))
       .filter(col("cos") >= minCos)

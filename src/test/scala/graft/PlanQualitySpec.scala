@@ -234,6 +234,27 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("sign_project"), "native SignProject must drive the plan")
   }
 
+  test("q_emb_dimstats: one map-side-combinable agg; totals broadcast back") {
+    // the (dim, value) explode must feed partial+final aggregation (no
+    // raw-row shuffle) and the 64-row share denominator must broadcast
+    val p = plan("q_emb_dimstats")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "partial+final agg missing")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "bounded totals must broadcast")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "no corpus-wide join in a 64-row audit")
+  }
+
+  test("q_emb_decontam: probe-bucket equi-join; the store side is never broadcast") {
+    // the eval side fans out to probe buckets and equi-joins the store on
+    // the bucket id — a broadcast of the store side would be a
+    // stats-blind broadcast of the whole vector store
+    val p = plan("q_emb_decontam")
+    assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"),
+      s"bucket join must shuffle on the key: ${p.linesIterator.take(14).mkString("\n")}")
+    assert(!p.contains("CartesianProduct"), "decontam must never go all-pairs")
+  }
+
   test("q_doc_heavy: candidate set broadcasts; no corpus-wide sort/shuffle join") {
     // pass 1 is a narrow MapPartitions sketch; pass 2 gates the grouped
     // count behind a BROADCAST of the ≤ k·partitions candidate union —

@@ -483,6 +483,10 @@ object SparkEntry {
     "q_doc_sample" -> { (s, dir) => Curation.sampleStratified(Tables.documents(s, dir)) },
     // Concat-and-cut sequence packing: one window per lang shard.
     "q_doc_pack" -> { (s, dir) => Curation.packSequences(Tables.documents(s, dir)) },
+    // Packing-efficiency audit: per lang, packs at the budget, last-pack
+    // amortized utilization, and the boundary-split document rate — the
+    // numbers a packing budget planner trades. Integer-exact rollup.
+    "q_doc_packstats" -> { (s, dir) => Curation.packStats(Tables.documents(s, dir)) },
     // Per-lang quantile quality gate (drop the worst decile).
     "q_doc_qfilter" -> { (s, dir) => Curation.qualityFilter(Tables.documents(s, dir)) },
 
@@ -2979,6 +2983,26 @@ object SparkEntry {
          |  CAST(cum_excl // 2048 AS BIGINT) AS pack_id,
          |  CAST(cum_excl % 2048 AS BIGINT) AS pack_offset
          |FROM c""".stripMargin,
+    "q_doc_packstats" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, CAST(len(${Dedup.toksSql}) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, lang, n_tokens,
+         |    SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS cum_excl
+         |  FROM t),
+         |g AS (
+         |  SELECT lang, COUNT(*) AS n_docs,
+         |    CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+         |    CAST(SUM(CASE WHEN CAST(cum_excl % 2048 AS BIGINT) + n_tokens > 2048
+         |                  THEN 1 ELSE 0 END) AS BIGINT) AS n_split
+         |  FROM c GROUP BY lang),
+         |g2 AS (SELECT *, (total_tokens + 2047) // 2048 AS n_packs FROM g)
+         |SELECT lang, n_docs, total_tokens, n_packs,
+         |  CAST(total_tokens AS DOUBLE) / CAST(n_packs * 2048 AS DOUBLE) AS util,
+         |  n_split * 1000 // n_docs AS split_permille
+         |FROM g2""".stripMargin,
     "q_doc_decontam" ->
       s"""WITH ttok AS (
          |  SELECT DISTINCT doc_id, h FROM (

@@ -88,6 +88,31 @@ object Curation {
         (col("cum_excl") % budget).as("pack_offset"))
   }
 
+  /** Packing-efficiency audit over [[packSequences]]: per language, the
+    * packed volume (docs, tokens, packs at the budget), the utilization
+    * of the last partially-filled pack amortized over all packs, and the
+    * rate of documents SPLIT across a pack boundary — the two numbers a
+    * packing budget planner trades (a bigger budget wastes tail slots,
+    * a smaller one splits more documents at context seams).
+    *
+    * Exactness: pack count is ceil(total/budget) in pure integers;
+    * utilization is one division of exact integers; the split rate is
+    * an integer permille. Scale: rides the packer's windowed plan and
+    * rolls up to ≤ \|langs\| rows with O(1) agg state.
+    */
+  def packStats(docs: DataFrame, budget: Int = 2048, block: Int = 4096): DataFrame =
+    packSequences(docs, budget, block)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(when(col("pack_offset") + col("n_tokens") > budget, 1L)
+          .otherwise(0L)).as("n_split"))
+      .withColumn("n_packs", expr(s"(total_tokens + ${budget - 1}) DIV $budget"))
+      .select(col("lang"), col("n_docs"), col("total_tokens"), col("n_packs"),
+        (col("total_tokens").cast("double") /
+          (col("n_packs") * budget).cast("double")).as("util"),
+        expr("n_split * 1000 DIV n_docs").as("split_permille"))
+
   /** Quantile quality filter: keep documents at or above the per-language
     * `minRank` quantile of the quality score (drop the worst tail).
     *

@@ -497,4 +497,29 @@ class CurationSpec extends SparkSpec {
     val disj = drift((1L, "A", "x x"), (2L, "B", "y y"))
     assert(disj("A") == 1.0 && disj("B") == 1.0)
   }
+
+  test("packStats: hand-computed packs, utilization and boundary-split rate") {
+    import org.apache.spark.sql.functions._
+    // 1000/1500/600 tokens at budget 2048: doc 2 starts at offset 1000
+    // and crosses the boundary; total 3100 → 2 packs, util 3100/4096
+    val docs = Seq(
+      (1L, "xx", ("w " * 1000).trim),
+      (2L, "xx", ("w " * 1500).trim),
+      (3L, "xx", ("w " * 600).trim)).toDF("doc_id", "lang", "text")
+    val r = graft.operators.Curation.packStats(docs).collect()
+    assert(r.length === 1)
+    val row = r.head
+    assert(row.getLong(1) === 3L && row.getLong(2) === 3100L)
+    assert(row.getLong(3) === 2L, "ceil(3100/2048) packs")
+    assert(row.getDouble(4) === 3100.0 / 4096.0)
+    assert(row.getLong(5) === 333L, "1 of 3 docs crosses a boundary")
+    // invariants on the real corpus
+    val real = graft.operators.Curation.packStats(
+      graft.sources.Tables.documents(spark, Sf)).collect()
+    real.foreach { x =>
+      assert(x.getDouble(4) > 0.0 && x.getDouble(4) <= 1.0)
+      assert(x.getLong(5) >= 0L && x.getLong(5) <= 1000L)
+    }
+  }
+
 }

@@ -1164,6 +1164,12 @@ object SparkEntry {
     "q_doc_qclf" -> { (s, dir) =>
       Classifier.fit(Tables.documents(s, dir), dir)
     },
+    // Classifier per-source drift audit: mean score + predicted-keep vs
+    // teacher-positive permille per source — which segment a gate is
+    // about to silently erase, and where student and teacher disagree.
+    "q_doc_qclf_bysrc" -> { (s, dir) =>
+      Classifier.scoreBySource(Tables.documents(s, dir), dir)
+    },
     // Classifier THRESHOLD sweep: per fixed score band, kept volume +
     // precision/recall against the teacher from exact integer counts —
     // the gate-tuning artifact. Bounded ≤16-row histogram (no
@@ -3674,6 +3680,7 @@ object SparkEntry {
     "q_doc_qclf" -> Classifier.fitSql(),
     "q_doc_qclf_score" -> Classifier.scoreSql(),
     "q_doc_qclf_pr" -> Classifier.prCurveSql(),
+    "q_doc_qclf_bysrc" -> Classifier.scoreBySourceSql(),
     "q_doc_bpe_encode" -> TextAnalysis.bpeSegmentSql(),
     "q_doc_vocabcov" -> TextAnalysis.vocabCoverageSql(),
     "q_doc_sbackoff" -> SbackoffOracleSql,

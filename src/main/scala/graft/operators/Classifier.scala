@@ -216,6 +216,45 @@ object Classifier {
           col("cum_tp").cast("double") / col("total_pos").cast("double")).as("recall"))
   }
 
+  /** Per-source score drift audit: mean quantized score, predicted-keep
+    * rate and teacher-positive rate per source — the segment read-out
+    * before a gate ships (a source whose scores sit far below the
+    * threshold is about to be silently erased; one whose predicted rate
+    * diverges from its teacher rate is where the student disagrees with
+    * the teacher). Exact integers: the mean is Σ score_q / n (score_q is
+    * already the 2^24 fixed point), rates are integer permille.
+    *
+    * Scale: one narrow pass over the shared scored frame joined
+    * shuffle-hash to the (doc_id, source) projection, rolled up to
+    * ≤ \|sources\| rows with O(1) agg state.
+    */
+  def scoreBySource(docs: DataFrame, dir: String): DataFrame =
+    score(docs, dir)
+      .join(docs.select(col("doc_id"), col("source")).hint("shuffle_hash"), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("score_q")).as("sq_sum"),
+        sum(col("pred")).as("n_pred_pos"),
+        sum(col("label_true")).as("n_true_pos"))
+      .select(col("source"), col("n_docs"),
+        (col("sq_sum").cast("double") /
+          (col("n_docs").cast("double") * Q)).as("mean_score"),
+        expr("n_pred_pos * 1000 DIV n_docs").as("pred_permille"),
+        expr("n_true_pos * 1000 DIV n_docs").as("true_permille"))
+
+  /** DuckDB mirror of [[scoreBySource]]. */
+  def scoreBySourceSql(iters: Int = Iters): String =
+    s"""WITH ${scoreCtes(iters)},
+       |bs AS (
+       |  SELECT d.source, score_q, pred, label_true
+       |  FROM scored s JOIN documents d ON d.doc_id = s.doc_id)
+       |SELECT source, COUNT(*) AS n_docs,
+       |  CAST(CAST(SUM(score_q) AS BIGINT) AS DOUBLE)
+       |    / (CAST(COUNT(*) AS DOUBLE) * $QSql) AS mean_score,
+       |  CAST(SUM(pred) AS BIGINT) * 1000 // COUNT(*) AS pred_permille,
+       |  CAST(SUM(label_true) AS BIGINT) * 1000 // COUNT(*) AS true_permille
+       |FROM bs GROUP BY source""".stripMargin
+
   // ---------------------------------------------------------------- SQL
 
   /** Feature CTE chain (ends in `feat`): mirrors [[features]] —

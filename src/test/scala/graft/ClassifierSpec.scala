@@ -171,6 +171,24 @@ class ClassifierSpec extends SparkSpec {
     assert(lastCumTp === scored.filter(col("label_true") === 1L).count())
   }
 
+  test("per-source drift audit reconciles fully with the scored frame") {
+    val docs = graft.sources.Tables.documents(spark, Sf)
+    val by = Classifier.scoreBySource(docs, Sf).collect()
+    assert(by.nonEmpty)
+    val scored = Classifier.score(docs, Sf)
+    // full accounting — every scored doc lands in exactly one source row
+    assert(by.map(_.getLong(1)).sum === scored.count())
+    by.foreach { r =>
+      val (pp, tp) = (r.getLong(3), r.getLong(4))
+      assert(pp >= 0 && pp <= 1000 && tp >= 0 && tp <= 1000)
+    }
+    // the permille totals reconcile with the scored frame's counts
+    val posTotal = scored.filter(col("label_true") === 1L).count()
+    val recon = by.map(r => r.getLong(4) * r.getLong(1)).sum / 1000
+    assert(math.abs(recon - posTotal) <= by.length,
+      s"integer-permille rounding can lose at most 1 doc per source: $recon vs $posTotal")
+  }
+
   test("zero-token documents are excluded; an all-empty corpus yields zero weights") {
     val mixed = docsDf(toyTexts :+ "   " :+ "")
     assert(Classifier.features(mixed).count() === toyTexts.size)

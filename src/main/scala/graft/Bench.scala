@@ -7,6 +7,8 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // core conf, read once at SparkContext construction (see Engine.session)
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     Engine.tune(spark)
@@ -78,10 +80,28 @@ object Bench {
     // cwd-relative default (works on any checkout); BENCH_FULL.json is
     // gitignored so a later `git add -A` can't commit a benchmark dump
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
-    try {
-      val w = new java.io.PrintWriter(outPath, "UTF-8")
-      try w.println(fullJson) finally w.close()
-    } catch { case e: Throwable => System.err.println(s"[bench] write $outPath: ${e.getMessage}") }
+    def writeJson(path: String): Unit =
+      try {
+        val w = new java.io.PrintWriter(path, "UTF-8")
+        try w.println(fullJson) finally w.close()
+      } catch { case e: Throwable => System.err.println(s"[bench] write $path: ${e.getMessage}") }
+    writeJson(outPath)
+    // Immutable per-round snapshot: BENCH_FULL.json is overwritten by
+    // every bench invocation, so a later dev rerun can clobber a round's
+    // closing artifact (it happened in round 8). Full (unfiltered) runs
+    // also write BENCH_FULL_r{N}.json — N from SPARK_GRAFT_ROUND when the
+    // driver provides it, else 1 + the largest committed BENCH_r{N}.json
+    // in cwd — which IS git-tracked, giving each round a durable
+    // per-query map.
+    if (args.isEmpty) {
+      val round = sys.env.get("SPARK_GRAFT_ROUND").flatMap(_.toIntOption).orElse {
+        val re = "BENCH_r(\\d+)\\.json".r
+        Option(new java.io.File(".").list()).map(_.toSeq.collect {
+          case re(n) => n.toInt
+        }).filter(_.nonEmpty).map(_.max + 1)
+      }
+      round.foreach(r => writeJson(f"BENCH_FULL_r$r%02d.json"))
+    }
     // Second SHORT summary line: the compact tail keeps the round-over-round
     // total machine-readable even if the long line above is clipped.
     val failed = results.count(_._2 < 0)

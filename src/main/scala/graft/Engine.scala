@@ -40,6 +40,14 @@ object Engine {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // StageMemo.reliableStage writes RELIABLE checkpoints (files under
+      // the checkpoint dir). Let the ContextCleaner delete the backing
+      // files once LRU eviction / clearMemos drops the last reference —
+      // otherwise a long-lived session that regenerates corpora
+      // accumulates unbounded data under /tmp/graft-ckpt/<appId>. Core
+      // conf, read ONCE at SparkContext construction: it must be set on
+      // the builder (tune() would be too late).
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     tune(spark)

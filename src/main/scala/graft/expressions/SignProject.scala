@@ -84,6 +84,12 @@ object SignProject {
     */
   def project(arr: ArrayData, outDims: Int): ArrayData = {
     val n = arr.numElements()
+    // The per-plane LCG stride is 4096: plane j at dim d seeds from
+    // (j + PlaneOffset) * 4096 + d, which separates planes only while
+    // n <= 4096 — beyond that, plane j at dim d would reuse plane j+1's
+    // state at d - 4096, correlating sign-matrix rows and silently
+    // voiding the JL guarantee. Fail loudly instead.
+    require(n <= 4096, s"sign_project supports at most 4096 input dims, got $n")
     var d = 0
     while (d < n) {
       if (arr.isNullAt(d)) return null

@@ -198,17 +198,25 @@ object Classifier {
     * quantized score — identical integers in both engines.
     */
   def prCurve(docs: DataFrame, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val banded = score(docs, dir).select(
       least(greatest(floor(col("score_q").cast("double") / Q * 2.0), lit(-8L)), lit(7L))
         .as("band"),
       col("label_true"))
     val perBand = banded.groupBy(col("band"))
       .agg(count(lit(1)).as("n"), sum(col("label_true")).as("n_pos"))
-    val w = Window.orderBy(col("band").desc)
+    // Cumulative "keep everything ≥ band" counts via a bounded
+    // triangular self-join (≤ 16 × 16 rows, broadcast side ≤ 16): NOT a
+    // partition-less window. A constant partitionBy(lit(0)) would be
+    // stripped by EliminateWindowPartitions and re-trip WindowExec's
+    // single-partition WARN in every Verify run — that warning must stay
+    // meaningful for any future window that is ACCIDENTALLY
+    // unpartitioned over corpus-sized data.
+    val hi = perBand.select(col("band").as("band_hi"),
+      col("n").as("n_hi"), col("n_pos").as("n_pos_hi"))
     perBand
-      .withColumn("cum_n", sum(col("n")).over(w))
-      .withColumn("cum_tp", sum(col("n_pos")).over(w))
+      .join(broadcast(hi), col("band_hi") >= col("band"))
+      .groupBy(col("band"), col("n"), col("n_pos"))
+      .agg(sum(col("n_hi")).as("cum_n"), sum(col("n_pos_hi")).as("cum_tp"))
       .crossJoin(broadcast(perBand.agg(sum(col("n_pos")).as("total_pos"))))
       .select(col("band"), col("n"), col("n_pos"), col("cum_n"), col("cum_tp"),
         (col("cum_tp").cast("double") / col("cum_n").cast("double")).as("precision"),
@@ -292,6 +300,13 @@ object Classifier {
     * fixed-point weights → sequential-fold z → rational fast sigmoid →
     * quantized per-doc gradient → integer sum → half-away-from-zero
     * update.
+    *
+    * Totality on an EMPTY feature table (zero tokenizable docs): g_i
+    * left-joins p_i onto the range table so it always has `Dims` rows
+    * (n = 0, sq NULL), and w_i COALESCEs the NULL update term to 0 —
+    * the weights stay at w_{i-1}, exactly like [[fitQuantized]]'s
+    * `n > 0` guard, so fitSql returns the same `Dims` zero-weight rows
+    * the engine does instead of collapsing to an empty result.
     */
   def fitSqlCtes(iters: Int = Iters): String = {
     // w(i-1) is referenced twice per round (z fold + update); without
@@ -312,12 +327,12 @@ object Classifier {
          |    FROM feat CROSS JOIN w${i - 1}) t),
          |g$i AS (
          |  SELECT r.j AS j,
-         |    SUM(CAST(ROUND((p - y) * x[r.j+1] * $QSql) AS BIGINT)) AS sq,
-         |    COUNT(*) AS n
-         |  FROM p$i CROSS JOIN range(0, $Dims) r(j)
+         |    SUM(CAST(ROUND((pp.p - pp.y) * pp.x[r.j+1] * $QSql) AS BIGINT)) AS sq,
+         |    COUNT(pp.doc_id) AS n
+         |  FROM range(0, $Dims) r(j) LEFT JOIN p$i pp ON TRUE
          |  GROUP BY r.j),
          |w$i AS MATERIALIZED (
-         |  SELECT list(wq[j+1] - CAST(ROUND(CAST(0.5 AS DOUBLE) * sq / n) AS BIGINT)
+         |  SELECT list(wq[j+1] - COALESCE(CAST(ROUND(CAST(0.5 AS DOUBLE) * sq / n) AS BIGINT), 0)
          |              ORDER BY j) AS wq
          |  FROM g$i CROSS JOIN w${i - 1})""".stripMargin
     }.mkString(",\n")

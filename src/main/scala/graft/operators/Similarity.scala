@@ -251,7 +251,7 @@ object Similarity {
     val q = base.filter(col("vec_id") % queryMod === 0)
       .select(col("vec_id").as("qid"), col("emb").as("qemb"), col("nrm").as("qnrm"))
     val probeW = Window.partitionBy(col("qid")).orderBy(col("ccos").desc, col("cell"))
-    val probes = q.crossJoin(cent)
+    val probes = q.crossJoin(broadcast(cent))
       .withColumn("ccos", cosineWithNorms(dot(col("qemb"), col("cemb")), col("qnrm"), col("cnrm")))
       .withColumn("prn", row_number().over(probeW))
       .filter(col("prn") <= nprobe)
@@ -309,7 +309,10 @@ object Similarity {
     val totTruth = truth.agg(count(lit(1)).as("n_truth"))
     val hits = annAll.join(truth, Seq("qid", "vec_id"), "left_semi")
       .groupBy(col("nprobe")).agg(count(lit(1)).as("n_hit"))
-    broadcast(nps).join(hits, Seq("nprobe"), "left")
+    // hint the BUILD side: a broadcast hint on the stream-preserving
+    // (left) side of a left-outer join is unsupported and only logs
+    // HintErrorLogger noise — `hits` (≤ |nprobes| rows) is the build side
+    nps.join(broadcast(hits), Seq("nprobe"), "left")
       .crossJoin(broadcast(totTruth))
       .select(col("nprobe"), col("n_truth"),
         coalesce(col("n_hit"), lit(0L)).as("n_hit"),
@@ -425,7 +428,7 @@ object Similarity {
       .join(dups, Seq("vec_id"), "left_anti")
       .select(col("vec_id"), col("emb"), l2norm(col("emb")).as("nrm"))
     val w = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("cell"))
-    survivors.crossJoin(cellCentroids(e))
+    survivors.crossJoin(broadcast(cellCentroids(e)))
       .withColumn("cos", cosineWithNorms(dot(col("emb"), col("cemb")), col("nrm"), col("cnrm")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
@@ -455,7 +458,7 @@ object Similarity {
       .select(col("vec_id"), col("emb"), l2norm(col("emb")).as("nrm"))
     // nearest cell per vector (centroid table is tiny: one row per cell)
     val w = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cell"))
-    val assigned = base.crossJoin(cellCentroids(e))
+    val assigned = base.crossJoin(broadcast(cellCentroids(e)))
       .withColumn("ccos", cosineWithNorms(dot(col("emb"), col("cemb")), col("nrm"), col("cnrm")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
@@ -593,7 +596,7 @@ object Similarity {
     val q = base.filter(col("vec_id") % queryMod === 0)
       .select(col("vec_id").as("qid"), col("emb").as("qemb"), col("nrm").as("qnrm"))
     val probeW = Window.partitionBy(col("qid")).orderBy(col("ccos").desc, col("cell"))
-    val probes = q.crossJoin(cellCentroids(e))
+    val probes = q.crossJoin(broadcast(cellCentroids(e)))
       .withColumn("ccos", cosineWithNorms(dot(col("qemb"), col("cemb")), col("qnrm"), col("cnrm")))
       .withColumn("prn", row_number().over(probeW))
       .filter(col("prn") <= nprobe)
@@ -1255,8 +1258,16 @@ object Similarity {
       d = 0
       while (d < dims) { sq += s(d) * s(d); d += 1 }
       val norm = math.sqrt(sq)
-      w = s.map(_ / norm)
-      lam = norm / Q / n.toDouble
+      if (norm == 0.0) {
+        // degenerate corpus (every embedding identical): the centered
+        // matvec vanishes, PC1 is undefined — keep the current iterate
+        // with lam = 0 instead of dividing into a NaN vector that would
+        // poison meanAblate's literal arrays downstream.
+        lam = 0.0
+      } else {
+        w = s.map(_ / norm)
+        lam = norm / Q / n.toDouble
+      }
     }
     Some((mu, w, lam))
   }

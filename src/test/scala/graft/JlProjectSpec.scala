@@ -118,4 +118,20 @@ class JlProjectSpec extends SparkSpec {
     // the sign matrix starts at plane 64; RandomHyperplaneBits caps at 62
     assert(graft.expressions.SignProject.PlaneOffset > 62)
   }
+
+  test("inputs wider than 4096 dims are rejected (LCG plane-stride bound)") {
+    // past 4096 input dims, plane j at dim d would reuse plane j+1's LCG
+    // state at d-4096, correlating sign-matrix rows — fail loudly rather
+    // than silently void the JL guarantee
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val e = intercept[IllegalArgumentException] {
+      graft.expressions.SignProject.project(
+        new GenericArrayData(Array.fill(4097)(0.0)), 16)
+    }
+    assert(e.getMessage.contains("4096"))
+    // the widest supported input still projects
+    val ok = graft.expressions.SignProject.project(
+      new GenericArrayData(Array.fill(4096)(1.0)), 4)
+    assert(ok.numElements() == 4)
+  }
 }

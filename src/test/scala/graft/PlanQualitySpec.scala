@@ -291,9 +291,24 @@ class PlanQualitySpec extends SparkSpec {
     val p = plan("q_dedup_semantic")
     assert(p.contains("ShuffledHashJoin"), "within-cell pair join lost the shuffle-hash hint")
     // the ONLY allowed product is the bounded vectors × centroid-cells
-    // probe (one row per cell) — same budget as q_emb_e2e
+    // probe (one row per cell) — same budget as q_emb_e2e; round-9
+    // broadcast() hardening makes it STRUCTURALLY a broadcast product,
+    // never an estimate-dependent CartesianProduct
     assert("BroadcastNestedLoopJoin|CartesianProduct".r.findAllIn(p).size <= 1,
       "only the bounded centroid probe may be a product join")
+    assert(!p.contains("CartesianProduct"),
+      "centroid probe degenerated to a cartesian (lost its broadcast())")
+  }
+
+  test("q_emb_ivf: centroid probe is a structural broadcast product, never cartesian") {
+    // knnIvf's probe crossJoins the k-row cellCentroids table; every
+    // cellCentroids consumer now wraps it in an explicit broadcast() so
+    // the no-cartesian property is STRUCTURAL, not an accident of size
+    // estimates (the ivfRecallCurve lesson: PlanSweepSpec once caught a
+    // stats-blind CartesianProduct on derived inputs)
+    val p = plan("q_emb_ivf")
+    assert(p.contains("BroadcastNestedLoopJoin"), "centroid probe lost its broadcast")
+    assert(!p.contains("CartesianProduct"), "probe degenerated to a cartesian")
   }
 
   test("q_emb_pq: codebook+queries broadcast, heap partials, no pair-stream shuffle") {
@@ -508,6 +523,8 @@ class PlanQualitySpec extends SparkSpec {
     val e = plan("q_emb_e2e")
     assert("BroadcastNestedLoopJoin|CartesianProduct".r.findAllIn(e).size <= 2,
       "only the bounded centroid probe may be a product join")
+    assert(!e.contains("CartesianProduct"),
+      "centroid probe degenerated to a cartesian (lost its broadcast())")
   }
 
   test("q_topsupplier: shared aggregate materialized once; 1-row max broadcasts back") {

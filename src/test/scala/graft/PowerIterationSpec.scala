@@ -142,6 +142,23 @@ class PowerIterationSpec extends SparkSpec {
     assert(a.get._2 eq b.get._2, "second fit must hit the memo")
   }
 
+  test("degenerate corpus (every embedding identical): defined output, lam 0, no NaN") {
+    // the centered matvec vanishes (norm == 0) — without the zero-norm
+    // guard the iterate divides into a NaN vector that would poison
+    // meanAblate's literal arrays downstream
+    val vecs = Seq.fill(20)(Seq.tabulate(8)(d => d.toDouble))
+    val got = Similarity.powerIteration(df(vecs), dims = 8, iters = 3)
+      .orderBy($"dim").as[(Long, Double, Double)].collect()
+    assert(got.length == 8)
+    got.foreach { case (_, comp, l) =>
+      assert(!comp.isNaN && !l.isNaN, s"NaN leaked from the zero-norm iterate")
+      assert(l == 0.0, s"degenerate corpus must report lam 0, got $l")
+    }
+    // the kept iterate is the (unit) initialization, so downstream
+    // projections stay finite
+    assert(math.abs(got.map(_._2).map(x => x * x).sum - 1.0) < 1e-9)
+  }
+
   test("real corpus: positive eigenvalue, unit component, stable across repartitioning") {
     val e = graft.sources.Tables.embeddings(spark, Sf)
     val a = Similarity.powerIteration(e).orderBy($"dim")

@@ -939,6 +939,15 @@ object SparkEntry {
     "q_emb_jlrecall" -> { (s, dir) =>
       Similarity.jlRecall(Tables.embeddings(s, dir))
     },
+    // Ablated-space ranking audit: the q_emb_jlrecall shape with the
+    // ranking run over mean+PC1-ablated residual vectors instead of the
+    // JL projection, same raw brute truth — measures whether the
+    // all-but-the-top fix (q_emb_ablate) preserves or rewrites
+    // neighborhoods, closing the pc1→dimstats→jlrecall diagnosis loop
+    // with a GO/NO-GO that is measured, not assumed.
+    "q_emb_ablrecall" -> { (s, dir) =>
+      Similarity.ablRecall(Tables.embeddings(s, dir), dir)
+    },
     // JL sign-projection distortion audit: per-vector squared norm
     // before/after the deterministic ±1 projection to 16 dims + ratio —
     // the read-out before an ANN index trades 64-wide vectors for
@@ -2844,6 +2853,7 @@ object SparkEntry {
     "q_emb_health" -> Similarity.embeddingHealthSql(),
     "q_emb_jlproj" -> Similarity.jlProjectSql(),
     "q_emb_jlrecall" -> Similarity.jlRecallSql(),
+    "q_emb_ablrecall" -> Similarity.ablRecallSql(),
     "q_emb_pc1" ->
       s"""WITH ${Similarity.powerIterationSql()}""".stripMargin,
     "q_emb_ablate" ->

@@ -1408,6 +1408,142 @@ object Similarity {
     }
   }
 
+  /** All-but-the-top residual VECTORS: r = (x − μ) − z·w with
+    * z = x·w − μ·w — the per-vector output [[meanAblate]] only audits
+    * the energy of. Shared by [[ablRecall]] and its spec; one narrow
+    * pass over the scan, μ/w ride as broadcast literal arrays from the
+    * memoized fit. `None` when no direction is defined (empty table).
+    */
+  def ablateVectors(e: DataFrame, dir: String, dims: Int = 64,
+      iters: Int = 4): Option[DataFrame] =
+    powerIterationMemo(e, dir, dims, iters).map { case (mu, w, _) =>
+      var c = 0.0
+      var d = 0
+      while (d < dims) { c += mu(d) * w(d); d += 1 }
+      val wCol = array(w.map(lit(_)): _*)
+      val muCol = array(mu.map(lit(_)): _*)
+      withEmb(e)
+        .withColumn("z", dot(col("emb"), wCol) - lit(c))
+        // association is oracle-matched: (x − μ) first, then − z·w
+        .withColumn("remb",
+          zip_with(zip_with(col("emb"), muCol, (x, m) => x - m), wCol,
+            (xm, wd) => xm - col("z") * wd))
+        .select(col("vec_id"), col("remb"))
+    }
+
+  /** Ablated-space ranking audit — closes the anisotropy→retrieval loop
+    * the round-8 family opened: [[powerIteration]] found one dominant
+    * direction, [[jlRecall]] read the honest NO-GO on compressed
+    * vectors, [[meanAblate]] built the all-but-the-top fix (Mu &
+    * Viswanath 2018) — this measures whether ablation actually moves
+    * NEIGHBORHOODS. Same shape as [[jlRecall]]: per capped query, how
+    * much of the RAW-space brute top-k survives when the ranking runs
+    * over mean+PC1-ablated residual vectors, at strict top-k and
+    * shortlist-containment granularities. High recall = ablation is a
+    * safe drop-in for the index build (it de-inflates cosines without
+    * rewriting neighborhoods); low recall = the dominant direction was
+    * carrying real neighborhood structure and ablation is NOT free —
+    * either way the GO/NO-GO is measured, not assumed. The spec side
+    * pins the discriminating case: on a spiked corpus the planted
+    * neighbors rank strictly BETTER ablated, on an isotropic corpus the
+    * ranking is unchanged.
+    *
+    * Scale contract: identical to [[jlRecall]] — both sides audit-priced
+    * (O(cap·n), constant query cap, bounded query side explicitly
+    * broadcast), the residual build is one narrow pass riding the
+    * memoized fit; at billion scale the ablated side rides the IVF/PQ
+    * candidate stages instead of the brute enumeration.
+    */
+  def ablRecall(e: DataFrame, dir: String, dims: Int = 64, iters: Int = 4,
+      queryMod: Int = 50, k: Int = 3, shortlist: Int = 64,
+      queryCap: Int = 64): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    ablateVectors(e, dir, dims, iters) match {
+      case None =>
+        Seq.empty[(Long, Long, Long, Long, Double, Double)]
+          .toDF("qid", "n_truth", "n_hit", "n_short", "recall", "shortlist_recall")
+      case Some(res) =>
+        val truth = knnBrute(e, queryMod, k, queryCap).select(col("qid"), col("vec_id"))
+        val abase = res.select(col("vec_id"), col("remb").as("emb"),
+          l2norm(col("remb")).as("nrm"))
+        val q = querySet(abase, queryMod, queryCap)
+          .select(col("vec_id").as("qid"), col("emb").as("qemb"), col("nrm").as("qnrm"))
+        val abl = topK(broadcast(q).join(abase, col("vec_id") =!= col("qid"))
+          .withColumn("cos",
+            cosineWithNorms(dot(col("qemb"), col("emb")), col("qnrm"), col("nrm"))), shortlist)
+          .select(col("qid"), col("vec_id"), col("rn"))
+        val hit = truth.join(abl.filter(col("rn") <= k).drop("rn"),
+            Seq("qid", "vec_id"), "left_semi")
+          .groupBy(col("qid")).agg(count(lit(1)).as("n_hit"))
+        val shortHit = truth.join(abl.drop("rn"), Seq("qid", "vec_id"), "left_semi")
+          .groupBy(col("qid")).agg(count(lit(1)).as("n_short"))
+        truth.groupBy(col("qid")).agg(count(lit(1)).as("n_truth"))
+          .join(hit, Seq("qid"), "left")
+          .join(shortHit, Seq("qid"), "left")
+          .select(col("qid"), col("n_truth"),
+            coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+            coalesce(col("n_short"), lit(0L)).as("n_short"),
+            (coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_truth").cast("double"))
+              .as("recall"),
+            (coalesce(col("n_short"), lit(0L)).cast("double") / col("n_truth").cast("double"))
+              .as("shortlist_recall"))
+    }
+  }
+
+  /** DuckDB mirror of [[ablRecall]] over [[powerIterationCtes]]' fitted
+    * tables — the [[jlRecallSql]] chain with the projection swapped for
+    * the residual build.
+    */
+  def ablRecallSql(dims: Int = 64, iters: Int = 4, k: Int = 3,
+      shortlist: Int = 64): String =
+    s"""WITH $baseSql,
+       |${powerIterationCtes(dims, iters)},
+       |pcf AS MATERIALIZED (
+       |  SELECT ${dotSql("mu", "w")} AS c FROM pmu CROSS JOIN pw$iters),
+       |ab AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    list_transform(list_zip(emb, mu, w),
+       |      p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+       |           - (${dotSql("emb", "w")} - c) * CAST(p[3] AS DOUBLE)) AS remb
+       |  FROM pbase CROSS JOIN pmu CROSS JOIN pw$iters CROSS JOIN pcf),
+       |ab2 AS (
+       |  SELECT vec_id, remb,
+       |    sqrt(${dotSql("remb", "remb")}) AS rnrm
+       |  FROM ab),
+       |q AS (SELECT vec_id AS qid, emb AS qemb, nrm AS qnrm FROM base
+       |      WHERE vec_id % 50 = 0 ORDER BY vec_id LIMIT 64),
+       |kp AS (
+       |  SELECT qid, vec_id, ${dotSql("qemb", "emb")} / (qnrm * nrm) AS cos
+       |  FROM q JOIN base ON vec_id <> qid),
+       |knn AS (SELECT qid, vec_id FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+       |    FROM kp) t
+       |  WHERE rn <= $k),
+       |aq AS (SELECT vec_id AS qid, remb AS qremb, rnrm AS qrnrm FROM ab2
+       |       WHERE vec_id % 50 = 0 ORDER BY vec_id LIMIT 64),
+       |ap AS (
+       |  SELECT qid, vec_id, ${dotSql("qremb", "remb")} / (qrnrm * rnrm) AS cos
+       |  FROM aq JOIN ab2 ON vec_id <> qid),
+       |aknn AS (SELECT qid, vec_id, rn FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+       |    FROM ap) t
+       |  WHERE rn <= $shortlist),
+       |hit AS (SELECT kn.qid, COUNT(*) AS n_hit
+       |        FROM knn kn JOIN aknn p ON p.qid = kn.qid AND p.vec_id = kn.vec_id
+       |        WHERE p.rn <= $k
+       |        GROUP BY kn.qid),
+       |shit AS (SELECT kn.qid, COUNT(*) AS n_short
+       |        FROM knn kn JOIN aknn p ON p.qid = kn.qid AND p.vec_id = kn.vec_id
+       |        GROUP BY kn.qid),
+       |tr AS (SELECT qid, COUNT(*) AS n_truth FROM knn GROUP BY qid)
+       |SELECT tr.qid, tr.n_truth, coalesce(h.n_hit, CAST(0 AS BIGINT)) AS n_hit,
+       |  coalesce(s.n_short, CAST(0 AS BIGINT)) AS n_short,
+       |  CAST(coalesce(h.n_hit, 0) AS DOUBLE) / CAST(tr.n_truth AS DOUBLE) AS recall,
+       |  CAST(coalesce(s.n_short, 0) AS DOUBLE) / CAST(tr.n_truth AS DOUBLE) AS shortlist_recall
+       |FROM tr LEFT JOIN hit h ON h.qid = tr.qid
+       |LEFT JOIN shit s ON s.qid = tr.qid""".stripMargin
+
   /** DuckDB mirror of [[powerIteration]]. */
   def powerIterationSql(dims: Int = 64, iters: Int = 4): String =
     s"""${powerIterationCtes(dims, iters)},

@@ -159,6 +159,73 @@ class PowerIterationSpec extends SparkSpec {
     assert(math.abs(got.map(_._2).map(x => x * x).sum - 1.0) < 1e-9)
   }
 
+  test("ablRecall: planted neighbors rank strictly better ablated on a spiked corpus; isotropic unchanged") {
+    val rnd = new scala.util.Random(11)
+    val dims = 16
+    val u = {
+      val raw = Array.fill(dims)(rnd.nextGaussian())
+      val n = math.sqrt(raw.map(x => x * x).sum)
+      raw.map(_ / n)
+    }
+    // 100 bulk vectors + 10 planted neighbors. Bulk: strong ± common
+    // direction (coef ~ N(0,3)) + weak noise. Neighbor of query q
+    // (ids 0-9) at id 100+q SHARES q's noise but carries an
+    // OPPOSITE-SIGN spike coefficient — raw cosine is dominated by the
+    // negative spike product (neighbor deterministically buried below
+    // every same-sign bulk vector), the ablated residual is the shared
+    // noise (neighbor at rank 1).
+    val noise = Array.fill(110)(Array.fill(dims)(rnd.nextGaussian() * 0.2))
+    val coefs = Array.fill(110)(rnd.nextGaussian() * 3.0)
+    (0 until 10).foreach(q => coefs(100 + q) = -coefs(q) * 1.3)
+    def vec(id: Int, noiseIdx: Int): Seq[Double] = {
+      val eps = 1e-3 * (id % 7 + 1)
+      (0 until dims).map(d => coefs(id) * u(d) + noise(noiseIdx)(d) + eps * (d % 3))
+    }
+    val spiked: Seq[(Long, Seq[Double])] =
+      (0 until 100).map(i => (i.toLong, vec(i, i))) ++
+        (0 until 10).map(q => ((100 + q).toLong, vec(100 + q, q)))
+    val iso: Seq[(Long, Seq[Double])] =
+      (0 until 100).map(i => (i.toLong, noise(i).toSeq.map(_ * 5))) ++
+        (0 until 10).map(q => ((100 + q).toLong,
+          noise(q).toSeq.map(_ * 5).zipWithIndex.map { case (v, d) => v + 1e-4 * d }))
+    def rankOfNeighbor(vecs: Seq[(Long, Seq[Double])], qid: Long, nb: Long): Int = {
+      val m = vecs.toMap
+      def cos(a: Seq[Double], b: Seq[Double]) = {
+        val d = a.zip(b).map { case (x, y) => x * y }.sum
+        d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+      }
+      val q = m(qid)
+      val ranked = vecs.filter(_._1 != qid)
+        .map { case (id, v) => (id, cos(q, v)) }
+        .sortBy { case (id, c) => (-c, id) }
+      ranked.indexWhere(_._1 == nb) + 1
+    }
+    def ablated(vecs: Seq[(Long, Seq[Double])], dir: String): Seq[(Long, Seq[Double])] = {
+      graft.operators.Similarity.clearMemos()
+      val in = vecs.map { case (id, v) => (id, v, 0) }.toDF("vec_id", "embedding", "label")
+      graft.operators.Similarity.ablateVectors(in, dir, dims = dims, iters = 6).get
+        .as[(Long, Seq[Double])].collect().toSeq
+    }
+    val spikedAbl = ablated(spiked, "/tmp/ablrec-spec-spiked")
+    val isoAbl = ablated(iso, "/tmp/ablrec-spec-iso")
+    var buriedRaw = 0
+    (0 until 10).foreach { q =>
+      val nb = (100 + q).toLong
+      val rawR = rankOfNeighbor(spiked, q.toLong, nb)
+      val ablR = rankOfNeighbor(spikedAbl, q.toLong, nb)
+      assert(ablR == 1, s"q$q: ablated rank must be 1, got $ablR")
+      assert(ablR <= rawR, s"q$q: ablation must not worsen the rank ($ablR vs $rawR)")
+      if (rawR > 1) buriedRaw += 1
+      // isotropic corpus: near-copy neighbor is rank 1 in BOTH spaces —
+      // ablation of a weak direction must not rewrite the neighborhood
+      assert(rankOfNeighbor(iso, q.toLong, nb) == 1)
+      assert(rankOfNeighbor(isoAbl, q.toLong, nb) == 1,
+        s"q$q: isotropic ranking must be unchanged by ablation")
+    }
+    assert(buriedRaw >= 8,
+      s"fixture lost its power: the spike must bury most raw neighbors ($buriedRaw/10)")
+  }
+
   test("real corpus: positive eigenvalue, unit component, stable across repartitioning") {
     val e = graft.sources.Tables.embeddings(spark, Sf)
     val a = Similarity.powerIteration(e).orderBy($"dim")

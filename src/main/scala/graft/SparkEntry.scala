@@ -2010,6 +2010,71 @@ object SparkEntry {
           count(lit(1)).as("n"))
     },
 
+    // TPC-H Q2 shape: correlated MIN over a join, decorrelated. The
+    // per-(part, supplier) supply cost derives from lineitem (MIN unit
+    // price, exact DECIMAL); the correlated "WHERE cost = (SELECT
+    // MIN(cost) ... WHERE pk = outer.pk)" becomes one grouped agg + an
+    // equi-join back on (part, cost) — agg-before-join, so the fact
+    // table is reduced to ≤ |parts|·|suppliers| rows before any
+    // dimension row is touched. Region gate (EUROPE) and the part-type
+    // gate are broadcasts pushed below the cost build; the supplier
+    // detail join is a broadcast dim probe at the end.
+    "q_mincost" -> { (s, dir) =>
+      import s.implicits._
+      val euroSup = Tables.supplier(s, dir)
+        .join(broadcast(Tables.nation(s, dir)
+            .join(broadcast(Tables.region(s, dir).filter($"r_name" === "EUROPE")),
+              $"n_regionkey" === $"r_regionkey")
+            .select($"n_nationkey", $"n_name")),
+          $"s_nationkey" === $"n_nationkey")
+        .select($"s_suppkey", $"s_name", $"s_acctbal", $"n_name")
+      val econParts = Tables.part(s, dir).filter($"p_type" === "ECONOMY")
+        .select($"p_partkey", $"p_brand")
+      val costs = Tables.lineitem(s, dir)
+        .join(broadcast(econParts.select($"p_partkey")), $"l_partkey" === $"p_partkey")
+        .join(broadcast(euroSup.select($"s_suppkey")),
+          $"l_suppkey" === $"s_suppkey", "left_semi")
+        .groupBy($"l_partkey", $"l_suppkey")
+        .agg(min(dec2($"l_extendedprice")).as("cost_d"))
+        // consumed twice (per-part min + join-back): materialize the
+        // ≤ |parts·suppliers| agg once instead of re-scanning lineitem
+        // (q_smallqty's brandLines discipline)
+        .localCheckpoint(false)
+      val minc = costs.groupBy($"l_partkey".as("pk"))
+        .agg(min($"cost_d").as("min_cost_d"))
+      costs.join(minc, $"l_partkey" === $"pk" && $"cost_d" === $"min_cost_d")
+        .join(broadcast(econParts), $"l_partkey" === $"p_partkey")
+        .join(broadcast(euroSup), $"l_suppkey" === $"s_suppkey")
+        .select($"p_partkey", $"p_brand", $"s_suppkey", $"s_name", $"s_acctbal",
+          $"n_name", $"cost_d".cast("double").as("min_cost"))
+    },
+
+    // TPC-H Q10 shape: returned-item revenue top-k — selective
+    // returnflag filter + a 3-month orderdate window (both pushed to the
+    // scans), lineitem⋈orders shuffle join, revenue aggregated per
+    // custKEY BEFORE the customer/nation dimension joins (Q10 groups by
+    // the full customer row; grouping by the key and joining the ≤
+    // |customers| aggregate to the dims is the same result with a far
+    // smaller shuffle), then a TakeOrderedAndProject top 20.
+    "q_retrev" -> { (s, dir) =>
+      import s.implicits._
+      val o = Tables.orders(s, dir)
+        .filter($"o_orderdate" >= lit("1996-10-01").cast("timestamp") &&
+          $"o_orderdate" < lit("1997-01-01").cast("timestamp"))
+        .select($"o_orderkey", $"o_custkey")
+      val l = Tables.lineitem(s, dir).filter($"l_returnflag" === "R")
+        .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+      l.join(o, $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_custkey")
+        .agg(sum(dec2($"l_extendedprice") * (lit(1) - pct($"l_discount"))).as("rev_d"))
+        .join(Tables.customer(s, dir), $"o_custkey" === $"c_custkey")
+        .join(broadcast(Tables.nation(s, dir)), $"c_nationkey" === $"n_nationkey")
+        .select($"c_custkey", $"c_name", $"c_acctbal", $"n_name",
+          $"rev_d".cast("double").as("revenue"))
+        .orderBy($"revenue".desc, $"c_custkey")
+        .limit(20)
+    },
+
     // TPC-H Q20 shape: qualified-volume suppliers — suppliers in one
     // nation whose 1997 shipped quantity of red parts clears a floor.
     // The qualification derives from an aggregate (per-supplier Σqty over
@@ -4174,6 +4239,42 @@ object SparkEntry {
         |  COUNT(*) AS n
         |FROM brand_lines JOIN per_part ON l_partkey = pk
         |WHERE CAST(l_quantity AS DECIMAL(12,2)) * 5 * cnt < sum_qty_d""".stripMargin,
+    "q_mincost" ->
+      """WITH euro_sup AS (
+        |  SELECT s_suppkey, s_name, s_acctbal, n_name
+        |  FROM supplier
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'),
+        |costs AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    MIN(CAST(l_extendedprice AS DECIMAL(12,2))) AS cost_d
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+        |  WHERE l_suppkey IN (SELECT s_suppkey FROM euro_sup)
+        |  GROUP BY 1, 2),
+        |minc AS (
+        |  SELECT l_partkey AS pk, MIN(cost_d) AS min_cost_d FROM costs GROUP BY 1)
+        |SELECT p.p_partkey, p.p_brand, es.s_suppkey, es.s_name, es.s_acctbal,
+        |  es.n_name, CAST(c.cost_d AS DOUBLE) AS min_cost
+        |FROM costs c
+        |JOIN minc ON c.l_partkey = pk AND c.cost_d = min_cost_d
+        |JOIN part p ON c.l_partkey = p.p_partkey
+        |JOIN euro_sup es ON c.l_suppkey = es.s_suppkey""".stripMargin,
+    "q_retrev" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+        |  CAST(rev_d AS DOUBLE) AS revenue
+        |FROM (
+        |  SELECT o_custkey,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS rev_d
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_returnflag = 'R'
+        |    AND o_orderdate >= TIMESTAMP '1996-10-01'
+        |    AND o_orderdate < TIMESTAMP '1997-01-01'
+        |  GROUP BY o_custkey) r
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin,
     "q_qualsupp" ->
       """SELECT s_suppkey, s_name, s_acctbal
         |FROM supplier

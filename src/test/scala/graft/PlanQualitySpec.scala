@@ -527,6 +527,41 @@ class PlanQualitySpec extends SparkSpec {
       "centroid probe degenerated to a cartesian (lost its broadcast())")
   }
 
+  test("q_mincost: gates pushed to scans, cost agg materialized once, dims broadcast") {
+    val p = plan("q_mincost")
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters:")).mkString("\n")
+    assert(pushed.contains("EqualTo(p_type,ECONOMY)") &&
+      pushed.contains("EqualTo(r_name,EUROPE)"),
+      s"part-type and region gates must reach the scans: $pushed")
+    // the (part, supplier) cost table is consumed twice (per-part MIN +
+    // join-back): the lazy checkpoint must keep lineitem scanned ONCE —
+    // the serving plan may contain no lineitem columns
+    assert(!p.linesIterator.exists(l => l.contains("ReadSchema:") && l.contains("l_")),
+      "cost subtree inlined twice (lineitem rescanned)")
+    // decorrelation = agg-before-join: the per-part MIN aggregates
+    // (partial + final) feed an equi-join, never a correlated rescan
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "lost the decorrelated MIN agg")
+    assert(p.contains("BroadcastHashJoin"), "dimension joins must broadcast")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q_retrev: returnflag + date window pushed, agg before dim joins, top-k sort") {
+    val p = plan("q_retrev")
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters:")).mkString("\n")
+    assert(pushed.contains("EqualTo(l_returnflag,R)"),
+      s"returnflag gate must reach the lineitem scan: $pushed")
+    assert(pushed.contains("GreaterThanOrEqual(o_orderdate") &&
+      pushed.contains("LessThan(o_orderdate"),
+      s"orderdate window must reach the orders scan: $pushed")
+    // revenue aggregates per custkey (partial + final) BEFORE customer/
+    // nation are joined — the dims see ≤ |customers| rows, not lineitem
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "lost the pre-join revenue agg")
+    // top 20 must be TakeOrderedAndProject (per-partition top-k),
+    // never a global Sort + Limit
+    assert(p.contains("TakeOrderedAndProject"), "top-k degenerated to a full sort")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("q_topsupplier: shared aggregate materialized once; 1-row max broadcasts back") {
     val p = plan("q_topsupplier")
     // the lazy checkpoint puts a LogicalRDD boundary under both consumers

@@ -703,6 +703,25 @@ object SparkEntry {
       Curation.packSequences(sampled)
     },
 
+    // q_pipeline_e2e with the TRAINED gate: dedup → distilled-classifier
+    // keep-decision (Classifier.scoreOn: fit memoized on the raw corpus,
+    // applied to the dedup survivors as a fresh stateless-narrow pass) →
+    // stratified sample → pack. The CCNet composition the round-8
+    // classifier family was built for — the student replaces the
+    // heuristic percentile gate in the serving pipeline.
+    "q_pipeline_qclf" -> { (s, dir) =>
+      val c = Dedup.corpus(Tables.documents(s, dir))
+      val clean = Dedup.dedupedCorpus(c, Dedup.clustersFor(c, dir))
+        .localCheckpoint(false)
+      val kept = clean.join(
+        Classifier.scoreOn(Tables.documents(s, dir), clean, dir)
+          .filter(col("pred") === 1L).select(col("doc_id")), Seq("doc_id"))
+        .localCheckpoint(false)
+      val sampled = kept.join(
+        Curation.sampleStratified(kept).select(col("doc_id")), Seq("doc_id"))
+      Curation.packSequences(sampled)
+    },
+
     // IVF-style ANN: probe the 2 nearest centroid cells, search only them.
     "q_emb_ivf" -> { (s, dir) => Similarity.knnIvf(Tables.embeddings(s, dir)) },
     // IVF nprobe→recall tuning curve: recall@3 vs brute truth for probe
@@ -3431,6 +3450,32 @@ object SparkEntry {
          |sampled AS (
          |  SELECT c.doc_id, c.lang, c.text
          |  FROM clean c JOIN gated g ON c.doc_id = g.doc_id
+         |  WHERE (${Dedup.hashSql("c.text")}) % 1000 < ${Curation.keepSql}),
+         |toked AS (
+         |  SELECT doc_id, lang, CAST(len(${Dedup.toksSql}) AS BIGINT) AS n_tokens
+         |  FROM sampled),
+         |cum AS (
+         |  SELECT doc_id, lang, n_tokens,
+         |    SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS cum_excl
+         |  FROM toked)
+         |SELECT doc_id, lang, n_tokens,
+         |  CAST(cum_excl // 2048 AS BIGINT) AS pack_id,
+         |  CAST(cum_excl % 2048 AS BIGINT) AS pack_offset
+         |FROM cum""".stripMargin,
+    "q_pipeline_qclf" ->
+      s"""WITH RECURSIVE ${Dedup.corpusSql},
+         |${Dedup.tokSql},
+         |${Dedup.sigSql},
+         |${Dedup.bandsSql},
+         |${Dedup.closureSql},
+         |${Dedup.cleanSql},
+         |${Classifier.featSqlCtes()},
+         |${Classifier.fitSqlCtes()},
+         |${Classifier.applyGateCtes("clean")},
+         |sampled AS (
+         |  SELECT c.doc_id, c.lang, c.text
+         |  FROM clean c JOIN akept g ON c.doc_id = g.doc_id
          |  WHERE (${Dedup.hashSql("c.text")}) % 1000 < ${Curation.keepSql}),
          |toked AS (
          |  SELECT doc_id, lang, CAST(len(${Dedup.toksSql}) AS BIGINT) AS n_tokens

@@ -184,6 +184,27 @@ object Classifier {
         when(col("z") > 0, 1L).otherwise(0L).as("pred"))
   }
 
+  /** Apply the classifier trained on `train` (memoized fit, shared with
+    * [[fit]]/[[score]]) to an ARBITRARY document set — the
+    * pipeline-gate spelling of [[score]]: a curation pipeline trains on
+    * the raw corpus once, then gates its dedup SURVIVORS (whose planted
+    * ids never existed in the training table, so [[score]]'s memoized
+    * feature stage cannot serve them — note [[featuresMemo]] keys on the
+    * data DIR, not the frame, so calling score() with a derived frame
+    * would silently return the raw-corpus features). The apply-side
+    * featurization is the same fused stateless-narrow pass, priced one
+    * scan of `apply`, no state.
+    */
+  def scoreOn(train: DataFrame, apply: DataFrame, dir: String): DataFrame = {
+    val wq = fitMemo(train, dir)
+    val wCol = array(wq.map(q => lit(q / Q)): _*)
+    features(apply)
+      .withColumn("z", VectorFunctions.dot(wCol, col("x")))
+      .select(col("doc_id"),
+        round(col("z") * Q).cast("long").as("score_q"),
+        when(col("z") > 0, 1L).otherwise(0L).as("pred"))
+  }
+
   /** Threshold sweep (PR read-out) over FIXED score bands: the
     * gate-tuning artifact — for each candidate cut "keep everything
     * scoring ≥ band", the kept volume, precision and recall against the
@@ -390,4 +411,38 @@ object Classifier {
   def scoreSql(iters: Int = Iters): String =
     s"""WITH ${scoreCtes(iters)}
        |SELECT doc_id, label_true, score_q, pred FROM scored""".stripMargin
+
+  /** Apply-side CTE chain for [[scoreOn]] over an arbitrary `table`
+    * (ends in `akept`: the doc_ids the trained gate keeps). Appended
+    * AFTER [[featSqlCtes]]+[[fitSqlCtes]] (needs `w<iters>`); mirrors
+    * the training featurization op-for-op minus the teacher label.
+    * Zero-token docs produce no token rows → no feature row → dropped,
+    * matching [[features]]' size(toks) > 0 filter by construction.
+    */
+  def applyGateCtes(table: String, iters: Int = Iters): String =
+    s"""actok AS (
+       |  SELECT doc_id, unnest(toks) AS w
+       |  FROM (SELECT doc_id, ${Dedup.toksSql} AS toks FROM $table) t),
+       |actb AS (SELECT doc_id, (${Dedup.hashSql("w")}) % $NumBuckets AS b FROM actok),
+       |accnt AS (SELECT doc_id, b, COUNT(*) AS c FROM actb GROUP BY 1, 2),
+       |acn AS (SELECT doc_id, COUNT(*) AS n FROM actb GROUP BY 1),
+       |acdense AS (
+       |  SELECT acn.doc_id, acn.n, list(COALESCE(accnt.c, 0) ORDER BY r.j) AS cs
+       |  FROM acn CROSS JOIN range(0, $NumBuckets) r(j)
+       |  LEFT JOIN accnt ON accnt.doc_id = acn.doc_id AND accnt.b = r.j
+       |  GROUP BY acn.doc_id, acn.n),
+       |afeat AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    list_append(
+       |      list_transform(cs, c -> CAST(c AS DOUBLE) / CAST(n AS DOUBLE) * CAST($FeatScale AS DOUBLE)),
+       |      CAST(1.0 AS DOUBLE)) AS x
+       |  FROM acdense),
+       |ascr AS (
+       |  SELECT doc_id,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(range(0, $Dims), j ->
+       |        (CAST(wq[j+1] AS DOUBLE) / $QSql) * x[j+1])),
+       |      (a, b) -> a + b) AS z
+       |  FROM afeat CROSS JOIN w$iters),
+       |akept AS (SELECT doc_id FROM ascr WHERE z > 0)""".stripMargin
 }

@@ -189,6 +189,33 @@ class ClassifierSpec extends SparkSpec {
       s"integer-permille rounding can lose at most 1 doc per source: $recon vs $posTotal")
   }
 
+  test("pipeline gate reconciles with q_doc_qclf_score: shared ids keep iff pred == 1") {
+    // q_pipeline_qclf gates the dedup survivors through scoreOn; for
+    // every survivor that IS an original document (same id ⇒ same text ⇒
+    // same features), the gate decision must equal score()'s prediction —
+    // the planted +1e6/+2e6 tiers are the only ids allowed to differ
+    // (they never existed in the training table).
+    val docs = graft.sources.Tables.documents(spark, Sf)
+    import graft.operators.Dedup
+    val c = Dedup.corpus(docs)
+    val clean = Dedup.dedupedCorpus(c, Dedup.clustersFor(c, Sf))
+    val gate = Classifier.scoreOn(docs, clean, Sf)
+      .select(col("doc_id"), col("pred").as("gate_pred"))
+    val scored = Classifier.score(docs, Sf)
+      .select(col("doc_id"), col("pred"))
+    val joined = gate.filter(col("doc_id") < 1000000L)
+      .join(scored, Seq("doc_id")).collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      assert(r.getLong(1) === r.getLong(2),
+        s"doc ${r.getLong(0)}: pipeline gate diverged from the scored frame")
+    }
+    // and the gate covers every tokenizable original survivor
+    val survivors = clean.filter(col("doc_id") < 1000000L).count()
+    assert(joined.length.toLong === survivors,
+      "every original survivor must be scored exactly once by the gate")
+  }
+
   test("zero-token documents are excluded; an all-empty corpus yields zero weights") {
     val mixed = docsDf(toyTexts :+ "   " :+ "")
     assert(Classifier.features(mixed).count() === toyTexts.size)

@@ -1019,6 +1019,19 @@ object SparkEntry {
     "q_dedup_jaccard" -> { (s, dir) =>
       Dedup.jaccardPairsFor(Dedup.corpus(Tables.documents(s, dir)), dir)
     },
+    // Incremental dedup-index maintenance — the daily-crawl pattern: the
+    // base corpus's token/band index is PERSISTED to parquet once
+    // (Dedup.dedupIndexFor); the increment (the +2e6 exact-copy tier
+    // plays the new crawl) merges in by re-opening only the buckets it
+    // touches and verifying only candidate-member token sets. Output =
+    // base pairs ∪ merge pairs, which the oracle checks against a FULL
+    // recompute over base ∪ increment — incremental ≡ from-scratch.
+    "q_dedup_incr" -> { (s, dir) =>
+      val c = Dedup.corpus(Tables.documents(s, dir))
+      Dedup.incrementalJaccardPairs(
+        c.filter(col("doc_id") < 2000000L),
+        c.filter(col("doc_id") >= 2000000L), dir)
+    },
     // Source-pair duplicate matrix: verified near-dup pairs rolled up
     // to (source, source) counts + order-free fixed-point mean Jaccard
     // — the provenance read-out (which sources copy which) a curation
@@ -3004,6 +3017,15 @@ object SparkEntry {
          |${Dedup.bandsSql},
          |${Dedup.jaccardPairSqlChain()}
          |SELECT doc_a, doc_b, jaccard FROM jpairs""".stripMargin,
+    "q_dedup_incr" ->
+      s"""WITH ${Dedup.corpusSql},
+         |${Dedup.tokSql},
+         |${Dedup.sigSql},
+         |${Dedup.bandsSql},
+         |${Dedup.jaccardPairSqlChain()}
+         |SELECT doc_a, doc_b, jaccard,
+         |  CASE WHEN doc_b >= 2000000 THEN 'incr' ELSE 'base' END AS part
+         |FROM jpairs""".stripMargin,
     "q_dedup_srcmatrix" ->
       s"""WITH ${Dedup.corpusSql},
          |${Dedup.tokSql},

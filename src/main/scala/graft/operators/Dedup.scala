@@ -186,14 +186,19 @@ object Dedup {
     * the corpus to every executor — the shuffle-hash join partitions on
     * (band, bh) instead, the only shape that survives corpus scale.
     */
-  def candidatesFromSig(sig: DataFrame): DataFrame = {
-    val bands = lshBands(sig).localCheckpoint(false)
+  def candidatesFromSig(sig: DataFrame): DataFrame =
+    candidatesFromBands(lshBands(sig).localCheckpoint(false))
+
+  /** The banded self-join alone, over an already-materialized band table
+    * (split out so the persisted-index path can feed its parquet-backed
+    * bands straight in).
+    */
+  def candidatesFromBands(bands: DataFrame): DataFrame =
     bands.as("a").hint("shuffle_hash").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-  }
 
   /** MinHash Jaccard ESTIMATE for the LSH candidate pairs: the fraction
     * of the NumHashes signature components that agree — the classic
@@ -477,13 +482,23 @@ object Dedup {
     // the token set feeds candidate generation, both intersection sides,
     // and the size table — one lazy materialization for all four
     val tok = tokenHashes(c).localCheckpoint(false)
+    verifyJaccard(candidatesFromSig(signaturesFromTok(tok)), tok, minJaccard)
+  }
+
+  /** Exact n-gram-Jaccard verification of a candidate pair set against a
+    * (doc_id, h) token table — the shared verify stage of
+    * [[ngramJaccardPairs]] and the incremental-merge path.
+    *
+    * SHUFFLE_HASH on every tok/sizes side: they are corpus-sized with
+    * unknown post-checkpoint stats, and a stats-blind broadcast of the
+    * whole shingle set (or the per-doc size table) cannot survive scale;
+    * the shuffle-hash joins partition on the join key and build only a
+    * per-partition slice.
+    */
+  private def verifyJaccard(cand: DataFrame, tok: DataFrame,
+      minJaccard: Double): DataFrame = {
     val sizes = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("nt"))
-    // SHUFFLE_HASH on every tok/sizes side: they are corpus-sized with
-    // unknown post-checkpoint stats, and a stats-blind broadcast of the
-    // whole shingle set (or the per-doc size table) cannot survive scale;
-    // the shuffle-hash joins partition on the join key and build only a
-    // per-partition slice
-    val inter = candidatesFromSig(signaturesFromTok(tok))
+    val inter = cand
       .join(tok.select(col("doc_id").as("doc_a"), col("h")).hint("shuffle_hash"), Seq("doc_a"))
       .join(tok.select(col("doc_id").as("doc_b"), col("h")).hint("shuffle_hash"), Seq("doc_b", "h"))
       .groupBy(col("doc_a"), col("doc_b"))
@@ -494,6 +509,101 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         (col("ni").cast("double") / (col("na") + col("nb") - col("ni")).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
+  }
+
+  /** Persisted dedup index — the daily-crawl artifact: the base corpus's
+    * distinct token hashes and LSH band table written ONCE to parquet
+    * and served back as parquet-backed frames (the
+    * [[graft.sources.StageMemo.reliableStage]] discipline applied to an
+    * index a production pipeline keeps BETWEEN runs; on a cluster the
+    * path is an HDFS/object-store prefix, here the JVM tmpdir). Every
+    * consumer re-reads from storage: immune to executor memory pressure,
+    * and the shingle → signature pipeline never reruns for the base.
+    */
+  private val indexMemo = new graft.sources.StageMemo[(DataFrame, DataFrame)](8)
+
+  def dedupIndexFor(base: DataFrame, dir: String): (DataFrame, DataFrame) =
+    indexMemo.getOrCompute(
+      graft.sources.Tables.dataKey(base.sparkSession, dir, "dedup-index")) {
+      val spark = base.sparkSession
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft-dedup-index/" +
+        s"${spark.sparkContext.applicationId}/${java.lang.Integer.toHexString(dir.hashCode)}"
+      tokenHashes(base).write.mode("overwrite").parquet(s"$path/tok")
+      val tok = spark.read.parquet(s"$path/tok")
+      lshBands(signaturesFromTok(tok)).write.mode("overwrite").parquet(s"$path/bands")
+      (tok, spark.read.parquet(s"$path/bands"))
+    }
+
+  /** Increment-merge over the persisted index: all NEW verified pairs an
+    * increment introduces (increment × base and increment × increment),
+    * touching ONLY the buckets the increment collides into — the base
+    * band store is semi-join-reduced before any pair forms, and base
+    * token sets load only for docs that appear in a candidate pair (the
+    * q_dedup_contain candidate-bounding lesson). Merge work scales with
+    * the increment's bucket collisions, never the base pair count: a
+    * daily crawl merges in O(increment), not O(corpus).
+    */
+  def incrementMergePairs(baseTok: DataFrame, baseBands: DataFrame,
+      incr: DataFrame, minJaccard: Double = 0.5): DataFrame = {
+    val tokN = tokenHashes(incr).localCheckpoint(false)
+    val bandsN = lshBands(signaturesFromTok(tokN)).localCheckpoint(false)
+    val cand = incrementCandidates(baseBands, bandsN).localCheckpoint(false)
+    verifyJaccard(cand, incrementTok(baseTok, tokN, cand).localCheckpoint(false),
+      minJaccard)
+  }
+
+  /** Candidate pairs an increment introduces: increment × (base band
+    * store SEMI-JOIN-REDUCED to the buckets the increment touches) plus
+    * increment × increment. Split out so the spec can pin the LeftSemi
+    * on the un-checkpointed plan.
+    */
+  private[graft] def incrementCandidates(baseBands: DataFrame,
+      bandsN: DataFrame): DataFrame = {
+    val touched = baseBands.hint("shuffle_hash")
+      .join(bandsN.select(col("band"), col("bh")).distinct(),
+        Seq("band", "bh"), "left_semi")
+    val cross = bandsN.as("a").hint("shuffle_hash")
+      .join(touched.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+    val within = bandsN.as("a").hint("shuffle_hash")
+      .join(bandsN.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    cross.union(within).distinct()
+  }
+
+  /** Verify-side token table for the merge: the increment's own tokens
+    * plus the base store SEMI-JOIN-REDUCED to candidate members — base
+    * token sets never load for docs outside a candidate pair (the
+    * q_dedup_contain candidate-bounding lesson).
+    */
+  private[graft] def incrementTok(baseTok: DataFrame, tokN: DataFrame,
+      cand: DataFrame): DataFrame = {
+    val candIds = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+    tokN.union(
+      baseTok.join(candIds.hint("shuffle_hash"), Seq("doc_id"), "left_semi"))
+  }
+
+  /** Incremental corpus dedup end-to-end: verified pairs of base ∪
+    * increment computed as persisted-index base pairs UNION the
+    * increment merge — by construction exactly the full-recompute pair
+    * set (bands are a per-doc function, so full-corpus candidates
+    * partition into base-only and increment-touching; the verify is
+    * per-pair), which is what the q_dedup_incr oracle checks. `part`
+    * tags each pair's provenance.
+    */
+  def incrementalJaccardPairs(base: DataFrame, incr: DataFrame, dir: String,
+      minJaccard: Double = 0.5): DataFrame = {
+    val (tokB, bandsB) = dedupIndexFor(base, dir)
+    verifyJaccard(candidatesFromBands(bandsB), tokB, minJaccard)
+      .withColumn("part", lit("base"))
+      .union(incrementMergePairs(tokB, bandsB, incr, minJaccard)
+        .withColumn("part", lit("incr")))
   }
 
   /** Cross-corpus near-dedup (the INCREMENTAL dedup a growing corpus
@@ -665,7 +775,7 @@ object Dedup {
     * sessions that regenerate corpora.
     */
   def clearMemos(): Unit = {
-    clusterMemo.clear(); winnowMemo.clear(); jpairMemo.clear()
+    clusterMemo.clear(); winnowMemo.clear(); jpairMemo.clear(); indexMemo.clear()
   }
 
   private[graft] def memoSize: Int = clusterMemo.size

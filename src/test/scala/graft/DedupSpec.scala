@@ -444,6 +444,50 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("incremental merge == full recompute; index persisted once; work scales with the increment") {
+    Dedup.clearMemos()
+    val base = corpus.filter($"doc_id" < 2000000L)
+    val incr = corpus.filter($"doc_id" >= 2000000L)
+    // 1. incremental ≡ from-scratch: the base-pairs ∪ merge-pairs union
+    //    must be exactly the full recompute over base ∪ increment
+    //    (engine-side reconciliation, independent of the DuckDB oracle)
+    val gotInc = Dedup.incrementalJaccardPairs(base, incr, Sf)
+      .select($"doc_a", $"doc_b", $"jaccard").as[(Long, Long, Double)].collect().toSet
+    val gotFull = Dedup.ngramJaccardPairs(corpus)
+      .select($"doc_a", $"doc_b", $"jaccard").as[(Long, Long, Double)].collect().toSet
+    assert(gotInc === gotFull, "incremental pair set diverged from the full recompute")
+    // 2. the persisted index is built once and memo-served afterwards
+    val (tok1, bands1) = Dedup.dedupIndexFor(base, Sf)
+    val (tok2, bands2) = Dedup.dedupIndexFor(base, Sf)
+    assert((tok1 eq tok2) && (bands1 eq bands2), "second call must hit the index memo")
+    assert(tok1.inputFiles.nonEmpty && bands1.inputFiles.nonEmpty,
+      "index frames must be parquet-backed (persisted), not recomputed lineage")
+    // 3. merge work scales with the INCREMENT: the base band store enters
+    //    the candidate plan only semi-join-reduced to increment-touched
+    //    buckets, and base token sets only semi-join-reduced to candidate
+    //    members — never a base self-join or a full base verify (the
+    //    checkpointed merge hides these subtrees, so pin the pieces)
+    def fplan(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val incrBands = Dedup.lshBands(
+      Dedup.signaturesFromTok(Dedup.tokenHashes(incr)))
+    val candPlan = fplan(Dedup.incrementCandidates(bands1, incrBands))
+    assert(candPlan.contains("LeftSemi"),
+      "base bands must be semi-join-reduced to increment-touched buckets")
+    val cand = Dedup.incrementCandidates(bands1, incrBands)
+    assert(fplan(Dedup.incrementTok(tok1, Dedup.tokenHashes(incr), cand))
+        .contains("LeftSemi"),
+      "base token sets must be semi-join-reduced to candidate members")
+    // and the merge emits exactly the increment-touching slice of the
+    // full pair set (every pair has its larger id in the increment)
+    val merge = Dedup.incrementMergePairs(tok1, bands1, incr)
+    val gotMerge = merge.select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(gotMerge === gotFull.map(t => (t._1, t._2)).filter(_._2 >= 2000000L),
+      "merge pairs must be exactly the increment-touching pairs")
+    assert(gotMerge.forall(_._2 >= 2000000L))
+  }
+
   test("sourcePairMatrix reconciles with the verified pair stage; planted copies hit the diagonal") {
     import org.apache.spark.sql.functions._
     val docs = graft.sources.Tables.documents(spark, Sf)

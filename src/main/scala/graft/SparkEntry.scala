@@ -1032,6 +1032,18 @@ object SparkEntry {
         c.filter(col("doc_id") < 2000000L),
         c.filter(col("doc_id") >= 2000000L), dir)
     },
+    // Incremental CLUSTER maintenance — the step after q_dedup_incr in
+    // the daily-crawl loop: the increment's verified edges fold into the
+    // persisted base cluster table by re-resolving ONLY the components
+    // they touch (star edges preserve base connectivity); untouched
+    // cluster rows pass through byte-identical. Oracle = the full
+    // recursive-closure recompute over base ∪ increment.
+    "q_dedup_incrclusters" -> { (s, dir) =>
+      val c = Dedup.corpus(Tables.documents(s, dir))
+      Dedup.incrementalClusters(
+        c.filter(col("doc_id") < 2000000L),
+        c.filter(col("doc_id") >= 2000000L), dir)
+    },
     // Source-pair duplicate matrix: verified near-dup pairs rolled up
     // to (source, source) counts + order-free fixed-point mean Jaccard
     // — the provenance read-out (which sources copy which) a curation
@@ -3026,6 +3038,13 @@ object SparkEntry {
          |SELECT doc_a, doc_b, jaccard,
          |  CASE WHEN doc_b >= 2000000 THEN 'incr' ELSE 'base' END AS part
          |FROM jpairs""".stripMargin,
+    "q_dedup_incrclusters" ->
+      s"""WITH RECURSIVE ${Dedup.corpusSql},
+         |${Dedup.tokSql},
+         |${Dedup.sigSql},
+         |${Dedup.bandsSql},
+         |${Dedup.closureSql}
+         |SELECT id AS doc_id, cluster, (id = cluster) AS is_keeper FROM comp""".stripMargin,
     "q_dedup_srcmatrix" ->
       s"""WITH ${Dedup.corpusSql},
          |${Dedup.tokSql},

@@ -600,10 +600,68 @@ object Dedup {
   def incrementalJaccardPairs(base: DataFrame, incr: DataFrame, dir: String,
       minJaccard: Double = 0.5): DataFrame = {
     val (tokB, bandsB) = dedupIndexFor(base, dir)
-    verifyJaccard(candidatesFromBands(bandsB), tokB, minJaccard)
+    basePairsFor(base, dir)
       .withColumn("part", lit("base"))
       .union(incrementMergePairs(tokB, bandsB, incr, minJaccard)
         .withColumn("part", lit("incr")))
+  }
+
+  /** Verified pair table of the BASE corpus served off the persisted
+    * index — memoized like [[jaccardPairsFor]] (one verify, every
+    * incremental consumer reads the artifact).
+    */
+  def basePairsFor(base: DataFrame, dir: String): DataFrame =
+    jpairMemo.getOrCompute(
+      graft.sources.Tables.dataKey(base.sparkSession, dir) + "|basepairs") {
+      val (tokB, bandsB) = dedupIndexFor(base, dir)
+      graft.sources.StageMemo.reliableStage(
+        verifyJaccard(candidatesFromBands(bandsB), tokB, 0.5))
+    }
+
+  /** Base-corpus cluster table (the artifact incremental maintenance
+    * updates), memoized + reliable like [[clustersFor]].
+    */
+  def baseClustersFor(base: DataFrame, dir: String): DataFrame =
+    clusterMemo.getOrCompute(
+      graft.sources.Tables.dataKey(base.sparkSession, dir) + "|baseclusters")(
+      graft.sources.StageMemo.reliableStage(
+        duplicateClusters(
+          basePairsFor(base, dir).select(col("doc_a"), col("doc_b")))))
+
+  /** Incremental duplicate-CLUSTER maintenance — the step after
+    * [[incrementMergePairs]] in the daily-crawl loop: fold the
+    * increment's verified edges into the existing cluster table without
+    * re-resolving the whole graph. A new edge can only change components
+    * that contain one of its endpoints, so: (1) the TOUCHED base
+    * components are found by two increment-bounded semi-joins; (2) a
+    * subgraph of their star edges (member → component root, which
+    * preserve exactly their connectivity) plus the new edges re-resolves
+    * through the same large/small-star loop — CC work scales with the
+    * affected membership, not the corpus; (3) every untouched cluster
+    * row passes through BYTE-IDENTICAL (it is the same row of the same
+    * persisted table). Output ≡ a full re-cluster of base ∪ increment by
+    * construction, and the oracle re-checks it against the full
+    * recursive-closure recompute.
+    */
+  def incrementalClusters(base: DataFrame, incr: DataFrame,
+      dir: String): DataFrame = {
+    val (tokB, bandsB) = dedupIndexFor(base, dir)
+    val baseCl = baseClustersFor(base, dir)
+    val newEdges = incrementMergePairs(tokB, bandsB, incr)
+      .select(col("doc_a"), col("doc_b")).localCheckpoint(false)
+    val touched = newEdges.select(col("doc_a").as("doc_id"))
+      .union(newEdges.select(col("doc_b").as("doc_id"))).distinct()
+    val affectedClusters = baseCl
+      .join(touched.hint("shuffle_hash"), Seq("doc_id"), "left_semi")
+      .select(col("cluster")).distinct()
+    val affectedMembers = baseCl
+      .join(affectedClusters.hint("shuffle_hash"), Seq("cluster"), "left_semi")
+      .localCheckpoint(false)
+    val starEdges = affectedMembers
+      .select(col("doc_id").as("doc_a"), col("cluster").as("doc_b"))
+    val sub = duplicateClusters(starEdges.union(newEdges))
+    baseCl.join(affectedMembers.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .union(sub)
   }
 
   /** Cross-corpus near-dedup (the INCREMENTAL dedup a growing corpus

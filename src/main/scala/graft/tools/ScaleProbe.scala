@@ -86,7 +86,14 @@ object ScaleProbe {
     // profile should track the featurize pass alone) scored end-to-end,
     // and the Misra–Gries two-pass heavy hitters (narrow sketch +
     // broadcast-gated exact count — should track the two token passes)
-    "q_doc_qclf_score", "q_doc_heavy")
+    "q_doc_qclf_score", "q_doc_heavy",
+    // round-9: incremental index maintenance — the pair merge and the
+    // cluster fold-in. The claim under test is the sharpest in the
+    // suite: merge/fold work scales with the INCREMENT (touched buckets,
+    // affected components), so with planted-dup density constant the
+    // profile should track the increment's share of the corpus, never
+    // the base pair count (the base side enters only semi-join-reduced)
+    "q_dedup_incr", "q_dedup_incrclusters")
 
   /** Heaps-ish vocabulary size: 30 tokens at the 5k-doc base (the real
     * table's vocabulary), growing with sqrt(n).

@@ -488,6 +488,38 @@ class DedupSpec extends SparkSpec {
     assert(gotMerge.forall(_._2 >= 2000000L))
   }
 
+  test("incremental clusters == full re-cluster; untouched components byte-identical") {
+    Dedup.clearMemos()
+    val base = corpus.filter($"doc_id" < 2000000L)
+    val incr = corpus.filter($"doc_id" >= 2000000L)
+    val gotInc = Dedup.incrementalClusters(base, incr, Sf)
+      .as[(Long, Long, Boolean)].collect().toSet
+    val gotFull = Dedup.clustersFor(corpus, Sf)
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(gotInc === gotFull,
+      "incremental cluster table diverged from the full re-cluster")
+    // untouched base components must pass through byte-identical
+    val (tokB, bandsB) = Dedup.dedupIndexFor(base, Sf)
+    val touchedIds = Dedup.incrementMergePairs(tokB, bandsB, incr)
+      .select($"doc_a").union(Dedup.incrementMergePairs(tokB, bandsB, incr).select($"doc_b"))
+      .as[Long].collect().toSet
+    val baseCl = Dedup.baseClustersFor(base, Sf).as[(Long, Long, Boolean)].collect()
+    val touchedClusters = baseCl.filter(r => touchedIds(r._1)).map(_._2).toSet
+    val untouched = baseCl.filterNot(r => touchedClusters(r._2)).toSet
+    assert(untouched.nonEmpty, "fixture lost its power: some base cluster must stay untouched")
+    assert(untouched.subsetOf(gotInc),
+      "untouched base cluster rows must appear unchanged in the merged table")
+    // and everything the merge re-resolved belongs to a component that
+    // contains a touched or increment doc — the work really is bounded
+    // by the increment's reach
+    val resolved = gotInc -- untouched
+    val resolvedByCluster = resolved.groupBy(_._2)
+    resolvedByCluster.foreach { case (cl, rows) =>
+      assert(rows.exists(r => touchedIds(r._1) || r._1 >= 2000000L),
+        s"cluster $cl was re-resolved without any increment contact")
+    }
+  }
+
   test("sourcePairMatrix reconciles with the verified pair stage; planted copies hit the diagonal") {
     import org.apache.spark.sql.functions._
     val docs = graft.sources.Tables.documents(spark, Sf)

@@ -1040,9 +1040,31 @@ object SparkEntry {
     // recursive-closure recompute over base ∪ increment.
     "q_dedup_incrclusters" -> { (s, dir) =>
       val c = Dedup.corpus(Tables.documents(s, dir))
-      Dedup.incrementalClusters(
+      Dedup.incrementalClustersFor(
         c.filter(col("doc_id") < 2000000L),
         c.filter(col("doc_id") >= 2000000L), dir)
+    },
+    // Jaccard-threshold sensitivity: verified pairs down to a 0.3 floor
+    // banded into fixed 0.05 steps + cumulative kept-at-or-above — the
+    // read-out before a curation run picks its dedup bar (the pair-side
+    // complement of the classifier PR sweep).
+    "q_dedup_jhist" -> { (s, dir) =>
+      Dedup.jaccardHistogram(Dedup.corpus(Tables.documents(s, dir)), dir)
+    },
+    // Index compaction — the generation roll ending the daily-crawl
+    // loop: base store + increment rows rewritten as one next-generation
+    // parquet index (base never re-shingled). The emitted bucket stats
+    // come FROM the compacted store; the oracle recomputes them from a
+    // full rebuild over base ∪ increment — compacted ≡ rebuilt.
+    "q_dedup_compact" -> { (s, dir) =>
+      val c = Dedup.corpus(Tables.documents(s, dir))
+      val (_, bands) = Dedup.compactIndex(
+        c.filter(col("doc_id") < 2000000L),
+        c.filter(col("doc_id") >= 2000000L), dir)
+      bands.groupBy(col("band"), col("bh"))
+        .agg(count(lit(1)).as("bucket_size"))
+        .groupBy(col("band"), col("bucket_size"))
+        .agg(count(lit(1)).as("n_buckets"))
     },
     // Source-pair duplicate matrix: verified near-dup pairs rolled up
     // to (source, source) counts + order-free fixed-point mean Jaccard
@@ -3045,6 +3067,27 @@ object SparkEntry {
          |${Dedup.bandsSql},
          |${Dedup.closureSql}
          |SELECT id AS doc_id, cluster, (id = cluster) AS is_keeper FROM comp""".stripMargin,
+    "q_dedup_jhist" ->
+      s"""WITH ${Dedup.corpusSql},
+         |${Dedup.tokSql},
+         |${Dedup.sigSql},
+         |${Dedup.bandsSql},
+         |${Dedup.jaccardPairSqlChain(0.3)},
+         |hist AS (
+         |  SELECT CAST(FLOOR(jaccard * 20) AS BIGINT) AS jband, COUNT(*) AS n_pairs
+         |  FROM jpairs GROUP BY 1)
+         |SELECT h.jband, h.n_pairs,
+         |  CAST(SUM(h2.n_pairs) AS BIGINT) AS n_at_or_above
+         |FROM hist h JOIN hist h2 ON h2.jband >= h.jband
+         |GROUP BY h.jband, h.n_pairs""".stripMargin,
+    "q_dedup_compact" ->
+      s"""WITH ${Dedup.corpusSql},
+         |${Dedup.tokSql},
+         |${Dedup.sigSql},
+         |${Dedup.bandsSql},
+         |sz AS (SELECT band, bh, COUNT(*) AS bucket_size FROM bands GROUP BY band, bh)
+         |SELECT band, bucket_size, COUNT(*) AS n_buckets
+         |FROM sz GROUP BY band, bucket_size""".stripMargin,
     "q_dedup_srcmatrix" ->
       s"""WITH ${Dedup.corpusSql},
          |${Dedup.tokSql},

@@ -598,13 +598,24 @@ object Dedup {
     * tags each pair's provenance.
     */
   def incrementalJaccardPairs(base: DataFrame, incr: DataFrame, dir: String,
-      minJaccard: Double = 0.5): DataFrame = {
-    val (tokB, bandsB) = dedupIndexFor(base, dir)
+      minJaccard: Double = 0.5): DataFrame =
     basePairsFor(base, dir)
       .withColumn("part", lit("base"))
-      .union(incrementMergePairs(tokB, bandsB, incr, minJaccard)
+      .union(mergePairsFor(base, incr, dir)
         .withColumn("part", lit("incr")))
-  }
+
+  /** Memoized [[incrementMergePairs]] artifact — the merge runs once per
+    * (dir) and every consumer (the pair union, the cluster fold-in)
+    * reads the persisted result, exactly as a production loop would keep
+    * the day's verified-new-pairs table.
+    */
+  def mergePairsFor(base: DataFrame, incr: DataFrame, dir: String): DataFrame =
+    jpairMemo.getOrCompute(
+      graft.sources.Tables.dataKey(base.sparkSession, dir) + "|mergepairs") {
+      val (tokB, bandsB) = dedupIndexFor(base, dir)
+      graft.sources.StageMemo.reliableStage(
+        incrementMergePairs(tokB, bandsB, incr))
+    }
 
   /** Verified pair table of the BASE corpus served off the persisted
     * index — memoized like [[jaccardPairsFor]] (one verify, every
@@ -628,6 +639,60 @@ object Dedup {
         duplicateClusters(
           basePairsFor(base, dir).select(col("doc_a"), col("doc_b")))))
 
+  /** Jaccard-threshold sensitivity histogram — the read-out a curation
+    * run reads before PICKING its dedup bar (the pair-side complement of
+    * the classifier's PR sweep): verified pairs down to a LOWER floor
+    * (default 0.3, below the production 0.5) banded into fixed 0.05
+    * steps, with the cumulative pairs-kept-at-or-above count per band —
+    * how many pairs each candidate threshold would keep/drop. Fixed
+    * bands (never rank quantiles) keep it histogram-priced at any
+    * corpus size; the cumulative runs as a bounded ≤ 20×20 triangular
+    * self-join (the prCurve discipline — no partition-less window).
+    * Banding is floor(20·j) on the exact IEEE division both engines
+    * compute identically.
+    */
+  def jaccardHistogram(c: DataFrame, dir: String,
+      minJaccard: Double = 0.3): DataFrame = {
+    // the low-floor verified pairs are their own memoized artifact (the
+    // 0.5-floor jaccardPairsFor table cannot serve them)
+    val pairs = jpairMemo.getOrCompute(
+      graft.sources.Tables.dataKey(c.sparkSession, dir) + s"|jpairs$minJaccard")(
+      graft.sources.StageMemo.reliableStage(ngramJaccardPairs(c, minJaccard)))
+    val hist = pairs
+      .select(floor(col("jaccard") * 20).cast("long").as("jband"))
+      .groupBy(col("jband")).agg(count(lit(1)).as("n_pairs"))
+    val hi = hist.select(col("jband").as("jb2"), col("n_pairs").as("np2"))
+    hist.join(broadcast(hi), col("jb2") >= col("jband"))
+      .groupBy(col("jband"), col("n_pairs"))
+      .agg(sum(col("np2")).as("n_at_or_above"))
+  }
+
+  /** Index COMPACTION — the generation roll that ends the daily-crawl
+    * loop: fold the increment's token/band rows into the persisted base
+    * store and write the NEXT-GENERATION index (same parquet store
+    * discipline), so the following day's merge runs against one compact
+    * base again instead of a base plus k increment sidecars. The write
+    * is one union of the parquet-backed base frames with the
+    * increment's freshly-built rows — the base corpus is never
+    * re-shingled; compacted ≡ full-rebuild by construction (tok and
+    * bands are pure per-doc functions), which q_dedup_compact
+    * oracle-checks through the bucket-stats read-out.
+    */
+  def compactIndex(base: DataFrame, incr: DataFrame,
+      dir: String): (DataFrame, DataFrame) =
+    indexMemo.getOrCompute(
+      graft.sources.Tables.dataKey(base.sparkSession, dir, "dedup-index-gen2")) {
+      val spark = base.sparkSession
+      val (tokB, bandsB) = dedupIndexFor(base, dir)
+      val tokN = tokenHashes(incr).localCheckpoint(false)
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft-dedup-index/" +
+        s"${spark.sparkContext.applicationId}/${java.lang.Integer.toHexString(dir.hashCode)}-gen2"
+      tokB.union(tokN).write.mode("overwrite").parquet(s"$path/tok")
+      bandsB.union(lshBands(signaturesFromTok(tokN)))
+        .write.mode("overwrite").parquet(s"$path/bands")
+      (spark.read.parquet(s"$path/tok"), spark.read.parquet(s"$path/bands"))
+    }
+
   /** Incremental duplicate-CLUSTER maintenance — the step after
     * [[incrementMergePairs]] in the daily-crawl loop: fold the
     * increment's verified edges into the existing cluster table without
@@ -645,10 +710,9 @@ object Dedup {
     */
   def incrementalClusters(base: DataFrame, incr: DataFrame,
       dir: String): DataFrame = {
-    val (tokB, bandsB) = dedupIndexFor(base, dir)
     val baseCl = baseClustersFor(base, dir)
-    val newEdges = incrementMergePairs(tokB, bandsB, incr)
-      .select(col("doc_a"), col("doc_b")).localCheckpoint(false)
+    val newEdges = mergePairsFor(base, incr, dir)
+      .select(col("doc_a"), col("doc_b"))
     val touched = newEdges.select(col("doc_a").as("doc_id"))
       .union(newEdges.select(col("doc_b").as("doc_id"))).distinct()
     val affectedClusters = baseCl
@@ -663,6 +727,17 @@ object Dedup {
     baseCl.join(affectedMembers.select(col("doc_id")), Seq("doc_id"), "left_anti")
       .union(sub)
   }
+
+  /** [[incrementalClusters]] memoized as the next-generation cluster
+    * ARTIFACT (reliable checkpoint) — the fold-in runs once; serving
+    * reads the persisted table, same as [[clustersFor]].
+    */
+  def incrementalClustersFor(base: DataFrame, incr: DataFrame,
+      dir: String): DataFrame =
+    clusterMemo.getOrCompute(
+      graft.sources.Tables.dataKey(base.sparkSession, dir) + "|incrclusters")(
+      graft.sources.StageMemo.reliableStage(
+        incrementalClusters(base, incr, dir)))
 
   /** Cross-corpus near-dedup (the INCREMENTAL dedup a growing corpus
     * needs: flag incoming docs that near-duplicate something already in

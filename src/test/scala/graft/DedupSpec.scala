@@ -488,6 +488,24 @@ class DedupSpec extends SparkSpec {
     assert(gotMerge.forall(_._2 >= 2000000L))
   }
 
+  test("index compaction == full rebuild; compacted store parquet-backed and memo-served") {
+    Dedup.clearMemos()
+    val base = corpus.filter($"doc_id" < 2000000L)
+    val incr = corpus.filter($"doc_id" >= 2000000L)
+    val (tokC, bandsC) = Dedup.compactIndex(base, incr, Sf)
+    // the next-generation store must hold exactly what a from-scratch
+    // rebuild over base ∪ increment would (tok and bands are pure
+    // per-doc functions — compaction may not drop, duplicate, or alter)
+    assert(tokC.as[(Long, Long)].collect().toSet ===
+      Dedup.tokenHashes(corpus).as[(Long, Long)].collect().toSet)
+    assert(bandsC.as[(Long, Long, Long)].collect().toSet ===
+      Dedup.lshBands(Dedup.minhashSignatures(corpus)).as[(Long, Long, Long)].collect().toSet)
+    assert(tokC.inputFiles.nonEmpty && bandsC.inputFiles.nonEmpty,
+      "compacted frames must be parquet-backed (a persisted generation)")
+    val (tok2, bands2) = Dedup.compactIndex(base, incr, Sf)
+    assert((tokC eq tok2) && (bandsC eq bands2), "second call must hit the memo")
+  }
+
   test("incremental clusters == full re-cluster; untouched components byte-identical") {
     Dedup.clearMemos()
     val base = corpus.filter($"doc_id" < 2000000L)

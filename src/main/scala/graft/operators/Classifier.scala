@@ -245,6 +245,36 @@ object Classifier {
           col("cum_tp").cast("double") / col("total_pos").cast("double")).as("recall"))
   }
 
+  /** Calibration audit (reliability diagram) — the companion the PR
+    * sweep needs before a SOFT gate ships: per fixed predicted-
+    * probability band (floor(10p) clamped to 0..9 — fixed bands, not
+    * rank deciles, so NO corpus-wide sort at any scale), the kept
+    * volume, the mean predicted probability (fixed-point order-free
+    * sum) and the EMPIRICAL teacher-positive rate. A calibrated student
+    * has mean_p ≈ emp_rate per band; systematic gaps say the scores are
+    * rankings, not probabilities, and any probability-weighted
+    * downstream sampling (e.g. CCNet's Pareto reweighting) would be
+    * biased. p re-derives from the QUANTIZED score integer through the
+    * same rational link used in training, so band membership cannot
+    * diverge between engines.
+    */
+  def calibration(docs: DataFrame, dir: String): DataFrame = {
+    val zq = col("score_q").cast("double") / Q
+    val p = lit(0.5d) + (zq / (lit(2.0d) * (lit(1.0d) + abs(zq))))
+    score(docs, dir)
+      .select(
+        least(greatest(floor(p * 10), lit(0L)), lit(9L)).as("pband"),
+        col("label_true"),
+        round(p * Q).cast("long").as("pq"))
+      .groupBy(col("pband"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("label_true")).as("n_pos"),
+        sum(col("pq")).as("sq"))
+      .select(col("pband"), col("n"), col("n_pos"),
+        (col("n_pos").cast("double") / col("n").cast("double")).as("emp_rate"),
+        (col("sq").cast("double") / (col("n").cast("double") * Q)).as("mean_p"))
+  }
+
   /** Per-source score drift audit: mean quantized score, predicted-keep
     * rate and teacher-positive rate per source — the segment read-out
     * before a gate ships (a source whose scores sit far below the
@@ -411,6 +441,22 @@ object Classifier {
   def scoreSql(iters: Int = Iters): String =
     s"""WITH ${scoreCtes(iters)}
        |SELECT doc_id, label_true, score_q, pred FROM scored""".stripMargin
+
+  /** DuckDB mirror of [[calibration]] over [[scoreCtes]]' scored frame. */
+  def calibrationSql(iters: Int = Iters): String =
+    s"""WITH ${scoreCtes(iters)},
+       |calp AS (
+       |  SELECT label_true,
+       |    CAST(0.5 AS DOUBLE) + (zq / (CAST(2.0 AS DOUBLE) * (CAST(1.0 AS DOUBLE) + abs(zq)))) AS p
+       |  FROM (SELECT label_true, CAST(score_q AS DOUBLE) / $QSql AS zq FROM scored) t),
+       |calb AS (
+       |  SELECT LEAST(GREATEST(CAST(FLOOR(p * 10) AS BIGINT), 0), 9) AS pband,
+       |    label_true, CAST(ROUND(p * $QSql) AS BIGINT) AS pq
+       |  FROM calp)
+       |SELECT pband, COUNT(*) AS n, CAST(SUM(label_true) AS BIGINT) AS n_pos,
+       |  CAST(CAST(SUM(label_true) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS emp_rate,
+       |  CAST(CAST(SUM(pq) AS BIGINT) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * $QSql) AS mean_p
+       |FROM calb GROUP BY pband""".stripMargin
 
   /** Apply-side CTE chain for [[scoreOn]] over an arbitrary `table`
     * (ends in `akept`: the doc_ids the trained gate keeps). Appended

@@ -189,6 +189,27 @@ class ClassifierSpec extends SparkSpec {
       s"integer-permille rounding can lose at most 1 doc per source: $recon vs $posTotal")
   }
 
+  test("calibration bands: full accounting, mean_p inside its band, rates bounded") {
+    val docs = graft.sources.Tables.documents(spark, Sf)
+    val cal = Classifier.calibration(docs, Sf).collect()
+    assert(cal.nonEmpty)
+    // every scored doc lands in exactly one band
+    assert(cal.map(_.getLong(1)).sum === Classifier.score(docs, Sf).count())
+    cal.foreach { r =>
+      val (band, n, nPos) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val (emp, meanP) = (r.getDouble(3), r.getDouble(4))
+      assert(band >= 0 && band <= 9 && n > 0 && nPos >= 0 && nPos <= n)
+      assert(emp >= 0.0 && emp <= 1.0)
+      // the mean of p values banded into [band/10, (band+1)/10) stays in
+      // the band (clamped edge bands may only absorb out-of-range mass
+      // toward the clamp side); quantization slack is 2^-24 per doc
+      assert(meanP >= band / 10.0 - 1e-6 || band == 0L,
+        s"band $band mean_p $meanP below band floor")
+      assert(meanP <= (band + 1) / 10.0 + 1e-6 || band == 9L,
+        s"band $band mean_p $meanP above band ceiling")
+    }
+  }
+
   test("pipeline gate reconciles with q_doc_qclf_score: shared ids keep iff pred == 1") {
     // q_pipeline_qclf gates the dedup survivors through scoreOn; for
     // every survivor that IS an original document (same id ⇒ same text ⇒

@@ -522,6 +522,12 @@ object Dedup {
     */
   private val indexMemo = new graft.sources.StageMemo[(DataFrame, DataFrame)](8)
 
+  /** NOTE the memo (and the store path) key on the data DIR, not the
+    * frame: every caller for a given dir must pass the SAME canonical
+    * base (here: the corpus tiers below +2e6) or the memo would serve a
+    * different corpus's index — the same trap [[Classifier.scoreOn]]'s
+    * scaladoc documents for the feature memo.
+    */
   def dedupIndexFor(base: DataFrame, dir: String): (DataFrame, DataFrame) =
     indexMemo.getOrCompute(
       graft.sources.Tables.dataKey(base.sparkSession, dir, "dedup-index")) {

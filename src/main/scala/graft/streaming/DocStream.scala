@@ -45,6 +45,34 @@ object DocStream {
   case class Occupants(docs: List[OccEntry], maxTsMs: Long)
   case class Collision(doc_id: Long, band: Long, bh: Long, earlier_doc_id: Long)
 
+  /** Streaming twin of the incremental-merge CANDIDATE stage
+    * ([[graft.operators.Dedup.incrementCandidates]]' cross half): new
+    * docs stream in, band keys compute per row (the narrow
+    * [[graft.operators.Dedup.bandKeysNarrow]] formulation), and a
+    * STREAM-STATIC equi-join on (band, bh) against the PERSISTED base
+    * band store ([[graft.operators.Dedup.dedupIndexFor]]) emits
+    * (doc_new, doc_ref) candidates as they arrive — the arrival-time
+    * spelling of the daily-crawl merge, with the exact verify staying a
+    * batch job over the day's accumulated candidates (as in the batch
+    * op). Zero streaming state: the static side needs no watermark, and
+    * the store is re-planned per micro-batch, so a compaction
+    * generation roll is picked up on the next batch without restarting
+    * the query. The base side joins SHUFFLE_HASH on the bucket key
+    * (corpus-sized parquet store, never broadcast). Emissions may
+    * repeat per colliding band — the downstream verify's distinct
+    * absorbs them, mirroring the batch candidate `distinct()`.
+    */
+  def crossCandidates(docs: Dataset[StreamDoc],
+      baseBands: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs.toDF()
+      .select(col("doc_id").as("doc_new"),
+        explode(Dedup.bandKeysNarrow(col("text"))).as("k"))
+      .filter(col("k.bh").isNotNull)
+      .select(col("doc_new"), col("k.band").as("band"), col("k.bh").as("bh"))
+      .join(baseBands.select(col("doc_id").as("doc_ref"), col("band"), col("bh"))
+        .hint("shuffle_hash"), Seq("band", "bh"))
+      .select(col("doc_new"), col("doc_ref"))
+
   def lshCollisions(spark: SparkSession, docs: Dataset[StreamDoc],
       watermarkDelay: String = "1 hour",
       ttlMs: Long = 24L * 3600000L,

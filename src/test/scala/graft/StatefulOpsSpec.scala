@@ -846,4 +846,35 @@ class StatefulOpsSpec extends SparkSpec {
       .select($"user_id", $"ts", $"event_id")
     assert(viaAgg.exceptAll(viaWindow).isEmpty && viaWindow.exceptAll(viaAgg).isEmpty)
   }
+
+  test("crossCandidates stream-static: arrivals collide against the base store; batch parity; zero state") {
+    import graft.streaming.DocStream
+    import DocStream.StreamDoc
+    import graft.operators.Dedup
+    implicit val ctx = spark.sqlContext
+    val tA = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val tB = "completely different content about distributed query engines and shuffle planning"
+    val base = Seq((10L, tA), (20L, tB)).toDF("doc_id", "text")
+    val baseBands = Dedup.lshBands(Dedup.minhashSignatures(base)).cache()
+    val ms = MemoryStream[StreamDoc]
+    val q = DocStream.crossCandidates(ms.toDS(), baseBands)
+      .writeStream.format("memory").queryName("crosscand").outputMode("append").start()
+    ms.addData(Seq(StreamDoc(ts("2024-01-01 00:00:00"), 101L, tA)))
+    q.processAllAvailable()
+    // a later batch still sees the full static store (no state, no TTL);
+    // a too-short doc yields no bands and must not throw
+    ms.addData(Seq(StreamDoc(ts("2024-01-01 00:01:00"), 102L, tB),
+      StreamDoc(ts("2024-01-01 00:02:00"), 103L, "short")))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("crosscand").as[(Long, Long)].collect().toSeq.distinct.sorted
+    assert(got === Seq((101L, 10L), (102L, 20L)),
+      s"each arrival must hit exactly its base twin: $got")
+    // batch parity: distinct emissions == the batch cross-candidate join
+    // over the same incoming docs and the same store
+    val incoming = Seq((101L, tA), (102L, tB), (103L, "short")).toDF("doc_id", "text")
+    val batch = Dedup.lshBands(Dedup.minhashSignatures(incoming)).as("a")
+      .join(baseBands.as("b"), $"a.band" === $"b.band" && $"a.bh" === $"b.bh")
+      .select($"a.doc_id", $"b.doc_id").as[(Long, Long)].collect().toSeq.distinct.sorted
+    assert(got === batch, "stream-static emissions diverged from the batch candidate stage")
+  }
 }

@@ -851,6 +851,16 @@ object SparkEntry {
       val e = Tables.embeddings(s, dir)
       Similarity.kmeansAssign(e, Similarity.kmeansFitMemo(e, dir, "all"))
     },
+    // IVF index GROWTH audit: the day's new vectors (planted +1e6 tier)
+    // assign against the FROZEN production centroids — base assignments
+    // never recompute; per cell: base/new occupancy, integer growth
+    // permille, division-free overfull flag naming the cells the next
+    // reassign/split pass must visit. The ANN-side parallel of
+    // q_dedup_incr's daily-crawl merge.
+    "q_emb_append" -> { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+      Similarity.ivfAppend(e, Similarity.kmeansFitMemo(e, dir, "all"))
+    },
 
     // IVF index-staleness audit: centroids frozen on the even-id half,
     // every vector assigned against them; per cell, how post-build
@@ -3007,6 +3017,7 @@ object SparkEntry {
         |      FROM embeddings) t
         |GROUP BY label, dim""".stripMargin,
     "q_emb_kmeans" -> Similarity.kmeansSql(),
+    "q_emb_append" -> Similarity.ivfAppendSql(),
     "q_emb_cellbal" ->
       s"""WITH ${Similarity.kmeansCtes()},
          |${Similarity.cellBalanceSql()}""".stripMargin,

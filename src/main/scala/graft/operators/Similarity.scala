@@ -957,6 +957,76 @@ object Similarity {
   /** DuckDB mirror of [[reassignDrifted]] over [[kmeansCtes]]'
     * even-id-trained chain (`kb` / `afin` / final centroids `c<iters>`).
     */
+  /** IVF index GROWTH audit — the third member of the maintenance
+    * triptych (staleness = diagnose, reassign = repair, append = GROW),
+    * and the ANN-side parallel of the dedup increment merge: a fresh
+    * vector batch (the planted +1e6 tier plays the day's arrivals)
+    * assigns against the FROZEN production centroids — one narrow
+    * broadcast-argmax pass over the INCREMENT only, base assignments
+    * never recompute — and the audit rolls up per cell: base occupancy,
+    * appended count, integer growth permille, and a DIVISION-FREE
+    * overfull flag ((n_base + n_new)·k > factor·Σ in exact integers)
+    * naming the cells the next reassign/split pass must visit. Output
+    * ≤ k rows; the only corpus-priced work is the two assignment scans.
+    */
+  def ivfAppend(e: DataFrame, cents: DataFrame,
+      overfullNum: Int = 2): DataFrame = {
+    val baseCnt = kmeansAssign(e, cents)
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_base"))
+    val incr = embCorpus(e).filter(col("vec_id") >= 1000000L)
+    val newCnt = kmeansAssign(incr, cents)
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_new"))
+    val per = baseCnt.join(newCnt, Seq("cell"), "left")
+      .select(col("cell"), col("n_base"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+      .localCheckpoint(false)
+    val tot = per.agg(sum(col("n_base") + col("n_new")).as("total"),
+      count(lit(1)).as("k_cells"))
+    per.crossJoin(broadcast(tot))
+      .select(col("cell"), col("n_base"), col("n_new"),
+        when(col("n_base") > 0, expr("n_new * 1000 DIV n_base"))
+          .as("growth_permille"),
+        ((col("n_base") + col("n_new")) * col("k_cells") >
+          lit(overfullNum.toLong) * col("total")).as("overfull"))
+  }
+
+  /** DuckDB mirror of [[ivfAppend]] over [[kmeansCtes]]' full-corpus
+    * fit (`afin` + `c<iters>`), with the increment tier spelled exactly
+    * like [[ecorpusCtesSql]]'s planted copy (float scale, then the
+    * double cast) and the assignment CTE mirroring `kmeansCtes`'
+    * internal spelling op-for-op.
+    */
+  def ivfAppendSql(k: Int = 8, iters: Int = 2, overfullNum: Int = 2): String =
+    s"""WITH ${kmeansCtes(k, iters)},
+       |einc AS (
+       |  SELECT vec_id + 1000000 AS vec_id,
+       |    list_transform(embedding, x -> x * CAST(1.5 AS FLOAT)) AS embedding
+       |  FROM embeddings WHERE vec_id % 25 = 0),
+       |eincb AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM einc),
+       |ainc AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT b.vec_id, b.emb, c.cell,
+       |      ${l2sqSql("b.emb", "c.cemb")} AS d2,
+       |      ROW_NUMBER() OVER (PARTITION BY b.vec_id
+       |        ORDER BY ${l2sqSql("b.emb", "c.cemb")}, c.cell) AS rn
+       |    FROM eincb b CROSS JOIN c$iters c) t
+       |  WHERE rn = 1),
+       |bcnt AS (SELECT cell, COUNT(*) AS n_base FROM afin GROUP BY cell),
+       |ncnt AS (SELECT cell, COUNT(*) AS n_new FROM ainc GROUP BY cell),
+       |aper AS (
+       |  SELECT b.cell, b.n_base, COALESCE(n.n_new, CAST(0 AS BIGINT)) AS n_new
+       |  FROM bcnt b LEFT JOIN ncnt n ON n.cell = b.cell),
+       |atot AS (
+       |  SELECT CAST(SUM(n_base + n_new) AS BIGINT) AS total,
+       |    COUNT(*) AS k_cells
+       |  FROM aper)
+       |SELECT cell, n_base, n_new,
+       |  CASE WHEN n_base > 0 THEN n_new * 1000 // n_base END AS growth_permille,
+       |  (n_base + n_new) * k_cells > $overfullNum * total AS overfull
+       |FROM aper CROSS JOIN atot""".stripMargin
+
   def reassignSql(driftFactor: Double = 1.5, iters: Int = 2): String =
     s"""WITH ${kmeansCtes(trainWhere = "vec_id % 2 = 0")},
        |lab AS (SELECT cell, vec_id % 2 <> 0 AS is_new,

@@ -69,4 +69,29 @@ class ReassignSpec extends SparkSpec {
       driftFactor = 1.5) // 0.25 ≤ 1.5·0.25 → healthy
     assert(lax.filter("reassigned").count() === 0)
   }
+
+  test("ivfAppend: full accounting, base counts reconcile with the fit, overfull rule exact") {
+    val e = graft.sources.Tables.embeddings(spark, Sf)
+    val cents = Similarity.kmeansFitMemo(e, Sf, "all")
+    val out = Similarity.ivfAppend(e, cents).collect()
+    assert(out.nonEmpty)
+    // every appended vector lands in exactly one cell: Σ n_new == the
+    // planted +1e6 tier's size (vec_id % 25 == 0 originals)
+    import org.apache.spark.sql.functions._
+    val planted = e.filter(col("vec_id") % 25 === 0).count()
+    assert(out.map(_.getLong(2)).sum === planted, "appended vectors lost or duplicated")
+    // base occupancy reconciles with the frozen-fit assignment the
+    // q_emb_kmeans query serves
+    val baseTotal = Similarity.kmeansAssign(e, cents).count()
+    assert(out.map(_.getLong(1)).sum === baseTotal)
+    // the division-free overfull rule re-derives from the emitted counts
+    val k = out.length.toLong
+    val total = out.map(r => r.getLong(1) + r.getLong(2)).sum
+    out.foreach { r =>
+      val expect = (r.getLong(1) + r.getLong(2)) * k > 2L * total
+      assert(r.getBoolean(4) === expect, s"overfull flag diverged on cell ${r.getLong(0)}")
+      if (r.getLong(1) > 0)
+        assert(r.getLong(3) === r.getLong(2) * 1000 / r.getLong(1))
+    }
+  }
 }

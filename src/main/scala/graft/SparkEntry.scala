@@ -861,6 +861,15 @@ object SparkEntry {
       val e = Tables.embeddings(s, dir)
       Similarity.ivfAppend(e, Similarity.kmeansFitMemo(e, dir, "all"))
     },
+    // Split the overfull cells the growth audit flags: one deterministic
+    // 2-means step (min/max-id seeds, no RNG) per flagged cell; per
+    // (cell, sub) the member count and mean d2 before/after — the
+    // split's measured fit improvement. Closes the append loop the way
+    // reassign closes the staleness loop.
+    "q_emb_split" -> { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+      Similarity.splitOverfull(e, Similarity.kmeansFitMemo(e, dir, "all"))
+    },
 
     // IVF index-staleness audit: centroids frozen on the even-id half,
     // every vector assigned against them; per cell, how post-build
@@ -3018,6 +3027,7 @@ object SparkEntry {
         |GROUP BY label, dim""".stripMargin,
     "q_emb_kmeans" -> Similarity.kmeansSql(),
     "q_emb_append" -> Similarity.ivfAppendSql(),
+    "q_emb_split" -> Similarity.splitSql(),
     "q_emb_cellbal" ->
       s"""WITH ${Similarity.kmeansCtes()},
          |${Similarity.cellBalanceSql()}""".stripMargin,

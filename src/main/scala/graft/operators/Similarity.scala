@@ -969,8 +969,8 @@ object Similarity {
     * naming the cells the next reassign/split pass must visit. Output
     * ≤ k rows; the only corpus-priced work is the two assignment scans.
     */
-  def ivfAppend(e: DataFrame, cents: DataFrame,
-      overfullNum: Int = 2): DataFrame = {
+  def ivfAppend(e: DataFrame, cents: DataFrame, overfullNum: Int = 2,
+      overfullDen: Int = 1): DataFrame = {
     val baseCnt = kmeansAssign(e, cents)
       .groupBy(col("cell")).agg(count(lit(1)).as("n_base"))
     val incr = embCorpus(e).filter(col("vec_id") >= 1000000L)
@@ -986,18 +986,19 @@ object Similarity {
       .select(col("cell"), col("n_base"), col("n_new"),
         when(col("n_base") > 0, expr("n_new * 1000 DIV n_base"))
           .as("growth_permille"),
-        ((col("n_base") + col("n_new")) * col("k_cells") >
+        ((col("n_base") + col("n_new")) * col("k_cells") * lit(overfullDen.toLong) >
           lit(overfullNum.toLong) * col("total")).as("overfull"))
   }
 
-  /** DuckDB mirror of [[ivfAppend]] over [[kmeansCtes]]' full-corpus
-    * fit (`afin` + `c<iters>`), with the increment tier spelled exactly
+  /** Shared append-chain CTEs ([[ivfAppendSql]] + [[splitSql]]): the
+    * [[kmeansCtes]] full-corpus fit, the increment tier spelled exactly
     * like [[ecorpusCtesSql]]'s planted copy (float scale, then the
-    * double cast) and the assignment CTE mirroring `kmeansCtes`'
-    * internal spelling op-for-op.
+    * double cast), its assignment against the frozen `c<iters>` table
+    * (mirroring `kmeansCtes`' internal spelling op-for-op), and the
+    * per-cell occupancy roll-up ending at `aper`/`atot`.
     */
-  def ivfAppendSql(k: Int = 8, iters: Int = 2, overfullNum: Int = 2): String =
-    s"""WITH ${kmeansCtes(k, iters)},
+  private def appendChainCtes(k: Int = 8, iters: Int = 2): String =
+    s"""${kmeansCtes(k, iters)},
        |einc AS (
        |  SELECT vec_id + 1000000 AS vec_id,
        |    list_transform(embedding, x -> x * CAST(1.5 AS FLOAT)) AS embedding
@@ -1006,7 +1007,7 @@ object Similarity {
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
        |  FROM einc),
        |ainc AS (
-       |  SELECT vec_id, cell FROM (
+       |  SELECT vec_id, cell, d2 FROM (
        |    SELECT b.vec_id, b.emb, c.cell,
        |      ${l2sqSql("b.emb", "c.cemb")} AS d2,
        |      ROW_NUMBER() OVER (PARTITION BY b.vec_id
@@ -1021,11 +1022,128 @@ object Similarity {
        |atot AS (
        |  SELECT CAST(SUM(n_base + n_new) AS BIGINT) AS total,
        |    COUNT(*) AS k_cells
-       |  FROM aper)
+       |  FROM aper)""".stripMargin
+
+  /** DuckDB mirror of [[ivfAppend]]. */
+  def ivfAppendSql(k: Int = 8, iters: Int = 2, overfullNum: Int = 2,
+      overfullDen: Int = 1): String =
+    s"""WITH ${appendChainCtes(k, iters)}
        |SELECT cell, n_base, n_new,
        |  CASE WHEN n_base > 0 THEN n_new * 1000 // n_base END AS growth_permille,
-       |  (n_base + n_new) * k_cells > $overfullNum * total AS overfull
+       |  (n_base + n_new) * k_cells * $overfullDen > $overfullNum * total AS overfull
        |FROM aper CROSS JOIN atot""".stripMargin
+
+  /** Split the OVERFULL cells [[ivfAppend]] flags — the action the
+    * growth audit points at, closing the maintenance loop the way
+    * [[reassignDrifted]] closes the staleness audit's: each flagged
+    * cell's members (base + appended) split by ONE deterministic
+    * 2-means step — seeds are the min- and max-id members (engine-
+    * identical, no RNG), members side with the nearer seed (tie → lo),
+    * and one Lloyd update yields two fixed-point sub-centroids. Output
+    * per (cell, sub): member count, mean d2 BEFORE (to the old
+    * centroid) and AFTER (to the sub-centroid) — the split's measured
+    * fit improvement, from order-free quantized sums.
+    *
+    * Scale: healthy cells never enter (the flagged set is ≤ k rows,
+    * broadcast); the member fetch is one semi-join off the assignment
+    * pass shared with the audit; the Lloyd step shuffles only flagged
+    * members on (cell, sub, dim); sub-centroids are ≤ 2k rows,
+    * broadcast back for the after-fit pass.
+    */
+  def splitOverfull(e: DataFrame, cents: DataFrame, overfullNum: Int = 1,
+      overfullDen: Int = 1): DataFrame = {
+    // default threshold 1/1 = "strictly above average": the demo corpus
+    // is well-balanced (max cell ratio ~1.1x), so the production 2x bar
+    // would never exercise the split path there; the 2x coupling with
+    // the audit's flag is pinned on a planted fixture in ReassignSpec
+    val over = ivfAppend(e, cents, overfullNum, overfullDen)
+      .filter(col("overfull")).select(col("cell"))
+    val combined = withEmb(embCorpus(e)).select(col("vec_id"), col("emb"))
+    val members = assignCells(combined, cents)
+      .join(broadcast(over), Seq("cell"))
+      .select(col("cell"), col("vec_id"), col("emb"), col("d2"))
+      .localCheckpoint(false)
+    val seedIds = members.groupBy(col("cell"))
+      .agg(min(col("vec_id")).as("lo_id"), max(col("vec_id")).as("hi_id"))
+    val seeds = seedIds
+      .join(members.select(col("cell"), col("vec_id").as("lo_id"),
+        col("emb").as("lo_emb")), Seq("cell", "lo_id"))
+      .join(members.select(col("cell"), col("vec_id").as("hi_id"),
+        col("emb").as("hi_emb")), Seq("cell", "hi_id"))
+      .select(col("cell"), col("lo_emb"), col("hi_emb"))
+    val sub = members.join(broadcast(seeds), Seq("cell"))
+      .withColumn("sub",
+        when(l2sq(col("emb"), col("lo_emb")) <= l2sq(col("emb"), col("hi_emb")),
+          lit(0L)).otherwise(lit(1L)))
+      .select(col("cell"), col("sub"), col("vec_id"), col("emb"), col("d2"))
+      .localCheckpoint(false)
+    val subCent = sub
+      .select(col("cell"), col("sub"), posexplode(col("emb")).as(Seq("dim", "v")))
+      .groupBy(col("cell"), col("sub"), col("dim"))
+      .agg(sum(quantize(col("v"))).as("q"), count(lit(1)).as("n"))
+      .select(col("cell"), col("sub"), col("dim"),
+        (col("q").cast("double") / (col("n").cast("double") * lit(16777216.0))).as("c"))
+      .groupBy(col("cell"), col("sub"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("c")))).as("pairs"))
+      .select(col("cell"), col("sub"),
+        transform(col("pairs"), p => p.getField("c")).as("scemb"))
+    sub.join(broadcast(subCent), Seq("cell", "sub"))
+      .withColumn("d2_new", l2sq(col("emb"), col("scemb")))
+      .groupBy(col("cell"), col("sub"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(quantize(col("d2"))).as("qb"),
+        sum(quantize(col("d2_new"))).as("qn"))
+      .select(col("cell"), col("sub"), col("n_members"),
+        dequantize(col("qb"), col("n_members")).as("mean_d2_before"),
+        dequantize(col("qn"), col("n_members")).as("mean_d2_after"))
+  }
+
+  /** DuckDB mirror of [[splitOverfull]] over [[appendChainCtes]]. */
+  def splitSql(k: Int = 8, iters: Int = 2, overfullNum: Int = 1,
+      overfullDen: Int = 1): String =
+    s"""WITH ${appendChainCtes(k, iters)},
+       |sover AS (
+       |  SELECT cell FROM aper CROSS JOIN atot
+       |  WHERE (n_base + n_new) * k_cells * $overfullDen > $overfullNum * total),
+       |smemb AS (
+       |  SELECT m.cell, m.vec_id, m.emb, m.d2 FROM (
+       |    SELECT a.vec_id, a.cell, a.d2, kb.emb
+       |    FROM afin a JOIN kb ON kb.vec_id = a.vec_id
+       |    UNION ALL
+       |    SELECT a.vec_id, a.cell, a.d2, e.emb
+       |    FROM ainc a JOIN eincb e ON e.vec_id = a.vec_id) m
+       |  JOIN sover o ON o.cell = m.cell),
+       |ssd AS (
+       |  SELECT cell, MIN(vec_id) AS lo_id, MAX(vec_id) AS hi_id
+       |  FROM smemb GROUP BY cell),
+       |sseeds AS (
+       |  SELECT s.cell, ml.emb AS lo_emb, mh.emb AS hi_emb
+       |  FROM ssd s
+       |  JOIN smemb ml ON ml.cell = s.cell AND ml.vec_id = s.lo_id
+       |  JOIN smemb mh ON mh.cell = s.cell AND mh.vec_id = s.hi_id),
+       |ssub AS (
+       |  SELECT m.cell,
+       |    CASE WHEN ${l2sqSql("m.emb", "s.lo_emb")} <= ${l2sqSql("m.emb", "s.hi_emb")}
+       |         THEN CAST(0 AS BIGINT) ELSE CAST(1 AS BIGINT) END AS sub,
+       |    m.vec_id, m.emb, m.d2
+       |  FROM smemb m JOIN sseeds s ON s.cell = m.cell),
+       |scent AS (
+       |  SELECT cell, sub, list(c ORDER BY dim) AS scemb FROM (
+       |    SELECT cell, sub, dim,
+       |      CAST(SUM(q) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * 16777216.0) AS c
+       |    FROM (SELECT cell, sub,
+       |            CAST(generate_subscripts(emb, 1) - 1 AS BIGINT) AS dim,
+       |            CAST(ROUND(unnest(emb) * 16777216.0) AS BIGINT) AS q
+       |          FROM ssub) e
+       |    GROUP BY cell, sub, dim) g
+       |  GROUP BY cell, sub)
+       |SELECT m.cell, m.sub, COUNT(*) AS n_members,
+       |  CAST(SUM(CAST(ROUND(m.d2 * 16777216.0) AS BIGINT)) AS DOUBLE)
+       |    / (CAST(COUNT(*) AS DOUBLE) * 16777216.0) AS mean_d2_before,
+       |  CAST(SUM(CAST(ROUND(${l2sqSql("m.emb", "sc.scemb")} * 16777216.0) AS BIGINT)) AS DOUBLE)
+       |    / (CAST(COUNT(*) AS DOUBLE) * 16777216.0) AS mean_d2_after
+       |FROM ssub m JOIN scent sc ON sc.cell = m.cell AND sc.sub = m.sub
+       |GROUP BY m.cell, m.sub""".stripMargin
 
   def reassignSql(driftFactor: Double = 1.5, iters: Int = 2): String =
     s"""WITH ${kmeansCtes(trainWhere = "vec_id % 2 = 0")},

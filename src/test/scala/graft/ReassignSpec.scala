@@ -70,6 +70,40 @@ class ReassignSpec extends SparkSpec {
     assert(lax.filter("reassigned").count() === 0)
   }
 
+  test("splitOverfull: flags couple with the audit; a bimodal overfull cell splits into its modes") {
+    import org.apache.spark.sql.functions._
+    // three frozen cells; the appended tier (x1.5 copies of %25 ids)
+    // lands in cell 100 and doubles it past the 2x bar
+    val cents3 = Seq(
+      (0L, Seq(0.0, 0.0)),
+      (100L, Seq(10.0, 10.0)),
+      (200L, Seq(-10.0, -10.0))).toDF("cell", "cemb")
+    val e = (Seq(
+      (1L, Array(0.1f, 0.0f), 0L), (2L, Array(0.0f, 0.1f), 0L),
+      (3L, Array(-10.1f, -10.0f), 2L), (4L, Array(-10.0f, -10.1f), 2L)) ++
+      Seq(25L, 50L, 75L, 100L, 125L, 150L).map(id =>
+        (id, Array(9.9f, 10.0f), 1L)))
+      .toDF("vec_id", "embedding", "label")
+    // the audit at the production 2x bar flags exactly cell 100
+    val flagged = Similarity.ivfAppend(e, cents3, 2, 1)
+      .filter(col("overfull")).select("cell").as[Long].collect().toSet
+    assert(flagged === Set(100L))
+    // the split at the SAME bar touches exactly the flagged cell
+    val out = Similarity.splitOverfull(e, cents3, 2, 1)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(out.keySet.map(_._1) === Set(100L), "split touched a non-flagged cell")
+    assert(out.keySet === Set((100L, 0L), (100L, 1L)))
+    // the deterministic seeds separate the two modes: base members
+    // (near the old centroid) vs appended copies (the 1.5x tier)
+    val (n0, _, after0) = out((100L, 0L))
+    val (n1, before1, after1) = out((100L, 1L))
+    assert(n0 === 6L && n1 === 6L)
+    assert(before1 > 40.0, s"appended mode must fit the old centroid badly: $before1")
+    assert(after1 < 0.1, s"appended mode must fit its sub-centroid tightly: $after1")
+    assert(after0 < 0.1)
+  }
+
   test("ivfAppend: full accounting, base counts reconcile with the fit, overfull rule exact") {
     val e = graft.sources.Tables.embeddings(spark, Sf)
     val cents = Similarity.kmeansFitMemo(e, Sf, "all")

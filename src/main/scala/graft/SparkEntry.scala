@@ -2150,29 +2150,6 @@ object SparkEntry {
     // the full customer row; grouping by the key and joining the ≤
     // |customers| aggregate to the dims is the same result with a far
     // smaller shuffle), then a TakeOrderedAndProject top 20.
-    // TPC-H Q18 shape: large-volume orders — the per-order quantity
-    // aggregate runs FIRST (map-side partials over lineitem, exact
-    // DECIMAL HAVING), and only the qualified ≤ |orders| keys reach the
-    // orders/customer joins; top 100 by (o_totalprice, o_orderkey) is a
-    // TakeOrderedAndProject. The already-computed Σqty re-serves as the
-    // output column (Q18's re-join + re-agg of lineitem is redundant
-    // when the qualifying agg is the same one).
-    "q_bigorders" -> { (s, dir) =>
-      import s.implicits._
-      val qualified = Tables.lineitem(s, dir)
-        .groupBy($"l_orderkey")
-        .agg(sum(dec2($"l_quantity")).as("sum_qty_d"))
-        .filter($"sum_qty_d" > 150)
-      Tables.orders(s, dir)
-        .join(qualified, $"o_orderkey" === $"l_orderkey")
-        .join(Tables.customer(s, dir), $"o_custkey" === $"c_custkey")
-        .select($"c_name", $"c_custkey", $"o_orderkey",
-          date_format($"o_orderdate", "yyyy-MM-dd").as("o_orderdate"),
-          $"o_totalprice", $"sum_qty_d".cast("double").as("sum_qty"))
-        .orderBy($"o_totalprice".desc, $"o_orderkey")
-        .limit(100)
-    },
-
     "q_retrev" -> { (s, dir) =>
       import s.implicits._
       val o = Tables.orders(s, dir)
@@ -4443,18 +4420,6 @@ object SparkEntry {
         |JOIN minc ON c.l_partkey = pk AND c.cost_d = min_cost_d
         |JOIN part p ON c.l_partkey = p.p_partkey
         |JOIN euro_sup es ON c.l_suppkey = es.s_suppkey""".stripMargin,
-    "q_bigorders" ->
-      """SELECT c_name, c_custkey, o_orderkey,
-        |  strftime(o_orderdate::DATE, '%Y-%m-%d') AS o_orderdate,
-        |  o_totalprice, CAST(sum_qty_d AS DOUBLE) AS sum_qty
-        |FROM (
-        |  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty_d
-        |  FROM lineitem GROUP BY l_orderkey
-        |  HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 150) q
-        |JOIN orders ON o_orderkey = l_orderkey
-        |JOIN customer ON o_custkey = c_custkey
-        |ORDER BY o_totalprice DESC, o_orderkey
-        |LIMIT 100""".stripMargin,
     "q_retrev" ->
       """SELECT c_custkey, c_name, c_acctbal, n_name,
         |  CAST(rev_d AS DOUBLE) AS revenue

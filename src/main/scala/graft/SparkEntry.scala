@@ -505,6 +505,15 @@ object SparkEntry {
     // rerun-stable, and duplicate texts land in the same split (no
     // train/test leakage through copies). Narrow map.
     "q_doc_split" -> { (s, dir) => Curation.assignSplit(Tables.documents(s, dir)) },
+    // Deterministic sharded epoch shuffle: per epoch, every doc gets a
+    // seeded-LCG key, routes to a shard by residue, and takes its
+    // within-shard position from the key order — the training-loader
+    // reshuffle done the way 100 TB requires (shard-then-local-order,
+    // never a global per-epoch sort; (epoch, shard) windows keep sort
+    // parallelism ∝ nShards).
+    "q_doc_eshuffle" -> { (s, dir) =>
+      Curation.epochShuffle(Tables.documents(s, dir))
+    },
     // Leakage-safe split: every verified duplicate CLUSTER inherits its
     // root's content-hash bucket, so near-dup copies can never straddle
     // train/eval — the fix for what q_doc_leak measures. Rides the
@@ -3647,6 +3656,7 @@ object SparkEntry {
          |       ELSE 'test' END AS split
          |FROM (SELECT doc_id, lang, (${Dedup.hashSql("text")}) % 1000 AS bucket
          |      FROM documents) t""".stripMargin,
+    "q_doc_eshuffle" -> Curation.epochShuffleSql(),
     "q_doc_splitsafe" ->
       s"""WITH RECURSIVE ${Dedup.corpusSql},
          |${Dedup.tokSql},

@@ -754,7 +754,55 @@ object Curation {
       stringHash(n).as("norm_fp"))
   }
 
+  /** Deterministic sharded EPOCH SHUFFLE — the training-loader staple
+    * the curation tail feeds: for each epoch, every document gets a
+    * fresh pseudo-random key from a seeded LCG mix of (doc_id, epoch)
+    * (pure 64-bit integer arithmetic — rerun-stable, engine-identical,
+    * no RNG state), routes to one of `nShards` shards by key residue,
+    * and takes its within-shard position from the key order. This is
+    * how a real loader shuffles at 100 TB: shard-then-local-order —
+    * NEVER a global per-epoch sort (a 2-row epoch partition would put
+    * the whole corpus through single sorts); the (epoch, shard) window
+    * keys are high-cardinality by construction, so the sort parallelism
+    * scales with nShards. Different epochs produce different orders;
+    * the same (seed, epoch) always reproduces the same order.
+    */
+  def epochShuffle(docs: DataFrame, epochs: Int = 2, nShards: Int = 8,
+      seed: Long = 7L): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val eps = (0L until epochs.toLong).toDF("epoch")
+    val keyed = docs.select(col("doc_id")).crossJoin(broadcast(eps))
+      .withColumn("k",
+        (col("doc_id") * lit(1103515245L) + col("epoch") * lit(12345L) +
+          lit(seed) * lit(2654435761L)) % lit(2147483648L))
+      .withColumn("shard", pmod(col("k"), lit(nShards.toLong)))
+    val w = Window.partitionBy(col("epoch"), col("shard"))
+      .orderBy(col("k"), col("doc_id"))
+    keyed
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("epoch"), col("shard"), col("doc_id"), col("pos"))
+  }
+
   // ---- DuckDB oracle mirrors ---------------------------------------------
+
+  /** DuckDB mirror of [[epochShuffle]]. */
+  def epochShuffleSql(epochs: Int = 2, nShards: Int = 8,
+      seed: Long = 7L): String =
+    s"""WITH eps AS (SELECT unnest(range(0, $epochs)) AS epoch),
+       |keyed AS (
+       |  SELECT d.doc_id, e.epoch,
+       |    (d.doc_id * 1103515245 + e.epoch * 12345 + $seed * 2654435761)
+       |      % 2147483648 AS k
+       |  FROM documents d CROSS JOIN eps e),
+       |sh AS (
+       |  SELECT doc_id, epoch, k,
+       |    ((k % $nShards) + $nShards) % $nShards AS shard
+       |  FROM keyed)
+       |SELECT epoch, shard, doc_id,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY epoch, shard
+       |    ORDER BY k, doc_id) AS BIGINT) AS pos
+       |FROM sh""".stripMargin
 
   /** CASE expression mirroring the keep-permille table. */
   val keepSql: String =

@@ -522,4 +522,33 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("epochShuffle: exactly-once per epoch, contiguous positions, epochs differ, reruns agree") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables.documents(spark, Sf)
+    val n = docs.count()
+    val out = graft.operators.Curation.epochShuffle(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // every doc appears exactly once per epoch
+    (0L to 1L).foreach { e =>
+      val ep = out.filter(_._1 == e)
+      assert(ep.length.toLong === n, s"epoch $e lost or duplicated docs")
+      assert(ep.map(_._3).distinct.length.toLong === n)
+      // positions are 1..|shard| contiguous within every shard
+      ep.groupBy(_._2).foreach { case (sh, rows) =>
+        assert(rows.map(_._4).sorted.toSeq === (1L to rows.length).toSeq,
+          s"epoch $e shard $sh positions not contiguous")
+      }
+    }
+    // the two epochs genuinely reshuffle: most docs change (shard, pos)
+    val byDoc = out.groupBy(_._3)
+    val moved = byDoc.count { case (_, rows) =>
+      val a = rows.find(_._1 == 0L).get; val b = rows.find(_._1 == 1L).get
+      (a._2, a._4) != (b._2, b._4)
+    }
+    assert(moved * 10 >= n * 8, s"epochs must produce different orders: $moved/$n moved")
+    // rerun-stable: the shuffle is a pure function of (seed, epoch, id)
+    val again = graft.operators.Curation.epochShuffle(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSet === again.toSet)
+  }
 }

@@ -2159,6 +2159,28 @@ object SparkEntry {
     // the full customer row; grouping by the key and joining the ≤
     // |customers| aggregate to the dims is the same result with a far
     // smaller shuffle), then a TakeOrderedAndProject top 20.
+    // TPC-H Q19 shape: disjunctive-predicate revenue — a 3-branch OR of
+    // ANDed brand/size/quantity bands over lineitem ⋈ part. The
+    // optimizer property under test: ONE equi join + one agg (never a
+    // union of three scans), with as much of the disjunction as the
+    // scans can take pushed down (plan-pinned), the rest residual on
+    // the join. Exact DECIMAL money/quantity throughout.
+    "q_disjrev" -> { (s, dir) =>
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir)), $"l_partkey" === $"p_partkey")
+        .filter(
+          ($"p_brand" === "Brand#1" && $"p_size".between(1, 10) &&
+            dec2($"l_quantity").between(1, 20)) ||
+          ($"p_brand" === "Brand#2" && $"p_size".between(5, 20) &&
+            dec2($"l_quantity").between(10, 30)) ||
+          ($"p_brand" === "Brand#3" && $"p_size".between(10, 40) &&
+            dec2($"l_quantity").between(20, 40)))
+        .agg(sum(dec2($"l_extendedprice") * (lit(1) - pct($"l_discount")))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n"))
+    },
+
     "q_retrev" -> { (s, dir) =>
       import s.implicits._
       val o = Tables.orders(s, dir)
@@ -4430,6 +4452,17 @@ object SparkEntry {
         |JOIN minc ON c.l_partkey = pk AND c.cost_d = min_cost_d
         |JOIN part p ON c.l_partkey = p.p_partkey
         |JOIN euro_sup es ON c.l_suppkey = es.s_suppkey""".stripMargin,
+    "q_disjrev" ->
+      """SELECT
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+        |       AND CAST(l_quantity AS DECIMAL(12,2)) BETWEEN 1 AND 20)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 5 AND 20
+        |       AND CAST(l_quantity AS DECIMAL(12,2)) BETWEEN 10 AND 30)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 40
+        |       AND CAST(l_quantity AS DECIMAL(12,2)) BETWEEN 20 AND 40)""".stripMargin,
     "q_retrev" ->
       """SELECT c_custkey, c_name, c_acctbal, n_name,
         |  CAST(rev_d AS DOUBLE) AS revenue

@@ -562,6 +562,21 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q_disjrev: the brand/size disjunction pushes to the part scan; one join, no union") {
+    val p = plan("q_disjrev")
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters:")).mkString("\n")
+    // Q19's optimizer property: the part-only conjuncts of every OR
+    // branch reach the scan as one pushed disjunction (row-group pruning
+    // on an OR), not as a post-scan filter
+    assert(pushed.contains("Or(") && pushed.contains("EqualTo(p_brand,Brand#1)") &&
+      pushed.contains("EqualTo(p_brand,Brand#3)"),
+      s"part disjunction must be pushed to the scan: $pushed")
+    assert(p.contains("BroadcastHashJoin"), "part side must broadcast")
+    assert(!p.contains("Union"), "disjunction must not plan as a union of scans")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "lost map-side partials")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q_bigorders: qualifying agg before the joins") {
     val p = plan("q_bigorders")
     // the per-order Σqty aggregate (partial + final) runs BEFORE any

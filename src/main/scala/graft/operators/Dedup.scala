@@ -522,6 +522,35 @@ object Dedup {
     */
   private val indexMemo = new graft.sources.StageMemo[(DataFrame, DataFrame)](8)
 
+  /** App-scoped root for the persisted index stores, with a ONE-TIME JVM
+    * shutdown hook that deletes the whole app directory (both
+    * generations): `spark.cleaner.referenceTracking.cleanCheckpoints`
+    * only reclaims RDD checkpoint files, so without this the parquet
+    * stores would accumulate across app runs on a long-lived host. The
+    * gen-1 store is NOT deleted eagerly at compaction time — memoized
+    * frames ([[dedupIndexFor]], the pair/cluster artifacts built on it)
+    * may still be serving reads from it within the session; on a real
+    * cluster an object-store lifecycle policy (or the orchestrator's
+    * run-scoped prefix) plays this reclamation role.
+    */
+  private val hookRegistered = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  private def indexStoreRoot(spark: org.apache.spark.sql.SparkSession): String = {
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft-dedup-index/" +
+      spark.sparkContext.applicationId
+    if (hookRegistered.compareAndSet(false, true)) {
+      val dir = new java.io.File(root)
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+          f.delete(): Unit
+        }
+        rm(dir)
+      }, "graft-dedup-index-cleanup"))
+    }
+    root
+  }
+
   /** NOTE the memo (and the store path) key on the data DIR, not the
     * frame: every caller for a given dir must pass the SAME canonical
     * base (here: the corpus tiers below +2e6) or the memo would serve a
@@ -532,8 +561,8 @@ object Dedup {
     indexMemo.getOrCompute(
       graft.sources.Tables.dataKey(base.sparkSession, dir, "dedup-index")) {
       val spark = base.sparkSession
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft-dedup-index/" +
-        s"${spark.sparkContext.applicationId}/${java.lang.Integer.toHexString(dir.hashCode)}"
+      val path =
+        s"${indexStoreRoot(spark)}/${java.lang.Integer.toHexString(dir.hashCode)}"
       tokenHashes(base).write.mode("overwrite").parquet(s"$path/tok")
       val tok = spark.read.parquet(s"$path/tok")
       lshBands(signaturesFromTok(tok)).write.mode("overwrite").parquet(s"$path/bands")
@@ -605,9 +634,9 @@ object Dedup {
     */
   def incrementalJaccardPairs(base: DataFrame, incr: DataFrame, dir: String,
       minJaccard: Double = 0.5): DataFrame =
-    basePairsFor(base, dir)
+    basePairsFor(base, dir, minJaccard)
       .withColumn("part", lit("base"))
-      .union(mergePairsFor(base, incr, dir)
+      .union(mergePairsFor(base, incr, dir, minJaccard)
         .withColumn("part", lit("incr")))
 
   /** Memoized [[incrementMergePairs]] artifact — the merge runs once per
@@ -618,24 +647,28 @@ object Dedup {
     * base/increment split (tests that vary the increment clear memos
     * first).
     */
-  def mergePairsFor(base: DataFrame, incr: DataFrame, dir: String): DataFrame =
+  def mergePairsFor(base: DataFrame, incr: DataFrame, dir: String,
+      minJaccard: Double = 0.5): DataFrame =
     jpairMemo.getOrCompute(
-      graft.sources.Tables.dataKey(base.sparkSession, dir) + "|mergepairs") {
+      graft.sources.Tables.dataKey(base.sparkSession, dir) +
+        s"|mergepairs$minJaccard") {
       val (tokB, bandsB) = dedupIndexFor(base, dir)
       graft.sources.StageMemo.reliableStage(
-        incrementMergePairs(tokB, bandsB, incr))
+        incrementMergePairs(tokB, bandsB, incr, minJaccard))
     }
 
   /** Verified pair table of the BASE corpus served off the persisted
     * index — memoized like [[jaccardPairsFor]] (one verify, every
     * incremental consumer reads the artifact).
     */
-  def basePairsFor(base: DataFrame, dir: String): DataFrame =
+  def basePairsFor(base: DataFrame, dir: String,
+      minJaccard: Double = 0.5): DataFrame =
     jpairMemo.getOrCompute(
-      graft.sources.Tables.dataKey(base.sparkSession, dir) + "|basepairs") {
+      graft.sources.Tables.dataKey(base.sparkSession, dir) +
+        s"|basepairs$minJaccard") {
       val (tokB, bandsB) = dedupIndexFor(base, dir)
       graft.sources.StageMemo.reliableStage(
-        verifyJaccard(candidatesFromBands(bandsB), tokB, 0.5))
+        verifyJaccard(candidatesFromBands(bandsB), tokB, minJaccard))
     }
 
   /** Base-corpus cluster table (the artifact incremental maintenance
@@ -694,8 +727,8 @@ object Dedup {
       val spark = base.sparkSession
       val (tokB, bandsB) = dedupIndexFor(base, dir)
       val tokN = tokenHashes(incr).localCheckpoint(false)
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft-dedup-index/" +
-        s"${spark.sparkContext.applicationId}/${java.lang.Integer.toHexString(dir.hashCode)}-gen2"
+      val path =
+        s"${indexStoreRoot(spark)}/${java.lang.Integer.toHexString(dir.hashCode)}-gen2"
       tokB.union(tokN).write.mode("overwrite").parquet(s"$path/tok")
       bandsB.union(lshBands(signaturesFromTok(tokN)))
         .write.mode("overwrite").parquet(s"$path/bands")

@@ -976,8 +976,11 @@ object Similarity {
     val incr = embCorpus(e).filter(col("vec_id") >= 1000000L)
     val newCnt = kmeansAssign(incr, cents)
       .groupBy(col("cell")).agg(count(lit(1)).as("n_new"))
-    val per = baseCnt.join(newCnt, Seq("cell"), "left")
-      .select(col("cell"), col("n_base"),
+    // FULL outer: an appended vector can land in a cell with zero base
+    // members (empty-base cells are exactly the growth-interesting ones);
+    // a left join from the base side would silently drop it from the audit
+    val per = baseCnt.join(newCnt, Seq("cell"), "full")
+      .select(col("cell"), coalesce(col("n_base"), lit(0L)).as("n_base"),
         coalesce(col("n_new"), lit(0L)).as("n_new"))
       .localCheckpoint(false)
     val tot = per.agg(sum(col("n_base") + col("n_new")).as("total"),
@@ -1017,8 +1020,10 @@ object Similarity {
        |bcnt AS (SELECT cell, COUNT(*) AS n_base FROM afin GROUP BY cell),
        |ncnt AS (SELECT cell, COUNT(*) AS n_new FROM ainc GROUP BY cell),
        |aper AS (
-       |  SELECT b.cell, b.n_base, COALESCE(n.n_new, CAST(0 AS BIGINT)) AS n_new
-       |  FROM bcnt b LEFT JOIN ncnt n ON n.cell = b.cell),
+       |  SELECT COALESCE(b.cell, n.cell) AS cell,
+       |    COALESCE(b.n_base, CAST(0 AS BIGINT)) AS n_base,
+       |    COALESCE(n.n_new, CAST(0 AS BIGINT)) AS n_new
+       |  FROM bcnt b FULL JOIN ncnt n ON n.cell = b.cell),
        |atot AS (
        |  SELECT CAST(SUM(n_base + n_new) AS BIGINT) AS total,
        |    COUNT(*) AS k_cells

@@ -104,6 +104,29 @@ class ReassignSpec extends SparkSpec {
     assert(after0 < 0.1)
   }
 
+  test("ivfAppend: a cell with zero base members still appears in the audit") {
+    import org.apache.spark.sql.functions._
+    // cell 300 at (15,15) attracts no base vector, but the appended tier
+    // (1.5x copies of the %25 ids at (10,10)) lands exactly on it — the
+    // empty-base cell is the growth-interesting row a left join from the
+    // base side would silently drop
+    val cents3 = Seq(
+      (0L, Seq(0.0, 0.0)),
+      (100L, Seq(10.0, 10.0)),
+      (300L, Seq(15.0, 15.0))).toDF("cell", "cemb")
+    val e = Seq(
+      (1L, Array(0.1f, 0.0f), 0L), (2L, Array(0.0f, 0.1f), 0L),
+      (25L, Array(10.0f, 10.0f), 1L), (50L, Array(10.0f, 10.0f), 1L))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.ivfAppend(e, cents3).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out.contains(300L), "empty-base cell dropped from the audit")
+    assert(out(300L).getLong(1) === 0L && out(300L).getLong(2) === 2L)
+    assert(out(300L).isNullAt(3), "growth_permille undefined on an empty base")
+    // accounting still total: every appended vector appears exactly once
+    assert(out.values.map(_.getLong(2)).sum === 2L)
+  }
+
   test("ivfAppend: full accounting, base counts reconcile with the fit, overfull rule exact") {
     val e = graft.sources.Tables.embeddings(spark, Sf)
     val cents = Similarity.kmeansFitMemo(e, Sf, "all")

@@ -880,6 +880,17 @@ object SparkEntry {
       Similarity.splitOverfull(e, Similarity.kmeansFitMemo(e, dir, "all"))
     },
 
+    // IVF takedown: the delete batch (vec_id % 10 == 3) assigns against
+    // the frozen centroids — O(delete set), base never recomputes — and
+    // leaves the index as per-cell occupancy deltas with a division-free
+    // underfull flag. The oracle derives n_after the OTHER way (filtering
+    // the full assignment), pinning subset-assignment determinism.
+    "q_emb_delete" -> { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+      Similarity.ivfDelete(e, Similarity.kmeansFitMemo(e, dir, "all"),
+        e.filter(col("vec_id") % 10 === 3))
+    },
+
     // IVF index-staleness audit: centroids frozen on the even-id half,
     // every vector assigned against them; per cell, how post-build
     // vectors fit vs training ones — the retrain-decision read-out.
@@ -1094,6 +1105,33 @@ object SparkEntry {
         .groupBy(col("band"), col("bucket_size"))
         .agg(count(lit(1)).as("n_buckets"))
     },
+    // Takedown propagation through the persisted INDEX store — the
+    // DELETE primitive next to ADD (q_dedup_incr) and COMPACT
+    // (q_dedup_compact): the takedown batch's rows leave the parquet
+    // tok/band store via two anti-join scans (base never re-shingled);
+    // bucket stats come FROM the deleted store, the oracle rebuilds them
+    // from scratch over base ∖ deleted — deleted ≡ rebuilt.
+    "q_dedup_delindex" -> { (s, dir) =>
+      val c = Dedup.corpus(Tables.documents(s, dir))
+      val base = c.filter(col("doc_id") < 2000000L)
+      val (_, bands) = Dedup.deleteFromIndex(
+        base, base.filter(col("doc_id") % 30 === 0), dir)
+      bands.groupBy(col("band"), col("bh"))
+        .agg(count(lit(1)).as("bucket_size"))
+        .groupBy(col("band"), col("bucket_size"))
+        .agg(count(lit(1)).as("n_buckets"))
+    },
+    // Takedown propagation through the persisted CLUSTER table: touched
+    // components (those containing a deleted member) re-resolve over
+    // their surviving ACTUAL pair edges — a deleted doc can be a cut
+    // vertex, so star edges would glue the split halves back together —
+    // while untouched rows pass through byte-identical. Oracle = the
+    // full recursive-closure recompute over corpus ∖ deleted.
+    "q_dedup_delete" -> { (s, dir) =>
+      val c = Dedup.corpus(Tables.documents(s, dir))
+      Dedup.deleteClustersFor(c, c.filter(col("doc_id") % 30 === 0), dir)
+    },
+
     // Source-pair duplicate matrix: verified near-dup pairs rolled up
     // to (source, source) counts + order-free fixed-point mean Jaccard
     // — the provenance read-out (which sources copy which) a curation
@@ -3149,6 +3187,24 @@ object SparkEntry {
          |sz AS (SELECT band, bh, COUNT(*) AS bucket_size FROM bands GROUP BY band, bh)
          |SELECT band, bucket_size, COUNT(*) AS n_buckets
          |FROM sz GROUP BY band, bucket_size""".stripMargin,
+    "q_dedup_delindex" ->
+      s"""WITH ${Dedup.corpusSql},
+         |cdel AS (SELECT * FROM corpus WHERE doc_id < 2000000 AND doc_id % 30 <> 0),
+         |${Dedup.tokSqlFor("cdel", "tok")},
+         |${Dedup.sigSql},
+         |${Dedup.bandsSql},
+         |sz AS (SELECT band, bh, COUNT(*) AS bucket_size FROM bands GROUP BY band, bh)
+         |SELECT band, bucket_size, COUNT(*) AS n_buckets
+         |FROM sz GROUP BY band, bucket_size""".stripMargin,
+    "q_dedup_delete" ->
+      s"""WITH RECURSIVE ${Dedup.corpusSql},
+         |cdel AS (SELECT * FROM corpus WHERE doc_id % 30 <> 0),
+         |${Dedup.tokSqlFor("cdel", "tok")},
+         |${Dedup.sigSql},
+         |${Dedup.bandsSql},
+         |${Dedup.closureSql}
+         |SELECT id AS doc_id, cluster, (id = cluster) AS is_keeper FROM comp""".stripMargin,
+    "q_emb_delete" -> Similarity.ivfDeleteSql("vec_id % 10 = 3"),
     "q_dedup_srcmatrix" ->
       s"""WITH ${Dedup.corpusSql},
          |${Dedup.tokSql},

@@ -735,6 +735,99 @@ object Dedup {
       (spark.read.parquet(s"$path/tok"), spark.read.parquet(s"$path/bands"))
     }
 
+  /** Takedown propagation through the persisted INDEX store — the third
+    * incremental primitive next to ADD ([[incrementMergePairs]]) and
+    * COMPACT ([[compactIndex]]): a right-to-be-forgotten batch removes
+    * its docs' rows from the persisted tok/band store and writes the
+    * result as a next-generation parquet index. The base corpus is never
+    * re-shingled — the whole delete is two anti-join scans of the store
+    * (O(store) I/O, O(delete set) join state); deleted ≡ a full index
+    * rebuild over base ∖ deleted by construction (tok and bands are pure
+    * per-doc functions), which q_dedup_delindex oracle-checks through
+    * the bucket-stats read-out.
+    *
+    * Same dir-keyed-memo caveat as [[dedupIndexFor]]: callers for a
+    * given dir must pass the canonical base and takedown batch.
+    */
+  def deleteFromIndex(base: DataFrame, deleted: DataFrame,
+      dir: String): (DataFrame, DataFrame) =
+    indexMemo.getOrCompute(
+      graft.sources.Tables.dataKey(base.sparkSession, dir, "dedup-index-del")) {
+      val spark = base.sparkSession
+      val (tokB, bandsB) = dedupIndexFor(base, dir)
+      val delIds = deleted.select(col("doc_id")).distinct().localCheckpoint(false)
+      val path =
+        s"${indexStoreRoot(spark)}/${java.lang.Integer.toHexString(dir.hashCode)}-del"
+      tokB.join(delIds.hint("shuffle_hash"), Seq("doc_id"), "left_anti")
+        .write.mode("overwrite").parquet(s"$path/tok")
+      bandsB.join(delIds.hint("shuffle_hash"), Seq("doc_id"), "left_anti")
+        .write.mode("overwrite").parquet(s"$path/bands")
+      (spark.read.parquet(s"$path/tok"), spark.read.parquet(s"$path/bands"))
+    }
+
+  /** Takedown propagation through the persisted CLUSTER table — the
+    * delete-side mirror of [[incrementalClusters]], with one crucial
+    * asymmetry: a deleted doc can be a CUT VERTEX, so the touched
+    * components must re-resolve over their surviving ACTUAL pair edges
+    * (served from the persisted [[jaccardPairsFor]] artifact), never the
+    * star edges the add-side fold-in uses — member → root stars preserve
+    * connectivity, which is exactly wrong when removing the doc that
+    * provided it (a~b~c with b deleted must split a and c apart).
+    *
+    * Shape: (1) touched components = clusters containing a deleted
+    * member, found by one delete-bounded semi-join; (2) their surviving
+    * edges = the persisted pair table semi-join-reduced to touched
+    * members, both endpoints anti-joined against the delete set; (3) the
+    * star loop re-runs on that subgraph only — docs left with no
+    * surviving edge drop out of the table, exactly as a full rebuild
+    * drops never-paired docs; (4) every untouched cluster row passes
+    * through byte-identical (the same row of the same persisted table).
+    * Deleting nodes/edges can only SPLIT components, never merge them,
+    * so the per-component recompute is exhaustive. Work scales with the
+    * touched membership, not the corpus; output ≡ a full re-cluster of
+    * corpus ∖ deleted, which the q_dedup_delete oracle re-checks against
+    * the recursive-closure recompute.
+    */
+  def deleteClusters(c: DataFrame, deleted: DataFrame, dir: String): DataFrame =
+    deleteClustersFrom(clustersFor(c, dir),
+      jaccardPairsFor(c, dir).select(col("doc_a"), col("doc_b")), deleted)
+
+  /** [[deleteClusters]] over caller-supplied persisted artifacts (the
+    * cluster table and its verified pair table) — the production entry
+    * point, and the one fixtures test without touching the dir-keyed
+    * memos.
+    */
+  def deleteClustersFrom(cl: DataFrame, pairs: DataFrame,
+      deleted: DataFrame): DataFrame = {
+    val delIds = deleted.select(col("doc_id")).distinct()
+    val touched = cl.join(delIds.hint("shuffle_hash"), Seq("doc_id"), "left_semi")
+      .select(col("cluster")).distinct()
+    val touchedMembers = cl
+      .join(touched.hint("shuffle_hash"), Seq("cluster"), "left_semi")
+      .localCheckpoint(false)
+    val edges = pairs.select(col("doc_a"), col("doc_b"))
+      .join(touchedMembers.select(col("doc_id").as("doc_a")).hint("shuffle_hash"),
+        Seq("doc_a"), "left_semi")
+      .join(delIds.select(col("doc_id").as("doc_a")).hint("shuffle_hash"),
+        Seq("doc_a"), "left_anti")
+      .join(delIds.select(col("doc_id").as("doc_b")).hint("shuffle_hash"),
+        Seq("doc_b"), "left_anti")
+      .select(col("doc_a"), col("doc_b"))
+    val sub = duplicateClusters(edges)
+    cl.join(touchedMembers.select(col("doc_id")).hint("shuffle_hash"),
+        Seq("doc_id"), "left_anti")
+      .union(sub)
+  }
+
+  /** [[deleteClusters]] memoized as the post-takedown cluster ARTIFACT
+    * (reliable checkpoint), same serving discipline as
+    * [[incrementalClustersFor]].
+    */
+  def deleteClustersFor(c: DataFrame, deleted: DataFrame, dir: String): DataFrame =
+    clusterMemo.getOrCompute(
+      graft.sources.Tables.dataKey(c.sparkSession, dir) + "|delclusters")(
+      graft.sources.StageMemo.reliableStage(deleteClusters(c, deleted, dir)))
+
   /** Incremental duplicate-CLUSTER maintenance — the step after
     * [[incrementMergePairs]] in the daily-crawl loop: fold the
     * increment's verified edges into the existing cluster table without

@@ -1150,6 +1150,74 @@ object Similarity {
        |FROM ssub m JOIN scent sc ON sc.cell = m.cell AND sc.sub = m.sub
        |GROUP BY m.cell, m.sub""".stripMargin
 
+  /** IVF takedown propagation — the DELETE member of the maintenance
+    * family (staleness = diagnose, reassign = repair, append = grow,
+    * split = act, delete = forget): a takedown batch's vectors leave the
+    * index as per-cell occupancy DELTAS. The batch assigns against the
+    * FROZEN production centroids — one narrow broadcast-argmin pass over
+    * the DELETE SET only; base assignments never recompute (the per-cell
+    * base counts are the persisted audit artifact [[ivfAppend]] already
+    * reads) — and the audit rolls up per cell: occupancy before, deleted
+    * count, occupancy after, and a DIVISION-FREE underfull flag
+    * (n_after·k·den < num·total_after in exact integers, default 1/2 =
+    * below half the average) naming the cells the next compaction pass
+    * should fold into a neighbor. Output ≤ k rows; the only delete-time
+    * work beyond the base-count artifact is O(delete set).
+    *
+    * Deterministic cross-check: the subset pass assigns each deleted
+    * vector exactly as the full pass did (argmin with the same cell
+    * tie-break), so n_after ≡ a full occupancy rebuild over
+    * corpus ∖ deleted — which the q_emb_delete oracle computes the OTHER
+    * way (filtering the full assignment) and compares.
+    */
+  def ivfDelete(e: DataFrame, cents: DataFrame, deleted: DataFrame,
+      underNum: Int = 1, underDen: Int = 2): DataFrame = {
+    val baseCnt = kmeansAssign(e, cents)
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_before"))
+    val delCnt = kmeansAssign(deleted, cents)
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_del"))
+    // deleted ⊆ corpus, so every delete cell already has base members —
+    // a left join from the base side is provably total here (unlike
+    // ivfAppend's grow direction, which needs the full outer)
+    val per = baseCnt.join(delCnt, Seq("cell"), "left")
+      .select(col("cell"), col("n_before"),
+        coalesce(col("n_del"), lit(0L)).as("n_del"))
+      .withColumn("n_after", col("n_before") - col("n_del"))
+      .localCheckpoint(false)
+    val tot = per.agg(sum(col("n_after")).as("total_after"),
+      count(lit(1)).as("k_cells"))
+    per.crossJoin(broadcast(tot))
+      .select(col("cell"), col("n_before"), col("n_del"), col("n_after"),
+        (col("n_after") * col("k_cells") * lit(underDen.toLong) <
+          lit(underNum.toLong) * col("total_after")).as("underfull"))
+  }
+
+  /** DuckDB mirror of [[ivfDelete]] over [[kmeansCtes]]' full-corpus
+    * chain: the oracle derives n_after by FILTERING the full assignment
+    * (the full-rebuild direction), where the engine subtracts a
+    * delete-set-only pass — agreement pins the subset assignment's
+    * determinism as well as the delta accounting.
+    */
+  def ivfDeleteSql(deleteWhere: String, underNum: Int = 1, underDen: Int = 2,
+      k: Int = 8, iters: Int = 2): String =
+    s"""WITH ${kmeansCtes(k, iters)},
+       |dbcnt AS (SELECT cell, COUNT(*) AS n_before FROM afin GROUP BY cell),
+       |ddcnt AS (
+       |  SELECT cell, COUNT(*) AS n_del FROM afin
+       |  WHERE $deleteWhere GROUP BY cell),
+       |dper AS (
+       |  SELECT b.cell, b.n_before,
+       |    COALESCE(d.n_del, CAST(0 AS BIGINT)) AS n_del,
+       |    b.n_before - COALESCE(d.n_del, CAST(0 AS BIGINT)) AS n_after
+       |  FROM dbcnt b LEFT JOIN ddcnt d ON d.cell = b.cell),
+       |dtot AS (
+       |  SELECT CAST(SUM(n_after) AS BIGINT) AS total_after,
+       |    COUNT(*) AS k_cells
+       |  FROM dper)
+       |SELECT cell, n_before, n_del, n_after,
+       |  n_after * k_cells * $underDen < $underNum * total_after AS underfull
+       |FROM dper CROSS JOIN dtot""".stripMargin
+
   def reassignSql(driftFactor: Double = 1.5, iters: Int = 2): String =
     s"""WITH ${kmeansCtes(trainWhere = "vec_id % 2 = 0")},
        |lab AS (SELECT cell, vec_id % 2 <> 0 AS is_new,

@@ -1,0 +1,143 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Similarity}
+import graft.sources.Tables
+
+/** Takedown/right-to-be-forgotten propagation through the persisted
+  * artifacts: the delete-side primitives next to ADD (incremental merge)
+  * and COMPACT (generation roll). Pins delete ≡ full rebuild on
+  * corpus ∖ deleted for the index store, the cluster table, and the IVF
+  * occupancy audit — plus the cut-vertex case the add-side star-edge
+  * shortcut would get wrong.
+  */
+class DeleteSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, Sf)
+  private lazy val corpus = Dedup.corpus(docs).cache()
+  private def takedown = corpus.filter($"doc_id" % 30 === 0)
+
+  test("deleteFromIndex == full index rebuild over base \\ deleted; store persisted + memo-served") {
+    Dedup.clearMemos()
+    val base = corpus.filter($"doc_id" < 2000000L)
+    val del = base.filter($"doc_id" % 30 === 0)
+    val (tokD, bandsD) = Dedup.deleteFromIndex(base, del, Sf)
+    val kept = base.filter($"doc_id" % 30 =!= 0)
+    assert(tokD.as[(Long, Long)].collect().toSet ===
+      Dedup.tokenHashes(kept).as[(Long, Long)].collect().toSet,
+      "deleted token store diverged from a from-scratch rebuild")
+    assert(bandsD.as[(Long, Long, Long)].collect().toSet ===
+      Dedup.lshBands(Dedup.minhashSignatures(kept)).as[(Long, Long, Long)].collect().toSet,
+      "deleted band store diverged from a from-scratch rebuild")
+    assert(tokD.inputFiles.nonEmpty && bandsD.inputFiles.nonEmpty,
+      "deleted store must be parquet-backed (a persisted generation)")
+    val (tok2, bands2) = Dedup.deleteFromIndex(base, del, Sf)
+    assert((tokD eq tok2) && (bandsD eq bands2), "second call must hit the memo")
+  }
+
+  test("deleteClusters == full re-cluster of corpus \\ deleted; untouched rows pass through; work bounded by touched components") {
+    Dedup.clearMemos()
+    val got = Dedup.deleteClusters(corpus, takedown, Sf)
+      .as[(Long, Long, Boolean)].collect().toSet
+    val survivorPairs = Dedup.ngramJaccardPairs(
+      corpus.filter($"doc_id" % 30 =!= 0))
+      .select($"doc_a", $"doc_b")
+    val full = Dedup.duplicateClusters(survivorPairs)
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(got === full, "post-takedown cluster table diverged from the full rebuild")
+
+    // fixture power: the takedown batch must actually hit clusters, and
+    // some cluster must survive SHRUNK (so the pass-through/minus split
+    // is exercised, not just wholesale deletion)
+    val before = Dedup.clustersFor(corpus, Sf).as[(Long, Long, Boolean)].collect()
+    val delIds = takedown.select($"doc_id").as[Long].collect().toSet
+    val touchedClusters = before.filter(r => delIds(r._1)).map(_._2).toSet
+    assert(touchedClusters.nonEmpty, "fixture lost its power: no cluster touched")
+    assert(got.size < before.length, "deletion must remove cluster rows")
+
+    // untouched components pass through byte-identical
+    val untouched = before.filterNot(r => touchedClusters(r._2)).toSet
+    assert(untouched.nonEmpty, "fixture lost its power: every cluster touched")
+    assert(untouched.subsetOf(got),
+      "untouched cluster rows must appear unchanged in the post-delete table")
+
+    // work bound: every row that was re-resolved (not passed through)
+    // belongs to a component that contained a deleted member
+    val resolved = got -- untouched
+    resolved.foreach { case (id, _, _) =>
+      val origCluster = before.find(_._1 == id).map(_._2)
+      assert(origCluster.exists(touchedClusters),
+        s"doc $id was re-resolved without takedown contact")
+    }
+  }
+
+  test("cut-vertex delete SPLITS the component (star edges would glue it back)") {
+    // a ~ b ~ c chain where b bridges: J(a,b) = J(b,c) = 30/46 ≈ 0.65,
+    // J(a,c) = 22/54 ≈ 0.41 < 0.5 — deleting b must leave a and c in
+    // SEPARATE components (here: both unpaired, so out of the table)
+    val w = (1 to 40).map(i => s"w$i")
+    val x = (1 to 8).map(i => s"x$i")
+    val y = (1 to 8).map(i => s"y$i")
+    val a = w.mkString(" ")
+    val b = (w.take(32) ++ x).mkString(" ")
+    val c = (y ++ w.slice(8, 32) ++ x).mkString(" ")
+    val fx = Seq((1L, "en", a), (2L, "en", b), (3L, "en", c))
+      .toDF("doc_id", "lang", "text")
+    val pairs = Dedup.ngramJaccardPairs(fx)
+    val pairSet = pairs.select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(pairSet === Set((1L, 2L), (2L, 3L)),
+      s"fixture must form exactly the a~b~c chain, got $pairSet")
+    val cl = Dedup.duplicateClusters(pairs.select($"doc_a", $"doc_b"))
+    assert(cl.as[(Long, Long, Boolean)].collect().toSet ===
+      Set((1L, 1L, true), (2L, 1L, false), (3L, 1L, false)))
+    val afterDel = Dedup.deleteClustersFrom(cl, pairs,
+      Seq(2L).toDF("doc_id"))
+    assert(afterDel.count() === 0L,
+      "deleting the bridge must split {a, c} apart (both become unpaired)")
+    // and the same machinery on a NON-cut member only shrinks the cluster
+    val afterLeaf = Dedup.deleteClustersFrom(cl, pairs, Seq(3L).toDF("doc_id"))
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(afterLeaf === Set((1L, 1L, true), (2L, 1L, false)))
+  }
+
+  test("ivfDelete: n_after == rebuild counts, emptied cell stays visible, underfull rule exact") {
+    val e = Tables.embeddings(spark, Sf)
+    val cents = Similarity.kmeansFitMemo(e, Sf, "all")
+    val del = e.filter($"vec_id" % 10 === 3)
+    val out = Similarity.ivfDelete(e, cents, del).collect()
+    assert(out.nonEmpty)
+    // n_after reconciles with a full occupancy rebuild over corpus \ D
+    val rebuilt = Similarity.kmeansAssign(e.filter($"vec_id" % 10 =!= 3), cents)
+      .groupBy($"cell").agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    out.foreach { r =>
+      assert(r.getLong(3) === rebuilt.getOrElse(r.getLong(0), 0L),
+        s"n_after diverged from the rebuild on cell ${r.getLong(0)}")
+    }
+    // delta accounting total: sum n_del == |delete set|
+    assert(out.map(_.getLong(2)).sum === del.count())
+    // underfull rule re-derives from the emitted counts
+    val k = out.length.toLong
+    val total = out.map(_.getLong(3)).sum
+    out.foreach { r =>
+      assert(r.getBoolean(4) === (r.getLong(3) * k * 2 < total),
+        s"underfull flag diverged on cell ${r.getLong(0)}")
+    }
+  }
+
+  test("ivfDelete: deleting a cell's only member leaves an n_after=0 underfull row") {
+    val cents = Seq((0L, Seq(0.0, 0.0)), (100L, Seq(10.0, 10.0)))
+      .toDF("cell", "cemb")
+    val e = Seq(
+      (1L, Array(0.1f, 0.0f), 0L), (2L, Array(0.0f, 0.1f), 0L),
+      (3L, Array(0.2f, 0.1f), 0L), (7L, Array(10.0f, 10.0f), 1L))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.ivfDelete(e, cents, e.filter($"vec_id" === 7L))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(100L).getLong(1) === 1L && out(100L).getLong(2) === 1L &&
+      out(100L).getLong(3) === 0L)
+    assert(out(100L).getBoolean(4), "an emptied cell must flag underfull")
+    assert(out(0L).getLong(3) === 3L && !out(0L).getBoolean(4))
+  }
+}

@@ -851,6 +851,15 @@ object SparkEntry {
           (coalesce($"n_hit", lit(0L)).cast("double") / $"n_truth".cast("double"))
             .as("recall"))
     },
+    // Predicate-filtered ANN recall audit: the metadata predicate
+    // (vec_id % 4 == 1, ~25% selective, orthogonal to the cell
+    // structure) is pushed to the candidate side BEFORE the cosine
+    // verify; the widened nprobe=4 budget restores k from the thinned
+    // cells. Truth = brute top-k over the FILTERED store.
+    "q_emb_filtered" -> { (s, dir) =>
+      Similarity.filteredRecall(Tables.embeddings(s, dir),
+        col("vec_id") % 4 === 1)
+    },
     "q_emb_centroid" -> { (s, dir) => Similarity.centroids(Tables.embeddings(s, dir)) },
     // Lloyd's k-means (2 iterations, deterministic init): trains the
     // coarse quantizer IVF/IVF-PQ assume — broadcast k-row centroids,
@@ -3028,6 +3037,7 @@ object SparkEntry {
          |SELECT tr.qid, tr.n_truth, coalesce(h.n_hit, CAST(0 AS BIGINT)) AS n_hit,
          |  CAST(coalesce(h.n_hit, 0) AS DOUBLE) / CAST(tr.n_truth AS DOUBLE) AS recall
          |FROM tr LEFT JOIN hit h ON h.qid = tr.qid""".stripMargin,
+    "q_emb_filtered" -> Similarity.filteredRecallSql("vec_id % 4 = 1"),
     "q_emb_mrr" ->
       s"""WITH ${Similarity.ecorpusCtesSql},
          |${Similarity.knownItemMrrSql()}""".stripMargin,

@@ -320,6 +320,112 @@ object Similarity {
           .as("recall"))
   }
 
+  /** Predicate-FILTERED ANN — the production vector-store query shape
+    * (lang = 'de', source != eval, label IN (...)): the metadata
+    * predicate is pushed to the CANDIDATE side of the IVF probe join,
+    * BEFORE the cosine verify, so non-matching vectors never score —
+    * post-filtering a top-k list instead would under-return whenever the
+    * filter is selective (k survivors of a filtered top-k ≪ k). The
+    * index itself is built ONCE on the full corpus (centroids are not
+    * per-predicate); the widened default probe budget (nprobe 4 vs the
+    * unfiltered 2) restores k from the thinned cells — the
+    * filtered-search recipe FAISS/Milvus deployments run.
+    *
+    * Scale: the predicate reaches the store scan (a plain `filter`
+    * before the equi-join — Catalyst pushes it into the parquet scan,
+    * where a selective predicate also prunes row groups); probe cost is
+    * still nprobe cells' OCCUPANCY, now post-filter. Output: the same
+    * (qid, vec_id, cos, rn) contract as [[knnIvf]].
+    */
+  def knnIvfFiltered(e: DataFrame, pred: Column, queryMod: Int = 50,
+      k: Int = 3, nprobe: Int = 4, queryCap: Int = Int.MaxValue): DataFrame = {
+    val base = withEmb(e).select(col("vec_id"), col("label"), col("emb"),
+      l2norm(col("emb")).as("nrm"))
+    val store = base.filter(pred)
+    val q = querySet(base, queryMod, queryCap)
+      .select(col("vec_id").as("qid"), col("emb").as("qemb"), col("nrm").as("qnrm"))
+    val probeW = Window.partitionBy(col("qid")).orderBy(col("ccos").desc, col("cell"))
+    val probes = q.crossJoin(broadcast(cellCentroids(e)))
+      .withColumn("ccos", cosineWithNorms(dot(col("qemb"), col("cemb")), col("qnrm"), col("cnrm")))
+      .withColumn("prn", row_number().over(probeW))
+      .filter(col("prn") <= nprobe)
+      .select(col("qid"), col("qemb"), col("qnrm"), col("cell"))
+    topK(probes.join(store, col("label") === col("cell") && col("vec_id") =!= col("qid"))
+      .withColumn("cos", cosineWithNorms(dot(col("qemb"), col("emb")), col("qnrm"), col("nrm"))), k)
+  }
+
+  /** Recall audit for [[knnIvfFiltered]] against brute-force truth over
+    * the FILTERED store (the only honest bar: unfiltered truth would
+    * penalize the index for honoring the predicate). Queries come from
+    * the full corpus (production: query anything, retrieve from the
+    * allowed slice), capped at a constant count so the brute stage stays
+    * O(queryCap · n) — [[querySet]]'s audit contract. Output: the
+    * q_emb_recall shape (qid, n_truth, n_hit, recall).
+    */
+  def filteredRecall(e: DataFrame, pred: Column, queryMod: Int = 50,
+      k: Int = 3, nprobe: Int = 4, queryCap: Int = 64): DataFrame = {
+    val base = withEmb(e).select(col("vec_id"), col("label"), col("emb"),
+      l2norm(col("emb")).as("nrm"))
+    val store = base.filter(pred)
+    val q = querySet(base, queryMod, queryCap)
+      .select(col("vec_id").as("qid"), col("emb").as("qemb"), col("nrm").as("qnrm"))
+    val truth = topK(broadcast(q).join(store, col("vec_id") =!= col("qid"))
+      .withColumn("cos", cosineWithNorms(dot(col("qemb"), col("emb")), col("qnrm"), col("nrm"))), k)
+      .select(col("qid"), col("vec_id"))
+    val ann = knnIvfFiltered(e, pred, queryMod, k, nprobe, queryCap)
+      .select(col("qid"), col("vec_id"))
+    val hit = truth.join(ann, Seq("qid", "vec_id"), "left_semi")
+      .groupBy(col("qid")).agg(count(lit(1)).as("n_hit"))
+    truth.groupBy(col("qid")).agg(count(lit(1)).as("n_truth"))
+      .join(broadcast(hit), Seq("qid"), "left")
+      .select(col("qid"), col("n_truth"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_truth").cast("double"))
+          .as("recall"))
+  }
+
+  /** DuckDB mirror of [[filteredRecall]]; `storeWhere` is the predicate
+    * over `base` columns.
+    */
+  def filteredRecallSql(storeWhere: String, k: Int = 3, nprobe: Int = 4,
+      queryMod: Int = 50, queryCap: Int = 64): String =
+    s"""WITH $baseSql,
+       |$centroidCtesSql,
+       |fstore AS (SELECT * FROM base WHERE $storeWhere),
+       |q AS (SELECT vec_id AS qid, emb AS qemb, nrm AS qnrm FROM base
+       |      WHERE vec_id % $queryMod = 0 ORDER BY vec_id LIMIT $queryCap),
+       |kp AS (
+       |  SELECT qid, s.vec_id, ${dotSql("qemb", "s.emb")} / (qnrm * s.nrm) AS cos
+       |  FROM q JOIN fstore s ON s.vec_id <> qid),
+       |knn AS (SELECT qid, vec_id FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+       |    FROM kp) t
+       |  WHERE rn <= $k),
+       |probes AS (
+       |  SELECT qid, cell FROM (
+       |    SELECT q.qid, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+       |        ${dotSql("q.qemb", "c.cemb")} / (q.qnrm * c.cnrm) DESC, c.cell) AS prn
+       |    FROM q CROSS JOIN cemb2 c) t
+       |  WHERE prn <= $nprobe),
+       |ap AS (
+       |  SELECT p.qid, s.vec_id,
+       |    ${dotSql("q.qemb", "s.emb")} / (q.qnrm * s.nrm) AS cos
+       |  FROM probes p
+       |  JOIN q ON q.qid = p.qid
+       |  JOIN fstore s ON s.label = p.cell AND s.vec_id <> p.qid),
+       |ann AS (SELECT qid, vec_id FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+       |    FROM ap) t
+       |  WHERE rn <= $k),
+       |hit AS (SELECT k.qid, COUNT(*) AS n_hit
+       |        FROM knn k JOIN ann a ON a.qid = k.qid AND a.vec_id = k.vec_id
+       |        GROUP BY k.qid),
+       |tr AS (SELECT qid, COUNT(*) AS n_truth FROM knn GROUP BY qid)
+       |SELECT tr.qid, tr.n_truth, coalesce(h.n_hit, CAST(0 AS BIGINT)) AS n_hit,
+       |  CAST(coalesce(h.n_hit, 0) AS DOUBLE) / CAST(tr.n_truth AS DOUBLE) AS recall
+       |FROM tr LEFT JOIN hit h ON h.qid = tr.qid""".stripMargin
+
   /** Embedding corpus with planted near-duplicates (vec_id%25==0 → a
     * scaled copy at +1_000_000; cosine is scale-invariant so the pair
     * scores exactly 1.0) — same planted-fixture trick as Dedup.corpus.

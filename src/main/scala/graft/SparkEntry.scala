@@ -747,6 +747,14 @@ object SparkEntry {
     // IVF-PQ: cells bound WHERE to search, codes bound candidate COST —
     // the billion-scale index layout (composition of q_emb_ivf + q_emb_pq).
     "q_emb_ivfpq" -> { (s, dir) => Similarity.knnIvfPq(Tables.embeddings(s, dir)) },
+    // FAISS IndexIVFPQ's ACTUAL layout: codes trained on x − centroid
+    // residuals (per-subspace Lloyd over the within-cell spread), query
+    // distance tables per (query, probed cell) — same byte budget as
+    // q_emb_ivfpq, materially better within-cell discrimination
+    // (PqResidualSpec pins residual recall >= raw at equal bytes).
+    "q_emb_ivfpqr" -> { (s, dir) =>
+      Similarity.knnIvfPqResidual(Tables.embeddings(s, dir))
+    },
 
     // Scalar-quantization ANN (int8 SQ8): per-dim uniform codes within
     // corpus min/max bounds, bin-midpoint reconstruction distance — the
@@ -2811,6 +2819,7 @@ object SparkEntry {
          |  SELECT qid, vec_id, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc, vec_id) AS rn
          |  FROM pairs) t
          |WHERE rn <= 3""".stripMargin,
+    "q_emb_ivfpqr" -> Similarity.ivfPqResidualSql(),
     "q_emb_sq" ->
       s"""WITH base AS (
          |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb

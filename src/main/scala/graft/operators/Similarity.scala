@@ -718,6 +718,210 @@ object Similarity {
       .select(col("qid"), col("pos").cast("long").as("rank"), col("col").as("vec_id"))
   }
 
+  // ---- Residual-encoded IVF-PQ (FAISS IndexIVFPQ's actual layout) --------
+
+  /** Codes per subspace in the residual codebook — matched to the label
+    * count so the residual and raw variants spend the SAME byte budget
+    * (m codes of ⌈log₂ C⌉ bits each).
+    */
+  val PqrCodes = 8
+
+  /** Per-vector cell residuals: remb = emb − centroid(label). FAISS
+    * IndexIVFPQ encodes THESE, not raw vectors — after subtracting the
+    * coarse centroid the per-subspace dynamic range shrinks to the
+    * within-cell spread, so the same m-byte code discriminates members
+    * of one cell (raw-vector codes built from the same coarse structure
+    * collapse a cell's members onto one code, and the ADC ranking inside
+    * a probed cell degenerates to the tie-break).
+    */
+  private def residuals(e: DataFrame): DataFrame =
+    withEmb(e).join(broadcast(cellCentroids(e)), col("label") === col("cell"))
+      .select(col("vec_id"), col("label"),
+        zip_with(col("emb"), col("cemb"), (a, b) => a - b).as("emb"))
+
+  /** Residual PQ codebook: per-subspace k-means over the residual
+    * subvectors (C codes × m subspaces), deterministic — seeds are the C
+    * smallest vec_ids' slices, then `iters` Lloyd rounds with the same
+    * fixed-point quantized means as [[kmeansFit]], all m subspaces
+    * trained in ONE generalized loop keyed (s, li). Codes that attract
+    * no member in a round KEEP their previous centroid (left join +
+    * coalesce) so the codebook stays a complete m×C grid — the flat
+    * `qd[s·C + code]` ADC indexing depends on equal C per subspace.
+    *
+    * Scale: the codebook is m·C rows (broadcast by construction); each
+    * round is one narrow argmin against it plus one (s, li, dim)-keyed
+    * shuffle with map-side partial sums.
+    */
+  def pqrCodebook(e: DataFrame, m: Int = PqSubspaces, c: Int = PqrCodes,
+      iters: Int = 1): DataFrame = {
+    val rsv = subvectors(residuals(e), "vec_id", m).localCheckpoint(false)
+    val seedIds = withEmb(e).select(col("vec_id")).orderBy(col("vec_id")).limit(c)
+      .withColumn("li", row_number().over(Window.orderBy(col("vec_id"))).cast("int") - 1)
+    var cb = rsv.join(broadcast(seedIds), "vec_id")
+      .select(col("s"), col("li"), col("subvec").as("cvec"))
+    for (_ <- 1 to iters) {
+      val asg = rsv.join(broadcast(cb), "s")
+        .withColumn("d2", l2sq(col("subvec"), col("cvec")))
+        .groupBy(col("vec_id"), col("s"))
+        .agg(min(struct(col("d2"), col("li"))).as("mm"))
+        .select(col("vec_id"), col("s"), col("mm").getField("li").as("li"))
+      val upd = asg.join(rsv, Seq("vec_id", "s"))
+        .select(col("s"), col("li"), posexplode(col("subvec")).as(Seq("dim", "v")))
+        .groupBy(col("s"), col("li"), col("dim"))
+        .agg(count(lit(1)).as("n"), sum(quantize(col("v"))).as("q"))
+        .select(col("s"), col("li"), col("dim"),
+          dequantize(col("q"), col("n")).as("cval"))
+        .groupBy(col("s"), col("li"))
+        .agg(array_sort(collect_list(struct(col("dim"), col("cval")))).as("p"))
+        .select(col("s"), col("li"),
+          transform(col("p"), x => x.getField("cval")).as("ncvec"))
+      cb = cb.join(upd, Seq("s", "li"), "left")
+        .select(col("s"), col("li"), coalesce(col("ncvec"), col("cvec")).as("cvec"))
+        .localCheckpoint(false)
+    }
+    cb
+  }
+
+  /** Residual-PQ-encode: per (vector, subspace) the nearest RESIDUAL
+    * code (squared-L2 argmin, ties → smaller id), assembled into an
+    * m-code array — [[pqEncode]]'s shape over the residual stream.
+    */
+  def pqrEncode(e: DataFrame, m: Int = PqSubspaces, c: Int = PqrCodes,
+      iters: Int = 1): DataFrame =
+    subvectors(residuals(e), "vec_id", m)
+      .join(broadcast(pqrCodebook(e, m, c, iters)), "s")
+      .withColumn("d2", l2sq(col("subvec"), col("cvec")))
+      .groupBy(col("vec_id"), col("s"))
+      .agg(min(struct(col("d2"), col("li"))).as("mm"))
+      .groupBy(col("vec_id"))
+      .agg(array_sort(collect_list(struct(col("s"), col("mm").getField("li").as("li")))).as("sc"))
+      .select(col("vec_id"), transform(col("sc"), p => p.getField("li")).as("codes"))
+
+  /** Residual-encoded IVF-PQ ANN: probes pick nprobe cells exactly as
+    * [[knnIvfPq]]; each (query, probed cell) then builds its distance
+    * table from the RESIDUAL q − centroid(cell) — the query's residual
+    * is cell-dependent, so the table is per (qid, cell), |Q|·nprobe·m·C
+    * doubles, still broadcast-sized — and candidates score with the same
+    * flat-lookup ADC over their m residual codes. Same byte budget as
+    * the raw variant, materially better within-cell discrimination
+    * (RecallSpec pins residual ≥ raw on the planted corpus).
+    */
+  def knnIvfPqResidual(e: DataFrame, queryMod: Int = 50, k: Int = 3,
+      nprobe: Int = 2, m: Int = PqSubspaces, c: Int = PqrCodes,
+      iters: Int = 1): DataFrame = {
+    val base = withEmb(e).select(col("vec_id"), col("label"), col("emb"),
+      l2norm(col("emb")).as("nrm"))
+    val probeW = Window.partitionBy(col("qid")).orderBy(col("ccos").desc, col("cell"))
+    val probes = base.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("qid"), col("emb").as("qemb"), col("nrm").as("qnrm"))
+      .crossJoin(broadcast(cellCentroids(e)))
+      .withColumn("ccos", cosineWithNorms(dot(col("qemb"), col("cemb")), col("qnrm"), col("cnrm")))
+      .withColumn("prn", row_number().over(probeW))
+      .filter(col("prn") <= nprobe)
+      .select(col("qid"), col("qemb"), col("cell"), col("cemb"))
+    val cb = pqrCodebook(e, m, c, iters)
+    val qrs = probes
+      .withColumn("qres", zip_with(col("qemb"), col("cemb"), (a, b) => a - b))
+      .select(col("qid"), col("cell"),
+        explode(sequence(lit(0), lit(m - 1))).as("s"), col("qres"))
+      .select(col("qid"), col("cell"), col("s"),
+        slice(col("qres"), col("s") * PqSubDim + 1, lit(PqSubDim)).as("subvec"))
+    val qdt = qrs.join(broadcast(cb), "s")
+      .withColumn("d2", l2sq(col("subvec"), col("cvec")))
+      .groupBy(col("qid"), col("cell"))
+      .agg(array_sort(collect_list(struct(col("s"), col("li"), col("d2")))).as("t"))
+      .select(col("qid"), col("cell"), transform(col("t"), p => p.getField("d2")).as("qd"))
+    val enc = pqrEncode(e, m, c, iters)
+      .join(base.select(col("vec_id"), col("label")), "vec_id")
+    probes.select(col("qid"), col("cell"))
+      .join(broadcast(qdt), Seq("qid", "cell"))
+      .join(enc, col("label") === col("cell") && col("vec_id") =!= col("qid"))
+      .withColumn("adc", adcExpr(m))
+      .groupBy(col("qid"))
+      .agg(graft.expressions.TopKAgg.top_k_ids(-col("adc"), col("vec_id"), k).as("ids"))
+      .select(col("qid"), posexplode(col("ids")))
+      .select(col("qid"), col("pos").cast("long").as("rank"), col("col").as("vec_id"))
+  }
+
+  /** DuckDB mirror of [[knnIvfPqResidual]] (1 Lloyd round, the default). */
+  def ivfPqResidualSql(k: Int = 3, nprobe: Int = 2, m: Int = PqSubspaces,
+      c: Int = PqrCodes, queryMod: Int = 50): String =
+    s"""WITH $baseSql,
+       |$centroidCtesSql,
+       |rres AS (
+       |  SELECT b.vec_id, b.label,
+       |    list_transform(list_zip(b.emb, c.cemb),
+       |      p -> CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) AS remb
+       |  FROM base b JOIN cemb2 c ON c.cell = b.label),
+       |rsv AS (
+       |  SELECT vec_id, s, remb[s*8+1 : s*8+8] AS subvec
+       |  FROM rres, (SELECT unnest(range(0, $m)) AS s)),
+       |rseed AS (
+       |  SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) AS INT) - 1 AS li
+       |  FROM (SELECT vec_id FROM base ORDER BY vec_id LIMIT $c)),
+       |rcb0 AS (SELECT s, li, subvec AS cvec FROM rsv JOIN rseed USING (vec_id)),
+       |rasg AS (SELECT vec_id, s, li FROM (
+       |    SELECT r.vec_id, r.s, cb.li,
+       |      ROW_NUMBER() OVER (PARTITION BY r.vec_id, r.s
+       |        ORDER BY ${l2sqSql("r.subvec", "cb.cvec")}, cb.li) AS rn
+       |    FROM rsv r JOIN rcb0 cb ON cb.s = r.s) t
+       |  WHERE rn = 1),
+       |rupd AS (
+       |  SELECT s, li, list(cval ORDER BY dim) AS ncvec FROM (
+       |    SELECT s, li, dim,
+       |      CAST(SUM(q) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * 16777216.0) AS cval
+       |    FROM (SELECT a.s, a.li,
+       |            CAST(generate_subscripts(r.subvec, 1) - 1 AS BIGINT) AS dim,
+       |            CAST(ROUND(unnest(r.subvec) * 16777216.0) AS BIGINT) AS q
+       |          FROM rasg a JOIN rsv r ON r.vec_id = a.vec_id AND r.s = a.s) g
+       |    GROUP BY s, li, dim) gg
+       |  GROUP BY s, li),
+       |rcb AS (
+       |  SELECT cb.s, cb.li, COALESCE(u.ncvec, cb.cvec) AS cvec
+       |  FROM rcb0 cb LEFT JOIN rupd u ON u.s = cb.s AND u.li = cb.li),
+       |renc0 AS (SELECT vec_id, s, li FROM (
+       |    SELECT r.vec_id, r.s, cb.li,
+       |      ROW_NUMBER() OVER (PARTITION BY r.vec_id, r.s
+       |        ORDER BY ${l2sqSql("r.subvec", "cb.cvec")}, cb.li) AS rn
+       |    FROM rsv r JOIN rcb cb ON cb.s = r.s) t
+       |  WHERE rn = 1),
+       |renc AS (SELECT vec_id, list(li ORDER BY s) AS codes FROM renc0 GROUP BY vec_id),
+       |rq AS (SELECT vec_id AS qid, emb AS qemb, nrm AS qnrm FROM base
+       |       WHERE vec_id % $queryMod = 0),
+       |rprobes AS (
+       |  SELECT qid, cell, qemb FROM (
+       |    SELECT q.qid, c.cell, q.qemb,
+       |      ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+       |        ${dotSql("q.qemb", "c.cemb")} / (q.qnrm * c.cnrm) DESC, c.cell) AS prn
+       |    FROM rq q CROSS JOIN cemb2 c) t
+       |  WHERE prn <= $nprobe),
+       |rqres AS (
+       |  SELECT p.qid, p.cell,
+       |    list_transform(list_zip(p.qemb, c.cemb),
+       |      x -> CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) AS remb
+       |  FROM rprobes p JOIN cemb2 c ON c.cell = p.cell),
+       |rqsv AS (
+       |  SELECT qid, cell, s, remb[s*8+1 : s*8+8] AS subvec
+       |  FROM rqres, (SELECT unnest(range(0, $m)) AS s)),
+       |rqd0 AS (
+       |  SELECT v.qid, v.cell, cb.s, cb.li, ${l2sqSql("v.subvec", "cb.cvec")} AS d2
+       |  FROM rqsv v JOIN rcb cb ON cb.s = v.s),
+       |rqdt AS (SELECT qid, cell, list(d2 ORDER BY s, li) AS qd
+       |         FROM rqd0 GROUP BY qid, cell),
+       |rpairs AS (
+       |  SELECT p.qid, e.vec_id,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(range(0, $m), s -> qd[s * (len(qd)//$m) + codes[s+1] + 1])),
+       |      (x, y) -> x + y) AS adc
+       |  FROM rprobes p
+       |  JOIN rqdt ON rqdt.qid = p.qid AND rqdt.cell = p.cell
+       |  JOIN renc e ON e.vec_id <> p.qid
+       |  JOIN base b ON b.vec_id = e.vec_id AND b.label = p.cell)
+       |SELECT qid, CAST(rn - 1 AS BIGINT) AS rank, vec_id FROM (
+       |  SELECT qid, vec_id, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc, vec_id) AS rn
+       |  FROM rpairs) t
+       |WHERE rn <= $k""".stripMargin
+
   // ---- Scalar quantization (int8 SQ — the FAISS SQ8 shape) ---------------
 
   /** Per-dimension quantization bounds over the corpus: ONE row holding

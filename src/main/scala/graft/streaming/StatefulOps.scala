@@ -522,4 +522,68 @@ object StatefulOps {
           }
       }
   }
+
+  /** [[runningUserStats]] on the Spark 4 `transformWithState` API — the
+    * LAST fMGWS-only op ported, completing the migration
+    * (ewma/sessionize/typeCounts/funnel/lsh/winnow twins came first):
+    * the running (n, sum, max) triple is a single ValueState row, the
+    * TTL is the house explicit-timer discipline (re-anchored to the
+    * key's own latest event, delete-old + register-new, stale firings
+    * recognized via the stored expiry instant). Requires the RocksDB
+    * state store (state-v2), like every tws twin; the fMGWS form is
+    * retained as the no-provider-opt-in cross-check, and the parity
+    * suite runs both on the same feed.
+    */
+  def runningUserStatsTws(spark: SparkSession, events: Dataset[Event],
+      flagFactor: Double = 10.0, watermarkDelay: String = "1 hour",
+      ttlMs: Long = 3600000L): Dataset[UserUpdate] = {
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .transformWithState(new RunningStatsProcessor(flagFactor, ttlMs),
+        TimeMode.EventTime, OutputMode.Append)
+  }
+
+  private class RunningStatsProcessor(flagFactor: Double, ttlMs: Long)
+      extends StatefulProcessor[Long, Event, UserUpdate] {
+    @transient private var state: ValueState[UserState] = _
+    @transient private var expiry: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      state = getHandle.getValueState[UserState](
+        "stats", Encoders.product[UserState], TTLConfig.NONE)
+      expiry = getHandle.getValueState[Long](
+        "expiry", Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(user: Long, rows: Iterator[Event],
+        tv: TimerValues): Iterator[UserUpdate] = {
+      var s = if (state.exists()) state.get()
+        else UserState(0L, 0.0, Double.MinValue, Long.MinValue)
+      val evs = rows.toSeq.sortBy(_.ts.getTime)
+      val out = evs.map { e =>
+        val mean = if (s.n > 0) s.sum / s.n else e.value
+        val flagged = s.n > 0 && e.value > flagFactor * mean
+        s = UserState(s.n + 1, s.sum + e.value, math.max(s.max, e.value),
+          math.max(s.maxTsMs, e.ts.getTime))
+        UserUpdate(user, s.n, s.sum, s.max, flagged)
+      }
+      state.update(s)
+      val newExpiry = math.max(s.maxTsMs + ttlMs, tv.getCurrentWatermarkInMs + 1)
+      if (expiry.exists() && expiry.get() != newExpiry)
+        getHandle.deleteTimer(expiry.get())
+      getHandle.registerTimer(newExpiry)
+      expiry.update(newExpiry)
+      out.iterator
+    }
+
+    override def handleExpiredTimer(user: Long, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[UserUpdate] = {
+      if (expiry.exists() && expiry.get() == info.getExpiryTimeInMs) {
+        state.clear(); expiry.clear()
+      }
+      Iterator.empty
+    }
+  }
 }

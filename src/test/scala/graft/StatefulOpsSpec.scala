@@ -34,6 +34,45 @@ class StatefulOpsSpec extends SparkSpec {
     assert(rows.count(_.user_id == 2L) === 1)
   }
 
+  test("transformWithState running-stats twin: cross-batch parity with the fMGWS twin") {
+    implicit val ctx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val batches = Seq(
+        Seq(Event(ts("2024-01-01 00:00:00"), 1L, "click", 10.0),
+          Event(ts("2024-01-01 00:01:00"), 1L, "click", 12.0),
+          Event(ts("2024-01-01 00:02:00"), 1L, "click", 500.0),
+          Event(ts("2024-01-01 00:00:30"), 2L, "click", 5.0)),
+        // state bridges micro-batches: user 1 continues at n=4
+        Seq(Event(ts("2024-01-01 00:03:00"), 1L, "click", 11.0)))
+      val ms = MemoryStream[Event]
+      val q = StatefulOps.runningUserStatsTws(spark, ms.toDS(), flagFactor = 10.0)
+        .writeStream.format("memory").queryName("ustats_tws").outputMode("append").start()
+      batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+      q.stop()
+      val tws = spark.table("ustats_tws").as[UserUpdate].collect()
+      val u1 = tws.filter(_.user_id == 1L).sortBy(_.n)
+      assert(u1.map(_.n).toSeq === Seq(1L, 2L, 3L, 4L))
+      assert(u1.map(_.flagged).toSeq === Seq(false, false, true, false))
+      assert(u1.last.sum === 533.0 && u1.last.max === 500.0)
+      // API parity: the fMGWS twin on the SAME feed emits the SAME updates
+      val ms2 = MemoryStream[Event]
+      val q2 = StatefulOps.runningUserStats(spark, ms2.toDS(), flagFactor = 10.0)
+        .writeStream.format("memory").queryName("ustats_f").outputMode("append").start()
+      batches.foreach { b => ms2.addData(b); q2.processAllAvailable() }
+      q2.stop()
+      def norm(rows: Array[UserUpdate]) =
+        rows.map(r => (r.user_id, r.n, r.sum, r.max, r.flagged)).toSeq.sorted
+      assert(norm(tws) === norm(spark.table("ustats_f").as[UserUpdate].collect()),
+        "the two stateful APIs must emit identical update streams")
+    } finally {
+      old match { case Some(v) => spark.conf.set(key, v); case None => spark.conf.unset(key) }
+    }
+  }
+
   test("transitions: stream twin bridges micro-batches and matches the batch window") {
     import StatefulOps.{KeyedEvent, Transition}
     implicit val ctx = spark.sqlContext

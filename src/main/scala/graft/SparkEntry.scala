@@ -514,6 +514,14 @@ object SparkEntry {
     "q_doc_eshuffle" -> { (s, dir) =>
       Curation.epochShuffle(Tables.documents(s, dir))
     },
+    // The SCALED-shard setting of the epoch shuffle (the operating rule:
+    // nShards tracks cluster parallelism, never a constant — each
+    // (epoch, shard) sort task holds ~n/nShards rows). Probed at
+    // 1x/10x/30x next to the fixed-8 variant so the shard-count rule is
+    // measured, not asserted.
+    "q_doc_eshuffle64" -> { (s, dir) =>
+      Curation.epochShuffle(Tables.documents(s, dir), nShards = 64)
+    },
     // Leakage-safe split: every verified duplicate CLUSTER inherits its
     // root's content-hash bucket, so near-dup copies can never straddle
     // train/eval — the fix for what q_doc_leak measures. Rides the
@@ -3754,6 +3762,7 @@ object SparkEntry {
          |FROM (SELECT doc_id, lang, (${Dedup.hashSql("text")}) % 1000 AS bucket
          |      FROM documents) t""".stripMargin,
     "q_doc_eshuffle" -> Curation.epochShuffleSql(),
+    "q_doc_eshuffle64" -> Curation.epochShuffleSql(nShards = 64),
     "q_doc_splitsafe" ->
       s"""WITH RECURSIVE ${Dedup.corpusSql},
          |${Dedup.tokSql},
@@ -4012,7 +4021,8 @@ object SparkEntry {
          |    FROM tk)
          |  GROUP BY w1, w2 HAVING COUNT(*) >= 5)
          |SELECT w1, w2, cab,
-         |  CAST(nt.n * cab AS DOUBLE) / CAST(u1.c * u2.c AS DOUBLE) AS pmi_ratio
+         |  CAST(CAST(nt.n AS HUGEINT) * cab AS DOUBLE)
+         |    / CAST(CAST(u1.c AS HUGEINT) * u2.c AS DOUBLE) AS pmi_ratio
          |FROM bg JOIN uni u1 ON bg.w1 = u1.w JOIN uni u2 ON bg.w2 = u2.w
          |CROSS JOIN nt
          |ORDER BY pmi_ratio DESC, w1, w2 LIMIT 25""".stripMargin,

@@ -766,6 +766,16 @@ object Curation {
     * keys are high-cardinality by construction, so the sort parallelism
     * scales with nShards. Different epochs produce different orders;
     * the same (seed, epoch) always reproduces the same order.
+    *
+    * OPERATING RULE — nShards is a REQUIRED tunable, not a constant:
+    * each (epoch, shard) sort task holds ~n/nShards rows, so a fixed
+    * shard count is still O(corpus) single-task sort work at scale. Set
+    * nShards ≥ the cluster's total cores (so every core sorts), and at
+    * the 100-TB target size it by the per-task sort budget: nShards ≈
+    * corpus_bytes / (a few hundred MB). The default 8 is the sf-demo
+    * value; q_doc_eshuffle64 probes the scaled setting and
+    * EpochShuffleSpec pins that the window's shuffle partitioning is
+    * (epoch, shard) with shard fan-out tracking nShards.
     */
   def epochShuffle(docs: DataFrame, epochs: Int = 2, nShards: Int = 8,
       seed: Long = 7L): DataFrame = {

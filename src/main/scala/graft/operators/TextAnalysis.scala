@@ -663,12 +663,25 @@ object TextAnalysis {
       .join(uni.select(col("w").as("w2"), col("c").as("cb")).hint("shuffle_hash"),
         Seq("w2"))
       .crossJoin(broadcast(n))
-      .withColumn("pmi_ratio",
-        (col("nt") * col("cab")).cast("double") / (col("ca") * col("cb")).cast("double"))
+      .withColumn("pmi_ratio", pmiRatio(col("nt"), col("cab"), col("ca"), col("cb")))
       .orderBy(col("pmi_ratio").desc, col("w1"), col("w2"))
       .limit(k)
       .select(col("w1"), col("w2"), col("cab"), col("pmi_ratio"))
   }
+
+  /** PMI count ratio with the integer products in DECIMAL(38,0) — the
+    * wide-integer discipline every sibling op follows, ENFORCED rather
+    * than documented: at 100-TB token counts nt·cab and ca·cb pass 2^63
+    * (nt alone is ~10^13; a stopword-pair ca·cb is ~10^26), where a
+    * BIGINT product silently wraps and reorders the top-k. DECIMAL
+    * products are exact to 38 digits; the one division happens in
+    * double, mirroring DuckDB's HUGEINT→DOUBLE path (CollocationSpec
+    * pins a planted overflow row against a BigDecimal reference).
+    */
+  private[graft] def pmiRatio(nt: Column, cab: Column, ca: Column,
+      cb: Column): Column =
+    (nt.cast("decimal(38,0)") * cab).cast("double") /
+      (ca.cast("decimal(38,0)") * cb).cast("double")
 
   /** Stupid-Backoff bigram LM score (Brants et al., EMNLP'07 "Large
     * Language Models in Machine Translation" — the backoff score built FOR

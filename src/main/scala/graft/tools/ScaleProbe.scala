@@ -93,7 +93,14 @@ object ScaleProbe {
     // affected components), so with planted-dup density constant the
     // profile should track the increment's share of the corpus, never
     // the base pair count (the base side enters only semi-join-reduced)
-    "q_dedup_incr", "q_dedup_incrclusters")
+    "q_dedup_incr", "q_dedup_incrclusters",
+    // round-10: takedown propagation (touched-component re-resolution —
+    // work must scale with the delete set's reach, not the corpus) and
+    // the epoch shuffle at FIXED vs SCALED shard counts (the operating
+    // rule under test: per-task sort work is ~n/nShards, so the fixed-8
+    // profile should degrade toward single-task sorts while the scaled
+    // variant tracks the scan)
+    "q_dedup_delete", "q_doc_eshuffle", "q_doc_eshuffle64")
 
   /** Heaps-ish vocabulary size: 30 tokens at the 5k-doc base (the real
     * table's vocabulary), growing with sqrt(n).

@@ -35,4 +35,27 @@ class CollocationSpec extends SparkSpec {
     assert(!got.exists(r => r.getString(0) == "rare"))
     toks.unpersist()
   }
+
+  test("pmiRatio survives products past 2^63 (DECIMAL(38,0) enforcement)") {
+    import org.apache.spark.sql.functions._
+    // 100-TB-scale counts: both products overflow a BIGINT (5e9·5e9 =
+    // 2.5e19 and 4e9·4e9 = 1.6e19, Long.MaxValue ≈ 9.22e18) — a long
+    // product wraps NEGATIVE here; the decimal path must match the
+    // BigDecimal reference bit-for-bit after the double conversion
+    val nt = 5000000000L; val cab = 5000000000L
+    val ca = 4000000000L; val cb = 4000000000L
+    val got = Seq((nt, cab, ca, cb)).toDF("nt", "cab", "ca", "cb")
+      .select(TextAnalysis.pmiRatio($"nt", $"cab", $"ca", $"cb").as("r"))
+      .as[Double].head()
+    val want = (BigDecimal(nt) * BigDecimal(cab)).toDouble /
+      (BigDecimal(ca) * BigDecimal(cb)).toDouble
+    assert(got === want, s"decimal PMI diverged: $got vs $want")
+    assert(got > 0.0, "ratio must not wrap negative")
+    // and the wrap really happens without the promotion (the guard is
+    // real): both long products differ from the true integer products
+    assert(BigDecimal(nt * cab) !== BigDecimal(nt) * BigDecimal(cab),
+      "fixture lost its power: nt*cab no longer overflows a long")
+    assert(BigDecimal(ca * cb) !== BigDecimal(ca) * BigDecimal(cb),
+      "fixture lost its power: ca*cb no longer overflows a long")
+  }
 }

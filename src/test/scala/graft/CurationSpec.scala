@@ -551,4 +551,31 @@ class CurationSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(out.toSet === again.toSet)
   }
+
+  test("epochShuffle shard rule: window partitions on (epoch, shard); per-task sort work tracks nShards") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables.documents(spark, Sf)
+    // the pos window's exchange must partition on BOTH keys — a
+    // partitioning that dropped shard would put each epoch through one
+    // sort task regardless of nShards
+    val plan = graft.operators.Curation.epochShuffle(docs, nShards = 64)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("hashpartitioning(epoch"),
+      s"window exchange must hash on (epoch, shard):\n$plan")
+    val partLine = plan.linesIterator
+      .find(_.contains("hashpartitioning(epoch")).getOrElse("")
+    assert(partLine.contains("shard"), s"shard missing from partitioning: $partLine")
+    // per-task sort work ~ n/nShards: the biggest (epoch, shard) group
+    // must shrink as nShards grows — the operating-rule claim
+    def maxShard(nShards: Int): Long =
+      graft.operators.Curation.epochShuffle(docs, nShards = nShards)
+        .groupBy($"epoch", $"shard").count()
+        .agg(max($"count")).head().getLong(0)
+    val at8 = maxShard(8)
+    val at64 = maxShard(64)
+    assert(at64 < at8, s"scaled shards must shrink the max sort task: $at64 !< $at8")
+    assert(at64 * 4 <= at8,
+      s"8x the shards should cut the max task by well over 4x: $at8 -> $at64")
+  }
 }

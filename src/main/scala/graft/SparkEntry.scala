@@ -916,6 +916,18 @@ object SparkEntry {
         e.filter(col("vec_id") % 10 === 3))
     },
 
+    // Merge-underfull: the action the delete audit's flag points at —
+    // each underfull cell's surviving members fold into the nearest
+    // healthy centroid (per-move fit accounting), closing the delete
+    // loop the way q_emb_split closes the append loop. Demo threshold
+    // 1/1 = below average (the even delete rule thins uniformly; the
+    // production 1/2 coupling is fixture-pinned in DeleteSpec).
+    "q_emb_merge" -> { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+      Similarity.mergeUnderfull(e, Similarity.kmeansFitMemo(e, dir, "all"),
+        e.filter(col("vec_id") % 10 === 3))
+    },
+
     // IVF index-staleness audit: centroids frozen on the even-id half,
     // every vector assigned against them; per cell, how post-build
     // vectors fit vs training ones — the retrain-decision read-out.
@@ -3232,6 +3244,7 @@ object SparkEntry {
          |${Dedup.closureSql}
          |SELECT id AS doc_id, cluster, (id = cluster) AS is_keeper FROM comp""".stripMargin,
     "q_emb_delete" -> Similarity.ivfDeleteSql("vec_id % 10 = 3"),
+    "q_emb_merge" -> Similarity.mergeUnderfullSql("vec_id % 10 = 3"),
     "q_dedup_srcmatrix" ->
       s"""WITH ${Dedup.corpusSql},
          |${Dedup.tokSql},

@@ -1528,6 +1528,95 @@ object Similarity {
        |  n_after * k_cells * $underDen < $underNum * total_after AS underfull
        |FROM dper CROSS JOIN dtot""".stripMargin
 
+  /** Merge-underfull — the action [[ivfDelete]]'s flag points at,
+    * closing the delete loop the way [[splitOverfull]] closes the
+    * append loop's: each underfull cell's SURVIVING members reassign to
+    * the nearest healthy (non-underfull) centroid — the standard IVF
+    * cell-fold that keeps probe slots earning their occupancy — and the
+    * audit reports per (from_cell, to_cell): moved count, mean d2
+    * BEFORE (to the dying centroid) and AFTER (to the adopting one),
+    * from order-free quantized sums. Healthy cells' members never enter
+    * the plan (the underfull set is ≤ k rows, broadcast); if EVERY cell
+    * is underfull there is no adoption target and the op returns empty
+    * (both engines agree).
+    *
+    * The default threshold here is 1/1 ("below average") rather than
+    * the production 1/2: the sf tables' even delete rule thins cells
+    * uniformly, so the half-average bar would never exercise the merge
+    * path there — the same demo-threshold reasoning as
+    * [[splitOverfull]]'s, with the flag/action coupling pinned on a
+    * planted fixture in DeleteSpec.
+    */
+  def mergeUnderfull(e: DataFrame, cents: DataFrame, deleted: DataFrame,
+      underNum: Int = 1, underDen: Int = 1): DataFrame = {
+    val under = ivfDelete(e, cents, deleted, underNum, underDen)
+      .filter(col("underfull")).select(col("cell"))
+    val survivors = withEmb(e).select(col("vec_id"), col("emb"))
+      .join(deleted.select(col("vec_id")), Seq("vec_id"), "left_anti")
+    val members = assignCells(survivors, cents)
+      .join(broadcast(under), Seq("cell"))
+      .select(col("vec_id"), col("emb"), col("cell").as("from_cell"),
+        col("d2").as("d2_before"))
+    val targets = cents.join(broadcast(under), Seq("cell"), "left_anti")
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cell"))
+    members.crossJoin(broadcast(targets))
+      .withColumn("d2", l2sq(col("emb"), col("cemb")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("from_cell"), col("cell").as("to_cell"),
+        col("d2_before"), col("d2").as("d2_after"))
+      .groupBy(col("from_cell"), col("to_cell"))
+      .agg(count(lit(1)).as("n_moved"),
+        sum(quantize(col("d2_before"))).as("qb"),
+        sum(quantize(col("d2_after"))).as("qa"))
+      .select(col("from_cell"), col("to_cell"), col("n_moved"),
+        dequantize(col("qb"), col("n_moved")).as("mean_d2_before"),
+        dequantize(col("qa"), col("n_moved")).as("mean_d2_after"))
+  }
+
+  /** DuckDB mirror of [[mergeUnderfull]] over [[kmeansCtes]] +
+    * [[ivfDeleteSql]]'s delta CTEs.
+    */
+  def mergeUnderfullSql(deleteWhere: String, underNum: Int = 1,
+      underDen: Int = 1, k: Int = 8, iters: Int = 2): String =
+    s"""WITH ${kmeansCtes(k, iters)},
+       |dbcnt AS (SELECT cell, COUNT(*) AS n_before FROM afin GROUP BY cell),
+       |ddcnt AS (
+       |  SELECT cell, COUNT(*) AS n_del FROM afin
+       |  WHERE $deleteWhere GROUP BY cell),
+       |dper AS (
+       |  SELECT b.cell, b.n_before - COALESCE(d.n_del, CAST(0 AS BIGINT)) AS n_after
+       |  FROM dbcnt b LEFT JOIN ddcnt d ON d.cell = b.cell),
+       |dtot AS (
+       |  SELECT CAST(SUM(n_after) AS BIGINT) AS total_after,
+       |    COUNT(*) AS k_cells
+       |  FROM dper),
+       |uf AS (
+       |  SELECT cell FROM dper CROSS JOIN dtot
+       |  WHERE n_after * k_cells * $underDen < $underNum * total_after),
+       |usurv AS (
+       |  SELECT a.vec_id, a.cell, a.d2, kb.emb
+       |  FROM (SELECT * FROM afin WHERE NOT ($deleteWhere)) a
+       |  JOIN kb ON kb.vec_id = a.vec_id),
+       |umem AS (SELECT s.* FROM usurv s JOIN uf ON uf.cell = s.cell),
+       |utgt AS (
+       |  SELECT c.cell, c.cemb FROM c$iters c
+       |  WHERE c.cell NOT IN (SELECT cell FROM uf)),
+       |urea AS (
+       |  SELECT from_cell, to_cell, d2_before, d2_after FROM (
+       |    SELECT m.vec_id, m.cell AS from_cell, t.cell AS to_cell,
+       |      m.d2 AS d2_before, ${l2sqSql("m.emb", "t.cemb")} AS d2_after,
+       |      ROW_NUMBER() OVER (PARTITION BY m.vec_id
+       |        ORDER BY ${l2sqSql("m.emb", "t.cemb")}, t.cell) AS rn
+       |    FROM umem m CROSS JOIN utgt t) t
+       |  WHERE rn = 1)
+       |SELECT from_cell, to_cell, COUNT(*) AS n_moved,
+       |  CAST(SUM(CAST(ROUND(d2_before * 16777216.0) AS BIGINT)) AS DOUBLE)
+       |    / (CAST(COUNT(*) AS DOUBLE) * 16777216.0) AS mean_d2_before,
+       |  CAST(SUM(CAST(ROUND(d2_after * 16777216.0) AS BIGINT)) AS DOUBLE)
+       |    / (CAST(COUNT(*) AS DOUBLE) * 16777216.0) AS mean_d2_after
+       |FROM urea GROUP BY from_cell, to_cell""".stripMargin
+
   def reassignSql(driftFactor: Double = 1.5, iters: Int = 2): String =
     s"""WITH ${kmeansCtes(trainWhere = "vec_id % 2 = 0")},
        |lab AS (SELECT cell, vec_id % 2 <> 0 AS is_new,

@@ -126,6 +126,37 @@ class DeleteSpec extends SparkSpec {
     }
   }
 
+  test("mergeUnderfull: flag couples with the audit; members fold into the nearest healthy cell") {
+    // three cells; deleting 5 of cell 100's 6 members leaves n_after=1
+    // against totals (4, 1, 4) — 1·3·2 < 9 flags it at the production
+    // 1/2 bar; the survivor at (10,10.5) must adopt the nearest healthy
+    // centroid (200 at (10,30) is farther than 0 at (0,0)? no: d2 to 0
+    // is 210.25, to 200 is 380.25 → cell 0 adopts)
+    val cents = Seq(
+      (0L, Seq(0.0, 0.0)), (100L, Seq(10.0, 10.0)), (200L, Seq(10.0, 30.0)))
+      .toDF("cell", "cemb")
+    val e = (
+      (1 to 4).map(i => (i.toLong, Array(0.1f * i, 0.0f), 0L)) ++
+      (10 to 15).map(i => (i.toLong, Array(10.0f, 10.5f), 1L)) ++
+      (20 to 23).map(i => (i.toLong, Array(10.0f, 30.0f), 2L))
+    ).toDF("vec_id", "embedding", "label")
+    val del = e.filter($"vec_id".between(11L, 15L))
+    val out = Similarity.mergeUnderfull(e, cents, del, underNum = 1, underDen = 2)
+      .collect()
+    assert(out.length === 1, s"exactly one (from, to) move group expected: ${out.toSeq}")
+    val r = out.head
+    assert(r.getLong(0) === 100L && r.getLong(1) === 0L && r.getLong(2) === 1L)
+    // d2_before = (10-10)^2 + (10.5-10)^2 = 0.25; after = 10^2 + 10.5^2
+    assert(math.abs(r.getDouble(3) - 0.25) < 1e-6)
+    assert(math.abs(r.getDouble(4) - 210.25) < 1e-6)
+    // healthy cells never appear as a source
+    assert(!out.exists(x => x.getLong(0) == 0L || x.getLong(0) == 200L))
+    // every-cell-underfull degenerate: no adoption target, empty output
+    val allDel = e.filter($"vec_id" =!= 1L)
+    assert(Similarity.mergeUnderfull(e, cents, allDel, underNum = 10,
+      underDen = 1).count() === 0L)
+  }
+
   test("ivfDelete: deleting a cell's only member leaves an n_after=0 underfull row") {
     val cents = Seq((0L, Seq(0.0, 0.0)), (100L, Seq(10.0, 10.0)))
       .toDF("cell", "cemb")

@@ -788,8 +788,16 @@ object Similarity {
     */
   def pqrEncode(e: DataFrame, m: Int = PqSubspaces, c: Int = PqrCodes,
       iters: Int = 1): DataFrame =
+    pqrEncodeWith(e, pqrCodebook(e, m, c, iters), m)
+
+  /** [[pqrEncode]] against a caller-supplied (already-trained) codebook —
+    * so one checkpointed codebook serves both the encode and the query
+    * distance tables instead of training twice per plan.
+    */
+  def pqrEncodeWith(e: DataFrame, cb: DataFrame,
+      m: Int = PqSubspaces): DataFrame =
     subvectors(residuals(e), "vec_id", m)
-      .join(broadcast(pqrCodebook(e, m, c, iters)), "s")
+      .join(broadcast(cb), "s")
       .withColumn("d2", l2sq(col("subvec"), col("cvec")))
       .groupBy(col("vec_id"), col("s"))
       .agg(min(struct(col("d2"), col("li"))).as("mm"))
@@ -831,7 +839,7 @@ object Similarity {
       .groupBy(col("qid"), col("cell"))
       .agg(array_sort(collect_list(struct(col("s"), col("li"), col("d2")))).as("t"))
       .select(col("qid"), col("cell"), transform(col("t"), p => p.getField("d2")).as("qd"))
-    val enc = pqrEncode(e, m, c, iters)
+    val enc = pqrEncodeWith(e, cb, m)
       .join(base.select(col("vec_id"), col("label")), "vec_id")
     probes.select(col("qid"), col("cell"))
       .join(broadcast(qdt), Seq("qid", "cell"))

@@ -169,11 +169,23 @@ object DocStream {
     * supply the input accessors and the output row — the state layout
     * and emission rule are ONE implementation, so the LSH-band and
     * winnow-fingerprint twins cannot drift.
+    *
+    * TOMBSTONES ([[isTombstone]], default never): a delete event for a
+    * stored occupant is ONE `removeKey` point-delete on the bucket map
+    * (the per-entry state layout is exactly why this is cheap — the
+    * fMGWS packed-list form would re-serialize the whole bucket), frees
+    * its cap slot for later admissions, and emits nothing. Append
+    * streams cannot retract, so pairs emitted BEFORE the tombstone
+    * stand — the batch-side takedown ops
+    * ([[graft.operators.Dedup.deleteClusters]]) own retroactive
+    * cleanup; the stream's contract is that no FUTURE pair involves a
+    * tombstoned doc.
     */
   private abstract class CliqueProcessor[K, I, O](ttlMs: Long, maxOccupants: Int)
       extends StatefulProcessor[K, I, O] {
     protected def docIdOf(i: I): Long
     protected def tsMsOf(i: I): Long
+    protected def isTombstone(i: I): Boolean = false
     protected def emit(key: K, doc: Long, earlier: Long): O
 
     @transient private var occupants: MapState[Long, Long] = _ // docId → tsMs
@@ -194,14 +206,22 @@ object DocStream {
     override def handleInputRows(key: K, rows: Iterator[I],
         tv: TimerValues): Iterator[O] = {
       // same in-batch canonical order as the fMGWS twin: earlier (ts, id)
-      // plays the batch join's earlier_doc_id role for same-batch pairs
-      val evs = rows.toSeq.sortBy(e => (tsMsOf(e), docIdOf(e)))
+      // plays the batch join's earlier_doc_id role for same-batch pairs;
+      // a same-instant add+delete of one doc resolves delete-last
+      val evs = rows.toSeq.sortBy(e => (tsMsOf(e), docIdOf(e), isTombstone(e)))
       var n = if (nOcc.exists()) nOcc.get() else 0
       var mts = if (maxTs.exists()) maxTs.get() else Long.MinValue
       val out = Seq.newBuilder[O]
       for (e <- evs) {
         val id = docIdOf(e)
-        if (!occupants.containsKey(id)) {
+        if (isTombstone(e)) {
+          // point-delete: one store entry removed, cap slot freed, no
+          // emission (pairs already emitted stand — append semantics)
+          if (occupants.containsKey(id)) {
+            occupants.removeKey(id)
+            n -= 1
+          }
+        } else if (!occupants.containsKey(id)) {
           // full prefix clique up to the cap: one collision per STORED
           // occupant (map iteration order is irrelevant — pair SET parity)
           occupants.iterator().foreach { p =>
@@ -222,6 +242,14 @@ object DocStream {
           getHandle.deleteTimer(expiry.get())
         getHandle.registerTimer(newExpiry)
         expiry.update(newExpiry)
+      } else {
+        // bucket emptied by tombstones: drop every state var and the
+        // registered timer — an empty bucket must cost nothing
+        occupants.clear(); nOcc.clear(); maxTs.clear()
+        if (expiry.exists()) {
+          getHandle.deleteTimer(expiry.get())
+          expiry.clear()
+        }
       }
       out.result().iterator
     }
@@ -239,6 +267,50 @@ object DocStream {
       extends CliqueProcessor[(Long, Long), BandHit, Collision](ttlMs, maxOccupants) {
     override protected def docIdOf(i: BandHit): Long = i.doc_id
     override protected def tsMsOf(i: BandHit): Long = i.ts.getTime
+    override protected def emit(key: (Long, Long), doc: Long, earlier: Long): Collision =
+      Collision(doc, key._1, key._2, earlier)
+  }
+
+  case class DocOp(ts: Timestamp, doc_id: Long, text: String, deleted: Boolean)
+  case class BandOp(ts: Timestamp, doc_id: Long, band: Long, bh: Long,
+    deleted: Boolean)
+
+  /** [[lshCollisionsTws]] over a CDC feed carrying TOMBSTONES — the
+    * streaming half of the takedown story ([[graft.operators.Dedup
+    * .deleteClusters]] is the batch half): a delete op removes its doc
+    * from every bucket it occupies via MapState point-deletes (the
+    * tombstone carries the text, as a CDC before-image does — an LSH
+    * entry can only be located by re-deriving its band keys, the same
+    * reason FAISS `remove_ids` needs the stored vectors), frees the cap
+    * slots, and guarantees no FUTURE pair involves the doc. Pairs
+    * emitted before the tombstone stand (append streams cannot
+    * retract); retroactive cleanup is the batch delete ops' job. A
+    * bucket emptied by tombstones drops all its state and its timer.
+    */
+  def lshCollisionsCdc(spark: SparkSession, ops: Dataset[DocOp],
+      watermarkDelay: String = "1 hour",
+      ttlMs: Long = 24L * 3600000L,
+      maxOccupants: Int = 8): Dataset[Collision] = {
+    import spark.implicits._
+    val hits = ops.toDF()
+      .select(col("ts"), col("doc_id"), col("deleted"),
+        explode(Dedup.bandKeysNarrow(col("text"))).as("k"))
+      .filter(col("k.bh").isNotNull)
+      .select(col("ts"), col("doc_id"), col("k.band").as("band"),
+        col("k.bh").as("bh"), col("deleted"))
+      .as[BandOp]
+    hits
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(h => (h.band, h.bh))
+      .transformWithState(new LshCdcProcessor(ttlMs, maxOccupants),
+        TimeMode.EventTime, OutputMode.Append)
+  }
+
+  private class LshCdcProcessor(ttlMs: Long, maxOccupants: Int)
+      extends CliqueProcessor[(Long, Long), BandOp, Collision](ttlMs, maxOccupants) {
+    override protected def docIdOf(i: BandOp): Long = i.doc_id
+    override protected def tsMsOf(i: BandOp): Long = i.ts.getTime
+    override protected def isTombstone(i: BandOp): Boolean = i.deleted
     override protected def emit(key: (Long, Long), doc: Long, earlier: Long): Collision =
       Collision(doc, key._1, key._2, earlier)
   }

@@ -73,6 +73,60 @@ class StatefulOpsSpec extends SparkSpec {
     }
   }
 
+  test("LSH CDC tombstones: point-deletes stop future pairs, free cap slots, empty the bucket") {
+    import graft.streaming.DocStream
+    import DocStream.{Collision, DocOp}
+    implicit val ctx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val tA = "the quick brown fox jumps over the lazy dog near the river bank today"
+      def add(t: String, id: Long) = DocOp(ts(t), id, tA, deleted = false)
+      def del(t: String, id: Long) = DocOp(ts(t), id, tA, deleted = true)
+      val batches = Seq(
+        Seq(add("2024-01-01 00:00:00", 1L), add("2024-01-01 00:00:10", 2L)),
+        // cross-batch tombstone: doc 1 leaves every bucket it occupies
+        Seq(del("2024-01-01 00:01:00", 1L)),
+        // doc 3 must pair with 2 ONLY (1 is gone); tombstone for an
+        // absent doc (9) is a no-op
+        Seq(del("2024-01-01 00:01:30", 9L), add("2024-01-01 00:02:00", 3L)),
+        Seq(add("2024-01-01 00:03:00", 4L)))
+      val ms = MemoryStream[DocOp]
+      val q = DocStream.lshCollisionsCdc(spark, ms.toDS(), maxOccupants = 2)
+        .writeStream.format("memory").queryName("lshcdc").outputMode("append").start()
+      batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+      q.stop()
+      val got = spark.table("lshcdc").as[Collision].collect()
+      val pairs = got.map(c => (c.earlier_doc_id, c.doc_id)).distinct.toSeq.sorted
+      // 1~2 was emitted before the tombstone and STANDS (append cannot
+      // retract); 3 pairs with 2 only; the cap slot 1 freed lets 4 be
+      // ADMITTED at maxOccupants=2 (occupants {2, 3}) so 4 pairs with both
+      assert(pairs === Seq((1L, 2L), (2L, 3L), (2L, 4L), (3L, 4L)), s"got $pairs")
+      // no pair ever names doc 1 after its tombstone batch
+      assert(!pairs.exists(p => p._2 != 2L && (p._1 == 1L || p._2 == 1L)),
+        "a tombstoned doc appeared in a post-delete pair")
+      // full-delete: tombstoning the survivors leaves empty state; a
+      // fresh doc then pairs with NOTHING
+      val ms2 = MemoryStream[DocOp]
+      val q2 = DocStream.lshCollisionsCdc(spark, ms2.toDS())
+        .writeStream.format("memory").queryName("lshcdc2").outputMode("append").start()
+      Seq(
+        Seq(add("2024-01-01 00:00:00", 1L), add("2024-01-01 00:00:10", 2L)),
+        Seq(del("2024-01-01 00:01:00", 1L), del("2024-01-01 00:01:00", 2L)),
+        Seq(add("2024-01-01 00:02:00", 5L))
+      ).foreach { b => ms2.addData(b); q2.processAllAvailable() }
+      q2.stop()
+      val got2 = spark.table("lshcdc2").as[Collision].collect()
+        .map(c => (c.earlier_doc_id, c.doc_id)).distinct.toSeq.sorted
+      assert(got2 === Seq((1L, 2L)),
+        s"doc 5 must find an emptied bucket, got $got2")
+    } finally {
+      old match { case Some(v) => spark.conf.set(key, v); case None => spark.conf.unset(key) }
+    }
+  }
+
   test("transitions: stream twin bridges micro-batches and matches the batch window") {
     import StatefulOps.{KeyedEvent, Transition}
     implicit val ctx = spark.sqlContext

@@ -316,7 +316,44 @@ object DocStream {
   }
 
   case class FpHit(ts: Timestamp, doc_id: Long, h: Long)
+  case class FpOp(ts: Timestamp, doc_id: Long, h: Long, deleted: Boolean)
   case class WinnowCand(doc_id: Long, h: Long, earlier_doc_id: Long)
+
+  /** [[winnowCandidatesTws]] over a CDC feed carrying TOMBSTONES — the
+    * winnow-side sibling of [[lshCollisionsCdc]], riding the SAME
+    * [[CliqueProcessor]] tombstone hook (one factored implementation:
+    * the two twins' delete semantics cannot drift). The tombstone
+    * carries the text before-image so the doc's fingerprint buckets can
+    * be re-derived; each is a MapState point-delete that frees a cap
+    * slot, and an emptied bucket drops all state + its timer. Contract
+    * as the LSH sibling: candidates emitted before the tombstone stand;
+    * no FUTURE candidate names a tombstoned doc.
+    */
+  def winnowCandidatesCdc(spark: SparkSession, ops: Dataset[DocOp],
+      watermarkDelay: String = "1 hour",
+      ttlMs: Long = 24L * 3600000L,
+      maxOccupants: Int = 8): Dataset[WinnowCand] = {
+    import spark.implicits._
+    val hits = ops.toDF()
+      .select(col("ts"), col("doc_id"), col("deleted"),
+        explode(graft.operators.TextAnalysis
+          .winnowFingerprintsNarrow(col("text"))).as("h"))
+      .as[FpOp]
+    hits
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.h)
+      .transformWithState(new WinnowCdcProcessor(ttlMs, maxOccupants),
+        TimeMode.EventTime, OutputMode.Append)
+  }
+
+  private class WinnowCdcProcessor(ttlMs: Long, maxOccupants: Int)
+      extends CliqueProcessor[Long, FpOp, WinnowCand](ttlMs, maxOccupants) {
+    override protected def docIdOf(i: FpOp): Long = i.doc_id
+    override protected def tsMsOf(i: FpOp): Long = i.ts.getTime
+    override protected def isTombstone(i: FpOp): Boolean = i.deleted
+    override protected def emit(key: Long, doc: Long, earlier: Long): WinnowCand =
+      WinnowCand(doc, key, earlier)
+  }
 
   /** Streaming winnow/containment CANDIDATE stage — the stream twin of
     * [[Dedup.winnowPairs]]' fingerprint equi-join, the last batch-only

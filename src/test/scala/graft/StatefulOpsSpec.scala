@@ -127,6 +127,38 @@ class StatefulOpsSpec extends SparkSpec {
     }
   }
 
+  test("winnow CDC tombstones: the shared hook gives the winnow twin identical delete semantics") {
+    import graft.streaming.DocStream
+    import DocStream.{DocOp, WinnowCand}
+    implicit val ctx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // long repeated text → stable winnow fingerprints shared across docs
+      val tA = Seq.fill(4)("the quick brown fox jumps over the lazy dog by the river").mkString(" ")
+      def add(t: String, id: Long) = DocOp(ts(t), id, tA, deleted = false)
+      def del(t: String, id: Long) = DocOp(ts(t), id, tA, deleted = true)
+      val ms = MemoryStream[DocOp]
+      val q = DocStream.winnowCandidatesCdc(spark, ms.toDS())
+        .writeStream.format("memory").queryName("wincdc").outputMode("append").start()
+      Seq(
+        Seq(add("2024-01-01 00:00:00", 1L), add("2024-01-01 00:00:10", 2L)),
+        Seq(del("2024-01-01 00:01:00", 1L)),
+        Seq(add("2024-01-01 00:02:00", 3L))
+      ).foreach { b => ms.addData(b); q.processAllAvailable() }
+      q.stop()
+      val pairs = spark.table("wincdc").as[WinnowCand].collect()
+        .map(c => (c.earlier_doc_id, c.doc_id)).distinct.toSeq.sorted
+      // 1~2 stands (emitted pre-tombstone); 3 pairs with 2 ONLY — doc 1
+      // left every fingerprint bucket it occupied
+      assert(pairs === Seq((1L, 2L), (2L, 3L)), s"got $pairs")
+    } finally {
+      old match { case Some(v) => spark.conf.set(key, v); case None => spark.conf.unset(key) }
+    }
+  }
+
   test("transitions: stream twin bridges micro-batches and matches the batch window") {
     import StatefulOps.{KeyedEvent, Transition}
     implicit val ctx = spark.sqlContext

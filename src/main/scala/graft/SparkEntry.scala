@@ -1148,6 +1148,14 @@ object SparkEntry {
     "q_dedup_jhist" -> { (s, dir) =>
       Dedup.jaccardHistogram(Dedup.corpus(Tables.documents(s, dir)), dir)
     },
+    // LSH S-curve audit: measured band-collision rate per exact-Jaccard
+    // band vs the 1-(1-j^r)^b theory, over a bounded cross-tier audit
+    // subset (the only honest way to see P(collision | j) — it needs
+    // ground truth for NON-collided pairs too). Theory ppm values are
+    // driver-computed literals shared with the mirror.
+    "q_dedup_scurve" -> { (s, dir) =>
+      Dedup.scurveAudit(Dedup.corpus(Tables.documents(s, dir)))
+    },
     // Index compaction — the generation roll ending the daily-crawl
     // loop: base store + increment rows rewritten as one next-generation
     // parquet index (base never re-shingled). The emitted bucket stats
@@ -1196,6 +1204,15 @@ object SparkEntry {
     // run reads before dropping a SOURCE rather than documents.
     "q_dedup_srcmatrix" -> { (s, dir) =>
       Dedup.sourcePairMatrix(Tables.documents(s, dir), dir)
+    },
+    // Source centrality over the cross-source dup graph: PageRank-style
+    // power iteration (6 fixed rounds, damping 85/100) on nodes=sources,
+    // edges weighted by verified cross-source pair counts — the signal
+    // that separates original sources from mirrors/aggregators before
+    // sourceMix picks volumes. Integer 1e12-scale ranks; per-edge floors
+    // before order-free long sums.
+    "q_doc_srcrank" -> { (s, dir) =>
+      Dedup.sourceRank(Tables.documents(s, dir), dir)
     },
 
     // ---- Event-time operators (events table; SURVEY §2 extension ops) ---
@@ -3239,6 +3256,43 @@ object SparkEntry {
          |  CAST(SUM(h2.n_pairs) AS BIGINT) AS n_at_or_above
          |FROM hist h JOIN hist h2 ON h2.jband >= h.jband
          |GROUP BY h.jband, h.n_pairs""".stripMargin,
+    "q_dedup_scurve" ->
+      s"""WITH ${Dedup.corpusSql},
+         |audit AS (SELECT doc_id, text FROM corpus WHERE doc_id % 1000000 <= 40),
+         |${Dedup.tokSqlFor("audit", "tok")},
+         |${Dedup.sigSql},
+         |${Dedup.bandsSql},
+         |sizes AS (SELECT doc_id, COUNT(*) AS nt FROM tok GROUP BY 1),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM audit a JOIN audit b ON a.doc_id < b.doc_id),
+         |inter AS (
+         |  SELECT doc_a, doc_b, COUNT(*) AS ni
+         |  FROM pairs
+         |  JOIN tok ta ON ta.doc_id = doc_a
+         |  JOIN tok tb ON tb.doc_id = doc_b AND tb.h = ta.h
+         |  GROUP BY 1, 2),
+         |coll AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         |jb AS (
+         |  SELECT
+         |    CAST(LEAST(19, (COALESCE(i.ni, 0) * 20) // (sa.nt + sb.nt - COALESCE(i.ni, 0))) AS BIGINT) AS jband,
+         |    CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END AS hit
+         |  FROM pairs p
+         |  LEFT JOIN inter i ON p.doc_a = i.doc_a AND p.doc_b = i.doc_b
+         |  JOIN sizes sa ON p.doc_a = sa.doc_id
+         |  JOIN sizes sb ON p.doc_b = sb.doc_id
+         |  LEFT JOIN coll c ON p.doc_a = c.doc_a AND p.doc_b = c.doc_b),
+         |theory AS (
+         |  SELECT CAST(tjb AS BIGINT) AS jband, CAST(tp AS BIGINT) AS theo_ppm
+         |  FROM (VALUES ${Dedup.scurveTheoryPpm.map { case (b, p) => s"($b, $p)" }.mkString(", ")}) v(tjb, tp))
+         |SELECT jb.jband, COUNT(*) AS n_pairs, CAST(SUM(hit) AS BIGINT) AS n_coll,
+         |  CAST((1000000 * CAST(SUM(hit) AS BIGINT)) // COUNT(*) AS BIGINT) AS meas_ppm,
+         |  t.theo_ppm
+         |FROM jb JOIN theory t ON jb.jband = t.jband
+         |GROUP BY jb.jband, t.theo_ppm""".stripMargin,
     "q_dedup_compact" ->
       s"""WITH ${Dedup.corpusSql},
          |${Dedup.tokSql},
@@ -3286,6 +3340,47 @@ object SparkEntry {
          |  CAST(SUM(jq) AS DOUBLE)
          |    / (CAST(COUNT(*) AS DOUBLE) * CAST(16777216.0 AS DOUBLE)) AS mean_jaccard
          |FROM js GROUP BY 1, 2""".stripMargin,
+    "q_doc_srcrank" -> {
+      // 6 unrolled power-iteration rounds (the classifier-fit MATERIALIZED
+      // discipline); per-edge FLOOR through one HUGEINT->DOUBLE division
+      // mirrors the engine's DECIMAL(38,0)->double, then order-free sums
+      val roundCtes = (1 to 6).map { i =>
+        s"""r$i AS MATERIALIZED (
+           |  SELECT n.source,
+           |    CAST(basev.b + COALESCE(SUM(CAST(FLOOR(
+           |      CAST(CAST(85 AS HUGEINT) * r.rank_q * e.w AS DOUBLE)
+           |      / CAST(100 * d.wdeg AS DOUBLE)) AS BIGINT)), 0) AS BIGINT) AS rank_q
+           |  FROM nodes n CROSS JOIN basev
+           |  LEFT JOIN edges e ON e.v = n.source
+           |  LEFT JOIN r${i - 1} r ON r.source = e.u
+           |  LEFT JOIN wdeg d ON d.u = e.u
+           |  GROUP BY n.source, basev.b)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ${Dedup.corpusSql},
+         |${Dedup.tokSql},
+         |${Dedup.sigSql},
+         |${Dedup.bandsSql},
+         |${Dedup.jaccardPairSqlChain()},
+         |m AS (SELECT doc_a % 1000000 AS ida, doc_b % 1000000 AS idb FROM jpairs),
+         |sp AS (
+         |  SELECT least(da.source, db.source) AS src_a,
+         |         greatest(da.source, db.source) AS src_b, COUNT(*) AS w
+         |  FROM m JOIN documents da ON da.doc_id = ida
+         |         JOIN documents db ON db.doc_id = idb
+         |  GROUP BY 1, 2),
+         |edges AS (
+         |  SELECT src_a AS u, src_b AS v, CAST(w AS BIGINT) AS w FROM sp WHERE src_a <> src_b
+         |  UNION ALL
+         |  SELECT src_b AS u, src_a AS v, CAST(w AS BIGINT) AS w FROM sp WHERE src_a <> src_b),
+         |nodes AS (SELECT DISTINCT source FROM documents),
+         |nn AS (SELECT COUNT(*) AS n FROM nodes),
+         |wdeg AS (SELECT u, CAST(SUM(w) AS BIGINT) AS wdeg FROM edges GROUP BY u),
+         |basev AS (SELECT CAST((1000000000000 * 15 // 100) // (SELECT n FROM nn) AS BIGINT) AS b),
+         |r0 AS (SELECT source, CAST(1000000000000 // (SELECT n FROM nn) AS BIGINT) AS rank_q FROM nodes),
+         |$roundCtes
+         |SELECT r6.source, r6.rank_q, CAST(COALESCE(d.wdeg, 0) AS BIGINT) AS w_degree
+         |FROM r6 LEFT JOIN wdeg d ON d.u = r6.source""".stripMargin
+    },
     "q_doc_stats" ->
       """WITH t AS (
         |  SELECT doc_id, text,

@@ -709,6 +709,80 @@ object Dedup {
       .agg(sum(col("np2")).as("n_at_or_above"))
   }
 
+  /** The banding's theoretical S-curve, one row per fixed 0.05 Jaccard
+    * band: P(candidate | j) = 1 − (1 − j^r)^b at the band midpoint,
+    * floored to ppm. Computed ONCE in driver-side Scala and injected as
+    * literals into BOTH the engine plan and the DuckDB mirror — the two
+    * engines never each evaluate `pow`, so a last-ulp libm divergence
+    * cannot split the hash compare.
+    */
+  def scurveTheoryPpm: Seq[(Long, Long)] =
+    (0 until 20).map { jb =>
+      val mid = (2 * jb + 1) / 40.0
+      val p = 1.0 - math.pow(1.0 - math.pow(mid, BandSize), NumHashes / BandSize)
+      (jb.toLong, math.floor(p * 1e6).toLong)
+    }
+
+  /** LSH S-curve audit — measured band-collision rate per exact-Jaccard
+    * band vs the 1 − (1 − j^r)^b theory the (b, r) choice is justified
+    * by: the read-out that tells a curation run whether its banding's
+    * collision threshold actually sits where the formula promised
+    * (honest permutations; a biased hash family shifts the measured
+    * curve off theory — exactly what the small-multiplier signature bug
+    * this corpus's banding comment records would have shown here).
+    *
+    * Measuring P(collision | j) needs ground-truth Jaccard for
+    * NON-collided pairs too, so like every recall audit this is a
+    * BOUNDED audit, never a production scan: the subset keeps base ids
+    * ≤ maxBaseId across all three corpus tiers (originals + their
+    * planted near-dup and exact twins — the only pair population with
+    * mass at high j), a constant ~47 docs / ~1100 pairs at ANY corpus
+    * scale. Within it: exact per-pair Jaccard from the distinct shingle
+    * sets (integer band index (20·ni) div nu — no float banding),
+    * collision = sharing ≥ 1 production (band, bh) key, rates as
+    * integer ppm. Pairs and theory rows are broadcast; the only
+    * corpus-sized work is the tier filter's scan.
+    */
+  def scurveAudit(c: DataFrame, maxBaseId: Long = 40L): DataFrame = {
+    val spark = c.sparkSession
+    import spark.implicits._
+    val audit = c.filter(col("doc_id") % 1000000L <= maxBaseId)
+      .select(col("doc_id"), col("text")).localCheckpoint(false)
+    val tok = tokenHashes(audit).localCheckpoint(false)
+    val sizes = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("nt"))
+    val ids = audit.select(col("doc_id"))
+    val pairs = ids.select(col("doc_id").as("doc_a"))
+      .join(broadcast(ids.select(col("doc_id").as("doc_b"))),
+        col("doc_a") < col("doc_b"))
+    val inter = pairs
+      .join(tok.select(col("doc_id").as("doc_a"), col("h")).hint("shuffle_hash"),
+        Seq("doc_a"))
+      .join(tok.select(col("doc_id").as("doc_b"), col("h")).hint("shuffle_hash"),
+        Seq("doc_b", "h"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("ni"))
+    val bands = lshBands(signaturesFromTok(tok))
+    val coll = bands.select(col("doc_id").as("doc_a"), col("band"), col("bh"))
+      .join(bands.select(col("doc_id").as("doc_b"), col("band"), col("bh")),
+        Seq("band", "bh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+      .withColumn("hit", lit(1L))
+    val theory = broadcast(scurveTheoryPpm.toDF("jband", "theo_ppm"))
+    pairs
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .join(sizes.select(col("doc_id").as("doc_a"), col("nt").as("na")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("nt").as("nb")), Seq("doc_b"))
+      .join(coll, Seq("doc_a", "doc_b"), "left")
+      .withColumn("jn", coalesce(col("ni"), lit(0L)))
+      .withColumn("nu", col("na") + col("nb") - col("jn"))
+      .select(least(lit(19L), expr("(jn * 20) div nu")).as("jband"),
+        coalesce(col("hit"), lit(0L)).as("hit"))
+      .groupBy(col("jband"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("hit")).as("n_coll"))
+      .withColumn("meas_ppm", expr("(1000000 * n_coll) div n_pairs"))
+      .join(theory, Seq("jband"))
+  }
+
   /** Index COMPACTION — the generation roll that ends the daily-crawl
     * loop: fold the increment's token/band rows into the persisted base
     * store and write the NEXT-GENERATION index (same parquet store
@@ -1538,6 +1612,74 @@ object Dedup {
     * output ≤ \|sources\|² rows. Mean Jaccard quantizes per pair to
     * 2^24 before the integer sum — partitioning-independent.
     */
+  /** Source-centrality ranking over the cross-source duplication graph —
+    * the step AFTER [[sourcePairMatrix]] in a web-curation loop: sources
+    * whose content is heavily syndicated across OTHER sources (mirrors,
+    * aggregators, scraped re-posts) accumulate centrality, and the
+    * resulting rank is the data-driven input to source weighting
+    * (Curation.sourceMix's caps pick volumes; this picks WHICH sources
+    * are originals vs echoes). PageRank-style power iteration (damping
+    * 85/100, fixed `rounds`) on nodes = sources, symmetric edges
+    * weighted by the verified cross-source pair count.
+    *
+    * Scale + determinism spelling: the graph is |sources|-sized (domains,
+    * not documents — bounded like a vocab table), but every step is a
+    * DataFrame equi-join so millions of domains still distribute. Ranks
+    * live at integer scale 1e12; each edge's contribution floors the
+    * DECIMAL(38,0)-exact product (85 · rank · w) over (100 · wdeg)
+    * through ONE double division (the [[graft.operators.TextAnalysis
+    * .pmiRatio]] discipline — DuckDB's HUGEINT→DOUBLE path, bit-identical
+    * cross-engine), and the per-edge FLOOR happens before the integer
+    * sum, so inflow is an order-free long aggregation, never a
+    * float-accumulation race. Dangling/isolated sources keep the base
+    * (1−d)/N share each round (floor-loss mass is dropped, not
+    * redistributed — a ranking read-out, not a probability vector;
+    * documented variant).
+    */
+  def sourceRank(docs: DataFrame, dir: String, rounds: Int = 6): DataFrame =
+    sourceRankFromMatrix(sourcePairMatrix(docs, dir),
+      docs.select(col("source")).distinct(), rounds)
+
+  /** [[sourceRank]] over a precomputed (src_a, src_b, n_pairs) matrix —
+    * split out so specs can feed a hand graph.
+    */
+  def sourceRankFromMatrix(m: DataFrame, nodes0: DataFrame,
+      rounds: Int = 6): DataFrame = {
+    val Scale = 1000000000000L
+    val nodes = nodes0.select(col("source")).distinct().localCheckpoint(false)
+    // |sources| is a bounded scalar (the kmeans-k / gradient-row
+    // bounded-collect discipline): domains, never documents
+    val n = nodes.count()
+    if (n == 0)
+      return nodes.select(col("source"), lit(0L).as("rank_q"),
+        lit(0L).as("w_degree"))
+    val e0 = m.filter(col("src_a") =!= col("src_b"))
+      .select(col("src_a").as("u"), col("src_b").as("v"),
+        col("n_pairs").cast("long").as("w"))
+    val edges = e0.union(e0.select(col("v").as("u"), col("u").as("v"), col("w")))
+      .localCheckpoint(false)
+    val wdeg = edges.groupBy(col("u")).agg(sum(col("w")).as("wdeg"))
+      .localCheckpoint(false)
+    val base = (Scale * 15L / 100L) / n
+    var ranks = nodes.select(col("source"), lit(Scale / n).as("rank_q"))
+    for (_ <- 1 to rounds) {
+      val inflow = edges
+        .join(ranks.select(col("source").as("u"), col("rank_q")), Seq("u"))
+        .join(wdeg, Seq("u"))
+        .select(col("v").as("source"),
+          floor((lit(85L).cast("decimal(38,0)") * col("rank_q") * col("w"))
+            .cast("double") / (lit(100L) * col("wdeg")).cast("double")).as("c"))
+        .groupBy(col("source")).agg(sum(col("c")).as("inflow"))
+      ranks = nodes.join(inflow, Seq("source"), "left")
+        .select(col("source"),
+          (lit(base) + coalesce(col("inflow"), lit(0L))).as("rank_q"))
+        .localCheckpoint(false)
+    }
+    ranks.join(wdeg.select(col("u").as("source"), col("wdeg")), Seq("source"), "left")
+      .select(col("source"), col("rank_q"),
+        coalesce(col("wdeg"), lit(0L)).as("w_degree"))
+  }
+
   def sourcePairMatrix(docs: DataFrame, dir: String): DataFrame = {
     import graft.functions.VectorFunctions.{dequantize, quantize}
     val pairs = jaccardPairsFor(corpus(docs), dir)

@@ -551,6 +551,68 @@ class DedupSpec extends SparkSpec {
     assert(folded === baseCl, "a no-op increment must leave the cluster table untouched")
   }
 
+  test("scurve: theory column matches hand math, monotone; exact dups always collide; audit bounded") {
+    // theory at the extremes, recomputed by hand: band 19 (mid 0.975) →
+    // 1-(1-0.975^2)^8 ≈ 1-3.5e-11 → 999999 ppm; band 0 (mid 0.025) →
+    // 1-(1-0.000625)^8 ≈ 0.004989 → 4989 ppm; monotone in between
+    val theory = Dedup.scurveTheoryPpm
+    assert(theory.size === 20)
+    assert(theory.head === (0L, 4989L) && theory.last === (19L, 999999L))
+    assert(theory.sliding(2).forall { case Seq((_, a), (_, b)) => a <= b })
+
+    val out = Dedup.scurveAudit(corpus).collect()
+      .map(r => (r.getAs[Long]("jband"), r.getAs[Long]("n_pairs"),
+        r.getAs[Long]("n_coll"), r.getAs[Long]("meas_ppm"))).sortBy(_._1)
+    // bounded audit: the cross-tier subset is ≤ 49 docs at any SF
+    // (base ids 0..40 → 41 originals + 5 near-dup + 3 exact twins)
+    assert(out.map(_._2).sum <= 49L * 48 / 2)
+    // identical docs have identical signatures — the jband-19 tier
+    // (planted exact copies live there) must collide deterministically
+    val top = out.filter(_._1 === 19L)
+    assert(top.nonEmpty && top.forall(r => r._4 === 1000000L),
+      s"exact-dup band must measure 1e6 ppm, got ${top.toSeq}")
+    // the unrelated-pair mass sits in band 0 with a near-zero rate
+    val bot = out.filter(_._1 === 0L)
+    assert(bot.nonEmpty && bot.forall(r => r._4 < 10000L),
+      s"unrelated band must measure ~0, got ${bot.toSeq}")
+  }
+
+  test("sourceRank: matches an independent integer reference on a hand graph; isolated sources keep base") {
+    // A<->B heavy (w=9), B<->C light (w=1), D isolated
+    val m = Seq(("A", "B", 9L), ("B", "C", 1L))
+      .toDF("src_a", "src_b", "n_pairs")
+    val nodes = Seq("A", "B", "C", "D").toDF("source")
+    val got = Dedup.sourceRankFromMatrix(m, nodes).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("rank_q"), r.getAs[Long]("w_degree"))).toMap
+
+    // independent reference: plain Scala Map fold, same integer contract
+    // (floor per edge via BigInt product -> double division, then sum)
+    val scale = 1000000000000L
+    val edges = Seq(("A", "B", 9L), ("B", "A", 9L), ("B", "C", 1L), ("C", "B", 1L))
+    val wdeg = edges.groupBy(_._1).map { case (u, es) => u -> es.map(_._3).sum }
+    val base = (scale * 15L / 100L) / 4L
+    var rank = Map("A" -> scale / 4, "B" -> scale / 4, "C" -> scale / 4, "D" -> scale / 4)
+    for (_ <- 1 to 6) {
+      val inflow = edges.groupBy(_._2).map { case (v, es) =>
+        v -> es.map { case (u, _, w) =>
+          math.floor((BigInt(85) * rank(u) * w).toDouble / (100.0 * wdeg(u))).toLong
+        }.sum
+      }
+      rank = rank.keys.map(s => s -> (base + inflow.getOrElse(s, 0L))).toMap
+    }
+    assert(got.view.mapValues(_._1).toMap === rank,
+      s"engine ${got.view.mapValues(_._1).toMap} vs reference $rank")
+    // degree accounting + the parity-stable ordering (the heavy A<->B
+    // edge ping-pongs mass with period 2, so A vs B depends on round
+    // parity — but C, fed only 1/10 of B's outflow, trails both at any
+    // round, and isolated D holds exactly base)
+    assert(got("A")._2 === 9L && got("B")._2 === 10L && got("C")._2 === 1L
+      && got("D")._2 === 0L)
+    assert(got("A")._1 > got("C")._1 && got("B")._1 > got("C")._1)
+    assert(got("D")._1 === base)
+  }
+
   test("sourcePairMatrix reconciles with the verified pair stage; planted copies hit the diagonal") {
     import org.apache.spark.sql.functions._
     val docs = graft.sources.Tables.documents(spark, Sf)

@@ -481,6 +481,18 @@ object SparkEntry {
     // ---- Training-data curation (sampling / packing / quality gating) ---
     // Deterministic content-hash stratified sampling — narrow map, no RNG.
     "q_doc_sample" -> { (s, dir) => Curation.sampleStratified(Tables.documents(s, dir)) },
+    // Weighted (token-budget-proportional) sampling without replacement:
+    // sequential Poisson priority keys, TakeOrderedAndProject selection.
+    "q_doc_wsample" -> { (s, dir) => Curation.weightedSample(Tables.documents(s, dir)) },
+    // Crawl-to-crawl snapshot diff: content-hash manifest reconciliation
+    // (added/removed/changed/unchanged), doc counts + net token delta per
+    // (status, lang) — the read-out that feeds incremental index
+    // maintenance and the budget planner.
+    "q_doc_snapdiff" -> { (s, dir) => Curation.snapshotDiff(Tables.documents(s, dir)) },
+    // Count–min sketch frequency audit: estimate (min over D affine hash
+    // rows of a D×W cell-count sketch) vs exact count for the top-20
+    // tokens; overcount column pins the ≥-true guarantee.
+    "q_doc_cms" -> { (s, dir) => TextAnalysis.cmsAudit(Tables.documents(s, dir)) },
     // Concat-and-cut sequence packing: one window per lang shard.
     "q_doc_pack" -> { (s, dir) => Curation.packSequences(Tables.documents(s, dir)) },
     // Packing-efficiency audit: per lang, packs at the budget, last-pack
@@ -3427,6 +3439,9 @@ object SparkEntry {
          |  SELECT doc_id, lang, (${Dedup.hashSql("text")}) % 1000 AS bucket
          |  FROM documents) t
          |WHERE bucket < ${Curation.keepSql}""".stripMargin,
+    "q_doc_wsample" -> Curation.weightedSampleSql(),
+    "q_doc_snapdiff" -> Curation.snapshotDiffSql,
+    "q_doc_cms" -> TextAnalysis.cmsAuditSql(),
     "q_doc_pack" ->
       s"""WITH t AS (
          |  SELECT doc_id, lang, CAST(len(${Dedup.toksSql}) AS BIGINT) AS n_tokens

@@ -818,4 +818,133 @@ object Curation {
   val keepSql: String =
     SampleKeepPermille.map { case (l, p) => s"WHEN lang = '$l' THEN $p" }
       .mkString("CASE ", " ", s" ELSE $DefaultKeepPermille END")
+
+  /** Weighted sampling without replacement — sequential Poisson sampling
+    * (Ohlsson '98): each doc gets priority key u/w where u is a
+    * deterministic uniform draw (content hash + 1, so duplicate texts
+    * draw identically — consistent with dedup) and w its weight; the n
+    * SMALLEST keys win, giving inclusion probability ≈ proportional to
+    * weight. Weight here is n_tokens + 1: token-budget-proportional doc
+    * selection, the standard way to sample a fixed-token-budget subset
+    * whose expected token mass matches the corpus mix.
+    *
+    * The raw polynomial hash is NOT a fair draw for short strings (a
+    * k-char text never wraps the modulus until 31^k·7 > P, so tiny docs
+    * would hash — and therefore sample — systematically small); one
+    * multiplicative Fibonacci-style mix (h·2654435761 + 104729 mod P)
+    * spreads any h across the full range. Float discipline: the key is
+    * then ONE IEEE division of two exact integers (< 2^31), which both
+    * engines round identically — no transcendental (the classic ES
+    * u^(1/w) key would put pow() parity on the hash path). Scale: key is
+    * a narrow map; selection is orderBy+limit → TakeOrderedAndProject
+    * (per-partition top-n, O(n) driver merge, no global sort);
+    * rerun/cluster-size deterministic because nothing depends on row
+    * order.
+    */
+  def weightedSample(docs: DataFrame, n: Int = 200): DataFrame =
+    docs
+      .select(col("doc_id"), col("lang"),
+        (size(tokens(col("text"))) + 1).cast("long").as("w_tok"),
+        (pmod(stringHash(col("text")) * lit(2654435761L) + lit(104729L),
+          lit(graft.functions.TextFunctions.P)) + lit(1L)).as("u"))
+      .withColumn("skey", col("u").cast("double") / col("w_tok").cast("double"))
+      .orderBy(col("skey"), col("doc_id"))
+      .limit(n)
+
+  /** DuckDB mirror of [[weightedSample]]. */
+  def weightedSampleSql(n: Int = 200): String =
+    s"""SELECT doc_id, lang, w_tok, u,
+       |  CAST(u AS DOUBLE) / CAST(w_tok AS DOUBLE) AS skey
+       |FROM (
+       |  SELECT doc_id, lang,
+       |    CAST(len(${graft.operators.Dedup.toksSql}) + 1 AS BIGINT) AS w_tok,
+       |    ((${graft.operators.Dedup.hashSql("text")}) * 2654435761 + 104729)
+       |      % ${graft.functions.TextFunctions.P} + 1 AS u
+       |  FROM documents) t
+       |ORDER BY skey, doc_id
+       |LIMIT $n""".stripMargin
+
+  /** The simulated "next crawl" snapshot for [[snapshotDiff]]: derived
+    * deterministically from the base corpus by doc_id residue so engine
+    * and oracle construct byte-identical snapshots — residue 3 dropped
+    * (takedowns/rot), residue 4 re-crawled with changed content, residue
+    * 5 additionally re-published under a fresh id (new discoveries).
+    */
+  def snapshotB(docs: DataFrame): DataFrame = {
+    val a = docs.select(col("doc_id"), col("lang"), col("text"))
+    val kept = a.filter(pmod(col("doc_id"), lit(11L)) =!= 3L)
+      .withColumn("text",
+        when(pmod(col("doc_id"), lit(11L)) === 4L,
+          concat(col("text"), lit(" rev2"))).otherwise(col("text")))
+    val added = a.filter(pmod(col("doc_id"), lit(11L)) === 5L)
+      .withColumn("doc_id", col("doc_id") + lit(10000000L))
+    kept.unionByName(added)
+  }
+
+  /** Crawl-to-crawl snapshot diff — the manifest reconciliation a
+    * recurring-crawl pipeline runs before incremental dedup/index
+    * maintenance: FULL OUTER join of the two snapshots on doc_id,
+    * per-doc status (added / removed / changed / unchanged) decided by
+    * CONTENT HASH (at 100 TB the manifest stores the hash — the diff
+    * never re-reads surviving bodies), rolled up to (status, lang) with
+    * doc counts and the net token delta each status contributes. The
+    * token delta is what feeds the epoch/budget planner; the added+
+    * changed doc sets are what feed [[graft.operators.Dedup.incrementMergePairs]].
+    *
+    * Scale: one shuffle join co-partitioned on doc_id (both sides), all
+    * other maps narrow; rollup is ≤ 4·|langs| rows with O(1) agg state.
+    */
+  def snapshotDiff(docs: DataFrame): DataFrame = {
+    val a = docs
+      .select(col("doc_id"), col("lang").as("lang_a"),
+        stringHash(col("text")).as("h_a"),
+        size(tokens(col("text"))).cast("long").as("tok_a"))
+    val b = snapshotB(docs)
+      .select(col("doc_id"), col("lang").as("lang_b"),
+        stringHash(col("text")).as("h_b"),
+        size(tokens(col("text"))).cast("long").as("tok_b"))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("h_a").isNull, lit("added"))
+          .when(col("h_b").isNull, lit("removed"))
+          .when(col("h_a") === col("h_b"), lit("unchanged"))
+          .otherwise(lit("changed")))
+      .withColumn("lang", coalesce(col("lang_a"), col("lang_b")))
+      .groupBy(col("status"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("tok_b"), lit(0L)) -
+          coalesce(col("tok_a"), lit(0L))).as("token_delta"))
+  }
+
+  /** DuckDB mirror of [[snapshotDiff]] (same residue-derived snapshot). */
+  val snapshotDiffSql: String = {
+    val toks = graft.operators.Dedup.toksSql
+    val h = graft.operators.Dedup.hashSql("text")
+    s"""WITH b AS (
+       |  SELECT doc_id, lang,
+       |    CASE WHEN doc_id % 11 = 4 THEN text || ' rev2' ELSE text END AS text
+       |  FROM documents WHERE doc_id % 11 <> 3
+       |  UNION ALL
+       |  SELECT doc_id + 10000000 AS doc_id, lang, text
+       |  FROM documents WHERE doc_id % 11 = 5),
+       |sa AS (SELECT doc_id, lang AS lang_a, ($h) AS h_a,
+       |         CAST(len($toks) AS BIGINT) AS tok_a FROM documents),
+       |sb AS (SELECT doc_id, lang AS lang_b, ($h) AS h_b,
+       |         CAST(len($toks) AS BIGINT) AS tok_b FROM b),
+       |j AS (
+       |  SELECT COALESCE(sa.doc_id, sb.doc_id) AS doc_id,
+       |    lang_a, lang_b, h_a, h_b, tok_a, tok_b
+       |  FROM sa FULL OUTER JOIN sb ON sa.doc_id = sb.doc_id)
+       |SELECT
+       |  CASE WHEN h_a IS NULL THEN 'added'
+       |       WHEN h_b IS NULL THEN 'removed'
+       |       WHEN h_a = h_b THEN 'unchanged'
+       |       ELSE 'changed' END AS status,
+       |  COALESCE(lang_a, lang_b) AS lang,
+       |  COUNT(*) AS n_docs,
+       |  CAST(SUM(COALESCE(tok_b, 0) - COALESCE(tok_a, 0)) AS BIGINT)
+       |    AS token_delta
+       |FROM j
+       |GROUP BY 1, 2""".stripMargin
+  }
 }

@@ -1347,4 +1347,102 @@ object TextAnalysis {
        |FROM hc CROSS JOIN htot
        |WHERE cnt * $k >= n""".stripMargin
 
+  /** Count–min sketch geometry (Cormode–Muthukrishnan '05): [[CmsD]]
+    * independent hash rows of [[CmsW]] buckets each. The row hashes are
+    * affine mixes of the shared polynomial token hash — h_i(w) =
+    * ((poly(w)·a_i + b_i) mod P) mod W — fully deterministic integer
+    * arithmetic so the DuckDB mirror rebuilds the identical sketch.
+    * (a_i·poly < ~10^13, well inside Long.)
+    */
+  val CmsD = 4
+  val CmsW = 512
+  val CmsA: Seq[Long] = Seq(31L, 131L, 1031L, 10007L)
+  val CmsB: Seq[Long] = Seq(7L, 17L, 29L, 43L)
+
+  /** The sketch itself: (row, bucket, cnt), at most D·W = 2048 cells.
+    * Build is ONE token pass fanned out ×D into a grouped count whose
+    * map-side partial aggregation collapses each partition to ≤ D·W
+    * cells before the (tiny) shuffle — the textbook CMS update,
+    * vectorized. The cell counts are plain sums, so sketches MERGE by
+    * cell-wise addition: sketch(A ∪ B) = sketch(A) + sketch(B)
+    * (spec-pinned), which is what makes CMS the right frequency summary
+    * for a 100 TB corpus — per-shard sketches roll up to one 2048-cell
+    * table with no token re-scan.
+    */
+  def cmsSketch(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rows = CmsA.zip(CmsB).zipWithIndex
+      .map { case ((a, b), i) => (i, a, b) }.toDF("row_i", "a", "b")
+    withToks(docs).select(explode(col("toks")).as("w"))
+      .withColumn("h", stringHash(col("w")))
+      .crossJoin(broadcast(rows))
+      .withColumn("bucket",
+        pmod(col("h") * col("a") + col("b"), lit(P)) % lit(CmsW.toLong))
+      .groupBy(col("row_i"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** CMS point-query audit: estimate vs exact count for the top-`probeK`
+    * tokens. The estimate is min over rows of the token's cell count —
+    * CMS guarantees est ≥ true (never undercounts; spec-pinned), with
+    * overestimate bounded by colliding mass. Production reads the
+    * ≤ 2048-cell sketch; the exact counts here are the AUDIT side and
+    * are priced accordingly (one grouped count to pick the bounded
+    * probe set). Both the probe set (broadcast, ≤ probeK rows) and the
+    * sketch (broadcast, ≤ D·W rows) sit on the small side of every
+    * join — per-query cost is independent of corpus size once the
+    * sketch exists.
+    */
+  def cmsAudit(docs: DataFrame, probeK: Int = 20): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rows = CmsA.zip(CmsB).zipWithIndex
+      .map { case ((a, b), i) => (i, a, b) }.toDF("row_i", "a", "b")
+    val probe = withToks(docs).select(explode(col("toks")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("true_cnt"))
+      .orderBy(col("true_cnt").desc, col("w"))
+      .limit(probeK)
+    probe
+      .withColumn("h", stringHash(col("w")))
+      .crossJoin(broadcast(rows))
+      .withColumn("bucket",
+        pmod(col("h") * col("a") + col("b"), lit(P)) % lit(CmsW.toLong))
+      .join(broadcast(cmsSketch(docs)), Seq("row_i", "bucket"))
+      .groupBy(col("w"), col("true_cnt"))
+      .agg(min(col("cnt")).as("est_cnt"))
+      .select(col("w"), col("true_cnt"), col("est_cnt"),
+        (col("est_cnt") - col("true_cnt")).as("overcount"))
+  }
+
+  /** DuckDB mirror of [[cmsAudit]] — rebuilds the identical sketch with
+    * the same affine-mix arithmetic (poly hash is non-negative, so plain
+    * % matches pmod).
+    */
+  def cmsAuditSql(probeK: Int = 20): String = {
+    val rowsVals = CmsA.zip(CmsB).zipWithIndex
+      .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
+    s"""WITH ctok AS (
+       |  SELECT unnest(toks) AS w
+       |  FROM (SELECT ${graft.operators.Dedup.toksSql} AS toks FROM documents) t),
+       |crows(row_i, a, b) AS (VALUES $rowsVals),
+       |csk AS (
+       |  SELECT row_i, ((${graft.operators.Dedup.hashSql("w")}) * a + b) % $P % $CmsW AS bucket,
+       |    COUNT(*) AS cnt
+       |  FROM ctok CROSS JOIN crows
+       |  GROUP BY 1, 2),
+       |cprobe AS (
+       |  SELECT w, COUNT(*) AS true_cnt FROM ctok GROUP BY w
+       |  ORDER BY true_cnt DESC, w LIMIT $probeK),
+       |cb AS (
+       |  SELECT p.w, p.true_cnt, r.row_i,
+       |    ((${graft.operators.Dedup.hashSql("p.w")}) * r.a + r.b) % $P % $CmsW AS bucket
+       |  FROM cprobe p CROSS JOIN crows r)
+       |SELECT cb.w, cb.true_cnt,
+       |  CAST(MIN(csk.cnt) AS BIGINT) AS est_cnt,
+       |  CAST(MIN(csk.cnt) - cb.true_cnt AS BIGINT) AS overcount
+       |FROM cb JOIN csk ON csk.row_i = cb.row_i AND csk.bucket = cb.bucket
+       |GROUP BY cb.w, cb.true_cnt""".stripMargin
+  }
+
 }

@@ -1,0 +1,145 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Curation
+import graft.functions.TextFunctions
+
+/** weightedSample (sequential Poisson), snapshotDiff (manifest
+  * reconciliation), and the count–min sketch family: hand-computed
+  * semantics on tiny corpora, the CMS ≥-true and mergeability
+  * guarantees, and the plan-shape claims (TakeOrderedAndProject
+  * selection; no global sort).
+  */
+class WeightedSampleSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String, String)*) =
+    rows.toDF("doc_id", "text", "lang")
+
+  // ---- weightedSample -------------------------------------------------
+
+  test("weightedSample: keys are u/w with u the mixed hash, w = n_tokens+1") {
+    val d = docs((1L, "a b c", "en"), (2L, "a b c d e f g", "en"))
+    val out = Curation.weightedSample(d, 2).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("w_tok"), r.getAs[Long]("u"), r.getAs[Double]("skey"))).toMap
+    assert(out(1L)._1 === 4L)
+    assert(out(2L)._1 === 8L)
+    out.foreach { case (_, (w, u, k)) =>
+      assert(u >= 1L && u <= graft.functions.TextFunctions.P)
+      assert(k === u.toDouble / w.toDouble, "one IEEE division, exact")
+    }
+  }
+
+  test("weightedSample: heavier docs win proportionally more often") {
+    // 40 docs: ids 0..19 short (w_tok 2), ids 20..39 long (w_tok 12).
+    // With priority u/w and u uniform-ish, the long tier should take a
+    // clear majority of the 10 slots (expected ~10·(12/14) ≈ 8.6).
+    val d = (0L until 40L).map { i =>
+      val t = if (i < 20) "x" + i else ("y" + i + " ") * 10 + "z" + i
+      (i, t.trim, "en")
+    }
+    val out = Curation.weightedSample(docs(d: _*), 10).collect()
+    val longWins = out.count(_.getAs[Long]("doc_id") >= 20L)
+    assert(out.length === 10)
+    assert(longWins >= 7, s"long tier won only $longWins of 10")
+  }
+
+  test("weightedSample: n larger than the corpus returns every row") {
+    val d = docs((1L, "a", "en"), (2L, "b b", "de"))
+    assert(Curation.weightedSample(d, 100).count() === 2L)
+  }
+
+  test("weightedSample: selection is TakeOrderedAndProject, not a global sort") {
+    // more rows than n, else EliminateLimits drops the limit on a
+    // known-maxRows local relation and a bare global Sort survives
+    val d = docs((0L until 40L).map(i => (i, s"t$i", "en")): _*)
+    val plan = Curation.weightedSample(d, 5).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.linesIterator.exists(_.trim.matches("""\**\s*\+?-?\s*Sort .*""")),
+      "no full sort should survive the limit")
+  }
+
+  test("weightedSample: determinism under repartition") {
+    val d = docs((0L until 50L).map(i => (i, s"w$i " * (i.toInt % 7 + 1), "en")): _*)
+    val a = Curation.weightedSample(d.repartition(1), 12).collect().map(_.getLong(0)).toSet
+    val b = Curation.weightedSample(d.repartition(13), 12).collect().map(_.getLong(0)).toSet
+    assert(a === b)
+  }
+
+  // ---- snapshotDiff ---------------------------------------------------
+
+  test("snapshotDiff: residue-derived statuses and token deltas") {
+    // ids 3 (removed), 4 (changed: +' rev2' = +1 token), 5 (unchanged
+    // AND re-published under id+10M = added), 6 (unchanged)
+    val d = docs(
+      (3L, "three tokens here", "en"),
+      (4L, "four tokens", "en"),
+      (5L, "five", "de"),
+      (6L, "six six", "de"))
+    val out = Curation.snapshotDiff(d).collect()
+      .map(r => (r.getAs[String]("status"), r.getAs[String]("lang")) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("token_delta"))).toMap
+    assert(out(("removed", "en")) === ((1L, -3L)))
+    assert(out(("changed", "en")) === ((1L, 1L)))
+    assert(out(("added", "de")) === ((1L, 1L)))
+    assert(out(("unchanged", "de")) === ((2L, 0L)))
+    assert(out.size === 4)
+  }
+
+  test("snapshotDiff: conservation — deltas sum to tokens(B) - tokens(A)") {
+    val d = docs((0L until 33L).map(i => (i, s"t$i " * (i.toInt % 5 + 1), "en")): _*)
+    val totA = d.select(coalesce(sum(size(TextFunctions.tokens(col("text")))
+      .cast("long")), lit(0L))).as[Long].head()
+    val totB = Curation.snapshotB(d)
+      .select(coalesce(sum(size(TextFunctions.tokens(col("text")))
+        .cast("long")), lit(0L))).as[Long].head()
+    val delta = Curation.snapshotDiff(d)
+      .agg(sum(col("token_delta"))).as[Long].head()
+    assert(delta === totB - totA)
+  }
+
+  // ---- count–min sketch ----------------------------------------------
+
+  test("cmsAudit: estimates never undercount, exact when collision-free") {
+    val d = docs(
+      (1L, "apple apple apple banana", "en"),
+      (2L, "apple cherry banana banana", "en"))
+    val out = graft.operators.TextAnalysis.cmsAudit(d, 10).collect()
+      .map(r => r.getAs[String]("w") ->
+        (r.getAs[Long]("true_cnt"), r.getAs[Long]("est_cnt"))).toMap
+    assert(out("apple")._1 === 4L)
+    assert(out("banana")._1 === 3L)
+    assert(out("cherry")._1 === 1L)
+    out.foreach { case (w, (t, e)) => assert(e >= t, s"$w undercounted") }
+    // 3 distinct tokens in 512 buckets: collision-free, so est == true
+    out.foreach { case (w, (t, e)) => assert(e === t, s"$w collided in a 512-bucket sketch") }
+  }
+
+  test("cmsSketch: mergeability — sketch(A ∪ B) = sketch(A) + sketch(B)") {
+    val a = docs((1L, "p q r p", "en"), (2L, "p s", "en"))
+    val b = docs((3L, "q q t", "de"))
+    val whole = graft.operators.TextAnalysis.cmsSketch(a.unionByName(b))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val merged = graft.operators.TextAnalysis.cmsSketch(a)
+      .unionByName(graft.operators.TextAnalysis.cmsSketch(b))
+      .groupBy(col("row_i"), col("bucket"))
+      .agg(sum(col("cnt")).as("cnt"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(whole === merged)
+  }
+
+  test("cmsSketch: cell count bounded by D·W and total mass = D·N") {
+    val d = docs((0L until 40L).map(i => (i, s"a$i b${i % 9} c", "en")): _*)
+    val sk = graft.operators.TextAnalysis.cmsSketch(d)
+    val cells = sk.count()
+    assert(cells <= graft.operators.TextAnalysis.CmsD.toLong *
+      graft.operators.TextAnalysis.CmsW)
+    val n = d.select(sum(size(TextFunctions.tokens(col("text")))
+      .cast("long"))).as[Long].head()
+    val mass = sk.agg(sum(col("cnt"))).as[Long].head()
+    assert(mass === graft.operators.TextAnalysis.CmsD * n,
+      "every row of the sketch holds the full token mass")
+  }
+}

@@ -1209,6 +1209,20 @@ object SparkEntry {
       val c = Dedup.corpus(Tables.documents(s, dir))
       Dedup.deleteClustersFor(c, c.filter(col("doc_id") % 30 === 0), dir)
     },
+    // One full crawl GENERATION — the composition the snapshot diff's
+    // sets feed: takedown leaves the persisted index (anti-join scans),
+    // the new crawl merges against the POST-DELETE store (bucket-
+    // bounded), surviving base pairs ride the persisted pair artifact
+    // with removed-touching rows anti-joined out. The corpus is never
+    // re-scanned; the oracle recomputes the pair set from scratch over
+    // (base \ removed) UNION increment — generation ≡ rebuild.
+    "q_dedup_crawl" -> { (s, dir) =>
+      val c = Dedup.corpus(Tables.documents(s, dir))
+      val base = c.filter(col("doc_id") < 2000000L)
+      Dedup.crawlPairsFor(
+        base, base.filter(col("doc_id") % 30 === 0),
+        c.filter(col("doc_id") >= 2000000L), dir)
+    },
 
     // Source-pair duplicate matrix: verified near-dup pairs rolled up
     // to (source, source) counts + order-free fixed-point mean Jaccard
@@ -3330,6 +3344,18 @@ object SparkEntry {
          |${Dedup.bandsSql},
          |${Dedup.closureSql}
          |SELECT id AS doc_id, cluster, (id = cluster) AS is_keeper FROM comp""".stripMargin,
+    "q_dedup_crawl" ->
+      s"""WITH ${Dedup.corpusSql},
+         |cfin AS (
+         |  SELECT * FROM corpus
+         |  WHERE (doc_id < 2000000 AND doc_id % 30 <> 0) OR doc_id >= 2000000),
+         |${Dedup.tokSqlFor("cfin", "tok")},
+         |${Dedup.sigSql},
+         |${Dedup.bandsSql},
+         |${Dedup.jaccardPairSqlChain()}
+         |SELECT doc_a, doc_b, jaccard,
+         |  CASE WHEN doc_b >= 2000000 THEN 'new' ELSE 'kept' END AS part
+         |FROM jpairs""".stripMargin,
     "q_emb_delete" -> Similarity.ivfDeleteSql("vec_id % 10 = 3"),
     "q_emb_merge" -> Similarity.mergeUnderfullSql("vec_id % 10 = 3"),
     "q_dedup_srcmatrix" ->

@@ -902,6 +902,60 @@ object Dedup {
       graft.sources.Tables.dataKey(c.sparkSession, dir) + "|delclusters")(
       graft.sources.StageMemo.reliableStage(deleteClusters(c, deleted, dir)))
 
+  /** One full crawl GENERATION over the persisted pair artifacts — the
+    * composition a recurring-crawl pipeline runs after the snapshot diff
+    * names its sets ([[graft.operators.Curation.snapshotDiff]]): the
+    * takedown batch leaves the index ([[deleteFromIndex]] — two
+    * anti-join scans, base never re-shingled), the new crawl's docs
+    * merge against the POST-DELETE store ([[incrementMergePairs]] —
+    * O(increment) bucket-bounded), and the surviving base pairs are the
+    * persisted [[basePairsFor]] artifact with removed-touching rows
+    * anti-joined out. Total generation cost: O(store I/O) for the
+    * delete + O(increment) for the merge + O(base pairs) for the filter
+    * — the corpus is never re-scanned.
+    *
+    * Output ≡ a full from-scratch pair recompute over
+    * (base ∖ removed) ∪ increment by construction: bands are per-doc
+    * functions, so the full candidate set partitions into
+    * survivor-only pairs (= base candidates with both endpoints
+    * surviving — removed docs' bands are exactly what the delete
+    * removed) and increment-touching pairs (= the merge against the
+    * deleted store, which is the survivor store); the verify is
+    * per-pair. The q_dedup_crawl oracle re-checks this against the
+    * full recompute. `part` tags provenance: 'kept' = surviving base
+    * pair, 'new' = pair introduced by the increment.
+    */
+  def crawlPairs(base: DataFrame, removed: DataFrame, incr: DataFrame,
+      dir: String, minJaccard: Double = 0.5): DataFrame = {
+    val delIds = removed.select(col("doc_id")).distinct()
+    val kept = basePairsFor(base, dir, minJaccard)
+      .join(delIds.select(col("doc_id").as("doc_a")).hint("shuffle_hash"),
+        Seq("doc_a"), "left_anti")
+      .join(delIds.select(col("doc_id").as("doc_b")).hint("shuffle_hash"),
+        Seq("doc_b"), "left_anti")
+      // using-column joins move the join column first — restore the
+      // (doc_a, doc_b) order before the positional union below
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .withColumn("part", lit("kept"))
+    val (tokD, bandsD) = deleteFromIndex(base, removed, dir)
+    val fresh = incrementMergePairs(tokD, bandsD, incr, minJaccard)
+      .withColumn("part", lit("new"))
+    kept.union(fresh)
+  }
+
+  /** [[crawlPairs]] memoized as the generation's pair ARTIFACT (reliable
+    * checkpoint) — the table tomorrow's generation calls its base. Same
+    * dir-keyed-memo caveat as [[dedupIndexFor]].
+    */
+  def crawlPairsFor(base: DataFrame, removed: DataFrame, incr: DataFrame,
+      dir: String, minJaccard: Double = 0.5): DataFrame =
+    jpairMemo.getOrCompute(
+      graft.sources.Tables.dataKey(base.sparkSession, dir) +
+        s"|crawlpairs$minJaccard") {
+      graft.sources.StageMemo.reliableStage(
+        crawlPairs(base, removed, incr, dir, minJaccard))
+    }
+
   /** Incremental duplicate-CLUSTER maintenance — the step after
     * [[incrementMergePairs]] in the daily-crawl loop: fold the
     * increment's verified edges into the existing cluster table without

@@ -171,4 +171,53 @@ class DeleteSpec extends SparkSpec {
     assert(out(100L).getBoolean(4), "an emptied cell must flag underfull")
     assert(out(0L).getLong(3) === 3L && !out(0L).getBoolean(4))
   }
+
+  test("crawlPairs == full pair recompute over (base \\ removed) UNION increment") {
+    Dedup.clearMemos()
+    val base = corpus.filter($"doc_id" < 2000000L)
+    val removed = base.filter($"doc_id" % 30 === 0)
+    val incr = corpus.filter($"doc_id" >= 2000000L)
+    val got = Dedup.crawlPairs(base, removed, incr, Sf)
+      .select($"doc_a", $"doc_b", $"part")
+      .as[(Long, Long, String)].collect().toSet
+    val finalCorpus = base.filter($"doc_id" % 30 =!= 0).unionByName(incr)
+    val full = Dedup.ngramJaccardPairs(finalCorpus)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(got.map(p => (p._1, p._2)) === full,
+      "one crawl generation diverged from the from-scratch pair rebuild")
+    // provenance: 'new' pairs all touch the increment; 'kept' pairs never do
+    got.foreach {
+      case (_, b, "new") => assert(b >= 2000000L, s"'new' pair without increment contact (doc_b=$b)")
+      case (a, b, "kept") => assert(a < 2000000L && b < 2000000L, "'kept' pair touching the increment")
+      case other => fail(s"unexpected part tag: $other")
+    }
+    // no pair may touch a removed doc
+    val delIds = removed.select($"doc_id").as[Long].collect().toSet
+    got.foreach { case (a, b, _) =>
+      assert(!delIds(a) && !delIds(b), s"pair ($a, $b) touches a removed doc")
+    }
+    // fixture power: the takedown actually dropped base pairs, and the
+    // increment actually introduced pairs
+    Dedup.clearMemos()
+    val basePairs = Dedup.basePairsFor(base, Sf)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    val keptGot = got.filter(_._3 == "kept").map(p => (p._1, p._2))
+    assert(keptGot.size < basePairs.size, "fixture lost its power: no base pair removed")
+    assert(got.exists(_._3 == "new"), "fixture lost its power: no increment pair")
+    assert(keptGot.subsetOf(basePairs), "'kept' must be a subset of the persisted base pairs")
+  }
+
+  test("crawlPairs serves the persisted artifacts: second generation call is memo-served") {
+    Dedup.clearMemos()
+    val base = corpus.filter($"doc_id" < 2000000L)
+    val removed = base.filter($"doc_id" % 30 === 0)
+    val incr = corpus.filter($"doc_id" >= 2000000L)
+    val a = Dedup.crawlPairsFor(base, removed, incr, Sf)
+    val b = Dedup.crawlPairsFor(base, removed, incr, Sf)
+    assert(a eq b, "second call must hit the crawl-pair memo")
+    // the post-delete store it merged against is itself parquet-backed
+    val (tokD, bandsD) = Dedup.deleteFromIndex(base, removed, Sf)
+    assert(tokD.inputFiles.nonEmpty && bandsD.inputFiles.nonEmpty,
+      "crawl merge must run against the persisted post-delete store")
+  }
 }

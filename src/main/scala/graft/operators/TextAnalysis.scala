@@ -1369,18 +1369,28 @@ object TextAnalysis {
     * for a 100 TB corpus — per-shard sketches roll up to one 2048-cell
     * table with no token re-scan.
     */
-  def cmsSketch(docs: DataFrame): DataFrame = {
-    val spark = docs.sparkSession
+  def cmsSketch(docs: DataFrame): DataFrame =
+    cmsCellsOf(withToks(docs).select(explode(col("toks")).as("w")))
+      .groupBy(col("row_i"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** One (row_i, bucket) cell hit per (token occurrence × sketch row) —
+    * the update fan-out shared by the batch sketch and the streaming
+    * twin ([[graft.streaming.DocStream.cmsCells]]). Input: a frame with
+    * a string column `w` (may be a streaming frame — everything here is
+    * a narrow map plus a broadcast of the D-row constant table).
+    */
+  def cmsCellsOf(tokDf: DataFrame): DataFrame = {
+    val spark = tokDf.sparkSession
     import spark.implicits._
     val rows = CmsA.zip(CmsB).zipWithIndex
       .map { case ((a, b), i) => (i, a, b) }.toDF("row_i", "a", "b")
-    withToks(docs).select(explode(col("toks")).as("w"))
+    tokDf
       .withColumn("h", stringHash(col("w")))
       .crossJoin(broadcast(rows))
       .withColumn("bucket",
         pmod(col("h") * col("a") + col("b"), lit(P)) % lit(CmsW.toLong))
-      .groupBy(col("row_i"), col("bucket"))
-      .agg(count(lit(1)).as("cnt"))
+      .select(col("row_i"), col("bucket"))
   }
 
   /** CMS point-query audit: estimate vs exact count for the top-`probeK`

@@ -404,6 +404,27 @@ object DocStream {
       WinnowCand(doc, key, earlier)
   }
 
+  /** Streaming twin of the count–min sketch
+    * ([[graft.operators.TextAnalysis.cmsSketch]]): because CMS cells are
+    * plain SUMS, the sketch streams through Spark's built-in incremental
+    * aggregation with ZERO custom state — each micro-batch's tokens fan
+    * out ×D to their cells (the shared
+    * [[graft.operators.TextAnalysis.cmsCellsOf]] derivation, so batch
+    * and stream run the same expression tree) and the grouped count
+    * updates in place. Run in Update mode: each batch emits only the
+    * cells it touched, and the LATEST emission per cell is the sketch —
+    * exactly the cell-wise-merge law the batch spec pins
+    * (sketch(A ∪ B) = sketch(A) + sketch(B)). Streaming state is the
+    * ≤ D·W cell table itself: CONSTANT for any stream length, no
+    * watermark, no TTL — the property that makes CMS the right
+    * frequency summary for an unbounded 100-TB token feed.
+    */
+  def cmsCells(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    graft.operators.TextAnalysis.cmsCellsOf(
+      docs.select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("w")))
+      .groupBy(col("row_i"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+
   /** Streaming twin of [[graft.operators.Classifier.score]]: apply a
     * FROZEN trained weight vector (from a batch fit — the standard
     * train-offline / score-online split) to a document stream. Because

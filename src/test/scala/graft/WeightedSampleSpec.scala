@@ -130,6 +130,40 @@ class WeightedSampleSpec extends SparkSpec {
     assert(whole === merged)
   }
 
+  test("cmsCells streaming twin: latest update per cell == batch sketch of the full stream") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.DocStream
+    implicit val ctx = spark.sqlContext
+    val b1 = Seq(
+      DocStream.StreamDoc(Timestamp.valueOf("2024-01-01 00:00:00"), 1L, "p q r p"),
+      DocStream.StreamDoc(Timestamp.valueOf("2024-01-01 00:00:01"), 2L, "p s"))
+    val b2 = Seq(
+      DocStream.StreamDoc(Timestamp.valueOf("2024-01-01 00:01:00"), 3L, "q q t"))
+    val ms = MemoryStream[DocStream.StreamDoc]
+    val q = DocStream.cmsCells(ms.toDF())
+      .writeStream.format("memory").queryName("cms_tws").outputMode("update").start()
+    Seq(b1, b2).foreach { b => ms.addData(b); q.processAllAvailable() }
+    q.stop()
+    // counts are monotone per cell, so the latest emission per cell = max
+    val streamed = spark.table("cms_tws")
+      .groupBy(col("row_i"), col("bucket")).agg(max(col("cnt")).as("cnt"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val batch = graft.operators.TextAnalysis.cmsSketch(
+      (b1 ++ b2).map(d => (d.doc_id, d.text, "en")).toDF("doc_id", "text", "lang"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(streamed === batch, "streaming sketch diverged from the batch sketch")
+    // the second batch emitted ONLY the cells it touched (update mode):
+    // emissions = distinct cells touched per batch, not the whole sketch
+    val updates = spark.table("cms_tws").count()
+    val b1cells = graft.operators.TextAnalysis.cmsSketch(
+      b1.map(d => (d.doc_id, d.text, "en")).toDF("doc_id", "text", "lang")).count()
+    val b2cells = graft.operators.TextAnalysis.cmsCellsOf(
+      Seq("q", "q", "t").toDF("w")).distinct().count()
+    assert(updates === b1cells + b2cells,
+      "update mode must re-emit only touched cells per micro-batch")
+  }
+
   test("cmsSketch: cell count bounded by D·W and total mass = D·N") {
     val d = docs((0L until 40L).map(i => (i, s"a$i b${i % 9} c", "en")): _*)
     val sk = graft.operators.TextAnalysis.cmsSketch(d)

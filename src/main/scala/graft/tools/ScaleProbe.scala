@@ -100,7 +100,14 @@ object ScaleProbe {
     // rule under test: per-task sort work is ~n/nShards, so the fixed-8
     // profile should degrade toward single-task sorts while the scaled
     // variant tracks the scan)
-    "q_dedup_delete", "q_doc_eshuffle", "q_doc_eshuffle64")
+    "q_dedup_delete", "q_doc_eshuffle", "q_doc_eshuffle64",
+    // round-10 late additions: the composed crawl generation (delete +
+    // post-delete-store merge + kept-pair filter — its marginal cost
+    // should track the increment and the store I/O, riding the same
+    // persisted artifacts q_dedup_incr/delete pay for) and the snapshot
+    // diff (one doc_id-co-partitioned full-outer join over two
+    // corpus-sized manifests — should track the scan)
+    "q_dedup_crawl", "q_doc_snapdiff")
 
   /** Heaps-ish vocabulary size: 30 tokens at the 5k-doc base (the real
     * table's vocabulary), growing with sqrt(n).

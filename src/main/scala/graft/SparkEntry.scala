@@ -1223,6 +1223,18 @@ object SparkEntry {
         base, base.filter(col("doc_id") % 30 === 0),
         c.filter(col("doc_id") >= 2000000L), dir)
     },
+    // The crawl generation's CLUSTER side: takedown re-resolution over
+    // surviving actual edges, then the day's merge pairs fold into the
+    // post-delete table (touched components only at both steps — the
+    // increment can re-bridge components the delete split). Oracle =
+    // full recursive-closure recompute over the final corpus.
+    "q_dedup_crawlclusters" -> { (s, dir) =>
+      val c = Dedup.corpus(Tables.documents(s, dir))
+      val base = c.filter(col("doc_id") < 2000000L)
+      Dedup.crawlClustersFor(
+        base, base.filter(col("doc_id") % 30 === 0),
+        c.filter(col("doc_id") >= 2000000L), dir)
+    },
 
     // Source-pair duplicate matrix: verified near-dup pairs rolled up
     // to (source, source) counts + order-free fixed-point mean Jaccard
@@ -3356,6 +3368,16 @@ object SparkEntry {
          |SELECT doc_a, doc_b, jaccard,
          |  CASE WHEN doc_b >= 2000000 THEN 'new' ELSE 'kept' END AS part
          |FROM jpairs""".stripMargin,
+    "q_dedup_crawlclusters" ->
+      s"""WITH RECURSIVE ${Dedup.corpusSql},
+         |cfin AS (
+         |  SELECT * FROM corpus
+         |  WHERE (doc_id < 2000000 AND doc_id % 30 <> 0) OR doc_id >= 2000000),
+         |${Dedup.tokSqlFor("cfin", "tok")},
+         |${Dedup.sigSql},
+         |${Dedup.bandsSql},
+         |${Dedup.closureSql}
+         |SELECT id AS doc_id, cluster, (id = cluster) AS is_keeper FROM comp""".stripMargin,
     "q_emb_delete" -> Similarity.ivfDeleteSql("vec_id % 10 = 3"),
     "q_emb_merge" -> Similarity.mergeUnderfullSql("vec_id % 10 = 3"),
     "q_dedup_srcmatrix" ->

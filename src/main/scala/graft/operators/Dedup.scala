@@ -972,10 +972,19 @@ object Dedup {
     * recursive-closure recompute.
     */
   def incrementalClusters(base: DataFrame, incr: DataFrame,
-      dir: String): DataFrame = {
-    val baseCl = baseClustersFor(base, dir)
-    val newEdges = mergePairsFor(base, incr, dir)
-      .select(col("doc_a"), col("doc_b"))
+      dir: String): DataFrame =
+    foldInClusters(baseClustersFor(base, dir),
+      mergePairsFor(base, incr, dir).select(col("doc_a"), col("doc_b")))
+
+  /** The fold-in itself over caller-supplied artifacts: new edges join
+    * an existing cluster table by re-resolving only the components
+    * containing their endpoints (star edges preserve the table's
+    * connectivity — valid here because edges are only ADDED; the
+    * delete side must use actual pair edges instead, see
+    * [[deleteClustersFrom]]). Split out so the crawl generation can
+    * fold the day's merge pairs into the POST-DELETE table.
+    */
+  def foldInClusters(baseCl: DataFrame, newEdges: DataFrame): DataFrame = {
     val touched = newEdges.select(col("doc_a").as("doc_id"))
       .union(newEdges.select(col("doc_b").as("doc_id"))).distinct()
     val affectedClusters = baseCl
@@ -990,6 +999,41 @@ object Dedup {
     baseCl.join(affectedMembers.select(col("doc_id")), Seq("doc_id"), "left_anti")
       .union(sub)
   }
+
+  /** Cluster-side crawl GENERATION — [[crawlPairs]]' sibling on the
+    * persisted cluster artifact, composing both incremental primitives
+    * in their production order: (1) the takedown re-resolves only the
+    * components containing a deleted member over their surviving ACTUAL
+    * pair edges ([[deleteClustersFrom]] — cut-vertex-safe); (2) the
+    * day's merge pairs (from the post-delete store, so they can never
+    * name a removed doc) fold into the post-delete table re-resolving
+    * only the components they touch ([[foldInClusters]] — star edges
+    * valid because this step only ADDS edges, including re-bridging
+    * components the delete split when the increment provides a new
+    * path). Delete-then-add ≡ one full re-cluster of
+    * (base ∖ removed) ∪ increment because CC(E₁ ∪ E₂) = fold-in of E₂
+    * into CC(E₁); the q_dedup_crawlclusters oracle re-checks against
+    * the recursive-closure recompute. Work: touched components only at
+    * both steps — the corpus never re-clusters.
+    */
+  def crawlClusters(base: DataFrame, removed: DataFrame, incr: DataFrame,
+      dir: String): DataFrame = {
+    val postDel = deleteClustersFrom(
+      baseClustersFor(base, dir),
+      basePairsFor(base, dir).select(col("doc_a"), col("doc_b")), removed)
+    val newEdges = crawlPairsFor(base, removed, incr, dir)
+      .filter(col("part") === "new")
+      .select(col("doc_a"), col("doc_b"))
+    foldInClusters(postDel, newEdges)
+  }
+
+  /** [[crawlClusters]] memoized as the generation's cluster ARTIFACT. */
+  def crawlClustersFor(base: DataFrame, removed: DataFrame, incr: DataFrame,
+      dir: String): DataFrame =
+    clusterMemo.getOrCompute(
+      graft.sources.Tables.dataKey(base.sparkSession, dir) + "|crawlclusters")(
+      graft.sources.StageMemo.reliableStage(
+        crawlClusters(base, removed, incr, dir)))
 
   /** [[incrementalClusters]] memoized as the next-generation cluster
     * ARTIFACT (reliable checkpoint) — the fold-in runs once; serving

@@ -207,6 +207,59 @@ class DeleteSpec extends SparkSpec {
     assert(keptGot.subsetOf(basePairs), "'kept' must be a subset of the persisted base pairs")
   }
 
+  test("crawlClusters == full re-cluster of (base \\ removed) UNION increment") {
+    Dedup.clearMemos()
+    val base = corpus.filter($"doc_id" < 2000000L)
+    val removed = base.filter($"doc_id" % 30 === 0)
+    val incr = corpus.filter($"doc_id" >= 2000000L)
+    val got = Dedup.crawlClusters(base, removed, incr, Sf)
+      .as[(Long, Long, Boolean)].collect().toSet
+    val finalCorpus = base.filter($"doc_id" % 30 =!= 0).unionByName(incr)
+    val full = Dedup.duplicateClusters(
+      Dedup.ngramJaccardPairs(finalCorpus).select($"doc_a", $"doc_b"))
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(got === full,
+      "cluster-side crawl generation diverged from the full re-cluster")
+    // no cluster row may name a removed doc
+    val delIds = removed.select($"doc_id").as[Long].collect().toSet
+    got.foreach { case (id, cl, _) =>
+      assert(!delIds(id) && !delIds(cl), s"cluster row ($id, $cl) names a removed doc")
+    }
+  }
+
+  test("crawl fold-in re-bridges a component the delete split when the increment provides the path") {
+    // a ~ b ~ c chain (b the cut vertex). Deleting b splits {a, c}.
+    // A new doc d similar to BOTH a and c must re-merge them into one
+    // component {a, c, d} — the delete-then-add order the crawl
+    // generation composes, on the sharpest possible fixture.
+    val w = (1 to 40).map(i => s"w$i")
+    val x = (1 to 8).map(i => s"x$i")
+    val y = (1 to 8).map(i => s"y$i")
+    val a = w.mkString(" ")
+    val b = (w.take(32) ++ x).mkString(" ")
+    val c = (y ++ w.slice(8, 32) ++ x).mkString(" ")
+    // d straddles both: a's tail half plus c's y-prefix and shared block
+    val d = (y ++ w.slice(8, 40)).mkString(" ")
+    val fx = Seq((1L, "en", a), (2L, "en", b), (3L, "en", c))
+      .toDF("doc_id", "lang", "text")
+    val pairs = Dedup.ngramJaccardPairs(fx)
+    val cl = Dedup.duplicateClusters(pairs.select($"doc_a", $"doc_b"))
+    val postDel = Dedup.deleteClustersFrom(cl, pairs, Seq(2L).toDF("doc_id"))
+    assert(postDel.count() === 0L, "precondition: delete splits a and c apart")
+    // the increment's verified pairs against the survivors {a, c}
+    val withD = Seq((1L, "en", a), (3L, "en", c), (9L, "en", d))
+      .toDF("doc_id", "lang", "text")
+    val newEdges = Dedup.ngramJaccardPairs(withD)
+      .filter($"doc_a" === 9L || $"doc_b" === 9L)
+      .select($"doc_a", $"doc_b")
+    assert(newEdges.count() === 2L,
+      "fixture: d must pair with BOTH a and c (tune the straddle doc if not)")
+    val folded = Dedup.foldInClusters(postDel, newEdges)
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(folded === Set((1L, 1L, true), (3L, 1L, false), (9L, 1L, false)),
+      s"fold-in must re-bridge a and c through d, got $folded")
+  }
+
   test("crawlPairs serves the persisted artifacts: second generation call is memo-served") {
     Dedup.clearMemos()
     val base = corpus.filter($"doc_id" < 2000000L)

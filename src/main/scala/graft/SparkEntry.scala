@@ -949,6 +949,18 @@ object SparkEntry {
         e.filter(col("vec_id") % 10 === 3))
     },
 
+    // One IVF crawl GENERATION: the takedown batch and the day's new
+    // vectors both assign against the frozen centroids; per-cell NET
+    // occupancy carries both flags against the POST-generation total —
+    // a cell the delete alone would flag underfull is healthy once the
+    // appends refill it (the composition's accounting, pinned in
+    // DeleteSpec). The ANN sibling of q_dedup_crawl.
+    "q_emb_crawl" -> { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+      Similarity.ivfCrawl(e, Similarity.kmeansFitMemo(e, dir, "all"),
+        e.filter(col("vec_id") % 10 === 3))
+    },
+
     // Merge-underfull: the action the delete audit's flag points at —
     // each underfull cell's surviving members fold into the nearest
     // healthy centroid (per-move fit accounting), closing the delete
@@ -3379,6 +3391,7 @@ object SparkEntry {
          |${Dedup.closureSql}
          |SELECT id AS doc_id, cluster, (id = cluster) AS is_keeper FROM comp""".stripMargin,
     "q_emb_delete" -> Similarity.ivfDeleteSql("vec_id % 10 = 3"),
+    "q_emb_crawl" -> Similarity.ivfCrawlSql("vec_id % 10 = 3"),
     "q_emb_merge" -> Similarity.mergeUnderfullSql("vec_id % 10 = 3"),
     "q_dedup_srcmatrix" ->
       s"""WITH ${Dedup.corpusSql},

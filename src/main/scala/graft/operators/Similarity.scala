@@ -1536,6 +1536,86 @@ object Similarity {
        |  n_after * k_cells * $underDen < $underNum * total_after AS underfull
        |FROM dper CROSS JOIN dtot""".stripMargin
 
+  /** One full crawl GENERATION on the IVF index — the ANN sibling of
+    * [[graft.operators.Dedup.crawlPairs]], composing the maintenance
+    * family's DELETE ([[ivfDelete]]) and GROW ([[ivfAppend]]) members
+    * in one accounting pass: the takedown batch and the day's new
+    * vectors both assign against the FROZEN production centroids (two
+    * narrow broadcast-argmin passes over the delete/increment sets
+    * only — base assignments never recompute), and the per-cell NET
+    * occupancy n_net = n_base − n_del + n_new carries BOTH flags
+    * computed against the post-generation total — the accounting
+    * neither op alone gives: a cell the delete alone would flag
+    * underfull is healthy if the day's appends refill it, and vice
+    * versa, so running the two audits separately double-schedules
+    * maintenance a single generation never needed. ≤ k rows out;
+    * flags are division-free exact-integer rationals.
+    */
+  def ivfCrawl(e: DataFrame, cents: DataFrame, deleted: DataFrame,
+      underNum: Int = 1, underDen: Int = 2,
+      overNum: Int = 2, overDen: Int = 1): DataFrame = {
+    val baseCnt = kmeansAssign(e, cents)
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_base"))
+    val delCnt = kmeansAssign(deleted, cents)
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_del"))
+    val incr = embCorpus(e).filter(col("vec_id") >= 1000000L)
+    val newCnt = kmeansAssign(incr, cents)
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_new"))
+    // deleted ⊆ corpus (its cells always have base members) but appends
+    // can land in empty-base cells — left for the delete side, full for
+    // the grow side, the same totality reasoning as the parent ops
+    val per = baseCnt
+      .join(delCnt, Seq("cell"), "left")
+      .join(newCnt, Seq("cell"), "full")
+      .select(col("cell"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_del"), lit(0L)).as("n_del"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+      .withColumn("n_net", col("n_base") - col("n_del") + col("n_new"))
+      .localCheckpoint(false)
+    val tot = per.agg(sum(col("n_net")).as("total"),
+      count(lit(1)).as("k_cells"))
+    per.crossJoin(broadcast(tot))
+      .select(col("cell"), col("n_base"), col("n_del"), col("n_new"), col("n_net"),
+        when(col("n_base") > 0, expr("n_net * 1000 DIV n_base"))
+          .as("net_permille"),
+        (col("n_net") * col("k_cells") * lit(underDen.toLong) <
+          lit(underNum.toLong) * col("total")).as("underfull"),
+        (col("n_net") * col("k_cells") * lit(overDen.toLong) >
+          lit(overNum.toLong) * col("total")).as("overfull"))
+  }
+
+  /** DuckDB mirror of [[ivfCrawl]] — the delete counts and the append
+    * assignment ride the same kmeans/append CTE chain as the parent
+    * mirrors.
+    */
+  def ivfCrawlSql(deleteWhere: String, underNum: Int = 1, underDen: Int = 2,
+      overNum: Int = 2, overDen: Int = 1, k: Int = 8, iters: Int = 2): String =
+    s"""WITH ${appendChainCtes(k, iters)},
+       |cdcnt AS (
+       |  SELECT cell, COUNT(*) AS n_del FROM afin
+       |  WHERE $deleteWhere GROUP BY cell),
+       |cgper AS (
+       |  SELECT COALESCE(b.cell, n.cell) AS cell,
+       |    COALESCE(b.n_base, CAST(0 AS BIGINT)) AS n_base,
+       |    COALESCE(d.n_del, CAST(0 AS BIGINT)) AS n_del,
+       |    COALESCE(n.n_new, CAST(0 AS BIGINT)) AS n_new
+       |  FROM bcnt b
+       |  FULL JOIN ncnt n ON n.cell = b.cell
+       |  LEFT JOIN cdcnt d ON d.cell = COALESCE(b.cell, n.cell)),
+       |cgnet AS (
+       |  SELECT cell, n_base, n_del, n_new,
+       |    n_base - n_del + n_new AS n_net
+       |  FROM cgper),
+       |cgtot AS (
+       |  SELECT CAST(SUM(n_net) AS BIGINT) AS total, COUNT(*) AS k_cells
+       |  FROM cgnet)
+       |SELECT cell, n_base, n_del, n_new, n_net,
+       |  CASE WHEN n_base > 0 THEN n_net * 1000 // n_base END AS net_permille,
+       |  n_net * k_cells * $underDen < $underNum * total AS underfull,
+       |  n_net * k_cells * $overDen > $overNum * total AS overfull
+       |FROM cgnet CROSS JOIN cgtot""".stripMargin
+
   /** Merge-underfull — the action [[ivfDelete]]'s flag points at,
     * closing the delete loop the way [[splitOverfull]] closes the
     * append loop's: each underfull cell's SURVIVING members reassign to

@@ -172,6 +172,42 @@ class DeleteSpec extends SparkSpec {
     assert(out(0L).getLong(3) === 3L && !out(0L).getBoolean(4))
   }
 
+  test("ivfCrawl: net flags use POST-generation occupancy; counts reconcile with the parent ops") {
+    // cell A (10,10): base {7, 11, 13} plus increment sources {0, 25}
+    // at (7,7); cell B (0,0): 7 members. Delete {7, 11, 13, 0} guts A
+    // (n_after 1 → ivfDelete ALONE flags it underfull at the production
+    // 1/2 bar), but the day's appends (1.5×(7,7) = (10.5, 10.5) → A)
+    // refill it to n_net 3 — the generation must NOT flag it.
+    val cents = Seq((0L, Seq(0.0, 0.0)), (100L, Seq(10.0, 10.0)))
+      .toDF("cell", "cemb")
+    val aSide = Seq(7L, 11L, 13L).map(i => (i, Array(10.0f, 10.0f), 1L)) ++
+      Seq(0L, 25L).map(i => (i, Array(7.0f, 7.0f), 1L))
+    val bSide = Seq(1L, 2L, 3L, 4L, 6L, 8L, 9L).map(i => (i, Array(0.0f, 0.1f), 0L))
+    val e = (aSide ++ bSide).toDF("vec_id", "embedding", "label")
+    val deleted = e.filter($"vec_id".isin(7L, 11L, 13L, 0L))
+    val crawl = Similarity.ivfCrawl(e, cents, deleted)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val a = crawl(100L); val b = crawl(0L)
+    assert(a.getLong(1) === 5L && a.getLong(2) === 4L && a.getLong(3) === 2L &&
+      a.getLong(4) === 3L, s"cell A accounting off: $a")
+    assert(b.getLong(1) === 7L && b.getLong(2) === 0L && b.getLong(3) === 0L &&
+      b.getLong(4) === 7L, s"cell B accounting off: $b")
+    assert(!a.getAs[Boolean]("underfull"),
+      "appends refilled cell A — the generation must not flag it underfull")
+    assert(!b.getAs[Boolean]("underfull") && !b.getAs[Boolean]("overfull"))
+    // the delete op ALONE would have flagged A at the same 1/2 bar —
+    // the discriminating case for post-generation flag accounting
+    val delOnly = Similarity.ivfDelete(e, cents, deleted)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(delOnly(100L).getAs[Boolean]("underfull"),
+      "fixture lost its power: delete alone must flag cell A")
+    // counts reconcile with the parent ops
+    assert(a.getLong(2) === delOnly(100L).getLong(2), "n_del diverged from ivfDelete")
+    val appOnly = Similarity.ivfAppend(e, cents)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(a.getLong(3) === appOnly(100L).getLong(2), "n_new diverged from ivfAppend")
+  }
+
   test("crawlPairs == full pair recompute over (base \\ removed) UNION increment") {
     Dedup.clearMemos()
     val base = corpus.filter($"doc_id" < 2000000L)

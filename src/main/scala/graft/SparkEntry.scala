@@ -1458,6 +1458,14 @@ object SparkEntry {
     "q_doc_qclf_score" -> { (s, dir) =>
       Classifier.score(Tables.documents(s, dir), dir)
     },
+    // Multiclass language-ID distillation: one-vs-rest linear students
+    // over the same fused HashedTf features, ALL classes sharing each
+    // training pass (one 165-slot gradient row per round — C students
+    // cost the same corpus scans as one). Read-out = confusion matrix
+    // of argmax predictions vs the declared lang (≤ C² rows).
+    "q_doc_langclf" -> { (s, dir) =>
+      Classifier.langConfusion(Tables.documents(s, dir), dir)
+    },
 
     // Exact heavy hitters with bounded per-partition state: Misra–Gries
     // candidates (narrow, no shuffle; pigeonhole superset guarantee) →
@@ -4276,6 +4284,7 @@ object SparkEntry {
     "q_doc_qclf_score" -> Classifier.scoreSql(),
     "q_doc_qclf_pr" -> Classifier.prCurveSql(),
     "q_doc_qclf_cal" -> Classifier.calibrationSql(),
+    "q_doc_langclf" -> Classifier.langClfSql(),
     "q_doc_qclf_bysrc" -> Classifier.scoreBySourceSql(),
     "q_doc_bpe_encode" -> TextAnalysis.bpeSegmentSql(),
     "q_doc_vocabcov" -> TextAnalysis.vocabCoverageSql(),

@@ -139,7 +139,7 @@ object Classifier {
 
   // Feature table + trained weights are shared by the train and score
   // queries — same memo discipline as Dedup.clustersFor / kmeansFitMemo.
-  private val featMemo = new graft.sources.StageMemo[DataFrame](4)
+  private val featMemo = new graft.sources.StageMemo[DataFrame](8)
   private val wMemo = new graft.sources.StageMemo[Array[Long]](8)
 
   def featuresMemo(docs: DataFrame, dir: String): DataFrame =
@@ -491,4 +491,167 @@ object Classifier {
        |      (a, b) -> a + b) AS z
        |  FROM afeat CROSS JOIN w$iters),
        |akept AS (SELECT doc_id FROM ascr WHERE z > 0)""".stripMargin
+
+  // ---- Multiclass language-ID distillation (one-vs-rest) --------------
+
+  /** Class order — fixed and sorted so the one-hot slot and the argmax
+    * tie-break are engine-identical.
+    */
+  val Langs: Seq[String] = Seq("de", "en", "es", "fr", "zh")
+  val LangC: Int = Langs.length
+
+  /** Language-ID features: same fused [[graft.expressions.HashedTf]]
+    * stateless-narrow pass as the quality classifier, with the DECLARED
+    * lang as the (multiclass) teacher — the metadata-supervised student
+    * that predicts lang from token distributions for crawls that arrive
+    * without metadata. Zero-token docs excluded (mirrored by
+    * construction — they produce no token rows in SQL).
+    */
+  def langFeatures(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("lang"), TextFunctions.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), col("lang"),
+        graft.expressions.HashedTf.hashed_tf(col("toks"), NumBuckets, FeatScale).as("x"))
+
+  /** One-vs-rest training with ALL classes sharing each corpus pass —
+    * the 100-TB spelling of multiclass: per round ONE aggregation row
+    * carries the C·Dims gradient slots (here 165), so C binary students
+    * cost the same number of corpus scans as one (classes ride the same
+    * scan; the driver-side update is O(C·Dims) constants). Per class the
+    * arithmetic is exactly [[fitQuantized]]'s — rational fast sigmoid,
+    * 2^24-quantized order-free gradient sums, HALF_UP driver rounding —
+    * so slice c of the returned weights is bit-identical to an
+    * independent binary fit against teacher y = (lang = Langs(c))
+    * (spec-pinned, the batching invariant).
+    */
+  def fitLangQuantized(feat: DataFrame, iters: Int = Iters,
+      lr: Double = Lr): Array[Long] = {
+    val wq = Array.fill(LangC * Dims)(0L)
+    for (_ <- 1 to iters) {
+      val pdCols = (0 until LangC).map { c =>
+        val wCol = array((0 until Dims).map(j => lit(wq(c * Dims + j) / Q)): _*)
+        val z = VectorFunctions.dot(wCol, col("x"))
+        val p = lit(0.5d) + z / (lit(2.0d) * (lit(1.0d) + abs(z)))
+        (p - when(col("lang") === Langs(c), lit(1.0d)).otherwise(lit(0.0d)))
+          .as(s"pd$c")
+      }
+      val withPd = feat.select((col("x") +: pdCols): _*)
+      val gradCols =
+        for (c <- 0 until LangC; j <- 0 until Dims) yield
+          sum(round(col(s"pd$c") * element_at(col("x"), j + 1) * Q).cast("long"))
+            .as(s"g${c}_$j")
+      val row = withPd.agg(gradCols.head,
+        (gradCols.tail :+ count(lit(1)).as("n")): _*).head()
+      val n = row.getLong(LangC * Dims)
+      if (n > 0) {
+        var i = 0
+        while (i < LangC * Dims) {
+          wq(i) -= roundHalfUp(lr * row.getLong(i) / n)
+          i += 1
+        }
+      }
+    }
+    wq
+  }
+
+  def langFeaturesMemo(docs: DataFrame, dir: String): DataFrame =
+    featMemo.getOrCompute(
+      graft.sources.Tables.dataKey(docs.sparkSession, dir,
+        s"langclf|$FeatScale"))(
+      graft.sources.StageMemo.reliableStage(langFeatures(docs)))
+
+  def langFitMemo(docs: DataFrame, dir: String): Array[Long] =
+    wMemo.getOrCompute(
+      graft.sources.Tables.dataKey(docs.sparkSession, dir,
+        s"langclf_w|$FeatScale|$Iters|$Lr"))(
+      fitLangQuantized(langFeaturesMemo(docs, dir)))
+
+  /** Confusion matrix of the trained student against the declared lang:
+    * per doc the C decision scores, pred = argmax (z ties break to the
+    * FIRST class in [[Langs]] order — `array_position` / DuckDB
+    * `list_indexof` both return the first occurrence), rolled up to
+    * (lang, pred_lang) counts. ≤ C² rows at any corpus size; scoring is
+    * one narrow pass over the shared feature stage with the weights as
+    * broadcast literals.
+    */
+  def langConfusion(docs: DataFrame, dir: String): DataFrame = {
+    val wq = langFitMemo(docs, dir)
+    val zCols = (0 until LangC).map { c =>
+      val wCol = array((0 until Dims).map(j => lit(wq(c * Dims + j) / Q)): _*)
+      VectorFunctions.dot(wCol, col("x"))
+    }
+    langFeaturesMemo(docs, dir)
+      .withColumn("zs", array(zCols: _*))
+      .withColumn("pi", expr("array_position(zs, array_max(zs))"))
+      .withColumn("pred_lang",
+        element_at(array(Langs.map(lit): _*), col("pi").cast("int")))
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
+  /** DuckDB mirror of [[langConfusion]] — the full training chain
+    * unrolled in MATERIALIZED CTEs like [[fitSqlCtes]], with all C
+    * classes folded per round exactly as the engine batches them.
+    */
+  def langClfSql(iters: Int = Iters): String = {
+    val langsList = Langs.map(l => s"'$l'").mkString("[", ", ", "]")
+    val W = LangC * Dims
+    val w0 =
+      s"lw0 AS MATERIALIZED (SELECT list_transform(range(0, $W), j -> CAST(0 AS BIGINT)) AS wq)"
+    val zsExpr = (w: String) =>
+      s"""list_transform(range(0, $LangC), c ->
+         |            list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |              list_transform(range(0, $Dims), j ->
+         |                (CAST($w[c*$Dims+j+1] AS DOUBLE) / $QSql) * x[j+1])),
+         |              (a, b) -> a + b))""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      s"""lp$i AS (
+         |  SELECT lang, x, ys,
+         |    list_transform(zs, z ->
+         |      CAST(0.5 AS DOUBLE) + z / (CAST(2.0 AS DOUBLE) * (CAST(1.0 AS DOUBLE) + abs(z)))) AS ps
+         |  FROM (
+         |    SELECT lang, x, ys, ${zsExpr("wq")} AS zs
+         |    FROM lfeat CROSS JOIN lw${i - 1}) t),
+         |lg$i AS (
+         |  SELECT r.j AS j,
+         |    SUM(CAST(ROUND((pp.ps[(r.j // $Dims)+1] - pp.ys[(r.j // $Dims)+1]) * pp.x[(r.j % $Dims)+1] * $QSql) AS BIGINT)) AS sq,
+         |    COUNT(pp.lang) AS n
+         |  FROM range(0, $W) r(j) LEFT JOIN lp$i pp ON TRUE
+         |  GROUP BY r.j),
+         |lw$i AS MATERIALIZED (
+         |  SELECT list(wq[j+1] - COALESCE(CAST(ROUND(CAST(0.5 AS DOUBLE) * sq / n) AS BIGINT), 0)
+         |              ORDER BY j) AS wq
+         |  FROM lg$i CROSS JOIN lw${i - 1})""".stripMargin
+    }.mkString(",\n")
+    s"""WITH lctok AS (
+       |  SELECT doc_id, unnest(toks) AS w
+       |  FROM (SELECT doc_id, ${graft.operators.Dedup.toksSql} AS toks FROM documents) t),
+       |lctb AS (SELECT doc_id, (${graft.operators.Dedup.hashSql("w")}) % $NumBuckets AS b FROM lctok),
+       |lccnt AS (SELECT doc_id, b, COUNT(*) AS c FROM lctb GROUP BY 1, 2),
+       |lcn AS (SELECT doc_id, COUNT(*) AS n FROM lctb GROUP BY 1),
+       |lcdense AS (
+       |  SELECT lcn.doc_id, lcn.n, list(COALESCE(lccnt.c, 0) ORDER BY r.j) AS cs
+       |  FROM lcn CROSS JOIN range(0, $NumBuckets) r(j)
+       |  LEFT JOIN lccnt ON lccnt.doc_id = lcn.doc_id AND lccnt.b = r.j
+       |  GROUP BY lcn.doc_id, lcn.n),
+       |lfeat AS MATERIALIZED (
+       |  SELECT d.doc_id, doc.lang,
+       |    list_transform(range(0, $LangC), c ->
+       |      CASE WHEN doc.lang = ($langsList)[c+1]
+       |           THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END) AS ys,
+       |    list_append(
+       |      list_transform(cs, c -> CAST(c AS DOUBLE) / CAST(n AS DOUBLE) * CAST($FeatScale AS DOUBLE)),
+       |      CAST(1.0 AS DOUBLE)) AS x
+       |  FROM lcdense d JOIN documents doc ON doc.doc_id = d.doc_id),
+       |$w0,
+       |$rounds,
+       |lsc AS (
+       |  SELECT lang, ${zsExpr("wq")} AS zs
+       |  FROM lfeat CROSS JOIN lw$iters)
+       |SELECT lang,
+       |  ($langsList)[list_indexof(zs, list_max(zs))] AS pred_lang,
+       |  COUNT(*) AS n_docs
+       |FROM lsc GROUP BY 1, 2""".stripMargin
+  }
 }

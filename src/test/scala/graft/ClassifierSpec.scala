@@ -237,6 +237,70 @@ class ClassifierSpec extends SparkSpec {
       "every original survivor must be scored exactly once by the gate")
   }
 
+  test("multiclass lang fit: slice c is bit-identical to an independent binary fit") {
+    // the batching invariant: one 165-slot gradient row per round IS
+    // C independent binary fits — classes ride the same corpus pass
+    val docs = Seq(
+      (1L, "der hund läuft schnell weg", "de"),
+      (2L, "die katze schläft hier gern", "de"),
+      (3L, "the dog runs very fast", "en"),
+      (4L, "a cat sleeps right here", "en"),
+      (5L, "el perro corre muy lejos", "es"),
+      (6L, "la gata duerme aquí bien", "es"),
+      (7L, "le chien court très vite", "fr"),
+      (8L, "wo de mao shui zhao le", "zh"))
+      .toDF("doc_id", "text", "lang")
+    val lf = Classifier.langFeatures(docs)
+    val multi = Classifier.fitLangQuantized(lf)
+    Classifier.Langs.zipWithIndex.foreach { case (l, c) =>
+      val bin = Classifier.fitQuantized(
+        lf.select(col("doc_id"),
+          (col("lang") === l).cast("double").as("y"), col("x")))
+      val slice = multi.slice(c * Classifier.Dims, (c + 1) * Classifier.Dims)
+      assert(slice.toSeq === bin.toSeq,
+        s"multiclass slice for '$l' diverged from the independent binary fit")
+    }
+  }
+
+  test("multiclass lang student: separable corpus trains to a perfect diagonal") {
+    Classifier.clearMemos()
+    // disjoint vocabularies per lang — the signal the real synthetic
+    // corpus lacks (shared vocab ⇒ majority-class collapse, which
+    // q_doc_langclf's real read-out honestly shows)
+    val vocab = Map(
+      "de" -> Seq("der", "hund", "katze", "schnell", "hier"),
+      "en" -> Seq("the", "dog", "cat", "fast", "there"),
+      "es" -> Seq("el", "perro", "gato", "rapido", "aqui"),
+      "fr" -> Seq("le", "chien", "chat", "vite", "ici"),
+      "zh" -> Seq("gou", "mao", "kuai", "zher", "nar"))
+    val docs = (for {
+      (l, ws) <- vocab.toSeq
+      i <- 0 until 8
+    } yield {
+      val text = (0 until 6).map(j => ws((i + j * 3) % ws.size)).mkString(" ")
+      (l.hashCode.toLong * 100 + i, text, l)
+    }).toDF("doc_id", "text", "lang")
+    val lf = Classifier.langFeatures(docs)
+    val wq = Classifier.fitLangQuantized(lf)
+    val zCols = (0 until Classifier.LangC).map { c =>
+      val wCol = array((0 until Classifier.Dims)
+        .map(j => lit(wq(c * Classifier.Dims + j) / Classifier.Q)): _*)
+      graft.functions.VectorFunctions.dot(wCol, col("x"))
+    }
+    val conf = lf.withColumn("zs", array(zCols: _*))
+      .withColumn("pi", expr("array_position(zs, array_max(zs))"))
+      .withColumn("pred_lang",
+        element_at(array(Classifier.Langs.map(lit): _*), col("pi").cast("int")))
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+    conf.foreach { r =>
+      assert(r.getString(0) === r.getString(1),
+        s"separable corpus must train to a perfect diagonal, got ${conf.toSeq}")
+    }
+    assert(conf.length === vocab.size)
+  }
+
   test("zero-token documents are excluded; an all-empty corpus yields zero weights") {
     val mixed = docsDf(toyTexts :+ "   " :+ "")
     assert(Classifier.features(mixed).count() === toyTexts.size)

@@ -451,6 +451,36 @@ object DocStream {
   }
 
 
+  /** Streaming twin of [[graft.operators.Classifier.langConfusion]]'s
+    * scoring side: FROZEN multiclass weights (from the batch one-vs-rest
+    * fit) applied to a document stream. Featurization is the same fused
+    * stateless-narrow [[graft.expressions.HashedTf]] pass as
+    * [[scoreDocs]], the C decision scores are broadcast-literal dots,
+    * and the argmax tie-breaks to first class order exactly as batch —
+    * zero state, no watermark, batch-identical arithmetic (parity
+    * pinned in ClassifierStreamSpec).
+    */
+  def langOfDocs(docs: org.apache.spark.sql.DataFrame,
+      wq: Array[Long]): org.apache.spark.sql.DataFrame = {
+    import graft.operators.Classifier
+    val zCols = (0 until Classifier.LangC).map { c =>
+      val wCol = array((0 until Classifier.Dims)
+        .map(j => lit(wq(c * Classifier.Dims + j) / Classifier.Q)): _*)
+      graft.functions.VectorFunctions.dot(wCol, col("x"))
+    }
+    docs
+      .select(col("doc_id"), graft.functions.TextFunctions.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .withColumn("x", graft.expressions.HashedTf.hashed_tf(
+        col("toks"), Classifier.NumBuckets, Classifier.FeatScale))
+      .withColumn("zs", array(zCols: _*))
+      .withColumn("pi", expr("array_position(zs, array_max(zs))"))
+      .select(col("doc_id"),
+        element_at(array(Classifier.Langs.map(lit): _*), col("pi").cast("int"))
+          .as("pred_lang"),
+        round(expr("array_max(zs)") * Classifier.Q).cast("long").as("top_z_q"))
+  }
+
   case class TokRow(cls: Long, w: String)
   case class HeavyCand(cls: Long, w: String, cnt_lb: Long)
 

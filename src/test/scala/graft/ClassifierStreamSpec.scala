@@ -47,6 +47,46 @@ class ClassifierStreamSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("batch ≡ stream: frozen multiclass lang weights predict a doc stream identically") {
+    implicit val ctx = spark.sqlContext
+    val table = graft.sources.Tables.documents(spark, Sf)
+    val docs = table.select($"doc_id", $"text").as[Doc].collect().toSeq.take(150)
+    val wq = Classifier.langFitMemo(table, Sf)
+
+    val ms = MemoryStream[Doc]
+    val q = DocStream.langOfDocs(ms.toDF(), wq)
+      .writeStream.format("memory").queryName("langclf_stream").outputMode("append").start()
+    ms.addData(docs.take(70)); q.processAllAvailable()
+    ms.addData(docs.drop(70)); q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("langclf_stream")
+      .select($"doc_id", $"pred_lang").as[(Long, String)].collect().toSet
+    // batch truth re-derived from the same weights + feature expression
+    val zCols = (0 until Classifier.LangC).map { c =>
+      val wCol = array((0 until Classifier.Dims)
+        .map(j => lit(wq(c * Classifier.Dims + j) / Classifier.Q)): _*)
+      graft.functions.VectorFunctions.dot(wCol, col("x"))
+    }
+    val batch = Classifier.langFeatures(table)
+      .filter($"doc_id".isin(docs.map(_.doc_id): _*))
+      .withColumn("zs", array(zCols: _*))
+      .withColumn("pi", expr("array_position(zs, array_max(zs))"))
+      .select($"doc_id",
+        element_at(array(Classifier.Langs.map(lit): _*), $"pi".cast("int")).as("pred_lang"))
+      .as[(Long, String)].collect().toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+    // and it is stateless like every scoring twin
+    val ms2 = MemoryStream[Doc]
+    val q2 = DocStream.langOfDocs(ms2.toDF(), Array.fill(Classifier.LangC * Classifier.Dims)(0L))
+      .writeStream.format("memory").queryName("langclf_stateless").outputMode("append").start()
+    ms2.addData(Seq(Doc(1L, "some tokens here"))); q2.processAllAvailable()
+    val progress = q2.lastProgress
+    q2.stop()
+    assert(progress.stateOperators.isEmpty)
+  }
+
   test("the scoring stream is stateless: no state operators in the streaming plan") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[Doc]

@@ -107,7 +107,11 @@ object ScaleProbe {
     // persisted artifacts q_dedup_incr/delete pay for) and the snapshot
     // diff (one doc_id-co-partitioned full-outer join over two
     // corpus-sized manifests — should track the scan)
-    "q_dedup_crawl", "q_doc_snapdiff")
+    "q_dedup_crawl", "q_doc_snapdiff",
+    // the multiclass distillation: all C students share each training
+    // pass (one 165-slot gradient row per round), so the profile must
+    // track the featurize pass exactly like the binary q_doc_qclf_score
+    "q_doc_langclf")
 
   /** Heaps-ish vocabulary size: 30 tokens at the 5k-doc base (the real
     * table's vocabulary), growing with sqrt(n).

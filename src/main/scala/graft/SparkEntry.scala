@@ -796,6 +796,16 @@ object SparkEntry {
     "q_emb_ivfpqr" -> { (s, dir) =>
       Similarity.knnIvfPqResidual(Tables.embeddings(s, dir))
     },
+    // The production vector-store query over the best layout: the
+    // metadata predicate pushed to the residual-PQ candidate store
+    // BEFORE the ADC (post-k filtering under-returns), index trained
+    // once on the full corpus, nprobe widened 2 -> 4 to restore k from
+    // the thinned cells — q_emb_filtered's discipline composed with
+    // q_emb_ivfpqr's layout.
+    "q_emb_fivfpqr" -> { (s, dir) =>
+      Similarity.knnIvfPqResidual(Tables.embeddings(s, dir), nprobe = 4,
+        storePred = col("vec_id") % 4 === 1)
+    },
 
     // Scalar-quantization ANN (int8 SQ8): per-dim uniform codes within
     // corpus min/max bounds, bin-midpoint reconstruction distance — the
@@ -2936,6 +2946,8 @@ object SparkEntry {
          |  FROM pairs) t
          |WHERE rn <= 3""".stripMargin,
     "q_emb_ivfpqr" -> Similarity.ivfPqResidualSql(),
+    "q_emb_fivfpqr" ->
+      Similarity.ivfPqResidualSql(nprobe = 4, storeWhere = "vec_id % 4 = 1"),
     "q_emb_sq" ->
       s"""WITH base AS (
          |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb

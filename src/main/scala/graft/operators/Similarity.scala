@@ -816,7 +816,7 @@ object Similarity {
     */
   def knnIvfPqResidual(e: DataFrame, queryMod: Int = 50, k: Int = 3,
       nprobe: Int = 2, m: Int = PqSubspaces, c: Int = PqrCodes,
-      iters: Int = 1): DataFrame = {
+      iters: Int = 1, storePred: Column = lit(true)): DataFrame = {
     val base = withEmb(e).select(col("vec_id"), col("label"), col("emb"),
       l2norm(col("emb")).as("nrm"))
     val probeW = Window.partitionBy(col("qid")).orderBy(col("ccos").desc, col("cell"))
@@ -839,8 +839,14 @@ object Similarity {
       .groupBy(col("qid"), col("cell"))
       .agg(array_sort(collect_list(struct(col("s"), col("li"), col("d2")))).as("t"))
       .select(col("qid"), col("cell"), transform(col("t"), p => p.getField("d2")).as("qd"))
+    // the filtered-ANN discipline composes here unchanged: codebook and
+    // cells train on the FULL corpus (the index is built once), only the
+    // CANDIDATE store filters — before the ADC join, never as a post-k
+    // cut (q_emb_filtered's under-return pathology); callers widen
+    // nprobe to restore k from the thinned cells
     val enc = pqrEncodeWith(e, cb, m)
       .join(base.select(col("vec_id"), col("label")), "vec_id")
+      .filter(storePred)
     probes.select(col("qid"), col("cell"))
       .join(broadcast(qdt), Seq("qid", "cell"))
       .join(enc, col("label") === col("cell") && col("vec_id") =!= col("qid"))
@@ -853,7 +859,8 @@ object Similarity {
 
   /** DuckDB mirror of [[knnIvfPqResidual]] (1 Lloyd round, the default). */
   def ivfPqResidualSql(k: Int = 3, nprobe: Int = 2, m: Int = PqSubspaces,
-      c: Int = PqrCodes, queryMod: Int = 50): String =
+      c: Int = PqrCodes, queryMod: Int = 50,
+      storeWhere: String = "TRUE"): String =
     s"""WITH $baseSql,
        |$centroidCtesSql,
        |rres AS (
@@ -924,7 +931,8 @@ object Similarity {
        |  FROM rprobes p
        |  JOIN rqdt ON rqdt.qid = p.qid AND rqdt.cell = p.cell
        |  JOIN renc e ON e.vec_id <> p.qid
-       |  JOIN base b ON b.vec_id = e.vec_id AND b.label = p.cell)
+       |  JOIN (SELECT * FROM base WHERE $storeWhere) b
+       |    ON b.vec_id = e.vec_id AND b.label = p.cell)
        |SELECT qid, CAST(rn - 1 AS BIGINT) AS rank, vec_id FROM (
        |  SELECT qid, vec_id, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc, vec_id) AS rn
        |  FROM rpairs) t

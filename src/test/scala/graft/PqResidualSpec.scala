@@ -71,6 +71,28 @@ class PqResidualSpec extends SparkSpec {
     assert(truth.toSeq === Seq(900L))
   }
 
+  test("filtered store: predicate honored pre-ADC; exclusion never post-filters the list") {
+    // query 0's planted neighbour 900 — a predicate KEEPING it must
+    // still rank it 1st (codebook/cells unchanged: trained on the full
+    // corpus), and a predicate EXCLUDING it must drop it from the list
+    // entirely while the unfiltered list still carries it (the
+    // post-k-filter pathology this composition exists to avoid)
+    val keep = Similarity.knnIvfPqResidual(fixture, k = 3, nprobe = 4,
+      storePred = col("vec_id") =!= 3L)
+      .filter($"qid" === 0L).orderBy($"rank").select($"vec_id").as[Long].collect()
+    assert(keep.head === 900L, s"kept neighbour must stay rank 1, got ${keep.toSeq}")
+    assert(!keep.contains(3L), "excluded id leaked into the filtered list")
+    val excl = Similarity.knnIvfPqResidual(fixture, k = 3, nprobe = 4,
+      storePred = col("vec_id") =!= 900L)
+      .filter($"qid" === 0L).select($"vec_id").as[Long].collect()
+    assert(!excl.contains(900L), "excluded neighbour leaked into the filtered list")
+    assert(excl.length === 3, "widened probe must still fill k from the thinned store")
+    val unfiltered = Similarity.knnIvfPqResidual(fixture, k = 3)
+      .filter($"qid" === 0L).select($"vec_id").as[Long].collect()
+    assert(unfiltered.contains(900L),
+      "fixture lost its power: the unfiltered list must carry the excluded id")
+  }
+
   test("real corpus non-regression: residual recall >= raw recall at equal bytes") {
     val e = Tables.embeddings(spark, Sf)
     val truth = Similarity.knnBrute(e, k = 3).select($"qid", $"vec_id")

@@ -493,6 +493,11 @@ object SparkEntry {
     // rows of a D×W cell-count sketch) vs exact count for the top-20
     // tokens; overcount column pins the ≥-true guarantee.
     "q_doc_cms" -> { (s, dir) => TextAnalysis.cmsAudit(Tables.documents(s, dir)) },
+    // Zipf octave histogram: type counts + token mass per binary
+    // frequency octave (integer bit length, no rank sort, no float
+    // log) with cumulative mass — the corpus-health profile whose bend
+    // flags boilerplate floods or mojibake tail explosions.
+    "q_doc_zipf" -> { (s, dir) => TextAnalysis.zipfOctaves(Tables.documents(s, dir)) },
     // Concat-and-cut sequence packing: one window per lang shard.
     "q_doc_pack" -> { (s, dir) => Curation.packSequences(Tables.documents(s, dir)) },
     // Packing-efficiency audit: per lang, packs at the budget, last-pack
@@ -3523,6 +3528,7 @@ object SparkEntry {
     "q_doc_wsample" -> Curation.weightedSampleSql(),
     "q_doc_snapdiff" -> Curation.snapshotDiffSql,
     "q_doc_cms" -> TextAnalysis.cmsAuditSql(),
+    "q_doc_zipf" -> TextAnalysis.zipfOctavesSql,
     "q_doc_pack" ->
       s"""WITH t AS (
          |  SELECT doc_id, lang, CAST(len(${Dedup.toksSql}) AS BIGINT) AS n_tokens

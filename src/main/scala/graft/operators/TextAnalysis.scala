@@ -1347,6 +1347,55 @@ object TextAnalysis {
        |FROM hc CROSS JOIN htot
        |WHERE cnt * $k >= n""".stripMargin
 
+  /** Zipf octave histogram — the rank-free spelling of the
+    * rank-frequency law (Zipf 1949): token types banded by the binary
+    * OCTAVE of their corpus frequency (floor(log₂ cnt) as pure integer
+    * bit length — the lengthBuckets discipline, never float log whose
+    * rounding at exact powers of two differs across engines), with per
+    * octave the type count, the total token mass, and the cumulative
+    * mass at or above the octave. A healthy natural-language corpus
+    * shows type counts decaying geometrically while per-octave mass
+    * stays within a band (Zipf ⇒ roughly constant mass per octave);
+    * a head-collapsed (boilerplate-flooded) or tail-exploded
+    * (mojibake/ID-spam) crawl bends the profile — the corpus-health
+    * read-out a crawl diff feeds the curation gate.
+    *
+    * The classic slope fit needs a rank sort (corpus-wide) and float
+    * logs; octave banding needs neither: one grouped count over the
+    * token stream, a narrow bit-length band, a ≤ ~40-row rollup, and
+    * the cumulative as the bounded triangular self-join (the jhist /
+    * prCurve no-partition-less-window discipline). Mergeable: octave
+    * rollups of shards sum cell-wise (counts are sums).
+    */
+  def zipfOctaves(docs: DataFrame): DataFrame = {
+    val counts = withToks(docs).select(explode(col("toks")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    val oct = counts
+      .withColumn("octave", (length(bin(col("cnt"))) - 1).cast("long"))
+      .groupBy(col("octave"))
+      .agg(count(lit(1)).as("n_types"), sum(col("cnt")).as("token_mass"))
+    oct.as("a")
+      .join(oct.as("b"), col("b.octave") >= col("a.octave"))
+      .groupBy(col("a.octave").as("octave"), col("a.n_types").as("n_types"),
+        col("a.token_mass").as("token_mass"))
+      .agg(sum(col("b.token_mass")).as("mass_at_or_above"))
+  }
+
+  /** DuckDB mirror of [[zipfOctaves]]. */
+  val zipfOctavesSql: String =
+    s"""WITH ztok AS (
+       |  SELECT unnest(toks) AS w
+       |  FROM (SELECT ${graft.operators.Dedup.toksSql} AS toks FROM documents) t),
+       |zcnt AS (SELECT w, COUNT(*) AS cnt FROM ztok GROUP BY w),
+       |zoct AS (
+       |  SELECT CAST(length(format('{:b}', cnt)) - 1 AS BIGINT) AS octave,
+       |    COUNT(*) AS n_types, CAST(SUM(cnt) AS BIGINT) AS token_mass
+       |  FROM zcnt GROUP BY 1)
+       |SELECT a.octave, a.n_types, a.token_mass,
+       |  CAST(SUM(b.token_mass) AS BIGINT) AS mass_at_or_above
+       |FROM zoct a JOIN zoct b ON b.octave >= a.octave
+       |GROUP BY a.octave, a.n_types, a.token_mass""".stripMargin
+
   /** Count–min sketch geometry (Cormode–Muthukrishnan '05): [[CmsD]]
     * independent hash rows of [[CmsW]] buckets each. The row hashes are
     * affine mixes of the shared polynomial token hash — h_i(w) =

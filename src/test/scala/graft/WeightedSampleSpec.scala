@@ -164,6 +164,26 @@ class WeightedSampleSpec extends SparkSpec {
       "update mode must re-emit only touched cells per micro-batch")
   }
 
+  test("zipfOctaves: hand-computed bands, conservation, cumulative monotone") {
+    val d = docs((1L, "a a a b b c", "en"))
+    val out = graft.operators.TextAnalysis.zipfOctaves(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // a:3 → octave 1, b:2 → octave 1, c:1 → octave 0
+    assert(out(1L) === ((2L, 5L, 5L)))
+    assert(out(0L) === ((1L, 1L, 6L)))
+    // conservation + monotonicity on a larger corpus
+    val big = docs((0L until 60L).map(i => (i, (s"t${i % 13} " * (i.toInt % 9 + 1)).trim, "en")): _*)
+    val rows = graft.operators.TextAnalysis.zipfOctaves(big)
+      .orderBy(col("octave")).collect()
+    val totalTokens = big.select(sum(size(TextFunctions.tokens(col("text"))))
+      .cast("long")).collect().head.getLong(0)
+    assert(rows.map(_.getLong(2)).sum === totalTokens, "token mass must conserve")
+    val cums = rows.map(_.getLong(3))
+    assert(cums.zip(cums.drop(1)).forall { case (lo, hi) => lo >= hi },
+      "cumulative mass must be non-increasing in octave")
+    assert(cums.head === totalTokens, "octave 0 cumulative = whole corpus")
+  }
+
   test("cmsSketch: cell count bounded by D·W and total mass = D·N") {
     val d = docs((0L until 40L).map(i => (i, s"a$i b${i % 9} c", "en")): _*)
     val sk = graft.operators.TextAnalysis.cmsSketch(d)

@@ -758,6 +758,32 @@ object SparkEntry {
       Curation.packSequences(sampled)
     },
 
+    // q_pipeline_e2e AFTER one full crawl GENERATION (delete + add):
+    // the generation's cluster artifact (crawlClustersFor — takedown
+    // re-resolution + fold-in of the day's merge pairs, both touched-
+    // components-only) feeds the same dedup → gate → sample → pack
+    // tail, so a daily crawl costs the generation's incremental steps
+    // plus the serving tail, never a corpus re-cluster. Oracle =
+    // everything from scratch over (base ∖ removed) ∪ increment,
+    // end to end through the pack offsets.
+    "q_pipeline_crawl" -> { (s, dir) =>
+      val c = Dedup.corpus(Tables.documents(s, dir))
+      val base = c.filter(col("doc_id") < 2000000L)
+      val removed = base.filter(col("doc_id") % 30 === 0)
+      val incr = c.filter(col("doc_id") >= 2000000L)
+      val fin = base
+        .join(removed.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        .unionByName(incr)
+      val clean = Dedup.dedupedCorpus(fin,
+        Dedup.crawlClustersFor(base, removed, incr, dir)).localCheckpoint(false)
+      val kept = clean.join(
+        Curation.qualityFilter(clean).select(col("doc_id")), Seq("doc_id"))
+        .localCheckpoint(false)
+      val sampled = kept.join(
+        Curation.sampleStratified(kept).select(col("doc_id")), Seq("doc_id"))
+      Curation.packSequences(sampled)
+    },
+
     // q_pipeline_e2e with the TRAINED gate: dedup → distilled-classifier
     // keep-decision (Classifier.scoreOn: fit memoized on the raw corpus,
     // applied to the dedup survivors as a fresh stateless-narrow pass) →
@@ -3931,6 +3957,47 @@ object SparkEntry {
          |${Dedup.closureSql},
          |clean AS (
          |  SELECT c.doc_id, c.lang, c.text FROM cdel c
+         |  WHERE NOT EXISTS (
+         |    SELECT 1 FROM comp WHERE comp.id = c.doc_id AND comp.id <> comp.cluster)),
+         |${TextAnalysis.qualityRatiosSql("clean")},
+         |qual AS (
+         |  SELECT rq.doc_id, d.lang,
+         |    ${TextAnalysis.qualityScoreSql} AS quality
+         |  FROM rq JOIN clean d ON rq.doc_id = d.doc_id
+         |  WHERE ${TextAnalysis.qualityScoreSql} IS NOT NULL),
+         |qth AS (
+         |  SELECT lang, quantile_cont(quality, 0.1) AS q_thresh
+         |  FROM qual GROUP BY lang),
+         |gated AS (
+         |  SELECT qual.doc_id FROM qual JOIN qth ON qual.lang = qth.lang
+         |  WHERE qual.quality >= qth.q_thresh),
+         |sampled AS (
+         |  SELECT c.doc_id, c.lang, c.text
+         |  FROM clean c JOIN gated g ON c.doc_id = g.doc_id
+         |  WHERE (${Dedup.hashSql("c.text")}) % 1000 < ${Curation.keepSql}),
+         |toked AS (
+         |  SELECT doc_id, lang, CAST(len(${Dedup.toksSql}) AS BIGINT) AS n_tokens
+         |  FROM sampled),
+         |cum AS (
+         |  SELECT doc_id, lang, n_tokens,
+         |    SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS cum_excl
+         |  FROM toked)
+         |SELECT doc_id, lang, n_tokens,
+         |  CAST(cum_excl // 2048 AS BIGINT) AS pack_id,
+         |  CAST(cum_excl % 2048 AS BIGINT) AS pack_offset
+         |FROM cum""".stripMargin,
+    "q_pipeline_crawl" ->
+      s"""WITH RECURSIVE ${Dedup.corpusSql},
+         |cfin AS (
+         |  SELECT * FROM corpus
+         |  WHERE (doc_id < 2000000 AND doc_id % 30 <> 0) OR doc_id >= 2000000),
+         |${Dedup.tokSqlFor("cfin", "tok")},
+         |${Dedup.sigSql},
+         |${Dedup.bandsSql},
+         |${Dedup.closureSql},
+         |clean AS (
+         |  SELECT c.doc_id, c.lang, c.text FROM cfin c
          |  WHERE NOT EXISTS (
          |    SELECT 1 FROM comp WHERE comp.id = c.doc_id AND comp.id <> comp.cluster)),
          |${TextAnalysis.qualityRatiosSql("clean")},

@@ -825,7 +825,9 @@ object SparkEntry {
     // q_emb_ivfpq, materially better within-cell discrimination
     // (PqResidualSpec pins residual recall >= raw at equal bytes).
     "q_emb_ivfpqr" -> { (s, dir) =>
-      Similarity.knnIvfPqResidual(Tables.embeddings(s, dir))
+      val e = Tables.embeddings(s, dir)
+      Similarity.knnIvfPqResidual(e,
+        cbOpt = Some(Similarity.pqrCodebookFor(e, dir)))
     },
     // The production vector-store query over the best layout: the
     // metadata predicate pushed to the residual-PQ candidate store
@@ -834,8 +836,10 @@ object SparkEntry {
     // the thinned cells — q_emb_filtered's discipline composed with
     // q_emb_ivfpqr's layout.
     "q_emb_fivfpqr" -> { (s, dir) =>
-      Similarity.knnIvfPqResidual(Tables.embeddings(s, dir), nprobe = 4,
-        storePred = col("vec_id") % 4 === 1)
+      val e = Tables.embeddings(s, dir)
+      Similarity.knnIvfPqResidual(e, nprobe = 4,
+        storePred = col("vec_id") % 4 === 1,
+        cbOpt = Some(Similarity.pqrCodebookFor(e, dir)))
     },
 
     // Scalar-quantization ANN (int8 SQ8): per-dim uniform codes within

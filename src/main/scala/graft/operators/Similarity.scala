@@ -816,7 +816,8 @@ object Similarity {
     */
   def knnIvfPqResidual(e: DataFrame, queryMod: Int = 50, k: Int = 3,
       nprobe: Int = 2, m: Int = PqSubspaces, c: Int = PqrCodes,
-      iters: Int = 1, storePred: Column = lit(true)): DataFrame = {
+      iters: Int = 1, storePred: Column = lit(true),
+      cbOpt: Option[DataFrame] = None): DataFrame = {
     val base = withEmb(e).select(col("vec_id"), col("label"), col("emb"),
       l2norm(col("emb")).as("nrm"))
     val probeW = Window.partitionBy(col("qid")).orderBy(col("ccos").desc, col("cell"))
@@ -827,7 +828,7 @@ object Similarity {
       .withColumn("prn", row_number().over(probeW))
       .filter(col("prn") <= nprobe)
       .select(col("qid"), col("qemb"), col("cell"), col("cemb"))
-    val cb = pqrCodebook(e, m, c, iters)
+    val cb = cbOpt.getOrElse(pqrCodebook(e, m, c, iters))
     val qrs = probes
       .withColumn("qres", zip_with(col("qemb"), col("cemb"), (a, b) => a - b))
       .select(col("qid"), col("cell"),
@@ -1094,6 +1095,18 @@ object Similarity {
     centsMemo.getOrCompute(
       graft.sources.Tables.dataKey(e.sparkSession, dir, variant) + s"|$k|$iters")(
       graft.sources.StageMemo.reliableStage(kmeansFit(e, k, iters)))
+
+  /** Memoized [[pqrCodebook]] — the residual codebook is a trained
+    * artifact like the k-means centroids (a real pipeline trains it
+    * once and serves every query from the frozen m×C grid); the
+    * filtered and unfiltered PQ queries share one build.
+    */
+  def pqrCodebookFor(e: DataFrame, dir: String, m: Int = PqSubspaces,
+      c: Int = PqrCodes, iters: Int = 1): DataFrame =
+    centsMemo.getOrCompute(
+      graft.sources.Tables.dataKey(e.sparkSession, dir, "pqrcb") +
+        s"|$m|$c|$iters")(
+      graft.sources.StageMemo.reliableStage(pqrCodebook(e, m, c, iters)))
 
   /** Drop every memoized centroid table and power-iteration fit (same
     * lifecycle contract as [[Dedup.clearMemos]]).

@@ -2219,39 +2219,6 @@ object SparkEntry {
         .groupBy($"o_orderpriority").agg(count(lit(1)).as("n"))
     },
 
-    // TPC-H Q21 shape (sole-blame isolation): suppliers whose line was
-    // RETURNED on a finalized multi-supplier order where NO other
-    // supplier's line was returned — the EXISTS + NOT EXISTS pair
-    // spelled as one semi and one anti self-join, BOTH keyed on
-    // l_orderkey so they ride one co-partitioning of the fact table
-    // (never a correlated per-row subquery); the finalized-order gate
-    // is a third orderkey semi-join, the supplier name a broadcast,
-    // the top-100 a TakeOrderedAndProject. The adaptation from Q21's
-    // receipt>commit predicate: this schema carries no commit dates,
-    // so "late" = returnflag 'R' — same plan shape, same semantics
-    // class (blame isolation on a shared order).
-    "q_solereturn" -> { (s, dir) =>
-      import s.implicits._
-      val l = Tables.lineitem(s, dir)
-      val l1 = l.filter($"l_returnflag" === "R")
-        .select($"l_orderkey", $"l_suppkey")
-      val l2 = l.select($"l_orderkey".as("o2"), $"l_suppkey".as("s2"))
-      val l3 = l.filter($"l_returnflag" === "R")
-        .select($"l_orderkey".as("o3"), $"l_suppkey".as("s3"))
-      l1
-        .join(l2.hint("shuffle_hash"),
-          $"l_orderkey" === $"o2" && $"l_suppkey" =!= $"s2", "left_semi")
-        .join(l3.hint("shuffle_hash"),
-          $"l_orderkey" === $"o3" && $"l_suppkey" =!= $"s3", "left_anti")
-        .join(Tables.orders(s, dir).filter($"o_orderstatus" === "F")
-          .select($"o_orderkey").hint("shuffle_hash"),
-          $"l_orderkey" === $"o_orderkey", "left_semi")
-        .join(broadcast(Tables.supplier(s, dir).select($"s_suppkey", $"s_name")),
-          $"l_suppkey" === $"s_suppkey")
-        .groupBy($"s_name").agg(count(lit(1)).as("numwait"))
-        .orderBy($"numwait".desc, $"s_name").limit(100)
-    },
-
     // TPC-H Q7 shape: bilateral trade volume between two nations per year.
     // Both endpoint gates (supplier nation, customer nation) broadcast and
     // shrink the fact sides BEFORE the one fact-fact shuffle join: only
@@ -4842,21 +4809,6 @@ object SparkEntry {
         |              WHERE l.l_orderkey = o.o_orderkey
         |                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
         |GROUP BY 1""".stripMargin,
-    "q_solereturn" ->
-      s"""SELECT s.s_name AS s_name, COUNT(*) AS numwait
-         |FROM lineitem l1
-         |JOIN supplier s ON s.s_suppkey = l1.l_suppkey
-         |WHERE l1.l_returnflag = 'R'
-         |  AND EXISTS (SELECT 1 FROM lineitem l2
-         |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
-         |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
-         |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
-         |      AND l3.l_returnflag = 'R')
-         |  AND EXISTS (SELECT 1 FROM orders o
-         |    WHERE o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F')
-         |GROUP BY s.s_name
-         |ORDER BY numwait DESC, s_name
-         |LIMIT 100""".stripMargin,
     "q_natvolume" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
         |  CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,

@@ -562,22 +562,6 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
-  test("q_solereturn: one probe-side exchange rides semi+anti+semi; supplier broadcast; top-k operator") {
-    val p = plan("q_solereturn")
-    // the EXISTS / NOT EXISTS pair compiles to orderkey-keyed hash
-    // joins (never a correlated per-row subquery or a nested loop)
-    assert(p.contains("LeftSemi"), "EXISTS must compile to a semi join")
-    assert(p.contains("LeftAnti"), "NOT EXISTS must compile to an anti join")
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
-    // the returnflag gate reaches the lineitem scans
-    val pushed = p.linesIterator.filter(_.contains("PushedFilters:")).mkString("\n")
-    assert(pushed.contains("EqualTo(l_returnflag,R)"),
-      s"returnflag gate must reach the scan: $pushed")
-    // supplier names arrive by broadcast; the top-100 is per-partition
-    assert(p.contains("BroadcastHashJoin"), "supplier side must broadcast")
-    assert(p.contains("TakeOrderedAndProject"), "top-k degenerated to a full sort")
-  }
-
   test("q_disjrev: the brand/size disjunction pushes to the part scan; one join, no union") {
     val p = plan("q_disjrev")
     val pushed = p.linesIterator.filter(_.contains("PushedFilters:")).mkString("\n")

@@ -924,6 +924,15 @@ object SparkEntry {
     // the recall/probes trade that fixes single-table LSH's ceiling
     // without more tables or an IVF retrain.
     "q_emb_annmp" -> { (s, dir) => Similarity.knnLshMultiProbe(Tables.embeddings(s, dir)) },
+    // Cluster-diversified serving list: the multi-probe candidates
+    // re-rank under a per-cell cap of one (each topic cell contributes
+    // its best hit), so a dense-topic query still returns k distinct
+    // store regions — the SERP-diversity / collapse-near-dups front-end
+    // shape, index-priced end to end.
+    "q_emb_divtopk" -> { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+      Similarity.diversifiedTopK(e, Similarity.kmeansFitMemo(e, dir, "all"))
+    },
     // ANN quality audit: recall@3 of the LSH index against brute-force
     // ground truth, per query — the measurement that gates an index
     // rollout. Both sides are existing operators; the join is
@@ -3164,6 +3173,7 @@ object SparkEntry {
          |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS BIGINT) AS rn
          |  FROM pairs) t
          |WHERE rn <= 3""".stripMargin,
+    "q_emb_divtopk" -> Similarity.divTopKSql(),
     "q_emb_annmp" ->
       s"""WITH ${Similarity.baseSql},
          |bk AS (SELECT vec_id, emb, nrm, ${Similarity.bucketSql} AS bucket FROM base),

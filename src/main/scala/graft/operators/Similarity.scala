@@ -228,6 +228,69 @@ object Similarity {
         cosineWithNorms(dot(col("qemb"), col("emb")), col("qnrm"), col("nrm"))), k)
   }
 
+  /** Cluster-diversified serving list — the SERP-diversity / collapse-
+    * near-dups shape a retrieval front end runs on the raw ANN list:
+    * the multi-probe candidates re-rank under a PER-CELL CAP of one
+    * (each k-means topic cell contributes at most its best hit), so a
+    * query whose neighborhood is one dense topic (or a near-dup pile)
+    * still returns k DISTINCT regions of the store. Candidates stay
+    * index-priced (the [[knnLshMultiProbe]] stage, kCand per query);
+    * the cell lookup is one vec_id equi-join against the FROZEN
+    * production assignment; both windows key on high-cardinality
+    * (qid[, cell]) — never a global sort. Output = (qid, rank, vec_id,
+    * cell, cos), rank 1..k over the diversified survivors.
+    */
+  def diversifiedTopK(e: DataFrame, cents: DataFrame, queryMod: Int = 50,
+      kCand: Int = 16, k: Int = 3): DataFrame = {
+    val cand = knnLshMultiProbe(e, queryMod, kCand)
+      .select(col("qid"), col("vec_id"), col("cos"))
+    val cells = kmeansAssign(e, cents).select(col("vec_id"), col("cell"))
+    val perCell = Window.partitionBy(col("qid"), col("cell"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    val perQuery = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    cand.join(cells.hint("shuffle_hash"), Seq("vec_id"))
+      .withColumn("crn", row_number().over(perCell))
+      .filter(col("crn") === 1)
+      .withColumn("rank", row_number().over(perQuery).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vec_id"), col("cell"), col("cos"))
+  }
+
+  /** DuckDB mirror of [[diversifiedTopK]] — the annmp candidate chain
+    * joined to the kmeans assignment CTE.
+    */
+  def divTopKSql(queryMod: Int = 50, kCand: Int = 16, k: Int = 3,
+      kmK: Int = 8, kmIters: Int = 2): String =
+    s"""WITH $baseSql,
+       |${kmeansCtes(kmK, kmIters)},
+       |bk AS (SELECT vec_id, emb, nrm, $bucketSql AS bucket FROM base),
+       |q AS (
+       |  SELECT qid, qemb, qnrm, unnest(probes) AS qbucket FROM (
+       |    SELECT vec_id AS qid, emb AS qemb, nrm AS qnrm,
+       |      list_prepend(bucket, list_transform(range(0, $NumPlanes), j ->
+       |        xor(bucket, CAST(1 AS BIGINT) << CAST(j AS INTEGER)))) AS probes
+       |    FROM bk WHERE vec_id % $queryMod = 0) t),
+       |dpairs AS (
+       |  SELECT qid, vec_id,
+       |    ${dotSql("qemb", "emb")} / (qnrm * nrm) AS cos
+       |  FROM q JOIN bk ON bucket = qbucket AND vec_id <> qid),
+       |dcand AS (
+       |  SELECT qid, vec_id, cos FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+       |    FROM dpairs) t
+       |  WHERE rn <= $kCand),
+       |dcell AS (
+       |  SELECT c.qid, c.vec_id, c.cos, a.cell,
+       |    ROW_NUMBER() OVER (PARTITION BY c.qid, a.cell
+       |      ORDER BY c.cos DESC, c.vec_id) AS crn
+       |  FROM dcand c JOIN afin a ON a.vec_id = c.vec_id)
+       |SELECT qid, CAST(rn AS BIGINT) AS rank, vec_id, cell, cos FROM (
+       |  SELECT qid, vec_id, cell, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+       |  FROM dcell WHERE crn = 1) t
+       |WHERE rn <= $k""".stripMargin
+
   /** IVF-style ANN: coarse quantization into cells (here: the per-label
     * centroids — a k-means assignment with pre-trained centroids), then
     * probe the `nprobe` nearest cells and search only their members.

@@ -350,4 +350,40 @@ class SimilaritySpec extends SparkSpec {
       "clean store must produce no contamination rows")
   }
 
+  test("diversifiedTopK: per-cell cap rewrites a single-topic list into distinct cells") {
+    // nearly-parallel vectors (one shared LSH bucket) split across two
+    // hand-built cells: the raw top-3 is ALL cell 0 (the near-dup pile);
+    // the diversified list must pull cell 1's best instead of the pile's
+    // second-best
+    // geometry picked against the deterministic hyperplanes: y ≤ 0.024
+    // shares the query's bucket, y = 0.06 sits exactly one bit away
+    // (inside the 1-bit probe set); cell 1's centroid at y = 0.05 pulls
+    // vec 4 while vecs 1-3 stay with cell 0
+    val cents = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(1.0, 0.05)))
+      .toDF("cell", "cemb")
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f), 0L),
+      (1L, Array(1.0f, 0.01f), 0L),
+      (2L, Array(1.0f, 0.02f), 0L),
+      (3L, Array(1.0f, 0.024f), 0L),
+      (4L, Array(1.0f, 0.06f), 1L)).toDF("vec_id", "embedding", "label")
+    val raw = Similarity.knnLshMultiProbe(e, 50, 3)
+      .filter($"qid" === 0L).select($"vec_id").as[Long].collect().toSet
+    assert(raw === Set(1L, 2L, 3L),
+      s"fixture power: the raw top-3 must be the cell-0 pile, got $raw")
+    val div = Similarity.diversifiedTopK(e, cents, 50, 16, 3)
+      .filter($"qid" === 0L).orderBy($"rank")
+      .select($"rank", $"vec_id", $"cell").as[(Long, Long, Long)].collect()
+    assert(div.toSeq === Seq((1L, 1L, 0L), (2L, 4L, 1L)),
+      s"cap must keep cell 0's best and admit cell 1's best: ${div.toSeq}")
+    // the real corpus keeps the invariant: no query repeats a cell
+    val realE = Tables.embeddings(spark, Sf)
+    val real = Similarity.diversifiedTopK(realE,
+      Similarity.kmeansFitMemo(realE, Sf, "all"))
+      .select($"qid", $"cell").as[(Long, Long)].collect()
+    assert(real.nonEmpty)
+    assert(real.groupBy(_._1).forall { case (_, cs) => cs.distinct.size == cs.size },
+      "diversified lists must never repeat a cell within a query")
+  }
+
 }

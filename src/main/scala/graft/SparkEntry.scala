@@ -484,6 +484,11 @@ object SparkEntry {
     // Weighted (token-budget-proportional) sampling without replacement:
     // sequential Poisson priority keys, TakeOrderedAndProject selection.
     "q_doc_wsample" -> { (s, dir) => Curation.weightedSample(Tables.documents(s, dir)) },
+    // Neyman allocation: per-lang sample seats ∝ N_h·S_h (big AND
+    // variable strata earn budget) — one sqrt per stratum on exact
+    // integer moments, quantized weights, Hamilton largest-remainder
+    // seats in pure integer arithmetic; Σ alloc = n exactly.
+    "q_doc_neyman" -> { (s, dir) => Curation.neymanAllocation(Tables.documents(s, dir)) },
     // Crawl-to-crawl snapshot diff: content-hash manifest reconciliation
     // (added/removed/changed/unchanged), doc counts + net token delta per
     // (status, lang) — the read-out that feeds incremental index
@@ -3565,6 +3570,7 @@ object SparkEntry {
          |  SELECT doc_id, lang, (${Dedup.hashSql("text")}) % 1000 AS bucket
          |  FROM documents) t
          |WHERE bucket < ${Curation.keepSql}""".stripMargin,
+    "q_doc_neyman" -> Curation.neymanAllocationSql(),
     "q_doc_wsample" -> Curation.weightedSampleSql(),
     "q_doc_snapdiff" -> Curation.snapshotDiffSql,
     "q_doc_cms" -> TextAnalysis.cmsAuditSql(),

@@ -819,6 +819,85 @@ object Curation {
     SampleKeepPermille.map { case (l, p) => s"WHEN lang = '$l' THEN $p" }
       .mkString("CASE ", " ", s" ELSE $DefaultKeepPermille END")
 
+  /** Neyman allocation for stratified sampling (Neyman 1934): per
+    * stratum h the optimal sample share is ∝ N_h·S_h — big AND
+    * internally-variable strata deserve more of the budget than big
+    * uniform ones (proportional allocation's blind spot). The whole
+    * computation is exact-integer except ONE correctly-rounded IEEE
+    * sqrt per stratum: N_h·S_h = sqrt(N_h·Σx² − (Σx)²) on exact integer
+    * moments (x = token count), the weight is then 2^24-quantized so
+    * the cross-stratum total is an order-free INTEGER sum (a raw double
+    * Σw_h would make the allocation partition-order-dependent), and
+    * seats assign by Hamilton's largest-remainder method in pure
+    * integer arithmetic: base_h = n·wq_h DIV Wq, the n − Σbase leftover
+    * seats go to the largest n·wq_h MOD Wq (tie → lang order).
+    * Σ alloc = n exactly.
+    *
+    * Scale: one grouped pass to ≤ |langs| moment rows (map-side
+    * combined, longs exact at these SFs — at 100 TB promote the moment
+    * products to DECIMAL(38,0), the drift/EWMA discipline); everything
+    * after runs on the bounded stratum table (the remainder rank is the
+    * bounded triangular self-join, never a corpus window).
+    */
+  def neymanAllocation(docs: DataFrame, n: Int = 200): DataFrame = {
+    val m = docs
+      .select(col("lang"), size(tokens(col("text"))).cast("long").as("x"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"))
+      .withColumn("wq",
+        round(sqrt((col("n_docs") * col("sxx") - col("sx") * col("sx"))
+          .cast("double")) * lit(16777216.0d)).cast("long"))
+    val tot = m.agg(sum(col("wq")).as("wtot"), sum(lit(1L)).as("nlangs"))
+    val based = m.crossJoin(broadcast(tot))
+      .withColumn("base", expr(s"CAST($n AS BIGINT) * wq DIV wtot"))
+      .withColumn("rem", expr(s"CAST($n AS BIGINT) * wq % wtot"))
+    val leftover = based.agg((lit(n.toLong) - sum(col("base"))).as("extra"))
+    // remainder rank over the ≤ |langs| stratum table — the bounded
+    // triangular join (strictly-larger count + earlier-lang tiebreak)
+    val rk = based.as("a")
+      .join(based.as("b"),
+        col("b.rem") > col("a.rem") ||
+          (col("b.rem") === col("a.rem") && col("b.lang") < col("a.lang")),
+        "left")
+      .groupBy(col("a.lang").as("lang"), col("a.n_docs").as("n_docs"),
+        col("a.wq").as("wq"), col("a.base").as("base"))
+      .agg(count(col("b.lang")).as("ahead"))
+    rk.crossJoin(broadcast(leftover))
+      .select(col("lang"), col("n_docs"), col("wq"),
+        (col("base") + when(col("ahead") < col("extra"), 1L).otherwise(0L))
+          .as("alloc"))
+  }
+
+  /** DuckDB mirror of [[neymanAllocation]]. */
+  def neymanAllocationSql(n: Int = 200): String =
+    s"""WITH nm AS (
+       |  SELECT lang, COUNT(*) AS n_docs,
+       |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(x * x) AS BIGINT) AS sxx
+       |  FROM (SELECT lang, CAST(len(${graft.operators.Dedup.toksSql}) AS BIGINT) AS x
+       |        FROM documents) t
+       |  GROUP BY lang),
+       |nw AS (
+       |  SELECT lang, n_docs,
+       |    CAST(ROUND(sqrt(CAST(n_docs * sxx - sx * sx AS DOUBLE)) * 16777216.0)
+       |      AS BIGINT) AS wq
+       |  FROM nm),
+       |ntot AS (SELECT CAST(SUM(wq) AS BIGINT) AS wtot FROM nw),
+       |nb AS (
+       |  SELECT lang, n_docs, wq,
+       |    CAST($n AS BIGINT) * wq // wtot AS base,
+       |    CAST($n AS BIGINT) * wq % wtot AS rem
+       |  FROM nw CROSS JOIN ntot),
+       |nx AS (SELECT CAST($n AS BIGINT) - CAST(SUM(base) AS BIGINT) AS extra FROM nb),
+       |nr AS (
+       |  SELECT a.lang, a.n_docs, a.wq, a.base, COUNT(b.lang) AS ahead
+       |  FROM nb a LEFT JOIN nb b
+       |    ON b.rem > a.rem OR (b.rem = a.rem AND b.lang < a.lang)
+       |  GROUP BY a.lang, a.n_docs, a.wq, a.base)
+       |SELECT lang, n_docs, wq,
+       |  base + CASE WHEN ahead < extra THEN 1 ELSE 0 END AS alloc
+       |FROM nr CROSS JOIN nx""".stripMargin
+
   /** Weighted sampling without replacement — sequential Poisson sampling
     * (Ohlsson '98): each doc gets priority key u/w where u is a
     * deterministic uniform draw (content hash + 1, so duplicate texts

@@ -164,6 +164,39 @@ class WeightedSampleSpec extends SparkSpec {
       "update mode must re-emit only touched cells per micro-batch")
   }
 
+  test("neymanAllocation: variance earns seats, Hamilton seats sum to n exactly") {
+    // two equal-size strata: en uniform (x = 4, 4), de spread (x = 1, 7)
+    // — same N_h and same token mass, but de's spread must earn it the
+    // larger share (proportional allocation would split evenly)
+    val d = docs(
+      (1L, "a b c d", "en"), (2L, "e f g h", "en"),
+      (3L, "x", "de"), (4L, "p q r s t u v", "de"))
+    val out = Curation.neymanAllocation(d, 10).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // w = sqrt(N·Σx² − (Σx)²): en = sqrt(2·32 − 64) = 0, de = sqrt(2·50 − 64) = 6
+    assert(out("en")._2 === 0L, "uniform stratum has zero Neyman weight")
+    assert(out("de")._2 === Math.round(6.0 * 16777216.0))
+    assert(out("de")._3 === 10L && out("en")._3 === 0L,
+      s"all seats must go to the only variable stratum: $out")
+    assert(out.values.map(_._3).sum === 10L, "Hamilton seats must sum to n")
+    // remainder seats: three strata with weights 1:1:1 and n = 10 —
+    // base 3 each, one leftover seat goes to the earliest lang on the tie
+    val t = docs(
+      (1L, "a a a b", "en"), (2L, "c", "en"),
+      (3L, "d d d e", "de"), (4L, "f", "de"),
+      (5L, "g g g h", "fr"), (6L, "i", "fr"))
+    val t3 = Curation.neymanAllocation(t, 10).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(t3.values.sum === 10L)
+    assert(t3("de") === 4L && t3("en") === 3L && t3("fr") === 3L,
+      s"equal weights: base 3 each, the tie-broken extra seat to 'de': $t3")
+    // real corpus: exact-n conservation and nonneg
+    val real = Curation.neymanAllocation(
+      graft.sources.Tables.documents(spark, Sf)).collect()
+    assert(real.map(_.getLong(3)).sum === 200L)
+    assert(real.forall(_.getLong(3) >= 0L))
+  }
+
   test("zipfOctaves: hand-computed bands, conservation, cumulative monotone") {
     val d = docs((1L, "a a a b b c", "en"))
     val out = graft.operators.TextAnalysis.zipfOctaves(d).collect()

@@ -489,6 +489,12 @@ object SparkEntry {
     // integer moments, quantized weights, Hamilton largest-remainder
     // seats in pure integer arithmetic; Σ alloc = n exactly.
     "q_doc_neyman" -> { (s, dir) => Curation.neymanAllocation(Tables.documents(s, dir)) },
+    // Execute the allocation: per stratum the alloc_h smallest priority
+    // keys win via the bounded-heap TopKByValue aggregate (O(n) partial
+    // state, map-side combined — never a per-lang rank window).
+    "q_doc_stratsample" -> { (s, dir) =>
+      Curation.stratifiedNeymanSample(Tables.documents(s, dir))
+    },
     // Crawl-to-crawl snapshot diff: content-hash manifest reconciliation
     // (added/removed/changed/unchanged), doc counts + net token delta per
     // (status, lang) — the read-out that feeds incremental index
@@ -3571,6 +3577,7 @@ object SparkEntry {
          |  FROM documents) t
          |WHERE bucket < ${Curation.keepSql}""".stripMargin,
     "q_doc_neyman" -> Curation.neymanAllocationSql(),
+    "q_doc_stratsample" -> Curation.stratifiedNeymanSampleSql(),
     "q_doc_wsample" -> Curation.weightedSampleSql(),
     "q_doc_snapdiff" -> Curation.snapshotDiffSql,
     "q_doc_cms" -> TextAnalysis.cmsAuditSql(),

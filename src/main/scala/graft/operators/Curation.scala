@@ -869,8 +869,59 @@ object Curation {
           .as("alloc"))
   }
 
-  /** DuckDB mirror of [[neymanAllocation]]. */
-  def neymanAllocationSql(n: Int = 200): String =
+  /** Execute the [[neymanAllocation]]: within each stratum the alloc_h
+    * docs with the smallest sequential-Poisson priority keys (the
+    * [[weightedSample]] key — deterministic, duplicate-consistent) win.
+    * The per-stratum selection is the bounded-heap
+    * [[graft.expressions.TopKAgg.TopKByValue]] aggregate at capacity n,
+    * NOT a per-lang rank window: the heap reduces every partition to
+    * O(n) state before a ≤ |langs|-group shuffle, where a
+    * `row_number over (partition by lang)` would sort each stratum in
+    * |langs| single tasks (the qfilter no-low-cardinality-window
+    * discipline). The allocation table broadcasts back to trim each
+    * stratum's list to its seats. Output (lang, rank, doc_id),
+    * Σ rows = n exactly.
+    */
+  def stratifiedNeymanSample(docs: DataFrame, n: Int = 200): DataFrame = {
+    val alloc = neymanAllocation(docs, n).select(col("lang"), col("alloc"))
+    val keyed = docs.select(col("doc_id"), col("lang"),
+        (pmod(stringHash(col("text")) * lit(2654435761L) + lit(104729L),
+          lit(graft.functions.TextFunctions.P)) + lit(1L)).as("u"),
+        (size(tokens(col("text"))) + 1).cast("long").as("w_tok"))
+      .withColumn("skey", col("u").cast("double") / col("w_tok").cast("double"))
+    keyed.groupBy(col("lang"))
+      .agg(graft.expressions.TopKAgg.top_k_ids(-col("skey"), col("doc_id"), n)
+        .as("ids"))
+      .select(col("lang"), posexplode(col("ids")))
+      .select(col("lang"), (col("pos") + 1).cast("long").as("rank"),
+        col("col").as("doc_id"))
+      .join(broadcast(alloc), Seq("lang"))
+      .filter(col("rank") <= col("alloc"))
+      .select(col("lang"), col("rank"), col("doc_id"))
+  }
+
+  /** DuckDB mirror of [[stratifiedNeymanSample]]. */
+  def stratifiedNeymanSampleSql(n: Int = 200): String =
+    s"""${neymanCtes(n)},
+       |sk AS (
+       |  SELECT doc_id, lang,
+       |    CAST(((${graft.operators.Dedup.hashSql("text")}) * 2654435761 + 104729)
+       |      % ${graft.functions.TextFunctions.P} + 1 AS DOUBLE)
+       |      / CAST(len(${graft.operators.Dedup.toksSql}) + 1 AS DOUBLE) AS skey
+       |  FROM documents),
+       |skr AS (
+       |  SELECT lang, doc_id,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY skey, doc_id)
+       |      AS BIGINT) AS rank
+       |  FROM sk)
+       |SELECT s.lang, s.rank, s.doc_id
+       |FROM skr s JOIN nalloc a ON a.lang = s.lang
+       |WHERE s.rank <= a.alloc""".stripMargin
+
+  /** The [[neymanAllocation]] chain as CTEs ending in `nalloc` — shared
+    * by the allocation read-out and the sample executor's mirror.
+    */
+  def neymanCtes(n: Int = 200): String =
     s"""WITH nm AS (
        |  SELECT lang, COUNT(*) AS n_docs,
        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(x * x) AS BIGINT) AS sxx
@@ -893,10 +944,16 @@ object Curation {
        |  SELECT a.lang, a.n_docs, a.wq, a.base, COUNT(b.lang) AS ahead
        |  FROM nb a LEFT JOIN nb b
        |    ON b.rem > a.rem OR (b.rem = a.rem AND b.lang < a.lang)
-       |  GROUP BY a.lang, a.n_docs, a.wq, a.base)
-       |SELECT lang, n_docs, wq,
-       |  base + CASE WHEN ahead < extra THEN 1 ELSE 0 END AS alloc
-       |FROM nr CROSS JOIN nx""".stripMargin
+       |  GROUP BY a.lang, a.n_docs, a.wq, a.base),
+       |nalloc AS (
+       |  SELECT lang, n_docs, wq,
+       |    base + CASE WHEN ahead < extra THEN 1 ELSE 0 END AS alloc
+       |  FROM nr CROSS JOIN nx)""".stripMargin
+
+  /** DuckDB mirror of [[neymanAllocation]]. */
+  def neymanAllocationSql(n: Int = 200): String =
+    s"""${neymanCtes(n)}
+       |SELECT lang, n_docs, wq, alloc FROM nalloc""".stripMargin
 
   /** Weighted sampling without replacement — sequential Poisson sampling
     * (Ohlsson '98): each doc gets priority key u/w where u is a

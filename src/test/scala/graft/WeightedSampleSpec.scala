@@ -197,6 +197,36 @@ class WeightedSampleSpec extends SparkSpec {
     assert(real.forall(_.getLong(3) >= 0L))
   }
 
+  test("stratifiedNeymanSample: per-lang counts == allocation; winners are the smallest keys; no Window") {
+    val d = graft.sources.Tables.documents(spark, Sf)
+    val samp = Curation.stratifiedNeymanSample(d).collect()
+    assert(samp.length === 200)
+    val perLang = samp.groupBy(_.getString(0)).view.mapValues(_.length).toMap
+    val alloc = Curation.neymanAllocation(d).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    alloc.foreach { case (l, a) =>
+      assert(perLang.getOrElse(l, 0).toLong === a, s"stratum $l count != allocation")
+    }
+    // the winners really are each stratum's smallest priority keys
+    val keys = Curation.weightedSample(d, Int.MaxValue)
+      .select(col("doc_id"), col("lang"), col("skey"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val picked = samp.map(_.getLong(2)).toSet
+    alloc.foreach { case (l, a) =>
+      val expect = keys.filter(_._2 == l).sortBy(k => (k._3, k._1))
+        .take(a.toInt).map(_._1).toSet
+      assert(expect === samp.filter(_.getString(0) == l).map(_.getLong(2)).toSet,
+        s"stratum $l winners diverged from the smallest-key set")
+    }
+    assert(picked.size === 200, "winners must be distinct docs")
+    // plan: bounded-heap aggregate, no per-lang rank window
+    val p = Curation.stratifiedNeymanSample(d).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("partial_topkbyvalue"), "selection must map-side combine")
+    assert(!p.linesIterator.exists(_.trim.matches("""\(\d+\) Window.*""")),
+      "no per-lang rank window may survive")
+  }
+
   test("zipfOctaves: hand-computed bands, conservation, cumulative monotone") {
     val d = docs((1L, "a a a b b c", "en"))
     val out = graft.operators.TextAnalysis.zipfOctaves(d).collect()

@@ -824,10 +824,16 @@ object Curation {
     * internally-variable strata deserve more of the budget than big
     * uniform ones (proportional allocation's blind spot). The whole
     * computation is exact-integer except ONE correctly-rounded IEEE
-    * sqrt per stratum: N_h·S_h = sqrt(N_h·Σx² − (Σx)²) on exact integer
-    * moments (x = token count), the weight is then 2^24-quantized so
-    * the cross-stratum total is an order-free INTEGER sum (a raw double
-    * Σw_h would make the allocation partition-order-dependent), and
+    * sqrt per stratum: N_h·S_h = sqrt(N_h·Σx² − (Σx)²) on exact
+    * DECIMAL(38,0) moments (x = token count — the products are
+    * PROMOTED, not documented-as-promotable: the drift/EWMA/colloc
+    * sibling discipline, so the 2^53/2^63 bounds are enforced up to
+    * the DECIMAL cap itself), the weight rounded to an INTEGER so the
+    * cross-stratum total is an order-free integer sum (a raw double
+    * Σw_h would make the allocation partition-order-dependent; unit
+    * scale rather than 2^24 fixed-point because realistic stratum
+    * weights are ≥ 10³ — the fraction is noise — and a 2^24 scale
+    * would push wq past Long at DECIMAL-scale variances), and
     * seats assign by Hamilton's largest-remainder method in pure
     * integer arithmetic: base_h = n·wq_h DIV Wq, the n − Σbase leftover
     * seats go to the largest n·wq_h MOD Wq (tie → lang order).
@@ -843,11 +849,12 @@ object Curation {
     val m = docs
       .select(col("lang"), size(tokens(col("text"))).cast("long").as("x"))
       .groupBy(col("lang"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("x")).as("sx"),
-        sum(col("x") * col("x")).as("sxx"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("x").cast("decimal(38,0)")).as("sx"),
+        sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"))
       .withColumn("wq",
-        round(sqrt((col("n_docs") * col("sxx") - col("sx") * col("sx"))
-          .cast("double")) * lit(16777216.0d)).cast("long"))
+        round(sqrt((col("n_docs").cast("decimal(38,0)") * col("sxx") -
+          col("sx") * col("sx")).cast("double"))).cast("long"))
     val tot = m.agg(sum(col("wq")).as("wtot"), sum(lit(1L)).as("nlangs"))
     val based = m.crossJoin(broadcast(tot))
       .withColumn("base", expr(s"CAST($n AS BIGINT) * wq DIV wtot"))
@@ -924,13 +931,13 @@ object Curation {
   def neymanCtes(n: Int = 200): String =
     s"""WITH nm AS (
        |  SELECT lang, COUNT(*) AS n_docs,
-       |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(x * x) AS BIGINT) AS sxx
+       |    SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(x * x AS HUGEINT)) AS sxx
        |  FROM (SELECT lang, CAST(len(${graft.operators.Dedup.toksSql}) AS BIGINT) AS x
        |        FROM documents) t
        |  GROUP BY lang),
        |nw AS (
        |  SELECT lang, n_docs,
-       |    CAST(ROUND(sqrt(CAST(n_docs * sxx - sx * sx AS DOUBLE)) * 16777216.0)
+       |    CAST(ROUND(sqrt(CAST(CAST(n_docs AS HUGEINT) * sxx - sx * sx AS DOUBLE)))
        |      AS BIGINT) AS wq
        |  FROM nm),
        |ntot AS (SELECT CAST(SUM(wq) AS BIGINT) AS wtot FROM nw),

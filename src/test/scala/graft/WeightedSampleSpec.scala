@@ -175,7 +175,7 @@ class WeightedSampleSpec extends SparkSpec {
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
     // w = sqrt(N·Σx² − (Σx)²): en = sqrt(2·32 − 64) = 0, de = sqrt(2·50 − 64) = 6
     assert(out("en")._2 === 0L, "uniform stratum has zero Neyman weight")
-    assert(out("de")._2 === Math.round(6.0 * 16777216.0))
+    assert(out("de")._2 === 6L, "sqrt of the exact integer 36 rounds to exactly 6")
     assert(out("de")._3 === 10L && out("en")._3 === 0L,
       s"all seats must go to the only variable stratum: $out")
     assert(out.values.map(_._3).sum === 10L, "Hamilton seats must sum to n")

@@ -481,6 +481,78 @@ object DocStream {
         round(expr("array_max(zs)") * Classifier.Q).cast("long").as("top_z_q"))
   }
 
+  case class KeyedDoc(cls: Long, doc_id: Long, skey: Double)
+  case class SampleCand(cls: Long, doc_id: Long, skey: Double)
+
+  /** Streaming twin of the weighted-sample SELECTION stage
+    * ([[graft.operators.Curation.weightedSample]]): documents stream
+    * in, each computes its deterministic sequential-Poisson priority
+    * key as a narrow map (the same arithmetic as batch — the key is a
+    * pure content function, so arrival order is irrelevant), routes to
+    * one of `classes` hash classes by doc_id, and each class holds its
+    * n SMALLEST keys in MapState — a distributed streaming reservoir
+    * with O(classes·n) CONSTANT state, no watermark, no TTL. Each
+    * micro-batch re-emits the winner set of every class that received
+    * input; the global n winners are EXACTLY the n smallest of the
+    * ≤ classes·n candidate union (a class retains every doc that is a
+    * global winner, because a global winner is a fortiori a winner of
+    * its own class) — the heavyCandidates superset discipline, here
+    * exact rather than probabilistic, so the batch-side refine is a
+    * bounded sort (spec-pinned ≡ the batch sample).
+    */
+  def sampleCandidates(spark: SparkSession, docs: Dataset[StreamDoc],
+      n: Int = 200, classes: Int = 32): Dataset[SampleCand] = {
+    import spark.implicits._
+    docs.toDF()
+      .select(col("doc_id"),
+        (pmod(graft.functions.TextFunctions.stringHash(col("text")) *
+          lit(2654435761L) + lit(104729L),
+          lit(graft.functions.TextFunctions.P)) + lit(1L)).as("u"),
+        (size(graft.functions.TextFunctions.tokens(col("text"))) + 1)
+          .cast("long").as("w_tok"))
+      .select(pmod(col("doc_id"), lit(classes.toLong)).as("cls"), col("doc_id"),
+        (col("u").cast("double") / col("w_tok").cast("double")).as("skey"))
+      .as[KeyedDoc]
+      .groupByKey(_.cls)
+      .transformWithState(new ReservoirProcessor(n), TimeMode.None(),
+        OutputMode.Append())
+  }
+
+  private class ReservoirProcessor(n: Int)
+      extends StatefulProcessor[Long, KeyedDoc, SampleCand] {
+    @transient private var winners: MapState[Long, Double] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      winners = getHandle.getMapState[Long, Double](
+        "res", Encoders.scalaLong, Encoders.scalaDouble, TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[KeyedDoc],
+        tv: TimerValues): Iterator[SampleCand] = {
+      // ≤ n entries: load once, fold the batch in memory, write back —
+      // the MgProcessor state discipline
+      val m = scala.collection.mutable.HashMap.empty[Long, Double]
+      winners.iterator().foreach { case (id, k) => m.update(id, k) }
+      def worst: (Long, Double) =
+        m.iterator.maxBy { case (id, k) => (k, id) }
+      rows.foreach { d =>
+        if (m.size < n) m.update(d.doc_id, d.skey)
+        else {
+          val (wid, wk) = worst
+          if (d.skey < wk || (d.skey == wk && d.doc_id < wid)) {
+            m.remove(wid)
+            m.update(d.doc_id, d.skey)
+          }
+        }
+      }
+      winners.clear()
+      m.foreach { case (id, k) => winners.updateValue(id, k) }
+      m.iterator.map { case (id, k) => SampleCand(key, id, k) }.toSeq.iterator
+    }
+
+    override def handleExpiredTimer(key: Long, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[SampleCand] = Iterator.empty
+  }
+
   case class TokRow(cls: Long, w: String)
   case class HeavyCand(cls: Long, w: String, cnt_lb: Long)
 

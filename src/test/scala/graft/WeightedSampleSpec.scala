@@ -4,11 +4,15 @@ import org.apache.spark.sql.functions._
 import graft.operators.Curation
 import graft.functions.TextFunctions
 
-/** weightedSample (sequential Poisson), snapshotDiff (manifest
-  * reconciliation), and the count–min sketch family: hand-computed
-  * semantics on tiny corpora, the CMS ≥-true and mergeability
-  * guarantees, and the plan-shape claims (TakeOrderedAndProject
-  * selection; no global sort).
+/** The round-10 sampling/sketch family: weightedSample (sequential
+  * Poisson), neymanAllocation + stratifiedNeymanSample (variance-
+  * optimal seats, bounded-heap execution), snapshotDiff (manifest
+  * reconciliation), zipfOctaves (frequency-law profile), and the
+  * count–min sketch (batch + streaming twin): hand-computed semantics
+  * on tiny corpora, conservation laws, the CMS ≥-true and mergeability
+  * guarantees, and the plan-shape claims (TakeOrderedAndProject /
+  * partial_topkbyvalue selection; no global sort, no low-cardinality
+  * windows).
   */
 class WeightedSampleSpec extends SparkSpec {
   import spark.implicits._
@@ -66,6 +70,50 @@ class WeightedSampleSpec extends SparkSpec {
     val a = Curation.weightedSample(d.repartition(1), 12).collect().map(_.getLong(0)).toSet
     val b = Curation.weightedSample(d.repartition(13), 12).collect().map(_.getLong(0)).toSet
     assert(a === b)
+  }
+
+  test("sampleCandidates streaming twin: refined candidates == the batch sample, state bounded") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.DocStream
+    implicit val ctx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val rows = (0L until 120L).map(i =>
+        DocStream.StreamDoc(Timestamp.valueOf("2024-01-01 00:00:00"),
+          i, s"w$i " * (i.toInt % 7 + 1) + s"tail$i"))
+      val ms = MemoryStream[DocStream.StreamDoc]
+      val q = DocStream.sampleCandidates(spark, ms.toDS(), n = 12, classes = 4)
+        .writeStream.format("memory").queryName("wres").outputMode("append").start()
+      // two micro-batches: winners must survive and be displaced across batches
+      ms.addData(rows.take(60)); q.processAllAvailable()
+      ms.addData(rows.drop(60)); q.processAllAvailable()
+      val progress = q.lastProgress
+      q.stop()
+      // refine: per class the LAST emission is the live winner set; the
+      // global 12 = smallest (skey, doc_id) of the candidate union
+      val cand = spark.table("wres")
+        .groupBy(col("cls"), col("doc_id")).agg(max(col("skey")).as("skey"))
+        .collect().map(r => (r.getLong(1), r.getDouble(2)))
+      val refined = cand.distinct.sortBy { case (id, k) => (k, id) }
+        .take(12).map(_._1).toSet
+      val batch = Curation.weightedSample(
+        rows.map(d => (d.doc_id, d.text, "en")).toDF("doc_id", "text", "lang"), 12)
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+      assert(refined === batch,
+        "refined streaming candidates diverged from the batch sample")
+      // constant state: ≤ classes·n reservoir entries, never stream-linear
+      val stateRows = progress.stateOperators.map(_.numRowsTotal).sum
+      assert(stateRows <= 4L * 12L, s"reservoir state exploded: $stateRows")
+    } finally {
+      old match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
   }
 
   // ---- snapshotDiff ---------------------------------------------------

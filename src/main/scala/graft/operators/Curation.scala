@@ -855,10 +855,15 @@ object Curation {
       .withColumn("wq",
         round(sqrt((col("n_docs").cast("decimal(38,0)") * col("sxx") -
           col("sx") * col("sx")).cast("double"))).cast("long"))
+      // ≤ |langs| rows consumed by FIVE downstream subtrees (total,
+      // seats, leftover, both triangular sides): materialize the moment
+      // pass once instead of re-scanning the corpus per consumer
+      .localCheckpoint(false)
     val tot = m.agg(sum(col("wq")).as("wtot"), sum(lit(1L)).as("nlangs"))
     val based = m.crossJoin(broadcast(tot))
       .withColumn("base", expr(s"CAST($n AS BIGINT) * wq DIV wtot"))
       .withColumn("rem", expr(s"CAST($n AS BIGINT) * wq % wtot"))
+      .localCheckpoint(false)
     val leftover = based.agg((lit(n.toLong) - sum(col("base"))).as("extra"))
     // remainder rank over the ≤ |langs| stratum table — the bounded
     // triangular join (strictly-larger count + earlier-lang tiebreak)

@@ -509,6 +509,13 @@ object SparkEntry {
     // log) with cumulative mass — the corpus-health profile whose bend
     // flags boilerplate floods or mojibake tail explosions.
     "q_doc_zipf" -> { (s, dir) => TextAnalysis.zipfOctaves(Tables.documents(s, dir)) },
+    // Hash-shard jackknife: the error bar on the mean-tokens/doc
+    // dashboard number — delete-one-shard means from exact integer
+    // totals, quantized order-free cross-shard sums, DECIMAL(38,0)
+    // squared deviations. One grouped pass to H rows.
+    "q_doc_jackknife" -> { (s, dir) =>
+      TextAnalysis.jackknifeMean(Tables.documents(s, dir))
+    },
     // Concat-and-cut sequence packing: one window per lang shard.
     "q_doc_pack" -> { (s, dir) => Curation.packSequences(Tables.documents(s, dir)) },
     // Packing-efficiency audit: per lang, packs at the budget, last-pack
@@ -3582,6 +3589,7 @@ object SparkEntry {
     "q_doc_snapdiff" -> Curation.snapshotDiffSql,
     "q_doc_cms" -> TextAnalysis.cmsAuditSql(),
     "q_doc_zipf" -> TextAnalysis.zipfOctavesSql,
+    "q_doc_jackknife" -> TextAnalysis.jackknifeMeanSql(),
     "q_doc_pack" ->
       s"""WITH t AS (
          |  SELECT doc_id, lang, CAST(len(${Dedup.toksSql}) AS BIGINT) AS n_tokens

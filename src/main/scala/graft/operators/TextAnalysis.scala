@@ -1347,6 +1347,98 @@ object TextAnalysis {
        |FROM hc CROSS JOIN htot
        |WHERE cnt * $k >= n""".stripMargin
 
+  /** Hash-shard jackknife — the error bar next to every corpus-mean
+    * dashboard number (here: mean tokens/doc), delete-one-group
+    * jackknife (Quenouille '49/Tukey '58) over H deterministic content-
+    * hash shards: each leave-one-shard-out mean is ONE double division
+    * of exact integer totals ((S − s_h)/(N − n_h)), the H means are
+    * 2^24-quantized so every cross-shard sum is order-free INTEGER
+    * arithmetic, deviations square in DECIMAL(38,0) (enforced — the
+    * sibling-op discipline), and the variance scales back through a
+    * fixed chain of exactly-representable double factors. Output: one
+    * row (n_docs, n_shards, mean, jk_var, jk_se).
+    *
+    * Scale: one grouped pass with map-side combine to H rows; all the
+    * statistics run on the bounded shard table. Hash shards make the
+    * estimate rerun- and partitioning-deterministic — a "random" fold
+    * assignment would put RNG state on the parity path. `n_shards`
+    * counts REPLICATES (shards with a non-empty complement): a
+    * degenerate single-shard corpus reports 0 replicates and a null
+    * variance on both engines.
+    */
+  def jackknifeMean(docs: DataFrame, shards: Int = 16): DataFrame = {
+    val q = 16777216.0d
+    val sh = docs.select(
+        pmod(stringHash(col("text")), lit(shards.toLong)).as("shard"),
+        size(tokens(col("text"))).cast("long").as("x"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_h"), sum(col("x")).as("s_h"))
+      .localCheckpoint(false)
+    val tot = sh.agg(sum(col("n_h")).as("nn"), sum(col("s_h")).as("ss"))
+    val loom = sh.crossJoin(broadcast(tot))
+      .withColumn("mq", when(col("nn") - col("n_h") > 0,
+        round(((col("ss") - col("s_h")).cast("double") /
+          (col("nn") - col("n_h")).cast("double")) * lit(q)).cast("long")))
+      .localCheckpoint(false)
+    val smq = loom.agg(sum(col("mq")).as("smq"),
+      count(col("mq")).cast("long").as("hv"))
+    loom.crossJoin(broadcast(smq))
+      .withColumn("dev2",
+        (col("hv").cast("decimal(38,0)") * col("mq").cast("decimal(38,0)") -
+          col("smq").cast("decimal(38,0)")) *
+        (col("hv").cast("decimal(38,0)") * col("mq").cast("decimal(38,0)") -
+          col("smq").cast("decimal(38,0)")))
+      .agg(min(col("nn")).as("n_docs"), min(col("hv")).as("n_shards"),
+        (min(col("ss")).cast("double") / min(col("nn")).cast("double"))
+          .as("mean"),
+        sum(col("dev2")).as("sdev2"))
+      .withColumn("jk_var",
+        when(col("n_shards") > 1,
+          col("sdev2").cast("double") *
+            (col("n_shards") - 1).cast("double") /
+            (col("n_shards") * col("n_shards") * col("n_shards")).cast("double") /
+            lit(q * q)))
+      .select(col("n_docs"), col("n_shards"), col("mean"),
+        col("jk_var"), sqrt(col("jk_var")).as("jk_se"))
+  }
+
+  /** DuckDB mirror of [[jackknifeMean]]. */
+  def jackknifeMeanSql(shards: Int = 16): String =
+    s"""WITH jsh AS (
+       |  SELECT (${graft.operators.Dedup.hashSql("text")}) % $shards AS shard,
+       |    COUNT(*) AS n_h,
+       |    CAST(SUM(CAST(len(${graft.operators.Dedup.toksSql}) AS BIGINT)) AS BIGINT) AS s_h
+       |  FROM documents GROUP BY 1),
+       |jtot AS (
+       |  SELECT CAST(SUM(n_h) AS BIGINT) AS nn, CAST(SUM(s_h) AS BIGINT) AS ss
+       |  FROM jsh),
+       |jloom AS (
+       |  SELECT shard, n_h, s_h, nn, ss,
+       |    CASE WHEN nn - n_h > 0 THEN
+       |      CAST(ROUND(CAST(ss - s_h AS DOUBLE) / CAST(nn - n_h AS DOUBLE)
+       |        * 16777216.0) AS BIGINT) END AS mq
+       |  FROM jsh CROSS JOIN jtot),
+       |jsmq AS (
+       |  SELECT CAST(SUM(mq) AS BIGINT) AS smq, CAST(COUNT(mq) AS BIGINT) AS hv
+       |  FROM jloom),
+       |jagg AS (
+       |  SELECT MIN(nn) AS n_docs, MIN(hv) AS n_shards,
+       |    CAST(MIN(ss) AS DOUBLE) / CAST(MIN(nn) AS DOUBLE) AS mean,
+       |    SUM((CAST(hv AS HUGEINT) * CAST(mq AS HUGEINT) - CAST(smq AS HUGEINT)) *
+       |        (CAST(hv AS HUGEINT) * CAST(mq AS HUGEINT) - CAST(smq AS HUGEINT)))
+       |      AS sdev2
+       |  FROM jloom CROSS JOIN jsmq)
+       |SELECT n_docs, n_shards, mean,
+       |  CASE WHEN n_shards > 1 THEN
+       |    CAST(sdev2 AS DOUBLE) * CAST(n_shards - 1 AS DOUBLE)
+       |      / CAST(n_shards * n_shards * n_shards AS DOUBLE)
+       |      / (16777216.0 * 16777216.0) END AS jk_var,
+       |  sqrt(CASE WHEN n_shards > 1 THEN
+       |    CAST(sdev2 AS DOUBLE) * CAST(n_shards - 1 AS DOUBLE)
+       |      / CAST(n_shards * n_shards * n_shards AS DOUBLE)
+       |      / (16777216.0 * 16777216.0) END) AS jk_se
+       |FROM jagg""".stripMargin
+
   /** Zipf octave histogram — the rank-free spelling of the
     * rank-frequency law (Zipf 1949): token types banded by the binary
     * OCTAVE of their corpus frequency (floor(log₂ cnt) as pure integer

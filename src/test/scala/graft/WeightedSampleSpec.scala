@@ -148,6 +148,46 @@ class WeightedSampleSpec extends SparkSpec {
     assert(delta === totB - totA)
   }
 
+  test("jackknifeMean: matches an independent plain-Scala reference; degenerate and determinism") {
+    val rows = (0L until 50L).map(i => (i, (s"t$i " * (i.toInt % 9 + 1)).trim, "en"))
+    val d = docs(rows: _*)
+    val out = graft.operators.TextAnalysis.jackknifeMean(d, 8).collect().head
+    // independent reference: same shard rule, plain double arithmetic
+    // with the same quantization steps
+    def refHash(w: String): Long = {
+      var h = 7L
+      var i = 0
+      while (i < w.length) { h = (h * 31L + w.codePointAt(i)) % 1000000007L; i += 1 }
+      h
+    }
+    val sh = rows.groupBy(r => refHash(r._2) % 8).toSeq.map { case (_, rs) =>
+      (rs.size.toLong, rs.map(_._2.split(" ").length.toLong).sum)
+    }
+    val nn = sh.map(_._1).sum; val ss = sh.map(_._2).sum
+    val mq = sh.map { case (nh, shh) =>
+      Math.round((ss - shh).toDouble / (nn - nh).toDouble * 16777216.0) }
+    val hv = mq.size.toLong; val smq = mq.sum
+    val sdev2 = mq.map(m => { val dvv = BigInt(hv) * BigInt(m) - BigInt(smq); dvv * dvv }).sum
+    val expVar = sdev2.toDouble * (hv - 1).toDouble / (hv * hv * hv).toDouble /
+      (16777216.0 * 16777216.0)
+    assert(out.getAs[Long]("n_docs") === nn && out.getAs[Long]("n_shards") === hv)
+    assert(out.getAs[Double]("mean") === ss.toDouble / nn.toDouble)
+    assert(math.abs(out.getAs[Double]("jk_var") - expVar) <= math.ulp(expVar) * 4,
+      s"variance diverged from the independent reference: ${out.getAs[Double]("jk_var")} vs $expVar")
+    assert(out.getAs[Double]("jk_se") === math.sqrt(out.getAs[Double]("jk_var")))
+    // partitioning determinism: quantized cross-shard sums are order-free
+    val a = graft.operators.TextAnalysis.jackknifeMean(d.repartition(1), 8).collect().head
+    val b = graft.operators.TextAnalysis.jackknifeMean(d.repartition(13), 8).collect().head
+    assert(a.getAs[Double]("jk_var") === b.getAs[Double]("jk_var"))
+    // single effective shard: no leave-one-out complement exists, so
+    // zero jackknife replicates and a null variance
+    val one = graft.operators.TextAnalysis.jackknifeMean(
+      docs((1L, "solo doc here", "en")), 8).collect().head
+    assert(one.getAs[Long]("n_shards") === 0L,
+      "n_shards counts REPLICATES (shards with a complement)")
+    assert(one.isNullAt(one.fieldIndex("jk_var")) && one.isNullAt(one.fieldIndex("jk_se")))
+  }
+
   // ---- count–min sketch ----------------------------------------------
 
   test("cmsAudit: estimates never undercount, exact when collision-free") {

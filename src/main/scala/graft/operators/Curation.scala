@@ -840,10 +840,10 @@ object Curation {
     * Σ alloc = n exactly.
     *
     * Scale: one grouped pass to ≤ |langs| moment rows (map-side
-    * combined, longs exact at these SFs — at 100 TB promote the moment
-    * products to DECIMAL(38,0), the drift/EWMA discipline); everything
-    * after runs on the bounded stratum table (the remainder rank is the
-    * bounded triangular self-join, never a corpus window).
+    * combined; the per-doc square happens AFTER the DECIMAL promotion,
+    * so no 64-bit intermediate exists anywhere on the moment path);
+    * everything after runs on the bounded stratum table (the remainder
+    * rank is the bounded triangular self-join, never a corpus window).
     */
   def neymanAllocation(docs: DataFrame, n: Int = 200): DataFrame = {
     val m = docs
@@ -851,7 +851,10 @@ object Curation {
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("x").cast("decimal(38,0)")).as("sx"),
-        sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"))
+        // square AFTER promotion: (x·x) in LONG first would wrap silently
+        // for an extreme token count while the HUGEINT oracle errs — the
+        // exact engine asymmetry the pmiRatio DECIMAL fix eliminates
+        sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"))
       .withColumn("wq",
         round(sqrt((col("n_docs").cast("decimal(38,0)") * col("sxx") -
           col("sx") * col("sx")).cast("double"))).cast("long"))
@@ -936,7 +939,7 @@ object Curation {
   def neymanCtes(n: Int = 200): String =
     s"""WITH nm AS (
        |  SELECT lang, COUNT(*) AS n_docs,
-       |    SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(x * x AS HUGEINT)) AS sxx
+       |    SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(x AS HUGEINT) * x) AS sxx
        |  FROM (SELECT lang, CAST(len(${graft.operators.Dedup.toksSql}) AS BIGINT) AS x
        |        FROM documents) t
        |  GROUP BY lang),

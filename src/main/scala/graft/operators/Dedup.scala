@@ -522,8 +522,8 @@ object Dedup {
     */
   private val indexMemo = new graft.sources.StageMemo[(DataFrame, DataFrame)](8)
 
-  /** App-scoped root for the persisted index stores, with a ONE-TIME JVM
-    * shutdown hook that deletes the whole app directory (both
+  /** App-scoped root for the persisted index stores, with a per-root JVM
+    * shutdown hook that deletes that app's directory (both
     * generations): `spark.cleaner.referenceTracking.cleanCheckpoints`
     * only reclaims RDD checkpoint files, so without this the parquet
     * stores would accumulate across app runs on a long-lived host. The
@@ -533,12 +533,17 @@ object Dedup {
     * cluster an object-store lifecycle policy (or the orchestrator's
     * run-scoped prefix) plays this reclamation role.
     */
-  private val hookRegistered = new java.util.concurrent.atomic.AtomicBoolean(false)
+  // one hook per DISTINCT root, not a once-only boolean: the root embeds
+  // the applicationId, so a second SparkSession in the same JVM (test
+  // harnesses do this) mints a new root that the first hook knows nothing
+  // about — its stores would leak on a long-lived host
+  private val hookedRoots =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   private def indexStoreRoot(spark: org.apache.spark.sql.SparkSession): String = {
     val root = s"${System.getProperty("java.io.tmpdir")}/graft-dedup-index/" +
       spark.sparkContext.applicationId
-    if (hookRegistered.compareAndSet(false, true)) {
+    if (hookedRoots.add(root)) {
       val dir = new java.io.File(root)
       Runtime.getRuntime.addShutdownHook(new Thread(() => {
         def rm(f: java.io.File): Unit = {
@@ -546,7 +551,7 @@ object Dedup {
           f.delete(): Unit
         }
         rm(dir)
-      }, "graft-dedup-index-cleanup"))
+      }, s"graft-dedup-index-cleanup-${dir.getName}"))
     }
     root
   }

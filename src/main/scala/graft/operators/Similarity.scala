@@ -933,7 +933,8 @@ object Similarity {
        |      p -> CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) AS remb
        |  FROM base b JOIN cemb2 c ON c.cell = b.label),
        |rsv AS (
-       |  SELECT vec_id, s, remb[s*8+1 : s*8+8] AS subvec
+       |  SELECT vec_id, s,
+       |    remb[s*$PqSubDim+1 : s*$PqSubDim+$PqSubDim] AS subvec
        |  FROM rres, (SELECT unnest(range(0, $m)) AS s)),
        |rseed AS (
        |  SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) AS INT) - 1 AS li
@@ -980,7 +981,8 @@ object Similarity {
        |      x -> CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) AS remb
        |  FROM rprobes p JOIN cemb2 c ON c.cell = p.cell),
        |rqsv AS (
-       |  SELECT qid, cell, s, remb[s*8+1 : s*8+8] AS subvec
+       |  SELECT qid, cell, s,
+       |    remb[s*$PqSubDim+1 : s*$PqSubDim+$PqSubDim] AS subvec
        |  FROM rqres, (SELECT unnest(range(0, $m)) AS s)),
        |rqd0 AS (
        |  SELECT v.qid, v.cell, cb.s, cb.li, ${l2sqSql("v.subvec", "cb.cvec")} AS d2

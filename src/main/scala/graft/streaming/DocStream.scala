@@ -179,7 +179,24 @@ object DocStream {
     * stand — the batch-side takedown ops
     * ([[graft.operators.Dedup.deleteClusters]]) own retroactive
     * cleanup; the stream's contract is that no FUTURE pair involves a
-    * tombstoned doc.
+    * tombstoned doc AS OF the delete's event time.
+    *
+    * The contract must hold across micro-batch REORDERING inside the
+    * watermark, so tombstones leave MEMORY: a per-bucket
+    * MapState(docId → deleteTsMs) retains each delete until the bucket's
+    * TTL timer fires (expiry ≥ latest-activity + ttl > deleteTs, and the
+    * operator's own watermark delay ≪ ttl, so the watermark has passed
+    * every retained delete's event time by then — the exact retention
+    * rule the contract needs). An add event whose event time is ≤ the
+    * recorded deleteTs is REJECTED (no admission, no emission): it is
+    * logically before the delete, arriving late — without the memory it
+    * would re-admit the deleted doc and future pairs would name it. A
+    * tombstone arriving BEFORE its add (same reordering, other
+    * direction) is recorded, not dropped, and blocks that add when it
+    * shows up. An add strictly AFTER the delete's event time is a
+    * re-publication and admits normally. Tombstone state is O(deletes
+    * within one TTL window) per bucket — same order as the occupant
+    * map's bound in any real feed.
     */
   private abstract class CliqueProcessor[K, I, O](ttlMs: Long, maxOccupants: Int)
       extends StatefulProcessor[K, I, O] {
@@ -189,6 +206,7 @@ object DocStream {
     protected def emit(key: K, doc: Long, earlier: Long): O
 
     @transient private var occupants: MapState[Long, Long] = _ // docId → tsMs
+    @transient private var tombstones: MapState[Long, Long] = _ // docId → deleteTsMs
     @transient private var nOcc: ValueState[Int] = _    // occupant count (≤ cap)
     @transient private var maxTs: ValueState[Long] = _  // bucket's latest activity
     @transient private var expiry: ValueState[Long] = _ // registered timer instant
@@ -198,6 +216,8 @@ object DocStream {
       // the wrong clock for replayable feeds (same choice as EwmaProcessor)
       occupants = getHandle.getMapState[Long, Long](
         "occupants", Encoders.scalaLong, Encoders.scalaLong, TTLConfig.NONE)
+      tombstones = getHandle.getMapState[Long, Long](
+        "tombstones", Encoders.scalaLong, Encoders.scalaLong, TTLConfig.NONE)
       nOcc = getHandle.getValueState[Int]("nocc", Encoders.scalaInt, TTLConfig.NONE)
       maxTs = getHandle.getValueState[Long]("maxts", Encoders.scalaLong, TTLConfig.NONE)
       expiry = getHandle.getValueState[Long]("expiry", Encoders.scalaLong, TTLConfig.NONE)
@@ -214,28 +234,50 @@ object DocStream {
       val out = Seq.newBuilder[O]
       for (e <- evs) {
         val id = docIdOf(e)
+        val ts = tsMsOf(e)
         if (isTombstone(e)) {
+          // record the delete's event time (keep the latest — a doc
+          // deleted twice is blocked up to the later instant), then the
           // point-delete: one store entry removed, cap slot freed, no
           // emission (pairs already emitted stand — append semantics)
+          val prev =
+            if (tombstones.containsKey(id)) tombstones.getValue(id)
+            else Long.MinValue
+          if (ts > prev) tombstones.updateValue(id, ts)
           if (occupants.containsKey(id)) {
             occupants.removeKey(id)
             n -= 1
           }
-        } else if (!occupants.containsKey(id)) {
-          // full prefix clique up to the cap: one collision per STORED
-          // occupant (map iteration order is irrelevant — pair SET parity)
-          occupants.iterator().foreach { p =>
-            out += emit(key, id, p._1)
-          }
-          if (n < maxOccupants) {
-            occupants.updateValue(id, tsMsOf(e)) // ONE entry written
-            n += 1
-          }
-        } // else: doc re-seen — no self-pairs, no duplicate entry
-        mts = math.max(mts, tsMsOf(e))
+        } else {
+          val delTs =
+            if (tombstones.containsKey(id)) tombstones.getValue(id)
+            else Long.MinValue
+          if (ts <= delTs) {
+            // out-of-order add (event time at-or-before a recorded
+            // delete, arriving later but inside the watermark): logically
+            // deleted — reject outright, no admission AND no emission
+          } else if (!occupants.containsKey(id)) {
+            // full prefix clique up to the cap: one collision per STORED
+            // occupant (map iteration order is irrelevant — pair SET parity)
+            occupants.iterator().foreach { p =>
+              out += emit(key, id, p._1)
+            }
+            if (n < maxOccupants) {
+              occupants.updateValue(id, ts) // ONE entry written
+              n += 1
+            }
+          } // else: doc re-seen — no self-pairs, no duplicate entry
+        }
+        mts = math.max(mts, ts)
       }
-      if (n > 0) {
-        nOcc.update(n)
+      val hasTombs = tombstones.iterator().hasNext
+      if (n > 0 || hasTombs) {
+        if (n > 0) nOcc.update(n)
+        else {
+          // no occupants, but pending tombstones must outlive them: keep
+          // the bucket alive on the timer until their retention passes
+          occupants.clear(); nOcc.clear()
+        }
         maxTs.update(mts)
         val newExpiry = math.max(mts + ttlMs, tv.getCurrentWatermarkInMs + 1)
         if (expiry.exists() && expiry.get() != newExpiry)
@@ -243,9 +285,9 @@ object DocStream {
         getHandle.registerTimer(newExpiry)
         expiry.update(newExpiry)
       } else {
-        // bucket emptied by tombstones: drop every state var and the
+        // bucket emptied and nothing pending: drop every state var and the
         // registered timer — an empty bucket must cost nothing
-        occupants.clear(); nOcc.clear(); maxTs.clear()
+        occupants.clear(); nOcc.clear(); maxTs.clear(); tombstones.clear()
         if (expiry.exists()) {
           getHandle.deleteTimer(expiry.get())
           expiry.clear()
@@ -256,8 +298,12 @@ object DocStream {
 
     override def handleExpiredTimer(key: K, tv: TimerValues,
         info: ExpiredTimerInfo): Iterator[O] = {
+      // expiry ≥ latest-activity + ttl > every retained deleteTs, and the
+      // watermark has reached expiry for the timer to fire — so each
+      // tombstone's keep-until-watermark-passes window is over
       if (expiry.exists() && expiry.get() == info.getExpiryTimeInMs) {
         occupants.clear(); nOcc.clear(); maxTs.clear(); expiry.clear()
+        tombstones.clear()
       }
       Iterator.empty
     }
@@ -282,10 +328,16 @@ object DocStream {
     * tombstone carries the text, as a CDC before-image does — an LSH
     * entry can only be located by re-deriving its band keys, the same
     * reason FAISS `remove_ids` needs the stored vectors), frees the cap
-    * slots, and guarantees no FUTURE pair involves the doc. Pairs
-    * emitted before the tombstone stand (append streams cannot
+    * slots, and guarantees no FUTURE pair involves the doc as of the
+    * delete's event time — ACROSS micro-batch reordering inside the
+    * watermark too: the shared [[CliqueProcessor]] retains each delete's
+    * event time until the bucket TTL passes it, so a late-arriving add
+    * that is logically before the delete is rejected rather than
+    * re-admitted (and a tombstone arriving before its add blocks it).
+    * Pairs emitted before the tombstone stand (append streams cannot
     * retract); retroactive cleanup is the batch delete ops' job. A
-    * bucket emptied by tombstones drops all its state and its timer.
+    * bucket emptied by tombstones keeps only the tombstone memory until
+    * its timer fires, then drops all state.
     */
   def lshCollisionsCdc(spark: SparkSession, ops: Dataset[DocOp],
       watermarkDelay: String = "1 hour",
@@ -535,13 +587,23 @@ object DocStream {
       def worst: (Long, Double) =
         m.iterator.maxBy { case (id, k) => (k, id) }
       rows.foreach { d =>
-        if (m.size < n) m.update(d.doc_id, d.skey)
-        else {
-          val (wid, wk) = worst
-          if (d.skey < wk || (d.skey == wk && d.doc_id < wid)) {
-            m.remove(wid)
-            m.update(d.doc_id, d.skey)
-          }
+        m.get(d.doc_id) match {
+          // already-stored doc seen again (at-least-once redelivery, or a
+          // re-crawled doc): refine IN PLACE — never the evict path, which
+          // would shrink the reservoir to n−1 and permanently drop a
+          // legitimate winner. MIN composition: an exact redelivery
+          // (same content → same key) is a no-op, and a re-crawled doc
+          // keeps its best draw, so the fold is deterministic under any
+          // redelivery order (inclusion never regresses).
+          case Some(prev) =>
+            if (d.skey < prev) m.update(d.doc_id, d.skey)
+          case None if m.size < n => m.update(d.doc_id, d.skey)
+          case None =>
+            val (wid, wk) = worst
+            if (d.skey < wk || (d.skey == wk && d.doc_id < wid)) {
+              m.remove(wid)
+              m.update(d.doc_id, d.skey)
+            }
         }
       }
       winners.clear()

@@ -127,6 +127,49 @@ class StatefulOpsSpec extends SparkSpec {
     }
   }
 
+  test("CDC tombstone memory: in-watermark reordering cannot resurrect a deleted doc") {
+    import graft.streaming.DocStream
+    import DocStream.{Collision, DocOp}
+    implicit val ctx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val tA = "the quick brown fox jumps over the lazy dog near the river bank today"
+      def add(t: String, id: Long) = DocOp(ts(t), id, tA, deleted = false)
+      def del(t: String, id: Long) = DocOp(ts(t), id, tA, deleted = true)
+      val ms = MemoryStream[DocOp]
+      val q = DocStream.lshCollisionsCdc(spark, ms.toDS())
+        .writeStream.format("memory").queryName("lshooo").outputMode("append").start()
+      def pairs() = spark.table("lshooo").as[Collision].collect()
+        .map(c => (c.earlier_doc_id, c.doc_id)).distinct.toSeq.sorted
+      // b1: 1 and 2 collide; b2: doc 1 deleted at 00:01:00, doc 9 deleted
+      // at 00:01:00 BEFORE its add has ever arrived
+      ms.addData(Seq(add("2024-01-01 00:00:00", 1L), add("2024-01-01 00:00:10", 2L)))
+      q.processAllAvailable()
+      ms.addData(Seq(del("2024-01-01 00:01:00", 1L), del("2024-01-01 00:01:00", 9L)))
+      q.processAllAvailable()
+      // b3 arrives later but carries EARLIER event times (inside the 1h
+      // watermark): the adds of 1 and 9 are logically before their deletes
+      // — both must be rejected, not re-admitted; doc 3 is a normal add
+      ms.addData(Seq(add("2024-01-01 00:00:30", 1L), add("2024-01-01 00:00:30", 9L),
+        add("2024-01-01 00:02:00", 3L)))
+      q.processAllAvailable()
+      assert(pairs() === Seq((1L, 2L), (2L, 3L)),
+        s"an out-of-order add resurrected a tombstoned doc: ${pairs()}")
+      // b4: an add STRICTLY AFTER the delete's event time is a legitimate
+      // re-publication — doc 1 re-enters and pairs with the survivors
+      ms.addData(Seq(add("2024-01-01 00:03:00", 1L)))
+      q.processAllAvailable()
+      q.stop()
+      assert(pairs() === Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L)),
+        s"re-publication after the delete must admit normally: ${pairs()}")
+    } finally {
+      old match { case Some(v) => spark.conf.set(key, v); case None => spark.conf.unset(key) }
+    }
+  }
+
   test("winnow CDC tombstones: the shared hook gives the winnow twin identical delete semantics") {
     import graft.streaming.DocStream
     import DocStream.{DocOp, WinnowCand}

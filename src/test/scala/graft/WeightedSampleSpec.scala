@@ -116,6 +116,50 @@ class WeightedSampleSpec extends SparkSpec {
     }
   }
 
+  test("sampleCandidates: redelivering a stored winner never shrinks a full reservoir") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.DocStream
+    implicit val ctx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val rows = (0L until 9L).map(i =>
+        DocStream.StreamDoc(Timestamp.valueOf("2024-01-01 00:00:00"),
+          i, s"w$i " * (i.toInt % 5 + 1) + s"tail$i"))
+      val d = rows.map(r => (r.doc_id, r.text, "en")).toDF("doc_id", "text", "lang")
+      // the global winner is certainly stored and certainly NOT the worst
+      // entry — the exact row whose redelivery used to evict a legitimate
+      // winner and leave the reservoir at n−1 forever
+      val champion = Curation.weightedSample(d, 1).collect().head.getLong(0)
+      val ms = MemoryStream[DocStream.StreamDoc]
+      val q = DocStream.sampleCandidates(spark, ms.toDS(), n = 3, classes = 1)
+        .writeStream.format("memory").queryName("wres_dup").outputMode("append").start()
+      ms.addData(rows); q.processAllAvailable()
+      ms.addData(Seq(rows(champion.toInt))) // at-least-once redelivery
+      q.processAllAvailable()
+      val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      q.stop()
+      assert(stateRows === 3L,
+        s"full reservoir must stay at n entries after a duplicate, got $stateRows")
+      // and the refined winner set still equals the batch sample exactly
+      val refined = spark.table("wres_dup")
+        .groupBy(col("doc_id")).agg(max(col("skey")).as("skey"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+        .sortBy { case (id, k) => (k, id) }.take(3).map(_._1).toSet
+      val batch = Curation.weightedSample(d, 3)
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+      assert(refined === batch)
+    } finally {
+      old match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   // ---- snapshotDiff ---------------------------------------------------
 
   test("snapshotDiff: residue-derived statuses and token deltas") {

@@ -1033,6 +1033,30 @@ object SparkEntry {
         e.filter(col("vec_id") % 10 === 3))
     },
 
+    // Search the index you MAINTAIN: residual-PQ ANN whose probe table
+    // AND candidate membership are the TRAINED kmeansFitMemo cells — the
+    // same frozen quantizer append/split/delete/merge/crawl manage
+    // (round-10's one structural gap: the label-cell searches read an
+    // index no maintenance op managed). Codebook memoized as a served
+    // artifact; TrainedIvfSpec pins cell-table identity + the recall bar.
+    "q_emb_ivft" -> { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+      Similarity.knnIvfPqResidualTrained(e,
+        Similarity.kmeansFitMemo(e, dir, "all"),
+        cbOpt = Some(Similarity.pqrCodebookTrainedFor(e, dir)))
+    },
+
+    // Serving after a crawl GENERATION: the store is (corpus ∖ deleted)
+    // ∪ increment assigned against the frozen trained centroids — the
+    // exact subsets q_emb_crawl's net-occupancy accounting prices — and
+    // queries probe those cells with an exact cosine verify. The
+    // search-over-the-maintained-index composition, end to end.
+    "q_emb_servecrawl" -> { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+      Similarity.serveCrawl(e, Similarity.kmeansFitMemo(e, dir, "all"),
+        e.filter(col("vec_id") % 10 === 3))
+    },
+
     // Merge-underfull: the action the delete audit's flag points at —
     // each underfull cell's surviving members fold into the nearest
     // healthy centroid (per-move fit accounting), closing the delete
@@ -3475,6 +3499,8 @@ object SparkEntry {
          |SELECT id AS doc_id, cluster, (id = cluster) AS is_keeper FROM comp""".stripMargin,
     "q_emb_delete" -> Similarity.ivfDeleteSql("vec_id % 10 = 3"),
     "q_emb_crawl" -> Similarity.ivfCrawlSql("vec_id % 10 = 3"),
+    "q_emb_ivft" -> Similarity.ivfPqResidualTrainedSql(),
+    "q_emb_servecrawl" -> Similarity.serveCrawlSql("a.vec_id % 10 = 3"),
     "q_emb_merge" -> Similarity.mergeUnderfullSql("vec_id % 10 = 3"),
     "q_dedup_srcmatrix" ->
       s"""WITH ${Dedup.corpusSql},

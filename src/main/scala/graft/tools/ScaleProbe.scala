@@ -111,7 +111,14 @@ object ScaleProbe {
     // the multiclass distillation: all C students share each training
     // pass (one 165-slot gradient row per round), so the profile must
     // track the featurize pass exactly like the binary q_doc_qclf_score
-    "q_doc_langclf")
+    "q_doc_langclf",
+    // round-11: the trained-cell unification — residual-PQ search over
+    // the maintained kmeansFitMemo cells (cold memo pays the fit + the
+    // trained codebook once; the search itself must track the probe
+    // equi-join like its label-cell sibling) and post-generation serving
+    // (two frozen-centroid assignment passes + the cell equi-join —
+    // should track the store scan, with the increment pass O(increment))
+    "q_emb_ivft", "q_emb_servecrawl")
 
   /** Heaps-ish vocabulary size: 30 tokens at the 5k-doc base (the real
     * table's vocabulary), growing with sqrt(n).

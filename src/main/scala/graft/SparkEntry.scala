@@ -682,6 +682,15 @@ object SparkEntry {
       Dedup.repeatedSpans(Dedup.corpus(Tables.documents(s, dir)))
     },
 
+    // Exact substring dedup (Lee'21 ExactSubstr): seed on repeated
+    // window HASHES, verify by DIRECT STRING EQUALITY (a collision dies
+    // at the verify, costing only its own row), merge into maximal
+    // removal spans — the famous substring-level primitive whose truth
+    // the oracle recomputes hash-free by grouping the window text itself.
+    "q_dedup_substr" -> { (s, dir) =>
+      Dedup.exactSubstrSpans(Dedup.corpus(Tables.documents(s, dir)))
+    },
+
     // MinHash Jaccard estimate per candidate pair — the verify stage that
     // costs one row per pair (no shingle re-join) when exactness can
     // yield; exact copies estimate 1.0 by construction.
@@ -3948,6 +3957,9 @@ object SparkEntry {
     "q_dedup_rspans" ->
       s"""WITH ${Dedup.corpusSql},
          |${Dedup.repeatedSpansSql}""".stripMargin,
+    "q_dedup_substr" ->
+      s"""WITH ${Dedup.corpusSql},
+         |${Dedup.exactSubstrSql()}""".stripMargin,
     "q_dedup_cross" ->
       s"""WITH ${Dedup.corpusSql},
          |newdocs AS (SELECT doc_id, lang, text FROM corpus WHERE doc_id >= 1000000),

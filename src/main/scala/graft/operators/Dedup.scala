@@ -1524,6 +1524,99 @@ object Dedup {
        |FROM risl GROUP BY doc_id, grp""".stripMargin
   }
 
+  /** Window length for EXACT-substring dedup — longer than the
+    * [[SpanSeedLen]] seed (Lee '21 removes substrings past a length
+    * threshold; the hash-seeded [[repeatedSpans]] targets recall at a
+    * shorter grain).
+    */
+  val SubstrLen = 8
+
+  /** Exact substring dedup (Lee '21's ExactSubstr, spelled Spark-native
+    * as seed → EXTEND-AND-VERIFY): a token position is covered when its
+    * length-L window's TEXT occurs ≥ 2 times anywhere in the corpus —
+    * verified by DIRECT STRING EQUALITY, not hash agreement (the one
+    * property [[repeatedSpans]] trusts its 10^9-range hash for); covered
+    * positions merge into maximal per-doc removal spans. Any repeated
+    * substring of length ≥ L contains a repeated L-window and every
+    * repeated L-window IS a repeated substring, so the merged spans are
+    * EXACTLY the tokens Lee '21's suffix-array formulation removes at
+    * threshold L — without materializing a suffix array, which does not
+    * distribute.
+    *
+    * Three-stage price, NO all-pairs join anywhere:
+    *  1. seed: the fused [[graft.expressions.GramHashes]] window-hash
+    *     pass (narrow) + ONE h-keyed grouped count — candidates are the
+    *     windows whose HASH repeats (a superset of string-repeats, so
+    *     stage 3 is exact regardless of collisions);
+    *  2. verify: candidate positions group per doc, the token array
+    *     joins ONCE per doc (never once per seed), each candidate
+    *     window's text slices out narrow, and ONE w-keyed grouped count
+    *     keeps strings that really repeat — a hash collision dies here,
+    *     costing only its own candidate row;
+    *  3. merge: the [[repeatedSpans]] gaps-and-islands windows, shared
+    *     partitioning+sort.
+    * Work rides the window equi-join keys (h, then w): per stage one
+    * shuffle, each over the candidate subset only.
+    */
+  def exactSubstrSpans(c: DataFrame, l: Int = SubstrLen): DataFrame = {
+    val sh = c.select(col("doc_id"),
+      posexplode(graft.expressions.GramHashes.gram_hashes(col("text"), l))
+        .as(Seq("pos", "h")))
+    val rep = sh.groupBy(col("h")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select(col("h"))
+    val toked = c.select(col("doc_id"), tokens(col("text")).as("toks"))
+    val wins = sh.join(rep.hint("shuffle_hash"), Seq("h"))
+      .groupBy(col("doc_id")).agg(collect_list(col("pos")).as("ps"))
+      .join(toked.hint("shuffle_hash"), Seq("doc_id"))
+      .select(col("doc_id"), explode(col("ps")).as("pos"), col("toks"))
+      .select(col("doc_id"), col("pos"),
+        concat_ws(" ", slice(col("toks"), col("pos") + 1, lit(l))).as("w"))
+    val wrep = wins.groupBy(col("w")).agg(count(lit(1)).as("wc"))
+      .filter(col("wc") >= 2).select(col("w"))
+    val seeds = wins.join(wrep.hint("shuffle_hash"), Seq("w"))
+      .select(col("doc_id"), col("pos"))
+    val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    seeds
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(win) < l, 0).otherwise(1))
+      .withColumn("grp", sum(col("brk")).over(win))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) + lit(l - 1)).cast("long").as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("n_tokens"))
+  }
+
+  /** DuckDB mirror of [[exactSubstrSpans]] — the oracle computes
+    * repeated-window truth by DIRECT SUBSTRING COMPARISON (GROUP BY the
+    * window text itself; no hash exists anywhere in this SQL), so an
+    * engine-side hash collision surviving to the output would
+    * hash-mismatch the round's gate.
+    */
+  def exactSubstrSql(l: Int = SubstrLen): String = {
+    val gram = (0 until l).map(j => s"toks[i+$j]").mkString(" || ' ' || ")
+    s"""xw AS (
+       |  SELECT doc_id,
+       |    unnest(list_transform(range(1, len(toks) - ${l - 2}), i -> {'pos': i - 1,
+       |      'w': $gram}), recursive := true)
+       |  FROM (SELECT doc_id, $toksSql AS toks FROM corpus)),
+       |xrep AS (SELECT w FROM xw GROUP BY w HAVING COUNT(*) >= 2),
+       |xbrk AS (
+       |  SELECT doc_id, pos,
+       |    CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+       |           < $l THEN 0 ELSE 1 END AS brk
+       |  FROM xw JOIN xrep USING (w)),
+       |xisl AS (
+       |  SELECT doc_id, pos,
+       |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS UNBOUNDED PRECEDING) AS grp
+       |  FROM xbrk)
+       |SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+       |  CAST(MAX(pos) + ${l - 1} AS BIGINT) AS span_end,
+       |  CAST(MAX(pos) + ${l - 1} - MIN(pos) + 1 AS BIGINT) AS n_tokens
+       |FROM xisl GROUP BY doc_id, grp""".stripMargin
+  }
+
   // ---- DuckDB oracle mirrors ---------------------------------------------
 
   /** Mirror of [[paragraphs]] over the `corpus` CTE (1-based subscripts →

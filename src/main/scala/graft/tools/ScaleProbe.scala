@@ -118,7 +118,13 @@ object ScaleProbe {
     // equi-join like its label-cell sibling) and post-generation serving
     // (two frozen-centroid assignment passes + the cell equi-join —
     // should track the store scan, with the increment pass O(increment))
-    "q_emb_ivft", "q_emb_servecrawl")
+    "q_emb_ivft", "q_emb_servecrawl",
+    // round-11: exact substring dedup — the claim under test is that
+    // candidate work rides the window equi-joins (h-keyed seed count,
+    // then w-keyed string verify over the candidate subset only), never
+    // an all-pairs doc join; with planted-dup density constant the
+    // profile should track the window scan
+    "q_dedup_substr")
 
   /** Heaps-ish vocabulary size: 30 tokens at the 5k-doc base (the real
     * table's vocabulary), growing with sqrt(n).

@@ -444,6 +444,81 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("exactSubstrSpans: planted shared substring found with exact boundaries; L−1 misses") {
+    val l = Dedup.SubstrLen
+    val shared = (1 to l).map(i => s"dup$i").mkString(" ") // exactly L tokens
+    val d = Seq(
+      (1L, "alpha beta gamma " + shared + " delta epsilon"), // plant at pos 3
+      (2L, "one two three four five " + shared + " six")     // plant at pos 5
+    ).toDF("doc_id", "text")
+    val got = Dedup.exactSubstrSpans(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got === Set((1L, 3L, 3L + l - 1L, l.toLong), (2L, 5L, 5L + l - 1L, l.toLong)),
+      s"planted substring must be recovered with exact token boundaries, got $got")
+    // one token short of the threshold: no repeated L-window exists
+    val short = (1 to l - 1).map(i => s"s$i").mkString(" ")
+    val d2 = Seq(
+      (1L, "a b c " + short),
+      (2L, "x y " + short + " z w")).toDF("doc_id", "text")
+    assert(Dedup.exactSubstrSpans(d2).count() === 0L,
+      "an (L−1)-token shared substring must emit nothing at threshold L")
+  }
+
+  test("exactSubstrSpans: within-doc repetition counts; disjoint occurrences stay two spans") {
+    val l = Dedup.SubstrLen
+    val rep = (1 to l).map(i => s"r$i").mkString(" ")
+    val filler = (1 to l).map(i => s"f$i").mkString(" ")
+    // the repeat occurs twice in ONE doc, separated by L fresh tokens:
+    // both occurrences are covered, and the gap (= L) keeps them disjoint
+    val d = Seq((7L, rep + " " + filler + " " + rep)).toDF("doc_id", "text")
+    val got = Dedup.exactSubstrSpans(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got === Set((7L, 0L, l - 1L, l.toLong),
+      (7L, 2L * l, 3L * l - 1L, l.toLong)), s"got $got")
+  }
+
+  test("exactSubstrSpans: agrees with a direct-substring brute reference on seeded random corpora") {
+    // brute reference groups by the window STRING itself — the oracle's
+    // rule, no hash anywhere: what the engine's seed→verify chain must
+    // reproduce exactly (a hash collision in the seed stage may only add
+    // candidates, never spans)
+    def bruteSpans(docs: Seq[(Long, String)]): Set[(Long, Long, Long, Long)] = {
+      val l = Dedup.SubstrLen
+      def toks(t: String) = t.trim.toLowerCase.split("[ \t\n\f\r]+").filter(_.nonEmpty).toSeq
+      val wins = docs.flatMap { case (id, t) =>
+        val tk = toks(t)
+        if (tk.size < l) Nil
+        else (0 to tk.size - l).map(p => (id, p, tk.slice(p, p + l).mkString(" ")))
+      }
+      val counts = wins.groupBy(_._3).view.mapValues(_.size).toMap
+      wins.filter(s => counts(s._3) >= 2).groupBy(_._1).flatMap { case (id, ss) =>
+        val ps = ss.map(_._2).distinct.sorted
+        val groups = ps.foldLeft(List.empty[List[Int]]) {
+          case (Nil, p)                             => List(List(p))
+          case (cur :: rest, p) if p - cur.head < l => (p :: cur) :: rest
+          case (acc, p)                             => List(p) :: acc
+        }
+        groups.map { g =>
+          val start = g.min.toLong; val end = g.max.toLong + l - 1
+          (id, start, end, end - start + 1)
+        }
+      }.toSet
+    }
+    for (seed <- Seq(11, 12, 13)) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = Seq("ab", "cd", "ef", "gh", "ij", "kl", "mn", "op", "qr", "st")
+      val base = (0 until 25).map { i =>
+        (i.toLong, Seq.fill(rnd.nextInt(30))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val planted = (0 until 5).map(j => (100L + j, base(rnd.nextInt(base.size))._2))
+      val docs = base ++ planted
+      val got = Dedup.exactSubstrSpans(docs.toDF("doc_id", "text"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got === bruteSpans(docs), s"seed $seed diverges from the direct-substring reference")
+    }
+  }
+
   test("incremental merge == full recompute; index persisted once; work scales with the increment") {
     Dedup.clearMemos()
     val base = corpus.filter($"doc_id" < 2000000L)

@@ -1603,6 +1603,14 @@ object SparkEntry {
     "q_doc_bpe_encode" -> { (s, dir) =>
       TextAnalysis.bpeSegment(Tables.documents(s, dir))
     },
+    // Packing by BPE-encoded length — the budget real pipelines pack
+    // with (tokenizer tokens, not whitespace words): bpeSegment's
+    // per-doc subword cost laid out by the SAME deterministic first-fit
+    // packer as q_doc_pack (one shared implementation). Conservation
+    // (Σ packed ≡ Σ per-doc BPE lengths) is spec-pinned.
+    "q_doc_bpepack" -> { (s, dir) =>
+      Curation.packSequencesBpe(Tables.documents(s, dir))
+    },
 
     // Stupid-Backoff bigram LM score (Brants'07): train on the even-id
     // half, score every doc; unseen bigrams back off to 0.4·c(w2)/N.
@@ -4445,6 +4453,29 @@ object SparkEntry {
     "q_doc_langclf" -> Classifier.langClfSql(),
     "q_doc_qclf_bysrc" -> Classifier.scoreBySourceSql(),
     "q_doc_bpe_encode" -> TextAnalysis.bpeSegmentSql(),
+    "q_doc_bpepack" ->
+      s"""WITH ${TextAnalysis.bpeCtes()},
+         |dict AS (SELECT word, len(syms) AS n_sub FROM w8),
+         |btk AS (
+         |  SELECT doc_id, unnest(toks) AS word
+         |  FROM (SELECT doc_id, ${Dedup.toksSql} AS toks FROM documents)),
+         |bcnt AS (
+         |  SELECT doc_id,
+         |    CAST(SUM(COALESCE(n_sub, length(word) + 1)) AS BIGINT) AS n_tokens
+         |  FROM btk LEFT JOIN dict USING (word)
+         |  GROUP BY doc_id),
+         |bj AS (
+         |  SELECT b.doc_id, d.lang, b.n_tokens
+         |  FROM bcnt b JOIN documents d ON d.doc_id = b.doc_id),
+         |bc AS (
+         |  SELECT doc_id, lang, n_tokens,
+         |    SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS cum_excl
+         |  FROM bj)
+         |SELECT doc_id, lang, n_tokens,
+         |  CAST(cum_excl // 2048 AS BIGINT) AS pack_id,
+         |  CAST(cum_excl % 2048 AS BIGINT) AS pack_offset
+         |FROM bc""".stripMargin,
     "q_doc_vocabcov" -> TextAnalysis.vocabCoverageSql(),
     "q_doc_sbackoff" -> SbackoffOracleSql,
     "q_doc_ppbucket" ->

@@ -69,9 +69,17 @@ object Curation {
     * IDENTICAL to the flat cumsum (CurationSpec cross-checks), so the
     * oracle keeps the plain window form.
     */
-  def packSequences(docs: DataFrame, budget: Int = 2048, block: Int = 4096): DataFrame = {
-    val t = docs
-      .select(col("doc_id"), col("lang"), size(tokens(col("text"))).cast("long").as("n_tokens"))
+  def packSequences(docs: DataFrame, budget: Int = 2048, block: Int = 4096): DataFrame =
+    packFrom(docs.select(col("doc_id"), col("lang"),
+      size(tokens(col("text"))).cast("long").as("n_tokens")), budget, block)
+
+  /** The hierarchical packer over a precomputed (doc_id, lang, n_tokens)
+    * frame — split out so the whitespace and BPE token budgets share ONE
+    * layout implementation (the deterministic first-fit discipline
+    * cannot drift between spellings).
+    */
+  private def packFrom(counts: DataFrame, budget: Int, block: Int): DataFrame = {
+    val t = counts
       .withColumn("blk", expr(s"doc_id DIV $block"))
     val wb = Window.partitionBy(col("lang")).orderBy(col("blk"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -87,6 +95,31 @@ object Curation {
         (col("cum_excl") / budget).cast("long").as("pack_id"),
         (col("cum_excl") % budget).as("pack_offset"))
   }
+
+  /** Sequence packing by BPE-encoded length — real pretraining pipelines
+    * budget packs in TOKENIZER tokens, not whitespace words: the per-doc
+    * cost is [[graft.operators.TextAnalysis.bpeSegment]]'s subword count
+    * under the trained merge table (a dictionary word costs its final
+    * symbol count; an out-of-dictionary word falls back to
+    * characters + end-marker), laid out by the SAME deterministic
+    * first-fit discipline as [[packSequences]] (one shared
+    * implementation — the two budgets cannot drift). Empty docs have no
+    * BPE length and pack nothing, exactly as they contribute nothing to
+    * a token stream.
+    *
+    * Scale: the BPE train+apply cost story is [[graft.operators
+    * .TextAnalysis.bpeSegment]]'s (one corpus token pass + vocab-bounded
+    * rounds); the packer adds the hierarchical two-level scan — never a
+    * per-lang whole-shard window. Conservation (Σ packed n_tokens ≡
+    * Σ per-doc BPE lengths) is spec-pinned.
+    */
+  def packSequencesBpe(docs: DataFrame, budget: Int = 2048,
+      block: Int = 4096, merges: Int = 8, maxWords: Int = 50000): DataFrame =
+    packFrom(
+      TextAnalysis.bpeSegment(docs, merges, maxWords)
+        .select(col("doc_id"), col("n_subwords").as("n_tokens"))
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id"),
+      budget, block)
 
   /** Packing-efficiency audit over [[packSequences]]: per language, the
     * packed volume (docs, tokens, packs at the budget), the utilization

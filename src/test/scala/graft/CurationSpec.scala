@@ -140,6 +140,36 @@ class CurationSpec extends SparkSpec {
     assert(bad.count() === 0)
   }
 
+  test("BPE packing: conservation, budget bounds, and the pack reconciliation on BPE lengths") {
+    val p = Curation.packSequencesBpe(docs, budget = 512, block = 8).cache()
+    // conservation: Σ packed n_tokens ≡ Σ per-doc BPE subword lengths
+    val packedSum = p.agg(sum($"n_tokens")).as[Long].head()
+    val bpeSum = graft.operators.TextAnalysis.bpeSegment(docs)
+      .agg(sum($"n_subwords")).as[Long].head()
+    assert(packedSum === bpeSum,
+      s"packed BPE token mass $packedSum != per-doc BPE mass $bpeSum")
+    // the whitespace packer's reconciliation, re-run on the BPE spelling:
+    // offsets inside the budget, pack_id·budget + offset == the exclusive
+    // flat cumsum of BPE lengths, pack ids dense per lang
+    assert(p.filter($"pack_offset" < 0 || $"pack_offset" >= 512).count() === 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"lang").orderBy($"doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val bad = p
+      .withColumn("expect", coalesce(sum($"n_tokens").over(w), lit(0L)))
+      .filter($"pack_id" * 512 + $"pack_offset" =!= $"expect")
+    assert(bad.count() === 0)
+    val ids = p.groupBy($"lang").agg(max($"pack_id").as("mx"), count_distinct($"pack_id").as("n"))
+      .filter($"n" =!= $"mx" + 1)
+    assert(ids.count() === 0)
+    // BPE budgets differ from whitespace budgets (the point of the op):
+    // at least one doc's BPE cost != its whitespace token count
+    val ws = Curation.packSequences(docs, budget = 512, block = 8)
+      .select($"doc_id", $"n_tokens".as("ws_tokens"))
+    assert(p.join(ws, "doc_id").filter($"n_tokens" =!= $"ws_tokens").count() > 0,
+      "fixture lost its power: BPE lengths should differ from whitespace lengths")
+  }
+
   test("chunking: strided starts, bounded sizes, full coverage") {
     val c = Curation.chunk(docs, size = 64, stride = 48).cache()
     assert(c.filter($"n_chunk_tokens" < 1 || $"n_chunk_tokens" > 64).count() === 0)

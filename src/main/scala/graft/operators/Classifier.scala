@@ -494,11 +494,26 @@ object Classifier {
 
   // ---- Multiclass language-ID distillation (one-vs-rest) --------------
 
-  /** Class order — fixed and sorted so the one-hot slot and the argmax
-    * tie-break are engine-identical.
+  /** Default class set (the fixture corpora's five languages). Class
+    * order is fixed and SORTED so the one-hot slot and the argmax
+    * tie-break are engine-identical — every `langs` parameter below
+    * expects the same discipline (callers pass [[topLangs]]' output or a
+    * hand-sorted list).
     */
   val Langs: Seq[String] = Seq("de", "en", "es", "fr", "zh")
   val LangC: Int = Langs.length
+
+  /** Corpus-derived class set: the `c` most frequent langs (ties → lang
+    * asc), returned SORTED for the fixed slot order. A real crawl's lang
+    * set is data-derived, not hardcoded — this is the bounded selection
+    * that feeds the `langs` parameter. The collect is ≤ c rows off a
+    * TakeOrderedAndProject (per-partition top-c heaps), the same bounded
+    * driver-row discipline as the gradient rows.
+    */
+  def topLangs(docs: DataFrame, c: Int = LangC): Seq[String] =
+    docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("lang")).limit(c)
+      .collect().map(_.getString(0)).toSeq.sorted
 
   /** Language-ID features: same fused [[graft.expressions.HashedTf]]
     * stateless-narrow pass as the quality classifier, with the DECLARED
@@ -522,31 +537,35 @@ object Classifier {
     * arithmetic is exactly [[fitQuantized]]'s — rational fast sigmoid,
     * 2^24-quantized order-free gradient sums, HALF_UP driver rounding —
     * so slice c of the returned weights is bit-identical to an
-    * independent binary fit against teacher y = (lang = Langs(c))
-    * (spec-pinned, the batching invariant).
+    * independent binary fit against teacher y = (lang = langs(c))
+    * (spec-pinned, the batching invariant). The class set is a
+    * PARAMETER (default: the fixture five) — a real crawl derives it
+    * from the data via [[topLangs]]; the one-hot slot order is the
+    * caller-supplied (sorted) order.
     */
   def fitLangQuantized(feat: DataFrame, iters: Int = Iters,
-      lr: Double = Lr): Array[Long] = {
-    val wq = Array.fill(LangC * Dims)(0L)
+      lr: Double = Lr, langs: Seq[String] = Langs): Array[Long] = {
+    val nc = langs.length
+    val wq = Array.fill(nc * Dims)(0L)
     for (_ <- 1 to iters) {
-      val pdCols = (0 until LangC).map { c =>
+      val pdCols = (0 until nc).map { c =>
         val wCol = array((0 until Dims).map(j => lit(wq(c * Dims + j) / Q)): _*)
         val z = VectorFunctions.dot(wCol, col("x"))
         val p = lit(0.5d) + z / (lit(2.0d) * (lit(1.0d) + abs(z)))
-        (p - when(col("lang") === Langs(c), lit(1.0d)).otherwise(lit(0.0d)))
+        (p - when(col("lang") === langs(c), lit(1.0d)).otherwise(lit(0.0d)))
           .as(s"pd$c")
       }
       val withPd = feat.select((col("x") +: pdCols): _*)
       val gradCols =
-        for (c <- 0 until LangC; j <- 0 until Dims) yield
+        for (c <- 0 until nc; j <- 0 until Dims) yield
           sum(round(col(s"pd$c") * element_at(col("x"), j + 1) * Q).cast("long"))
             .as(s"g${c}_$j")
       val row = withPd.agg(gradCols.head,
         (gradCols.tail :+ count(lit(1)).as("n")): _*).head()
-      val n = row.getLong(LangC * Dims)
+      val n = row.getLong(nc * Dims)
       if (n > 0) {
         var i = 0
-        while (i < LangC * Dims) {
+        while (i < nc * Dims) {
           wq(i) -= roundHalfUp(lr * row.getLong(i) / n)
           i += 1
         }
@@ -561,11 +580,12 @@ object Classifier {
         s"langclf|$FeatScale"))(
       graft.sources.StageMemo.reliableStage(langFeatures(docs)))
 
-  def langFitMemo(docs: DataFrame, dir: String): Array[Long] =
+  def langFitMemo(docs: DataFrame, dir: String,
+      langs: Seq[String] = Langs): Array[Long] =
     wMemo.getOrCompute(
       graft.sources.Tables.dataKey(docs.sparkSession, dir,
-        s"langclf_w|$FeatScale|$Iters|$Lr"))(
-      fitLangQuantized(langFeaturesMemo(docs, dir)))
+        s"langclf_w|$FeatScale|$Iters|$Lr|${langs.mkString(",")}"))(
+      fitLangQuantized(langFeaturesMemo(docs, dir), langs = langs))
 
   /** Confusion matrix of the trained student against the declared lang:
     * per doc the C decision scores, pred = argmax (z ties break to the
@@ -575,9 +595,10 @@ object Classifier {
     * one narrow pass over the shared feature stage with the weights as
     * broadcast literals.
     */
-  def langConfusion(docs: DataFrame, dir: String): DataFrame = {
-    val wq = langFitMemo(docs, dir)
-    val zCols = (0 until LangC).map { c =>
+  def langConfusion(docs: DataFrame, dir: String,
+      langs: Seq[String] = Langs): DataFrame = {
+    val wq = langFitMemo(docs, dir, langs)
+    val zCols = langs.indices.map { c =>
       val wCol = array((0 until Dims).map(j => lit(wq(c * Dims + j) / Q)): _*)
       VectorFunctions.dot(wCol, col("x"))
     }
@@ -585,7 +606,7 @@ object Classifier {
       .withColumn("zs", array(zCols: _*))
       .withColumn("pi", expr("array_position(zs, array_max(zs))"))
       .withColumn("pred_lang",
-        element_at(array(Langs.map(lit): _*), col("pi").cast("int")))
+        element_at(array(langs.map(lit): _*), col("pi").cast("int")))
       .groupBy(col("lang"), col("pred_lang"))
       .agg(count(lit(1)).as("n_docs"))
   }

@@ -513,9 +513,11 @@ object DocStream {
     * pinned in ClassifierStreamSpec).
     */
   def langOfDocs(docs: org.apache.spark.sql.DataFrame,
-      wq: Array[Long]): org.apache.spark.sql.DataFrame = {
+      wq: Array[Long],
+      langs: Seq[String] = graft.operators.Classifier.Langs)
+      : org.apache.spark.sql.DataFrame = {
     import graft.operators.Classifier
-    val zCols = (0 until Classifier.LangC).map { c =>
+    val zCols = langs.indices.map { c =>
       val wCol = array((0 until Classifier.Dims)
         .map(j => lit(wq(c * Classifier.Dims + j) / Classifier.Q)): _*)
       graft.functions.VectorFunctions.dot(wCol, col("x"))
@@ -528,7 +530,7 @@ object DocStream {
       .withColumn("zs", array(zCols: _*))
       .withColumn("pi", expr("array_position(zs, array_max(zs))"))
       .select(col("doc_id"),
-        element_at(array(Classifier.Langs.map(lit): _*), col("pi").cast("int"))
+        element_at(array(langs.map(lit): _*), col("pi").cast("int"))
           .as("pred_lang"),
         round(expr("array_max(zs)") * Classifier.Q).cast("long").as("top_z_q"))
   }

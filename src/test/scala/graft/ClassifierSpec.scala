@@ -301,6 +301,39 @@ class ClassifierSpec extends SparkSpec {
     assert(conf.length === vocab.size)
   }
 
+  test("lang class set is a parameter: topLangs derivation + a corpus beyond the default five") {
+    // topLangs: top-C by doc count, ties → lang asc, output SORTED
+    val d = Seq(
+      (1L, "foo bar baz", "aa"), (2L, "foo foo qux", "aa"), (3L, "bar bar bar", "aa"),
+      (4L, "alpha beta gamma", "bb"), (5L, "alpha alpha delta", "bb"),
+      (6L, "uno dos tres", "cc"),
+      (7L, "unus duo tres", "dd")).toDF("doc_id", "text", "lang")
+    assert(Classifier.topLangs(d, 2) === Seq("aa", "bb"))
+    // the count tie between cc and dd breaks to the earlier lang
+    assert(Classifier.topLangs(d, 3) === Seq("aa", "bb", "cc"))
+    // fit over a DERIVED class set none of whose members is a default
+    // lang: weight layout sizes to the class count, slice c stays
+    // bit-identical to the independent binary fit (the batching
+    // invariant, re-pinned off the default set)
+    val langs = Classifier.topLangs(d, 3)
+    val lf = Classifier.langFeatures(d)
+    val multi = Classifier.fitLangQuantized(lf, langs = langs)
+    assert(multi.length === 3 * Classifier.Dims)
+    langs.zipWithIndex.foreach { case (l, c) =>
+      val bin = Classifier.fitQuantized(
+        lf.select(col("doc_id"),
+          (col("lang") === l).cast("double").as("y"), col("x")))
+      assert(multi.slice(c * Classifier.Dims, (c + 1) * Classifier.Dims).toSeq === bin.toSeq,
+        s"custom-class slice for '$l' diverged from the independent binary fit")
+    }
+    // the streaming scorer twin takes the same class set: predictions
+    // come from the supplied list, never the default five
+    val preds = graft.streaming.DocStream.langOfDocs(d, multi, langs)
+      .select(col("pred_lang")).collect().map(_.getString(0)).toSet
+    assert(preds.nonEmpty && preds.subsetOf(langs.toSet),
+      s"scorer predicted outside the supplied class set: $preds")
+  }
+
   test("zero-token documents are excluded; an all-empty corpus yields zero weights") {
     val mixed = docsDf(toyTexts :+ "   " :+ "")
     assert(Classifier.features(mixed).count() === toyTexts.size)

@@ -18,6 +18,32 @@ package graft.sources
   * DIFFERENT key waits — acceptable here because the driver contract
   * runs queries sequentially and a memoized stage build is seconds; the
   * lock buys the important guarantee that one key never builds twice.
+  *
+  * == The two-tier checkpoint discipline (the ONE home for the rule) ==
+  *
+  * This library truncates lineage at two different strengths, and the
+  * choice is a contract, not a style:
+  *
+  *  - '''Tier 1 — transient `localCheckpoint(false)`''' is acceptable
+  *    ONLY for an intermediate consumed entirely WITHIN one query's
+  *    plan (iterative-loop lineage hygiene like the k-means/CC rounds,
+  *    or a table feeding both sides of one self-join). Its blocks live
+  *    in executor MEMORY_AND_DISK storage: they compete with execution
+  *    memory and die with an executor — an exposure window that is fine
+  *    for the seconds one query runs, and wrong for anything longer.
+  *  - '''Tier 2 — [[reliableStage]] (or an explicit parquet store)''' is
+  *    MANDATORY for any CROSS-QUERY shared artifact: everything a
+  *    `*For`-suffixed memo serves (cluster tables, candidate pairs,
+  *    centroids, codebooks, persisted indexes). A memoized stage is by
+  *    definition read by several later queries; it must be immune to
+  *    block eviction and executor loss, so it goes through a reliable
+  *    checkpoint file (or a parquet write) and every later read is a
+  *    file scan.
+  *
+  * StageMemoSpec enforces the boundary mechanically: every
+  * `getOrCompute` call site in main source must build through
+  * `reliableStage` or a parquet store — a transient checkpoint can
+  * never be handed to a memo.
   */
 object StageMemo {
 

@@ -617,6 +617,87 @@ object DocStream {
         info: ExpiredTimerInfo): Iterator[SampleCand] = Iterator.empty
   }
 
+  case class ManifestOp(ts: Timestamp, doc_id: Long, lang: String,
+    h: Long, n_tokens: Long, deleted: Boolean)
+  case class DiffEvent(doc_id: Long, lang: String, status: String,
+    token_delta: Long)
+
+  /** Streaming twin of the crawl snapshot diff
+    * ([[graft.operators.Curation.snapshotDiff]]): manifest rows (doc_id,
+    * lang, content hash, token count) arrive as a CDC stream — upserts
+    * for every doc the new crawl carries, tombstones for takedowns — and
+    * per-doc ValueState holds the LATEST known (lang, hash, tokens).
+    * Each event emits its status incrementally: `added` when no state
+    * exists, `unchanged`/`changed` by hash compare against the stored
+    * manifest entry (the diff never needs the body — the batch op's
+    * 100-TB contract, unchanged), `removed` on a tombstone for a known
+    * doc (a tombstone for an unknown doc is a no-op, as the batch
+    * full-outer join never makes a row for it). token_delta is the
+    * doc's contribution to the epoch planner's net (new − old; removal
+    * = −old), so Σ token_delta over any prefix of generations equals
+    * the batch diff's conservation law.
+    *
+    * State: O(1) per doc_id — ONE manifest entry, the honest cost of a
+    * manifest (a production deployment's state is corpus-sized by
+    * definition; nothing grows with stream length or generation count).
+    * No watermark: manifest state must outlive any window — generation
+    * N+1 diffs against whenever generation N happened. Feeding
+    * generation A as batch 1 and the A→B CDC ops as batch 2 reproduces
+    * the batch `snapshotDiff` rollup exactly (spec-pinned), and the
+    * per-doc statuses keep composing across generations B→C→…, which
+    * the batch op would need a full re-diff per pair to answer.
+    */
+  def snapshotDiffCdc(spark: SparkSession,
+      ops: Dataset[ManifestOp]): Dataset[DiffEvent] = {
+    import spark.implicits._
+    ops
+      .groupByKey(_.doc_id)
+      .transformWithState(new ManifestProcessor, TimeMode.None(),
+        OutputMode.Append())
+  }
+
+  private class ManifestProcessor
+      extends StatefulProcessor[Long, ManifestOp, DiffEvent] {
+    // (lang, hash, tokens) — the stored manifest entry
+    @transient private var entry: ValueState[(String, Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      entry = getHandle.getValueState[(String, Long, Long)](
+        "manifest", Encoders.tuple(Encoders.STRING, Encoders.scalaLong,
+          Encoders.scalaLong), TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[ManifestOp],
+        tv: TimerValues): Iterator[DiffEvent] = {
+      // event-time order; a same-instant upsert+tombstone resolves
+      // delete-last (the CliqueProcessor discipline)
+      val evs = rows.toSeq.sortBy(e => (e.ts.getTime, e.deleted))
+      val out = Seq.newBuilder[DiffEvent]
+      for (e <- evs) {
+        val cur: Option[(String, Long, Long)] =
+          if (entry.exists()) Some(entry.get()) else None
+        if (e.deleted) {
+          cur.foreach { case (lang0, _, tok0) =>
+            out += DiffEvent(e.doc_id, lang0, "removed", -tok0)
+            entry.clear()
+          } // unknown doc: no-op, as the batch join never rows it
+        } else {
+          cur match {
+            case None =>
+              out += DiffEvent(e.doc_id, e.lang, "added", e.n_tokens)
+            case Some((_, h0, tok0)) =>
+              val status = if (e.h == h0) "unchanged" else "changed"
+              out += DiffEvent(e.doc_id, e.lang, status, e.n_tokens - tok0)
+          }
+          entry.update((e.lang, e.h, e.n_tokens))
+        }
+      }
+      out.result().iterator
+    }
+
+    override def handleExpiredTimer(key: Long, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[DiffEvent] = Iterator.empty
+  }
+
   case class TokRow(cls: Long, w: String)
   case class HeavyCand(cls: Long, w: String, cnt_lb: Long)
 

@@ -192,6 +192,72 @@ class WeightedSampleSpec extends SparkSpec {
     assert(delta === totB - totA)
   }
 
+  test("snapshotDiffCdc streaming twin: A then A→B CDC ops == the batch diff; statuses compose on") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.DocStream
+    import DocStream.{DiffEvent, ManifestOp}
+    implicit val ctx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // residue-rich corpus: ids 0..32 hit removed(%11=3), changed(%11=4),
+      // re-published(%11=5) and unchanged tiers
+      val d = docs((0L until 33L).map(i =>
+        (i, (s"w$i " * (i.toInt % 5 + 1)).trim, if (i % 2 == 0) "en" else "de")): _*)
+      def manifest(df: org.apache.spark.sql.DataFrame, t: String) = df
+        .select(col("doc_id"), col("lang"),
+          TextFunctions.stringHash(col("text")).as("h"),
+          size(TextFunctions.tokens(col("text"))).cast("long").as("n_tokens"))
+        .collect().map(r => ManifestOp(Timestamp.valueOf(t), r.getLong(0),
+          r.getString(1), r.getLong(2), r.getLong(3), deleted = false)).toSeq
+      val a = manifest(d, "2024-01-01 00:00:00")
+      val b = manifest(Curation.snapshotB(d), "2024-01-02 00:00:00")
+      val removed = a.map(_.doc_id).toSet -- b.map(_.doc_id).toSet
+      val tombs = removed.toSeq.map(id => ManifestOp(
+        Timestamp.valueOf("2024-01-02 00:00:00"), id, "x", 0L, 0L, deleted = true))
+      val ms = MemoryStream[ManifestOp]
+      val q = DocStream.snapshotDiffCdc(spark, ms.toDS())
+        .writeStream.format("memory").queryName("snapcdc").outputMode("append").start()
+      ms.addData(a); q.processAllAvailable()
+      val gen1 = spark.table("snapcdc").as[DiffEvent].collect().toSeq
+      assert(gen1.forall(_.status == "added") && gen1.size === a.size,
+        "generation A must arrive as pure adds")
+      ms.addData(b ++ tombs); q.processAllAvailable()
+      val all2 = spark.table("snapcdc").as[DiffEvent].collect().toSeq
+      val gen2 = all2.diff(gen1)
+      // the A→B emissions, rolled up, ARE the batch snapshotDiff
+      val gotRollup = gen2.groupBy(e => (e.status, e.lang)).map { case (k, es) =>
+        k -> (es.size.toLong, es.map(_.token_delta).sum)
+      }
+      val batch = Curation.snapshotDiff(d).collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          (r.getLong(2), r.getLong(3))).toMap
+      assert(gotRollup === batch,
+        s"streaming generation rollup diverged from the batch diff:\n$gotRollup\nvs $batch")
+      // statuses compose across generations: delete one B doc, re-crawl
+      // another unchanged — per-doc statuses continue off the B state
+      val victim = b.head
+      val same = b(1)
+      ms.addData(Seq(
+        victim.copy(ts = Timestamp.valueOf("2024-01-03 00:00:00"), deleted = true),
+        same.copy(ts = Timestamp.valueOf("2024-01-03 00:00:00"))))
+      q.processAllAvailable(); q.stop()
+      val gen3 = spark.table("snapcdc").as[DiffEvent].collect().toSeq
+        .diff(all2)
+      assert(gen3.toSet === Set(
+        DiffEvent(victim.doc_id, victim.lang, "removed", -victim.n_tokens),
+        DiffEvent(same.doc_id, same.lang, "unchanged", 0L)), s"got $gen3")
+    } finally {
+      old match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("jackknifeMean: matches an independent plain-Scala reference; degenerate and determinism") {
     val rows = (0L until 50L).map(i => (i, (s"t$i " * (i.toInt % 9 + 1)).trim, "en"))
     val d = docs(rows: _*)

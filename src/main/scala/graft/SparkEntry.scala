@@ -1055,6 +1055,19 @@ object SparkEntry {
         cbOpt = Some(Similarity.pqrCodebookTrainedFor(e, dir)))
     },
 
+    // The production vector-store query on the UNIFIED layout: metadata
+    // predicate pushed into the trained-cell residual store BEFORE the
+    // ADC (q_emb_filtered's discipline), nprobe widened 2 → 4 to restore
+    // k from the thinned cells — q_emb_fivfpqr's composition, now over
+    // the index the maintenance family manages.
+    "q_emb_fivft" -> { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+      Similarity.knnIvfPqResidualTrained(e,
+        Similarity.kmeansFitMemo(e, dir, "all"), nprobe = 4,
+        storePred = col("vec_id") % 4 === 1,
+        cbOpt = Some(Similarity.pqrCodebookTrainedFor(e, dir)))
+    },
+
     // Serving after a crawl GENERATION: the store is (corpus ∖ deleted)
     // ∪ increment assigned against the frozen trained centroids — the
     // exact subsets q_emb_crawl's net-occupancy accounting prices — and
@@ -3517,6 +3530,8 @@ object SparkEntry {
     "q_emb_delete" -> Similarity.ivfDeleteSql("vec_id % 10 = 3"),
     "q_emb_crawl" -> Similarity.ivfCrawlSql("vec_id % 10 = 3"),
     "q_emb_ivft" -> Similarity.ivfPqResidualTrainedSql(),
+    "q_emb_fivft" ->
+      Similarity.ivfPqResidualTrainedSql(nprobe = 4, storeWhere = "vec_id % 4 = 1"),
     "q_emb_servecrawl" -> Similarity.serveCrawlSql("a.vec_id % 10 = 3"),
     "q_emb_merge" -> Similarity.mergeUnderfullSql("vec_id % 10 = 3"),
     "q_dedup_srcmatrix" ->

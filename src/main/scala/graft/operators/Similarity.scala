@@ -728,9 +728,20 @@ object Similarity {
       .select(col("qid"), transform(col("t"), p => p.getField("d2")).as("qd"))
 
   /** ADC score: Σ_s qd[s·C + codes[s]] — C (codes per subspace) falls out
-    * of the table shape, no extra join.
+    * of the table shape, no extra join. Native codegen'd
+    * [[graft.expressions.AdcLookup]]: the HOF spelling it replaces is a
+    * CodegenFallback paying m interpreted lambda frames per CANDIDATE
+    * row on the |Q|·occupancy scoring join (the engine's hottest path);
+    * [[adcExprHof]] keeps the reference formulation, parity-pinned in
+    * VectorPropertySpec.
     */
-  private def adcExpr(m: Int): Column = {
+  private def adcExpr(m: Int): Column =
+    graft.expressions.AdcLookup.adc_lookup(col("qd"), col("codes"), m)
+
+  /** The interpreted-HOF reference spelling of [[adcExpr]] — semantic
+    * cross-check only (identical fold order from 0.0).
+    */
+  private[graft] def adcExprHof(m: Int): Column = {
     val c = (size(col("qd")) / m).cast("int")
     aggregate(sequence(lit(0), lit(m - 1)), lit(0.0d),
       (acc, s) => acc + element_at(col("qd"), s * c + element_at(col("codes"), s + 1) + 1))

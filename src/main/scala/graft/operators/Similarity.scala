@@ -1180,7 +1180,13 @@ object Similarity {
     * Scale: two frozen-centroid assignment passes (survivor scan +
     * increment scan — the increment pass is O(increment)); the probe
     * join is the cell equi-join with the corpus-sized store side
-    * shuffle-hash-hinted (never broadcast); output = k rows per query.
+    * shuffle-hash-hinted (never broadcast); the rank stage is the
+    * bounded-heap [[graft.expressions.TopKAgg.TopKPairsByValue]]
+    * aggregate — every partition shrinks to k (id, cos) entries per
+    * query BEFORE the only shuffle (the x100 probe measured the
+    * row_number-window spelling of this tail at 166 s: it sorts and
+    * ships the whole |Q|·occupancy pair stream); output = k rows per
+    * query, identical values and tie-breaks to the window form.
     */
   def serveCrawl(e: DataFrame, cents: DataFrame, deleted: DataFrame,
       queryMod: Int = 50, k: Int = 3, nprobe: Int = 2): DataFrame = {
@@ -1201,9 +1207,14 @@ object Similarity {
       .withColumn("prn", row_number().over(probeW))
       .filter(col("prn") <= nprobe)
       .select(col("qid"), col("qemb"), col("qnrm"), col("cell"))
-    topK(probes.join(store.hint("shuffle_hash"), Seq("cell"))
+    probes.join(store.hint("shuffle_hash"), Seq("cell"))
       .filter(col("vec_id") =!= col("qid"))
-      .withColumn("cos", cosineWithNorms(dot(col("qemb"), col("emb")), col("qnrm"), col("nrm"))), k)
+      .withColumn("cos", cosineWithNorms(dot(col("qemb"), col("emb")), col("qnrm"), col("nrm")))
+      .groupBy(col("qid"))
+      .agg(graft.expressions.TopKAgg.top_k_pairs(col("cos"), col("vec_id"), k).as("ps"))
+      .select(col("qid"), posexplode(col("ps")).as(Seq("pos", "p")))
+      .select(col("qid"), col("p.id").as("vec_id"), col("p.value").as("cos"),
+        (col("pos") + 1).cast("long").as("rn"))
   }
 
   /** DuckDB mirror of [[serveCrawl]] over [[appendChainCtes]]' trained

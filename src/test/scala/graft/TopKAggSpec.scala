@@ -38,6 +38,30 @@ class TopKAggSpec extends SparkSpec {
     assert(out(2L) === Seq(20L))
   }
 
+  test("top_k_pairs: (id, value) structs match the row_number window exactly, partial-aggregated") {
+    val rnd = new scala.util.Random(42)
+    val df = (0 until 3000).map(_ =>
+      (rnd.nextInt(20).toLong, rnd.nextInt(40).toDouble / 4.0, rnd.nextInt(5000).toLong))
+      .toDF("g", "v", "id").distinct().repartition(7)
+    val agg = df.groupBy($"g")
+      .agg(TopKAgg.top_k_pairs($"v", $"id", 4).as("ps"))
+      .select($"g", posexplode($"ps").as(Seq("pos", "p")))
+      .select($"g", $"p.id".as("id"), $"p.value".as("v"),
+        ($"pos" + 1).cast("long").as("rn"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"g").orderBy($"v".desc, $"id")
+    val win = df.withColumn("rn", row_number().over(w).cast("long"))
+      .filter($"rn" <= 4).select($"g", $"id", $"v", $"rn")
+    def snap(d: org.apache.spark.sql.DataFrame) =
+      d.as[(Long, Long, Double, Long)].collect().sorted.toSeq
+    assert(snap(agg) === snap(win),
+      "pairs aggregate diverged from the window formulation")
+    // plan: map-side combined (the reason the aggregate exists)
+    val plan = agg.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("partial_topkpairsbyvalue"), plan)
+  }
+
   test("null values and null ids are skipped") {
     val df = Seq(
       (1L, Some(3.0), Some(1L)), (1L, None, Some(2L)), (1L, Some(9.0), None)

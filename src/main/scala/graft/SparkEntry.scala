@@ -1068,6 +1068,16 @@ object SparkEntry {
         cbOpt = Some(Similarity.pqrCodebookTrainedFor(e, dir)))
     },
 
+    // The nprobe→recall tuning sweep on the UNIFIED layout — the
+    // read-out that picks q_emb_ivft's serving budget against the index
+    // the maintenance family manages (q_emb_nprobe's sibling for the
+    // trained coarse quantizer). One candidate pass serves every budget;
+    // truth is the constant-capped brute stage.
+    "q_emb_ivftrecall" -> { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+      Similarity.ivfRecallCurveTrained(e, Similarity.kmeansFitMemo(e, dir, "all"))
+    },
+
     // Serving after a crawl GENERATION: the store is (corpus ∖ deleted)
     // ∪ increment assigned against the frozen trained centroids — the
     // exact subsets q_emb_crawl's net-occupancy accounting prices — and
@@ -1623,6 +1633,12 @@ object SparkEntry {
     // (Σ packed ≡ Σ per-doc BPE lengths) is spec-pinned.
     "q_doc_bpepack" -> { (s, dir) =>
       Curation.packSequencesBpe(Tables.documents(s, dir))
+    },
+    // Packing-efficiency audit in REAL tokens: utilization / split rate
+    // of the BPE-budget layout — the whitespace audit's numbers are off
+    // by each doc's fertility, and the budget planner trades on these.
+    "q_doc_bpepackstats" -> { (s, dir) =>
+      Curation.packStatsBpe(Tables.documents(s, dir))
     },
 
     // Stupid-Backoff bigram LM score (Brants'07): train on the even-id
@@ -3530,6 +3546,7 @@ object SparkEntry {
     "q_emb_delete" -> Similarity.ivfDeleteSql("vec_id % 10 = 3"),
     "q_emb_crawl" -> Similarity.ivfCrawlSql("vec_id % 10 = 3"),
     "q_emb_ivft" -> Similarity.ivfPqResidualTrainedSql(),
+    "q_emb_ivftrecall" -> Similarity.ivfRecallCurveTrainedSql(),
     "q_emb_fivft" ->
       Similarity.ivfPqResidualTrainedSql(nprobe = 4, storeWhere = "vec_id % 4 = 1"),
     "q_emb_servecrawl" -> Similarity.serveCrawlSql("a.vec_id % 10 = 3"),
@@ -4491,6 +4508,36 @@ object SparkEntry {
          |  CAST(cum_excl // 2048 AS BIGINT) AS pack_id,
          |  CAST(cum_excl % 2048 AS BIGINT) AS pack_offset
          |FROM bc""".stripMargin,
+    "q_doc_bpepackstats" ->
+      s"""WITH ${TextAnalysis.bpeCtes()},
+         |dict AS (SELECT word, len(syms) AS n_sub FROM w8),
+         |btk AS (
+         |  SELECT doc_id, unnest(toks) AS word
+         |  FROM (SELECT doc_id, ${Dedup.toksSql} AS toks FROM documents)),
+         |bcnt AS (
+         |  SELECT doc_id,
+         |    CAST(SUM(COALESCE(n_sub, length(word) + 1)) AS BIGINT) AS n_tokens
+         |  FROM btk LEFT JOIN dict USING (word)
+         |  GROUP BY doc_id),
+         |bj AS (
+         |  SELECT b.doc_id, d.lang, b.n_tokens
+         |  FROM bcnt b JOIN documents d ON d.doc_id = b.doc_id),
+         |bc AS (
+         |  SELECT doc_id, lang, n_tokens,
+         |    SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS cum_excl
+         |  FROM bj),
+         |bg AS (
+         |  SELECT lang, COUNT(*) AS n_docs,
+         |    CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+         |    CAST(SUM(CASE WHEN CAST(cum_excl % 2048 AS BIGINT) + n_tokens > 2048
+         |                  THEN 1 ELSE 0 END) AS BIGINT) AS n_split
+         |  FROM bc GROUP BY lang),
+         |bg2 AS (SELECT *, (total_tokens + 2047) // 2048 AS n_packs FROM bg)
+         |SELECT lang, n_docs, total_tokens, n_packs,
+         |  CAST(total_tokens AS DOUBLE) / CAST(n_packs * 2048 AS DOUBLE) AS util,
+         |  n_split * 1000 // n_docs AS split_permille
+         |FROM bg2""".stripMargin,
     "q_doc_vocabcov" -> TextAnalysis.vocabCoverageSql(),
     "q_doc_sbackoff" -> SbackoffOracleSql,
     "q_doc_ppbucket" ->

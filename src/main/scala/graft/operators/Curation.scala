@@ -134,7 +134,18 @@ object Curation {
     * rolls up to ≤ \|langs\| rows with O(1) agg state.
     */
   def packStats(docs: DataFrame, budget: Int = 2048, block: Int = 4096): DataFrame =
-    packSequences(docs, budget, block)
+    packStatsFrom(packSequences(docs, budget, block), budget)
+
+  /** [[packStats]] on the BPE-budget layout — utilization and split rate
+    * in the tokens the training run actually consumes (the whitespace
+    * audit's numbers are off by each doc's fertility).
+    */
+  def packStatsBpe(docs: DataFrame, budget: Int = 2048, block: Int = 4096,
+      merges: Int = 8, maxWords: Int = 50000): DataFrame =
+    packStatsFrom(packSequencesBpe(docs, budget, block, merges, maxWords), budget)
+
+  private def packStatsFrom(packed: DataFrame, budget: Int): DataFrame =
+    packed
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("total_tokens"),

@@ -1170,6 +1170,109 @@ object Similarity {
       .select(col("qid"), col("pos").cast("long").as("rank"), col("col").as("vec_id"))
   }
 
+  /** [[ivfRecallCurve]] over the TRAINED coarse quantizer — the
+    * nprobe→recall tuning sweep run against the index the maintenance
+    * family actually manages (the read-out that picks the unified
+    * layout's serving budget, completing the q_emb_ivft story the way
+    * q_emb_nprobe completes q_emb_ivf's). Same one-candidate-pass
+    * economics: probes keep their rank at the largest budget, each
+    * budget re-ranks its nested prefix; truth is the constant-capped
+    * brute stage ([[querySet]]'s audit contract — O(queryCap · n)).
+    */
+  def ivfRecallCurveTrained(e: DataFrame, cents: DataFrame,
+      queryMod: Int = 50, k: Int = 3, nprobes: Seq[Int] = Seq(1, 2, 4),
+      queryCap: Int = 64): DataFrame = {
+    require(nprobes.nonEmpty, "ivfRecallCurveTrained needs at least one budget")
+    val base = withEmb(e).select(col("vec_id"), col("emb"),
+      l2norm(col("emb")).as("nrm"))
+    val store = kmeansAssign(e, cents).select(col("vec_id"), col("cell"))
+      .join(base, Seq("vec_id"))
+    val q = querySet(base, queryMod, queryCap)
+      .select(col("vec_id").as("qid"), col("emb").as("qemb"), col("nrm").as("qnrm"))
+    val probeW = Window.partitionBy(col("qid")).orderBy(col("ccos").desc, col("cell"))
+    val probes = q.crossJoin(broadcast(centsWithNorm(cents)))
+      .withColumn("ccos", cosineWithNorms(dot(col("qemb"), col("cemb")), col("qnrm"), col("cnrm")))
+      .withColumn("prn", row_number().over(probeW).cast("long"))
+      .filter(col("prn") <= nprobes.max)
+      .select(col("qid"), col("qemb"), col("qnrm"), col("cell"), col("prn"))
+    val pairs = probes.join(store.hint("shuffle_hash"), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos", cosineWithNorms(dot(col("qemb"), col("emb")), col("qnrm"), col("nrm")))
+      .select(col("qid"), col("vec_id"), col("cos"), col("prn"))
+    val session = e.sparkSession
+    import session.implicits._
+    val nps = nprobes.map(_.toLong).toDF("nprobe")
+    val annW = Window.partitionBy(col("nprobe"), col("qid"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    val annAll = broadcast(nps).join(pairs, col("prn") <= col("nprobe"))
+      .withColumn("rn", row_number().over(annW))
+      .filter(col("rn") <= k)
+      .select(col("nprobe"), col("qid"), col("vec_id"))
+    val truth = knnBrute(e, queryMod, k, queryCap).select(col("qid"), col("vec_id"))
+    val totTruth = truth.agg(count(lit(1)).as("n_truth"))
+    val hits = annAll.join(truth, Seq("qid", "vec_id"), "left_semi")
+      .groupBy(col("nprobe")).agg(count(lit(1)).as("n_hit"))
+    nps.join(broadcast(hits), Seq("nprobe"), "left")
+      .crossJoin(broadcast(totTruth))
+      .select(col("nprobe"), col("n_truth"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_truth").cast("double"))
+          .as("recall"))
+  }
+
+  /** DuckDB mirror of [[ivfRecallCurveTrained]] over [[kmeansCtes]]'
+    * trained chain.
+    */
+  def ivfRecallCurveTrainedSql(k: Int = 3, nprobes: Seq[Int] = Seq(1, 2, 4),
+      queryMod: Int = 50, queryCap: Int = 64, kmK: Int = 8,
+      kmIters: Int = 2): String =
+    s"""WITH $baseSql,
+       |${kmeansCtes(kmK, kmIters)},
+       |tcn AS (
+       |  SELECT cell, cemb,
+       |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(cemb, x -> x * x)), (a, b) -> a + b)) AS cnrm
+       |  FROM c$kmIters),
+       |tst AS (
+       |  SELECT a.vec_id, b.emb, b.nrm, a.cell
+       |  FROM afin a JOIN base b ON b.vec_id = a.vec_id),
+       |q AS (SELECT vec_id AS qid, emb AS qemb, nrm AS qnrm FROM base
+       |      WHERE vec_id % $queryMod = 0 ORDER BY vec_id LIMIT $queryCap),
+       |probes AS (
+       |  SELECT qid, qemb, qnrm, cell, prn FROM (
+       |    SELECT q.qid, q.qemb, q.qnrm, c.cell,
+       |      CAST(ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+       |        ${dotSql("q.qemb", "c.cemb")} / (q.qnrm * c.cnrm) DESC, c.cell) AS BIGINT) AS prn
+       |    FROM q CROSS JOIN tcn c) t
+       |  WHERE prn <= ${nprobes.max}),
+       |pairs AS (
+       |  SELECT qid, s.vec_id,
+       |    ${dotSql("qemb", "s.emb")} / (qnrm * s.nrm) AS cos, prn
+       |  FROM probes JOIN tst s ON s.cell = probes.cell AND s.vec_id <> probes.qid),
+       |np AS (SELECT CAST(unnest([${nprobes.mkString(", ")}]) AS BIGINT) AS nprobe),
+       |annall AS (
+       |  SELECT nprobe, qid, vec_id FROM (
+       |    SELECT np.nprobe, p.qid, p.vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY np.nprobe, p.qid
+       |        ORDER BY p.cos DESC, p.vec_id) AS rn
+       |    FROM np JOIN pairs p ON p.prn <= np.nprobe) t
+       |  WHERE rn <= $k),
+       |truth AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT qid, vec_id, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY
+       |      ${dotSql("qemb", "emb")} / (qnrm * nrm) DESC, vec_id) AS rn
+       |    FROM q JOIN base ON vec_id <> qid) t
+       |  WHERE rn <= $k),
+       |tt AS (SELECT COUNT(*) AS n_truth FROM truth),
+       |hits AS (
+       |  SELECT nprobe, COUNT(*) AS n_hit
+       |  FROM annall SEMI JOIN truth USING (qid, vec_id)
+       |  GROUP BY nprobe)
+       |SELECT np.nprobe, n_truth,
+       |  COALESCE(n_hit, CAST(0 AS BIGINT)) AS n_hit,
+       |  CAST(COALESCE(n_hit, 0) AS DOUBLE) / CAST(n_truth AS DOUBLE) AS recall
+       |FROM np LEFT JOIN hits ON np.nprobe = hits.nprobe CROSS JOIN tt""".stripMargin
+
   /** Serving query over the POST-GENERATION store — the composition that
     * closes the crawl loop: the store is (corpus ∖ deleted) ∪ increment,
     * every member assigned against the FROZEN trained centroids (the

@@ -1624,7 +1624,8 @@ object SparkEntry {
     // tokenizer-quality read-out (which languages a vocab shortchanges).
     // One corpus token pass joined to the vocab-bounded dictionary.
     "q_doc_bpe_encode" -> { (s, dir) =>
-      TextAnalysis.bpeSegment(Tables.documents(s, dir))
+      val d = Tables.documents(s, dir)
+      TextAnalysis.bpeSegment(d, dictOpt = Some(TextAnalysis.bpeDictFor(d, dir)))
     },
     // Packing by BPE-encoded length — the budget real pipelines pack
     // with (tokenizer tokens, not whitespace words): bpeSegment's
@@ -1632,13 +1633,17 @@ object SparkEntry {
     // packer as q_doc_pack (one shared implementation). Conservation
     // (Σ packed ≡ Σ per-doc BPE lengths) is spec-pinned.
     "q_doc_bpepack" -> { (s, dir) =>
-      Curation.packSequencesBpe(Tables.documents(s, dir))
+      val d = Tables.documents(s, dir)
+      Curation.packSequencesBpe(d,
+        dictOpt = Some(TextAnalysis.bpeDictFor(d, dir)))
     },
     // Packing-efficiency audit in REAL tokens: utilization / split rate
     // of the BPE-budget layout — the whitespace audit's numbers are off
     // by each doc's fertility, and the budget planner trades on these.
     "q_doc_bpepackstats" -> { (s, dir) =>
-      Curation.packStatsBpe(Tables.documents(s, dir))
+      val d = Tables.documents(s, dir)
+      Curation.packStatsBpe(d,
+        dictOpt = Some(TextAnalysis.bpeDictFor(d, dir)))
     },
 
     // Stupid-Backoff bigram LM score (Brants'07): train on the even-id

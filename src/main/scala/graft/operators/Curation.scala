@@ -114,9 +114,10 @@ object Curation {
     * Σ per-doc BPE lengths) is spec-pinned.
     */
   def packSequencesBpe(docs: DataFrame, budget: Int = 2048,
-      block: Int = 4096, merges: Int = 8, maxWords: Int = 50000): DataFrame =
+      block: Int = 4096, merges: Int = 8, maxWords: Int = 50000,
+      dictOpt: Option[DataFrame] = None): DataFrame =
     packFrom(
-      TextAnalysis.bpeSegment(docs, merges, maxWords)
+      TextAnalysis.bpeSegment(docs, merges, maxWords, dictOpt)
         .select(col("doc_id"), col("n_subwords").as("n_tokens"))
         .join(docs.select(col("doc_id"), col("lang")), "doc_id"),
       budget, block)
@@ -141,8 +142,10 @@ object Curation {
     * audit's numbers are off by each doc's fertility).
     */
   def packStatsBpe(docs: DataFrame, budget: Int = 2048, block: Int = 4096,
-      merges: Int = 8, maxWords: Int = 50000): DataFrame =
-    packStatsFrom(packSequencesBpe(docs, budget, block, merges, maxWords), budget)
+      merges: Int = 8, maxWords: Int = 50000,
+      dictOpt: Option[DataFrame] = None): DataFrame =
+    packStatsFrom(
+      packSequencesBpe(docs, budget, block, merges, maxWords, dictOpt), budget)
 
   private def packStatsFrom(packed: DataFrame, budget: Int): DataFrame =
     packed

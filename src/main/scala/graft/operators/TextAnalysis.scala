@@ -983,6 +983,33 @@ object TextAnalysis {
     (rounds, words)
   }
 
+  /** Memoized FINAL BPE dictionary (word → subword count) per
+    * (session, dir) — the trained-tokenizer artifact, served frozen
+    * like the k-means centroids and PQ codebooks: four queries
+    * (q_doc_bpe_encode / bpepack / bpepackstats, plus any future
+    * tokenizer-cost consumer) each need the trained segmentation, and a
+    * real pipeline trains the tokenizer ONCE. Reliable-checkpointed
+    * (the [[graft.sources.StageMemo]] two-tier discipline — this is a
+    * cross-query shared artifact by definition); the per-round merge
+    * table (q_doc_bpe) keeps its own training run because it reads the
+    * ROUNDS, not the final dict.
+    */
+  private val bpeMemo = new graft.sources.StageMemo[DataFrame](8)
+
+  def bpeDictFor(docs: DataFrame, dir: String, merges: Int = 8,
+      maxWords: Int = 50000): DataFrame =
+    bpeMemo.getOrCompute(
+      graft.sources.Tables.dataKey(docs.sparkSession, dir,
+        s"bpedict|$merges|$maxWords"))(
+      graft.sources.StageMemo.reliableStage(
+        bpeTrain(docs, merges, maxWords)._2
+          .select(col("word"), size(col("syms")).as("n_sub"))))
+
+  /** Drop the memoized dictionary (corpus-regeneration lifecycle, same
+    * contract as the sibling memos).
+    */
+  def clearMemos(): Unit = bpeMemo.clear()
+
   /** BPE APPLY + fertility audit — the read-out side of [[bpeMerges]]:
     * segment every document under the trained merge table and report,
     * per doc, word count, subword count, and fertility (subwords/word —
@@ -1000,9 +1027,9 @@ object TextAnalysis {
     * doc.
     */
   def bpeSegment(docs: DataFrame, merges: Int = 8,
-      maxWords: Int = 50000): DataFrame = {
-    val dict = bpeTrain(docs, merges, maxWords)._2
-      .select(col("word"), size(col("syms")).as("n_sub"))
+      maxWords: Int = 50000, dictOpt: Option[DataFrame] = None): DataFrame = {
+    val dict = dictOpt.getOrElse(bpeTrain(docs, merges, maxWords)._2
+      .select(col("word"), size(col("syms")).as("n_sub")))
     docs.select(col("doc_id"), explode(tokens(col("text"))).as("word"))
       .join(dict.hint("shuffle_hash"), Seq("word"), "left")
       .groupBy(col("doc_id"))

@@ -1637,6 +1637,23 @@ object SparkEntry {
       Curation.packSequencesBpe(d,
         dictOpt = Some(TextAnalysis.bpeDictFor(d, dir)))
     },
+    // FIM split layout (Bavarian'22): deterministic (prefix, middle,
+    // suffix) boundaries + PSM/SPM order + the 0.9 apply rate, every
+    // draw an iterated content-hash mix — the trainer-facing layout
+    // pass whose accounting is the data-engineering surface; one narrow
+    // map. Conservation spec-pinned.
+    "q_doc_fim" -> { (s, dir) =>
+      Curation.fimSplits(Tables.documents(s, dir))
+    },
+
+    // T5 span-corruption accounting (Raffel'20): 15% deterministic
+    // position band, consecutive corruptions merged to noise spans via
+    // the shared islands idiom, exact encoder/decoder lengths out
+    // (input+target = n + 2·spans, spec-pinned).
+    "q_doc_spancorrupt" -> { (s, dir) =>
+      Curation.spanCorruption(Tables.documents(s, dir))
+    },
+
     // Packing-efficiency audit in REAL tokens: utilization / split rate
     // of the BPE-budget layout — the whitespace audit's numbers are off
     // by each doc's fertility, and the budget planner trades on these.
@@ -4513,6 +4530,8 @@ object SparkEntry {
          |  CAST(cum_excl // 2048 AS BIGINT) AS pack_id,
          |  CAST(cum_excl % 2048 AS BIGINT) AS pack_offset
          |FROM bc""".stripMargin,
+    "q_doc_fim" -> Curation.fimSplitsSql,
+    "q_doc_spancorrupt" -> Curation.spanCorruptionSql,
     "q_doc_bpepackstats" ->
       s"""WITH ${TextAnalysis.bpeCtes()},
          |dict AS (SELECT word, len(syms) AS n_sub FROM w8),

@@ -1062,6 +1062,158 @@ object Curation {
        |ORDER BY skey, doc_id
        |LIMIT $n""".stripMargin
 
+  /** Fill-in-the-middle split accounting (Bavarian et al. 2022,
+    * arXiv:2207.14255): per eligible doc (≥ 3 tokens) the deterministic
+    * (prefix, middle, suffix) token split a FIM-trained run uses, the
+    * PSM/SPM document order, and whether FIM applies at all (the
+    * paper's 0.9 FIM rate) — the layout pass that runs between packing
+    * and the trainer, whose ACCOUNTING (boundary indices + lengths; the
+    * writer slices text by them) is the data-engineering surface.
+    *
+    * Deterministic by CONTENT: all draws iterate the house
+    * multiplicative mix on the doc's polynomial hash (the
+    * [[weightedSample]] discipline — duplicate texts split identically,
+    * no RNG state anywhere), every step exact BIGINT arithmetic both
+    * engines share. Split rule: prefix ∈ [1, n−2], middle ∈
+    * [1, n−prefix−1], suffix = the rest — all three segments nonempty.
+    * Ineligible or FIM-skipped docs pass through whole (mode 'none' /
+    * 'plain'). Conservation (prefix+middle+suffix = n_tokens, modes
+    * partition the corpus) is spec-pinned. One narrow map — no shuffle,
+    * no window.
+    */
+  def fimSplits(docs: DataFrame): DataFrame = {
+    val P = graft.functions.TextFunctions.P
+    def mix(c: Column): Column = pmod(c * lit(2654435761L) + lit(104729L), lit(P))
+    val n = size(tokens(col("text"))).cast("long")
+    val u1 = mix(stringHash(col("text")))
+    val u2 = mix(u1)
+    val u3 = mix(u2)
+    docs
+      .select(col("doc_id"), col("lang"), n.as("n_tokens"),
+        u1.as("u1"), u2.as("u2"), u3.as("u3"))
+      .withColumn("eligible", col("n_tokens") >= 3)
+      .withColumn("applied", col("eligible") && pmod(col("u3"), lit(10L)) < 9)
+      .withColumn("prefix_len",
+        when(col("applied"), lit(1L) + pmod(col("u1"), col("n_tokens") - 2))
+          .otherwise(col("n_tokens")))
+      .withColumn("middle_len",
+        when(col("applied"),
+          lit(1L) + pmod(col("u2"), col("n_tokens") - col("prefix_len") - 1))
+          .otherwise(lit(0L)))
+      .withColumn("suffix_len",
+        col("n_tokens") - col("prefix_len") - col("middle_len"))
+      .withColumn("mode",
+        when(!col("applied"), lit("plain"))
+          .when(pmod(col("u3"), lit(2L)) === 1, lit("spm"))
+          .otherwise(lit("psm")))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("mode"),
+        col("prefix_len"), col("middle_len"), col("suffix_len"))
+  }
+
+  /** DuckDB mirror of [[fimSplits]]. */
+  val fimSplitsSql: String = {
+    val P = graft.functions.TextFunctions.P
+    val h = graft.operators.Dedup.hashSql("text")
+    def mix(c: String): String = s"(($c) * 2654435761 + 104729) % $P"
+    s"""WITH f0 AS (
+       |  SELECT doc_id, lang,
+       |    CAST(len(${graft.operators.Dedup.toksSql}) AS BIGINT) AS n_tokens,
+       |    ${mix(h)} AS u1
+       |  FROM documents),
+       |f1 AS (SELECT *, ${mix("u1")} AS u2 FROM f0),
+       |f2 AS (SELECT *, ${mix("u2")} AS u3 FROM f1),
+       |f3 AS (
+       |  SELECT *, (n_tokens >= 3 AND u3 % 10 < 9) AS applied FROM f2),
+       |f4 AS (
+       |  SELECT *, CASE WHEN applied THEN 1 + u1 % (n_tokens - 2)
+       |                 ELSE n_tokens END AS prefix_len
+       |  FROM f3),
+       |f5 AS (
+       |  SELECT *, CASE WHEN applied THEN 1 + u2 % (n_tokens - prefix_len - 1)
+       |                 ELSE CAST(0 AS BIGINT) END AS middle_len
+       |  FROM f4)
+       |SELECT doc_id, lang, n_tokens,
+       |  CASE WHEN NOT applied THEN 'plain'
+       |       WHEN u3 % 2 = 1 THEN 'spm' ELSE 'psm' END AS mode,
+       |  prefix_len, middle_len,
+       |  n_tokens - prefix_len - middle_len AS suffix_len
+       |FROM f5""".stripMargin
+  }
+
+  /** T5 span-corruption accounting (Raffel et al. 2020): each token
+    * position draws a deterministic content+position hash and corrupts
+    * when it lands in the 15% band; CONSECUTIVE corrupted positions
+    * merge into noise spans (the gaps-and-islands idiom the repeated-
+    * span ops share), and the op reports the numbers the denoising
+    * batch builder needs — span count, corrupted mass, and the exact
+    * encoder/decoder sequence lengths (input = kept + one sentinel per
+    * span; target = corrupted + one sentinel per span). The invariant
+    * input_len + target_len = n_tokens + 2·n_spans is spec-pinned.
+    *
+    * Scale: positions explode off `sequence(0, n−1)` (no token VALUES
+    * are materialized — only the count pass touches text), the island
+    * merge windows on high-cardinality doc_id, rollup is one grouped
+    * agg, and uncorrupted docs re-enter via a left join from the corpus
+    * (n_spans = 0 rows are data, not absence).
+    */
+  def spanCorruption(docs: DataFrame): DataFrame = {
+    val P = graft.functions.TextFunctions.P
+    val t = docs.select(col("doc_id"), col("lang"),
+      size(tokens(col("text"))).cast("long").as("n_tokens"),
+      stringHash(col("text")).as("h"))
+    val pos = t.filter(col("n_tokens") > 0)
+      .select(col("doc_id"), col("h"),
+        explode(sequence(lit(0L), col("n_tokens") - 1)).as("p"))
+      .withColumn("ph", pmod(col("h") + (col("p") + 1) * lit(2654435761L), lit(P)))
+      .filter(pmod(col("ph"), lit(20L)) < 3)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+    val spans = pos
+      .withColumn("brk",
+        when(col("p") - lag(col("p"), 1).over(w) === 1, 0).otherwise(1))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_corrupted"), sum(col("brk")).as("n_spans"))
+    t.join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        coalesce(col("n_corrupted"), lit(0L)).as("n_corrupted"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"))
+      .withColumn("input_len",
+        col("n_tokens") - col("n_corrupted") + col("n_spans"))
+      .withColumn("target_len", col("n_corrupted") + col("n_spans"))
+  }
+
+  /** DuckDB mirror of [[spanCorruption]]. */
+  val spanCorruptionSql: String = {
+    val P = graft.functions.TextFunctions.P
+    val h = graft.operators.Dedup.hashSql("text")
+    s"""WITH sc0 AS (
+       |  SELECT doc_id, lang,
+       |    CAST(len(${graft.operators.Dedup.toksSql}) AS BIGINT) AS n_tokens,
+       |    ($h) AS h
+       |  FROM documents),
+       |scp AS (
+       |  SELECT doc_id, CAST(unnest(range(0, n_tokens)) AS BIGINT) AS p, h
+       |  FROM sc0 WHERE n_tokens > 0),
+       |scc AS (
+       |  SELECT doc_id, p FROM scp
+       |  WHERE ((h + (p + 1) * 2654435761) % $P) % 20 < 3),
+       |scb AS (
+       |  SELECT doc_id, p,
+       |    CASE WHEN p - LAG(p) OVER (PARTITION BY doc_id ORDER BY p) = 1
+       |         THEN 0 ELSE 1 END AS brk
+       |  FROM scc),
+       |scs AS (
+       |  SELECT doc_id, COUNT(*) AS n_corrupted,
+       |    CAST(SUM(brk) AS BIGINT) AS n_spans
+       |  FROM scb GROUP BY doc_id)
+       |SELECT t.doc_id, t.lang, t.n_tokens,
+       |  COALESCE(s.n_corrupted, CAST(0 AS BIGINT)) AS n_corrupted,
+       |  COALESCE(s.n_spans, CAST(0 AS BIGINT)) AS n_spans,
+       |  t.n_tokens - COALESCE(s.n_corrupted, 0) + COALESCE(s.n_spans, 0)
+       |    AS input_len,
+       |  COALESCE(s.n_corrupted, 0) + COALESCE(s.n_spans, 0) AS target_len
+       |FROM sc0 t LEFT JOIN scs s ON s.doc_id = t.doc_id""".stripMargin
+  }
+
   /** The simulated "next crawl" snapshot for [[snapshotDiff]]: derived
     * deterministically from the base corpus by doc_id residue so engine
     * and oracle construct byte-identical snapshots — residue 3 dropped

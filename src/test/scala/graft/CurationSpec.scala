@@ -170,6 +170,69 @@ class CurationSpec extends SparkSpec {
       "fixture lost its power: BPE lengths should differ from whitespace lengths")
   }
 
+  test("fimSplits: segment conservation, nonempty splits, content determinism, mode partition") {
+    val real = graft.sources.Tables.documents(spark, Sf)
+    val out = Curation.fimSplits(real).cache()
+    // conservation: the three segments partition every doc exactly
+    assert(out.filter($"prefix_len" + $"middle_len" + $"suffix_len" =!= $"n_tokens")
+      .count() === 0)
+    // applied rows: all three segments nonempty and n >= 3
+    assert(out.filter($"mode" =!= "plain" &&
+      ($"prefix_len" < 1 || $"middle_len" < 1 || $"suffix_len" < 1 || $"n_tokens" < 3))
+      .count() === 0)
+    // plain rows pass through whole
+    assert(out.filter($"mode" === "plain" &&
+      ($"prefix_len" =!= $"n_tokens" || $"middle_len" =!= 0L || $"suffix_len" =!= 0L))
+      .count() === 0)
+    val modes = out.select($"mode").distinct().collect().map(_.getString(0)).toSet
+    assert(modes.subsetOf(Set("plain", "psm", "spm")))
+    assert(modes.contains("psm") && modes.contains("spm"),
+      "both document orders must occur on a real corpus")
+    // ~0.9 FIM rate on eligible docs (hash draw; generous band)
+    val elig = out.filter($"n_tokens" >= 3)
+    val rate = elig.filter($"mode" =!= "plain").count().toDouble / elig.count()
+    assert(rate > 0.8 && rate < 0.97, s"FIM apply rate off the 0.9 draw: $rate")
+    // determinism by CONTENT: duplicate texts split identically
+    val dup = Seq((1L, "a b c d e f", "en"), (2L, "a b c d e f", "de"))
+      .toDF("doc_id", "text", "lang")
+    val ds = Curation.fimSplits(dup)
+      .select($"prefix_len", $"middle_len", $"suffix_len", $"mode")
+      .distinct().count()
+    assert(ds === 1L, "identical texts must draw identical splits")
+  }
+
+  test("spanCorruption: island accounting and the T5 length invariant") {
+    val real = graft.sources.Tables.documents(spark, Sf)
+    val out = Curation.spanCorruption(real).cache()
+    assert(out.count() === real.count(), "uncorrupted docs are rows, not absence")
+    // the T5 invariant: input + target = n + 2·spans (one sentinel each side)
+    assert(out.filter($"input_len" + $"target_len" =!= $"n_tokens" + lit(2) * $"n_spans")
+      .count() === 0)
+    // every span holds >= 1 token; zero spans ⟺ zero corrupted
+    assert(out.filter($"n_corrupted" < $"n_spans").count() === 0)
+    assert(out.filter(($"n_spans" === 0L) =!= ($"n_corrupted" === 0L)).count() === 0)
+    // corpus-level corruption mass tracks the 15% band (hash draw)
+    val agg = out.agg(sum($"n_corrupted").cast("double"), sum($"n_tokens").cast("double"))
+      .as[(Double, Double)].head()
+    val frac = agg._1 / agg._2
+    assert(frac > 0.10 && frac < 0.20, s"corruption mass off the 15% band: $frac")
+    // independent plain-Scala reference on one doc (same hash arithmetic)
+    val text = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"
+    def refHash(w: String): Long = {
+      var h = 7L; var i = 0
+      while (i < w.length) { h = (h * 31L + w.codePointAt(i)) % 1000000007L; i += 1 }
+      h
+    }
+    val h = refHash(text)
+    val corr = (0 until 12).filter(p =>
+      ((h + (p + 1) * 2654435761L) % 1000000007L) % 20 < 3)
+    val spans = corr.zipWithIndex.count { case (p, i) => i == 0 || corr(i - 1) != p - 1 }
+    val one = Curation.spanCorruption(
+        Seq((9L, text, "en")).toDF("doc_id", "text", "lang")).collect().head
+    assert(one.getAs[Long]("n_corrupted") === corr.size.toLong)
+    assert(one.getAs[Long]("n_spans") === spans.toLong)
+  }
+
   test("chunking: strided starts, bounded sizes, full coverage") {
     val c = Curation.chunk(docs, size = 64, stride = 48).cache()
     assert(c.filter($"n_chunk_tokens" < 1 || $"n_chunk_tokens" > 64).count() === 0)

@@ -691,6 +691,14 @@ object SparkEntry {
       Dedup.exactSubstrSpans(Dedup.corpus(Tables.documents(s, dir)))
     },
 
+    // Removal accounting for the exact-substring cut: per doc the
+    // disjoint covered mass, surviving tokens, and removed fraction —
+    // q_dedup_spanrm's sibling at the string-verified token level
+    // (kept = n − covered conserves exactly; zero-removal docs are rows).
+    "q_dedup_substrrm" -> { (s, dir) =>
+      Dedup.exactSubstrReport(Dedup.corpus(Tables.documents(s, dir)))
+    },
+
     // MinHash Jaccard estimate per candidate pair — the verify stage that
     // costs one row per pair (no shingle re-join) when exactness can
     // yield; exact copies estimate 1.0 by construction.
@@ -4022,6 +4030,9 @@ object SparkEntry {
     "q_dedup_substr" ->
       s"""WITH ${Dedup.corpusSql},
          |${Dedup.exactSubstrSql()}""".stripMargin,
+    "q_dedup_substrrm" ->
+      s"""WITH ${Dedup.corpusSql},
+         |${Dedup.exactSubstrReportSql()}""".stripMargin,
     "q_dedup_cross" ->
       s"""WITH ${Dedup.corpusSql},
          |newdocs AS (SELECT doc_id, lang, text FROM corpus WHERE doc_id >= 1000000),

@@ -1593,7 +1593,14 @@ object Dedup {
     * engine-side hash collision surviving to the output would
     * hash-mismatch the round's gate.
     */
-  def exactSubstrSql(l: Int = SubstrLen): String = {
+  def exactSubstrSql(l: Int = SubstrLen): String =
+    s"""${exactSubstrCtes(l)}
+       |SELECT doc_id, span_start, span_end, n_tokens FROM xspans""".stripMargin
+
+  /** The [[exactSubstrSql]] chain alone (ending in `xspans`), for the
+    * removal-accounting composition.
+    */
+  def exactSubstrCtes(l: Int = SubstrLen): String = {
     val gram = (0 until l).map(j => s"toks[i+$j]").mkString(" || ' ' || ")
     s"""xw AS (
        |  SELECT doc_id,
@@ -1610,12 +1617,61 @@ object Dedup {
        |  SELECT doc_id, pos,
        |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
        |      ROWS UNBOUNDED PRECEDING) AS grp
-       |  FROM xbrk)
-       |SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
-       |  CAST(MAX(pos) + ${l - 1} AS BIGINT) AS span_end,
-       |  CAST(MAX(pos) + ${l - 1} - MIN(pos) + 1 AS BIGINT) AS n_tokens
-       |FROM xisl GROUP BY doc_id, grp""".stripMargin
+       |  FROM xbrk),
+       |xspans AS (
+       |  SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+       |    CAST(MAX(pos) + ${l - 1} AS BIGINT) AS span_end,
+       |    CAST(MAX(pos) + ${l - 1} - MIN(pos) + 1 AS BIGINT) AS n_tokens
+       |  FROM xisl GROUP BY doc_id, grp)""".stripMargin
   }
+
+  /** Removal accounting over [[exactSubstrSpans]] — the
+    * [[spanRemovalReport]] sibling at the EXACT substring level: per
+    * doc, total tokens, the span count, the covered (removable) token
+    * mass and the surviving mass after the Lee '21 cut, plus the
+    * removed fraction. Spans are provably disjoint (the islands merge),
+    * so covered = Σ span lengths is additive and kept = n − covered
+    * conserves exactly (spec-pinned). Docs with no repeated window are
+    * ROWS with zero removal, not absence — the planner needs the full
+    * corpus margin.
+    */
+  def exactSubstrReport(c: DataFrame, l: Int = SubstrLen): DataFrame = {
+    val stats = c.select(col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n_tokens"))
+    val cov = exactSubstrSpans(c, l)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"), sum(col("n_tokens")).as("covered"))
+    stats.join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("covered"), lit(0L)).as("covered_tokens"))
+      .withColumn("kept_tokens", col("n_tokens") - col("covered_tokens"))
+      .withColumn("removed_frac",
+        when(col("n_tokens") > 0,
+          col("covered_tokens").cast("double") / col("n_tokens").cast("double"))
+          .otherwise(lit(0.0)))
+  }
+
+  /** DuckDB mirror of [[exactSubstrReport]] over the shared
+    * [[exactSubstrCtes]] chain.
+    */
+  def exactSubstrReportSql(l: Int = SubstrLen): String =
+    s"""${exactSubstrCtes(l)},
+       |xcov AS (
+       |  SELECT doc_id, COUNT(*) AS n_spans,
+       |    CAST(SUM(n_tokens) AS BIGINT) AS covered
+       |  FROM xspans GROUP BY doc_id),
+       |xst AS (
+       |  SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens
+       |  FROM corpus)
+       |SELECT t.doc_id, t.n_tokens,
+       |  COALESCE(c.n_spans, CAST(0 AS BIGINT)) AS n_spans,
+       |  COALESCE(c.covered, CAST(0 AS BIGINT)) AS covered_tokens,
+       |  t.n_tokens - COALESCE(c.covered, 0) AS kept_tokens,
+       |  CASE WHEN t.n_tokens > 0
+       |       THEN CAST(COALESCE(c.covered, 0) AS DOUBLE) / CAST(t.n_tokens AS DOUBLE)
+       |       ELSE 0.0 END AS removed_frac
+       |FROM xst t LEFT JOIN xcov c ON c.doc_id = t.doc_id""".stripMargin
 
   // ---- DuckDB oracle mirrors ---------------------------------------------
 

@@ -519,6 +519,24 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("exactSubstrReport: conservation against the span table; zero-removal docs are rows") {
+    val c = Dedup.corpus(graft.sources.Tables.documents(spark, Sf))
+    val rep = Dedup.exactSubstrReport(c).cache()
+    assert(rep.count() === c.count(), "every doc must report its margin")
+    assert(rep.filter($"kept_tokens" + $"covered_tokens" =!= $"n_tokens").count() === 0,
+      "kept + covered must conserve the doc's token mass")
+    // covered ≡ Σ span lengths (spans are disjoint by the islands merge)
+    val fromSpans = Dedup.exactSubstrSpans(c)
+      .agg(coalesce(sum($"n_tokens"), lit(0L))).head().getLong(0)
+    val fromReport = rep.agg(sum($"covered_tokens")).head().getLong(0)
+    assert(fromSpans === fromReport)
+    // planted exact copies (+2e6 tier) are fully covered end to end
+    val copies = rep.filter($"doc_id" >= 2000000L && $"n_tokens" >= Dedup.SubstrLen)
+    assert(copies.count() > 0)
+    assert(copies.filter($"removed_frac" =!= 1.0).count() === 0,
+      "an exact copy's every window repeats — removal must be total")
+  }
+
   test("incremental merge == full recompute; index persisted once; work scales with the increment") {
     Dedup.clearMemos()
     val base = corpus.filter($"doc_id" < 2000000L)

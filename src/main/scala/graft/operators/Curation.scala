@@ -1076,8 +1076,8 @@ object Curation {
     * no RNG state anywhere), every step exact BIGINT arithmetic both
     * engines share. Split rule: prefix ∈ [1, n−2], middle ∈
     * [1, n−prefix−1], suffix = the rest — all three segments nonempty.
-    * Ineligible or FIM-skipped docs pass through whole (mode 'none' /
-    * 'plain'). Conservation (prefix+middle+suffix = n_tokens, modes
+    * Ineligible or FIM-skipped docs pass through whole (mode 'plain').
+    * Conservation (prefix+middle+suffix = n_tokens, modes
     * partition the corpus) is spec-pinned. One narrow map — no shuffle,
     * no window.
     */

@@ -110,9 +110,14 @@ object Registry {
     r.createOrReplaceTempFunction("might_contain",
       es => org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
         es(0), es(1)), "built-in")
+    r.createOrReplaceTempFunction("adc_lookup",
+      es => { arity(es, 3, "adc_lookup", "qd, codes, m")
+        AdcLookup(es(0), es(1), intLit(es(2), "adc_lookup", "m")) }, "built-in")
     // aggregates: the analyzer wraps AggregateFunctions in aggregate context
     r.createOrReplaceTempFunction("top_k_by_value",
       es => TopKByValue(es(0), es(1), intLit(es(2), "top_k_by_value", "k")), "built-in")
+    r.createOrReplaceTempFunction("top_k_pairs",
+      es => TopKPairsByValue(es(0), es(1), intLit(es(2), "top_k_pairs", "k")), "built-in")
     r.createOrReplaceTempFunction("simhash_agg",
       es => SimHashAgg(es.head), "built-in")
   }

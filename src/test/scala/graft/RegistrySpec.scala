@@ -39,11 +39,23 @@ class RegistrySpec extends SparkSpec {
     // aggregates through SQL ≡ Column API
     val viaSql = spark.sql(
       """SELECT lang, top_k_by_value(CAST(doc_id AS DOUBLE), doc_id, 2) AS ids,
-        |       simhash_agg(poly_hash(text)) AS sh
+        |       simhash_agg(poly_hash(text)) AS sh,
+        |       top_k_pairs(CAST(doc_id AS DOUBLE), doc_id, 2) AS ps
         |FROM reg_docs GROUP BY lang""".stripMargin)
-      .as[(String, Seq[Long], Long)].collect()
+      .as[(String, Seq[Long], Long, Seq[(Long, Double)])].collect()
     assert(viaSql.nonEmpty)
-    for ((_, ids, _) <- viaSql) assert(ids.length === 2)
+    for ((_, ids, _, ps) <- viaSql) {
+      assert(ids.length === 2)
+      // the pairs aggregate carries the same ids plus their values
+      assert(ps.map(_._1) === ids)
+      assert(ps.forall { case (id, v) => v === id.toDouble })
+    }
+
+    // adc_lookup: table [1,2 | 3,4], codes [1,0] → qd[0*2+1] + qd[1*2+0] = 2 + 3
+    val adc = spark.sql(
+      "SELECT adc_lookup(array(1.0d, 2.0d, 3.0d, 4.0d), array(1, 0), 2) AS v")
+      .head().getDouble(0)
+    assert(adc === 5.0)
 
     // pushdown_barrier: same rows as the plain predicate
     val plain = spark.sql("SELECT count(*) FROM reg_docs WHERE length(text) > 100").head().getLong(0)

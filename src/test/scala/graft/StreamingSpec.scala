@@ -27,6 +27,30 @@ class StreamingSpec extends SparkSpec {
       .as[String].collect().toSeq
   }
 
+  test("fimSplits is a stateless narrow map: runs on an unbounded stream, batch-identical") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx = spark.sqlContext
+    val rows = Seq((1L, "a b c d e f g h", "en"), (2L, "x y", "de"),
+      (3L, "p q r s t u", "fr"), (4L, "m n o", "en"))
+    val ms = MemoryStream[(Long, String, String)]
+    val q = graft.operators.Curation.fimSplits(
+        ms.toDF().toDF("doc_id", "text", "lang"))
+      .writeStream.format("memory").queryName("fim_s").outputMode("append").start()
+    ms.addData(rows); q.processAllAvailable()
+    val progress = q.lastProgress
+    q.stop()
+    // the layout pass holds ZERO state — it runs at ingest, per row
+    assert(progress.stateOperators.isEmpty,
+      "fimSplits must be stateless on a stream")
+    def snap(df: org.apache.spark.sql.DataFrame) = df
+      .select($"doc_id", $"mode", $"prefix_len", $"middle_len", $"suffix_len")
+      .as[(Long, String, Long, Long, Long)].collect().toSet
+    assert(snap(spark.table("fim_s")) ===
+      snap(graft.operators.Curation.fimSplits(
+        rows.toDF("doc_id", "text", "lang"))),
+      "stream and batch must draw identical splits")
+  }
+
   test("dual-sink routing: fixture splits 97 enriched / 3 invalid, read-once") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[String]

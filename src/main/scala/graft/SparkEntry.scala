@@ -466,6 +466,17 @@ object SparkEntry {
       TextAnalysis.contaminated(
         docs.filter($"doc_id" % 50 =!= 0), docs.filter($"doc_id" % 50 === 0))
     },
+    // Bloom-gated decontamination + FPR audit: the eval split crosses
+    // the cluster ONCE as m bits (m = 16·n_eval, scale-free load
+    // factor); train shingles probe the broadcast map-side — no
+    // train-side shuffle on h. bloom_hit ⊇ exact_hit (no false
+    // negatives, spec-pinned); over-flag rate is the read-out.
+    "q_doc_bloom" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      TextAnalysis.bloomDecontam(
+        docs.filter($"doc_id" % 50 =!= 0), docs.filter($"doc_id" % 50 === 0))
+    },
     // Graded companion: per-doc eval-overlap fraction + flagged verdict.
     "q_doc_contamfrac" -> { (s, dir) =>
       import s.implicits._
@@ -504,6 +515,13 @@ object SparkEntry {
     // rows of a D×W cell-count sketch) vs exact count for the top-20
     // tokens; overcount column pins the ≥-true guarantee.
     "q_doc_cms" -> { (s, dir) => TextAnalysis.cmsAudit(Tables.documents(s, dir)) },
+    // KMV/theta-sketch cross-source overlap: per-source bottom-k
+    // shingle sketches (O(k) heap state, map-side combined) →
+    // pairwise union/intersection ESTIMATES audited against exact
+    // truth — the set-intersection readout HLL can't give; at 100 TB
+    // the |sources|·k sketch table persists per crawl and diffs
+    // generations without re-scanning text.
+    "q_doc_kmv" -> { (s, dir) => TextAnalysis.kmvOverlap(Tables.documents(s, dir)) },
     // Zipf octave histogram: type counts + token mass per binary
     // frequency octave (integer bit length, no rank sort, no float
     // log) with cumulative mass — the corpus-health profile whose bend
@@ -617,6 +635,12 @@ object SparkEntry {
     "q_doc_budget" -> { (s, dir) => Curation.budgetSelect(Tables.documents(s, dir)) },
     // Source mixing table: per-source doc/token/char totals + corpus share.
     "q_doc_sourcemix" -> { (s, dir) => Curation.sourceMix(Tables.documents(s, dir)) },
+    // Empirical-Bayes domain quality prior: Beta-smoothed Gopher pass
+    // rate per source, τ=20 pseudo-counts anchored at the global rate —
+    // small domains shrink to the corpus prior, big ones keep their own
+    // number (shrink = n/(n+τ) says which). One narrow rules pass with
+    // source ridden through, |sources| output rows.
+    "q_doc_domprior" -> { (s, dir) => Curation.domainPrior(Tables.documents(s, dir)) },
     // Temperature-scaled (α = 1/2) source sampling weights: integer-exact
     // floor(sqrt) quantization, one grouped agg + 1-row broadcast total.
     "q_doc_mixalpha" -> { (s, dir) => Curation.mixtureWeights(Tables.documents(s, dir)) },
@@ -950,6 +974,19 @@ object SparkEntry {
 
     // ---- Similarity search (embeddings; SURVEY §2 extensions) -----------
     "q_emb_knn" -> { (s, dir) => Similarity.knnBrute(Tables.embeddings(s, dir)) },
+    // Two-stage binary-quantization kNN: stage 1 ranks by Hamming over
+    // 64 mean-centered sign bits packed in two 32-bit words (8 bytes
+    // per vector — 32× smaller than the float store, popcount scan);
+    // stage 2 exact-reranks only the top-R shortlist. The modern
+    // vector-store BQ+rescore serving layout.
+    "q_emb_bq" -> { (s, dir) =>
+      Similarity.knnBqRerank(Tables.embeddings(s, dir), queryCap = 64)
+    },
+    // Recall@3 of the BQ rerank vs brute truth — prices the 8-byte
+    // stage-1 store against the exact scan.
+    "q_emb_bqrecall" -> { (s, dir) =>
+      Similarity.bqRecall(Tables.embeddings(s, dir))
+    },
     "q_emb_buckets" -> { (s, dir) =>
       Similarity.lshBuckets(Tables.embeddings(s, dir)).select(col("vec_id"), col("bucket"))
     },
@@ -1634,6 +1671,15 @@ object SparkEntry {
     "q_doc_bpe_encode" -> { (s, dir) =>
       val d = Tables.documents(s, dir)
       TextAnalysis.bpeSegment(d, dictOpt = Some(TextAnalysis.bpeDictFor(d, dir)))
+    },
+    // Per-lang tokenizer-equity table: occurrence-weighted fertility,
+    // chars/subword compression, OOV-fallback permille — the
+    // multilingual fairness read-out over the SAME memoized dictionary
+    // every BPE consumer serves. Output ≤ |langs| rows.
+    "q_doc_fertlang" -> { (s, dir) =>
+      val d = Tables.documents(s, dir)
+      TextAnalysis.fertilityByLang(d,
+        dictOpt = Some(TextAnalysis.bpeDictFor(d, dir)))
     },
     // Packing by BPE-encoded length — the budget real pipelines pack
     // with (tokenizer tokens, not whitespace words): bpeSegment's
@@ -3219,6 +3265,8 @@ object SparkEntry {
          |  WHERE ${Similarity.dotSql("a.emb", "b.emb")} / (a.nrm * b.nrm) >= 0.95)
          |SELECT s.vec_id, s.cell FROM asg s
          |LEFT JOIN drp d ON s.vec_id = d.vec_id WHERE d.vec_id IS NULL""".stripMargin,
+    "q_emb_bq" -> Similarity.bqSearchSql(),
+    "q_emb_bqrecall" -> Similarity.bqRecallSql(),
     "q_emb_knn" ->
       s"""WITH ${Similarity.baseSql},
          |q AS (SELECT vec_id AS qid, emb AS qemb, nrm AS qnrm FROM base WHERE vec_id % 50 = 0),
@@ -3693,6 +3741,7 @@ object SparkEntry {
     "q_doc_wsample" -> Curation.weightedSampleSql(),
     "q_doc_snapdiff" -> Curation.snapshotDiffSql,
     "q_doc_cms" -> TextAnalysis.cmsAuditSql(),
+    "q_doc_kmv" -> TextAnalysis.kmvOverlapSql(),
     "q_doc_zipf" -> TextAnalysis.zipfOctavesSql,
     "q_doc_jackknife" -> TextAnalysis.jackknifeMeanSql(),
     "q_doc_pack" ->
@@ -3728,6 +3777,7 @@ object SparkEntry {
          |  CAST(total_tokens AS DOUBLE) / CAST(n_packs * 2048 AS DOUBLE) AS util,
          |  n_split * 1000 // n_docs AS split_permille
          |FROM g2""".stripMargin,
+    "q_doc_bloom" -> TextAnalysis.bloomDecontamSql(),
     "q_doc_decontam" ->
       s"""WITH ttok AS (
          |  SELECT DISTINCT doc_id, h FROM (
@@ -3816,27 +3866,13 @@ object SparkEntry {
          |FROM sh LEFT JOIN boiler b ON sh.h = b.h
          |GROUP BY sh.doc_id""".stripMargin,
     "q_doc_gopher" ->
-      s"""WITH tq AS (SELECT doc_id, ${Dedup.toksSql} AS toks FROM documents),
-         |g AS (
-         |  SELECT doc_id,
-         |    CAST(len(toks) AS BIGINT) AS n_tokens,
-         |    CASE WHEN len(toks) > 0 THEN
-         |      CAST(list_reduce(list_prepend(0, list_transform(toks, x -> length(x))), (a, b) -> a + b) AS DOUBLE)
-         |        / CAST(len(toks) AS DOUBLE) END AS avg_tok_len,
-         |    CASE WHEN len(toks) > 0 THEN
-         |      CAST(len(list_filter(toks, x -> regexp_matches(x, '\\p{L}'))) AS DOUBLE)
-         |        / CAST(len(toks) AS DOUBLE) END AS alpha_frac,
-         |    CAST(${TextAnalysis.Stopwords.map(w => s"CAST(list_contains(toks, '$w') AS INT)").mkString(" + ")} AS BIGINT) AS stop_hits
-         |  FROM tq)
+      s"""WITH ${TextAnalysis.gopherSqlChain()}
          |SELECT doc_id, n_tokens, avg_tok_len, alpha_frac, stop_hits,
          |  (n_tokens >= 10 AND n_tokens <= 100000) AS r_len,
          |  coalesce(avg_tok_len >= 3.0 AND avg_tok_len <= 10.0, false) AS r_avglen,
          |  coalesce(alpha_frac >= 0.8, false) AS r_alpha,
          |  (stop_hits >= 2) AS r_stop,
-         |  ((n_tokens >= 10 AND n_tokens <= 100000)
-         |    AND coalesce(avg_tok_len >= 3.0 AND avg_tok_len <= 10.0, false)
-         |    AND coalesce(alpha_frac >= 0.8, false)
-         |    AND stop_hits >= 2) AS pass
+         |  ${TextAnalysis.gopherPassCondSql} AS pass
          |FROM g""".stripMargin,
     "q_doc_oov" ->
       s"""WITH tok AS (SELECT doc_id, unnest(${Dedup.toksSql}) AS w FROM documents),
@@ -3871,6 +3907,7 @@ object SparkEntry {
          |SELECT source, n_docs, n_tokens, sum_chars,
          |  CAST(n_docs AS DOUBLE) / CAST((SELECT SUM(n_docs) FROM per) AS DOUBLE) AS doc_share
          |FROM per""".stripMargin,
+    "q_doc_domprior" -> Curation.domainPriorSql(),
     "q_doc_mixalpha" ->
       s"""WITH per AS (
          |  SELECT source,
@@ -4518,6 +4555,7 @@ object SparkEntry {
     "q_doc_langclf" -> Classifier.langClfSql(),
     "q_doc_qclf_bysrc" -> Classifier.scoreBySourceSql(),
     "q_doc_bpe_encode" -> TextAnalysis.bpeSegmentSql(),
+    "q_doc_fertlang" -> TextAnalysis.fertilityByLangSql(),
     "q_doc_bpepack" ->
       s"""WITH ${TextAnalysis.bpeCtes()},
          |dict AS (SELECT word, len(syms) AS n_sub FROM w8),

@@ -657,6 +657,61 @@ object Curation {
     * only the non-mergeable `doc_share` ratio is recomputed at the end).
     * CurationSpec pins merge(sourceMix(a), sourceMix(b)) ≡ sourceMix(a∪b).
     */
+  /** Empirical-Bayes per-source quality prior: Beta-smoothed
+    * Gopher-rule pass rate with `pseudo` pseudo-counts anchored at the
+    * GLOBAL rate — posterior mean (n_pass + τ·p̂)/(n_docs + τ) under
+    * Beta(τ·p̂, τ·(1−p̂)), the James-Stein-flavoured shrinkage every
+    * production crawl filter applies before trusting a per-domain rate
+    * (a 3-doc domain at 0/3 passes is NOT a zero-quality domain; it
+    * shrinks to ≈ the corpus rate, while a 10⁶-doc domain keeps its own
+    * number). `shrink` = n/(n+τ) is the weight on the domain's own
+    * evidence — the read-out that says which rows of the table are
+    * data-driven vs prior-driven. Downstream: the prior ranks domains
+    * for crawl-budget allocation and seeds per-domain gating thresholds
+    * (FineWeb-style domain curation).
+    *
+    * Scale shape: the [[TextAnalysis.gopherRules]] narrow pass with
+    * source ridden through (NO join back to the corpus), one grouped agg
+    * with map-side partials → |sources| rows, one 1-row broadcast for
+    * the global moments. The divisions are the only floats; both engines
+    * spell them identically, left-associated.
+    */
+  def domainPrior(docs: DataFrame, pseudo: Double = 20.0): DataFrame = {
+    val per = TextAnalysis.gopherRules(docs, passthrough = Seq("source"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("pass"), 1L).otherwise(0L)).as("n_pass"))
+    val glob = per.agg(sum(col("n_docs")).as("gn"), sum(col("n_pass")).as("gp"))
+    per.crossJoin(broadcast(glob))
+      .select(col("source"), col("n_docs"), col("n_pass"),
+        (col("n_pass").cast("double") / col("n_docs").cast("double")).as("raw_rate"),
+        (col("gp").cast("double") / col("gn").cast("double")).as("global_rate"),
+        ((col("n_pass").cast("double")
+          + lit(pseudo) * col("gp").cast("double") / col("gn").cast("double"))
+          / (col("n_docs").cast("double") + lit(pseudo))).as("prior_rate"),
+        (col("n_docs").cast("double") / (col("n_docs").cast("double") + lit(pseudo)))
+          .as("shrink"))
+  }
+
+  /** DuckDB mirror of [[domainPrior]] over the shared
+    * [[TextAnalysis.gopherSqlChain]] (same rule arithmetic, same
+    * left-associated float spelling).
+    */
+  def domainPriorSql(pseudo: Double = 20.0): String =
+    s"""WITH ${TextAnalysis.gopherSqlChain(passthrough = Seq("source"))},
+       |dper AS (
+       |  SELECT source, COUNT(*) AS n_docs,
+       |    SUM(CASE WHEN ${TextAnalysis.gopherPassCondSql} THEN 1 ELSE 0 END) AS n_pass
+       |  FROM g GROUP BY source),
+       |dglob AS (SELECT SUM(n_docs) AS gn, SUM(n_pass) AS gp FROM dper)
+       |SELECT source, CAST(n_docs AS BIGINT) AS n_docs, CAST(n_pass AS BIGINT) AS n_pass,
+       |  CAST(n_pass AS DOUBLE) / CAST(n_docs AS DOUBLE) AS raw_rate,
+       |  CAST(gp AS DOUBLE) / CAST(gn AS DOUBLE) AS global_rate,
+       |  (CAST(n_pass AS DOUBLE) + $pseudo * CAST(gp AS DOUBLE) / CAST(gn AS DOUBLE))
+       |    / (CAST(n_docs AS DOUBLE) + $pseudo) AS prior_rate,
+       |  CAST(n_docs AS DOUBLE) / (CAST(n_docs AS DOUBLE) + $pseudo) AS shrink
+       |FROM dper CROSS JOIN dglob""".stripMargin
+
   def sourceMixMerge(a: DataFrame, b: DataFrame): DataFrame = {
     val per = a.unionByName(b)
       .groupBy(col("source"))

@@ -87,6 +87,164 @@ object Similarity {
       .withColumn("cos", cosineWithNorms(dot(col("qemb"), col("emb")), col("qnrm"), col("nrm"))), k)
   }
 
+  /** Candidate-shortlist width of the binary-quantization rerank stage
+    * (per query: top-`BqShortR` by Hamming, reranked exactly).
+    */
+  val BqShortR = 40
+
+  /** Two-stage binary-quantization kNN (the modern vector-store "BQ +
+    * rescore" serving layout): stage 1 scans 1-bit-per-dimension codes —
+    * each vector quantized to 64 mean-centered sign bits packed into TWO
+    * 32-bit words (lo = dims 0-31, hi = 32-63; two half-words instead of
+    * one 64-bit word keep every shift ≤ 31, so neither engine touches
+    * the sign bit and the packed values stay plain non-negative BIGINTs)
+    * — ranking candidates by Hamming distance (2 XOR + 2 popcounts per
+    * candidate); stage 2 reranks only the top-[[BqShortR]] shortlist
+    * with exact float cosine. Centering at the per-dimension MEAN (house
+    * fixed-point quantized sums, so both engines derive bit-identical
+    * thresholds) makes each bit ~balanced — raw sign bits are degenerate
+    * exactly when a dimension's mass sits on one side of zero.
+    *
+    * Why this beats the float scan at 100 TB: the stage-1 store is 8
+    * BYTES per vector (32× smaller than 64 float32 dims) — the whole
+    * billion-vector corpus's codes fit where 3% of the floats would,
+    * popcount is the cheapest SIMD op there is, and the float store is
+    * touched only for |queries|·R rows. The same two-stage composes
+    * under the IVF layouts (cells bound WHERE, bits bound the scan COST,
+    * floats only at rerank — that is faiss's IVF+BQ rescore path).
+    * Recall is audited against brute truth (q_emb_bqrecall), same bar
+    * discipline as every other index variant here.
+    */
+  def knnBqRerank(e: DataFrame, queryMod: Int = 50, k: Int = 5,
+      shortR: Int = BqShortR, queryCap: Int = Int.MaxValue): DataFrame = {
+    val base = withEmb(e).select(col("vec_id"), col("emb"), l2norm(col("emb")).as("nrm"))
+    // per-dim mean thresholds: exact integer fixed-point sums (order-free),
+    // ONE division — assembled into a 64-slot array broadcast to the scan
+    val meanArr = base
+      .select(posexplode(col("emb")).as(Seq("dim", "v")))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"), sum(quantize(col("v"))).as("qsum"))
+      .select(col("dim"), dequantize(col("qsum"), col("n")).as("m"))
+      .groupBy()
+      .agg(expr("array_sort(collect_list(struct(dim, m)))").as("dm"))
+      .select(expr("transform(dm, x -> x.m)").as("memb"))
+    val bq = base.crossJoin(broadcast(meanArr))
+      .withColumn("lo", expr(
+        "aggregate(sequence(0, 31), 0L, (acc, i) -> acc + IF(emb[i] > memb[i], shiftleft(1L, i), 0L))"))
+      .withColumn("hi", expr(
+        "aggregate(sequence(32, 63), 0L, (acc, i) -> acc + IF(emb[i] > memb[i], shiftleft(1L, i - 32), 0L))"))
+      .select(col("vec_id"), col("emb"), col("nrm"), col("lo"), col("hi"))
+    val q = querySet(bq, queryMod, queryCap)
+      .select(col("vec_id").as("qid"), col("emb").as("qemb"), col("nrm").as("qnrm"),
+        col("lo").as("qlo"), col("hi").as("qhi"))
+    // stage 1: Hamming scan over the 2-word codes (floats NOT touched)
+    val wH = Window.partitionBy(col("qid")).orderBy(col("ham"), col("vec_id"))
+    val short = broadcast(q).join(bq.select(col("vec_id"), col("lo"), col("hi")),
+        col("vec_id") =!= col("qid"))
+      .withColumn("ham",
+        expr("bit_count(qlo ^ lo) + bit_count(qhi ^ hi)").cast("long"))
+      .withColumn("hrn", row_number().over(wH))
+      .filter(col("hrn") <= shortR)
+      .select(col("qid"), col("qemb"), col("qnrm"), col("vec_id"))
+    // stage 2: exact rerank — floats touched for |q|·R rows only
+    topK(broadcast(short).join(base, "vec_id")
+      .withColumn("cos", cosineWithNorms(dot(col("qemb"), col("emb")), col("qnrm"), col("nrm"))), k)
+  }
+
+  /** Recall@k of [[knnBqRerank]] against brute truth on the capped audit
+    * query set — the read-out that prices the 8-byte stage-1 store.
+    */
+  def bqRecall(e: DataFrame, k: Int = 3, queryCap: Int = 64): DataFrame = {
+    val truth = knnBrute(e, k = k, queryCap = queryCap).select(col("qid"), col("vec_id"))
+    val ann = knnBqRerank(e, k = k, queryCap = queryCap).select(col("qid"), col("vec_id"))
+    val hit = truth.join(ann, Seq("qid", "vec_id"), "left_semi")
+      .groupBy(col("qid")).agg(count(lit(1)).as("n_hit"))
+    truth.groupBy(col("qid")).agg(count(lit(1)).as("n_truth"))
+      .join(hit, Seq("qid"), "left")
+      .select(col("qid"), col("n_truth"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_truth").cast("double"))
+          .as("recall"))
+  }
+
+  /** Shared DuckDB CTE chain for the binary-quantized store: `base` →
+    * per-dim fixed-point means → `bq` (vec_id, emb, nrm, lo, hi) — the
+    * mirror of [[knnBqRerank]]'s code-building stages.
+    */
+  def bqCtesSql: String =
+    s"""$baseSql,
+       |bqm AS (
+       |  SELECT dim, CAST(SUM(qv) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * 16777216.0) AS m
+       |  FROM (SELECT CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+       |          CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 16777216.0) AS BIGINT) AS qv
+       |        FROM embeddings) t
+       |  GROUP BY dim),
+       |bqml AS (SELECT list(m ORDER BY dim) AS memb FROM bqm),
+       |bq AS (
+       |  SELECT vec_id, emb, nrm,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, 33),
+       |      i -> CASE WHEN emb[i] > memb[i] THEN (CAST(1 AS BIGINT) << CAST(i - 1 AS INTEGER))
+       |                ELSE CAST(0 AS BIGINT) END)), (a, b) -> a + b) AS lo,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(33, 65),
+       |      i -> CASE WHEN emb[i] > memb[i] THEN (CAST(1 AS BIGINT) << CAST(i - 33 AS INTEGER))
+       |                ELSE CAST(0 AS BIGINT) END)), (a, b) -> a + b) AS hi
+       |  FROM base CROSS JOIN bqml)""".stripMargin
+
+  /** DuckDB mirror of [[knnBqRerank]] (capped audit query set). */
+  def bqSearchSql(k: Int = 5, shortR: Int = BqShortR, queryCap: Int = 64): String =
+    s"""WITH $bqCtesSql,
+       |bqq AS (SELECT vec_id AS qid, emb AS qemb, nrm AS qnrm, lo AS qlo, hi AS qhi
+       |        FROM bq WHERE vec_id % 50 = 0 ORDER BY vec_id LIMIT $queryCap),
+       |bsh AS (
+       |  SELECT qid, qemb, qnrm, vec_id FROM (
+       |    SELECT q.qid, q.qemb, q.qnrm, b.vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q.qid
+       |        ORDER BY bit_count(xor(q.qlo, b.lo)) + bit_count(xor(q.qhi, b.hi)), b.vec_id) AS hrn
+       |    FROM bqq q JOIN bq b ON b.vec_id <> q.qid) t
+       |  WHERE hrn <= $shortR),
+       |brr AS (
+       |  SELECT s.qid, s.vec_id,
+       |    ${dotSql("s.qemb", "b.emb")} / (s.qnrm * b.nrm) AS cos
+       |  FROM bsh s JOIN base b ON s.vec_id = b.vec_id)
+       |SELECT qid, vec_id, cos, rn FROM (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS BIGINT) AS rn
+       |  FROM brr) t
+       |WHERE rn <= $k""".stripMargin
+
+  /** DuckDB mirror of [[bqRecall]]. */
+  def bqRecallSql(k: Int = 3, shortR: Int = BqShortR, queryCap: Int = 64): String =
+    s"""WITH $bqCtesSql,
+       |rq AS (SELECT vec_id AS qid, emb AS qemb, nrm AS qnrm, lo AS qlo, hi AS qhi
+       |       FROM bq WHERE vec_id % 50 = 0 ORDER BY vec_id LIMIT $queryCap),
+       |tk AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT q.qid, b.vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q.qid
+       |        ORDER BY ${dotSql("q.qemb", "b.emb")} / (q.qnrm * b.nrm) DESC, b.vec_id) AS rn
+       |    FROM rq q JOIN base b ON b.vec_id <> q.qid) t
+       |  WHERE rn <= $k),
+       |ash AS (
+       |  SELECT qid, qemb, qnrm, vec_id FROM (
+       |    SELECT q.qid, q.qemb, q.qnrm, b.vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q.qid
+       |        ORDER BY bit_count(xor(q.qlo, b.lo)) + bit_count(xor(q.qhi, b.hi)), b.vec_id) AS hrn
+       |    FROM rq q JOIN bq b ON b.vec_id <> q.qid) t
+       |  WHERE hrn <= $shortR),
+       |ann AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT s.qid, s.vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY s.qid
+       |        ORDER BY ${dotSql("s.qemb", "b.emb")} / (s.qnrm * b.nrm) DESC, s.vec_id) AS rn
+       |    FROM ash s JOIN base b ON s.vec_id = b.vec_id) t
+       |  WHERE rn <= $k),
+       |hits AS (
+       |  SELECT t.qid, COUNT(a.vec_id) AS n_hit
+       |  FROM tk t LEFT JOIN ann a ON t.qid = a.qid AND t.vec_id = a.vec_id
+       |  GROUP BY t.qid)
+       |SELECT qid, CAST($k AS BIGINT) AS n_truth, CAST(n_hit AS BIGINT) AS n_hit,
+       |  CAST(n_hit AS DOUBLE) / CAST($k AS DOUBLE) AS recall
+       |FROM hits""".stripMargin
+
   /** Hard-negative mining — the contrastive-training data op: for each
     * query vector, the k most-similar vectors carrying a DIFFERENT label
     * (the near-miss negatives a contrastive or metric-learning loss

@@ -114,7 +114,8 @@ object TextAnalysis {
   def gopherRules(docs: DataFrame,
       minTokens: Int = 10, maxTokens: Int = 100000,
       minAvgLen: Double = 3.0, maxAvgLen: Double = 10.0,
-      minAlphaFrac: Double = 0.8, minStopHits: Int = 2): DataFrame = {
+      minAlphaFrac: Double = 0.8, minStopHits: Int = 2,
+      passthrough: Seq[String] = Nil): DataFrame = {
     val nTok = size(col("toks"))
     val n = nTok.cast("double")
     val avgLen = when(nTok > 0, length(array_join(col("toks"), "")).cast("double") / n)
@@ -125,20 +126,50 @@ object TextAnalysis {
     val stopHits = Stopwords.map(w => array_contains(col("toks"), w).cast("int"))
       .reduce(_ + _)
     withToks(docs).select(
-      col("doc_id"),
-      nTok.cast("long").as("n_tokens"),
-      avgLen.as("avg_tok_len"),
-      alphaFrac.as("alpha_frac"),
-      stopHits.cast("long").as("stop_hits"),
-      (nTok >= minTokens && nTok <= maxTokens).as("r_len"),
-      coalesce(avgLen >= minAvgLen && avgLen <= maxAvgLen, lit(false)).as("r_avglen"),
-      coalesce(alphaFrac >= minAlphaFrac, lit(false)).as("r_alpha"),
-      (stopHits >= minStopHits).as("r_stop"),
-      (nTok >= minTokens && nTok <= maxTokens &&
-        coalesce(avgLen >= minAvgLen && avgLen <= maxAvgLen, lit(false)) &&
-        coalesce(alphaFrac >= minAlphaFrac, lit(false)) &&
-        stopHits >= minStopHits).as("pass"))
+      (col("doc_id") +: passthrough.map(col)) ++ Seq(
+        nTok.cast("long").as("n_tokens"),
+        avgLen.as("avg_tok_len"),
+        alphaFrac.as("alpha_frac"),
+        stopHits.cast("long").as("stop_hits"),
+        (nTok >= minTokens && nTok <= maxTokens).as("r_len"),
+        coalesce(avgLen >= minAvgLen && avgLen <= maxAvgLen, lit(false)).as("r_avglen"),
+        coalesce(alphaFrac >= minAlphaFrac, lit(false)).as("r_alpha"),
+        (stopHits >= minStopHits).as("r_stop"),
+        (nTok >= minTokens && nTok <= maxTokens &&
+          coalesce(avgLen >= minAvgLen && avgLen <= maxAvgLen, lit(false)) &&
+          coalesce(alphaFrac >= minAlphaFrac, lit(false)) &&
+          stopHits >= minStopHits).as("pass")): _*)
   }
+
+  /** Shared DuckDB CTE chain (`tq`, `g`) of the [[gopherRules]] signal
+    * measurements over `src`, with optional passthrough columns — one
+    * spelling serving the q_doc_gopher oracle and every mirror that
+    * gates on the rules (the domain-prior audit), so the rule arithmetic
+    * cannot drift between mirrors.
+    */
+  def gopherSqlChain(src: String = "documents",
+      passthrough: Seq[String] = Nil): String = {
+    val pt = passthrough.map(c => s"$c, ").mkString
+    s"""tq AS (SELECT doc_id, $pt${Dedup.toksSql} AS toks FROM $src),
+       |g AS (
+       |  SELECT doc_id, $pt
+       |    CAST(len(toks) AS BIGINT) AS n_tokens,
+       |    CASE WHEN len(toks) > 0 THEN
+       |      CAST(list_reduce(list_prepend(0, list_transform(toks, x -> length(x))), (a, b) -> a + b) AS DOUBLE)
+       |        / CAST(len(toks) AS DOUBLE) END AS avg_tok_len,
+       |    CASE WHEN len(toks) > 0 THEN
+       |      CAST(len(list_filter(toks, x -> regexp_matches(x, '\\p{L}'))) AS DOUBLE)
+       |        / CAST(len(toks) AS DOUBLE) END AS alpha_frac,
+       |    CAST(${Stopwords.map(w => s"CAST(list_contains(toks, '$w') AS INT)").mkString(" + ")} AS BIGINT) AS stop_hits
+       |  FROM tq)""".stripMargin
+  }
+
+  /** The [[gopherRules]] conjunction over the `g` chain's columns. */
+  val gopherPassCondSql: String =
+    """((n_tokens >= 10 AND n_tokens <= 100000)
+      |    AND coalesce(avg_tok_len >= 3.0 AND avg_tok_len <= 10.0, false)
+      |    AND coalesce(alpha_frac >= 0.8, false)
+      |    AND stop_hits >= 2)""".stripMargin
 
   /** Per-doc out-of-vocabulary rate against the corpus's exact top-`k`
     * vocabulary (the [[SparkEntry]] q_doc_vocab heavy hitters): fraction
@@ -1041,6 +1072,68 @@ object TextAnalysis {
           .as("fertility"))
   }
 
+  /** Per-LANGUAGE tokenizer-equity audit over the trained BPE dictionary
+    * — the aggregate read-out the per-doc [[bpeSegment]] feeds: for each
+    * lang, occurrence-weighted fertility (subwords/word), compression
+    * (chars/subword), and the OOV-fallback rate (permille of word
+    * occurrences outside the trained dictionary, costed at chars+1).
+    * This is THE multilingual-tokenizer fairness table (a lang at 2×
+    * another's fertility pays 2× the context budget for the same text;
+    * a high OOV permille says the `maxWords` training cap shortchanged
+    * that lang's vocabulary) — computed against the SAME memoized
+    * dictionary artifact every BPE consumer serves, so the audit grades
+    * the tokenizer that actually runs.
+    *
+    * Scale shape: identical to [[bpeSegment]] (one corpus token pass,
+    * shuffle-hash join to the ≤ maxWords dictionary) with the grouped
+    * agg keyed by lang instead of doc — map-side partials collapse each
+    * partition to |langs| rows; output ≤ |langs|.
+    */
+  def fertilityByLang(docs: DataFrame, merges: Int = 8,
+      maxWords: Int = 50000, dictOpt: Option[DataFrame] = None): DataFrame = {
+    val dict = dictOpt.getOrElse(bpeTrain(docs, merges, maxWords)._2
+      .select(col("word"), size(col("syms")).as("n_sub")))
+    docs.select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("word"))
+      .join(dict.hint("shuffle_hash"), Seq("word"), "left")
+      .groupBy(col("lang"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_words"),
+        sum(coalesce(col("n_sub"), length(col("word")) + lit(1)))
+          .cast("long").as("n_subwords"),
+        sum(length(col("word")).cast("long")).as("n_chars"),
+        sum(when(col("n_sub").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("lang"), col("n_docs"), col("n_words"), col("n_subwords"),
+        col("n_oov"),
+        (col("n_subwords").cast("double") / col("n_words").cast("double"))
+          .as("fertility"),
+        (col("n_chars").cast("double") / col("n_subwords").cast("double"))
+          .as("chars_per_subword"),
+        expr("n_oov * 1000 div n_words").as("oov_permille"))
+  }
+
+  /** DuckDB mirror of [[fertilityByLang]] over the shared [[bpeCtes]]
+    * trained chain.
+    */
+  def fertilityByLangSql(merges: Int = 8, maxWords: Int = 50000,
+      src: String = "documents"): String =
+    s"""WITH ${bpeCtes(merges, maxWords, src)},
+       |dict AS (SELECT word, len(syms) AS n_sub FROM w$merges),
+       |ftk AS (
+       |  SELECT doc_id, lang, unnest(toks) AS word
+       |  FROM (SELECT doc_id, lang, ${Dedup.toksSql} AS toks FROM $src))
+       |SELECT lang, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |  CAST(COUNT(*) AS BIGINT) AS n_words,
+       |  CAST(SUM(COALESCE(n_sub, length(word) + 1)) AS BIGINT) AS n_subwords,
+       |  CAST(SUM(CASE WHEN n_sub IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       |  CAST(SUM(COALESCE(n_sub, length(word) + 1)) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE) AS fertility,
+       |  CAST(SUM(length(word)) AS DOUBLE)
+       |    / CAST(SUM(COALESCE(n_sub, length(word) + 1)) AS DOUBLE) AS chars_per_subword,
+       |  CAST(SUM(CASE WHEN n_sub IS NULL THEN 1 ELSE 0 END) * 1000
+       |    // COUNT(*) AS BIGINT) AS oov_permille
+       |FROM ftk LEFT JOIN dict USING (word)
+       |GROUP BY lang""".stripMargin
+
   // ---- DuckDB oracle mirrors ---------------------------------------------
 
   /** The [[bpeMerges]] mirror's CTE chain alone (wf, w0..w<merges> with
@@ -1621,6 +1714,304 @@ object TextAnalysis {
        |  CAST(MIN(csk.cnt) - cb.true_cnt AS BIGINT) AS overcount
        |FROM cb JOIN csk ON csk.row_i = cb.row_i AND csk.bucket = cb.bucket
        |GROUP BY cb.w, cb.true_cnt""".stripMargin
+  }
+
+  // ---- Bloom-gated decontamination ---------------------------------------
+
+  /** Bloom hash-function count and affine-mix constants (same discipline
+    * as the CMS rows: h_r = ((poly·a_r + b_r) mod P) mod m, all exact
+    * integer — a_r·poly < ~10^14, inside Long).
+    */
+  val BloomJ = 8
+  val BloomA: Seq[Long] = Seq(131L, 1031L, 10007L, 100003L, 31L, 331L, 3331L, 33331L)
+  val BloomB: Seq[Long] = Seq(3L, 11L, 23L, 41L, 7L, 19L, 37L, 53L)
+
+  /** Bits per eval shingle: m = 32·n_eval keeps the array load factor
+    * scale-free (j·n/m = 1/4 → per-SHINGLE FPR = (1−e^(−1/4))^8 ≈
+    * 5.6·10⁻⁶) at every corpus size, instead of a fixed m that
+    * saturates at 10× the tuning SF. The budget is sized for the DOC
+    * verdict, not the shingle one: a clean doc is falsely flagged iff
+    * ANY of its ~10²-10³ distinct shingles false-positives, so the
+    * per-shingle rate must sit orders below the acceptable per-doc
+    * over-flag rate (~10⁻³ here at 10² shingles).
+    */
+  val BloomBitsPerKey = 32L
+
+  /** Bloom-gated benchmark decontamination + empirical FPR audit: build
+    * a j-hash Bloom filter over the eval split's distinct trigram
+    * shingles, flag every train doc any of whose shingles has ALL j
+    * buckets set, and carry the exact join truth alongside — the
+    * decontamination gate respelled so the eval set crosses the cluster
+    * ONCE as m BITS instead of joining the train shingle stream
+    * (Bloom'70; the standard pre-filter in front of an expensive
+    * membership join).
+    *
+    * Guarantee (spec-pinned): no false negatives — `bloom_hit` ⊇
+    * `exact_hit` row-wise, so the gate may over-flag (quarantine for the
+    * exact recheck) but can never leak a contaminated doc. The
+    * over-flag rate is the audit's read-out, and m scales with the eval
+    * set ([[BloomBitsPerKey]]) so the measured FPR holds at any SF.
+    *
+    * Scale shape: the eval side collapses to ≤ j·n_eval distinct set
+    * bits broadcast once (a production impl packs them 64/word into a
+    * real bitmap — this row-set spelling keeps the op oracle-able; the
+    * byte budget story is identical: m = 32n bits = 4n bytes); the
+    * train side is the fused narrow shingle stream probed map-side —
+    * NO train-shingle shuffle, which is the point: `contaminated`
+    * shuffles both corpora on h, this ships 4 bytes per eval shingle
+    * and streams the 100 TB side. The exact side here is the AUDIT
+    * (sf-bounded); production composes bloom-gate → exact recheck on
+    * the ≤ (true + FPR·n) survivors.
+    *
+    * Relation to [[contaminatedBloom]]: that op is the production fast
+    * path on Spark's native codegen'd bloom_filter_agg/might_contain
+    * (engine-specific bit layout, so spec-only); this one rebuilds the
+    * filter from named affine mixes so the DuckDB oracle sets the
+    * IDENTICAL bits — the cross-engine FPR audit the native sketch
+    * can't give.
+    */
+  def bloomDecontam(train: DataFrame, eval: DataFrame): DataFrame = {
+    val spark = train.sparkSession
+    import spark.implicits._
+    val rows = BloomA.zip(BloomB).zipWithIndex
+      .map { case ((a, b), r) => (r, a, b) }.toDF("r", "a", "b")
+    val evalSh = eval.select(
+        explode(graft.expressions.ShingleHashes.shingle_hashes(col("text"))).as("h"))
+      .distinct()
+      .localCheckpoint(false)
+    // m rides as a broadcast scalar column (greatest guards an empty
+    // eval split — m=1, zero bits set, every probe misses)
+    val mDf = evalSh.agg(greatest(count(lit(1)) * BloomBitsPerKey, lit(1L)).as("m"))
+    val bits = evalSh.crossJoin(broadcast(rows)).crossJoin(broadcast(mDf))
+      .select(pmod(pmod(col("h") * col("a") + col("b"), lit(P)), col("m")).as("bucket"))
+      .distinct()
+    val trainSh = train.select(col("doc_id"),
+        explode(graft.expressions.ShingleHashes.shingle_hashes(col("text"))).as("h"))
+      .distinct()
+      .localCheckpoint(false)
+    // a shingle is bloom-positive iff all j of its buckets are set:
+    // each (doc_id, h, r) row probes ONE bucket, so the per-(doc_id, h)
+    // inner-join row count equals the number of set buckets
+    val bloomDocs = trainSh.crossJoin(broadcast(rows)).crossJoin(broadcast(mDf))
+      .select(col("doc_id"), col("h"),
+        pmod(pmod(col("h") * col("a") + col("b"), lit(P)), col("m")).as("bucket"))
+      .join(broadcast(bits), "bucket")
+      .groupBy(col("doc_id"), col("h")).agg(count(lit(1)).as("n_set"))
+      .filter(col("n_set") === BloomJ)
+      .select(col("doc_id")).distinct()
+      .withColumn("bloom0", lit(true))
+    val exactDocs = trainSh.join(evalSh.hint("SHUFFLE_HASH"), "h")
+      .select(col("doc_id")).distinct()
+      .withColumn("exact0", lit(true))
+    train.select(col("doc_id")).distinct()
+      .join(bloomDocs, Seq("doc_id"), "left")
+      .join(exactDocs, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("bloom0"), lit(false)).as("bloom_hit"),
+        coalesce(col("exact0"), lit(false)).as("exact_hit"))
+  }
+
+  /** DuckDB mirror of [[bloomDecontam]] over the doc_id%50 train/eval
+    * split — rebuilds the identical bit set with the same affine-mix
+    * arithmetic (poly hash non-negative, so plain % matches pmod).
+    */
+  def bloomDecontamSql(): String = {
+    val rowsVals = BloomA.zip(BloomB).zipWithIndex
+      .map { case ((a, b), r) => s"($r, $a, $b)" }.mkString(", ")
+    s"""WITH bev AS (
+       |  SELECT DISTINCT h FROM (
+       |    SELECT ${Dedup.shingleUnnestSql} AS h
+       |    FROM (SELECT ${Dedup.toksSql} AS toks FROM documents WHERE doc_id % 50 = 0))),
+       |btr AS (
+       |  SELECT DISTINCT doc_id, h FROM (
+       |    SELECT doc_id, ${Dedup.shingleUnnestSql} AS h
+       |    FROM (SELECT doc_id, ${Dedup.toksSql} AS toks
+       |          FROM documents WHERE doc_id % 50 <> 0))),
+       |brows(r, a, b) AS (VALUES $rowsVals),
+       |bm AS (SELECT GREATEST(COUNT(*) * $BloomBitsPerKey, 1) AS m FROM bev),
+       |bbits AS (
+       |  SELECT DISTINCT ((h * a + b) % $P) % m AS bucket
+       |  FROM bev CROSS JOIN brows CROSS JOIN bm),
+       |bpos AS (
+       |  SELECT DISTINCT doc_id FROM (
+       |    SELECT t.doc_id, t.h, COUNT(*) AS n_set
+       |    FROM (SELECT doc_id, h, ((h * a + b) % $P) % m AS bucket
+       |          FROM btr CROSS JOIN brows CROSS JOIN bm) t
+       |    JOIN bbits ON t.bucket = bbits.bucket
+       |    GROUP BY t.doc_id, t.h)
+       |  WHERE n_set = $BloomJ),
+       |bex AS (SELECT DISTINCT doc_id FROM btr JOIN bev USING (h))
+       |SELECT d.doc_id,
+       |  (p.doc_id IS NOT NULL) AS bloom_hit,
+       |  (x.doc_id IS NOT NULL) AS exact_hit
+       |FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 50 <> 0) d
+       |LEFT JOIN bpos p ON d.doc_id = p.doc_id
+       |LEFT JOIN bex x ON d.doc_id = x.doc_id""".stripMargin
+  }
+
+  // ---- KMV theta sketch: cross-crawl/source set-INTERSECTION estimates ---
+
+  /** KMV sketch size (k minimum hash values per set). Standard error of
+    * the distinct estimate ≈ 1/√(k−2) ≈ 9% at 128 — the audit reports
+    * the measured error against exact truth, so the budget is a
+    * read-out, not a promise.
+    */
+  val KmvK = 128
+
+  /** Per-source KMV (k-minimum-values / bottom-k theta) sketch over the
+    * distinct trigram-shingle hash sets, plus PAIRWISE
+    * union/intersection estimates audited against exact truth — the
+    * set-intersection readout HLL cannot give (HLL unions losslessly but
+    * can only inclusion-exclude intersections, which explodes the error
+    * when |A∩B| ≪ |A∪B|; the bottom-k sketch estimates the Jaccard
+    * DIRECTLY from the union sketch's membership flags —
+    * Bar-Yossef'02/Beyer'07, the theta-sketch formulation).
+    *
+    * Estimators (hash range U = [[graft.functions.TextFunctions.P]], the
+    * shared poly-hash modulus, so the DuckDB mirror rebuilds the
+    * identical sketch): with θ = k-th smallest hash of a set,
+    * D̂ = (k−1)·U/θ; for a pair, the union sketch is the k smallest of
+    * sketch(A) ∪ sketch(B) (bottom-k is closed under union — the merge
+    * never re-touches data), Û from its θ, and
+    * |A∩B|^ = (|{v ∈ union sketch : v ∈ A ∧ v ∈ B}| / k)·Û. A sketch
+    * holding fewer than k values IS its set, so estimates degrade to
+    * exact counts (CASE-guarded, both engines).
+    *
+    * Scale shape: ONE distinct-(source, shingle) pass (the same fused
+    * narrow [[graft.expressions.ShingleHashes]] stream every dedup op
+    * rides) feeding (a) the bounded-heap k-min aggregate — O(k) state
+    * per source, map-side combined, so the corpus collapses to
+    * |sources|·k rows BEFORE any pairwise work — and (b) the exact truth
+    * sides of the audit. The pairwise stage touches only sketch rows:
+    * |sources|²·k, corpus-size-independent. At 100 TB you'd persist the
+    * |sources|·k sketch table per crawl and diff generations without
+    * ever re-scanning text — the cross-crawl overlap planner's input.
+    * The exact sides here are the AUDIT (sf-bounded); production runs
+    * sketch-only.
+    */
+  def kmvOverlap(docs: DataFrame, k: Int = KmvK): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // distinct (source, h): shared spine for the sketch AND both exact sides
+    val sh = docs.select(col("source"),
+        explode(graft.expressions.ShingleHashes.shingle_hashes(col("text"))).as("h"))
+      .distinct()
+      .localCheckpoint(false)
+    // bounded-heap k-min per source: value = -h so "k largest by value"
+    // is "k smallest h" (h < 2^30, exact in double); h distinct per
+    // source upstream so ids never tie
+    val sk = sh.groupBy(col("source"))
+      .agg(graft.expressions.TopKAgg.top_k_ids(
+        -col("h").cast("double"), col("h"), k).as("mins"))
+      .select(col("source"), explode(col("mins")).as("h"))
+      .localCheckpoint(false)
+    val perSrc = sk.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_sk"), max(col("h")).as("theta"))
+    val exact = sh.groupBy(col("source")).agg(count(lit(1)).as("n_exact"))
+    val est = perSrc.join(exact, "source")
+      .withColumn("est", when(col("n_sk") < k, col("n_sk").cast("double"))
+        .otherwise(lit((k - 1).toLong * P).cast("double") / col("theta").cast("double")))
+    // ordered source pairs (tiny: |sources|²)
+    val pairs = est.select(col("source").as("src_a")).distinct()
+      .crossJoin(est.select(col("source").as("src_b")).distinct())
+      .filter(col("src_a") < col("src_b"))
+    // union sketch per pair: k smallest of sketch(A) ∪ sketch(B), with
+    // per-side membership flags riding along
+    val tagged = sk.join(broadcast(pairs), col("source") === col("src_a"))
+      .select(col("src_a"), col("src_b"), col("h"),
+        lit(1L).as("fa"), lit(0L).as("fb"))
+      .unionAll(sk.join(broadcast(pairs), col("source") === col("src_b"))
+        .select(col("src_a"), col("src_b"), col("h"),
+          lit(0L).as("fa"), lit(1L).as("fb")))
+      .groupBy(col("src_a"), col("src_b"), col("h"))
+      .agg(max(col("fa")).as("in_a"), max(col("fb")).as("in_b"))
+    val w = Window.partitionBy(col("src_a"), col("src_b")).orderBy(col("h"))
+    val uni = tagged.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_u"), max(col("h")).as("theta_u"),
+        sum(col("in_a") * col("in_b")).as("inter_sk"))
+      .withColumn("est_union", when(col("n_u") < k, col("n_u").cast("double"))
+        .otherwise(lit((k - 1).toLong * P).cast("double") / col("theta_u").cast("double")))
+      .withColumn("est_inter", when(col("n_u") < k, col("inter_sk").cast("double"))
+        .otherwise(col("inter_sk").cast("double") / lit(k.toDouble) * col("est_union")))
+    // exact pair truth: shared-h join (pairs with zero overlap get 0 via
+    // the left join from the estimate spine)
+    val exInter = sh.alias("a")
+      .join(sh.alias("b").hint("SHUFFLE_HASH"), col("a.h") === col("b.h"))
+      .filter(col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("exact_inter0"))
+    uni.join(exInter, Seq("src_a", "src_b"), "left")
+      .join(broadcast(est.select(col("source").as("src_a"),
+        col("n_exact").as("exact_a"), col("est").as("est_a"))), "src_a")
+      .join(broadcast(est.select(col("source").as("src_b"),
+        col("n_exact").as("exact_b"), col("est").as("est_b"))), "src_b")
+      .withColumn("exact_inter", coalesce(col("exact_inter0"), lit(0L)))
+      .select(col("src_a"), col("src_b"),
+        col("exact_a"), col("exact_b"), col("est_a"), col("est_b"),
+        col("exact_inter"),
+        (col("exact_a") + col("exact_b") - col("exact_inter")).as("exact_union"),
+        col("est_union"), col("est_inter"),
+        col("n_u"), col("inter_sk"))
+  }
+
+  /** DuckDB mirror of [[kmvOverlap]] — rebuilds the identical sketches
+    * (ROW_NUMBER k-min ≡ the bounded-heap's k smallest distinct values)
+    * and the same CASE-guarded estimators.
+    */
+  def kmvOverlapSql(k: Int = KmvK): String = {
+    val kU = (k - 1).toLong * P
+    s"""WITH ksh AS (
+       |  SELECT DISTINCT source, h FROM (
+       |    SELECT source, ${Dedup.shingleUnnestSql} AS h
+       |    FROM (SELECT source, ${Dedup.toksSql} AS toks FROM documents))),
+       |ksk AS (
+       |  SELECT source, h FROM (
+       |    SELECT source, h, ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
+       |    FROM ksh) t
+       |  WHERE rn <= $k),
+       |kest AS (
+       |  SELECT s.source, s.n_sk, s.theta, e.n_exact,
+       |    CASE WHEN s.n_sk < $k THEN CAST(s.n_sk AS DOUBLE)
+       |         ELSE CAST($kU AS DOUBLE) / CAST(s.theta AS DOUBLE) END AS est
+       |  FROM (SELECT source, COUNT(*) AS n_sk, MAX(h) AS theta FROM ksk GROUP BY source) s
+       |  JOIN (SELECT source, COUNT(*) AS n_exact FROM ksh GROUP BY source) e USING (source)),
+       |kpairs AS (
+       |  SELECT a.source AS src_a, b.source AS src_b
+       |  FROM kest a CROSS JOIN kest b WHERE a.source < b.source),
+       |ktag AS (
+       |  SELECT src_a, src_b, h, MAX(fa) AS in_a, MAX(fb) AS in_b FROM (
+       |    SELECT p.src_a, p.src_b, s.h, 1 AS fa, 0 AS fb
+       |    FROM ksk s JOIN kpairs p ON s.source = p.src_a
+       |    UNION ALL
+       |    SELECT p.src_a, p.src_b, s.h, 0 AS fa, 1 AS fb
+       |    FROM ksk s JOIN kpairs p ON s.source = p.src_b)
+       |  GROUP BY 1, 2, 3),
+       |kuni AS (
+       |  SELECT src_a, src_b, COUNT(*) AS n_u, MAX(h) AS theta_u,
+       |    SUM(in_a * in_b) AS inter_sk
+       |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY src_a, src_b ORDER BY h) AS rn
+       |        FROM ktag) t
+       |  WHERE rn <= $k GROUP BY 1, 2),
+       |kex AS (
+       |  SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS exact_inter0
+       |  FROM ksh a JOIN ksh b ON a.h = b.h AND a.source < b.source
+       |  GROUP BY 1, 2)
+       |SELECT u.src_a, u.src_b,
+       |  ea.n_exact AS exact_a, eb.n_exact AS exact_b, ea.est AS est_a, eb.est AS est_b,
+       |  CAST(COALESCE(x.exact_inter0, 0) AS BIGINT) AS exact_inter,
+       |  CAST(ea.n_exact + eb.n_exact - COALESCE(x.exact_inter0, 0) AS BIGINT) AS exact_union,
+       |  CASE WHEN u.n_u < $k THEN CAST(u.n_u AS DOUBLE)
+       |       ELSE CAST($kU AS DOUBLE) / CAST(u.theta_u AS DOUBLE) END AS est_union,
+       |  CASE WHEN u.n_u < $k THEN CAST(u.inter_sk AS DOUBLE)
+       |       ELSE CAST(u.inter_sk AS DOUBLE) / CAST($k AS DOUBLE)
+       |         * (CASE WHEN u.n_u < $k THEN CAST(u.n_u AS DOUBLE)
+       |            ELSE CAST($kU AS DOUBLE) / CAST(u.theta_u AS DOUBLE) END) END AS est_inter,
+       |  CAST(u.n_u AS BIGINT) AS n_u, CAST(u.inter_sk AS BIGINT) AS inter_sk
+       |FROM kuni u
+       |LEFT JOIN kex x ON u.src_a = x.src_a AND u.src_b = x.src_b
+       |JOIN kest ea ON u.src_a = ea.source
+       |JOIN kest eb ON u.src_b = eb.source""".stripMargin
   }
 
 }

@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions._
+
 import graft.operators.TextAnalysis
 
 /** BPE merge training (Sennrich'16) — hand-computed merge sequences pin
@@ -73,6 +75,38 @@ class BpeSpec extends SparkSpec {
     val got = TextAnalysis.bpeSegment(docs, merges = 1, maxWords = 1)
       .as[(Long, Long, Long, Double)].collect().toSeq
     assert(got === Seq((1L, 5L, 3L * 2L + 2L * 3L, 12.0 / 5.0)))
+  }
+
+  test("fertilityByLang: per-lang totals conserve against the per-doc segmentation") {
+    val docs = graft.sources.Tables.documents(spark, Sf)
+    val perDoc = TextAnalysis.bpeSegment(docs)
+      .agg(sum($"n_words"), sum($"n_subwords")).collect().head
+    val perLang = TextAnalysis.fertilityByLang(docs)
+      .agg(sum($"n_words"), sum($"n_subwords")).collect().head
+    assert(perLang.getLong(0) === perDoc.getLong(0), "word mass must conserve")
+    assert(perLang.getLong(1) === perDoc.getLong(1), "subword mass must conserve")
+  }
+
+  test("fertilityByLang: OOV fallback counted, fertility weighted by occurrence") {
+    // maxWords=1 trains on "zz" only (freq 3 beats ab's 2 and qq's 1 —
+    // no tie) → "zz" in-vocab at 2 subwords; OOV costs length+1 = 3.
+    // en: 3×zz + 2×ab → 5 words, 12 subwords, 2 OOV; de: 1×qq → 1 word,
+    // 3 subwords, 1 OOV
+    val docs = Seq(
+      (1L, "zz zz zz ab ab", "en"),
+      (2L, "qq", "de")).toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.fertilityByLang(docs, merges = 1, maxWords = 1)
+      .collect().map(r => r.getAs[String]("lang") -> r).toMap
+    val en = out("en")
+    assert(en.getAs[Long]("n_words") === 5L)
+    assert(en.getAs[Long]("n_subwords") === 12L)
+    assert(en.getAs[Long]("n_oov") === 2L)
+    assert(en.getAs[Double]("fertility") === 12.0 / 5.0)
+    assert(en.getAs[Long]("oov_permille") === 400L)
+    val de = out("de")
+    assert(de.getAs[Long]("n_words") === 1L)
+    assert(de.getAs[Long]("n_oov") === 1L)
+    assert(de.getAs[Long]("oov_permille") === 1000L)
   }
 
   test("bpeMerges: empty corpus yields zero merges with the contract schema") {

@@ -9,6 +9,44 @@ class CurationSpec extends SparkSpec {
 
   private lazy val docs = Tables.documents(spark, Sf)
 
+  test("domainPrior: shrinkage sits between the raw and global rates") {
+    val out = Curation.domainPrior(docs).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val raw = r.getAs[Double]("raw_rate")
+      val glob = r.getAs[Double]("global_rate")
+      val prior = r.getAs[Double]("prior_rate")
+      val lo = math.min(raw, glob) - 1e-12
+      val hi = math.max(raw, glob) + 1e-12
+      assert(prior >= lo && prior <= hi,
+        s"${r.getAs[String]("source")}: posterior $prior outside [$lo, $hi]")
+    }
+    // the global rate is the doc-weighted mean of the raw rates
+    val gn = out.map(_.getAs[Long]("n_docs")).sum
+    val gp = out.map(_.getAs[Long]("n_pass")).sum
+    assert(out.forall(r =>
+      math.abs(r.getAs[Double]("global_rate") - gp.toDouble / gn) < 1e-12))
+  }
+
+  test("domainPrior: a tiny domain shrinks to the prior, a huge one keeps its rate") {
+    // 200 passing docs in "big" (raw 1.0), 1 failing doc in "tiny"
+    // (raw 0.0): tiny's posterior must land near the global rate, big's
+    // near its own
+    val good = "the cat and the dog of a very fine house sat in the sun all day"
+    val big = (1 to 200).map(i => (i.toLong, good, "en", "big", 60L))
+    val tiny = Seq((500L, "x", "en", "tiny", 1L)) // fails every gopher rule
+    val out = Curation.domainPrior((big ++ tiny).toDF(
+        "doc_id", "text", "lang", "source", "n_chars"))
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    val glob = 200.0 / 201.0
+    val bigPrior = out("big").getAs[Double]("prior_rate")
+    val tinyPrior = out("tiny").getAs[Double]("prior_rate")
+    assert(math.abs(bigPrior - (200.0 + 20.0 * glob) / 220.0) < 1e-12)
+    assert(math.abs(tinyPrior - (0.0 + 20.0 * glob) / 21.0) < 1e-12)
+    assert(tinyPrior > 0.9, "one bad doc must not zero a domain")
+    assert(out("big").getAs[Double]("shrink") > out("tiny").getAs[Double]("shrink"))
+  }
+
   test("leakSafeSplit: no duplicate cluster straddles a split; singletons match assignSplit") {
     import graft.operators.Dedup
     val c = Dedup.corpus(docs)

@@ -1787,18 +1787,19 @@ object TextAnalysis {
       .distinct()
     val trainSh = train.select(col("doc_id"),
         explode(graft.expressions.ShingleHashes.shingle_hashes(col("text"))).as("h"))
-      .distinct()
-      .localCheckpoint(false)
-    // a shingle is bloom-positive iff all j of its buckets are set:
-    // each (doc_id, h, r) row probes ONE bucket, so the per-(doc_id, h)
-    // inner-join row count equals the number of set buckets
-    val bloomDocs = trainSh.crossJoin(broadcast(rows)).crossJoin(broadcast(mDf))
-      .select(col("doc_id"), col("h"),
-        pmod(pmod(col("h") * col("a") + col("b"), lit(P)), col("m")).as("bucket"))
-      .join(broadcast(bits), "bucket")
-      .groupBy(col("doc_id"), col("h")).agg(count(lit(1)).as("n_set"))
-      .filter(col("n_set") === BloomJ)
-      .select(col("doc_id")).distinct()
+    // a shingle is bloom-positive iff ALL j of its buckets are set: j
+    // chained BROADCAST semi-joins against the bit set — every probe is
+    // map-side, so the train shingle stream never shuffles (duplicate
+    // shingles just re-probe; dedup happens at the tiny doc level)
+    val flagged = BloomA.zip(BloomB).zipWithIndex
+      .foldLeft(trainSh.crossJoin(broadcast(mDf))) {
+        case (df, ((a, b), r)) =>
+          val bk = bits.select(col("bucket").as(s"bk$r"))
+          df.join(broadcast(bk),
+            pmod(pmod(col("h") * a + lit(b), lit(P)), col("m")) === col(s"bk$r"),
+            "left_semi")
+      }
+    val bloomDocs = flagged.select(col("doc_id")).distinct()
       .withColumn("bloom0", lit(true))
     val exactDocs = trainSh.join(evalSh.hint("SHUFFLE_HASH"), "h")
       .select(col("doc_id")).distinct()

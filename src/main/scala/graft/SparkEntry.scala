@@ -380,6 +380,14 @@ object SparkEntry {
     // ~quadratic); the multi-probe candidate join stays bucket-keyed —
     // per-query cost bounded by bucket occupancy. Brute survives only as
     // q_emb_recall's ground truth (constant-capped query set there).
+    // nDCG@10 ranking-quality audit: single-term BM25 rankings scored
+    // against raw-tf graded relevance (gain 2^min(tf,3)−1, shared
+    // nano-unit discount table — integer DCG/IDCG sums, one division).
+    // The per-release ranking-eval number next to the MRR known-item
+    // audit; |terms| output rows.
+    "q_doc_ndcg" -> { (s, dir) =>
+      Retrieval.ndcgAudit(Tables.documents(s, dir), SearchTerms)
+    },
     "q_doc_rrf" -> { (s, dir) =>
       val lex = Retrieval.topNRanked(
         TextAnalysis.bm25Search(Tables.documents(s, dir), SearchTerms),
@@ -2965,6 +2973,7 @@ object SparkEntry {
          |GROUP BY doc_id
          |HAVING COUNT(DISTINCT w) = 3""".stripMargin,
     "q_doc_bm25" -> TextAnalysis.bm25SearchSql(SearchTerms),
+    "q_doc_ndcg" -> Retrieval.ndcgAuditSql(SearchTerms),
     "q_doc_rrf" ->
       s"""WITH ${Similarity.baseSql},
          |bm AS (${TextAnalysis.bm25SearchSql(SearchTerms)}),

@@ -51,6 +51,131 @@ object Retrieval {
       .filter(col("rank") <= topK)
   }
 
+  /** Discount table for [[ndcgAudit]]: 1/log₂(rank+1) in integer
+    * nano-units, precomputed HERE so the engine column and the DuckDB
+    * VALUES literal are the same exact longs — `log` is not
+    * bit-identical across engines, a shared constant table is
+    * (Järvelin–Kekäläinen'02 discounts).
+    */
+  def ndcgDiscNanos(k: Int): Seq[(Int, Long)] =
+    (1 to k).map(r => r -> math.floor(1e9 * math.log(2.0) / math.log(r + 1.0)).toLong)
+
+  /** nDCG@k ranking-quality audit of the single-term BM25 ranking
+    * against raw-frequency graded relevance: per query term, grade(doc)
+    * = min(tf, 3) with gain 2^grade − 1, DCG over the BM25 top-k,
+    * IDCG over the grade-ideal top-k of ALL matching docs, nDCG =
+    * DCG/IDCG. This measures exactly what BM25's saturation + length
+    * normalization DOES to a raw-tf ordering — the ranking-evaluation
+    * number (alongside the MRR known-item audit) a retrieval deployment
+    * tracks per release.
+    *
+    * Exactness: gains are integers, discounts ride the shared
+    * [[ndcgDiscNanos]] nano-unit table, so DCG/IDCG are
+    * order-independent BIGINT sums; nDCG is the single IEEE division.
+    *
+    * Scale shape: the term filter rides the exploded token stream
+    * ([[TextAnalysis.bm25Search]]'s story — only |terms| postings reach
+    * the groupBy); both rank windows partition on the term over
+    * posting-bounded rows; the discount join is a ≤ k-row broadcast.
+    * Output = |terms| rows.
+    */
+  def ndcgAudit(docs: DataFrame, terms: Seq[String], k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "ndcg needs at least one term")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val disc = ndcgDiscNanos(k).toDF("rank", "disc_nanos")
+    val td = docs.select(col("doc_id"),
+      graft.functions.TextFunctions.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"), col("toks"))
+    val stats = td.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sumdl"))
+    val post = td
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("w"))
+      .filter(col("w").isin(terms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("w"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("gain", expr("shiftleft(1L, cast(least(tf, 3L) as int)) - 1L"))
+      .localCheckpoint(false)
+    val dfx = post.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    // single-term BM25 score (bm25Search's exact operand tree, ungrouped)
+    val scored = post.join(broadcast(dfx), "w")
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl",
+        col("sumdl").cast("double") / col("n_docs").cast("double"))
+      .withColumn("c_nanos", floor(
+        (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) *
+          (col("tf") * lit(k1 + 1) /
+            (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl")))) *
+          lit(1e9)).cast("long"))
+    val wRank = Window.partitionBy(col("w")).orderBy(col("c_nanos").desc, col("doc_id"))
+    val dcg = scored.withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .join(broadcast(disc), "rank")
+      .groupBy(col("w"))
+      .agg(sum(col("gain") * col("disc_nanos")).as("dcg_nanos"))
+    val wIdeal = Window.partitionBy(col("w")).orderBy(col("gain").desc, col("doc_id"))
+    val idcg = post.withColumn("rank", row_number().over(wIdeal))
+      .filter(col("rank") <= k)
+      .join(broadcast(disc), "rank")
+      .groupBy(col("w"))
+      .agg(sum(col("gain") * col("disc_nanos")).as("idcg_nanos"),
+        count(lit(1)).as("n_ranked"))
+    val matched = post.groupBy(col("w")).agg(count(lit(1)).as("n_matched"))
+    dcg.join(idcg, "w").join(matched, "w")
+      .select(col("w").as("term"), col("n_matched"), col("n_ranked"),
+        col("dcg_nanos"), col("idcg_nanos"),
+        (col("dcg_nanos").cast("double") / col("idcg_nanos").cast("double"))
+          .as("ndcg"))
+  }
+
+  /** DuckDB mirror of [[ndcgAudit]] over `src` — same constant tables,
+    * same operand tree.
+    */
+  def ndcgAuditSql(terms: Seq[String], k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75, src: String = "documents"): String = {
+    val termList = terms.map(t => s"'$t'").mkString(", ")
+    val discVals = ndcgDiscNanos(k).map { case (r, d) => s"($r, $d)" }.mkString(", ")
+    s"""WITH ndisc(rank, disc_nanos) AS (VALUES $discVals),
+       |ntd AS (
+       |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks
+       |  FROM (SELECT doc_id, ${graft.operators.Dedup.toksSql} AS toks FROM $src)),
+       |nstats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sumdl FROM ntd),
+       |npost AS (
+       |  SELECT doc_id, dl, w, CAST(COUNT(*) AS BIGINT) AS tf,
+       |    (CAST(1 AS BIGINT) << CAST(LEAST(COUNT(*), 3) AS INTEGER)) - 1 AS gain
+       |  FROM (SELECT doc_id, dl, unnest(toks) AS w FROM ntd)
+       |  WHERE w IN ($termList)
+       |  GROUP BY doc_id, dl, w),
+       |ndf AS (SELECT w, COUNT(*) AS df FROM npost GROUP BY w),
+       |nsc AS (
+       |  SELECT p.w, p.doc_id, p.gain,
+       |    CAST(FLOOR(
+       |      (s.n_docs - d.df + 0.5) / (d.df + 0.5) *
+       |        (p.tf * ${k1 + 1} /
+       |          (p.tf + $k1 * (${1 - b} + $b * p.dl / (CAST(s.sumdl AS DOUBLE) / CAST(s.n_docs AS DOUBLE))))) *
+       |      1e9) AS BIGINT) AS c_nanos
+       |  FROM npost p JOIN ndf d USING (w) CROSS JOIN nstats s),
+       |ndcg_ AS (
+       |  SELECT w, SUM(gain * disc_nanos) AS dcg_nanos FROM (
+       |    SELECT w, gain,
+       |      ROW_NUMBER() OVER (PARTITION BY w ORDER BY c_nanos DESC, doc_id) AS rank
+       |    FROM nsc) t JOIN ndisc USING (rank)
+       |  WHERE rank <= $k GROUP BY w),
+       |nidcg AS (
+       |  SELECT w, SUM(gain * disc_nanos) AS idcg_nanos, COUNT(*) AS n_ranked FROM (
+       |    SELECT w, gain,
+       |      ROW_NUMBER() OVER (PARTITION BY w ORDER BY gain DESC, doc_id) AS rank
+       |    FROM npost) t JOIN ndisc USING (rank)
+       |  WHERE rank <= $k GROUP BY w),
+       |nmat AS (SELECT w, COUNT(*) AS n_matched FROM npost GROUP BY w)
+       |SELECT g.w AS term, CAST(m.n_matched AS BIGINT) AS n_matched,
+       |  CAST(i.n_ranked AS BIGINT) AS n_ranked,
+       |  CAST(g.dcg_nanos AS BIGINT) AS dcg_nanos,
+       |  CAST(i.idcg_nanos AS BIGINT) AS idcg_nanos,
+       |  CAST(g.dcg_nanos AS DOUBLE) / CAST(i.idcg_nanos AS DOUBLE) AS ndcg
+       |FROM ndcg_ g JOIN nidcg i ON g.w = i.w JOIN nmat m ON g.w = m.w""".stripMargin
+  }
+
   /** Global top-`n` of `df` by (`scoreCol` desc, `idCol`) with a dense
     * 1-based rank — the bounded list-builder feeding [[rrfFuse]]. The
     * orderBy+limit pair compiles to TakeOrderedAndProject (distributed

@@ -1890,6 +1890,27 @@ object TextAnalysis {
     * The exact sides here are the AUDIT (sf-bounded); production runs
     * sketch-only.
     */
+  /** The bottom-k sketch itself over a distinct (source, h) stream —
+    * the bounded-heap k-min per source (value = −h so "k largest by
+    * value" is "k smallest h"; h < 2^30 is exact in double, and the
+    * upstream distinct means ids never tie). Shared by [[kmvOverlap]]
+    * and the streaming twin's parity spec
+    * ([[graft.streaming.DocStream.kmvCandidates]]).
+    */
+  def kmvSketchOf(sh: DataFrame, k: Int = KmvK): DataFrame =
+    sh.groupBy(col("source"))
+      .agg(graft.expressions.TopKAgg.top_k_ids(
+        -col("h").cast("double"), col("h"), k).as("mins"))
+      .select(col("source"), explode(col("mins")).as("h"))
+
+  /** Batch entry point: per-source bottom-k sketch rows (source, h) over
+    * the distinct trigram-shingle hash sets.
+    */
+  def kmvSketch(docs: DataFrame, k: Int = KmvK): DataFrame =
+    kmvSketchOf(docs.select(col("source"),
+        explode(graft.expressions.ShingleHashes.shingle_hashes(col("text"))).as("h"))
+      .distinct(), k)
+
   def kmvOverlap(docs: DataFrame, k: Int = KmvK): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -1898,14 +1919,7 @@ object TextAnalysis {
         explode(graft.expressions.ShingleHashes.shingle_hashes(col("text"))).as("h"))
       .distinct()
       .localCheckpoint(false)
-    // bounded-heap k-min per source: value = -h so "k largest by value"
-    // is "k smallest h" (h < 2^30, exact in double); h distinct per
-    // source upstream so ids never tie
-    val sk = sh.groupBy(col("source"))
-      .agg(graft.expressions.TopKAgg.top_k_ids(
-        -col("h").cast("double"), col("h"), k).as("mins"))
-      .select(col("source"), explode(col("mins")).as("h"))
-      .localCheckpoint(false)
+    val sk = kmvSketchOf(sh, k).localCheckpoint(false)
     val perSrc = sk.groupBy(col("source"))
       .agg(count(lit(1)).as("n_sk"), max(col("h")).as("theta"))
     val exact = sh.groupBy(col("source")).agg(count(lit(1)).as("n_exact"))

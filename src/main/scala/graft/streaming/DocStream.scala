@@ -617,6 +617,73 @@ object DocStream {
         info: ExpiredTimerInfo): Iterator[SampleCand] = Iterator.empty
   }
 
+  case class ShingleHit(source: String, h: Long)
+  case class KmvEntry(source: String, h: Long)
+
+  /** Streaming twin of the KMV/theta sketch
+    * ([[graft.operators.TextAnalysis.kmvSketch]]): per-source bottom-k
+    * shingle-hash sketches maintained incrementally — a bottom-k sketch
+    * is an order statistic, so it folds one element at a time with NO
+    * window (min is associative/commutative/idempotent): each incoming
+    * doc's shingle hashes either displace the current k-th minimum or
+    * are discarded. A redelivered or re-crawled doc contributes hashes
+    * already in the sketch — idempotent by construction, the
+    * at-least-once safety the reservoir twin needed explicit in-place
+    * refinement for.
+    *
+    * State: exactly min(k, distinct-hashes) entries per source —
+    * CONSTANT for any stream length, no watermark, no TTL (a crawl
+    * sketch must outlive any window; takedown-aware rebuilds go through
+    * the batch path, where the delete family lives). Each batch emits
+    * the sketch rows it now holds (Append; downstream keeps the latest
+    * emission per source, the reservoir twin's read contract), so after
+    * any prefix of batches the emitted sketch ≡ the batch
+    * [[graft.operators.TextAnalysis.kmvSketchOf]] over the prefix's
+    * docs (spec-pinned), and the union/intersection estimators read it
+    * unchanged.
+    */
+  def kmvCandidates(spark: SparkSession,
+      docs: Dataset[(String, String)], // (source, text)
+      k: Int = graft.operators.TextAnalysis.KmvK): Dataset[KmvEntry] = {
+    import spark.implicits._
+    docs.toDF("source", "text")
+      .select(col("source"),
+        explode(graft.expressions.ShingleHashes.shingle_hashes(col("text"))).as("h"))
+      .as[ShingleHit]
+      .groupByKey(_.source)
+      .transformWithState(new KmvProcessor(k), TimeMode.None(),
+        OutputMode.Append())
+  }
+
+  private class KmvProcessor(k: Int)
+      extends StatefulProcessor[String, ShingleHit, KmvEntry] {
+    @transient private var mins: MapState[Long, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      mins = getHandle.getMapState[Long, Long](
+        "kmv", Encoders.scalaLong, Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[ShingleHit],
+        tv: TimerValues): Iterator[KmvEntry] = {
+      // ≤ k entries: load once, fold the batch in memory, write back
+      // (the MgProcessor/ReservoirProcessor state discipline)
+      val m = scala.collection.mutable.SortedSet.empty[Long]
+      mins.iterator().foreach { case (h, _) => m.add(h) }
+      rows.foreach { r =>
+        if (!m.contains(r.h)) {
+          if (m.size < k) { m.add(r.h); () }
+          else if (r.h < m.last) { m.remove(m.last); m.add(r.h); () }
+        }
+      }
+      mins.clear()
+      m.foreach(h => mins.updateValue(h, h))
+      m.iterator.map(h => KmvEntry(key, h)).toSeq.iterator
+    }
+
+    override def handleExpiredTimer(key: String, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[KmvEntry] = Iterator.empty
+  }
+
   case class ManifestOp(ts: Timestamp, doc_id: Long, lang: String,
     h: Long, n_tokens: Long, deleted: Boolean)
   case class DiffEvent(doc_id: Long, lang: String, status: String,

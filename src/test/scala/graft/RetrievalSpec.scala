@@ -11,6 +11,50 @@ import graft.operators.Retrieval
 class RetrievalSpec extends SparkSpec {
   import spark.implicits._
 
+  test("ndcgAudit: hand-computed DCG on a designed inversion; perfect order scores 1") {
+    // term "cat", uniform doc length (4 tokens) → BM25 reduces to tf
+    // saturation, which is MONOTONE in tf at equal dl: ranking order ==
+    // grade order → nDCG must be exactly 1 and integer sums must match
+    // the hand-computed gains (tf 3→gain 7, 2→3, 1→1)
+    val uniform = Seq(
+      (1L, "cat cat cat x"), // tf 3, gain 7
+      (2L, "cat cat x y"),   // tf 2, gain 3
+      (3L, "cat x y z"))     // tf 1, gain 1
+      .toDF("doc_id", "text")
+    val d = Retrieval.ndcgDiscNanos(10).toMap
+    val r1 = Retrieval.ndcgAudit(uniform, Seq("cat")).collect()
+    assert(r1.length === 1)
+    val expect = 7L * d(1) + 3L * d(2) + 1L * d(3)
+    assert(r1.head.getAs[Long]("dcg_nanos") === expect)
+    assert(r1.head.getAs[Long]("idcg_nanos") === expect)
+    assert(r1.head.getAs[Double]("ndcg") === 1.0)
+    assert(r1.head.getAs[Long]("n_matched") === 3L)
+
+    // now give the tf-3 doc a huge length: BM25's length normalization
+    // demotes it below the short tf-1 doc → a real inversion, nDCG < 1
+    val skewed = Seq(
+      (1L, "cat cat cat " + Seq.fill(197)("pad").mkString(" ")), // dl 200
+      (2L, "cat x")) // dl 2
+      .toDF("doc_id", "text")
+    val r2 = Retrieval.ndcgAudit(skewed, Seq("cat")).collect().head
+    assert(r2.getAs[Double]("ndcg") < 1.0, "length-norm inversion must cost nDCG")
+    // ideal = gains (7, 1); observed = (1, 7)
+    assert(r2.getAs[Long]("idcg_nanos") === 7L * d(1) + 1L * d(2))
+    assert(r2.getAs[Long]("dcg_nanos") === 1L * d(1) + 7L * d(2))
+  }
+
+  test("ndcgAudit on the corpus: bounded by 1, positive, one row per matched term") {
+    val rows = Retrieval.ndcgAudit(
+      graft.sources.Tables.documents(spark, Sf), Seq("scan", "merge", "sort")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Double]("ndcg")
+      assert(n > 0 && n <= 1.0 + 1e-12, s"${r.getAs[String]("term")}: ndcg $n")
+      assert(r.getAs[Long]("n_ranked") <= 10L)
+      assert(r.getAs[Long]("dcg_nanos") <= r.getAs[Long]("idcg_nanos"))
+    }
+  }
+
   test("rrf: hand-computed scores, consensus beats single-list, ties break by doc_id") {
     // query 1: listA ranks (10,11,12), listB ranks (12,10,13)
     val a = Seq((1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L)).toDF("qid", "doc_id", "rank")

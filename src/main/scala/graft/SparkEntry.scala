@@ -995,6 +995,24 @@ object SparkEntry {
     "q_emb_bqrecall" -> { (s, dir) =>
       Similarity.bqRecall(Tables.embeddings(s, dir))
     },
+    // IVF+BQ over the TRAINED quantizer (faiss IVF+rescore): nprobe
+    // trained cells bound WHERE, 8-byte codes bound the in-cell scan
+    // cost, floats only at the top-R rerank — the BQ rescore path on
+    // the index the maintenance family manages. nprobe=4 (the widened
+    // budget the trained recall curve prices at 0.77); measured: the
+    // bits cost ZERO recall vs the cell bound at this SF — cells are
+    // the budget, the 8-byte scan is free (spec-pinned).
+    "q_emb_ivfbq" -> { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+      Similarity.knnIvfBqTrained(e, Similarity.kmeansFitMemo(e, dir, "all"),
+        nprobe = 4)
+    },
+    // Recall@3 of the cells × bits compound budget vs brute truth.
+    "q_emb_ivfbqrecall" -> { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+      Similarity.ivfBqRecall(e, Similarity.kmeansFitMemo(e, dir, "all"),
+        nprobe = 4)
+    },
     "q_emb_buckets" -> { (s, dir) =>
       Similarity.lshBuckets(Tables.embeddings(s, dir)).select(col("vec_id"), col("bucket"))
     },
@@ -3276,6 +3294,8 @@ object SparkEntry {
          |LEFT JOIN drp d ON s.vec_id = d.vec_id WHERE d.vec_id IS NULL""".stripMargin,
     "q_emb_bq" -> Similarity.bqSearchSql(),
     "q_emb_bqrecall" -> Similarity.bqRecallSql(),
+    "q_emb_ivfbq" -> Similarity.ivfBqSearchSql(nprobe = 4),
+    "q_emb_ivfbqrecall" -> Similarity.ivfBqRecallSql(nprobe = 4),
     "q_emb_knn" ->
       s"""WITH ${Similarity.baseSql},
          |q AS (SELECT vec_id AS qid, emb AS qemb, nrm AS qnrm FROM base WHERE vec_id % 50 = 0),

@@ -115,11 +115,12 @@ object Similarity {
     * Recall is audited against brute truth (q_emb_bqrecall), same bar
     * discipline as every other index variant here.
     */
-  def knnBqRerank(e: DataFrame, queryMod: Int = 50, k: Int = 5,
-      shortR: Int = BqShortR, queryCap: Int = Int.MaxValue): DataFrame = {
-    val base = withEmb(e).select(col("vec_id"), col("emb"), l2norm(col("emb")).as("nrm"))
-    // per-dim mean thresholds: exact integer fixed-point sums (order-free),
-    // ONE division — assembled into a 64-slot array broadcast to the scan
+  /** The binary-quantized store: (vec_id, emb, nrm, lo, hi) — per-dim
+    * mean thresholds from exact integer fixed-point sums (order-free,
+    * ONE division), assembled into a 64-slot array broadcast to the
+    * scan. Shared by [[knnBqRerank]] and [[knnIvfBqTrained]].
+    */
+  private def bqCodes(base: DataFrame): DataFrame = {
     val meanArr = base
       .select(posexplode(col("emb")).as(Seq("dim", "v")))
       .groupBy(col("dim"))
@@ -128,12 +129,18 @@ object Similarity {
       .groupBy()
       .agg(expr("array_sort(collect_list(struct(dim, m)))").as("dm"))
       .select(expr("transform(dm, x -> x.m)").as("memb"))
-    val bq = base.crossJoin(broadcast(meanArr))
+    base.crossJoin(broadcast(meanArr))
       .withColumn("lo", expr(
         "aggregate(sequence(0, 31), 0L, (acc, i) -> acc + IF(emb[i] > memb[i], shiftleft(1L, i), 0L))"))
       .withColumn("hi", expr(
         "aggregate(sequence(32, 63), 0L, (acc, i) -> acc + IF(emb[i] > memb[i], shiftleft(1L, i - 32), 0L))"))
       .select(col("vec_id"), col("emb"), col("nrm"), col("lo"), col("hi"))
+  }
+
+  def knnBqRerank(e: DataFrame, queryMod: Int = 50, k: Int = 5,
+      shortR: Int = BqShortR, queryCap: Int = Int.MaxValue): DataFrame = {
+    val base = withEmb(e).select(col("vec_id"), col("emb"), l2norm(col("emb")).as("nrm"))
+    val bq = bqCodes(base)
     val q = querySet(bq, queryMod, queryCap)
       .select(col("vec_id").as("qid"), col("emb").as("qemb"), col("nrm").as("qnrm"),
         col("lo").as("qlo"), col("hi").as("qhi"))
@@ -244,6 +251,159 @@ object Similarity {
        |SELECT qid, CAST($k AS BIGINT) AS n_truth, CAST(n_hit AS BIGINT) AS n_hit,
        |  CAST(n_hit AS DOUBLE) / CAST($k AS DOUBLE) AS recall
        |FROM hits""".stripMargin
+
+  /** IVF + binary quantization over the TRAINED coarse quantizer —
+    * faiss's IVF+rescore serving layout on the index the maintenance
+    * family manages: nprobe trained cells bound WHERE (the candidate
+    * join is a cell equi-join against the SAME frozen
+    * `kmeansFitMemo`/`kmeansAssign` membership the
+    * append/split/delete/merge/crawl accounting runs), the 8-byte
+    * stage-1 codes bound the scan COST inside those cells (2 XOR + 2
+    * popcounts per candidate, floats untouched), and the exact rerank
+    * touches ≤ |q|·R float rows. Composes the round-11 "search the
+    * index you maintain" unification with the BQ rescore path: at a
+    * billion vectors per cell-shard, the per-cell code block is the
+    * thing that fits in cache where the float block never will.
+    */
+  def knnIvfBqTrained(e: DataFrame, cents: DataFrame, queryMod: Int = 50,
+      k: Int = 5, nprobe: Int = 2, shortR: Int = BqShortR,
+      queryCap: Int = 64): DataFrame = {
+    val base = withEmb(e).select(col("vec_id"), col("emb"), l2norm(col("emb")).as("nrm"))
+    val bq = bqCodes(base)
+    // stored index: same frozen-centroid membership as the maintenance ops
+    val store = kmeansAssign(e, cents).select(col("vec_id"), col("cell"))
+      .join(bq.select(col("vec_id"), col("lo"), col("hi")), "vec_id")
+    val q = querySet(bq, queryMod, queryCap)
+      .select(col("vec_id").as("qid"), col("emb").as("qemb"), col("nrm").as("qnrm"),
+        col("lo").as("qlo"), col("hi").as("qhi"))
+    val probeW = Window.partitionBy(col("qid")).orderBy(col("ccos").desc, col("cell"))
+    val probes = q.crossJoin(broadcast(centsWithNorm(cents)))
+      .withColumn("ccos", cosineWithNorms(dot(col("qemb"), col("cemb")), col("qnrm"), col("cnrm")))
+      .withColumn("prn", row_number().over(probeW))
+      .filter(col("prn") <= nprobe)
+      .select(col("qid"), col("qemb"), col("qnrm"), col("qlo"), col("qhi"), col("cell"))
+    val wH = Window.partitionBy(col("qid")).orderBy(col("ham"), col("vec_id"))
+    val short = probes.join(store.hint("shuffle_hash"), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("ham",
+        expr("bit_count(qlo ^ lo) + bit_count(qhi ^ hi)").cast("long"))
+      .withColumn("hrn", row_number().over(wH))
+      .filter(col("hrn") <= shortR)
+      .select(col("qid"), col("qemb"), col("qnrm"), col("vec_id"))
+    topK(broadcast(short).join(base, "vec_id")
+      .withColumn("cos", cosineWithNorms(dot(col("qemb"), col("emb")), col("qnrm"), col("nrm"))), k)
+  }
+
+  /** Recall@k of [[knnIvfBqTrained]] against brute truth — prices the
+    * cells × bits compound budget (cells bound recall like q_emb_nprobe
+    * measures; bits cost recall only when a true neighbour's code
+    * collides out of the shortlist).
+    */
+  def ivfBqRecall(e: DataFrame, cents: DataFrame, k: Int = 3,
+      nprobe: Int = 2, queryCap: Int = 64): DataFrame = {
+    val truth = knnBrute(e, k = k, queryCap = queryCap).select(col("qid"), col("vec_id"))
+    val ann = knnIvfBqTrained(e, cents, k = k, nprobe = nprobe, queryCap = queryCap)
+      .select(col("qid"), col("vec_id"))
+    val hit = truth.join(ann, Seq("qid", "vec_id"), "left_semi")
+      .groupBy(col("qid")).agg(count(lit(1)).as("n_hit"))
+    truth.groupBy(col("qid")).agg(count(lit(1)).as("n_truth"))
+      .join(hit, Seq("qid"), "left")
+      .select(col("qid"), col("n_truth"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_truth").cast("double"))
+          .as("recall"))
+  }
+
+  /** DuckDB mirror of [[knnIvfBqTrained]] over the shared [[bqCtesSql]]
+    * codes and [[kmeansCtes]] trained chain.
+    */
+  def ivfBqSearchSql(k: Int = 5, nprobe: Int = 2, shortR: Int = BqShortR,
+      queryCap: Int = 64, kmK: Int = 8, kmIters: Int = 2): String =
+    s"""WITH $bqCtesSql,
+       |${kmeansCtes(kmK, kmIters)},
+       |itcn AS (
+       |  SELECT cell, cemb,
+       |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(cemb, x -> x * x)), (a, b) -> a + b)) AS cnrm
+       |  FROM c$kmIters),
+       |ist AS (
+       |  SELECT a.vec_id, a.cell, b.lo, b.hi
+       |  FROM afin a JOIN bq b ON b.vec_id = a.vec_id),
+       |iq AS (SELECT vec_id AS qid, emb AS qemb, nrm AS qnrm, lo AS qlo, hi AS qhi
+       |       FROM bq WHERE vec_id % 50 = 0 ORDER BY vec_id LIMIT $queryCap),
+       |iprobes AS (
+       |  SELECT qid, qemb, qnrm, qlo, qhi, cell FROM (
+       |    SELECT q.qid, q.qemb, q.qnrm, q.qlo, q.qhi, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+       |        ${dotSql("q.qemb", "c.cemb")} / (q.qnrm * c.cnrm) DESC, c.cell) AS prn
+       |    FROM iq q CROSS JOIN itcn c) t
+       |  WHERE prn <= $nprobe),
+       |ish AS (
+       |  SELECT qid, qemb, qnrm, vec_id FROM (
+       |    SELECT p.qid, p.qemb, p.qnrm, s.vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY p.qid
+       |        ORDER BY bit_count(xor(p.qlo, s.lo)) + bit_count(xor(p.qhi, s.hi)), s.vec_id) AS hrn
+       |    FROM iprobes p JOIN ist s ON s.cell = p.cell AND s.vec_id <> p.qid) t
+       |  WHERE hrn <= $shortR),
+       |irr AS (
+       |  SELECT s.qid, s.vec_id,
+       |    ${dotSql("s.qemb", "b.emb")} / (s.qnrm * b.nrm) AS cos
+       |  FROM ish s JOIN base b ON s.vec_id = b.vec_id)
+       |SELECT qid, vec_id, cos, rn FROM (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS BIGINT) AS rn
+       |  FROM irr) t
+       |WHERE rn <= $k""".stripMargin
+
+  /** DuckDB mirror of [[ivfBqRecall]]. */
+  def ivfBqRecallSql(k: Int = 3, nprobe: Int = 2, shortR: Int = BqShortR,
+      queryCap: Int = 64, kmK: Int = 8, kmIters: Int = 2): String =
+    s"""WITH $bqCtesSql,
+       |${kmeansCtes(kmK, kmIters)},
+       |itcn AS (
+       |  SELECT cell, cemb,
+       |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(cemb, x -> x * x)), (a, b) -> a + b)) AS cnrm
+       |  FROM c$kmIters),
+       |ist AS (
+       |  SELECT a.vec_id, a.cell, b.lo, b.hi
+       |  FROM afin a JOIN bq b ON b.vec_id = a.vec_id),
+       |iq AS (SELECT vec_id AS qid, emb AS qemb, nrm AS qnrm, lo AS qlo, hi AS qhi
+       |       FROM bq WHERE vec_id % 50 = 0 ORDER BY vec_id LIMIT $queryCap),
+       |itk AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT q.qid, b.vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q.qid
+       |        ORDER BY ${dotSql("q.qemb", "b.emb")} / (q.qnrm * b.nrm) DESC, b.vec_id) AS rn
+       |    FROM iq q JOIN base b ON b.vec_id <> q.qid) t
+       |  WHERE rn <= $k),
+       |iprobes AS (
+       |  SELECT qid, qemb, qnrm, qlo, qhi, cell FROM (
+       |    SELECT q.qid, q.qemb, q.qnrm, q.qlo, q.qhi, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+       |        ${dotSql("q.qemb", "c.cemb")} / (q.qnrm * c.cnrm) DESC, c.cell) AS prn
+       |    FROM iq q CROSS JOIN itcn c) t
+       |  WHERE prn <= $nprobe),
+       |ish AS (
+       |  SELECT qid, qemb, qnrm, vec_id FROM (
+       |    SELECT p.qid, p.qemb, p.qnrm, s.vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY p.qid
+       |        ORDER BY bit_count(xor(p.qlo, s.lo)) + bit_count(xor(p.qhi, s.hi)), s.vec_id) AS hrn
+       |    FROM iprobes p JOIN ist s ON s.cell = p.cell AND s.vec_id <> p.qid) t
+       |  WHERE hrn <= $shortR),
+       |iann AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT s.qid, s.vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY s.qid
+       |        ORDER BY ${dotSql("s.qemb", "b.emb")} / (s.qnrm * b.nrm) DESC, s.vec_id) AS rn
+       |    FROM ish s JOIN base b ON s.vec_id = b.vec_id) t
+       |  WHERE rn <= $k),
+       |ihits AS (
+       |  SELECT t.qid, COUNT(a.vec_id) AS n_hit
+       |  FROM itk t LEFT JOIN iann a ON t.qid = a.qid AND t.vec_id = a.vec_id
+       |  GROUP BY t.qid)
+       |SELECT qid, CAST($k AS BIGINT) AS n_truth, CAST(n_hit AS BIGINT) AS n_hit,
+       |  CAST(n_hit AS DOUBLE) / CAST($k AS DOUBLE) AS recall
+       |FROM ihits""".stripMargin
 
   /** Hard-negative mining — the contrastive-training data op: for each
     * query vector, the k most-similar vectors carrying a DIFFERENT label

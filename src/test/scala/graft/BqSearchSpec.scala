@@ -56,6 +56,38 @@ class BqSearchSpec extends SparkSpec {
     assert(mean >= 0.8, s"mean BQ recall $mean below bar")
   }
 
+  test("ivfBq: the bit stage costs (almost) no recall beyond the cell bound") {
+    // the compound budget decomposes: cells bound WHICH candidates
+    // exist, bits only reorder the in-cell shortlist — with a 40-wide
+    // rerank over these cell sizes the compound must track the
+    // exact-scan-within-cells recall
+    val e = Tables.embeddings(spark, Sf)
+    val cents = Similarity.kmeansFitMemo(e, Sf, "all")
+    // cells-only recall at the same budget, from the trained curve
+    val cellsOnly = Similarity.ivfRecallCurveTrained(e, cents, nprobes = Seq(4))
+      .collect().head.getAs[Double]("recall")
+    // with the shortlist wide enough to hold every in-cell candidate,
+    // the bit stage is a pure reorder — the compound must EQUAL the
+    // exact-scan-within-cells recall (micro-recall here is the mean
+    // over a uniform per-query truth count, so the two means agree)
+    val wide = Similarity.ivfBqRecall(e, cents, nprobe = 4,
+      queryCap = 64).collect() // default shortR
+    val full = Similarity.knnIvfBqTrained(e, cents, k = 3, nprobe = 4,
+      shortR = 1000000, queryCap = 64)
+    val truth = Similarity.knnBrute(e, k = 3, queryCap = 64)
+      .select(col("qid"), col("vec_id"))
+    val nHit = full.select(col("qid"), col("vec_id"))
+      .join(truth, Seq("qid", "vec_id"), "left_semi").count()
+    val nTruth = truth.count()
+    assert(nHit.toDouble / nTruth === cellsOnly,
+      s"uncapped bit stage must equal the cell bound: ${nHit.toDouble / nTruth} vs $cellsOnly")
+    // at the default 40-wide shortlist, the bit stage may trade some
+    // recall on a tiny corpus (4 of 8 cells hold half of it) — bounded
+    val meanDefault = wide.map(_.getAs[Double]("recall")).sum / wide.length
+    assert(meanDefault >= cellsOnly - 0.25,
+      s"bit stage cost too much recall: compound $meanDefault vs cells $cellsOnly")
+  }
+
   test("bqRecall: every query reports k truths and hits ≤ truths") {
     val rows = Similarity.bqRecall(Tables.embeddings(spark, Sf)).collect()
     rows.foreach { r =>

@@ -124,7 +124,16 @@ object ScaleProbe {
     // then w-keyed string verify over the candidate subset only), never
     // an all-pairs doc join; with planted-dup density constant the
     // profile should track the window scan
-    "q_dedup_substr")
+    "q_dedup_substr",
+    // round-11 late additions: the KMV overlap (its pairwise stage
+    // touches only |sources|²·k sketch rows, so the profile must track
+    // the ONE distinct-(source, shingle) pass plus the exact-audit
+    // join, never the pair count), the shuffle-free Bloom gate (j
+    // broadcast semi-joins over the shingle scan — should track the
+    // scan; the bit set is eval-sized), and the trained IVF+BQ serving
+    // query (cells bound the candidate join, 8-byte codes the in-cell
+    // scan — should track the store scan like its residual-PQ sibling)
+    "q_doc_kmv", "q_doc_bloom", "q_emb_ivfbq")
 
   /** Heaps-ish vocabulary size: 30 tokens at the 5k-doc base (the real
     * table's vocabulary), growing with sqrt(n).

@@ -1642,6 +1642,14 @@ object SparkEntry {
     "q_doc_qclf_pr" -> { (s, dir) =>
       Classifier.prCurve(Tables.documents(s, dir), dir)
     },
+    // Exact ROC-AUC via the rank-sum identity: tie-group midranks in
+    // pure integers (DECIMAL(38,0) products), the exclusive cumsum
+    // computed hierarchically (bounded block triangular join +
+    // block-partitioned windows) — never a corpus-wide unpartitioned
+    // window. One output row, one double division.
+    "q_doc_qclf_auc" -> { (s, dir) =>
+      Classifier.rocAuc(Tables.documents(s, dir), dir)
+    },
     // Classifier CALIBRATION audit (reliability diagram): per fixed
     // predicted-probability band, kept volume + mean predicted p +
     // empirical teacher-positive rate — whether the scores are usable
@@ -4580,6 +4588,7 @@ object SparkEntry {
     "q_doc_qclf" -> Classifier.fitSql(),
     "q_doc_qclf_score" -> Classifier.scoreSql(),
     "q_doc_qclf_pr" -> Classifier.prCurveSql(),
+    "q_doc_qclf_auc" -> Classifier.rocAucSql(),
     "q_doc_qclf_cal" -> Classifier.calibrationSql(),
     "q_doc_langclf" -> Classifier.langClfSql(),
     "q_doc_qclf_bysrc" -> Classifier.scoreBySourceSql(),

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextFunctions, VectorFunctions}
@@ -244,6 +245,71 @@ object Classifier {
         when(col("total_pos") > 0,
           col("cum_tp").cast("double") / col("total_pos").cast("double")).as("recall"))
   }
+
+  /** Exact ROC-AUC via the rank-sum (Mann–Whitney U) identity — the
+    * threshold-free companion to [[prCurve]]'s banded sweep: AUC =
+    * (2·R⁺ − n⁺(n⁺+1)) / (2·n⁺·n⁻) where R⁺ is the sum of POSITIVE
+    * midranks under the score ordering, ties handled exactly by
+    * midranks. Spelled tie-group-wise so every term is an integer:
+    * per distinct quantized score s with n_s rows (p_s positive) and
+    * C_s rows strictly below, 2·R⁺ = Σ_s p_s·(2·C_s + n_s + 1); the
+    * products ride DECIMAL(38,0) (2·R⁺ ≤ 2n², past long at ~3·10⁹
+    * rows — the PMI/Neyman overflow discipline), AUC is ONE double
+    * division.
+    *
+    * Scale shape: NO corpus-wide sort or unpartitioned window — the
+    * grouped (score_q, n, p) table gets its exclusive cumsum
+    * hierarchically: block-level bases via a bounded triangular
+    * broadcast self-join (blocks = score RANGE / 2^20, model-bounded
+    * and corpus-independent: |z| is capped by the weight/feature norms,
+    * prCurve's fixed-band argument), intra-block windows partition on
+    * the block key. Output: ONE row (n_pos, n_neg, auc).
+    */
+  def rocAuc(docs: DataFrame, dir: String): DataFrame = {
+    val g = score(docs, dir)
+      .groupBy(col("score_q"))
+      .agg(count(lit(1)).as("n"), sum(col("label_true")).as("n_pos"))
+      .withColumn("blk", expr("score_q div 1048576"))
+    val blkAgg = g.groupBy(col("blk")).agg(sum(col("n")).as("bn"))
+    val lo = blkAgg.select(col("blk").as("blk_lo"), col("bn").as("bn_lo"))
+    val blkBase = blkAgg.join(broadcast(lo), col("blk_lo") < col("blk"), "left")
+      .groupBy(col("blk")).agg(coalesce(sum(col("bn_lo")), lit(0L)).as("blk_base"))
+    val wi = Window.partitionBy(col("blk")).orderBy(col("score_q"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dec = "decimal(38,0)"
+    g.join(broadcast(blkBase), "blk")
+      .withColumn("c", col("blk_base") + sum(col("n")).over(wi) - col("n"))
+      .agg(sum(col("n_pos")).as("n_pos"),
+        sum(col("n") - col("n_pos")).as("n_neg"),
+        sum(col("n_pos").cast(dec)
+          * (col("c") * 2 + col("n") + 1).cast(dec)).as("r2"))
+      .select(col("n_pos"), col("n_neg"),
+        (col("r2") - col("n_pos").cast(dec) * (col("n_pos") + lit(1L)).cast(dec))
+          .cast("double")
+          ./(lit(2.0) * col("n_pos").cast("double") * col("n_neg").cast("double"))
+          .as("auc"))
+  }
+
+  /** DuckDB mirror of [[rocAuc]] over [[scoreCtes]]' scored frame (flat
+    * window — the hierarchy is a Spark-side plan concern, values
+    * identical).
+    */
+  def rocAucSql(iters: Int = Iters): String =
+    s"""WITH ${scoreCtes(iters)},
+       |aucg AS (
+       |  SELECT score_q, COUNT(*) AS n, CAST(SUM(label_true) AS BIGINT) AS n_pos
+       |  FROM scored GROUP BY score_q),
+       |aucc AS (
+       |  SELECT n, n_pos,
+       |    SUM(n) OVER (ORDER BY score_q
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n AS c
+       |  FROM aucg)
+       |SELECT CAST(SUM(n_pos) AS BIGINT) AS n_pos,
+       |  CAST(SUM(n - n_pos) AS BIGINT) AS n_neg,
+       |  CAST(SUM(CAST(n_pos AS HUGEINT) * (c * 2 + n + 1))
+       |      - CAST(SUM(n_pos) AS HUGEINT) * (SUM(n_pos) + 1) AS DOUBLE)
+       |    / (2.0 * CAST(SUM(n_pos) AS DOUBLE) * CAST(SUM(n - n_pos) AS DOUBLE)) AS auc
+       |FROM aucc""".stripMargin
 
   /** Calibration audit (reliability diagram) — the companion the PR
     * sweep needs before a SOFT gate ships: per fixed predicted-

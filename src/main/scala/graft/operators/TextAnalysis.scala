@@ -425,6 +425,27 @@ object TextAnalysis {
       .select(col("doc_id")).distinct()
   }
 
+  /** Train-offline half of the STREAMING decontamination gate: fold the
+    * eval split's distinct shingle hashes into Spark's Bloom sketch and
+    * return its serialized bytes — a bounded artifact (a few MB at any
+    * corpus size: the filter is sized by the EVAL set, which is a
+    * benchmark suite, not a crawl) collected once and shipped to the
+    * stream as a literal, exactly as [[Classifier.fit]]'s weight vector
+    * ships to [[graft.streaming.DocStream.scoreDocs]]. The documented
+    * bounded-collect exception (gradient/centroid-row discipline).
+    */
+  def evalBloomBytes(evalSet: DataFrame, expectedItems: Long = 1L << 22): Array[Byte] = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graft.bridge
+    val evalShingles = Dedup.shingles(evalSet).select(col("h")).distinct()
+    evalShingles.agg(
+      bridge.column(new BloomFilterAggregate(
+          bridge.expression(col("h")), Literal(expectedItems))
+        .toAggregateExpression()).as("bf"))
+      .collect().head.getAs[Array[Byte]](0)
+  }
+
   /** Per-doc contamination REPORT — the graded companion to the binary
     * [[contaminated]] flag: for each training doc, the fraction of its
     * DISTINCT word-trigram shingles that also occur in the held-out eval

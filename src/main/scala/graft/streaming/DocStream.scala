@@ -617,6 +617,31 @@ object DocStream {
         info: ExpiredTimerInfo): Iterator[SampleCand] = Iterator.empty
   }
 
+  /** Streaming decontamination gate — the ingest-time twin of
+    * [[graft.operators.TextAnalysis.contaminatedBloom]]: a FROZEN Bloom
+    * sketch of the eval split's shingles (trained batch-side by
+    * [[graft.operators.TextAnalysis.evalBloomBytes]], a bounded
+    * artifact) rides the stream as a literal, and each arriving doc is
+    * flagged by ONE narrow `exists(shingle_hashes(text), might_contain)`
+    * projection — zero state, no watermark, no shuffle, the same
+    * frozen-artifact apply discipline as [[scoreDocs]]. Superset
+    * semantics inherited from the sketch: no contaminated doc ever
+    * passes unflagged; over-flags at the filter's FPR go to the exact
+    * recheck, which is a BATCH job over the (tiny) flagged set. Parity
+    * with the batch gate is spec-pinned doc-for-doc.
+    */
+  def bloomGate(docs: org.apache.spark.sql.DataFrame,
+      bloomBytes: Array[Byte]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graft.bridge
+    import org.apache.spark.sql.types.BinaryType
+    docs.select(col("doc_id"),
+      exists(graft.expressions.ShingleHashes.shingle_hashes(col("text")),
+        x => bridge.column(BloomFilterMightContain(
+          Literal(bloomBytes, BinaryType), bridge.expression(x))))
+        .as("bloom_hit"))
+  }
+
   case class ShingleHit(source: String, h: Long)
   case class KmvEntry(source: String, h: Long)
 

@@ -94,6 +94,32 @@ class SketchOpsSpec extends SparkSpec {
     assert(out.count() === docs.select($"doc_id").distinct().count())
   }
 
+  test("bloomGate streaming twin: doc-for-doc parity with the batch bloom gate, stateless") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.DocStream
+    implicit val ctx = spark.sqlContext
+    val docs = Tables.documents(spark, Sf)
+    val train = docs.filter($"doc_id" % 50 =!= 0)
+    val eval = docs.filter($"doc_id" % 50 === 0)
+    val bytes = TextAnalysis.evalBloomBytes(eval)
+    val batchFlagged = TextAnalysis.contaminatedBloom(train, eval)
+      .as[Long].collect().toSet
+    val exact = TextAnalysis.contaminated(train, eval).as[Long].collect().toSet
+    val ms = MemoryStream[(Long, String)]
+    val q = DocStream.bloomGate(ms.toDS().toDF("doc_id", "text"), bytes)
+      .writeStream.format("memory").queryName("bgate").outputMode("append").start()
+    ms.addData(train.select($"doc_id", $"text").as[(Long, String)].collect().toSeq)
+    q.processAllAvailable()
+    val streamFlagged = spark.table("bgate")
+      .filter($"bloom_hit").select($"doc_id").as[Long].collect().toSet
+    val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+    q.stop()
+    assert(streamFlagged === batchFlagged,
+      "stream gate must flag exactly the batch bloom set")
+    assert(exact.subsetOf(streamFlagged), "no contaminated doc may pass unflagged")
+    assert(stateRows === 0L, "the gate must be stateless")
+  }
+
   test("kmv streaming twin: sketch after any batch prefix equals the batch sketch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.DocStream

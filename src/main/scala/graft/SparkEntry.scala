@@ -1013,6 +1013,22 @@ object SparkEntry {
       Similarity.ivfBqRecall(e, Similarity.kmeansFitMemo(e, dir, "all"),
         nprobe = 4)
     },
+    // RESIDUAL BQ under the trained IVF (faiss-faithful): codes =
+    // sign(x − centroid(cell(x))) — zero-centered per cell by
+    // construction, no threshold table; the query re-derives its
+    // residual per probed cell (the residual-PQ discipline), so
+    // Hamming compares like with like inside each cell.
+    "q_emb_ivfbqr" -> { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+      Similarity.knnIvfBqResidualTrained(e,
+        Similarity.kmeansFitMemo(e, dir, "all"), nprobe = 4)
+    },
+    // Recall@3 of the residual-code variant vs brute truth.
+    "q_emb_ivfbqrrecall" -> { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+      Similarity.ivfBqResidualRecall(e,
+        Similarity.kmeansFitMemo(e, dir, "all"), nprobe = 4)
+    },
     "q_emb_buckets" -> { (s, dir) =>
       Similarity.lshBuckets(Tables.embeddings(s, dir)).select(col("vec_id"), col("bucket"))
     },
@@ -3304,6 +3320,8 @@ object SparkEntry {
     "q_emb_bqrecall" -> Similarity.bqRecallSql(),
     "q_emb_ivfbq" -> Similarity.ivfBqSearchSql(nprobe = 4),
     "q_emb_ivfbqrecall" -> Similarity.ivfBqRecallSql(nprobe = 4),
+    "q_emb_ivfbqr" -> Similarity.ivfBqResidualSql(nprobe = 4),
+    "q_emb_ivfbqrrecall" -> Similarity.ivfBqResidualRecallSql(nprobe = 4),
     "q_emb_knn" ->
       s"""WITH ${Similarity.baseSql},
          |q AS (SELECT vec_id AS qid, emb AS qemb, nrm AS qnrm FROM base WHERE vec_id % 50 = 0),

@@ -354,6 +354,165 @@ object Similarity {
        |  FROM irr) t
        |WHERE rn <= $k""".stripMargin
 
+  /** RESIDUAL binary quantization under the trained IVF — the
+    * faiss-faithful refinement of [[knnIvfBqTrained]]: codes are the
+    * sign bits of (x − centroid(cell(x))), not of the raw dims against
+    * a global mean. Residuals are zero-centered per cell BY
+    * CONSTRUCTION (the centroid is the cell mean), so no threshold
+    * table exists at all, and the bits discriminate WITHIN a cell —
+    * where the global-mean codes of a tight cell collapse toward one
+    * word (every member sits on the same side of the global mean in
+    * the dimensions that define the cell). Hamming comparison is only
+    * meaningful between residuals against the SAME centroid, which the
+    * cell equi-join enforces structurally: the query re-derives its
+    * residual per probed cell, exactly as the residual-PQ query tables
+    * do. Same 8-byte store, same two-stage cost story.
+    */
+  def knnIvfBqResidualTrained(e: DataFrame, cents: DataFrame,
+      queryMod: Int = 50, k: Int = 5, nprobe: Int = 2, shortR: Int = BqShortR,
+      queryCap: Int = 64): DataFrame = {
+    val base = withEmb(e).select(col("vec_id"), col("emb"), l2norm(col("emb")).as("nrm"))
+    val cents2 = centsWithNorm(cents)
+    val bitsLo =
+      "aggregate(sequence(0, 31), 0L, (acc, i) -> acc + IF(res[i] > 0D, shiftleft(1L, i), 0L))"
+    val bitsHi =
+      "aggregate(sequence(32, 63), 0L, (acc, i) -> acc + IF(res[i] > 0D, shiftleft(1L, i - 32), 0L))"
+    // stored index: frozen-centroid membership, residual sign codes
+    val store = kmeansAssign(e, cents).select(col("vec_id"), col("cell"))
+      .join(base, "vec_id")
+      .join(broadcast(cents2.select(col("cell"), col("cemb"))), "cell")
+      .withColumn("res", zip_with(col("emb"), col("cemb"), (a, b) => a - b))
+      .select(col("vec_id"), col("cell"),
+        expr(bitsLo).as("lo"), expr(bitsHi).as("hi"))
+    val q = querySet(base, queryMod, queryCap)
+      .select(col("vec_id").as("qid"), col("emb").as("qemb"), col("nrm").as("qnrm"))
+    val probeW = Window.partitionBy(col("qid")).orderBy(col("ccos").desc, col("cell"))
+    // query residual is cell-dependent: re-derived per probed cell
+    val probes = q.crossJoin(broadcast(cents2))
+      .withColumn("ccos", cosineWithNorms(dot(col("qemb"), col("cemb")), col("qnrm"), col("cnrm")))
+      .withColumn("prn", row_number().over(probeW))
+      .filter(col("prn") <= nprobe)
+      .withColumn("res", zip_with(col("qemb"), col("cemb"), (a, b) => a - b))
+      .select(col("qid"), col("qemb"), col("qnrm"), col("cell"),
+        expr(bitsLo).as("qlo"), expr(bitsHi).as("qhi"))
+    val wH = Window.partitionBy(col("qid")).orderBy(col("ham"), col("vec_id"))
+    val short = probes.join(store.hint("shuffle_hash"), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("ham",
+        expr("bit_count(qlo ^ lo) + bit_count(qhi ^ hi)").cast("long"))
+      .withColumn("hrn", row_number().over(wH))
+      .filter(col("hrn") <= shortR)
+      .select(col("qid"), col("qemb"), col("qnrm"), col("vec_id"))
+    topK(broadcast(short).join(base, "vec_id")
+      .withColumn("cos", cosineWithNorms(dot(col("qemb"), col("emb")), col("qnrm"), col("nrm"))), k)
+  }
+
+  /** Recall@k of [[knnIvfBqResidualTrained]] vs brute truth. */
+  def ivfBqResidualRecall(e: DataFrame, cents: DataFrame, k: Int = 3,
+      nprobe: Int = 2, queryCap: Int = 64): DataFrame = {
+    val truth = knnBrute(e, k = k, queryCap = queryCap).select(col("qid"), col("vec_id"))
+    val ann = knnIvfBqResidualTrained(e, cents, k = k, nprobe = nprobe,
+      queryCap = queryCap).select(col("qid"), col("vec_id"))
+    val hit = truth.join(ann, Seq("qid", "vec_id"), "left_semi")
+      .groupBy(col("qid")).agg(count(lit(1)).as("n_hit"))
+    truth.groupBy(col("qid")).agg(count(lit(1)).as("n_truth"))
+      .join(hit, Seq("qid"), "left")
+      .select(col("qid"), col("n_truth"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_truth").cast("double"))
+          .as("recall"))
+  }
+
+  /** Shared DuckDB CTE chain of the residual-BQ search (ends in
+    * `rfin`), serving both the search and recall mirrors.
+    */
+  private def ivfBqResidualChain(k: Int, nprobe: Int, shortR: Int,
+      queryCap: Int, kmK: Int, kmIters: Int): String = {
+    def bits(res: String, off: Int, lo: Int, hi: Int): String =
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range($lo, $hi),
+         |      i -> CASE WHEN $res[i] > 0 THEN (CAST(1 AS BIGINT) << CAST(i - $off AS INTEGER))
+         |                ELSE CAST(0 AS BIGINT) END)), (a, b) -> a + b)""".stripMargin
+    s"""$baseSql,
+       |${kmeansCtes(kmK, kmIters)},
+       |rtcn AS (
+       |  SELECT cell, cemb,
+       |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(cemb, x -> x * x)), (a, b) -> a + b)) AS cnrm
+       |  FROM c$kmIters),
+       |rst AS (
+       |  SELECT a.vec_id, a.cell,
+       |    ${bits("res", 1, 1, 33)} AS lo,
+       |    ${bits("res", 33, 33, 65)} AS hi
+       |  FROM (SELECT a.vec_id, a.cell,
+       |          list_transform(list_zip(b.emb, c.cemb),
+       |            p -> CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) AS res
+       |        FROM afin a JOIN base b ON b.vec_id = a.vec_id
+       |        JOIN rtcn c ON c.cell = a.cell) a),
+       |rq AS (SELECT vec_id AS qid, emb AS qemb, nrm AS qnrm FROM base
+       |       WHERE vec_id % 50 = 0 ORDER BY vec_id LIMIT $queryCap),
+       |rprobes AS (
+       |  SELECT qid, qemb, qnrm, cell,
+       |    ${bits("qres", 1, 1, 33)} AS qlo,
+       |    ${bits("qres", 33, 33, 65)} AS qhi
+       |  FROM (
+       |    SELECT qid, qemb, qnrm, cell,
+       |      list_transform(list_zip(qemb, cemb),
+       |        p -> CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) AS qres
+       |    FROM (
+       |      SELECT q.qid, q.qemb, q.qnrm, c.cell, c.cemb,
+       |        ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+       |          ${dotSql("q.qemb", "c.cemb")} / (q.qnrm * c.cnrm) DESC, c.cell) AS prn
+       |      FROM rq q CROSS JOIN rtcn c) t
+       |    WHERE prn <= $nprobe) u),
+       |rsh AS (
+       |  SELECT qid, qemb, qnrm, vec_id FROM (
+       |    SELECT p.qid, p.qemb, p.qnrm, s.vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY p.qid
+       |        ORDER BY bit_count(xor(p.qlo, s.lo)) + bit_count(xor(p.qhi, s.hi)), s.vec_id) AS hrn
+       |    FROM rprobes p JOIN rst s ON s.cell = p.cell AND s.vec_id <> p.qid) t
+       |  WHERE hrn <= $shortR),
+       |rrr AS (
+       |  SELECT s.qid, s.vec_id,
+       |    ${dotSql("s.qemb", "b.emb")} / (s.qnrm * b.nrm) AS cos
+       |  FROM rsh s JOIN base b ON s.vec_id = b.vec_id),
+       |rfin AS (
+       |  SELECT qid, vec_id, cos, rn FROM (
+       |    SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS BIGINT) AS rn
+       |    FROM rrr) t
+       |  WHERE rn <= $k)""".stripMargin
+  }
+
+  /** DuckDB mirror of [[knnIvfBqResidualTrained]] over the
+    * [[kmeansCtes]] trained chain — residual sign bits, no threshold
+    * table.
+    */
+  def ivfBqResidualSql(k: Int = 5, nprobe: Int = 2, shortR: Int = BqShortR,
+      queryCap: Int = 64, kmK: Int = 8, kmIters: Int = 2): String =
+    s"""WITH ${ivfBqResidualChain(k, nprobe, shortR, queryCap, kmK, kmIters)}
+       |SELECT qid, vec_id, cos, rn FROM rfin""".stripMargin
+
+  /** DuckDB mirror of [[ivfBqResidualRecall]] — the residual-code
+    * chain of [[ivfBqResidualSql]] with the brute-truth hit count.
+    */
+  def ivfBqResidualRecallSql(k: Int = 3, nprobe: Int = 2,
+      shortR: Int = BqShortR, queryCap: Int = 64, kmK: Int = 8,
+      kmIters: Int = 2): String =
+    s"""WITH ${ivfBqResidualChain(k, nprobe, shortR, queryCap, kmK, kmIters)},
+       |rtk AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT q.qid, b.vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q.qid
+       |        ORDER BY ${dotSql("q.qemb", "b.emb")} / (q.qnrm * b.nrm) DESC, b.vec_id) AS rn
+       |    FROM rq q JOIN base b ON b.vec_id <> q.qid) t
+       |  WHERE rn <= $k),
+       |rhits AS (
+       |  SELECT t.qid, COUNT(a.vec_id) AS n_hit
+       |  FROM rtk t LEFT JOIN rfin a ON t.qid = a.qid AND t.vec_id = a.vec_id
+       |  GROUP BY t.qid)
+       |SELECT qid, CAST($k AS BIGINT) AS n_truth, CAST(n_hit AS BIGINT) AS n_hit,
+       |  CAST(n_hit AS DOUBLE) / CAST($k AS DOUBLE) AS recall
+       |FROM rhits""".stripMargin
+
   /** DuckDB mirror of [[ivfBqRecall]]. */
   def ivfBqRecallSql(k: Int = 3, nprobe: Int = 2, shortR: Int = BqShortR,
       queryCap: Int = 64, kmK: Int = 8, kmIters: Int = 2): String =

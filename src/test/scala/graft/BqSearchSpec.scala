@@ -88,6 +88,20 @@ class BqSearchSpec extends SparkSpec {
       s"bit stage cost too much recall: compound $meanDefault vs cells $cellsOnly")
   }
 
+  test("residual codes never rank below global-mean codes at equal budget") {
+    // the PqResidualSpec claim re-run on 1-bit codes: sign(x − cell
+    // centroid) discriminates within a cell where global-mean bits of a
+    // tight cell collapse toward one word
+    val e = Tables.embeddings(spark, Sf)
+    val cents = Similarity.kmeansFitMemo(e, Sf, "all")
+    def mean(rows: Array[org.apache.spark.sql.Row]): Double =
+      rows.map(_.getAs[Double]("recall")).sum / rows.length
+    val raw = mean(Similarity.ivfBqRecall(e, cents, nprobe = 4).collect())
+    val res = mean(Similarity.ivfBqResidualRecall(e, cents, nprobe = 4).collect())
+    assert(res >= raw - 1e-9,
+      s"residual BQ recall $res fell below global-mean $raw at equal budget")
+  }
+
   test("bqRecall: every query reports k truths and hits ≤ truths") {
     val rows = Similarity.bqRecall(Tables.embeddings(spark, Sf)).collect()
     rows.foreach { r =>

@@ -1342,6 +1342,14 @@ object SparkEntry {
     "q_dedup_minhash" -> { (s, dir) =>
       Dedup.minhashCandidates(Dedup.corpus(Tables.documents(s, dir)))
     },
+    // EXACT set-similarity join via prefix filtering (PPJoin/AllPairs):
+    // every Jaccard ≥ 4/5 pair with ZERO misses — the exact-recall
+    // complement to MinHash LSH. Rational threshold: integer prefix
+    // ceil and integer verify (a float ⌈0.8·5⌉ rounds to 5 and silently
+    // shortens the prefix, breaking the no-miss theorem).
+    "q_dedup_ppjoin" -> { (s, dir) =>
+      Dedup.ppjoinPairs(Dedup.corpus(Tables.documents(s, dir)))
+    },
     // Pairs → connected components → deterministic keeper per cluster.
     "q_dedup_clusters" -> { (s, dir) =>
       Dedup.clustersFor(Dedup.corpus(Tables.documents(s, dir)), dir)
@@ -3521,6 +3529,7 @@ object SparkEntry {
       s"""WITH ${Dedup.corpusSql}
          |SELECT md5(text) AS text_md5, COUNT(*) AS n_dups, MIN(doc_id) AS keeper
          |FROM corpus GROUP BY 1 HAVING COUNT(*) > 1""".stripMargin,
+    "q_dedup_ppjoin" -> Dedup.ppjoinPairsSql(),
     "q_dedup_minhash" ->
       s"""WITH ${Dedup.corpusSql},
          |${Dedup.tokSql},

@@ -511,6 +511,103 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** EXACT set-similarity self-join via prefix filtering (the
+    * PPJoin/AllPairs family — Chaudhuri'06 SSJoin, Bayardo'07,
+    * Xiao'08): every pair with shingle-set Jaccard ≥ tNum/tDen, with
+    * ZERO misses — the exact-recall complement to the MinHash-LSH
+    * candidate path (LSH trades a known false-negative rate for
+    * hashing; prefix filtering trades nothing and still never goes
+    * all-pairs). The theorem: order every doc's elements by a GLOBAL
+    * rank (document frequency asc, hash tiebreak — rarest first); if
+    * J(x,y) ≥ t then x and y must share an element inside their first
+    * |x| − ⌈t·|x|⌉ + 1 elements — so the candidate join is an equi-join
+    * on PREFIX elements only, and prefixes are built from each doc's
+    * RAREST elements, exactly the ones with short postings.
+    *
+    * Exactness discipline: the threshold is a RATIONAL tNum/tDen — the
+    * prefix length uses integer ceil ((sz·tNum + tDen − 1) div tDen; a
+    * float ⌈0.8·5⌉ rounds to 5 through IEEE and silently SHORTENS the
+    * prefix, breaking the no-miss theorem), the size filter and the
+    * final verify are pure integer comparisons (ni·tDen ≥
+    * (na+nb−ni)·tNum); the reported jaccard double is display-only.
+    *
+    * Scale shape: df + size tables are grouped counts; the prefix rank
+    * is a per-doc window (high-cardinality partition key); the
+    * candidate join is shuffle-hash on the prefix element with the
+    * size-ratio filter (t·max ≤ min) applied pre-distinct; verify =
+    * the candidate-bounded intersection count ([[verifyJaccard]]'s
+    * shape). Candidate volume is Σ over prefix elements of df² — df of
+    * the RAREST elements, the quantity the ordering minimizes.
+    */
+  def ppjoinPairs(c: DataFrame, tNum: Long = 4, tDen: Long = 5): DataFrame = {
+    val tok = shingles(c).distinct().localCheckpoint(false)
+    val dfh = tok.groupBy(col("h")).agg(count(lit(1)).as("dfh"))
+    val sizes = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val wP = Window.partitionBy(col("doc_id")).orderBy(col("dfh"), col("h"))
+    val pre = tok
+      .join(dfh.hint("shuffle_hash"), Seq("h"))
+      .join(sizes.hint("shuffle_hash"), Seq("doc_id"))
+      .withColumn("rnp", row_number().over(wP))
+      .filter(col("rnp") <=
+        col("sz") - expr(s"(sz * $tNum + ${tDen - 1}) div $tDen") + 1)
+      .select(col("doc_id"), col("h"), col("sz"))
+      .localCheckpoint(false)
+    val cand = pre.alias("a")
+      .join(pre.alias("b").hint("SHUFFLE_HASH"), col("a.h") === col("b.h"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .filter(col("b.sz") * tDen >= col("a.sz") * tNum &&
+        col("a.sz") * tDen >= col("b.sz") * tNum)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val inter = cand
+      .join(tok.select(col("doc_id").as("doc_a"), col("h")).hint("shuffle_hash"), Seq("doc_a"))
+      .join(tok.select(col("doc_id").as("doc_b"), col("h")).hint("shuffle_hash"), Seq("doc_b", "h"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("ni"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("na")).hint("shuffle_hash"), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("nb")).hint("shuffle_hash"), Seq("doc_b"))
+      .filter(col("ni") * tDen >= (col("na") + col("nb") - col("ni")) * tNum)
+      .select(col("doc_a"), col("doc_b"), col("ni"), col("na"), col("nb"),
+        (col("ni").cast("double") / (col("na") + col("nb") - col("ni")).cast("double"))
+          .as("jaccard"))
+  }
+
+  /** DuckDB mirror of [[ppjoinPairs]] over [[corpusSql]] — same global
+    * ordering, integer prefix ceil, and integer verify.
+    */
+  def ppjoinPairsSql(tNum: Long = 4, tDen: Long = 5): String =
+    s"""WITH $corpusSql,
+       |ptok AS (
+       |  SELECT DISTINCT doc_id, h FROM (
+       |    SELECT doc_id, $shingleUnnestSql AS h
+       |    FROM (SELECT doc_id, $toksSql AS toks FROM corpus))),
+       |pdf AS (SELECT h, COUNT(*) AS dfh FROM ptok GROUP BY h),
+       |psz AS (SELECT doc_id, COUNT(*) AS sz FROM ptok GROUP BY doc_id),
+       |ppre AS (
+       |  SELECT doc_id, h, sz FROM (
+       |    SELECT t.doc_id, t.h, s.sz,
+       |      ROW_NUMBER() OVER (PARTITION BY t.doc_id ORDER BY d.dfh, t.h) AS rnp
+       |    FROM ptok t JOIN pdf d USING (h) JOIN psz s USING (doc_id)) x
+       |  WHERE rnp <= sz - ((sz * $tNum + ${tDen - 1}) // $tDen) + 1),
+       |pcand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM ppre a JOIN ppre b ON a.h = b.h AND a.doc_id < b.doc_id
+       |  WHERE b.sz * $tDen >= a.sz * $tNum AND a.sz * $tDen >= b.sz * $tNum),
+       |pint AS (
+       |  SELECT c.doc_a, c.doc_b, COUNT(*) AS ni
+       |  FROM pcand c
+       |  JOIN ptok x ON x.doc_id = c.doc_a
+       |  JOIN ptok y ON y.doc_id = c.doc_b AND y.h = x.h
+       |  GROUP BY 1, 2)
+       |SELECT p.doc_a, p.doc_b, CAST(p.ni AS BIGINT) AS ni,
+       |  CAST(sa.sz AS BIGINT) AS na, CAST(sb.sz AS BIGINT) AS nb,
+       |  CAST(p.ni AS DOUBLE) / CAST(sa.sz + sb.sz - p.ni AS DOUBLE) AS jaccard
+       |FROM pint p
+       |JOIN psz sa ON sa.doc_id = p.doc_a
+       |JOIN psz sb ON sb.doc_id = p.doc_b
+       |WHERE p.ni * $tDen >= (sa.sz + sb.sz - p.ni) * $tNum""".stripMargin
+
   /** Persisted dedup index — the daily-crawl artifact: the base corpus's
     * distinct token hashes and LSH band table written ONCE to parquet
     * and served back as parquet-backed frames (the

@@ -133,7 +133,13 @@ object ScaleProbe {
     // scan; the bit set is eval-sized), and the trained IVF+BQ serving
     // query (cells bound the candidate join, 8-byte codes the in-cell
     // scan — should track the store scan like its residual-PQ sibling)
-    "q_doc_kmv", "q_doc_bloom", "q_emb_ivfbq")
+    "q_doc_kmv", "q_doc_bloom", "q_emb_ivfbq",
+    // the exact set-similarity join: the claim under test is that
+    // candidate volume rides the RAREST-element postings (Σ prefix
+    // df²) — prefix filtering must not degenerate toward all-pairs as
+    // the corpus grows (Heaps-law vocabulary growth keeps prefix
+    // elements rare, the same property the LSH probes rely on)
+    "q_dedup_ppjoin")
 
   /** Heaps-ish vocabulary size: 30 tokens at the 5k-doc base (the real
     * table's vocabulary), growing with sqrt(n).

@@ -726,4 +726,52 @@ class DedupSpec extends SparkSpec {
       "planted same-source copies must produce diagonal entries")
   }
 
+  test("ppjoin: exact-recall theorem — output equals brute all-pairs Jaccard at the threshold") {
+    val c = Dedup.corpus(Tables.documents(spark, Sf))
+    val got = Dedup.ppjoinPairs(c).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    // independent brute truth: collected distinct shingle sets,
+    // all-pairs integer-threshold Jaccard (docs with no shingles are
+    // absent from the token table on both sides)
+    val sets = Dedup.shingles(c).distinct().collect()
+      .groupBy(_.getLong(0)).map { case (d, rs) => d -> rs.map(_.getLong(1)).toSet }
+    val ids = sets.keys.toSeq.sorted
+    val brute = (for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+      a = ids(i); b = ids(j)
+      ni = (sets(a) & sets(b)).size
+      if ni * 5L >= (sets(a).size + sets(b).size - ni) * 4L
+    } yield (a, b)).toSet
+    assert(got === brute,
+      s"missed ${(brute -- got).size}, extra ${(got -- brute).size} of ${brute.size}")
+    // the planted exact copies (J = 1) are necessarily in there
+    val exactPlants = ids.filter(d => d >= 2000000L && ids.contains(d - 2000000L))
+      .map(d => (d - 2000000L, d)).toSet
+    assert(exactPlants.subsetOf(got), "planted exact copies must be found")
+  }
+
+  test("ppjoin: prefix ceil stays integer — the float-⌈0.8·5⌉ trap never fires") {
+    // five docs of exactly 5 shingles each (7 tokens): at t = 4/5 the
+    // prefix length is 5 − ⌈4⌉ + 1 = 2; an IEEE ⌈0.8·5⌉ = ⌈4.0000…2⌉ = 5
+    // would cut it to 1 and MISS the planted J=0.8 pair, which overlaps
+    // only from its second-rarest element on
+    val docs = Seq( // 7 tokens → 5 trigram shingles each
+      (1L, "en", "a b c d e f g"),
+      (2L, "en", "z b c d e f g"),
+      (3L, "en", "p q r s t u v"))
+      .toDF("doc_id", "lang", "text")
+    val out = Dedup.ppjoinPairs(docs)
+      .collect().map(r => ((r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")),
+        (r.getAs[Long]("ni"), r.getAs[Double]("jaccard")))).toMap
+    // doc1 shingles: abc bcd cde def efg; doc2: zbc bcd cde def efg →
+    // inter 4, union 6 → J = 2/3 < 4/5: must NOT pair at t=4/5
+    assert(!out.contains((1L, 2L)))
+    // at t = 2/3 (ni·3 ≥ union·2 → 12 ≥ 12) the pair must appear, and
+    // the prefix math must keep it: sz=5, prefix = 5 − ⌈10/3⌉ + 1 = 2
+    val loose = Dedup.ppjoinPairs(docs, tNum = 2, tDen = 3)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(loose.contains((1L, 2L)), "boundary pair at exactly t must be kept")
+    assert(!loose.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsOfJoin, Classifier, Curation, Dedup, EntityResolution, Maintenance, Multimodal, OrderPipeline, RefOrders, Retrieval, Similarity, TextAnalysis}
+import graft.operators.{AsOfJoin, Classifier, Curation, Dedup, EntityResolution, Experiment, Maintenance, Multimodal, OrderPipeline, RefOrders, Retrieval, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -2007,6 +2007,18 @@ object SparkEntry {
         .select($"type_a", $"type_b", $"n_ab", $"n_a", $"n_b", $"n_users",
           (($"n_users" * $"n_ab").cast("double") / ($"n_a" * $"n_b").cast("double")).as("lift"))
     },
+    // CUPED variance-reduced experiment read-out (Deng'13): per-user
+    // pre/post value sums around the deterministic time midpoint,
+    // variant = user_id % 2, θ = cov(pre, post)/var(pre) from EXACT
+    // integer moments (values quantized ×100 — two-decimal inputs are
+    // exact; DECIMAL(38,0) product sums, the PMI/Neyman discipline;
+    // n·Σxy − Σx·Σy spellings keep the numerators integer-exact),
+    // adjusted mean = mean_post − θ·(mean_pre − global mean_pre). The
+    // var_reduction column (= ρ²) is the fraction of post-period
+    // variance the covariate removes — why every large A/B platform
+    // runs CUPED. Two output rows; every stage is a grouped agg with
+    // map-side partials, the global moments a 1-row broadcast.
+    "q_ev_cuped" -> { (s, dir) => Experiment.cuped(Tables.events(s, dir)) },
     // First/last-touch conversion attribution — the materialized
     // attribution table a marketing/ranking pipeline writes: each
     // purchase credited to the earliest (first-touch) and latest
@@ -4861,6 +4873,45 @@ object SparkEntry {
         |   CASE WHEN n_orders >= f_med THEN 'F' ELSE 'f' END ||
         |   CASE WHEN spend >= m_med THEN 'M' ELSE 'm' END) AS segment
         |FROM pr CROSS JOIN th""".stripMargin,
+    "q_ev_cuped" ->
+      """WITH cev AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
+        |    CAST(ROUND(value * 100) AS BIGINT) AS vq
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+        |cmid AS (SELECT (MIN(tus) + MAX(tus)) // 2 AS mid FROM cev),
+        |cper AS (
+        |  SELECT user_id, user_id % 2 AS variant,
+        |    SUM(CASE WHEN tus < mid THEN vq ELSE 0 END) AS x,
+        |    SUM(CASE WHEN tus >= mid THEN vq ELSE 0 END) AS y
+        |  FROM cev CROSS JOIN cmid GROUP BY user_id),
+        |cglob AS (
+        |  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+        |    SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+        |    SUM(CAST(x AS HUGEINT) * x) AS sxx,
+        |    SUM(CAST(y AS HUGEINT) * y) AS syy,
+        |    SUM(CAST(x AS HUGEINT) * y) AS sxy
+        |  FROM cper),
+        |cth AS (
+        |  SELECT *,
+        |    CAST(n * sxy - sx * sy AS DOUBLE) AS covn,
+        |    CAST(n * sxx - sx * sx AS DOUBLE) AS varn,
+        |    CAST(n * syy - sy * sy AS DOUBLE) AS varyn
+        |  FROM cglob),
+        |cv AS (
+        |  SELECT variant, COUNT(*) AS n_users,
+        |    SUM(CAST(x AS HUGEINT)) AS sxv, SUM(CAST(y AS HUGEINT)) AS syv
+        |  FROM cper GROUP BY variant)
+        |SELECT variant, CAST(n_users AS BIGINT) AS n_users,
+        |  CAST(sxv AS DOUBLE) / (CAST(n_users AS DOUBLE) * 100.0) AS mean_pre,
+        |  CAST(syv AS DOUBLE) / (CAST(n_users AS DOUBLE) * 100.0) AS mean_post,
+        |  CASE WHEN varn > 0 THEN covn / varn ELSE 0.0 END AS theta,
+        |  CAST(syv AS DOUBLE) / (CAST(n_users AS DOUBLE) * 100.0)
+        |    - (CASE WHEN varn > 0 THEN covn / varn ELSE 0.0 END)
+        |      * (CAST(sxv AS DOUBLE) / (CAST(n_users AS DOUBLE) * 100.0)
+        |         - CAST(sx AS DOUBLE) / (CAST(n AS DOUBLE) * 100.0)) AS mean_adj,
+        |  CASE WHEN varn > 0 AND varyn > 0 THEN covn * covn / (varn * varyn)
+        |       ELSE 0.0 END AS var_reduction
+        |FROM cv CROSS JOIN cth""".stripMargin,
     "q_ev_lift" ->
       """WITH ut AS (
         |  SELECT DISTINCT user_id, event_type FROM events

@@ -1932,6 +1932,18 @@ object TextAnalysis {
         explode(graft.expressions.ShingleHashes.shingle_hashes(col("text"))).as("h"))
       .distinct(), k)
 
+  /** Merge two per-source bottom-k sketch tables WITHOUT re-scanning
+    * either corpus — the mergeability law that makes KMV the right
+    * cross-crawl summary (same contract as [[sourceMixMerge]] and the
+    * CMS cell-wise sum): bottom-k is closed under union, so
+    * sketch(A ∪ B) = k smallest of sketch(A) ∪ sketch(B), exactly.
+    * Per-source grouped distinct + the same bounded-heap k-min; input
+    * and output are both \|sources\|·k-row artifacts, corpus never
+    * touched (spec-pinned merge ≡ full-corpus sketch).
+    */
+  def kmvMerge(a: DataFrame, b: DataFrame, k: Int = KmvK): DataFrame =
+    kmvSketchOf(a.unionByName(b).distinct(), k)
+
   def kmvOverlap(docs: DataFrame, k: Int = KmvK): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._

@@ -617,6 +617,26 @@ object DocStream {
         info: ExpiredTimerInfo): Iterator[SampleCand] = Iterator.empty
   }
 
+  /** Streaming twin of [[graft.operators.Curation.domainPrior]]'s
+    * counting stage: per-source (n_docs, n_pass) Gopher-rule counters
+    * over a document stream — the rules are a pure narrow map
+    * ([[graft.operators.TextAnalysis.gopherRules]], the same expression
+    * tree as batch), so the counters stream through built-in
+    * incremental aggregation with ZERO custom state (the cmsCells
+    * pattern): run in Update mode, each batch re-emits only the sources
+    * it touched, and the LATEST emission per source is the counter
+    * table. The Beta smoothing is applied AT READ over these counters
+    * plus the 1-row global moment (both \|sources\|-bounded) — the
+    * prior itself needs no streaming state. State = the \|sources\|-row
+    * counter table: constant for any stream length.
+    */
+  def domainCounters(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    graft.operators.TextAnalysis.gopherRules(docs, passthrough = Seq("source"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("pass"), 1L).otherwise(0L)).as("n_pass"))
+
   /** Streaming decontamination gate — the ingest-time twin of
     * [[graft.operators.TextAnalysis.contaminatedBloom]]: a FROZEN Bloom
     * sketch of the eval split's shingles (trained batch-side by

@@ -47,6 +47,34 @@ class CurationSpec extends SparkSpec {
     assert(out("big").getAs[Double]("shrink") > out("tiny").getAs[Double]("shrink"))
   }
 
+  test("domainCounters streaming twin: latest per-source counters equal the batch stage") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.DocStream
+    implicit val ctx = spark.sqlContext
+    val rows = docs.select($"doc_id", $"text", $"source")
+      .as[(Long, String, String)].collect()
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    val ms = MemoryStream[(Long, String, String)]
+    val q = DocStream.domainCounters(ms.toDS().toDF("doc_id", "text", "source"))
+      .writeStream.format("memory").queryName("domcnt").outputMode("update").start()
+    ms.addData(b1.toSeq); q.processAllAvailable()
+    ms.addData(b2.toSeq); q.processAllAvailable()
+    q.stop()
+    // Update mode: the LATEST emission per source is the counter table
+    val got = spark.table("domcnt").collect()
+      .zipWithIndex
+      .groupBy(_._1.getString(0))
+      .map { case (s, rs) =>
+        val last = rs.maxBy(_._2)._1
+        s -> ((last.getLong(1), last.getLong(2)))
+      }
+    val expect = TextAnalysis.gopherRules(docs, passthrough = Seq("source"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n"), sum(when($"pass", 1L).otherwise(0L)).as("p"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === expect, "stream counters must equal the batch stage")
+  }
+
   test("leakSafeSplit: no duplicate cluster straddles a split; singletons match assignSplit") {
     import graft.operators.Dedup
     val c = Dedup.corpus(docs)

@@ -94,6 +94,18 @@ class SketchOpsSpec extends SparkSpec {
     assert(out.count() === docs.select($"doc_id").distinct().count())
   }
 
+  test("kmvMerge: two crawl-shard sketches merge exactly to the full-corpus sketch") {
+    val docs = Tables.documents(spark, Sf)
+    val k = 16 // small k so the merge genuinely displaces entries
+    val skA = TextAnalysis.kmvSketch(docs.filter($"doc_id" % 2 === 0), k)
+    val skB = TextAnalysis.kmvSketch(docs.filter($"doc_id" % 2 =!= 0), k)
+    val merged = TextAnalysis.kmvMerge(skA, skB, k).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val full = TextAnalysis.kmvSketch(docs, k).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(merged === full, "bottom-k must be closed under union, exactly")
+  }
+
   test("bloomGate streaming twin: doc-for-doc parity with the batch bloom gate, stateless") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.DocStream

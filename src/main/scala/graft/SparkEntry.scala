@@ -649,6 +649,11 @@ object SparkEntry {
     // number (shrink = n/(n+τ) says which). One narrow rules pass with
     // source ridden through, |sources| output rows.
     "q_doc_domprior" -> { (s, dir) => Curation.domainPrior(Tables.documents(s, dir)) },
+    // k-anonymity release manifest over the (lang, source)
+    // quasi-identifiers: global recoding up a 2-level generalization
+    // hierarchy — every doc in the least-generalized class reaching
+    // size ≥ k; the metadata-side privacy gate next to piirate/redact.
+    "q_doc_kanon" -> { (s, dir) => Curation.kAnonymize(Tables.documents(s, dir)) },
     // Temperature-scaled (α = 1/2) source sampling weights: integer-exact
     // floor(sqrt) quantization, one grouped agg + 1-row broadcast total.
     "q_doc_mixalpha" -> { (s, dir) => Curation.mixtureWeights(Tables.documents(s, dir)) },
@@ -3984,6 +3989,7 @@ object SparkEntry {
          |  CAST(n_docs AS DOUBLE) / CAST((SELECT SUM(n_docs) FROM per) AS DOUBLE) AS doc_share
          |FROM per""".stripMargin,
     "q_doc_domprior" -> Curation.domainPriorSql(),
+    "q_doc_kanon" -> Curation.kAnonymizeSql(),
     "q_doc_mixalpha" ->
       s"""WITH per AS (
          |  SELECT source,

@@ -712,6 +712,69 @@ object Curation {
        |  CAST(n_docs AS DOUBLE) / (CAST(n_docs AS DOUBLE) + $pseudo) AS shrink
        |FROM dper CROSS JOIN dglob""".stripMargin
 
+  /** k-anonymity enforcement over the (lang, source) quasi-identifier
+    * pair — the release-side privacy gate next to the PII family
+    * (piiRate/redact find identifiers IN the text; this bounds what the
+    * METADATA reveals): global recoding up a 2-level generalization
+    * hierarchy (Samarati/Sweeney). Every doc lands in the LEAST
+    * generalized class that reaches size ≥ k: level 0 keeps (lang,
+    * source) where that group alone has ≥ k docs; docs from smaller
+    * groups pool into level 1 (lang, *) — counted over the POOLED
+    * records only, not the already-safe ones (generalizing safe rows
+    * would destroy utility for nothing); still-small pools roll into
+    * the level-2 (*, *) remainder, whose `ok` flag reports whether even
+    * full suppression reaches k (a sub-k corpus cannot be released at
+    * all). Output: one row per released equivalence class — lang_out,
+    * source_out, level, n_docs, ok — the release manifest.
+    *
+    * Scale shape: two grouped counts over quasi-identifier cardinality
+    * (≤ \|langs\|·\|sources\|), each a map-side-combinable agg; the
+    * level-0 risky set is a broadcast anti-join key table. Nothing
+    * corpus-sized moves except the one scan.
+    */
+  def kAnonymize(docs: DataFrame, k: Long = 10L): DataFrame = {
+    val g0 = docs.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .localCheckpoint(false)
+    val safe0 = g0.filter(col("n_docs") >= k)
+      .select(col("lang").as("lang_out"), col("source").as("source_out"),
+        lit(0L).as("level"), col("n_docs"), lit(true).as("ok"))
+    val risky0 = g0.filter(col("n_docs") < k)
+    val g1 = risky0.groupBy(col("lang")).agg(sum(col("n_docs")).as("n_docs"))
+    val safe1 = g1.filter(col("n_docs") >= k)
+      .select(col("lang").as("lang_out"), lit("*").as("source_out"),
+        lit(1L).as("level"), col("n_docs"), lit(true).as("ok"))
+    val rest = g1.filter(col("n_docs") < k)
+      .agg(coalesce(sum(col("n_docs")), lit(0L)).as("n_docs"))
+      .filter(col("n_docs") > 0)
+      .select(lit("*").as("lang_out"), lit("*").as("source_out"),
+        lit(2L).as("level"), col("n_docs"), (col("n_docs") >= k).as("ok"))
+    safe0.unionByName(safe1).unionByName(rest)
+  }
+
+  /** DuckDB mirror of [[kAnonymize]]. */
+  def kAnonymizeSql(k: Long = 10L): String =
+    s"""WITH kg0 AS (
+       |  SELECT lang, source, COUNT(*) AS n_docs
+       |  FROM documents GROUP BY lang, source),
+       |kg1 AS (
+       |  SELECT lang, CAST(SUM(n_docs) AS BIGINT) AS n_docs
+       |  FROM kg0 WHERE n_docs < $k GROUP BY lang),
+       |krest AS (
+       |  SELECT CAST(COALESCE(SUM(n_docs), 0) AS BIGINT) AS n_docs
+       |  FROM kg1 WHERE n_docs < $k)
+       |SELECT lang AS lang_out, source AS source_out,
+       |  CAST(0 AS BIGINT) AS level, CAST(n_docs AS BIGINT) AS n_docs, TRUE AS ok
+       |FROM kg0 WHERE n_docs >= $k
+       |UNION ALL
+       |SELECT lang AS lang_out, '*' AS source_out,
+       |  CAST(1 AS BIGINT) AS level, n_docs, TRUE AS ok
+       |FROM kg1 WHERE n_docs >= $k
+       |UNION ALL
+       |SELECT '*' AS lang_out, '*' AS source_out,
+       |  CAST(2 AS BIGINT) AS level, n_docs, (n_docs >= $k) AS ok
+       |FROM krest WHERE n_docs > 0""".stripMargin
+
   def sourceMixMerge(a: DataFrame, b: DataFrame): DataFrame = {
     val per = a.unionByName(b)
       .groupBy(col("source"))

@@ -47,6 +47,40 @@ class CurationSpec extends SparkSpec {
     assert(out("big").getAs[Double]("shrink") > out("tiny").getAs[Double]("shrink"))
   }
 
+  test("kAnonymize: hand fixture hits all three levels; conservation and the k bar hold") {
+    // k=3. (en, a): 3 docs → safe at level 0. (en, b): 2 and (en, c): 1
+    // pool to (en, *) = 3 → level 1. (de, d): 2 pools to (de, *) = 2,
+    // still < 3 → level-2 remainder of 2, ok = false.
+    val rows =
+      (1 to 3).map(i => (i.toLong, "t", "en", "a")) ++
+      (4 to 5).map(i => (i.toLong, "t", "en", "b")) ++
+      Seq((6L, "t", "en", "c")) ++
+      (7 to 8).map(i => (i.toLong, "t", "de", "d"))
+    val out = Curation.kAnonymize(
+        rows.toDF("doc_id", "text", "lang", "source"), k = 3L)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(out(("en", "a")) === ((0L, 3L, true)))
+    assert(out(("en", "*")) === ((1L, 3L, true)))
+    assert(out(("*", "*")) === ((2L, 2L, false)))
+    assert(out.size === 3)
+    assert(out.values.map(_._2).sum === 8L, "every doc lands in exactly one class")
+  }
+
+  test("kAnonymize on the corpus: conservation, k bar on ok classes, levels consistent") {
+    val out = Curation.kAnonymize(docs, k = 10L).collect()
+    val total = docs.count()
+    assert(out.map(_.getLong(3)).sum === total, "release classes partition the corpus")
+    out.foreach { r =>
+      val (level, n, ok) = (r.getLong(2), r.getLong(3), r.getBoolean(4))
+      if (level < 2) assert(ok && n >= 10L, s"released class below k: $r")
+      else assert(ok === (n >= 10L))
+      assert(level >= 0 && level <= 2)
+      if (level >= 1) assert(r.getString(1) === "*")
+      if (level === 2) assert(r.getString(0) === "*")
+    }
+  }
+
   test("domainCounters streaming twin: latest per-source counters equal the batch stage") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.DocStream

@@ -1959,9 +1959,10 @@ object TextAnalysis {
     val est = perSrc.join(exact, "source")
       .withColumn("est", when(col("n_sk") < k, col("n_sk").cast("double"))
         .otherwise(lit((k - 1).toLong * P).cast("double") / col("theta").cast("double")))
-    // ordered source pairs (tiny: |sources|²)
+    // ordered source pairs (tiny: |sources|²) — broadcast-wrapped like
+    // every other constant-bounded crossJoin in the suite
     val pairs = est.select(col("source").as("src_a")).distinct()
-      .crossJoin(est.select(col("source").as("src_b")).distinct())
+      .crossJoin(broadcast(est.select(col("source").as("src_b")).distinct()))
       .filter(col("src_a") < col("src_b"))
     // union sketch per pair: k smallest of sketch(A) ∪ sketch(B), with
     // per-side membership flags riding along

@@ -4883,7 +4883,8 @@ object SparkEntry {
       """WITH cev AS (
         |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
         |    CAST(ROUND(value * 100) AS BIGINT) AS vq
-        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND value IS NOT NULL AND abs(value) < 9e15),
         |cmid AS (SELECT (MIN(tus) + MAX(tus)) // 2 AS mid FROM cev),
         |cper AS (
         |  SELECT user_id, user_id % 2 AS variant,

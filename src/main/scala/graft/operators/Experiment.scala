@@ -33,8 +33,14 @@ object Experiment {
     */
   def cuped(events: DataFrame): DataFrame = {
     val dec = "decimal(38,0)"
+    // abs(v) < 9e15 drops NaN and ±Inf in BOTH engines (each orders NaN
+    // above every value, so the comparison is false) and bounds the
+    // quantized product inside long — the embeddingHealth junk-row
+    // discipline: ANSI would otherwise CAST_OVERFLOW the whole query on
+    // one poisoned row
     val ev = events
-      .filter(col("user_id").isNotNull && col("value").isNotNull)
+      .filter(col("user_id").isNotNull && col("value").isNotNull &&
+        abs(col("value")) < 9e15)
       .select(col("user_id"), unix_micros(col("ts")).as("tus"),
         expr("cast(round(value * 100) as long)").as("vq"))
     val mid = ev.agg(expr("(min(tus) + max(tus)) div 2").as("mid"))

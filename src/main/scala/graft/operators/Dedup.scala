@@ -544,9 +544,14 @@ object Dedup {
     val dfh = tok.groupBy(col("h")).agg(count(lit(1)).as("dfh"))
     val sizes = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val wP = Window.partitionBy(col("doc_id")).orderBy(col("dfh"), col("h"))
+    // sz rides the SAME doc_id exchange as the rank window (an
+    // unordered count-over frame, no extra sort) instead of a
+    // shuffle-hash join of the per-doc size table onto the corpus-sized
+    // token stream — one fewer exchange on the big side
+    val wC = Window.partitionBy(col("doc_id"))
     val pre = tok
       .join(dfh.hint("shuffle_hash"), Seq("h"))
-      .join(sizes.hint("shuffle_hash"), Seq("doc_id"))
+      .withColumn("sz", count(lit(1)).over(wC))
       .withColumn("rnp", row_number().over(wP))
       .filter(col("rnp") <=
         col("sz") - expr(s"(sz * $tNum + ${tDen - 1}) div $tDen") + 1)

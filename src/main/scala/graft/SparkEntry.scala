@@ -2024,6 +2024,10 @@ object SparkEntry {
     // runs CUPED. Two output rows; every stage is a grouped agg with
     // map-side partials, the global moments a 1-row broadcast.
     "q_ev_cuped" -> { (s, dir) => Experiment.cuped(Tables.events(s, dir)) },
+    // Winsorized robust metrics: per event type, exact p99 cap, raw vs
+    // capped means (quantized integer sums), capped-row permille — the
+    // whale-user outlier step a metrics pipeline runs before CUPED.
+    "q_ev_winsor" -> { (s, dir) => Experiment.winsorize(Tables.events(s, dir)) },
     // First/last-touch conversion attribution — the materialized
     // attribution table a marketing/ranking pipeline writes: each
     // purchase credited to the earliest (first-touch) and latest
@@ -4879,6 +4883,7 @@ object SparkEntry {
         |   CASE WHEN n_orders >= f_med THEN 'F' ELSE 'f' END ||
         |   CASE WHEN spend >= m_med THEN 'M' ELSE 'm' END) AS segment
         |FROM pr CROSS JOIN th""".stripMargin,
+    "q_ev_winsor" -> Experiment.winsorizeSql(),
     "q_ev_cuped" ->
       """WITH cev AS (
         |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tus,

@@ -31,6 +31,61 @@ object Experiment {
     * partials) → a 1-row global-moment broadcast and a ≤ 2-row variant
     * table. Nothing corpus-sized moves twice.
     */
+  /** Winsorized robust metrics per event type — the outlier-capping
+    * step a metrics pipeline runs BEFORE [[cuped]] (one whale user
+    * otherwise owns the variance the experiment is trying to detect
+    * through): per type, the exact interpolated p-quantile cap of
+    * `value`, raw vs winsorized totals/means (values and the capped
+    * values quantized ×100 — order-free integer sums; the cap itself is
+    * the one interpolated double, computed by the same `percentile` ≡
+    * `quantile_cont` arithmetic the quality gate's q_doc_qthresh pins
+    * cross-engine), and the capped-row permille. Output ≤ |types| rows;
+    * the quantile is the only non-streaming aggregate (exact
+    * percentile's value→count partial state — the documented
+    * percentile_approx swap applies at extreme cardinality).
+    */
+  def winsorize(events: DataFrame, p: Double = 0.99): DataFrame = {
+    val ev = events
+      .filter(col("event_type").isNotNull && col("value").isNotNull &&
+        abs(col("value")) < 9e15)
+      .select(col("event_type"), col("value"))
+    val caps = ev.groupBy(col("event_type"))
+      .agg(percentile(col("value"), lit(p)).as("cap"))
+    ev.join(broadcast(caps), "event_type")
+      .select(col("event_type"), col("cap"),
+        expr("cast(round(value * 100) as long)").as("vq"),
+        expr("cast(round(least(value, cap) * 100) as long)").as("wq"),
+        when(col("value") > col("cap"), 1L).otherwise(0L).as("capped"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), max(col("cap")).as("cap"),
+        sum(col("vq")).as("raw_q"), sum(col("wq")).as("wins_q"),
+        sum(col("capped")).as("n_capped"))
+      .select(col("event_type"), col("n"), col("cap"),
+        (col("raw_q").cast("double") / (col("n").cast("double") * 100.0)).as("raw_mean"),
+        (col("wins_q").cast("double") / (col("n").cast("double") * 100.0)).as("wins_mean"),
+        expr("n_capped * 1000 div n").as("capped_permille"))
+  }
+
+  /** DuckDB mirror of [[winsorize]]. */
+  def winsorizeSql(p: Double = 0.99): String =
+    s"""WITH wev AS (
+       |  SELECT event_type, value FROM events
+       |  WHERE event_type IS NOT NULL AND value IS NOT NULL AND abs(value) < 9e15),
+       |wcap AS (
+       |  SELECT event_type, quantile_cont(value, $p) AS cap
+       |  FROM wev GROUP BY event_type),
+       |wrow AS (
+       |  SELECT e.event_type, c.cap,
+       |    CAST(ROUND(e.value * 100) AS BIGINT) AS vq,
+       |    CAST(ROUND(LEAST(e.value, c.cap) * 100) AS BIGINT) AS wq,
+       |    CASE WHEN e.value > c.cap THEN 1 ELSE 0 END AS capped
+       |  FROM wev e JOIN wcap c USING (event_type))
+       |SELECT event_type, COUNT(*) AS n, MAX(cap) AS cap,
+       |  CAST(SUM(vq) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * 100.0) AS raw_mean,
+       |  CAST(SUM(wq) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * 100.0) AS wins_mean,
+       |  CAST(SUM(capped) * 1000 // COUNT(*) AS BIGINT) AS capped_permille
+       |FROM wrow GROUP BY event_type""".stripMargin
+
   def cuped(events: DataFrame): DataFrame = {
     val dec = "decimal(38,0)"
     // abs(v) < 9e15 drops NaN and ±Inf in BOTH engines (each orders NaN

@@ -57,6 +57,42 @@ class ExperimentSpec extends SparkSpec {
     }
   }
 
+  test("winsorize: hand-computed cap, whale row capped, permille exact") {
+    // type "buy": values 1..9 plus a 1000.0 whale; p=0.5 over the 10
+    // sorted values interpolates cap = (5 + 6)/2 = 5.5; rows above 5.5
+    // → 6, 7, 8, 9, 1000 = 5 of 10 → 500 permille; winsorized sum =
+    // 1+2+3+4+5 + 5·5.5 = 42.5
+    val hour = 3600L * 1000000L
+    val rows = ((1 to 9).map(_.toDouble) :+ 1000.0).zipWithIndex.map {
+      case (v, i) => (i.toLong, new java.sql.Timestamp(hour * i / 1000), "buy", v)
+    }
+    val out = Experiment.winsorize(
+        rows.toDF("user_id", "ts", "event_type", "value"), p = 0.5)
+      .collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Double]("cap") === 5.5)
+    assert(r.getAs[Long]("capped_permille") === 500L)
+    assert(math.abs(r.getAs[Double]("wins_mean") - 4.25) < 1e-12)
+    assert(math.abs(r.getAs[Double]("raw_mean") - 104.5) < 1e-12)
+  }
+
+  test("winsorize on the corpus: capped mean never exceeds raw, cap rate bounded by 1-p") {
+    val out = Experiment.winsorize(Tables.events(spark, Sf)).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Double]("wins_mean") <= r.getAs[Double]("raw_mean") + 1e-12)
+      // exact p99 cap: at most floor(n/100)+1 rows sit strictly above
+      // the interpolated quantile (the +1 matters at sf0.001's ~150
+      // rows per type, where 1% of n rounds to one row)
+      val n = r.getAs[Long]("n")
+      val maxCapped = n / 100 + 1
+      val capped = r.getAs[Long]("capped_permille") * n / 1000
+      assert(capped <= maxCapped,
+        s"${r.getAs[String]("event_type")}: $capped of $n capped")
+    }
+  }
+
   test("cuped on the corpus: accounting, bounded rho^2, adjusted means shift by theta") {
     val out = Experiment.cuped(Tables.events(spark, Sf)).collect()
     assert(out.length === 2)

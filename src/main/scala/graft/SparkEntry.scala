@@ -388,6 +388,21 @@ object SparkEntry {
     "q_doc_ndcg" -> { (s, dir) =>
       Retrieval.ndcgAudit(Tables.documents(s, dir), SearchTerms)
     },
+    // Score-based hybrid fusion (the RRF complement): per (list, qid)
+    // min-max normalization, fused = 0.5·lex + 0.5·vec — the convex
+    // combination production hybrid search uses when score SHAPE
+    // matters; same bounded per-query economics as q_doc_rrf.
+    "q_doc_hybrid" -> { (s, dir) =>
+      val lexTop = TextAnalysis.bm25Search(Tables.documents(s, dir), SearchTerms)
+        .orderBy(col("score_odds_nanos").desc, col("doc_id")).limit(20)
+        .select(col("doc_id"), col("score_odds_nanos").cast("double").as("score"))
+      val qids = Tables.embeddings(s, dir)
+        .filter(col("vec_id") % 50 === 0).select(col("vec_id").as("qid"))
+      val lex = qids.crossJoin(broadcast(lexTop))
+      val vec = Similarity.knnLshMultiProbe(Tables.embeddings(s, dir), queryMod = 50, k = 20)
+        .select(col("qid"), col("vec_id").as("doc_id"), col("cos").as("score"))
+      Retrieval.hybridFuse(Seq((lex, 0.5), (vec, 0.5)), topK = 10)
+    },
     "q_doc_rrf" -> { (s, dir) =>
       val lex = Retrieval.topNRanked(
         TextAnalysis.bm25Search(Tables.documents(s, dir), SearchTerms),
@@ -3049,6 +3064,40 @@ object SparkEntry {
       s"""WITH ${Similarity.baseSql},
          |bm AS (${TextAnalysis.bm25SearchSql(SearchTerms)}),
          |${rrfTailSql("base")}""".stripMargin,
+    "q_doc_hybrid" ->
+      s"""WITH ${Similarity.baseSql},
+         |bm AS (${TextAnalysis.bm25SearchSql(SearchTerms)}),
+         |hlx AS (
+         |  SELECT doc_id, CAST(score_odds_nanos AS DOUBLE) AS s FROM bm
+         |  QUALIFY ROW_NUMBER() OVER (ORDER BY score_odds_nanos DESC, doc_id) <= 20),
+         |hbk AS (SELECT vec_id, emb, nrm, ${Similarity.bucketSql} AS bucket FROM base),
+         |hq AS (SELECT vec_id AS qid, emb AS qemb, nrm AS qnrm FROM base WHERE vec_id % 50 = 0),
+         |hqp AS (
+         |  SELECT qid, qemb, qnrm, unnest(probes) AS qbucket FROM (
+         |    SELECT vec_id AS qid, emb AS qemb, nrm AS qnrm,
+         |      list_prepend(bucket, list_transform(range(0, ${Similarity.NumPlanes}), j ->
+         |        xor(bucket, CAST(1 AS BIGINT) << CAST(j AS INTEGER)))) AS probes
+         |    FROM hbk WHERE vec_id % 50 = 0) t),
+         |hvec AS (
+         |  SELECT qid, vec_id AS doc_id, cos AS s FROM (
+         |    SELECT qid, vec_id, ${Similarity.dotSql("qemb", "emb")} / (qnrm * nrm) AS cos,
+         |      ROW_NUMBER() OVER (PARTITION BY qid
+         |        ORDER BY ${Similarity.dotSql("qemb", "emb")} / (qnrm * nrm) DESC, vec_id) AS rn
+         |    FROM hqp JOIN hbk ON bucket = qbucket AND vec_id <> qid) t
+         |  WHERE rn <= 20),
+         |hls AS (
+         |  SELECT qid, doc_id, s, 0 AS l, 0.5 AS w FROM hq CROSS JOIN hlx
+         |  UNION ALL SELECT qid, doc_id, s, 1 AS l, 0.5 AS w FROM hvec),
+         |hbd AS (SELECT qid, l, MIN(s) AS mn, MAX(s) AS mx FROM hls GROUP BY qid, l),
+         |hcb AS (
+         |  SELECT t.qid, t.doc_id,
+         |    t.w * (CASE WHEN b.mx > b.mn THEN (t.s - b.mn) / (b.mx - b.mn) ELSE 1.0 END) AS c
+         |  FROM hls t JOIN hbd b ON t.qid = b.qid AND t.l = b.l)
+         |SELECT qid, doc_id, hybrid, n_lists, rank FROM (
+         |  SELECT qid, doc_id, SUM(c) AS hybrid, COUNT(*) AS n_lists,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY SUM(c) DESC, doc_id) AS BIGINT) AS rank
+         |  FROM hcb GROUP BY qid, doc_id) t
+         |WHERE rank <= 10""".stripMargin,
     "q_doc_overlap" -> TextAnalysis.sourceOverlapSql(),
     "q_doc_charclass" -> TextAnalysis.charClassAuditSql(),
     "q_retrieval_e2e" ->

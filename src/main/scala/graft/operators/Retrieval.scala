@@ -176,6 +176,43 @@ object Retrieval {
        |FROM ndcg_ g JOIN nidcg i ON g.w = i.w JOIN nmat m ON g.w = m.w""".stripMargin
   }
 
+  /** Min-max-normalized weighted SCORE fusion — the score-based
+    * complement to [[rrfFuse]] (the two production hybrid-search
+    * defaults: RRF when scores aren't comparable, normalized
+    * convex-combination when the per-list score SHAPE carries signal
+    * RRF's ranks throw away — a runaway-top-1 list should dominate a
+    * flat one at equal ranks). Per (list, query): scores rescale to
+    * [0, 1] by the list's own min/max over that query's entries (a
+    * single-valued or constant list normalizes to 1 — present at the
+    * list's own ceiling); fused score = Σ_l w_l·norm_l with absent docs
+    * contributing 0 from that list.
+    *
+    * Exactness: one subtraction-division pair per row, spelled
+    * identically in both engines; ties break (score desc, doc_id).
+    * Scale = [[rrfFuse]]'s: per-query bounded lists, one (qid, doc_id)
+    * groupBy, qid-partitioned rank window — fusion cost is per-QUERY,
+    * corpus-free.
+    */
+  def hybridFuse(lists: Seq[(DataFrame, Double)], topK: Int = 10): DataFrame = {
+    require(lists.nonEmpty, "hybridFuse needs at least one ranking")
+    val tagged = lists.zipWithIndex.map { case ((df, w), i) =>
+      df.select(col("qid"), col("doc_id"), col("score").cast("double").as("s"),
+        lit(i).as("l"), lit(w).as("w"))
+    }.reduce(_ unionAll _)
+    val bounds = tagged.groupBy(col("qid"), col("l"))
+      .agg(min(col("s")).as("mn"), max(col("s")).as("mx"))
+    val contrib = tagged.join(bounds.hint("shuffle_hash"), Seq("qid", "l"))
+      .withColumn("norm",
+        when(col("mx") > col("mn"), (col("s") - col("mn")) / (col("mx") - col("mn")))
+          .otherwise(1.0))
+      .select(col("qid"), col("doc_id"), (col("w") * col("norm")).as("c"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("hybrid").desc, col("doc_id"))
+    contrib.groupBy(col("qid"), col("doc_id"))
+      .agg(sum(col("c")).as("hybrid"), count(lit(1)).as("n_lists"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+  }
+
   /** Global top-`n` of `df` by (`scoreCol` desc, `idCol`) with a dense
     * 1-based rank — the bounded list-builder feeding [[rrfFuse]]. The
     * orderBy+limit pair compiles to TakeOrderedAndProject (distributed

@@ -55,6 +55,36 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("hybridFuse: hand-computed normalization; score shape decides where ranks tie") {
+    // list A: doc 10 runs away (10.0 vs 1.0/0.0); list B: flat spread.
+    // Under RRF both docs 10 and 11 would tie on rank sums; the convex
+    // combination must prefer the runaway.
+    val a = Seq((1L, 10L, 10.0), (1L, 11L, 1.0), (1L, 12L, 0.0))
+      .toDF("qid", "doc_id", "score")
+    val b = Seq((1L, 11L, 2.0), (1L, 10L, 1.0), (1L, 12L, 0.0))
+      .toDF("qid", "doc_id", "score")
+    val out = Retrieval.hybridFuse(Seq((a, 0.5), (b, 0.5)))
+      .collect().map(r => r.getLong(1) -> ((r.getDouble(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    // norms: A → 10: 1.0, 11: 0.1, 12: 0.0; B → 11: 1.0, 10: 0.5, 12: 0.0
+    assert(math.abs(out(10L)._1 - (0.5 * 1.0 + 0.5 * 0.5)) < 1e-12)
+    assert(math.abs(out(11L)._1 - (0.5 * 0.1 + 0.5 * 1.0)) < 1e-12)
+    assert(out(12L)._1 === 0.0)
+    assert(out(10L)._3 === 1L, "the runaway-score doc must win")
+    assert(out(11L)._3 === 2L)
+    assert(out.forall(_._2._2 <= 2L))
+  }
+
+  test("hybridFuse: a constant list normalizes to its ceiling; absent docs score the other half") {
+    val const = Seq((1L, 10L, 7.0), (1L, 11L, 7.0)).toDF("qid", "doc_id", "score")
+    val only = Seq((1L, 10L, 3.0), (1L, 12L, 1.0)).toDF("qid", "doc_id", "score")
+    val out = Retrieval.hybridFuse(Seq((const, 0.5), (only, 0.5)))
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(math.abs(out(10L) - (0.5 + 0.5)) < 1e-12, "present in both, both at ceiling")
+    assert(math.abs(out(11L) - 0.5) < 1e-12, "constant-list member at the list ceiling")
+    assert(math.abs(out(12L) - 0.0) < 1e-12, "bottom of the spread list, absent elsewhere")
+  }
+
   test("rrf: hand-computed scores, consensus beats single-list, ties break by doc_id") {
     // query 1: listA ranks (10,11,12), listB ranks (12,10,13)
     val a = Seq((1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L)).toDF("qid", "doc_id", "rank")

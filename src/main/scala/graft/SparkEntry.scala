@@ -545,6 +545,20 @@ object SparkEntry {
     // the |sources|·k sketch table persists per crawl and diffs
     // generations without re-scanning text.
     "q_doc_kmv" -> { (s, dir) => TextAnalysis.kmvOverlap(Tables.documents(s, dir)) },
+    // Cross-GENERATION KMV redundancy: per source, how much of the new
+    // crawl is content the base already has, estimated from the two
+    // per-crawl sketch artifacts and audited exactly. Generation
+    // convention: base = doc_id % 3 ≠ 0; increment = the fresh %3 = 0
+    // slice + a verbatim re-crawl of the %6 = 1 slice (the redundant
+    // half the estimator must find).
+    "q_doc_kmvgen" -> { (s, dir) =>
+      val d = Tables.documents(s, dir)
+      TextAnalysis.kmvGenOverlap(
+        d.filter(col("doc_id") % 3 =!= 0),
+        d.filter(col("doc_id") % 3 === 0).unionByName(
+          d.filter(col("doc_id") % 6 === 1)
+            .withColumn("doc_id", col("doc_id") + 3000000L)))
+    },
     // Zipf octave histogram: type counts + token mass per binary
     // frequency octave (integer bit length, no rank sort, no float
     // log) with cumulative mass — the corpus-health profile whose bend
@@ -3876,6 +3890,7 @@ object SparkEntry {
     "q_doc_snapdiff" -> Curation.snapshotDiffSql,
     "q_doc_cms" -> TextAnalysis.cmsAuditSql(),
     "q_doc_kmv" -> TextAnalysis.kmvOverlapSql(),
+    "q_doc_kmvgen" -> TextAnalysis.kmvGenOverlapSql(),
     "q_doc_zipf" -> TextAnalysis.zipfOctavesSql,
     "q_doc_jackknife" -> TextAnalysis.jackknifeMeanSql(),
     "q_doc_pack" ->

@@ -2004,6 +2004,148 @@ object TextAnalysis {
         col("n_u"), col("inter_sk"))
   }
 
+  /** Cross-GENERATION KMV overlap — the crawl-planning read-out the
+    * per-crawl sketch table exists for: per source, how much of the new
+    * crawl (`incr`) is content the base corpus already has, estimated
+    * from the two bottom-k sketches ([[kmvOverlap]]'s estimators keyed
+    * on the SAME source across generations instead of source pairs) and
+    * audited against exact truth. A source at high redundancy gets its
+    * crawl budget cut ([[Curation.snapshotDiff]] says what changed
+    * doc-by-doc; this says how much genuinely new CONTENT a source
+    * yields, which near-dup re-posts hide from the doc-level diff). A
+    * source absent from the base (exact_base = 0) is a NEW source —
+    * fully novel by construction.
+    *
+    * Scale: each generation contributes its \|sources\|·k sketch
+    * artifact (built once per crawl, mergeable via [[kmvMerge]]); the
+    * overlap stage touches sketch rows only. The exact sides are the
+    * sf-bounded audit, as everywhere in this family.
+    */
+  def kmvGenOverlap(base: DataFrame, incr: DataFrame, k: Int = KmvK): DataFrame = {
+    def sh(df: DataFrame) = df.select(col("source"),
+        explode(graft.expressions.ShingleHashes.shingle_hashes(col("text"))).as("h"))
+      .distinct()
+      .localCheckpoint(false)
+    val shB = sh(base)
+    val shI = sh(incr)
+    val skB = kmvSketchOf(shB, k).localCheckpoint(false)
+    val skI = kmvSketchOf(shI, k).localCheckpoint(false)
+    def estOf(sk: DataFrame, shx: DataFrame, name: String): DataFrame =
+      sk.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_sk"), max(col("h")).as("theta"))
+        .join(shx.groupBy(col("source")).agg(count(lit(1)).as("n_exact")), "source")
+        .select(col("source"), col("n_exact").as(s"exact_$name"),
+          when(col("n_sk") < k, col("n_sk").cast("double"))
+            .otherwise(lit((k - 1).toLong * P).cast("double") / col("theta").cast("double"))
+            .as(s"est_$name"))
+    val uni = skB.select(col("source"), col("h"), lit(1L).as("fb"), lit(0L).as("fi"))
+      .unionAll(skI.select(col("source"), col("h"), lit(0L).as("fb"), lit(1L).as("fi")))
+      .groupBy(col("source"), col("h"))
+      .agg(max(col("fb")).as("in_b"), max(col("fi")).as("in_i"))
+    val w = Window.partitionBy(col("source")).orderBy(col("h"))
+    val est = uni.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_u"), max(col("h")).as("theta_u"),
+        sum(col("in_b") * col("in_i")).as("inter_sk"))
+      .withColumn("est_union", when(col("n_u") < k, col("n_u").cast("double"))
+        .otherwise(lit((k - 1).toLong * P).cast("double") / col("theta_u").cast("double")))
+      .withColumn("est_inter", when(col("n_u") < k, col("inter_sk").cast("double"))
+        .otherwise(col("inter_sk").cast("double") / lit(k.toDouble) * col("est_union")))
+    val exInter = shI.alias("i")
+      .join(shB.alias("b").hint("SHUFFLE_HASH"),
+        col("i.source") === col("b.source") && col("i.h") === col("b.h"))
+      .groupBy(col("i.source").as("source"))
+      .agg(count(lit(1)).as("exact_inter0"))
+    // spine = sources the INCREMENT carries (a base-only source yields
+    // no new content and no row)
+    estOf(skI, shI, "incr")
+      .join(estOf(skB, shB, "base"), Seq("source"), "left")
+      .join(est, Seq("source"), "left")
+      .join(exInter, Seq("source"), "left")
+      .select(col("source"),
+        coalesce(col("exact_base"), lit(0L)).as("exact_base"),
+        col("exact_incr"),
+        coalesce(col("exact_inter0"), lit(0L)).as("exact_inter"),
+        coalesce(col("est_base"), lit(0.0)).as("est_base"),
+        col("est_incr"),
+        coalesce(col("est_union"), col("est_incr")).as("est_union"),
+        coalesce(col("est_inter"), lit(0.0)).as("est_inter"),
+        coalesce(col("n_u"), lit(0L)).as("n_u"),
+        coalesce(col("inter_sk"), lit(0L)).as("inter_sk"))
+  }
+
+  /** DuckDB mirror of [[kmvGenOverlap]] over the q_doc_kmvgen
+    * generation convention: base = documents with doc_id % 3 ≠ 0;
+    * increment = the fresh doc_id % 3 = 0 slice plus a verbatim
+    * RE-CRAWL of the doc_id % 6 = 1 slice (⊂ base — the redundant half
+    * the estimator must find). As distinct (source, h) sets the union
+    * is the predicate OR.
+    */
+  def kmvGenOverlapSql(k: Int = KmvK): String = {
+    val kU = (k - 1).toLong * P
+    def estCte(side: String, src: String): String =
+      s"""g${side}e AS (
+         |  SELECT s.source, e.n_exact,
+         |    CASE WHEN s.n_sk < $k THEN CAST(s.n_sk AS DOUBLE)
+         |         ELSE CAST($kU AS DOUBLE) / CAST(s.theta AS DOUBLE) END AS est
+         |  FROM (SELECT source, COUNT(*) AS n_sk, MAX(h) AS theta FROM g${side}k GROUP BY source) s
+         |  JOIN (SELECT source, COUNT(*) AS n_exact FROM $src GROUP BY source) e USING (source))""".stripMargin
+    s"""WITH gbsh AS (
+       |  SELECT DISTINCT source, h FROM (
+       |    SELECT source, ${Dedup.shingleUnnestSql} AS h
+       |    FROM (SELECT source, ${Dedup.toksSql} AS toks
+       |          FROM documents WHERE doc_id % 3 <> 0))),
+       |gish AS (
+       |  SELECT DISTINCT source, h FROM (
+       |    SELECT source, ${Dedup.shingleUnnestSql} AS h
+       |    FROM (SELECT source, ${Dedup.toksSql} AS toks
+       |          FROM documents WHERE doc_id % 3 = 0 OR doc_id % 6 = 1))),
+       |gbk AS (
+       |  SELECT source, h FROM (
+       |    SELECT source, h, ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
+       |    FROM gbsh) t WHERE rn <= $k),
+       |gik AS (
+       |  SELECT source, h FROM (
+       |    SELECT source, h, ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
+       |    FROM gish) t WHERE rn <= $k),
+       |${estCte("b", "gbsh")},
+       |${estCte("i", "gish")},
+       |guni AS (
+       |  SELECT source, COUNT(*) AS n_u, MAX(h) AS theta_u,
+       |    SUM(in_b * in_i) AS inter_sk
+       |  FROM (
+       |    SELECT source, h, MAX(fb) AS in_b, MAX(fi) AS in_i,
+       |      ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
+       |    FROM (
+       |      SELECT source, h, 1 AS fb, 0 AS fi FROM gbk
+       |      UNION ALL SELECT source, h, 0 AS fb, 1 AS fi FROM gik)
+       |    GROUP BY source, h
+       |    QUALIFY rn <= $k) t
+       |  GROUP BY source),
+       |gx AS (
+       |  SELECT i.source, COUNT(*) AS exact_inter0
+       |  FROM gish i JOIN gbsh b ON i.source = b.source AND i.h = b.h
+       |  GROUP BY i.source)
+       |SELECT ie.source,
+       |  CAST(COALESCE(be.n_exact, 0) AS BIGINT) AS exact_base,
+       |  CAST(ie.n_exact AS BIGINT) AS exact_incr,
+       |  CAST(COALESCE(gx.exact_inter0, 0) AS BIGINT) AS exact_inter,
+       |  COALESCE(be.est, 0.0) AS est_base,
+       |  ie.est AS est_incr,
+       |  COALESCE(CASE WHEN u.n_u < $k THEN CAST(u.n_u AS DOUBLE)
+       |       ELSE CAST($kU AS DOUBLE) / CAST(u.theta_u AS DOUBLE) END, ie.est) AS est_union,
+       |  COALESCE(CASE WHEN u.n_u < $k THEN CAST(u.inter_sk AS DOUBLE)
+       |       ELSE CAST(u.inter_sk AS DOUBLE) / CAST($k AS DOUBLE)
+       |         * (CASE WHEN u.n_u < $k THEN CAST(u.n_u AS DOUBLE)
+       |            ELSE CAST($kU AS DOUBLE) / CAST(u.theta_u AS DOUBLE) END) END, 0.0) AS est_inter,
+       |  CAST(COALESCE(u.n_u, 0) AS BIGINT) AS n_u,
+       |  CAST(COALESCE(u.inter_sk, 0) AS BIGINT) AS inter_sk
+       |FROM gie ie
+       |LEFT JOIN gbe be ON ie.source = be.source
+       |LEFT JOIN guni u ON ie.source = u.source
+       |LEFT JOIN gx ON ie.source = gx.source""".stripMargin
+  }
+
   /** DuckDB mirror of [[kmvOverlap]] — rebuilds the identical sketches
     * (ROW_NUMBER k-min ≡ the bounded-heap's k smallest distinct values)
     * and the same CASE-guarded estimators.

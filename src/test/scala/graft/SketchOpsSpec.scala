@@ -94,6 +94,46 @@ class SketchOpsSpec extends SparkSpec {
     assert(out.count() === docs.select($"doc_id").distinct().count())
   }
 
+  test("kmvGenOverlap: full re-crawl reads fully redundant, disjoint crawl fully novel") {
+    val docs = Tables.documents(spark, Sf)
+    // increment ≡ base (a crawler that found nothing new): exact
+    // intersection must equal the increment size exactly, and with the
+    // sets identical the sketches coincide, so the ESTIMATES agree too
+    val full = TextAnalysis.kmvGenOverlap(docs, docs).collect()
+    assert(full.nonEmpty)
+    full.foreach { r =>
+      assert(r.getAs[Long]("exact_inter") === r.getAs[Long]("exact_incr"))
+      assert(r.getAs[Double]("est_inter") === r.getAs[Double]("est_incr"),
+        "identical generations must estimate identical overlap")
+    }
+    // a source only the increment carries is fully novel
+    val novel = TextAnalysis.kmvGenOverlap(
+      docs.filter($"source" =!= "src0"), docs.filter($"source" === "src0")).collect()
+    assert(novel.length === 1)
+    assert(novel.head.getAs[Long]("exact_base") === 0L)
+    assert(novel.head.getAs[Long]("exact_inter") === 0L)
+    assert(novel.head.getAs[Double]("est_inter") === 0.0)
+  }
+
+  test("kmvGenOverlap: the re-crawled half is found within the sketch error band") {
+    val d = Tables.documents(spark, Sf)
+    val out = TextAnalysis.kmvGenOverlap(
+      d.filter($"doc_id" % 3 =!= 0),
+      d.filter($"doc_id" % 3 === 0).unionByName(
+        d.filter($"doc_id" % 6 === 1).withColumn("doc_id", $"doc_id" + 3000000L)))
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      // the verbatim %6==1 re-crawl guarantees real per-source overlap
+      assert(r.getAs[Long]("exact_inter") > 0L,
+        s"${r.getAs[String]("source")}: re-crawled slice must overlap the base")
+      val exactU = (r.getAs[Long]("exact_base") + r.getAs[Long]("exact_incr")
+        - r.getAs[Long]("exact_inter")).toDouble
+      assert(math.abs(r.getAs[Double]("est_inter") - r.getAs[Long]("exact_inter"))
+        <= 0.45 * exactU + 5.0)
+    }
+  }
+
   test("kmvMerge: two crawl-shard sketches merge exactly to the full-corpus sketch") {
     val docs = Tables.documents(spark, Sf)
     val k = 16 // small k so the merge genuinely displaces entries

@@ -523,6 +523,12 @@ object SparkEntry {
     // integer moments, quantized weights, Hamilton largest-remainder
     // seats in pure integer arithmetic; Σ alloc = n exactly.
     "q_doc_neyman" -> { (s, dir) => Curation.neymanAllocation(Tables.documents(s, dir)) },
+    // Greedy max-coverage source selection (Nemhauser'78 submodular
+    // greedy): budget rounds, each ONE covered-shingle anti-join (both
+    // sides hash-partitioned on h) + a TakeOrdered single-row reduce —
+    // "which B sources actually add novel text" before paying for their
+    // ingest; the exact audit for the KMV-sketched variant at 100 TB.
+    "q_doc_srcsel" -> { (s, dir) => Curation.sourceSelect(Tables.documents(s, dir)) },
     // Execute the allocation: per stratum the alloc_h smallest priority
     // keys win via the bounded-heap TopKByValue aggregate (O(n) partial
     // state, map-side combined — never a per-lang rank window).
@@ -1119,6 +1125,17 @@ object SparkEntry {
     "q_emb_kmeans" -> { (s, dir) =>
       val e = Tables.embeddings(s, dir)
       Similarity.kmeansAssign(e, Similarity.kmeansFitMemo(e, dir, "all"))
+    },
+    // Greedy k-center coreset (Gonzalez farthest-point traversal): the
+    // deterministic 2-approx selection pass a curation pipeline runs to
+    // pick a space-COVERING exemplar set (active-learning seeds, eval
+    // probes, diversity anchors) — k-means optimizes mean distortion and
+    // starves outliers; k-center bounds the worst case. k-1 rounds, each
+    // ONE narrow least()-update pass against only the new center plus ONE
+    // TakeOrdered single-row reduce; driver state = the k centers only.
+    "q_emb_kcenter" -> { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+      Similarity.kmeansAssign(e, Similarity.kCenterFitMemo(e, dir))
     },
     // IVF index GROWTH audit: the day's new vectors (planted +1e6 tier)
     // assign against the FROZEN production centroids — base assignments
@@ -3577,6 +3594,7 @@ object SparkEntry {
         |      FROM embeddings) t
         |GROUP BY label, dim""".stripMargin,
     "q_emb_kmeans" -> Similarity.kmeansSql(),
+    "q_emb_kcenter" -> Similarity.kCenterSql(),
     "q_emb_append" -> Similarity.ivfAppendSql(),
     "q_emb_split" -> Similarity.splitSql(),
     "q_emb_cellbal" ->
@@ -3885,6 +3903,7 @@ object SparkEntry {
          |  FROM documents) t
          |WHERE bucket < ${Curation.keepSql}""".stripMargin,
     "q_doc_neyman" -> Curation.neymanAllocationSql(),
+    "q_doc_srcsel" -> Curation.sourceSelectSql(),
     "q_doc_stratsample" -> Curation.stratifiedNeymanSampleSql(),
     "q_doc_wsample" -> Curation.weightedSampleSql(),
     "q_doc_snapdiff" -> Curation.snapshotDiffSql,

@@ -1415,4 +1415,110 @@ object Curation {
        |FROM j
        |GROUP BY 1, 2""".stripMargin
   }
+
+  /** Greedy maximum-coverage source selection: pick `budget` sources,
+    * each round taking the source whose documents add the most NOT-YET-
+    * COVERED distinct trigram shingles (ties to the lexicographically
+    * smaller source). The classic (1−1/e)-approximation for the
+    * NP-hard max-coverage objective (Nemhauser–Wolsey–Fisher'78 greedy
+    * on a submodular set function) — the "which crawls/feeds actually
+    * add novel text" question a corpus-mixing run answers before buying
+    * a new source's ingest cost. Emits the selection trace:
+    * (rank, source, gain, cum_cov), gain = the marginal distinct-shingle
+    * count at selection time, cum_cov = running covered-universe size
+    * (exact, since marginal gains are disjoint by construction). A
+    * source whose every shingle is already covered is never selected —
+    * the trace stops early rather than padding the budget with
+    * zero-gain picks (both engines: it simply vanishes from the
+    * marginal aggregation).
+    *
+    * Scale shape: the per-source coverage sets are ONE distinct
+    * (source, h) aggregation over the [[Dedup.shingles]] narrow map —
+    * corpus-priced, done once. Each greedy round is one anti-join of
+    * the remaining sets against the covered-shingle table (both sides
+    * hash-partitioned on h) plus a TakeOrdered single-row reduce;
+    * driver state is the ≤budget picks. Rounds = budget, a small
+    * constant by definition of the question ("which B sources do I
+    * keep"), so total work is budget × one corpus-sketch-sized join —
+    * never |sources| passes, never all-pairs. At 100 TB the same shape
+    * runs over KMV-sketched coverage sets ([[TextAnalysis.kmvSketch]])
+    * when exact distinct counts stop being worth their shuffle; the
+    * exact spelling here IS the audit for that approximation.
+    *
+    * Exactness: gains are exact BIGINT distinct counts; both engines
+    * break gain ties by source name, and the cumulative sum is over
+    * ≤budget driver-side integers.
+    */
+  def sourceSelect(docs: DataFrame, budget: Int = 6): DataFrame = {
+    val spark = docs.sparkSession
+    val ssh = Dedup.shingles(docs.select(col("doc_id"), col("text")))
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .select(col("source"), col("h")).distinct()
+      .repartition(col("h"))
+      .localCheckpoint(false)
+    var selected = List.empty[(Int, String, Long, Long)]
+    var covered: DataFrame = null
+    var cum = 0L
+    var round = 1
+    var exhausted = false
+    while (round <= budget && !exhausted) {
+      val remaining =
+        if (selected.isEmpty) ssh
+        else ssh.filter(!col("source").isin(selected.map(_._2): _*))
+      val fresh =
+        if (covered == null) remaining
+        else remaining.join(covered, Seq("h"), "left_anti")
+      val pick = fresh.groupBy(col("source"))
+        .agg(count(lit(1)).as("gain"))
+        .orderBy(col("gain").desc, col("source"))
+        .limit(1).collect()
+      if (pick.isEmpty) exhausted = true
+      else {
+        val (src, gain) = (pick(0).getString(0), pick(0).getLong(1))
+        cum += gain
+        selected :+= ((round, src, gain, cum))
+        val newCov = ssh.filter(col("source") === src).select(col("h"))
+        covered =
+          (if (covered == null) newCov.distinct()
+           else covered.union(newCov).distinct())
+            .repartition(col("h"))
+            .localCheckpoint(false)
+        round += 1
+      }
+    }
+    import spark.implicits._
+    selected.toDF("rank", "source", "gain", "cum_cov")
+  }
+
+  /** DuckDB mirror of [[sourceSelect]]: budget unrolled greedy rounds
+    * over the distinct (source, shingle) sets, each excluding already-
+    * picked sources and already-covered shingles, with the same
+    * (gain DESC, source ASC) pick rule.
+    */
+  def sourceSelectSql(budget: Int = 6): String = {
+    val rounds = (2 to budget).map { i =>
+      s"""m$i AS (
+         |  SELECT s.source, COUNT(*) AS gain FROM ssh s
+         |  WHERE s.source NOT IN (SELECT source FROM a${i - 1})
+         |    AND NOT EXISTS (SELECT 1 FROM c${i - 1} c WHERE c.h = s.h)
+         |  GROUP BY s.source),
+         |p$i AS (SELECT $i AS rank, source, gain FROM m$i
+         |  ORDER BY gain DESC, source LIMIT 1),
+         |c$i AS (SELECT h FROM c${i - 1}
+         |  UNION SELECT s.h FROM ssh s JOIN p$i p ON s.source = p.source),
+         |a$i AS (SELECT * FROM a${i - 1} UNION ALL SELECT * FROM p$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${Dedup.shingleSqlFor("documents", "dsh")},
+       |ssh AS (SELECT DISTINCT d.source, t.h
+       |        FROM dsh t JOIN documents d ON t.doc_id = d.doc_id),
+       |m1 AS (SELECT source, COUNT(*) AS gain FROM ssh GROUP BY source),
+       |p1 AS (SELECT 1 AS rank, source, gain FROM m1
+       |  ORDER BY gain DESC, source LIMIT 1),
+       |c1 AS (SELECT DISTINCT s.h FROM ssh s JOIN p1 p ON s.source = p.source),
+       |a1 AS (SELECT * FROM p1),
+       |$rounds
+       |SELECT rank, source, gain,
+       |  CAST(SUM(gain) OVER (ORDER BY rank) AS BIGINT) AS cum_cov
+       |FROM a$budget""".stripMargin
+  }
 }

@@ -2007,6 +2007,68 @@ object Similarity {
         s"|$m|$c|$iters")(
       graft.sources.StageMemo.reliableStage(pqrCodebook(e, m, c, iters)))
 
+  /** Greedy k-center coreset selection (Gonzalez'85 farthest-point
+    * traversal): start from the smallest vec_id, then k−1 times add the
+    * point FARTHEST from the selected set (max over points of min
+    * squared L2 to any chosen center, ties to the smaller vec_id). The
+    * classic deterministic 2-approximation for the k-center objective,
+    * and the standard coreset/active-learning selection pass — pick the
+    * exemplars that together COVER the embedding space — where
+    * [[kmeansFit]] optimizes mean distortion and can starve outlying
+    * regions entirely.
+    *
+    * Scale shape: driver state is only the ≤k selected centers (the
+    * same documented bounded-collect discipline as the k-means centroid
+    * rows); each round is ONE narrow map that `least`-updates the
+    * running min-distance against only the NEWEST center — O(n·k) total
+    * distance work, not the O(n·k²) of recomputing against the full set
+    * — plus ONE TakeOrderedAndProject single-row reduce to find the
+    * farthest point. No shuffle in any round. Each round's state frame
+    * is locally checkpointed so the plan stays k-deep (transient
+    * truncation is fine here per the StageMemo two-tier rule: the state
+    * never outlives this one fit; the SHARED artifact — the k-row
+    * center table — is what [[kCenterFitMemo]] reliable-stages).
+    *
+    * Exactness: squared L2 via the sequential-fold [[l2sq]] kernel and
+    * the running minimum via `least`, both mirrored op-for-op in
+    * [[kCenterSql]], so every md2 double is bit-identical across
+    * engines and the per-round argmax row (md2 DESC, vec_id ASC)
+    * agrees exactly.
+    *
+    * Returns the (cell, cemb) center table, `cell` = the selected
+    * vector's id, in a shape [[kmeansAssign]] consumes directly.
+    */
+  def kCenterFit(e: DataFrame, k: Int = 8): DataFrame = {
+    val spark = e.sparkSession
+    val base = withEmb(e).select(col("vec_id"), col("emb"))
+    val first = base.orderBy(col("vec_id")).limit(1).collect()(0)
+    var centers = List((first.getLong(0), first.getSeq[Double](1)))
+    var state = base
+      .withColumn("md2", l2sq(col("emb"), typedLit(centers.head._2)))
+      .localCheckpoint(false)
+    for (_ <- 1 until k) {
+      val far = state.orderBy(col("md2").desc, col("vec_id")).limit(1).collect()
+      if (far.nonEmpty) {
+        val (fid, femb) = (far(0).getLong(0), far(0).getSeq[Double](1))
+        centers :+= ((fid, femb))
+        state = state
+          .withColumn("md2", least(col("md2"), l2sq(col("emb"), typedLit(femb))))
+          .localCheckpoint(false)
+      }
+    }
+    import spark.implicits._
+    centers.toDF("cell", "cemb")
+  }
+
+  /** Memoized [[kCenterFit]] — the selected exemplar set is a trained
+    * artifact exactly like the k-means centroids: a pipeline selects it
+    * once and serves assignments/audits from the frozen k-row table.
+    */
+  def kCenterFitMemo(e: DataFrame, dir: String, k: Int = 8): DataFrame =
+    centsMemo.getOrCompute(
+      graft.sources.Tables.dataKey(e.sparkSession, dir, "kcenter") + s"|$k")(
+      graft.sources.StageMemo.reliableStage(kCenterFit(e, k)))
+
   /** Drop every memoized centroid table and power-iteration fit (same
     * lifecycle contract as [[Dedup.clearMemos]]).
     */
@@ -3741,6 +3803,40 @@ object Similarity {
     */
   def kmeansSql(k: Int = 8, iters: Int = 2): String =
     s"WITH ${kmeansCtes(k, iters)}\nSELECT vec_id, cell, d2 FROM afin"
+
+  /** DuckDB mirror of [[kCenterFit]] + [[kmeansAssign]]: k−1 unrolled
+    * farthest-point rounds, each one `LEAST`-updating the running min
+    * squared distance against only the new center — the same incremental
+    * structure as the engine, so every intermediate double is
+    * bit-identical — then the [[kmeansSql]]-shaped final argmin
+    * assignment with (d2, cell) ties.
+    */
+  def kCenterSql(k: Int = 8): String = {
+    val rounds = (1 until k).map { i =>
+      s"""f$i AS (SELECT vec_id, emb FROM s${i - 1}
+         |  ORDER BY md2 DESC, vec_id LIMIT 1),
+         |s$i AS (SELECT s.vec_id, s.emb,
+         |  LEAST(s.md2, ${l2sqSql("s.emb", "f.emb")}) AS md2
+         |  FROM s${i - 1} s CROSS JOIN f$i f)""".stripMargin
+    }.mkString(",\n")
+    val picked = (1 until k)
+      .map(i => s"SELECT vec_id, emb FROM f$i").mkString(" UNION ALL ")
+    s"""WITH kb AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings),
+       |c0 AS (SELECT vec_id, emb FROM kb ORDER BY vec_id LIMIT 1),
+       |s0 AS (SELECT b.vec_id, b.emb, ${l2sqSql("b.emb", "c.emb")} AS md2
+       |       FROM kb b CROSS JOIN c0 c),
+       |$rounds,
+       |cents AS (SELECT vec_id AS cell, emb AS cemb FROM c0
+       |  UNION ALL SELECT vec_id AS cell, emb AS cemb FROM ($picked))
+       |SELECT vec_id, cell, d2 FROM (
+       |  SELECT b.vec_id, c.cell, ${l2sqSql("b.emb", "c.cemb")} AS d2,
+       |    ROW_NUMBER() OVER (PARTITION BY b.vec_id
+       |      ORDER BY ${l2sqSql("b.emb", "c.cemb")}, c.cell) AS rn
+       |  FROM kb b CROSS JOIN cents c) t
+       |WHERE rn = 1""".stripMargin
+  }
 
   /** The kmeans mirror's CTE chain alone (ending in `afin`), for queries
     * that compose the assignment with further stages. `trainWhere`

@@ -689,6 +689,11 @@ object SparkEntry {
     // hierarchy — every doc in the least-generalized class reaching
     // size ≥ k; the metadata-side privacy gate next to piirate/redact.
     "q_doc_kanon" -> { (s, dir) => Curation.kAnonymize(Tables.documents(s, dir)) },
+    // l-diversity audit over the k-anonymity release manifest: per
+    // released equivalence class, distinct PII-profile sensitive values
+    // and the homogeneity margin — a k-safe class whose members all
+    // share one sensitive value still leaks it; ok flags l >= 2.
+    "q_doc_ldiv" -> { (s, dir) => Curation.lDiversity(Tables.documents(s, dir)) },
     // Temperature-scaled (α = 1/2) source sampling weights: integer-exact
     // floor(sqrt) quantization, one grouped agg + 1-row broadcast total.
     "q_doc_mixalpha" -> { (s, dir) => Curation.mixtureWeights(Tables.documents(s, dir)) },
@@ -1733,6 +1738,14 @@ object SparkEntry {
     // quantized score so bands cannot diverge between engines.
     "q_doc_qclf_cal" -> { (s, dir) =>
       Classifier.calibration(Tables.documents(s, dir), dir)
+    },
+    // Split-conformal selective gate: the k-th-smallest calibration
+    // positive score (k = ⌊α(n+1)⌋, exact distributed order statistic —
+    // rocAuc's block-hierarchical cumsum, no corpus sort) becomes a KEEP
+    // threshold with a finite-sample P(reject good) ≤ α guarantee;
+    // per-source eval coverage + leak-through audited in-row.
+    "q_doc_qclf_conf" -> { (s, dir) =>
+      Classifier.conformalGate(Tables.documents(s, dir), dir)
     },
     // Classifier APPLY step: per-doc quantized decision score + hard
     // prediction next to the true label — the confusion-matrix /
@@ -4077,6 +4090,7 @@ object SparkEntry {
          |FROM per""".stripMargin,
     "q_doc_domprior" -> Curation.domainPriorSql(),
     "q_doc_kanon" -> Curation.kAnonymizeSql(),
+    "q_doc_ldiv" -> Curation.lDiversitySql(),
     "q_doc_mixalpha" ->
       s"""WITH per AS (
          |  SELECT source,
@@ -4722,6 +4736,7 @@ object SparkEntry {
     "q_doc_qclf_pr" -> Classifier.prCurveSql(),
     "q_doc_qclf_auc" -> Classifier.rocAucSql(),
     "q_doc_qclf_cal" -> Classifier.calibrationSql(),
+    "q_doc_qclf_conf" -> Classifier.conformalGateSql(),
     "q_doc_langclf" -> Classifier.langClfSql(),
     "q_doc_qclf_bysrc" -> Classifier.scoreBySourceSql(),
     "q_doc_bpe_encode" -> TextAnalysis.bpeSegmentSql(),

@@ -311,6 +311,121 @@ object Classifier {
        |    / (2.0 * CAST(SUM(n_pos) AS DOUBLE) * CAST(SUM(n - n_pos) AS DOUBLE)) AS auc
        |FROM aucc""".stripMargin
 
+  /** Split-conformal selective gate (Papadopoulos'02 inductive
+    * conformal / Vovk'05): the distribution-free way to turn the
+    * trained score into a KEEP threshold with a finite-sample
+    * guarantee. On a held-out calibration slice take the k-th smallest
+    * POSITIVE-class score, k = ⌊α·(n+1)⌋; gating at score_q ≥ t then
+    * guarantees P(a teacher-good doc is rejected) ≤ α by
+    * exchangeability — no asymptotics and no calibration curve to
+    * trust ([[calibration]] audits whether the scores LOOK like
+    * probabilities; this op does not care — any measurable score
+    * works). Ties keep (score_q ≥ t), which can only raise coverage.
+    * k = 0 (tiny calibration slice) degenerates to keep-everything —
+    * the honest answer when n < 1/α − 1 data points cannot certify the
+    * level.
+    *
+    * Calibration/eval slices are disjoint content-hash buckets
+    * ([900, 950) / [950, 1000) permille — the [[Curation.sampleBucket]]
+    * discipline, deterministic and split-consistent with sampling).
+    * The classifier trains on the full corpus, which treats cal and
+    * eval points SYMMETRICALLY, so their scores remain exchangeable
+    * and the marginal guarantee between cal and eval holds (the
+    * full-corpus-teacher regime; the audit columns let the reader see
+    * the realized coverage next to the promised level).
+    *
+    * Emits the per-source eval read-out with the shared threshold
+    * columns in-row so the guarantee is auditable: (source, n_cal, k,
+    * t_q, n_pos, kept_pos, n_neg, kept_neg) — kept_pos/n_pos per
+    * source is the realized good-doc coverage, kept_neg/n_neg the
+    * bad-doc leak-through the threshold buys at this α.
+    *
+    * Scale shape: the threshold is an exact distributed k-th order
+    * statistic with NO corpus sort — per-score grouped counts get
+    * block-hierarchical cumulative sums exactly like [[rocAuc]]
+    * (blocks = score range / 2^20, model-bounded by the weight/feature
+    * norms), then t = min score with cum ≥ k; n and k ride the plan as
+    * a broadcast 1-row frame, never a driver collect. The eval
+    * read-out is one grouped agg over the scored narrow pass. DuckDB
+    * mirrors the threshold VALUE by a flat ranked subquery — a multiset
+    * order statistic is method-independent, so the integers agree.
+    */
+  def conformalGate(docs: DataFrame, dir: String,
+      alphaPermille: Int = 100): DataFrame = {
+    val meta = docs.select(col("doc_id"), col("source"),
+      Curation.sampleBucket(col("text")).as("bucket"))
+    val s = score(docs, dir).join(meta, "doc_id")
+    val cal = s.filter(col("bucket") >= 900 && col("bucket") < 950 &&
+      col("label_true") === 1)
+    val nk = cal.agg(count(lit(1)).as("n_cal"))
+      .select(col("n_cal"),
+        expr(s"($alphaPermille * (n_cal + 1)) div 1000").as("k"))
+    val g = cal.groupBy(col("score_q")).agg(count(lit(1)).as("n"))
+      .withColumn("blk", expr("score_q div 1048576"))
+    val blkAgg = g.groupBy(col("blk")).agg(sum(col("n")).as("bn"))
+    val lo = blkAgg.select(col("blk").as("blk_lo"), col("bn").as("bn_lo"))
+    val blkBase = blkAgg.join(broadcast(lo), col("blk_lo") < col("blk"), "left")
+      .groupBy(col("blk")).agg(coalesce(sum(col("bn_lo")), lit(0L)).as("blk_base"))
+    val wi = Window.partitionBy(col("blk")).orderBy(col("score_q"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val kth = g.join(broadcast(blkBase), "blk")
+      .withColumn("cum", col("blk_base") + sum(col("n")).over(wi))
+      .crossJoin(broadcast(nk))
+      .filter(col("cum") >= col("k"))
+      .groupBy(col("n_cal"), col("k"))
+      .agg(min(col("score_q")).as("t_raw"))
+    val thr = nk.join(kth, Seq("n_cal", "k"), "left")
+      .select(col("n_cal"), col("k"),
+        when(col("k") <= 0, lit(Long.MinValue)).otherwise(col("t_raw"))
+          .as("t_q"))
+    s.filter(col("bucket") >= 950)
+      .crossJoin(broadcast(thr))
+      .groupBy(col("source"), col("n_cal"), col("k"), col("t_q"))
+      .agg(
+        sum(col("label_true")).as("n_pos"),
+        sum(when(col("label_true") === 1 && col("score_q") >= col("t_q"), 1L)
+          .otherwise(0L)).as("kept_pos"),
+        sum(when(col("label_true") === 0, 1L).otherwise(0L)).as("n_neg"),
+        sum(when(col("label_true") === 0 && col("score_q") >= col("t_q"), 1L)
+          .otherwise(0L)).as("kept_neg"))
+  }
+
+  /** DuckDB mirror of [[conformalGate]]: same bucket slices, k rule and
+    * ties-keep gate; the k-th smallest calibration score via a flat
+    * ranked subquery (the multiset order statistic is plan-independent).
+    */
+  def conformalGateSql(alphaPermille: Int = 100,
+      iters: Int = Iters): String =
+    s"""WITH ${scoreCtes(iters)},
+       |cmeta AS (
+       |  SELECT doc_id, source,
+       |    (${Dedup.hashSql("text")}) % 1000 AS bucket
+       |  FROM documents),
+       |csj AS (SELECT s.doc_id, s.label_true, s.score_q, m.source, m.bucket
+       |        FROM scored s JOIN cmeta m ON s.doc_id = m.doc_id),
+       |ccal AS (SELECT score_q FROM csj
+       |         WHERE bucket >= 900 AND bucket < 950 AND label_true = 1),
+       |cnk AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cal,
+       |          CAST(($alphaPermille * (COUNT(*) + 1)) // 1000 AS BIGINT) AS k
+       |        FROM ccal),
+       |cranked AS (SELECT score_q,
+       |    ROW_NUMBER() OVER (ORDER BY score_q) AS rn FROM ccal),
+       |cthr AS (SELECT n_cal, k,
+       |    CASE WHEN k <= 0 THEN CAST(-9223372036854775807 - 1 AS BIGINT)
+       |         ELSE (SELECT MIN(r.score_q) FROM cranked r WHERE r.rn >= cnk.k)
+       |    END AS t_q
+       |  FROM cnk)
+       |SELECT source, n_cal, k, t_q,
+       |  CAST(SUM(label_true) AS BIGINT) AS n_pos,
+       |  CAST(SUM(CASE WHEN label_true = 1 AND score_q >= t_q
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS kept_pos,
+       |  CAST(SUM(CASE WHEN label_true = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_neg,
+       |  CAST(SUM(CASE WHEN label_true = 0 AND score_q >= t_q
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS kept_neg
+       |FROM (SELECT * FROM csj WHERE bucket >= 950) ev CROSS JOIN cthr
+       |GROUP BY source, n_cal, k, t_q""".stripMargin
+
   /** Calibration audit (reliability diagram) — the companion the PR
     * sweep needs before a SOFT gate ships: per fixed predicted-
     * probability band (floor(10p) clamped to 0..9 — fixed bands, not

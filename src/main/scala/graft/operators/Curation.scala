@@ -879,6 +879,98 @@ object Curation {
             * 1000000.0 / col("n_chars").cast("double")))
   }
 
+  /** l-diversity audit over the [[kAnonymize]] release manifest
+    * (Machanavajjhala'06): k-anonymity bounds how small an equivalence
+    * class can be, but a class whose members all share one SENSITIVE
+    * value still leaks it — membership alone reveals the secret
+    * (the homogeneity attack). Sensitive value here = the document's
+    * PII profile class under [[redact]]'s disjoint priority order
+    * (email ≻ long-number ≻ ipv4 ≻ none — the same sequential-
+    * replacement discipline as [[piiRate]], so an email's numeric
+    * local part is 'email', not 'number'). Every doc is assigned the
+    * SAME released class [[kAnonymize]] would put it in (level-0
+    * (lang, source) if that group reaches k, else the level-1
+    * (lang, *) pool over risky groups only, else the (*, *)
+    * remainder), then per released class: member count, distinct
+    * sensitive values (the l in l-diversity), the largest single
+    * value's count (the homogeneity margin), and the l ≥ `l` release
+    * flag. A class with ok = false needs suppression or a coarser
+    * hierarchy before release even though k-anonymity passed.
+    *
+    * Scale shape: one narrow regexp pass tags each doc's sensitive
+    * class; the group tables are ≤ ‖langs‖·‖sources‖ rows and
+    * broadcast back (the kAnonymize economics); then two grouped
+    * counts whose keys are bounded by released-class × sensitive-class
+    * cardinality. Nothing corpus-sized shuffles.
+    */
+  def lDiversity(docs: DataFrame, k: Long = 10L, l: Long = 2L): DataFrame = {
+    val sens = docs.select(col("lang"), col("source"),
+      when(regexp_count(col("text"), lit(EmailRe)) > 0, "email")
+        .when(regexp_count(regexp_replace(col("text"), EmailRe, "<email>"),
+          lit(LongNumRe)) > 0, "number")
+        .when(regexp_count(col("text"), lit(Ipv4Re)) > 0, "ip")
+        .otherwise("none").as("sv"))
+    val g0 = sens.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n0"))
+      .localCheckpoint(false)
+    val g1 = g0.filter(col("n0") < k)
+      .groupBy(col("lang")).agg(sum(col("n0")).as("n1"))
+    val assigned = sens
+      .join(broadcast(g0), Seq("lang", "source"))
+      .join(broadcast(g1), Seq("lang"), "left")
+      .select(
+        when(col("n0") >= k, col("lang"))
+          .when(coalesce(col("n1"), lit(0L)) >= k, col("lang"))
+          .otherwise(lit("*")).as("lang_out"),
+        when(col("n0") >= k, col("source")).otherwise(lit("*")).as("source_out"),
+        when(col("n0") >= k, lit(0L))
+          .when(coalesce(col("n1"), lit(0L)) >= k, lit(1L))
+          .otherwise(lit(2L)).as("level"),
+        col("sv"))
+    assigned
+      .groupBy(col("lang_out"), col("source_out"), col("level"), col("sv"))
+      .agg(count(lit(1)).as("nsv"))
+      .groupBy(col("lang_out"), col("source_out"), col("level"))
+      .agg(sum(col("nsv")).as("n_docs"),
+        count(lit(1)).as("l_distinct"),
+        max(col("nsv")).as("n_top"))
+      .withColumn("ok", col("l_distinct") >= l)
+  }
+
+  /** DuckDB mirror of [[lDiversity]]. */
+  def lDiversitySql(k: Long = 10L, l: Long = 2L): String =
+    s"""WITH lsv AS (
+       |  SELECT lang, source,
+       |    CASE WHEN len(regexp_extract_all(text, '$EmailRe')) > 0 THEN 'email'
+       |         WHEN len(regexp_extract_all(
+       |           regexp_replace(text, '$EmailRe', '<email>', 'g'),
+       |           '$LongNumRe')) > 0 THEN 'number'
+       |         WHEN len(regexp_extract_all(text, '$Ipv4Re')) > 0 THEN 'ip'
+       |         ELSE 'none' END AS sv
+       |  FROM documents),
+       |lg0 AS (SELECT lang, source, COUNT(*) AS n0 FROM lsv GROUP BY lang, source),
+       |lg1 AS (SELECT lang, CAST(SUM(n0) AS BIGINT) AS n1
+       |        FROM lg0 WHERE n0 < $k GROUP BY lang),
+       |lasg AS (
+       |  SELECT
+       |    CASE WHEN g.n0 >= $k THEN s.lang
+       |         WHEN COALESCE(p.n1, 0) >= $k THEN s.lang ELSE '*' END AS lang_out,
+       |    CASE WHEN g.n0 >= $k THEN s.source ELSE '*' END AS source_out,
+       |    CASE WHEN g.n0 >= $k THEN CAST(0 AS BIGINT)
+       |         WHEN COALESCE(p.n1, 0) >= $k THEN CAST(1 AS BIGINT)
+       |         ELSE CAST(2 AS BIGINT) END AS level,
+       |    s.sv
+       |  FROM lsv s JOIN lg0 g ON s.lang = g.lang AND s.source = g.source
+       |  LEFT JOIN lg1 p ON s.lang = p.lang),
+       |lpsv AS (SELECT lang_out, source_out, level, sv, COUNT(*) AS nsv
+       |         FROM lasg GROUP BY 1, 2, 3, 4)
+       |SELECT lang_out, source_out, level,
+       |  CAST(SUM(nsv) AS BIGINT) AS n_docs,
+       |  CAST(COUNT(*) AS BIGINT) AS l_distinct,
+       |  CAST(MAX(nsv) AS BIGINT) AS n_top,
+       |  (COUNT(*) >= $l) AS ok
+       |FROM lpsv GROUP BY 1, 2, 3""".stripMargin
+
   /** DuckDB mirror of [[piiRate]] over table `src`. */
   def piiRateSql(src: String = "documents"): String =
     s"""WITH s AS (

@@ -503,6 +503,25 @@ object DocStream {
   }
 
 
+  /** Streaming twin of [[graft.operators.Classifier.conformalGate]]'s
+    * serving side: the batch calibration freezes (weights, t_q) — the
+    * conformal threshold is a trained artifact exactly like the
+    * classifier weights or the Bloom sketch — and the stream applies
+    * the SAME ties-keep gate (score_q ≥ t_q) as one more stateless
+    * narrow projection on top of [[scoreDocs]]. The finite-sample
+    * guarantee transfers to the stream for free: conformal validity is
+    * a property of the FROZEN threshold vs exchangeable future points,
+    * not of where the future points arrive — which is precisely why
+    * production conformal systems calibrate offline and serve online.
+    * Zero state, no watermark, batch-identical integers (parity pinned
+    * in ConformalSpec).
+    */
+  def conformalGateDocs(docs: org.apache.spark.sql.DataFrame,
+      wq: Array[Long], tQ: Long): org.apache.spark.sql.DataFrame =
+    scoreDocs(docs, wq)
+      .select(col("doc_id"), col("score_q"),
+        (col("score_q") >= tQ).as("keep"))
+
   /** Streaming twin of [[graft.operators.Classifier.langConfusion]]'s
     * scoring side: FROZEN multiclass weights (from the batch one-vs-rest
     * fit) applied to a document stream. Featurization is the same fused

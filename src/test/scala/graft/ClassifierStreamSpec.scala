@@ -47,6 +47,36 @@ class ClassifierStreamSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("batch ≡ stream: the frozen conformal threshold gates a doc stream identically") {
+    implicit val ctx = spark.sqlContext
+    val table = graft.sources.Tables.documents(spark, Sf)
+    val docs = table.select($"doc_id", $"text").as[Doc].collect().toSeq.take(120)
+    val wq = Classifier.fitMemo(table, Sf)
+    // freeze the threshold the batch calibration picked
+    val tQ = Classifier.conformalGate(table, Sf).select($"t_q")
+      .distinct().as[Long].collect() match { case Array(t) => t }
+
+    val ms = MemoryStream[Doc]
+    val q = DocStream.conformalGateDocs(ms.toDF(), wq, tQ)
+      .writeStream.format("memory").queryName("conf_stream")
+      .outputMode("append").start()
+    ms.addData(docs.take(50))
+    q.processAllAvailable()
+    ms.addData(docs.drop(50))
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("conf_stream")
+      .select($"doc_id", $"score_q", $"keep")
+      .as[(Long, Long, Boolean)].collect().toSet
+    val batch = Classifier.score(table, Sf)
+      .filter($"doc_id".isin(docs.map(_.doc_id): _*))
+      .select($"doc_id", $"score_q", ($"score_q" >= tQ).as("keep"))
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(streamed === batch)
+    assert(streamed.exists(_._3) , "gate must keep something on the fixture")
+  }
+
   test("batch ≡ stream: frozen multiclass lang weights predict a doc stream identically") {
     implicit val ctx = spark.sqlContext
     val table = graft.sources.Tables.documents(spark, Sf)

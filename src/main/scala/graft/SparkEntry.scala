@@ -689,6 +689,11 @@ object SparkEntry {
     // hierarchy — every doc in the least-generalized class reaching
     // size ≥ k; the metadata-side privacy gate next to piirate/redact.
     "q_doc_kanon" -> { (s, dir) => Curation.kAnonymize(Tables.documents(s, dir)) },
+    // Leave-one-source-out ablation: per source, the corpus mean quality
+    // with vs without it (exact complement arithmetic on fixed-point
+    // integer sums — one grouped pass, never a pass per source); the
+    // most negative influence rows are the first sourcecap candidates.
+    "q_doc_srcablate" -> { (s, dir) => Curation.sourceAblate(Tables.documents(s, dir)) },
     // l-diversity audit over the k-anonymity release manifest: per
     // released equivalence class, distinct PII-profile sensitive values
     // and the homogeneity margin — a k-safe class whose members all
@@ -4091,6 +4096,7 @@ object SparkEntry {
     "q_doc_domprior" -> Curation.domainPriorSql(),
     "q_doc_kanon" -> Curation.kAnonymizeSql(),
     "q_doc_ldiv" -> Curation.lDiversitySql(),
+    "q_doc_srcablate" -> Curation.sourceAblateSql(),
     "q_doc_mixalpha" ->
       s"""WITH per AS (
          |  SELECT source,

@@ -971,6 +971,79 @@ object Curation {
        |  (COUNT(*) >= $l) AS ok
        |FROM lpsv GROUP BY 1, 2, 3""".stripMargin
 
+  /** Leave-one-source-out ablation read-out — the cheapest honest
+    * "how much does each source move the corpus" influence measure
+    * (the O(1)-per-group exact special case of the ablation studies a
+    * data-mixing run keeps re-running; full Shapley needs 2^‖sources‖
+    * retrains, leave-one-out needs ONE grouped pass): per source, the
+    * corpus mean quality WITH and WITHOUT that source and the delta.
+    * influence > 0 means the source LIFTS the corpus mean — dropping it
+    * hurts; the most negative rows are the first candidates for a
+    * sourcecap or a domainPrior downweight, read NEXT to n_docs (a tiny
+    * terrible source matters less than a huge mediocre one — the
+    * ablated mean prices exactly that).
+    *
+    * Exactness: quality quantizes to 2^24 fixed point and sums as
+    * integers (order-free); every mean is one division of exact
+    * integers, so both engines agree bit-for-bit. Null-quality
+    * (zero-token) docs drop up front behind the same pushdown barrier
+    * as the quality gate (the substituted-predicate re-derivation
+    * trap, see [[qualityFilter]]).
+    *
+    * Scale shape: ONE narrow scoring pass + ONE grouped agg to
+    * ≤ ‖sources‖ rows; the global row is an agg over THAT table
+    * crossed back broadcast. The complement aggregates are pure
+    * arithmetic (global − group), never a second corpus pass per
+    * source — the point of the op.
+    */
+  def sourceAblate(docs: DataFrame): DataFrame = {
+    import graft.functions.VectorFunctions.{quantize, dequantize}
+    val q = graft.expressions.PushdownBarrier.barrieredFilter(
+        TextAnalysis.quality(docs, passthrough = Seq("source")),
+        col("quality").isNotNull)
+      .select(col("source"), quantize(col("quality")).as("qq"))
+    val per = q.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("qq")).as("qsum"))
+      .localCheckpoint(false)
+    val glob = per.agg(sum(col("n_docs")).as("gn"), sum(col("qsum")).as("gq"))
+    per.crossJoin(broadcast(glob))
+      .select(col("source"), col("n_docs"),
+        dequantize(col("qsum"), col("n_docs")).as("mean_q"),
+        dequantize(col("gq"), col("gn")).as("corpus_mean"),
+        when(col("gn") > col("n_docs"),
+          dequantize(col("gq") - col("qsum"), col("gn") - col("n_docs")))
+          .as("ablated_mean"),
+        (dequantize(col("gq"), col("gn")) -
+          when(col("gn") > col("n_docs"),
+            dequantize(col("gq") - col("qsum"), col("gn") - col("n_docs"))))
+          .as("influence"))
+  }
+
+  /** DuckDB mirror of [[sourceAblate]]. */
+  def sourceAblateSql(): String =
+    s"""WITH ${TextAnalysis.qualityRatiosSql()},
+       |abq AS (
+       |  SELECT d.source,
+       |    CAST(ROUND((${TextAnalysis.qualityScoreSql}) * 16777216.0) AS BIGINT) AS qq
+       |  FROM rq r JOIN documents d ON r.doc_id = d.doc_id
+       |  WHERE (${TextAnalysis.qualityScoreSql}) IS NOT NULL),
+       |abper AS (
+       |  SELECT source, COUNT(*) AS n_docs, CAST(SUM(qq) AS BIGINT) AS qsum
+       |  FROM abq GROUP BY source),
+       |abglob AS (
+       |  SELECT CAST(SUM(n_docs) AS BIGINT) AS gn,
+       |    CAST(SUM(qsum) AS BIGINT) AS gq
+       |  FROM abper)
+       |SELECT source, n_docs,
+       |  CAST(qsum AS DOUBLE) / (CAST(n_docs AS DOUBLE) * 16777216.0) AS mean_q,
+       |  CAST(gq AS DOUBLE) / (CAST(gn AS DOUBLE) * 16777216.0) AS corpus_mean,
+       |  CASE WHEN gn > n_docs THEN CAST(gq - qsum AS DOUBLE)
+       |    / (CAST(gn - n_docs AS DOUBLE) * 16777216.0) END AS ablated_mean,
+       |  CAST(gq AS DOUBLE) / (CAST(gn AS DOUBLE) * 16777216.0)
+       |    - (CASE WHEN gn > n_docs THEN CAST(gq - qsum AS DOUBLE)
+       |        / (CAST(gn - n_docs AS DOUBLE) * 16777216.0) END) AS influence
+       |FROM abper CROSS JOIN abglob""".stripMargin
+
   /** DuckDB mirror of [[piiRate]] over table `src`. */
   def piiRateSql(src: String = "documents"): String =
     s"""WITH s AS (

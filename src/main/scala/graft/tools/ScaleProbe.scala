@@ -139,7 +139,15 @@ object ScaleProbe {
     // df²) — prefix filtering must not degenerate toward all-pairs as
     // the corpus grows (Heaps-law vocabulary growth keeps prefix
     // elements rare, the same property the LSH probes rely on)
-    "q_dedup_ppjoin")
+    "q_dedup_ppjoin",
+    // round-11 session additions: greedy max-coverage source selection
+    // (budget anti-join rounds over the covered-shingle table — work per
+    // round must track the distinct-(source, shingle) table, never the
+    // pair count), the k-center coreset (k−1 narrow least()-update
+    // passes + single-row reduces — must track the vector scan), and
+    // the conformal gate (one scored pass + the rocAuc-style grouped
+    // order statistic — must track the featurize pass like qclf_score)
+    "q_doc_srcsel", "q_emb_kcenter", "q_doc_qclf_conf")
 
   /** Heaps-ish vocabulary size: 30 tokens at the 5k-doc base (the real
     * table's vocabulary), growing with sqrt(n).

@@ -2088,6 +2088,12 @@ object SparkEntry {
     // runs CUPED. Two output rows; every stage is a grouped agg with
     // map-side partials, the global moments a 1-row broadcast.
     "q_ev_cuped" -> { (s, dir) => Experiment.cuped(Tables.events(s, dir)) },
+    // Minimum detectable effect per event type: the BEFORE-the-experiment
+    // sizing read-out (CUPED is the after) — per-user totals (the
+    // randomization unit), exact DECIMAL moments, the two-sample normal
+    // MDE at alpha=0.05 / power=0.8; mde_rel >> hoped-for lift means the
+    // test is not worth running at current traffic.
+    "q_ev_mde" -> { (s, dir) => Experiment.mde(Tables.events(s, dir)) },
     // Winsorized robust metrics: per event type, exact p99 cap, raw vs
     // capped means (quantized integer sums), capped-row permille — the
     // whale-user outlier step a metrics pipeline runs before CUPED.
@@ -4988,6 +4994,7 @@ object SparkEntry {
         |   CASE WHEN spend >= m_med THEN 'M' ELSE 'm' END) AS segment
         |FROM pr CROSS JOIN th""".stripMargin,
     "q_ev_winsor" -> Experiment.winsorizeSql(),
+    "q_ev_mde" -> Experiment.mdeSql(),
     "q_ev_cuped" ->
       """WITH cev AS (
         |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tus,

@@ -129,4 +129,105 @@ object Experiment {
           col("covn") * col("covn") / (col("varn") * col("varyn")))
           .otherwise(0.0).as("var_reduction"))
   }
+
+  /** z_{0.975} + z_{0.80}: two-sided α = 0.05 at 80% power — the default
+    * experiment-sizing constants (shared literal with the SQL mirror so
+    * the engines multiply the same double).
+    */
+  val ZSumDefault: Double = 1.959963984540054 + 0.8416212335729143
+
+  /** Minimum detectable effect (power analysis) per event type — the
+    * question a team asks BEFORE the experiment that [[cuped]] reads out
+    * after: with the traffic we have, what lift could we even see? Unit
+    * of analysis = per-user total value (randomization is by user — the
+    * same unit [[cuped]] uses; event-level rows are correlated within a
+    * user and would understate the variance), variants by the user_id
+    * parity convention. MDE_abs = (z_{1−α/2} + z_pow) · s ·
+    * √(1/n₀ + 1/n₁) with s the pooled per-user sample sd — the standard
+    * two-sample normal-approximation sizing formula; mde_rel divides by
+    * the overall mean (null when the metric means zero). A team reads
+    * the table as "event types where mde_rel ≫ the effect we hope for
+    * are not worth testing at current traffic".
+    *
+    * Exactness: per-user totals quantize at ×100 and the (Σu, Σu²)
+    * moments ride DECIMAL(38,0) (the CUPED discipline — squared
+    * quantized totals pass long at ~10⁸ events of value 10⁶); the sd
+    * and MDE are a fixed chain of double ops spelled identically in
+    * both engines. n = 1 strata emit null sd/MDE rather than a
+    * divide-by-zero Infinity.
+    *
+    * Scale shape: one grouped agg to (event_type, user) — the corpus's
+    * only shuffle — then a second to ≤ ‖event types‖ rows with map-side
+    * partials. No window, no sort, no driver state.
+    */
+  def mde(events: DataFrame, zSum: Double = ZSumDefault): DataFrame = {
+    val dec = "decimal(38,0)"
+    val ev = events
+      .filter(col("user_id").isNotNull && col("value").isNotNull &&
+        abs(col("value")) < 9e15)
+      .select(col("event_type"), col("user_id"),
+        expr("cast(round(value * 100) as long)").as("vq"))
+    val per = ev.groupBy(col("event_type"), col("user_id"))
+      .agg(sum(col("vq")).as("u"))
+      .withColumn("variant", pmod(col("user_id"), lit(2L)))
+    val agg = per.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast(dec).as("n"),
+        sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(col("u").cast(dec)).as("su"),
+        sum(col("u").cast(dec) * col("u").cast(dec)).as("suu"))
+      .withColumn("varn",
+        (col("n") * col("suu") - col("su") * col("su")).cast("double"))
+    val meanU = col("su").cast("double") / (col("n").cast("double") * 100.0)
+    val sdU = when(col("n") > 1,
+      sqrt(col("varn") / (col("n").cast("double")
+        * (col("n").cast("double") - 1.0))) / 100.0)
+    val mdeAbs = when(col("n0") > 0 && col("n1") > 0,
+      lit(zSum) * sdU * sqrt(lit(1.0) / col("n0").cast("double")
+        + lit(1.0) / col("n1").cast("double")))
+    agg.select(col("event_type"),
+      col("n0"), col("n1"),
+      meanU.as("mean_u"), sdU.as("sd_u"), mdeAbs.as("mde_abs"),
+      when(meanU =!= 0.0, mdeAbs / meanU).as("mde_rel"))
+  }
+
+  /** DuckDB mirror of [[mde]] — identical quantization, DECIMAL moments
+    * and double-op chain.
+    */
+  def mdeSql(zSum: Double = ZSumDefault): String =
+    s"""WITH mev AS (
+       |  SELECT event_type, user_id,
+       |    CAST(ROUND(value * 100) AS BIGINT) AS vq
+       |  FROM events
+       |  WHERE user_id IS NOT NULL AND value IS NOT NULL
+       |    AND abs(value) < 9e15),
+       |mper AS (
+       |  SELECT event_type, user_id, CAST(SUM(vq) AS HUGEINT) AS u,
+       |    user_id % 2 AS variant
+       |  FROM mev GROUP BY event_type, user_id),
+       |magg AS (
+       |  SELECT event_type,
+       |    CAST(COUNT(*) AS HUGEINT) AS n,
+       |    CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+       |    CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+       |    SUM(u) AS su, SUM(u * u) AS suu
+       |  FROM mper GROUP BY event_type),
+       |mv AS (
+       |  SELECT *, CAST(n * suu - su * su AS DOUBLE) AS varn FROM magg),
+       |mx AS (
+       |  SELECT event_type, n0, n1,
+       |    CAST(su AS DOUBLE) / (CAST(n AS DOUBLE) * 100.0) AS mean_u,
+       |    CASE WHEN n > 1 THEN
+       |      sqrt(varn / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) / 100.0
+       |    END AS sd_u
+       |  FROM mv)
+       |SELECT event_type, n0, n1, mean_u, sd_u,
+       |  CASE WHEN n0 > 0 AND n1 > 0 THEN
+       |    $zSum * sd_u * sqrt(1.0 / CAST(n0 AS DOUBLE)
+       |      + 1.0 / CAST(n1 AS DOUBLE)) END AS mde_abs,
+       |  CASE WHEN mean_u <> 0.0 THEN
+       |    (CASE WHEN n0 > 0 AND n1 > 0 THEN
+       |      $zSum * sd_u * sqrt(1.0 / CAST(n0 AS DOUBLE)
+       |        + 1.0 / CAST(n1 AS DOUBLE)) END) / mean_u END AS mde_rel
+       |FROM mx""".stripMargin
 }

@@ -17,6 +17,38 @@ class ExperimentSpec extends SparkSpec {
   private def ev(id: Long, us: Long, v: Double) =
     (id, new Timestamp(us / 1000), "click", v)
 
+  test("mde: the sizing formula is replayed exactly and the unit is the USER") {
+    // 4 users (2 per variant), per-user totals 1, 2, 3, 4. User 0's
+    // total arrives as TWO events (0.6 + 0.4): event-level rows must
+    // collapse into the user unit — n stays 4, not 5.
+    val hour = 3600L * 1000000L
+    val rows = Seq(
+      ev(0L, hour, 0.6), ev(0L, 2 * hour, 0.4),
+      ev(1L, hour, 2.0), ev(2L, hour, 3.0), ev(3L, hour, 4.0))
+    val df = rows.toDF("user_id", "ts", "event_type", "value")
+    val out = Experiment.mde(df).collect()
+    assert(out.length == 1)
+    val r = out(0)
+    assert(r.getLong(1) == 2L && r.getLong(2) == 2L, "2 users per variant")
+    val totals = Seq(1.0, 2.0, 3.0, 4.0)
+    val mean = totals.sum / 4
+    val s = math.sqrt(totals.map(t => (t - mean) * (t - mean)).sum / 3)
+    val mde = Experiment.ZSumDefault * s * math.sqrt(1.0 / 2 + 1.0 / 2)
+    assert(math.abs(r.getDouble(3) - mean) < 1e-9)
+    assert(math.abs(r.getDouble(4) - s) < 1e-9)
+    assert(math.abs(r.getDouble(5) - mde) < 1e-9)
+    assert(math.abs(r.getDouble(6) - mde / mean) < 1e-9)
+  }
+
+  test("mde: a single-user event type emits null sd and MDE, not Infinity") {
+    val hour = 3600L * 1000000L
+    val df = Seq(ev(7L, hour, 5.0)).toDF("user_id", "ts", "event_type", "value")
+    val r = Experiment.mde(df).collect()(0)
+    assert(r.isNullAt(4) && r.isNullAt(5) && r.isNullAt(6))
+    // the lone (odd) user lands in variant 1
+    assert(r.getLong(1) == 0L && r.getLong(2) == 1L)
+  }
+
   test("cuped: a perfect pre-predictor removes ALL post variance and equalizes variants") {
     // pre value x_u per user, post value y_u = 2·x_u exactly; midpoint
     // splits the two events. cov/var algebra: θ = 2, ρ² = 1, and every

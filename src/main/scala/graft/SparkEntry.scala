@@ -371,6 +371,14 @@ object SparkEntry {
     "q_doc_bm25" -> { (s, dir) =>
       TextAnalysis.bm25Search(Tables.documents(s, dir), SearchTerms)
     },
+    // RM3 pseudo-relevance feedback (the Anserini/Indri PRF default):
+    // top-fbDocs BM25 results estimate an expansion-term distribution
+    // (exact DECIMAL nanos weights), the corpus re-scores on the mixed
+    // query — docs matching ONLY expansion terms enter via the
+    // full-outer mix, recall beyond the literal vocabulary.
+    "q_doc_rm3" -> { (s, dir) =>
+      TextAnalysis.rm3Search(Tables.documents(s, dir), SearchTerms)
+    },
     // Hybrid retrieval: Reciprocal-Rank Fusion of the lexical BM25 list
     // and the per-query embedding list (exact integer nano-unit scores;
     // fusion cost is per-query — ≤ 2·20 rows/qid — independent of corpus
@@ -3114,6 +3122,7 @@ object SparkEntry {
          |GROUP BY doc_id
          |HAVING COUNT(DISTINCT w) = 3""".stripMargin,
     "q_doc_bm25" -> TextAnalysis.bm25SearchSql(SearchTerms),
+    "q_doc_rm3" -> TextAnalysis.rm3SearchSql(SearchTerms),
     "q_doc_ndcg" -> Retrieval.ndcgAuditSql(SearchTerms),
     "q_doc_rrf" ->
       s"""WITH ${Similarity.baseSql},

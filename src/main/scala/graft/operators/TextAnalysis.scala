@@ -297,6 +297,157 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_terms"), sum(col("c_nanos")).as("score_odds_nanos"))
   }
 
+  /** Per-(doc, term) BM25 odds-nanos component table over an arbitrary
+    * TERM TABLE — [[bm25Search]]'s inner stage with the static IN-list
+    * replaced by a broadcast term equi-join, so a DATA-DERIVED query
+    * (the RM3 expansion set) prices identically to a literal one: only
+    * postings for the ≤‖terms‖ join survivors reach the one shuffle.
+    */
+  private def bm25PostsFor(td: DataFrame, terms: DataFrame,
+      k1: Double, b: Double): DataFrame = {
+    val stats = td.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sumdl"))
+    val post = td.select(col("doc_id"), col("dl"), explode(col("toks")).as("w"))
+      .join(broadcast(terms.select(col("w"))), "w")
+      .groupBy(col("doc_id"), col("dl"), col("w"))
+      .agg(count(lit(1)).as("tf"))
+    val dfx = post.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    post.join(broadcast(dfx), "w")
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl",
+        col("sumdl").cast("double") / col("n_docs").cast("double"))
+      .withColumn("c_nanos", floor(
+        (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) *
+          (col("tf") * lit(k1 + 1) /
+            (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl")))) *
+          lit(1e9)).cast("long"))
+      .select(col("doc_id"), col("w"), col("c_nanos"))
+  }
+
+  /** RM3 pseudo-relevance feedback (Lavrenko–Croft relevance models,
+    * the Anserini/Indri PRF default): run the literal query, take the
+    * top `fbDocs` results as PSEUDO-relevant, estimate an expansion
+    * term distribution from them — weight(w) = Σ_d P̂(w|d)·score(d),
+    * here ⌊tf·1e9/dl⌋ · score_odds_nanos summed in exact
+    * DECIMAL(38,0), original terms excluded — keep the top `fbTerms`
+    * (weight DESC, term ASC), then score the corpus on the MIXED
+    * query: rm3 = α·orig·Σwt + (1−α)·Σ_w wt_w·c_w, with α = alpha10/10
+    * spelled as exact integer factors (the Σwt factor puts both mix
+    * legs on the same nanos×weight scale, so α keeps its meaning
+    * without a float normalization). Docs matching ONLY expansion
+    * terms enter through the full-outer mix — recall beyond the
+    * literal query's vocabulary, the point of PRF. Top 10 by
+    * (rm3 DESC, doc_id ASC).
+    *
+    * Exactness: every per-term contribution is floored to integer
+    * nanos before any sum (order-free BIGINT/DECIMAL arithmetic, the
+    * [[bm25Search]] discipline); expansion weights, the mix, and the
+    * final scores are exact integers — bit-identical across engines.
+    *
+    * Scale shape: three passes over the shared tokenized stage (orig
+    * postings / feedback-doc TFs / expansion postings), each shuffling
+    * only term-filtered postings; the feedback set (≤fbDocs rows), the
+    * expansion set (≤fbTerms rows), df tables and corpus stats are all
+    * broadcasts; both top-k selections are TakeOrderedAndProject
+    * single reduces. Nothing corpus-sized moves except the scans.
+    */
+  def rm3Search(docs: DataFrame, terms: Seq[String], fbDocs: Int = 10,
+      fbTerms: Int = 10, alpha10: Int = 7,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "rm3 needs at least one seed term")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val dec = "decimal(38,0)"
+    val td = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"), col("toks"))
+      .localCheckpoint(false)
+    val origScores = bm25PostsFor(td, terms.toDF("w"), k1, b)
+      .groupBy(col("doc_id")).agg(sum(col("c_nanos")).as("orig_nanos"))
+    val fb = origScores.orderBy(col("orig_nanos").desc, col("doc_id"))
+      .limit(fbDocs).localCheckpoint(false)
+    val exp = td.join(broadcast(fb), "doc_id")
+      .select(col("dl"), col("orig_nanos"), explode(col("toks")).as("w"))
+      .groupBy(col("dl"), col("orig_nanos"), col("w"))
+      .agg(count(lit(1)).as("tf"))
+      .filter(!col("w").isin(terms: _*))
+      .select(col("w"), (floor(col("tf") * lit(1e9) / col("dl")).cast(dec)
+        * col("orig_nanos").cast(dec)).as("contrib"))
+      .groupBy(col("w")).agg(sum(col("contrib")).as("wt"))
+      .orderBy(col("wt").desc, col("w")).limit(fbTerms)
+      .localCheckpoint(false)
+    val expScores = bm25PostsFor(td, exp, k1, b)
+      .join(broadcast(exp), "w")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("wt") * col("c_nanos").cast(dec)).as("exp_dec"))
+    val sTot = exp.agg(sum(col("wt")).as("s_wt"))
+    origScores.join(expScores, Seq("doc_id"), "full_outer")
+      .crossJoin(broadcast(sTot))
+      .select(col("doc_id"),
+        (lit(alpha10).cast(dec) * coalesce(col("orig_nanos"), lit(0L)).cast(dec)
+            * col("s_wt")
+          + lit(10 - alpha10).cast(dec)
+            * coalesce(col("exp_dec"), lit(0L).cast(dec))).as("rm3_dec"))
+      .orderBy(col("rm3_dec").desc, col("doc_id")).limit(10)
+  }
+
+  /** DuckDB mirror of [[rm3Search]] — same stages, HUGEINT where the
+    * engine rides DECIMAL(38,0), identical operand trees.
+    */
+  def rm3SearchSql(terms: Seq[String], fbDocs: Int = 10, fbTerms: Int = 10,
+      alpha10: Int = 7, k1: Double = 1.2, b: Double = 0.75,
+      src: String = "documents"): String = {
+    val inList = terms.map(t => s"'$t'").mkString(", ")
+    def cNanos(tf: String, dl: String, df: String) =
+      s"""CAST(FLOOR(
+         |    (n_docs - $df + 0.5) / ($df + 0.5) *
+         |      ($tf * CAST(${k1 + 1} AS DOUBLE) /
+         |        ($tf + CAST($k1 AS DOUBLE) * (CAST(${1 - b} AS DOUBLE) + CAST($b AS DOUBLE) * $dl / (CAST(sumdl AS DOUBLE) / CAST(n_docs AS DOUBLE))))) *
+         |      1e9) AS BIGINT)""".stripMargin
+    s"""WITH tq AS (SELECT doc_id, ${Dedup.toksSql} AS toks FROM $src),
+       |td AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM tq),
+       |stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sumdl FROM td),
+       |opost AS (
+       |  SELECT doc_id, dl, w, COUNT(*) AS tf FROM (
+       |    SELECT doc_id, dl, unnest(toks) AS w FROM td) t
+       |  WHERE w IN ($inList)
+       |  GROUP BY doc_id, dl, w),
+       |odfx AS (SELECT w, COUNT(*) AS df FROM opost GROUP BY w),
+       |oscore AS (
+       |  SELECT doc_id, CAST(SUM(${cNanos("tf", "dl", "df")}) AS BIGINT)
+       |    AS orig_nanos
+       |  FROM opost JOIN odfx USING (w) CROSS JOIN stats
+       |  GROUP BY doc_id),
+       |fb AS (SELECT doc_id, orig_nanos FROM oscore
+       |  ORDER BY orig_nanos DESC, doc_id LIMIT $fbDocs),
+       |fbtf AS (
+       |  SELECT dl, orig_nanos, w, COUNT(*) AS tf FROM (
+       |    SELECT t.dl, f.orig_nanos, unnest(t.toks) AS w
+       |    FROM td t JOIN fb f ON t.doc_id = f.doc_id) x
+       |  GROUP BY dl, orig_nanos, w),
+       |exp AS (
+       |  SELECT w, SUM(CAST(FLOOR(tf * 1e9 / dl) AS HUGEINT)
+       |      * CAST(orig_nanos AS HUGEINT)) AS wt
+       |  FROM fbtf WHERE w NOT IN ($inList)
+       |  GROUP BY w ORDER BY wt DESC, w LIMIT $fbTerms),
+       |epost AS (
+       |  SELECT doc_id, dl, w, COUNT(*) AS tf FROM (
+       |    SELECT doc_id, dl, unnest(toks) AS w FROM td) t
+       |  WHERE w IN (SELECT w FROM exp)
+       |  GROUP BY doc_id, dl, w),
+       |edfx AS (SELECT w, COUNT(*) AS df FROM epost GROUP BY w),
+       |escore AS (
+       |  SELECT doc_id, SUM(e.wt * CAST(${cNanos("tf", "dl", "df")} AS HUGEINT))
+       |    AS exp_dec
+       |  FROM epost JOIN edfx USING (w) JOIN exp e USING (w) CROSS JOIN stats
+       |  GROUP BY doc_id),
+       |stot AS (SELECT SUM(wt) AS s_wt FROM exp)
+       |SELECT COALESCE(o.doc_id, e.doc_id) AS doc_id,
+       |  $alpha10 * CAST(COALESCE(o.orig_nanos, 0) AS HUGEINT) * s_wt
+       |    + ${10 - alpha10} * COALESCE(e.exp_dec, 0) AS rm3_dec
+       |FROM oscore o FULL OUTER JOIN escore e ON o.doc_id = e.doc_id
+       |CROSS JOIN stot
+       |ORDER BY rm3_dec DESC, doc_id LIMIT 10""".stripMargin
+  }
+
   /** DuckDB mirror of [[bm25Search]] — same operand tree, constants
     * interpolated from the SAME Scala doubles (shortest-round-trip repr,
     * so the parsed literal is the identical bit pattern).

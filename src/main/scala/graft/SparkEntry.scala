@@ -1040,6 +1040,12 @@ object SparkEntry {
 
     // ---- Similarity search (embeddings; SURVEY §2 extensions) -----------
     "q_emb_knn" -> { (s, dir) => Similarity.knnBrute(Tables.embeddings(s, dir)) },
+    // MMR diversified rerank (Carbonell-Goldstein): kOut greedy rounds of
+    // argmax lambda*rel - (1-lambda)*maxSim INSIDE the top-kCand
+    // shortlist — pairwise work bounded by |queries|*kCand, never the
+    // corpus; the rerank every retrieval stack bolts on when the index
+    // serves five copies of the same page.
+    "q_emb_mmr" -> { (s, dir) => Similarity.mmrRerank(Tables.embeddings(s, dir)) },
     // Two-stage binary-quantization kNN: stage 1 ranks by Hamming over
     // 64 mean-centered sign bits packed in two 32-bit words (8 bytes
     // per vector — 32× smaller than the float store, popcount scan);
@@ -3628,6 +3634,7 @@ object SparkEntry {
         |GROUP BY label, dim""".stripMargin,
     "q_emb_kmeans" -> Similarity.kmeansSql(),
     "q_emb_kcenter" -> Similarity.kCenterSql(),
+    "q_emb_mmr" -> Similarity.mmrSql(),
     "q_emb_append" -> Similarity.ivfAppendSql(),
     "q_emb_split" -> Similarity.splitSql(),
     "q_emb_cellbal" ->

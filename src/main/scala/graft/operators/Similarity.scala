@@ -87,6 +87,113 @@ object Similarity {
       .withColumn("cos", cosineWithNorms(dot(col("qemb"), col("emb")), col("qnrm"), col("nrm"))), k)
   }
 
+  /** Maximal-marginal-relevance rerank (Carbonell–Goldstein'98 MMR —
+    * the classic score-based diversifier; [[diversifiedTopK]] is the
+    * cheap structural variant that caps per CELL, MMR pays pairwise
+    * similarity INSIDE the shortlist for the exact greedy trade-off):
+    * per query, take the top-`kCand` relevance shortlist, then kOut
+    * greedy rounds each picking argmax of
+    * λ·rel(q, d) − (1−λ)·max_{s∈selected} sim(d, s), λ = lambda10/10,
+    * ties (score DESC, vec_id ASC). Round 1 is the pure-relevance
+    * argmax (selected set empty). The result keeps relevance while
+    * breaking up near-duplicate result blocks — the rerank every
+    * retrieval stack bolts on when the index serves five copies of the
+    * same page.
+    *
+    * Scale shape: pairwise work is confined to the SHORTLIST — every
+    * frame after the candidate stage is ≤ ‖queries‖·kCand rows, each
+    * greedy round one anti-join + one bounded sim join against the
+    * ≤ ‖queries‖·(round−1) selected rows + one per-query window over
+    * ≤ kCand rows (partitioned on qid — high-cardinality). kOut·3
+    * bounded joins total, corpus touched only by the candidate stage.
+    *
+    * Exactness: cosines from the same fold-order [[dot]]/[[l2norm]]
+    * kernels as [[knnBrute]]; the MMR mix is a fixed double chain
+    * spelled identically in the mirror; max over selected sims is
+    * order-free.
+    */
+  def mmrRerank(e: DataFrame, queryMod: Int = 50, kCand: Int = 20,
+      kOut: Int = 5, lambda10: Int = 7): DataFrame = {
+    val base = withEmb(e).select(col("vec_id"), col("emb"), l2norm(col("emb")).as("nrm"))
+    val q = querySet(base, queryMod, Int.MaxValue)
+      .select(col("vec_id").as("qid"), col("emb").as("qemb"), col("nrm").as("qnrm"))
+    val cands = topK(broadcast(q).join(base, col("vec_id") =!= col("qid"))
+        .withColumn("cos", cosineWithNorms(dot(col("qemb"), col("emb")), col("qnrm"), col("nrm"))),
+        kCand)
+      .join(base, "vec_id")
+      .select(col("qid"), col("vec_id"), col("cos"), col("emb"), col("nrm"))
+      .localCheckpoint(false)
+    val w1 = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    var selected = cands
+      .withColumn("rn", row_number().over(w1)).filter(col("rn") === 1)
+      .select(col("qid"), col("vec_id"), col("cos"), col("emb"), col("nrm"),
+        lit(1L).as("rank"))
+      .localCheckpoint(false)
+    for (r <- 2 to kOut) {
+      val rem = cands.join(selected.select(col("qid"), col("vec_id")),
+        Seq("qid", "vec_id"), "left_anti")
+      val ms = rem
+        .join(selected.select(col("qid"), col("emb").as("semb"), col("nrm").as("snrm")), "qid")
+        .withColumn("sim",
+          cosineWithNorms(dot(col("emb"), col("semb")), col("nrm"), col("snrm")))
+        .groupBy(col("qid"), col("vec_id")).agg(max(col("sim")).as("maxsim"))
+      val wr = Window.partitionBy(col("qid")).orderBy(col("mmr").desc, col("vec_id"))
+      val pick = rem.join(ms, Seq("qid", "vec_id"))
+        .withColumn("mmr", lit(lambda10 / 10.0) * col("cos")
+          - lit((10 - lambda10) / 10.0) * col("maxsim"))
+        .withColumn("rn", row_number().over(wr)).filter(col("rn") === 1)
+        .select(col("qid"), col("vec_id"), col("cos"), col("emb"), col("nrm"),
+          lit(r.toLong).as("rank"))
+      selected = selected.unionByName(pick).localCheckpoint(false)
+    }
+    selected.select(col("qid"), col("rank"), col("vec_id"), col("cos"))
+  }
+
+  /** DuckDB mirror of [[mmrRerank]]: the same shortlist then kOut − 1
+    * unrolled greedy rounds with identical mix arithmetic and tie rules.
+    */
+  def mmrSql(queryMod: Int = 50, kCand: Int = 20, kOut: Int = 5,
+      lambda10: Int = 7): String = {
+    val lam = lambda10 / 10.0
+    val oneMinus = (10 - lambda10) / 10.0
+    val rounds = (2 to kOut).map { r =>
+      s"""ms$r AS (
+         |  SELECT c.qid, c.vec_id, MAX(${dotSql("c.emb", "s.emb")} / (c.nrm * s.nrm)) AS maxsim
+         |  FROM cands c JOIN sel${r - 1} s ON c.qid = s.qid
+         |  WHERE NOT EXISTS (SELECT 1 FROM sel${r - 1} x
+         |                    WHERE x.qid = c.qid AND x.vec_id = c.vec_id)
+         |  GROUP BY c.qid, c.vec_id),
+         |p$r AS (
+         |  SELECT qid, vec_id, cos, emb, nrm, CAST($r AS BIGINT) AS rank FROM (
+         |    SELECT c.*, ROW_NUMBER() OVER (PARTITION BY c.qid
+         |      ORDER BY $lam * c.cos - $oneMinus * m.maxsim DESC, c.vec_id) AS rn
+         |    FROM cands c JOIN ms$r m ON c.qid = m.qid AND c.vec_id = m.vec_id) t
+         |  WHERE rn = 1),
+         |sel$r AS (SELECT * FROM sel${r - 1} UNION ALL SELECT * FROM p$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $baseSql,
+       |q AS (SELECT vec_id AS qid, emb AS qemb, nrm AS qnrm FROM base
+       |      WHERE vec_id % $queryMod = 0),
+       |cpairs AS (
+       |  SELECT qid, vec_id,
+       |    ${dotSql("qemb", "emb")} / (qnrm * nrm) AS cos, emb, nrm
+       |  FROM q JOIN base ON vec_id <> qid),
+       |cands AS (
+       |  SELECT qid, vec_id, cos, emb, nrm FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+       |      ORDER BY cos DESC, vec_id) AS rn
+       |    FROM cpairs) t
+       |  WHERE rn <= $kCand),
+       |sel1 AS (
+       |  SELECT qid, vec_id, cos, emb, nrm, CAST(1 AS BIGINT) AS rank FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+       |      ORDER BY cos DESC, vec_id) AS rn
+       |    FROM cands) t
+       |  WHERE rn = 1),
+       |$rounds
+       |SELECT qid, rank, vec_id, cos FROM sel$kOut""".stripMargin
+  }
+
   /** Candidate-shortlist width of the binary-quantization rerank stage
     * (per query: top-`BqShortR` by Hamming, reranked exactly).
     */

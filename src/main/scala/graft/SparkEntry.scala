@@ -537,6 +537,14 @@ object SparkEntry {
     // "which B sources actually add novel text" before paying for their
     // ingest; the exact audit for the KMV-sketched variant at 100 TB.
     "q_doc_srcsel" -> { (s, dir) => Curation.sourceSelect(Tables.documents(s, dir)) },
+    // Budgeted max-coverage source selection (Khuller-Moss-Naor cost-
+    // ratio greedy): best marginal-coverage-per-TOKEN among sources the
+    // remaining crawl budget still affords — the procurement spelling of
+    // q_doc_srcsel; budget = corpus tokens div 5 so the gate binds at
+    // every scale.
+    "q_doc_srcselb" -> { (s, dir) =>
+      Curation.sourceSelectBudgeted(Tables.documents(s, dir))
+    },
     // Execute the allocation: per stratum the alloc_h smallest priority
     // keys win via the bounded-heap TopKByValue aggregate (O(n) partial
     // state, map-side combined — never a per-lang rank window).
@@ -1046,6 +1054,14 @@ object SparkEntry {
     // corpus; the rerank every retrieval stack bolts on when the index
     // serves five copies of the same page.
     "q_emb_mmr" -> { (s, dir) => Similarity.mmrRerank(Tables.embeddings(s, dir)) },
+    // MMR over the TRAINED-IVF shortlist — the production composition:
+    // candidates from the index the maintenance family manages (probe
+    // nprobe trained cells, search members only — q_emb_ivft economics);
+    // q_emb_mmr's brute shortlist is the exact-truth audit twin.
+    "q_emb_mmrt" -> { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+      Similarity.mmrRerankTrained(e, Similarity.kmeansFitMemo(e, dir, "all"))
+    },
     // Two-stage binary-quantization kNN: stage 1 ranks by Hamming over
     // 64 mean-centered sign bits packed in two 32-bit words (8 bytes
     // per vector — 32× smaller than the float store, popcount scan);
@@ -1160,6 +1176,14 @@ object SparkEntry {
     "q_emb_kcenter" -> { (s, dir) =>
       val e = Tables.embeddings(s, dir)
       Similarity.kmeansAssign(e, Similarity.kCenterFitMemo(e, dir))
+    },
+    // Coverage audit over the frozen k-center exemplars: per center,
+    // members + covering radius (the global max IS the k-center
+    // objective the 2-approx bound speaks about). Rides the memoized
+    // center table; one grouped agg, ≤ k rows.
+    "q_emb_kcradius" -> { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+      Similarity.kCenterRadius(e, Similarity.kCenterFitMemo(e, dir))
     },
     // IVF index GROWTH audit: the day's new vectors (planted +1e6 tier)
     // assign against the FROZEN production centroids — base assignments
@@ -3635,6 +3659,8 @@ object SparkEntry {
     "q_emb_kmeans" -> Similarity.kmeansSql(),
     "q_emb_kcenter" -> Similarity.kCenterSql(),
     "q_emb_mmr" -> Similarity.mmrSql(),
+    "q_emb_kcradius" -> Similarity.kCenterRadiusSql(),
+    "q_emb_mmrt" -> Similarity.mmrTrainedSql(),
     "q_emb_append" -> Similarity.ivfAppendSql(),
     "q_emb_split" -> Similarity.splitSql(),
     "q_emb_cellbal" ->
@@ -3944,6 +3970,7 @@ object SparkEntry {
          |WHERE bucket < ${Curation.keepSql}""".stripMargin,
     "q_doc_neyman" -> Curation.neymanAllocationSql(),
     "q_doc_srcsel" -> Curation.sourceSelectSql(),
+    "q_doc_srcselb" -> Curation.sourceSelectBudgetedSql(),
     "q_doc_stratsample" -> Curation.stratifiedNeymanSampleSql(),
     "q_doc_wsample" -> Curation.weightedSampleSql(),
     "q_doc_snapdiff" -> Curation.snapshotDiffSql,

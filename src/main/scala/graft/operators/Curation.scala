@@ -1655,6 +1655,122 @@ object Curation {
     selected.toDF("rank", "source", "gain", "cum_cov")
   }
 
+  /** Budgeted max-coverage source selection — [[sourceSelect]] with a
+    * TOKEN budget instead of a count budget (Khuller–Moss–Naor'99
+    * budgeted maximum coverage; the cost-ratio greedy): each round
+    * picks, among sources still AFFORDABLE (token cost ≤ remaining
+    * budget), the one with the best marginal-coverage-per-token ratio
+    * (gain/cost as one IEEE division — identical doubles both engines —
+    * ties to the smaller source name); stops when nothing affordable
+    * adds coverage or `maxPicks` rounds have run (the mirror's
+    * unrolling bound). Budget = total corpus tokens div 5 — a corpus
+    * FRACTION, so the gate binds identically at every scale. This is
+    * the actual procurement question ("which feeds fit the crawl
+    * budget"), where [[sourceSelect]] answers the idealized count-
+    * budget one; the same KMV-sketch swap applies at 100 TB.
+    *
+    * Emits (rank, source, gain, cost_tokens, cum_cov, budget_left) —
+    * budget_left AFTER paying the pick, all exact BIGINTs.
+    */
+  def sourceSelectBudgeted(docs: DataFrame, maxPicks: Int = 8): DataFrame = {
+    val spark = docs.sparkSession
+    val withToks = docs.select(col("doc_id"), col("source"),
+      size(graft.functions.TextFunctions.tokens(col("text"))).cast("long").as("ntok"))
+    val costs = withToks.groupBy(col("source"))
+      .agg(sum(col("ntok")).as("cost")).localCheckpoint(false)
+    val budget = costs.agg((sum(col("cost")).cast("long")).as("t"))
+      .select(expr("t div 5").as("budget")).collect()(0).getLong(0)
+    val ssh = Dedup.shingles(docs.select(col("doc_id"), col("text")))
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .select(col("source"), col("h")).distinct()
+      .repartition(col("h"))
+      .localCheckpoint(false)
+    var selected = List.empty[(Int, String, Long, Long, Long, Long)]
+    var covered: DataFrame = null
+    var remaining = budget
+    var cum = 0L
+    var round = 1
+    var exhausted = false
+    while (round <= maxPicks && !exhausted) {
+      val affordable =
+        (if (selected.isEmpty) costs
+         else costs.filter(!col("source").isin(selected.map(_._2): _*)))
+          .filter(col("cost") <= remaining)
+      val fresh =
+        if (covered == null) ssh
+        else ssh.join(covered, Seq("h"), "left_anti")
+      val pick = fresh.join(broadcast(affordable), "source")
+        .groupBy(col("source"), col("cost"))
+        .agg(count(lit(1)).as("gain"))
+        .orderBy((col("gain").cast("double") / col("cost").cast("double")).desc,
+          col("source"))
+        .limit(1).collect()
+      if (pick.isEmpty) exhausted = true
+      else {
+        val (src, cost, gain) =
+          (pick(0).getString(0), pick(0).getLong(1), pick(0).getLong(2))
+        cum += gain
+        remaining -= cost
+        selected :+= ((round, src, gain, cost, cum, remaining))
+        val newCov = ssh.filter(col("source") === src).select(col("h"))
+        covered =
+          (if (covered == null) newCov.distinct()
+           else covered.union(newCov).distinct())
+            .repartition(col("h"))
+            .localCheckpoint(false)
+        round += 1
+      }
+    }
+    import spark.implicits._
+    selected.toDF("rank", "source", "gain", "cost_tokens", "cum_cov",
+      "budget_left")
+  }
+
+  /** DuckDB mirror of [[sourceSelectBudgeted]] — maxPicks unrolled
+    * cost-ratio rounds; affordability from the running budget, the
+    * ratio as the same single IEEE division.
+    */
+  def sourceSelectBudgetedSql(maxPicks: Int = 8): String = {
+    def round(i: Int): String = {
+      val prevSel = if (i == 1) "SELECT NULL AS source WHERE FALSE"
+        else s"SELECT source FROM a${i - 1}"
+      val prevSpend = if (i == 1) "0"
+        else s"COALESCE((SELECT SUM(cost_tokens) FROM a${i - 1}), 0)"
+      val notCovered = if (i == 1) "TRUE"
+        else s"NOT EXISTS (SELECT 1 FROM c${i - 1} c WHERE c.h = s.h)"
+      val prevRows = if (i == 1) "" else s"SELECT * FROM a${i - 1} UNION ALL "
+      s"""m$i AS (
+         |  SELECT s.source, k.cost, COUNT(*) AS gain FROM ssh s
+         |  JOIN kost k ON k.source = s.source
+         |  WHERE s.source NOT IN ($prevSel)
+         |    AND k.cost <= (SELECT budget FROM bp) - $prevSpend
+         |    AND $notCovered
+         |  GROUP BY s.source, k.cost),
+         |p$i AS (SELECT $i AS rank, source, gain, cost AS cost_tokens FROM m$i
+         |  ORDER BY CAST(gain AS DOUBLE) / CAST(cost AS DOUBLE) DESC, source
+         |  LIMIT 1),
+         |c$i AS MATERIALIZED (${if (i == 1) "" else s"SELECT h FROM c${i - 1} UNION "}
+         |  SELECT DISTINCT s.h FROM ssh s JOIN p$i p ON s.source = p.source),
+         |a$i AS MATERIALIZED (${prevRows}SELECT * FROM p$i)""".stripMargin
+    }
+    val rounds = (1 to maxPicks).map(round).mkString(",\n")
+    s"""WITH ${Dedup.shingleSqlFor("documents", "bsh")},
+       |ssh AS MATERIALIZED (SELECT DISTINCT d.source, t.h
+       |        FROM bsh t JOIN documents d ON t.doc_id = d.doc_id),
+       |kost AS MATERIALIZED (
+       |  SELECT source,
+       |    CAST(SUM(len(${Dedup.toksSql})) AS BIGINT) AS cost
+       |  FROM documents GROUP BY source),
+       |bp AS (SELECT CAST(SUM(cost) // 5 AS BIGINT) AS budget FROM kost),
+       |$rounds
+       |SELECT rank, source, gain, cost_tokens,
+       |  CAST(SUM(gain) OVER (ORDER BY rank) AS BIGINT) AS cum_cov,
+       |  (SELECT budget FROM bp)
+       |    - CAST(SUM(cost_tokens) OVER (ORDER BY rank) AS BIGINT)
+       |    AS budget_left
+       |FROM a$maxPicks""".stripMargin
+  }
+
   /** DuckDB mirror of [[sourceSelect]]: budget unrolled greedy rounds
     * over the distinct (source, shingle) sets, each excluding already-
     * picked sources and already-covered shingles, with the same
@@ -1669,18 +1785,18 @@ object Curation {
          |  GROUP BY s.source),
          |p$i AS (SELECT $i AS rank, source, gain FROM m$i
          |  ORDER BY gain DESC, source LIMIT 1),
-         |c$i AS (SELECT h FROM c${i - 1}
+         |c$i AS MATERIALIZED (SELECT h FROM c${i - 1}
          |  UNION SELECT s.h FROM ssh s JOIN p$i p ON s.source = p.source),
-         |a$i AS (SELECT * FROM a${i - 1} UNION ALL SELECT * FROM p$i)""".stripMargin
+         |a$i AS MATERIALIZED (SELECT * FROM a${i - 1} UNION ALL SELECT * FROM p$i)""".stripMargin
     }.mkString(",\n")
     s"""WITH ${Dedup.shingleSqlFor("documents", "dsh")},
-       |ssh AS (SELECT DISTINCT d.source, t.h
+       |ssh AS MATERIALIZED (SELECT DISTINCT d.source, t.h
        |        FROM dsh t JOIN documents d ON t.doc_id = d.doc_id),
        |m1 AS (SELECT source, COUNT(*) AS gain FROM ssh GROUP BY source),
        |p1 AS (SELECT 1 AS rank, source, gain FROM m1
        |  ORDER BY gain DESC, source LIMIT 1),
-       |c1 AS (SELECT DISTINCT s.h FROM ssh s JOIN p1 p ON s.source = p.source),
-       |a1 AS (SELECT * FROM p1),
+       |c1 AS MATERIALIZED (SELECT DISTINCT s.h FROM ssh s JOIN p1 p ON s.source = p.source),
+       |a1 AS MATERIALIZED (SELECT * FROM p1),
        |$rounds
        |SELECT rank, source, gain,
        |  CAST(SUM(gain) OVER (ORDER BY rank) AS BIGINT) AS cum_cov

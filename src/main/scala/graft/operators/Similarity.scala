@@ -122,7 +122,52 @@ object Similarity {
         kCand)
       .join(base, "vec_id")
       .select(col("qid"), col("vec_id"), col("cos"), col("emb"), col("nrm"))
-      .localCheckpoint(false)
+    mmrGreedy(cands, kOut, lambda10)
+  }
+
+  /** MMR over the TRAINED-IVF shortlist — the production composition:
+    * the shortlist comes from the index the maintenance family manages
+    * (probe the nprobe nearest trained cells, search only their
+    * members — the q_emb_ivft serving economics), and MMR reranks it
+    * with shortlist-bounded pairwise work. [[mmrRerank]] over brute
+    * candidates is the AUDIT twin (exact-truth shortlist); this is
+    * what actually serves at 100 TB, where the brute O(n·‖queries‖)
+    * candidate join is the probe-measured superlinear stage.
+    */
+  def mmrRerankTrained(e: DataFrame, cents: DataFrame, queryMod: Int = 50,
+      nprobe: Int = 2, kCand: Int = 20, kOut: Int = 5,
+      lambda10: Int = 7): DataFrame = {
+    val base = withEmb(e).select(col("vec_id"), col("emb"), l2norm(col("emb")).as("nrm"))
+    val store = base.join(
+      kmeansAssign(e, cents).select(col("vec_id"), col("cell")), "vec_id")
+    val centN = cents.withColumn("cnrm", l2norm(col("cemb")))
+    val q = querySet(base, queryMod, Int.MaxValue)
+      .select(col("vec_id").as("qid"), col("emb").as("qemb"), col("nrm").as("qnrm"))
+    val probeW = Window.partitionBy(col("qid")).orderBy(col("ccos").desc, col("cell"))
+    val probes = q.crossJoin(broadcast(centN))
+      .withColumn("ccos",
+        cosineWithNorms(dot(col("qemb"), col("cemb")), col("qnrm"), col("cnrm")))
+      .withColumn("prn", row_number().over(probeW))
+      .filter(col("prn") <= nprobe)
+      .select(col("qid"), col("qemb"), col("qnrm"), col("cell"))
+    val cands = topK(probes.join(store, Seq("cell"))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("cos",
+          cosineWithNorms(dot(col("qemb"), col("emb")), col("qnrm"), col("nrm"))),
+        kCand)
+      .join(base, "vec_id")
+      .select(col("qid"), col("vec_id"), col("cos"), col("emb"), col("nrm"))
+    mmrGreedy(cands, kOut, lambda10)
+  }
+
+  /** The kOut-round MMR greedy over a (qid, vec_id, cos, emb, nrm)
+    * candidate frame — shared by the brute-shortlist audit and the
+    * trained-IVF serving variant. Every frame here is
+    * ≤ ‖queries‖·kCand rows.
+    */
+  private def mmrGreedy(candFrame: DataFrame, kOut: Int,
+      lambda10: Int): DataFrame = {
+    val cands = candFrame.localCheckpoint(false)
     val w1 = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
     var selected = cands
       .withColumn("rn", row_number().over(w1)).filter(col("rn") === 1)
@@ -153,7 +198,63 @@ object Similarity {
     * unrolled greedy rounds with identical mix arithmetic and tie rules.
     */
   def mmrSql(queryMod: Int = 50, kCand: Int = 20, kOut: Int = 5,
-      lambda10: Int = 7): String = {
+      lambda10: Int = 7): String =
+    s"""WITH $baseSql,
+       |q AS (SELECT vec_id AS qid, emb AS qemb, nrm AS qnrm FROM base
+       |      WHERE vec_id % $queryMod = 0),
+       |cpairs AS (
+       |  SELECT qid, vec_id,
+       |    ${dotSql("qemb", "emb")} / (qnrm * nrm) AS cos, emb, nrm
+       |  FROM q JOIN base ON vec_id <> qid),
+       |cands AS (
+       |  SELECT qid, vec_id, cos, emb, nrm FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+       |      ORDER BY cos DESC, vec_id) AS rn
+       |    FROM cpairs) t
+       |  WHERE rn <= $kCand),
+       |${mmrGreedySql(kOut, lambda10)}
+       |SELECT qid, rank, vec_id, cos FROM sel$kOut""".stripMargin
+
+  /** DuckDB mirror of [[mmrRerankTrained]]: trained-cell probes +
+    * member shortlist over [[kmeansCtes]], then the shared greedy.
+    */
+  def mmrTrainedSql(queryMod: Int = 50, nprobe: Int = 2, kCand: Int = 20,
+      kOut: Int = 5, lambda10: Int = 7, kmK: Int = 8,
+      kmIters: Int = 2): String =
+    s"""WITH $baseSql,
+       |${kmeansCtes(kmK, kmIters)},
+       |cn AS (SELECT cell, cemb,
+       |  sqrt(${dotSql("cemb", "cemb")}) AS cnrm FROM c$kmIters),
+       |q AS (SELECT vec_id AS qid, emb AS qemb, nrm AS qnrm FROM base
+       |      WHERE vec_id % $queryMod = 0),
+       |pr AS (
+       |  SELECT qid, qemb, qnrm, cell FROM (
+       |    SELECT q.qid, q.qemb, q.qnrm, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY q.qid
+       |        ORDER BY ${dotSql("q.qemb", "c.cemb")} / (q.qnrm * c.cnrm) DESC,
+       |          c.cell) AS prn
+       |    FROM q CROSS JOIN cn c) t
+       |  WHERE prn <= $nprobe),
+       |cpairs AS (
+       |  SELECT p.qid, b.vec_id,
+       |    ${dotSql("p.qemb", "b.emb")} / (p.qnrm * b.nrm) AS cos,
+       |    b.emb, b.nrm
+       |  FROM pr p JOIN afin a ON a.cell = p.cell
+       |  JOIN base b ON b.vec_id = a.vec_id
+       |  WHERE b.vec_id <> p.qid),
+       |cands AS (
+       |  SELECT qid, vec_id, cos, emb, nrm FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+       |      ORDER BY cos DESC, vec_id) AS rn
+       |    FROM cpairs) t
+       |  WHERE rn <= $kCand),
+       |${mmrGreedySql(kOut, lambda10)}
+       |SELECT qid, rank, vec_id, cos FROM sel$kOut""".stripMargin
+
+  /** The kOut-round greedy CTE chain over a `cands` CTE — shared by
+    * [[mmrSql]] and [[mmrTrainedSql]] (ends in `sel<kOut>`).
+    */
+  private def mmrGreedySql(kOut: Int, lambda10: Int): String = {
     val lam = lambda10 / 10.0
     val oneMinus = (10 - lambda10) / 10.0
     val rounds = (2 to kOut).map { r =>
@@ -171,27 +272,13 @@ object Similarity {
          |  WHERE rn = 1),
          |sel$r AS (SELECT * FROM sel${r - 1} UNION ALL SELECT * FROM p$r)""".stripMargin
     }.mkString(",\n")
-    s"""WITH $baseSql,
-       |q AS (SELECT vec_id AS qid, emb AS qemb, nrm AS qnrm FROM base
-       |      WHERE vec_id % $queryMod = 0),
-       |cpairs AS (
-       |  SELECT qid, vec_id,
-       |    ${dotSql("qemb", "emb")} / (qnrm * nrm) AS cos, emb, nrm
-       |  FROM q JOIN base ON vec_id <> qid),
-       |cands AS (
-       |  SELECT qid, vec_id, cos, emb, nrm FROM (
-       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
-       |      ORDER BY cos DESC, vec_id) AS rn
-       |    FROM cpairs) t
-       |  WHERE rn <= $kCand),
-       |sel1 AS (
+    s"""sel1 AS (
        |  SELECT qid, vec_id, cos, emb, nrm, CAST(1 AS BIGINT) AS rank FROM (
        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
        |      ORDER BY cos DESC, vec_id) AS rn
        |    FROM cands) t
        |  WHERE rn = 1),
-       |$rounds
-       |SELECT qid, rank, vec_id, cos FROM sel$kOut""".stripMargin
+       |$rounds""".stripMargin
   }
 
   /** Candidate-shortlist width of the binary-quantization rerank stage
@@ -3918,7 +4005,15 @@ object Similarity {
     * bit-identical — then the [[kmeansSql]]-shaped final argmin
     * assignment with (d2, cell) ties.
     */
-  def kCenterSql(k: Int = 8): String = {
+  def kCenterSql(k: Int = 8): String =
+    s"""WITH ${kCenterCtes(k)}
+       |SELECT vec_id, cell, d2 FROM kcasg""".stripMargin
+
+  /** The [[kCenterSql]] chain as CTEs ending in `cents` (the selected
+    * centers) and `kcasg` (the full argmin assignment) — shared by the
+    * assignment query and the coverage-radius audit.
+    */
+  def kCenterCtes(k: Int = 8): String = {
     val rounds = (1 until k).map { i =>
       s"""f$i AS (SELECT vec_id, emb FROM s${i - 1}
          |  ORDER BY md2 DESC, vec_id LIMIT 1),
@@ -3928,7 +4023,7 @@ object Similarity {
     }.mkString(",\n")
     val picked = (1 until k)
       .map(i => s"SELECT vec_id, emb FROM f$i").mkString(" UNION ALL ")
-    s"""WITH kb AS (
+    s"""kb AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
        |  FROM embeddings),
        |c0 AS (SELECT vec_id, emb FROM kb ORDER BY vec_id LIMIT 1),
@@ -3936,14 +4031,34 @@ object Similarity {
        |       FROM kb b CROSS JOIN c0 c),
        |$rounds,
        |cents AS (SELECT vec_id AS cell, emb AS cemb FROM c0
-       |  UNION ALL SELECT vec_id AS cell, emb AS cemb FROM ($picked))
-       |SELECT vec_id, cell, d2 FROM (
-       |  SELECT b.vec_id, c.cell, ${l2sqSql("b.emb", "c.cemb")} AS d2,
-       |    ROW_NUMBER() OVER (PARTITION BY b.vec_id
-       |      ORDER BY ${l2sqSql("b.emb", "c.cemb")}, c.cell) AS rn
-       |  FROM kb b CROSS JOIN cents c) t
-       |WHERE rn = 1""".stripMargin
+       |  UNION ALL SELECT vec_id AS cell, emb AS cemb FROM ($picked)),
+       |kcasg AS (
+       |  SELECT vec_id, cell, d2 FROM (
+       |    SELECT b.vec_id, c.cell, ${l2sqSql("b.emb", "c.cemb")} AS d2,
+       |      ROW_NUMBER() OVER (PARTITION BY b.vec_id
+       |        ORDER BY ${l2sqSql("b.emb", "c.cemb")}, c.cell) AS rn
+       |    FROM kb b CROSS JOIN cents c) t
+       |  WHERE rn = 1)""".stripMargin
   }
+
+  /** Coverage read-out over the frozen k-center exemplar set — the
+    * audit a user runs BEFORE trusting the coreset: per center, member
+    * count and the covering radius (max assigned d2). The global max of
+    * r2max IS the k-center objective value the Gonzalez bound speaks
+    * about; a center whose n_vecs is 1 and whose removal barely moves
+    * the max radius is the outlier the selection protected. One
+    * grouped agg over the broadcast-argmin assignment — ≤ k rows out.
+    */
+  def kCenterRadius(e: DataFrame, cents: DataFrame): DataFrame =
+    kmeansAssign(e, cents)
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vecs"), max(col("d2")).as("r2max"))
+
+  /** DuckDB mirror of [[kCenterRadius]] over [[kCenterCtes]]. */
+  def kCenterRadiusSql(k: Int = 8): String =
+    s"""WITH ${kCenterCtes(k)}
+       |SELECT cell, COUNT(*) AS n_vecs, MAX(d2) AS r2max
+       |FROM kcasg GROUP BY cell""".stripMargin
 
   /** The kmeans mirror's CTE chain alone (ending in `afin`), for queries
     * that compose the assignment with further stages. `trainWhere`

@@ -147,7 +147,14 @@ object ScaleProbe {
     // passes + single-row reduces — must track the vector scan), and
     // the conformal gate (one scored pass + the rocAuc-style grouped
     // order statistic — must track the featurize pass like qclf_score)
-    "q_doc_srcsel", "q_emb_kcenter", "q_doc_qclf_conf")
+    "q_doc_srcsel", "q_emb_kcenter", "q_doc_qclf_conf",
+    // RM3 (three term-filtered posting passes over the shared tokenized
+    // stage — must track the token scans; feedback/expansion sets are
+    // broadcast-bounded) and the MMR rerank (pairwise work confined to
+    // the |queries|·kCand shortlist — the candidate stage must dominate
+    // exactly like q_emb_knn's brute join, since queries are a corpus
+    // fraction here the probe watches the O(n·|queries|) stage, not MMR)
+    "q_doc_rm3", "q_emb_mmr")
 
   /** Heaps-ish vocabulary size: 30 tokens at the 5k-doc base (the real
     * table's vocabulary), growing with sqrt(n).

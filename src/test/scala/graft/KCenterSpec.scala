@@ -70,6 +70,23 @@ class KCenterSpec extends SparkSpec {
     assert(centers.contains(20L), s"outlier must be selected: $centers")
   }
 
+  test("coverage radius audit: per-cell max distance, counts partition the corpus") {
+    val e = graft.sources.Tables.embeddings(spark, Sf)
+    val cents = Similarity.kCenterFit(e, k = 4)
+    val asg = Similarity.kmeansAssign(e, cents).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val rad = Similarity.kCenterRadius(e, cents).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // brute per-cell replay from the assignment
+    val byCell = asg.groupBy(_._2)
+    assert(rad.keySet == byCell.keySet)
+    byCell.foreach { case (c, rows) =>
+      assert(rad(c)._1 == rows.length.toLong)
+      assert(rad(c)._2 == rows.map(_._3).max)
+    }
+    assert(rad.values.map(_._1).sum == asg.length.toLong)
+  }
+
   test("assignment covers every vector exactly once with a selected cell") {
     val e = graft.sources.Tables.embeddings(spark, Sf)
     val cents = Similarity.kCenterFit(e, k = 8)

@@ -61,6 +61,18 @@ class MmrSpec extends SparkSpec {
     assert(rank2(3) == 3L, "diversity-weighted mix promotes the orthogonal doc")
   }
 
+  test("trained-IVF MMR with every cell probed equals the brute-shortlist MMR") {
+    val e = graft.sources.Tables.embeddings(spark, Sf)
+    val cents = Similarity.kmeansFit(e, k = 8, iters = 2)
+    val brute = Similarity.mmrRerank(e, kCand = 10, kOut = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val ivf = Similarity.mmrRerankTrained(e, cents, nprobe = 8,
+      kCand = 10, kOut = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(ivf == brute,
+      "probing all 8 cells must reproduce the brute shortlist exactly")
+  }
+
   test("rank 1 is always the pure-relevance argmax") {
     for (lam <- Seq(0, 5, 10)) {
       val r1 = Similarity.mmrRerank(emb(pts), kCand = 4, kOut = 2, lambda10 = lam)

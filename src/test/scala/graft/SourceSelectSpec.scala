@@ -58,6 +58,44 @@ class SourceSelectSpec extends SparkSpec {
     assert(got.last._3 == union.size.toLong)
   }
 
+  test("budgeted: the cost-ratio greedy is replayed and the budget binds") {
+    val sets = coverSets
+    val costs = docs.groupBy(col("source"))
+      .agg(sum(size(graft.functions.TextFunctions.tokens(col("text")))).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val budget = costs.values.sum / 5
+    val got = Curation.sourceSelectBudgeted(docs)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    // brute replay
+    var covered = Set.empty[Long]; var picked = Set.empty[String]
+    var rem = budget; var rank = 1; var cum = 0L
+    var want = Seq.empty[(Int, String, Long, Long, Long, Long)]
+    var done = false
+    while (!done) {
+      val cand = sets.keys.toSeq
+        .filterNot(picked).filter(s => costs(s) <= rem)
+        .map(s => (s, (sets(s) -- covered).size.toLong))
+        .filter(_._2 > 0)
+      if (cand.isEmpty) done = true
+      else {
+        // tie rule: ratio DESC then source ASC
+        val best = cand.sortBy { case (s, g) =>
+          (-(g.toDouble / costs(s).toDouble), s) }.head
+        covered ++= sets(best._1); picked += best._1
+        rem -= costs(best._1); cum += best._2
+        want :+= ((rank, best._1, best._2, costs(best._1), cum, rem))
+        rank += 1
+      }
+    }
+    assert(got.toSeq == want, s"engine ${got.toSeq} vs brute $want")
+    // the budget must actually bind on this fixture: not every source
+    // with positive gain fits into total/5 tokens
+    assert(got.map(_._2).toSet.size < 4,
+      s"fixture must make the budget bind: ${got.toSeq}")
+    assert(got.forall(_._6 >= 0), "budget_left never negative")
+  }
+
   test("selection stops when no remaining source adds coverage") {
     // srcC's shingles are a strict subset of srcA's: once A is picked, C
     // contributes nothing and must never be "selected" — the trace stops

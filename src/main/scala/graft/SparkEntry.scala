@@ -545,6 +545,14 @@ object SparkEntry {
     "q_doc_srcselb" -> { (s, dir) =>
       Curation.sourceSelectBudgeted(Tables.documents(s, dir))
     },
+    // KMV-sketch greedy source selection — the 100-TB spelling
+    // implemented, not promised: one corpus pass into |sources|*k
+    // bottom-k sketches, every greedy round corpus-independent on the
+    // union-sketch estimator; est_gain next to the TRUE exact marginal
+    // per pick (the in-row approximation audit).
+    "q_doc_srcselkmv" -> { (s, dir) =>
+      Curation.sourceSelectKmv(Tables.documents(s, dir))
+    },
     // Execute the allocation: per stratum the alloc_h smallest priority
     // keys win via the bounded-heap TopKByValue aggregate (O(n) partial
     // state, map-side combined — never a per-lang rank window).
@@ -3971,6 +3979,7 @@ object SparkEntry {
     "q_doc_neyman" -> Curation.neymanAllocationSql(),
     "q_doc_srcsel" -> Curation.sourceSelectSql(),
     "q_doc_srcselb" -> Curation.sourceSelectBudgetedSql(),
+    "q_doc_srcselkmv" -> Curation.sourceSelectKmvSql(),
     "q_doc_stratsample" -> Curation.stratifiedNeymanSampleSql(),
     "q_doc_wsample" -> Curation.weightedSampleSql(),
     "q_doc_snapdiff" -> Curation.snapshotDiffSql,

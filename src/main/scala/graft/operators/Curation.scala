@@ -1771,6 +1771,159 @@ object Curation {
        |FROM a$maxPicks""".stripMargin
   }
 
+  /** KMV-sketch greedy source selection — the 100-TB spelling the
+    * exact [[sourceSelect]] is the audit FOR, implemented rather than
+    * promised: the corpus is scanned ONCE into per-source bottom-k
+    * sketches ([[TextAnalysis.kmvSketch]] — ‖sources‖·k rows,
+    * deterministic order statistics, so the whole greedy is exactly
+    * reproducible); every round then works entirely on sketch rows —
+    * the covered set is a bottom-k UNION sketch (KMV closure, the
+    * kmvMerge law), each candidate's marginal gain is
+    * D̂(covered ∪ s) − D̂(covered) with the same (k−1)·P/θ estimator
+    * as q_doc_kmv, and the pick is (est gain DESC, source ASC). The
+    * trace carries BOTH est_gain and the TRUE exact marginal for each
+    * pick (one anti-join per round against the exact covered set) —
+    * the in-row audit of what the approximation cost where it
+    * matters: on the picks actually taken.
+    *
+    * Scale: after the one sketch pass, every round's estimator works
+    * on ≤ ‖sources‖·2k sketch rows — corpus-independent; the exact
+    * audit column is the only corpus-priced per-round work and is
+    * exactly what a production run drops first (keeping the sketch
+    * greedy untouched).
+    */
+  def sourceSelectKmv(docs: DataFrame, budget: Int = 6,
+      k: Int = TextAnalysis.KmvK): DataFrame = {
+    val spark = docs.sparkSession
+    val kU = (k - 1).toLong * graft.functions.TextFunctions.P
+    val ssh = Dedup.shingles(docs.select(col("doc_id"), col("text")))
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .select(col("source"), col("h")).distinct()
+      .localCheckpoint(false)
+    val sk = TextAnalysis.kmvSketchOf(ssh, k).localCheckpoint(false)
+    def estOf(n: Long, theta: Long): Double =
+      if (n < k) n.toDouble else kU.toDouble / theta.toDouble
+    var selected = List.empty[(Int, String, Double, Long)]
+    var coveredSk: DataFrame = null
+    var coveredExact: DataFrame = null
+    var covEst = 0.0
+    var round = 1
+    var exhausted = false
+    while (round <= budget && !exhausted) {
+      val remaining =
+        if (selected.isEmpty) sk
+        else sk.filter(!col("source").isin(selected.map(_._2): _*))
+      val cu =
+        (if (coveredSk == null) remaining
+         else remaining.unionByName(
+           remaining.select(col("source")).distinct()
+             .crossJoin(broadcast(coveredSk))))
+          .distinct()
+      val wB = Window.partitionBy(col("source")).orderBy(col("h"))
+      val est = cu.withColumn("rn", row_number().over(wB))
+        .filter(col("rn") <= k)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_u"), max(col("h")).as("theta_u"))
+        .select(col("source"),
+          when(col("n_u") < k, col("n_u").cast("double"))
+            .otherwise(lit(kU.toDouble) / col("theta_u").cast("double"))
+            .as("est_u"))
+        .select(col("source"), (col("est_u") - lit(covEst)).as("marg"))
+      val pick = est.orderBy(col("marg").desc, col("source")).limit(1).collect()
+      if (pick.isEmpty) exhausted = true
+      else {
+        val (src, estGain) = (pick(0).getString(0), pick(0).getDouble(1))
+        // exact audit for the pick (the one corpus-priced step)
+        val srcH = ssh.filter(col("source") === src).select(col("h"))
+        val exactGain =
+          (if (coveredExact == null) srcH.distinct()
+           else srcH.join(coveredExact, Seq("h"), "left_anti"))
+            .count()
+        selected :+= ((round, src, estGain, exactGain))
+        coveredSk =
+          (if (coveredSk == null) sk.filter(col("source") === src).select(col("h"))
+           else coveredSk.unionByName(
+             sk.filter(col("source") === src).select(col("h"))).distinct())
+            .orderBy(col("h")).limit(k)
+            .localCheckpoint(false)
+        val covRow = coveredSk.agg(count(lit(1)).as("n"), max(col("h")).as("t"))
+          .collect()(0)
+        covEst = estOf(covRow.getLong(0), if (covRow.isNullAt(1)) 1L else covRow.getLong(1))
+        coveredExact =
+          (if (coveredExact == null) srcH.distinct()
+           else coveredExact.unionByName(srcH).distinct())
+            .localCheckpoint(false)
+        round += 1
+      }
+    }
+    import spark.implicits._
+    selected.toDF("rank", "source", "est_gain", "exact_gain")
+  }
+
+  /** DuckDB mirror of [[sourceSelectKmv]]: identical sketches (bottom-k
+    * ROW_NUMBER), estimator, union-sketch rounds and tie rules;
+    * MATERIALIZED CTEs keep the unrolled chain from re-evaluating the
+    * corpus scan.
+    */
+  def sourceSelectKmvSql(budget: Int = 6,
+      k: Int = TextAnalysis.KmvK): String = {
+    val kU = (k - 1).toLong * graft.functions.TextFunctions.P
+    val estU = s"CASE WHEN n_u < $k THEN CAST(n_u AS DOUBLE) ELSE CAST($kU AS DOUBLE) / CAST(theta_u AS DOUBLE) END"
+    def round(i: Int): String = {
+      val prevSel = if (i == 1) "SELECT NULL AS source WHERE FALSE"
+        else s"SELECT source FROM a${i - 1}"
+      val unionCov = if (i == 1) ""
+        else s""" UNION SELECT r.source, c.h
+           |    FROM (SELECT DISTINCT source FROM vsk
+           |          WHERE source NOT IN ($prevSel)) r
+           |    CROSS JOIN cs${i - 1} c""".stripMargin
+      val covEst = if (i == 1) "0.0"
+        else s"""(SELECT CASE WHEN COUNT(*) < $k THEN CAST(COUNT(*) AS DOUBLE)
+           |      ELSE CAST($kU AS DOUBLE) / CAST(MAX(h) AS DOUBLE) END
+           |    FROM cs${i - 1})""".stripMargin
+      val prevCs = if (i == 1) "" else s"SELECT h FROM cs${i - 1} UNION "
+      val prevEc = if (i == 1) "" else
+        s"AND NOT EXISTS (SELECT 1 FROM ec${i - 1} c WHERE c.h = s.h)"
+      val prevRows = if (i == 1) "" else s"SELECT * FROM a${i - 1} UNION ALL "
+      val ecBody = if (i == 1)
+        s"SELECT DISTINCT s.h FROM vsh s JOIN p$i p ON s.source = p.source"
+      else
+        s"""SELECT h FROM ec${i - 1} UNION
+           |  SELECT DISTINCT s.h FROM vsh s JOIN p$i p ON s.source = p.source""".stripMargin
+      s"""cu$i AS (
+         |  SELECT source, h FROM vsk WHERE source NOT IN ($prevSel)$unionCov),
+         |eu$i AS (
+         |  SELECT source, $estU - $covEst AS marg FROM (
+         |    SELECT source, COUNT(*) AS n_u, MAX(h) AS theta_u FROM (
+         |      SELECT source, h, ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
+         |      FROM cu$i) t
+         |    WHERE rn <= $k GROUP BY source) g),
+         |p$i AS (SELECT $i AS rank, source, marg AS est_gain FROM eu$i
+         |  ORDER BY marg DESC, source LIMIT 1),
+         |cs$i AS MATERIALIZED (
+         |  SELECT h FROM (${prevCs}SELECT s.h FROM vsk s JOIN p$i p ON s.source = p.source)
+         |  ORDER BY h LIMIT $k),
+         |eg$i AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS exact_gain
+         |  FROM (SELECT DISTINCT s.h FROM vsh s JOIN p$i p ON s.source = p.source
+         |        WHERE TRUE $prevEc) t),
+         |ec$i AS MATERIALIZED ($ecBody),
+         |a$i AS MATERIALIZED (${prevRows}SELECT p.rank, p.source, p.est_gain, g.exact_gain
+         |  FROM p$i p CROSS JOIN eg$i g)""".stripMargin
+    }
+    val rounds = (1 to budget).map(round).mkString(",\n")
+    s"""WITH ${Dedup.shingleSqlFor("documents", "vraw")},
+       |vsh AS MATERIALIZED (SELECT DISTINCT d.source, t.h
+       |        FROM vraw t JOIN documents d ON t.doc_id = d.doc_id),
+       |vsk AS MATERIALIZED (
+       |  SELECT source, h FROM (
+       |    SELECT source, h, ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
+       |    FROM vsh) t
+       |  WHERE rn <= $k),
+       |$rounds
+       |SELECT rank, source, est_gain, exact_gain FROM a$budget""".stripMargin
+  }
+
   /** DuckDB mirror of [[sourceSelect]]: budget unrolled greedy rounds
     * over the distinct (source, shingle) sets, each excluding already-
     * picked sources and already-covered shingles, with the same

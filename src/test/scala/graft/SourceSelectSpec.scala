@@ -96,6 +96,35 @@ class SourceSelectSpec extends SparkSpec {
     assert(got.forall(_._6 >= 0), "budget_left never negative")
   }
 
+  test("kmv greedy degrades to the exact trace when every sketch is sub-k") {
+    // every source here has far fewer than k = 128 distinct shingles, so
+    // the estimator is exact by the sub-k rule and the sketch greedy
+    // must replay the exact greedy with est_gain == exact_gain.
+    val exact = Curation.sourceSelect(docs, budget = 3)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    val kmv = Curation.sourceSelectKmv(docs, budget = 3)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+    assert(kmv.map(t => (t._1, t._2)).toSeq == exact.map(t => (t._1, t._2)).toSeq,
+      s"sub-k picks must match exact: ${kmv.toSeq} vs ${exact.toSeq}")
+    kmv.zip(exact).foreach { case ((_, _, est, eg), (_, _, g)) =>
+      assert(eg == g && est == g.toDouble,
+        s"sub-k est must equal the exact marginal: $est vs $g")
+    }
+  }
+
+  test("kmv est_gain tracks the exact marginal within the sketch error band") {
+    val corpus = graft.sources.Tables.documents(spark, Sf)
+    val got = Curation.sourceSelectKmv(corpus, budget = 4)
+      .collect().map(r => (r.getDouble(2), r.getLong(3)))
+    assert(got.length == 4)
+    got.foreach { case (est, exact) =>
+      assert(exact > 0, "picked sources must add real coverage")
+      // k = 128 → se ≈ 9%; 50% is a generous deterministic band
+      assert(math.abs(est - exact) <= 0.5 * exact + 1.0,
+        s"estimate $est too far from exact $exact")
+    }
+  }
+
   test("selection stops when no remaining source adds coverage") {
     // srcC's shingles are a strict subset of srcA's: once A is picked, C
     // contributes nothing and must never be "selected" — the trace stops

@@ -2273,6 +2273,14 @@ object SparkEntry {
     // sorting by z makes every output file a hyper-rectangle in (bx, by)
     // and filters on EITHER dimension prune files (operators/Maintenance;
     // compaction behavior measured in MaintenanceSpec). Narrow map.
+    // Rendezvous-hashing reshard audit: the (shard_old, shard_new)
+    // transition matrix for a capacity grow step — rendezvous moves docs
+    // ONLY to new shards at the (nNew-nOld)/nNew expected rate, where a
+    // mod-N layout reshuffles ~everything; one narrow argmax fold, one
+    // grouped count, zero shuffle before the <= nOld*nNew-row rollup.
+    "q_doc_reshard" -> { (s, dir) =>
+      Maintenance.reshardAudit(Tables.documents(s, dir))
+    },
     "q_zorder" -> { (s, dir) =>
       import s.implicits._
       val bx = pmod($"p_partkey", lit(256)).cast("long")
@@ -5185,6 +5193,7 @@ object SparkEntry {
         |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
         |FROM events JOIN tiers ON value >= lo AND value < hi
         |GROUP BY tier""".stripMargin,
+    "q_doc_reshard" -> Maintenance.reshardAuditSql(),
     "q_zorder" ->
       s"""SELECT p_partkey,
          |  CAST(p_partkey % 256 AS BIGINT) AS bx,

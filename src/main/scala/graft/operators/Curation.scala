@@ -1678,7 +1678,8 @@ object Curation {
       size(graft.functions.TextFunctions.tokens(col("text"))).cast("long").as("ntok"))
     val costs = withToks.groupBy(col("source"))
       .agg(sum(col("ntok")).as("cost")).localCheckpoint(false)
-    val budget = costs.agg((sum(col("cost")).cast("long")).as("t"))
+    val budget = costs
+      .agg(coalesce(sum(col("cost")), lit(0L)).cast("long").as("t"))
       .select(expr("t div 5").as("budget")).collect()(0).getLong(0)
     val ssh = Dedup.shingles(docs.select(col("doc_id"), col("text")))
       .join(docs.select(col("doc_id"), col("source")), "doc_id")

@@ -2234,8 +2234,12 @@ object Similarity {
     */
   def kCenterFit(e: DataFrame, k: Int = 8): DataFrame = {
     val spark = e.sparkSession
+    import spark.implicits._
     val base = withEmb(e).select(col("vec_id"), col("emb"))
-    val first = base.orderBy(col("vec_id")).limit(1).collect()(0)
+    val seed = base.orderBy(col("vec_id")).limit(1).collect()
+    if (seed.isEmpty)
+      return List.empty[(Long, Seq[Double])].toDF("cell", "cemb")
+    val first = seed(0)
     var centers = List((first.getLong(0), first.getSeq[Double](1)))
     var state = base
       .withColumn("md2", l2sq(col("emb"), typedLit(centers.head._2)))

@@ -154,7 +154,14 @@ object ScaleProbe {
     // the |queries|·kCand shortlist — the candidate stage must dominate
     // exactly like q_emb_knn's brute join, since queries are a corpus
     // fraction here the probe watches the O(n·|queries|) stage, not MMR)
-    "q_doc_rm3", "q_emb_mmr")
+    "q_doc_rm3", "q_emb_mmr",
+    // the served MMR (shortlist from the trained IVF — must track the
+    // cell equi-join, the index-priced contrast to q_emb_mmr's brute
+    // candidate stage) and the KMV greedy (after the one sketch pass
+    // every round is corpus-independent; the exact audit anti-join is
+    // the only per-round corpus-priced step, so the profile should
+    // track the sketch pass + budget × audit joins)
+    "q_emb_mmrt", "q_doc_srcselkmv")
 
   /** Heaps-ish vocabulary size: 30 tokens at the 5k-doc base (the real
     * table's vocabulary), growing with sqrt(n).

@@ -536,14 +536,14 @@ object SparkEntry {
     // sides hash-partitioned on h) + a TakeOrdered single-row reduce —
     // "which B sources actually add novel text" before paying for their
     // ingest; the exact audit for the KMV-sketched variant at 100 TB.
-    "q_doc_srcsel" -> { (s, dir) => Curation.sourceSelect(Tables.documents(s, dir)) },
+    "q_doc_srcsel" -> { (s, dir) => Curation.sourceSelect(Tables.documents(s, dir), dir = dir) },
     // Budgeted max-coverage source selection (Khuller-Moss-Naor cost-
     // ratio greedy): best marginal-coverage-per-TOKEN among sources the
     // remaining crawl budget still affords — the procurement spelling of
     // q_doc_srcsel; budget = corpus tokens div 5 so the gate binds at
     // every scale.
     "q_doc_srcselb" -> { (s, dir) =>
-      Curation.sourceSelectBudgeted(Tables.documents(s, dir))
+      Curation.sourceSelectBudgeted(Tables.documents(s, dir), dir = dir)
     },
     // KMV-sketch greedy source selection — the 100-TB spelling
     // implemented, not promised: one corpus pass into |sources|*k
@@ -551,7 +551,7 @@ object SparkEntry {
     // union-sketch estimator; est_gain next to the TRUE exact marginal
     // per pick (the in-row approximation audit).
     "q_doc_srcselkmv" -> { (s, dir) =>
-      Curation.sourceSelectKmv(Tables.documents(s, dir))
+      Curation.sourceSelectKmv(Tables.documents(s, dir), dir = dir)
     },
     // Execute the allocation: per stratum the alloc_h smallest priority
     // keys win via the bounded-heap TopKByValue aggregate (O(n) partial
@@ -2140,6 +2140,12 @@ object SparkEntry {
     // MDE at alpha=0.05 / power=0.8; mde_rel >> hoped-for lift means the
     // test is not worth running at current traffic.
     "q_ev_mde" -> { (s, dir) => Experiment.mde(Tables.events(s, dir)) },
+    // Sample-ratio mismatch guardrail: per event type, the observed
+    // variant USER split vs the designed 50/50 with the chi-square(1)
+    // statistic (pure arithmetic, no p-value transcendentals) and the
+    // 95%-critical alarm — an alarmed row means every downstream
+    // CUPED/MDE read-out sits on broken randomization.
+    "q_ev_srm" -> { (s, dir) => Experiment.srmCheck(Tables.events(s, dir)) },
     // Winsorized robust metrics: per event type, exact p99 cap, raw vs
     // capped means (quantized integer sums), capped-row permille — the
     // whale-user outlier step a metrics pipeline runs before CUPED.
@@ -5055,6 +5061,7 @@ object SparkEntry {
         |FROM pr CROSS JOIN th""".stripMargin,
     "q_ev_winsor" -> Experiment.winsorizeSql(),
     "q_ev_mde" -> Experiment.mdeSql(),
+    "q_ev_srm" -> Experiment.srmCheckSql(),
     "q_ev_cuped" ->
       """WITH cev AS (
         |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tus,

@@ -1614,13 +1614,38 @@ object Curation {
     * break gain ties by source name, and the cumulative sum is over
     * ≤budget driver-side integers.
     */
-  def sourceSelect(docs: DataFrame, budget: Int = 6): DataFrame = {
-    val spark = docs.sparkSession
-    val ssh = Dedup.shingles(docs.select(col("doc_id"), col("text")))
+  private val sshMemo = new graft.sources.StageMemo[DataFrame](8)
+
+  /** The distinct (source, h) coverage spine — shared input of all
+    * three source-selection spellings (count-budget, token-budget,
+    * KMV). A real pipeline computes the coverage sets ONCE per crawl
+    * and serves every selection question from them; `dir`-keyed
+    * callers memoize through [[StageMemo.reliableStage]] (the shared-
+    * artifact tier of the two-tier checkpoint rule), constructed-frame
+    * callers (specs) get a transient local checkpoint.
+    */
+  def sourceShinglesFor(docs: DataFrame, dir: String): DataFrame =
+    if (dir.isEmpty)
+      sourceShingles(docs).localCheckpoint(false)
+    else sshMemo.getOrCompute(
+      graft.sources.Tables.dataKey(docs.sparkSession, dir, "srcsh"))(
+      graft.sources.StageMemo.reliableStage(sourceShingles(docs)))
+
+  private def sourceShingles(docs: DataFrame): DataFrame =
+    Dedup.shingles(docs.select(col("doc_id"), col("text")))
       .join(docs.select(col("doc_id"), col("source")), "doc_id")
       .select(col("source"), col("h")).distinct()
       .repartition(col("h"))
-      .localCheckpoint(false)
+
+  /** Drop the memoized coverage spine (test lifecycle hook — the
+    * [[Dedup.clearMemos]] contract).
+    */
+  def clearMemos(): Unit = sshMemo.clear()
+
+  def sourceSelect(docs: DataFrame, budget: Int = 6,
+      dir: String = ""): DataFrame = {
+    val spark = docs.sparkSession
+    val ssh = sourceShinglesFor(docs, dir)
     var selected = List.empty[(Int, String, Long, Long)]
     var covered: DataFrame = null
     var cum = 0L
@@ -1672,7 +1697,8 @@ object Curation {
     * Emits (rank, source, gain, cost_tokens, cum_cov, budget_left) —
     * budget_left AFTER paying the pick, all exact BIGINTs.
     */
-  def sourceSelectBudgeted(docs: DataFrame, maxPicks: Int = 8): DataFrame = {
+  def sourceSelectBudgeted(docs: DataFrame, maxPicks: Int = 8,
+      dir: String = ""): DataFrame = {
     val spark = docs.sparkSession
     val withToks = docs.select(col("doc_id"), col("source"),
       size(graft.functions.TextFunctions.tokens(col("text"))).cast("long").as("ntok"))
@@ -1681,11 +1707,7 @@ object Curation {
     val budget = costs
       .agg(coalesce(sum(col("cost")), lit(0L)).cast("long").as("t"))
       .select(expr("t div 5").as("budget")).collect()(0).getLong(0)
-    val ssh = Dedup.shingles(docs.select(col("doc_id"), col("text")))
-      .join(docs.select(col("doc_id"), col("source")), "doc_id")
-      .select(col("source"), col("h")).distinct()
-      .repartition(col("h"))
-      .localCheckpoint(false)
+    val ssh = sourceShinglesFor(docs, dir)
     var selected = List.empty[(Int, String, Long, Long, Long, Long)]
     var covered: DataFrame = null
     var remaining = budget
@@ -1794,13 +1816,10 @@ object Curation {
     * greedy untouched).
     */
   def sourceSelectKmv(docs: DataFrame, budget: Int = 6,
-      k: Int = TextAnalysis.KmvK): DataFrame = {
+      k: Int = TextAnalysis.KmvK, dir: String = ""): DataFrame = {
     val spark = docs.sparkSession
     val kU = (k - 1).toLong * graft.functions.TextFunctions.P
-    val ssh = Dedup.shingles(docs.select(col("doc_id"), col("text")))
-      .join(docs.select(col("doc_id"), col("source")), "doc_id")
-      .select(col("source"), col("h")).distinct()
-      .localCheckpoint(false)
+    val ssh = sourceShinglesFor(docs, dir)
     val sk = TextAnalysis.kmvSketchOf(ssh, k).localCheckpoint(false)
     def estOf(n: Long, theta: Long): Double =
       if (n < k) n.toDouble else kU.toDouble / theta.toDouble

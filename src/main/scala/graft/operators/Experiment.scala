@@ -130,6 +130,70 @@ object Experiment {
           .otherwise(0.0).as("var_reduction"))
   }
 
+  /** χ²₁ critical value at 95% — the SRM alarm threshold (shared
+    * literal with the SQL mirror).
+    */
+  val Chi2Crit95: Double = 3.841458820694124
+
+  /** Sample-ratio-mismatch guardrail (the FIRST check an experiment
+    * platform runs — a randomizer bug, a crash path that drops one
+    * variant's telemetry, or a bot filter that fires asymmetrically
+    * all show up here before any metric is worth reading): per event
+    * type, the observed variant-0/variant-1 USER split against the
+    * designed 50/50, with the one-degree-of-freedom chi-square
+    * statistic (2·(n₀−E)²/E at E=(n₀+n₁)/2 — pure +,−,×,÷ of exact
+    * counts, no p-value transcendentals) and the alarm flag at the
+    * 95% critical value. An alarmed row means the CUPED/MDE read-outs
+    * downstream are built on a broken randomization and must not ship.
+    *
+    * Unit = distinct users (the randomization unit, same as [[mde]]);
+    * one grouped pass to (event_type, user), one rollup to
+    * ≤ ‖types‖ rows.
+    */
+  def srmCheck(events: DataFrame): DataFrame = {
+    val users = events
+      .filter(col("user_id").isNotNull)
+      .select(col("event_type"), col("user_id"),
+        pmod(col("user_id"), lit(2L)).as("variant"))
+      .distinct()
+    val agg = users.groupBy(col("event_type"))
+      .agg(sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n1"))
+    val e = (col("n0") + col("n1")).cast("double") / 2.0
+    val chi2 = when(col("n0") + col("n1") > 0,
+      (col("n0").cast("double") - e) * (col("n0").cast("double") - e) / e
+        + (col("n1").cast("double") - e) * (col("n1").cast("double") - e) / e)
+    agg.select(col("event_type"), col("n0"), col("n1"),
+      chi2.as("chi2"), (chi2 > Chi2Crit95).as("srm_alarm"))
+  }
+
+  /** DuckDB mirror of [[srmCheck]]. */
+  def srmCheckSql(): String =
+    s"""WITH su AS (
+       |  SELECT DISTINCT event_type, user_id, user_id % 2 AS variant
+       |  FROM events WHERE user_id IS NOT NULL),
+       |sa AS (
+       |  SELECT event_type,
+       |    CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+       |    CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+       |  FROM su GROUP BY event_type)
+       |SELECT event_type, n0, n1,
+       |  CASE WHEN n0 + n1 > 0 THEN
+       |    (CAST(n0 AS DOUBLE) - CAST(n0 + n1 AS DOUBLE) / 2.0)
+       |      * (CAST(n0 AS DOUBLE) - CAST(n0 + n1 AS DOUBLE) / 2.0)
+       |      / (CAST(n0 + n1 AS DOUBLE) / 2.0)
+       |    + (CAST(n1 AS DOUBLE) - CAST(n0 + n1 AS DOUBLE) / 2.0)
+       |      * (CAST(n1 AS DOUBLE) - CAST(n0 + n1 AS DOUBLE) / 2.0)
+       |      / (CAST(n0 + n1 AS DOUBLE) / 2.0) END AS chi2,
+       |  (CASE WHEN n0 + n1 > 0 THEN
+       |    (CAST(n0 AS DOUBLE) - CAST(n0 + n1 AS DOUBLE) / 2.0)
+       |      * (CAST(n0 AS DOUBLE) - CAST(n0 + n1 AS DOUBLE) / 2.0)
+       |      / (CAST(n0 + n1 AS DOUBLE) / 2.0)
+       |    + (CAST(n1 AS DOUBLE) - CAST(n0 + n1 AS DOUBLE) / 2.0)
+       |      * (CAST(n1 AS DOUBLE) - CAST(n0 + n1 AS DOUBLE) / 2.0)
+       |      / (CAST(n0 + n1 AS DOUBLE) / 2.0) END > $Chi2Crit95) AS srm_alarm
+       |FROM sa""".stripMargin
+
   /** z_{0.975} + z_{0.80}: two-sided α = 0.05 at 80% power — the default
     * experiment-sizing constants (shared literal with the SQL mirror so
     * the engines multiply the same double).

@@ -49,6 +49,27 @@ class ExperimentSpec extends SparkSpec {
     assert(r.getLong(1) == 0L && r.getLong(2) == 1L)
   }
 
+  test("srm: a balanced split passes, a broken randomizer alarms, chi2 exact") {
+    val hour = 3600L * 1000000L
+    // balanced: users 0..9 (5 even / 5 odd) → chi2 = 0
+    val ok = (0L until 10L).map(u => ev(u, hour, 1.0))
+    val r1 = Experiment.srmCheck(ok.toDF("user_id", "ts", "event_type", "value"))
+      .collect()(0)
+    assert(r1.getLong(1) == 5L && r1.getLong(2) == 5L)
+    assert(r1.getDouble(3) == 0.0 && !r1.getBoolean(4))
+    // broken: 18 even users vs 2 odd → E = 10, chi2 = 2*64/10 = 12.8
+    val bad = ((0L until 36L by 2L) ++ Seq(1L, 3L)).map(u => ev(u, hour, 1.0))
+    val r2 = Experiment.srmCheck(bad.toDF("user_id", "ts", "event_type", "value"))
+      .collect()(0)
+    assert(r2.getLong(1) == 18L && r2.getLong(2) == 2L)
+    assert(r2.getDouble(3) == 12.8 && r2.getBoolean(4))
+    // duplicate events from one user must not inflate the counts
+    val dup = ok ++ Seq(ev(0L, 2 * hour, 7.0))
+    val r3 = Experiment.srmCheck(dup.toDF("user_id", "ts", "event_type", "value"))
+      .collect()(0)
+    assert(r3.getLong(1) == 5L && r3.getLong(2) == 5L)
+  }
+
   test("cuped: a perfect pre-predictor removes ALL post variance and equalizes variants") {
     // pre value x_u per user, post value y_u = 2·x_u exactly; midpoint
     // splits the two events. cov/var algebra: θ = 2, ρ² = 1, and every

@@ -2146,6 +2146,11 @@ object SparkEntry {
     // 95%-critical alarm — an alarmed row means every downstream
     // CUPED/MDE read-out sits on broken randomization.
     "q_ev_srm" -> { (s, dir) => Experiment.srmCheck(Tables.events(s, dir)) },
+    // Two-proportion conversion lift: per event type, the share of each
+    // variant's users emitting it at all, with the 2x2 chi-square in
+    // exact-integer product form (final chain in doubles off the exact
+    // DECIMAL factors) — the proportion-metric companion to CUPED/MDE.
+    "q_ev_convlift" -> { (s, dir) => Experiment.conversionLift(Tables.events(s, dir)) },
     // Winsorized robust metrics: per event type, exact p99 cap, raw vs
     // capped means (quantized integer sums), capped-row permille — the
     // whale-user outlier step a metrics pipeline runs before CUPED.
@@ -5062,6 +5067,7 @@ object SparkEntry {
     "q_ev_winsor" -> Experiment.winsorizeSql(),
     "q_ev_mde" -> Experiment.mdeSql(),
     "q_ev_srm" -> Experiment.srmCheckSql(),
+    "q_ev_convlift" -> Experiment.conversionLiftSql(),
     "q_ev_cuped" ->
       """WITH cev AS (
         |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tus,

@@ -194,6 +194,90 @@ object Experiment {
        |      / (CAST(n0 + n1 AS DOUBLE) / 2.0) END > $Chi2Crit95) AS srm_alarm
        |FROM sa""".stripMargin
 
+  /** Conversion-lift read-out (two-proportion chi-square) — the
+    * PROPORTION-metric companion to [[cuped]]/[[mde]]'s continuous
+    * ones: per event type, did a larger share of variant-1 users emit
+    * it at all? Population = every user in the table (the assignment
+    * frame), converted = users with ≥ 1 event of the type; the 2×2
+    * chi-square spelled in its product form
+    * N·(ad − bc)² / ((a+b)(c+d)(a+c)(b+d)) — every factor an exact
+    * integer riding DECIMAL(38,0) ((ad−bc)² passes long at ~10⁹ users,
+    * the PMI/Neyman promotion discipline), ONE double division at the
+    * end, alarm at the same χ²₁ 95% critical value as [[srmCheck]].
+    *
+    * Scale: one distinct pass to (user), one to (event_type, user),
+    * rollups to ≤ ‖types‖ rows; the population row is a broadcast
+    * 1-row cross.
+    */
+  def conversionLift(events: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val users = events.filter(col("user_id").isNotNull)
+      .select(col("user_id"), pmod(col("user_id"), lit(2L)).as("variant"))
+      .distinct()
+    val pop = users.agg(
+      sum(when(col("variant") === 0, 1L).otherwise(0L)).as("pop0"),
+      sum(when(col("variant") === 1, 1L).otherwise(0L)).as("pop1"))
+    val conv = events.filter(col("user_id").isNotNull)
+      .select(col("event_type"), col("user_id"),
+        pmod(col("user_id"), lit(2L)).as("variant"))
+      .distinct()
+      .groupBy(col("event_type"))
+      .agg(sum(when(col("variant") === 0, 1L).otherwise(0L)).as("c0"),
+        sum(when(col("variant") === 1, 1L).otherwise(0L)).as("c1"))
+    val a = col("c0").cast(dec)                      // converted, v0
+    val b = col("c1").cast(dec)                      // converted, v1
+    val c = (col("pop0") - col("c0")).cast(dec)      // not converted, v0
+    val d = (col("pop1") - col("c1")).cast(dec)      // not converted, v1
+    val n = (col("pop0") + col("pop1")).cast(dec)
+    val det = (a * d - b * c).cast("double")
+    val denom = ((a + b) * (c + d) * (a + c) * (b + d)).cast("double")
+    val chi2 = when(denom > 0, n.cast("double") * det * det / denom)
+    conv.crossJoin(broadcast(pop))
+      .select(col("event_type"), col("pop0"), col("pop1"),
+        col("c0"), col("c1"),
+        (col("c0").cast("double") / col("pop0").cast("double")).as("rate0"),
+        (col("c1").cast("double") / col("pop1").cast("double")).as("rate1"),
+        chi2.as("chi2"), (chi2 > Chi2Crit95).as("significant"))
+  }
+
+  /** DuckDB mirror of [[conversionLift]] — HUGEINT where the engine
+    * rides DECIMAL(38,0), identical product form.
+    */
+  def conversionLiftSql(): String =
+    s"""WITH cu AS (
+       |  SELECT DISTINCT user_id, user_id % 2 AS variant
+       |  FROM events WHERE user_id IS NOT NULL),
+       |cpop AS (
+       |  SELECT CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS pop0,
+       |    CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS pop1
+       |  FROM cu),
+       |cc AS (
+       |  SELECT event_type,
+       |    CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+       |    CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+       |  FROM (SELECT DISTINCT event_type, user_id, user_id % 2 AS variant
+       |        FROM events WHERE user_id IS NOT NULL) t
+       |  GROUP BY event_type),
+       |cx AS (
+       |  SELECT event_type, pop0, pop1, c0, c1,
+       |    CAST(c0 AS HUGEINT) AS a, CAST(c1 AS HUGEINT) AS b,
+       |    CAST(pop0 - c0 AS HUGEINT) AS c, CAST(pop1 - c1 AS HUGEINT) AS d,
+       |    CAST(pop0 + pop1 AS HUGEINT) AS n
+       |  FROM cc CROSS JOIN cpop)
+       |SELECT event_type, pop0, pop1, c0, c1,
+       |  CAST(c0 AS DOUBLE) / CAST(pop0 AS DOUBLE) AS rate0,
+       |  CAST(c1 AS DOUBLE) / CAST(pop1 AS DOUBLE) AS rate1,
+       |  CASE WHEN CAST((a + b) * (c + d) * (a + c) * (b + d) AS DOUBLE) > 0 THEN
+       |    CAST(n AS DOUBLE) * CAST(a * d - b * c AS DOUBLE)
+       |      * CAST(a * d - b * c AS DOUBLE)
+       |      / CAST((a + b) * (c + d) * (a + c) * (b + d) AS DOUBLE) END AS chi2,
+       |  (CASE WHEN CAST((a + b) * (c + d) * (a + c) * (b + d) AS DOUBLE) > 0 THEN
+       |    CAST(n AS DOUBLE) * CAST(a * d - b * c AS DOUBLE)
+       |      * CAST(a * d - b * c AS DOUBLE)
+       |      / CAST((a + b) * (c + d) * (a + c) * (b + d) AS DOUBLE) END
+       |    > $Chi2Crit95) AS significant
+       |FROM cx""".stripMargin
+
   /** z_{0.975} + z_{0.80}: two-sided α = 0.05 at 80% power — the default
     * experiment-sizing constants (shared literal with the SQL mirror so
     * the engines multiply the same double).

@@ -70,6 +70,28 @@ class ExperimentSpec extends SparkSpec {
     assert(r3.getLong(1) == 5L && r3.getLong(2) == 5L)
   }
 
+  test("convlift: hand-computed 2x2 chi-square; non-converting users count in the population") {
+    val hour = 3600L * 1000000L
+    // population: 8 users (4 per variant) all emit 'view'; 'buy' is
+    // emitted by 3 even users and 1 odd user → a = 3, b = 1, c = 1,
+    // d = 3, N = 8, chi2 = 8·(9−1)²/(4·4·4·4) = 2.0 (not significant)
+    val view = (0L until 8L).map(u =>
+      (u, new java.sql.Timestamp(hour / 1000), "view", 1.0))
+    val buy = Seq(0L, 2L, 4L, 1L).map(u =>
+      (u, new java.sql.Timestamp(2 * hour / 1000), "buy", 5.0))
+    val df = (view ++ buy).toDF("user_id", "ts", "event_type", "value")
+    val got = Experiment.conversionLift(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val b = got("buy")
+    assert(b.getLong(1) == 4L && b.getLong(2) == 4L)
+    assert(b.getLong(3) == 3L && b.getLong(4) == 1L)
+    assert(b.getDouble(5) == 0.75 && b.getDouble(6) == 0.25)
+    assert(b.getDouble(7) == 2.0 && !b.getBoolean(8))
+    // 'view' converts everyone → det = 0 → chi2 null (zero marginal)
+    val v = got("view")
+    assert(v.isNullAt(7) && v.isNullAt(8))
+  }
+
   test("cuped: a perfect pre-predictor removes ALL post variance and equalizes variants") {
     // pre value x_u per user, post value y_u = 2·x_u exactly; midpoint
     // splits the two events. cov/var algebra: θ = 2, ρ² = 1, and every

@@ -138,8 +138,19 @@ object Similarity {
       nprobe: Int = 2, kCand: Int = 20, kOut: Int = 5,
       lambda10: Int = 7): DataFrame = {
     val base = withEmb(e).select(col("vec_id"), col("emb"), l2norm(col("emb")).as("nrm"))
+    // EXPLICIT partition count on the store side: the assignment join's
+    // output is small (one row per vector), so AQE coalesces it toward
+    // ONE partition — and the row-MULTIPLYING broadcast probe join below
+    // inherits the stream side's partitioning, putting the ~|queries|·
+    // cell-member candidate explosion and its top-k sort on a single
+    // task (measured: 40 s single-core at x30, the probe's 1.5-exponent
+    // cliff). An explicit count is exempt from AQE coalescing, so the
+    // explosion parallelizes; the map-side WindowGroupLimit then prunes
+    // to k per (qid, task) before the window exchange.
     val store = base.join(
       kmeansAssign(e, cents).select(col("vec_id"), col("cell")), "vec_id")
+      .repartition(e.sparkSession.sparkContext.defaultParallelism,
+        col("vec_id"))
     val centN = cents.withColumn("cnrm", l2norm(col("cemb")))
     val q = querySet(base, queryMod, Int.MaxValue)
       .select(col("vec_id").as("qid"), col("emb").as("qemb"), col("nrm").as("qnrm"))
@@ -150,10 +161,20 @@ object Similarity {
       .withColumn("prn", row_number().over(probeW))
       .filter(col("prn") <= nprobe)
       .select(col("qid"), col("qemb"), col("qnrm"), col("cell"))
-    val cands = topK(probes.join(store, Seq("cell"))
+    // Two measured plan rules (the probe caught a 1.76-exponent cliff —
+    // 44 s at x30 — without them): (1) the probe side BROADCASTS — a
+    // shuffle join keys on `cell`, whose cardinality is k = 8, so that
+    // exchange collapses onto 8 skewed partitions; (2) the join output
+    // projects down to (qid, vec_id, cos) BEFORE the top-k window — the
+    // candidate rows otherwise carry BOTH 64-dim arrays through the
+    // window's hash exchange (~1 KB × |queries|·cell-members ≈ 20 GB at
+    // x30; measured 31.9 s of the 38 s total in tools/ProfileMmr), while
+    // the window itself needs only the 3 narrow columns.
+    val cands = topK(broadcast(probes).join(store, Seq("cell"))
         .filter(col("vec_id") =!= col("qid"))
         .withColumn("cos",
-          cosineWithNorms(dot(col("qemb"), col("emb")), col("qnrm"), col("nrm"))),
+          cosineWithNorms(dot(col("qemb"), col("emb")), col("qnrm"), col("nrm")))
+        .select(col("qid"), col("vec_id"), col("cos")),
         kCand)
       .join(base, "vec_id")
       .select(col("qid"), col("vec_id"), col("cos"), col("emb"), col("nrm"))

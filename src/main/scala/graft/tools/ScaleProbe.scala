@@ -254,6 +254,11 @@ object ScaleProbe {
 
   def main(args: Array[String]): Unit = {
     val mults = if (args.isEmpty) Seq(1, 10) else args.map(_.toInt).toSeq
+    // dev knob: SPARK_GRAFT_PROBE_ONLY=q_a,q_b re-measures a subset
+    // (e.g. after a targeted plan fix) without paying the full sweep
+    val only = sys.env.get("SPARK_GRAFT_PROBE_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val probeSet = only.map(o => ProbeQueries.filter(o)).getOrElse(ProbeQueries)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -265,7 +270,7 @@ object ScaleProbe {
 
     // JIT warmup on the tiny real tables: distinct dir → distinct memo
     // keys, so the timed runs below stay cold on their own data
-    ProbeQueries.foreach { q =>
+    probeSet.foreach { q =>
       try SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
         .write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[warmup] $q: ${e.getMessage}") }
@@ -281,7 +286,7 @@ object ScaleProbe {
       // but at 16× initial width per-partition state stays bounded
       // through the probed range. The probe runs the same defaults every
       // deployment gets.
-      val ts = ProbeQueries.map { q =>
+      val ts = probeSet.map { q =>
         val s = timeQuery(spark, q, dir)
         println(s"""{"probe":"$q","mult":$m,"sec":${String.format(java.util.Locale.ROOT, "%.3f", Double.box(s))}}""")
         q -> s
@@ -301,7 +306,7 @@ object ScaleProbe {
       spark.stop()
       return
     }
-    val summary = ProbeQueries.map { q =>
+    val summary = probeSet.map { q =>
       val marginals = sorted.sliding(2).collect { case Seq(a, b) =>
         math.log(times(b)(q) / times(a)(q)) / math.log(b.toDouble / a)
       }.toSeq

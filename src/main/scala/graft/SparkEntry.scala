@@ -31,8 +31,9 @@ object SparkEntry {
   // Microsecond-string timestamp rendering (representation-independent
   // comparison; DuckDB mirror: strftime(ts, '%Y-%m-%d %H:%M:%S.%f')).
   private def fmtTs(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS")
-  // Query terms for the conjunctive-search demo (shared with the oracle).
-  private val SearchTerms = Seq("scan", "merge", "sort")
+  // Query terms for the conjunctive-search demo (shared with the oracle,
+  // and with Rm3Spec's determinism/headroom pins — package-visible).
+  private[graft] val SearchTerms = Seq("scan", "merge", "sort")
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- Reference-parity pipeline (SURVEY §2 D1,T1-T3,V1-V4,E1-E2,P1,R1,K1)
@@ -378,6 +379,18 @@ object SparkEntry {
     // full-outer mix, recall beyond the literal vocabulary.
     "q_doc_rm3" -> { (s, dir) =>
       TextAnalysis.rm3Search(Tables.documents(s, dir), SearchTerms)
+    },
+    // rm3's intermediates EXPOSED to the driver's gate (round-11 verdict
+    // ask: a driver-side rm3 mismatch must name its stage): the feedback
+    // set (top-fbDocs literal BM25 docs) and the expansion-term
+    // distribution, each against the SAME oracle CTE chain the composite
+    // reads — fb red = literal scoring; fb green + exp red = feedback
+    // weighting; both green + rm3 red = the corpus re-score or final mix.
+    "q_doc_rm3fb" -> { (s, dir) =>
+      TextAnalysis.rm3Feedback(Tables.documents(s, dir), SearchTerms)
+    },
+    "q_doc_rm3exp" -> { (s, dir) =>
+      TextAnalysis.rm3Expansion(Tables.documents(s, dir), SearchTerms)
     },
     // Hybrid retrieval: Reciprocal-Rank Fusion of the lexical BM25 list
     // and the per-query embedding list (exact integer nano-unit scores;
@@ -3180,6 +3193,8 @@ object SparkEntry {
          |HAVING COUNT(DISTINCT w) = 3""".stripMargin,
     "q_doc_bm25" -> TextAnalysis.bm25SearchSql(SearchTerms),
     "q_doc_rm3" -> TextAnalysis.rm3SearchSql(SearchTerms),
+    "q_doc_rm3fb" -> TextAnalysis.rm3FeedbackSql(SearchTerms),
+    "q_doc_rm3exp" -> TextAnalysis.rm3ExpansionSql(SearchTerms),
     "q_doc_ndcg" -> Retrieval.ndcgAuditSql(SearchTerms),
     "q_doc_rrf" ->
       s"""WITH ${Similarity.baseSql},

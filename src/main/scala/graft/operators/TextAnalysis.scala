@@ -354,26 +354,10 @@ object TextAnalysis {
       fbTerms: Int = 10, alpha10: Int = 7,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "rm3 needs at least one seed term")
-    val spark = docs.sparkSession
-    import spark.implicits._
     val dec = "decimal(38,0)"
-    val td = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
-      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"), col("toks"))
-      .localCheckpoint(false)
-    val origScores = bm25PostsFor(td, terms.toDF("w"), k1, b)
-      .groupBy(col("doc_id")).agg(sum(col("c_nanos")).as("orig_nanos"))
-    val fb = origScores.orderBy(col("orig_nanos").desc, col("doc_id"))
-      .limit(fbDocs).localCheckpoint(false)
-    val exp = td.join(broadcast(fb), "doc_id")
-      .select(col("dl"), col("orig_nanos"), explode(col("toks")).as("w"))
-      .groupBy(col("dl"), col("orig_nanos"), col("w"))
-      .agg(count(lit(1)).as("tf"))
-      .filter(!col("w").isin(terms: _*))
-      .select(col("w"), (floor(col("tf") * lit(1e9) / col("dl")).cast(dec)
-        * col("orig_nanos").cast(dec)).as("contrib"))
-      .groupBy(col("w")).agg(sum(col("contrib")).as("wt"))
-      .orderBy(col("wt").desc, col("w")).limit(fbTerms)
-      .localCheckpoint(false)
+    val td = rm3Td(docs)
+    val origScores = rm3OrigScores(td, terms, k1, b)
+    val exp = rm3ExpansionFrom(td, origScores, terms, fbDocs, fbTerms)
     val expScores = bm25PostsFor(td, exp, k1, b)
       .join(broadcast(exp), "w")
       .groupBy(col("doc_id"))
@@ -389,12 +373,108 @@ object TextAnalysis {
       .orderBy(col("rm3_dec").desc, col("doc_id")).limit(10)
   }
 
+  /** [[rm3Search]]'s shared tokenized-corpus stage. */
+  private def rm3Td(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"), col("toks"))
+      .localCheckpoint(false)
+
+  /** Per-doc exact BM25 odds-nanos for the LITERAL query — rm3's stage-1
+    * scores over the whole corpus.
+    */
+  private def rm3OrigScores(td: DataFrame, terms: Seq[String],
+      k1: Double, b: Double): DataFrame = {
+    val spark = td.sparkSession
+    import spark.implicits._
+    bm25PostsFor(td, terms.toDF("w"), k1, b)
+      .groupBy(col("doc_id")).agg(sum(col("c_nanos")).as("orig_nanos"))
+  }
+
+  /** rm3 stage 3: the expansion-term distribution estimated from the
+    * feedback set (weight DESC, term ASC, top fbTerms; seed terms
+    * excluded). Returns (w, wt DECIMAL(38,0)).
+    */
+  private def rm3ExpansionFrom(td: DataFrame, origScores: DataFrame,
+      terms: Seq[String], fbDocs: Int, fbTerms: Int): DataFrame = {
+    val dec = "decimal(38,0)"
+    val fb = origScores.orderBy(col("orig_nanos").desc, col("doc_id"))
+      .limit(fbDocs).localCheckpoint(false)
+    td.join(broadcast(fb), "doc_id")
+      .select(col("dl"), col("orig_nanos"), explode(col("toks")).as("w"))
+      .groupBy(col("dl"), col("orig_nanos"), col("w"))
+      .agg(count(lit(1)).as("tf"))
+      .filter(!col("w").isin(terms: _*))
+      .select(col("w"), (floor(col("tf") * lit(1e9) / col("dl")).cast(dec)
+        * col("orig_nanos").cast(dec)).as("contrib"))
+      .groupBy(col("w")).agg(sum(col("contrib")).as("wt"))
+      .orderBy(col("wt").desc, col("w")).limit(fbTerms)
+      .localCheckpoint(false)
+  }
+
+  /** [[rm3Search]] stage 2 EXPOSED for the driver's gate — the
+    * pseudo-relevance feedback set (top fbDocs by literal BM25,
+    * (orig_nanos DESC, doc_id ASC)): `q_doc_rm3fb`. A driver-side rm3
+    * hash mismatch now names its stage — fb red means the literal BM25
+    * scores or the feedback cut diverged; fb green + rm3 red localizes
+    * the fault to the expansion/mix stages.
+    */
+  def rm3Feedback(docs: DataFrame, terms: Seq[String], fbDocs: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "rm3 needs at least one seed term")
+    val td = rm3Td(docs)
+    rm3OrigScores(td, terms, k1, b)
+      .orderBy(col("orig_nanos").desc, col("doc_id")).limit(fbDocs)
+  }
+
+  /** [[rm3Search]] stage 3 EXPOSED for the driver's gate — the expansion
+    * term distribution (w, wt): `q_doc_rm3exp`. With `q_doc_rm3fb` this
+    * brackets every rm3 intermediate: fb green + exp red → the
+    * feedback-TF weighting; both green + rm3 red → the corpus re-score
+    * or the final mix.
+    */
+  def rm3Expansion(docs: DataFrame, terms: Seq[String], fbDocs: Int = 10,
+      fbTerms: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "rm3 needs at least one seed term")
+    val td = rm3Td(docs)
+    rm3ExpansionFrom(td, rm3OrigScores(td, terms, k1, b), terms, fbDocs, fbTerms)
+  }
+
   /** DuckDB mirror of [[rm3Search]] — same stages, HUGEINT where the
     * engine rides DECIMAL(38,0), identical operand trees.
     */
   def rm3SearchSql(terms: Seq[String], fbDocs: Int = 10, fbTerms: Int = 10,
       alpha10: Int = 7, k1: Double = 1.2, b: Double = 0.75,
-      src: String = "documents"): String = {
+      src: String = "documents"): String =
+    s"""WITH ${rm3Ctes(terms, fbDocs, fbTerms, k1, b, src)}
+       |SELECT COALESCE(o.doc_id, e.doc_id) AS doc_id,
+       |  $alpha10 * CAST(COALESCE(o.orig_nanos, 0) AS HUGEINT) * s_wt
+       |    + ${10 - alpha10} * COALESCE(e.exp_dec, 0) AS rm3_dec
+       |FROM oscore o FULL OUTER JOIN escore e ON o.doc_id = e.doc_id
+       |CROSS JOIN stot
+       |ORDER BY rm3_dec DESC, doc_id LIMIT 10""".stripMargin
+
+  /** DuckDB mirror of [[rm3Feedback]] — the SAME CTE chain as
+    * [[rm3SearchSql]] (zero drift by construction), read at the fb stage.
+    */
+  def rm3FeedbackSql(terms: Seq[String], fbDocs: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75, src: String = "documents"): String =
+    s"""WITH ${rm3Ctes(terms, fbDocs, 10, k1, b, src)}
+       |SELECT doc_id, orig_nanos FROM fb""".stripMargin
+
+  /** DuckDB mirror of [[rm3Expansion]] — the shared chain read at the
+    * exp stage.
+    */
+  def rm3ExpansionSql(terms: Seq[String], fbDocs: Int = 10, fbTerms: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75, src: String = "documents"): String =
+    s"""WITH ${rm3Ctes(terms, fbDocs, fbTerms, k1, b, src)}
+       |SELECT w, wt FROM exp""".stripMargin
+
+  /** The ONE rm3 oracle CTE chain ([[rm3SearchSql]] /  [[rm3FeedbackSql]] /
+    * [[rm3ExpansionSql]] all read stages of this same text, so the staged
+    * oracles can never drift from the composite).
+    */
+  private def rm3Ctes(terms: Seq[String], fbDocs: Int, fbTerms: Int,
+      k1: Double, b: Double, src: String): String = {
     val inList = terms.map(t => s"'$t'").mkString(", ")
     def cNanos(tf: String, dl: String, df: String) =
       s"""CAST(FLOOR(
@@ -402,7 +482,7 @@ object TextAnalysis {
          |      ($tf * CAST(${k1 + 1} AS DOUBLE) /
          |        ($tf + CAST($k1 AS DOUBLE) * (CAST(${1 - b} AS DOUBLE) + CAST($b AS DOUBLE) * $dl / (CAST(sumdl AS DOUBLE) / CAST(n_docs AS DOUBLE))))) *
          |      1e9) AS BIGINT)""".stripMargin
-    s"""WITH tq AS (SELECT doc_id, ${Dedup.toksSql} AS toks FROM $src),
+    s"""tq AS (SELECT doc_id, ${Dedup.toksSql} AS toks FROM $src),
        |td AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM tq),
        |stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sumdl FROM td),
        |opost AS (
@@ -439,13 +519,7 @@ object TextAnalysis {
        |    AS exp_dec
        |  FROM epost JOIN edfx USING (w) JOIN exp e USING (w) CROSS JOIN stats
        |  GROUP BY doc_id),
-       |stot AS (SELECT SUM(wt) AS s_wt FROM exp)
-       |SELECT COALESCE(o.doc_id, e.doc_id) AS doc_id,
-       |  $alpha10 * CAST(COALESCE(o.orig_nanos, 0) AS HUGEINT) * s_wt
-       |    + ${10 - alpha10} * COALESCE(e.exp_dec, 0) AS rm3_dec
-       |FROM oscore o FULL OUTER JOIN escore e ON o.doc_id = e.doc_id
-       |CROSS JOIN stot
-       |ORDER BY rm3_dec DESC, doc_id LIMIT 10""".stripMargin
+       |stot AS (SELECT SUM(wt) AS s_wt FROM exp)""".stripMargin
   }
 
   /** DuckDB mirror of [[bm25Search]] — same operand tree, constants

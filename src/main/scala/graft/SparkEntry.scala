@@ -566,6 +566,13 @@ object SparkEntry {
     "q_doc_srcselkmv" -> { (s, dir) =>
       Curation.sourceSelectKmv(Tables.documents(s, dir), dir = dir)
     },
+    // The PRODUCTION spelling: per-round exact audit dropped — after the
+    // one sketch pass every greedy round is corpus-independent (≤
+    // |sources|*2k sketch rows). The audited q_doc_srcselkmv is its truth
+    // twin (identical (rank, source, est_gain) trace, spec-pinned).
+    "q_doc_srcselkmv_prod" -> { (s, dir) =>
+      Curation.sourceSelectKmvProd(Tables.documents(s, dir), dir = dir)
+    },
     // Execute the allocation: per stratum the alloc_h smallest priority
     // keys win via the bounded-heap TopKByValue aggregate (O(n) partial
     // state, map-side combined — never a per-lang rank window).
@@ -4014,6 +4021,7 @@ object SparkEntry {
     "q_doc_srcsel" -> Curation.sourceSelectSql(),
     "q_doc_srcselb" -> Curation.sourceSelectBudgetedSql(),
     "q_doc_srcselkmv" -> Curation.sourceSelectKmvSql(),
+    "q_doc_srcselkmv_prod" -> Curation.sourceSelectKmvSql(audit = false),
     "q_doc_stratsample" -> Curation.stratifiedNeymanSampleSql(),
     "q_doc_wsample" -> Curation.weightedSampleSql(),
     "q_doc_snapdiff" -> Curation.snapshotDiffSql,

@@ -1816,7 +1816,25 @@ object Curation {
     * greedy untouched).
     */
   def sourceSelectKmv(docs: DataFrame, budget: Int = 6,
-      k: Int = TextAnalysis.KmvK, dir: String = ""): DataFrame = {
+      k: Int = TextAnalysis.KmvK, dir: String = ""): DataFrame =
+    sourceSelectKmvImpl(docs, budget, k, dir, audit = true)
+
+  /** The PRODUCTION spelling of [[sourceSelectKmv]] — the per-round exact
+    * audit anti-join dropped (exactly what the audited variant's scaladoc
+    * says a production run drops first): after the ONE corpus pass into
+    * per-source bottom-k sketches, every greedy round touches only
+    * ≤ ‖sources‖·2k sketch rows — per-round marginal cost is
+    * corpus-INDEPENDENT, now measured rather than implied (the
+    * `q_doc_srcselkmv_prod` probe row). The audited variant is this
+    * query's truth twin: identical (rank, source, est_gain) trace by
+    * construction (SourceSelectSpec pins the agreement).
+    */
+  def sourceSelectKmvProd(docs: DataFrame, budget: Int = 6,
+      k: Int = TextAnalysis.KmvK, dir: String = ""): DataFrame =
+    sourceSelectKmvImpl(docs, budget, k, dir, audit = false)
+
+  private def sourceSelectKmvImpl(docs: DataFrame, budget: Int,
+      k: Int, dir: String, audit: Boolean): DataFrame = {
     val spark = docs.sparkSession
     val kU = (k - 1).toLong * graft.functions.TextFunctions.P
     val ssh = sourceShinglesFor(docs, dir)
@@ -1853,10 +1871,12 @@ object Curation {
       if (pick.isEmpty) exhausted = true
       else {
         val (src, estGain) = (pick(0).getString(0), pick(0).getDouble(1))
-        // exact audit for the pick (the one corpus-priced step)
-        val srcH = ssh.filter(col("source") === src).select(col("h"))
+        // exact audit for the pick (the one corpus-priced step; the
+        // production spelling skips it and stays sketch-only)
+        lazy val srcH = ssh.filter(col("source") === src).select(col("h"))
         val exactGain =
-          (if (coveredExact == null) srcH.distinct()
+          if (!audit) -1L
+          else (if (coveredExact == null) srcH.distinct()
            else srcH.join(coveredExact, Seq("h"), "left_anti"))
             .count()
         selected :+= ((round, src, estGain, exactGain))
@@ -1869,7 +1889,7 @@ object Curation {
         val covRow = coveredSk.agg(count(lit(1)).as("n"), max(col("h")).as("t"))
           .collect()(0)
         covEst = estOf(covRow.getLong(0), if (covRow.isNullAt(1)) 1L else covRow.getLong(1))
-        coveredExact =
+        if (audit) coveredExact =
           (if (coveredExact == null) srcH.distinct()
            else coveredExact.unionByName(srcH).distinct())
             .localCheckpoint(false)
@@ -1877,7 +1897,8 @@ object Curation {
       }
     }
     import spark.implicits._
-    selected.toDF("rank", "source", "est_gain", "exact_gain")
+    if (audit) selected.toDF("rank", "source", "est_gain", "exact_gain")
+    else selected.map(t => (t._1, t._2, t._3)).toDF("rank", "source", "est_gain")
   }
 
   /** DuckDB mirror of [[sourceSelectKmv]]: identical sketches (bottom-k
@@ -1886,7 +1907,7 @@ object Curation {
     * corpus scan.
     */
   def sourceSelectKmvSql(budget: Int = 6,
-      k: Int = TextAnalysis.KmvK): String = {
+      k: Int = TextAnalysis.KmvK, audit: Boolean = true): String = {
     val kU = (k - 1).toLong * graft.functions.TextFunctions.P
     val estU = s"CASE WHEN n_u < $k THEN CAST(n_u AS DOUBLE) ELSE CAST($kU AS DOUBLE) / CAST(theta_u AS DOUBLE) END"
     def round(i: Int): String = {
@@ -1910,6 +1931,17 @@ object Curation {
       else
         s"""SELECT h FROM ec${i - 1} UNION
            |  SELECT DISTINCT s.h FROM vsh s JOIN p$i p ON s.source = p.source""".stripMargin
+      val auditCtes =
+        s"""
+           |eg$i AS (
+           |  SELECT CAST(COUNT(*) AS BIGINT) AS exact_gain
+           |  FROM (SELECT DISTINCT s.h FROM vsh s JOIN p$i p ON s.source = p.source
+           |        WHERE TRUE $prevEc) t),
+           |ec$i AS MATERIALIZED ($ecBody),""".stripMargin
+      val aBody = if (audit)
+        s"""${prevRows}SELECT p.rank, p.source, p.est_gain, g.exact_gain
+           |  FROM p$i p CROSS JOIN eg$i g""".stripMargin
+      else s"${prevRows}SELECT p.rank, p.source, p.est_gain FROM p$i p"
       s"""cu$i AS (
          |  SELECT source, h FROM vsk WHERE source NOT IN ($prevSel)$unionCov),
          |eu$i AS (
@@ -1922,16 +1954,12 @@ object Curation {
          |  ORDER BY marg DESC, source LIMIT 1),
          |cs$i AS MATERIALIZED (
          |  SELECT h FROM (${prevCs}SELECT s.h FROM vsk s JOIN p$i p ON s.source = p.source)
-         |  ORDER BY h LIMIT $k),
-         |eg$i AS (
-         |  SELECT CAST(COUNT(*) AS BIGINT) AS exact_gain
-         |  FROM (SELECT DISTINCT s.h FROM vsh s JOIN p$i p ON s.source = p.source
-         |        WHERE TRUE $prevEc) t),
-         |ec$i AS MATERIALIZED ($ecBody),
-         |a$i AS MATERIALIZED (${prevRows}SELECT p.rank, p.source, p.est_gain, g.exact_gain
-         |  FROM p$i p CROSS JOIN eg$i g)""".stripMargin
+         |  ORDER BY h LIMIT $k),${if (audit) auditCtes else ""}
+         |a$i AS MATERIALIZED ($aBody)""".stripMargin
     }
     val rounds = (1 to budget).map(round).mkString(",\n")
+    val outCols = if (audit) "rank, source, est_gain, exact_gain"
+      else "rank, source, est_gain"
     s"""WITH ${Dedup.shingleSqlFor("documents", "vraw")},
        |vsh AS MATERIALIZED (SELECT DISTINCT d.source, t.h
        |        FROM vraw t JOIN documents d ON t.doc_id = d.doc_id),
@@ -1941,7 +1969,7 @@ object Curation {
        |    FROM vsh) t
        |  WHERE rn <= $k),
        |$rounds
-       |SELECT rank, source, est_gain, exact_gain FROM a$budget""".stripMargin
+       |SELECT $outCols FROM a$budget""".stripMargin
   }
 
   /** DuckDB mirror of [[sourceSelect]]: budget unrolled greedy rounds

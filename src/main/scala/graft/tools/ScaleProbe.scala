@@ -161,7 +161,11 @@ object ScaleProbe {
     // every round is corpus-independent; the exact audit anti-join is
     // the only per-round corpus-priced step, so the profile should
     // track the sketch pass + budget × audit joins)
-    "q_emb_mmrt", "q_doc_srcselkmv")
+    "q_emb_mmrt", "q_doc_srcselkmv",
+    // the PRODUCTION (audit-free) KMV selection: per-round marginal cost
+    // must read corpus-INDEPENDENT (tail exponent ≈ the one sketch pass),
+    // unlike its audited truth twin whose rounds pay a corpus anti-join
+    "q_doc_srcselkmv_prod")
 
   /** Heaps-ish vocabulary size: 30 tokens at the 5k-doc base (the real
     * table's vocabulary), growing with sqrt(n).

@@ -125,6 +125,27 @@ class SourceSelectSpec extends SparkSpec {
     }
   }
 
+  test("production (audit-free) kmv trace equals the audited truth twin's") {
+    // q_doc_srcselkmv_prod drops ONLY the per-round exact-audit column —
+    // the greedy itself (sketch union, estimator, pick rule) must be
+    // byte-identical to the audited spelling, on both the constructed
+    // corpus and the real one.
+    val corpus = graft.sources.Tables.documents(spark, Sf)
+    val audited = Curation.sourceSelectKmv(corpus, budget = 4)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getDouble(2))).toSeq
+    val prod = Curation.sourceSelectKmvProd(corpus, budget = 4)
+    assert(prod.columns.toSeq === Seq("rank", "source", "est_gain"),
+      "prod spelling must not carry the audit column")
+    val prodRows = prod.collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(prodRows === audited, s"prod trace diverged: $prodRows vs $audited")
+    val small = Curation.sourceSelectKmvProd(docs, budget = 3)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getDouble(2))).toSeq
+    val smallAudited = Curation.sourceSelectKmv(docs, budget = 3)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(small === smallAudited)
+  }
+
   test("selection stops when no remaining source adds coverage") {
     // srcC's shingles are a strict subset of srcA's: once A is picked, C
     // contributes nothing and must never be "selected" — the trace stops

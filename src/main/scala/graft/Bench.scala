@@ -56,10 +56,18 @@ object Bench {
     // centroids) pays the build in t1 and rides the memo in t2, so the
     // min is always the warm time — `queries_first` keeps each query's
     // FIRST timing so the one-time build cost stays visible per round.
+    // …and when t1 was a memo-build outlier (t1 > 1.5·t2), the min so far
+    // is a SINGLE steady-state sample — one noisy neighbor away from a
+    // phantom regression (r11: two disjoint false-positive sets across the
+    // driver and judge runs). A third timing in exactly that case makes
+    // the regression-gated number min-of-2 STEADY-STATE samples for every
+    // query, at the cost of one extra warm run per memoized query.
     val timed = selected.map { case (name, fn) =>
       val t1 = timeOnce(name, fn)
       val t2 = if (t1 >= 0) timeOnce(name, fn) else t1
-      name -> ((if (t1 >= 0 && t2 >= 0) math.min(t1, t2) else -1.0, t1))
+      val t3 = if (t1 >= 0 && t2 >= 0 && t1 > 1.5 * t2) timeOnce(name, fn) else t1
+      name -> ((if (t1 >= 0 && t2 >= 0 && t3 >= 0) math.min(math.min(t1, t2), t3)
+        else -1.0, t1))
     }
     val results = timed.map { case (k, (mn, _)) => k -> mn }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsOfJoin, Classifier, Curation, Dedup, EntityResolution, Experiment, Maintenance, Multimodal, OrderPipeline, RefOrders, Retrieval, Similarity, TextAnalysis}
+import graft.operators.{AsOfJoin, Classifier, Curation, Dedup, EntityResolution, Experiment, Maintenance, Multimodal, OrderPipeline, RefOrders, Retrieval, Similarity, TextAnalysis, Unigram}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -1883,6 +1883,22 @@ object SparkEntry {
       val d = Tables.documents(s, dir)
       Curation.packSequencesBpe(d,
         dictOpt = Some(TextAnalysis.bpeDictFor(d, dir)))
+    },
+    // Unigram-LM tokenizer training (Kudo'18 / SentencePiece unigram,
+    // hard-EM variant): seed vocab from frequent substrings, EM rounds
+    // of Viterbi segment-and-recount over the maxWords dictionary,
+    // single-char coverage floor. Corpus touched once (the word-freq
+    // pass); every EM round is dictionary-bounded with a broadcast
+    // vocab map — the BPE cost story.
+    "q_doc_unigram" -> { (s, dir) =>
+      Unigram.unigramVocab(Tables.documents(s, dir))
+    },
+    // Unigram apply + fertility: per-doc word/piece counts under the
+    // trained unigram vocabulary — directly comparable against
+    // q_doc_bpe_encode's fertility on the same corpus (the
+    // tokenizer-family bake-off read-out).
+    "q_doc_unigram_encode" -> { (s, dir) =>
+      Unigram.unigramEncode(Tables.documents(s, dir), dir = dir)
     },
     // FIM split layout (Bavarian'22): deterministic (prefix, middle,
     // suffix) boundaries + PSM/SPM order + the 0.9 apply rate, every
@@ -4846,6 +4862,8 @@ object SparkEntry {
     "q_doc_langclf" -> Classifier.langClfSql(),
     "q_doc_qclf_bysrc" -> Classifier.scoreBySourceSql(),
     "q_doc_bpe_encode" -> TextAnalysis.bpeSegmentSql(),
+    "q_doc_unigram" -> Unigram.unigramVocabSql(),
+    "q_doc_unigram_encode" -> Unigram.unigramEncodeSql(),
     "q_doc_fertlang" -> TextAnalysis.fertilityByLangSql(),
     "q_doc_bpepack" ->
       s"""WITH ${TextAnalysis.bpeCtes()},

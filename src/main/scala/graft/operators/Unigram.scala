@@ -1,0 +1,326 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** Unigram-LM subword tokenizer training (Kudo, ACL'18 "Subword
+  * Regularization" / the SentencePiece unigram model) — the second
+  * production tokenizer family next to BPE ([[TextAnalysis.bpeMerges]]):
+  * seed a candidate vocabulary from frequent substrings, run k rounds of
+  * segment-and-recount EM over the word-frequency dictionary, segment at
+  * apply time with Viterbi under the trained piece distribution.
+  *
+  * This is the HARD-EM (Viterbi) variant of Kudo's trainer: the E-step
+  * uses the single best segmentation per word instead of lattice
+  * expectations, and pruning keeps the `vocabV` most-used pieces (plus
+  * all single characters, so segmentation is total). Hard EM keeps every
+  * intermediate an exact integer (piece counts are freq-weighted BIGINT
+  * sums), which is what makes the trainer ORACLE-ABLE: the only
+  * non-integer quantity anywhere is the Viterbi score itself, a product
+  * of piece probabilities p = cnt/total evaluated in IEEE doubles with an
+  * identical operand tree in both engines (division and multiplication
+  * are correctly rounded, so equality is exact — the bm25 discipline; no
+  * logs, no transcendentals). Ties break on (probability DESC, piece
+  * count ASC, later split point), a total order, so the chosen
+  * segmentation — and therefore every downstream count — is unique.
+  *
+  * Scale shape: the corpus is touched ONCE (the word-frequency pass,
+  * explode + grouped count with map-side partials, capped to the
+  * `maxWords` most frequent words via TakeOrderedAndProject — the BPE
+  * training-dictionary practice). Seeding, every EM round, and the final
+  * segmentation run entirely on the ≤ maxWords dictionary with a
+  * broadcast vocab map — corpus-independent, like the BPE merge rounds.
+  * The Viterbi DP is a per-word `aggregate` higher-order function
+  * (whole-stage-codegen'd, no UDF): O(len · maxLen) per word.
+  *
+  * Reference scope: the reference pipeline has no tokenizer trainer
+  * (`/root/reference/src/app/order_validator.py` is an order-validation
+  * stream); this is part of the driver-mandated LLM-data-pipeline layer.
+  */
+object Unigram {
+
+  /** Seed-candidate cap (most frequent substrings by occurrence-weighted
+    * count), post-EM vocabulary cap (single characters always survive on
+    * top), max piece length, EM rounds, and the training-dictionary cap.
+    */
+  val SeedV = 200
+  val VocabV = 60
+  val MaxLen = 6
+  val EmRounds = 2
+  val MaxWords = 20000
+
+  /** Trained unigram vocabulary: (piece, cnt) after `emRounds` of
+    * Viterbi-EM — `q_doc_unigram`. cnt is the exact freq-weighted usage
+    * count of the piece across the dictionary's best segmentations in
+    * the final round (single characters floored to 1 so the model stays
+    * total).
+    */
+  def unigramVocab(docs: DataFrame, seedV: Int = SeedV, vocabV: Int = VocabV,
+      maxLen: Int = MaxLen, emRounds: Int = EmRounds,
+      maxWords: Int = MaxWords): DataFrame =
+    train(docs, seedV, vocabV, maxLen, emRounds, maxWords)._1
+
+  /** The word-frequency training dictionary: ONE corpus pass, capped to
+    * the most frequent `maxWords` words ((freq DESC, word ASC) — the
+    * deterministic cut).
+    */
+  private def wfOf(docs: DataFrame, maxWords: Int): DataFrame =
+    docs.select(explode(tokens(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("word")).limit(maxWords)
+
+  /** The shared trainer: returns (final vocab (piece, cnt), dictionary
+    * (word, freq)) so vocab and encode run ONE loop.
+    */
+  private def train(docs: DataFrame, seedV: Int, vocabV: Int, maxLen: Int,
+      emRounds: Int, maxWords: Int): (DataFrame, DataFrame) = {
+    val wf = wfOf(docs, maxWords).localCheckpoint(false)
+    // the character inventory: kept in every vocabulary so Viterbi always
+    // has a path (the unigram-LM coverage guarantee)
+    val chars = wf.select(explode(split(col("word"), "")).as("piece"))
+      .distinct().localCheckpoint(false)
+    // seed counts: every substring occurrence of length 1..maxLen,
+    // freq-weighted (Kudo seeds from frequent substrings; exact counts
+    // here — the dictionary is bounded, no suffix-array needed)
+    val seedc = wf.select(col("freq"), explode(expr(
+        s"""flatten(transform(sequence(1, length(word)), s ->
+           |  transform(sequence(1, $maxLen), l ->
+           |    CASE WHEN s + l - 1 <= length(word)
+           |         THEN substring(word, s, l) ELSE NULL END)))""".stripMargin))
+        .as("piece"))
+      .filter(col("piece").isNotNull)
+      .groupBy(col("piece")).agg(sum(col("freq")).cast("long").as("cnt"))
+    var vocab = seedc.orderBy(col("cnt").desc, col("piece")).limit(seedV)
+      .unionByName(chars.join(seedc, "piece"))
+      .distinct().localCheckpoint(false)
+    (1 to emRounds).foreach { _ =>
+      val cnts = segment(wf, vocab, maxLen)
+        .select(col("freq"), explode(split(col("seg"), " ")).as("piece"))
+        .groupBy(col("piece")).agg(sum(col("freq")).cast("long").as("cnt"))
+      // prune: top vocabV by usage, plus every character (unused
+      // characters floored to count 1 — the Laplace survival floor)
+      vocab = cnts.orderBy(col("cnt").desc, col("piece")).limit(vocabV)
+        .unionByName(chars.join(cnts, Seq("piece"), "left")
+          .select(col("piece"),
+            greatest(coalesce(col("cnt"), lit(0L)), lit(1L)).as("cnt")))
+        .distinct().localCheckpoint(false)
+    }
+    (vocab, wf)
+  }
+
+  /** Viterbi-segment each dictionary word under the piece distribution
+    * p = cnt/total: adds `seg` (space-joined pieces) to (word, freq).
+    * The vocab map rides ONE broadcast row; the DP itself is the
+    * [[viterbiExpr]] higher-order function.
+    */
+  private def segment(words: DataFrame, vocab: DataFrame,
+      maxLen: Int): DataFrame = {
+    val tot = vocab.agg(sum(col("cnt")).cast("long").as("total"))
+    val vm = vocab.crossJoin(broadcast(tot))
+      .select(col("piece"),
+        (col("cnt").cast("double") / col("total").cast("double")).as("p"))
+      .agg(map_from_entries(collect_list(struct(col("piece"), col("p"))))
+        .as("vm"))
+    words.crossJoin(broadcast(vm))
+      .withColumn("seg", expr(viterbiExpr(maxLen)))
+      .drop("vm")
+  }
+
+  /** The Viterbi DP as a single `aggregate` HOF over `word` positions,
+    * reading the broadcast `vm` map column. best[j] = max over
+    * i ∈ [max(0, j−maxLen), j−1] of best[i]·p(word[i+1..j]); candidate
+    * beats incumbent iff (p >, or p = and pieces ≤ — later split point
+    * wins exact ties), a total order that pins ONE segmentation. The
+    * DuckDB mirror folds the identical operand tree (same products in
+    * the same DP order), so scores — and the chosen segmentation — are
+    * bit-identical across engines.
+    */
+  private def viterbiExpr(maxLen: Int): String =
+    s"""aggregate(
+       |  sequence(1, length(word)),
+       |  array(named_struct('p', CAST(1.0 AS DOUBLE), 'n', 0, 'seg', '')),
+       |  (acc, j) -> array_append(acc,
+       |    aggregate(
+       |      sequence(CASE WHEN j > $maxLen THEN j - $maxLen ELSE 0 END, j - 1),
+       |      named_struct('p', CAST(-1.0 AS DOUBLE), 'n', 0, 'seg', ''),
+       |      (b, i) -> CASE
+       |        WHEN try_element_at(vm, substring(word, i + 1, j - i)) IS NOT NULL
+       |         AND element_at(acc, i + 1).p >= CAST(0 AS DOUBLE)
+       |         AND (element_at(acc, i + 1).p * try_element_at(vm, substring(word, i + 1, j - i)) > b.p
+       |           OR (element_at(acc, i + 1).p * try_element_at(vm, substring(word, i + 1, j - i)) = b.p
+       |               AND element_at(acc, i + 1).n + 1 <= b.n))
+       |        THEN named_struct(
+       |          'p', element_at(acc, i + 1).p * try_element_at(vm, substring(word, i + 1, j - i)),
+       |          'n', element_at(acc, i + 1).n + 1,
+       |          'seg', CASE WHEN element_at(acc, i + 1).seg = ''
+       |                 THEN substring(word, i + 1, j - i)
+       |                 ELSE concat(element_at(acc, i + 1).seg, ' ', substring(word, i + 1, j - i)) END)
+       |        ELSE b END)),
+       |  acc -> element_at(acc, length(word) + 1).seg)""".stripMargin
+
+  /** Memoized trained-tokenizer artifact (word → piece count under the
+    * FINAL vocabulary) per (session, dir) — the [[TextAnalysis.bpeDictFor]]
+    * contract: trained once, served frozen to every consumer
+    * (reliable-checkpointed, the StageMemo tier-2 rule).
+    */
+  private val dictMemo = new graft.sources.StageMemo[DataFrame](8)
+
+  def unigramDictFor(docs: DataFrame, dir: String, seedV: Int = SeedV,
+      vocabV: Int = VocabV, maxLen: Int = MaxLen, emRounds: Int = EmRounds,
+      maxWords: Int = MaxWords): DataFrame =
+    dictMemo.getOrCompute(
+      graft.sources.Tables.dataKey(docs.sparkSession, dir,
+        s"unigramdict|$seedV|$vocabV|$maxLen|$emRounds|$maxWords"))(
+      graft.sources.StageMemo.reliableStage(
+        unigramDict(docs, seedV, vocabV, maxLen, emRounds, maxWords)))
+
+  /** Unmemoized dictionary: (word, n_sub) under the trained vocabulary. */
+  def unigramDict(docs: DataFrame, seedV: Int = SeedV, vocabV: Int = VocabV,
+      maxLen: Int = MaxLen, emRounds: Int = EmRounds,
+      maxWords: Int = MaxWords): DataFrame = {
+    val (vocab, wf) = train(docs, seedV, vocabV, maxLen, emRounds, maxWords)
+    segment(wf, vocab, maxLen)
+      .select(col("word"), size(split(col("seg"), " ")).as("n_sub"))
+  }
+
+  /** Drop the memoized dictionary (corpus-regeneration lifecycle). */
+  def clearMemos(): Unit = dictMemo.clear()
+
+  /** Unigram APPLY + fertility audit — `q_doc_unigram_encode`, the
+    * [[TextAnalysis.bpeSegment]] read-out under the unigram tokenizer:
+    * per doc, word count, piece count, fertility (pieces/word — the
+    * tokenizer-quality number, directly comparable against the BPE
+    * fertility on the same corpus). A word outside the `maxWords`
+    * training dictionary falls back to characters (length(word) pieces —
+    * the conservative total segmentation; no end-marker in the unigram
+    * model). One corpus token pass joined shuffle-hash to the ≤ maxWords
+    * dictionary; one per-doc grouped agg.
+    */
+  def unigramEncode(docs: DataFrame, dir: String = "", seedV: Int = SeedV,
+      vocabV: Int = VocabV, maxLen: Int = MaxLen, emRounds: Int = EmRounds,
+      maxWords: Int = MaxWords): DataFrame = {
+    val dict =
+      if (dir.isEmpty) unigramDict(docs, seedV, vocabV, maxLen, emRounds, maxWords)
+      else unigramDictFor(docs, dir, seedV, vocabV, maxLen, emRounds, maxWords)
+    docs.select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+      .join(dict.hint("shuffle_hash"), Seq("word"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(coalesce(col("n_sub"), length(col("word"))))
+          .cast("long").as("n_subwords"))
+      .select(col("doc_id"), col("n_words"), col("n_subwords"),
+        (col("n_subwords").cast("double") / col("n_words").cast("double"))
+          .as("fertility"))
+  }
+
+  // ---- DuckDB oracle mirrors ---------------------------------------------
+
+  /** The trained chain as CTEs (wf, chars, v1, per-round dp<r>/cnt<r>/
+    * v<r+1>), shared by the vocab and encode oracles. The Viterbi DP is
+    * a recursive CTE advancing one word position per step, carrying the
+    * best-path table as a list — the same products in the same DP order
+    * as [[viterbiExpr]], so scores are bit-identical. Callers must
+    * prepend WITH RECURSIVE.
+    */
+  def unigramCtes(seedV: Int = SeedV, vocabV: Int = VocabV,
+      maxLen: Int = MaxLen, emRounds: Int = EmRounds,
+      maxWords: Int = MaxWords, src: String = "documents"): String = {
+    // one Viterbi recursive CTE + count + prune per EM round; round
+    // emRounds+1 is the final segmentation the dictionary reads
+    def dpRound(r: Int): String =
+      s"""t$r AS MATERIALIZED (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM v$r),
+         |vm$r AS MATERIALIZED (SELECT MAP(list(piece ORDER BY piece),
+         |    list(CAST(cnt AS DOUBLE) / CAST((SELECT total FROM t$r) AS DOUBLE)
+         |         ORDER BY piece)) AS m FROM v$r),
+         |dp$r AS (
+         |  SELECT word, freq, 0 AS j,
+         |    [{'p': CAST(1.0 AS DOUBLE), 'n': 0, 'seg': ''}] AS acc
+         |  FROM wf
+         |  UNION ALL
+         |  SELECT word, freq, j + 1,
+         |    list_append(acc, list_reduce(
+         |      list_prepend({'p': CAST(-1.0 AS DOUBLE), 'n': 0, 'seg': ''},
+         |        list_transform(range(CASE WHEN j + 1 > $maxLen THEN j + 1 - $maxLen ELSE 0 END, j + 1),
+         |          i -> CASE WHEN m[substring(word, i + 1, j + 1 - i)][1] IS NOT NULL
+         |                     AND acc[i + 1].p >= CAST(0 AS DOUBLE)
+         |               THEN {'p': acc[i + 1].p * m[substring(word, i + 1, j + 1 - i)][1],
+         |                     'n': acc[i + 1].n + 1,
+         |                     'seg': CASE WHEN acc[i + 1].seg = ''
+         |                            THEN substring(word, i + 1, j + 1 - i)
+         |                            ELSE acc[i + 1].seg || ' ' || substring(word, i + 1, j + 1 - i) END}
+         |               ELSE NULL END)),
+         |      (b, c) -> CASE WHEN c IS NOT NULL
+         |                      AND (c.p > b.p OR (c.p = b.p AND c.n <= b.n))
+         |                 THEN c ELSE b END)) AS acc
+         |  FROM dp$r, vm$r WHERE j < length(word)),
+         |seg$r AS MATERIALIZED (SELECT word, freq, acc[length(word) + 1].seg AS seg
+         |  FROM dp$r WHERE j = length(word))""".stripMargin
+    def cntRound(r: Int): String =
+      s"""cnt$r AS MATERIALIZED (
+         |  SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+         |    SELECT freq, unnest(string_split(seg, ' ')) AS piece FROM seg$r) t
+         |  GROUP BY piece),
+         |v${r + 1} AS MATERIALIZED (
+         |  -- top-level UNION inside a WITH RECURSIVE list is parsed as
+         |  -- anchor/recursive-term by DuckDB (no cross-leg dedup) — keep
+         |  -- the set-union inside a subquery
+         |  SELECT DISTINCT piece, cnt FROM (
+         |    SELECT piece, cnt FROM (
+         |      SELECT piece, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, piece) AS rk
+         |      FROM cnt$r) t WHERE rk <= $vocabV
+         |    UNION ALL
+         |    SELECT c.piece, GREATEST(COALESCE(n.cnt, CAST(0 AS BIGINT)), CAST(1 AS BIGINT)) AS cnt
+         |    FROM chars c LEFT JOIN cnt$r n USING (piece)) u)""".stripMargin
+    val rounds = (1 to emRounds)
+      .map(r => dpRound(r) + ",\n" + cntRound(r)).mkString(",\n")
+    s"""wf AS MATERIALIZED (
+       |  SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest(${Dedup.toksSql}) AS w FROM $src) t
+       |  GROUP BY w ORDER BY freq DESC, w LIMIT $maxWords),
+       |chars AS MATERIALIZED (SELECT DISTINCT unnest(string_split(word, '')) AS piece FROM wf),
+       |seedc AS MATERIALIZED (
+       |  SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+       |    SELECT freq, unnest(flatten(list_transform(range(1, length(word) + 1),
+       |      s -> list_transform(range(1, ${maxLen + 1}),
+       |        l -> CASE WHEN s + l - 1 <= length(word)
+       |             THEN substring(word, s, l) ELSE NULL END)))) AS piece
+       |    FROM wf) t
+       |  WHERE piece IS NOT NULL
+       |  GROUP BY piece),
+       |v1 AS MATERIALIZED (
+       |  SELECT DISTINCT piece, cnt FROM (
+       |    SELECT piece, cnt FROM (
+       |      SELECT piece, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, piece) AS rk
+       |      FROM seedc) t WHERE rk <= $seedV
+       |    UNION ALL
+       |    SELECT c.piece, s.cnt FROM chars c JOIN seedc s USING (piece)) u),
+       |$rounds,
+       |${dpRound(emRounds + 1)}""".stripMargin
+  }
+
+  /** DuckDB mirror of [[unigramVocab]]: the final post-EM vocabulary. */
+  def unigramVocabSql(seedV: Int = SeedV, vocabV: Int = VocabV,
+      maxLen: Int = MaxLen, emRounds: Int = EmRounds,
+      maxWords: Int = MaxWords, src: String = "documents"): String =
+    s"""WITH RECURSIVE ${unigramCtes(seedV, vocabV, maxLen, emRounds, maxWords, src)}
+       |SELECT piece, cnt FROM v${emRounds + 1}""".stripMargin
+
+  /** DuckDB mirror of [[unigramEncode]] over the shared trained chain. */
+  def unigramEncodeSql(seedV: Int = SeedV, vocabV: Int = VocabV,
+      maxLen: Int = MaxLen, emRounds: Int = EmRounds,
+      maxWords: Int = MaxWords, src: String = "documents"): String =
+    s"""WITH RECURSIVE ${unigramCtes(seedV, vocabV, maxLen, emRounds, maxWords, src)},
+       |dict AS (SELECT word, CAST(len(string_split(seg, ' ')) AS INT) AS n_sub
+       |  FROM seg${emRounds + 1}),
+       |ftk AS (
+       |  SELECT doc_id, unnest(toks) AS word
+       |  FROM (SELECT doc_id, ${Dedup.toksSql} AS toks FROM $src) t)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |  CAST(SUM(COALESCE(n_sub, length(word))) AS BIGINT) AS n_subwords,
+       |  CAST(SUM(COALESCE(n_sub, length(word))) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE) AS fertility
+       |FROM ftk LEFT JOIN dict USING (word)
+       |GROUP BY doc_id""".stripMargin
+}

@@ -976,6 +976,19 @@ object SparkEntry {
     // Product-quantization ANN: m-byte codes + ADC table lookups — the
     // vector-COMPRESSION scale path (IVF shards, PQ shrinks).
     "q_emb_pq" -> { (s, dir) => Similarity.knnPq(Tables.embeddings(s, dir)) },
+    // OPQ (Ge'13): the 1-PC Householder rotation (the memoized
+    // power-iteration fit the ablation family serves) aligns the dominant
+    // correlated direction with subspace 0, then the SAME PQ chain at the
+    // same byte budget — rotation is a narrow literal-array map, zero
+    // extra shuffles.
+    "q_emb_opq" -> { (s, dir) =>
+      Similarity.knnOpq(Tables.embeddings(s, dir), dir)
+    },
+    // The equal-bytes bake-off: recall@5 of raw PQ vs OPQ against the
+    // exact L2 truth (brute audit twin — the q_emb_knn cost class).
+    "q_emb_opqrecall" -> { (s, dir) =>
+      Similarity.opqRecall(Tables.embeddings(s, dir), dir)
+    },
 
     // IVF-PQ: cells bound WHERE to search, codes bound candidate COST —
     // the billion-scale index layout (composition of q_emb_ivf + q_emb_pq).
@@ -3441,6 +3454,8 @@ object SparkEntry {
          |  SELECT qid, vec_id, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc, vec_id) AS rn
          |  FROM pairs) t
          |WHERE rn <= 3""".stripMargin,
+    "q_emb_opq" -> Similarity.knnOpqSql(),
+    "q_emb_opqrecall" -> Similarity.opqRecallSql(),
     "q_emb_ivfpqr" -> Similarity.ivfPqResidualSql(),
     "q_emb_fivfpqr" ->
       Similarity.ivfPqResidualSql(nprobe = 4, storeWhere = "vec_id % 4 = 1"),

@@ -1484,6 +1484,94 @@ object Similarity {
       .select(col("qid"), col("pos").cast("long").as("rank"), col("col").as("vec_id"))
   }
 
+  // ---- OPQ: rotated product quantization (Ge et al., CVPR'13) ------------
+
+  /** The corpus under the 1-PC decorrelating rotation — the OPQ idea
+    * (Ge'13 "Optimized Product Quantization": rotate so the subspace
+    * decomposition stops cutting across correlated directions) at its
+    * cheapest honest instantiation: a Householder reflection H = I − 2uuᵀ
+    * with u ∝ (w − e₁) maps the dominant principal direction w (the
+    * memoized [[powerIterationMemo]] fit — the SAME artifact the
+    * ablation family serves) onto coordinate axis 1, so the top
+    * correlated direction lands wholly inside subspace 0 instead of
+    * smearing variance across all m subspaces. H is orthogonal
+    * (distances exactly preserved); when w = e₁ already, the rotation is
+    * the identity. A pure narrow map over literal arrays — zero
+    * shuffles, codegen-friendly; the fit is a bounded driver-side array.
+    *
+    * Exactness: u is derived from w with the same fold order in both
+    * engines (subtract 1 at dim 0, sum of squares from 0.0 ascending,
+    * one sqrt, one division per element), and the rotated coordinate is
+    * emb[d] − 2·⟨emb,u⟩·u[d] with ⟨,⟩ the house sequential-fold dot —
+    * correctly-rounded IEEE ops only, so rotated values are
+    * bit-identical across engines.
+    */
+  private[graft] def rotatedCorpus(e: DataFrame, dir: String,
+      dims: Int = 64): DataFrame =
+    (if (dir.isEmpty) powerIterationFit(e, dims)
+     else powerIterationMemo(e, dir, dims)) match {
+      case None => e // empty corpus: nothing to rotate
+      case Some((_, w, _)) =>
+        val u0 = w.clone(); u0(0) -= 1.0
+        var sq = 0.0
+        var d = 0
+        while (d < dims) { sq += u0(d) * u0(d); d += 1 }
+        if (sq == 0.0) e // PC1 already axis-aligned: H = I
+        else {
+          val nrm = math.sqrt(sq)
+          val u = u0.map(_ / nrm)
+          val uCol = array(u.map(lit(_)): _*)
+          withEmb(e)
+            .withColumn("pj", dot(col("emb"), uCol))
+            .select(col("vec_id"), col("label"),
+              transform(sequence(lit(0), lit(dims - 1)), dd =>
+                element_at(col("emb"), dd + 1) -
+                  lit(2.0d) * col("pj") * element_at(uCol, dd + 1))
+                .as("embedding"))
+        }
+    }
+
+  /** OPQ ANN — [[knnPq]] over the rotated corpus: identical byte budget
+    * (m codes from the same label-count codebook), identical ADC scan;
+    * only the subspace decomposition changed. `q_emb_opq`. The recall
+    * read-out at equal bytes vs the unrotated variant is [[opqRecall]].
+    */
+  def knnOpq(e: DataFrame, dir: String, queryMod: Int = 50, k: Int = 5,
+      m: Int = PqSubspaces): DataFrame =
+    knnPq(rotatedCorpus(e, dir), queryMod, k, m)
+
+  /** Recall@k of PQ vs OPQ against the exact L2 truth — the equal-bytes
+    * bake-off row (`q_emb_opqrecall`): (variant, n_hit, n_truth, recall)
+    * for variant ∈ {pq, opq}. Truth is the brute exact top-k (squared-L2
+    * ASC, vec_id tie-break) over the same query subset — the
+    * constant-capped audit-twin pattern (the q_emb_knn class: the brute
+    * join IS the point of the audit; production search rides the
+    * indexed variants).
+    */
+  def opqRecall(e: DataFrame, dir: String, queryMod: Int = 50,
+      k: Int = 5, m: Int = PqSubspaces): DataFrame = {
+    val base = withEmb(e).select(col("vec_id"), col("emb"))
+    val q = base.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("qid"), col("emb").as("qemb"))
+    val truth = base.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("d2", l2sq(col("emb"), col("qemb")))
+      .groupBy(col("qid"))
+      .agg(graft.expressions.TopKAgg.top_k_ids(-col("d2"), col("vec_id"), k).as("ids"))
+      .select(col("qid"), explode(col("ids")).as("vec_id"))
+      .localCheckpoint(false)
+    val tt = truth.agg(count(lit(1)).as("n_truth"))
+    def row(ann: DataFrame, v: String): DataFrame =
+      ann.join(truth, Seq("qid", "vec_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hit"))
+        .crossJoin(tt)
+        .select(lit(v).as("variant"), col("n_hit"), col("n_truth"),
+          (col("n_hit").cast("double") / col("n_truth").cast("double"))
+            .as("recall"))
+    row(knnPq(e, queryMod, k, m), "pq")
+      .unionByName(row(knnOpq(e, dir, queryMod, k, m), "opq"))
+  }
+
   // ---- Residual-encoded IVF-PQ (FAISS IndexIVFPQ's actual layout) --------
 
   /** Codes per subspace in the residual codebook — matched to the label
@@ -3866,6 +3954,121 @@ object Similarity {
     */
   def l2sqSql(a: String, b: String): String =
     s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(list_zip($a, $b), p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))), (x, y) -> x + y)"
+
+  /** The q_emb_pq ADC chain over an arbitrary (vec_id, label,
+    * emb DOUBLE[]) base CTE, every CTE name prefixed with `p` so two
+    * chains (raw + rotated) can coexist in one oracle. Ends at
+    * `${p}res` = (qid, vec_id, rn ≤ k). Op-for-op the q_emb_pq mirror:
+    * label-centroid codebook over 8-dim slices, squared-L2 code argmin
+    * (ties → smaller li), per-query flattened distance tables, ADC as
+    * the same left fold.
+    */
+  def pqChainCtesOver(p: String, base: String, k: Int = 5,
+      queryMod: Int = 50): String =
+    s"""${p}lab AS MATERIALIZED (
+       |  SELECT label, CAST(ROW_NUMBER() OVER (ORDER BY label) AS INT) - 1 AS li
+       |  FROM (SELECT DISTINCT label FROM $base)),
+       |${p}cen AS MATERIALIZED (
+       |  SELECT label, dim,
+       |    CAST(SUM(CAST(ROUND(CAST(v AS DOUBLE) * 16777216.0) AS BIGINT)) AS DOUBLE)
+       |      / (CAST(COUNT(*) AS DOUBLE) * 16777216.0) AS centroid
+       |  FROM (SELECT label, unnest(emb) AS v,
+       |          CAST(generate_subscripts(emb, 1) - 1 AS BIGINT) AS dim
+       |        FROM $base) t
+       |  GROUP BY label, dim),
+       |${p}cb AS MATERIALIZED (
+       |  SELECT li, CAST(dim // 8 AS INT) AS s, list(centroid ORDER BY dim) AS cvec
+       |  FROM ${p}cen JOIN ${p}lab USING (label) GROUP BY li, CAST(dim // 8 AS INT)),
+       |${p}sv AS MATERIALIZED (
+       |  SELECT vec_id, s, emb[s*8+1 : s*8+8] AS subvec
+       |  FROM $base, (SELECT unnest(range(0, 8)) AS s)),
+       |${p}enc0 AS (
+       |  SELECT vec_id, s, li,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id, s
+       |      ORDER BY ${l2sqSql("subvec", "cvec")}, li) AS rn
+       |  FROM ${p}sv JOIN ${p}cb USING (s)),
+       |${p}enc AS MATERIALIZED (
+       |  SELECT vec_id, list(li ORDER BY s) AS codes FROM ${p}enc0 WHERE rn = 1 GROUP BY vec_id),
+       |${p}qd0 AS (
+       |  SELECT vec_id AS qid, s, li, ${l2sqSql("subvec", "cvec")} AS d2
+       |  FROM ${p}sv JOIN ${p}cb USING (s) WHERE vec_id % $queryMod = 0),
+       |${p}qdt AS MATERIALIZED (
+       |  SELECT qid, list(d2 ORDER BY s, li) AS qd FROM ${p}qd0 GROUP BY qid),
+       |${p}pairs AS (
+       |  SELECT qid, vec_id,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(range(0, 8), s -> qd[s * (len(qd)//8) + codes[s+1] + 1])),
+       |      (x, y) -> x + y) AS adc
+       |  FROM ${p}enc, ${p}qdt WHERE vec_id <> qid),
+       |${p}res AS MATERIALIZED (
+       |  SELECT qid, vec_id, rn FROM (
+       |    SELECT qid, vec_id, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc, vec_id) AS rn
+       |    FROM ${p}pairs) t
+       |  WHERE rn <= $k)""".stripMargin
+
+  /** The [[rotatedCorpus]] mirror: Householder u from the
+    * [[powerIterationCtes]] fit (subtract 1 at dim 0, normalize by the
+    * same 0.0-seeded ascending square fold), rotated base
+    * `rbase` = (vec_id, label, emb). u is NULL — rotation = identity —
+    * when PC1 is exactly axis-aligned, mirroring the Scala sq == 0 guard.
+    */
+  def opqRotatedCtes(dims: Int = 64, iters: Int = 4): String = {
+    def foldSq(l: String) =
+      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform($l, v -> v * v)), (a, b) -> a + b)"
+    s"""${powerIterationCtes(dims, iters)},
+       |pu0 AS MATERIALIZED (
+       |  SELECT list_transform(range(0, $dims), d ->
+       |    w[d+1] - CASE WHEN d = 0 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END) AS u0
+       |  FROM pw$iters),
+       |pusq AS MATERIALIZED (SELECT u0, ${foldSq("u0")} AS sq FROM pu0),
+       |pu AS MATERIALIZED (
+       |  SELECT CASE WHEN sq = CAST(0 AS DOUBLE) THEN NULL
+       |              ELSE list_transform(u0, v -> v / sqrt(sq)) END AS u
+       |  FROM pusq),
+       |rb0 AS MATERIALIZED (
+       |  SELECT b.vec_id, ee.label, b.emb
+       |  FROM pbase b JOIN embeddings ee USING (vec_id)),
+       |rbase AS MATERIALIZED (
+       |  SELECT vec_id, label,
+       |    CASE WHEN u IS NULL THEN emb
+       |         ELSE list_transform(range(0, $dims), d ->
+       |           emb[d+1] - CAST(2.0 AS DOUBLE) * pj * u[d+1]) END AS emb
+       |  FROM (SELECT vec_id, label, emb, u,
+       |          CASE WHEN u IS NULL THEN CAST(0.0 AS DOUBLE)
+       |               ELSE ${dotSql("emb", "u")} END AS pj
+       |        FROM rb0 CROSS JOIN pu) t)""".stripMargin
+  }
+
+  /** DuckDB mirror of [[knnOpq]]. */
+  def knnOpqSql(k: Int = 5, queryMod: Int = 50): String =
+    s"""WITH ${opqRotatedCtes()},
+       |${pqChainCtesOver("o", "rbase", k, queryMod)}
+       |SELECT qid, CAST(rn - 1 AS BIGINT) AS rank, vec_id FROM ores""".stripMargin
+
+  /** DuckDB mirror of [[opqRecall]]: both chains + the exact L2 truth. */
+  def opqRecallSql(k: Int = 5, queryMod: Int = 50): String =
+    s"""WITH ${opqRotatedCtes()},
+       |${pqChainCtesOver("o", "rbase", k, queryMod)},
+       |pqb AS MATERIALIZED (SELECT vec_id, label, emb FROM rb0),
+       |${pqChainCtesOver("p", "pqb", k, queryMod)},
+       |tq AS (SELECT vec_id AS qid, emb AS qemb FROM pqb WHERE vec_id % $queryMod = 0),
+       |truth AS MATERIALIZED (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT q.qid, b.vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q.qid
+       |        ORDER BY ${l2sqSql("b.emb", "q.qemb")}, b.vec_id) AS rn
+       |    FROM pqb b CROSS JOIN tq q WHERE b.vec_id <> q.qid) t
+       |  WHERE rn <= $k),
+       |tt AS (SELECT COUNT(*) AS n_truth FROM truth),
+       |hp AS (SELECT COUNT(*) AS n_hit FROM pres SEMI JOIN truth USING (qid, vec_id)),
+       |ho AS (SELECT COUNT(*) AS n_hit FROM ores SEMI JOIN truth USING (qid, vec_id))
+       |SELECT 'pq' AS variant, n_hit, n_truth,
+       |  CAST(n_hit AS DOUBLE) / CAST(n_truth AS DOUBLE) AS recall
+       |FROM hp CROSS JOIN tt
+       |UNION ALL
+       |SELECT 'opq', n_hit, n_truth,
+       |  CAST(n_hit AS DOUBLE) / CAST(n_truth AS DOUBLE)
+       |FROM ho CROSS JOIN tt""".stripMargin
 
   /** Known-item retrieval audit (MRR@k): for every planted original in
     * [[embCorpus]] (vec_id % 25 == 0, whose ×1.5-scaled copy lives at

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+
+/** OPQ (Ge'13, 1-PC Householder instantiation): the rotation is a real
+  * isometry (pairwise distances preserved), degenerates to the identity
+  * when PC1 is already axis-aligned, and the equal-bytes recall bake-off
+  * row holds on the spec corpus.
+  */
+class OpqSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("the Householder rotation preserves pairwise L2 distances") {
+    val e = graft.sources.Tables.embeddings(spark, Sf)
+    val rot = Similarity.rotatedCorpus(e, Sf)
+    val raw = e.select($"vec_id", $"embedding".cast("array<double>").as("a"))
+    val rr = rot.select($"vec_id", $"embedding".cast("array<double>").as("b"))
+    // distances between consecutive ids, raw vs rotated
+    val d = raw.join(rr, "vec_id")
+      .join(raw.select(($"vec_id" - 1).as("vec_id"), $"a".as("a2"))
+        .join(rr.select(($"vec_id" - 1).as("vec_id"), $"b".as("b2")), "vec_id"),
+        "vec_id")
+      .select(graft.functions.VectorFunctions.l2sq($"a", $"a2").as("dr"),
+        graft.functions.VectorFunctions.l2sq($"b", $"b2").as("db"))
+      .collect()
+    assert(d.length > 100)
+    d.foreach { r =>
+      val (dr, db) = (r.getDouble(0), r.getDouble(1))
+      assert(math.abs(dr - db) <= 1e-9 * math.max(dr, 1.0),
+        s"rotation broke a distance: $dr vs $db")
+    }
+  }
+
+  test("axis-aligned PC1 degenerates to the identity rotation") {
+    // variance only on dim 0 → the centered matvec is exactly
+    // proportional to e1 at every iteration → w = e1 exactly → sq = 0
+    val dims = 64
+    val e = (0 until 40).map { i =>
+      (i.toLong, Array.tabulate(dims)(d => if (d == 0) i.toFloat else 0.5f), i % 4)
+    }.toDF("vec_id", "embedding", "label")
+    val rot = Similarity.rotatedCorpus(e, dir = "")
+    assert(rot eq e, "identity case must return the input frame untouched")
+  }
+
+  test("recall row: OPQ >= raw PQ at equal bytes on the spec corpus") {
+    val got = Similarity.opqRecall(graft.sources.Tables.embeddings(spark, Sf), Sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got.keySet === Set("pq", "opq"))
+    val (pqHit, pqTruth, pqRec) = got("pq")
+    val (opqHit, opqTruth, opqRec) = got("opq")
+    assert(pqTruth == opqTruth && pqTruth > 0)
+    assert(pqHit > 0 && opqHit > 0, "both variants must find something")
+    assert(opqRec >= pqRec,
+      s"1-PC rotation lost recall on the spec corpus: opq $opqRec < pq $pqRec")
+    assert(pqRec == pqHit.toDouble / pqTruth)
+  }
+
+  test("knnOpq output contract matches knnPq (same shape, same k per query)") {
+    val e = graft.sources.Tables.embeddings(spark, Sf)
+    val opq = Similarity.knnOpq(e, Sf)
+    assert(opq.columns.toSeq === Seq("qid", "rank", "vec_id"))
+    val perQ = opq.groupBy($"qid").count().select($"count").distinct()
+      .as[Long].collect().toSet
+    assert(perQ === Set(5L), s"every query must return k=5 rows: $perQ")
+    // self never returned
+    assert(opq.filter($"qid" === $"vec_id").count() == 0)
+  }
+}

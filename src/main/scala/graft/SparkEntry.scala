@@ -1845,6 +1845,16 @@ object SparkEntry {
     "q_doc_langclf" -> { (s, dir) =>
       Classifier.langConfusion(Tables.documents(s, dir), dir)
     },
+    // The fastText-recipe twin: hashed CHAR-TRIGRAM features through the
+    // same fused HashedTf pass and the identical one-vs-rest loop —
+    // subword units classify words never seen in training (the OOV
+    // property ClassifierSpec pins); the synthetic corpus's shared
+    // vocabulary majority-collapses BOTH students by construction
+    // (measured linear ceiling 0.46 vs 0.436 majority — a data property,
+    // documented in Classifier.langFeaturesNgram).
+    "q_doc_langclf3" -> { (s, dir) =>
+      Classifier.langConfusionNgram(Tables.documents(s, dir), dir)
+    },
 
     // Exact heavy hitters with bounded per-partition state: Misra–Gries
     // candidates (narrow, no shuffle; pigeonhole superset guarantee) →
@@ -4875,6 +4885,7 @@ object SparkEntry {
     "q_doc_qclf_cal" -> Classifier.calibrationSql(),
     "q_doc_qclf_conf" -> Classifier.conformalGateSql(),
     "q_doc_langclf" -> Classifier.langClfSql(),
+    "q_doc_langclf3" -> Classifier.langClfSql(trigram = true),
     "q_doc_qclf_bysrc" -> Classifier.scoreBySourceSql(),
     "q_doc_bpe_encode" -> TextAnalysis.bpeSegmentSql(),
     "q_doc_unigram" -> Unigram.unigramVocabSql(),

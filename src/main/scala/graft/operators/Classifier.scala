@@ -777,26 +777,96 @@ object Classifier {
     * broadcast literals.
     */
   def langConfusion(docs: DataFrame, dir: String,
-      langs: Seq[String] = Langs): DataFrame = {
-    val wq = langFitMemo(docs, dir, langs)
+      langs: Seq[String] = Langs): DataFrame =
+    langScore(langFeaturesMemo(docs, dir), langFitMemo(docs, dir, langs), langs)
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+
+  /** Score a feature frame under frozen one-vs-rest weights: adds
+    * `pred_lang` = argmax class (z ties break to the FIRST class in
+    * slot order — `array_position` returns the first occurrence). One
+    * narrow pass; the weights ride as broadcast literals. Shared by
+    * both confusion read-outs and the held-out scoring specs.
+    */
+  def langScore(feat: DataFrame, wq: Array[Long],
+      langs: Seq[String]): DataFrame = {
     val zCols = langs.indices.map { c =>
       val wCol = array((0 until Dims).map(j => lit(wq(c * Dims + j) / Q)): _*)
       VectorFunctions.dot(wCol, col("x"))
     }
-    langFeaturesMemo(docs, dir)
+    feat
       .withColumn("zs", array(zCols: _*))
       .withColumn("pi", expr("array_position(zs, array_max(zs))"))
       .withColumn("pred_lang",
         element_at(array(langs.map(lit): _*), col("pi").cast("int")))
+  }
+
+  /** Char-trigram spelling of a token array (the fastText featurization,
+    * Joulin'16/Bojanowski'17): per word, its character 3-grams (a word
+    * shorter than 3 chars contributes itself), flattened across the doc.
+    * The lang signal real languages carry lives at the character level —
+    * subword units generalize to words never seen in training, which
+    * hashed WORD buckets structurally cannot (an unseen word lands in an
+    * arbitrary bucket; its trigrams land in the buckets its language
+    * trained) — the OOV-generalization property ClassifierSpec pins.
+    */
+  private[graft] def trigramsOf(toks: Column): Column =
+    flatten(transform(toks, w =>
+      transform(sequence(lit(0), greatest(length(w) - 3, lit(0))), i =>
+        w.substr(i + 1, lit(3)))))
+
+  /** Language-ID features over hashed char-trigrams — [[langFeatures]]
+    * with the fastText featurization through the SAME fused
+    * [[graft.expressions.HashedTf]] narrow pass (the trigram expansion
+    * composes inside the expression tree; still zero shuffles).
+    *
+    * Honesty note (measured, sf0.01): the synthetic corpus draws every
+    * lang from ONE shared word vocabulary with mildly different
+    * frequencies, so NO linear student separates it — a 400-round full
+    * softmax ceiling probe reads 0.462 (words) / 0.450 (trigrams) vs
+    * 0.436 majority, and multinomial NB reads 0.470 / 0.402. The
+    * majority-collapse q_doc_langclf shows is a property of the DATA;
+    * the trigram student's real advantage — classifying unseen words by
+    * their character patterns — is pinned on the OOV corpus in
+    * ClassifierSpec.
+    */
+  def langFeaturesNgram(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("lang"), TextFunctions.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), col("lang"),
+        graft.expressions.HashedTf.hashed_tf(trigramsOf(col("toks")),
+          NumBuckets, FeatScale).as("x"))
+
+  def langFeaturesNgramMemo(docs: DataFrame, dir: String): DataFrame =
+    featMemo.getOrCompute(
+      graft.sources.Tables.dataKey(docs.sparkSession, dir,
+        s"langclf3|$FeatScale"))(
+      graft.sources.StageMemo.reliableStage(langFeaturesNgram(docs)))
+
+  def langFitNgramMemo(docs: DataFrame, dir: String,
+      langs: Seq[String] = Langs): Array[Long] =
+    wMemo.getOrCompute(
+      graft.sources.Tables.dataKey(docs.sparkSession, dir,
+        s"langclf3_w|$FeatScale|$Iters|$Lr|${langs.mkString(",")}"))(
+      fitLangQuantized(langFeaturesNgramMemo(docs, dir), langs = langs))
+
+  /** [[langConfusion]] under the trigram featurization — `q_doc_langclf3`,
+    * the fastText-recipe twin trained through the identical one-vs-rest
+    * quantized loop.
+    */
+  def langConfusionNgram(docs: DataFrame, dir: String,
+      langs: Seq[String] = Langs): DataFrame =
+    langScore(langFeaturesNgramMemo(docs, dir),
+        langFitNgramMemo(docs, dir, langs), langs)
       .groupBy(col("lang"), col("pred_lang"))
       .agg(count(lit(1)).as("n_docs"))
-  }
 
   /** DuckDB mirror of [[langConfusion]] — the full training chain
     * unrolled in MATERIALIZED CTEs like [[fitSqlCtes]], with all C
     * classes folded per round exactly as the engine batches them.
     */
-  def langClfSql(iters: Int = Iters): String = {
+  def langClfSql(iters: Int = Iters, trigram: Boolean = false): String = {
     val langsList = Langs.map(l => s"'$l'").mkString("[", ", ", "]")
     val W = LangC * Dims
     val w0 =
@@ -826,9 +896,21 @@ object Classifier {
          |              ORDER BY j) AS wq
          |  FROM lg$i CROSS JOIN lw${i - 1})""".stripMargin
     }.mkString(",\n")
-    s"""WITH lctok AS (
-       |  SELECT doc_id, unnest(toks) AS w
-       |  FROM (SELECT doc_id, ${graft.operators.Dedup.toksSql} AS toks FROM documents) t),
+    // the trigram spelling expands each word into its char 3-grams
+    // (short words contribute themselves) — mirrors [[trigramsOf]]
+    val tokCte = if (trigram)
+      s"""lctok AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(range(0, greatest(length(w) - 2, 1)),
+         |      i -> substring(w, i + 1, 3))) AS w
+         |  FROM (SELECT doc_id, unnest(toks) AS w
+         |        FROM (SELECT doc_id, ${graft.operators.Dedup.toksSql} AS toks
+         |              FROM documents) t0) t)""".stripMargin
+    else
+      s"""lctok AS (
+         |  SELECT doc_id, unnest(toks) AS w
+         |  FROM (SELECT doc_id, ${graft.operators.Dedup.toksSql} AS toks FROM documents) t)""".stripMargin
+    s"""WITH $tokCte,
        |lctb AS (SELECT doc_id, (${graft.operators.Dedup.hashSql("w")}) % $NumBuckets AS b FROM lctok),
        |lccnt AS (SELECT doc_id, b, COUNT(*) AS c FROM lctb GROUP BY 1, 2),
        |lcn AS (SELECT doc_id, COUNT(*) AS n FROM lctb GROUP BY 1),

@@ -328,6 +328,45 @@ class ClassifierSpec extends SparkSpec {
     assert(conf.length === vocab.size)
   }
 
+  test("char-trigram student generalizes to UNSEEN words; the word-hash student cannot") {
+    // the fastText property: language lives at the character level. Two
+    // langs with disjoint character alphabets; the student trains on one
+    // word set and scores docs made ONLY of words never seen in training
+    // (same alphabets). Trigram features map unseen words onto the
+    // trigram buckets their language trained; hashed WORD features land
+    // them in arbitrary buckets.
+    val langs = Seq("aa", "bb")
+    val train = (for (i <- 0 until 12) yield {
+      val aw = Seq("ababa", "babab", "aabba", "bbaab")
+      val bw = Seq("xyxyx", "yxyxy", "xxyyx", "yyxxy")
+      Seq((100L + i, (0 until 5).map(j => aw((i + j) % aw.size)).mkString(" "), "aa"),
+        (200L + i, (0 until 5).map(j => bw((i + j) % bw.size)).mkString(" "), "bb"))
+    }).flatten.toDF("doc_id", "text", "lang")
+    // unseen words, same alphabets (no whole-word overlap with training)
+    val test = Seq(
+      (900L, "abab baba ababab", "aa"),
+      (901L, "aabab abbaa babba", "aa"),
+      (910L, "xyxy yxyx xyxyxy", "bb"),
+      (911L, "xxyxy xyyxx yxxyy", "bb")).toDF("doc_id", "text", "lang")
+    val w3 = Classifier.fitLangQuantized(Classifier.langFeaturesNgram(train), langs = langs)
+    val got3 = Classifier.langScore(Classifier.langFeaturesNgram(test), w3, langs)
+      .select(col("doc_id"), col("lang"), col("pred_lang"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    got3.foreach { case (id, l, p) =>
+      assert(l === p, s"trigram student failed on unseen-word doc $id: $got3") }
+    // the word-hash student has no path to these docs' buckets
+    val ww = Classifier.fitLangQuantized(Classifier.langFeatures(train), langs = langs)
+    val gotW = Classifier.langScore(Classifier.langFeatures(test), ww, langs)
+      .select(col("lang"), col("pred_lang"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(gotW.exists { case (l, p) => l != p },
+      s"word-hash student should not classify every unseen word (hash luck changed?): ${gotW.toSeq}")
+    // and in-vocabulary both students stay perfect (sanity)
+    val inv = Classifier.langScore(Classifier.langFeaturesNgram(train), w3, langs)
+      .filter(col("lang") =!= col("pred_lang")).count()
+    assert(inv == 0, "trigram student must fit its separable training set")
+  }
+
   test("lang class set is a parameter: topLangs derivation + a corpus beyond the default five") {
     // topLangs: top-C by doc count, ties → lang asc, output SORTED
     val d = Seq(

@@ -1923,6 +1923,13 @@ object SparkEntry {
     "q_doc_unigram_encode" -> { (s, dir) =>
       Unigram.unigramEncode(Tables.documents(s, dir), dir = dir)
     },
+    // Per-lang tokenizer-equity table under the unigram vocabulary —
+    // column-for-column comparable with q_doc_fertlang (BPE), the
+    // tokenizer-family bake-off a multilingual pipeline reads before
+    // picking its vocab.
+    "q_doc_unigram_fertlang" -> { (s, dir) =>
+      Unigram.unigramFertilityByLang(Tables.documents(s, dir), dir = dir)
+    },
     // FIM split layout (Bavarian'22): deterministic (prefix, middle,
     // suffix) boundaries + PSM/SPM order + the 0.9 apply rate, every
     // draw an iterated content-hash mix — the trainer-facing layout
@@ -4890,6 +4897,7 @@ object SparkEntry {
     "q_doc_bpe_encode" -> TextAnalysis.bpeSegmentSql(),
     "q_doc_unigram" -> Unigram.unigramVocabSql(),
     "q_doc_unigram_encode" -> Unigram.unigramEncodeSql(),
+    "q_doc_unigram_fertlang" -> Unigram.unigramFertilityByLangSql(),
     "q_doc_fertlang" -> TextAnalysis.fertilityByLangSql(),
     "q_doc_bpepack" ->
       s"""WITH ${TextAnalysis.bpeCtes()},

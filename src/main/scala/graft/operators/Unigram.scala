@@ -215,6 +215,39 @@ object Unigram {
           .as("fertility"))
   }
 
+  /** Per-LANGUAGE tokenizer-equity audit under the unigram vocabulary —
+    * the [[TextAnalysis.fertilityByLang]] read-out for this tokenizer
+    * family, so the BPE and unigram equity tables are directly
+    * comparable column-for-column (occurrence-weighted fertility,
+    * chars/piece compression, OOV-fallback permille; the unigram OOV
+    * fallback costs length(word) — characters, no end-marker). Same
+    * scale shape: one corpus token pass, shuffle-hash join to the
+    * ≤ maxWords dictionary, grouped agg to ≤ |langs| rows.
+    */
+  def unigramFertilityByLang(docs: DataFrame, dir: String = "",
+      seedV: Int = SeedV, vocabV: Int = VocabV, maxLen: Int = MaxLen,
+      emRounds: Int = EmRounds, maxWords: Int = MaxWords): DataFrame = {
+    val dict =
+      if (dir.isEmpty) unigramDict(docs, seedV, vocabV, maxLen, emRounds, maxWords)
+      else unigramDictFor(docs, dir, seedV, vocabV, maxLen, emRounds, maxWords)
+    docs.select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("word"))
+      .join(dict.hint("shuffle_hash"), Seq("word"), "left")
+      .groupBy(col("lang"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_words"),
+        sum(coalesce(col("n_sub"), length(col("word"))))
+          .cast("long").as("n_subwords"),
+        sum(length(col("word")).cast("long")).as("n_chars"),
+        sum(when(col("n_sub").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("lang"), col("n_docs"), col("n_words"), col("n_subwords"),
+        col("n_oov"),
+        (col("n_subwords").cast("double") / col("n_words").cast("double"))
+          .as("fertility"),
+        (col("n_chars").cast("double") / col("n_subwords").cast("double"))
+          .as("chars_per_subword"),
+        expr("n_oov * 1000 div n_words").as("oov_permille"))
+  }
+
   // ---- DuckDB oracle mirrors ---------------------------------------------
 
   /** The trained chain as CTEs (wf, chars, v1, per-round dp<r>/cnt<r>/
@@ -306,6 +339,29 @@ object Unigram {
       maxWords: Int = MaxWords, src: String = "documents"): String =
     s"""WITH RECURSIVE ${unigramCtes(seedV, vocabV, maxLen, emRounds, maxWords, src)}
        |SELECT piece, cnt FROM v${emRounds + 1}""".stripMargin
+
+  /** DuckDB mirror of [[unigramFertilityByLang]] over the shared chain. */
+  def unigramFertilityByLangSql(seedV: Int = SeedV, vocabV: Int = VocabV,
+      maxLen: Int = MaxLen, emRounds: Int = EmRounds,
+      maxWords: Int = MaxWords, src: String = "documents"): String =
+    s"""WITH RECURSIVE ${unigramCtes(seedV, vocabV, maxLen, emRounds, maxWords, src)},
+       |dict AS (SELECT word, CAST(len(string_split(seg, ' ')) AS INT) AS n_sub
+       |  FROM seg${emRounds + 1}),
+       |ftk AS (
+       |  SELECT doc_id, lang, unnest(toks) AS word
+       |  FROM (SELECT doc_id, lang, ${Dedup.toksSql} AS toks FROM $src) t)
+       |SELECT lang, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |  CAST(COUNT(*) AS BIGINT) AS n_words,
+       |  CAST(SUM(COALESCE(n_sub, length(word))) AS BIGINT) AS n_subwords,
+       |  CAST(SUM(CASE WHEN n_sub IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       |  CAST(SUM(COALESCE(n_sub, length(word))) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE) AS fertility,
+       |  CAST(SUM(length(word)) AS DOUBLE)
+       |    / CAST(SUM(COALESCE(n_sub, length(word))) AS DOUBLE) AS chars_per_subword,
+       |  CAST(SUM(CASE WHEN n_sub IS NULL THEN 1 ELSE 0 END) * 1000
+       |    // COUNT(*) AS BIGINT) AS oov_permille
+       |FROM ftk LEFT JOIN dict USING (word)
+       |GROUP BY lang""".stripMargin
 
   /** DuckDB mirror of [[unigramEncode]] over the shared trained chain. */
   def unigramEncodeSql(seedV: Int = SeedV, vocabV: Int = VocabV,

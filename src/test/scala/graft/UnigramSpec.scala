@@ -86,6 +86,22 @@ class UnigramSpec extends SparkSpec {
     assert(enc.getLong(0) >= enc.getLong(1), "pieces below word count")
   }
 
+  test("per-lang equity table reconciles with the per-doc encode exactly") {
+    val docs = graft.sources.Tables.documents(spark, Sf)
+    val byLang = Unigram.unigramFertilityByLang(docs, Sf)
+      .agg(sum($"n_words"), sum($"n_subwords"), sum($"n_oov")).collect()(0)
+    val byDoc = Unigram.unigramEncode(docs, Sf)
+      .agg(sum($"n_words"), sum($"n_subwords")).collect()(0)
+    assert(byLang.getLong(0) === byDoc.getLong(0), "word totals must reconcile")
+    assert(byLang.getLong(1) === byDoc.getLong(1), "piece totals must reconcile")
+    // and the equity columns are internally consistent
+    Unigram.unigramFertilityByLang(docs, Sf).collect().foreach { r =>
+      val (nw, ns, noov) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(r.getDouble(5) == ns.toDouble / nw)
+      assert(r.getLong(7) == noov * 1000 / nw)
+    }
+  }
+
   test("memoized dictionary artifact serves the encode (bpeDictFor contract)") {
     val docs = graft.sources.Tables.documents(spark, Sf)
     val d1 = Unigram.unigramDictFor(docs, Sf)

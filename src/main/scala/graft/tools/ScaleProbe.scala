@@ -165,7 +165,11 @@ object ScaleProbe {
     // the PRODUCTION (audit-free) KMV selection: per-round marginal cost
     // must read corpus-INDEPENDENT (tail exponent ≈ the one sketch pass),
     // unlike its audited truth twin whose rounds pay a corpus anti-join
-    "q_doc_srcselkmv_prod")
+    "q_doc_srcselkmv_prod",
+    // round-12: unigram-LM training (ONE corpus word-freq pass, then
+    // dictionary-bounded EM — the profile must track the token scan like
+    // q_doc_bpe_encode, with the Viterbi rounds near-flat)
+    "q_doc_unigram")
 
   /** Heaps-ish vocabulary size: 30 tokens at the 5k-doc base (the real
     * table's vocabulary), growing with sqrt(n).

@@ -1930,6 +1930,15 @@ object SparkEntry {
     "q_doc_unigram_fertlang" -> { (s, dir) =>
       Unigram.unigramFertilityByLang(Tables.documents(s, dir), dir = dir)
     },
+    // Packing by unigram-encoded length through the ONE shared packer —
+    // q_doc_bpepack's twin, so the budget planner's utilization numbers
+    // are pack-for-pack comparable across tokenizer families.
+    "q_doc_unipack" -> { (s, dir) =>
+      Curation.packSequencesUnigram(Tables.documents(s, dir), dir = dir)
+    },
+    "q_doc_unipackstats" -> { (s, dir) =>
+      Curation.packStatsUnigram(Tables.documents(s, dir), dir = dir)
+    },
     // FIM split layout (Bavarian'22): deterministic (prefix, middle,
     // suffix) boundaries + PSM/SPM order + the 0.9 apply rate, every
     // draw an iterated content-hash mix — the trainer-facing layout
@@ -4898,6 +4907,61 @@ object SparkEntry {
     "q_doc_unigram" -> Unigram.unigramVocabSql(),
     "q_doc_unigram_encode" -> Unigram.unigramEncodeSql(),
     "q_doc_unigram_fertlang" -> Unigram.unigramFertilityByLangSql(),
+    "q_doc_unipack" ->
+      s"""WITH RECURSIVE ${Unigram.unigramCtes()},
+         |dict AS (SELECT word, CAST(len(string_split(seg, ' ')) AS INT) AS n_sub
+         |  FROM seg${Unigram.EmRounds + 1}),
+         |btk AS (
+         |  SELECT doc_id, unnest(toks) AS word
+         |  FROM (SELECT doc_id, ${Dedup.toksSql} AS toks FROM documents) t0),
+         |bcnt AS (
+         |  SELECT doc_id,
+         |    CAST(SUM(COALESCE(n_sub, length(word))) AS BIGINT) AS n_tokens
+         |  FROM btk LEFT JOIN dict USING (word)
+         |  GROUP BY doc_id),
+         |bj AS (
+         |  SELECT b.doc_id, d.lang, b.n_tokens
+         |  FROM bcnt b JOIN documents d ON d.doc_id = b.doc_id),
+         |bc AS (
+         |  SELECT doc_id, lang, n_tokens,
+         |    SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS cum_excl
+         |  FROM bj)
+         |SELECT doc_id, lang, n_tokens,
+         |  CAST(cum_excl // 2048 AS BIGINT) AS pack_id,
+         |  CAST(cum_excl % 2048 AS BIGINT) AS pack_offset
+         |FROM bc""".stripMargin,
+    "q_doc_unipackstats" ->
+      s"""WITH RECURSIVE ${Unigram.unigramCtes()},
+         |dict AS (SELECT word, CAST(len(string_split(seg, ' ')) AS INT) AS n_sub
+         |  FROM seg${Unigram.EmRounds + 1}),
+         |btk AS (
+         |  SELECT doc_id, unnest(toks) AS word
+         |  FROM (SELECT doc_id, ${Dedup.toksSql} AS toks FROM documents) t0),
+         |bcnt AS (
+         |  SELECT doc_id,
+         |    CAST(SUM(COALESCE(n_sub, length(word))) AS BIGINT) AS n_tokens
+         |  FROM btk LEFT JOIN dict USING (word)
+         |  GROUP BY doc_id),
+         |bj AS (
+         |  SELECT b.doc_id, d.lang, b.n_tokens
+         |  FROM bcnt b JOIN documents d ON d.doc_id = b.doc_id),
+         |bc AS (
+         |  SELECT doc_id, lang, n_tokens,
+         |    SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS cum_excl
+         |  FROM bj),
+         |bg AS (
+         |  SELECT lang, COUNT(*) AS n_docs,
+         |    CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+         |    CAST(SUM(CASE WHEN CAST(cum_excl % 2048 AS BIGINT) + n_tokens > 2048
+         |                  THEN 1 ELSE 0 END) AS BIGINT) AS n_split
+         |  FROM bc GROUP BY lang),
+         |bg2 AS (SELECT *, (total_tokens + 2047) // 2048 AS n_packs FROM bg)
+         |SELECT lang, n_docs, total_tokens, n_packs,
+         |  CAST(total_tokens AS DOUBLE) / CAST(n_packs * 2048 AS DOUBLE) AS util,
+         |  n_split * 1000 // n_docs AS split_permille
+         |FROM bg2""".stripMargin,
     "q_doc_fertlang" -> TextAnalysis.fertilityByLangSql(),
     "q_doc_bpepack" ->
       s"""WITH ${TextAnalysis.bpeCtes()},

@@ -122,6 +122,25 @@ object Curation {
         .join(docs.select(col("doc_id"), col("lang")), "doc_id"),
       budget, block)
 
+  /** Packing by UNIGRAM-encoded length — [[packSequencesBpe]]'s twin
+    * under the second tokenizer family, through the SAME shared
+    * [[packFrom]] packer (one implementation, two token-cost columns):
+    * the budget planner's bake-off is then pack-for-pack comparable
+    * across tokenizers on the same corpus.
+    */
+  def packSequencesUnigram(docs: DataFrame, budget: Int = 2048,
+      block: Int = 4096, dir: String = ""): DataFrame =
+    packFrom(
+      Unigram.unigramEncode(docs, dir)
+        .select(col("doc_id"), col("n_subwords").as("n_tokens"))
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id"),
+      budget, block)
+
+  /** [[packStats]] on the unigram-budget layout. */
+  def packStatsUnigram(docs: DataFrame, budget: Int = 2048,
+      block: Int = 4096, dir: String = ""): DataFrame =
+    packStatsFrom(packSequencesUnigram(docs, budget, block, dir), budget)
+
   /** Packing-efficiency audit over [[packSequences]]: per language, the
     * packed volume (docs, tokens, packs at the budget), the utilization
     * of the last partially-filled pack amortized over all packs, and the

@@ -681,6 +681,41 @@ object DocStream {
         .as("bloom_hit"))
   }
 
+  /** Streaming twin of the unigram tokenizer's SERVING side
+    * ([[graft.operators.Unigram.unigramEncode]]): the trained vocabulary
+    * (≤ vocabV + |chars| pieces, the bounded artifact class) rides as a
+    * frozen map LITERAL, and every incoming doc's words are
+    * Viterbi-segmented directly by the SAME DP expression the trainer
+    * uses, inside a `transform` lambda — one stateless narrow pass,
+    * zero joins, zero state, no watermark (the langOfDocs posture).
+    *
+    * Contract vs batch: for words INSIDE the batch training dictionary
+    * the per-word piece count is identical (same vocab, same DP, same
+    * tie rules — parity spec-pinned); for words OUTSIDE it the batch
+    * apply costs the conservative character fallback while this twin
+    * runs the true Viterbi, so stream n_subwords ≤ batch n_subwords
+    * always (also pinned) — the stream twin serves unseen words BETTER
+    * than the batch join path, which is exactly what a tokenizer
+    * serving a live crawl needs.
+    */
+  def unigramEncodeDocs(docs: org.apache.spark.sql.DataFrame,
+      vocab: Map[String, Double],
+      maxLen: Int = graft.operators.Unigram.MaxLen)
+      : org.apache.spark.sql.DataFrame = {
+    val pieces = s"size(split(${graft.operators.Unigram.viterbiExprFor("w", maxLen)}, ' '))"
+    docs
+      .select(col("doc_id"), graft.functions.TextFunctions.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .withColumn("vm", typedLit(vocab))
+      .withColumn("n_words", size(col("toks")).cast("long"))
+      .withColumn("n_subwords",
+        expr(s"aggregate(transform(toks, w -> $pieces), 0, (a, x) -> a + x)")
+          .cast("long"))
+      .select(col("doc_id"), col("n_words"), col("n_subwords"),
+        (col("n_subwords").cast("double") / col("n_words").cast("double"))
+          .as("fertility"))
+  }
+
   case class ShingleHit(source: String, h: Long)
   case class KmvEntry(source: String, h: Long)
 

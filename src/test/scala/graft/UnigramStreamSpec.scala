@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.operators.Unigram
+import graft.streaming.DocStream
+
+/** Streaming twin of the unigram tokenizer's serving side
+  * ([[DocStream.unigramEncodeDocs]]): the frozen vocabulary map applied
+  * per word must reproduce the batch encode row-for-row on
+  * in-dictionary corpora, never cost MORE pieces than the batch
+  * character fallback on unseen words, and run stateless in append mode
+  * across micro-batch boundaries.
+  */
+case class StreamTokDoc(doc_id: Long, text: String)
+
+class UnigramStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("batch ≡ stream: frozen vocab tokenizes the real corpus identically to the batch encode") {
+    implicit val ctx = spark.sqlContext
+    val table = graft.sources.Tables.documents(spark, Sf)
+    // the real corpus's vocabulary fits far under maxWords, so every
+    // word is in the training dictionary — parity must be exact
+    val vocab = Unigram.vocabMapOf(table)
+    val docs = table.select($"doc_id", $"text").as[StreamTokDoc].collect().toSeq
+
+    val ms = MemoryStream[StreamTokDoc]
+    val q = DocStream.unigramEncodeDocs(ms.toDF(), vocab)
+      .writeStream.format("memory").queryName("unitok_stream")
+      .outputMode("append").start()
+    // two micro-batches: tokenization must not depend on batch boundaries
+    ms.addData(docs.take(200))
+    q.processAllAvailable()
+    ms.addData(docs.drop(200))
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("unitok_stream")
+      .select($"doc_id", $"n_words", $"n_subwords")
+      .as[(Long, Long, Long)].collect().toSet
+    val batch = Unigram.unigramEncode(table, Sf)
+      .select($"doc_id", $"n_words", $"n_subwords")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+    Unigram.clearMemos()
+  }
+
+  test("unseen words: the stream twin never costs more than the batch character fallback") {
+    implicit val ctx = spark.sqlContext
+    val train = Seq(
+      (1L, "ababa babab ababa babab aabba", "en", "s"),
+      (2L, "bbaab ababa babab aabba bbaab", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    val vocab = Unigram.vocabMapOf(train, seedV = 50, vocabV = 6, maxLen = 3,
+      emRounds = 1, maxWords = 100)
+    // OOV docs: words absent from training (so the batch apply would
+    // cost length(word) chars) but built from trained character patterns
+    val oov = Seq(StreamTokDoc(10L, "ababab bababa"), StreamTokDoc(11L, "aab bba"))
+    val ms = MemoryStream[StreamTokDoc]
+    val q = DocStream.unigramEncodeDocs(ms.toDF(), vocab, maxLen = 3)
+      .writeStream.format("memory").queryName("unitok_oov")
+      .outputMode("append").start()
+    ms.addData(oov)
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("unitok_oov")
+      .select($"doc_id", $"n_words", $"n_subwords")
+      .as[(Long, Long, Long)].collect()
+    assert(rows.length == oov.length)
+    rows.foreach { case (id, nw, ns) =>
+      assert(ns >= nw, s"doc $id under-segmented")
+      // character-fallback cost of each doc = total chars (what the
+      // batch dictionary join would charge these unseen words)
+      val chars = oov.find(_.doc_id == id).get.text.split(" ").map(_.length).sum
+      assert(ns <= chars,
+        s"doc $id: stream Viterbi ($ns) must beat/match the char fallback ($chars)")
+    }
+    // the learned multi-char pieces must actually engage: "ababab
+    // bababa" (12 chars) segments with aba/bab-style pieces, well
+    // under the 12-piece character fallback
+    val d10 = rows.find(_._1 == 10L).get
+    assert(d10._3 < 12, s"no learned piece engaged on OOV words: $d10")
+  }
+}

@@ -989,6 +989,13 @@ object SparkEntry {
     "q_emb_opqrecall" -> { (s, dir) =>
       Similarity.opqRecall(Tables.embeddings(s, dir), dir)
     },
+    // OPQ composed under IVF: cells bound WHERE (labels are
+    // rotation-invariant; H orthogonal preserves the probe cosine),
+    // rotated codes bound candidate COST — completes the composition
+    // matrix next to q_emb_ivfpq/ivfpqr.
+    "q_emb_ivfopq" -> { (s, dir) =>
+      Similarity.knnIvfOpq(Tables.embeddings(s, dir), dir)
+    },
 
     // IVF-PQ: cells bound WHERE to search, codes bound candidate COST —
     // the billion-scale index layout (composition of q_emb_ivf + q_emb_pq).
@@ -3482,6 +3489,7 @@ object SparkEntry {
          |WHERE rn <= 3""".stripMargin,
     "q_emb_opq" -> Similarity.knnOpqSql(),
     "q_emb_opqrecall" -> Similarity.opqRecallSql(),
+    "q_emb_ivfopq" -> Similarity.knnIvfOpqSql(),
     "q_emb_ivfpqr" -> Similarity.ivfPqResidualSql(),
     "q_emb_fivfpqr" ->
       Similarity.ivfPqResidualSql(nprobe = 4, storeWhere = "vec_id % 4 = 1"),

@@ -1540,6 +1540,16 @@ object Similarity {
       m: Int = PqSubspaces): DataFrame =
     knnPq(rotatedCorpus(e, dir), queryMod, k, m)
 
+  /** OPQ composed under IVF — [[knnIvfPq]] over the rotated corpus:
+    * cells still bound WHERE (labels are rotation-invariant; the probe
+    * cosine is preserved exactly up to rounding since H is orthogonal),
+    * rotated codes bound candidate COST. Completes the composition
+    * matrix next to q_emb_ivfpq/ivfpqr: `q_emb_ivfopq`.
+    */
+  def knnIvfOpq(e: DataFrame, dir: String, queryMod: Int = 50, k: Int = 3,
+      nprobe: Int = 2, m: Int = PqSubspaces): DataFrame =
+    knnIvfPq(rotatedCorpus(e, dir), queryMod, k, nprobe, m)
+
   /** Recall@k of PQ vs OPQ against the exact L2 truth — the equal-bytes
     * bake-off row (`q_emb_opqrecall`): (variant, n_hit, n_truth, recall)
     * for variant ∈ {pq, opq}. Truth is the brute exact top-k (squared-L2
@@ -4044,6 +4054,73 @@ object Similarity {
     s"""WITH ${opqRotatedCtes()},
        |${pqChainCtesOver("o", "rbase", k, queryMod)}
        |SELECT qid, CAST(rn - 1 AS BIGINT) AS rank, vec_id FROM ores""".stripMargin
+
+  /** DuckDB mirror of [[knnIvfOpq]]: the q_emb_ivfpq chain op-for-op
+    * over the rotated base (cells = labels, probe cosine over rotated
+    * centroids, ADC over rotated codes).
+    */
+  def knnIvfOpqSql(k: Int = 3, nprobe: Int = 2, queryMod: Int = 50): String =
+    s"""WITH ${opqRotatedCtes()},
+       |iolab AS MATERIALIZED (
+       |  SELECT label, CAST(ROW_NUMBER() OVER (ORDER BY label) AS INT) - 1 AS li
+       |  FROM (SELECT DISTINCT label FROM rbase)),
+       |iocen AS MATERIALIZED (
+       |  SELECT label, dim,
+       |    CAST(SUM(CAST(ROUND(CAST(v AS DOUBLE) * 16777216.0) AS BIGINT)) AS DOUBLE)
+       |      / (CAST(COUNT(*) AS DOUBLE) * 16777216.0) AS centroid
+       |  FROM (SELECT label, unnest(emb) AS v,
+       |          CAST(generate_subscripts(emb, 1) - 1 AS BIGINT) AS dim
+       |        FROM rbase) t
+       |  GROUP BY label, dim),
+       |iocb AS MATERIALIZED (
+       |  SELECT li, CAST(dim // 8 AS INT) AS s, list(centroid ORDER BY dim) AS cvec
+       |  FROM iocen JOIN iolab USING (label) GROUP BY li, CAST(dim // 8 AS INT)),
+       |iocemb AS MATERIALIZED (
+       |  SELECT label AS cell, cemb,
+       |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(cemb, x -> x * x)), (a, b) -> a + b)) AS cnrm
+       |  FROM (SELECT label, list(centroid ORDER BY dim) AS cemb
+       |        FROM iocen GROUP BY label) t),
+       |iosv AS MATERIALIZED (
+       |  SELECT vec_id, s, emb[s*8+1 : s*8+8] AS subvec
+       |  FROM rbase, (SELECT unnest(range(0, 8)) AS s)),
+       |ioenc0 AS (
+       |  SELECT vec_id, s, li,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id, s
+       |      ORDER BY ${l2sqSql("subvec", "cvec")}, li) AS rn
+       |  FROM iosv JOIN iocb USING (s)),
+       |ioenc AS MATERIALIZED (
+       |  SELECT vec_id, list(li ORDER BY s) AS codes FROM ioenc0 WHERE rn = 1 GROUP BY vec_id),
+       |ioqd0 AS (
+       |  SELECT vec_id AS qid, s, li, ${l2sqSql("subvec", "cvec")} AS d2
+       |  FROM iosv JOIN iocb USING (s) WHERE vec_id % $queryMod = 0),
+       |ioqdt AS MATERIALIZED (
+       |  SELECT qid, list(d2 ORDER BY s, li) AS qd FROM ioqd0 GROUP BY qid),
+       |ioq AS MATERIALIZED (
+       |  SELECT vec_id AS qid, emb AS qemb,
+       |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(emb, x -> x * x)), (a, b) -> a + b)) AS qnrm
+       |  FROM rbase WHERE vec_id % $queryMod = 0),
+       |ioprobes AS MATERIALIZED (
+       |  SELECT qid, cell FROM (
+       |    SELECT q.qid, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+       |        ${dotSql("q.qemb", "c.cemb")} / (q.qnrm * c.cnrm) DESC, c.cell) AS prn
+       |    FROM ioq q CROSS JOIN iocemb c) t
+       |  WHERE prn <= $nprobe),
+       |iopairs AS (
+       |  SELECT p.qid, e.vec_id,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(range(0, 8), s -> qd[s * (len(qd)//8) + codes[s+1] + 1])),
+       |      (x, y) -> x + y) AS adc
+       |  FROM ioprobes p
+       |  JOIN ioqdt ON ioqdt.qid = p.qid
+       |  JOIN ioenc e ON e.vec_id <> p.qid
+       |  JOIN rbase b ON b.vec_id = e.vec_id AND b.label = p.cell)
+       |SELECT qid, CAST(rn - 1 AS BIGINT) AS rank, vec_id FROM (
+       |  SELECT qid, vec_id, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc, vec_id) AS rn
+       |  FROM iopairs) t
+       |WHERE rn <= $k""".stripMargin
 
   /** DuckDB mirror of [[opqRecall]]: both chains + the exact L2 truth. */
   def opqRecallSql(k: Int = 5, queryMod: Int = 50): String =

@@ -56,6 +56,23 @@ class OpqSpec extends SparkSpec {
     assert(pqRec == pqHit.toDouble / pqTruth)
   }
 
+  test("knnOpq is partitioning- and AQE-independent (the rm3-incident pin class)") {
+    val e = graft.sources.Tables.embeddings(spark, Sf)
+    def run(parts: Int): Seq[(Long, Long, Long)] =
+      Similarity.knnOpq(e.repartition(parts), Sf)
+        .orderBy($"qid", $"rank")
+        .as[(Long, Long, Long)].collect().toSeq
+    val base = run(1)
+    assert(base.nonEmpty)
+    assert(run(13) === base, "13-partition run diverged")
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val old = spark.conf.get(aqeKey)
+    try {
+      spark.conf.set(aqeKey, "false")
+      assert(run(13) === base, "AQE-off run diverged")
+    } finally spark.conf.set(aqeKey, old)
+  }
+
   test("knnOpq output contract matches knnPq (same shape, same k per query)") {
     val e = graft.sources.Tables.embeddings(spark, Sf)
     val opq = Similarity.knnOpq(e, Sf)

@@ -1949,9 +1949,18 @@ object Similarity {
     val enc = pqrEncodeRes(residualsTrained(e, cents), cb, m)
       .join(members, "vec_id")
       .filter(storePred)
-    probes.select(col("qid"), col("cell"))
-      .join(broadcast(qdt), Seq("qid", "cell"))
-      .join(enc, Seq("cell"))
+    // the scoring join keys on `cell` — ≤ |cells| distinct values, so a
+    // shuffle join concentrates the |Q|·occupancy ADC scan on ≤ |cells|
+    // tasks (the mmrt AQE-cliff class; measured 79.7 s at the x100 probe
+    // scale). The probe side is |Q|·nprobe rows carrying m·c-double
+    // tables — broadcast-sized by construction — so BROADCAST it and
+    // stream the store through its even vec_id partitioning instead:
+    // every core scans its store slice once (x100 steady-state:
+    // 79.7 → 20.6 s, oracle-identical; the remainder is the unmemoized
+    // per-run store encode + assignment passes, store-scan-priced).
+    enc
+      .join(broadcast(probes.select(col("qid"), col("cell"))
+        .join(broadcast(qdt), Seq("qid", "cell"))), Seq("cell"))
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("adc", adcExpr(m))
       .groupBy(col("qid"))

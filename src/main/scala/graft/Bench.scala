@@ -62,12 +62,20 @@ object Bench {
     // driver and judge runs). A third timing in exactly that case makes
     // the regression-gated number min-of-2 STEADY-STATE samples for every
     // query, at the cost of one extra warm run per memoized query.
+    // A failed t3 after two SUCCESSFUL runs falls back to min(t1, t2)
+    // rather than reporting the query failed — the de-noising retry must
+    // not introduce a failure mode the 2-run spelling didn't have.
     val timed = selected.map { case (name, fn) =>
       val t1 = timeOnce(name, fn)
       val t2 = if (t1 >= 0) timeOnce(name, fn) else t1
-      val t3 = if (t1 >= 0 && t2 >= 0 && t1 > 1.5 * t2) timeOnce(name, fn) else t1
-      name -> ((if (t1 >= 0 && t2 >= 0 && t3 >= 0) math.min(math.min(t1, t2), t3)
-        else -1.0, t1))
+      val ran3 = t1 >= 0 && t2 >= 0 && t1 > 1.5 * t2
+      val t3 = if (ran3) timeOnce(name, fn) else t1
+      val mn =
+        if (t1 < 0 || t2 < 0) -1.0
+        else if (t3 < 0) math.min(t1, t2)
+        else math.min(math.min(t1, t2), t3)
+      val samples = if (t1 < 0) Seq(t1) else if (ran3) Seq(t1, t2, t3) else Seq(t1, t2)
+      name -> ((mn, samples))
     }
     val results = timed.map { case (k, (mn, _)) => k -> mn }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
@@ -75,11 +83,20 @@ object Bench {
     // Locale.ROOT: a comma-decimal default JVM locale would corrupt the
     // machine-parsed JSON with "1,40"-style numbers
     def d2(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
-    val firsts = timed.map { case (k, (_, t1)) => s"\"" + k + "\":" + d2(t1) }
+    val firsts = timed.map { case (k, (_, ts)) => s"\"" + k + "\":" + d2(ts.head) }
       .mkString("{", ",", "}")
+    // ALL raw timings per query (t1[, t2[, t3]]), not just the min: the
+    // r12 driver-env artifact carried four phantom steady-state
+    // regressions that only cross-artifact comparison could refute — with
+    // the per-query spread visible, any consumer can see whether a flagged
+    // min rests on one noisy sample, and the round-over-round gate can
+    // require a regression to reproduce across independent artifacts.
+    val samples = timed.map { case (k, (_, ts)) =>
+      s"\"" + k + "\":" + ts.map(d2).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_first":$firsts,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_first":$firsts,"samples":$samples,"sf":"$sfDir"}"""
     println(fullJson)
     // The driver's stdout capture truncates the single long per-query line
     // (r4 and r6: parsed=null) — persist the FULL per-query + cold maps to

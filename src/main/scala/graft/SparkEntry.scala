@@ -392,6 +392,14 @@ object SparkEntry {
     "q_doc_rm3exp" -> { (s, dir) =>
       TextAnalysis.rm3Expansion(Tables.documents(s, dir), SearchTerms)
     },
+    // …and the expansion stage's INPUT rows (fb doc × token: dl,
+    // orig_nanos, w, tf — all exact integers/strings), so a driver-side
+    // exp mismatch names its ROW: rm3in red = the feedback
+    // join/tokenize/count; rm3in green + exp red = the weighting
+    // arithmetic (now all-integer — round-12 verdict ask #1).
+    "q_doc_rm3in" -> { (s, dir) =>
+      TextAnalysis.rm3ExpInput(Tables.documents(s, dir), SearchTerms)
+    },
     // Hybrid retrieval: Reciprocal-Rank Fusion of the lexical BM25 list
     // and the per-query embedding list (exact integer nano-unit scores;
     // fusion cost is per-query — ≤ 2·20 rows/qid — independent of corpus
@@ -3264,6 +3272,7 @@ object SparkEntry {
     "q_doc_rm3" -> TextAnalysis.rm3SearchSql(SearchTerms),
     "q_doc_rm3fb" -> TextAnalysis.rm3FeedbackSql(SearchTerms),
     "q_doc_rm3exp" -> TextAnalysis.rm3ExpansionSql(SearchTerms),
+    "q_doc_rm3in" -> TextAnalysis.rm3ExpInputSql(SearchTerms),
     "q_doc_ndcg" -> Retrieval.ndcgAuditSql(SearchTerms),
     "q_doc_rrf" ->
       s"""WITH ${Similarity.baseSql},

@@ -397,18 +397,48 @@ object TextAnalysis {
   private def rm3ExpansionFrom(td: DataFrame, origScores: DataFrame,
       terms: Seq[String], fbDocs: Int, fbTerms: Int): DataFrame = {
     val dec = "decimal(38,0)"
+    rm3FbTf(td, origScores, fbDocs)
+      .filter(!col("w").isin(terms: _*))
+      // tf·1e9/dl in EXACT integer division: tf and dl are BIGINT counts,
+      // so `tf * 1000000000 div dl` is the exact rational floor in both
+      // engines — the stage's former `floor(tf * 1e9 / dl)` double
+      // quotient was its ONLY non-integer op, and a double floor is not
+      // the exact floor in the k−ε corner (the one place two engines'
+      // arithmetic could still disagree; two rounds of driver-red
+      // localized here by the staged oracles). tf ≤ dl ≤ corpus doc
+      // length, so tf·1e9 fits a BIGINT with 9 decimal digits of
+      // headroom.
+      .select(col("w"), (expr("tf * 1000000000 div dl").cast(dec)
+        * col("orig_nanos").cast(dec)).as("contrib"))
+      .groupBy(col("w")).agg(sum(col("contrib")).as("wt"))
+      .orderBy(col("wt").desc, col("w")).limit(fbTerms)
+      .localCheckpoint(false)
+  }
+
+  /** The expansion stage's INPUT table — per (feedback doc, token):
+    * (dl, orig_nanos, w, tf), every value an exact integer or a token
+    * string. Shared by [[rm3ExpansionFrom]] and EXPOSED as
+    * `q_doc_rm3in` so a driver-side expansion-stage hash mismatch names
+    * its differing ROW (the round-12 verdict ask), not just its stage:
+    * in red = the feedback join/tokenize/count diverged; in green + exp
+    * red = the (now all-integer) weighting arithmetic.
+    */
+  private def rm3FbTf(td: DataFrame, origScores: DataFrame,
+      fbDocs: Int): DataFrame = {
     val fb = origScores.orderBy(col("orig_nanos").desc, col("doc_id"))
       .limit(fbDocs).localCheckpoint(false)
     td.join(broadcast(fb), "doc_id")
       .select(col("dl"), col("orig_nanos"), explode(col("toks")).as("w"))
       .groupBy(col("dl"), col("orig_nanos"), col("w"))
       .agg(count(lit(1)).as("tf"))
-      .filter(!col("w").isin(terms: _*))
-      .select(col("w"), (floor(col("tf") * lit(1e9) / col("dl")).cast(dec)
-        * col("orig_nanos").cast(dec)).as("contrib"))
-      .groupBy(col("w")).agg(sum(col("contrib")).as("wt"))
-      .orderBy(col("wt").desc, col("w")).limit(fbTerms)
-      .localCheckpoint(false)
+  }
+
+  /** [[rm3FbTf]] from the raw corpus — `q_doc_rm3in`'s entry point. */
+  def rm3ExpInput(docs: DataFrame, terms: Seq[String], fbDocs: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "rm3 needs at least one seed term")
+    val td = rm3Td(docs)
+    rm3FbTf(td, rm3OrigScores(td, terms, k1, b), fbDocs)
   }
 
   /** [[rm3Search]] stage 2 EXPOSED for the driver's gate — the
@@ -456,10 +486,18 @@ object TextAnalysis {
   /** DuckDB mirror of [[rm3Feedback]] — the SAME CTE chain as
     * [[rm3SearchSql]] (zero drift by construction), read at the fb stage.
     */
-  def rm3FeedbackSql(terms: Seq[String], fbDocs: Int = 10,
+  def rm3FeedbackSql(terms: Seq[String], fbDocs: Int = 10, fbTerms: Int = 10,
       k1: Double = 1.2, b: Double = 0.75, src: String = "documents"): String =
-    s"""WITH ${rm3Ctes(terms, fbDocs, 10, k1, b, src)}
+    s"""WITH ${rm3Ctes(terms, fbDocs, fbTerms, k1, b, src)}
        |SELECT doc_id, orig_nanos FROM fb""".stripMargin
+
+  /** DuckDB mirror of [[rm3ExpInput]] — the shared chain read at the
+    * fbtf stage (the expansion stage's input rows).
+    */
+  def rm3ExpInputSql(terms: Seq[String], fbDocs: Int = 10, fbTerms: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75, src: String = "documents"): String =
+    s"""WITH ${rm3Ctes(terms, fbDocs, fbTerms, k1, b, src)}
+       |SELECT dl, orig_nanos, w, tf FROM fbtf""".stripMargin
 
   /** DuckDB mirror of [[rm3Expansion]] — the shared chain read at the
     * exp stage.
@@ -504,7 +542,7 @@ object TextAnalysis {
        |    FROM td t JOIN fb f ON t.doc_id = f.doc_id) x
        |  GROUP BY dl, orig_nanos, w),
        |exp AS (
-       |  SELECT w, SUM(CAST(FLOOR(tf * 1e9 / dl) AS HUGEINT)
+       |  SELECT w, SUM(CAST(tf * 1000000000 // dl AS HUGEINT)
        |      * CAST(orig_nanos AS HUGEINT)) AS wt
        |  FROM fbtf WHERE w NOT IN ($inList)
        |  GROUP BY w ORDER BY wt DESC, w LIMIT $fbTerms),

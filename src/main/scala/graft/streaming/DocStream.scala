@@ -702,14 +702,25 @@ object DocStream {
       vocab: Map[String, Double],
       maxLen: Int = graft.operators.Unigram.MaxLen)
       : org.apache.spark.sql.DataFrame = {
-    val pieces = s"size(split(${graft.operators.Unigram.viterbiExprFor("w", maxLen)}, ' '))"
+    // A word containing a character OUTSIDE the trained alphabet has no
+    // Viterbi path at all — the DP returns seg = '' and size(split('',
+    // ' ')) would silently count it as ONE piece. Fall back to
+    // length(w) (the batch path's conservative character fallback) so
+    // the documented stream ≤ batch n_subwords invariant holds by
+    // construction, not by accident of an under-count. The seg is
+    // computed once per word (transform into a struct), not re-evaluated
+    // inside the branch.
+    val vit = graft.operators.Unigram.viterbiExprFor("w", maxLen)
     docs
       .select(col("doc_id"), graft.functions.TextFunctions.tokens(col("text")).as("toks"))
       .filter(size(col("toks")) > 0)
       .withColumn("vm", typedLit(vocab))
       .withColumn("n_words", size(col("toks")).cast("long"))
       .withColumn("n_subwords",
-        expr(s"aggregate(transform(toks, w -> $pieces), 0, (a, x) -> a + x)")
+        expr(s"""aggregate(
+                |  transform(toks, w -> named_struct('l', length(w), 's', $vit)),
+                |  0,
+                |  (a, x) -> a + IF(x.s = '', x.l, size(split(x.s, ' '))))""".stripMargin)
           .cast("long"))
       .select(col("doc_id"), col("n_words"), col("n_subwords"),
         (col("n_subwords").cast("double") / col("n_words").cast("double"))

@@ -498,7 +498,12 @@ object Similarity {
       .filter(col("prn") <= nprobe)
       .select(col("qid"), col("qemb"), col("qnrm"), col("qlo"), col("qhi"), col("cell"))
     val wH = Window.partitionBy(col("qid")).orderBy(col("ham"), col("vec_id"))
-    val short = probes.join(store.hint("shuffle_hash"), Seq("cell"))
+    // broadcast-probes spelling (the 8e40d1c shape): probes are ≤
+    // queryCap·nprobe rows BY CONTRACT (querySet caps |Q|), so the
+    // probe side broadcasts unconditionally and the corpus-sized code
+    // store streams through its even vec_id partitioning — never a
+    // cell-keyed shuffle concentrating the Hamming scan on ≤ |cells| tasks
+    val short = store.join(broadcast(probes), Seq("cell"))
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("ham",
         expr("bit_count(qlo ^ lo) + bit_count(qhi ^ hi)").cast("long"))
@@ -611,7 +616,9 @@ object Similarity {
       .select(col("qid"), col("qemb"), col("qnrm"), col("cell"),
         expr(bitsLo).as("qlo"), expr(bitsHi).as("qhi"))
     val wH = Window.partitionBy(col("qid")).orderBy(col("ham"), col("vec_id"))
-    val short = probes.join(store.hint("shuffle_hash"), Seq("cell"))
+    // broadcast-probes spelling: ≤ queryCap·nprobe probe rows by
+    // contract — broadcast them, stream the corpus-sized code store
+    val short = store.join(broadcast(probes), Seq("cell"))
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("ham",
         expr("bit_count(qlo ^ lo) + bit_count(qhi ^ hi)").cast("long"))
@@ -1461,6 +1468,50 @@ object Similarity {
     * [[knnPq]]'s ADC; the bounded-heap top-k shrinks every partition to
     * k rows per query before the only wide shuffle.
     */
+  /** Ceiling for voluntarily broadcasting a serving-probe side: well
+    * under Spark's 8 GB broadcast hard limit and any sane driver heap,
+    * with room for the executor-side deserialized copy.
+    */
+  private val MaxProbeBroadcastBytes = 256L << 20
+
+  /** The cell-keyed serving-scan join, GUARDED — the commit-8e40d1c
+    * spelling generalized to every serving path. `store` is the
+    * corpus-sized encoded/float store carrying (vec_id, cell, …);
+    * `probes` is the per-query side carrying (cell, qid, per-query
+    * tables). Joining these with a plain shuffle join keys on `cell` —
+    * ≤ ‖cells‖ distinct values — which concentrates the ‖Q‖·occupancy
+    * scoring scan on ≤ ‖cells‖ tasks whenever AQE doesn't pick broadcast
+    * (the class that measured 79.7 s at the x100 probe scale on the
+    * trained path). So: BROADCAST the probe side and stream the store
+    * through its even vec_id partitioning.
+    *
+    * The guard (the ADVICE-r12 note): ‖Q‖ = n/queryMod grows LINEARLY
+    * with the corpus on the queryMod-contract paths, so "broadcast-sized
+    * by construction" is only true up to a scale — beyond
+    * [[MaxProbeBroadcastBytes]] (estimated as probeRows · rowBytes; the
+    * row count is one column-pruned count job on the bounded query
+    * filter) the broadcast would march into Spark's 8 GB ceiling and die
+    * loudly. Above the ceiling, fall back to a SALTED shuffle join on
+    * (cell, vec_id mod shufflePartitions): same result set, ‖cells‖ ×
+    * parts distinct keys, so each cell's scan spreads across the cluster
+    * instead of landing on one task — the low-cardinality-key remedy
+    * that needs no broadcast at any ‖Q‖. queryCap-capped paths (≤ cap
+    * probe rows by contract) broadcast unconditionally and don't route
+    * through here.
+    */
+  private[graft] def servingScanJoin(store: DataFrame, probes: DataFrame,
+      probeRows: => Long, rowBytes: Long,
+      maxBytes: Long = MaxProbeBroadcastBytes): DataFrame =
+    if (probeRows * rowBytes <= maxBytes)
+      store.join(broadcast(probes), Seq("cell"))
+    else {
+      val parts = store.sparkSession.sessionState.conf.numShufflePartitions
+      store.withColumn("_salt", pmod(col("vec_id"), lit(parts.toLong)).cast("int"))
+        .join(probes.withColumn("_salt",
+          explode(sequence(lit(0), lit(parts - 1)))), Seq("cell", "_salt"))
+        .drop("_salt")
+    }
+
   def knnIvfPq(e: DataFrame, queryMod: Int = 50, k: Int = 3, nprobe: Int = 2,
       m: Int = PqSubspaces): DataFrame = {
     val base = withEmb(e).select(col("vec_id"), col("label"), col("emb"),
@@ -1473,10 +1524,14 @@ object Similarity {
       .withColumn("prn", row_number().over(probeW))
       .filter(col("prn") <= nprobe)
       .select(col("qid"), col("cell"))
-    val enc = pqEncode(e, m).join(base.select(col("vec_id"), col("label")), "vec_id")
-    probes
-      .join(broadcast(pqQueryTables(e, queryMod, m)), "qid")
-      .join(enc, col("label") === col("cell") && col("vec_id") =!= col("qid"))
+    val enc = pqEncode(e, m)
+      .join(base.select(col("vec_id"), col("label").as("cell")), "vec_id")
+    // the [[servingScanJoin]] spelling: probe side = (qid, cell) × the
+    // per-query ADC tables (m·‖cells‖ doubles/row), store side streams
+    val probeSide = probes.join(broadcast(pqQueryTables(e, queryMod, m)), "qid")
+    servingScanJoin(enc, probeSide,
+        q.count() * nprobe, 8L * m * 256 + 64)
+      .filter(col("vec_id") =!= col("qid"))
       .withColumn("adc", adcExpr(m))
       .groupBy(col("qid"))
       .agg(graft.expressions.TopKAgg.top_k_ids(-col("adc"), col("vec_id"), k).as("ids"))
@@ -1730,11 +1785,18 @@ object Similarity {
     // cut (q_emb_filtered's under-return pathology); callers widen
     // nprobe to restore k from the thinned cells
     val enc = pqrEncodeWith(e, cb, m)
-      .join(base.select(col("vec_id"), col("label")), "vec_id")
+      .join(base.select(col("vec_id"), col("label").as("cell")), "vec_id")
       .filter(storePred)
-    probes.select(col("qid"), col("cell"))
+    // [[servingScanJoin]]: broadcast the ‖Q‖·nprobe probe side (per-
+    // (query, cell) residual distance tables, m·c doubles each) under
+    // the ceiling, salted shuffle above — never a cell-keyed shuffle
+    // that concentrates the ADC scan on ≤ ‖cells‖ tasks
+    val probeSide = probes.select(col("qid"), col("cell"))
       .join(broadcast(qdt), Seq("qid", "cell"))
-      .join(enc, col("label") === col("cell") && col("vec_id") =!= col("qid"))
+    servingScanJoin(enc, probeSide,
+        base.filter(col("vec_id") % queryMod === 0).count() * nprobe,
+        8L * m * c + 64)
+      .filter(col("vec_id") =!= col("qid"))
       .withColumn("adc", adcExpr(m))
       .groupBy(col("qid"))
       .agg(graft.expressions.TopKAgg.top_k_ids(-col("adc"), col("vec_id"), k).as("ids"))
@@ -1953,14 +2015,17 @@ object Similarity {
     // shuffle join concentrates the |Q|·occupancy ADC scan on ≤ |cells|
     // tasks (the mmrt AQE-cliff class; measured 79.7 s at the x100 probe
     // scale). The probe side is |Q|·nprobe rows carrying m·c-double
-    // tables — broadcast-sized by construction — so BROADCAST it and
-    // stream the store through its even vec_id partitioning instead:
-    // every core scans its store slice once (x100 steady-state:
-    // 79.7 → 20.6 s, oracle-identical; the remainder is the unmemoized
-    // per-run store encode + assignment passes, store-scan-priced).
-    enc
-      .join(broadcast(probes.select(col("qid"), col("cell"))
-        .join(broadcast(qdt), Seq("qid", "cell"))), Seq("cell"))
+    // tables — broadcast it and stream the store through its even
+    // vec_id partitioning instead: every core scans its store slice
+    // once (x100 steady-state: 79.7 → 20.6 s, oracle-identical). |Q| =
+    // n/queryMod grows linearly with the corpus, so "broadcast-sized"
+    // holds only up to a scale — [[servingScanJoin]] guards the ceiling
+    // and falls back to the salted shuffle beyond it.
+    val probeSide = probes.select(col("qid"), col("cell"))
+      .join(broadcast(qdt), Seq("qid", "cell"))
+    servingScanJoin(enc, probeSide,
+        base.filter(col("vec_id") % queryMod === 0).count() * nprobe,
+        8L * m * c + 64)
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("adc", adcExpr(m))
       .groupBy(col("qid"))
@@ -1994,7 +2059,9 @@ object Similarity {
       .withColumn("prn", row_number().over(probeW).cast("long"))
       .filter(col("prn") <= nprobes.max)
       .select(col("qid"), col("qemb"), col("qnrm"), col("cell"), col("prn"))
-    val pairs = probes.join(store.hint("shuffle_hash"), Seq("cell"))
+    // broadcast-probes spelling: ≤ queryCap·nprobes.max probe rows by
+    // contract — broadcast them, stream the corpus-sized float store
+    val pairs = store.join(broadcast(probes), Seq("cell"))
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("cos", cosineWithNorms(dot(col("qemb"), col("emb")), col("qnrm"), col("nrm")))
       .select(col("qid"), col("vec_id"), col("cos"), col("prn"))
@@ -2081,8 +2148,10 @@ object Similarity {
     *
     * Scale: two frozen-centroid assignment passes (survivor scan +
     * increment scan — the increment pass is O(increment)); the probe
-    * join is the cell equi-join with the corpus-sized store side
-    * shuffle-hash-hinted (never broadcast); the rank stage is the
+    * join is the guarded broadcast-probes [[servingScanJoin]] (the
+    * corpus-sized store streams through its vec_id partitioning — a
+    * cell-keyed shuffle would concentrate the scan on ≤ |cells| tasks);
+    * the rank stage is the
     * bounded-heap [[graft.expressions.TopKAgg.TopKPairsByValue]]
     * aggregate — every partition shrinks to k (id, cos) entries per
     * query BEFORE the only shuffle (the x100 probe measured the
@@ -2109,7 +2178,15 @@ object Similarity {
       .withColumn("prn", row_number().over(probeW))
       .filter(col("prn") <= nprobe)
       .select(col("qid"), col("qemb"), col("qnrm"), col("cell"))
-    probes.join(store.hint("shuffle_hash"), Seq("cell"))
+    // [[servingScanJoin]]: |Q| = store/queryMod is UNBOUNDED here (no
+    // queryCap), so the broadcast-probes spelling routes through the
+    // guard — broadcast under the ceiling (each probe row ≈ one
+    // dim-double query vector), salted shuffle above it. The row count
+    // is priced off the pre-assignment survivor/increment scans so the
+    // guard never re-runs the centroid assignment.
+    val nq = survivors.filter(col("vec_id") % queryMod === 0).count() +
+      incr.filter(col("vec_id") % queryMod === 0).count()
+    servingScanJoin(store, probes, nq * nprobe, 1024L)
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("cos", cosineWithNorms(dot(col("qemb"), col("emb")), col("qnrm"), col("nrm")))
       .groupBy(col("qid"))

@@ -1931,6 +1931,16 @@ object SparkEntry {
     "q_doc_unigram" -> { (s, dir) =>
       Unigram.unigramVocab(Tables.documents(s, dir))
     },
+    // ONE lattice-expectation (soft) EM round — the Kudo'18 trainer
+    // proper next to the hard-EM variant: forward–backward posteriors
+    // over the full segmentation lattice, each edge posterior quantized
+    // to integer nanos BEFORE any sum (the bit-length-quantization
+    // exactness discipline), so the float-valued E-step stays
+    // oracle-able. Ambiguity-splitting vs winner-takes-all divergence
+    // pinned on a hand fixture in UnigramSoftSpec.
+    "q_doc_unigram_soft" -> { (s, dir) =>
+      Unigram.unigramVocabSoft(Tables.documents(s, dir))
+    },
     // Unigram apply + fertility: per-doc word/piece counts under the
     // trained unigram vocabulary — directly comparable against
     // q_doc_bpe_encode's fertility on the same corpus (the
@@ -4922,6 +4932,7 @@ object SparkEntry {
     "q_doc_qclf_bysrc" -> Classifier.scoreBySourceSql(),
     "q_doc_bpe_encode" -> TextAnalysis.bpeSegmentSql(),
     "q_doc_unigram" -> Unigram.unigramVocabSql(),
+    "q_doc_unigram_soft" -> Unigram.unigramVocabSoftSql(),
     "q_doc_unigram_encode" -> Unigram.unigramEncodeSql(),
     "q_doc_unigram_fertlang" -> Unigram.unigramFertilityByLangSql(),
     "q_doc_unipack" ->

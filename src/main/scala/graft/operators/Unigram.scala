@@ -77,24 +77,8 @@ object Unigram {
   private def train(docs: DataFrame, seedV: Int, vocabV: Int, maxLen: Int,
       emRounds: Int, maxWords: Int): (DataFrame, DataFrame) = {
     val wf = wfOf(docs, maxWords).localCheckpoint(false)
-    // the character inventory: kept in every vocabulary so Viterbi always
-    // has a path (the unigram-LM coverage guarantee)
-    val chars = wf.select(explode(split(col("word"), "")).as("piece"))
-      .distinct().localCheckpoint(false)
-    // seed counts: every substring occurrence of length 1..maxLen,
-    // freq-weighted (Kudo seeds from frequent substrings; exact counts
-    // here — the dictionary is bounded, no suffix-array needed)
-    val seedc = wf.select(col("freq"), explode(expr(
-        s"""flatten(transform(sequence(1, length(word)), s ->
-           |  transform(sequence(1, $maxLen), l ->
-           |    CASE WHEN s + l - 1 <= length(word)
-           |         THEN substring(word, s, l) ELSE NULL END)))""".stripMargin))
-        .as("piece"))
-      .filter(col("piece").isNotNull)
-      .groupBy(col("piece")).agg(sum(col("freq")).cast("long").as("cnt"))
-    var vocab = seedc.orderBy(col("cnt").desc, col("piece")).limit(seedV)
-      .unionByName(chars.join(seedc, "piece"))
-      .distinct().localCheckpoint(false)
+    val chars = charsOf(wf)
+    var vocab = seedVocabOf(wf, chars, seedV, maxLen)
     (1 to emRounds).foreach { _ =>
       val cnts = segment(wf, vocab, maxLen)
         .select(col("freq"), explode(split(col("seg"), " ")).as("piece"))
@@ -108,6 +92,33 @@ object Unigram {
         .distinct().localCheckpoint(false)
     }
     (vocab, wf)
+  }
+
+  /** The character inventory: kept in every vocabulary so Viterbi always
+    * has a path (the unigram-LM coverage guarantee).
+    */
+  private def charsOf(wf: DataFrame): DataFrame =
+    wf.select(explode(split(col("word"), "")).as("piece"))
+      .distinct().localCheckpoint(false)
+
+  /** Seed vocabulary: every substring occurrence of length 1..maxLen,
+    * freq-weighted (Kudo seeds from frequent substrings; exact counts
+    * here — the dictionary is bounded, no suffix-array needed), top
+    * seedV plus the full character inventory.
+    */
+  private def seedVocabOf(wf: DataFrame, chars: DataFrame, seedV: Int,
+      maxLen: Int): DataFrame = {
+    val seedc = wf.select(col("freq"), explode(expr(
+        s"""flatten(transform(sequence(1, length(word)), s ->
+           |  transform(sequence(1, $maxLen), l ->
+           |    CASE WHEN s + l - 1 <= length(word)
+           |         THEN substring(word, s, l) ELSE NULL END)))""".stripMargin))
+        .as("piece"))
+      .filter(col("piece").isNotNull)
+      .groupBy(col("piece")).agg(sum(col("freq")).cast("long").as("cnt"))
+    seedc.orderBy(col("cnt").desc, col("piece")).limit(seedV)
+      .unionByName(chars.join(seedc, "piece"))
+      .distinct().localCheckpoint(false)
   }
 
   /** Viterbi-segment each dictionary word under the piece distribution
@@ -165,6 +176,121 @@ object Unigram {
        |                 ELSE concat(element_at(acc, i + 1).seg, ' ', substring($word, i + 1, j - i)) END)
        |        ELSE b END)),
        |  acc -> element_at(acc, length($word) + 1).seg)""".stripMargin
+
+  // ---- Lattice-EM (soft) round — the Kudo'18 trainer proper --------------
+
+  /** ONE lattice-expectation (soft) EM round over the seed vocabulary —
+    * `q_doc_unigram_soft`, the round-12 verdict ask. Kudo's trainer
+    * re-estimates piece counts with forward–backward expectations over
+    * the FULL segmentation lattice, not the single Viterbi best: a piece
+    * spanning word positions (i, j] contributes its posterior
+    * α_i · p(piece) · β_j / Z to its own count, so ambiguous
+    * segmentations split credit instead of winner-takes-all (the hard-EM
+    * divergence the fixture spec pins).
+    *
+    * Exactness discipline (what keeps a float-valued E-step
+    * ORACLE-ABLE): α/β are IEEE-double DPs folded in a FIXED order —
+    * identical operand trees in both engines, so every α_i/β_j is
+    * bit-identical (the Viterbi-product discipline) — and each edge
+    * posterior is immediately quantized to integer nanos
+    * (`floor(α·p·β·1e9/Z)` per edge, BEFORE any sum), after which all
+    * counts are order-free exact integer sums (freq-weighted
+    * DECIMAL(38,0), the bm25 headroom rule: freq·q can reach
+    * ~1e10·1e9 = 1e19 > BIGINT at extreme corpus scale).
+    *
+    * Scale shape: identical to the hard-EM round — ONE corpus
+    * word-frequency pass, then everything runs on the ≤ maxWords
+    * dictionary with the seed-vocab probability map riding a single
+    * broadcast row; the α/β/edge work is a narrow codegen'd HOF pass,
+    * O(len·maxLen) per dictionary word.
+    */
+  def unigramVocabSoft(docs: DataFrame, seedV: Int = SeedV,
+      vocabV: Int = VocabV, maxLen: Int = MaxLen,
+      maxWords: Int = MaxWords): DataFrame = {
+    val dec = "decimal(38,0)"
+    val wf = wfOf(docs, maxWords).localCheckpoint(false)
+    val chars = charsOf(wf)
+    val vocab = seedVocabOf(wf, chars, seedV, maxLen)
+    val tot = vocab.agg(sum(col("cnt")).cast("long").as("total"))
+    val vm = vocab.crossJoin(broadcast(tot))
+      .select(col("piece"),
+        (col("cnt").cast("double") / col("total").cast("double")).as("p"))
+      .agg(map_from_entries(collect_list(struct(col("piece"), col("p"))))
+        .as("vm"))
+    val cnts = wf.crossJoin(broadcast(vm))
+      .withColumn("al", expr(alphaExpr(maxLen)))
+      .withColumn("bt", expr(betaExpr(maxLen)))
+      .withColumn("e", explode(expr(edgeExpr(maxLen))))
+      .select(col("freq"), col("e.piece").as("piece"), col("e.q").as("q"))
+      .groupBy(col("piece"))
+      .agg(sum(col("freq").cast(dec) * col("q").cast(dec)).as("cnt"))
+      // a piece whose every edge quantizes to 0 nanos carries no mass —
+      // keep the table strictly positive so the top-V cut and the
+      // character floor can never emit the same piece twice
+      .filter(col("cnt") > 0)
+    cnts.orderBy(col("cnt").desc, col("piece")).limit(vocabV)
+      .unionByName(chars.join(cnts, Seq("piece"), "left")
+        .select(col("piece"),
+          greatest(coalesce(col("cnt"), lit(0L).cast(dec)),
+            lit(1L).cast(dec)).as("cnt")))
+      .distinct()
+  }
+
+  /** Forward DP as a HOF over `word` positions reading the broadcast
+    * `vm` map: α_0 = 1; α_j = Σ_{i=max(0,j−maxLen)}^{j−1} α_i ·
+    * p(word[i+1..j]) (0.0 terms for out-of-vocab spans — added, not
+    * skipped, so the fold order is position-for-position identical to
+    * the DuckDB mirror). Returns the full array [α_0 … α_n].
+    */
+  private def alphaExpr(maxLen: Int): String =
+    s"""aggregate(
+       |  sequence(1, length(word)),
+       |  array(CAST(1.0 AS DOUBLE)),
+       |  (acc, j) -> array_append(acc,
+       |    aggregate(
+       |      sequence(CASE WHEN j > $maxLen THEN j - $maxLen ELSE 0 END, j - 1),
+       |      CAST(0.0 AS DOUBLE),
+       |      (s, i) -> s + CASE
+       |        WHEN try_element_at(vm, substring(word, i + 1, j - i)) IS NOT NULL
+       |        THEN element_at(acc, i + 1) * try_element_at(vm, substring(word, i + 1, j - i))
+       |        ELSE CAST(0.0 AS DOUBLE) END)))""".stripMargin
+
+  /** Backward DP, REVERSED layout [β_n … β_0]: β_n = 1; β_i =
+    * Σ_{j=i+1}^{min(n,i+maxLen)} p(word[i+1..j]) · β_j, inner fold j
+    * ascending. β_j lives at position n − j + 1 of the (growing)
+    * reversed array.
+    */
+  private def betaExpr(maxLen: Int): String =
+    s"""aggregate(
+       |  sequence(length(word) - 1, 0, -1),
+       |  array(CAST(1.0 AS DOUBLE)),
+       |  (acc, i) -> array_append(acc,
+       |    aggregate(
+       |      sequence(i + 1, CASE WHEN i + $maxLen < length(word) THEN i + $maxLen ELSE length(word) END),
+       |      CAST(0.0 AS DOUBLE),
+       |      (s, j) -> s + CASE
+       |        WHEN try_element_at(vm, substring(word, i + 1, j - i)) IS NOT NULL
+       |        THEN try_element_at(vm, substring(word, i + 1, j - i)) * element_at(acc, length(word) - j + 1)
+       |        ELSE CAST(0.0 AS DOUBLE) END)))""".stripMargin
+
+  /** Per-edge quantized posteriors over the (al, bt) columns: every
+    * in-vocab span (i, j] becomes (piece, q) with q = floor(α_i · p ·
+    * β_j · 1e9 / Z) — the SAME left-associated operand tree in the
+    * DuckDB mirror, so the floored nanos are engine-identical.
+    */
+  private def edgeExpr(maxLen: Int): String =
+    s"""filter(
+       |  flatten(transform(sequence(0, length(word) - 1), i ->
+       |    transform(sequence(i + 1, CASE WHEN i + $maxLen < length(word) THEN i + $maxLen ELSE length(word) END), j ->
+       |      CASE WHEN try_element_at(vm, substring(word, i + 1, j - i)) IS NOT NULL
+       |      THEN named_struct(
+       |        'piece', substring(word, i + 1, j - i),
+       |        'q', CAST(FLOOR(element_at(al, i + 1)
+       |              * try_element_at(vm, substring(word, i + 1, j - i))
+       |              * element_at(bt, length(word) - j + 1)
+       |              * 1e9 / element_at(al, length(word) + 1)) AS BIGINT))
+       |      ELSE NULL END))),
+       |  x -> x IS NOT NULL)""".stripMargin
 
   /** The trained vocabulary as a driver-side probability map — the
     * frozen serving artifact the streaming twin rides as a map LITERAL
@@ -330,6 +456,17 @@ object Unigram {
          |    FROM chars c LEFT JOIN cnt$r n USING (piece)) u)""".stripMargin
     val rounds = (1 to emRounds)
       .map(r => dpRound(r) + ",\n" + cntRound(r)).mkString(",\n")
+    s"""${seedCtes(seedV, maxLen, maxWords, src)},
+       |$rounds,
+       |${dpRound(emRounds + 1)}""".stripMargin
+  }
+
+  /** The shared seed-stage CTEs (wf/chars/seedc/v1) — the prefix of
+    * [[unigramCtes]], also the starting point of the soft-round mirror
+    * [[unigramVocabSoftSql]] (one chain text, zero drift).
+    */
+  private def seedCtes(seedV: Int, maxLen: Int, maxWords: Int,
+      src: String): String =
     s"""wf AS MATERIALIZED (
        |  SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS freq
        |  FROM (SELECT unnest(${Dedup.toksSql}) AS w FROM $src) t
@@ -350,10 +487,70 @@ object Unigram {
        |      SELECT piece, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, piece) AS rk
        |      FROM seedc) t WHERE rk <= $seedV
        |    UNION ALL
-       |    SELECT c.piece, s.cnt FROM chars c JOIN seedc s USING (piece)) u),
-       |$rounds,
-       |${dpRound(emRounds + 1)}""".stripMargin
-  }
+       |    SELECT c.piece, s.cnt FROM chars c JOIN seedc s USING (piece)) u)""".stripMargin
+
+  /** DuckDB mirror of [[unigramVocabSoft]]: the shared seed chain, then
+    * α (forward) and β (backward, reversed layout) as recursive CTEs
+    * advancing one word position per step with the inner sums folded in
+    * the IDENTICAL ascending order (0.0 terms for out-of-vocab spans,
+    * added not skipped), per-edge posterior nanos floored before any
+    * sum, HUGEINT freq-weighted totals, and the hard-round prune rule.
+    */
+  def unigramVocabSoftSql(seedV: Int = SeedV, vocabV: Int = VocabV,
+      maxLen: Int = MaxLen, maxWords: Int = MaxWords,
+      src: String = "documents"): String =
+    s"""WITH RECURSIVE ${seedCtes(seedV, maxLen, maxWords, src)},
+       |st AS MATERIALIZED (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM v1),
+       |svm AS MATERIALIZED (SELECT MAP(list(piece ORDER BY piece),
+       |    list(CAST(cnt AS DOUBLE) / CAST((SELECT total FROM st) AS DOUBLE)
+       |         ORDER BY piece)) AS m FROM v1),
+       |sal AS (
+       |  SELECT word, freq, 0 AS j, [CAST(1.0 AS DOUBLE)] AS al FROM wf
+       |  UNION ALL
+       |  SELECT word, freq, j + 1,
+       |    list_append(al, list_reduce(
+       |      list_prepend(CAST(0.0 AS DOUBLE),
+       |        list_transform(range(CASE WHEN j + 1 > $maxLen THEN j + 1 - $maxLen ELSE 0 END, j + 1),
+       |          i -> CASE WHEN m[substring(word, i + 1, j + 1 - i)][1] IS NOT NULL
+       |               THEN al[i + 1] * m[substring(word, i + 1, j + 1 - i)][1]
+       |               ELSE CAST(0.0 AS DOUBLE) END)),
+       |      (a, b) -> a + b)) AS al
+       |  FROM sal, svm WHERE j < length(word)),
+       |sbt AS (
+       |  SELECT word, length(word) AS i, [CAST(1.0 AS DOUBLE)] AS bt FROM wf
+       |  UNION ALL
+       |  SELECT word, i - 1,
+       |    list_append(bt, list_reduce(
+       |      list_prepend(CAST(0.0 AS DOUBLE),
+       |        list_transform(range(i, CASE WHEN i - 1 + $maxLen < length(word) THEN i - 1 + $maxLen ELSE length(word) END + 1),
+       |          j -> CASE WHEN m[substring(word, i, j - i + 1)][1] IS NOT NULL
+       |               THEN m[substring(word, i, j - i + 1)][1] * bt[length(word) - j + 1]
+       |               ELSE CAST(0.0 AS DOUBLE) END)),
+       |      (a, b) -> a + b)) AS bt
+       |  FROM sbt, svm WHERE i > 0),
+       |salf AS MATERIALIZED (SELECT word, freq, al FROM sal WHERE j = length(word)),
+       |sbtf AS MATERIALIZED (SELECT word, bt FROM sbt WHERE i = 0),
+       |sedge AS (
+       |  SELECT freq, e.piece AS piece, e.q AS q FROM (
+       |    SELECT freq, unnest(flatten(list_transform(range(0, length(word)), i ->
+       |      list_transform(range(i + 1, CASE WHEN i + $maxLen < length(word) THEN i + $maxLen ELSE length(word) END + 1), j ->
+       |        CASE WHEN m[substring(word, i + 1, j - i)][1] IS NOT NULL
+       |        THEN {'piece': substring(word, i + 1, j - i),
+       |              'q': CAST(FLOOR(al[i + 1] * m[substring(word, i + 1, j - i)][1]
+       |                   * bt[length(word) - j + 1] * 1e9 / al[length(word) + 1]) AS BIGINT)}
+       |        ELSE NULL END)))) AS e
+       |    FROM salf JOIN sbtf USING (word), svm) t
+       |  WHERE e IS NOT NULL),
+       |scnt AS MATERIALIZED (
+       |  SELECT piece, SUM(CAST(freq AS HUGEINT) * CAST(q AS HUGEINT)) AS cnt
+       |  FROM sedge GROUP BY piece HAVING SUM(CAST(freq AS HUGEINT) * CAST(q AS HUGEINT)) > 0)
+       |SELECT DISTINCT piece, cnt FROM (
+       |  SELECT piece, cnt FROM (
+       |    SELECT piece, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, piece) AS rk
+       |    FROM scnt) t WHERE rk <= $vocabV
+       |  UNION ALL
+       |  SELECT c.piece, GREATEST(COALESCE(n.cnt, CAST(0 AS HUGEINT)), CAST(1 AS HUGEINT)) AS cnt
+       |  FROM chars c LEFT JOIN scnt n USING (piece)) u""".stripMargin
 
   /** DuckDB mirror of [[unigramVocab]]: the final post-EM vocabulary. */
   def unigramVocabSql(seedV: Int = SeedV, vocabV: Int = VocabV,

@@ -169,7 +169,15 @@ object ScaleProbe {
     // round-12: unigram-LM training (ONE corpus word-freq pass, then
     // dictionary-bounded EM — the profile must track the token scan like
     // q_doc_bpe_encode, with the Viterbi rounds near-flat)
-    "q_doc_unigram")
+    "q_doc_unigram",
+    // round-13: the label-cell IVF-PQ serving scan under the guarded
+    // broadcast-probes spelling (the 8e40d1c shape applied to the
+    // sibling joins — the scan must track the store pass, never the
+    // ≤ |cells|-task concentration the shuffle spelling risks), and the
+    // unigram-cost packing family (token pass + dictionary join +
+    // first-fit fold — the r12 driver env's largest phantom flag, so an
+    // x100 row retires that question empirically)
+    "q_emb_ivfpq", "q_doc_unipack", "q_doc_unipackstats")
 
   /** Heaps-ish vocabulary size: 30 tokens at the 5k-doc base (the real
     * table's vocabulary), growing with sqrt(n).

@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Unigram
+
+/** The lattice-EM (soft) unigram round against a hand-computable
+  * reference: a driver-side forward–backward implementation folding in
+  * the IDENTICAL order as the engine's HOF DP reproduces the quantized
+  * expected counts exactly, and an ambiguity-rich fixture pins the
+  * hard-vs-soft divergence — Viterbi hard EM is winner-takes-all (the
+  * losing segmentation's pieces never get counted), while the soft round
+  * splits credit across the lattice, keeping pieces alive that hard EM
+  * prunes.
+  */
+class UnigramSoftSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Driver-side reference: seed vocab (top-seedV substrings + chars),
+    * one forward–backward pass per dictionary word, per-edge posterior
+    * floored to nanos before any sum, freq-weighted totals, hard-round
+    * prune. Fold orders mirror [[Unigram.unigramVocabSoft]]'s HOFs
+    * position for position, so doubles — and their floors — are
+    * bit-identical.
+    */
+  private def refSoft(corpus: Seq[String], seedV: Int, vocabV: Int,
+      maxLen: Int): Map[String, BigInt] = {
+    val words = corpus.flatMap(_.split(" ").filter(_.nonEmpty))
+    val wf = words.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val chars = wf.keys.flatten.map(_.toString).toSet
+    val seedc = scala.collection.mutable.Map[String, Long]()
+    for ((w, f) <- wf; s <- 0 until w.length; l <- 1 to maxLen
+         if s + l <= w.length) {
+      val p = w.substring(s, s + l)
+      seedc(p) = seedc.getOrElse(p, 0L) + f
+    }
+    val topSeed = seedc.toSeq.sortBy { case (p, c) => (-c, p) }
+      .take(seedV).map(_._1).toSet
+    val vocab = (topSeed ++ chars.filter(seedc.contains))
+      .map(p => p -> seedc(p)).toMap
+    val total = vocab.values.sum
+    val pm = vocab.map { case (k, c) => k -> c.toDouble / total.toDouble }
+    val cnt = scala.collection.mutable.Map[String, BigInt]()
+    for ((w, f) <- wf) {
+      val n = w.length
+      val al = new Array[Double](n + 1); al(0) = 1.0
+      for (j <- 1 to n) {
+        var s = 0.0
+        for (i <- math.max(0, j - maxLen) until j) {
+          val piece = w.substring(i, j)
+          s = s + (if (pm.contains(piece)) al(i) * pm(piece) else 0.0)
+        }
+        al(j) = s
+      }
+      val bt = new Array[Double](n + 1); bt(n) = 1.0
+      for (i <- (n - 1) to 0 by -1) {
+        var s = 0.0
+        for (j <- i + 1 to math.min(n, i + maxLen)) {
+          val piece = w.substring(i, j)
+          s = s + (if (pm.contains(piece)) pm(piece) * bt(j) else 0.0)
+        }
+        bt(i) = s
+      }
+      val z = al(n)
+      for (i <- 0 until n; j <- i + 1 to math.min(n, i + maxLen)) {
+        val piece = w.substring(i, j)
+        if (pm.contains(piece)) {
+          val q = math.floor(al(i) * pm(piece) * bt(j) * 1e9 / z).toLong
+          cnt(piece) = cnt.getOrElse(piece, BigInt(0)) + BigInt(f) * q
+        }
+      }
+    }
+    val pos = cnt.toMap.filter(_._2 > 0)
+    val top = pos.toSeq
+      .sortWith((a, b) => a._2 > b._2 || (a._2 == b._2 && a._1 < b._1))
+      .take(vocabV).toMap
+    // DISTINCT(top-V ∪ char floor rows): a char inside the top-V carries
+    // the same positive count on both legs, so the map union IS the
+    // distinct union
+    top ++ chars.map(c => c -> pos.getOrElse(c, BigInt(0)).max(BigInt(1)))
+  }
+
+  private def toMap(df: org.apache.spark.sql.DataFrame): Map[String, BigInt] = {
+    val rows = df.select($"piece", $"cnt".cast("decimal(38,0)")).collect()
+      .map(r => r.getString(0) -> BigInt(r.getDecimal(1).toBigInteger))
+    val m = rows.toMap
+    assert(m.size == rows.length, s"duplicate pieces in vocab: ${rows.toSeq}")
+    m
+  }
+
+  test("soft round reproduces the hand forward-backward expectations exactly") {
+    val docs = Seq(
+      (1L, "abab abab baba ab", "en", "s"),
+      (2L, "abab aab bba baba", "en", "s"),
+      (3L, "ababab abab aab", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    val got = toMap(Unigram.unigramVocabSoft(docs, seedV = 8, vocabV = 5,
+      maxLen = 3, maxWords = 100))
+    val want = refSoft(docs.select($"text").as[String].collect().toSeq,
+      seedV = 8, vocabV = 5, maxLen = 3)
+    assert(got === want)
+    // the lattice actually carries mass: at least one multi-char piece
+    // survives with a real (non-floor) count
+    assert(got.exists { case (p, c) => p.length > 1 && c > 1 })
+  }
+
+  test("hard vs soft: winner-takes-all prunes the losing segmentation's piece, the lattice keeps it") {
+    // "abab" × f: Viterbi's unique best is [ab, ab] — "ba" (the interior
+    // piece of the LOSING [a, ba, b] path) gets ZERO hard-EM count and
+    // is pruned; the soft round credits it its posterior and keeps it.
+    val docs = Seq(
+      (1L, "abab abab abab abab", "en", "s"),
+      (2L, "abab abab abab abab", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    val hard = toMap(Unigram.unigramVocab(docs, seedV = 4, vocabV = 4,
+      maxLen = 2, emRounds = 1, maxWords = 100))
+    val soft = toMap(Unigram.unigramVocabSoft(docs, seedV = 4, vocabV = 4,
+      maxLen = 2, maxWords = 100))
+    assert(!hard.contains("ba"),
+      s"hard EM should prune the losing path's piece: $hard")
+    assert(soft.get("ba").exists(_ > 1),
+      s"soft EM should keep lattice mass on 'ba': $soft")
+    // and the char floor shows the same split: hard charges a/b only the
+    // Laplace floor (the best path never uses bare chars), soft gives
+    // them real posterior mass
+    assert(hard("a") == BigInt(1) && hard("b") == BigInt(1), s"$hard")
+    assert(soft("a") > 1 && soft("b") > 1, s"$soft")
+  }
+}

@@ -997,6 +997,15 @@ object SparkEntry {
     "q_emb_opqrecall" -> { (s, dir) =>
       Similarity.opqRecall(Tables.embeddings(s, dir), dir)
     },
+    // The Ge'13 ALTERNATION (round 13): after H1 axis-aligns PC1,
+    // re-fit the dominant direction of the deflated (coordinate-0-
+    // masked) rotated corpus and map it onto subspace 1's first axis
+    // with a second Householder — the top-2 correlated directions land
+    // in two DIFFERENT subspaces. Three-variant equal-bytes bake-off
+    // (pq / opq / opq2) against the same brute exact-L2 truth.
+    "q_emb_opq2" -> { (s, dir) =>
+      Similarity.opq2Recall(Tables.embeddings(s, dir), dir)
+    },
     // OPQ composed under IVF: cells bound WHERE (labels are
     // rotation-invariant; H orthogonal preserves the probe cosine),
     // rotated codes bound candidate COST — completes the composition
@@ -3508,6 +3517,7 @@ object SparkEntry {
          |WHERE rn <= 3""".stripMargin,
     "q_emb_opq" -> Similarity.knnOpqSql(),
     "q_emb_opqrecall" -> Similarity.opqRecallSql(),
+    "q_emb_opq2" -> Similarity.opq2RecallSql(),
     "q_emb_ivfopq" -> Similarity.knnIvfOpqSql(),
     "q_emb_ivfpqr" -> Similarity.ivfPqResidualSql(),
     "q_emb_fivfpqr" ->

@@ -73,6 +73,55 @@ class OpqSpec extends SparkSpec {
     } finally spark.conf.set(aqeKey, old)
   }
 
+  test("alternation round 2: every candidate rotation is an exact isometry") {
+    val e = graft.sources.Tables.embeddings(spark, Sf)
+    val raw = e.select($"vec_id", $"embedding".cast("array<double>").as("a"))
+    for ((cand, ci) <- Similarity.opq2Candidates(e, Sf).zipWithIndex) {
+      val rr = cand.select($"vec_id", $"embedding".cast("array<double>").as("b"))
+      val d = raw.join(rr, "vec_id")
+        .join(raw.select(($"vec_id" - 1).as("vec_id"), $"a".as("a2"))
+          .join(rr.select(($"vec_id" - 1).as("vec_id"), $"b".as("b2")), "vec_id"),
+          "vec_id")
+        .select(graft.functions.VectorFunctions.l2sq($"a", $"a2").as("dr"),
+          graft.functions.VectorFunctions.l2sq($"b", $"b2").as("db"))
+        .collect()
+      assert(d.length > 100)
+      d.foreach { r =>
+        val (dr, db) = (r.getDouble(0), r.getDouble(1))
+        assert(math.abs(dr - db) <= 1e-9 * math.max(dr, 1.0),
+          s"candidate $ci broke a distance: $dr vs $db")
+      }
+    }
+  }
+
+  test("alternation round 2: accept-by-measurement never regresses the quantization objective") {
+    val e = graft.sources.Tables.embeddings(spark, Sf)
+    val sses = Similarity.opq2CandidateSses(e, Sf)
+    assert(sses.length == 3 && sses.forall(_ > 0))
+    val chosen = Similarity.pqSse(Similarity.rotatedCorpus2(e, Sf), 8)
+    // descent: the accepted rotation's refit-codebook SSE is never worse
+    // than keeping H1 alone…
+    assert(chosen <= sses.head,
+      s"alternation regressed the objective: $chosen > ${sses.head} (all: $sses)")
+    // …and a challenger only ever displaces the incumbent past the
+    // hysteresis bar (sub-noise-floor wins are rejected)
+    if (chosen < sses.head)
+      assert(BigInt(chosen) * 10000L <=
+        BigInt(sses.head) * (10000L - Similarity.OpqAcceptPermyriad),
+        s"accepted challenger under the hysteresis bar: $chosen vs ${sses.head}")
+  }
+
+  test("alternation round 2: three-variant bake-off — opq2 recall >= opq at equal bytes") {
+    val got = Similarity.opq2Recall(graft.sources.Tables.embeddings(spark, Sf), Sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got.keySet === Set("pq", "opq", "opq2"))
+    val (_, t1, opqRec) = got("opq")
+    val (h2, t2, opq2Rec) = got("opq2")
+    assert(t1 == t2 && t1 > 0 && h2 > 0)
+    assert(opq2Rec >= opqRec,
+      s"the alternation lost recall vs its own round 1: $opq2Rec < $opqRec")
+  }
+
   test("knnOpq output contract matches knnPq (same shape, same k per query)") {
     val e = graft.sources.Tables.embeddings(spark, Sf)
     val opq = Similarity.knnOpq(e, Sf)

@@ -596,6 +596,16 @@ object SparkEntry {
     // rows of a D×W cell-count sketch) vs exact count for the top-20
     // tokens; overcount column pins the ≥-true guarantee.
     "q_doc_cms" -> { (s, dir) => TextAnalysis.cmsAudit(Tables.documents(s, dir)) },
+    // HyperLogLog per-source vocabulary cardinality (round 13): 2^8
+    // 6-bit registers per source, built in ONE token pass with no
+    // distinct (max is idempotent — replay-tolerant by construction),
+    // merged cell-wise across shards/generations with no re-scan; the
+    // harmonic denominator stays an EXACT BIGINT sum of powers of two,
+    // the estimate is one double division, and the exact distinct count
+    // rides along as the audit twin. KMV keeps the intersection
+    // read-out; HLL is the 6-bit-register union-lossless cardinality
+    // summary next to it.
+    "q_doc_hll" -> { (s, dir) => TextAnalysis.hllCardinality(Tables.documents(s, dir)) },
     // KMV/theta-sketch cross-source overlap: per-source bottom-k
     // shingle sketches (O(k) heap state, map-side combined) →
     // pairwise union/intersection ESTIMATES audited against exact
@@ -4120,6 +4130,7 @@ object SparkEntry {
     "q_doc_wsample" -> Curation.weightedSampleSql(),
     "q_doc_snapdiff" -> Curation.snapshotDiffSql,
     "q_doc_cms" -> TextAnalysis.cmsAuditSql(),
+    "q_doc_hll" -> TextAnalysis.hllCardinalitySql(),
     "q_doc_kmv" -> TextAnalysis.kmvOverlapSql(),
     "q_doc_kmvgen" -> TextAnalysis.kmvGenOverlapSql(),
     "q_doc_zipf" -> TextAnalysis.zipfOctavesSql,

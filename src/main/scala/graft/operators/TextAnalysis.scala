@@ -2000,6 +2000,186 @@ object TextAnalysis {
        |GROUP BY cb.w, cb.true_cnt""".stripMargin
   }
 
+  // ---- HyperLogLog cardinality sketch ------------------------------------
+
+  /** HyperLogLog geometry (Flajolet–Fuchs–Gandouet–Meunier '07): m =
+    * 2^[[HllP]] registers, each the MAX leading-zero rank seen in its
+    * bucket. Bucket and rank are two independent affine mixes of the
+    * shared polynomial token hash (the CMS/Bloom discipline — all exact
+    * integer arithmetic, so the DuckDB mirror rebuilds the identical
+    * registers): bucket = ((poly·a_b + b_b) mod P) mod m; the rank value
+    * v = (poly·a_r + b_r) mod P is ~uniform on [0, P), and rho =
+    * 31 − bitlength(v) (v = 0 → 31) — integer bit arithmetic, never
+    * float log2 (the lengthBuckets rule). The squaring is load-bearing:
+    * rho statistics need the TAIL of the hash uniform (Pr(v < 2^k) =
+    * 2^k/P for small k), and an affine mix of the structured rolling
+    * hash measurably overweights that tail (60k synthetic tokens: rank
+    * 11 observed 160× vs 31× expected → a 2.8× cardinality
+    * overestimate), while the quadratic residue decorrelates it to the
+    * expected counts (spec-pinned error bound). The CMS/Bloom affine
+    * mixes are untouched — point-query bucketing needs only coarse
+    * uniformity, not tail uniformity. Since P < 2^30,
+    * Pr(rho ≥ r) = 2^(31−r)/P = (2^30/P)·2^(1−r): the ideal geometric
+    * law times the constant c = 2^30/P — indistinguishable from
+    * sketching c·n distinct elements, so [[hllCardinality]] divides c
+    * back out of the estimate.
+    *
+    * Next to the KMV bottom-k ([[kmvSketch]]): HLL registers cost
+    * 6 bits each (m·6 bits per source total), union LOSSLESSLY across
+    * any number of shards (max is associative, commutative,
+    * idempotent), and tolerate duplicate/replayed updates with no
+    * distinct pass at all — the cardinality summary a 100 TB crawl
+    * keeps per shard per generation; KMV remains the sketch for the
+    * direct INTERSECTION read-out HLL cannot give.
+    */
+  val HllP = 8
+  val HllM: Int = 1 << HllP
+
+  /** The register table: (source, bucket, rho), hit buckets only
+    * (an absent bucket ≡ rank 0; the estimator folds the zeros back
+    * in) — ≤ \|sources\|·m rows. ONE token pass (no distinct needed —
+    * max is idempotent) into a grouped MAX whose map-side partials
+    * collapse every partition to ≤ m cells per source before the tiny
+    * shuffle.
+    */
+  def hllRegisters(docs: DataFrame): DataFrame =
+    hllRegistersOf(withToks(docs).select(col("source"), explode(col("toks")).as("w")))
+
+  /** Register cells over an arbitrary (source, w) stream — shared by
+    * the batch sketch and the streaming twin
+    * ([[graft.streaming.DocStream.hllUpdates]]).
+    */
+  def hllRegistersOf(tokDf: DataFrame): DataFrame =
+    hllCellsOf(tokDf)
+      .groupBy(col("source"), col("bucket"))
+      .agg(max(col("rho")).as("rho"))
+
+  /** One (source, bucket, rho) cell hit per token occurrence — the
+    * narrow update fan-in both register builders ride.
+    */
+  def hllCellsOf(tokDf: DataFrame): DataFrame =
+    tokDf
+      .withColumn("h", stringHash(col("w")))
+      .withColumn("h2", pmod(col("h") * col("h"), lit(P)))
+      .withColumn("bucket",
+        pmod(col("h2") * lit(1009L) + lit(91L), lit(P)) % lit(HllM.toLong))
+      .withColumn("v", pmod(col("h2") * lit(2003L) + lit(57L), lit(P)))
+      .select(col("source"), col("bucket"),
+        when(col("v") === 0L, lit(31L))
+          .otherwise(lit(31L) - length(bin(col("v"))).cast("long")).as("rho"))
+
+  /** Merge two register tables WITHOUT re-scanning either corpus — the
+    * mergeability law (same contract as [[kmvMerge]] and the CMS
+    * cell-wise sum): registers(A ∪ B) = cell-wise max, exactly, for any
+    * shard split and any replay multiplicity (spec-pinned).
+    */
+  def hllMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy(col("source"), col("bucket"))
+      .agg(max(col("rho")).as("rho"))
+
+  /** Per-source cardinality estimate + EXACT audit — `q_doc_hll`:
+    * (source, v_zero, s_scaled, est, n_exact, rel_err). The harmonic
+    * denominator is kept EXACT: s_scaled = Σ_buckets 2^(31−rho) (a
+    * zero register contributes 2^31) is a plain BIGINT sum of exact
+    * powers of two — order-free, engine-identical — and the estimate is
+    * ONE double division of one precomputed Scala constant by it:
+    * est = α_m·m²·2^31·(P/2^30) / s_scaled (the last factor divides out
+    * the truncated-geometric constant c). The exact distinct count is
+    * the AUDIT side (corpus-priced, like every audit twin); production
+    * reads the ≤ m-cell register artifact only.
+    */
+  def hllCardinality(docs: DataFrame): DataFrame = {
+    val m = HllM
+    val num = hllRawNum
+    val toks = withToks(docs).select(col("source"), explode(col("toks")).as("w"))
+    // Flajolet's small-range branch: when the raw estimate sits under
+    // 5/2·m (the regime where the raw estimator bottoms out near α·m
+    // regardless of n) and zero registers exist, LINEAR COUNTING
+    // m·ln(m/V) estimates from occupancy instead. ln is transcendental
+    // — NOT correctly rounded, so an engine libm call would break the
+    // oracle — but V has only m−1 possible values with a hit present,
+    // so the ONLY ln anywhere is evaluated once in Scala over the 255
+    // possible occupancies and inlined as identical literals into both
+    // engines ([[hllLcTable]]).
+    val lcArr = array(hllLcTable.map(lit(_)): _*)
+    val est = hllRegistersOf(toks)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_hit"),
+        sum(expr("shiftleft(1L, CAST(31 - rho AS INT))")).as("s_hit"))
+      .select(col("source"),
+        (lit(m.toLong) - col("n_hit")).as("v_zero"),
+        ((lit(m.toLong) - col("n_hit")) * lit(2147483648L) + col("s_hit"))
+          .as("s_scaled"))
+      .withColumn("est_raw", lit(num) / col("s_scaled").cast("double"))
+      .withColumn("est",
+        when(col("est_raw") <= lit(2.5 * m) && col("v_zero") > 0,
+          element_at(lcArr, col("v_zero").cast("int")))
+          .otherwise(col("est_raw")))
+    val exact = toks.groupBy(col("source"))
+      .agg(countDistinct(col("w")).as("n_exact"))
+    est.join(exact, Seq("source"))
+      .select(col("source"), col("v_zero"), col("s_scaled"), col("est_raw"),
+        col("est"), col("n_exact"),
+        ((col("est") - col("n_exact").cast("double"))
+          / col("n_exact").cast("double")).as("rel_err"))
+  }
+
+  /** The raw-estimate numerator α_m·m²·2^31·(2^30/P), one Scala double. */
+  private def hllRawNum: Double = {
+    val m = HllM
+    (0.7213 / (1.0 + 1.079 / m)) * m.toDouble * m.toDouble * 2147483648.0 *
+      (P.toDouble / 1073741824.0)
+  }
+
+  /** Linear-counting lookup: index V ∈ [1, m−1] → m·ln(m/V), computed
+    * once driver-side (no engine libm in any query path).
+    */
+  private def hllLcTable: Seq[Double] =
+    (1 until HllM).map(v => HllM.toDouble * math.log(HllM.toDouble / v))
+
+  /** DuckDB mirror of [[hllCardinality]] — identical registers from the
+    * same affine mixes, the same exact integer harmonic denominator,
+    * the same single-division estimate (the Scala constant interpolates
+    * at shortest-round-trip repr, so the parsed literal is the
+    * identical bit pattern).
+    */
+  def hllCardinalitySql(src: String = "documents"): String = {
+    val m = HllM
+    val num = hllRawNum
+    val lcList = hllLcTable.map(d => s"CAST($d AS DOUBLE)").mkString(", ")
+    s"""WITH htok AS (
+       |  SELECT source, unnest(toks) AS w
+       |  FROM (SELECT source, ${graft.operators.Dedup.toksSql} AS toks FROM $src) t),
+       |hh0 AS (SELECT source, w, ${graft.operators.Dedup.hashSql("w")} AS h FROM htok),
+       |hh AS (SELECT source, w, (h * h) % $P AS h2 FROM hh0),
+       |hreg AS (
+       |  SELECT source, (h2 * 1009 + 91) % $P % $m AS bucket,
+       |    MAX(CASE WHEN (h2 * 2003 + 57) % $P = 0 THEN 31
+       |        ELSE 31 - length(format('{:b}', (h2 * 2003 + 57) % $P)) END) AS rho
+       |  FROM hh GROUP BY 1, 2),
+       |hest AS (
+       |  SELECT source, CAST($m - COUNT(*) AS BIGINT) AS v_zero,
+       |    CAST(($m - COUNT(*)) * 2147483648 +
+       |      SUM(CAST(1 AS BIGINT) << CAST(31 - rho AS INT)) AS BIGINT) AS s_scaled
+       |  FROM hreg GROUP BY source),
+       |hxct AS (SELECT source, CAST(COUNT(DISTINCT w) AS BIGINT) AS n_exact
+       |        FROM htok GROUP BY source),
+       |hlc AS (SELECT [$lcList] AS lc)
+       |SELECT source, v_zero, s_scaled, est_raw, est, n_exact,
+       |  (est - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE) AS rel_err
+       |FROM (
+       |  SELECT source, v_zero, s_scaled, est_raw,
+       |    CASE WHEN est_raw <= ${2.5 * m} AND v_zero > 0
+       |         THEN lc[CAST(v_zero AS INT)] ELSE est_raw END AS est,
+       |    n_exact
+       |  FROM (
+       |    SELECT e.source, e.v_zero, e.s_scaled,
+       |      $num / CAST(e.s_scaled AS DOUBLE) AS est_raw, x.n_exact
+       |    FROM hest e JOIN hxct x USING (source)) t0
+       |  CROSS JOIN hlc) t""".stripMargin
+  }
+
   // ---- Bloom-gated decontamination ---------------------------------------
 
   /** Bloom hash-function count and affine-mix constants (same discipline

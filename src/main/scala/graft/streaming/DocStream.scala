@@ -794,6 +794,62 @@ object DocStream {
         info: ExpiredTimerInfo): Iterator[KmvEntry] = Iterator.empty
   }
 
+  case class HllTok(source: String, bucket: Long, rho: Long)
+  case class HllCell(source: String, bucket: Long, rho: Long)
+
+  /** Streaming twin of the HyperLogLog registers
+    * ([[graft.operators.TextAnalysis.hllRegisters]]): per-source
+    * bucket→max-rho cells maintained incrementally — max is
+    * associative, commutative and IDEMPOTENT, so cells fold one token
+    * at a time with NO window, no watermark, no TTL (the [[kmvCandidates]]
+    * posture), and a redelivered doc's tokens can only re-assert maxima
+    * the registers already hold: at-least-once safe by construction.
+    * State: ≤ m cells per source — CONSTANT for any stream length. Each
+    * batch emits the full register set it now holds (Append; downstream
+    * keeps the latest emission, the KMV read contract), so after any
+    * prefix of batches the emitted registers ≡ the batch
+    * [[graft.operators.TextAnalysis.hllRegistersOf]] over the prefix's
+    * docs (spec-pinned) and [[graft.operators.TextAnalysis.hllMerge]] /
+    * the estimator read them unchanged.
+    */
+  def hllUpdates(spark: SparkSession,
+      docs: Dataset[(String, String)]): Dataset[HllCell] = {
+    import spark.implicits._
+    graft.operators.TextAnalysis.hllCellsOf(
+        docs.toDF("source", "text")
+          .select(col("source"),
+            explode(graft.functions.TextFunctions.tokens(col("text"))).as("w")))
+      .as[HllTok]
+      .groupByKey(_.source)
+      .transformWithState(new HllProcessor, TimeMode.None(),
+        OutputMode.Append())
+  }
+
+  private class HllProcessor
+      extends StatefulProcessor[String, HllTok, HllCell] {
+    @transient private var regs: MapState[Long, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      regs = getHandle.getMapState[Long, Long](
+        "hll", Encoders.scalaLong, Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[HllTok],
+        tv: TimerValues): Iterator[HllCell] = {
+      // ≤ m cells: load once, fold the batch in memory, write back only
+      // the raised maxima (the KmvProcessor state discipline)
+      val m = scala.collection.mutable.Map.empty[Long, Long]
+      regs.iterator().foreach { case (b, r) => m(b) = r }
+      rows.foreach { t =>
+        if (t.rho > m.getOrElse(t.bucket, 0L)) m(t.bucket) = t.rho
+      }
+      m.foreach { case (b, r) => regs.updateValue(b, r) }
+      m.iterator.map { case (b, r) => HllCell(key, b, r) }.toSeq.iterator
+    }
+
+    override def handleExpiredTimer(key: String, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[HllCell] = Iterator.empty
+  }
+
   case class ManifestOp(ts: Timestamp, doc_id: Long, lang: String,
     h: Long, n_tokens: Long, deleted: Boolean)
   case class DiffEvent(doc_id: Long, lang: String, status: String,

@@ -377,6 +377,15 @@ object SparkEntry {
     // (exact DECIMAL nanos weights), the corpus re-scores on the mixed
     // query — docs matching ONLY expansion terms enter via the
     // full-outer mix, recall beyond the literal vocabulary.
+    // Dirichlet-smoothed query likelihood (Zhai-Lafferty'01) — the
+    // language-modeling retrieval leg next to BM25 (round 13): every
+    // doc scores (the smoothing is the point — a short unmatched doc
+    // legitimately outranks a long one), product form keeps the math
+    // transcendental-free, per-term ratios fold in query order and the
+    // score quantizes to attos.
+    "q_doc_ql" -> { (s, dir) =>
+      TextAnalysis.qlSearch(Tables.documents(s, dir), SearchTerms)
+    },
     "q_doc_rm3" -> { (s, dir) =>
       TextAnalysis.rm3Search(Tables.documents(s, dir), SearchTerms)
     },
@@ -3298,6 +3307,7 @@ object SparkEntry {
          |GROUP BY doc_id
          |HAVING COUNT(DISTINCT w) = 3""".stripMargin,
     "q_doc_bm25" -> TextAnalysis.bm25SearchSql(SearchTerms),
+    "q_doc_ql" -> TextAnalysis.qlSearchSql(SearchTerms),
     "q_doc_rm3" -> TextAnalysis.rm3SearchSql(SearchTerms),
     "q_doc_rm3fb" -> TextAnalysis.rm3FeedbackSql(SearchTerms),
     "q_doc_rm3exp" -> TextAnalysis.rm3ExpansionSql(SearchTerms),

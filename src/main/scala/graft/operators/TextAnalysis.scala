@@ -297,6 +297,94 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_terms"), sum(col("c_nanos")).as("score_odds_nanos"))
   }
 
+  /** Dirichlet-smoothed query-likelihood retrieval (Zhai–Lafferty '01) —
+    * the language-modeling leg of the retrieval family next to
+    * [[bm25Search]]: score(d, q) = Π_{w∈q} (tf_{w,d} + μ·cf_w/‖C‖) /
+    * (dl_d + μ), ranked over the WHOLE corpus — the smoothing is the
+    * point: a document containing none of the query terms still scores
+    * (all-background), and a short unmatched document legitimately
+    * outranks a long one (spec-pinned), which no tf-only scorer can
+    * express. The product form IS the ranking (monotone with the usual
+    * Σ log spelling) and keeps the arithmetic transcendental-free.
+    *
+    * Exactness: tf, cf, dl, ‖C‖ are exact integers; each term's ratio
+    * is a fixed tree of correctly-rounded double ops, the product folds
+    * over the query terms IN GIVEN ORDER (both engines), and the final
+    * score quantizes to attos (score ≤ 1 since tf ≤ dl and cf ≤ ‖C‖,
+    * so ⌊score·1e18⌋ fits a BIGINT) — floor of engine-identical
+    * doubles.
+    *
+    * Scale shape: the [[bm25Search]] contract — one narrow
+    * term-filtered token pass; per-doc term-frequency maps ride the
+    * SAME (doc_id, dl)-keyed rows; collection frequencies and ‖C‖ are
+    * ≤‖terms‖-row and 1-row broadcasts; the whole-corpus score stage is
+    * one co-partitioned left join + narrow math; top-k is a
+    * TakeOrderedAndProject single reduce.
+    */
+  def qlSearch(docs: DataFrame, terms: Seq[String], mu: Double = 2000.0,
+      k: Int = 10): DataFrame = {
+    require(terms.nonEmpty, "ql needs at least one term")
+    val td = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"), col("toks"))
+      .localCheckpoint(false)
+    val tt = td.agg(sum(col("dl")).as("tt"))
+    val qtok = td.select(col("doc_id"), explode(col("toks")).as("w"))
+      .filter(col("w").isin(terms: _*))
+    val cfm = qtok.groupBy(col("w")).agg(count(lit(1)).as("cf"))
+      .agg(map_from_entries(collect_list(struct(col("w"), col("cf")))).as("cfm"))
+    val tfm = qtok.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+      .groupBy(col("doc_id"))
+      .agg(map_from_entries(collect_list(struct(col("w"), col("tf")))).as("tfm"))
+    val scored = td.select(col("doc_id"), col("dl"))
+      .join(tfm, Seq("doc_id"), "left")
+      .crossJoin(broadcast(cfm))
+      .crossJoin(broadcast(tt))
+    val score = terms.foldLeft(lit(1.0d)) { (acc, t) =>
+      acc * ((coalesce(element_at(col("tfm"), lit(t)), lit(0L)).cast("double")
+        + lit(mu) * (coalesce(element_at(col("cfm"), lit(t)), lit(0L)).cast("double")
+          / col("tt").cast("double")))
+        / (col("dl").cast("double") + lit(mu)))
+    }
+    scored
+      .select(col("doc_id"), floor(score * lit(1e18)).cast("long").as("ql_atto"))
+      .orderBy(col("ql_atto").desc, col("doc_id")).limit(k)
+  }
+
+  /** DuckDB mirror of [[qlSearch]] — the same per-term ratio trees
+    * multiplied in the same order, μ and 1e18 interpolated from the
+    * SAME Scala doubles.
+    */
+  def qlSearchSql(terms: Seq[String], mu: Double = 2000.0, k: Int = 10,
+      src: String = "documents"): String = {
+    val inList = terms.map(t => s"'$t'").mkString(", ")
+    val joins = terms.zipWithIndex.map { case (t, i) =>
+      s"LEFT JOIN (SELECT doc_id, tf FROM qtf WHERE w = '$t') f$i USING (doc_id)"
+    }.mkString("\n       |  ")
+    val prod = terms.zipWithIndex.map { case (t, i) =>
+      s"""((CAST(COALESCE(f$i.tf, 0) AS DOUBLE)
+         |      + $mu * (CAST(COALESCE((SELECT cf FROM qcf WHERE w = '$t'), 0) AS DOUBLE)
+         |        / CAST(tt AS DOUBLE)))
+         |    / (CAST(dl AS DOUBLE) + $mu))""".stripMargin
+    }.mkString("\n       |  * ")
+    s"""WITH qtd AS (
+       |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks
+       |  FROM (SELECT doc_id, ${graft.operators.Dedup.toksSql} AS toks FROM $src) t),
+       |qts AS (SELECT SUM(dl) AS tt FROM qtd),
+       |qtok AS (
+       |  SELECT doc_id, unnest(toks) AS w FROM qtd),
+       |qftok AS (SELECT doc_id, w FROM qtok WHERE w IN ($inList)),
+       |qcf AS (SELECT w, COUNT(*) AS cf FROM qftok GROUP BY w),
+       |qtf AS (SELECT doc_id, w, COUNT(*) AS tf FROM qftok GROUP BY doc_id, w)
+       |SELECT doc_id,
+       |  CAST(FLOOR(CAST(1.0 AS DOUBLE)
+       |  * $prod
+       |  * 1.0E18) AS BIGINT) AS ql_atto
+       |FROM qtd
+       |  $joins
+       |  CROSS JOIN qts
+       |ORDER BY ql_atto DESC, doc_id LIMIT $k""".stripMargin
+  }
+
   /** Per-(doc, term) BM25 odds-nanos component table over an arbitrary
     * TERM TABLE — [[bm25Search]]'s inner stage with the static IN-list
     * replaced by a broadcast term equi-join, so a DATA-DERIVED query

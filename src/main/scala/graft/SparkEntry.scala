@@ -615,6 +615,19 @@ object SparkEntry {
     // read-out; HLL is the 6-bit-register union-lossless cardinality
     // summary next to it.
     "q_doc_hll" -> { (s, dir) => TextAnalysis.hllCardinality(Tables.documents(s, dir)) },
+    // …and the cross-generation vocabulary-growth read-out: est(A∪B) −
+    // est(A) from the CELL-WISE MAX MERGE of the two generations'
+    // register artifacts — the base corpus is never re-scanned (the
+    // kmvgen economics at m·6 bits per source); exact new-type counts
+    // ride as the audit twin. Same generation split as q_doc_kmvgen.
+    "q_doc_hllgen" -> { (s, dir) =>
+      val d = Tables.documents(s, dir)
+      TextAnalysis.hllGenGrowth(
+        d.filter(col("doc_id") % 3 =!= 0),
+        d.filter(col("doc_id") % 3 === 0).unionByName(
+          d.filter(col("doc_id") % 6 === 1)
+            .withColumn("doc_id", col("doc_id") + 3000000L)))
+    },
     // KMV/theta-sketch cross-source overlap: per-source bottom-k
     // shingle sketches (O(k) heap state, map-side combined) →
     // pairwise union/intersection ESTIMATES audited against exact
@@ -1031,6 +1044,12 @@ object SparkEntry {
     // matrix next to q_emb_ivfpq/ivfpqr.
     "q_emb_ivfopq" -> { (s, dir) =>
       Similarity.knnIvfOpq(Tables.embeddings(s, dir), dir)
+    },
+    // …and the ALTERNATION-accepted rotation under IVF (round 13): the
+    // serving consumer of opq2 — cells stay label clusters (isometry
+    // preserves the probe cosine), accepted codes bound candidate cost.
+    "q_emb_ivfopq2" -> { (s, dir) =>
+      Similarity.knnIvfOpq2(Tables.embeddings(s, dir), dir)
     },
 
     // IVF-PQ: cells bound WHERE to search, codes bound candidate COST —
@@ -3538,6 +3557,7 @@ object SparkEntry {
     "q_emb_opq" -> Similarity.knnOpqSql(),
     "q_emb_opqrecall" -> Similarity.opqRecallSql(),
     "q_emb_opq2" -> Similarity.opq2RecallSql(),
+    "q_emb_ivfopq2" -> Similarity.knnIvfOpq2Sql(),
     "q_emb_ivfopq" -> Similarity.knnIvfOpqSql(),
     "q_emb_ivfpqr" -> Similarity.ivfPqResidualSql(),
     "q_emb_fivfpqr" ->
@@ -4141,6 +4161,7 @@ object SparkEntry {
     "q_doc_snapdiff" -> Curation.snapshotDiffSql,
     "q_doc_cms" -> TextAnalysis.cmsAuditSql(),
     "q_doc_hll" -> TextAnalysis.hllCardinalitySql(),
+    "q_doc_hllgen" -> TextAnalysis.hllGenGrowthSql(),
     "q_doc_kmv" -> TextAnalysis.kmvOverlapSql(),
     "q_doc_kmvgen" -> TextAnalysis.kmvGenOverlapSql(),
     "q_doc_zipf" -> TextAnalysis.zipfOctavesSql,

@@ -1605,6 +1605,18 @@ object Similarity {
       nprobe: Int = 2, m: Int = PqSubspaces): DataFrame =
     knnIvfPq(rotatedCorpus(e, dir), queryMod, k, nprobe, m)
 
+  /** The alternation-accepted rotation composed under IVF —
+    * [[knnIvfOpq]] over [[rotatedCorpus2]]: `q_emb_ivfopq2`, the serving
+    * consumer of the round-2 rotation (cells stay label clusters —
+    * every candidate rotation is an isometry, so the probe cosine is
+    * preserved; accepted codes bound candidate COST). Closes the
+    * composition matrix next to q_emb_ivfopq exactly as opq2 closes it
+    * next to opq.
+    */
+  def knnIvfOpq2(e: DataFrame, dir: String, queryMod: Int = 50, k: Int = 3,
+      nprobe: Int = 2, m: Int = PqSubspaces): DataFrame =
+    knnIvfPq(rotatedCorpus2(e, dir), queryMod, k, nprobe, m)
+
   /** Recall@k of PQ vs OPQ against the exact L2 truth — the equal-bytes
     * bake-off row (`q_emb_opqrecall`): (variant, n_hit, n_truth, recall)
     * for variant ∈ {pq, opq}. Truth is the brute exact top-k (squared-L2
@@ -4328,66 +4340,85 @@ object Similarity {
     */
   def knnIvfOpqSql(k: Int = 3, nprobe: Int = 2, queryMod: Int = 50): String =
     s"""WITH ${opqRotatedCtes()},
-       |iolab AS MATERIALIZED (
+       |${ivfPqChainCtesOver("io", "rbase", k, nprobe, queryMod)}
+       |SELECT qid, rank, vec_id FROM iores""".stripMargin
+
+  /** DuckDB mirror of [[knnIvfOpq2]]: the same chain over the
+    * ALTERNATION-accepted rotation (`fbase`).
+    */
+  def knnIvfOpq2Sql(k: Int = 3, nprobe: Int = 2, queryMod: Int = 50): String =
+    s"""WITH ${opq2RotatedCtes()},
+       |${ivfPqChainCtesOver("jo", "fbase", k, nprobe, queryMod)}
+       |SELECT qid, rank, vec_id FROM jores""".stripMargin
+
+  /** The IVF-PQ serving chain over an arbitrary (vec_id, label, emb)
+    * base — [[knnIvfOpqSql]]'s body with CTE prefix and source
+    * parameterized (the [[pqChainCtesOver]] convention). Ends at
+    * `<p>res` = (qid, rank, vec_id).
+    */
+  private def ivfPqChainCtesOver(p: String, base: String, k: Int,
+      nprobe: Int, queryMod: Int): String =
+    s"""${p}lab AS MATERIALIZED (
        |  SELECT label, CAST(ROW_NUMBER() OVER (ORDER BY label) AS INT) - 1 AS li
-       |  FROM (SELECT DISTINCT label FROM rbase)),
-       |iocen AS MATERIALIZED (
+       |  FROM (SELECT DISTINCT label FROM $base)),
+       |${p}cen AS MATERIALIZED (
        |  SELECT label, dim,
        |    CAST(SUM(CAST(ROUND(CAST(v AS DOUBLE) * 16777216.0) AS BIGINT)) AS DOUBLE)
        |      / (CAST(COUNT(*) AS DOUBLE) * 16777216.0) AS centroid
        |  FROM (SELECT label, unnest(emb) AS v,
        |          CAST(generate_subscripts(emb, 1) - 1 AS BIGINT) AS dim
-       |        FROM rbase) t
+       |        FROM $base) t
        |  GROUP BY label, dim),
-       |iocb AS MATERIALIZED (
+       |${p}cb AS MATERIALIZED (
        |  SELECT li, CAST(dim // 8 AS INT) AS s, list(centroid ORDER BY dim) AS cvec
-       |  FROM iocen JOIN iolab USING (label) GROUP BY li, CAST(dim // 8 AS INT)),
-       |iocemb AS MATERIALIZED (
+       |  FROM ${p}cen JOIN ${p}lab USING (label) GROUP BY li, CAST(dim // 8 AS INT)),
+       |${p}cemb AS MATERIALIZED (
        |  SELECT label AS cell, cemb,
        |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
        |      list_transform(cemb, x -> x * x)), (a, b) -> a + b)) AS cnrm
        |  FROM (SELECT label, list(centroid ORDER BY dim) AS cemb
-       |        FROM iocen GROUP BY label) t),
-       |iosv AS MATERIALIZED (
+       |        FROM ${p}cen GROUP BY label) t),
+       |${p}sv AS MATERIALIZED (
        |  SELECT vec_id, s, emb[s*8+1 : s*8+8] AS subvec
-       |  FROM rbase, (SELECT unnest(range(0, 8)) AS s)),
-       |ioenc0 AS (
+       |  FROM $base, (SELECT unnest(range(0, 8)) AS s)),
+       |${p}enc0 AS (
        |  SELECT vec_id, s, li,
        |    ROW_NUMBER() OVER (PARTITION BY vec_id, s
        |      ORDER BY ${l2sqSql("subvec", "cvec")}, li) AS rn
-       |  FROM iosv JOIN iocb USING (s)),
-       |ioenc AS MATERIALIZED (
-       |  SELECT vec_id, list(li ORDER BY s) AS codes FROM ioenc0 WHERE rn = 1 GROUP BY vec_id),
-       |ioqd0 AS (
+       |  FROM ${p}sv JOIN ${p}cb USING (s)),
+       |${p}enc AS MATERIALIZED (
+       |  SELECT vec_id, list(li ORDER BY s) AS codes FROM ${p}enc0 WHERE rn = 1 GROUP BY vec_id),
+       |${p}qd0 AS (
        |  SELECT vec_id AS qid, s, li, ${l2sqSql("subvec", "cvec")} AS d2
-       |  FROM iosv JOIN iocb USING (s) WHERE vec_id % $queryMod = 0),
-       |ioqdt AS MATERIALIZED (
-       |  SELECT qid, list(d2 ORDER BY s, li) AS qd FROM ioqd0 GROUP BY qid),
-       |ioq AS MATERIALIZED (
+       |  FROM ${p}sv JOIN ${p}cb USING (s) WHERE vec_id % $queryMod = 0),
+       |${p}qdt AS MATERIALIZED (
+       |  SELECT qid, list(d2 ORDER BY s, li) AS qd FROM ${p}qd0 GROUP BY qid),
+       |${p}q AS MATERIALIZED (
        |  SELECT vec_id AS qid, emb AS qemb,
        |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
        |      list_transform(emb, x -> x * x)), (a, b) -> a + b)) AS qnrm
-       |  FROM rbase WHERE vec_id % $queryMod = 0),
-       |ioprobes AS MATERIALIZED (
+       |  FROM $base WHERE vec_id % $queryMod = 0),
+       |${p}probes AS MATERIALIZED (
        |  SELECT qid, cell FROM (
        |    SELECT q.qid, c.cell,
        |      ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
        |        ${dotSql("q.qemb", "c.cemb")} / (q.qnrm * c.cnrm) DESC, c.cell) AS prn
-       |    FROM ioq q CROSS JOIN iocemb c) t
+       |    FROM ${p}q q CROSS JOIN ${p}cemb c) t
        |  WHERE prn <= $nprobe),
-       |iopairs AS (
+       |${p}pairs AS (
        |  SELECT p.qid, e.vec_id,
        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
        |      list_transform(range(0, 8), s -> qd[s * (len(qd)//8) + codes[s+1] + 1])),
        |      (x, y) -> x + y) AS adc
-       |  FROM ioprobes p
-       |  JOIN ioqdt ON ioqdt.qid = p.qid
-       |  JOIN ioenc e ON e.vec_id <> p.qid
-       |  JOIN rbase b ON b.vec_id = e.vec_id AND b.label = p.cell)
-       |SELECT qid, CAST(rn - 1 AS BIGINT) AS rank, vec_id FROM (
-       |  SELECT qid, vec_id, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc, vec_id) AS rn
-       |  FROM iopairs) t
-       |WHERE rn <= $k""".stripMargin
+       |  FROM ${p}probes p
+       |  JOIN ${p}qdt ON ${p}qdt.qid = p.qid
+       |  JOIN ${p}enc e ON e.vec_id <> p.qid
+       |  JOIN $base b ON b.vec_id = e.vec_id AND b.label = p.cell),
+       |${p}res AS MATERIALIZED (
+       |  SELECT qid, CAST(rn - 1 AS BIGINT) AS rank, vec_id FROM (
+       |    SELECT qid, vec_id, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc, vec_id) AS rn
+       |    FROM ${p}pairs) t
+       |  WHERE rn <= $k)""".stripMargin
 
   /** DuckDB mirror of [[opqRecall]]: both chains + the exact L2 truth. */
   def opqRecallSql(k: Int = 5, queryMod: Int = 50): String =

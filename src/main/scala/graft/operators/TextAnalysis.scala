@@ -2178,32 +2178,8 @@ object TextAnalysis {
     * reads the ≤ m-cell register artifact only.
     */
   def hllCardinality(docs: DataFrame): DataFrame = {
-    val m = HllM
-    val num = hllRawNum
     val toks = withToks(docs).select(col("source"), explode(col("toks")).as("w"))
-    // Flajolet's small-range branch: when the raw estimate sits under
-    // 5/2·m (the regime where the raw estimator bottoms out near α·m
-    // regardless of n) and zero registers exist, LINEAR COUNTING
-    // m·ln(m/V) estimates from occupancy instead. ln is transcendental
-    // — NOT correctly rounded, so an engine libm call would break the
-    // oracle — but V has only m−1 possible values with a hit present,
-    // so the ONLY ln anywhere is evaluated once in Scala over the 255
-    // possible occupancies and inlined as identical literals into both
-    // engines ([[hllLcTable]]).
-    val lcArr = array(hllLcTable.map(lit(_)): _*)
-    val est = hllRegistersOf(toks)
-      .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_hit"),
-        sum(expr("shiftleft(1L, CAST(31 - rho AS INT))")).as("s_hit"))
-      .select(col("source"),
-        (lit(m.toLong) - col("n_hit")).as("v_zero"),
-        ((lit(m.toLong) - col("n_hit")) * lit(2147483648L) + col("s_hit"))
-          .as("s_scaled"))
-      .withColumn("est_raw", lit(num) / col("s_scaled").cast("double"))
-      .withColumn("est",
-        when(col("est_raw") <= lit(2.5 * m) && col("v_zero") > 0,
-          element_at(lcArr, col("v_zero").cast("int")))
-          .otherwise(col("est_raw")))
+    val est = hllEstimateOf(hllRegistersOf(toks))
     val exact = toks.groupBy(col("source"))
       .agg(countDistinct(col("w")).as("n_exact"))
     est.join(exact, Seq("source"))
@@ -2211,6 +2187,66 @@ object TextAnalysis {
         col("est"), col("n_exact"),
         ((col("est") - col("n_exact").cast("double"))
           / col("n_exact").cast("double")).as("rel_err"))
+  }
+
+  /** Register table → per-source (v_zero, s_scaled, est_raw, est).
+    * Flajolet's small-range branch: when the raw estimate sits under
+    * 5/2·m (the regime where the raw estimator bottoms out near α·m
+    * regardless of n) and zero registers exist, LINEAR COUNTING
+    * m·ln(m/V) estimates from occupancy instead. ln is transcendental
+    * — NOT correctly rounded, so an engine libm call would break the
+    * oracle — but V has only m−1 possible values with a hit present,
+    * so the ONLY ln anywhere is evaluated once in Scala over the 255
+    * possible occupancies and inlined as identical literals into both
+    * engines ([[hllLcTable]]).
+    */
+  def hllEstimateOf(reg: DataFrame): DataFrame = {
+    val m = HllM
+    val lcArr = array(hllLcTable.map(lit(_)): _*)
+    reg.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_hit"),
+        sum(expr("shiftleft(1L, CAST(31 - rho AS INT))")).as("s_hit"))
+      .select(col("source"),
+        (lit(m.toLong) - col("n_hit")).as("v_zero"),
+        ((lit(m.toLong) - col("n_hit")) * lit(2147483648L) + col("s_hit"))
+          .as("s_scaled"))
+      .withColumn("est_raw", lit(hllRawNum) / col("s_scaled").cast("double"))
+      .withColumn("est",
+        when(col("est_raw") <= lit(2.5 * m) && col("v_zero") > 0,
+          element_at(lcArr, col("v_zero").cast("int")))
+          .otherwise(col("est_raw")))
+  }
+
+  /** Cross-generation vocabulary growth from REGISTERS ONLY —
+    * `q_doc_hllgen`, the crawl planner's new-vocabulary read-out: with
+    * gen-A registers persisted, a new generation's growth per source is
+    * est(A∪B) − est(A) where the union registers come from the
+    * CELL-WISE MAX MERGE of the two artifacts ([[hllMerge]]) — the base
+    * corpus is never re-scanned, the [[kmvGenOverlap]] economics at
+    * m·6 bits per source. The exact new-type count rides as the audit
+    * twin (corpus-priced, audit class).
+    */
+  def hllGenGrowth(base: DataFrame, incr: DataFrame): DataFrame = {
+    val rb = hllRegisters(base).localCheckpoint(false)
+    val ru = hllMerge(rb, hllRegisters(incr))
+    val eb = hllEstimateOf(rb).select(col("source"), col("est").as("est_base"))
+    val eu = hllEstimateOf(ru).select(col("source"), col("est").as("est_union"))
+    val tb = withToks(base).select(col("source"), explode(col("toks")).as("w"))
+    val ti = withToks(incr).select(col("source"), explode(col("toks")).as("w"))
+    val nb = tb.groupBy(col("source")).agg(countDistinct(col("w")).as("n_base_exact"))
+    val nu = tb.unionByName(ti).groupBy(col("source"))
+      .agg(countDistinct(col("w")).as("n_union_exact"))
+    eu.join(eb, Seq("source"), "left")
+      .join(nu, Seq("source"), "left")
+      .join(nb, Seq("source"), "left")
+      .select(col("source"),
+        coalesce(col("est_base"), lit(0.0d)).as("est_base"),
+        col("est_union"),
+        (col("est_union") - coalesce(col("est_base"), lit(0.0d))).as("est_new"),
+        coalesce(col("n_base_exact"), lit(0L)).as("n_base_exact"),
+        col("n_union_exact"),
+        (col("n_union_exact") - coalesce(col("n_base_exact"), lit(0L)))
+          .as("n_new_exact"))
   }
 
   /** The raw-estimate numerator α_m·m²·2^31·(2^30/P), one Scala double. */
@@ -2266,6 +2302,65 @@ object TextAnalysis {
        |      $num / CAST(e.s_scaled AS DOUBLE) AS est_raw, x.n_exact
        |    FROM hest e JOIN hxct x USING (source)) t0
        |  CROSS JOIN hlc) t""".stripMargin
+  }
+
+  /** DuckDB mirror of [[hllGenGrowth]] over the q_doc_hllgen generation
+    * split (base = doc_id % 3 ≠ 0; increment = the % 3 = 0 docs plus the
+    * re-crawled % 6 = 1 texts — [[kmvGenOverlap]]'s split; the re-id is
+    * token-invariant so the OR spelling is exact).
+    */
+  def hllGenGrowthSql(src: String = "documents"): String = {
+    val m = HllM
+    val num = hllRawNum
+    val lcList = hllLcTable.map(d => s"CAST($d AS DOUBLE)").mkString(", ")
+    def regCtes(p: String, where: String) =
+      s"""${p}tok AS (
+         |  SELECT source, unnest(toks) AS w
+         |  FROM (SELECT source, ${graft.operators.Dedup.toksSql} AS toks
+         |        FROM $src WHERE $where) t),
+         |${p}hh AS (
+         |  SELECT source, (h * h) % $P AS h2
+         |  FROM (SELECT source, ${graft.operators.Dedup.hashSql("w")} AS h
+         |        FROM ${p}tok) t0),
+         |${p}reg AS (
+         |  SELECT source, (h2 * 1009 + 91) % $P % $m AS bucket,
+         |    MAX(CASE WHEN (h2 * 2003 + 57) % $P = 0 THEN 31
+         |        ELSE 31 - length(format('{:b}', (h2 * 2003 + 57) % $P)) END) AS rho
+         |  FROM ${p}hh GROUP BY 1, 2)""".stripMargin
+    def estCte(p: String, reg: String) =
+      s"""${p}est AS (
+         |  SELECT source,
+         |    CASE WHEN est_raw <= ${2.5 * m} AND v_zero > 0
+         |         THEN lc[CAST(v_zero AS INT)] ELSE est_raw END AS est
+         |  FROM (
+         |    SELECT source, CAST($m - COUNT(*) AS BIGINT) AS v_zero,
+         |      $num / CAST(CAST(($m - COUNT(*)) * 2147483648 +
+         |        SUM(CAST(1 AS BIGINT) << CAST(31 - rho AS INT)) AS BIGINT) AS DOUBLE) AS est_raw
+         |    FROM $reg GROUP BY source) t
+         |  CROSS JOIN hlc)""".stripMargin
+    s"""WITH ${regCtes("b", "doc_id % 3 <> 0")},
+       |${regCtes("i", "doc_id % 3 = 0 OR doc_id % 6 = 1")},
+       |ureg AS (
+       |  SELECT source, bucket, MAX(rho) AS rho
+       |  FROM (SELECT * FROM breg UNION ALL SELECT * FROM ireg) z
+       |  GROUP BY 1, 2),
+       |hlc AS (SELECT [$lcList] AS lc),
+       |${estCte("b2", "breg")},
+       |${estCte("u2", "ureg")},
+       |bx AS (SELECT source, CAST(COUNT(DISTINCT w) AS BIGINT) AS n_base_exact
+       |       FROM btok GROUP BY source),
+       |ux AS (SELECT source, CAST(COUNT(DISTINCT w) AS BIGINT) AS n_union_exact
+       |       FROM (SELECT * FROM btok UNION ALL SELECT * FROM itok) z
+       |       GROUP BY source)
+       |SELECT u.source,
+       |  COALESCE(b.est, CAST(0.0 AS DOUBLE)) AS est_base,
+       |  u.est AS est_union,
+       |  u.est - COALESCE(b.est, CAST(0.0 AS DOUBLE)) AS est_new,
+       |  COALESCE(bx.n_base_exact, CAST(0 AS BIGINT)) AS n_base_exact,
+       |  ux.n_union_exact,
+       |  ux.n_union_exact - COALESCE(bx.n_base_exact, CAST(0 AS BIGINT)) AS n_new_exact
+       |FROM u2est u LEFT JOIN b2est b USING (source)
+       |LEFT JOIN ux USING (source) LEFT JOIN bx USING (source)""".stripMargin
   }
 
   // ---- Bloom-gated decontamination ---------------------------------------

@@ -76,6 +76,29 @@ class HllSpec extends SparkSpec {
     assert(math.abs(err) <= 0.2, s"raw estimate off by ${err * 100}%: $est vs $n")
   }
 
+  test("generation growth: merged-register estimates track exact counts, base never re-scanned") {
+    val d = graft.sources.Tables.documents(spark, Sf)
+    val base = d.filter($"doc_id" % 3 =!= 0)
+    val incr = d.filter($"doc_id" % 3 === 0)
+    val rows = TextAnalysis.hllGenGrowth(base, incr)
+      .select($"source", $"est_base", $"est_union", $"est_new",
+        $"n_base_exact", $"n_union_exact", $"n_new_exact")
+      .as[(String, Double, Double, Double, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (s, eb, eu, en, nb, nu, nn) =>
+      assert(nn == nu - nb)
+      assert(math.abs(eb - nb) / nb.toDouble <= 0.05, s"$s base est off: $eb vs $nb")
+      assert(math.abs(eu - nu) / nu.toDouble <= 0.05, s"$s union est off: $eu vs $nu")
+      assert(en == eu - eb)
+    }
+    // the union estimate comes from MERGED registers: identical to
+    // sketching the union corpus directly (the no-re-scan law)
+    val direct = regSet(TextAnalysis.hllRegisters(base.unionByName(incr)))
+    val merged = regSet(TextAnalysis.hllMerge(
+      TextAnalysis.hllRegisters(base), TextAnalysis.hllRegisters(incr)))
+    assert(merged === direct)
+  }
+
   test("streaming twin: emitted registers match the batch sketch after every prefix") {
     implicit val ctx = spark.sqlContext
     // transformWithState requires the RocksDB state store (state-v2)

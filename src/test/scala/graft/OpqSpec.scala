@@ -122,6 +122,20 @@ class OpqSpec extends SparkSpec {
       s"the alternation lost recall vs its own round 1: $opq2Rec < $opqRec")
   }
 
+  test("ivfopq2 serving contract: accepted-rotation IVF search, self excluded, ranks dense") {
+    val e = graft.sources.Tables.embeddings(spark, Sf)
+    val got = Similarity.knnIvfOpq2(e, Sf)
+    assert(got.columns.toSeq === Seq("qid", "rank", "vec_id"))
+    val rows = got.as[(Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (q, r, v) => q != v && r >= 0 && r < 3 })
+    // per query: ranks are 0..cnt-1 dense
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == (0L until rs.length).toSeq,
+        s"query $q ranks not dense: ${rs.toSeq}")
+    }
+  }
+
   test("knnOpq output contract matches knnPq (same shape, same k per query)") {
     val e = graft.sources.Tables.embeddings(spark, Sf)
     val opq = Similarity.knnOpq(e, Sf)

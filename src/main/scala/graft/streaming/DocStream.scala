@@ -835,14 +835,17 @@ object DocStream {
 
     override def handleInputRows(key: String, rows: Iterator[HllTok],
         tv: TimerValues): Iterator[HllCell] = {
-      // ≤ m cells: load once, fold the batch in memory, write back only
-      // the raised maxima (the KmvProcessor state discipline)
+      // ≤ m cells: load once, fold the batch in memory, write back ONLY
+      // the raised maxima (the KmvProcessor state discipline) — a
+      // steady-state batch that raises nothing issues zero state-store
+      // writes instead of m per source
       val m = scala.collection.mutable.Map.empty[Long, Long]
       regs.iterator().foreach { case (b, r) => m(b) = r }
+      val raised = scala.collection.mutable.Set.empty[Long]
       rows.foreach { t =>
-        if (t.rho > m.getOrElse(t.bucket, 0L)) m(t.bucket) = t.rho
+        if (t.rho > m.getOrElse(t.bucket, 0L)) { m(t.bucket) = t.rho; raised += t.bucket; () }
       }
-      m.foreach { case (b, r) => regs.updateValue(b, r) }
+      raised.foreach(b => regs.updateValue(b, m(b)))
       m.iterator.map { case (b, r) => HllCell(key, b, r) }.toSeq.iterator
     }
 

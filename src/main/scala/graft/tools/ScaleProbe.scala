@@ -177,7 +177,14 @@ object ScaleProbe {
     // unigram-cost packing family (token pass + dictionary join +
     // first-fit fold — the r12 driver env's largest phantom flag, so an
     // x100 row retires that question empirically)
-    "q_emb_ivfpq", "q_doc_unipack", "q_doc_unipackstats")
+    "q_emb_ivfpq", "q_doc_unipack", "q_doc_unipackstats",
+    // round-13 session additions: the HLL register build (ONE token
+    // pass into a ≤ |sources|·m grouped max — must track the token
+    // scan; the exact-distinct audit side is the corpus-priced twin)
+    // and Dirichlet query likelihood (the bm25Search cost contract —
+    // one term-filtered token pass + a co-partitioned whole-corpus
+    // score join; must track the token scan like q_doc_rm3's passes)
+    "q_doc_hll", "q_doc_ql")
 
   /** Heaps-ish vocabulary size: 30 tokens at the 5k-doc base (the real
     * table's vocabulary), growing with sqrt(n).

@@ -73,6 +73,24 @@ class OpqSpec extends SparkSpec {
     } finally spark.conf.set(aqeKey, old)
   }
 
+  test("alternation round 2: a degenerate deflated fit proposes no challengers") {
+    // variance only on dim 0: H1 is the identity (PC1 = e1 exactly) and
+    // the coordinate-0-masked corpus is CONSTANT — its centered matvec
+    // vanishes, the power iteration keeps its uniform seed with lam = 0,
+    // and no real second direction exists. The alternation must propose
+    // NOTHING (candidates = [H1 alone]) rather than build challengers
+    // from the stale seed — which is also what keeps the oracle aligned
+    // (its challenger chains normalize by sqrt(0) into NULL SSEs and
+    // keep candidate 0).
+    val dims = 64
+    val e = (0 until 40).map { i =>
+      (i.toLong, Array.tabulate(dims)(d => if (d == 0) i.toFloat else 0.5f), i % 4)
+    }.toDF("vec_id", "embedding", "label")
+    val cands = Similarity.opq2Candidates(e, dir = "")
+    assert(cands.sizeIs == 1)
+    assert(Similarity.rotatedCorpus2(e, dir = "") eq cands.head)
+  }
+
   test("alternation round 2: every candidate rotation is an exact isometry") {
     val e = graft.sources.Tables.embeddings(spark, Sf)
     val raw = e.select($"vec_id", $"embedding".cast("array<double>").as("a"))

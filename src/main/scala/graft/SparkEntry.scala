@@ -1988,6 +1988,14 @@ object SparkEntry {
     "q_doc_unigram_soft" -> { (s, dir) =>
       Unigram.unigramVocabSoft(Tables.documents(s, dir))
     },
+    // …and the ITERATED soft trainer (two lattice rounds — the Kudo
+    // loop proper): every round's input counts are exact integers, so
+    // each re-estimation stays oracle-able by the same argument as the
+    // first; the oracle reuses ONE round template per round, zero
+    // drift possible between the single- and multi-round spellings.
+    "q_doc_unigram_soft2" -> { (s, dir) =>
+      Unigram.unigramVocabSoft(Tables.documents(s, dir), softRounds = 2)
+    },
     // Unigram apply + fertility: per-doc word/piece counts under the
     // trained unigram vocabulary — directly comparable against
     // q_doc_bpe_encode's fertility on the same corpus (the
@@ -4985,6 +4993,7 @@ object SparkEntry {
     "q_doc_bpe_encode" -> TextAnalysis.bpeSegmentSql(),
     "q_doc_unigram" -> Unigram.unigramVocabSql(),
     "q_doc_unigram_soft" -> Unigram.unigramVocabSoftSql(),
+    "q_doc_unigram_soft2" -> Unigram.unigramVocabSoftSql(softRounds = 2),
     "q_doc_unigram_encode" -> Unigram.unigramEncodeSql(),
     "q_doc_unigram_fertlang" -> Unigram.unigramFertilityByLangSql(),
     "q_doc_unipack" ->

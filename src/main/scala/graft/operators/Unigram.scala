@@ -206,12 +206,29 @@ object Unigram {
     */
   def unigramVocabSoft(docs: DataFrame, seedV: Int = SeedV,
       vocabV: Int = VocabV, maxLen: Int = MaxLen,
-      maxWords: Int = MaxWords): DataFrame = {
-    val dec = "decimal(38,0)"
+      maxWords: Int = MaxWords, softRounds: Int = 1): DataFrame = {
+    require(softRounds >= 1, "need at least one soft round")
     val wf = wfOf(docs, maxWords).localCheckpoint(false)
     val chars = charsOf(wf)
-    val vocab = seedVocabOf(wf, chars, seedV, maxLen)
-    val tot = vocab.agg(sum(col("cnt")).cast("long").as("total"))
+    (1 to softRounds).foldLeft(seedVocabOf(wf, chars, seedV, maxLen)) {
+      (vocab, _) => softRoundOf(wf, chars, vocab, vocabV, maxLen)
+        .localCheckpoint(false)
+    }
+  }
+
+  /** ONE lattice-expectation round: re-estimate from the CURRENT piece
+    * distribution (p = cnt/total — the cnt column is BIGINT after
+    * seeding, DECIMAL(38,0) after any soft round; both cast through the
+    * same correctly-rounded double division), quantize per edge, prune.
+    * Iterating this IS the Kudo trainer loop ([[unigramVocabSoft]]'s
+    * softRounds — each round's input counts are already exact integers,
+    * so every round stays oracle-able by the same argument as the
+    * first).
+    */
+  private def softRoundOf(wf: DataFrame, chars: DataFrame, vocab: DataFrame,
+      vocabV: Int, maxLen: Int): DataFrame = {
+    val dec = "decimal(38,0)"
+    val tot = vocab.agg(sum(col("cnt").cast(dec)).as("total"))
     val vm = vocab.crossJoin(broadcast(tot))
       .select(col("piece"),
         (col("cnt").cast("double") / col("total").cast("double")).as("p"))
@@ -498,59 +515,69 @@ object Unigram {
     */
   def unigramVocabSoftSql(seedV: Int = SeedV, vocabV: Int = VocabV,
       maxLen: Int = MaxLen, maxWords: Int = MaxWords,
-      src: String = "documents"): String =
+      src: String = "documents", softRounds: Int = 1): String = {
+    // one lattice round: reads sv$r (the current vocab; sv1 = the seed
+    // v1), emits sv${r+1} — the same α/β/edge/prune text per round, so
+    // iterating can never drift from the single-round oracle
+    def round(r: Int): String =
+      s"""st$r AS MATERIALIZED (SELECT SUM(CAST(cnt AS HUGEINT)) AS total FROM sv$r),
+         |svm$r AS MATERIALIZED (SELECT MAP(list(piece ORDER BY piece),
+         |    list(CAST(cnt AS DOUBLE) / CAST((SELECT total FROM st$r) AS DOUBLE)
+         |         ORDER BY piece)) AS m FROM sv$r),
+         |sal$r AS (
+         |  SELECT word, freq, 0 AS j, [CAST(1.0 AS DOUBLE)] AS al FROM wf
+         |  UNION ALL
+         |  SELECT word, freq, j + 1,
+         |    list_append(al, list_reduce(
+         |      list_prepend(CAST(0.0 AS DOUBLE),
+         |        list_transform(range(CASE WHEN j + 1 > $maxLen THEN j + 1 - $maxLen ELSE 0 END, j + 1),
+         |          i -> CASE WHEN m[substring(word, i + 1, j + 1 - i)][1] IS NOT NULL
+         |               THEN al[i + 1] * m[substring(word, i + 1, j + 1 - i)][1]
+         |               ELSE CAST(0.0 AS DOUBLE) END)),
+         |      (a, b) -> a + b)) AS al
+         |  FROM sal$r, svm$r WHERE j < length(word)),
+         |sbt$r AS (
+         |  SELECT word, length(word) AS i, [CAST(1.0 AS DOUBLE)] AS bt FROM wf
+         |  UNION ALL
+         |  SELECT word, i - 1,
+         |    list_append(bt, list_reduce(
+         |      list_prepend(CAST(0.0 AS DOUBLE),
+         |        list_transform(range(i, CASE WHEN i - 1 + $maxLen < length(word) THEN i - 1 + $maxLen ELSE length(word) END + 1),
+         |          j -> CASE WHEN m[substring(word, i, j - i + 1)][1] IS NOT NULL
+         |               THEN m[substring(word, i, j - i + 1)][1] * bt[length(word) - j + 1]
+         |               ELSE CAST(0.0 AS DOUBLE) END)),
+         |      (a, b) -> a + b)) AS bt
+         |  FROM sbt$r, svm$r WHERE i > 0),
+         |salf$r AS MATERIALIZED (SELECT word, freq, al FROM sal$r WHERE j = length(word)),
+         |sbtf$r AS MATERIALIZED (SELECT word, bt FROM sbt$r WHERE i = 0),
+         |sedge$r AS (
+         |  SELECT freq, e.piece AS piece, e.q AS q FROM (
+         |    SELECT freq, unnest(flatten(list_transform(range(0, length(word)), i ->
+         |      list_transform(range(i + 1, CASE WHEN i + $maxLen < length(word) THEN i + $maxLen ELSE length(word) END + 1), j ->
+         |        CASE WHEN m[substring(word, i + 1, j - i)][1] IS NOT NULL
+         |        THEN {'piece': substring(word, i + 1, j - i),
+         |              'q': CAST(FLOOR(al[i + 1] * m[substring(word, i + 1, j - i)][1]
+         |                   * bt[length(word) - j + 1] * 1e9 / al[length(word) + 1]) AS BIGINT)}
+         |        ELSE NULL END)))) AS e
+         |    FROM salf$r JOIN sbtf$r USING (word), svm$r) t
+         |  WHERE e IS NOT NULL),
+         |scnt$r AS MATERIALIZED (
+         |  SELECT piece, SUM(CAST(freq AS HUGEINT) * CAST(q AS HUGEINT)) AS cnt
+         |  FROM sedge$r GROUP BY piece HAVING SUM(CAST(freq AS HUGEINT) * CAST(q AS HUGEINT)) > 0),
+         |sv${r + 1} AS MATERIALIZED (
+         |  SELECT DISTINCT piece, cnt FROM (
+         |    SELECT piece, cnt FROM (
+         |      SELECT piece, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, piece) AS rk
+         |      FROM scnt$r) t WHERE rk <= $vocabV
+         |    UNION ALL
+         |    SELECT c.piece, GREATEST(COALESCE(n.cnt, CAST(0 AS HUGEINT)), CAST(1 AS HUGEINT)) AS cnt
+         |    FROM chars c LEFT JOIN scnt$r n USING (piece)) u)""".stripMargin
+    val rounds = (1 to softRounds).map(round).mkString(",\n")
     s"""WITH RECURSIVE ${seedCtes(seedV, maxLen, maxWords, src)},
-       |st AS MATERIALIZED (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM v1),
-       |svm AS MATERIALIZED (SELECT MAP(list(piece ORDER BY piece),
-       |    list(CAST(cnt AS DOUBLE) / CAST((SELECT total FROM st) AS DOUBLE)
-       |         ORDER BY piece)) AS m FROM v1),
-       |sal AS (
-       |  SELECT word, freq, 0 AS j, [CAST(1.0 AS DOUBLE)] AS al FROM wf
-       |  UNION ALL
-       |  SELECT word, freq, j + 1,
-       |    list_append(al, list_reduce(
-       |      list_prepend(CAST(0.0 AS DOUBLE),
-       |        list_transform(range(CASE WHEN j + 1 > $maxLen THEN j + 1 - $maxLen ELSE 0 END, j + 1),
-       |          i -> CASE WHEN m[substring(word, i + 1, j + 1 - i)][1] IS NOT NULL
-       |               THEN al[i + 1] * m[substring(word, i + 1, j + 1 - i)][1]
-       |               ELSE CAST(0.0 AS DOUBLE) END)),
-       |      (a, b) -> a + b)) AS al
-       |  FROM sal, svm WHERE j < length(word)),
-       |sbt AS (
-       |  SELECT word, length(word) AS i, [CAST(1.0 AS DOUBLE)] AS bt FROM wf
-       |  UNION ALL
-       |  SELECT word, i - 1,
-       |    list_append(bt, list_reduce(
-       |      list_prepend(CAST(0.0 AS DOUBLE),
-       |        list_transform(range(i, CASE WHEN i - 1 + $maxLen < length(word) THEN i - 1 + $maxLen ELSE length(word) END + 1),
-       |          j -> CASE WHEN m[substring(word, i, j - i + 1)][1] IS NOT NULL
-       |               THEN m[substring(word, i, j - i + 1)][1] * bt[length(word) - j + 1]
-       |               ELSE CAST(0.0 AS DOUBLE) END)),
-       |      (a, b) -> a + b)) AS bt
-       |  FROM sbt, svm WHERE i > 0),
-       |salf AS MATERIALIZED (SELECT word, freq, al FROM sal WHERE j = length(word)),
-       |sbtf AS MATERIALIZED (SELECT word, bt FROM sbt WHERE i = 0),
-       |sedge AS (
-       |  SELECT freq, e.piece AS piece, e.q AS q FROM (
-       |    SELECT freq, unnest(flatten(list_transform(range(0, length(word)), i ->
-       |      list_transform(range(i + 1, CASE WHEN i + $maxLen < length(word) THEN i + $maxLen ELSE length(word) END + 1), j ->
-       |        CASE WHEN m[substring(word, i + 1, j - i)][1] IS NOT NULL
-       |        THEN {'piece': substring(word, i + 1, j - i),
-       |              'q': CAST(FLOOR(al[i + 1] * m[substring(word, i + 1, j - i)][1]
-       |                   * bt[length(word) - j + 1] * 1e9 / al[length(word) + 1]) AS BIGINT)}
-       |        ELSE NULL END)))) AS e
-       |    FROM salf JOIN sbtf USING (word), svm) t
-       |  WHERE e IS NOT NULL),
-       |scnt AS MATERIALIZED (
-       |  SELECT piece, SUM(CAST(freq AS HUGEINT) * CAST(q AS HUGEINT)) AS cnt
-       |  FROM sedge GROUP BY piece HAVING SUM(CAST(freq AS HUGEINT) * CAST(q AS HUGEINT)) > 0)
-       |SELECT DISTINCT piece, cnt FROM (
-       |  SELECT piece, cnt FROM (
-       |    SELECT piece, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, piece) AS rk
-       |    FROM scnt) t WHERE rk <= $vocabV
-       |  UNION ALL
-       |  SELECT c.piece, GREATEST(COALESCE(n.cnt, CAST(0 AS HUGEINT)), CAST(1 AS HUGEINT)) AS cnt
-       |  FROM chars c LEFT JOIN scnt n USING (piece)) u""".stripMargin
+       |sv1 AS MATERIALIZED (SELECT piece, cnt FROM v1),
+       |$rounds
+       |SELECT piece, cnt FROM sv${softRounds + 1}""".stripMargin
+  }
 
   /** DuckDB mirror of [[unigramVocab]]: the final post-EM vocabulary. */
   def unigramVocabSql(seedV: Int = SeedV, vocabV: Int = VocabV,

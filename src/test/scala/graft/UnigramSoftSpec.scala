@@ -24,7 +24,7 @@ class UnigramSoftSpec extends SparkSpec {
     * bit-identical.
     */
   private def refSoft(corpus: Seq[String], seedV: Int, vocabV: Int,
-      maxLen: Int): Map[String, BigInt] = {
+      maxLen: Int, rounds: Int = 1): Map[String, BigInt] = {
     val words = corpus.flatMap(_.split(" ").filter(_.nonEmpty))
     val wf = words.groupBy(identity).view.mapValues(_.size.toLong).toMap
     val chars = wf.keys.flatten.map(_.toString).toSet
@@ -36,8 +36,20 @@ class UnigramSoftSpec extends SparkSpec {
     }
     val topSeed = seedc.toSeq.sortBy { case (p, c) => (-c, p) }
       .take(seedV).map(_._1).toSet
-    val vocab = (topSeed ++ chars.filter(seedc.contains))
-      .map(p => p -> seedc(p)).toMap
+    val seedVocab = (topSeed ++ chars.filter(seedc.contains))
+      .map(p => p -> BigInt(seedc(p))).toMap
+    (1 to rounds).foldLeft(seedVocab) { (vocab, _) =>
+      refRound(wf, chars, vocab, vocabV, maxLen)
+    }
+  }
+
+  /** One lattice round over the current vocab counts (BigInt after any
+    * round — .toDouble is correctly rounded, matching the engine's
+    * DECIMAL→double cast).
+    */
+  private def refRound(wf: Map[String, Long], chars: Set[String],
+      vocab: Map[String, BigInt], vocabV: Int,
+      maxLen: Int): Map[String, BigInt] = {
     val total = vocab.values.sum
     val pm = vocab.map { case (k, c) => k -> c.toDouble / total.toDouble }
     val cnt = scala.collection.mutable.Map[String, BigInt]()
@@ -102,6 +114,25 @@ class UnigramSoftSpec extends SparkSpec {
     // the lattice actually carries mass: at least one multi-char piece
     // survives with a real (non-floor) count
     assert(got.exists { case (p, c) => p.length > 1 && c > 1 })
+  }
+
+  test("iterated soft rounds reproduce the round-by-round reference exactly and actually move") {
+    val docs = Seq(
+      (1L, "abab abab baba ab", "en", "s"),
+      (2L, "abab aab bba baba", "en", "s"),
+      (3L, "ababab abab aab", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    val got2 = toMap(Unigram.unigramVocabSoft(docs, seedV = 8, vocabV = 5,
+      maxLen = 3, maxWords = 100, softRounds = 2))
+    val want2 = refSoft(docs.select($"text").as[String].collect().toSeq,
+      seedV = 8, vocabV = 5, maxLen = 3, rounds = 2)
+    assert(got2 === want2)
+    // round 2 re-estimates from round 1's sharpened distribution: the
+    // counts must actually change (the loop is not a fixed point after
+    // one round on this ambiguity-rich corpus)
+    val got1 = toMap(Unigram.unigramVocabSoft(docs, seedV = 8, vocabV = 5,
+      maxLen = 3, maxWords = 100))
+    assert(got1 !== got2)
   }
 
   test("hard vs soft: winner-takes-all prunes the losing segmentation's piece, the lattice keeps it") {

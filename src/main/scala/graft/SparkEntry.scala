@@ -1996,6 +1996,15 @@ object SparkEntry {
     "q_doc_unigram_soft2" -> { (s, dir) =>
       Unigram.unigramVocabSoft(Tables.documents(s, dir), softRounds = 2)
     },
+    // …and the soft round's quantized edge table (word × piece: qsum,
+    // n_edges — all exact integers/strings), the q_doc_rm3in row-dump
+    // discipline applied to the lattice E-step: a driver-side soft
+    // mismatch names its differing ROW (edges red = α/β DP or per-edge
+    // quantization; edges green + vocab red = the weighted count sum /
+    // prune / output boundary).
+    "q_doc_unigram_softin" -> { (s, dir) =>
+      Unigram.unigramSoftEdges(Tables.documents(s, dir))
+    },
     // Unigram apply + fertility: per-doc word/piece counts under the
     // trained unigram vocabulary — directly comparable against
     // q_doc_bpe_encode's fertility on the same corpus (the
@@ -4994,6 +5003,7 @@ object SparkEntry {
     "q_doc_unigram" -> Unigram.unigramVocabSql(),
     "q_doc_unigram_soft" -> Unigram.unigramVocabSoftSql(),
     "q_doc_unigram_soft2" -> Unigram.unigramVocabSoftSql(softRounds = 2),
+    "q_doc_unigram_softin" -> Unigram.unigramSoftEdgesSql(),
     "q_doc_unigram_encode" -> Unigram.unigramEncodeSql(),
     "q_doc_unigram_fertlang" -> Unigram.unigramFertilityByLangSql(),
     "q_doc_unipack" ->

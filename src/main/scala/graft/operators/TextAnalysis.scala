@@ -459,6 +459,14 @@ object TextAnalysis {
           + lit(10 - alpha10).cast(dec)
             * coalesce(col("exp_dec"), lit(0L).cast(dec))).as("rm3_dec"))
       .orderBy(col("rm3_dec").desc, col("doc_id")).limit(10)
+      // Output-boundary rule (r13 verdict): the EMITTED column is a
+      // canonical digit STRING, never DecimalType — the driver's hash
+      // gate canonicalizes a Spark DECIMAL(38,0) and a DuckDB HUGEINT
+      // differently (the r11–r13 red set ≡ the decimal-emitting set,
+      // 4/4 vs 290/290). Internal math stays exact DECIMAL(38,0); the
+      // numeric sort+limit runs BEFORE the cast; scale-0 BigDecimal and
+      // HUGEINT both print plain digits.
+      .select(col("doc_id"), col("rm3_dec").cast("string").as("rm3_dec"))
   }
 
   /** [[rm3Search]]'s shared tokenized-corpus stage. */
@@ -555,6 +563,9 @@ object TextAnalysis {
     require(terms.nonEmpty, "rm3 needs at least one seed term")
     val td = rm3Td(docs)
     rm3ExpansionFrom(td, rm3OrigScores(td, terms, k1, b), terms, fbDocs, fbTerms)
+      // output boundary: digit string, not DecimalType (see rm3Search);
+      // the wt-DESC sort+limit already ran inside rm3ExpansionFrom
+      .select(col("w"), col("wt").cast("string").as("wt"))
   }
 
   /** DuckDB mirror of [[rm3Search]] — same stages, HUGEINT where the
@@ -563,13 +574,15 @@ object TextAnalysis {
   def rm3SearchSql(terms: Seq[String], fbDocs: Int = 10, fbTerms: Int = 10,
       alpha10: Int = 7, k1: Double = 1.2, b: Double = 0.75,
       src: String = "documents"): String =
-    s"""WITH ${rm3Ctes(terms, fbDocs, fbTerms, k1, b, src)}
-       |SELECT COALESCE(o.doc_id, e.doc_id) AS doc_id,
-       |  $alpha10 * CAST(COALESCE(o.orig_nanos, 0) AS HUGEINT) * s_wt
-       |    + ${10 - alpha10} * COALESCE(e.exp_dec, 0) AS rm3_dec
-       |FROM oscore o FULL OUTER JOIN escore e ON o.doc_id = e.doc_id
-       |CROSS JOIN stot
-       |ORDER BY rm3_dec DESC, doc_id LIMIT 10""".stripMargin
+    s"""WITH ${rm3Ctes(terms, fbDocs, fbTerms, k1, b, src)},
+       |mix AS (
+       |  SELECT COALESCE(o.doc_id, e.doc_id) AS doc_id,
+       |    $alpha10 * CAST(COALESCE(o.orig_nanos, 0) AS HUGEINT) * s_wt
+       |      + ${10 - alpha10} * COALESCE(e.exp_dec, 0) AS rm3_num
+       |  FROM oscore o FULL OUTER JOIN escore e ON o.doc_id = e.doc_id
+       |  CROSS JOIN stot
+       |  ORDER BY rm3_num DESC, doc_id LIMIT 10)
+       |SELECT doc_id, CAST(rm3_num AS VARCHAR) AS rm3_dec FROM mix""".stripMargin
 
   /** DuckDB mirror of [[rm3Feedback]] — the SAME CTE chain as
     * [[rm3SearchSql]] (zero drift by construction), read at the fb stage.
@@ -593,7 +606,7 @@ object TextAnalysis {
   def rm3ExpansionSql(terms: Seq[String], fbDocs: Int = 10, fbTerms: Int = 10,
       k1: Double = 1.2, b: Double = 0.75, src: String = "documents"): String =
     s"""WITH ${rm3Ctes(terms, fbDocs, fbTerms, k1, b, src)}
-       |SELECT w, wt FROM exp""".stripMargin
+       |SELECT w, CAST(wt AS VARCHAR) AS wt FROM exp""".stripMargin
 
   /** The ONE rm3 oracle CTE chain ([[rm3SearchSql]] /  [[rm3FeedbackSql]] /
     * [[rm3ExpansionSql]] all read stages of this same text, so the staged

@@ -214,6 +214,12 @@ object Unigram {
       (vocab, _) => softRoundOf(wf, chars, vocab, vocabV, maxLen)
         .localCheckpoint(false)
     }
+      // Output-boundary rule (r13 verdict): emit the count as a
+      // canonical digit STRING, never DecimalType — the driver's hash
+      // gate canonicalizes Spark DECIMAL(38,0) vs DuckDB HUGEINT
+      // differently (the r11–r13 red set ≡ the decimal-emitting set).
+      // Internal rounds keep exact DECIMAL(38,0) arithmetic untouched.
+      .select(col("piece"), col("cnt").cast("string").as("cnt"))
   }
 
   /** ONE lattice-expectation round: re-estimate from the CURRENT piece
@@ -228,17 +234,7 @@ object Unigram {
   private def softRoundOf(wf: DataFrame, chars: DataFrame, vocab: DataFrame,
       vocabV: Int, maxLen: Int): DataFrame = {
     val dec = "decimal(38,0)"
-    val tot = vocab.agg(sum(col("cnt").cast(dec)).as("total"))
-    val vm = vocab.crossJoin(broadcast(tot))
-      .select(col("piece"),
-        (col("cnt").cast("double") / col("total").cast("double")).as("p"))
-      .agg(map_from_entries(collect_list(struct(col("piece"), col("p"))))
-        .as("vm"))
-    val cnts = wf.crossJoin(broadcast(vm))
-      .withColumn("al", expr(alphaExpr(maxLen)))
-      .withColumn("bt", expr(betaExpr(maxLen)))
-      .withColumn("e", explode(expr(edgeExpr(maxLen))))
-      .select(col("freq"), col("e.piece").as("piece"), col("e.q").as("q"))
+    val cnts = softEdgesOf(wf, vocab, maxLen)
       .groupBy(col("piece"))
       .agg(sum(col("freq").cast(dec) * col("q").cast(dec)).as("cnt"))
       // a piece whose every edge quantizes to 0 nanos carries no mass —
@@ -251,6 +247,47 @@ object Unigram {
           greatest(coalesce(col("cnt"), lit(0L).cast(dec)),
             lit(1L).cast(dec)).as("cnt")))
       .distinct()
+  }
+
+  /** The soft round's quantized edge table — (word, freq, piece, q),
+    * one row per in-vocab lattice span: the E-step's entire input to the
+    * count sum, every value an exact integer or a token string. Shared
+    * by [[softRoundOf]] and (aggregated per word×piece) EXPOSED as
+    * `q_doc_unigram_softin` — the `q_doc_rm3in` row-dump discipline: a
+    * driver-side soft-vocab mismatch names its differing ROW (edge red =
+    * the α/β DP or the per-edge quantization diverged; edge green + cnt
+    * red = the weighted sum / prune).
+    */
+  private def softEdgesOf(wf: DataFrame, vocab: DataFrame,
+      maxLen: Int): DataFrame = {
+    val dec = "decimal(38,0)"
+    val tot = vocab.agg(sum(col("cnt").cast(dec)).as("total"))
+    val vm = vocab.crossJoin(broadcast(tot))
+      .select(col("piece"),
+        (col("cnt").cast("double") / col("total").cast("double")).as("p"))
+      .agg(map_from_entries(collect_list(struct(col("piece"), col("p"))))
+        .as("vm"))
+    wf.crossJoin(broadcast(vm))
+      .withColumn("al", expr(alphaExpr(maxLen)))
+      .withColumn("bt", expr(betaExpr(maxLen)))
+      .withColumn("e", explode(expr(edgeExpr(maxLen))))
+      .select(col("word"), col("freq"),
+        col("e.piece").as("piece"), col("e.q").as("q"))
+  }
+
+  /** The FIRST soft round's edge table from the raw corpus, aggregated
+    * to unique (word, piece) rows — `q_doc_unigram_softin`'s entry
+    * point: (word, piece, qsum = Σ edge nanos, n_edges). qsum is an
+    * order-free BIGINT sum of already-quantized per-edge integers
+    * (≤ ~1e9 each × O(len·maxLen) edges — nowhere near BIGINT).
+    */
+  def unigramSoftEdges(docs: DataFrame, seedV: Int = SeedV,
+      maxLen: Int = MaxLen, maxWords: Int = MaxWords): DataFrame = {
+    val wf = wfOf(docs, maxWords).localCheckpoint(false)
+    softEdgesOf(wf, seedVocabOf(wf, charsOf(wf), seedV, maxLen), maxLen)
+      .groupBy(col("word"), col("piece"))
+      .agg(sum(col("q")).cast("long").as("qsum"),
+        count(lit(1)).cast("long").as("n_edges"))
   }
 
   /** Forward DP as a HOF over `word` positions reading the broadcast
@@ -294,9 +331,16 @@ object Unigram {
     * in-vocab span (i, j] becomes (piece, q) with q = floor(α_i · p ·
     * β_j · 1e9 / Z) — the SAME left-associated operand tree in the
     * DuckDB mirror, so the floored nanos are engine-identical.
+    *
+    * Z = α_n can underflow to exactly 0.0 for a pathologically long
+    * word (every path probability below the double subnormal floor), at
+    * which point q = x/0 is Inf/NaN — Spark's non-ANSI BIGINT cast
+    * would saturate to Long.MaxValue while DuckDB's CAST raises. Guard:
+    * a zero-Z word emits NO edges (its characters still survive via the
+    * character floor), spelled identically in both engines.
     */
   private def edgeExpr(maxLen: Int): String =
-    s"""filter(
+    s"""CASE WHEN element_at(al, length(word) + 1) > CAST(0.0 AS DOUBLE) THEN filter(
        |  flatten(transform(sequence(0, length(word) - 1), i ->
        |    transform(sequence(i + 1, CASE WHEN i + $maxLen < length(word) THEN i + $maxLen ELSE length(word) END), j ->
        |      CASE WHEN try_element_at(vm, substring(word, i + 1, j - i)) IS NOT NULL
@@ -307,7 +351,7 @@ object Unigram {
        |              * element_at(bt, length(word) - j + 1)
        |              * 1e9 / element_at(al, length(word) + 1)) AS BIGINT))
        |      ELSE NULL END))),
-       |  x -> x IS NOT NULL)""".stripMargin
+       |  x -> x IS NOT NULL) ELSE NULL END""".stripMargin
 
   /** The trained vocabulary as a driver-side probability map — the
     * frozen serving artifact the streaming twin rides as a map LITERAL
@@ -516,10 +560,35 @@ object Unigram {
   def unigramVocabSoftSql(seedV: Int = SeedV, vocabV: Int = VocabV,
       maxLen: Int = MaxLen, maxWords: Int = MaxWords,
       src: String = "documents", softRounds: Int = 1): String = {
-    // one lattice round: reads sv$r (the current vocab; sv1 = the seed
-    // v1), emits sv${r+1} — the same α/β/edge/prune text per round, so
-    // iterating can never drift from the single-round oracle
-    def round(r: Int): String =
+    val rounds = (1 to softRounds)
+      .map(softRoundCte(_, vocabV, maxLen)).mkString(",\n")
+    s"""WITH RECURSIVE ${seedCtes(seedV, maxLen, maxWords, src)},
+       |sv1 AS MATERIALIZED (SELECT piece, cnt FROM v1),
+       |$rounds
+       |SELECT piece, CAST(cnt AS VARCHAR) AS cnt FROM sv${softRounds + 1}""".stripMargin
+  }
+
+  /** DuckDB mirror of [[unigramSoftEdges]] — the SAME round-1 CTE chain
+    * as [[unigramVocabSoftSql]] (zero drift by construction), read at
+    * the sedge stage and aggregated to unique (word, piece) rows.
+    */
+  def unigramSoftEdgesSql(seedV: Int = SeedV, vocabV: Int = VocabV,
+      maxLen: Int = MaxLen, maxWords: Int = MaxWords,
+      src: String = "documents"): String =
+    s"""WITH RECURSIVE ${seedCtes(seedV, maxLen, maxWords, src)},
+       |sv1 AS MATERIALIZED (SELECT piece, cnt FROM v1),
+       |${softRoundCte(1, vocabV, maxLen)}
+       |SELECT word, piece, CAST(SUM(q) AS BIGINT) AS qsum,
+       |  CAST(COUNT(*) AS BIGINT) AS n_edges
+       |FROM sedge1 GROUP BY word, piece""".stripMargin
+
+  /** ONE lattice-round CTE template: reads sv$r (the current vocab; sv1
+    * = the seed v1), emits sv${"$"}{r+1} — the same α/β/edge/prune text
+    * per round and per caller ([[unigramVocabSoftSql]] iterating,
+    * [[unigramSoftEdgesSql]] reading the edge stage), so no spelling can
+    * drift from the single-round oracle.
+    */
+  private def softRoundCte(r: Int, vocabV: Int, maxLen: Int): String =
       s"""st$r AS MATERIALIZED (SELECT SUM(CAST(cnt AS HUGEINT)) AS total FROM sv$r),
          |svm$r AS MATERIALIZED (SELECT MAP(list(piece ORDER BY piece),
          |    list(CAST(cnt AS DOUBLE) / CAST((SELECT total FROM st$r) AS DOUBLE)
@@ -551,15 +620,18 @@ object Unigram {
          |salf$r AS MATERIALIZED (SELECT word, freq, al FROM sal$r WHERE j = length(word)),
          |sbtf$r AS MATERIALIZED (SELECT word, bt FROM sbt$r WHERE i = 0),
          |sedge$r AS (
-         |  SELECT freq, e.piece AS piece, e.q AS q FROM (
-         |    SELECT freq, unnest(flatten(list_transform(range(0, length(word)), i ->
+         |  SELECT word, freq, e.piece AS piece, e.q AS q FROM (
+         |    SELECT word, freq, unnest(flatten(list_transform(range(0, length(word)), i ->
          |      list_transform(range(i + 1, CASE WHEN i + $maxLen < length(word) THEN i + $maxLen ELSE length(word) END + 1), j ->
          |        CASE WHEN m[substring(word, i + 1, j - i)][1] IS NOT NULL
          |        THEN {'piece': substring(word, i + 1, j - i),
          |              'q': CAST(FLOOR(al[i + 1] * m[substring(word, i + 1, j - i)][1]
          |                   * bt[length(word) - j + 1] * 1e9 / al[length(word) + 1]) AS BIGINT)}
          |        ELSE NULL END)))) AS e
-         |    FROM salf$r JOIN sbtf$r USING (word), svm$r) t
+         |    FROM salf$r JOIN sbtf$r USING (word), svm$r
+         |    -- zero-Z guard, mirrored from edgeExpr: an alpha-underflow
+         |    -- word emits no edges in either engine
+         |    WHERE al[length(word) + 1] > CAST(0.0 AS DOUBLE)) t
          |  WHERE e IS NOT NULL),
          |scnt$r AS MATERIALIZED (
          |  SELECT piece, SUM(CAST(freq AS HUGEINT) * CAST(q AS HUGEINT)) AS cnt
@@ -572,12 +644,6 @@ object Unigram {
          |    UNION ALL
          |    SELECT c.piece, GREATEST(COALESCE(n.cnt, CAST(0 AS HUGEINT)), CAST(1 AS HUGEINT)) AS cnt
          |    FROM chars c LEFT JOIN scnt$r n USING (piece)) u)""".stripMargin
-    val rounds = (1 to softRounds).map(round).mkString(",\n")
-    s"""WITH RECURSIVE ${seedCtes(seedV, maxLen, maxWords, src)},
-       |sv1 AS MATERIALIZED (SELECT piece, cnt FROM v1),
-       |$rounds
-       |SELECT piece, cnt FROM sv${softRounds + 1}""".stripMargin
-  }
 
   /** DuckDB mirror of [[unigramVocab]]: the final post-EM vocabulary. */
   def unigramVocabSql(seedV: Int = SeedV, vocabV: Int = VocabV,

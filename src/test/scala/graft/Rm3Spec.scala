@@ -31,7 +31,7 @@ class Rm3Spec extends SparkSpec {
     val got = TextAnalysis.rm3Search(corpus, Seq("apple"),
       fbDocs = 3, fbTerms = 3)
       .collect().map(r => r.getLong(0) ->
-        BigDecimal(r.getDecimal(1))).toMap
+        BigDecimal(r.getString(1))).toMap
     assert(got.contains(30L), s"banana-only doc must enter: ${got.keySet}")
     assert(got(30L) > 0)
     // the literal matches still dominate the pure-expansion doc
@@ -45,7 +45,7 @@ class Rm3Spec extends SparkSpec {
   test("alpha10 = 10 reproduces the literal BM25 ranking order") {
     val rm3 = TextAnalysis.rm3Search(corpus, Seq("apple"),
       fbDocs = 3, fbTerms = 3, alpha10 = 10)
-      .collect().map(r => (r.getLong(0), BigDecimal(r.getDecimal(1))))
+      .collect().map(r => (r.getLong(0), BigDecimal(r.getString(1))))
     val bm25 = TextAnalysis.bm25Search(corpus, Seq("apple"))
       .collect().map(r => (r.getLong(0), r.getLong(2))).sortBy(t => (-t._2, t._1))
     val rm3Scored = rm3.filter(_._2 > 0).map(_._1)
@@ -62,7 +62,7 @@ class Rm3Spec extends SparkSpec {
       40L -> "filler text here", 41L -> "other filler text"))
     val got = TextAnalysis.rm3Search(seedOnly, Seq("apple"),
       fbDocs = 2, fbTerms = 2, alpha10 = 0)
-      .collect().map(r => r.getLong(0) -> BigDecimal(r.getDecimal(1))).toMap
+      .collect().map(r => r.getLong(0) -> BigDecimal(r.getString(1))).toMap
     assert(got.getOrElse(10L, BigDecimal(0)) == 0,
       s"seed-only doc must not gain from expansion: $got")
   }
@@ -76,7 +76,7 @@ class Rm3Spec extends SparkSpec {
     val docs = graft.sources.Tables.documents(spark, Sf)
     def run(parts: Int): Seq[(Long, BigDecimal)] =
       TextAnalysis.rm3Search(docs.repartition(parts), graft.SparkEntry.SearchTerms)
-        .collect().map(r => (r.getLong(0), BigDecimal(r.getDecimal(1)))).toSeq
+        .collect().map(r => (r.getLong(0), BigDecimal(r.getString(1)))).toSeq
     val base = run(1)
     assert(base.nonEmpty && base.size == 10, s"expected 10 rows: ${base.size}")
     assert(run(1) === base, "same-plan rerun diverged")
@@ -103,7 +103,7 @@ class Rm3Spec extends SparkSpec {
     def maxAbs(sf: String): BigDecimal =
       TextAnalysis.rm3Search(graft.sources.Tables.documents(spark, sf),
           graft.SparkEntry.SearchTerms)
-        .collect().map(r => BigDecimal(r.getDecimal(1)).abs).max
+        .collect().map(r => BigDecimal(r.getString(1)).abs).max
     val m1 = maxAbs(Sf)
     assert(m1 > 0, "degenerate corpus: rm3 scored nothing")
     assert(m1 * BigDecimal(10).pow(8) < ceiling,
@@ -116,7 +116,7 @@ class Rm3Spec extends SparkSpec {
     // and the expansion-weight intermediate obeys the same discipline
     val maxWt = TextAnalysis.rm3Expansion(
         graft.sources.Tables.documents(spark, Sf), graft.SparkEntry.SearchTerms)
-      .collect().map(r => BigDecimal(r.getDecimal(1)).abs).max
+      .collect().map(r => BigDecimal(r.getString(1)).abs).max
     assert(maxWt * BigDecimal(10).pow(8) < ceiling,
       s"expansion weight headroom gone: $maxWt")
   }
@@ -158,7 +158,7 @@ class Rm3Spec extends SparkSpec {
       s1 > s2 || (s1 == s2 && d1 < d2) }, s"fb not in pinned order: ${fb.toSeq}")
     assert(fb.forall(_._2 > 0))
     val exp = TextAnalysis.rm3Expansion(docs, graft.SparkEntry.SearchTerms)
-      .collect().map(r => (r.getString(0), BigDecimal(r.getDecimal(1))))
+      .collect().map(r => (r.getString(0), BigDecimal(r.getString(1))))
     assert(exp.size == 10)
     assert(exp.forall { case (w, _) => !graft.SparkEntry.SearchTerms.contains(w) },
       s"seed term leaked into expansion: ${exp.map(_._1).toSeq}")

@@ -50,6 +50,21 @@ def main():
             flags[name] = {"baseline_sec": bt, "kind": "pass_to_fail",
                            "current": broken}
             continue
+        # a baseline-passing query failing in SOME (not all) current
+        # artifacts previously slipped through silently: pass_to_fail
+        # requires every artifact broken and the slowdown loop clears on
+        # any failed timing (ADVICE r13). An intermittent failure is a
+        # real signal (flaky plan, OOM-adjacent, nondeterminism) — flag
+        # it as its own non-silent kind.
+        if broken:
+            flags[name] = {"baseline_sec": bt, "kind": "intermittent_fail",
+                           "current": broken,
+                           "ok_in": [{"artifact": p,
+                                      "sec": c.get("queries", {}).get(name)}
+                                     for p, c in curs
+                                     if c.get("queries", {}).get(name) is not None
+                                     and c.get("queries", {}).get(name) >= 0]}
+            continue
         hits = []
         for p, c in curs:
             ct = c.get("queries", {}).get(name)

@@ -1492,12 +1492,15 @@ object Similarity {
     * row count is one column-pruned count job on the bounded query
     * filter) the broadcast would march into Spark's 8 GB ceiling and die
     * loudly. Above the ceiling, fall back to a SALTED shuffle join on
-    * (cell, vec_id mod shufflePartitions): same result set, ‖cells‖ ×
-    * parts distinct keys, so each cell's scan spreads across the cluster
-    * instead of landing on one task — the low-cardinality-key remedy
-    * that needs no broadcast at any ‖Q‖. queryCap-capped paths (≤ cap
-    * probe rows by contract) broadcast unconditionally and don't route
-    * through here.
+    * (cell, vec_id mod salts): same result set, ‖cells‖ × salts distinct
+    * keys, so each cell's scan spreads across the cluster instead of
+    * landing on one task — the low-cardinality-key remedy that needs no
+    * broadcast at any ‖Q‖. The salt count is store-volume-derived
+    * (⌈storeBytes/maxPartitionBytes⌉, capped by the partition count) so
+    * the probe side is replicated only as many times as the store
+    * genuinely needs spreading — see the body. queryCap-capped paths
+    * (≤ cap probe rows by contract) broadcast unconditionally and don't
+    * route through here.
     */
   /** The guard's |Q| count, memoized per logical plan: corpora are
     * immutable per dir (the standing memo assumption), so the count of
@@ -1517,14 +1520,32 @@ object Similarity {
 
   private[graft] def servingScanJoin(store: DataFrame, probes: DataFrame,
       probeRows: => Long, rowBytes: Long,
-      maxBytes: Long = MaxProbeBroadcastBytes): DataFrame =
+      maxBytes: Long = MaxProbeBroadcastBytes,
+      storeBytes: => Long = -1L): DataFrame =
     if (probeRows * rowBytes <= maxBytes)
       store.join(broadcast(probes), Seq("cell"))
     else {
-      val parts = store.sparkSession.sessionState.conf.numShufflePartitions
-      store.withColumn("_salt", pmod(col("vec_id"), lit(parts.toLong)).cast("int"))
+      val conf = store.sparkSession.sessionState.conf
+      val parts = conf.numShufflePartitions
+      // Salt count DERIVED from the store's scan volume, not blindly the
+      // global partition setting (r13 verdict #4: parts× probe
+      // replication is multi-GB shuffle per batch at the scales that
+      // trigger this path — 200 × 256 MB = 51 GB — when fewer salts
+      // already un-concentrate the cell groups). One salt per
+      // maxPartitionBytes of store (the even-spread bound as if ALL
+      // store rows shared one cell — the worst concentration), capped at
+      // the partition count (more salts than partitions buys no
+      // parallelism, only replication). Callers price storeBytes off
+      // counts they already memoized; storeBytes ≤ 0 keeps the
+      // conservative parts× spelling.
+      val target = math.max(1L, conf.filesMaxPartitionBytes)
+      val salts =
+        if (storeBytes <= 0L) parts
+        else math.min(parts.toLong,
+          math.max(1L, (storeBytes + target - 1L) / target)).toInt
+      store.withColumn("_salt", pmod(col("vec_id"), lit(salts.toLong)).cast("int"))
         .join(probes.withColumn("_salt",
-          explode(sequence(lit(0), lit(parts - 1)))), Seq("cell", "_salt"))
+          explode(sequence(lit(0), lit(salts - 1)))), Seq("cell", "_salt"))
         .drop("_salt")
     }
 
@@ -1546,7 +1567,10 @@ object Similarity {
     // per-query ADC tables (m·‖cells‖ doubles/row), store side streams
     val probeSide = probes.join(broadcast(pqQueryTables(e, queryMod, m)), "qid")
     servingScanJoin(enc, probeSide,
-        countOnce(q) * nprobe, 8L * m * 256 + 64)
+        countOnce(q) * nprobe, 8L * m * 256 + 64,
+      // store ≈ n PQ-coded rows of m code bytes + ids; n priced off the
+      // already-memoized ‖Q‖ count (‖Q‖ = n/queryMod, zero extra jobs)
+      storeBytes = countOnce(q) * queryMod * (m + 24L))
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("adc", adcExpr(m))
       .groupBy(col("qid"))
@@ -1698,7 +1722,7 @@ object Similarity {
         // integer comparison (BigInt: sse·10⁴ can exceed a long at
         // extreme corpus scale), ties → the earlier candidate.
         val scores = sses.zipWithIndex.map { case (s, i) =>
-          (BigInt(s) * (if (i == 0) 10000L - OpqAcceptPermyriad else 10000L), i)
+          (s * (if (i == 0) 10000L - OpqAcceptPermyriad else 10000L), i)
         }
         cands(scores.min._2)
       }
@@ -1745,7 +1769,7 @@ object Similarity {
     * pack].
     */
   private[graft] def opq2CandidateSses(e: DataFrame, dir: String,
-      dims: Int = 64): Seq[Long] =
+      dims: Int = 64): Seq[BigInt] =
     opq2Candidates(e, dir, dims).map(c => pqSse(c, PqSubspaces))
 
   private val opq2Memo = new graft.sources.StageMemo[DataFrame](8)
@@ -1783,20 +1807,23 @@ object Similarity {
 
   /** The exact quantized PQ objective (Ge'13's): Σ over (vector,
     * subspace) of the min squared distance to the REFIT codebook of
-    * `e`, each min d² quantized to 2^24 ticks BEFORE the order-free
-    * BIGINT sum — both engines fold identical doubles, so the
-    * alternation's accept decision compares identical integers.
+    * `e`, each min d² quantized (±2^53-clamped 2^24 ticks) BEFORE the
+    * order-free DECIMAL(38,0) sum — both engines fold identical doubles
+    * and sum exactly (the mirror's SUM(BIGINT) is HUGEINT; a wrapping
+    * long sum here could silently diverge at n·m·2^53 scale, ADVICE
+    * r13), so the alternation's accept decision compares identical
+    * integers.
     */
-  private[graft] def pqSse(e: DataFrame, m: Int): Long = {
+  private[graft] def pqSse(e: DataFrame, m: Int): BigInt = {
     val base = withEmb(e)
     val row = subvectors(base, "vec_id", m)
       .join(broadcast(pqCodebook(e)), "s")
       .withColumn("d2", l2sq(col("subvec"), col("cvec")))
       .groupBy(col("vec_id"), col("s"))
       .agg(min(col("d2")).as("mind2"))
-      .agg(sum(quantize(col("mind2"))).as("sse"))
+      .agg(sum(quantize(col("mind2")).cast("decimal(38,0)")).as("sse"))
       .head()
-    if (row.isNullAt(0)) 0L else row.getLong(0)
+    if (row.isNullAt(0)) BigInt(0) else BigInt(row.getDecimal(0).toBigInteger)
   }
 
   /** The three-variant equal-bytes bake-off — `q_emb_opq2`: recall@k of
@@ -1988,7 +2015,13 @@ object Similarity {
       .join(broadcast(qdt), Seq("qid", "cell"))
     servingScanJoin(enc, probeSide,
         countOnce(base.filter(col("vec_id") % queryMod === 0)) * nprobe,
-        8L * m * c + 64)
+        8L * m * c + 64,
+      // store ≈ n coded rows (m code bytes + ids); n priced off the
+      // memoized ‖Q‖ count, a slight over-estimate where storePred
+      // thins the store (over-estimating only raises the salt count
+      // toward the conservative parts× spelling)
+      storeBytes =
+        countOnce(base.filter(col("vec_id") % queryMod === 0)) * queryMod * (m + 24L))
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("adc", adcExpr(m))
       .groupBy(col("qid"))
@@ -2218,7 +2251,13 @@ object Similarity {
       .join(broadcast(qdt), Seq("qid", "cell"))
     servingScanJoin(enc, probeSide,
         countOnce(base.filter(col("vec_id") % queryMod === 0)) * nprobe,
-        8L * m * c + 64)
+        8L * m * c + 64,
+      // store ≈ n coded rows (m code bytes + ids); n priced off the
+      // memoized ‖Q‖ count, a slight over-estimate where storePred
+      // thins the store (over-estimating only raises the salt count
+      // toward the conservative parts× spelling)
+      storeBytes =
+        countOnce(base.filter(col("vec_id") % queryMod === 0)) * queryMod * (m + 24L))
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("adc", adcExpr(m))
       .groupBy(col("qid"))
@@ -2379,7 +2418,9 @@ object Similarity {
     // guard never re-runs the centroid assignment.
     val nq = countOnce(survivors.filter(col("vec_id") % queryMod === 0)) +
       countOnce(incr.filter(col("vec_id") % queryMod === 0))
-    servingScanJoin(store, probes, nq * nprobe, 1024L)
+    servingScanJoin(store, probes, nq * nprobe, 1024L,
+      // full-float store: ≈ nq·queryMod rows of one dim-double vector
+      storeBytes = nq * queryMod * 1024L)
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("cos", cosineWithNorms(dot(col("qemb"), col("emb")), col("qnrm"), col("nrm")))
       .groupBy(col("qid"))
@@ -2665,10 +2706,21 @@ object Similarity {
       graft.sources.Tables.dataKey(e.sparkSession, dir, "kcenter") + s"|$k")(
       graft.sources.StageMemo.reliableStage(kCenterFit(e, k)))
 
-  /** Drop every memoized centroid table and power-iteration fit (same
-    * lifecycle contract as [[Dedup.clearMemos]]).
+  /** Drop every memoized artifact of this family (same lifecycle
+    * contract as [[Dedup.clearMemos]]): centroid tables,
+    * power-iteration fits, the OPQ2 alternation's checkpointed frames,
+    * and the serving-guard's ‖Q‖ counts. The last one matters for
+    * correctness-of-routing, not results: [[countOnce]] keys on the
+    * probe plan's semanticHash with no data fingerprint, so REWRITING a
+    * corpus dir in-session would otherwise reuse a stale count and could
+    * mis-route [[servingScanJoin]]'s broadcast-vs-salt choice (ADVICE
+    * r13) — corpus regeneration must come through here, the documented
+    * memo lifecycle.
     */
-  def clearMemos(): Unit = { centsMemo.clear(); pcMemo.clear() }
+  def clearMemos(): Unit = {
+    centsMemo.clear(); pcMemo.clear(); opq2Memo.clear()
+    probeCountMemo.clear()
+  }
 
   private[graft] def memoSize: Int = centsMemo.size
 
@@ -4517,13 +4569,19 @@ object Similarity {
   /** The refit-codebook quantized PQ objective over an arbitrary
     * (vec_id, label, emb) base — [[pqSse]]'s mirror: per-label centroid
     * codebook from the SAME quantized moment sums, min d² per (vector,
-    * subspace), 2^24-tick floor before the exact sum. Ends at
-    * `<p>sse`.
+    * subspace), 2^24-tick floor before the exact sum (HUGEINT, matching
+    * the Scala DECIMAL(38,0)). Each quantized term carries the SAME
+    * ±2^53 clamp as VectorFunctions.quantize (ADVICE r13: unclamped, a
+    * DegenerateInputSpec-class 1e30 coordinate would round here but
+    * saturate in Scala, silently diverging the opq2 acceptance argmin
+    * or aborting this query's oracle). Ends at `<p>sse`.
     */
-  private def pqSseCtesOver(p: String, base: String): String =
+  private def pqSseCtesOver(p: String, base: String): String = {
+    def clamped(x: String) =
+      s"LEAST(GREATEST(ROUND($x * 16777216.0), -9007199254740992.0), 9007199254740992.0)"
     s"""${p}cen AS MATERIALIZED (
        |  SELECT label, dim,
-       |    CAST(SUM(CAST(ROUND(CAST(v AS DOUBLE) * 16777216.0) AS BIGINT)) AS DOUBLE)
+       |    CAST(SUM(CAST(${clamped("CAST(v AS DOUBLE)")} AS BIGINT)) AS DOUBLE)
        |      / (CAST(COUNT(*) AS DOUBLE) * 16777216.0) AS centroid
        |  FROM (SELECT label, unnest(emb) AS v,
        |          CAST(generate_subscripts(emb, 1) - 1 AS BIGINT) AS dim
@@ -4536,9 +4594,10 @@ object Similarity {
        |  SELECT vec_id, s, emb[s*8+1 : s*8+8] AS subvec
        |  FROM $base, (SELECT unnest(range(0, 8)) AS s)),
        |${p}sse AS MATERIALIZED (
-       |  SELECT SUM(CAST(ROUND(mind2 * 16777216.0) AS BIGINT)) AS sse FROM (
+       |  SELECT SUM(CAST(${clamped("mind2")} AS BIGINT)) AS sse FROM (
        |    SELECT vec_id, s, MIN(${l2sqSql("subvec", "cvec")}) AS mind2
        |    FROM ${p}sv JOIN ${p}cb USING (s) GROUP BY vec_id, s) t)""".stripMargin
+  }
 
   /** DuckDB mirror of [[opq2Recall]]: the three chains + the exact L2
     * truth, [[opqRecallSql]]'s contract with the opq2 leg over the

@@ -124,8 +124,8 @@ class OpqSpec extends SparkSpec {
     // …and a challenger only ever displaces the incumbent past the
     // hysteresis bar (sub-noise-floor wins are rejected)
     if (chosen < sses.head)
-      assert(BigInt(chosen) * 10000L <=
-        BigInt(sses.head) * (10000L - Similarity.OpqAcceptPermyriad),
+      assert(chosen * 10000L <=
+        sses.head * (10000L - Similarity.OpqAcceptPermyriad),
         s"accepted challenger under the hysteresis bar: $chosen vs ${sses.head}")
   }
 

@@ -59,4 +59,40 @@ class ServingJoinPlanSpec extends SparkSpec {
       (0 until 2000).count(_ % 7 == c) * (0 until 40).count(_ % 7 == c)).sum
     assert(b.size == expected)
   }
+
+  test("salted fallback: salt count is store-volume-derived, capped at the partition count, row-identical") {
+    import spark.implicits._
+    val store = spark.range(0, 500)
+      .select(col("id").as("vec_id"), (col("id") % 5).cast("int").as("cell"),
+        (col("id") * 3).as("payload"))
+    val probes = spark.range(0, 20)
+      .select((col("id") + 100000).as("qid"), (col("id") % 5).cast("int").as("cell"))
+    val target = spark.sessionState.conf.filesMaxPartitionBytes
+    val parts = spark.sessionState.conf.numShufflePartitions
+    def saltSeqBound(df: org.apache.spark.sql.DataFrame): String =
+      "sequence\\(0, (\\d+)".r.findFirstMatchIn(
+        df.queryExecution.analyzed.toString).map(_.group(1)).getOrElse("none")
+    // a store worth ~3 target-task volumes needs exactly 3 salts (< the
+    // partition count): probe replication is bounded by what the store
+    // genuinely needs spread, not the global setting (r13 verdict #4)
+    val derived = Similarity.servingScanJoin(store, probes, 20L, 64L,
+      maxBytes = 0L, storeBytes = 3L * target - 1L)
+    assert(saltSeqBound(derived) === "2", "expected 3 salts (sequence(0, 2))")
+    // a store beyond parts·target volumes caps at the partition count
+    val capped = Similarity.servingScanJoin(store, probes, 20L, 64L,
+      maxBytes = 0L, storeBytes = (parts + 7L) * target)
+    assert(saltSeqBound(capped) === s"${parts - 1}",
+      s"expected the $parts-partition cap")
+    // and an unpriced store keeps the conservative parts× spelling
+    val unpriced = Similarity.servingScanJoin(store, probes, 20L, 64L,
+      maxBytes = 0L)
+    assert(saltSeqBound(unpriced) === s"${parts - 1}")
+    // row identity across every salt count, including vs the broadcast
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"vec_id", $"cell", $"payload", $"qid")
+        .as[(Long, Int, Long, Long)].collect().toSet
+    val b = rows(Similarity.servingScanJoin(store, probes, 20L, 64L))
+    assert(rows(derived) === b)
+    assert(rows(capped) === b)
+  }
 }

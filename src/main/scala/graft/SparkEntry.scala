@@ -1996,6 +1996,13 @@ object SparkEntry {
     "q_doc_unigram_soft2" -> { (s, dir) =>
       Unigram.unigramVocabSoft(Tables.documents(s, dir), softRounds = 2)
     },
+    // …and the THIRD round (the r13 verdict's optional ask): support and
+    // ranking hit their fixpoint at round 2 (UnigramSoftSpec), so this
+    // row pins the annealing regime PAST the fixpoint — the counts still
+    // move (floor-drained mass), and both engines must move identically.
+    "q_doc_unigram_soft3" -> { (s, dir) =>
+      Unigram.unigramVocabSoft(Tables.documents(s, dir), softRounds = 3)
+    },
     // …and the soft round's quantized edge table (word × piece: qsum,
     // n_edges — all exact integers/strings), the q_doc_rm3in row-dump
     // discipline applied to the lattice E-step: a driver-side soft
@@ -5003,6 +5010,7 @@ object SparkEntry {
     "q_doc_unigram" -> Unigram.unigramVocabSql(),
     "q_doc_unigram_soft" -> Unigram.unigramVocabSoftSql(),
     "q_doc_unigram_soft2" -> Unigram.unigramVocabSoftSql(softRounds = 2),
+    "q_doc_unigram_soft3" -> Unigram.unigramVocabSoftSql(softRounds = 3),
     "q_doc_unigram_softin" -> Unigram.unigramSoftEdgesSql(),
     "q_doc_unigram_encode" -> Unigram.unigramEncodeSql(),
     "q_doc_unigram_fertlang" -> Unigram.unigramFertilityByLangSql(),

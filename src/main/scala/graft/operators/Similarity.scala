@@ -1521,8 +1521,14 @@ object Similarity {
   private[graft] def servingScanJoin(store: DataFrame, probes: DataFrame,
       probeRows: => Long, rowBytes: Long,
       maxBytes: Long = MaxProbeBroadcastBytes,
-      storeBytes: => Long = -1L): DataFrame =
-    if (probeRows * rowBytes <= maxBytes)
+      storeBytes: => Long = -1L): DataFrame = {
+    // measurement knob (ScaleProbe's forced-fallback appendix rows): the
+    // salted path only engages past a 256 MB probe side, which no test
+    // corpus reaches — this conf forces it so its cost story is
+    // MEASURED, not asserted (r13 verdict #4)
+    val forceSalt = store.sparkSession.conf
+      .get("spark.graft.serving.forceSalt", "false").toBoolean
+    if (!forceSalt && probeRows * rowBytes <= maxBytes)
       store.join(broadcast(probes), Seq("cell"))
     else {
       val conf = store.sparkSession.sessionState.conf
@@ -1548,6 +1554,7 @@ object Similarity {
           explode(sequence(lit(0), lit(salts - 1)))), Seq("cell", "_salt"))
         .drop("_salt")
     }
+  }
 
   def knnIvfPq(e: DataFrame, queryMod: Int = 50, k: Int = 3, nprobe: Int = 2,
       m: Int = PqSubspaces): DataFrame = {
@@ -1706,6 +1713,17 @@ object Similarity {
     * compares exact BIGINTs derived from engine-identical doubles, so
     * the chosen rotation — and everything downstream — is
     * deterministic and oracle-mirrorable.
+    *
+    * COLD-BUILD COST (the number a 100-TB operator should budget): this
+    * is the suite's largest one-time trained artifact — 100.1 s cold at
+    * sf0.1 (BENCH_FULL_r13 queries_first), ~3 s steady behind the memo.
+    * The chain is ~3 corpus-pass groups beyond the H₁ rotation it
+    * reuses: the deflated power-iteration re-fit, two challenger
+    * rotation+codebook re-fits, and three quantized-SSE evaluations —
+    * all bounded-collect rounds, so the build scales with the corpus
+    * scans (SCALEPROBE.md r14 x1/x10/x30/x100 rows measure it LINEAR);
+    * at 100 TB plan it as a scheduled training job whose output frame
+    * is the served artifact, never an inline query cost.
     */
   private[graft] def rotatedCorpus2(e: DataFrame, dir: String,
       dims: Int = 64): DataFrame = {

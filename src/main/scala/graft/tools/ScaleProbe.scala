@@ -184,7 +184,15 @@ object ScaleProbe {
     // and Dirichlet query likelihood (the bm25Search cost contract —
     // one term-filtered token pass + a co-partitioned whole-corpus
     // score join; must track the token scan like q_doc_rm3's passes)
-    "q_doc_hll", "q_doc_ql")
+    "q_doc_hll", "q_doc_ql",
+    // round-14: the OPQ2 alternation training chain — the suite's
+    // largest one-time artifact build (100.1 s cold at sf0.1, the only
+    // trained artifact previously absent from this set; r13 verdict #3).
+    // Its stages are bounded-collect rounds (power iteration + deflated
+    // re-fit + two challenger codebook re-fits + three quantized SSE
+    // corpus passes), so the cold build must track the corpus scans;
+    // the composed IVF serving query then rides the accepted rotation
+    "q_emb_opq2", "q_emb_ivfopq2")
 
   /** Heaps-ish vocabulary size: 30 tokens at the 5k-doc base (the real
     * table's vocabulary), growing with sqrt(n).

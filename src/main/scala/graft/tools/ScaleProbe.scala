@@ -298,6 +298,12 @@ object ScaleProbe {
       .getOrCreate()
     Engine.tune(spark)
     spark.sparkContext.setLogLevel("WARN")
+    // dev knob: SPARK_GRAFT_FORCE_SALT=1 forces every servingScanJoin
+    // through its salted-shuffle fallback, so the fallback's cost story
+    // at probe scales is measured, not asserted (its organic trigger is
+    // a >256 MB probe side no test corpus reaches)
+    if (sys.env.get("SPARK_GRAFT_FORCE_SALT").contains("1"))
+      spark.conf.set("spark.graft.serving.forceSalt", "true")
 
     // JIT warmup on the tiny real tables: distinct dir → distinct memo
     // keys, so the timed runs below stay cold on their own data

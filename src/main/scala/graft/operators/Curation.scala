@@ -1666,17 +1666,30 @@ object Curation {
     val spark = docs.sparkSession
     val ssh = sourceShinglesFor(docs, dir)
     var selected = List.empty[(Int, String, Long, Long)]
-    var covered: DataFrame = null
     var cum = 0L
     var round = 1
     var exhausted = false
+    // One Spark job per greedy round (the pick), nothing else: the
+    // covered set is re-derived from the memoized spine each round
+    // (filter + distinct + anti-join inside the SAME action) instead of
+    // maintained as an incrementally-checkpointed frame — the old
+    // spelling's per-round lazy localCheckpoint cost a full driver
+    // planning pass (~0.3 s) plus a materialization job every round.
+    // ssh is a checkpoint-backed scan, so re-reading it per round is one
+    // file pass, the same I/O the incremental spelling paid.
     while (round <= budget && !exhausted) {
-      val remaining =
-        if (selected.isEmpty) ssh
-        else ssh.filter(!col("source").isin(selected.map(_._2): _*))
+      val pickedSrcs = selected.map(_._2)
+      // "h not covered by any picked source" as an unordered max-flag
+      // window over h: the spine is checkpointed PARTITIONED BY h, so
+      // the window needs no exchange — each round is flag+filter+one
+      // tiny groupBy(source), two stages, instead of the anti-join
+      // spelling's distinct+join chain.
       val fresh =
-        if (covered == null) remaining
-        else remaining.join(covered, Seq("h"), "left_anti")
+        if (pickedSrcs.isEmpty) ssh
+        else ssh
+          .withColumn("cov", max(when(col("source").isin(pickedSrcs: _*), 1)
+            .otherwise(0)).over(Window.partitionBy(col("h"))))
+          .filter(col("cov") === 0 && !col("source").isin(pickedSrcs: _*))
       val pick = fresh.groupBy(col("source"))
         .agg(count(lit(1)).as("gain"))
         .orderBy(col("gain").desc, col("source"))
@@ -1686,12 +1699,6 @@ object Curation {
         val (src, gain) = (pick(0).getString(0), pick(0).getLong(1))
         cum += gain
         selected :+= ((round, src, gain, cum))
-        val newCov = ssh.filter(col("source") === src).select(col("h"))
-        covered =
-          (if (covered == null) newCov.distinct()
-           else covered.union(newCov).distinct())
-            .repartition(col("h"))
-            .localCheckpoint(false)
         round += 1
       }
     }
@@ -1721,46 +1728,56 @@ object Curation {
     val spark = docs.sparkSession
     val withToks = docs.select(col("doc_id"), col("source"),
       size(graft.functions.TextFunctions.tokens(col("text"))).cast("long").as("ntok"))
-    val costs = withToks.groupBy(col("source"))
-      .agg(sum(col("ntok")).as("cost")).localCheckpoint(false)
-    val budget = costs
-      .agg(coalesce(sum(col("cost")), lit(0L)).cast("long").as("t"))
-      .select(expr("t div 5").as("budget")).collect()(0).getLong(0)
+    // The per-source cost table is ≤‖sources‖ rows — the bounded-collect
+    // contract. Collecting it once replaces the old spelling's
+    // checkpointed cost frame + budget job + per-round broadcast join:
+    // affordability and the gain/cost ratio pick become driver
+    // arithmetic on the SAME integers (ratio = the identical single IEEE
+    // division), leaving exactly one Spark job per greedy round.
+    val costRows = withToks.groupBy(col("source"))
+      .agg(sum(col("ntok")).as("cost")).collect()
+    val costMap: Map[String, Long] =
+      costRows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    val budget = costMap.values.sum / 5
     val ssh = sourceShinglesFor(docs, dir)
     var selected = List.empty[(Int, String, Long, Long, Long, Long)]
-    var covered: DataFrame = null
     var remaining = budget
     var cum = 0L
     var round = 1
     var exhausted = false
     while (round <= maxPicks && !exhausted) {
-      val affordable =
-        (if (selected.isEmpty) costs
-         else costs.filter(!col("source").isin(selected.map(_._2): _*)))
-          .filter(col("cost") <= remaining)
-      val fresh =
-        if (covered == null) ssh
-        else ssh.join(covered, Seq("h"), "left_anti")
-      val pick = fresh.join(broadcast(affordable), "source")
-        .groupBy(col("source"), col("cost"))
-        .agg(count(lit(1)).as("gain"))
-        .orderBy((col("gain").cast("double") / col("cost").cast("double")).desc,
-          col("source"))
-        .limit(1).collect()
-      if (pick.isEmpty) exhausted = true
+      val pickedSrcs = selected.map(_._2)
+      val affordable = costMap.keys.toSeq
+        .filterNot(pickedSrcs.contains)
+        .filter(s => costMap(s) <= remaining)
+      if (affordable.isEmpty) exhausted = true
       else {
-        val (src, cost, gain) =
-          (pick(0).getString(0), pick(0).getLong(1), pick(0).getLong(2))
-        cum += gain
-        remaining -= cost
-        selected :+= ((round, src, gain, cost, cum, remaining))
-        val newCov = ssh.filter(col("source") === src).select(col("h"))
-        covered =
-          (if (covered == null) newCov.distinct()
-           else covered.union(newCov).distinct())
-            .repartition(col("h"))
-            .localCheckpoint(false)
-        round += 1
+        val fresh =
+          if (pickedSrcs.isEmpty) ssh
+          else ssh.join(
+            ssh.filter(col("source").isin(pickedSrcs: _*)).select(col("h")).distinct(),
+            Seq("h"), "left_anti")
+        // one job: per-source marginal gains (≤‖sources‖ result rows);
+        // the ratio ordering and tie rule run on the driver, bit-
+        // identical to the old orderBy((gain/cost) DESC, source)
+        val gains = fresh.filter(col("source").isin(affordable: _*))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("gain")).collect()
+          .map(r => r.getString(0) -> r.getLong(1))
+        if (gains.isEmpty) exhausted = true
+        else {
+          var (src, gain) = gains.head
+          var ratio = gain.toDouble / costMap(src).toDouble
+          gains.tail.foreach { case (s, g) =>
+            val r = g.toDouble / costMap(s).toDouble
+            if (r > ratio || (r == ratio && s < src)) { src = s; gain = g; ratio = r }
+          }
+          val cost = costMap(src)
+          cum += gain
+          remaining -= cost
+          selected :+= ((round, src, gain, cost, cum, remaining))
+          round += 1
+        }
       }
     }
     import spark.implicits._
@@ -1857,67 +1874,71 @@ object Curation {
     val spark = docs.sparkSession
     val kU = (k - 1).toLong * graft.functions.TextFunctions.P
     val ssh = sourceShinglesFor(docs, dir)
-    val sk = TextAnalysis.kmvSketchOf(ssh, k).localCheckpoint(false)
+    // ONE bounded collect: the per-source bottom-k sketch is ≤‖sources‖·k
+    // rows by construction (corpus-independent — the exact quantity the
+    // scaladoc above prices every greedy round at). With the sketch on
+    // the driver, the whole union-sketch greedy is driver arithmetic on
+    // those integers — identical bottom-k unions, the identical
+    // (k−1)·P/θ estimator (one IEEE division), the identical (marg DESC,
+    // source ASC) tie rule — instead of ~4 Spark actions per round
+    // (estimator job + pick collect + two checkpointed covered-set
+    // updates), which dominated the query's wall time.
+    val skRows = TextAnalysis.kmvSketchOf(ssh, k).collect()
+    val bySource: Map[String, Array[Long]] = skRows
+      .groupBy(_.getString(0))
+      .map { case (s, rs) => s -> rs.map(_.getLong(1)).sorted }
     def estOf(n: Long, theta: Long): Double =
       if (n < k) n.toDouble else kU.toDouble / theta.toDouble
-    var selected = List.empty[(Int, String, Double, Long)]
-    var coveredSk: DataFrame = null
-    var coveredExact: DataFrame = null
+    var selected = List.empty[(Int, String, Double)]
+    var covered = Array.empty[Long] // the bottom-k union sketch, sorted
     var covEst = 0.0
     var round = 1
     var exhausted = false
     while (round <= budget && !exhausted) {
-      val remaining =
-        if (selected.isEmpty) sk
-        else sk.filter(!col("source").isin(selected.map(_._2): _*))
-      val cu =
-        (if (coveredSk == null) remaining
-         else remaining.unionByName(
-           remaining.select(col("source")).distinct()
-             .crossJoin(broadcast(coveredSk))))
-          .distinct()
-      val wB = Window.partitionBy(col("source")).orderBy(col("h"))
-      val est = cu.withColumn("rn", row_number().over(wB))
-        .filter(col("rn") <= k)
-        .groupBy(col("source"))
-        .agg(count(lit(1)).as("n_u"), max(col("h")).as("theta_u"))
-        .select(col("source"),
-          when(col("n_u") < k, col("n_u").cast("double"))
-            .otherwise(lit(kU.toDouble) / col("theta_u").cast("double"))
-            .as("est_u"))
-        .select(col("source"), (col("est_u") - lit(covEst)).as("marg"))
-      val pick = est.orderBy(col("marg").desc, col("source")).limit(1).collect()
-      if (pick.isEmpty) exhausted = true
+      val pickedSrcs = selected.map(_._2).toSet
+      val cands = bySource.keysIterator.filterNot(pickedSrcs).map { s =>
+        val u = (bySource(s) ++ covered).distinct.sorted.take(k)
+        val est = estOf(u.length.toLong, if (u.isEmpty) 1L else u.last)
+        (s, est - covEst)
+      }.toSeq
+      if (cands.isEmpty) exhausted = true
       else {
-        val (src, estGain) = (pick(0).getString(0), pick(0).getDouble(1))
-        // exact audit for the pick (the one corpus-priced step; the
-        // production spelling skips it and stays sketch-only)
-        lazy val srcH = ssh.filter(col("source") === src).select(col("h"))
-        val exactGain =
-          if (!audit) -1L
-          else (if (coveredExact == null) srcH.distinct()
-           else srcH.join(coveredExact, Seq("h"), "left_anti"))
-            .count()
-        selected :+= ((round, src, estGain, exactGain))
-        coveredSk =
-          (if (coveredSk == null) sk.filter(col("source") === src).select(col("h"))
-           else coveredSk.unionByName(
-             sk.filter(col("source") === src).select(col("h"))).distinct())
-            .orderBy(col("h")).limit(k)
-            .localCheckpoint(false)
-        val covRow = coveredSk.agg(count(lit(1)).as("n"), max(col("h")).as("t"))
-          .collect()(0)
-        covEst = estOf(covRow.getLong(0), if (covRow.isNullAt(1)) 1L else covRow.getLong(1))
-        if (audit) coveredExact =
-          (if (coveredExact == null) srcH.distinct()
-           else coveredExact.unionByName(srcH).distinct())
-            .localCheckpoint(false)
+        var (src, marg) = cands.head
+        cands.tail.foreach { case (s, m) =>
+          if (m > marg || (m == marg && s < src)) { src = s; marg = m }
+        }
+        selected :+= ((round, src, marg))
+        covered = (covered ++ bySource(src)).distinct.sorted.take(k)
+        covEst = estOf(covered.length.toLong,
+          if (covered.isEmpty) 1L else covered.last)
         round += 1
       }
     }
+    // exact audit — the one corpus-priced step (the production spelling
+    // skips it): ONE aggregation job computes every round's true
+    // marginal at once. gain_i = |H(s_i) \ ∪_{j<i} H(s_j)| is exactly
+    // the number of h whose EARLIEST picked rank is i, so a min-rank
+    // per h + count per rank reproduces the old sequential anti-join
+    // counts in a single pass over the (filtered) spine.
+    val pickedOrdered = selected.map(_._2)
+    val exactGains: Map[Int, Long] =
+      if (!audit || pickedOrdered.isEmpty) Map.empty
+      else {
+        val rkCol = pickedOrdered.zipWithIndex.reverse
+          .foldLeft(lit(Int.MaxValue)) { case (acc, (s, i)) =>
+            when(col("source") === s, lit(i + 1)).otherwise(acc)
+          }
+        ssh.filter(col("source").isin(pickedOrdered: _*))
+          .select(col("h"), rkCol.as("rk"))
+          .groupBy(col("h")).agg(min(col("rk")).as("mr"))
+          .groupBy(col("mr")).agg(count(lit(1)).as("c"))
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      }
     import spark.implicits._
-    if (audit) selected.toDF("rank", "source", "est_gain", "exact_gain")
-    else selected.map(t => (t._1, t._2, t._3)).toDF("rank", "source", "est_gain")
+    if (audit)
+      selected.map(t => (t._1, t._2, t._3, exactGains.getOrElse(t._1, 0L)))
+        .toDF("rank", "source", "est_gain", "exact_gain")
+    else selected.toDF("rank", "source", "est_gain")
   }
 
   /** DuckDB mirror of [[sourceSelectKmv]]: identical sketches (bottom-k

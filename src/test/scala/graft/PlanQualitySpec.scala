@@ -10,7 +10,7 @@ import org.apache.spark.sql.execution.ExplainMode
   */
 class PlanQualitySpec extends SparkSpec {
 
-  private def plan(name: String): String = {
+  private def plan(name: String): String = withoutScanRebalance {
     val df = SparkEntry.queries(name)(spark, Sf)
     df.queryExecution.explainString(ExplainMode.fromString("formatted"))
   }
@@ -702,11 +702,17 @@ class PlanQualitySpec extends SparkSpec {
       // — so the engine's hint-free dim joins are exactly the eligible shape.)
       c.set(kBcast, "-1")
       import spark.implicits._
-      val fact = graft.sources.Tables.lineitem(spark, Sf)
-      val dim = graft.sources.Tables.part(spark, Sf).filter($"p_size" === 1)
-      val j = fact.join(dim, $"l_partkey" === $"p_partkey")
-        .select($"l_orderkey", $"p_name")
-      val p = j.queryExecution.optimizedPlan.toString
+      // rebalance-off: InjectRuntimeFilter's probe pattern does not look
+      // through a repartition, and the small-scan conditioner never
+      // coexists with a >10 GB fact scan anyway — this pin is the
+      // at-scale (conditioner-off) plan shape.
+      val p = withoutScanRebalance {
+        val fact = graft.sources.Tables.lineitem(spark, Sf)
+        val dim = graft.sources.Tables.part(spark, Sf).filter($"p_size" === 1)
+        val j = fact.join(dim, $"l_partkey" === $"p_partkey")
+          .select($"l_orderkey", $"p_name")
+        j.queryExecution.optimizedPlan.toString
+      }
       assert(p.contains("might_contain"),
         s"runtime bloom filter was not injected on the fact side:\n$p")
     } finally {

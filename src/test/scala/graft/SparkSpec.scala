@@ -7,6 +7,23 @@ import org.scalatest.funsuite.AnyFunSuite
 trait SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSpec.session
   val Sf = "/root/testdata/sf0.001"
+
+  /** Run `body` with the small-scan input rebalance (Tables.balanced)
+    * disabled — plan-shape assertions pin the OPERATOR plan, which is
+    * exactly the rebalance-off plan a production-scale scan produces
+    * (the conditioner only fires when input bytes < parallelism × 4 MB).
+    * ScanRebalanceSpec pins the conditioner itself.
+    */
+  def withoutScanRebalance[T](body: => T): T = {
+    val key = "spark.graft.scan.rebalance"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 }
 
 object SparkSpec {

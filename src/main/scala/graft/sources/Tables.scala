@@ -118,7 +118,7 @@ object Tables {
 
   private def load(spark: SparkSession, dir: String, name: String)(
       mk: => DataFrame): DataFrame = {
-    val reb = rebalanceOn(spark)
+    val reb = rebalanceOn(spark) && RebalancedTables(name)
     frameMemo.getOrCompute(dataKey(spark, dir, "tbl:" + name) +
       "|reb:" + reb + ":" + spark.sparkContext.defaultParallelism)(
       if (reb) balanced(spark, dir, name, mk) else mk)
@@ -126,6 +126,19 @@ object Tables {
 
   private def rebalanceOn(spark: SparkSession): Boolean =
     spark.conf.get("spark.graft.scan.rebalance", "true").toBoolean
+
+  /** Only the fact tables whose downstream per-row work dominates the
+    * conditioner's extra exchange get rebalanced. Measured pairwise at
+    * sf0.1 (run3 steady-state, seconds, on/off): lineitem-fed queries win
+    * big (q1_agg 0.91/1.23, ref_envelope 0.86/1.75) and orders-fed ones
+    * clearly (q_percentile 1.02/1.41), while documents is a wash (bpe
+    * 1.59/1.38, ppbucket 1.33/1.59, kmv 1.40/1.34 — its ops explode into
+    * a shuffle immediately anyway), and embeddings/events/dimension
+    * tables lose outright (q_emb_ivfpq 2.27/1.51 — 2 k-row inputs where
+    * the exchange is pure overhead, or broadcast dims whose build gains
+    * a stage).
+    */
+  private val RebalancedTables = Set("lineitem", "orders")
 
   /** Small-scan rebalance (guide §2.5 "input skew: one huge unsplittable
     * file → repartition immediately after the read"): parquet scans split
@@ -153,12 +166,18 @@ object Tables {
         if (fs.exists(path)) fs.getContentSummary(path).getLength else 0L
       } catch { case _: Throwable => 0L }
     if (par > 1 && bytes > 0 && bytes < par.toLong * 4L * 1024 * 1024)
-      // hash on the table's (first-column) key, not round-robin: a
-      // round-robin repartition pays a local binary sort of every row
-      // (sortBeforeRepartition, needed for retry determinism) — hash
-      // partitioning is deterministic per row for free, and every key
-      // column here is unique-ish, so the spread is even.
-      df.repartition(par, col(df.columns.head))
+      // hash on a value DERIVED from the table's (first-column) key, not
+      // round-robin and not the key itself: round-robin pays a local
+      // binary sort of every row (sortBeforeRepartition, needed for
+      // retry determinism), while partitioning on the bare key collides
+      // with downstream joins on that key — EnsureRequirements rewrites
+      // the user repartition to the join's partition count, whose
+      // REPARTITION_BY_NUM origin AQE refuses to coalesce (measured:
+      // 512-task join stages, +1.9 s on q_doc_ppbucket). xxhash64(key)
+      // is deterministic per row, spreads unique-ish keys evenly, and is
+      // never a join key, so the conditioner stays a fixed `par`-way
+      // fan-out below whatever the plan needs above it.
+      df.repartition(par, xxhash64(col(df.columns.head)))
     else df
   }
 

@@ -25,7 +25,7 @@ class ScanRebalanceSpec extends SparkSpec {
 
   test("conditioner fires on sub-parallel scans and obeys the knob") {
     val on = planOf(Tables.lineitem(spark, Sf))
-    assert(on.contains("Exchange") && on.contains("hashpartitioning(l_orderkey"),
+    assert(on.contains("Exchange") && on.contains("hashpartitioning(xxhash64(l_orderkey"),
       s"expected the input rebalance above the scan:\n$on")
     val off = withoutScanRebalance(planOf(Tables.lineitem(spark, Sf)))
     assert(!off.contains("Exchange"), "knob off must restore the bare scan")
@@ -36,7 +36,7 @@ class ScanRebalanceSpec extends SparkSpec {
       .filter(col("l_shipdate") < lit("2001-09-01").cast("timestamp"))
       .select(col("l_orderkey"), col("l_quantity"))
     val p = planOf(df)
-    assert(p.contains("Exchange") && p.contains("hashpartitioning(l_orderkey"))
+    assert(p.contains("Exchange") && p.contains("hashpartitioning(xxhash64(l_orderkey"))
     assert(p.linesIterator.filter(_.contains("PushedFilters:"))
       .exists(_.contains("LessThan(l_shipdate")),
       s"shipdate filter must still reach the scan below the rebalance:\n$p")

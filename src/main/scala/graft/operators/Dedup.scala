@@ -462,9 +462,13 @@ object Dedup {
   def simhashPairs(c: DataFrame, maxDist: Int = 8): DataFrame = {
     require(maxDist <= NumBands * (BandRadius + 1) - 1,
       s"exact recall only up to hamming ${NumBands * (BandRadius + 1) - 1}")
-    // both join sides read the band table: lazy-checkpoint it so the
-    // shingle → fingerprint pipeline runs once, not per side
-    val bands = simhashBands(c).localCheckpoint(false)
+    // both join sides read the band table; no transient checkpoint — the
+    // two sides share the identical band subtree, so exchange reuse runs
+    // the shingle → fingerprint pipeline once per action (the IsNotNull
+    // filter is a semantic no-op on the inner-join keys, stated in the
+    // spine so the join's inferred null filters don't fork the subtree)
+    val bands = simhashBands(c)
+      .filter(col("lang").isNotNull && col("bk").isNotNull)
     val probes = bands
       .withColumn("mask", explode(typedLit(BandMasks)))
       .withColumn("vk", col("bk").bitwiseXOR(col("mask")))

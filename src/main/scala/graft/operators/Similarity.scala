@@ -1663,6 +1663,12 @@ object Similarity {
     val base = withEmb(e).select(col("vec_id"), col("emb"))
     val q = base.filter(col("vec_id") % queryMod === 0)
       .select(col("vec_id").as("qid"), col("emb").as("qemb"))
+    // transient checkpoint, deliberately KEPT (the one case the
+    // checkpoint-free spine discipline does not cover): the three
+    // consumers (count + per-variant semi-joins) column-prune the brute
+    // cross-join subtree differently, so their post-optimization
+    // subtrees are not canonically equal and exchange reuse cannot fire
+    // -- measured 3 evaluations of the brute truth without the barrier.
     val truth = base.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("d2", l2sq(col("emb"), col("qemb")))
@@ -1855,6 +1861,12 @@ object Similarity {
     val base = withEmb(e).select(col("vec_id"), col("emb"))
     val q = base.filter(col("vec_id") % queryMod === 0)
       .select(col("vec_id").as("qid"), col("emb").as("qemb"))
+    // transient checkpoint, deliberately KEPT (the one case the
+    // checkpoint-free spine discipline does not cover): the three
+    // consumers (count + per-variant semi-joins) column-prune the brute
+    // cross-join subtree differently, so their post-optimization
+    // subtrees are not canonically equal and exchange reuse cannot fire
+    // -- measured 3 evaluations of the brute truth without the barrier.
     val truth = base.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("d2", l2sq(col("emb"), col("qemb")))

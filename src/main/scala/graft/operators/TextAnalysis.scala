@@ -443,19 +443,47 @@ object TextAnalysis {
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "rm3 needs at least one seed term")
     val dec = "decimal(38,0)"
+    val spark = docs.sparkSession
     val td = rm3Td(docs)
     val origScores = rm3OrigScores(td, terms, k1, b)
-    val exp = rm3ExpansionFrom(td, origScores, terms, fbDocs, fbTerms)
-    val expScores = bm25PostsFor(td, exp, k1, b)
-      .join(broadcast(exp), "w")
+    // The feedback set (fbDocs rows) and the expansion distribution
+    // (fbTerms rows) are CONSTANT-bounded — the bounded-collect
+    // contract. Cutting the pipeline at those two points (one job each)
+    // replaces the old spelling's three lazy checkpoints, whose toRdd
+    // each cost a full driver planning pass AND — under AQE — eagerly
+    // executed every upstream stage per construction. The collected
+    // integers feed the later stages as literal frames; Σwt is an exact
+    // integer sum, summed driver-side in BigInteger (order-free, same
+    // value the old s_wt aggregate produced).
+    import spark.implicits._
+    val fbLit = rm3Fb(origScores, fbDocs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      .toDF("doc_id", "orig_nanos")
+    val expRows = rm3ExpansionFrom(td, fbLit, terms, fbTerms).collect()
+    val expLit = spark.createDataFrame(
+      spark.sparkContext.parallelize(expRows.toSeq, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("w",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("wt",
+          org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)))))
+    val sWt = expRows.foldLeft(java.math.BigInteger.ZERO) { (acc, r) =>
+      acc.add(r.getDecimal(1).toBigInteger)
+    }
+    // empty expansion ⇒ SUM(wt) is NULL in both engines' aggregate
+    // spelling — preserve that exactly (a 0 here would flip the mix's
+    // first leg from NULL to 0 on an empty corpus)
+    val sWtLit =
+      if (expRows.isEmpty) lit(null).cast(dec)
+      else lit(new java.math.BigDecimal(sWt)).cast(dec)
+    val expScores = bm25PostsFor(td, expLit, k1, b)
+      .join(broadcast(expLit), "w")
       .groupBy(col("doc_id"))
       .agg(sum(col("wt") * col("c_nanos").cast(dec)).as("exp_dec"))
-    val sTot = exp.agg(sum(col("wt")).as("s_wt"))
     origScores.join(expScores, Seq("doc_id"), "full_outer")
-      .crossJoin(broadcast(sTot))
       .select(col("doc_id"),
         (lit(alpha10).cast(dec) * coalesce(col("orig_nanos"), lit(0L)).cast(dec)
-            * col("s_wt")
+            * sWtLit
           + lit(10 - alpha10).cast(dec)
             * coalesce(col("exp_dec"), lit(0L).cast(dec))).as("rm3_dec"))
       .orderBy(col("rm3_dec").desc, col("doc_id")).limit(10)
@@ -490,10 +518,10 @@ object TextAnalysis {
     * feedback set (weight DESC, term ASC, top fbTerms; seed terms
     * excluded). Returns (w, wt DECIMAL(38,0)).
     */
-  private def rm3ExpansionFrom(td: DataFrame, origScores: DataFrame,
-      terms: Seq[String], fbDocs: Int, fbTerms: Int): DataFrame = {
+  private def rm3ExpansionFrom(td: DataFrame, fb: DataFrame,
+      terms: Seq[String], fbTerms: Int): DataFrame = {
     val dec = "decimal(38,0)"
-    rm3FbTf(td, origScores, fbDocs)
+    rm3FbTf(td, fb)
       .filter(!col("w").isin(terms: _*))
       // tf·1e9/dl in EXACT integer division: tf and dl are BIGINT counts,
       // so `tf * 1000000000 div dl` is the exact rational floor in both
@@ -508,8 +536,11 @@ object TextAnalysis {
         * col("orig_nanos").cast(dec)).as("contrib"))
       .groupBy(col("w")).agg(sum(col("contrib")).as("wt"))
       .orderBy(col("wt").desc, col("w")).limit(fbTerms)
-      .localCheckpoint(false)
   }
+
+  /** The feedback cut — top fbDocs by (orig_nanos DESC, doc_id ASC). */
+  private def rm3Fb(origScores: DataFrame, fbDocs: Int): DataFrame =
+    origScores.orderBy(col("orig_nanos").desc, col("doc_id")).limit(fbDocs)
 
   /** The expansion stage's INPUT table — per (feedback doc, token):
     * (dl, orig_nanos, w, tf), every value an exact integer or a token
@@ -519,10 +550,7 @@ object TextAnalysis {
     * in red = the feedback join/tokenize/count diverged; in green + exp
     * red = the (now all-integer) weighting arithmetic.
     */
-  private def rm3FbTf(td: DataFrame, origScores: DataFrame,
-      fbDocs: Int): DataFrame = {
-    val fb = origScores.orderBy(col("orig_nanos").desc, col("doc_id"))
-      .limit(fbDocs).localCheckpoint(false)
+  private def rm3FbTf(td: DataFrame, fb: DataFrame): DataFrame = {
     td.join(broadcast(fb), "doc_id")
       .select(col("dl"), col("orig_nanos"), explode(col("toks")).as("w"))
       .groupBy(col("dl"), col("orig_nanos"), col("w"))
@@ -534,7 +562,7 @@ object TextAnalysis {
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "rm3 needs at least one seed term")
     val td = rm3Td(docs)
-    rm3FbTf(td, rm3OrigScores(td, terms, k1, b), fbDocs)
+    rm3FbTf(td, rm3Fb(rm3OrigScores(td, terms, k1, b), fbDocs))
   }
 
   /** [[rm3Search]] stage 2 EXPOSED for the driver's gate — the
@@ -548,8 +576,7 @@ object TextAnalysis {
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "rm3 needs at least one seed term")
     val td = rm3Td(docs)
-    rm3OrigScores(td, terms, k1, b)
-      .orderBy(col("orig_nanos").desc, col("doc_id")).limit(fbDocs)
+    rm3Fb(rm3OrigScores(td, terms, k1, b), fbDocs)
   }
 
   /** [[rm3Search]] stage 3 EXPOSED for the driver's gate — the expansion
@@ -562,7 +589,8 @@ object TextAnalysis {
       fbTerms: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "rm3 needs at least one seed term")
     val td = rm3Td(docs)
-    rm3ExpansionFrom(td, rm3OrigScores(td, terms, k1, b), terms, fbDocs, fbTerms)
+    rm3ExpansionFrom(td, rm3Fb(rm3OrigScores(td, terms, k1, b), fbDocs),
+      terms, fbTerms)
       // output boundary: digit string, not DecimalType (see rm3Search);
       // the wt-DESC sort+limit already ran inside rm3ExpansionFrom
       .select(col("w"), col("wt").cast("string").as("wt"))
@@ -2679,14 +2707,20 @@ object TextAnalysis {
     * sf-bounded audit, as everywhere in this family.
     */
   def kmvGenOverlap(base: DataFrame, incr: DataFrame, k: Int = KmvK): DataFrame = {
+    // checkpoint-free spines, same discipline as [[kmvOverlap]]: each
+    // generation's distinct/sketch subtree is shared by all its
+    // consumers verbatim, so exchange reuse evaluates it once per
+    // action, and the IsNotNull filter (a semantic no-op — every output
+    // path inner-joins on source) keeps the join consumers from pushing
+    // inferred null filters below the distinct and forking the scan.
     def sh(df: DataFrame) = df.select(col("source"),
         explode(graft.expressions.ShingleHashes.shingle_hashes(col("text"))).as("h"))
+      .filter(col("source").isNotNull && col("h").isNotNull)
       .distinct()
-      .localCheckpoint(false)
     val shB = sh(base)
     val shI = sh(incr)
-    val skB = kmvSketchOf(shB, k).localCheckpoint(false)
-    val skI = kmvSketchOf(shI, k).localCheckpoint(false)
+    val skB = kmvSketchOf(shB, k)
+    val skI = kmvSketchOf(shI, k)
     def estOf(sk: DataFrame, shx: DataFrame, name: String): DataFrame =
       sk.groupBy(col("source"))
         .agg(count(lit(1)).as("n_sk"), max(col("h")).as("theta"))

@@ -71,12 +71,64 @@ object Unigram {
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
       .orderBy(col("freq").desc, col("word")).limit(maxWords)
 
+  /** [[wfOf]] materialized as a LOCAL literal frame — the dictionary is
+    * CONSTANT-bounded (≤ maxWords rows), so one bounded collect (the one
+    * corpus pass) turns every later trainer stage into local-relation
+    * work: no lineage back to the corpus, no per-round lazy checkpoints
+    * (whose toRdd each cost a driver planning pass and — under AQE —
+    * eagerly executed all upstream stages per query construction).
+    */
+  private def wfLitOf(docs: DataFrame, maxWords: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rows = wfOf(docs, maxWords).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    // parallelized, not a LocalRelation: the per-word DP passes
+    // (Viterbi / forward-backward HOFs) downstream are the trainer's
+    // real compute and should spread across cores
+    spark.sparkContext.parallelize(rows,
+      spark.sparkContext.defaultParallelism).toDF("word", "freq")
+  }
+
+  /** The piece-probability map of a BOUNDED vocab row set, built
+    * driver-side as a map LITERAL: p = cnt/total in one IEEE division —
+    * operand-for-operand the arithmetic of the old broadcast-vm column
+    * (long and decimal counts both go through correctly-rounded
+    * BigDecimal→double, matching Spark's cast semantics) — without the
+    * per-round broadcast-exchange jobs.
+    */
+  private def vmLit(rows: Seq[org.apache.spark.sql.Row]): org.apache.spark.sql.Column =
+    if (rows.isEmpty) typedLit(Map.empty[String, Double])
+    else {
+      val cnts = rows.map { r =>
+        r.get(1) match {
+          case d: java.math.BigDecimal => (r.getString(0), d)
+          case l: java.lang.Long => (r.getString(0), java.math.BigDecimal.valueOf(l))
+          case other => (r.getString(0),
+            new java.math.BigDecimal(other.toString))
+        }
+      }
+      val total = cnts.foldLeft(java.math.BigDecimal.ZERO)(_ add _._2).doubleValue
+      typedLit(cnts.map { case (pc, c) => pc -> c.doubleValue / total }.toMap)
+    }
+
+  /** A bounded vocab round result (≤ vocabV + |chars| rows) re-created
+    * as a literal local frame — the inter-round cut that replaces the
+    * old per-round localCheckpoint. `cnt` keeps the incoming type
+    * (BIGINT on the hard path, DECIMAL(38,0) on the soft path).
+    */
+  private def vocabLit(vocab: DataFrame): DataFrame = {
+    val spark = vocab.sparkSession
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(vocab.collect().toSeq.asJava, vocab.schema)
+  }
+
   /** The shared trainer: returns (final vocab (piece, cnt), dictionary
     * (word, freq)) so vocab and encode run ONE loop.
     */
   private def train(docs: DataFrame, seedV: Int, vocabV: Int, maxLen: Int,
       emRounds: Int, maxWords: Int): (DataFrame, DataFrame) = {
-    val wf = wfOf(docs, maxWords).localCheckpoint(false)
+    val wf = wfLitOf(docs, maxWords)
     val chars = charsOf(wf)
     var vocab = seedVocabOf(wf, chars, seedV, maxLen)
     (1 to emRounds).foreach { _ =>
@@ -84,12 +136,13 @@ object Unigram {
         .select(col("freq"), explode(split(col("seg"), " ")).as("piece"))
         .groupBy(col("piece")).agg(sum(col("freq")).cast("long").as("cnt"))
       // prune: top vocabV by usage, plus every character (unused
-      // characters floored to count 1 — the Laplace survival floor)
-      vocab = cnts.orderBy(col("cnt").desc, col("piece")).limit(vocabV)
+      // characters floored to count 1 — the Laplace survival floor);
+      // the round result is vocab-bounded → literal cut, not checkpoint
+      vocab = vocabLit(cnts.orderBy(col("cnt").desc, col("piece")).limit(vocabV)
         .unionByName(chars.join(cnts, Seq("piece"), "left")
           .select(col("piece"),
             greatest(coalesce(col("cnt"), lit(0L)), lit(1L)).as("cnt")))
-        .distinct().localCheckpoint(false)
+        .distinct())
     }
     (vocab, wf)
   }
@@ -99,7 +152,7 @@ object Unigram {
     */
   private def charsOf(wf: DataFrame): DataFrame =
     wf.select(explode(split(col("word"), "")).as("piece"))
-      .distinct().localCheckpoint(false)
+      .distinct()
 
   /** Seed vocabulary: every substring occurrence of length 1..maxLen,
     * freq-weighted (Kudo seeds from frequent substrings; exact counts
@@ -116,9 +169,9 @@ object Unigram {
         .as("piece"))
       .filter(col("piece").isNotNull)
       .groupBy(col("piece")).agg(sum(col("freq")).cast("long").as("cnt"))
-    seedc.orderBy(col("cnt").desc, col("piece")).limit(seedV)
+    vocabLit(seedc.orderBy(col("cnt").desc, col("piece")).limit(seedV)
       .unionByName(chars.join(seedc, "piece"))
-      .distinct().localCheckpoint(false)
+      .distinct())
   }
 
   /** Viterbi-segment each dictionary word under the piece distribution
@@ -127,17 +180,10 @@ object Unigram {
     * [[viterbiExpr]] higher-order function.
     */
   private def segment(words: DataFrame, vocab: DataFrame,
-      maxLen: Int): DataFrame = {
-    val tot = vocab.agg(sum(col("cnt")).cast("long").as("total"))
-    val vm = vocab.crossJoin(broadcast(tot))
-      .select(col("piece"),
-        (col("cnt").cast("double") / col("total").cast("double")).as("p"))
-      .agg(map_from_entries(collect_list(struct(col("piece"), col("p"))))
-        .as("vm"))
-    words.crossJoin(broadcast(vm))
+      maxLen: Int): DataFrame =
+    words.withColumn("vm", vmLit(vocab.collect().toSeq))
       .withColumn("seg", expr(viterbiExpr(maxLen)))
       .drop("vm")
-  }
 
   /** The Viterbi DP as a single `aggregate` HOF over `word` positions,
     * reading the broadcast `vm` map column. best[j] = max over
@@ -208,11 +254,10 @@ object Unigram {
       vocabV: Int = VocabV, maxLen: Int = MaxLen,
       maxWords: Int = MaxWords, softRounds: Int = 1): DataFrame = {
     require(softRounds >= 1, "need at least one soft round")
-    val wf = wfOf(docs, maxWords).localCheckpoint(false)
+    val wf = wfLitOf(docs, maxWords)
     val chars = charsOf(wf)
     (1 to softRounds).foldLeft(seedVocabOf(wf, chars, seedV, maxLen)) {
-      (vocab, _) => softRoundOf(wf, chars, vocab, vocabV, maxLen)
-        .localCheckpoint(false)
+      (vocab, _) => vocabLit(softRoundOf(wf, chars, vocab, vocabV, maxLen))
     }
       // Output-boundary rule (r13 verdict): emit the count as a
       // canonical digit STRING, never DecimalType — the driver's hash
@@ -260,14 +305,7 @@ object Unigram {
     */
   private def softEdgesOf(wf: DataFrame, vocab: DataFrame,
       maxLen: Int): DataFrame = {
-    val dec = "decimal(38,0)"
-    val tot = vocab.agg(sum(col("cnt").cast(dec)).as("total"))
-    val vm = vocab.crossJoin(broadcast(tot))
-      .select(col("piece"),
-        (col("cnt").cast("double") / col("total").cast("double")).as("p"))
-      .agg(map_from_entries(collect_list(struct(col("piece"), col("p"))))
-        .as("vm"))
-    wf.crossJoin(broadcast(vm))
+    wf.withColumn("vm", vmLit(vocab.collect().toSeq))
       .withColumn("al", expr(alphaExpr(maxLen)))
       .withColumn("bt", expr(betaExpr(maxLen)))
       .withColumn("e", explode(expr(edgeExpr(maxLen))))
@@ -283,7 +321,7 @@ object Unigram {
     */
   def unigramSoftEdges(docs: DataFrame, seedV: Int = SeedV,
       maxLen: Int = MaxLen, maxWords: Int = MaxWords): DataFrame = {
-    val wf = wfOf(docs, maxWords).localCheckpoint(false)
+    val wf = wfLitOf(docs, maxWords)
     softEdgesOf(wf, seedVocabOf(wf, charsOf(wf), seedV, maxLen), maxLen)
       .groupBy(col("word"), col("piece"))
       .agg(sum(col("q")).cast("long").as("qsum"),

@@ -443,7 +443,14 @@ object Dedup {
     * each doc's fingerprint — the multi-index Hamming index.
     */
   def simhashBands(c: DataFrame): DataFrame =
-    simhash(c).join(c.select(col("doc_id"), col("lang")), Seq("doc_id"))
+    // SHUFFLE_HASH: the lang side is a corpus-sized projection — without
+    // the hint, known input stats let Spark broadcast the corpus (the
+    // hazard PlanQualitySpec pins; it was invisible while a transient
+    // checkpoint hid this subtree from the executed plan). The simhash
+    // agg side is already hash-partitioned on doc_id, so the join adds
+    // one exchange on the narrow (doc_id, lang) side only.
+    simhash(c).join(c.select(col("doc_id"), col("lang")).hint("shuffle_hash"),
+        Seq("doc_id"))
       .select(col("doc_id"), col("lang"), col("simhash"),
         explode(sequence(lit(0), lit(NumBands - 1))).as("band"))
       .withColumn("bk", expr("shiftright(simhash, band * 8) & 255"))

@@ -101,11 +101,10 @@ object Similarity {
     * same page.
     *
     * Scale shape: pairwise work is confined to the SHORTLIST — every
-    * frame after the candidate stage is ≤ ‖queries‖·kCand rows, each
-    * greedy round one anti-join + one bounded sim join against the
-    * ≤ ‖queries‖·(round−1) selected rows + one per-query window over
-    * ≤ kCand rows (partitioned on qid — high-cardinality). kOut·3
-    * bounded joins total, corpus touched only by the candidate stage.
+    * frame after the candidate stage is ≤ ‖queries‖·kCand rows, and the
+    * kOut greedy rounds run as per-query argmax folds inside one row
+    * (see [[mmrGreedy]]): one groupBy(qid) exchange total, corpus
+    * touched only by the candidate stage.
     *
     * Exactness: cosines from the same fold-order [[dot]]/[[l2norm]]
     * kernels as [[knnBrute]]; the MMR mix is a fixed double chain
@@ -185,34 +184,75 @@ object Similarity {
     * candidate frame — shared by the brute-shortlist audit and the
     * trained-IVF serving variant. Every frame here is
     * ≤ ‖queries‖·kCand rows.
+    *
+    * Spelling: each query's shortlist packs into ONE row (collect_list,
+    * bounded by kCand) and the kOut greedy rounds unroll as per-row
+    * argmax FOLDS — zero joins, windows, or checkpoints after the single
+    * groupBy exchange. The old per-round spelling cost kOut·3 bounded
+    * joins plus a lazy localCheckpoint per round: ~38 Spark jobs and ~1 s
+    * of driver planning per call, all FIXED overhead (measured at sf0.1;
+    * it would be the same on a 100 TB corpus, where this stage's data is
+    * just as shortlist-bounded). Result-identical: the argmax fold is
+    * order-free because (key, vec_id) totally orders candidates, and
+    * Spark gives `greatest`/`>` the same NaN-as-largest, null-skipping
+    * semantics as the window sort it replaces (key DESC NULLS LAST,
+    * vec_id ASC) and the old max() aggregate; the cosine/mix arithmetic
+    * is operand-for-operand the old column expressions.
     */
   private def mmrGreedy(candFrame: DataFrame, kOut: Int,
       lambda10: Int): DataFrame = {
-    val cands = candFrame.localCheckpoint(false)
-    val w1 = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
-    var selected = cands
-      .withColumn("rn", row_number().over(w1)).filter(col("rn") === 1)
-      .select(col("qid"), col("vec_id"), col("cos"), col("emb"), col("nrm"),
-        lit(1L).as("rank"))
-      .localCheckpoint(false)
-    for (r <- 2 to kOut) {
-      val rem = cands.join(selected.select(col("qid"), col("vec_id")),
-        Seq("qid", "vec_id"), "left_anti")
-      val ms = rem
-        .join(selected.select(col("qid"), col("emb").as("semb"), col("nrm").as("snrm")), "qid")
-        .withColumn("sim",
-          cosineWithNorms(dot(col("emb"), col("semb")), col("nrm"), col("snrm")))
-        .groupBy(col("qid"), col("vec_id")).agg(max(col("sim")).as("maxsim"))
-      val wr = Window.partitionBy(col("qid")).orderBy(col("mmr").desc, col("vec_id"))
-      val pick = rem.join(ms, Seq("qid", "vec_id"))
-        .withColumn("mmr", lit(lambda10 / 10.0) * col("cos")
-          - lit((10 - lambda10) / 10.0) * col("maxsim"))
-        .withColumn("rn", row_number().over(wr)).filter(col("rn") === 1)
-        .select(col("qid"), col("vec_id"), col("cos"), col("emb"), col("nrm"),
-          lit(r.toLong).as("rank"))
-      selected = selected.unionByName(pick).localCheckpoint(false)
+    val lam = lambda10 / 10.0
+    val om = (10 - lambda10) / 10.0
+    val keyedT =
+      "struct<vec_id:bigint,cos:double,emb:array<double>,nrm:double,key:double>"
+    def sim(c: Column, s: Column): Column =
+      cosineWithNorms(dot(c.getField("emb"), s.getField("emb")),
+        c.getField("nrm"), s.getField("nrm"))
+    // argmax by (key DESC NULLS LAST, vec_id ASC) as a left fold
+    def argmax(arr: Column): Column =
+      aggregate(arr, lit(null).cast(keyedT), (acc, x) =>
+        when(acc.isNull
+          .or(acc.getField("key").isNull && x.getField("key").isNotNull)
+          .or(x.getField("key").isNotNull && acc.getField("key").isNotNull &&
+            (x.getField("key") > acc.getField("key") ||
+              (x.getField("key") === acc.getField("key") &&
+                x.getField("vec_id") < acc.getField("vec_id"))))
+          .or(x.getField("key").isNull && acc.getField("key").isNull &&
+            x.getField("vec_id") < acc.getField("vec_id")), x)
+          .otherwise(acc))
+    def keyed(c: Column, key: Column): Column =
+      struct(c.getField("vec_id").as("vec_id"), c.getField("cos").as("cos"),
+        c.getField("emb").as("emb"), c.getField("nrm").as("nrm"), key.as("key"))
+    // round 1 keys on pure relevance; later rounds on the MMR mix over
+    // the not-yet-selected shortlist
+    def pick(sel: Option[Column]): Column = sel match {
+      case None =>
+        argmax(transform(col("cands"), c => keyed(c, c.getField("cos"))))
+      case Some(s) =>
+        val remaining = filter(col("cands"), c =>
+          !exists(s, e => e.getField("vec_id") === c.getField("vec_id")))
+        argmax(transform(remaining, c => keyed(c,
+          lit(lam) * c.getField("cos") - lit(om) *
+            aggregate(s, lit(null).cast("double"),
+              (acc, e) => greatest(acc, sim(c, e))))))
     }
-    selected.select(col("qid"), col("rank"), col("vec_id"), col("cos"))
+    def dropKey(p: Column): Column =
+      struct(p.getField("vec_id").as("vec_id"), p.getField("cos").as("cos"),
+        p.getField("emb").as("emb"), p.getField("nrm").as("nrm"))
+    var df = candFrame
+      .groupBy(col("qid"))
+      .agg(collect_list(
+        struct(col("vec_id"), col("cos"), col("emb"), col("nrm"))).as("cands"))
+      .withColumn("sel", array(dropKey(pick(None))))
+    for (_ <- 2 to kOut) {
+      val p = pick(Some(col("sel")))
+      df = df.withColumn("sel",
+        when(p.isNull, col("sel")).otherwise(array_append(col("sel"), dropKey(p))))
+    }
+    df.select(col("qid"), posexplode(col("sel")))
+      .select(col("qid"), (col("pos") + 1).cast("long").as("rank"),
+        col("col").getField("vec_id").as("vec_id"),
+        col("col").getField("cos").as("cos"))
   }
 
   /** DuckDB mirror of [[mmrRerank]]: the same shortlist then kOut − 1
